@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-level text-pipeline primitives: tokenization, shingling, portable
+  * 60-bit hashing, MinHash signatures, SimHash fingerprints.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition
+  * (codegen'd, no UDFs — the reference defines zero UDFs either, SURVEY
+  * §2.12). The hash primitive is md5-based so the exact same value is
+  * computable in any engine with an md5() builtin — that is what makes the
+  * dedup/similarity operators oracle-checkable bit-for-bit against DuckDB.
+  *
+  * Scale notes: all of these are narrow per-row expressions — no shuffle,
+  * no driver traffic — so they run at full scan parallelism at any data
+  * size. MinHash cost is O(numHashes × shingles) per row; at 100 TB the
+  * shingling + signature pass is embarrassingly parallel and the only
+  * shuffle in a dedup pipeline is the band-bucket exchange that follows.
+  */
+object TextFns {
+
+  /** Whitespace tokens of a trimmed string. */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, as a non-negative
+    * long. DuckDB equivalent: `CAST(concat('0x', substr(md5(x),1,15)) AS
+    * BIGINT)`. 60 bits keeps the value positive in a signed 64-bit int in
+    * every engine. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Seeded variant: independent hash family member i (for MinHash). */
+  def hash60Seeded(c: Column, seed: Column): Column =
+    hash60(concat(seed.cast(StringType), lit(":"), c))
+
+  /** Distinct word k-shingles (k consecutive tokens joined by a space).
+    * Empty when the document has fewer than k tokens. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    // sequence(a, b) with b < a generates a DESCENDING range, so the
+    // short-document case must be guarded, not clamped.
+    when(size(toks) < k, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+
+  /** Distinct character k-grams of the raw string (document
+    * fingerprinting / winnowing building block). */
+  def charGrams(text: Column, k: Int): Column =
+    when(length(text) < k, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(1), length(text) - (k - 1)),
+          i => text.substr(i, lit(k)))))
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum hash over the shingle set. Docs with high Jaccard overlap get
+    * signatures agreeing in ~J fraction of slots (Broder 1997). Returns an
+    * array<long> of length `numHashes`; null-safe for empty shingle sets
+    * (slot = max long so it never collides). */
+  def minHash(shingleSet: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i =>
+        coalesce(
+          array_min(transform(shingleSet, s => hash60Seeded(s, i))),
+          lit(Long.MaxValue)))
+
+  /** LSH band key: hash of signature slots [band*rows, band*rows+rows).
+    * Near-dup candidates = rows sharing (band index, band key) for any
+    * band. The banded self-join is the ONLY shuffle in the near-dup
+    * pipeline and its key cardinality is ~numDocs×bands. */
+  def bandKey(signature: Column, band: Int, rows: Int): Column =
+    md5(concat_ws(",",
+      transform(slice(signature, band * rows + 1, rows), _.cast(StringType))))
+
+  /** Hashed shingle set: each shingle string → 60-bit long. Set operations
+    * (intersect/Jaccard) over longs are ~5× cheaper than over strings and
+    * shrink the shuffled candidate rows; with 60-bit hashes the collision
+    * probability is negligible, and the DuckDB oracle applies the identical
+    * hash so results agree bit-for-bit even if one occurred. */
+  def hashedShingles(text: Column, k: Int): Column =
+    transform(wordShingles(text, k), s => hash60(s))
+
+  /** Jaccard similarity from precomputed intersect + set sizes. Integer
+    * inputs → the double division is bit-deterministic. */
+  def jaccardFromSizes(inter: Column, na: Column, nb: Column): Column =
+    inter.cast(DoubleType) / (na + nb - inter).cast(DoubleType)
+
+  /** Exact Jaccard similarity of two shingle-set columns, as double. */
+  def jaccard(a: Column, b: Column): Column =
+    jaccardFromSizes(size(array_intersect(a, b)), size(a), size(b))
+
+  /** 32-bit SimHash fingerprint over a token array (Charikar 2002): each
+    * token votes +1/-1 per bit position by its hash60 bit; fingerprint bit
+    * j is set iff the vote total is positive. Returns a long (low 32 bits
+    * used). Near-dup docs differ in few bits → Hamming distance via
+    * `bit_count(a ^ b)`. */
+  def simHash(toks: Column): Column = {
+    // shiftright/shiftleft helpers only accept literal bit counts; the SQL
+    // functions accept column bit counts, reached via call_function.
+    def shr(v: Column, bits: Column) = call_function("shiftright", v, bits)
+    def shl(v: Column, bits: Column) = call_function("shiftleft", v, bits)
+    val hashes = transform(toks, t => hash60(t))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), 32),
+      (acc, h) =>
+        zip_with(acc, sequence(lit(0), lit(31)),
+          (a, j) => a + when(shr(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(31)),
+        (v, j) => when(v > 0, shl(lit(1L), j)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two long fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

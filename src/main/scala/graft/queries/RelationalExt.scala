@@ -211,15 +211,18 @@ object RelationalExt {
   // --------------------------------------------------------------------
   def q29ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
     lake(s, dir).registerViews()
+    // The subquery mean uses the exact-DECIMAL policy ([[Det]]): a plain
+    // double avg() is accumulation-order-dependent and rows at the
+    // threshold boundary could differ between engines.
     s.sql(
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-         WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+         WHERE o_totalprice > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM orders)
          ORDER BY o_orderkey""")
   }
 
   private val q29Oracle =
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-       WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+       WHERE o_totalprice > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM orders)
        ORDER BY o_orderkey"""
 
   // --------------------------------------------------------------------

@@ -1,0 +1,410 @@
+package graft.queries
+
+import graft.core.Lake
+import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data text pipeline: token statistics, language ID, quality
+  * scoring, fingerprinting, exact + MinHash-LSH + SimHash deduplication,
+  * n-gram Jaccard similarity — each oracle-matched against DuckDB over the
+  * `documents` table.
+  *
+  * Hash portability: every hash is the md5-derived 60-bit integer of
+  * [[graft.functions.TextFns.hash60]], so DuckDB computes bit-identical
+  * values (`CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`).
+  *
+  * Scale design: per-doc feature extraction is narrow (scan-parallel, no
+  * shuffle). Near-dup candidate generation is LSH banding — the shuffle key
+  * is (band, bandKey), cardinality O(docs×bands) — never the O(n²) pairwise
+  * join. The exact-Jaccard op (q37) is the quadratic baseline and is
+  * length-bucket-blocked; q36 is the 100 TB path.
+  */
+object TextOps {
+
+  private def lake(s: SparkSession, dir: String) = Lake(s, dir)
+
+  /** DuckDB fragment for hash60 (keep in sync with TextFns.hash60). */
+  private def dHash(x: String) =
+    s"CAST(concat('0x', substr(md5($x),1,15)) AS BIGINT)"
+
+  // --------------------------------------------------------------------
+  // q31 — token statistics per language: token counting (whitespace
+  // tokenizer) + char/byte stats. Narrow projection then a 5-group agg.
+  // --------------------------------------------------------------------
+  def q31TokenStats(s: SparkSession, dir: String): DataFrame =
+    lake(s, dir).documents
+      .select(
+        col("lang"),
+        size(tokens(col("text"))).as("n_toks"),
+        length(col("text")).as("n_chars_m"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        Det.davgInt(col("n_toks")).as("avg_tokens"),
+        Det.davgInt(col("n_chars_m")).as("avg_chars"),
+        min(col("n_toks")).as("min_tokens"),
+        max(col("n_toks")).as("max_tokens"))
+      .orderBy(col("lang"))
+
+  private val q31Oracle =
+    """SELECT lang, count(*) AS n_docs,
+              CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+              CAST(sum(len(string_split(trim(text), ' '))) AS DOUBLE) / count(*) AS avg_tokens,
+              CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars,
+              min(len(string_split(trim(text), ' '))) AS min_tokens,
+              max(len(string_split(trim(text), ' '))) AS max_tokens
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  // --------------------------------------------------------------------
+  // q32 — language identification by marker-token scoring (the n-gram
+  // heuristic family): count marker hits per language, argmax with a fixed
+  // tiebreak order. Confusion-matrix output (metadata lang × predicted).
+  // --------------------------------------------------------------------
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "data"),
+    "de" -> Seq("window", "batch", "merge"),
+    "fr" -> Seq("sort", "stream", "filter"),
+    "es" -> Seq("join", "hash", "scan"),
+    "zh" -> Seq("spark", "query", "table"))
+
+  def q32LangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    def score(ws: Seq[String]): Column =
+      size(filter(toks, t => t.isin(ws: _*)))
+    val scored = lake(s, dir).documents
+      .select(col("doc_id") +: col("lang") +:
+        markers.map { case (l, ws) => score(ws).as(s"s_$l") }: _*)
+    // argmax with fixed precedence en > de > fr > es > zh
+    val best = markers.map(m => col(s"s_${m._1}"))
+    val predicted = markers.foldLeft(lit(null).cast(StringType)) {
+      case (acc, (l, _)) =>
+        coalesce(acc, when(col(s"s_$l") === greatest(best: _*), lit(l)))
+    }
+    scored
+      .withColumn("predicted", predicted)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  private val q32Oracle = {
+    val scores = markers.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(trim(text), ' '), t -> t IN ($inList))) AS s_$l"
+    }.mkString(",\n                ")
+    val bestExpr = markers.map(m => s"s_${m._1}").mkString(", ")
+    val caseArms = markers.map { case (l, _) =>
+      s"WHEN s_$l = greatest($bestExpr) THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+         SELECT doc_id, lang,
+                $scores
+         FROM documents)
+       SELECT lang, CASE $caseArms END AS predicted, count(*) AS n_docs
+       FROM scored GROUP BY 1, 2 ORDER BY lang, predicted"""
+  }
+
+  // --------------------------------------------------------------------
+  // q33 — document quality scoring: length, mean token length, stopword
+  // ratio → weighted score → quality bucket. All-double arithmetic in a
+  // fixed expression order → bit-deterministic.
+  // --------------------------------------------------------------------
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  def q33QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    lake(s, dir).documents
+      .select(col("doc_id"), col("text"),
+        size(toks).as("n_toks"),
+        size(filter(toks, t => t.isin(stopwords: _*))).as("n_stop"),
+        length(regexp_replace(col("text"), " ", "")).as("n_alpha"))
+      .select(
+        col("doc_id"), col("n_toks"),
+        (col("n_stop").cast(DoubleType) / col("n_toks")).as("stop_ratio"),
+        (col("n_alpha").cast(DoubleType) / col("n_toks")).as("avg_token_len"))
+      .withColumn("quality_score",
+        col("stop_ratio") * 0.4
+          + least(col("n_toks").cast(DoubleType) / 100.0, lit(1.0)) * 0.3
+          + least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3)
+      .withColumn("quality_bucket",
+        when(col("quality_score") >= 0.5, "high")
+          .when(col("quality_score") >= 0.35, "medium")
+          .otherwise("low"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q33Oracle =
+    s"""WITH f AS (
+         SELECT doc_id,
+                len(string_split(trim(text), ' ')) AS n_toks,
+                len(list_filter(string_split(trim(text), ' '),
+                    t -> t IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop,
+                length(replace(text, ' ', '')) AS n_alpha
+         FROM documents),
+       g AS (
+         SELECT doc_id, n_toks,
+                CAST(n_stop AS DOUBLE) / n_toks AS stop_ratio,
+                CAST(n_alpha AS DOUBLE) / n_toks AS avg_token_len
+         FROM f),
+       h AS (
+         SELECT *, stop_ratio * 0.4
+                   + least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) * 0.3
+                   + least(avg_token_len / 8.0, 1.0) * 0.3 AS quality_score
+         FROM g)
+       SELECT doc_id, n_toks, stop_ratio, avg_token_len, quality_score,
+              CASE WHEN quality_score >= 0.5 THEN 'high'
+                   WHEN quality_score >= 0.35 THEN 'medium'
+                   ELSE 'low' END AS quality_bucket
+       FROM h ORDER BY doc_id"""
+
+  // --------------------------------------------------------------------
+  // q34 — document fingerprinting: whole-doc md5, minimum char-8-gram
+  // hash (the 1-slot winnowing sketch), distinct-gram count. Narrow
+  // per-row expressions only.
+  // --------------------------------------------------------------------
+  def q34Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val grams = charGrams(col("text"), 8)
+    lake(s, dir).documents
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("doc_md5"),
+        array_min(transform(grams, g => hash60(g))).as("min_gram_hash"),
+        size(grams).as("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q34Oracle =
+    s"""SELECT doc_id, md5(text) AS doc_md5,
+              list_min(list_transform(
+                list_distinct(list_transform(range(length(text) - 7),
+                  i -> substr(text, i + 1, 8))),
+                g -> ${dHash("g")})) AS min_gram_hash,
+              len(list_distinct(list_transform(range(length(text) - 7),
+                  i -> substr(text, i + 1, 8)))) AS n_grams
+       FROM documents ORDER BY doc_id"""
+
+  // --------------------------------------------------------------------
+  // q35 — exact deduplication by normalized-content hash: the hash-groupBy
+  // dedup. One shuffle keyed by md5 — uniform keys, no skew at any scale.
+  // --------------------------------------------------------------------
+  def q35ExactDedup(s: SparkSession, dir: String): DataFrame =
+    lake(s, dir).documents
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("content_key"))
+      .groupBy(col("content_key"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+      .orderBy(col("canonical_id"))
+
+  private val q35Oracle =
+    """SELECT md5(lower(trim(text))) AS content_key, count(*) AS n_copies,
+              min(doc_id) AS canonical_id
+       FROM documents GROUP BY 1 ORDER BY canonical_id"""
+
+  // --------------------------------------------------------------------
+  // q36 — MinHash + LSH near-duplicate detection (the 100 TB dedup path):
+  // word-3-shingles → 12-slot MinHash → 4 bands × 3 rows → banded
+  // self-join (the ONLY shuffle, key cardinality docs×4) → exact-Jaccard
+  // verification of candidates → pairs with J ≥ 0.5. Catches every
+  // planted near-dup (J ≈ 0.98) with collision probability ≈ 1.
+  // --------------------------------------------------------------------
+  private val MH = 12 // minhash slots
+  private val BANDS = 4
+  private val ROWS = 3
+
+  def q36MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    // Shingles are hashed to longs once and the projection cached: it is
+    // consumed three times (signature + both verification joins).
+    val sh = lake(s, dir).documents
+      .select(col("doc_id"), hashedShingles(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .cache()
+    val sig = sh.select(col("doc_id"), minHash(col("hs"), MH).as("sig"))
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(array((0 until BANDS).map(b =>
+        bandKey(col("sig"), b, ROWS)): _*)).as(Seq("band", "bkey")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("hs").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("hs").as("sh2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).as("inter"),
+        size(col("sh1")).as("na"), size(col("sh2")).as("nb"))
+      .select(col("d1"), col("d2"),
+        jaccardFromSizes(col("inter"), col("na"), col("nb")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val q36Oracle = {
+    val mh = (0 until MH).map(i =>
+      s"list_min(list_transform(hs, h -> ${dHash(s"concat('$i', ':', CAST(h AS VARCHAR))")}))")
+      .mkString(",\n                  ")
+    s"""WITH sh AS (
+         SELECT doc_id,
+                list_transform(
+                  list_distinct(list_transform(
+                    range(len(string_split(trim(text), ' ')) - 2),
+                    i -> concat_ws(' ', string_split(trim(text), ' ')[i+1],
+                                   string_split(trim(text), ' ')[i+2],
+                                   string_split(trim(text), ' ')[i+3]))),
+                  s -> ${dHash("s")}) AS hs
+         FROM documents
+         WHERE len(string_split(trim(text), ' ')) >= 3),
+       sig AS (
+         SELECT doc_id, [$mh] AS sig FROM sh),
+       bands AS (
+         SELECT doc_id, b.b AS band,
+                md5(array_to_string(list_transform(
+                  list_slice(sig, b.b * $ROWS + 1, b.b * $ROWS + $ROWS),
+                  x -> CAST(x AS VARCHAR)), ',')) AS bkey
+         FROM sig CROSS JOIN (SELECT unnest(range($BANDS)) AS b) b),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       verified AS (
+         SELECT d1, d2,
+                CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+                / (len(s1.hs) + len(s2.hs)
+                   - len(list_intersect(s1.hs, s2.hs))) AS jaccard
+         FROM cand
+         JOIN sh s1 ON s1.doc_id = d1
+         JOIN sh s2 ON s2.doc_id = d2)
+       SELECT d1, d2, jaccard FROM verified
+       WHERE jaccard >= 0.5 ORDER BY d1, d2"""
+  }
+
+  // --------------------------------------------------------------------
+  // q37 — exact n-gram Jaccard similarity, length-bucket-blocked: the
+  // quadratic baseline near-dup op. Blocking key = n_chars/50 (near-dups
+  // differ by a few chars → same or adjacent bucket); the two equi-joins
+  // (bucket, bucket+1) bound the pair count to within-bucket products
+  // instead of n². q36 is the scale path; this is the reference check.
+  // --------------------------------------------------------------------
+  def q37NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = lake(s, dir).documents
+      // floor-division bucket: Spark double→int cast truncates while DuckDB
+      // CAST rounds, so the oracle uses `//` (floor) — identical on the
+      // non-negative n_chars domain.
+      .select(col("doc_id"), floor(col("n_chars") / lit(50)).cast(IntegerType).as("bucket"),
+        hashedShingles(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .cache()
+    val a = sh.select(col("doc_id").as("d1"), col("bucket").as("k1"), col("hs").as("sh1"))
+    val b = sh.select(col("doc_id").as("d2"), col("bucket").as("k2"), col("hs").as("sh2"))
+    val same = a.join(b, col("k1") === col("k2") && col("d1") < col("d2"))
+    val adj = a.join(b, col("k1") + 1 === col("k2") && col("d1") =!= col("d2"))
+      .select(
+        least(col("d1"), col("d2")).as("dd1"), greatest(col("d1"), col("d2")).as("dd2"),
+        col("sh1"), col("sh2"))
+      .select(col("dd1").as("d1"), col("dd2").as("d2"), col("sh1"), col("sh2"))
+    same.select(col("d1"), col("d2"), col("sh1"), col("sh2"))
+      .unionByName(adj)
+      .select(col("d1"), col("d2"), col("sh1"), col("sh2"),
+        size(col("sh1")).as("na"), size(col("sh2")).as("nb"))
+      // Result-preserving prune: J ≥ 0.8 forces min(na,nb)/max(na,nb) ≥ 0.8
+      // (integer form 5·min ≥ 4·max), so the expensive intersect is skipped
+      // for the ~95% of candidate pairs that fail a two-int compare. The
+      // oracle needs no equivalent — the final output is identical.
+      .filter(col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).as("inter"),
+        col("na"), col("nb"))
+      .select(col("d1"), col("d2"),
+        jaccardFromSizes(col("inter"), col("na"), col("nb")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val q37Oracle =
+    s"""WITH sh AS (
+         SELECT doc_id, CAST(n_chars // 50 AS INTEGER) AS bucket,
+                list_transform(
+                  list_distinct(list_transform(
+                    range(len(string_split(trim(text), ' ')) - 2),
+                    i -> concat_ws(' ', string_split(trim(text), ' ')[i+1],
+                                   string_split(trim(text), ' ')[i+2],
+                                   string_split(trim(text), ' ')[i+3]))),
+                  s -> ${dHash("s")}) AS hs
+         FROM documents
+         WHERE len(string_split(trim(text), ' ')) >= 3),
+       pairs AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, a.hs AS sh1, b.hs AS sh2
+         FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         UNION ALL
+         SELECT least(a.doc_id, b.doc_id) AS d1, greatest(a.doc_id, b.doc_id) AS d2,
+                a.hs AS sh1, b.hs AS sh2
+         FROM sh a JOIN sh b ON a.bucket + 1 = b.bucket AND a.doc_id <> b.doc_id)
+       SELECT d1, d2,
+              CAST(len(list_intersect(sh1, sh2)) AS DOUBLE)
+              / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))) AS jaccard
+       FROM pairs
+       WHERE CAST(len(list_intersect(sh1, sh2)) AS DOUBLE)
+             / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))) >= 0.8
+       ORDER BY d1, d2"""
+
+  // --------------------------------------------------------------------
+  // q38 — SimHash near-dup: 32-bit fingerprint per doc, Hamming-distance
+  // histogram over all pairs (d1 < d2). Planted near-dups land in the
+  // 0-2 bit bins. Fingerprints are 8 bytes/doc → the pairwise pass at
+  // scale operates on a tiny projected table; the production variant
+  // buckets by fingerprint prefix instead of the full cross join.
+  // --------------------------------------------------------------------
+  def q38SimHash(s: SparkSession, dir: String): DataFrame = {
+    val fp = lake(s, dir).documents
+      .select(col("doc_id"), simHash(tokens(col("text"))).as("fp"))
+    fp.as("a")
+      .join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(hamming(col("a.fp"), col("b.fp")).as("hamming_dist"))
+      .filter(col("hamming_dist") <= 10)
+      .groupBy(col("hamming_dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming_dist"))
+  }
+
+  private val q38Oracle =
+    s"""WITH th AS (
+         SELECT doc_id, j,
+                CASE WHEN (${dHash("t.tok")} >> j) & 1 = 1 THEN 1 ELSE -1 END AS sign
+         FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+               FROM documents) t
+         CROSS JOIN (SELECT unnest(range(32)) AS j)),
+       votes AS (
+         SELECT doc_id, j, sum(sign) AS v FROM th GROUP BY 1, 2),
+       fp AS (
+         SELECT doc_id,
+                CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS fp
+         FROM votes GROUP BY 1)
+       SELECT bit_count(xor(a.fp, b.fp)) AS hamming_dist, count(*) AS n_pairs
+       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.fp, b.fp)) <= 10
+       GROUP BY 1 ORDER BY hamming_dist"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_token_stats" -> (q31TokenStats _),
+    "q32_lang_id" -> (q32LangId _),
+    "q33_quality_score" -> (q33QualityScore _),
+    "q34_fingerprint" -> (q34Fingerprint _),
+    "q35_exact_dedup" -> (q35ExactDedup _),
+    "q36_minhash_lsh" -> (q36MinHashLsh _),
+    "q37_ngram_jaccard" -> (q37NgramJaccard _),
+    "q38_simhash" -> (q38SimHash _))
+
+  val oracle: Map[String, String] = Map(
+    "q31_token_stats" -> q31Oracle,
+    "q32_lang_id" -> q32Oracle,
+    "q33_quality_score" -> q33Oracle,
+    "q34_fingerprint" -> q34Oracle,
+    "q35_exact_dedup" -> q35Oracle,
+    "q36_minhash_lsh" -> q36Oracle,
+    "q37_ngram_jaccard" -> q37Oracle,
+    "q38_simhash" -> q38Oracle)
+}
