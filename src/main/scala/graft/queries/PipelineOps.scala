@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.core.Lake
+import graft.medallion.Medallion
+import graft.medallion.Medallion.CleaningRule
+import graft.multimodal.Media
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pipeline-level operators: multimodal decode plumbing, gap
+  * sessionization, the full bronze→silver→gold medallion round-trip, and
+  * a Structured Streaming windowed aggregation — each driver-checkable
+  * against a DuckDB oracle.
+  */
+object PipelineOps {
+
+  private def lake(s: SparkSession, dir: String) = Lake(s, dir)
+
+  /** Repo-local scratch root (never outside the repo tree). */
+  private def scratch(tag: String, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    new java.io.File(s"target/tmp/${tag}_$safe").getAbsolutePath
+  }
+
+  // --------------------------------------------------------------------
+  // q42 — multimodal metadata decode: documents → binary payload + format
+  // → typed Dataset → mapPartitions batch decode (stub codec; see
+  // graft.multimodal.Media) → flattened metadata. Narrow, scan-parallel,
+  // no shuffle. The md5-derived fake dimensions are reproduced by the
+  // oracle arithmetic exactly.
+  // --------------------------------------------------------------------
+  def q42MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    Media.decodeMeta(lake(s, dir).documents).toDF().orderBy(col("doc_id"))
+  }
+
+  private val q42Oracle =
+    """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS byte_len,
+              CAST(64 + (h % 1000) AS INTEGER) AS width,
+              CAST(64 + ((h // 1000) % 1000) AS INTEGER) AS height,
+              CASE CAST(substr(source, 4) AS INTEGER) % 3
+                   WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   ELSE 'video' END AS fmt
+       FROM (SELECT *, CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+             FROM documents)
+       ORDER BY doc_id"""
+
+  // --------------------------------------------------------------------
+  // q43 — gap-based sessionization (30-min inactivity gap), the SQL/window
+  // twin of EventStreams.sessionize: lag → new-session flag → running sum
+  // → per-session aggregate. Both windows are PARTITIONED by user_id —
+  // parallel per user at any scale. Gap compare is floor-second
+  // (unix_timestamp truncation ≡ DuckDB date_diff('second')).
+  // --------------------------------------------------------------------
+  def q43Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lake(s, dir).events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_ts"),
+        Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q43Oracle =
+    """WITH flagged AS (
+         SELECT user_id, ts, event_id, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sess AS (
+         SELECT user_id, ts, value,
+                CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM flagged)
+       SELECT user_id, session_id, count(*) AS n_events,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+              strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM sess GROUP BY user_id, session_id
+       ORDER BY user_id, session_id"""
+
+  // --------------------------------------------------------------------
+  // q44 — medallion end-to-end: orders → bronze CDC-envelope JSON lines
+  // (ingest-date partitioned) → silver (explicit-schema parse, flatten,
+  // trim, dedup, null-drop, processed_date) → gold customer summary
+  // (agg + tier bucketing), all through real file round-trips under
+  // target/tmp. Injected clock keeps every layer deterministic. The
+  // oracle computes the same summary straight from the source table —
+  // proving the lake round-trip is lossless (doubles survive JSON via
+  // shortest-round-trip representation).
+  // --------------------------------------------------------------------
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", DateType)))
+
+  def q44MedallionE2e(s: SparkSession, dir: String): DataFrame = {
+    val clock = "2026-01-15 12:00:00"
+    val root = scratch("medallion", dir)
+    val src = lake(s, dir).orders.select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+
+    val bronzePath = Medallion.writeBronze(src, "orders", clock, root)
+    val flat = Medallion.readBronze(s, bronzePath, ordersSchema)
+    val silver = Medallion.toSilver(flat,
+      CleaningRule(
+        dedupKeys = Seq("o_orderkey"),
+        requiredCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        trimCols = Seq("o_orderstatus")),
+      clock)
+    val silverPath = Medallion.writeSilver(silver, "orders", root)
+
+    val gold = s.read.parquet(silverPath)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("total_spent"),
+        Det.davg(col("o_totalprice")).as("avg_order"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_order_date"))
+      .withColumn("tier",
+        when(col("total_spent") > 1500000, "Premium")
+          .when(col("total_spent") > 700000, "Gold")
+          .when(col("total_spent") > 200000, "Silver")
+          .otherwise("Bronze"))
+    val goldPath = Medallion.writeGold(gold, "customer_summary", root)
+    s.read.parquet(goldPath).orderBy(col("o_custkey"))
+  }
+
+  private val q44Oracle =
+    """SELECT o_custkey, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order,
+              strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_date,
+              CASE WHEN CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 1500000 THEN 'Premium'
+                   WHEN CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 700000 THEN 'Gold'
+                   WHEN CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 200000 THEN 'Silver'
+                   ELSE 'Bronze' END AS tier
+       FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
+
+  // --------------------------------------------------------------------
+  // q45 — Structured Streaming event-time tumbling window: bounded
+  // file-source replay (Trigger.AvailableNow) → watermark → hourly
+  // windowed aggregate → memory sink. The oracle is the batch SQL over
+  // the same events — streaming and batch agree exactly.
+  // --------------------------------------------------------------------
+  def q45StreamingHourly(s: SparkSession, dir: String): DataFrame = {
+    val sink = "q45_hourly_" + math.abs(dir.hashCode).toString
+    EventStreams.hourlyEventCounts(s, dir, sink)
+      .orderBy(col("hour_ts"), col("event_type"))
+  }
+
+  private val q45Oracle =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+              event_type, count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_multimodal_meta" -> (q42MultimodalMeta _),
+    "q43_sessionize" -> (q43Sessionize _),
+    "q44_medallion_e2e" -> (q44MedallionE2e _),
+    "q45_streaming_hourly" -> (q45StreamingHourly _))
+
+  val oracle: Map[String, String] = Map(
+    "q42_multimodal_meta" -> q42Oracle,
+    "q43_sessionize" -> q43Oracle,
+    "q44_medallion_e2e" -> q44Oracle,
+    "q45_streaming_hourly" -> q45Oracle)
+}

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table: bounded file-source replay
+  * (Trigger.AvailableNow — the reference's "consume for 60 s then stop"
+  * loop, orchestrator.py:88-125 / SURVEY §2.10 T5), event-time tumbling
+  * windows, watermarks, and typed stateful sessionization.
+  *
+  * The reference ingests with a plain Kafka consumer loop; the idiomatic
+  * Spark equivalent swaps `spark.readStream.format("kafka")` for the file
+  * source used here — every transform downstream is identical. Kafka is
+  * not installed in this environment, so the file source doubles as the
+  * replayable test feed.
+  */
+object EventStreams {
+
+  /** Raw parquet schema of events.parquet: ts is INT64 TIMESTAMP(NANOS),
+    * surfaced as long via spark.sql.legacy.parquet.nanosAsLong. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of the events file(s): nanos → proper TimestampType. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      // the file source needs a directory; glob-filter to the events file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Event-time tumbling hourly aggregation with a watermark. Runs the
+    * bounded replay to completion (AvailableNow) into a memory sink and
+    * returns the final table. Complete output mode: count(distinct) is
+    * unsupported in streaming, so the per-window distinct-user metric
+    * lives in the batch twin (q11); here count + exact-decimal sum.
+    */
+  def hourlyEventCounts(spark: SparkSession, dir: String, sink: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      // repo-local, fresh per run: a reused checkpoint would see no new
+      // files and leave the memory table empty.
+      .option("checkpointLocation",
+        new java.io.File(
+          s"target/tmp/ckpt_${sink}_${java.util.UUID.randomUUID()}").getAbsolutePath)
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  // ------------------------------------------------------------------
+  // Typed stateful sessionization (KeyValueGroupedDataset custom state).
+  // ------------------------------------------------------------------
+
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_id: Long, n_events: Long,
+      start_ts: Timestamp, end_ts: Timestamp)
+
+  private final case class SessState(
+      start: Timestamp, last: Timestamp, n: Long, sessionIdx: Long)
+
+  /** Gap-based sessionization with flatMapGroupsWithState. In batch
+    * execution each group's full history arrives in one call (state never
+    * times out); in streaming the same function runs incrementally with
+    * ProcessingTime/EventTime timeouts. Session id = ordinal per user.
+    *
+    * Gap semantics are floor-second (`unix_timestamp` truncation) so the
+    * typed operator agrees exactly with the SQL window twin (q43) at
+    * sub-second boundaries. Timestamps are carried through unmodified
+    * (micros preserved in the Timestamp nanos field).
+    */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapSec = gapMinutes * 60L
+    def floorSec(t: Timestamp): Long = Math.floorDiv(t.getTime, 1000L)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, _) =>
+          // Bounded per-user history; sort by event time (iterator order
+          // within a batch group is unspecified).
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[Session]
+          var st: Option[SessState] = None
+          sorted.foreach { e =>
+            st match {
+              case Some(s) if floorSec(e.ts) - floorSec(s.last) <= gapSec =>
+                st = Some(s.copy(last = e.ts, n = s.n + 1))
+              case Some(s) =>
+                out += Session(uid, s.sessionIdx, s.n, s.start, s.last)
+                st = Some(SessState(e.ts, e.ts, 1, s.sessionIdx + 1))
+              case None =>
+                st = Some(SessState(e.ts, e.ts, 1, 1))
+            }
+          }
+          st.foreach(s => out += Session(uid, s.sessionIdx, s.n, s.start, s.last))
+          out.result().iterator
+      }
+  }
+}
