@@ -168,6 +168,7 @@ object TextOps {
   def q34Fingerprint(s: SparkSession, dir: String): DataFrame = {
     val grams = charGrams(col("text"), 8)
     lake(s, dir).documents
+      .repartition(32, col("doc_id"))
       .select(
         col("doc_id"),
         md5(col("text")).as("doc_md5"),
@@ -215,8 +216,11 @@ object TextOps {
 
   def q36MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     // Shingles are hashed to longs once and the projection cached: it is
-    // consumed three times (signature + both verification joins).
+    // consumed three times (signature + both verification joins). The
+    // repartition spreads the md5-heavy narrow work across cores — the
+    // source is a single small parquet file = a single input partition.
     val sh = lake(s, dir).documents
+      .repartition(32, col("doc_id"))
       .select(col("doc_id"), hashedShingles(col("text"), 3).as("hs"))
       .filter(size(col("hs")) > 0)
       .cache()
@@ -284,17 +288,20 @@ object TextOps {
 
   // --------------------------------------------------------------------
   // q37 — exact n-gram Jaccard similarity, length-bucket-blocked: the
-  // quadratic baseline near-dup op. Blocking key = n_chars/50 (near-dups
-  // differ by a few chars → same or adjacent bucket); the two equi-joins
-  // (bucket, bucket+1) bound the pair count to within-bucket products
-  // instead of n². q36 is the scale path; this is the reference check.
+  // quadratic baseline near-dup op. Blocking key = n_chars/8: candidate
+  // pairs must sit in the same or adjacent 8-char bucket, i.e. the op
+  // finds near-dups differing by < 8 chars (planted pairs differ by ~4).
+  // Narrow buckets cut the within-bucket pair product ~100× vs one wide
+  // bucket and give the equi-join enough distinct keys to parallelize.
+  // q36 is the scale path; this is the quadratic reference check.
   // --------------------------------------------------------------------
   def q37NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = lake(s, dir).documents
+      .repartition(32, col("doc_id"))
       // floor-division bucket: Spark double→int cast truncates while DuckDB
       // CAST rounds, so the oracle uses `//` (floor) — identical on the
       // non-negative n_chars domain.
-      .select(col("doc_id"), floor(col("n_chars") / lit(50)).cast(IntegerType).as("bucket"),
+      .select(col("doc_id"), floor(col("n_chars") / lit(8)).cast(IntegerType).as("bucket"),
         hashedShingles(col("text"), 3).as("hs"))
       .filter(size(col("hs")) > 0)
       .cache()
@@ -326,7 +333,7 @@ object TextOps {
 
   private val q37Oracle =
     s"""WITH sh AS (
-         SELECT doc_id, CAST(n_chars // 50 AS INTEGER) AS bucket,
+         SELECT doc_id, CAST(n_chars // 8 AS INTEGER) AS bucket,
                 list_transform(
                   list_distinct(list_transform(
                     range(len(string_split(trim(text), ' ')) - 2),
@@ -360,6 +367,7 @@ object TextOps {
   // --------------------------------------------------------------------
   def q38SimHash(s: SparkSession, dir: String): DataFrame = {
     val fp = lake(s, dir).documents
+      .repartition(32, col("doc_id"))
       .select(col("doc_id"), simHash(tokens(col("text"))).as("fp"))
     fp.as("a")
       .join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))

@@ -1,0 +1,58 @@
+package graft
+
+import graft.queries.{Relational, TextOps}
+
+/** Physical-plan shape assertions: the plans we designed for 100 TB are
+  * the plans Catalyst actually produces at any scale.
+  */
+class PlanChecksSpec extends SparkSpec {
+
+  /** Final physical plan — collect() first so AQE materializes the final
+    * plan (codegen spans and reused exchanges only appear then). */
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q09: filter predicates reach the parquet scan as PushedFilters") {
+    val p = plan(Relational.q09FilterIn(spark, sfDir))
+    assert(p.contains("PushedFilters"))
+    // plan strings truncate long filter lists — match the stable prefix
+    assert(p.contains("GreaterThan(c_acctbal"),
+      s"acctbal pushdown missing in:\n$p")
+  }
+
+  test("q03: per-part aggregate joins broadcast, not shuffle-merge") {
+    val p = plan(Relational.q03PartPerformance(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+  }
+
+  test("q19: dimension joins are broadcast") {
+    val p = plan(Relational.q19MultiJoin(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q08: ORDER BY + LIMIT plans TakeOrderedAndProject, no global sort") {
+    val p = plan(Relational.q08TopK(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+
+  test("q01: aggregation is two-phase (partial before the exchange)") {
+    val p = plan(Relational.q01AggBasic(spark, sfDir))
+    assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
+  }
+
+  test("q10: narrow projection stays in one whole-stage codegen span, no exchange") {
+    val p = plan(Relational.q10ScalarString(spark, sfDir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"narrow projection should not shuffle:\n$p")
+    // codegen spans render as "*(n)" in compact plan strings
+    assert(p.contains("*("), s"expected a whole-stage codegen span in:\n$p")
+  }
+
+  test("q31: column pruning reaches the scan (only text/lang read)") {
+    val p = plan(TextOps.q31TokenStats(spark, sfDir))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("doc_id,"), s"doc_id should be pruned from scan:\n$p")
+  }
+}

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM, one session). */
+object SparkSpec {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+trait SparkSpec extends AnyFunSuite {
+  // stable identifier so `import spark.implicits._` works in suites
+  lazy val spark: SparkSession = SparkSpec.spark
+  def sfDir: String = SparkSpec.sfDir
+}
