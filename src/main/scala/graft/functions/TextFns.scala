@@ -57,18 +57,25 @@ object TextFns {
           sequence(lit(1), length(text) - (k - 1)),
           i => text.substr(i, lit(k)))))
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum hash over the shingle set. Docs with high Jaccard overlap get
-    * signatures agreeing in ~J fraction of slots (Broder 1997). Returns an
-    * array<long> of length `numHashes`; null-safe for empty shingle sets
-    * (slot = max long so it never collides). */
-  def minHash(shingleSet: Column, numHashes: Int): Column =
+  /** MinHash signature over a HASHED shingle set (array<long> from
+    * [[hashedShingles]]): slot i = min over shingles of `h1 + i·h2`, the
+    * Broder-style derived hash family — h1 is the shingle's 60-bit hash,
+    * h2 an independent 48-bit hash of h1's decimal string. ONE extra md5
+    * per shingle buys all `numHashes` functions (vs one md5 per shingle
+    * per slot); h1 + i·h2 < 2^61 so the arithmetic never overflows a
+    * signed 64-bit int in any engine. Docs with Jaccard J agree in ~J of
+    * slots (Broder 1997). Null-safe for empty sets (slot = max long so it
+    * never collides). */
+  def minHash(hashedShingleSet: Column, numHashes: Int): Column = {
+    val h2s = transform(hashedShingleSet,
+      h => conv(substring(md5(h.cast(StringType)), 1, 12), 16, 10).cast(LongType))
     transform(
       sequence(lit(0), lit(numHashes - 1)),
       i =>
         coalesce(
-          array_min(transform(shingleSet, s => hash60Seeded(s, i))),
+          array_min(zip_with(hashedShingleSet, h2s, (h1, h2) => h1 + i * h2)),
           lit(Long.MaxValue)))
+  }
 
   /** LSH band key: hash of signature slots [band*rows, band*rows+rows).
     * Near-dup candidates = rows sharing (band index, band key) for any

@@ -248,8 +248,9 @@ object TextOps {
   }
 
   private val q36Oracle = {
+    // slot i = min(h1 + i*h2); h2s precomputed per shingle in the sh2 CTE
     val mh = (0 until MH).map(i =>
-      s"list_min(list_transform(hs, h -> ${dHash(s"concat('$i', ':', CAST(h AS VARCHAR))")}))")
+      s"list_min(list_transform(range(len(hs)), j -> hs[j+1] + $i * h2s[j+1]))")
       .mkString(",\n                  ")
     s"""WITH sh AS (
          SELECT doc_id,
@@ -262,8 +263,13 @@ object TextOps {
                   s -> ${dHash("s")}) AS hs
          FROM documents
          WHERE len(string_split(trim(text), ' ')) >= 3),
+       sh2 AS (
+         SELECT doc_id, hs,
+                list_transform(hs, h ->
+                  CAST(concat('0x', substr(md5(CAST(h AS VARCHAR)), 1, 12)) AS BIGINT)) AS h2s
+         FROM sh),
        sig AS (
-         SELECT doc_id, [$mh] AS sig FROM sh),
+         SELECT doc_id, [$mh] AS sig FROM sh2),
        bands AS (
          SELECT doc_id, b.b AS band,
                 md5(array_to_string(list_transform(
