@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.core.Lake
+import graft.engine.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,15 +11,15 @@ import org.apache.spark.sql.types._
   * embedding near-dup pairs, brute-force cosine top-k, and an IVF-style
   * cell-restricted ANN variant — all oracle-matched against DuckDB.
   *
-  * Determinism: dot products and norms are computed as a strict
-  * left-to-right double fold (`aggregate` HOF in Spark ≡ `list_reduce` in
-  * DuckDB — both sequential left folds), with each float pair cast to
-  * double before multiplying. Identical operand order + IEEE 754 →
-  * bit-identical doubles in both engines, no rounding anywhere.
+  * Determinism: dot products and norms are strict left-to-right double
+  * folds with each float cast to double before multiplying — the native
+  * [[graft.expressions.CosineSimilarity]] expression on the Spark side and
+  * `list_reduce` (a sequential left fold) on the DuckDB side evaluate the
+  * identical operation sequence, so IEEE 754 gives bit-identical doubles
+  * in both engines with no rounding anywhere.
   *
-  * Scale design: norms are computed once per vector in a narrow pre-pass
-  * (scan-parallel) and carried into the pair stage, so each pair costs one
-  * 64-slot fold. The query side of every op is a bounded set — pair cost
+  * Scale design: the fused codegen'd cosine walks each pair once. The
+  * query side of every op is a bounded set — pair cost
   * is O(|queries| × N), not O(N²). q41 is the 100 TB path: candidate
   * generation restricted to the query's coarse cell (here the `label`
   * column standing in for an IVF centroid assignment), i.e. an equi-join
@@ -28,21 +29,17 @@ object VectorOps {
 
   private def lake(s: SparkSession, dir: String) = Lake(s, dir)
 
-  /** Strict left-fold double dot product of two float-array columns. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0),
-      (acc, p) => acc + p)
+  /** Native fused cosine (graft.expressions.CosineSimilarity): one
+    * codegen'd loop per pair computing dot + both norms — replaces the
+    * three-pass zip_with/aggregate HOF chain with identical bit-level
+    * semantics (strict left fold, double math, dot / sqrt(na*nb)). */
+  private def cos(s: SparkSession, a: Column, b: Column): Column = {
+    GraftFunctions.register(s)
+    call_function("cosine_sim", a, b)
+  }
 
-  /** Embeddings with a precomputed squared norm (narrow pre-pass). */
-  private def withNorm(s: SparkSession, dir: String): DataFrame =
-    lake(s, dir).embeddings
-      .select(col("vec_id"), col("label"), col("embedding"),
-        dot(col("embedding"), col("embedding")).as("norm_sq"))
-
-  private def cosine(dotCol: Column, n1: Column, n2: Column): Column =
-    dotCol / sqrt(n1 * n2)
+  private def vectors(s: SparkSession, dir: String): DataFrame =
+    lake(s, dir).embeddings.select(col("vec_id"), col("label"), col("embedding"))
 
   /** DuckDB fragments mirroring dot/norm exactly (same fold order). */
   private val dDot =
@@ -61,13 +58,12 @@ object VectorOps {
   // through q41's cell restriction instead.
   // --------------------------------------------------------------------
   def q39EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val v = withNorm(s, dir)
+    val v = vectors(s, dir)
     val a = v.filter(col("vec_id") % 10 === 0)
-      .select(col("vec_id").as("d1"), col("embedding").as("e1"), col("norm_sq").as("n1"))
-    val b = v.select(col("vec_id").as("d2"), col("embedding").as("e2"), col("norm_sq").as("n2"))
+      .select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    val b = v.select(col("vec_id").as("d2"), col("embedding").as("e2"))
     a.join(b, col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        cosine(dot(col("e1"), col("e2")), col("n1"), col("n2")).as("cosine"))
+      .select(col("d1"), col("d2"), cos(s, col("e1"), col("e2")).as("cosine"))
       .filter(col("cosine") > 0.4)
       .orderBy(col("d1"), col("d2"))
   }
@@ -86,14 +82,13 @@ object VectorOps {
   // PARTITIONED by query id — parallel per query, never a global sort.
   // --------------------------------------------------------------------
   def q40KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
-    val v = withNorm(s, dir)
+    val v = vectors(s, dir)
     val q = v.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm_sq").as("qn"))
-    val n = v.select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("norm_sq").as("nn"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val n = v.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
     q.join(n, col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        cosine(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cosine"))
+      .select(col("q_id"), col("n_id"), cos(s, col("qe"), col("ne")).as("cosine"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .orderBy(col("q_id"), col("rnk"))
@@ -120,16 +115,16 @@ object VectorOps {
   // shuffles nothing but the (small) query set.
   // --------------------------------------------------------------------
   def q41IvfAnn(s: SparkSession, dir: String): DataFrame = {
-    val v = withNorm(s, dir)
+    val v = vectors(s, dir)
     val q = v.filter(col("vec_id") < 32)
       .select(col("vec_id").as("q_id"), col("label").as("cell"),
-        col("embedding").as("qe"), col("norm_sq").as("qn"))
+        col("embedding").as("qe"))
     val n = v.select(col("vec_id").as("n_id"), col("label").as("n_cell"),
-      col("embedding").as("ne"), col("norm_sq").as("nn"))
+      col("embedding").as("ne"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
     q.join(n, col("cell") === col("n_cell") && col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("cell"), col("n_id"),
-        cosine(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cosine"))
+        cos(s, col("qe"), col("ne")).as("cosine"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .orderBy(col("q_id"), col("rnk"))
