@@ -1,0 +1,42 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Envelope/CDC parsing is testable without a broker: the parse functions
+  * take any DataFrame with a `value` column (exactly what the Kafka source
+  * emits).
+  */
+class SourcesSpec extends SparkSpec {
+
+  private val rowSchema = StructType(Seq(
+    StructField("id", LongType), StructField("amount", DoubleType)))
+
+  test("parseEnvelope flattens the CDC envelope and keeps the operation") {
+    import spark.implicits._
+    val kafkaish = Seq(
+      """{"table":"t","operation":"INSERT","timestamp":"2026-01-01 00:00:00","data":{"id":1,"amount":12.5}}""",
+      """{"table":"t","operation":"UPDATE","timestamp":"2026-01-01 00:00:01","data":{"id":2,"amount":7.25}}""")
+      .toDF("value")
+    val out = Sources.parseEnvelope(kafkaish, rowSchema)
+      .orderBy("id").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("INSERT", "UPDATE"))
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+    assert(out.map(_.getDouble(2)).toSeq === Seq(12.5, 7.25))
+  }
+
+  test("parseDebezium applies after-images and flags deletes with before-images") {
+    import spark.implicits._
+    val events = Seq(
+      """{"payload":{"op":"c","ts_ms":1,"before":null,"after":{"id":1,"amount":5.0},"source":{"db":"d","table":"t"}}}""",
+      """{"payload":{"op":"u","ts_ms":2,"before":{"id":2,"amount":1.0},"after":{"id":2,"amount":9.0},"source":{"db":"d","table":"t"}}}""",
+      """{"payload":{"op":"d","ts_ms":3,"before":{"id":3,"amount":4.0},"after":null,"source":{"db":"d","table":"t"}}}""")
+      .toDF("value")
+    val out = Sources.parseDebezium(events, rowSchema).orderBy("id").collect()
+    assert(out.length === 3)
+    assert(out.map(r => (r.getLong(2), r.getDouble(3))).toSeq ===
+      Seq((1L, 5.0), (2L, 9.0), (3L, 4.0)))
+    assert(out.map(_.getBoolean(1)).toSeq === Seq(false, false, true))
+  }
+}
