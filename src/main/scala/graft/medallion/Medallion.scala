@@ -103,4 +103,35 @@ object Medallion {
     df.write.mode("overwrite").parquet(path)
     path
   }
+
+  /** CDC apply (T6) — the Delta-MERGE equivalent as a pure DataFrame
+    * operator (no table format in this environment): fold a batch of
+    * parsed change rows into the current snapshot.
+    *
+    * `changes` carries `_deleted: boolean` (from
+    * [[graft.sources.Sources.parseDebezium]]) plus a monotonic `seqCol`
+    * (e.g. Debezium `ts_ms`); latest change per key wins, a winning
+    * delete drops the key, untouched snapshot keys pass through.
+    *
+    * Scale shape: one shuffle of the (small) change batch for the
+    * per-key window, then a key-aligned anti-join against the snapshot —
+    * broadcastable when the batch is small, never a snapshot rewrite of
+    * more than the touched partitions when layered over partitioned
+    * storage.
+    */
+  def applyCdc(
+      snapshot: DataFrame, changes: DataFrame,
+      key: String, seqCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = changes
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+    val upserts = latest.filter(!col("_deleted"))
+      .drop("_deleted", "_op", seqCol)
+    snapshot
+      .join(latest.select(col(key)), Seq(key), "left_anti")
+      .unionByName(upserts)
+  }
 }

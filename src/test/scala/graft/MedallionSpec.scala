@@ -61,6 +61,34 @@ class MedallionSpec extends SparkSpec {
     assert(rows(0).getAs[java.sql.Date]("processed_date").toString === "2026-02-01")
   }
 
+  test("applyCdc: latest change wins, deletes drop keys, untouched rows survive") {
+    import spark.implicits._
+    val snapshot = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "amount")
+    val changes = Seq(
+      (2L, "b2", 21.0, "u", false, 100L),
+      (2L, "b3", 22.0, "u", false, 200L),   // later seq wins
+      (3L, "c", 30.0, "d", true, 150L),     // delete key 3
+      (4L, "d", 40.0, "c", false, 120L))    // insert key 4
+      .toDF("id", "name", "amount", "_op", "_deleted", "_seq")
+    val next = Medallion.applyCdc(snapshot, changes, "id", "_seq")
+      .orderBy("id").collect()
+    assert(next.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L))
+    assert(next(1).getString(1) === "b3" && next(1).getDouble(2) === 22.0)
+    assert(next(2).getString(1) === "d")
+  }
+
+  test("applyCdc is idempotent for a replayed batch (at-least-once safety)") {
+    import spark.implicits._
+    val snapshot = Seq((1L, "a", 10.0)).toDF("id", "name", "amount")
+    val changes = Seq((1L, "a2", 11.0, "u", false, 5L))
+      .toDF("id", "name", "amount", "_op", "_deleted", "_seq")
+    val once = Medallion.applyCdc(snapshot, changes, "id", "_seq")
+    val twice = Medallion.applyCdc(once, changes, "id", "_seq")
+    assert(once.orderBy("id").collect().toSeq ===
+      twice.orderBy("id").collect().toSeq)
+  }
+
   test("silver parquet write partitions by processed_date") {
     import spark.implicits._
     val silver = Medallion.toSilver(
