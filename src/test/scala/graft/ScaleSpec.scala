@@ -1,0 +1,72 @@
+package graft
+
+import graft.core.Lake
+import graft.functions.Scale
+import org.apache.spark.sql.functions._
+
+/** Skew salting, bucketed co-located joins, and sketch aggregates — the
+  * scale-path variants behind the exact operators.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("saltedJoin returns exactly the plain join's rows under a skewed key") {
+    import spark.implicits._
+    // 10k rows of one hot key + uniform tail vs a 100-row dim
+    val left = ((1 to 10000).map(_ => 1L) ++ (1L to 2000L)).toDF("k")
+    val right = (1L to 100L).map(k => (k, s"dim_$k")).toDF("rk", "v")
+    val plain = left.join(right, col("k") === col("rk"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val salted = Scale.saltedJoin(left, right, col("k"), col("rk"), salts = 8)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    assert(plain.orderBy("k").collect().toSeq ===
+      salted.orderBy("k").collect().toSeq)
+  }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val l = Lake(spark, sfDir) // warehouse dir set at session build (static conf)
+    // in-memory catalog forgets tables between JVMs but the warehouse
+    // dirs persist — clear both
+    Seq("orders_bkt", "customer_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val d = new java.io.File(s"target/tmp/warehouse/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d)
+      }
+    }
+    l.orders.write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bkt")
+    l.customer.write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bkt")
+    // force the sort-merge path (broadcast would hide the bucketing at
+    // this tiny scale; at 100 TB neither side broadcasts)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("customer_bkt")
+        .join(spark.table("orders_bkt"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // co-located: no exchange anywhere below the join (the only
+      // exchange permitted is none — bucketing satisfies the aggregate's
+      // distribution too, since it groups on the bucket key)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("approx_count_distinct (HLL) lands within 5% of exact at this scale") {
+    val li = Lake(spark, sfDir).lineitem
+    val exact = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val approx = li.agg(approx_count_distinct(col("l_orderkey"), 0.02))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}

@@ -11,6 +11,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        new java.io.File("target/tmp/warehouse").getAbsolutePath)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
