@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.core.Lake
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Third batch: medians, exact-accumulator statistics, the full ranking
+  * window family, and date/string/null scalar suites. Same determinism
+  * policy as [[Relational]] (see SURVEY §8.3).
+  */
+object RelationalMore {
+
+  private def lake(s: SparkSession, dir: String) = Lake(s, dir)
+
+  // --------------------------------------------------------------------
+  // q46 — median over an integer column. f = 0.5 interpolation on ints is
+  // exact under every formula ((a+b)/2 ≡ a+(b-a)·0.5 in IEEE for int
+  // values), so Spark median() and DuckDB quantile_cont(0.5) agree
+  // bit-for-bit. Fractional quantiles of doubles are NOT in the inventory
+  // because the interpolation expression tree differs between engines.
+  // --------------------------------------------------------------------
+  def q46Median(s: SparkSession, dir: String): DataFrame =
+    lake(s, dir).lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        median(col("l_quantity").cast(IntegerType)).as("median_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q46Oracle =
+    """SELECT l_returnflag, l_linestatus,
+              quantile_cont(CAST(l_quantity AS INTEGER), 0.5) AS median_qty,
+              count(*) AS n
+       FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""
+
+  // --------------------------------------------------------------------
+  // q47 — variance/stddev via EXACT decimal accumulators: built-in
+  // stddev is accumulation-order-dependent (Welford over doubles), so
+  // the deterministic form computes n, Σx, Σx² exactly in DECIMAL and
+  // derives var = (n·Σx² − (Σx)²)/(n·(n−1)) in double — identical
+  // operand order in both engines. This is also the scale-correct shape:
+  // three commutative partial aggregates, one shuffle.
+  // --------------------------------------------------------------------
+  def q47ExactStats(s: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice").cast(DecimalType(18, 2))
+    lake(s, dir).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sum_x"),
+        sum(x * x).cast(DoubleType).as("sum_x2"))
+      .select(
+        col("o_orderstatus"), col("n"), col("sum_x"),
+        ((col("n") * col("sum_x2") - col("sum_x") * col("sum_x"))
+          / (col("n") * (col("n") - 1))).as("var_samp"),
+        sqrt((col("n") * col("sum_x2") - col("sum_x") * col("sum_x"))
+          / (col("n") * (col("n") - 1))).as("stddev_samp"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q47Oracle =
+    """WITH acc AS (
+         SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                         * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x2
+         FROM orders GROUP BY 1)
+       SELECT o_orderstatus, n, sum_x,
+              (n * sum_x2 - sum_x * sum_x) / (n * (n - 1)) AS var_samp,
+              sqrt((n * sum_x2 - sum_x * sum_x) / (n * (n - 1))) AS stddev_samp
+       FROM acc ORDER BY o_orderstatus"""
+
+  // --------------------------------------------------------------------
+  // q48 — ranking window family: rank, dense_rank, ntile, first/last
+  // value over a per-segment window (partitioned → parallel at scale).
+  // Total ordering inside the window (acctbal DESC, custkey) removes
+  // ties' nondeterminism.
+  // --------------------------------------------------------------------
+  def q48WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lake(s, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("top_bal", first(col("c_acctbal")).over(wf))
+      .withColumn("bottom_bal", last(col("c_acctbal")).over(wf))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  private val q48Oracle =
+    """SELECT * FROM (
+         SELECT c_custkey, c_mktsegment, c_acctbal,
+                CAST(rank() OVER w AS INTEGER) AS rnk,
+                CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+                CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                first_value(c_acctbal) OVER wf AS top_bal,
+                last_value(c_acctbal) OVER wf AS bottom_bal
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+                wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       WHERE rnk <= 10 ORDER BY c_mktsegment, rnk"""
+
+  // --------------------------------------------------------------------
+  // q49 — date arithmetic suite: add days/months, last_day, quarter,
+  // day-of-year, all formatted ISO for engine-neutral output.
+  // --------------------------------------------------------------------
+  def q49DateFns(s: SparkSession, dir: String): DataFrame =
+    lake(s, dir).orders
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30d"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3mo"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofyear(col("o_orderdate")).as("doy"))
+      .orderBy(col("o_orderkey"))
+
+  private val q49Oracle =
+    """SELECT o_orderkey,
+              strftime(o_orderdate, '%Y-%m-%d') AS d,
+              strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30d,
+              strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+              strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+              CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+              CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
+       FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey"""
+
+  // --------------------------------------------------------------------
+  // q50 — extended string suite: regexp extract/replace, pad, translate,
+  // reverse, position. Narrow, zero-shuffle, codegen-friendly.
+  // --------------------------------------------------------------------
+  def q50StringFns(s: SparkSession, dir: String): DataFrame =
+    lake(s, dir).part
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        lpad(col("p_brand"), 12, "#").as("brand_pad"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("type_tr"),
+        reverse(col("p_brand")).as("brand_rev"),
+        instr(col("p_name"), "a").as("first_a"))
+      .orderBy(col("p_partkey"))
+
+  private val q50Oracle =
+    """SELECT p_partkey,
+              regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+              regexp_replace(p_name, ' ', '_', 'g') AS snake,
+              lpad(p_brand, 12, '#') AS brand_pad,
+              translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+              reverse(p_brand) AS brand_rev,
+              CAST(strpos(p_name, 'a') AS INTEGER) AS first_a
+       FROM part ORDER BY p_partkey"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_median" -> (q46Median _),
+    "q47_exact_stats" -> (q47ExactStats _),
+    "q48_window_suite" -> (q48WindowSuite _),
+    "q49_date_fns" -> (q49DateFns _),
+    "q50_string_fns" -> (q50StringFns _))
+
+  val oracle: Map[String, String] = Map(
+    "q46_median" -> q46Oracle,
+    "q47_exact_stats" -> q47Oracle,
+    "q48_window_suite" -> q48Oracle,
+    "q49_date_fns" -> q49Oracle,
+    "q50_string_fns" -> q50Oracle)
+}
