@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main: times every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Queries run in sorted
+  * name order after a warmup action, so first-query JVM/codegen warmup
+  * is not attributed to an arbitrary query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +13,22 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warm the session: codegen, shuffle machinery, parquet reader
+    spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
+      .groupBy("k").sum("v").count()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -114,9 +114,13 @@ object PipelineOps {
   def q44MedallionE2e(s: SparkSession, dir: String): DataFrame = {
     val clock = "2026-01-15 12:00:00"
     val root = scratch("medallion", dir)
+    // repartition: source is one parquet file = one input partition;
+    // spreading it parallelizes the JSON encode + write and the
+    // downstream silver parse.
     val src = lake(s, dir).orders.select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_totalprice"), col("o_orderdate"))
+      .repartition(32, col("o_orderkey"))
 
     val bronzePath = Medallion.writeBronze(src, "orders", clock, root)
     val flat = Medallion.readBronze(s, bronzePath, ordersSchema)

@@ -75,6 +75,7 @@ object TextOps {
     def score(ws: Seq[String]): Column =
       size(filter(toks, t => t.isin(ws: _*)))
     val scored = lake(s, dir).documents
+      .repartition(32, col("doc_id"))
       .select(col("doc_id") +: col("lang") +:
         markers.map { case (l, ws) => score(ws).as(s"s_$l") }: _*)
     // argmax with fixed precedence en > de > fr > es > zh
@@ -117,6 +118,7 @@ object TextOps {
   def q33QualityScore(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     lake(s, dir).documents
+      .repartition(32, col("doc_id"))
       .select(col("doc_id"), col("text"),
         size(toks).as("n_toks"),
         size(filter(toks, t => t.isin(stopwords: _*))).as("n_stop"),
