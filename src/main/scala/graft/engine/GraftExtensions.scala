@@ -16,13 +16,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * same functions after the fact.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name),
           new ExpressionInfo("graft", null, name, usage, ""),
           builder))
     }
+    // config-gated count(DISTINCT) → HLL sketch rewrite (off by default)
+    ext.injectOptimizerRule(session =>
+      org.apache.spark.sql.graft.ApproxDistinctRewrite.forSession(session))
+  }
 }
 
 object GraftFunctions {

@@ -404,6 +404,51 @@ object TextOps {
        WHERE bit_count(xor(a.fp, b.fp)) <= 10
        GROUP BY 1 ORDER BY hamming_dist"""
 
+  // --------------------------------------------------------------------
+  // q51 — TF-IDF-shaped term importance: tf per (doc, term), document
+  // frequency per term, score = tf·N/df (the rational IDF — log-free
+  // because libm log is not bit-identical across engines), top-5 terms
+  // per doc. Shape at scale: one shuffle for tf, a broadcast of the tiny
+  // term-df table and the scalar N, a doc-partitioned window.
+  // --------------------------------------------------------------------
+  def q51TermImportance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = lake(s, dir).documents
+    val toks = docs.repartition(32, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * col("n_docs")).cast(DoubleType) / col("df")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  private val q51Oracle =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+         FROM documents),
+       tf AS (
+         SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dfreq AS (
+         SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       scored AS (
+         SELECT doc_id, term, tf, df,
+                CAST(tf * n_docs AS DOUBLE) / df AS score
+         FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+       ranked AS (
+         SELECT *, CAST(row_number() OVER
+                  (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rnk
+         FROM scored)
+       SELECT doc_id, term, tf, df, score, rnk FROM ranked
+       WHERE rnk <= 5 ORDER BY doc_id, rnk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_token_stats" -> (q31TokenStats _),
     "q32_lang_id" -> (q32LangId _),
@@ -412,7 +457,8 @@ object TextOps {
     "q35_exact_dedup" -> (q35ExactDedup _),
     "q36_minhash_lsh" -> (q36MinHashLsh _),
     "q37_ngram_jaccard" -> (q37NgramJaccard _),
-    "q38_simhash" -> (q38SimHash _))
+    "q38_simhash" -> (q38SimHash _),
+    "q51_term_importance" -> (q51TermImportance _))
 
   val oracle: Map[String, String] = Map(
     "q31_token_stats" -> q31Oracle,
@@ -422,5 +468,6 @@ object TextOps {
     "q35_exact_dedup" -> q35Oracle,
     "q36_minhash_lsh" -> q36Oracle,
     "q37_ngram_jaccard" -> q37Oracle,
-    "q38_simhash" -> q38Oracle)
+    "q38_simhash" -> q38Oracle,
+    "q51_term_importance" -> q51Oracle)
 }

@@ -1,0 +1,50 @@
+package graft
+
+import graft.core.Lake
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ApproxDistinctRewrite
+
+/** The config-gated count(DISTINCT) → HLL rewrite: off by default (exact
+  * plans for the oracle gate), on-demand sketching for scale.
+  *
+  * The shared spec session is NOT built with GraftExtensions, so this
+  * suite applies the rule through a dedicated session cloned with the
+  * extension loaded.
+  */
+class ApproxDistinctSpec extends SparkSpec {
+
+  private lazy val extSession = {
+    val s = spark.newSession()
+    // newSession() shares extensions from the original builder, which did
+    // not load GraftExtensions — inject the rule directly instead
+    s.experimental.extraOptimizations ++= Seq(ApproxDistinctRewrite.forSession(s))
+    s
+  }
+
+  test("disabled: plans keep exact count(DISTINCT) (expand/two-phase)") {
+    extSession.conf.set(ApproxDistinctRewrite.ConfKey, "false")
+    val df = Lake(extSession, sfDir).lineitem
+      .groupBy(col("l_returnflag")).agg(countDistinct(col("l_suppkey")).as("n"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("count(distinct"), s"expected exact distinct in:\n$plan")
+    assert(!plan.contains("approx_count_distinct"))
+  }
+
+  test("enabled: count(DISTINCT) rewrites to the HLL sketch, within 5% of exact") {
+    extSession.conf.set(ApproxDistinctRewrite.ConfKey, "true")
+    try {
+      val df = Lake(extSession, sfDir).lineitem
+        .groupBy(col("l_returnflag")).agg(countDistinct(col("l_suppkey")).as("n"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("approx_count_distinct"), s"rewrite missing in:\n$plan")
+      val approx = df.orderBy("l_returnflag").collect().map(_.getLong(1))
+      extSession.conf.set(ApproxDistinctRewrite.ConfKey, "false")
+      val exact = Lake(extSession, sfDir).lineitem
+        .groupBy(col("l_returnflag")).agg(countDistinct(col("l_suppkey")).as("n"))
+        .orderBy("l_returnflag").collect().map(_.getLong(1))
+      approx.zip(exact).foreach { case (a, e) =>
+        assert(math.abs(a - e).toDouble / e < 0.05, s"approx=$a exact=$e")
+      }
+    } finally extSession.conf.set(ApproxDistinctRewrite.ConfKey, "false")
+  }
+}

@@ -89,6 +89,21 @@ class MedallionSpec extends SparkSpec {
       twice.orderBy("id").collect().toSeq)
   }
 
+  test("compaction shrinks a fragmented table without changing its rows") {
+    import spark.implicits._
+    import graft.medallion.Maintenance
+    val path = new java.io.File("target/tmp/spec_compact/t").getAbsolutePath
+    val src = (1L to 5000L).map(i => (i, s"row_$i")).toDF("id", "v")
+    src.repartition(40).write.mode("overwrite").parquet(path)
+    val checksumBefore = spark.read.parquet(path)
+      .agg(sum(col("id"))).head().getLong(0)
+    val (before, after) = Maintenance.compactParquet(spark, path, targetFileMB = 128)
+    assert(before >= 40 && after < before && after >= 1)
+    val compacted = spark.read.parquet(path)
+    assert(compacted.count() === 5000L)
+    assert(compacted.agg(sum(col("id"))).head().getLong(0) === checksumBefore)
+  }
+
   test("silver parquet write partitions by processed_date") {
     import spark.implicits._
     val silver = Medallion.toSilver(
