@@ -1,0 +1,53 @@
+package graft
+
+import graft.core.Lake
+import graft.functions.TextFns._
+import graft.functions.MinHashAgg
+import org.apache.spark.sql.functions._
+
+/** Mergeability: the aggregated per-group signature must equal the
+  * signature computed directly over the group's unioned shingle set —
+  * MinHash's min-of-mins property, exact, not approximate.
+  */
+class MinHashAggSpec extends SparkSpec {
+
+  test("merged per-doc signatures equal the signature of the unioned shingle set") {
+    import spark.implicits._
+    val docs = Lake(spark, sfDir).documents.limit(100)
+      .select(col("doc_id"), col("lang"), hashedShingles(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .cache()
+
+    // path A: per-doc signatures, merged per lang by the Aggregator
+    val mh = udaf(new MinHashAgg(8))
+    val merged = docs
+      .select(col("lang"), minHash(col("hs"), 8).as("sig"))
+      .groupBy(col("lang"))
+      .agg(mh(col("sig")).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+
+    // path B: signature over the union of each lang's shingle hashes
+    val direct = docs
+      .select(col("lang"), explode(col("hs")).as("h"))
+      .groupBy(col("lang"))
+      .agg(collect_set(col("h")).as("hs"))
+      .select(col("lang"), minHash(col("hs"), 8).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+
+    assert(merged.keySet === direct.keySet)
+    merged.keySet.foreach { lang =>
+      assert(merged(lang) === direct(lang), s"signature mismatch for $lang")
+    }
+  }
+
+  test("partial-merge order does not matter (associativity/commutativity)") {
+    val agg = new MinHashAgg(4)
+    val s1 = Array(5L, 9L, 2L, 7L)
+    val s2 = Array(3L, 11L, 8L, 1L)
+    val s3 = Array(6L, 4L, 10L, 12L)
+    val ab = agg.merge(agg.merge(s1.clone(), s2.clone()), s3.clone()).toSeq
+    val cb = agg.merge(agg.merge(s3.clone(), s2.clone()), s1.clone()).toSeq
+    assert(ab === cb)
+    assert(ab === Seq(3L, 4L, 2L, 1L))
+  }
+}
