@@ -160,17 +160,68 @@ object RelationalMore {
               CAST(strpos(p_name, 'a') AS INTEGER) AS first_a
        FROM part ORDER BY p_partkey"""
 
+  // --------------------------------------------------------------------
+  // q52 — as-of join (graft.operators.AsOfJoin): each purchase event
+  // matched to the user's most recent prior-or-simultaneous click.
+  // Merge-style composition (union + keyed window) — one shuffle, never
+  // the quadratic range join. The oracle mirrors the same construction
+  // (DuckDB's native ASOF JOIN picks arbitrarily among timestamp ties, so
+  // the deterministic window form is the comparison standard).
+  // --------------------------------------------------------------------
+  def q52AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val ev = lake(s, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    AsOfJoin.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+      payload = Seq("event_id", "ts"))
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        col("asof_event_id").as("prior_click_id"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("prior_click_ts"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("asof_ts"))).as("gap_s"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q52Oracle =
+    """WITH tagged AS (
+         SELECT user_id, ts AS t, 0 AS tag,
+                {'event_id': event_id, 'ts': ts} AS p,
+                CAST(NULL AS BIGINT) AS event_id
+         FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT user_id, ts AS t, 1 AS tag,
+                CAST(NULL AS STRUCT(event_id BIGINT, ts TIMESTAMP)) AS p,
+                event_id
+         FROM events WHERE event_type = 'purchase'),
+       filled AS (
+         SELECT *, last_value(p IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY t, tag, p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+         FROM tagged)
+       SELECT event_id, user_id,
+              strftime(t, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+              m.event_id AS prior_click_id,
+              strftime(m.ts, '%Y-%m-%d %H:%M:%S.%f') AS prior_click_ts,
+              date_diff('second', m.ts, t) AS gap_s
+       FROM filled WHERE tag = 1 ORDER BY event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_median" -> (q46Median _),
     "q47_exact_stats" -> (q47ExactStats _),
     "q48_window_suite" -> (q48WindowSuite _),
     "q49_date_fns" -> (q49DateFns _),
-    "q50_string_fns" -> (q50StringFns _))
+    "q50_string_fns" -> (q50StringFns _),
+    "q52_asof_join" -> (q52AsofJoin _))
 
   val oracle: Map[String, String] = Map(
     "q46_median" -> q46Oracle,
     "q47_exact_stats" -> q47Oracle,
     "q48_window_suite" -> q48Oracle,
     "q49_date_fns" -> q49Oracle,
-    "q50_string_fns" -> q50Oracle)
+    "q50_string_fns" -> q50Oracle,
+    "q52_asof_join" -> q52Oracle)
 }
