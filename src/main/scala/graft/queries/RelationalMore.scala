@@ -209,13 +209,55 @@ object RelationalMore {
               date_diff('second', m.ts, t) AS gap_s
        FROM filled WHERE tag = 1 ORDER BY event_id"""
 
+  // --------------------------------------------------------------------
+  // q53 — range (interval) join via time-bucket banding: error events
+  // joined to same-user click events within ±2 h. A naive range
+  // theta-join is a nested loop over every same-user pair; banding the
+  // time axis into bucket = ⌊t/7200⌋ and exploding the probe side into
+  // {b−1, b, b+1} turns it into ONE equi-join on (user, bucket) whose
+  // per-bucket pair count is bounded — the standard interval-join shape
+  // at scale. The residual |Δt| ≤ 7200 filter restores exact semantics,
+  // so the oracle is the plain range join.
+  // --------------------------------------------------------------------
+  def q53RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = lake(s, dir).events
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("err_ts"),
+        explode(array(
+          (unix_timestamp(col("ts")) / 7200 - 1).cast(LongType),
+          (unix_timestamp(col("ts")) / 7200).cast(LongType),
+          (unix_timestamp(col("ts")) / 7200 + 1).cast(LongType))).as("bucket"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"),
+        (unix_timestamp(col("ts")) / 7200).cast(LongType).as("c_bucket"))
+    errors
+      .join(clicks, col("user_id") === col("c_user") && col("bucket") === col("c_bucket"))
+      .withColumn("gap_s",
+        unix_timestamp(col("click_ts")) - unix_timestamp(col("err_ts")))
+      .filter(abs(col("gap_s")) <= 7200)
+      .select(col("err_id"), col("user_id"), col("click_id"), col("gap_s"))
+      .orderBy(col("err_id"), col("click_id"))
+  }
+
+  private val q53Oracle =
+    """SELECT e.event_id AS err_id, e.user_id, c.event_id AS click_id,
+              date_diff('second', e.ts, c.ts) AS gap_s
+       FROM events e JOIN events c
+         ON e.user_id = c.user_id
+        AND e.event_type = 'error' AND c.event_type = 'click'
+        AND abs(date_diff('second', e.ts, c.ts)) <= 7200
+       ORDER BY err_id, click_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_median" -> (q46Median _),
     "q47_exact_stats" -> (q47ExactStats _),
     "q48_window_suite" -> (q48WindowSuite _),
     "q49_date_fns" -> (q49DateFns _),
     "q50_string_fns" -> (q50StringFns _),
-    "q52_asof_join" -> (q52AsofJoin _))
+    "q52_asof_join" -> (q52AsofJoin _),
+    "q53_range_join" -> (q53RangeJoin _))
 
   val oracle: Map[String, String] = Map(
     "q46_median" -> q46Oracle,
@@ -223,5 +265,6 @@ object RelationalMore {
     "q48_window_suite" -> q48Oracle,
     "q49_date_fns" -> q49Oracle,
     "q50_string_fns" -> q50Oracle,
-    "q52_asof_join" -> q52Oracle)
+    "q52_asof_join" -> q52Oracle,
+    "q53_range_join" -> q53Oracle)
 }

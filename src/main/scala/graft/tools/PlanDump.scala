@@ -1,0 +1,25 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print AQE-final physical plans for selected queries. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      println(s"\n================ $name ================")
+      println(df.queryExecution.executedPlan.toString.take(4000))
+    }
+    spark.stop()
+  }
+}
