@@ -449,6 +449,91 @@ object TextOps {
        SELECT doc_id, term, tf, df, score, rnk FROM ranked
        WHERE rnk <= 5 ORDER BY doc_id, rnk"""
 
+  // --------------------------------------------------------------------
+  // q54 — deterministic hash sampling: a ~10% sample selected by
+  // hash60(pk) % 100 < 10. Unlike rand()/TABLESAMPLE this is portable,
+  // reproducible across engines/runs/partitionings, and stable under
+  // re-partitioning — the only sane way to sample training data at
+  // scale (consistent holdouts, resumable pipelines).
+  // --------------------------------------------------------------------
+  def q54HashSample(s: SparkSession, dir: String): DataFrame = {
+    val key = concat(col("l_orderkey").cast(StringType), lit(":"),
+      col("l_linenumber").cast(StringType))
+    lake(s, dir).lineitem
+      .filter(hash60(key) % 100 < 10)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q54Oracle =
+    s"""SELECT l_returnflag, count(*) AS n_sampled,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       FROM lineitem
+       WHERE ${dHash("concat(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR))")} % 100 < 10
+       GROUP BY 1 ORDER BY l_returnflag"""
+
+  // --------------------------------------------------------------------
+  // q55 — dataset profiling (the describe/data-quality report as a
+  // first-class operator): per-column null counts, distinct counts,
+  // min/max/avg — one pass over the table, partial-aggregated.
+  // --------------------------------------------------------------------
+  def q55Profile(s: SparkSession, dir: String): DataFrame =
+    lake(s, dir).customer
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("c_name").isNull, 1).otherwise(0)).as("null_name"),
+        sum(when(col("c_acctbal").isNull, 1).otherwise(0)).as("null_acctbal"),
+        countDistinct(col("c_mktsegment")).as("n_segments"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        Det.davg(col("c_acctbal")).as("avg_bal"),
+        min(length(col("c_name"))).as("min_name_len"),
+        max(length(col("c_name"))).as("max_name_len"))
+
+  private val q55Oracle =
+    """SELECT count(*) AS n_rows,
+              CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_name,
+              CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_acctbal,
+              count(DISTINCT c_mktsegment) AS n_segments,
+              count(DISTINCT c_nationkey) AS n_nations,
+              min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal,
+              CAST(min(length(c_name)) AS INTEGER) AS min_name_len,
+              CAST(max(length(c_name)) AS INTEGER) AS max_name_len
+       FROM customer"""
+
+  // --------------------------------------------------------------------
+  // q56 — multimodal frame sampling: "video" documents expand to one row
+  // per sampled frame index (every 30th frame of a deterministic fake
+  // frame count — the real pipeline swaps the count for the decoded
+  // container's, the explode shape is identical). Row explosion is
+  // bounded by frames/stride per doc.
+  // --------------------------------------------------------------------
+  def q56FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val h = hash60(col("text"))
+    val nFrames = (h % 900 + 100).cast(IntegerType) // fake decode: 100..999
+    lake(s, dir).documents
+      .filter((substring(col("source"), 4, 10).cast(IntegerType) % 3) === 2) // "video"
+      .select(col("doc_id"), nFrames.as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(30))).as("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val q56Oracle =
+    s"""WITH vids AS (
+         SELECT doc_id,
+                CAST(${dHash("text")} % 900 + 100 AS INTEGER) AS n_frames
+         FROM documents
+         WHERE CAST(substr(source, 4) AS INTEGER) % 3 = 2)
+       SELECT doc_id, n_frames,
+              CAST(unnest(range(0, n_frames, 30)) AS INTEGER) AS frame_idx
+       FROM vids ORDER BY doc_id, frame_idx"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_token_stats" -> (q31TokenStats _),
     "q32_lang_id" -> (q32LangId _),
@@ -458,7 +543,10 @@ object TextOps {
     "q36_minhash_lsh" -> (q36MinHashLsh _),
     "q37_ngram_jaccard" -> (q37NgramJaccard _),
     "q38_simhash" -> (q38SimHash _),
-    "q51_term_importance" -> (q51TermImportance _))
+    "q51_term_importance" -> (q51TermImportance _),
+    "q54_hash_sample" -> (q54HashSample _),
+    "q55_profile" -> (q55Profile _),
+    "q56_frame_sample" -> (q56FrameSample _))
 
   val oracle: Map[String, String] = Map(
     "q31_token_stats" -> q31Oracle,
@@ -469,5 +557,8 @@ object TextOps {
     "q36_minhash_lsh" -> q36Oracle,
     "q37_ngram_jaccard" -> q37Oracle,
     "q38_simhash" -> q38Oracle,
-    "q51_term_importance" -> q51Oracle)
+    "q51_term_importance" -> q51Oracle,
+    "q54_hash_sample" -> q54Oracle,
+    "q55_profile" -> q55Oracle,
+    "q56_frame_sample" -> q56Oracle)
 }
