@@ -1,0 +1,121 @@
+package graft.api
+
+import graft.core.Lake
+import graft.engine.GraftFunctions
+import graft.functions.TextFns
+import graft.medallion.Medallion
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The public library facade: the engine's operator surface as plain
+  * DataFrame-in / DataFrame-out methods, so a pipeline author composes
+  * them without knowing the internal packages. Every method delegates to
+  * the same building blocks the oracle-verified query inventory runs
+  * (`TextFns`, `Medallion`, `AsOfJoin`, the native `cosine_sim`), so the
+  * correctness gate covers this surface transitively (plus GraftApiSpec's
+  * direct equivalences).
+  */
+object Graft {
+
+  /** Attach graft's native functions to a running session. */
+  def init(spark: SparkSession): SparkSession = {
+    GraftFunctions.register(spark)
+    spark
+  }
+
+  /** Open a table directory as a lake catalog with temp views. */
+  def openLake(spark: SparkSession, dir: String): Lake = {
+    init(spark)
+    val l = Lake(spark, dir)
+    l.registerViews()
+    l
+  }
+
+  // ---------------- deduplication ----------------
+
+  /** Exact dedup by normalized content: keep the smallest `idCol` per
+    * distinct `textCol` (after trim+lowercase). */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(lower(trim(col(textCol))))).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** MinHash-LSH near-duplicate PAIRS (doc ids with Jaccard ≥ threshold).
+    * The LSH banding keeps candidate generation linear; see
+    * TextOps.q36MinHashLsh for the full plan shape. */
+  def nearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = bands match { case b => minHashes / b }
+    val sh = df
+      .select(col(idCol).as("d_id"),
+        TextFns.hashedShingles(col(textCol), shingleSize).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .cache()
+    val sig = sh.select(col("d_id"), TextFns.minHash(col("hs"), minHashes).as("sig"))
+    val bandRows = sig.select(col("d_id"),
+      posexplode(array((0 until bands).map(b =>
+        TextFns.bandKey(col("sig"), b, rows)): _*)).as(Seq("band", "bkey")))
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.d_id") < col("b.d_id"))
+      .select(col("a.d_id").as("d1"), col("b.d_id").as("d2"))
+      .distinct()
+    cand
+      .join(sh.select(col("d_id").as("d1"), col("hs").as("h1")), "d1")
+      .join(sh.select(col("d_id").as("d2"), col("hs").as("h2")), "d2")
+      .select(col("d1"), col("d2"), TextFns.jaccard(col("h1"), col("h2")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---------------- similarity search ----------------
+
+  /** Exact cosine top-k neighbors for each row of `queries` against
+    * `corpus` (both need `idCol` + a float-array `vecCol`). */
+  def knn(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    init(spark)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val n = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    q.join(n, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        call_function("cosine_sim", col("qv"), col("nv")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  // ---------------- text analysis ----------------
+
+  /** Per-row token count, char count, stopword ratio. */
+  def textStats(df: DataFrame, textCol: String,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    df.withColumn("n_tokens", size(toks))
+      .withColumn("n_chars", length(col(textCol)))
+      .withColumn("stopword_ratio",
+        size(filter(toks, t => t.isin(stopwords: _*))).cast(DoubleType)
+          / size(toks))
+  }
+
+  /** Deterministic p-percent sample keyed on a stable expression. */
+  def hashSample(df: DataFrame, keyCol: Column, percent: Int): DataFrame =
+    df.filter(TextFns.hash60(keyCol.cast(StringType)) % 100 < percent)
+
+  // ---------------- temporal ----------------
+
+  /** Point-in-time enrichment; see [[graft.operators.AsOfJoin]]. */
+  def asof(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame =
+    AsOfJoin.asofJoin(left, right, key, leftTime, rightTime, payload)
+
+  // ---------------- medallion ----------------
+
+  /** Bronze→silver→gold helpers re-exported. */
+  val medallion: Medallion.type = Medallion
+}

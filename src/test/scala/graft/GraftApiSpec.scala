@@ -1,0 +1,54 @@
+package graft
+
+import graft.api.Graft
+import graft.core.Lake
+import org.apache.spark.sql.functions._
+
+/** The public facade must agree with the oracle-verified query inventory. */
+class GraftApiSpec extends SparkSpec {
+
+  test("nearDupPairs equals q36's verified pairs") {
+    val docs = Lake(spark, sfDir).documents
+    val api = Graft.nearDupPairs(docs, "doc_id", "text")
+      .orderBy("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val q36 = graft.queries.TextOps.q36MinHashLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(api.toSeq === q36.toSeq)
+  }
+
+  test("knn equals q40's neighbors for the same query set") {
+    val emb = Lake(spark, sfDir).embeddings
+    val api = Graft.knn(spark,
+      emb.filter(col("vec_id") < 16), emb, "vec_id", "embedding", k = 5)
+      .orderBy("q_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val q40 = graft.queries.VectorOps.q40KnnBruteForce(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(api.toSeq === q40.toSeq)
+  }
+
+  test("dedupExact keeps one row per normalized text, smallest id") {
+    import spark.implicits._
+    val df = Seq((3L, "A b"), (1L, " a B "), (2L, "c")).toDF("id", "text")
+    val out = Graft.dedupExact(df, "id", "text").orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
+  test("hashSample is deterministic and partition-invariant") {
+    val li = Lake(spark, sfDir).lineitem
+    val key = concat(col("l_orderkey").cast("string"), lit(":"),
+      col("l_linenumber").cast("string"))
+    val a = Graft.hashSample(li, key, 10).count()
+    val b = Graft.hashSample(li.repartition(17), key, 10).count()
+    assert(a === b && a > 0)
+  }
+
+  test("openLake registers queryable views with native functions available") {
+    Graft.openLake(spark, sfDir)
+    val n = spark.sql(
+      "SELECT count(*) FROM embeddings WHERE cosine_sim(embedding, embedding) > 0.99")
+      .head().getLong(0)
+    assert(n === 500L)
+  }
+}

@@ -50,6 +50,13 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.contains("*("), s"expected a whole-stage codegen span in:\n$p")
   }
 
+  test("q40: rank-limit window plans partial+final WindowGroupLimit (per-partition heap prune)") {
+    val p = plan(graft.queries.VectorOps.q40KnnBruteForce(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), s"expected group-limit pruning in:\n$p")
+    assert(p.contains("Partial") && p.contains("Final"),
+      s"expected two-phase group limit in:\n$p")
+  }
+
   test("q31: column pruning reaches the scan (only text/lang read)") {
     val p = plan(TextOps.q31TokenStats(spark, sfDir))
     assert(p.contains("ReadSchema"))
