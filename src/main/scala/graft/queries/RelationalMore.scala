@@ -250,6 +250,67 @@ object RelationalMore {
         AND abs(date_diff('second', e.ts, c.ts)) <= 7200
        ORDER BY err_id, click_id"""
 
+  // --------------------------------------------------------------------
+  // q57 — CUBE grouping sets (all 2^n slices; q27 covers ROLLUP). NULL
+  // slots labelled 'ALL' in both engines.
+  // --------------------------------------------------------------------
+  def q57Cube(s: SparkSession, dir: String): DataFrame =
+    lake(s, dir).orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("o_totalprice")).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("revenue"))
+      .orderBy(col("status"), col("priority"))
+
+  private val q57Oracle =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              count(*) AS cnt,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       ORDER BY status, priority"""
+
+  // --------------------------------------------------------------------
+  // q58 — array function suite: per-group ordered collect, contains/
+  // position/max over the array, stringified outputs (array-valued
+  // columns render differently in the two engines' pandas bridges, so
+  // the comparison surface is scalar).
+  // --------------------------------------------------------------------
+  def q58ArrayFns(s: SparkSession, dir: String): DataFrame = {
+    val l = lake(s, dir)
+    l.nation
+      .join(l.supplier, col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(array_sort(collect_list(col("s_suppkey"))).as("supp_keys"))
+      .select(
+        col("n_name"),
+        size(col("supp_keys")).as("n_suppliers"),
+        concat_ws(",", transform(col("supp_keys"), _.cast(StringType))).as("keys_csv"),
+        array_contains(col("supp_keys"), 1L).as("has_supp1"),
+        array_position(col("supp_keys"), element_at(col("supp_keys"), -1)).as("last_pos"),
+        array_max(col("supp_keys")).as("max_key"),
+        array_min(col("supp_keys")).as("min_key"),
+        element_at(col("supp_keys"), 1).as("first_key"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q58Oracle =
+    """WITH g AS (
+         SELECT n_name, list_sort(list(s_suppkey)) AS supp_keys
+         FROM nation JOIN supplier ON n_nationkey = s_nationkey
+         GROUP BY n_name)
+       SELECT n_name,
+              CAST(len(supp_keys) AS INTEGER) AS n_suppliers,
+              array_to_string(supp_keys, ',') AS keys_csv,
+              list_contains(supp_keys, 1) AS has_supp1,
+              CAST(list_position(supp_keys, supp_keys[-1]) AS BIGINT) AS last_pos,
+              list_max(supp_keys) AS max_key,
+              list_min(supp_keys) AS min_key,
+              supp_keys[1] AS first_key
+       FROM g ORDER BY n_name"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_median" -> (q46Median _),
     "q47_exact_stats" -> (q47ExactStats _),
@@ -257,7 +318,9 @@ object RelationalMore {
     "q49_date_fns" -> (q49DateFns _),
     "q50_string_fns" -> (q50StringFns _),
     "q52_asof_join" -> (q52AsofJoin _),
-    "q53_range_join" -> (q53RangeJoin _))
+    "q53_range_join" -> (q53RangeJoin _),
+    "q57_cube" -> (q57Cube _),
+    "q58_array_fns" -> (q58ArrayFns _))
 
   val oracle: Map[String, String] = Map(
     "q46_median" -> q46Oracle,
@@ -266,5 +329,7 @@ object RelationalMore {
     "q49_date_fns" -> q49Oracle,
     "q50_string_fns" -> q50Oracle,
     "q52_asof_join" -> q52Oracle,
-    "q53_range_join" -> q53Oracle)
+    "q53_range_join" -> q53Oracle,
+    "q57_cube" -> q57Oracle,
+    "q58_array_fns" -> q58Oracle)
 }

@@ -61,6 +61,54 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("static partition pruning: a partition-column filter prunes the scan") {
+    import spark.implicits._
+    val path = new java.io.File("target/tmp/spec_pruning/orders_part").getAbsolutePath
+    val l = Lake(spark, sfDir)
+    l.orders.withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    val df = spark.read.parquet(path).filter(col("o_year") === 1995)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"),
+      s"expected partition filter in:\n$plan")
+    // pruned scan must read fewer files than the full table has partitions
+    val years = spark.read.parquet(path).select("o_year").distinct().count()
+    assert(years > 1)
+  }
+
+  test("dynamic partition pruning: a dim-side filter prunes the fact scan at runtime") {
+    import spark.implicits._
+    val path = new java.io.File("target/tmp/spec_pruning/orders_part").getAbsolutePath
+    // dim must be a file source: a LocalRelation filter constant-folds
+    // away and leaves no selective predicate for the DPP rule to see
+    val dimPath = new java.io.File("target/tmp/spec_pruning/dim_year").getAbsolutePath
+    (1994 to 2001).map(y => (y, if (y == 1995) "keep" else "drop"))
+      .toDF("d_year", "d_tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val fact = spark.read.parquet(path)
+    val joined = fact.join(dim,
+      col("o_year") === col("d_year") && col("d_tag") === "keep")
+      .groupBy(col("o_year")).agg(count(lit(1)).as("n"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic pruning subquery in:\n$plan")
+  }
+
+  test("schema evolution: mergeSchema unions parquet batches with added columns") {
+    import spark.implicits._
+    val path = new java.io.File("target/tmp/spec_evolve/t").getAbsolutePath
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(path)
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(path)
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(df.columns.toSet === Set("id", "v", "score"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old batch null-filled
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) === 9.5)
+  }
+
   test("approx_count_distinct (HLL) lands within 5% of exact at this scale") {
     val li = Lake(spark, sfDir).lineitem
     val exact = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
