@@ -177,15 +177,59 @@ object PipelineOps {
               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type"""
 
+  // --------------------------------------------------------------------
+  // q59 — NATIVE session windows (session_window, the built-in gap-merge
+  // operator; also valid in Structured Streaming with a watermark).
+  // Semantics differ from q43's lag construction at the exact boundary:
+  // session_window merges while gap < 30 min STRICTLY (splits at ≥, full
+  // microsecond precision); the oracle mirrors that rule. Session end =
+  // last event + gap by definition.
+  // --------------------------------------------------------------------
+  def q59SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Lake(s, dir).events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.dsum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val q59Oracle =
+    """WITH flagged AS (
+         SELECT user_id, ts, event_id, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sess AS (
+         SELECT user_id, ts, value,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM flagged)
+       SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+              strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+              count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM sess GROUP BY user_id, sid
+       ORDER BY user_id, session_start"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_sessionize" -> (q43Sessionize _),
     "q44_medallion_e2e" -> (q44MedallionE2e _),
-    "q45_streaming_hourly" -> (q45StreamingHourly _))
+    "q45_streaming_hourly" -> (q45StreamingHourly _),
+    "q59_session_window" -> (q59SessionWindow _))
 
   val oracle: Map[String, String] = Map(
     "q42_multimodal_meta" -> q42Oracle,
     "q43_sessionize" -> q43Oracle,
     "q44_medallion_e2e" -> q44Oracle,
-    "q45_streaming_hourly" -> q45Oracle)
+    "q45_streaming_hourly" -> q45Oracle,
+    "q59_session_window" -> q59Oracle)
 }
