@@ -311,6 +311,84 @@ object RelationalMore {
               supp_keys[1] AS first_key
        FROM g ORDER BY n_name"""
 
+  // --------------------------------------------------------------------
+  // q60 — EXCEPT (set difference; completes the set-op family with q16
+  // UNION ALL and q28 INTERSECT): nations with customers but no suppliers.
+  // --------------------------------------------------------------------
+  def q60Except(s: SparkSession, dir: String): DataFrame = {
+    val l = lake(s, dir)
+    // supplier side restricted to the first 20 keys so the difference is
+    // non-trivial at every scale factor
+    l.customer.select(col("c_nationkey").as("nationkey"))
+      .except(l.supplier.filter(col("s_suppkey") <= 20)
+        .select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q60Oracle =
+    """SELECT c_nationkey AS nationkey FROM customer
+       EXCEPT SELECT s_nationkey FROM supplier WHERE s_suppkey <= 20
+       ORDER BY nationkey"""
+
+  // --------------------------------------------------------------------
+  // q61 — CORRELATED scalar subquery (J5, the actor_info pattern;
+  // Catalyst decorrelates it into a left outer aggregate join — verify
+  // with explain that no per-row re-execution survives).
+  // --------------------------------------------------------------------
+  def q61CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    lake(s, dir).registerViews()
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+                (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders
+                 WHERE o_custkey = c_custkey) AS max_order
+         FROM customer
+         WHERE c_custkey <= 500
+         ORDER BY c_custkey""")
+  }
+
+  private val q61Oracle =
+    """SELECT c_custkey, c_mktsegment,
+              (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders
+               WHERE o_custkey = c_custkey) AS max_order
+       FROM customer
+       WHERE c_custkey <= 500
+       ORDER BY c_custkey"""
+
+  // --------------------------------------------------------------------
+  // q62 — null-handling scalar family: coalesce/nullif/nvl2-equivalent/
+  // greatest-least with null propagation, over the left join's null side.
+  // --------------------------------------------------------------------
+  def q62NullFns(s: SparkSession, dir: String): DataFrame = {
+    val l = lake(s, dir)
+    val perCust = l.orders.groupBy(col("o_custkey"))
+      .agg(Det.dsum(col("o_totalprice")).as("spent"))
+    l.customer
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        coalesce(col("spent"), lit(0.0)).as("spent_or_zero"),
+        nullif(col("c_acctbal"), lit(0.0)).as("bal_nullif_zero"),
+        when(col("spent").isNull, "never").otherwise("buyer").as("status"),
+        greatest(col("spent"), col("c_acctbal")).as("max_metric"),
+        least(coalesce(col("spent"), lit(0.0)), col("c_acctbal")).as("min_metric"),
+        isnull(col("spent")).as("no_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q62Oracle =
+    """WITH per_cust AS (
+         SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+         FROM orders GROUP BY 1)
+       SELECT c_custkey,
+              coalesce(spent, 0.0) AS spent_or_zero,
+              nullif(c_acctbal, 0.0) AS bal_nullif_zero,
+              CASE WHEN spent IS NULL THEN 'never' ELSE 'buyer' END AS status,
+              greatest(spent, c_acctbal) AS max_metric,
+              least(coalesce(spent, 0.0), c_acctbal) AS min_metric,
+              spent IS NULL AS no_orders
+       FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+       ORDER BY c_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_median" -> (q46Median _),
     "q47_exact_stats" -> (q47ExactStats _),
@@ -320,7 +398,10 @@ object RelationalMore {
     "q52_asof_join" -> (q52AsofJoin _),
     "q53_range_join" -> (q53RangeJoin _),
     "q57_cube" -> (q57Cube _),
-    "q58_array_fns" -> (q58ArrayFns _))
+    "q58_array_fns" -> (q58ArrayFns _),
+    "q60_except" -> (q60Except _),
+    "q61_correlated_subquery" -> (q61CorrelatedSubquery _),
+    "q62_null_fns" -> (q62NullFns _))
 
   val oracle: Map[String, String] = Map(
     "q46_median" -> q46Oracle,
@@ -331,5 +412,8 @@ object RelationalMore {
     "q52_asof_join" -> q52Oracle,
     "q53_range_join" -> q53Oracle,
     "q57_cube" -> q57Oracle,
-    "q58_array_fns" -> q58Oracle)
+    "q58_array_fns" -> q58Oracle,
+    "q60_except" -> q60Oracle,
+    "q61_correlated_subquery" -> q61Oracle,
+    "q62_null_fns" -> q62Oracle)
 }
