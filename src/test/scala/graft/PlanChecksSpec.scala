@@ -57,6 +57,15 @@ class PlanChecksSpec extends SparkSpec {
       s"expected two-phase group limit in:\n$p")
   }
 
+  test("q61: correlated scalar subquery is decorrelated into an aggregate join") {
+    val p = plan(graft.queries.RelationalMore.q61CorrelatedSubquery(spark, sfDir))
+    // no surviving per-row subquery: Catalyst rewrites to agg + outer join
+    assert(!p.contains("ScalarSubquery"), s"subquery survived decorrelation:\n$p")
+    assert(p.contains("HashAggregate") &&
+      (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")),
+      s"expected aggregate + join decorrelation in:\n$p")
+  }
+
   test("q31: column pruning reaches the scan (only text/lang read)") {
     val p = plan(TextOps.q31TokenStats(spark, sfDir))
     assert(p.contains("ReadSchema"))
