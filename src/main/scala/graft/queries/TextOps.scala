@@ -534,6 +534,115 @@ object TextOps {
               CAST(unnest(range(0, n_frames, 30)) AS INTEGER) AS frame_idx
        FROM vids ORDER BY doc_id, frame_idx"""
 
+  // --------------------------------------------------------------------
+  // q63 — the full training-data prep pipeline, composed from the
+  // verified operators: quality filter (q33 scoring) → exact dedup keep-
+  // min-id (q35) → near-dup removal via MinHash-LSH pairs (q36: drop
+  // every d2) → deterministic 50% hash sample (q54) → per-language
+  // corpus stats. One narrow scoring pass, one md5-key shuffle, the LSH
+  // banding shuffle, a broadcast anti-join, and a 5-group aggregate —
+  // the whole pipeline is 3 shuffles regardless of corpus size.
+  // Aggregates restricted to order-independent forms (counts/sums of
+  // ints, min/max of doubles).
+  // --------------------------------------------------------------------
+  def q63PrepPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val scored = lake(s, dir).documents
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(toks).as("n_toks"),
+        size(filter(toks, t => t.isin(stopwords: _*))).as("n_stop"),
+        length(regexp_replace(col("text"), " ", "")).as("n_alpha"))
+      .withColumn("quality_score",
+        (col("n_stop").cast(DoubleType) / col("n_toks")) * 0.4
+          + least(col("n_toks").cast(DoubleType) / 100.0, lit(1.0)) * 0.3
+          + least((col("n_alpha").cast(DoubleType) / col("n_toks")) / 8.0, lit(1.0)) * 0.3)
+      .filter(col("quality_score") >= 0.35)
+    val wDup = Window.partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))
+    val exactCanon = scored
+      .withColumn("_rn", row_number().over(wDup)).filter(col("_rn") === 1).drop("_rn")
+    val nearDupIds = q36MinHashLsh(s, dir).select(col("d2").as("doc_id")).distinct()
+    val kept = exactCanon.join(broadcast(nearDupIds), Seq("doc_id"), "left_anti")
+    kept
+      .filter(hash60(col("doc_id").cast(StringType)) % 100 < 50)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast(LongType).as("total_tokens"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+      .orderBy(col("lang"))
+  }
+
+  private val q63Oracle = {
+    // near-dup CTE chain = q36's oracle verbatim (same derived family)
+    val mh = (0 until MH).map(i =>
+      s"list_min(list_transform(range(len(hs)), j -> hs[j+1] + $i * h2s[j+1]))")
+      .mkString(",\n                  ")
+    s"""WITH f AS (
+         SELECT doc_id, lang, text,
+                len(string_split(trim(text), ' ')) AS n_toks,
+                len(list_filter(string_split(trim(text), ' '),
+                    t -> t IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop,
+                length(replace(text, ' ', '')) AS n_alpha
+         FROM documents),
+       scored AS (
+         SELECT *, (CAST(n_stop AS DOUBLE) / n_toks) * 0.4
+                   + least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) * 0.3
+                   + least((CAST(n_alpha AS DOUBLE) / n_toks) / 8.0, 1.0) * 0.3
+                   AS quality_score
+         FROM f),
+       qualified AS (SELECT * FROM scored WHERE quality_score >= 0.35),
+       canon AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER
+             (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+           FROM qualified) WHERE rn = 1),
+       sh AS (
+         SELECT doc_id,
+                list_transform(
+                  list_distinct(list_transform(
+                    range(len(string_split(trim(text), ' ')) - 2),
+                    i -> concat_ws(' ', string_split(trim(text), ' ')[i+1],
+                                   string_split(trim(text), ' ')[i+2],
+                                   string_split(trim(text), ' ')[i+3]))),
+                  s -> ${dHash("s")}) AS hs
+         FROM documents
+         WHERE len(string_split(trim(text), ' ')) >= 3),
+       sh2 AS (
+         SELECT doc_id, hs,
+                list_transform(hs, h ->
+                  CAST(concat('0x', substr(md5(CAST(h AS VARCHAR)), 1, 12)) AS BIGINT)) AS h2s
+         FROM sh),
+       sig AS (SELECT doc_id, [$mh] AS sig FROM sh2),
+       bands AS (
+         SELECT doc_id, b.b AS band,
+                md5(array_to_string(list_transform(
+                  list_slice(sig, b.b * $ROWS + 1, b.b * $ROWS + $ROWS),
+                  x -> CAST(x AS VARCHAR)), ',')) AS bkey
+         FROM sig CROSS JOIN (SELECT unnest(range($BANDS)) AS b) b),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       removed AS (
+         SELECT DISTINCT d2 AS doc_id FROM cand
+         JOIN sh s1 ON s1.doc_id = d1
+         JOIN sh s2 ON s2.doc_id = d2
+         WHERE CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE)
+               / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs))) >= 0.5),
+       kept AS (
+         SELECT * FROM canon
+         WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+           AND ${dHash("CAST(doc_id AS VARCHAR)")} % 100 < 50)
+       SELECT lang, count(*) AS n_docs,
+              CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+              min(quality_score) AS min_quality,
+              max(quality_score) AS max_quality
+       FROM kept GROUP BY lang ORDER BY lang"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_token_stats" -> (q31TokenStats _),
     "q32_lang_id" -> (q32LangId _),
@@ -546,7 +655,8 @@ object TextOps {
     "q51_term_importance" -> (q51TermImportance _),
     "q54_hash_sample" -> (q54HashSample _),
     "q55_profile" -> (q55Profile _),
-    "q56_frame_sample" -> (q56FrameSample _))
+    "q56_frame_sample" -> (q56FrameSample _),
+    "q63_prep_pipeline" -> (q63PrepPipeline _))
 
   val oracle: Map[String, String] = Map(
     "q31_token_stats" -> q31Oracle,
@@ -560,5 +670,6 @@ object TextOps {
     "q51_term_importance" -> q51Oracle,
     "q54_hash_sample" -> q54Oracle,
     "q55_profile" -> q55Oracle,
-    "q56_frame_sample" -> q56Oracle)
+    "q56_frame_sample" -> q56Oracle,
+    "q63_prep_pipeline" -> q63Oracle)
 }
