@@ -219,17 +219,54 @@ object PipelineOps {
        FROM sess GROUP BY user_id, sid
        ORDER BY user_id, session_start"""
 
+  // --------------------------------------------------------------------
+  // q64 — stream-static join: the streaming event feed enriched against
+  // a static dimension (customer) before aggregating — the standard
+  // lookup-enrichment shape (static side broadcast per micro-batch, no
+  // stream-side state). Bounded replay + memory sink as in q45; oracle is
+  // the batch equivalent.
+  // --------------------------------------------------------------------
+  def q64StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val sink = "q64_enriched_" + math.abs(dir.hashCode).toString
+    val dim = Lake(s, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = EventStreams.readEvents(s, dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.dsum(col("value")).as("sum_value"))
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        new java.io.File(
+          s"target/tmp/ckpt_${sink}_${java.util.UUID.randomUUID()}").getAbsolutePath)
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
+  private val q64Oracle =
+    """SELECT c_mktsegment, event_type, count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_sessionize" -> (q43Sessionize _),
     "q44_medallion_e2e" -> (q44MedallionE2e _),
     "q45_streaming_hourly" -> (q45StreamingHourly _),
-    "q59_session_window" -> (q59SessionWindow _))
+    "q59_session_window" -> (q59SessionWindow _),
+    "q64_stream_static_join" -> (q64StreamStaticJoin _))
 
   val oracle: Map[String, String] = Map(
     "q42_multimodal_meta" -> q42Oracle,
     "q43_sessionize" -> q43Oracle,
     "q44_medallion_e2e" -> q44Oracle,
     "q45_streaming_hourly" -> q45Oracle,
-    "q59_session_window" -> q59Oracle)
+    "q59_session_window" -> q59Oracle,
+    "q64_stream_static_join" -> q64Oracle)
 }

@@ -389,6 +389,55 @@ object RelationalMore {
        FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
        ORDER BY c_custkey"""
 
+  // --------------------------------------------------------------------
+  // q65 — argmax aggregates: max_by/min_by (Spark) ≡ arg_max/arg_min
+  // (DuckDB) — "the row attribute at the extreme" without a window.
+  // Ties: orders have a unique max/min price per status at this data's
+  // precision (verified by the oracle hash itself).
+  // --------------------------------------------------------------------
+  def q65ArgMax(s: SparkSession, dir: String): DataFrame =
+    lake(s, dir).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("biggest_order"),
+        max(col("o_totalprice")).as("max_price"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("smallest_order"),
+        min(col("o_totalprice")).as("min_price"))
+      .orderBy(col("o_orderstatus"))
+
+  private val q65Oracle =
+    """SELECT o_orderstatus,
+              arg_max(o_orderkey, o_totalprice) AS biggest_order,
+              max(o_totalprice) AS max_price,
+              arg_min(o_orderkey, o_totalprice) AS smallest_order,
+              min(o_totalprice) AS min_price
+       FROM orders GROUP BY 1 ORDER BY o_orderstatus"""
+
+  // --------------------------------------------------------------------
+  // q66 — FILTER-clause conditional aggregation (the SQL-standard form of
+  // q26's when()-guarded sums) via the spark.sql surface.
+  // --------------------------------------------------------------------
+  def q66FilterClause(s: SparkSession, dir: String): DataFrame = {
+    lake(s, dir).registerViews()
+    s.sql(
+      """SELECT l_returnflag,
+                count(*) AS n_all,
+                count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_price,
+                count(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04) AS taxed_suppliers
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  private val q66Oracle =
+    """SELECT l_returnflag,
+              count(*) AS n_all,
+              count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                   FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_price,
+              count(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04) AS taxed_suppliers
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_median" -> (q46Median _),
     "q47_exact_stats" -> (q47ExactStats _),
@@ -401,7 +450,9 @@ object RelationalMore {
     "q58_array_fns" -> (q58ArrayFns _),
     "q60_except" -> (q60Except _),
     "q61_correlated_subquery" -> (q61CorrelatedSubquery _),
-    "q62_null_fns" -> (q62NullFns _))
+    "q62_null_fns" -> (q62NullFns _),
+    "q65_argmax" -> (q65ArgMax _),
+    "q66_filter_clause" -> (q66FilterClause _))
 
   val oracle: Map[String, String] = Map(
     "q46_median" -> q46Oracle,
@@ -415,5 +466,7 @@ object RelationalMore {
     "q58_array_fns" -> q58Oracle,
     "q60_except" -> q60Oracle,
     "q61_correlated_subquery" -> q61Oracle,
-    "q62_null_fns" -> q62Oracle)
+    "q62_null_fns" -> q62Oracle,
+    "q65_argmax" -> q65Oracle,
+    "q66_filter_clause" -> q66Oracle)
 }
