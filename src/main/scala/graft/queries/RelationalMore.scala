@@ -438,6 +438,60 @@ object RelationalMore {
               count(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04) AS taxed_suppliers
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // --------------------------------------------------------------------
+  // q67 — relative-rank windows: percent_rank ((rank−1)/(n−1)) and
+  // cume_dist (rows≤current / n) are int-ratio doubles → deterministic
+  // across engines. Partitioned per segment, bounded output via rank.
+  // --------------------------------------------------------------------
+  def q67WindowPct(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    lake(s, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  private val q67Oracle =
+    """SELECT * FROM (
+         SELECT c_custkey, c_mktsegment, c_acctbal,
+                CAST(rank() OVER w AS INTEGER) AS rnk,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+       WHERE rnk <= 5 ORDER BY c_mktsegment, rnk"""
+
+  // --------------------------------------------------------------------
+  // q68 — grouping flags on ROLLUP: grouping() distinguishes real NULL
+  // group keys from rollup subtotal slots — the correct way to label
+  // grouping-set output (q27/q57 use coalesce labels instead).
+  // --------------------------------------------------------------------
+  def q68GroupingId(s: SparkSession, dir: String): DataFrame =
+    lake(s, dir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast(IntegerType).as("g_rf"),
+        grouping(col("l_linestatus")).cast(IntegerType).as("g_ls"),
+        count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("-")).as("rf"),
+        coalesce(col("l_linestatus"), lit("-")).as("ls"),
+        col("g_rf"), col("g_ls"), col("cnt"))
+      .orderBy(col("g_rf"), col("g_ls"), col("rf"), col("ls"))
+
+  private val q68Oracle =
+    """SELECT coalesce(l_returnflag, '-') AS rf,
+              coalesce(l_linestatus, '-') AS ls,
+              CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+              CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+              count(*) AS cnt
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       ORDER BY g_rf, g_ls, rf, ls"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_median" -> (q46Median _),
     "q47_exact_stats" -> (q47ExactStats _),
@@ -452,7 +506,9 @@ object RelationalMore {
     "q61_correlated_subquery" -> (q61CorrelatedSubquery _),
     "q62_null_fns" -> (q62NullFns _),
     "q65_argmax" -> (q65ArgMax _),
-    "q66_filter_clause" -> (q66FilterClause _))
+    "q66_filter_clause" -> (q66FilterClause _),
+    "q67_window_pct" -> (q67WindowPct _),
+    "q68_grouping_id" -> (q68GroupingId _))
 
   val oracle: Map[String, String] = Map(
     "q46_median" -> q46Oracle,
@@ -468,5 +524,7 @@ object RelationalMore {
     "q61_correlated_subquery" -> q61Oracle,
     "q62_null_fns" -> q62Oracle,
     "q65_argmax" -> q65Oracle,
-    "q66_filter_clause" -> q66Oracle)
+    "q66_filter_clause" -> q66Oracle,
+    "q67_window_pct" -> q67Oracle,
+    "q68_grouping_id" -> q68Oracle)
 }
