@@ -21,7 +21,11 @@ object Bench {
     // warm the session: codegen, shuffle machinery, parquet reader
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").sum("v").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter: comma-separated name prefixes; unset = all
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

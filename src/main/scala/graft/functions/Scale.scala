@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-out join utilities: skew salting and co-located bucketed joins.
@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   * the join key join with zero exchanges (see BucketedJoinSpec).
   */
 object Scale {
+
+  /** Width for explicit repartitions: `spark.graft.parallelism` when set,
+    * else the cluster's default parallelism. Query bodies must never
+    * hardcode a width — a literal tuned for local[32] CAPS parallelism on
+    * a real cluster; this derives it from wherever the session runs. */
+  def par(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.parallelism").map(_.toInt)
+      .getOrElse(s.sparkContext.defaultParallelism)
 
   /** Skew-salted inner equi-join, result-identical to
     * `left.join(right, leftKey === rightKey)`.

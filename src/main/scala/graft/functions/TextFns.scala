@@ -110,20 +110,28 @@ object TextFns {
     * j is set iff the vote total is positive. Returns a long (low 32 bits
     * used). Near-dup docs differ in few bits → Hamming distance via
     * `bit_count(a ^ b)`. */
-  def simHash(toks: Column): Column = {
+  def simHash(toks: Column): Column = simHashW(toks, 32)
+
+  /** SimHash fingerprint over the low `bits` bits (≤ 60: every bit must
+    * come from the portable [[hash60]] so DuckDB reproduces it). Wider
+    * fingerprints separate random docs further (expected distance bits/2),
+    * which is what makes a TIGHT Hamming threshold + selective banding
+    * possible — the 100 TB configuration is 60 bits / threshold ≤ 3. */
+  def simHashW(toks: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 60, s"simhash width must be in [1,60], got $bits")
     // shiftright/shiftleft helpers only accept literal bit counts; the SQL
     // functions accept column bit counts, reached via call_function.
-    def shr(v: Column, bits: Column) = call_function("shiftright", v, bits)
-    def shl(v: Column, bits: Column) = call_function("shiftleft", v, bits)
+    def shr(v: Column, bc: Column) = call_function("shiftright", v, bc)
+    def shl(v: Column, bc: Column) = call_function("shiftleft", v, bc)
     val hashes = transform(toks, t => hash60(t))
     val votes = aggregate(
       hashes,
-      array_repeat(lit(0), 32),
+      array_repeat(lit(0), bits),
       (acc, h) =>
-        zip_with(acc, sequence(lit(0), lit(31)),
+        zip_with(acc, sequence(lit(0), lit(bits - 1)),
           (a, j) => a + when(shr(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)))
     aggregate(
-      zip_with(votes, sequence(lit(0), lit(31)),
+      zip_with(votes, sequence(lit(0), lit(bits - 1)),
         (v, j) => when(v > 0, shl(lit(1L), j)).otherwise(lit(0L))),
       lit(0L),
       (acc, x) => acc + x)

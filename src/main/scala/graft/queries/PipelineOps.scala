@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.core.Lake
+import graft.functions.Scale
 import graft.medallion.Medallion
 import graft.medallion.Medallion.CleaningRule
 import graft.multimodal.Media
@@ -120,7 +121,7 @@ object PipelineOps {
     val src = lake(s, dir).orders.select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_totalprice"), col("o_orderdate"))
-      .repartition(32, col("o_orderkey"))
+      .repartition(Scale.par(s), col("o_orderkey"))
 
     val bronzePath = Medallion.writeBronze(src, "orders", clock, root)
     val flat = Medallion.readBronze(s, bronzePath, ordersSchema)

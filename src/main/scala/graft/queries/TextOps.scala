@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.core.Lake
+import graft.functions.Scale
 import graft.functions.TextFns._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -75,7 +76,7 @@ object TextOps {
     def score(ws: Seq[String]): Column =
       size(filter(toks, t => t.isin(ws: _*)))
     val scored = lake(s, dir).documents
-      .repartition(32, col("doc_id"))
+      .repartition(Scale.par(s), col("doc_id"))
       .select(col("doc_id") +: col("lang") +:
         markers.map { case (l, ws) => score(ws).as(s"s_$l") }: _*)
     // argmax with fixed precedence en > de > fr > es > zh
@@ -118,7 +119,7 @@ object TextOps {
   def q33QualityScore(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     lake(s, dir).documents
-      .repartition(32, col("doc_id"))
+      .repartition(Scale.par(s), col("doc_id"))
       .select(col("doc_id"), col("text"),
         size(toks).as("n_toks"),
         size(filter(toks, t => t.isin(stopwords: _*))).as("n_stop"),
@@ -170,7 +171,7 @@ object TextOps {
   def q34Fingerprint(s: SparkSession, dir: String): DataFrame = {
     val grams = charGrams(col("text"), 8)
     lake(s, dir).documents
-      .repartition(32, col("doc_id"))
+      .repartition(Scale.par(s), col("doc_id"))
       .select(
         col("doc_id"),
         md5(col("text")).as("doc_md5"),
@@ -222,7 +223,7 @@ object TextOps {
     // repartition spreads the md5-heavy narrow work across cores — the
     // source is a single small parquet file = a single input partition.
     val sh = lake(s, dir).documents
-      .repartition(32, col("doc_id"))
+      .repartition(Scale.par(s), col("doc_id"))
       .select(col("doc_id"), hashedShingles(col("text"), 3).as("hs"))
       .filter(size(col("hs")) > 0)
       .cache()
@@ -305,7 +306,7 @@ object TextOps {
   // --------------------------------------------------------------------
   def q37NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = lake(s, dir).documents
-      .repartition(32, col("doc_id"))
+      .repartition(Scale.par(s), col("doc_id"))
       // floor-division bucket: Spark double→int cast truncates while DuckDB
       // CAST rounds, so the oracle uses `//` (floor) — identical on the
       // non-negative n_chars domain.
@@ -313,26 +314,34 @@ object TextOps {
         hashedShingles(col("text"), 3).as("hs"))
       .filter(size(col("hs")) > 0)
       .cache()
-    val a = sh.select(col("doc_id").as("d1"), col("bucket").as("k1"), col("hs").as("sh1"))
-    val b = sh.select(col("doc_id").as("d2"), col("bucket").as("k2"), col("hs").as("sh2"))
+    // Candidate generation shuffles ONLY (doc_id, bucket, |hs|): the long
+    // shingle arrays stay out of the self-join entirely and are fetched by
+    // id AFTER the size-ratio prune has discarded ~95% of candidate pairs
+    // (the q36 verify pattern). Shuffled bytes drop by the prune ratio ×
+    // the array width — at sf0.1 this was 1/3 of the whole bench.
+    val keys = sh.select(col("doc_id"), col("bucket"), size(col("hs")).as("n"))
+    val a = keys.select(col("doc_id").as("d1"), col("bucket").as("k1"), col("n").as("na"))
+    val b = keys.select(col("doc_id").as("d2"), col("bucket").as("k2"), col("n").as("nb"))
     val same = a.join(b, col("k1") === col("k2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("na"), col("nb"))
     val adj = a.join(b, col("k1") + 1 === col("k2") && col("d1") =!= col("d2"))
-      .select(
-        least(col("d1"), col("d2")).as("dd1"), greatest(col("d1"), col("d2")).as("dd2"),
-        col("sh1"), col("sh2"))
-      .select(col("dd1").as("d1"), col("dd2").as("d2"), col("sh1"), col("sh2"))
-    same.select(col("d1"), col("d2"), col("sh1"), col("sh2"))
-      .unionByName(adj)
-      .select(col("d1"), col("d2"), col("sh1"), col("sh2"),
-        size(col("sh1")).as("na"), size(col("sh2")).as("nb"))
+      // the size-ratio prune is symmetric in (na, nb), so the sizes need
+      // not swap when least/greatest reorders the pair
+      .select(least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2"), col("na"), col("nb"))
+    val cand = same.unionByName(adj)
       // Result-preserving prune: J ≥ 0.8 forces min(na,nb)/max(na,nb) ≥ 0.8
       // (integer form 5·min ≥ 4·max), so the expensive intersect is skipped
       // for the ~95% of candidate pairs that fail a two-int compare. The
       // oracle needs no equivalent — the final output is identical.
       .filter(col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
+      .select(col("d1"), col("d2"))
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("hs").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("hs").as("sh2")), "d2")
       .select(col("d1"), col("d2"),
         size(array_intersect(col("sh1"), col("sh2"))).as("inter"),
-        col("na"), col("nb"))
+        size(col("sh1")).as("na"), size(col("sh2")).as("nb"))
       .select(col("d1"), col("d2"),
         jaccardFromSizes(col("inter"), col("na"), col("nb")).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
@@ -368,17 +377,41 @@ object TextOps {
 
   // --------------------------------------------------------------------
   // q38 — SimHash near-dup: 32-bit fingerprint per doc, Hamming-distance
-  // histogram over all pairs (d1 < d2). Planted near-dups land in the
-  // 0-2 bit bins. Fingerprints are 8 bytes/doc → the pairwise pass at
-  // scale operates on a tiny projected table; the production variant
-  // buckets by fingerprint prefix instead of the full cross join.
+  // histogram over pairs with distance ≤ 10. Pair generation is a banded
+  // equi-join, NEVER a cross join: 11 pigeonhole bands (10 × 3 bits + the
+  // top 2 bits) guarantee any pair within Hamming ≤ 10 agrees exactly on
+  // ≥ 1 band, and counting each surviving pair only at its FIRST matching
+  // band (an inline bit test — no distinct shuffle) makes the banded join
+  // output-identical to the all-pairs formulation. A threshold this loose
+  // on a 32-bit sketch admits near-quadratic candidates in the worst case
+  // — q38b (wider fingerprint, tight threshold, selective bands) is the
+  // 100 TB configuration; this op is the reference histogram.
   // --------------------------------------------------------------------
+  private val SH_BANDS = 11 // pigeonhole: threshold 10 needs ≥ 11 bands
+
+  /** Band j of a 32-bit fingerprint: bits [3j, 3j+3), top band 2 bits. */
+  private def shBand(fp: Column, j: Int): Column =
+    shiftright(fp, 3 * j).bitwiseAND(lit(if (j == SH_BANDS - 1) 3L else 7L))
+
   def q38SimHash(s: SparkSession, dir: String): DataFrame = {
     val fp = lake(s, dir).documents
-      .repartition(32, col("doc_id"))
+      .repartition(Scale.par(s), col("doc_id"))
       .select(col("doc_id"), simHash(tokens(col("text"))).as("fp"))
-    fp.as("a")
-      .join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .cache() // 12 bytes/doc; saves recomputing the fingerprint per side
+    val banded = fp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until SH_BANDS).map(j => shBand(col("fp"), j)): _*))
+        .as(Seq("band", "bval")))
+    // A close pair matches on several bands; keep it only where band ==
+    // its first matching band so each pair is counted exactly once.
+    val firstMatch = (0 until SH_BANDS).foldLeft(lit(null).cast(IntegerType)) {
+      (acc, j) => coalesce(acc,
+        when(shBand(col("a.fp"), j) === shBand(col("b.fp"), j), lit(j)))
+    }
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.band") === firstMatch)
       .select(hamming(col("a.fp"), col("b.fp")).as("hamming_dist"))
       .filter(col("hamming_dist") <= 10)
       .groupBy(col("hamming_dist"))
@@ -405,6 +438,63 @@ object TextOps {
        GROUP BY 1 ORDER BY hamming_dist"""
 
   // --------------------------------------------------------------------
+  // q38b — SimHash at the 100 TB configuration: 60-bit fingerprint,
+  // Hamming ≤ 3, 4 pigeonhole bands × 15 bits. A 15-bit band key has 32k
+  // values, so the banded self-join prunes candidates ~(32k/4)× vs
+  // all-pairs while the pigeonhole bound (4 bands > 3 differing bits)
+  // keeps recall exact. Emits the near-dup pairs themselves (bounded
+  // output), not a histogram — this is the operator a dedup pipeline
+  // consumes.
+  // --------------------------------------------------------------------
+  private val SHB_BANDS = 4
+  private val SHB_BITS = 15
+
+  private def shbBand(fp: Column, j: Int): Column =
+    shiftright(fp, SHB_BITS * j).bitwiseAND(lit((1L << SHB_BITS) - 1))
+
+  def q38bSimHashScale(s: SparkSession, dir: String): DataFrame = {
+    val fp = lake(s, dir).documents
+      .repartition(Scale.par(s), col("doc_id"))
+      .select(col("doc_id"), simHashW(tokens(col("text")), 60).as("fp"))
+      .cache()
+    val banded = fp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until SHB_BANDS).map(j => shbBand(col("fp"), j)): _*))
+        .as(Seq("band", "bval")))
+    val firstMatch = (0 until SHB_BANDS).foldLeft(lit(null).cast(IntegerType)) {
+      (acc, j) => coalesce(acc,
+        when(shbBand(col("a.fp"), j) === shbBand(col("b.fp"), j), lit(j)))
+    }
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.band") === firstMatch)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        hamming(col("a.fp"), col("b.fp")).as("hamming_dist"))
+      .filter(col("hamming_dist") <= 3)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val q38bOracle =
+    s"""WITH th AS (
+         SELECT doc_id, j,
+                CASE WHEN (${dHash("t.tok")} >> j) & 1 = 1 THEN 1 ELSE -1 END AS sign
+         FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+               FROM documents) t
+         CROSS JOIN (SELECT unnest(range(60)) AS j)),
+       votes AS (
+         SELECT doc_id, j, sum(sign) AS v FROM th GROUP BY 1, 2),
+       fp AS (
+         SELECT doc_id,
+                CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS fp
+         FROM votes GROUP BY 1)
+       SELECT a.doc_id AS d1, b.doc_id AS d2,
+              bit_count(xor(a.fp, b.fp)) AS hamming_dist
+       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.fp, b.fp)) <= 3
+       ORDER BY d1, d2"""
+
+  // --------------------------------------------------------------------
   // q51 — TF-IDF-shaped term importance: tf per (doc, term), document
   // frequency per term, score = tf·N/df (the rational IDF — log-free
   // because libm log is not bit-identical across engines), top-5 terms
@@ -414,7 +504,7 @@ object TextOps {
   def q51TermImportance(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = lake(s, dir).documents
-    val toks = docs.repartition(32, col("doc_id"))
+    val toks = docs.repartition(Scale.par(s), col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -549,7 +639,7 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val toks = tokens(col("text"))
     val scored = lake(s, dir).documents
-      .repartition(32, col("doc_id"))
+      .repartition(Scale.par(s), col("doc_id"))
       .select(col("doc_id"), col("lang"), col("text"),
         size(toks).as("n_toks"),
         size(filter(toks, t => t.isin(stopwords: _*))).as("n_stop"),
@@ -652,6 +742,7 @@ object TextOps {
     "q36_minhash_lsh" -> (q36MinHashLsh _),
     "q37_ngram_jaccard" -> (q37NgramJaccard _),
     "q38_simhash" -> (q38SimHash _),
+    "q38b_simhash_scale" -> (q38bSimHashScale _),
     "q51_term_importance" -> (q51TermImportance _),
     "q54_hash_sample" -> (q54HashSample _),
     "q55_profile" -> (q55Profile _),
@@ -667,6 +758,7 @@ object TextOps {
     "q36_minhash_lsh" -> q36Oracle,
     "q37_ngram_jaccard" -> q37Oracle,
     "q38_simhash" -> q38Oracle,
+    "q38b_simhash_scale" -> q38bOracle,
     "q51_term_importance" -> q51Oracle,
     "q54_hash_sample" -> q54Oracle,
     "q55_profile" -> q55Oracle,

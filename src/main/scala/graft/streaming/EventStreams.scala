@@ -82,13 +82,40 @@ object EventStreams {
   final case class Session(user_id: Long, session_id: Long, n_events: Long,
       start_ts: Timestamp, end_ts: Timestamp)
 
-  private final case class SessState(
+  // private[streaming], not private: the streaming state encoder's
+  // generated Java must be able to call the field accessors
+  private[streaming] final case class SessState(
       start: Timestamp, last: Timestamp, n: Long, sessionIdx: Long)
 
-  /** Gap-based sessionization with flatMapGroupsWithState. In batch
-    * execution each group's full history arrives in one call (state never
-    * times out); in streaming the same function runs incrementally with
-    * ProcessingTime/EventTime timeouts. Session id = ordinal per user.
+  /** Advance one user's open-session state by one event, appending any
+    * session it closes to `out`. Shared by the batch and streaming
+    * sessionizers so their gap semantics cannot drift. A state with n == 0
+    * is a CURSOR left behind by a streaming timeout — it carries only the
+    * last session ordinal, so per-user session ids keep counting up across
+    * timed-out sessions. */
+  private def advance(
+      uid: Long, st: Option[SessState], e: Ev, gapSec: Long,
+      out: scala.collection.mutable.Builder[Session, Seq[Session]]): Option[SessState] = {
+    def floorSec(t: Timestamp): Long = Math.floorDiv(t.getTime, 1000L)
+    st match {
+      case Some(s) if s.n == 0 =>
+        Some(SessState(e.ts, e.ts, 1, s.sessionIdx + 1))
+      case Some(s) if floorSec(e.ts) - floorSec(s.last) <= gapSec =>
+        Some(s.copy(last = e.ts, n = s.n + 1))
+      case Some(s) =>
+        out += Session(uid, s.sessionIdx, s.n, s.start, s.last)
+        Some(SessState(e.ts, e.ts, 1, s.sessionIdx + 1))
+      case None =>
+        Some(SessState(e.ts, e.ts, 1, 1))
+    }
+  }
+
+  /** Gap-based sessionization with flatMapGroupsWithState — BATCH
+    * execution: each group's full history arrives in one call, so the
+    * trailing open session is flushed at the end and GroupState is never
+    * consulted (state cannot carry across calls in batch). For incremental
+    * streaming semantics use [[sessionizeStream]], which shares the same
+    * per-event transition.
     *
     * Gap semantics are floor-second (`unix_timestamp` truncation) so the
     * typed operator agrees exactly with the SQL window twin (q43) at
@@ -98,7 +125,6 @@ object EventStreams {
   def sessionize(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapSec = gapMinutes * 60L
-    def floorSec(t: Timestamp): Long = Math.floorDiv(t.getTime, 1000L)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, Session](
@@ -109,18 +135,52 @@ object EventStreams {
           val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           val out = Seq.newBuilder[Session]
           var st: Option[SessState] = None
-          sorted.foreach { e =>
-            st match {
-              case Some(s) if floorSec(e.ts) - floorSec(s.last) <= gapSec =>
-                st = Some(s.copy(last = e.ts, n = s.n + 1))
-              case Some(s) =>
-                out += Session(uid, s.sessionIdx, s.n, s.start, s.last)
-                st = Some(SessState(e.ts, e.ts, 1, s.sessionIdx + 1))
-              case None =>
-                st = Some(SessState(e.ts, e.ts, 1, 1))
-            }
-          }
+          sorted.foreach(e => st = advance(uid, st, e, gapSec, out))
           st.foreach(s => out += Session(uid, s.sessionIdx, s.n, s.start, s.last))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming gap sessionization with REAL cross-batch state: the open
+    * session lives in GroupState between micro-batches, extends when the
+    * next batch's events fall within the gap, and is emitted by an
+    * event-time timeout once the watermark passes `last + gap` (i.e. no
+    * in-gap event can still arrive). After a timeout the state collapses
+    * to a zero-count cursor so the per-user session ordinal keeps
+    * counting up. The input must carry enough watermark delay for the gap
+    * — this applies `withWatermark(ts, gap)` itself.
+    *
+    * Same floor-second gap transition as the batch [[sessionize]]
+    * (shared `advance`), so a bounded replay through this operator yields
+    * exactly the batch sessions, just emitted incrementally.
+    */
+  def sessionizeStream(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapSec = gapMinutes * 60L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, _, state) if state.hasTimedOut =>
+          val s = state.get
+          // emit the expired open session; keep the ordinal cursor
+          state.update(s.copy(n = 0))
+          Iterator.single(Session(uid, s.sessionIdx, s.n, s.start, s.last))
+        case (uid, evs, state) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[Session]
+          var st: Option[SessState] = state.getOption
+          sorted.foreach(e => st = advance(uid, st, e, gapSec, out))
+          st.foreach { s =>
+            state.update(s)
+            if (s.n > 0)
+              // fire once no in-gap successor can arrive; a timeout must
+              // sit strictly past the current watermark
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs + 1,
+                s.last.getTime + gapSec * 1000L + 1000L))
+          }
           out.result().iterator
       }
   }

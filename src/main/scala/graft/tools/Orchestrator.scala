@@ -62,24 +62,28 @@ object Orchestrator {
     println(s"graft pipeline run  source=$sfDir  lake=$root")
     var bronzePath = ""
     var silverPath = ""
-    val results = Seq(
-      stage("extract_to_bronze") {
+    // Stages are thunks so a failure SHORT-CIRCUITS the rest (the
+    // reference orchestrator's fail-fast): running bronze_to_silver after
+    // extract_to_bronze failed would only bury the root cause under
+    // misleading empty-path errors.
+    val stages: Seq[(String, () => Long)] = Seq(
+      "extract_to_bronze" -> (() => {
         val src = spark.read.parquet(s"$sfDir/orders.parquet")
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             col("o_totalprice"), col("o_orderdate"))
-          .repartition(16, col("o_orderkey"))
+          .repartition(graft.functions.Scale.par(spark), col("o_orderkey"))
         bronzePath = Medallion.writeBronze(src, "orders", clock, root)
         spark.read.text(bronzePath).count()
-      },
-      stage("bronze_to_silver") {
+      }),
+      "bronze_to_silver" -> (() => {
         val flat = Medallion.readBronze(spark, bronzePath, ordersSchema)
         val silver = Medallion.toSilver(flat,
           CleaningRule(Seq("o_orderkey"), Seq("o_orderkey", "o_custkey", "o_totalprice"),
             trimCols = Seq("o_orderstatus")), clock)
         silverPath = Medallion.writeSilver(silver, "orders", root)
         spark.read.parquet(silverPath).count()
-      },
-      stage("silver_to_gold") {
+      }),
+      "silver_to_gold" -> (() => {
         val gold = spark.read.parquet(silverPath)
           .groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("n_orders"),
@@ -87,11 +91,11 @@ object Orchestrator {
               .cast(DoubleType).as("total_spent"))
         val goldPath = Medallion.writeGold(gold, "customer_summary", root)
         spark.read.parquet(goldPath).count()
-      },
-      stage("streaming_hourly") {
+      }),
+      "streaming_hourly" -> (() => {
         PipelineOps.q45StreamingHourly(spark, sfDir).count()
-      },
-      stage("quality_check") {
+      }),
+      "quality_check" -> (() => {
         // real check, unlike the reference's always-true stub
         // (sakila_pipeline_dag.py:68-74): silver row count must equal
         // source distinct keys, gold totals must reconcile with source
@@ -100,9 +104,16 @@ object Orchestrator {
         val silverN = spark.read.parquet(silverPath).count()
         require(srcN == silverN, s"silver $silverN != source distinct $srcN")
         silverN
-      })
+      }))
 
+    val results = stages.foldLeft(Vector.empty[StageResult]) {
+      case (acc, (name, body)) =>
+        if (acc.exists(!_.ok)) acc // fail-fast: skip everything downstream
+        else acc :+ stage(name)(body())
+    }
     val ok = results.forall(_.ok)
+    val skipped = stages.size - results.size
+    if (skipped > 0) println(s"  … $skipped downstream stage(s) skipped")
     println(f"pipeline ${if (ok) "SUCCESS" else "FAILED"}  total ${results.map(_.seconds).sum}%.1f s")
     spark.stop()
     if (!ok) sys.exit(1)

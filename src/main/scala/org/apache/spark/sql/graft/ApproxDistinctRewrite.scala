@@ -29,13 +29,17 @@ case class ApproxDistinctRewrite(enabled: () => Boolean) extends Rule[LogicalPla
       case agg @ Aggregate(_, _, _, _) =>
         agg.transformExpressions {
           case ae @ AggregateExpression(
-                Count(children), Complete, /* isDistinct = */ true, _, _)
+                Count(children), Complete, /* isDistinct = */ true, filter, _)
               if children.nonEmpty && children.forall(_.isInstanceOf[AttributeReference]) =>
             // multi-arg count(distinct a, b) approximated on a single
-            // child only when unary — leave n-ary exact
+            // child only when unary — leave n-ary exact. The FILTER
+            // clause (count(DISTINCT x) FILTER (WHERE p)) must ride
+            // along or the rewrite silently drops the predicate.
             if (children.size == 1)
-              AggregateExpression(
-                HyperLogLogPlusPlus(children.head), Complete, isDistinct = false)
+              ae.copy(
+                aggregateFunction = HyperLogLogPlusPlus(children.head),
+                isDistinct = false,
+                filter = filter)
             else ae
         }
     }

@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * a strict left-to-right double fold starting at 0.0, each float pair
   * cast to double before multiplying, final value `dot / sqrt(na·nb)` —
   * the exact expression the DuckDB oracles compute.
+  *
+  * Edge cases: mismatched lengths fold over the SHORTER vector (a DuckDB
+  * oracle must iterate `range(least(len(a), len(b)))` to agree — the
+  * repo's oracles use equal-length embeddings so the point is moot
+  * there); an empty or zero-norm input yields NULL, not NaN — 0/0 NaN
+  * semantics differ across engines and NaN breaks top-k ordering.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -29,6 +35,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def dataType: DataType = DoubleType
+
+  // null inputs AND zero-norm/empty vectors produce null
+  override def nullable: Boolean = true
 
   override def prettyName: String = "cosine_sim"
 
@@ -44,7 +53,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / math.sqrt(na * nb)
+    if (na * nb == 0.0) null else dot / math.sqrt(na * nb)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -64,7 +73,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  final double $y = (double) $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |if ($na * $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |}
        """.stripMargin
     })
 

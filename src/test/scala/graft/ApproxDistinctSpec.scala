@@ -30,6 +30,36 @@ class ApproxDistinctSpec extends SparkSpec {
     assert(!plan.contains("approx_count_distinct"))
   }
 
+  test("count(DISTINCT x) FILTER (WHERE p) keeps its predicate through the rewrite") {
+    // The production injection point (GraftExtensions.injectOptimizerRule)
+    // runs during operator optimization, BEFORE RewriteDistinctAggregates
+    // expands filtered distinct aggregates — so the rule CAN see
+    // count(DISTINCT x) FILTER (WHERE p) with its filter intact. Apply the
+    // rule by hand to the analyzed plan to pin that the filter rides along.
+    Lake(extSession, sfDir).lineitem.createOrReplaceTempView("li_adf")
+    // predicate keyed to the distinct column itself, so the filtered
+    // cardinality is guaranteed to differ from the unfiltered one —
+    // a dropped FILTER clause cannot pass by coincidence
+    val q =
+      """SELECT count(DISTINCT l_suppkey) FILTER (WHERE l_suppkey <= 3) AS n
+        |FROM li_adf""".stripMargin
+    val analyzed = extSession.sql(q).queryExecution.analyzed
+    val rewritten = ApproxDistinctRewrite(() => true)(analyzed)
+    val planStr = rewritten.toString
+    assert(planStr.contains("approx_count_distinct"), s"rewrite missing in:\n$planStr")
+    assert(planStr.toLowerCase.contains("filter"), s"FILTER clause lost in:\n$planStr")
+    val approx = org.apache.spark.sql.graft.TestPlanExec
+      .run(extSession, rewritten).collect()(0).getLong(0)
+    val exact = extSession.sql(q).collect()(0).getLong(0)
+    val unfiltered = extSession.sql(
+      "SELECT count(DISTINCT l_suppkey) AS n FROM li_adf").collect()(0).getLong(0)
+    assert(exact < unfiltered,
+      s"test premise: filter must actually reduce the count ($exact vs $unfiltered)")
+    // HLL is exact at single-digit cardinality: the sketch must count
+    // the FILTERED set, not the full one
+    assert(approx == exact, s"approx=$approx exact-filtered=$exact")
+  }
+
   test("enabled: count(DISTINCT) rewrites to the HLL sketch, within 5% of exact") {
     extSession.conf.set(ApproxDistinctRewrite.ConfKey, "true")
     try {

@@ -42,6 +42,21 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
     assert(rows(1).isNullAt(0))
   }
+
+  test("cosine_sim yields NULL (not NaN) for zero-norm and empty vectors") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)), // zero-norm left
+      (Array(1.0f, 2.0f), Array(0.0f, 0.0f)), // zero-norm right
+      (Array.empty[Float], Array.empty[Float]), // empty
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f))) // control: defined
+      .toDF("a", "b")
+      .select(call_function("cosine_sim", col("a"), col("b")).as("c"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0) && rows(2).isNullAt(0))
+    assert(math.abs(rows(3).getDouble(0) - 1.0) < 1e-12)
+  }
 }
 
 /** Small helper for specs needing raw embeddings. */

@@ -104,6 +104,24 @@ class MedallionSpec extends SparkSpec {
     assert(compacted.agg(sum(col("id"))).head().getLong(0) === checksumBefore)
   }
 
+  test("compaction recovers from a crash between the two swap moves") {
+    import spark.implicits._
+    import graft.medallion.Maintenance
+    val path = new java.io.File("target/tmp/spec_compact_crash/t").getAbsolutePath
+    (1L to 100L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(5).write.mode("overwrite").parquet(path)
+    // simulate the worst crash point: table moved to __compact_old, tmp
+    // never promoted (plus a stale tmp left behind)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(path), java.nio.file.Paths.get(s"${path}__compact_old"))
+    new java.io.File(s"${path}__compact_tmp").mkdirs()
+    val (before, after) = Maintenance.compactParquet(spark, path)
+    assert(before === 5 && after >= 1)
+    assert(spark.read.parquet(path).count() === 100L)
+    assert(!new java.io.File(s"${path}__compact_old").exists())
+    assert(!new java.io.File(s"${path}__compact_tmp").exists())
+  }
+
   test("silver parquet write partitions by processed_date") {
     import spark.implicits._
     val silver = Medallion.toSilver(

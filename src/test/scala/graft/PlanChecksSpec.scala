@@ -66,6 +66,26 @@ class PlanChecksSpec extends SparkSpec {
       s"expected aggregate + join decorrelation in:\n$p")
   }
 
+  test("q38/q38b: SimHash pair stage is a banded equi-join, never nested-loop") {
+    for (df <- Seq(TextOps.q38SimHash(spark, sfDir),
+                   TextOps.q38bSimHashScale(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"nested-loop pair generation survived banding:\n$p")
+    }
+  }
+
+  test("q37: candidate self-join carries no shingle arrays (keys+sizes only)") {
+    val p = plan(TextOps.q37NgramJaccard(spark, sfDir))
+    // the first (candidate) joins shuffle only ints; the hs arrays appear
+    // exclusively in the post-prune fetch joins keyed by doc_id
+    val candidateJoins = p.linesIterator.filter(l =>
+      l.contains("Join") && (l.contains("k1") || l.contains("k2"))).toSeq
+    assert(candidateJoins.nonEmpty, s"bucket join missing in:\n$p")
+    assert(!candidateJoins.exists(_.contains("sh1")),
+      s"shingle arrays rode the candidate join:\n$p")
+  }
+
   test("q31: column pruning reaches the scan (only text/lang read)") {
     val p = plan(TextOps.q31TokenStats(spark, sfDir))
     assert(p.contains("ReadSchema"))

@@ -35,6 +35,59 @@ class SessionizeSpec extends SparkSpec {
     typed.zip(sql).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("streaming sessionize stitches sessions across micro-batches and keeps ordinals") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    def t(s: String) = Timestamp.valueOf(s"2026-01-01 $s")
+    val ms = MemoryStream[Ev]
+    val q = EventStreams.sessionizeStream(ms.toDS(), 30).writeStream
+      .format("memory").queryName("sess_stream")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        new java.io.File(
+          s"target/tmp/ckpt_sess_${java.util.UUID.randomUUID()}").getAbsolutePath)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      def rows() = spark.table("sess_stream")
+        .filter(col("user_id").isin(7L, 9L))
+        .orderBy("user_id", "session_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+      // batch 1: user 7 opens a session
+      ms.addData(Ev(1, t("10:00:00"), 7L, "x", 1.0), Ev(2, t("10:10:00"), 7L, "x", 1.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "open session must not emit early")
+
+      // batch 2: user 7 extends WITHIN the gap (the cross-batch stitch the
+      // batch-only version would break); user 9 opens independently
+      ms.addData(Ev(3, t("10:20:00"), 7L, "x", 1.0), Ev(4, t("10:00:00"), 9L, "x", 1.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty)
+
+      // batch 3: watermark pusher (user 99 at 13:00 → wm 12:30 > 10:50)
+      // expires both open sessions via event-time timeout
+      ms.addData(Ev(5, t("13:00:00"), 99L, "x", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(6, t("13:05:00"), 99L, "x", 1.0)) // extra batch so timeouts fire
+      q.processAllAvailable()
+      assert(rows() === Seq((7L, 1L, 3L), (9L, 1L, 1L)),
+        "stitched session (3 events) + singleton expected")
+
+      // batch 4: user 7 returns → session ordinal continues at 2
+      ms.addData(Ev(7, t("13:10:00"), 7L, "x", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(8, t("16:00:00"), 99L, "x", 1.0)) // expire it
+      q.processAllAvailable()
+      ms.addData(Ev(9, t("16:05:00"), 99L, "x", 1.0))
+      q.processAllAvailable()
+      assert(rows() === Seq((7L, 1L, 3L), (7L, 2L, 1L), (9L, 1L, 1L)),
+        "per-user ordinal must survive the timeout cursor")
+    } finally q.stop()
+  }
+
   test("gap boundary: exactly 1800 s continues the session, 1801 s splits") {
     import spark.implicits._
     def t(sec: Long) = new Timestamp(sec * 1000L)
