@@ -44,34 +44,15 @@ object Graft {
   }
 
   /** MinHash-LSH near-duplicate PAIRS (doc ids with Jaccard ≥ threshold).
-    * The LSH banding keeps candidate generation linear; see
-    * TextOps.q36MinHashLsh for the full plan shape. */
+    * Delegates to [[graft.operators.NearDup]] — the same implementation
+    * the oracle-verified q36 runs, so facade and query cannot drift.
+    * `bands` must divide `minHashes` (enforced). */
   def nearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, minHashes: Int = 12, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    val rows = bands match { case b => minHashes / b }
-    val sh = df
-      .select(col(idCol).as("d_id"),
-        TextFns.hashedShingles(col(textCol), shingleSize).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .cache()
-    val sig = sh.select(col("d_id"), TextFns.minHash(col("hs"), minHashes).as("sig"))
-    val bandRows = sig.select(col("d_id"),
-      posexplode(array((0 until bands).map(b =>
-        TextFns.bandKey(col("sig"), b, rows)): _*)).as(Seq("band", "bkey")))
-    val cand = bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-          && col("a.d_id") < col("b.d_id"))
-      .select(col("a.d_id").as("d1"), col("b.d_id").as("d2"))
-      .distinct()
-    cand
-      .join(sh.select(col("d_id").as("d1"), col("hs").as("h1")), "d1")
-      .join(sh.select(col("d_id").as("d2"), col("hs").as("h2")), "d2")
-      .select(col("d1"), col("d2"), TextFns.jaccard(col("h1"), col("h2")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
+      threshold: Double = 0.5): DataFrame =
+    graft.operators.NearDup.minHashLshPairs(
+      df, idCol, textCol, shingleSize, minHashes, bands, threshold)
 
   // ---------------- similarity search ----------------
 

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.functions.TextFns._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate pair detection — the single shared
+  * implementation behind both the library facade (`Graft.nearDupPairs`)
+  * and the oracle-verified q36 (`TextOps.q36MinHashLsh`), so the two
+  * cannot drift.
+  *
+  * Shape at scale: shingles are hashed to longs once and cached (consumed
+  * by the signature pass and both verification joins); candidate
+  * generation is the banded self-join — the ONLY shuffle, key cardinality
+  * docs × bands — never an all-pairs product; candidates then verify by
+  * exact Jaccard over the hashed shingle sets fetched by id.
+  */
+object NearDup {
+
+  /** Near-dup pairs (`d1`, `d2`, `jaccard`) with Jaccard ≥ `threshold`,
+    * `d1 < d2`, unordered output (callers sort if they need determinism).
+    *
+    * @param partitionWidth explicit pre-shuffle width for the md5-heavy
+    *   shingling pass (single-file inputs arrive as ONE partition);
+    *   None = leave the input partitioning alone.
+    */
+  def minHashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5,
+      partitionWidth: Option[Int] = None): DataFrame = {
+    require(minHashes % bands == 0,
+      s"bands ($bands) must divide minHashes ($minHashes) — " +
+        s"a truncated band would silently weaken the LSH collision bound")
+    val rows = minHashes / bands
+    val base = partitionWidth.fold(df)(p => df.repartition(p, col(idCol)))
+    val sh = base
+      .select(col(idCol).as("d_id"),
+        hashedShingles(col(textCol), shingleSize).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .cache()
+    val sig = sh.select(col("d_id"), minHash(col("hs"), minHashes).as("sig"))
+    val bandRows = sig.select(col("d_id"),
+      posexplode(array((0 until bands).map(b =>
+        bandKey(col("sig"), b, rows)): _*)).as(Seq("band", "bkey")))
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.d_id") < col("b.d_id"))
+      .select(col("a.d_id").as("d1"), col("b.d_id").as("d2"))
+      .distinct()
+    cand
+      .join(sh.select(col("d_id").as("d1"), col("hs").as("sh1")), "d1")
+      .join(sh.select(col("d_id").as("d2"), col("hs").as("sh2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).as("inter"),
+        size(col("sh1")).as("na"), size(col("sh2")).as("nb"))
+      .select(col("d1"), col("d2"),
+        jaccardFromSizes(col("inter"), col("na"), col("nb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

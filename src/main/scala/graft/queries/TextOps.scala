@@ -217,38 +217,16 @@ object TextOps {
   private val BANDS = 4
   private val ROWS = 3
 
-  def q36MinHashLsh(s: SparkSession, dir: String): DataFrame = {
-    // Shingles are hashed to longs once and the projection cached: it is
-    // consumed three times (signature + both verification joins). The
-    // repartition spreads the md5-heavy narrow work across cores — the
-    // source is a single small parquet file = a single input partition.
-    val sh = lake(s, dir).documents
-      .repartition(Scale.par(s), col("doc_id"))
-      .select(col("doc_id"), hashedShingles(col("text"), 3).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .cache()
-    val sig = sh.select(col("doc_id"), minHash(col("hs"), MH).as("sig"))
-    val bands = sig.select(
-      col("doc_id"),
-      posexplode(array((0 until BANDS).map(b =>
-        bandKey(col("sig"), b, ROWS)): _*)).as(Seq("band", "bkey")))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("d1"), col("hs").as("sh1")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("hs").as("sh2")), "d2")
-      .select(col("d1"), col("d2"),
-        size(array_intersect(col("sh1"), col("sh2"))).as("inter"),
-        size(col("sh1")).as("na"), size(col("sh2")).as("nb"))
-      .select(col("d1"), col("d2"),
-        jaccardFromSizes(col("inter"), col("na"), col("nb")).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+  def q36MinHashLsh(s: SparkSession, dir: String): DataFrame =
+    // Single shared implementation with the library facade
+    // (Graft.nearDupPairs) — see graft.operators.NearDup for the plan
+    // shape (cached hashed-shingle projection, banded self-join as the
+    // only shuffle, verify joins by id).
+    graft.operators.NearDup.minHashLshPairs(
+      lake(s, dir).documents, "doc_id", "text",
+      shingleSize = 3, minHashes = MH, bands = BANDS, threshold = 0.5,
+      partitionWidth = Some(Scale.par(s)))
       .orderBy(col("d1"), col("d2"))
-  }
 
   private val q36Oracle = {
     // slot i = min(h1 + i*h2); h2s precomputed per shingle in the sh2 CTE
@@ -733,6 +711,57 @@ object TextOps {
        FROM kept GROUP BY lang ORDER BY lang"""
   }
 
+  // --------------------------------------------------------------------
+  // q69 — grouped near-dup index via the MERGEABLE MinHash aggregator:
+  // one 12-slot signature per source, built by ordinary partial
+  // aggregation (min-of-mins per slot — Aggregator.merge is elementwise
+  // min, so per-partition partials combine exactly). This is the
+  // incremental corpus-index shape: a new batch's signatures fold into
+  // the stored per-source signature in O(slots) per group, no rescan.
+  // --------------------------------------------------------------------
+  def q69GroupedMinhashIndex(s: SparkSession, dir: String): DataFrame = {
+    val mergeSig = udaf(new graft.functions.MinHashAgg(MH))
+    lake(s, dir).documents
+      .repartition(Scale.par(s), col("doc_id"))
+      .select(col("source"), hashedShingles(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("source"), minHash(col("hs"), MH).as("sig"))
+      .groupBy(col("source"))
+      .agg(mergeSig(col("sig")).as("gsig"))
+      .select(col("source"),
+        posexplode(col("gsig")).as(Seq("slot", "min_hash")))
+      .orderBy(col("source"), col("slot"))
+  }
+
+  private val q69Oracle = {
+    val mh = (0 until MH).map(i =>
+      s"list_min(list_transform(range(len(hs)), j -> hs[j+1] + $i * h2s[j+1]))")
+      .mkString(",\n                  ")
+    s"""WITH sh AS (
+         SELECT doc_id, source,
+                list_transform(
+                  list_distinct(list_transform(
+                    range(len(string_split(trim(text), ' ')) - 2),
+                    i -> concat_ws(' ', string_split(trim(text), ' ')[i+1],
+                                   string_split(trim(text), ' ')[i+2],
+                                   string_split(trim(text), ' ')[i+3]))),
+                  s -> ${dHash("s")}) AS hs
+         FROM documents
+         WHERE len(string_split(trim(text), ' ')) >= 3),
+       sh2 AS (
+         SELECT doc_id, source, hs,
+                list_transform(hs, h ->
+                  CAST(concat('0x', substr(md5(CAST(h AS VARCHAR)), 1, 12)) AS BIGINT)) AS h2s
+         FROM sh),
+       sig AS (
+         SELECT doc_id, source, [$mh] AS sig FROM sh2),
+       slots AS (
+         SELECT source, j.j AS slot, sig[j.j + 1] AS v
+         FROM sig CROSS JOIN (SELECT unnest(range($MH)) AS j) j)
+       SELECT source, CAST(slot AS INTEGER) AS slot, min(v) AS min_hash
+       FROM slots GROUP BY 1, 2 ORDER BY source, slot"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_token_stats" -> (q31TokenStats _),
     "q32_lang_id" -> (q32LangId _),
@@ -747,7 +776,8 @@ object TextOps {
     "q54_hash_sample" -> (q54HashSample _),
     "q55_profile" -> (q55Profile _),
     "q56_frame_sample" -> (q56FrameSample _),
-    "q63_prep_pipeline" -> (q63PrepPipeline _))
+    "q63_prep_pipeline" -> (q63PrepPipeline _),
+    "q69_grouped_minhash_index" -> (q69GroupedMinhashIndex _))
 
   val oracle: Map[String, String] = Map(
     "q31_token_stats" -> q31Oracle,
@@ -763,5 +793,6 @@ object TextOps {
     "q54_hash_sample" -> q54Oracle,
     "q55_profile" -> q55Oracle,
     "q56_frame_sample" -> q56Oracle,
-    "q63_prep_pipeline" -> q63Oracle)
+    "q63_prep_pipeline" -> q63Oracle,
+    "q69_grouped_minhash_index" -> q69Oracle)
 }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.core.{GraftConfig, ObjectStoreConfig, SparkSessionFactory}
+
+/** Config loader + object-store session wiring (the surface of the
+  * reference's config_template.yaml and its per-script S3A blocks).
+  */
+class ConfigSpec extends SparkSpec {
+
+  private val template =
+    """# Data Lake Configuration
+      |
+      |mysql:
+      |  host: db.internal
+      |  port: 3306
+      |  database: sakila
+      |  user: etl
+      |  password: secret  # Change this!
+      |
+      |kafka:
+      |  bootstrap_servers:
+      |    - broker1:29092
+      |    - broker2:29092
+      |  topics:
+      |    - sakila.actor
+      |    - sakila.film
+      |
+      |s3:
+      |  endpoint_url: http://minio:9000
+      |  access_key: AK
+      |  secret_key: SK
+      |  buckets:
+      |    bronze: datalake-bronze
+      |    silver: datalake-silver
+      |    gold: datalake-gold
+      |
+      |spark:
+      |  master_url: spark://master:7077
+      |  app_name: SakilaDataLake
+      |""".stripMargin
+
+  test("yaml loader extracts mysql/kafka/s3/buckets/spark sections") {
+    val cfg = GraftConfig.fromYamlString(template)
+    assert(cfg.mysql.get.jdbcUrl === "jdbc:mysql://db.internal:3306/sakila")
+    assert(cfg.mysql.get.password === "secret", "inline comment must be stripped")
+    assert(cfg.kafka.get.bootstrap === "broker1:29092,broker2:29092")
+    assert(cfg.kafka.get.topics === Seq("sakila.actor", "sakila.film"))
+    assert(cfg.objectStore.get ===
+      ObjectStoreConfig("http://minio:9000", "AK", "SK"))
+    assert(cfg.buckets.get.bronzeUri === "s3a://datalake-bronze")
+    assert(cfg.buckets.get.goldUri === "s3a://datalake-gold")
+    assert(cfg.sparkMaster === "spark://master:7077")
+    assert(cfg.appName === "SakilaDataLake")
+  }
+
+  test("a config with no deployment sections still loads with local defaults") {
+    val cfg = GraftConfig.fromYamlString("processing:\n  bronze:\n    batch_size: 1000\n")
+    assert(cfg.mysql.isEmpty && cfg.kafka.isEmpty && cfg.objectStore.isEmpty)
+    assert(cfg.sparkMaster === "local[*]")
+  }
+
+  test("objectStoreConfs emits the full S3A key set the reference wires") {
+    val m = SparkSessionFactory.objectStoreConfs(
+      ObjectStoreConfig("http://minio:9000", "AK", "SK"))
+    assert(m("fs.s3a.endpoint") === "http://minio:9000")
+    assert(m("fs.s3a.access.key") === "AK")
+    assert(m("fs.s3a.secret.key") === "SK")
+    assert(m("fs.s3a.path.style.access") === "true")
+    assert(m("fs.s3a.impl") === "org.apache.hadoop.fs.s3a.S3AFileSystem")
+    assert(m("fs.s3a.committer.name") === "directory")
+    assert(m("fs.s3a.fast.upload") === "true")
+    assert(m("fs.s3a.connection.ssl.enabled") === "false")
+  }
+
+  test("applyObjectStore wires a RUNNING session's hadoop conf for s3a:// paths") {
+    SparkSessionFactory.applyObjectStore(spark,
+      ObjectStoreConfig("http://minio:9000", "AK", "SK"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.endpoint") === "http://minio:9000")
+    assert(hc.get("fs.s3a.path.style.access") === "true")
+  }
+
+  test("fromYaml reads a file on disk") {
+    val f = java.io.File.createTempFile("graft_cfg", ".yaml",
+      new java.io.File("target/tmp"))
+    java.nio.file.Files.writeString(f.toPath, template)
+    assert(GraftConfig.fromYaml(f.getAbsolutePath).appName === "SakilaDataLake")
+  }
+}

@@ -17,6 +17,14 @@ class GraftApiSpec extends SparkSpec {
     assert(api.toSeq === q36.toSeq)
   }
 
+  test("nearDupPairs rejects a bands count that does not divide minHashes") {
+    val docs = Lake(spark, sfDir).documents
+    val e = intercept[IllegalArgumentException] {
+      Graft.nearDupPairs(docs, "doc_id", "text", minHashes = 12, bands = 5)
+    }
+    assert(e.getMessage.contains("must divide"))
+  }
+
   test("knn equals q40's neighbors for the same query set") {
     val emb = Lake(spark, sfDir).embeddings
     val api = Graft.knn(spark,
