@@ -21,13 +21,17 @@ object Bench {
     // warm the session: codegen, shuffle machinery, parquet reader
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").sum("v").count()
-    // local-iteration filter: comma-separated name prefixes; unset = all
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // local-iteration filter: comma-separated EXACT query names; unset =
+    // all. Exact match, not prefix — "q3" selects nothing, not q30-q38b.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // release query-registered caches so blocks never accumulate
+      // across queries (the round-2 tail regression)
+      graft.core.CacheScope.releaseAll()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -34,6 +34,14 @@ object Graft {
     l
   }
 
+  /** Release every query-internal cache registered since the last call.
+    * Operators like [[nearDupPairs]] cache an intermediate that their
+    * returned (lazy) plan references more than once; call this after
+    * materializing results so cached blocks don't accumulate over a
+    * long-lived session. Safe to call any time — released frames are
+    * recomputed from lineage if a plan still needs them. */
+  def releaseCaches(): Unit = graft.core.CacheScope.releaseAll()
+
   // ---------------- deduplication ----------------
 
   /** Exact dedup by normalized content: keep the smallest `idCol` per

@@ -99,20 +99,33 @@ private[core] object YamlLite {
   final case class YList(xs: Seq[String]) extends Y
 
   def parse(text: String): Map[String, Y] = {
-    // strip comments/blank lines; keep (indent, content)
+    // drop whole-line comments/blanks; keep (indent, content). Inline
+    // comments are handled in `scalar`, where quoting is visible.
     val lines = text.linesIterator
-      .map { l =>
-        // a '#' starts a comment unless inside a value's leading chars —
-        // the subset has no quoted strings, so any ' #' tail is a comment
-        val noComment =
-          if (l.trim.startsWith("#")) ""
-          else l.indexOf(" #") match { case -1 => l; case i => l.substring(0, i) }
-        noComment
-      }
-      .filter(_.trim.nonEmpty)
+      .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#"))
       .map { l => (l.takeWhile(_ == ' ').length, l.trim) }
       .toVector
     parseMap(lines, 0)._1
+  }
+
+  /** Scalar value of a raw `key:` tail: a single- or double-quoted value
+    * keeps its content verbatim (the YAML-standard way to carry " #" or
+    * leading/trailing spaces — e.g. a password); an unquoted value ends
+    * at the first " #" (inline comment), exactly as real YAML plain
+    * scalars do. Malformed quoting fails loudly rather than truncating. */
+  private[core] def scalar(raw: String): String = {
+    val v = raw.trim
+    if (v.nonEmpty && (v.head == '"' || v.head == '\'')) {
+      val close = v.indexOf(v.head, 1)
+      require(close > 0, s"unterminated quote in value: $raw")
+      val tail = v.substring(close + 1).trim
+      require(tail.isEmpty || tail.startsWith("#"),
+        s"trailing content after closing quote in value: $raw")
+      v.substring(1, close)
+    } else v.indexOf(" #") match {
+      case -1 => v
+      case i  => v.substring(0, i).trim
+    }
   }
 
   /** Parse a map at `indent` starting at lines(0); returns (map, consumed). */
@@ -124,16 +137,18 @@ private[core] object YamlLite {
       require(ind == indent, s"unexpected indent $ind (wanted $indent) at: $content")
       require(content.contains(":"), s"expected 'key: value' at: $content")
       val key = content.takeWhile(_ != ':').trim
-      val value = content.dropWhile(_ != ':').drop(1).trim
-      if (value.nonEmpty) { // inline scalar
-        out += key -> YStr(value)
+      val rawValue = content.dropWhile(_ != ':').drop(1).trim
+      // value position holds only a comment (or nothing) → block/empty;
+      // otherwise a scalar (possibly quoted — `scalar` handles comments)
+      if (rawValue.nonEmpty && !rawValue.startsWith("#")) { // inline scalar
+        out += key -> YStr(scalar(rawValue))
         i += 1
       } else { // nested block: list or map
         val rest = lines.drop(i + 1)
         if (rest.headOption.exists { case (ri, rc) => ri > indent && rc.startsWith("- ") }) {
           val childIndent = rest.head._1
           val items = rest.takeWhile { case (ri, rc) => ri == childIndent && rc.startsWith("- ") }
-          out += key -> YList(items.map(_._2.drop(2).trim))
+          out += key -> YList(items.map(it => scalar(it._2.drop(2))))
           i += 1 + items.length
         } else if (rest.headOption.exists(_._1 > indent)) {
           val childIndent = rest.head._1

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.CacheScope
 import graft.functions.TextFns._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -34,11 +35,12 @@ object NearDup {
         s"a truncated band would silently weaken the LSH collision bound")
     val rows = minHashes / bands
     val base = partitionWidth.fold(df)(p => df.repartition(p, col(idCol)))
-    val sh = base
+    // registered cache, released by the action-runner via CacheScope —
+    // a bare .cache() here would leak the shingle blocks for the session
+    val sh = CacheScope.cached(base
       .select(col(idCol).as("d_id"),
         hashedShingles(col(textCol), shingleSize).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .cache()
+      .filter(size(col("hs")) > 0))
     val sig = sh.select(col("d_id"), minHash(col("hs"), minHashes).as("sig"))
     val bandRows = sig.select(col("d_id"),
       posexplode(array((0 until bands).map(b =>

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.core.Lake
+import graft.core.{CacheScope, Lake}
 import graft.functions.Scale
 import graft.functions.TextFns._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -283,15 +283,14 @@ object TextOps {
   // q36 is the scale path; this is the quadratic reference check.
   // --------------------------------------------------------------------
   def q37NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = lake(s, dir).documents
+    val sh = CacheScope.cached(lake(s, dir).documents
       .repartition(Scale.par(s), col("doc_id"))
       // floor-division bucket: Spark double→int cast truncates while DuckDB
       // CAST rounds, so the oracle uses `//` (floor) — identical on the
       // non-negative n_chars domain.
       .select(col("doc_id"), floor(col("n_chars") / lit(8)).cast(IntegerType).as("bucket"),
         hashedShingles(col("text"), 3).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .cache()
+      .filter(size(col("hs")) > 0))
     // Candidate generation shuffles ONLY (doc_id, bucket, |hs|): the long
     // shingle arrays stay out of the self-join entirely and are fetched by
     // id AFTER the size-ratio prune has discarded ~95% of candidate pairs
@@ -372,10 +371,10 @@ object TextOps {
     shiftright(fp, 3 * j).bitwiseAND(lit(if (j == SH_BANDS - 1) 3L else 7L))
 
   def q38SimHash(s: SparkSession, dir: String): DataFrame = {
-    val fp = lake(s, dir).documents
+    // 12 bytes/doc; saves recomputing the fingerprint per side
+    val fp = CacheScope.cached(lake(s, dir).documents
       .repartition(Scale.par(s), col("doc_id"))
-      .select(col("doc_id"), simHash(tokens(col("text"))).as("fp"))
-      .cache() // 12 bytes/doc; saves recomputing the fingerprint per side
+      .select(col("doc_id"), simHash(tokens(col("text"))).as("fp")))
     val banded = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until SH_BANDS).map(j => shBand(col("fp"), j)): _*))
         .as(Seq("band", "bval")))
@@ -431,10 +430,9 @@ object TextOps {
     shiftright(fp, SHB_BITS * j).bitwiseAND(lit((1L << SHB_BITS) - 1))
 
   def q38bSimHashScale(s: SparkSession, dir: String): DataFrame = {
-    val fp = lake(s, dir).documents
+    val fp = CacheScope.cached(lake(s, dir).documents
       .repartition(Scale.par(s), col("doc_id"))
-      .select(col("doc_id"), simHashW(tokens(col("text")), 60).as("fp"))
-      .cache()
+      .select(col("doc_id"), simHashW(tokens(col("text")), 60).as("fp")))
     val banded = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until SHB_BANDS).map(j => shbBand(col("fp"), j)): _*))
         .as(Seq("band", "bval")))

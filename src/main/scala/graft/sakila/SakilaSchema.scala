@@ -107,14 +107,22 @@ object SakilaSchema {
     "language" -> language, "payment" -> payment, "rental" -> rental,
     "staff" -> staff, "store" -> store)
 
-  /** Primary key per table (the Kafka message key / dedup key,
-    * mysql_to_kafka.py:57-87). */
-  val primaryKeys: Map[String, String] = Map(
-    "actor" -> "actor_id", "address" -> "address_id",
-    "category" -> "category_id", "city" -> "city_id",
-    "country" -> "country_id", "customer" -> "customer_id",
-    "film" -> "film_id", "film_actor" -> "actor_id",
-    "film_category" -> "film_id", "inventory" -> "inventory_id",
-    "language" -> "language_id", "payment" -> "payment_id",
-    "rental" -> "rental_id", "staff" -> "staff_id", "store" -> "store_id")
+  /** Primary key columns per table — the dedup/merge identity of a row.
+    * The junction tables have COMPOSITE keys: `film_actor` is unique on
+    * (actor_id, film_id) and `film_category` on (film_id, category_id);
+    * keying either by a single column would collapse distinct rows in a
+    * dedup or CDC merge. (The reference's Kafka producer keys those
+    * topics by `record.get(f'{table}_id', record_count)` — a counter
+    * FALLBACK, since no `film_actor_id` exists, mysql_to_kafka.py:57-87 —
+    * so partition affinity there is arbitrary; the registry records the
+    * true relational key instead.) */
+  val primaryKeys: Map[String, Seq[String]] = Map(
+    "actor" -> Seq("actor_id"), "address" -> Seq("address_id"),
+    "category" -> Seq("category_id"), "city" -> Seq("city_id"),
+    "country" -> Seq("country_id"), "customer" -> Seq("customer_id"),
+    "film" -> Seq("film_id"), "film_actor" -> Seq("actor_id", "film_id"),
+    "film_category" -> Seq("film_id", "category_id"),
+    "inventory" -> Seq("inventory_id"), "language" -> Seq("language_id"),
+    "payment" -> Seq("payment_id"), "rental" -> Seq("rental_id"),
+    "staff" -> Seq("staff_id"), "store" -> Seq("store_id"))
 }

@@ -150,12 +150,24 @@ object EventStreams {
     * counting up. The input must carry enough watermark delay for the gap
     * — this applies `withWatermark(ts, gap)` itself.
     *
+    * State retention: the cursor is NOT kept forever — an unbounded
+    * stream over a large user population would otherwise grow the state
+    * store linearly with user-id cardinality. A second, longer timeout
+    * (`retentionGaps` × gap past the session end) removes the cursor of a
+    * user who stays inactive that long; if they return even later, their
+    * session ordinal restarts at 1 (the documented, bounded-memory
+    * trade-off — ordinals are unique within any `retentionGaps`-gap
+    * horizon, which is what downstream joins key on).
+    *
     * Same floor-second gap transition as the batch [[sessionize]]
     * (shared `advance`), so a bounded replay through this operator yields
     * exactly the batch sessions, just emitted incrementally.
     */
-  def sessionizeStream(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
+  def sessionizeStream(
+      events: Dataset[Ev], gapMinutes: Int,
+      retentionGaps: Int = 64): Dataset[Session] = {
     import events.sparkSession.implicits._
+    require(retentionGaps >= 1, s"retentionGaps must be >= 1, got $retentionGaps")
     val gapSec = gapMinutes * 60L
     events
       .withWatermark("ts", s"$gapMinutes minutes")
@@ -164,9 +176,22 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, _, state) if state.hasTimedOut =>
           val s = state.get
-          // emit the expired open session; keep the ordinal cursor
-          state.update(s.copy(n = 0))
-          Iterator.single(Session(uid, s.sessionIdx, s.n, s.start, s.last))
+          if (s.n == 0) {
+            // retention timeout on an already-emitted cursor: the user has
+            // been inactive retentionGaps × gap — drop the state entirely
+            // so the store stays bounded by the ACTIVE population.
+            state.remove()
+            Iterator.empty
+          } else {
+            // emit the expired open session; keep the ordinal cursor for a
+            // while so a returning user continues numbering, with a second
+            // (long) timeout that eventually removes it.
+            state.update(s.copy(n = 0))
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs + 1,
+              s.last.getTime + gapSec * 1000L * retentionGaps))
+            Iterator.single(Session(uid, s.sessionIdx, s.n, s.start, s.last))
+          }
         case (uid, evs, state) =>
           val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           val out = Seq.newBuilder[Session]

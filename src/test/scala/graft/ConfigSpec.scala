@@ -53,6 +53,27 @@ class ConfigSpec extends SparkSpec {
     assert(cfg.appName === "SakilaDataLake")
   }
 
+  test("quoted scalars carry ' #' and spaces; malformed quoting fails loudly") {
+    val cfg = GraftConfig.fromYamlString(
+      """mysql:
+        |  host: db
+        |  database: sakila
+        |  user: etl
+        |  password: "my #pass"  # quoted: the hash is part of the value
+        |""".stripMargin)
+    assert(cfg.mysql.get.password === "my #pass",
+      "a quoted value containing ' #' must not be truncated")
+    val single = GraftConfig.fromYamlString("spark:\n  app_name: 'a b # c'\n")
+    assert(single.appName === "a b # c")
+    // unterminated quote and trailing junk after the close both throw
+    intercept[IllegalArgumentException] {
+      GraftConfig.fromYamlString("spark:\n  app_name: \"oops\n")
+    }
+    intercept[IllegalArgumentException] {
+      GraftConfig.fromYamlString("spark:\n  app_name: \"a\" junk\n")
+    }
+  }
+
   test("a config with no deployment sections still loads with local defaults") {
     val cfg = GraftConfig.fromYamlString("processing:\n  bronze:\n    batch_size: 1000\n")
     assert(cfg.mysql.isEmpty && cfg.kafka.isEmpty && cfg.objectStore.isEmpty)

@@ -44,9 +44,10 @@ class SakilaSchemaSpec extends SparkSpec {
       val dataFields = back.schema.fields.filter(_.name != "_op").toSeq
       assert(dataFields === schema.fields.toSeq, s"schema drift for $name")
       // values survive the JSON envelope bit-for-bit
-      val a = src.orderBy(SakilaSchema.primaryKeys(name)).collect().toSeq
+      val pk = SakilaSchema.primaryKeys(name).map(col)
+      val a = src.orderBy(pk: _*).collect().toSeq
       val b = back.drop("_op").select(schema.fieldNames.map(col): _*)
-        .orderBy(SakilaSchema.primaryKeys(name)).collect().toSeq
+        .orderBy(pk: _*).collect().toSeq
       assert(a === b, s"value drift for $name")
     }
   }
