@@ -1,7 +1,9 @@
 package graft.multimodal
 
 import java.math.BigInteger
+import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
+import java.util.zip.CRC32
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -11,23 +13,38 @@ import org.apache.spark.sql.functions._
   * batches.
   *
   * The Spark-side shape is the real thing — explicit schema, typed
-  * `Dataset[MediaRecord]`, `mapPartitions` batch iterator (one decoder
+  * `Dataset[MediaRecord]`, `mapPartitions` batch iterators (one decoder
   * instance per partition, the same batch shape a Pandas-UDF/`mapInPandas`
-  * pipeline uses), narrow per-row execution with no shuffle. Only the
-  * codec itself is a STUB: this container has no image/audio libraries, so
-  * [[MediaCodec.decodeStub]] derives deterministic fake dimensions from an
-  * md5 of the payload instead of parsing a real header. Swap that single
-  * function for a real codec (JavaCV, TwelveMonkeys, ffmpeg-cli) and
-  * nothing else changes.
+  * pipeline uses), narrow per-row execution with no shuffle.
+  *
+  * The codec is REAL: [[MediaCodec]] parses actual container headers from
+  * raw bytes — PNG IHDR (width/height, big-endian, after the 8-byte
+  * signature), JPEG SOFn markers (walk the segment chain, read the frame
+  * dimensions), and WAV `fmt ` chunks (sample rate / channels /
+  * bits-per-sample, little-endian RIFF). The container is sniffed from
+  * magic bytes, never trusted from metadata. Since this environment ships
+  * no media fixtures, [[mediaRecords]] SYNTHESIZES container-valid
+  * payloads (correct signatures, header fields, CRCs; the document text
+  * as the opaque body) with dimensions derived from the md5 of the text —
+  * which is what lets the DuckDB oracle predict every parsed field
+  * arithmetically while the Spark side extracts them from real bytes.
+  * Pixel/sample payloads are opaque (this is a metadata extractor, not a
+  * raster decoder); a full decoder (JavaCV, TwelveMonkeys, ffmpeg) drops
+  * into the same `mapPartitions` slot.
   */
 object Media {
 
-  /** An opaque media payload: bytes + declared format. */
+  /** An opaque media payload: bytes + declared modality. */
   final case class MediaRecord(doc_id: Long, payload: Array[Byte], fmt: String)
 
-  /** Decoded metadata row. */
+  /** Decoded metadata row. `container` is sniffed from magic bytes;
+    * width/height populate for raster containers (png/jpeg),
+    * sample_rate/channels for audio (wav); `fmt` is the declared modality
+    * carried through from the catalog. */
   final case class MediaMeta(
-      doc_id: Long, byte_len: Int, width: Int, height: Int, fmt: String)
+      doc_id: Long, byte_len: Int, container: String,
+      width: Option[Int], height: Option[Int],
+      sample_rate: Option[Int], channels: Option[Int], fmt: String)
 
   object MediaCodec {
 
@@ -39,39 +56,198 @@ object Media {
       new BigInteger(hex.substring(0, 15), 16).longValueExact()
     }
 
-    /** STUB decoder — deterministic fake dimensions derived from the
-      * payload hash. A real deployment replaces this body with an actual
-      * header parse; signature and batch shape stay identical. */
-    def decodeStub(r: MediaRecord, md: MessageDigest): MediaMeta = {
-      val h = hash60(r.payload, md)
-      MediaMeta(
-        doc_id = r.doc_id,
-        byte_len = r.payload.length,
-        width = (64 + h % 1000).toInt,
-        height = (64 + (h / 1000) % 1000).toInt,
-        fmt = r.fmt)
+    /** The synthetic-audio sample-rate family (indexed by hash). */
+    val SampleRates: IndexedSeq[Int] = IndexedSeq(8000, 16000, 22050, 44100, 48000)
+
+    // ---------------- byte helpers ----------------
+
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+    private val PngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    // ---------------- parsers (bytes → header fields) ----------------
+
+    /** PNG: 8-byte signature, then the IHDR chunk (must be first, per
+      * spec): 4-byte length, "IHDR", width/height as big-endian u32 at
+      * fixed offsets 16 and 20. */
+    def parsePng(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
+        new String(b, 12, 4, StandardCharsets.US_ASCII) == "IHDR")
+        Some((be32(b, 16), be32(b, 20)))
+      else None
+
+    /** JPEG: SOI then a marker-segment chain; the frame header (SOF0
+      * baseline / SOF2 progressive / the other SOFn variants) carries
+      * height then width as big-endian u16 at offsets +5/+7 of the
+      * segment. Walks segments by their length fields; stops at SOS
+      * (entropy-coded data follows, no more headers) or any malformed
+      * marker. */
+    def parseJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      val sofMarkers = Set(0xc0, 0xc1, 0xc2, 0xc3, 0xc5, 0xc6, 0xc7,
+        0xc9, 0xca, 0xcb, 0xcd, 0xce, 0xcf)
+      var i = 2
+      while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        if (sofMarkers.contains(marker)) {
+          if (i + 8 >= b.length) return None
+          return Some((be16(b, i + 7), be16(b, i + 5))) // (width, height)
+        }
+        if (marker == 0xda) return None // SOS: entropy data, no SOF seen
+        if ((marker >= 0xd0 && marker <= 0xd9) || marker == 0x01)
+          i += 2 // standalone marker, no length field
+        else i += 2 + be16(b, i + 2)
+      }
+      None
     }
 
-    /** Batch decode: one MessageDigest per partition (decoder init is the
-      * expensive part for real codecs — amortize it across the batch). */
-    def decodeBatch(rows: Iterator[MediaRecord]): Iterator[MediaMeta] = {
-      val md = MessageDigest.getInstance("MD5")
-      rows.map(decodeStub(_, md))
+    /** WAV: RIFF/WAVE container; walk chunks (id + little-endian u32
+      * size) to `fmt `, read channels (u16 LE @+2), sample rate
+      * (u32 LE @+4), bits per sample (u16 LE @+14). Chunks are
+      * word-aligned: odd sizes are followed by a pad byte. */
+    def parseWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 12 ||
+        new String(b, 0, 4, StandardCharsets.US_ASCII) != "RIFF" ||
+        new String(b, 8, 4, StandardCharsets.US_ASCII) != "WAVE")
+        return None
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, StandardCharsets.US_ASCII)
+        val size = le32(b, i + 4)
+        if (id == "fmt ") {
+          if (size < 16 || i + 8 + 16 > b.length) return None
+          return Some((le32(b, i + 12), le16(b, i + 10), le16(b, i + 22)))
+        }
+        i += 8 + size + (size & 1) // chunks pad to even byte boundaries
+      }
+      None
     }
+
+    // ---------------- writers (deterministic container synthesis) ------
+
+    private def pngChunk(chunkType: String, data: Array[Byte]): Array[Byte] = {
+      val ty = chunkType.getBytes(StandardCharsets.US_ASCII)
+      val crc = new CRC32
+      crc.update(ty); crc.update(data)
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(ty).put(data).putInt(crc.getValue.toInt)
+      out.array()
+    }
+
+    /** Container-valid PNG: signature + IHDR(w, h, 8-bit truecolor) +
+      * one IDAT carrying `body` opaquely + IEND, with real CRCs.
+      * Length = 57 + body.length. */
+    def writePng(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", body) ++
+        pngChunk("IEND", Array.emptyByteArray)
+    }
+
+    /** Minimal JPEG: SOI + SOF0 (8-bit, 3 components, h × w) + `body` as
+      * opaque post-header bytes + EOI. Length = 23 + body.length. */
+    def writeJpeg(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+      val sof = java.nio.ByteBuffer.allocate(19) // 2 marker + 17 (len incl. payload)
+      sof.put(0xff.toByte).put(0xc0.toByte).putShort(17.toShort) // len incl. itself
+      sof.put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+      for (c <- 1 to 3)
+        sof.put(c.toByte).put(0x11.toByte).put(0.toByte) // id, 1x1 sampling, qtable
+      Array(0xff.toByte, 0xd8.toByte) ++ sof.array() ++ body ++
+        Array(0xff.toByte, 0xd9.toByte)
+    }
+
+    /** Canonical 44-byte-header PCM WAV: RIFF/WAVE + 16-byte `fmt ` +
+      * `body` as the data chunk. Length = 44 + body.length. */
+    def writeWav(sampleRate: Int, channels: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + body.length)
+      bb.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+      bb.put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+      bb.putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+      bb.putInt(sampleRate * channels * 2) // byte rate (16-bit PCM)
+      bb.putShort((channels * 2).toShort).putShort(16.toShort)
+      bb.put("data".getBytes(StandardCharsets.US_ASCII)).putInt(body.length)
+      bb.put(body)
+      bb.array()
+    }
+
+    /** Payload for a declared modality: a real container whose header
+      * fields derive from the md5-hash of the body — image → PNG,
+      * audio → WAV, video → JPEG (frame-sample convention: the payload a
+      * video pipeline carries per sampled keyframe). */
+    def encodeFor(fmt: String, text: String, md: MessageDigest): Array[Byte] = {
+      val body = text.getBytes(StandardCharsets.UTF_8)
+      val h = hash60(body, md)
+      val (w, ht) = ((64 + h % 1000).toInt, (64 + (h / 1000) % 1000).toInt)
+      fmt match {
+        case "image" => writePng(w, ht, body)
+        case "audio" =>
+          writeWav(SampleRates((h % 5).toInt), (1 + h % 2).toInt, body)
+        case "video" => writeJpeg(w, ht, body)
+        case other => throw new IllegalArgumentException(s"unknown modality $other")
+      }
+    }
+
+    /** Decode one record: sniff the container from magic bytes, parse its
+      * header. Unrecognized bytes → container "unknown", null fields —
+      * never an exception (a 100 TB corpus always has corrupt members). */
+    def decode(r: MediaRecord): MediaMeta = {
+      val b = r.payload
+      parsePng(b) match {
+        case Some((w, h)) =>
+          MediaMeta(r.doc_id, b.length, "png", Some(w), Some(h), None, None, r.fmt)
+        case None => parseJpeg(b) match {
+          case Some((w, h)) =>
+            MediaMeta(r.doc_id, b.length, "jpeg", Some(w), Some(h), None, None, r.fmt)
+          case None => parseWav(b) match {
+            case Some((rate, ch, _)) =>
+              MediaMeta(r.doc_id, b.length, "wav", None, None, Some(rate), Some(ch), r.fmt)
+            case None =>
+              MediaMeta(r.doc_id, b.length, "unknown", None, None, None, None, r.fmt)
+          }
+        }
+      }
+    }
+
+    /** Batch decode: parser state is per-partition (for real codecs the
+      * decoder instance is the expensive part — amortize it). */
+    def decodeBatch(rows: Iterator[MediaRecord]): Iterator[MediaMeta] =
+      rows.map(decode)
   }
 
-  /** documents → typed media records (payload = utf8 bytes of `text`,
-    * format assigned round-robin from the numeric source suffix). */
+  /** documents → typed media records: modality assigned round-robin from
+    * the numeric source suffix, payload a synthesized container-valid
+    * binary (see [[MediaCodec.encodeFor]]). One MessageDigest per
+    * partition — narrow, scan-parallel. */
   def mediaRecords(documents: DataFrame)(implicit s: SparkSession): Dataset[MediaRecord] = {
     import s.implicits._
     documents
       .select(
         col("doc_id"),
-        col("text").cast("binary").as("payload"),
+        col("text"),
         element_at(
           array(lit("image"), lit("audio"), lit("video")),
           (substring(col("source"), 4, 10).cast("int") % 3) + 1).as("fmt"))
-      .as[MediaRecord]
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5")
+        rows.map { case (id, text, fmt) =>
+          MediaRecord(id, MediaCodec.encodeFor(fmt, text, md), fmt)
+        }
+      }
   }
 
   /** Full decode pipeline: typed batch map, no shuffle, scan-parallel. */

@@ -27,11 +27,16 @@ object PipelineOps {
   }
 
   // --------------------------------------------------------------------
-  // q42 — multimodal metadata decode: documents → binary payload + format
-  // → typed Dataset → mapPartitions batch decode (stub codec; see
-  // graft.multimodal.Media) → flattened metadata. Narrow, scan-parallel,
-  // no shuffle. The md5-derived fake dimensions are reproduced by the
-  // oracle arithmetic exactly.
+  // q42 — multimodal metadata decode: documents → synthesized
+  // container-valid binary payloads (PNG/WAV/JPEG, header fields derived
+  // from the md5 hash of the body) → typed Dataset → mapPartitions batch
+  // decode parsing REAL magic bytes + headers (graft.multimodal.Media) →
+  // flattened metadata. Narrow, scan-parallel, no shuffle. The oracle
+  // reproduces every parsed field arithmetically: byte_len = container
+  // overhead (PNG 57 / WAV 44 / JPEG 23) + body length, dims and
+  // sample-rate/channels from the same md5-derived formulas the writer
+  // embeds into the headers — so a hash match proves the write→sniff→
+  // parse round trip, not just the arithmetic.
   // --------------------------------------------------------------------
   def q42MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
@@ -39,13 +44,22 @@ object PipelineOps {
   }
 
   private val q42Oracle =
-    """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS byte_len,
-              CAST(64 + (h % 1000) AS INTEGER) AS width,
-              CAST(64 + ((h // 1000) % 1000) AS INTEGER) AS height,
-              CASE CAST(substr(source, 4) AS INTEGER) % 3
-                   WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+    """SELECT doc_id,
+              CAST(CASE m WHEN 0 THEN 57 WHEN 1 THEN 44 ELSE 23 END
+                   + strlen(text) AS INTEGER) AS byte_len,
+              CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS container,
+              CASE WHEN m IN (0, 2)
+                   THEN CAST(64 + (h % 1000) AS INTEGER) END AS width,
+              CASE WHEN m IN (0, 2)
+                   THEN CAST(64 + ((h // 1000) % 1000) AS INTEGER) END AS height,
+              CASE WHEN m = 1
+                   THEN CAST(list_value(8000, 16000, 22050, 44100, 48000)[
+                          CAST(h % 5 AS INTEGER) + 1] AS INTEGER) END AS sample_rate,
+              CASE WHEN m = 1 THEN CAST(1 + (h % 2) AS INTEGER) END AS channels,
+              CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                    ELSE 'video' END AS fmt
-       FROM (SELECT *, CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+       FROM (SELECT *, CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h,
+                    CAST(substr(source, 4) AS INTEGER) % 3 AS m
              FROM documents)
        ORDER BY doc_id"""
 

@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import graft.multimodal.Media
+import graft.multimodal.Media.{MediaCodec, MediaRecord}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Real header parsing over hand-crafted container bytes: the parsers
+  * must read dimensions/rates out of PNG IHDR, JPEG SOFn, and WAV `fmt `
+  * structures built here byte-by-byte (NOT via the writers), survive
+  * leading segments/chunks they don't care about, reject corrupt input,
+  * and round-trip the writers' output. Then the Spark pipeline end-to-end:
+  * synthesize → sniff → parse on a real documents frame.
+  */
+class MediaSpec extends SparkSpec {
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  // ---------------- PNG ----------------
+
+  /** 3×2 PNG, built field-by-field (CRC bytes arbitrary — header parsers
+    * must not require trailing chunks or validate CRCs to read IHDR). */
+  private val pngFixture: Array[Byte] =
+    bytes(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++ // signature
+      bytes(0, 0, 0, 13) ++                                   // IHDR length
+      "IHDR".getBytes(StandardCharsets.US_ASCII) ++
+      bytes(0, 0, 0, 3) ++ bytes(0, 0, 0, 2) ++               // width=3 height=2
+      bytes(8, 2, 0, 0, 0) ++                                 // depth/color/etc
+      bytes(0xde, 0xad, 0xbe, 0xef)                           // CRC (unchecked)
+
+  test("parsePng reads IHDR width/height from a hand-crafted PNG") {
+    assert(MediaCodec.parsePng(pngFixture) === Some((3, 2)))
+  }
+
+  test("parsePng rejects a bad signature and a truncated header") {
+    val bad = pngFixture.clone(); bad(0) = 0x88.toByte
+    assert(MediaCodec.parsePng(bad) === None)
+    assert(MediaCodec.parsePng(pngFixture.take(20)) === None)
+    assert(MediaCodec.parsePng(Array.emptyByteArray) === None)
+  }
+
+  // ---------------- JPEG ----------------
+
+  /** 240×320 progressive JPEG: SOI, APP0/JFIF, a COM segment, then SOF2 —
+    * the parser must walk the segment chain by length fields. */
+  private val jpegSof2Fixture: Array[Byte] =
+    bytes(0xff, 0xd8) ++                                      // SOI
+      bytes(0xff, 0xe0, 0x00, 0x10) ++                        // APP0, len 16
+      "JFIF".getBytes(StandardCharsets.US_ASCII) ++
+      bytes(0, 1, 1, 0, 0, 1, 0, 1, 0, 0) ++
+      bytes(0xff, 0xfe, 0x00, 0x07) ++                        // COM, len 7
+      "hello".getBytes(StandardCharsets.US_ASCII) ++
+      bytes(0xff, 0xc2, 0x00, 0x0b) ++                        // SOF2, len 11
+      bytes(8) ++ bytes(0x01, 0x40) ++ bytes(0x00, 0xf0) ++   // prec, h=320, w=240
+      bytes(1, 0x01, 0x11, 0x00) ++                           // 1 component
+      bytes(0xff, 0xd9)                                       // EOI
+
+  test("parseJpeg walks APP0/COM segments to a SOF2 frame header") {
+    assert(MediaCodec.parseJpeg(jpegSof2Fixture) === Some((240, 320)))
+  }
+
+  test("parseJpeg reads a baseline SOF0 header") {
+    val sof0 = bytes(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x0b, 8,
+      0x00, 0x64, 0x00, 0xc8, 1, 1, 0x11, 0, 0xff, 0xd9) // h=100 w=200
+    assert(MediaCodec.parseJpeg(sof0) === Some((200, 100)))
+  }
+
+  test("parseJpeg gives up at SOS and on non-JPEG bytes") {
+    // SOI then straight to SOS: entropy data follows, no frame header
+    val noSof = bytes(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0, 0, 1, 2, 3)
+    assert(MediaCodec.parseJpeg(noSof) === None)
+    assert(MediaCodec.parseJpeg("RIFFxxxxWAVE".getBytes) === None)
+  }
+
+  // ---------------- WAV ----------------
+
+  /** 44.1 kHz stereo PCM with a 3-byte JUNK chunk (odd size → pad byte)
+    * before `fmt ` — the parser must walk word-aligned chunks. */
+  private val wavFixture: Array[Byte] = {
+    val fmtChunk = "fmt ".getBytes(StandardCharsets.US_ASCII) ++
+      bytes(16, 0, 0, 0) ++          // chunk size 16, LE
+      bytes(1, 0) ++ bytes(2, 0) ++  // PCM, channels=2
+      bytes(0x44, 0xac, 0, 0) ++     // sample rate 44100, LE
+      bytes(0x10, 0xb1, 2, 0) ++     // byte rate 176400
+      bytes(4, 0) ++ bytes(16, 0)    // block align 4, bits 16
+    "RIFF".getBytes(StandardCharsets.US_ASCII) ++ bytes(0, 0, 0, 0) ++
+      "WAVE".getBytes(StandardCharsets.US_ASCII) ++
+      "JUNK".getBytes(StandardCharsets.US_ASCII) ++ bytes(3, 0, 0, 0) ++
+      bytes(0xaa, 0xbb, 0xcc, 0x00) ++ // 3 junk bytes + pad to even
+      fmtChunk
+  }
+
+  test("parseWav walks chunks to fmt and reads rate/channels/bits") {
+    assert(MediaCodec.parseWav(wavFixture) === Some((44100, 2, 16)))
+  }
+
+  test("parseWav rejects non-RIFF and fmt-less input") {
+    assert(MediaCodec.parseWav("RIFFxxxxAVI LIST".getBytes) === None)
+    assert(MediaCodec.parseWav(wavFixture.take(30)) === None)
+  }
+
+  // ---------------- writer → parser round trips ----------------
+
+  test("writers emit containers their parsers read back exactly") {
+    val body = "opaque body bytes".getBytes(StandardCharsets.UTF_8)
+    assert(MediaCodec.parsePng(MediaCodec.writePng(640, 480, body)) ===
+      Some((640, 480)))
+    assert(MediaCodec.parseJpeg(MediaCodec.writeJpeg(1024, 768, body)) ===
+      Some((1024, 768)))
+    assert(MediaCodec.parseWav(MediaCodec.writeWav(16000, 1, body)) ===
+      Some((16000, 1, 16)))
+    // documented length formulas (the oracle's byte_len arithmetic)
+    assert(MediaCodec.writePng(1, 1, body).length === 57 + body.length)
+    assert(MediaCodec.writeJpeg(1, 1, body).length === 23 + body.length)
+    assert(MediaCodec.writeWav(8000, 1, body).length === 44 + body.length)
+  }
+
+  test("a writer PNG is a well-formed chunk stream (CRCs verify)") {
+    val png = MediaCodec.writePng(3, 2, "xy".getBytes)
+    var i = 8
+    var seen = List.empty[String]
+    while (i < png.length) {
+      val len = java.nio.ByteBuffer.wrap(png, i, 4).getInt
+      val ty = new String(png, i + 4, 4, StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32
+      crc.update(png, i + 4, 4 + len)
+      val stored = java.nio.ByteBuffer.wrap(png, i + 8 + len, 4).getInt
+      assert(stored === crc.getValue.toInt, s"CRC mismatch in $ty")
+      seen ::= ty
+      i += 12 + len
+    }
+    assert(seen.reverse === List("IHDR", "IDAT", "IEND"))
+  }
+
+  // ---------------- decode dispatch + Spark pipeline ----------------
+
+  test("decode sniffs the container from magic bytes, never from fmt") {
+    val png = MediaRecord(1L, MediaCodec.writePng(10, 20, Array[Byte](1)), "video")
+    val m = MediaCodec.decode(png)
+    assert(m.container === "png" && m.width === Some(10) && m.height === Some(20))
+    val junk = MediaRecord(2L, "not a container".getBytes, "image")
+    val u = MediaCodec.decode(junk)
+    assert(u.container === "unknown" && u.width.isEmpty && u.sample_rate.isEmpty)
+  }
+
+  test("decodeMeta end-to-end: synthesized payloads parse to the hash-derived fields") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "the quick brown fox", "src0"),  // 0 % 3 = 0 → image/png
+        Row(2L, "jumps over the dog", "src1"),   // audio/wav
+        Row(3L, "pack my box with jugs", "src2") // video/jpeg
+      ), 2), schema)
+    val metas = Media.decodeMeta(docs).collect().sortBy(_.doc_id)
+    val md = MessageDigest.getInstance("MD5")
+    def h(t: String) = MediaCodec.hash60(t.getBytes(StandardCharsets.UTF_8), md)
+
+    val Array(img, aud, vid) = metas
+    assert(img.container === "png" && img.fmt === "image")
+    assert(img.width === Some((64 + h("the quick brown fox") % 1000).toInt))
+    assert(img.byte_len === 57 + "the quick brown fox".length)
+    assert(aud.container === "wav" && aud.fmt === "audio")
+    assert(aud.sample_rate ===
+      Some(MediaCodec.SampleRates((h("jumps over the dog") % 5).toInt)))
+    assert(aud.channels === Some((1 + h("jumps over the dog") % 2).toInt))
+    assert(vid.container === "jpeg" && vid.fmt === "video")
+    assert(vid.height === Some((64 + (h("pack my box with jugs") / 1000) % 1000).toInt))
+  }
+
+  test("the decode plan is narrow: no shuffle exchange anywhere") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = graft.core.Lake(spark, "/root/testdata/sf0.001").documents
+    val plan = Media.decodeMeta(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
+  }
+}
