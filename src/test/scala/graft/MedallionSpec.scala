@@ -89,6 +89,56 @@ class MedallionSpec extends SparkSpec {
       twice.orderBy("id").collect().toSeq)
   }
 
+  test("applyCdcPartitioned rewrites only touched partitions — untouched files byte-identical") {
+    import spark.implicits._
+    val table = new java.io.File("target/tmp/spec_cdc_part/t").getAbsolutePath
+    // three date partitions on disk
+    Seq(
+      (1L, "a", 10.0, "2026-01-01"), (2L, "b", 20.0, "2026-01-01"),
+      (3L, "c", 30.0, "2026-01-02"), (4L, "d", 40.0, "2026-01-02"),
+      (5L, "e", 50.0, "2026-01-03"))
+      .toDF("id", "name", "amount", "pd")
+      .write.mode("overwrite").partitionBy("pd").parquet(table)
+
+    def fileBytes(dir: String): Map[String, Seq[Byte]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq)
+        .toMap
+    }
+    val before01 = fileBytes(s"$table/pd=2026-01-01")
+    val before03 = fileBytes(s"$table/pd=2026-01-03")
+    assert(before01.nonEmpty && before03.nonEmpty)
+
+    // batch touches 2026-01-02 (update + delete) and creates 2026-01-04
+    val changes = Seq(
+      (3L, "c2", 31.0, "u", false, 100L, "2026-01-02"),
+      (4L, "d", 40.0, "d", true, 110L, "2026-01-02"),
+      (6L, "f", 60.0, "c", false, 120L, "2026-01-04"))
+      .toDF("id", "name", "amount", "_op", "_deleted", "_seq", "pd")
+    val touched = Medallion.applyCdcPartitioned(
+      spark, table, changes, "id", "_seq", "pd")
+    assert(touched === Seq("2026-01-02", "2026-01-04"))
+
+    // untouched partitions: same file names, same bytes — NOT rewritten
+    assert(fileBytes(s"$table/pd=2026-01-01") === before01)
+    assert(fileBytes(s"$table/pd=2026-01-03") === before03)
+    // touched partition reflects the merge; new partition exists
+    val after = spark.read.parquet(table)
+      .orderBy("id").select("id", "name", "pd").as[(Long, String, String)].collect()
+    assert(after.map(_._1).toSeq === Seq(1L, 2L, 3L, 5L, 6L))
+    assert(after(2)._2 === "c2")
+    assert(after(4)._3 === "2026-01-04")
+    // no swap debris
+    assert(!new java.io.File(s"$table/_cdc_old_2026-01-02").exists())
+    assert(!new java.io.File(s"$table/_cdc_tmp_2026-01-02").exists())
+    assert(!new java.io.File(s"$table/_cdc_tmp_2026-01-04").exists())
+  }
+
   test("compaction shrinks a fragmented table without changing its rows") {
     import spark.implicits._
     import graft.medallion.Maintenance
