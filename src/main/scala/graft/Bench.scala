@@ -9,15 +9,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.SparkSessionFactory.local("graft-bench")
+    // opt-in fast-hash benchmarking (NOT for oracle runs — see TextFns)
+    if (sys.env.get("SPARK_GRAFT_FASTHASH").exists(_.toBoolean))
+      spark.conf.set("spark.graft.fastHash", "true")
     // warm the session: codegen, shuffle machinery, parquet reader
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").sum("v").count()

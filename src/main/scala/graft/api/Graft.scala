@@ -92,9 +92,15 @@ object Graft {
           / size(toks))
   }
 
-  /** Deterministic p-percent sample keyed on a stable expression. */
-  def hashSample(df: DataFrame, keyCol: Column, percent: Int): DataFrame =
-    df.filter(TextFns.hash60(keyCol.cast(StringType)) % 100 < percent)
+  /** Deterministic p-percent sample keyed on a stable expression. Honors
+    * `spark.graft.fastHash` (xxhash64 family — cheaper, equally
+    * deterministic, different members than the portable md5 family). */
+  def hashSample(df: DataFrame, keyCol: Column, percent: Int): DataFrame = {
+    val h =
+      if (TextFns.fastHash(df.sparkSession)) TextFns.xxhash60(keyCol.cast(StringType))
+      else TextFns.hash60(keyCol.cast(StringType))
+    df.filter(h % 100 < percent)
+  }
 
   // ---------------- temporal ----------------
 

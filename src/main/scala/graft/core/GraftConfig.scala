@@ -17,11 +17,17 @@ final case class KafkaConfig(bootstrapServers: Seq[String], topics: Seq[String])
   def bootstrap: String = bootstrapServers.mkString(",")
 }
 
-/** Medallion layer buckets (config_template.yaml:37-41). */
+/** Medallion layer buckets (config_template.yaml:37-41). A value that
+  * already carries a scheme (`s3a://…`, `file:/…`) or is an absolute
+  * path is used verbatim — so a local deployment (or a spec fixture)
+  * points the same config keys at directories; a bare name is an object
+  * store bucket. */
 final case class Buckets(bronze: String, silver: String, gold: String) {
-  def bronzeUri: String = s"s3a://$bronze"
-  def silverUri: String = s"s3a://$silver"
-  def goldUri: String = s"s3a://$gold"
+  private def uri(b: String): String =
+    if (b.contains("://") || b.startsWith("/")) b else s"s3a://$b"
+  def bronzeUri: String = uri(bronze)
+  def silverUri: String = uri(silver)
+  def goldUri: String = uri(gold)
 }
 
 final case class GraftConfig(

@@ -66,6 +66,22 @@ object SparkSessionFactory {
     }
   }
 
+  /** The one construction path for the driver-contract mains (Bench,
+    * Verify, Cli, Orchestrator, plan tools): `local[N]` with N from
+    * SPARK_GRAFT_CPUS, shuffle AND `spark.graft.parallelism` width = N
+    * (so query-internal repartitions agree with the shuffle width — a
+    * hand-rolled builder that forgets the latter silently
+    * under-partitions on a dynamic-allocation cluster), UTC, no UI,
+    * graft extensions injected, WARN logs. */
+  def local(appName: String, defaultCpus: Int = 4): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus.toString).toInt
+    val spark = builder(appName, s"local[$cpus]", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
   /** Wire an object store into an ALREADY-RUNNING session: builder confs
     * only apply at context creation, but Hadoop filesystems read their
     * conf lazily per scheme, so setting hadoopConfiguration at runtime is

@@ -31,6 +31,21 @@ object TextFns {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** Production 60-bit hash: top 60 bits of xxhash64 — codegen'd and
+    * ~10× cheaper than the md5 digest+hex path, same non-negative 60-bit
+    * range (so every overflow-safety argument built on [[hash60]]
+    * carries over). NOT cross-engine portable; the oracle-checked
+    * queries stay on md5. */
+  def xxhash60(c: Column): Column = shiftrightunsigned(xxhash64(c), 4)
+
+  /** The `spark.graft.fastHash` knob: true switches the MinHash/sampling
+    * hash family from portable md5 to [[xxhash60]]. Oracle-checked
+    * queries ignore it (they hardcode the md5 family — flipping a conf
+    * must never change a verified answer); the library facade and
+    * [[graft.operators.NearDup]] honor it. */
+  def fastHash(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.fastHash").exists(_.toBoolean)
+
   /** Seeded variant: independent hash family member i (for MinHash). */
   def hash60Seeded(c: Column, seed: Column): Column =
     hash60(concat(seed.cast(StringType), lit(":"), c))
@@ -66,9 +81,13 @@ object TextFns {
     * signed 64-bit int in any engine. Docs with Jaccard J agree in ~J of
     * slots (Broder 1997). Null-safe for empty sets (slot = max long so it
     * never collides). */
-  def minHash(hashedShingleSet: Column, numHashes: Int): Column = {
-    val h2s = transform(hashedShingleSet,
-      h => conv(substring(md5(h.cast(StringType)), 1, 12), 16, 10).cast(LongType))
+  def minHash(hashedShingleSet: Column, numHashes: Int, fast: Boolean = false): Column = {
+    // h2: independent 48-bit member — md5-of-decimal-string (portable) or
+    // top-48 of xxhash64 (fast); both keep h1 + i·h2 < 2^61
+    val h2s =
+      if (fast) transform(hashedShingleSet, h => shiftrightunsigned(xxhash64(h), 16))
+      else transform(hashedShingleSet,
+        h => conv(substring(md5(h.cast(StringType)), 1, 12), 16, 10).cast(LongType))
     transform(
       sequence(lit(0), lit(numHashes - 1)),
       i =>
@@ -81,9 +100,10 @@ object TextFns {
     * Near-dup candidates = rows sharing (band index, band key) for any
     * band. The banded self-join is the ONLY shuffle in the near-dup
     * pipeline and its key cardinality is ~numDocs×bands. */
-  def bandKey(signature: Column, band: Int, rows: Int): Column =
-    md5(concat_ws(",",
-      transform(slice(signature, band * rows + 1, rows), _.cast(StringType))))
+  def bandKey(signature: Column, band: Int, rows: Int, fast: Boolean = false): Column = {
+    val slots = transform(slice(signature, band * rows + 1, rows), _.cast(StringType))
+    if (fast) xxhash64(concat_ws(",", slots)) else md5(concat_ws(",", slots))
+  }
 
   /** Hashed shingle set: each shingle string → 60-bit long. Distinct runs
     * BEFORE hashing — small-vocab corpora repeat shingles heavily, so
@@ -93,8 +113,9 @@ object TextFns {
     * rows; with 60-bit hashes the collision probability is negligible,
     * and the DuckDB oracle applies the identical hash so results agree
     * bit-for-bit even if one occurred. */
-  def hashedShingles(text: Column, k: Int): Column =
-    transform(wordShingles(text, k), s => hash60(s))
+  def hashedShingles(text: Column, k: Int, fast: Boolean = false): Column =
+    transform(wordShingles(text, k),
+      s => if (fast) xxhash60(s) else hash60(s))
 
   /** Jaccard similarity from precomputed intersect + set sizes. Integer
     * inputs → the double division is bit-deterministic. */

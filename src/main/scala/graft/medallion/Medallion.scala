@@ -38,9 +38,15 @@ object Medallion {
         lit(clock).as("timestamp"),
         struct(df.columns.map(col): _*).as("data"))).as("value"))
 
-  /** Bronze write: JSON lines under year=/month=/day= of the ingest date. */
-  def writeBronze(df: DataFrame, table: String, clock: String, root: String): String = {
-    val path = s"$root/bronze/$table"
+  /** Bronze write: JSON lines under year=/month=/day= of the ingest date.
+    * `root` is a lake root (layer subdir appended); deployments with
+    * per-layer buckets use [[writeBronzeTo]] with the layer URI. */
+  def writeBronze(df: DataFrame, table: String, clock: String, root: String): String =
+    writeBronzeTo(df, table, clock, s"$root/bronze")
+
+  /** Bronze write into an explicit layer directory/bucket URI. */
+  def writeBronzeTo(df: DataFrame, table: String, clock: String, layerDir: String): String = {
+    val path = s"$layerDir/$table"
     val d = to_date(lit(clock))
     toEnvelope(df, table, clock)
       .withColumn("year", year(d)).withColumn("month", month(d))
@@ -91,15 +97,23 @@ object Medallion {
   }
 
   /** Silver write: parquet partitioned by processed_date (K3). */
-  def writeSilver(df: DataFrame, table: String, root: String): String = {
-    val path = s"$root/silver/$table"
+  def writeSilver(df: DataFrame, table: String, root: String): String =
+    writeSilverTo(df, table, s"$root/silver")
+
+  /** Silver write into an explicit layer directory/bucket URI. */
+  def writeSilverTo(df: DataFrame, table: String, layerDir: String): String = {
+    val path = s"$layerDir/$table"
     df.write.mode("overwrite").partitionBy("processed_date").parquet(path)
     path
   }
 
   /** Gold write: unpartitioned parquet (K4). */
-  def writeGold(df: DataFrame, table: String, root: String): String = {
-    val path = s"$root/gold/$table"
+  def writeGold(df: DataFrame, table: String, root: String): String =
+    writeGoldTo(df, table, s"$root/gold")
+
+  /** Gold write into an explicit layer directory/bucket URI. */
+  def writeGoldTo(df: DataFrame, table: String, layerDir: String): String = {
+    val path = s"$layerDir/$table"
     df.write.mode("overwrite").parquet(path)
     path
   }

@@ -34,17 +34,21 @@ object NearDup {
       s"bands ($bands) must divide minHashes ($minHashes) — " +
         s"a truncated band would silently weaken the LSH collision bound")
     val rows = minHashes / bands
+    // spark.graft.fastHash=true: xxhash64 family (codegen'd, ~10× cheaper
+    // than md5) for production corpora; md5 default keeps the operator
+    // bit-reproducible in any engine (the q36 oracle path never sets it)
+    val fast = fastHash(df.sparkSession)
     val base = partitionWidth.fold(df)(p => df.repartition(p, col(idCol)))
     // registered cache, released by the action-runner via CacheScope —
     // a bare .cache() here would leak the shingle blocks for the session
     val sh = CacheScope.cached(base
       .select(col(idCol).as("d_id"),
-        hashedShingles(col(textCol), shingleSize).as("hs"))
+        hashedShingles(col(textCol), shingleSize, fast).as("hs"))
       .filter(size(col("hs")) > 0))
-    val sig = sh.select(col("d_id"), minHash(col("hs"), minHashes).as("sig"))
+    val sig = sh.select(col("d_id"), minHash(col("hs"), minHashes, fast).as("sig"))
     val bandRows = sig.select(col("d_id"),
       posexplode(array((0 until bands).map(b =>
-        bandKey(col("sig"), b, rows)): _*)).as(Seq("band", "bkey")))
+        bandKey(col("sig"), b, rows, fast)): _*)).as(Seq("band", "bkey")))
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")

@@ -21,15 +21,7 @@ object Cli {
     val (dir, rest) =
       if (args.nonEmpty && args.head.startsWith("/")) (args.head, args.tail)
       else ("/root/testdata/sf0.001", args)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.SparkSessionFactory.local("graft-cli")
     GraftFunctions.register(spark)
     val lake = Lake(spark, dir)
     lake.registerViews()

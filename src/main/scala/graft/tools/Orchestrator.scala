@@ -1,5 +1,6 @@
 package graft.tools
 
+import graft.core.{GraftConfig, SparkSessionFactory}
 import graft.medallion.Medallion
 import graft.medallion.Medallion.CleaningRule
 import graft.queries.PipelineOps
@@ -14,28 +15,58 @@ import org.apache.spark.sql.types._
   * (the reference's DAG tasks are echo stubs around the same sequence,
   * sakila_pipeline_dag.py:33-65).
   *
-  * Usage: sbt "runMain graft.tools.Orchestrator [sfDir]"
+  * Config-driven like the reference (orchestrator.py + config_template
+  * .yaml): `--config <yaml>` supplies the medallion layer buckets (lake
+  * roots for each layer — local dirs or object-store URIs) and
+  * object-store credentials ([[SparkSessionFactory.applyObjectStore]]);
+  * without it the lake lands under a repo-local scratch root.
+  *
+  * Usage: sbt "runMain graft.tools.Orchestrator [sfDir] [--config path]"
   */
 object Orchestrator {
 
   private final case class StageResult(
       name: String, ok: Boolean, rows: Long, seconds: Double, note: String = "")
 
+  /** Per-layer output roots, from config buckets or a single local root. */
+  final case class LakeRoots(bronze: String, silver: String, gold: String)
+
+  object LakeRoots {
+    def from(cfg: Option[GraftConfig], fallbackRoot: String): LakeRoots =
+      cfg.flatMap(_.buckets) match {
+        case Some(b) => LakeRoots(b.bronzeUri, b.silverUri, b.goldUri)
+        case None =>
+          LakeRoots(s"$fallbackRoot/bronze", s"$fallbackRoot/silver", s"$fallbackRoot/gold")
+      }
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val (cfgPath, rest) = args.indexOf("--config") match {
+      case -1 => (None, args.toSeq)
+      case i  => (Some(args(i + 1)), args.take(i).toSeq ++ args.drop(i + 2))
+    }
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+    val cfg = cfgPath.map(GraftConfig.fromYaml)
+    val spark = SparkSessionFactory.local(
+      cfg.map(_.appName).getOrElse("graft-orchestrator"), defaultCpus = 8)
+    val ok = run(spark, sfDir, cfg)
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+
+  /** Run the full pipeline; returns overall success. Separated from
+    * `main` so a spec can drive it on its own session + fixture config. */
+  def run(spark: SparkSession, sfDir: String, cfg: Option[GraftConfig]): Boolean = {
+    // object-store credentials from config apply to the RUNNING session
+    // (hadoop conf is read lazily per filesystem scheme)
+    cfg.flatMap(_.objectStore)
+      .foreach(SparkSessionFactory.applyObjectStore(spark, _))
 
     val clock = "2026-01-15 12:00:00"
-    val root = new java.io.File(
+    val fallbackRoot = new java.io.File(
       s"target/tmp/orchestrator_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
       .getAbsolutePath
+    val roots = LakeRoots.from(cfg, fallbackRoot)
     val ordersSchema = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType),
@@ -59,7 +90,7 @@ object Orchestrator {
       }
     }
 
-    println(s"graft pipeline run  source=$sfDir  lake=$root")
+    println(s"graft pipeline run  source=$sfDir  bronze=${roots.bronze}")
     var bronzePath = ""
     var silverPath = ""
     // Stages are thunks so a failure SHORT-CIRCUITS the rest (the
@@ -72,7 +103,7 @@ object Orchestrator {
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             col("o_totalprice"), col("o_orderdate"))
           .repartition(graft.functions.Scale.par(spark), col("o_orderkey"))
-        bronzePath = Medallion.writeBronze(src, "orders", clock, root)
+        bronzePath = Medallion.writeBronzeTo(src, "orders", clock, roots.bronze)
         spark.read.text(bronzePath).count()
       }),
       "bronze_to_silver" -> (() => {
@@ -80,7 +111,7 @@ object Orchestrator {
         val silver = Medallion.toSilver(flat,
           CleaningRule(Seq("o_orderkey"), Seq("o_orderkey", "o_custkey", "o_totalprice"),
             trimCols = Seq("o_orderstatus")), clock)
-        silverPath = Medallion.writeSilver(silver, "orders", root)
+        silverPath = Medallion.writeSilverTo(silver, "orders", roots.silver)
         spark.read.parquet(silverPath).count()
       }),
       "silver_to_gold" -> (() => {
@@ -89,7 +120,7 @@ object Orchestrator {
           .agg(count(lit(1)).as("n_orders"),
             sum(col("o_totalprice").cast(DecimalType(18, 2)))
               .cast(DoubleType).as("total_spent"))
-        val goldPath = Medallion.writeGold(gold, "customer_summary", root)
+        val goldPath = Medallion.writeGoldTo(gold, "customer_summary", roots.gold)
         spark.read.parquet(goldPath).count()
       }),
       "streaming_hourly" -> (() => {
@@ -115,7 +146,6 @@ object Orchestrator {
     val skipped = stages.size - results.size
     if (skipped > 0) println(s"  … $skipped downstream stage(s) skipped")
     println(f"pipeline ${if (ok) "SUCCESS" else "FAILED"}  total ${results.map(_.seconds).sum}%.1f s")
-    spark.stop()
-    if (!ok) sys.exit(1)
+    ok
   }
 }

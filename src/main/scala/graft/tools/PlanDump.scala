@@ -7,12 +7,7 @@ import org.apache.spark.sql.SparkSession
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
-      .getOrCreate()
+    val spark = graft.core.SparkSessionFactory.local("graft-plandump", defaultCpus = 8)
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)

@@ -5,11 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev-only scratch main for inspecting testdata behavior under Spark. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.core.SparkSessionFactory.local("graft-probe")
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
     try {

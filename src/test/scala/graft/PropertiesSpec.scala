@@ -63,6 +63,54 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  /** Run `body` with spark.graft.fastHash=true, restoring the session. */
+  private def withFastHash[A](body: => A): A =
+    try { spark.conf.set("spark.graft.fastHash", "true"); body }
+    finally spark.conf.unset("spark.graft.fastHash")
+
+  test("fastHash=true: nearDupPairs finds the same pairs as the md5 family") {
+    import graft.api.Graft
+    import spark.implicits._
+    // planted corpus: disjoint per-doc vocabularies (cross-pair Jaccard =
+    // 0, so neither family can candidate them) + 3 planted exact dups
+    // (Jaccard = 1 — every band collides, recall certain for ANY family;
+    // fuzzy-recall behavior is the oracle-checked q36's job, this test is
+    // about family agreement)
+    val base = (1 to 40).map(i =>
+      (i.toLong, (0 until 10).map(w => s"w${i}x$w").mkString(" ")))
+    val dups = Seq(41L -> base(2)._2, 42L -> base(5)._2, 43L -> base(9)._2)
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    def pairs() = Graft.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5Pairs = pairs()
+    val fastPairs = withFastHash(pairs())
+    assert(md5Pairs.nonEmpty, "the planted corpus must produce near-dup pairs")
+    assert(fastPairs === md5Pairs,
+      "both hash families must surface the same verified near-dup pairs")
+    // deterministic under re-evaluation and repartitioning
+    assert(withFastHash(pairs()) === fastPairs)
+    graft.core.CacheScope.releaseAll()
+  }
+
+  test("fastHash=true: hashSample is deterministic, partition-invariant, ~p%") {
+    import graft.api.Graft
+    import spark.implicits._
+    val df = (1L to 4000L).toDF("id")
+    withFastHash {
+      val a = Graft.hashSample(df, col("id"), 20).collect().map(_.getLong(0)).toSet
+      val b = Graft.hashSample(df.repartition(13), col("id"), 20)
+        .collect().map(_.getLong(0)).toSet
+      assert(a === b, "sample membership must not depend on partitioning")
+      assert(math.abs(a.size - 800) < 200, s"~20% of 4000 expected, got ${a.size}")
+      // the fast family is a DIFFERENT deterministic family than md5
+      val md5Sample = { spark.conf.unset("spark.graft.fastHash")
+        val s = Graft.hashSample(df, col("id"), 20).collect().map(_.getLong(0)).toSet
+        spark.conf.set("spark.graft.fastHash", "true"); s }
+      assert(md5Sample !== a)
+      assert(math.abs(md5Sample.size - 800) < 200)
+    }
+  }
+
   test("cross-layer reconciliation: bronze preserves rows; silver keeps distinct keys") {
     import spark.implicits._
     import graft.medallion.Medallion
