@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 70 queries of whole-stage codegen overflow the default 240 MB code
+  // cache, after which the JIT stops compiling and the END of a long
+  // suite runs interpreted (measured: the last query 3.5× slower
+  // in-suite than isolated). Spark's own launcher scripts raise this
+  // for the same reason.
+  "-XX:ReservedCodeCacheSize=640m",
 )

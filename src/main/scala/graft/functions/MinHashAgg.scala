@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed MinHash signature aggregator (`Aggregator[IN, BUF, OUT]`): merges
@@ -39,8 +39,12 @@ class MinHashAgg(slots: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long
 
   override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
 
+  // Catalyst array encoder, NOT javaSerialization: the buffer crosses
+  // the partial→final exchange once per group per partition, and the
+  // expression encoder writes a primitive long array directly into
+  // UnsafeRow (no object stream, no reflection)
   override def bufferEncoder: Encoder[Array[Long]] =
-    Encoders.javaSerialization[Array[Long]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
