@@ -86,6 +86,17 @@ class PlanChecksSpec extends SparkSpec {
       s"shingle arrays rode the candidate join:\n$p")
   }
 
+  test("q69: mergeable sketch aggregates partial then final (ObjectHashAggregate)") {
+    val p = plan(TextOps.q69GroupedMinhashIndex(spark, sfDir))
+    // the whole point of the mergeable MinHash Aggregator at scale: a
+    // map-side partial per partition, ONE exchange keyed by group, a
+    // final merge — never raw signatures shuffled per document
+    val aggLines = p.linesIterator.filter(_.contains("ObjectHashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial_")),
+      s"expected a partial (map-side) sketch aggregate in:\n$p")
+    assert(aggLines.size >= 2, s"expected partial+final aggregate pair in:\n$p")
+  }
+
   test("q31: column pruning reaches the scan (only text/lang read)") {
     val p = plan(TextOps.q31TokenStats(spark, sfDir))
     assert(p.contains("ReadSchema"))
