@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{PipelineOps, Relational, RelationalExt, RelationalMore, TextOps, VectorOps}
+import graft.queries.{PipelineOps, Relational, RelationalExt, RelationalMore, TextOps, TrainingOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,11 +13,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RelationalExt.queries ++ TextOps.queries ++
-      VectorOps.queries ++ PipelineOps.queries ++ RelationalMore.queries
+      VectorOps.queries ++ PipelineOps.queries ++ RelationalMore.queries ++
+      TrainingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ RelationalExt.oracle ++ TextOps.oracle ++
-      VectorOps.oracle ++ PipelineOps.oracle ++ RelationalMore.oracle
+      VectorOps.oracle ++ PipelineOps.oracle ++ RelationalMore.oracle ++
+      TrainingOps.oracle
 }

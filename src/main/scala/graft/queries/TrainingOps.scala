@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.core.Lake
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond cleaning/dedup: stratified
+  * sampling with exact per-group quotas, vocabulary construction, and
+  * benchmark-contamination detection — each oracle-matched against
+  * DuckDB like every other query.
+  *
+  * Scale notes are per-query; the common theme is that every per-group
+  * top-k goes through a rank window (partial `WindowGroupLimit` prunes
+  * to k per partition before the shuffle) and the only broadcast is the
+  * benchmark probe set, which is small by nature (benchmark suites are
+  * megabytes; corpora are the 100 TB side).
+  */
+object TrainingOps {
+
+  private def lake(s: SparkSession, dir: String) = Lake(s, dir)
+
+  /** DuckDB fragment for hash60 (keep in sync with TextFns.hash60). */
+  private def dHash(x: String) =
+    s"CAST(concat('0x', substr(md5($x),1,15)) AS BIGINT)"
+
+  /** DuckDB fragment: distinct hashed word 3-shingles of `text`. */
+  private val dShingles =
+    s"""list_transform(
+          list_distinct(list_transform(
+            range(len(string_split(trim(text), ' ')) - 2),
+            i -> concat_ws(' ', string_split(trim(text), ' ')[i+1],
+                           string_split(trim(text), ' ')[i+2],
+                           string_split(trim(text), ' ')[i+3]))),
+          s -> ${dHash("s")})"""
+
+  // --------------------------------------------------------------------
+  // q70 — stratified sample with EXACT per-stratum quotas: the training-
+  // mix operator ("50 documents per language", weights in rows, not
+  // probabilities — Bernoulli sampling like q54 only hits quotas in
+  // expectation). Deterministic: rank by the portable doc-id hash within
+  // each stratum. Scale shape: rank()<=k over a partitioned window plans
+  // as partial+final WindowGroupLimit — each partition pre-prunes to its
+  // local top-k before one shuffle keyed by stratum; no global sort.
+  // --------------------------------------------------------------------
+  private val Q70_QUOTA = 50
+
+  def q70StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(hash60(col("doc_id").cast("string")), col("doc_id"))
+    lake(s, dir).documents
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Q70_QUOTA)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val q70Oracle =
+    s"""SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY ${dHash("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+          FROM documents)
+        WHERE rk <= $Q70_QUOTA ORDER BY lang, rk"""
+
+  // --------------------------------------------------------------------
+  // q71 — vocabulary construction: top-20 tokens per language by corpus
+  // frequency (the first pass of any BPE/WordPiece trainer). Two-phase:
+  // token explode + (lang, token) count — partial aggregation absorbs
+  // the explode's fan-out map-side, so the shuffle carries one row per
+  // DISTINCT (lang, token), i.e. vocabulary-sized, not corpus-sized —
+  // then a rank window per language (WindowGroupLimit again).
+  // --------------------------------------------------------------------
+  private val Q71_TOPK = 20
+
+  def q71VocabTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+    lake(s, dir).documents
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Q71_TOPK)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val q71Oracle =
+    s"""SELECT lang, token, n_occurrences, CAST(rk AS INTEGER) AS rk FROM (
+          SELECT lang, token, count(*) AS n_occurrences,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY count(*) DESC, token) AS rk
+          FROM (SELECT lang, unnest(string_split(trim(text), ' ')) AS token
+                FROM documents)
+          GROUP BY lang, token)
+        WHERE rk <= $Q71_TOPK ORDER BY lang, rk"""
+
+  // --------------------------------------------------------------------
+  // q72 — benchmark contamination: which training documents share ≥ 5
+  // distinct 3-shingles with a benchmark probe set (here: the held-out
+  // docs with doc_id % 100 < 2 — in production, the eval suites). Scale
+  // shape: the probe set's distinct shingle hashes are SMALL (benchmarks
+  // are megabytes) → broadcast hash join against the scan-parallel
+  // corpus explode; one group-by doc_id on the (rare) hits. The corpus
+  // side is never shuffled in full, whatever its size.
+  // --------------------------------------------------------------------
+  private val Q72_MIN_OVERLAP = 5
+
+  def q72Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = lake(s, dir).documents
+      .select(col("doc_id"), hashedShingles(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val bench = docs.filter(col("doc_id") % 100 < 2)
+      .select(explode(col("hs")).as("h")).distinct()
+    docs.filter(col("doc_id") % 100 >= 2)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(bench), "h") // shingle sets are distinct per doc
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .filter(col("n_shared_shingles") >= Q72_MIN_OVERLAP)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q72Oracle =
+    s"""WITH sh AS (
+          SELECT doc_id, $dShingles AS hs
+          FROM documents
+          WHERE len(string_split(trim(text), ' ')) >= 3),
+        bench AS (
+          SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 100 < 2),
+        hits AS (
+          SELECT s.doc_id, count(*) AS n_shared_shingles
+          FROM (SELECT doc_id, unnest(hs) AS h FROM sh
+                WHERE doc_id % 100 >= 2) s
+          JOIN bench ON s.h = bench.h
+          GROUP BY s.doc_id)
+        SELECT doc_id, n_shared_shingles FROM hits
+        WHERE n_shared_shingles >= $Q72_MIN_OVERLAP ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_stratified_sample" -> (q70StratifiedSample _),
+    "q71_vocab_topk" -> (q71VocabTopK _),
+    "q72_contamination" -> (q72Contamination _))
+
+  val oracle: Map[String, String] = Map(
+    "q70_stratified_sample" -> q70Oracle,
+    "q71_vocab_topk" -> q71Oracle,
+    "q72_contamination" -> q72Oracle)
+}

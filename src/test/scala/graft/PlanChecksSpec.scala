@@ -97,6 +97,29 @@ class PlanChecksSpec extends SparkSpec {
     assert(aggLines.size >= 2, s"expected partial+final aggregate pair in:\n$p")
   }
 
+  test("q70/q71: per-stratum top-k plans partial+final WindowGroupLimit") {
+    for (df <- Seq(graft.queries.TrainingOps.q70StratifiedSample(spark, sfDir),
+                   graft.queries.TrainingOps.q71VocabTopK(spark, sfDir))) {
+      val p = plan(df)
+      // each partition pre-prunes to its local k before the stratum
+      // shuffle — quota selection never globally sorts a stratum
+      assert(p.contains("WindowGroupLimit"), s"expected group-limit prune in:\n$p")
+      assert(p.contains("Partial") && p.contains("Final"),
+        s"expected two-phase group limit in:\n$p")
+    }
+  }
+
+  test("q71: token counting aggregates partially before the shuffle (vocab-sized exchange)") {
+    val p = plan(graft.queries.TrainingOps.q71VocabTopK(spark, sfDir))
+    assert(p.contains("partial_count"),
+      s"explode fan-out must be absorbed map-side:\n$p")
+  }
+
+  test("q72: the benchmark probe side joins broadcast — the corpus is never shuffled in full") {
+    val p = plan(graft.queries.TrainingOps.q72Contamination(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe join in:\n$p")
+  }
+
   test("q31: column pruning reaches the scan (only text/lang read)") {
     val p = plan(TextOps.q31TokenStats(spark, sfDir))
     assert(p.contains("ReadSchema"))
