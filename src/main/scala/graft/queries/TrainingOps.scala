@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.core.Lake
+import graft.core.{CacheScope, Lake}
+import graft.functions.Scale
 import graft.functions.TextFns._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -108,9 +109,13 @@ object TrainingOps {
   private val Q72_MIN_OVERLAP = 5
 
   def q72Contamination(s: SparkSession, dir: String): DataFrame = {
-    val docs = lake(s, dir).documents
+    // repartition before the md5-heavy shingle pass (single-file inputs
+    // arrive as ONE partition) and cache it — BOTH the probe side and
+    // the corpus side consume this frame
+    val docs = CacheScope.cached(lake(s, dir).documents
+      .repartition(Scale.par(s), col("doc_id"))
       .select(col("doc_id"), hashedShingles(col("text"), 3).as("hs"))
-      .filter(size(col("hs")) > 0)
+      .filter(size(col("hs")) > 0))
     val bench = docs.filter(col("doc_id") % 100 < 2)
       .select(explode(col("hs")).as("h")).distinct()
     docs.filter(col("doc_id") % 100 >= 2)
