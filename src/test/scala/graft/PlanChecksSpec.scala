@@ -120,6 +120,19 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe join in:\n$p")
   }
 
+  test("q73: SRP-LSH pair stage is a banded equi-join; embeddings stay out of it") {
+    val p = plan(graft.queries.VectorOps.q73SrpLshPairs(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nested-loop pair generation survived banding:\n$p")
+    // the banded self-join shuffles (vec_id, sig, band, bval) only; the
+    // 64-float arrays are fetched by id after the collision prune
+    val bandJoins = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("bval")).toSeq
+    assert(bandJoins.nonEmpty, s"banded join missing in:\n$p")
+    assert(!bandJoins.exists(_.contains("embedding")),
+      s"embedding arrays rode the candidate join:\n$p")
+  }
+
   test("q31: column pruning reaches the scan (only text/lang read)") {
     val p = plan(TextOps.q31TokenStats(spark, sfDir))
     assert(p.contains("ReadSchema"))
