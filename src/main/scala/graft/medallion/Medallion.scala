@@ -74,6 +74,28 @@ object Medallion {
       .select(from_json(col("value"), envelopeSchema(dataSchema)).as("env"))
       .select(col("env.operation").as("_op"), col("env.data.*"))
 
+  /** Bronze read with corrupt-line quarantine: at ingest scale some
+    * lines are malformed (truncated flush, partial object write, junk
+    * from a producer bug). `from_json` parses those to NULL; silently
+    * flattening them poisons silver with all-null rows, and silently
+    * dropping them hides data loss. This splits the read: `good` rows
+    * flattened as usual, `quarantine` rows carrying the RAW line for
+    * inspection/replay (write it to a `_quarantine/` sibling and alert
+    * on count > 0). Both frames come from ONE pass over the text —
+    * Spark shares the scan; no second read. */
+  def readBronzeQuarantine(
+      spark: SparkSession, path: String,
+      dataSchema: StructType): (DataFrame, DataFrame) = {
+    val raw = spark.read.text(path)
+      .select(col("value"),
+        from_json(col("value"), envelopeSchema(dataSchema)).as("env"))
+    val ok = col("env").isNotNull && col("env.data").isNotNull
+    val good = raw.filter(ok)
+      .select(col("env.operation").as("_op"), col("env.data.*"))
+    val quarantine = raw.filter(!ok).select(col("value").as("raw_line"))
+    (good, quarantine)
+  }
+
   /** Declarative silver cleaning rule (bronze_to_silver.py:73-120). */
   final case class CleaningRule(
       dedupKeys: Seq[String],

@@ -72,6 +72,20 @@ object EventStreams {
     spark.table(sink)
   }
 
+  /** Streaming exact dedup by key, state bounded by the watermark — the
+    * at-least-once ingestion guard: a replayed Kafka batch re-delivers
+    * envelopes, and batch `dropDuplicates` state would grow forever on
+    * an unbounded stream. `dropDuplicatesWithinWatermark` keeps a key's
+    * dedup state only until the watermark passes its event time + delay,
+    * so memory is bounded by the duplicate-arrival horizon (how late a
+    * redelivery can be), not by stream length. Exactly-once sinks
+    * downstream see each key once per horizon. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      tsCol: String, delay: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   // ------------------------------------------------------------------
   // Typed stateful sessionization (KeyValueGroupedDataset custom state).
   // ------------------------------------------------------------------

@@ -61,6 +61,27 @@ class MedallionSpec extends SparkSpec {
     assert(rows(0).getAs[java.sql.Date]("processed_date").toString === "2026-02-01")
   }
 
+  test("readBronzeQuarantine splits corrupt lines out instead of poisoning silver") {
+    import spark.implicits._
+    val src = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "amount")
+    val p = Medallion.writeBronze(src, "t", clock, root("quarantine"))
+    // inject ingest-realistic corruption next to the good lines:
+    // a truncated envelope and a non-JSON junk line
+    val part = new java.io.File(s"$p/year=2026/month=2/day=1")
+    val bad = new java.io.File(part, "part-corrupt.txt")
+    java.nio.file.Files.writeString(bad.toPath,
+      """{"table":"t","operation":"INSERT","timest""" + "\n" +
+        "not json at all\n")
+    val (good, quarantine) = Medallion.readBronzeQuarantine(spark, p, schema)
+    assert(good.count() === 2)
+    assert(good.orderBy("id").select("id", "name").as[(Long, String)].collect()
+      .toSeq === Seq((1L, "a"), (2L, "b")))
+    val q = quarantine.orderBy("raw_line").collect().map(_.getString(0))
+    assert(q.length === 2)
+    assert(q.exists(_.startsWith("""{"table":"t","operation":"INSERT","timest""")))
+    assert(q.contains("not json at all"), "raw line must survive for replay")
+  }
+
   test("applyCdc: latest change wins, deletes drop keys, untouched rows survive") {
     import spark.implicits._
     val snapshot = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))

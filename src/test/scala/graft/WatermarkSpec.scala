@@ -15,6 +15,45 @@ class WatermarkSpec extends SparkSpec {
 
   private def t(h: Int, m: Int = 0) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
 
+  test("dedupStream drops in-horizon redeliveries; state is watermark-bounded") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val out = graft.streaming.EventStreams.dedupStream(
+      ms.toDF().toDF("ts", "event_id"), Seq("event_id"), "ts", "1 hour")
+    val q = out.writeStream
+      .format("memory").queryName("dedup_spec")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        new java.io.File(
+          s"target/tmp/ckpt_dedup_${java.util.UUID.randomUUID()}").getAbsolutePath)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1: event 1 twice in one batch + event 2
+      ms.addData((t(10, 0), 1L), (t(10, 1), 1L), (t(10, 5), 2L))
+      q.processAllAvailable()
+      // batch 2: event 1 REDELIVERED across batches (still in horizon)
+      ms.addData((t(10, 30), 1L), (t(10, 31), 3L))
+      q.processAllAvailable()
+      assert(spark.table("dedup_spec").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L),
+        "each key must pass exactly once within the watermark horizon")
+
+      // advance the watermark far past event 1's dedup state, then the
+      // SAME key arrives again: state was dropped → passes again. That
+      // is the bounded-memory contract (horizon dedup, not forever).
+      ms.addData((t(14, 0), 99L))
+      q.processAllAvailable()
+      ms.addData((t(14, 5), 1L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_spec").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 1L, 2L, 3L, 99L),
+        "a key re-arriving AFTER its state expired passes again")
+    } finally q.stop()
+  }
+
   test("append-mode hourly windows finalize past the watermark; late rows are dropped") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
