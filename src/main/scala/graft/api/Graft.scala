@@ -62,6 +62,38 @@ object Graft {
     graft.operators.NearDup.minHashLshPairs(
       df, idCol, textCol, shingleSize, minHashes, bands, threshold)
 
+  /** Per-group MinHash index: one `slots`-wide signature per `groupCol`
+    * value, built by partial aggregation (the mergeable-sketch path —
+    * signatures combine by elementwise min, so partials merge exactly).
+    * Persist the result and fold new batches in with
+    * [[mergeMinHashIndexes]] instead of rescanning the corpus. Honors
+    * `spark.graft.fastHash`. */
+  def minHashIndex(df: DataFrame, groupCol: String, textCol: String,
+      slots: Int = 12): DataFrame = {
+    val fast = TextFns.fastHash(df.sparkSession)
+    val mergeSig = udaf(new graft.functions.MinHashAgg(slots))
+    df.select(col(groupCol).as("group_key"),
+        TextFns.hashedShingles(col(textCol), 3, fast).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("group_key"), TextFns.minHash(col("hs"), slots, fast).as("sig"))
+      .groupBy(col("group_key"))
+      .agg(mergeSig(col("sig")).as("sig"))
+  }
+
+  /** Fold one index into another (stored index + new batch's index):
+    * elementwise min per group; groups on one side only pass through.
+    * `mergeMinHashIndexes(minHashIndex(a), minHashIndex(b))` equals
+    * `minHashIndex(a union b)` exactly — min-of-mins — which is what
+    * makes incremental maintenance O(|batch| + |index|), no rescan. */
+  def mergeMinHashIndexes(stored: DataFrame, batch: DataFrame): DataFrame =
+    stored.select(col("group_key"), col("sig").as("sig_a"))
+      .join(batch.select(col("group_key"), col("sig").as("sig_b")),
+        Seq("group_key"), "full_outer")
+      .select(col("group_key"),
+        coalesce(
+          zip_with(col("sig_a"), col("sig_b"), (a, b) => least(a, b)),
+          col("sig_a"), col("sig_b")).as("sig"))
+
   // ---------------- similarity search ----------------
 
   /** Exact cosine top-k neighbors for each row of `queries` against

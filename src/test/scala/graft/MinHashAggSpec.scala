@@ -1,4 +1,5 @@
 package graft
+// (incremental-index facade equivalence lives at the bottom of this suite)
 
 import graft.core.Lake
 import graft.functions.TextFns._
@@ -38,6 +39,40 @@ class MinHashAggSpec extends SparkSpec {
     merged.keySet.foreach { lang =>
       assert(merged(lang) === direct(lang), s"signature mismatch for $lang")
     }
+  }
+
+  test("incremental index maintenance: fold-in of a new batch equals a full rebuild") {
+    import graft.api.Graft
+    val docs = Lake(spark, sfDir).documents
+    // yesterday's corpus and today's batch, split disjointly
+    val stored = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+
+    // the stored index survives a parquet round trip (the real shape:
+    // index on disk, batch folded in, written back)
+    val idxPath = new java.io.File(
+      s"target/tmp/minhash_idx_${java.util.UUID.randomUUID().toString.take(8)}")
+      .getAbsolutePath
+    Graft.minHashIndex(stored, "lang", "text").write.parquet(idxPath)
+    val incremental = Graft.mergeMinHashIndexes(
+      spark.read.parquet(idxPath),
+      Graft.minHashIndex(batch, "lang", "text"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+
+    val rebuild = Graft.minHashIndex(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+
+    assert(incremental === rebuild,
+      "fold-in must equal the from-scratch index exactly (min-of-mins)")
+  }
+
+  test("mergeMinHashIndexes passes through groups present on only one side") {
+    import spark.implicits._
+    val a = Seq(("g1", Seq(5L, 9L)), ("g2", Seq(3L, 4L))).toDF("group_key", "sig")
+    val b = Seq(("g2", Seq(1L, 8L)), ("g3", Seq(7L, 2L))).toDF("group_key", "sig")
+    val m = graft.api.Graft.mergeMinHashIndexes(a, b)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m === Map("g1" -> Seq(5L, 9L), "g2" -> Seq(1L, 4L), "g3" -> Seq(7L, 2L)))
   }
 
   test("partial-merge order does not matter (associativity/commutativity)") {
