@@ -22,6 +22,48 @@ class ScaleSpec extends SparkSpec {
       salted.orderBy("k").collect().toSeq)
   }
 
+  test("AQE skew join: a hot key's partition is split at runtime (OptimizeSkewedJoin)") {
+    import spark.implicits._
+    // one key owns ~95% of the left side — the classic hot-key join.
+    // Thresholds are lowered so the optimization triggers at spec scale;
+    // on a real cluster the defaults (256 MB) play the same role.
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      // coalescing would merge the small partitions and hide the skew
+      // reader — production keeps both on; the test isolates the splitter
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // pad must be incompressible AND survive into the join output —
+      // skew detection reads COMPRESSED shuffle bytes, and 200k copies
+      // of one long deflate to nothing
+      val left = ((1 to 200000).map(_ => 1L) ++ (1L to 10000L))
+        .toDF("k")
+        .withColumn("pad", md5(monotonically_increasing_id().cast("string")))
+      val right = (1L to 10000L).map(j => (j, s"dim_$j")).toDF("rk", "v")
+      val joined = left.join(right, col("k") === col("rk"))
+        .select(col("k"), col("pad"), col("v"))
+      // collect on the join's own plan so AQE finalizes THIS queryExecution
+      assert(joined.collect().length === 200000 + 10000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead skewed"),
+        s"expected AQE to mark/split the skewed partition in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val l = Lake(spark, sfDir) // warehouse dir set at session build (static conf)
     // in-memory catalog forgets tables between JVMs but the warehouse
