@@ -23,10 +23,12 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      // release query-registered caches so blocks never accumulate
-      // across queries (the round-2 tail regression)
-      graft.core.CacheScope.releaseAll()
+      // scoped: this query's registered caches release right after its
+      // action, so blocks never accumulate across queries (the round-2
+      // tail regression)
+      graft.core.CacheScope.scoped {
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

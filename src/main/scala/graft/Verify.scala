@@ -15,10 +15,14 @@ object Verify {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // per-query cache scope: this query's registered caches release
+        // right after ITS dump, without evicting concurrent queries'
+        graft.core.CacheScope.scoped {
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
         }
       }
     }

@@ -72,27 +72,46 @@ object Graft {
       slots: Int = 12): DataFrame = {
     val fast = TextFns.fastHash(df.sparkSession)
     val mergeSig = udaf(new graft.functions.MinHashAgg(slots))
-    df.select(col(groupCol).as("group_key"),
+    df
+      // a NULL group has no index identity (and null keys would split
+      // into per-side rows under the merge's full-outer join)
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("group_key"),
         TextFns.hashedShingles(col(textCol), 3, fast).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("group_key"), TextFns.minHash(col("hs"), slots, fast).as("sig"))
       .groupBy(col("group_key"))
       .agg(mergeSig(col("sig")).as("sig"))
+      // the signature is meaningless without its hash family: persist it
+      // with the index so a later merge can refuse a cross-family fold
+      .withColumn("family", lit(if (fast) "xxhash64" else "md5"))
   }
 
   /** Fold one index into another (stored index + new batch's index):
     * elementwise min per group; groups on one side only pass through.
     * `mergeMinHashIndexes(minHashIndex(a), minHashIndex(b))` equals
     * `minHashIndex(a union b)` exactly — min-of-mins — which is what
-    * makes incremental maintenance O(|batch| + |index|), no rescan. */
-  def mergeMinHashIndexes(stored: DataFrame, batch: DataFrame): DataFrame =
-    stored.select(col("group_key"), col("sig").as("sig_a"))
-      .join(batch.select(col("group_key"), col("sig").as("sig_b")),
+    * makes incremental maintenance O(|batch| + |index|), no rescan.
+    * Merging indexes built under DIFFERENT hash families (one md5, one
+    * xxhash64 — e.g. a stored index meeting a fastHash session) would
+    * silently produce garbage signatures; that is rejected at execution
+    * via `raise_error`. */
+  def mergeMinHashIndexes(stored: DataFrame, batch: DataFrame): DataFrame = {
+    val mismatch = col("fam_a").isNotNull && col("fam_b").isNotNull &&
+      col("fam_a") =!= col("fam_b")
+    stored.select(col("group_key"), col("sig").as("sig_a"), col("family").as("fam_a"))
+      .join(batch.select(col("group_key"), col("sig").as("sig_b"), col("family").as("fam_b")),
         Seq("group_key"), "full_outer")
       .select(col("group_key"),
-        coalesce(
-          zip_with(col("sig_a"), col("sig_b"), (a, b) => least(a, b)),
-          col("sig_a"), col("sig_b")).as("sig"))
+        when(mismatch,
+          raise_error(format_string(
+            "minhash index hash-family mismatch: %s vs %s — rebuild one side",
+            col("fam_a"), col("fam_b"))).cast(ArrayType(LongType)))
+          .otherwise(coalesce(
+            zip_with(col("sig_a"), col("sig_b"), (a, b) => least(a, b)),
+            col("sig_a"), col("sig_b"))).as("sig"),
+        coalesce(col("fam_a"), col("fam_b")).as("family"))
+  }
 
   // ---------------- similarity search ----------------
 

@@ -29,16 +29,37 @@ import org.apache.spark.sql.DataFrame
 object CacheScope {
 
   private val live = new ConcurrentLinkedQueue[DataFrame]()
+  private val scopeLocal = new ThreadLocal[java.util.ArrayDeque[DataFrame]]()
 
-  /** Cache `df` and register it for the next [[releaseAll]]. */
+  /** Cache `df` and register it — into the current thread's [[scoped]]
+    * block if one is active (released when that block ends), else into
+    * the global registry (released by [[releaseAll]]). */
   def cached(df: DataFrame): DataFrame = {
     df.cache()
-    live.add(df)
+    val scope = scopeLocal.get()
+    if (scope != null) scope.add(df) else live.add(df)
     df
   }
 
-  /** Unpersist every registered cache (non-blocking — block eviction
-    * proceeds in the background while the next query starts). */
+  /** Run one query's plan build + action with its own cache scope:
+    * caches registered on THIS thread inside `body` are released as the
+    * block exits. This is what lets concurrent action-runners (Verify's
+    * 4-way pool) release each query's caches promptly without evicting
+    * a sibling query's still-needed frames — a global releaseAll from
+    * one worker would release everyone's. */
+  def scoped[A](body: => A): A = {
+    val prev = scopeLocal.get()
+    val mine = new java.util.ArrayDeque[DataFrame]()
+    scopeLocal.set(mine)
+    try body
+    finally {
+      scopeLocal.set(prev)
+      mine.forEach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Unpersist every globally-registered cache (non-blocking — block
+    * eviction proceeds in the background while the next query starts). */
   def releaseAll(): Unit = {
     var df = live.poll()
     while (df != null) {
@@ -47,6 +68,6 @@ object CacheScope {
     }
   }
 
-  /** Number of registered, not-yet-released caches (test visibility). */
+  /** Number of globally-registered, not-yet-released caches. */
   def liveCount: Int = live.size()
 }

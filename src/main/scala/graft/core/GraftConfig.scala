@@ -23,8 +23,12 @@ final case class KafkaConfig(bootstrapServers: Seq[String], topics: Seq[String])
   * points the same config keys at directories; a bare name is an object
   * store bucket. */
 final case class Buckets(bronze: String, silver: String, gold: String) {
+  // a URI scheme is `name:` — single-slash forms like `file:/x` are
+  // valid and must pass through (matching the doc above), so detect the
+  // scheme prefix itself, not the `://` idiom
   private def uri(b: String): String =
-    if (b.contains("://") || b.startsWith("/")) b else s"s3a://$b"
+    if (b.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*") || b.startsWith("/")) b
+    else s"s3a://$b"
   def bronzeUri: String = uri(bronze)
   def silverUri: String = uri(silver)
   def goldUri: String = uri(gold)

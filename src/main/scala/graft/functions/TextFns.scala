@@ -31,6 +31,17 @@ object TextFns {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** Driver-side hash60 of a literal string — the exact value
+    * `hash60(lit(s))` evaluates to (first 15 md5 hex chars as a long).
+    * For precomputing ROW-INVARIANT hashes (e.g. per-dimension plane
+    * signs) once on the driver instead of per row per executor. */
+  def hash60Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Production 60-bit hash: top 60 bits of xxhash64 — codegen'd and
     * ~10× cheaper than the md5 digest+hex path, same non-negative 60-bit
     * range (so every overflow-safety argument built on [[hash60]]

@@ -198,11 +198,23 @@ object Medallion {
       spark: SparkSession, tablePath: String, changes: DataFrame,
       key: String, seqCol: String, partitionCol: String): Seq[String] = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val touched = changes.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0).toString).sorted.toSeq
-    touched.foreach { pv =>
-      val partPath = s"$tablePath/$partitionCol=$pv"
-      val chg = changes.filter(col(partitionCol) === lit(pv)).drop(partitionCol)
+    val rawTouched = changes.select(col(partitionCol)).distinct().collect().map(_.get(0))
+    // a null partition value has no directory identity — surface it as
+    // the data error it is rather than NPE-ing or inventing a partition
+    require(!rawTouched.contains(null),
+      s"applyCdcPartitioned: change batch has rows with NULL $partitionCol")
+    // keep the ORIGINAL typed values for the filter (ANSI Spark rejects
+    // cross-type compares like string = int); strings only name paths
+    val touchedRaw = rawTouched.sortBy(_.toString).toSeq
+    touchedRaw.foreach { raw =>
+      val pv = raw.toString
+      // Spark escapes special characters in partition directory names
+      // (space, ':', '/', …); probe and write the SAME escaped path or a
+      // timestamp-valued partition silently forks into two directories
+      val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(pv)
+      val partPath = s"$tablePath/$partitionCol=$escaped"
+      val chg = changes.filter(col(partitionCol) === lit(raw)).drop(partitionCol)
       val exists = Files.exists(Paths.get(partPath))
       // a missing partition folds the batch into an empty snapshot with
       // the change payload's schema (meta columns stripped)
@@ -213,8 +225,8 @@ object Medallion {
       // underscore-prefixed siblings: Spark's file index ignores `_`
       // paths, so a concurrent reader of the table root never sees the
       // in-flight rewrite as a conflicting partition directory
-      val tmp = s"$tablePath/_cdc_tmp_$pv"
-      val old = s"$tablePath/_cdc_old_$pv"
+      val tmp = s"$tablePath/_cdc_tmp_$escaped"
+      val old = s"$tablePath/_cdc_old_$escaped"
       next.write.mode("overwrite").parquet(tmp)
       if (exists)
         Files.move(Paths.get(partPath), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
@@ -233,6 +245,6 @@ object Medallion {
         rm(new java.io.File(old))
       }
     }
-    touched
+    touchedRaw.map(_.toString)
   }
 }

@@ -121,15 +121,20 @@ object Media {
         new String(b, 0, 4, StandardCharsets.US_ASCII) != "RIFF" ||
         new String(b, 8, 4, StandardCharsets.US_ASCII) != "WAVE")
         return None
-      var i = 12
+      // long cursor + negative-size guard: chunk sizes are UNTRUSTED
+      // bytes — a negative/huge u32 must mean "corrupt, give up", never
+      // a non-advancing loop or an index overflow (decode()'s contract
+      // is null fields on corrupt members, not a hung executor task)
+      var i = 12L
       while (i + 8 <= b.length) {
-        val id = new String(b, i, 4, StandardCharsets.US_ASCII)
-        val size = le32(b, i + 4)
+        val id = new String(b, i.toInt, 4, StandardCharsets.US_ASCII)
+        val size = le32(b, i.toInt + 4)
+        if (size < 0) return None
         if (id == "fmt ") {
           if (size < 16 || i + 8 + 16 > b.length) return None
-          return Some((le32(b, i + 12), le16(b, i + 10), le16(b, i + 22)))
+          return Some((le32(b, i.toInt + 12), le16(b, i.toInt + 10), le16(b, i.toInt + 22)))
         }
-        i += 8 + size + (size & 1) // chunks pad to even byte boundaries
+        i += 8L + size + (size & 1) // chunks pad to even byte boundaries
       }
       None
     }

@@ -163,20 +163,34 @@ object VectorOps {
   private val SRP_BANDS = 4
   private val SRP_BAND_BITS = SRP_BITS / SRP_BANDS
 
-  /** 16-bit SRP signature of a float-vector column. One hash60 per
-    * DIMENSION (not per bit) — bit j of h(d) is hyperplane j's sign for
-    * dimension d; the 16 running sums accumulate in one pass over dims,
-    * strict left fold (DuckDB's list_reduce evaluates the identical
-    * addition sequence, so the sign compare is bit-deterministic). */
+  /** Embedding dimensionality the SRP planes are derived for — callers
+    * filter `size(embedding) === SRP_DIMS` (an empty or odd-width vector
+    * has no signature; `sequence(0, size-1)` on an empty array would
+    * generate a DESCENDING [0,-1] range, the same trap
+    * `TextFns.wordShingles` documents). */
+  private[queries] val SRP_DIMS = 64
+
+  /** Hyperplane signs are ROW-INVARIANT: hash60 of the dimension index
+    * depends only on d ∈ [0, 64), so the 64 values are computed ONCE on
+    * the driver (same md5 formula the oracle evaluates — bit-identical)
+    * and shipped as an array literal. The per-row work is just the ±
+    * float sums — no per-row digests. */
+  private lazy val dimHashes: Column = array(
+    (0 until SRP_DIMS).map(d => lit(graft.functions.TextFns.hash60Jvm(d.toString))): _*)
+
+  /** 16-bit SRP signature of a float-vector column. Bit j of the
+    * per-dimension hash is hyperplane j's sign for that dimension; the
+    * 16 running sums accumulate in one pass over dims, strict left fold
+    * (DuckDB's list_reduce evaluates the identical addition sequence, so
+    * the sign compare is bit-deterministic). */
   private def srpSignature(vec: Column): Column = {
-    import graft.functions.TextFns.hash60
     def shr(v: Column, bc: Column) = call_function("shiftright", v, bc)
     def shl(v: Column, bc: Column) = call_function("shiftleft", v, bc)
     val sums = aggregate(
-      sequence(lit(0), size(vec) - 1),
+      sequence(lit(0), lit(SRP_DIMS - 1)),
       array_repeat(lit(0.0), SRP_BITS),
       (acc, d) => {
-        val h = hash60(d.cast(StringType))
+        val h = element_at(dimHashes, d + 1)
         val e = element_at(vec, d + 1).cast(DoubleType)
         zip_with(acc, sequence(lit(0), lit(SRP_BITS - 1)),
           (a, j) => a + when(shr(h, j).bitwiseAND(1) === 1, e).otherwise(-e))
@@ -197,6 +211,7 @@ object VectorOps {
     // joins; embeddings stay OUT of the banded explode (fetched by id
     // post-collision — arrays never ride the candidate shuffle)
     val v = CacheScope.cached(vectors(s, dir)
+      .filter(size(col("embedding")) === SRP_DIMS)
       .repartition(graft.functions.Scale.par(s), col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         srpSignature(col("embedding")).as("sig")))
@@ -240,7 +255,7 @@ object VectorOps {
     s"""WITH sig AS (
          SELECT vec_id, embedding, $bits AS sig,
                 $dNorm AS norm_sq
-         FROM embeddings),
+         FROM embeddings WHERE len(embedding) = $SRP_DIMS),
        cand AS (
          SELECT a.vec_id AS d1, b.vec_id AS d2,
                 $dDot / sqrt(a.norm_sq * b.norm_sq) AS cosine

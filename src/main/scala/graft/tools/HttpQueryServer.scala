@@ -51,9 +51,13 @@ object HttpQueryServer {
     Thread.currentThread().join() // serve until killed
   }
 
-  /** Start a server (port 0 = ephemeral, for tests). Caller stops it. */
+  /** Start a server (port 0 = ephemeral, for tests). Caller stops it.
+    * Binds LOOPBACK only: the endpoint executes arbitrary SQL against
+    * the session with no authentication — exposing it beyond the host
+    * is a deployment decision that belongs behind a real gateway, not a
+    * default. */
   def start(spark: SparkSession, lake: Lake, port: Int): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
 
     server.createContext("/health", (ex: HttpExchange) =>

@@ -43,7 +43,9 @@ object Orchestrator {
   def main(args: Array[String]): Unit = {
     val (cfgPath, rest) = args.indexOf("--config") match {
       case -1 => (None, args.toSeq)
-      case i  => (Some(args(i + 1)), args.take(i).toSeq ++ args.drop(i + 2))
+      case i =>
+        require(i + 1 < args.length, "--config requires a path argument")
+        (Some(args(i + 1)), args.take(i).toSeq ++ args.drop(i + 2))
     }
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
     val cfg = cfgPath.map(GraftConfig.fromYaml)

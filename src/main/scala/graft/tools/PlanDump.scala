@@ -10,10 +10,12 @@ object PlanDump {
     val spark = graft.core.SparkSessionFactory.local("graft-plandump", defaultCpus = 8)
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, dir)
-      df.collect()
-      println(s"\n================ $name ================")
-      println(df.queryExecution.executedPlan.toString.take(4000))
+      graft.core.CacheScope.scoped {
+        val df = SparkEntry.queries(name)(spark, dir)
+        df.collect()
+        println(s"\n================ $name ================")
+        println(df.queryExecution.executedPlan.toString.take(4000))
+      }
     }
     spark.stop()
   }

@@ -102,6 +102,22 @@ class MediaSpec extends SparkSpec {
     assert(MediaCodec.parseWav(wavFixture.take(30)) === None)
   }
 
+  test("parseWav never hangs or throws on hostile chunk sizes") {
+    // chunk size 0xFFFFFFF8 reads as -8: an unguarded cursor would add
+    // 8 + (-8) = 0 and spin forever; a huge positive size would overflow
+    // an int cursor into negative and index out of bounds
+    def riff(sizeBytes: Int*) =
+      "RIFF".getBytes(StandardCharsets.US_ASCII) ++ bytes(0, 0, 0, 0) ++
+        "WAVE".getBytes(StandardCharsets.US_ASCII) ++
+        "JUNK".getBytes(StandardCharsets.US_ASCII) ++ bytes(sizeBytes: _*) ++
+        bytes(1, 2, 3, 4)
+    assert(MediaCodec.parseWav(riff(0xf8, 0xff, 0xff, 0xff)) === None) // -8
+    assert(MediaCodec.parseWav(riff(0xf0, 0xff, 0xff, 0x7f)) === None) // +2^31-ish
+    // and through the full decode path: container unknown, no exception
+    val m = MediaCodec.decode(MediaRecord(9L, riff(0xf8, 0xff, 0xff, 0xff), "audio"))
+    assert(m.container === "unknown" && m.sample_rate.isEmpty)
+  }
+
   // ---------------- writer → parser round trips ----------------
 
   test("writers emit containers their parsers read back exactly") {

@@ -68,11 +68,33 @@ class MinHashAggSpec extends SparkSpec {
 
   test("mergeMinHashIndexes passes through groups present on only one side") {
     import spark.implicits._
-    val a = Seq(("g1", Seq(5L, 9L)), ("g2", Seq(3L, 4L))).toDF("group_key", "sig")
-    val b = Seq(("g2", Seq(1L, 8L)), ("g3", Seq(7L, 2L))).toDF("group_key", "sig")
+    val a = Seq(("g1", Seq(5L, 9L)), ("g2", Seq(3L, 4L)))
+      .toDF("group_key", "sig").withColumn("family", lit("md5"))
+    val b = Seq(("g2", Seq(1L, 8L)), ("g3", Seq(7L, 2L)))
+      .toDF("group_key", "sig").withColumn("family", lit("md5"))
     val m = graft.api.Graft.mergeMinHashIndexes(a, b)
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(m === Map("g1" -> Seq(5L, 9L), "g2" -> Seq(1L, 4L), "g3" -> Seq(7L, 2L)))
+  }
+
+  test("mergeMinHashIndexes refuses to fold indexes from different hash families") {
+    import spark.implicits._
+    val a = Seq(("g1", Seq(5L, 9L)))
+      .toDF("group_key", "sig").withColumn("family", lit("md5"))
+    val b = Seq(("g1", Seq(1L, 8L)))
+      .toDF("group_key", "sig").withColumn("family", lit("xxhash64"))
+    val e = intercept[Exception] {
+      graft.api.Graft.mergeMinHashIndexes(a, b).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("hash-family mismatch")),
+      s"expected the family-mismatch error, got: $e")
+    // one-sided groups don't trip the check even across-session
+    val ok = graft.api.Graft.mergeMinHashIndexes(
+      a, Seq(("g2", Seq(1L, 8L))).toDF("group_key", "sig")
+        .withColumn("family", lit("xxhash64")))
+    assert(ok.count() === 2) // passes through; families kept per group
   }
 
   test("partial-merge order does not matter (associativity/commutativity)") {
