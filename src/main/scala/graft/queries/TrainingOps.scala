@@ -143,13 +143,58 @@ object TrainingOps {
         SELECT doc_id, n_shared_shingles FROM hits
         WHERE n_shared_shingles >= $Q72_MIN_OVERLAP ORDER BY doc_id"""
 
+  // --------------------------------------------------------------------
+  // q74 — repetition/diversity quality flags (the Gopher-style filters
+  // every pretraining pipeline applies): per document, the top-token
+  // mass ratio and the type-token ratio, plus the repetitive-document
+  // flag. Two-phase like q71: per-(doc, token) partial counts absorb
+  // the explode map-side; both ratios are int/int double divisions —
+  // bit-deterministic with no rounding anywhere.
+  // --------------------------------------------------------------------
+  def q74RepetitionFlags(s: SparkSession, dir: String): DataFrame =
+    lake(s, dir).documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("max_tok"),
+        sum(col("n")).as("n_toks"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"),
+        (col("max_tok").cast("double") / col("n_toks")).as("max_token_ratio"),
+        (col("n_distinct").cast("double") / col("n_toks")).as("type_token_ratio"),
+        when(col("max_tok").cast("double") / col("n_toks") > 0.1
+          || col("n_distinct").cast("double") / col("n_toks") < 0.3, 1)
+          .otherwise(0).as("is_repetitive"))
+      .orderBy(col("doc_id"))
+
+  private val q74Oracle =
+    """WITH tf AS (
+         SELECT doc_id, token, count(*) AS n
+         FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+               FROM documents)
+         GROUP BY doc_id, token),
+       agg AS (
+         SELECT doc_id, max(n) AS max_tok, CAST(sum(n) AS BIGINT) AS n_toks,
+                count(*) AS n_distinct
+         FROM tf GROUP BY doc_id)
+       SELECT doc_id,
+              CAST(max_tok AS DOUBLE) / n_toks AS max_token_ratio,
+              CAST(n_distinct AS DOUBLE) / n_toks AS type_token_ratio,
+              CAST(CASE WHEN CAST(max_tok AS DOUBLE) / n_toks > 0.1
+                          OR CAST(n_distinct AS DOUBLE) / n_toks < 0.3
+                   THEN 1 ELSE 0 END AS INTEGER) AS is_repetitive
+       FROM agg ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_vocab_topk" -> (q71VocabTopK _),
-    "q72_contamination" -> (q72Contamination _))
+    "q72_contamination" -> (q72Contamination _),
+    "q74_repetition_flags" -> (q74RepetitionFlags _))
 
   val oracle: Map[String, String] = Map(
     "q70_stratified_sample" -> q70Oracle,
     "q71_vocab_topk" -> q71Oracle,
-    "q72_contamination" -> q72Oracle)
+    "q72_contamination" -> q72Oracle,
+    "q74_repetition_flags" -> q74Oracle)
 }
