@@ -32,5 +32,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // suite runs interpreted (measured: the last query 3.5× slower
   // in-suite than isolated). Spark's own launcher scripts raise this
   // for the same reason.
-  "-XX:ReservedCodeCacheSize=640m",
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -153,6 +153,37 @@ object Graft {
     df.filter(h % 100 < percent)
   }
 
+  // ---------------- curation ----------------
+
+  /** Stratified sample with exact per-stratum quotas (adds an `rk`
+    * column, 1..quota within each stratum), deterministic by hash rank.
+    * Delegates to [[graft.operators.Curation]] — the implementation the
+    * oracle-verified q70 runs. Honors `spark.graft.fastHash`. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      quota: Int): DataFrame =
+    graft.operators.Curation.stratifiedSample(
+      df, stratumCol, idCol, quota, TextFns.fastHash(df.sparkSession))
+
+  /** Top-k tokens per group by corpus frequency (vocabulary pass; q71's
+    * implementation). */
+  def vocabulary(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame =
+    graft.operators.Curation.vocabTopK(df, groupCol, textCol, k)
+
+  /** Documents sharing ≥ `minOverlap` distinct shingles with the probe
+    * set (benchmark-contamination check; q72's implementation — probe
+    * side broadcasts, corpus side never shuffles in full). Honors
+    * `spark.graft.fastHash`. */
+  def contamination(corpus: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, minOverlap: Int = 5): DataFrame =
+    graft.operators.Curation.contamination(
+      corpus, probes, idCol, textCol,
+      minOverlap = minOverlap, fast = TextFns.fastHash(corpus.sparkSession))
+
+  /** Gopher-style repetition/diversity flags (q74's implementation). */
+  def repetitionFlags(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Curation.repetitionFlags(df, idCol, textCol)
+
   // ---------------- temporal ----------------
 
   /** Point-in-time enrichment; see [[graft.operators.AsOfJoin]]. */

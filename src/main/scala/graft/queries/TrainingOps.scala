@@ -1,10 +1,8 @@
 package graft.queries
 
-import graft.core.{CacheScope, Lake}
+import graft.core.Lake
 import graft.functions.Scale
-import graft.functions.TextFns._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators beyond cleaning/dedup: stratified
@@ -47,15 +45,11 @@ object TrainingOps {
   // --------------------------------------------------------------------
   private val Q70_QUOTA = 50
 
-  def q70StratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(hash60(col("doc_id").cast("string")), col("doc_id"))
-    lake(s, dir).documents
-      .select(col("doc_id"), col("lang"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= Q70_QUOTA)
+  def q70StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.stratifiedSample(
+      lake(s, dir).documents.select(col("doc_id"), col("lang")),
+      "lang", "doc_id", Q70_QUOTA)
       .orderBy(col("lang"), col("rk"))
-  }
 
   private val q70Oracle =
     s"""SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
@@ -75,17 +69,10 @@ object TrainingOps {
   // --------------------------------------------------------------------
   private val Q71_TOPK = 20
 
-  def q71VocabTopK(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("n_occurrences").desc, col("token"))
-    lake(s, dir).documents
-      .select(col("lang"), explode(tokens(col("text"))).as("token"))
-      .groupBy(col("lang"), col("token"))
-      .agg(count(lit(1)).as("n_occurrences"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= Q71_TOPK)
+  def q71VocabTopK(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.vocabTopK(
+      lake(s, dir).documents, "lang", "text", Q71_TOPK)
       .orderBy(col("lang"), col("rk"))
-  }
 
   private val q71Oracle =
     s"""SELECT lang, token, n_occurrences, CAST(rk AS INTEGER) AS rk FROM (
@@ -110,20 +97,13 @@ object TrainingOps {
 
   def q72Contamination(s: SparkSession, dir: String): DataFrame = {
     // repartition before the md5-heavy shingle pass (single-file inputs
-    // arrive as ONE partition) and cache it — BOTH the probe side and
-    // the corpus side consume this frame
-    val docs = CacheScope.cached(lake(s, dir).documents
+    // arrive as ONE partition); probes = the held-out 2%
+    val docs = lake(s, dir).documents
       .repartition(Scale.par(s), col("doc_id"))
-      .select(col("doc_id"), hashedShingles(col("text"), 3).as("hs"))
-      .filter(size(col("hs")) > 0))
-    val bench = docs.filter(col("doc_id") % 100 < 2)
-      .select(explode(col("hs")).as("h")).distinct()
-    docs.filter(col("doc_id") % 100 >= 2)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-      .join(broadcast(bench), "h") // shingle sets are distinct per doc
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared_shingles"))
-      .filter(col("n_shared_shingles") >= Q72_MIN_OVERLAP)
+    graft.operators.Curation.contamination(
+      docs.filter(col("doc_id") % 100 >= 2),
+      docs.filter(col("doc_id") % 100 < 2),
+      "doc_id", "text", minOverlap = Q72_MIN_OVERLAP)
       .orderBy(col("doc_id"))
   }
 
@@ -152,20 +132,8 @@ object TrainingOps {
   // bit-deterministic with no rounding anywhere.
   // --------------------------------------------------------------------
   def q74RepetitionFlags(s: SparkSession, dir: String): DataFrame =
-    lake(s, dir).documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("n")).as("max_tok"),
-        sum(col("n")).as("n_toks"),
-        count(lit(1)).as("n_distinct"))
-      .select(col("doc_id"),
-        (col("max_tok").cast("double") / col("n_toks")).as("max_token_ratio"),
-        (col("n_distinct").cast("double") / col("n_toks")).as("type_token_ratio"),
-        when(col("max_tok").cast("double") / col("n_toks") > 0.1
-          || col("n_distinct").cast("double") / col("n_toks") < 0.3, 1)
-          .otherwise(0).as("is_repetitive"))
+    graft.operators.Curation.repetitionFlags(
+      lake(s, dir).documents, "doc_id", "text")
       .orderBy(col("doc_id"))
 
   private val q74Oracle =

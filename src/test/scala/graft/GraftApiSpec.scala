@@ -52,6 +52,46 @@ class GraftApiSpec extends SparkSpec {
     assert(a === b && a > 0)
   }
 
+  test("stratifiedSample hits every stratum's quota exactly (when stratum is big enough)") {
+    val docs = Lake(spark, sfDir).documents
+    val out = Graft.stratifiedSample(docs, "lang", "doc_id", 10)
+    val perStratum = out.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val available = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    available.foreach { case (lang, n) =>
+      assert(perStratum(lang) === math.min(10L, n), s"quota miss for $lang")
+    }
+    // deterministic under repartitioning
+    val again = Graft.stratifiedSample(docs.repartition(13), "lang", "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("vocabulary and repetitionFlags run over the documents table") {
+    val docs = Lake(spark, sfDir).documents
+    val vocab = Graft.vocabulary(docs, "lang", "text", 5)
+    assert(vocab.groupBy("lang").count().collect().forall(_.getLong(1) === 5L))
+    val flags = Graft.repetitionFlags(docs, "doc_id", "text")
+    assert(flags.count() === docs.count())
+    assert(flags.filter(col("max_token_ratio") > 1.0).count() === 0)
+  }
+
+  test("contamination finds a planted probe overlap and nothing else") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "red green blue yellow purple orange pink teal"))
+      .toDF("doc_id", "text")
+    // probe shares doc 1's text wholesale; nothing overlaps docs 2-3
+    val probes = Seq((99L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val hits = Graft.contamination(corpus, probes, "doc_id", "text", minOverlap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.toSeq === Seq((1L, 6L))) // 8 tokens → 6 distinct 3-shingles
+  }
+
   test("openLake registers queryable views with native functions available") {
     Graft.openLake(spark, sfDir)
     val n = spark.sql(
