@@ -9,12 +9,22 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
-  /** K1 — Kafka produce with primary-key keying (per-key ordering,
-    * mysql_to_kafka.py:57-87): key = cast pk, value = envelope JSON. */
-  def toKafka(df: DataFrame, bootstrap: String, topic: String, keyCol: String): Unit =
+  /** The Kafka producer record frame — `key` = the cast primary key
+    * (composite keys join with ':'), `value` = the full row as JSON.
+    * Keying by pk is what gives per-key ordering inside a partition
+    * (mysql_to_kafka.py:57-87). Split from the write so the record
+    * construction — the actual contract — is testable in this
+    * broker-less container; [[toKafka]] is the thin transport layer. */
+  def kafkaRecords(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "kafka keying needs at least one key column")
     df.select(
-      col(keyCol).cast("string").as("key"),
+      concat_ws(":", keyCols.map(c => col(c).cast("string")): _*).as("key"),
       to_json(struct(df.columns.map(col): _*)).as("value"))
+  }
+
+  /** K1 — Kafka produce with primary-key keying. */
+  def toKafka(df: DataFrame, bootstrap: String, topic: String, keyCol: String): Unit =
+    kafkaRecords(df, Seq(keyCol))
       .write.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)

@@ -13,6 +13,27 @@ class SourcesSpec extends SparkSpec {
   private val rowSchema = StructType(Seq(
     StructField("id", LongType), StructField("amount", DoubleType)))
 
+  test("kafkaRecords builds the producer contract: pk key, JSON value, round-trippable") {
+    import graft.sources.Sinks
+    import spark.implicits._
+    val src = Seq((7L, "a", 1.5), (8L, "b", 2.5)).toDF("id", "name", "amount")
+    val recs = Sinks.kafkaRecords(src, Seq("id"))
+    // exactly the (key, value) string pair the kafka sink requires
+    assert(recs.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
+      === Seq(("key", "string"), ("value", "string")))
+    assert(recs.orderBy("key").collect().map(_.getString(0)).toSeq === Seq("7", "8"))
+    // the value is the FULL row: parsing it back recovers every column
+    val back = recs.select(from_json(col("value"),
+      src.schema).as("r")).select(col("r.*"))
+    assert(back.orderBy("id").collect().toSeq === src.orderBy("id").collect().toSeq)
+    // composite keys (junction tables) join with ':' — distinct rows
+    // keep distinct keys
+    val junction = Seq((1L, 10L), (1L, 11L)).toDF("actor_id", "film_id")
+    val keys = Sinks.kafkaRecords(junction, Seq("actor_id", "film_id"))
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(keys === Set("1:10", "1:11"))
+  }
+
   test("parseEnvelope flattens the CDC envelope and keeps the operation") {
     import spark.implicits._
     val kafkaish = Seq(
