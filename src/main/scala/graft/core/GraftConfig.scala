@@ -18,16 +18,17 @@ final case class KafkaConfig(bootstrapServers: Seq[String], topics: Seq[String])
 }
 
 /** Medallion layer buckets (config_template.yaml:37-41). A value that
-  * already carries a scheme (`s3a://…`, `file:/…`) or is an absolute
-  * path is used verbatim — so a local deployment (or a spec fixture)
-  * points the same config keys at directories; a bare name is an object
-  * store bucket. */
+  * carries a scheme (`s3a://…`, `file:/…`) or any `/` (an absolute or
+  * relative PATH — bucket names cannot contain slashes) is used
+  * verbatim, so a local deployment (or a spec fixture) points the same
+  * config keys at directories; only a bare slash-free name is treated
+  * as an object store bucket. */
 final case class Buckets(bronze: String, silver: String, gold: String) {
   // a URI scheme is `name:` — single-slash forms like `file:/x` are
   // valid and must pass through (matching the doc above), so detect the
   // scheme prefix itself, not the `://` idiom
   private def uri(b: String): String =
-    if (b.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*") || b.startsWith("/")) b
+    if (b.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*") || b.contains("/")) b
     else s"s3a://$b"
   def bronzeUri: String = uri(bronze)
   def silverUri: String = uri(silver)
@@ -120,18 +121,33 @@ private[core] object YamlLite {
 
   /** Scalar value of a raw `key:` tail: a single- or double-quoted value
     * keeps its content verbatim (the YAML-standard way to carry " #" or
-    * leading/trailing spaces — e.g. a password); an unquoted value ends
-    * at the first " #" (inline comment), exactly as real YAML plain
-    * scalars do. Malformed quoting fails loudly rather than truncating. */
+    * leading/trailing spaces — e.g. a password), with the standard
+    * escapes — `''` inside single quotes and `\"`/`\\` inside double
+    * quotes — so values CONTAINING quote characters are expressible; an
+    * unquoted value ends at the first " #" (inline comment), exactly as
+    * real YAML plain scalars do. Malformed quoting fails loudly rather
+    * than truncating. */
   private[core] def scalar(raw: String): String = {
     val v = raw.trim
     if (v.nonEmpty && (v.head == '"' || v.head == '\'')) {
-      val close = v.indexOf(v.head, 1)
-      require(close > 0, s"unterminated quote in value: $raw")
-      val tail = v.substring(close + 1).trim
+      val q = v.head
+      val out = new StringBuilder
+      var i = 1
+      var closed = false
+      while (i < v.length && !closed) {
+        val c = v.charAt(i)
+        if (q == '\'' && c == '\'' && i + 1 < v.length && v.charAt(i + 1) == '\'') {
+          out += '\''; i += 2 // YAML '' → literal single quote
+        } else if (q == '"' && c == '\\' && i + 1 < v.length) {
+          out += v.charAt(i + 1); i += 2 // \" and \\ → literal
+        } else if (c == q) { closed = true; i += 1 }
+        else { out += c; i += 1 }
+      }
+      require(closed, s"unterminated quote in value: $raw")
+      val tail = v.substring(i).trim
       require(tail.isEmpty || tail.startsWith("#"),
         s"trailing content after closing quote in value: $raw")
-      v.substring(1, close)
+      out.toString
     } else v.indexOf(" #") match {
       case -1 => v
       case i  => v.substring(0, i).trim

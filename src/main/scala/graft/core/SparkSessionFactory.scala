@@ -74,7 +74,10 @@ object SparkSessionFactory {
     * under-partitions on a dynamic-allocation cluster), UTC, no UI,
     * graft extensions injected, WARN logs. */
   def local(appName: String, defaultCpus: Int = 4): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus.toString).toInt
+    val raw = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus.toString)
+    val cpus = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"SPARK_GRAFT_CPUS must be a positive integer, got '$raw'"))
+    require(cpus > 0, s"SPARK_GRAFT_CPUS must be positive, got $cpus")
     val spark = builder(appName, s"local[$cpus]", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -97,9 +97,10 @@ object TrainingOps {
 
   def q72Contamination(s: SparkSession, dir: String): DataFrame = {
     // repartition before the md5-heavy shingle pass (single-file inputs
-    // arrive as ONE partition); probes = the held-out 2%
-    val docs = lake(s, dir).documents
-      .repartition(Scale.par(s), col("doc_id"))
+    // arrive as ONE partition) and cache: the probe-broadcast job and
+    // the corpus join job otherwise each re-scan + re-shuffle documents
+    val docs = graft.core.CacheScope.cached(lake(s, dir).documents
+      .repartition(Scale.par(s), col("doc_id")))
     graft.operators.Curation.contamination(
       docs.filter(col("doc_id") % 100 >= 2),
       docs.filter(col("doc_id") % 100 < 2),

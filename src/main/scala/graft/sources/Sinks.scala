@@ -10,15 +10,23 @@ import org.apache.spark.sql.functions._
 object Sinks {
 
   /** The Kafka producer record frame — `key` = the cast primary key
-    * (composite keys join with ':'), `value` = the full row as JSON.
-    * Keying by pk is what gives per-key ordering inside a partition
-    * (mysql_to_kafka.py:57-87). Split from the write so the record
-    * construction — the actual contract — is testable in this
-    * broker-less container; [[toKafka]] is the thin transport layer. */
+    * (single column, the reference's `str(pk)` contract; NULL pk stays a
+    * NULL key so the broker round-robins it) or, for composite keys, the
+    * key columns as a JSON struct — unambiguous under NULL components
+    * and ':'-containing strings, where naive joining would collide
+    * distinct keys ((\"a:b\",\"c\") vs (\"a\",\"b:c\")) or silently drop
+    * nulls. `value` = the full row as JSON. Keying by pk is what gives
+    * per-key ordering inside a partition (mysql_to_kafka.py:57-87).
+    * Split from the write so the record construction — the actual
+    * contract — is testable in this broker-less container; [[toKafka]]
+    * is the thin transport layer. */
   def kafkaRecords(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "kafka keying needs at least one key column")
+    val key =
+      if (keyCols.sizeIs == 1) col(keyCols.head).cast("string")
+      else to_json(struct(keyCols.map(col): _*))
     df.select(
-      concat_ws(":", keyCols.map(c => col(c).cast("string")): _*).as("key"),
+      key.as("key"),
       to_json(struct(df.columns.map(col): _*)).as("value"))
   }
 

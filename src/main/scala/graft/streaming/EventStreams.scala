@@ -81,10 +81,12 @@ object EventStreams {
     * redelivery can be), not by stream length. Exactly-once sinks
     * downstream see each key once per horizon. */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
-      tsCol: String, delay: String): DataFrame =
+      tsCol: String, delay: String): DataFrame = {
+    require(keyCols.nonEmpty, "streaming dedup needs at least one key column")
     events
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
   // ------------------------------------------------------------------
   // Typed stateful sessionization (KeyValueGroupedDataset custom state).
@@ -174,8 +176,12 @@ object EventStreams {
     * horizon, which is what downstream joins key on).
     *
     * Same floor-second gap transition as the batch [[sessionize]]
-    * (shared `advance`), so a bounded replay through this operator yields
-    * exactly the batch sessions, just emitted incrementally.
+    * (shared `advance`), so a bounded replay through this operator
+    * yields exactly the batch sessions — session boundaries and counts
+    * always, and ordinals too as long as no user is inactive past the
+    * retention horizon mid-replay (beyond it the cursor is dropped and
+    * that user's ordinals restart at 1, where batch numbering continues
+    * — the bounded-memory trade-off above).
     */
   def sessionizeStream(
       events: Dataset[Ev], gapMinutes: Int,

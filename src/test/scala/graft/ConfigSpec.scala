@@ -65,6 +65,16 @@ class ConfigSpec extends SparkSpec {
       "a quoted value containing ' #' must not be truncated")
     val single = GraftConfig.fromYamlString("spark:\n  app_name: 'a b # c'\n")
     assert(single.appName === "a b # c")
+    // standard escapes: '' inside single quotes, \" inside double quotes
+    val esc1 = GraftConfig.fromYamlString("spark:\n  app_name: 'it''s'\n")
+    assert(esc1.appName === "it's")
+    val esc2 = GraftConfig.fromYamlString("spark:\n  app_name: \"pa\\\"ss\"\n")
+    assert(esc2.appName === "pa\"ss")
+    // bucket values with a slash are paths, never s3a-prefixed
+    val rel = GraftConfig.fromYamlString(
+      "s3:\n  endpoint_url: e\n  access_key: a\n  secret_key: s\n" +
+        "  buckets:\n    bronze: data/bronze\n    silver: data/silver\n    gold: data/gold\n")
+    assert(rel.buckets.get.bronzeUri === "data/bronze")
     // unterminated quote and trailing junk after the close both throw
     intercept[IllegalArgumentException] {
       GraftConfig.fromYamlString("spark:\n  app_name: \"oops\n")

@@ -26,12 +26,18 @@ class SourcesSpec extends SparkSpec {
     val back = recs.select(from_json(col("value"),
       src.schema).as("r")).select(col("r.*"))
     assert(back.orderBy("id").collect().toSeq === src.orderBy("id").collect().toSeq)
-    // composite keys (junction tables) join with ':' — distinct rows
-    // keep distinct keys
+    // composite keys (junction tables) serialize as a JSON struct —
+    // distinct rows keep distinct keys even with NULLs or ':' in values
     val junction = Seq((1L, 10L), (1L, 11L)).toDF("actor_id", "film_id")
     val keys = Sinks.kafkaRecords(junction, Seq("actor_id", "film_id"))
       .select("key").collect().map(_.getString(0)).toSet
-    assert(keys === Set("1:10", "1:11"))
+    assert(keys === Set(
+      """{"actor_id":1,"film_id":10}""", """{"actor_id":1,"film_id":11}"""))
+    // a NULL single pk stays a NULL key (broker round-robin), never ""
+    val withNull = Seq(Some(5L), None).map(Tuple1(_)).toDF("id")
+    val nullKeys = Sinks.kafkaRecords(withNull, Seq("id"))
+      .select("key").collect().map(r => Option(r.getString(0)))
+    assert(nullKeys.toSet === Set(Some("5"), None))
   }
 
   test("parseEnvelope flattens the CDC envelope and keeps the operation") {
