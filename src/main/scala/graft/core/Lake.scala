@@ -39,7 +39,13 @@ final case class Lake(spark: SparkSession, dir: String) {
     * reader rejects outright. We read nanos as long via the legacy conf and
     * rebuild a proper TimestampType column. Lossless here: the generator
     * emits microsecond-resolution values (verified: epoch_ns % 1000 == 0).
-    */
+    *
+    * The conf is session-wide (any OTHER TIMESTAMP(NANOS) parquet in the
+    * session also surfaces as long after this) — which is why
+    * [[SparkSessionFactory.builder]] sets it at construction for every
+    * graft session, making the behavior uniform rather than dependent on
+    * whether an events scan ran first. The set here remains for sessions
+    * built outside the factory. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw("events")

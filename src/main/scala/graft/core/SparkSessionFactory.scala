@@ -59,6 +59,10 @@ object SparkSessionFactory {
       .config("spark.graft.parallelism", parallelism)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
+      // uniform from construction (not flipped mid-session by the first
+      // events scan): TIMESTAMP(NANOS) parquet surfaces as long nanos,
+      // which Lake.events rebuilds into TimestampType
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     objectStore.fold(b) { c =>
       objectStoreConfs(c).foldLeft(b) { case (bb, (k, v)) =>
         bb.config(s"spark.hadoop.$k", v)

@@ -24,20 +24,25 @@ object NearDup {
     * @param partitionWidth explicit pre-shuffle width for the md5-heavy
     *   shingling pass (single-file inputs arrive as ONE partition);
     *   None = leave the input partitioning alone.
+    * @param fastOverride Some(x) pins the hash family regardless of the
+    *   session conf — the oracle-checked q36 pins Some(false) so a
+    *   session that happens to set `spark.graft.fastHash` can NEVER
+    *   change a verified answer; None (the facade) honors the conf.
     */
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, minHashes: Int = 12, bands: Int = 4,
       threshold: Double = 0.5,
-      partitionWidth: Option[Int] = None): DataFrame = {
+      partitionWidth: Option[Int] = None,
+      fastOverride: Option[Boolean] = None): DataFrame = {
     require(minHashes % bands == 0,
       s"bands ($bands) must divide minHashes ($minHashes) — " +
         s"a truncated band would silently weaken the LSH collision bound")
     val rows = minHashes / bands
     // spark.graft.fastHash=true: xxhash64 family (codegen'd, ~10× cheaper
     // than md5) for production corpora; md5 default keeps the operator
-    // bit-reproducible in any engine (the q36 oracle path never sets it)
-    val fast = fastHash(df.sparkSession)
+    // bit-reproducible in any engine
+    val fast = fastOverride.getOrElse(fastHash(df.sparkSession))
     val base = partitionWidth.fold(df)(p => df.repartition(p, col(idCol)))
     // registered cache, released by the action-runner via CacheScope —
     // a bare .cache() here would leak the shingle blocks for the session

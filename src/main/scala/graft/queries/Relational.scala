@@ -116,8 +116,10 @@ object Relational {
   // --------------------------------------------------------------------
   // q03 — part performance: left join + countDistinct (J2+A2;
   // silver_to_gold.py:79-106). Same pre-aggregate-then-join shape; the
-  // per-part aggregate is ≤|part| rows → broadcast to the part scan, so
-  // the only wide exchange is lineitem's single shuffle by l_partkey.
+  // per-part aggregate is ≤|part| rows, so the join strategy is LEFT TO
+  // AQE: it broadcasts when the aggregate is actually small and falls
+  // back to sort-merge when |part| is large — a hard broadcast() hint
+  // here would force a |part|-sized collect onto the driver at scale.
   // --------------------------------------------------------------------
   def q03PartPerformance(s: SparkSession, dir: String): DataFrame = {
     val l = lake(s, dir)
@@ -129,7 +131,7 @@ object Relational {
         dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev0"),
         countDistinct(col("l_orderkey")).as("ord0"))
     l.part
-      .join(broadcast(perPart), col("p_partkey") === col("l_partkey"), "left")
+      .join(perPart, col("p_partkey") === col("l_partkey"), "left")
       .select(
         col("p_partkey"), col("p_name"), col("p_brand"),
         coalesce(col("n_lines0"), lit(0L)).as("n_lines"),

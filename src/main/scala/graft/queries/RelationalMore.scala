@@ -53,10 +53,15 @@ object RelationalMore {
         sum(x * x).cast(DoubleType).as("sum_x2"))
       .select(
         col("o_orderstatus"), col("n"), col("sum_x"),
-        ((col("n") * col("sum_x2") - col("sum_x") * col("sum_x"))
-          / (col("n") * (col("n") - 1))).as("var_samp"),
-        sqrt((col("n") * col("sum_x2") - col("sum_x") * col("sum_x"))
-          / (col("n") * (col("n") - 1))).as("stddev_samp"))
+        // n > 1 guard: a singleton group's sample variance is undefined —
+        // unguarded 0/0 gives NaN in Spark but NULL in some DuckDB
+        // configurations; NULL in both engines is the well-defined answer
+        when(col("n") > 1,
+          (col("n") * col("sum_x2") - col("sum_x") * col("sum_x"))
+            / (col("n") * (col("n") - 1))).as("var_samp"),
+        when(col("n") > 1,
+          sqrt((col("n") * col("sum_x2") - col("sum_x") * col("sum_x"))
+            / (col("n") * (col("n") - 1)))).as("stddev_samp"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -68,8 +73,10 @@ object RelationalMore {
                          * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x2
          FROM orders GROUP BY 1)
        SELECT o_orderstatus, n, sum_x,
-              (n * sum_x2 - sum_x * sum_x) / (n * (n - 1)) AS var_samp,
-              sqrt((n * sum_x2 - sum_x * sum_x) / (n * (n - 1))) AS stddev_samp
+              CASE WHEN n > 1 THEN
+                (n * sum_x2 - sum_x * sum_x) / (n * (n - 1)) END AS var_samp,
+              CASE WHEN n > 1 THEN
+                sqrt((n * sum_x2 - sum_x * sum_x) / (n * (n - 1))) END AS stddev_samp
        FROM acc ORDER BY o_orderstatus"""
 
   // --------------------------------------------------------------------

@@ -225,7 +225,10 @@ object TextOps {
     graft.operators.NearDup.minHashLshPairs(
       lake(s, dir).documents, "doc_id", "text",
       shingleSize = 3, minHashes = MH, bands = BANDS, threshold = 0.5,
-      partitionWidth = Some(Scale.par(s)))
+      partitionWidth = Some(Scale.par(s)),
+      // PIN the portable md5 family: this query is oracle-checked, and a
+      // session-level fastHash flip must never change a verified answer
+      fastOverride = Some(false))
       .orderBy(col("d1"), col("d2"))
 
   private val q36Oracle = {
@@ -474,8 +477,11 @@ object TextOps {
   // q51 — TF-IDF-shaped term importance: tf per (doc, term), document
   // frequency per term, score = tf·N/df (the rational IDF — log-free
   // because libm log is not bit-identical across engines), top-5 terms
-  // per doc. Shape at scale: one shuffle for tf, a broadcast of the tiny
-  // term-df table and the scalar N, a doc-partitioned window.
+  // per doc. Shape at scale: one shuffle for tf, the scalar N broadcast,
+  // a doc-partitioned window. The term-df side is VOCABULARY-sized (it
+  // grows with the corpus), so its join strategy is left to AQE — a hard
+  // broadcast() hint would collect the whole vocabulary to the driver at
+  // scale; AQE still broadcasts it when it is actually small.
   // --------------------------------------------------------------------
   def q51TermImportance(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -486,8 +492,8 @@ object TextOps {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(n))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n)) // n is ONE row — always broadcastable
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         ((col("tf") * col("n_docs")).cast(DoubleType) / col("df")).as("score"))
       .withColumn("rnk", row_number().over(w))
@@ -628,8 +634,10 @@ object TextOps {
     val wDup = Window.partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))
     val exactCanon = scored
       .withColumn("_rn", row_number().over(wDup)).filter(col("_rn") === 1).drop("_rn")
+    // the near-dup id set grows with the corpus's duplicate rate — no
+    // hard broadcast hint; AQE broadcasts the anti-join side when small
     val nearDupIds = q36MinHashLsh(s, dir).select(col("d2").as("doc_id")).distinct()
-    val kept = exactCanon.join(broadcast(nearDupIds), Seq("doc_id"), "left_anti")
+    val kept = exactCanon.join(nearDupIds, Seq("doc_id"), "left_anti")
     kept
       .filter(hash60(col("doc_id").cast(StringType)) % 100 < 50)
       .groupBy(col("lang"))

@@ -42,13 +42,20 @@ object Cli {
       .foreach(t => println(s"  ${t.name}"))
   }
 
-  private def describe(spark: SparkSession, lake: Lake, t: String): Unit = {
-    val df = lake.table(t)
-    println(s"== $t ==")
-    println(df.schema.treeString)
-    println(s"rows: ${df.count()}")
-    df.show(5, truncate = false)
-  }
+  private def describe(spark: SparkSession, lake: Lake, t: String): Unit =
+    // a typo'd table name must not kill the shell (raw SQL already
+    // catches; this path reads the file directly)
+    try {
+      val df = lake.table(t)
+      println(s"== $t ==")
+      println(df.schema.treeString)
+      println(s"rows: ${df.count()}")
+      df.show(5, truncate = false)
+    } catch {
+      case e: Exception =>
+        println(s"describe failed for '$t': ${e.getMessage.linesIterator.next()}")
+        println(s"known tables: ${lake.tableNames.mkString(", ")}")
+    }
 
   /** Canonical smoke queries across operator families (the reference's
     * `samples` command, query_datalake.py:148-229). */
