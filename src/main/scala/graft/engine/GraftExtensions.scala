@@ -35,7 +35,14 @@ object GraftFunctions {
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim",
       "cosine_sim(a, b) - cosine similarity of two float vectors",
-      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+      (es: Seq[Expression]) => {
+        // arity-checked here: an unguarded es(1) would surface a wrong
+        // argument count as IndexOutOfBoundsException from inside
+        // analysis instead of a readable error
+        if (es.length != 2) throw new IllegalArgumentException(
+          s"cosine_sim requires exactly 2 arguments, got ${es.length}")
+        CosineSimilarity(es.head, es(1))
+      }))
 
   /** Idempotent post-hoc registration on a running session. */
   def register(spark: SparkSession): Unit =

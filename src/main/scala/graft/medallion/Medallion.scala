@@ -81,14 +81,16 @@ object Medallion {
     * dropping them hides data loss. This splits the read: `good` rows
     * flattened as usual, `quarantine` rows carrying the RAW line for
     * inspection/replay (write it to a `_quarantine/` sibling and alert
-    * on count > 0). Both frames come from ONE pass over the text —
-    * Spark shares the scan; no second read. */
+    * on count > 0). The parsed frame is cached (CacheScope-registered —
+    * release after both writes) so materializing both outputs costs one
+    * scan + parse and both splits see the SAME files, even if the
+    * directory changes between the two actions. */
   def readBronzeQuarantine(
       spark: SparkSession, path: String,
       dataSchema: StructType): (DataFrame, DataFrame) = {
-    val raw = spark.read.text(path)
+    val raw = graft.core.CacheScope.cached(spark.read.text(path)
       .select(col("value"),
-        from_json(col("value"), envelopeSchema(dataSchema)).as("env"))
+        from_json(col("value"), envelopeSchema(dataSchema)).as("env")))
     val ok = col("env").isNotNull && col("env.data").isNotNull
     val good = raw.filter(ok)
       .select(col("env.operation").as("_op"), col("env.data.*"))
@@ -103,6 +105,21 @@ object Medallion {
       casts: Map[String, DataType] = Map.empty,
       trimCols: Seq[String] = Seq.empty)
 
+  /** Deterministic dedup-by-key: for each key, keep the row that sorts
+    * FIRST by the remaining columns. `dropDuplicates(keys)` plans as a
+    * first() aggregate whose winner depends on shuffle arrival order —
+    * two runs over identical bronze could emit different silver bytes,
+    * which breaks this layer's byte-reproducibility contract. Same
+    * shuffle shape (one hash exchange on the keys), total winner. */
+  def dedupDeterministic(df: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rest = df.columns.filterNot(keys.contains)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(struct(rest.map(col): _*))
+    df.withColumn("_dd_rn", row_number().over(w))
+      .filter(col("_dd_rn") === 1).drop("_dd_rn")
+  }
+
   /** Apply a cleaning rule: cast → trim → dedup-by-key → null-drop, plus
     * the `processed_date` audit column from the injected clock. */
   def toSilver(flatBronze: DataFrame, rule: CleaningRule, clock: String): DataFrame = {
@@ -112,8 +129,7 @@ object Medallion {
     val trimmed = rule.trimCols.foldLeft(casted) {
       case (d, c) => d.withColumn(c, trim(col(c)))
     }
-    trimmed
-      .dropDuplicates(rule.dedupKeys)
+    dedupDeterministic(trimmed, rule.dedupKeys)
       .na.drop("any", rule.requiredCols)
       .withColumn("processed_date", to_date(lit(clock)))
   }
@@ -159,12 +175,22 @@ object Medallion {
       snapshot: DataFrame, changes: DataFrame,
       key: String, seqCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tie-break beyond seqCol: Debezium ts_ms is millisecond-granular, so
+    // same-key same-sequence changes are realistic, and a bare seq order
+    // would pick a shuffle-order-dependent winner — the full-row struct
+    // makes the choice total and run-stable (replay-idempotence depends
+    // on it)
+    val rest = changes.columns.filterNot(c => c == key || c == seqCol)
     val latest = changes
       .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
+        Window.partitionBy(col(key))
+          .orderBy(col(seqCol).desc, struct(rest.map(col): _*).desc)))
       .filter(col("_rn") === 1)
       .drop("_rn")
-    val upserts = latest.filter(!col("_deleted"))
+    // null-safe delete test: an unknown/null _deleted must not silently
+    // drop the key (the anti-join removes it; only a definite true skips
+    // the re-insert)
+    val upserts = latest.filter(!coalesce(col("_deleted"), lit(false)))
       .drop("_deleted", "_op", seqCol)
     snapshot
       .join(latest.select(col(key)), Seq(key), "left_anti")

@@ -26,7 +26,12 @@ object AsOfJoin {
     * @param leftTime   event-time column on `left`
     * @param rightTime  event-time column on `right`
     * @param payload    right columns to carry (prefixed `asof_` in output,
-    *                   null when no right row precedes the left row)
+    *                   null when no right row precedes the left row).
+    *                   Payload columns participate in the deterministic
+    *                   tie-break among equal-time right rows, so they
+    *                   must be ORDERABLE types (no maps). Right rows with
+    *                   a null `rightTime` never match (no temporal
+    *                   position).
     */
   def asofJoin(
       left: DataFrame, right: DataFrame, key: String,
@@ -44,6 +49,10 @@ object AsOfJoin {
           payload.map(c => org.apache.spark.sql.types.StructField(
             c, right.schema(c).dataType, nullable = true)))))
     val r = right
+      // a null-time history row has no temporal position: ascending sort
+      // would place it FIRST (nulls first) and make it "precede" every
+      // left row — exclude it from matching entirely
+      .filter(col(rightTime).isNotNull)
       .withColumn(tag, lit(0))
       .withColumn(t, col(rightTime))
       .withColumn(p, struct(payload.map(col): _*))

@@ -96,8 +96,14 @@ object SakilaPipeline {
       .groupBy(col("c.customer_id"), col("c.email"), col("c.active"))
       .agg(
         count(col("p.payment_id")).as("total_payments"),
-        sum(col("p.amount")).as("total_spent"),
-        avg(col("p.amount")).as("avg_payment_amount"),
+        // exact DECIMAL accumulation, cast back to the double the
+        // reference materializes: plain double sum/avg is partial-agg
+        // ORDER-dependent and can differ run to run at multi-partition
+        // scale (repo determinism policy)
+        sum(col("p.amount").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_spent"),
+        (sum(col("p.amount").cast(DecimalType(18, 2))).cast(DoubleType)
+          / count(col("p.amount"))).as("avg_payment_amount"),
         count(col("r.rental_id")).as("total_rentals"),
         max(col("p.payment_date")).as("last_payment_date"),
         max(col("r.rental_date")).as("last_rental_date"))
@@ -120,8 +126,10 @@ object SakilaPipeline {
         col("f.rental_rate"), col("f.rental_duration"))
       .agg(
         count(col("r.rental_id")).as("total_rentals"),
-        sum(col("p.amount")).as("total_revenue"),
-        avg(col("p.amount")).as("avg_revenue_per_rental"),
+        sum(col("p.amount").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_revenue"),
+        (sum(col("p.amount").cast(DecimalType(18, 2))).cast(DoubleType)
+          / count(col("p.amount"))).as("avg_revenue_per_rental"),
         countDistinct(col("r.customer_id")).as("unique_customers"))
     val days = datediff(to_date(lit(clock)),
       to_date(col("release_year").cast(StringType), "yyyy"))
@@ -129,7 +137,9 @@ object SakilaPipeline {
       .withColumn("revenue_per_day",
         col("total_revenue") / when(days > 0, days).otherwise(lit(1)))
       .withColumn("popularity_rank",
-        row_number().over(Window.orderBy(desc("total_rentals"))))
+        // film_id tie-break: equal rental counts (every never-rented
+        // film ties at 0) would otherwise rank in shuffle arrival order
+        row_number().over(Window.orderBy(desc("total_rentals"), col("f.film_id"))))
       .withColumn("created_at", to_timestamp(lit(clock)))
   }
 
@@ -141,8 +151,10 @@ object SakilaPipeline {
       .groupBy("payment_date")
       .agg(
         count(col("payment_id")).as("total_transactions"),
-        sum(col("amount")).as("total_revenue"),
-        avg(col("amount")).as("avg_transaction_amount"),
+        sum(col("amount").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_revenue"),
+        (sum(col("amount").cast(DecimalType(18, 2))).cast(DoubleType)
+          / count(col("amount"))).as("avg_transaction_amount"),
         min(col("amount")).as("min_transaction"),
         max(col("amount")).as("max_transaction"))
       .withColumn("revenue_growth",

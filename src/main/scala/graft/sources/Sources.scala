@@ -78,7 +78,10 @@ object Sources {
       debeziumSchema(rowSchema)).as("v"))
     parsed.select(
       col("v.payload.op").as("_op"),
-      (col("v.payload.op") === "d").as("_deleted"),
+      // null-safe: a missing/unknown op is NOT a delete — an unguarded
+      // (op === "d") yields NULL there, which downstream applyCdc would
+      // treat as neither upsert nor keep (silent row loss)
+      coalesce(col("v.payload.op") === "d", lit(false)).as("_deleted"),
       coalesce(col("v.payload.after"), col("v.payload.before")).as("row"))
       .select(col("_op"), col("_deleted"), col("row.*"))
   }

@@ -26,7 +26,11 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * oracle must iterate `range(least(len(a), len(b)))` to agree — the
   * repo's oracles use equal-length embeddings so the point is moot
   * there); an empty or zero-norm input yields NULL, not NaN — 0/0 NaN
-  * semantics differ across engines and NaN breaks top-k ordering.
+  * semantics differ across engines and NaN breaks top-k ordering; a NULL
+  * ELEMENT in either array yields NULL (`ArrayType(FloatType)` admits
+  * containsNull arrays, and reading the null slot as 0.0f — what raw
+  * `getFloat` does — would silently diverge from the HOF/DuckDB form,
+  * which propagates NULL through the fold).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -48,6 +52,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
@@ -65,15 +70,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val sawNull = ctx.freshName("sawNull")
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |boolean $sawNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $sawNull = true; break; }
          |  final double $x = (double) $a.getFloat($i);
          |  final double $y = (double) $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |if ($na * $nb == 0.0) {
+         |if ($sawNull || $na * $nb == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);

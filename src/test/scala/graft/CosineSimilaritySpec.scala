@@ -57,6 +57,23 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(rows(0).isNullAt(0) && rows(1).isNullAt(0) && rows(2).isNullAt(0))
     assert(math.abs(rows(3).getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("cosine_sim propagates a NULL ELEMENT as NULL, matching the HOF form") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // ArrayType(FloatType) admits null slots; reading them as 0.0f (raw
+    // getFloat) would silently diverge from zip_with/aggregate + DuckDB
+    val df = Seq(
+      (Array[java.lang.Float](1.0f, null, 3.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](null, 2.0f)),
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(call_function("cosine_sim", col("a"), col("b")).as("c"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0), "null element on the left must yield NULL")
+    assert(rows(1).isNullAt(0), "null element on the right must yield NULL")
+    assert(math.abs(rows(2).getDouble(0) - 1.0) < 1e-12)
+  }
 }
 
 /** Small helper for specs needing raw embeddings. */
