@@ -44,40 +44,56 @@ object RelationalMore {
   // three commutative partial aggregates, one shuffle.
   // --------------------------------------------------------------------
   def q47ExactStats(s: SparkSession, dir: String): DataFrame = {
-    val x = col("o_totalprice").cast(DecimalType(18, 2))
+    // Accumulate in integer CENTS at decimal scale 0: a scale-carrying
+    // DECIMAL(38,4) → DOUBLE cast is engine-dependent in the last ulp
+    // (DuckDB converts the int128 then multiplies by 10^-scale — two
+    // roundings; Spark rounds once), and the variance's near-equal
+    // subtraction amplifies that ulp ~4× (observed at sf0.1). A scale-0
+    // decimal → double is a single correctly-rounded integer conversion
+    // in every engine; the /100 and /10^4 rescales are then identical
+    // double ops on identical operands.
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(18, 0))
     lake(s, dir).orders
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n"),
-        sum(x).cast(DoubleType).as("sum_x"),
-        sum(x * x).cast(DoubleType).as("sum_x2"))
+        sum(cents).cast(DoubleType).as("sum_c"),
+        sum(cents * cents).cast(DoubleType).as("sum_c2"))
       .select(
-        col("o_orderstatus"), col("n"), col("sum_x"),
+        col("o_orderstatus"), col("n"),
+        (col("sum_c") / lit(100.0)).as("sum_x"),
         // n > 1 guard: a singleton group's sample variance is undefined —
         // unguarded 0/0 gives NaN in Spark but NULL in some DuckDB
         // configurations; NULL in both engines is the well-defined answer
         when(col("n") > 1,
-          (col("n") * col("sum_x2") - col("sum_x") * col("sum_x"))
-            / (col("n") * (col("n") - 1))).as("var_samp"),
-        when(col("n") > 1,
-          sqrt((col("n") * col("sum_x2") - col("sum_x") * col("sum_x"))
-            / (col("n") * (col("n") - 1)))).as("stddev_samp"))
+          ((col("n") * col("sum_c2") - col("sum_c") * col("sum_c"))
+            / (col("n") * (col("n") - 1))) / lit(10000.0)).as("var_samp"))
+      // stddev = sqrt of the MATERIALIZED var column, never a re-derived
+      // copy of the variance expression (FMA contraction could differ)
+      .withColumn("stddev_samp", sqrt(col("var_samp")))
       .orderBy(col("o_orderstatus"))
   }
 
   private val q47Oracle =
-    """WITH acc AS (
+    """WITH c AS (
+         SELECT o_orderstatus,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS DECIMAL(18,0)) AS cents
+         FROM orders),
+       acc AS (
          SELECT o_orderstatus, count(*) AS n,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
-                         * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x2
-         FROM orders GROUP BY 1)
-       SELECT o_orderstatus, n, sum_x,
-              CASE WHEN n > 1 THEN
-                (n * sum_x2 - sum_x * sum_x) / (n * (n - 1)) END AS var_samp,
-              CASE WHEN n > 1 THEN
-                sqrt((n * sum_x2 - sum_x * sum_x) / (n * (n - 1))) END AS stddev_samp
-       FROM acc ORDER BY o_orderstatus"""
+                CAST(sum(cents) AS DOUBLE) AS sum_c,
+                CAST(sum(cents * cents) AS DOUBLE) AS sum_c2
+         FROM c GROUP BY 1),
+       v AS (
+         SELECT o_orderstatus, n, sum_c / 100.0 AS sum_x,
+                CASE WHEN n > 1 THEN
+                  ((n * sum_c2 - sum_c * sum_c) / (n * (n - 1))) / 10000.0
+                END AS var_samp
+         FROM acc)
+       SELECT o_orderstatus, n, sum_x, var_samp, sqrt(var_samp) AS stddev_samp
+       FROM v ORDER BY o_orderstatus"""
 
   // --------------------------------------------------------------------
   // q48 — ranking window family: rank, dense_rank, ntile, first/last
