@@ -16,6 +16,18 @@ import org.apache.spark.sql.types._
   * total converts to double exactly (scaled value < 2^53); and a final
   * IEEE division by a count is bit-deterministic given identical inputs.
   * No rounding anywhere → bit-identical hashes.
+  *
+  * THE 2^53 BOUND IS LOAD-BEARING. When the scaled integer (value ×
+  * 10^scale) exceeds 2^53, the decimal → double conversion must round —
+  * and engines round DIFFERENTLY from a scale-carrying decimal (DuckDB
+  * converts the int128 then multiplies by 10^-scale, two roundings;
+  * Spark/BigDecimal rounds once). Measured consequence: q47's Σx² at
+  * sf0.1 diverged by ulps, amplified ~4× by the variance's near-equal
+  * subtraction. Past the bound, accumulate at decimal SCALE 0 (integer
+  * cents — a single correctly-rounded integer conversion everywhere) and
+  * rescale afterwards in double, the way q47 does; and always take
+  * sqrt/log-like functions of the MATERIALIZED column, never a re-derived
+  * expression copy.
   */
 object Det {
 
