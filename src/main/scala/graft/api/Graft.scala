@@ -153,6 +153,25 @@ object Graft {
     df.filter(h % 100 < percent)
   }
 
+  /** Near-duplicate REMOVAL: the corpus minus every doc that collides
+    * with a lower-id near-duplicate — the end-to-end "give me the
+    * deduped corpus" operator (q63's dedup stage as a facade method).
+    * For each near-dup pair (d1 < d2) the higher id drops, so one
+    * canonical member per pairwise-connected group survives (the
+    * lowest-id chain head; full transitive closure would need iterative
+    * connected components — at LSH thresholds ≥ 0.8 clusters are
+    * near-cliques and the difference is marginal). The anti-join side is
+    * the duplicate-id set; AQE broadcasts it when small. */
+  def removeNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val dupIds = nearDupPairs(df, idCol, textCol, shingleSize, minHashes,
+      bands, threshold)
+      .select(col("d2").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   // ---------------- curation ----------------
 
   /** Stratified sample with exact per-stratum quotas (adds an `rk`

@@ -92,6 +92,20 @@ class GraftApiSpec extends SparkSpec {
     assert(hits.toSeq === Seq((1L, 6L))) // 8 tokens → 6 distinct 3-shingles
   }
 
+  test("removeNearDups keeps one canonical member per planted duplicate pair") {
+    import spark.implicits._
+    // disjoint vocabularies + exact planted dups (certain LSH recall)
+    val base = (1 to 30).map(i =>
+      (i.toLong, (0 until 10).map(w => s"tok${i}x$w").mkString(" ")))
+    val dups = Seq(31L -> base(4)._2, 32L -> base(9)._2)
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val kept = Graft.removeNearDups(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === (1L to 30L).toSet,
+      "the higher-id member of each dup pair must drop; all unique docs survive")
+    Graft.releaseCaches()
+  }
+
   test("openLake registers queryable views with native functions available") {
     Graft.openLake(spark, sfDir)
     val n = spark.sql(
