@@ -13,9 +13,12 @@ object Bench {
     // opt-in fast-hash benchmarking (NOT for oracle runs — see TextFns)
     if (sys.env.get("SPARK_GRAFT_FASTHASH").exists(_.toBoolean))
       spark.conf.set("spark.graft.fastHash", "true")
-    // warm the session: codegen, shuffle machinery, parquet reader
+    // warm the session: codegen + shuffle machinery, AND the parquet/
+    // Hadoop-FS stack — a range-only warmup leaves the alphabetically
+    // first query paying the filesystem cold start
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").sum("v").count()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     // local-iteration filter: comma-separated EXACT query names; unset =
     // all. Exact match, not prefix — "q3" selects nothing, not q30-q38b.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -26,15 +29,23 @@ object Bench {
       // scoped: this query's registered caches release right after its
       // action, so blocks never accumulate across queries (the round-2
       // tail regression)
-      graft.core.CacheScope.scoped {
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = graft.core.CacheScope.scoped {
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query reports -1, never its abort time — an abort
+      // masquerading as a timing would read as a huge speedup in the
+      // round-over-round trend
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -181,7 +181,10 @@ object PipelineOps {
   // the same events — streaming and batch agree exactly.
   // --------------------------------------------------------------------
   def q45StreamingHourly(s: SparkSession, dir: String): DataFrame = {
-    val sink = "q45_hourly_" + math.abs(dir.hashCode).toString
+    // sanitized dir, not hashCode: hashes collide across dirs (silently
+    // sharing a sink in one session) and abs(Int.MinValue) stays
+    // negative, making an unparseable table identifier
+    val sink = s"q45_hourly_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     EventStreams.hourlyEventCounts(s, dir, sink)
       .orderBy(col("hour_ts"), col("event_type"))
   }
@@ -242,25 +245,18 @@ object PipelineOps {
   // the batch equivalent.
   // --------------------------------------------------------------------
   def q64StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
-    val sink = "q64_enriched_" + math.abs(dir.hashCode).toString
+    val sink = s"q64_enriched_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     val dim = Lake(s, dir).customer
       .select(col("c_custkey"), col("c_mktsegment"))
-    val agg = EventStreams.readEvents(s, dir)
-      .join(dim, col("user_id") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        Det.dsum(col("value")).as("sum_value"))
-    val q = agg.writeStream
-      .format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation",
-        new java.io.File(
-          s"target/tmp/ckpt_${sink}_${java.util.UUID.randomUUID()}").getAbsolutePath)
-      .start()
-    q.awaitTermination()
-    s.table(sink).orderBy(col("c_mktsegment"), col("event_type"))
+    EventStreams.runToMemorySink(
+      EventStreams.readEvents(s, dir)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          Det.dsum(col("value")).as("sum_value")),
+      sink)
+      .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
   private val q64Oracle =

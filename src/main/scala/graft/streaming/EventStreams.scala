@@ -41,36 +41,53 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Event-time tumbling hourly aggregation with a watermark. Runs the
-    * bounded replay to completion (AvailableNow) into a memory sink and
-    * returns the final table. Complete output mode: count(distinct) is
-    * unsupported in streaming, so the per-window distinct-user metric
-    * lives in the batch twin (q11); here count + exact-decimal sum.
-    */
-  def hourlyEventCounts(spark: SparkSession, dir: String, sink: String): DataFrame = {
-    val agg = readEvents(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
-      .select(
-        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
-        col("event_type"), col("n_events"), col("sum_value"))
-    val q = agg.writeStream
+  /** Run a streaming frame's bounded replay to completion
+    * (Trigger.AvailableNow, Complete mode) into a memory sink and return
+    * the final table. The ONE copy of the sink/checkpoint plumbing (q45
+    * and q64 both route here — duplicated boilerplate drifts). Each run
+    * gets a fresh checkpoint (a reused one would see no new files and
+    * leave the table empty) which is DELETED after termination — without
+    * cleanup, every Verify/Bench/spec invocation leaks a listing+state
+    * directory under target/tmp forever. */
+  def runToMemorySink(df: DataFrame, sink: String): DataFrame = {
+    val spark = df.sparkSession
+    val ckpt = new java.io.File(
+      s"target/tmp/ckpt_${sink}_${java.util.UUID.randomUUID()}")
+    val q = df.writeStream
       .format("memory")
       .queryName(sink)
       .outputMode(OutputMode.Complete)
       .trigger(Trigger.AvailableNow())
-      // repo-local, fresh per run: a reused checkpoint would see no new
-      // files and leave the memory table empty.
-      .option("checkpointLocation",
-        new java.io.File(
-          s"target/tmp/ckpt_${sink}_${java.util.UUID.randomUUID()}").getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
       .start()
     q.awaitTermination()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(ckpt)
     spark.table(sink)
   }
+
+  /** Event-time tumbling hourly aggregation with a watermark. Runs the
+    * bounded replay to completion (AvailableNow) into a memory sink and
+    * returns the final table. Complete output mode: count(distinct) is
+    * unsupported in streaming, so the per-window distinct-user metric
+    * lives in the batch twin (q11); here count + exact-decimal sum
+    * (graft.queries.Det.dsum — the repo's single-source money policy).
+    */
+  def hourlyEventCounts(spark: SparkSession, dir: String, sink: String): DataFrame =
+    runToMemorySink(
+      readEvents(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          graft.queries.Det.dsum(col("value")).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          col("event_type"), col("n_events"), col("sum_value")),
+      sink)
 
   /** Streaming exact dedup by key, state bounded by the watermark — the
     * at-least-once ingestion guard: a replayed Kafka batch re-delivers
@@ -103,12 +120,24 @@ object EventStreams {
   private[streaming] final case class SessState(
       start: Timestamp, last: Timestamp, n: Long, sessionIdx: Long)
 
+  /** Microsecond epoch of a Timestamp — getTime alone is MILLIsecond
+    * precision and would order same-millisecond events differently from
+    * the SQL twin's full-precision ORDER BY ts. */
+  private def epochMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Advance one user's open-session state by one event, appending any
     * session it closes to `out`. Shared by the batch and streaming
     * sessionizers so their gap semantics cannot drift. A state with n == 0
     * is a CURSOR left behind by a streaming timeout — it carries only the
     * last session ordinal, so per-user session ids keep counting up across
-    * timed-out sessions. */
+    * timed-out sessions.
+    *
+    * Out-of-order tolerant: an event merging into the open session
+    * extends BOTH boundaries (min start, max last) — in streaming, an
+    * accepted event can precede the stored `last` (watermark delay), and
+    * regressing `last` would both corrupt the boundaries and make a
+    * later in-order event split a session the batch twin merges. */
   private def advance(
       uid: Long, st: Option[SessState], e: Ev, gapSec: Long,
       out: scala.collection.mutable.Builder[Session, Seq[Session]]): Option[SessState] = {
@@ -117,7 +146,10 @@ object EventStreams {
       case Some(s) if s.n == 0 =>
         Some(SessState(e.ts, e.ts, 1, s.sessionIdx + 1))
       case Some(s) if floorSec(e.ts) - floorSec(s.last) <= gapSec =>
-        Some(s.copy(last = e.ts, n = s.n + 1))
+        Some(s.copy(
+          start = if (epochMicros(e.ts) < epochMicros(s.start)) e.ts else s.start,
+          last = if (epochMicros(e.ts) > epochMicros(s.last)) e.ts else s.last,
+          n = s.n + 1))
       case Some(s) =>
         out += Session(uid, s.sessionIdx, s.n, s.start, s.last)
         Some(SessState(e.ts, e.ts, 1, s.sessionIdx + 1))
@@ -148,7 +180,7 @@ object EventStreams {
         case (uid, evs, _) =>
           // Bounded per-user history; sort by event time (iterator order
           // within a batch group is unspecified).
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = evs.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
           val out = Seq.newBuilder[Session]
           var st: Option[SessState] = None
           sorted.foreach(e => st = advance(uid, st, e, gapSec, out))
@@ -213,7 +245,7 @@ object EventStreams {
             Iterator.single(Session(uid, s.sessionIdx, s.n, s.start, s.last))
           }
         case (uid, evs, state) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = evs.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
           val out = Seq.newBuilder[Session]
           var st: Option[SessState] = state.getOption
           sorted.foreach(e => st = advance(uid, st, e, gapSec, out))

@@ -88,6 +88,46 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming merge tolerates an out-of-order in-gap event (boundaries stay min/max)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    def t(s: String) = Timestamp.valueOf(s"2026-01-01 $s")
+    val ms = MemoryStream[Ev]
+    val q = EventStreams.sessionizeStream(ms.toDS(), 30).writeStream
+      .format("memory").queryName("sess_ooo")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        new java.io.File(
+          s"target/tmp/ckpt_ooo_${java.util.UUID.randomUUID()}").getAbsolutePath)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1: user 7 at 12:00 (watermark still far behind)
+      ms.addData(Ev(1, t("12:00:00"), 7L, "x", 1.0))
+      q.processAllAvailable()
+      // batch 2: an EARLIER in-gap event arrives late (11:45 ≥ watermark).
+      // A naive merge would regress `last` to 11:45 and then SPLIT on the
+      // 12:20 event below (35 min after the regressed last, 20 min after
+      // the true one), where the batch twin merges all three.
+      ms.addData(Ev(2, t("11:45:00"), 7L, "x", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(3, t("12:20:00"), 7L, "x", 1.0))
+      q.processAllAvailable()
+      // expire via watermark pushers
+      ms.addData(Ev(4, t("15:00:00"), 99L, "x", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(5, t("15:05:00"), 99L, "x", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_ooo").filter(col("user_id") === 7L)
+        .collect().map(r => (r.getLong(1), r.getLong(2),
+          r.getTimestamp(3), r.getTimestamp(4))).toSeq
+      assert(out === Seq((1L, 3L, t("11:45:00"), t("12:20:00"))),
+        "one merged session, start=min end=max — matching the batch twin")
+    } finally q.stop()
+  }
+
   test("gap boundary: exactly 1800 s continues the session, 1801 s splits") {
     import spark.implicits._
     def t(sec: Long) = new Timestamp(sec * 1000L)
