@@ -4,6 +4,7 @@ import graft.functions.TextFns._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Training-data curation operators as plain DataFrame-in / DataFrame-out
   * building blocks — the single implementations behind the oracle-
@@ -58,6 +59,70 @@ object Curation {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared_shingles"))
       .filter(col("n_shared_shingles") >= minOverlap)
+  }
+
+  /** GPT-style sequence packing (concat-and-chunk): lay documents out in
+    * a deterministic per-stratum order (portable hash rank — a stable
+    * shuffle, so adjacent source documents don't land in one training
+    * sequence) and assign each a starting token offset in the stratum's
+    * concatenated token stream; `seq_id` = which fixed-`budget` training
+    * sequence the document STARTS in, `seq_offset` its position inside
+    * it (documents may straddle a boundary, exactly as pretraining
+    * packing does before the loss mask).
+    *
+    * Scale shape: one window per stratum — strata (source shards at
+    * 100 TB) pack in parallel, and the running sum is a streaming
+    * window frame (no buffering of the partition). All-integer math. */
+  def packSequences(
+      df: DataFrame, idCol: String, textCol: String, stratumCol: String,
+      budgetTokens: Int, fast: Boolean = false): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val h = if (fast) xxhash60(col(idCol).cast("string"))
+            else hash60(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(h, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(stratumCol),
+        size(tokens(col(textCol))).cast(LongType).as("n_toks"))
+      .withColumn("start_offset", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col(idCol), col(stratumCol), col("n_toks"),
+        expr(s"start_offset div $budgetTokens").as("seq_id"),
+        (col("start_offset") % budgetTokens).as("seq_offset"))
+  }
+
+  /** Weighted corpus mixing with deterministic epoch-based repetition:
+    * weight 2.5 on a source = every document twice, plus a third copy
+    * for a reproducible hash-chosen half. Weights are snapped to parts-
+    * per-million on the driver (float thresholds never reach the data);
+    * each emitted copy carries its `epoch` ordinal so downstream packing
+    * / shuffling can distinguish repeats. Sources absent from `weights`
+    * are excluded — the map IS the mixture recipe.
+    *
+    * Scale shape: narrow explode bounded by ceil(max weight) with no
+    * shuffle at all — the mix composes with [[packSequences]]'s window
+    * downstream. The fractional-copy test hashes (id, epoch), so the
+    * kept half differs per epoch, like independent sampling rounds. */
+  def mixCorpus(
+      df: DataFrame, idCol: String, srcCol: String,
+      weights: Map[String, Double], fast: Boolean = false): DataFrame = {
+    require(weights.nonEmpty, "mixCorpus needs at least one source weight")
+    val ppmOf = weights.map { case (k, v) =>
+      val ppm = math.round(v * 1e6)
+      require(ppm >= 1 && ppm <= 100000000L,
+        s"weight for '$k' out of range (1e-6 .. 100): $v")
+      k -> ppm
+    }
+    val ppm = ppmOf.foldLeft(lit(null).cast(LongType)) { case (acc, (k, p)) =>
+      when(col(srcCol) === k, lit(p)).otherwise(acc)
+    }
+    val copyKey = concat(col(idCol).cast("string"), lit(":"),
+      col("epoch").cast("string"))
+    val copyHash = if (fast) xxhash60(copyKey) else hash60(copyKey)
+    df.withColumn("ppm", ppm).filter(col("ppm").isNotNull)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), expr("(ppm + 999999) div 1000000") - 1)))
+      .filter(col("epoch") < expr("ppm div 1000000")
+        || (copyHash % 1000000L) < col("ppm") % 1000000L)
+      .select(col(idCol), col(srcCol), col("epoch"))
   }
 
   /** Gopher-style repetition/diversity flags per document: top-token

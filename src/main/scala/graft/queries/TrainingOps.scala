@@ -155,15 +155,93 @@ object TrainingOps {
                    THEN 1 ELSE 0 END AS INTEGER) AS is_repetitive
        FROM agg ORDER BY doc_id"""
 
+  // --------------------------------------------------------------------
+  // q75 — sequence packing (concat-and-chunk): every pretraining run's
+  // final data op. Documents are laid out per language in portable-hash
+  // order and chunked into 512-token training sequences; each document
+  // reports the sequence it starts in and its offset there. Running sums
+  // over a per-stratum window — strata pack in parallel, all-integer
+  // math, bit-deterministic by construction.
+  // --------------------------------------------------------------------
+  private val Q75_BUDGET = 512
+
+  def q75SequencePacking(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.packSequences(
+      lake(s, dir).documents, "doc_id", "text", "lang", Q75_BUDGET)
+      .orderBy(col("lang"), col("seq_id"), col("seq_offset"), col("doc_id"))
+
+  private val q75Oracle =
+    s"""WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks,
+                 ${dHash("CAST(doc_id AS VARCHAR)")} AS h
+          FROM documents),
+        o AS (
+          SELECT doc_id, lang, n_toks,
+                 COALESCE(CAST(sum(n_toks) OVER (PARTITION BY lang
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS start_offset
+          FROM t)
+        SELECT doc_id, lang, n_toks,
+               start_offset // $Q75_BUDGET AS seq_id,
+               start_offset % $Q75_BUDGET AS seq_offset
+        FROM o ORDER BY lang, seq_id, seq_offset, doc_id"""
+
+  // --------------------------------------------------------------------
+  // q76 — weighted corpus mixing: the mixture recipe as data. Each source
+  // gets a repetition weight (2.5 = two full epochs + a deterministic
+  // half); copies carry their epoch ordinal. No shuffle at all — a
+  // bounded explode + hash filter, composing with q75's packing
+  // downstream. Weights snap to integer ppm on the driver so no float
+  // threshold ever reaches the data.
+  // --------------------------------------------------------------------
+  private val Q76_WEIGHTS: Seq[(String, Double, Long)] = Seq(
+    // (source, weight, ppm) — ppm duplicated literally so the oracle SQL
+    // is generated from the same numbers the Spark operator snaps to
+    ("src0", 2.5, 2500000L), ("src1", 1.0, 1000000L),
+    ("src2", 0.25, 250000L), ("src3", 0.6, 600000L),
+    ("src4", 1.75, 1750000L))
+
+  def q76CorpusMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.mixCorpus(
+      lake(s, dir).documents, "doc_id", "source",
+      Q76_WEIGHTS.map(w => w._1 -> w._2).toMap)
+      .orderBy(col("source"), col("doc_id"), col("epoch"))
+
+  private val q76Oracle = {
+    val cases = Q76_WEIGHTS
+      .map { case (src, _, ppm) => s"WHEN '$src' THEN $ppm" }
+      .mkString(" ")
+    val srcs = Q76_WEIGHTS.map(w => s"'${w._1}'").mkString(", ")
+    s"""WITH d AS (
+          SELECT doc_id, source,
+                 CAST(CASE source $cases END AS BIGINT) AS ppm
+          FROM documents WHERE source IN ($srcs)),
+        e AS (
+          SELECT doc_id, source, ppm,
+                 unnest(range((ppm + 999999) // 1000000)) AS epoch
+          FROM d)
+        SELECT doc_id, source, epoch FROM e
+        WHERE epoch < ppm // 1000000
+           OR ${dHash("concat(CAST(doc_id AS VARCHAR), ':', CAST(epoch AS VARCHAR))")}
+              % 1000000 < ppm % 1000000
+        ORDER BY source, doc_id, epoch"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_vocab_topk" -> (q71VocabTopK _),
     "q72_contamination" -> (q72Contamination _),
-    "q74_repetition_flags" -> (q74RepetitionFlags _))
+    "q74_repetition_flags" -> (q74RepetitionFlags _),
+    "q75_sequence_packing" -> (q75SequencePacking _),
+    "q76_corpus_mix" -> (q76CorpusMix _))
 
   val oracle: Map[String, String] = Map(
     "q70_stratified_sample" -> q70Oracle,
     "q71_vocab_topk" -> q71Oracle,
     "q72_contamination" -> q72Oracle,
-    "q74_repetition_flags" -> q74Oracle)
+    "q74_repetition_flags" -> q74Oracle,
+    "q75_sequence_packing" -> q75Oracle,
+    "q76_corpus_mix" -> q76Oracle)
 }
