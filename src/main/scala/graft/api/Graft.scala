@@ -113,6 +113,18 @@ object Graft {
         coalesce(col("fam_a"), col("fam_b")).as("family"))
   }
 
+  /** Which stored groups is each NEW document a near-duplicate of? The
+    * arrival-time incremental dedup query against a [[minHashIndex]] —
+    * banded candidate join + signature-agreement verify, O(|batch| +
+    * |index|), no corpus rescan. Honors `spark.graft.fastHash` and
+    * raises on a hash-family mismatch with the stored index. */
+  def nearDupsAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, slots: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame =
+    graft.operators.NearDup.nearDupsAgainstIndex(
+      batch, idCol, textCol, index, slots = slots, bands = bands,
+      threshold = threshold)
+
   // ---------------- similarity search ----------------
 
   /** Exact cosine top-k neighbors for each row of `queries` against
@@ -202,6 +214,30 @@ object Graft {
   /** Gopher-style repetition/diversity flags (q74's implementation). */
   def repetitionFlags(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.operators.Curation.repetitionFlags(df, idCol, textCol)
+
+  // ---------------- vector index training ----------------
+
+  /** Train IVF centroids with deterministic distributed Lloyd's k-means
+    * (see [[graft.operators.KMeans]]): per-iteration cost is one corpus
+    * scan whose shuffle carries k × dims rows. The model then drives
+    * [[ivfAssign]] (cell-partitioned storage) and [[ivfSearch]]. */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      k: Int, iters: Int): graft.operators.KMeans.Model =
+    graft.operators.KMeans.fit(df, idCol, vecCol, dims, k, iters)
+
+  /** Tag rows with their trained IVF cell — write the corpus partitioned
+    * by this column and probes prune to nprobe/k of the files. */
+  def ivfAssign(df: DataFrame, vecCol: String,
+      model: graft.operators.KMeans.Model): DataFrame =
+    graft.operators.KMeans.ivfAssign(df, vecCol, model)
+
+  /** Probe-pruned cosine top-k under a trained model; nprobe = model.k
+    * degrades exactly to [[knn]] (each corpus row lives in one cell). */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, model: graft.operators.KMeans.Model,
+      nprobe: Int, topK: Int): DataFrame =
+    graft.operators.KMeans.ivfSearch(
+      corpus, queries, idCol, vecCol, model, nprobe, topK)
 
   // ---------------- temporal ----------------
 

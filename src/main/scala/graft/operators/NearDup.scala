@@ -70,4 +70,60 @@ object NearDup {
         jaccardFromSizes(col("inter"), col("na"), col("nb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Incremental near-dup check of a NEW BATCH against a STORED index
+    * (built by `Graft.minHashIndex`, maintained by `mergeMinHashIndexes`)
+    * — the arrival-time dedup query: "which stored groups is each new
+    * document a near-duplicate of?", at O(|batch| + |index|) instead of
+    * rescanning the corpus text.
+    *
+    * The index holds only signatures, so verification is SIGNATURE
+    * AGREEMENT (matching slots / slots — the unbiased MinHash estimate of
+    * Jaccard), not exact Jaccard: `sig_agreement` is the estimate and
+    * `threshold` filters on it. Candidate generation is the same banded
+    * equi-join as [[minHashLshPairs]] (key cardinality rows × bands,
+    * never batch × index). An index built under a different hash family
+    * than this session's raises at execution rather than silently
+    * matching garbage (the `mergeMinHashIndexes` guard).
+    *
+    * Returns (`idCol`, `group_key`, `sig_agreement`). */
+  def nearDupsAgainstIndex(
+      batch: DataFrame, idCol: String, textCol: String, index: DataFrame,
+      shingleSize: Int = 3, slots: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5,
+      fastOverride: Option[Boolean] = None): DataFrame = {
+    require(slots % bands == 0,
+      s"bands ($bands) must divide slots ($slots)")
+    val rows = slots / bands
+    val fast = fastOverride.getOrElse(fastHash(batch.sparkSession))
+    val fam = if (fast) "xxhash64" else "md5"
+    val bsig = CacheScope.cached(batch
+      .select(col(idCol).as("b_id"),
+        hashedShingles(col(textCol), shingleSize, fast).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("b_id"), minHash(col("hs"), slots, fast).as("bsig")))
+    val isig = CacheScope.cached(index.select(col("group_key"),
+      when(col("family") =!= fam,
+        raise_error(format_string(
+          "minhash index hash-family mismatch: index=%s session=%s — " +
+            "rebuild the index or pin the family", col("family"), lit(fam)))
+          .cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))
+        .otherwise(col("sig")).as("isig")))
+    def banded(df: DataFrame, key: String, sig: String) =
+      df.select(col(key),
+        posexplode(array((0 until bands).map(b =>
+          bandKey(col(sig), b, rows, fast)): _*)).as(Seq("band", "bkey")))
+    val cand = banded(bsig, "b_id", "bsig")
+      .join(banded(isig, "group_key", "isig"), Seq("band", "bkey"))
+      .select(col("b_id"), col("group_key"))
+      .distinct()
+    cand
+      .join(bsig, "b_id")
+      .join(isig, "group_key")
+      .select(col("b_id").as(idCol), col("group_key"),
+        (size(filter(zip_with(col("bsig"), col("isig"), (a, b) => a === b),
+          x => x)).cast("double") / slots).as("sig_agreement"))
+      .filter(col("sig_agreement") >= threshold)
+  }
 }

@@ -97,6 +97,60 @@ class MinHashAggSpec extends SparkSpec {
     assert(ok.count() === 2) // passes through; families kept per group
   }
 
+  test("nearDupsAgainstIndex: banded query equals brute-force signature agreement") {
+    import graft.api.Graft
+    val docs = Lake(spark, sfDir).documents
+    val stored = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0).limit(60)
+    // per-doc index (each group = one stored doc) — the dedup use case
+    val index = Graft.minHashIndex(
+      stored.withColumn("gid", col("doc_id").cast("string")), "gid", "text")
+
+    val banded = Graft.nearDupsAgainstIndex(batch, "doc_id", "text", index,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // brute force: every (batch sig × index sig) agreement, no banding.
+    // Banding can only MISS pairs whose agreement has no full matching
+    // band; at threshold 0.5 with 4 bands of 3 rows a qualifying pair
+    // always shares ≥ ceil(0.5·12)=6 slots... not necessarily banded —
+    // so assert (a) banded ⊆ brute, and (b) banded finds every pair
+    // with a fully-agreeing band, which at agreement = 1.0 is all of
+    // them (the exact-duplicate guarantee).
+    val bsig = batch
+      .select(col("doc_id"), hashedShingles(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), minHash(col("hs"), 12).as("bsig"))
+    val brute = bsig.crossJoin(index.select(col("group_key"), col("sig")))
+      .select(col("doc_id"), col("group_key"),
+        (size(filter(zip_with(col("bsig"), col("sig"), (a, b) => a === b),
+          x => x)).cast("double") / 12).as("agree"))
+    val bruteHits = brute.filter(col("agree") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val exactDups = brute.filter(col("agree") === 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    assert(banded.subsetOf(bruteHits), "banding must never invent a hit")
+    assert(exactDups.subsetOf(banded),
+      "a fully-agreeing signature always shares every band — exact dups cannot be missed")
+    assert(banded.nonEmpty, "synthetic corpus contains near-dups; query found none")
+  }
+
+  test("nearDupsAgainstIndex refuses an index from a different hash family") {
+    import graft.api.Graft
+    import spark.implicits._
+    val batch = Lake(spark, sfDir).documents.limit(5)
+    val foreign = Seq(("g1", Seq.fill(12)(1L), "xxhash64"))
+      .toDF("group_key", "sig", "family")
+    val e = intercept[Exception] {
+      Graft.nearDupsAgainstIndex(batch, "doc_id", "text", foreign).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("hash-family mismatch")),
+      s"expected the family-mismatch error, got: $e")
+  }
+
   test("partial-merge order does not matter (associativity/commutativity)") {
     val agg = new MinHashAgg(4)
     val s1 = Array(5L, 9L, 2L, 7L)

@@ -138,6 +138,46 @@ class ScaleSpec extends SparkSpec {
       s"expected dynamic pruning subquery in:\n$plan")
   }
 
+  test("runtime bloom-filter join pruning: a selective dim filter reaches the fact scan") {
+    import spark.implicits._
+    // the row-level sibling of DPP: when the fact side is NOT partitioned
+    // by the join key, the optimizer builds a bloom filter from the
+    // filtered dim side and pushes a might_contain probe into the fact
+    // scan — at 100 TB this is the difference between shuffling the full
+    // fact table into a join that keeps 1% and pre-dropping 99% at scan.
+    val factPath = new java.io.File("target/tmp/spec_bloom/fact").getAbsolutePath
+    val dimPath = new java.io.File("target/tmp/spec_bloom/dim").getAbsolutePath
+    val l = Lake(spark, sfDir)
+    l.lineitem.select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").parquet(factPath)
+    l.orders.select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(dimPath)
+    val prev = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      // spec-scale knobs: the rule's size thresholds assume cluster-scale
+      // tables, so drop them to fire on the fixture; a broadcast join
+      // would make the filter pointless, so force a shuffle join
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.read.parquet(factPath)
+      val dim = spark.read.parquet(dimPath).filter(col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val n = joined.collect().head.getLong(0)
+      assert(n > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a bloom-filter probe on the fact scan in:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("schema evolution: mergeSchema unions parquet batches with added columns") {
     import spark.implicits._
     val path = new java.io.File("target/tmp/spec_evolve/t").getAbsolutePath
