@@ -184,6 +184,26 @@ object Graft {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Transitive near-duplicate removal: EXACTLY one canonical survivor
+    * (the minimum id) per connected component of the near-dup pair
+    * graph. This is the closure [[removeNearDups]] approximates — a
+    * component {1,2,3} with edges (1,3),(2,3) keeps both 1 and 2 there
+    * (2 never collides with a lower id) but only 1 here. Costs the
+    * pairwise pass plus O(component diameter) small label-propagation
+    * rounds (see [[graft.operators.ConnectedComponents]]); at near-dup
+    * thresholds components are near-cliques, so 1–3 rounds. */
+  def removeNearDupsTransitive(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, shingleSize, minHashes,
+      bands, threshold)
+    val drop = graft.operators.ConnectedComponents.run(pairs, "d1", "d2")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ---------------- curation ----------------
 
   /** Stratified sample with exact per-stratum quotas (adds an `rk`

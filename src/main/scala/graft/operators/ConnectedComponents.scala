@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative min-label propagation —
+  * the transitive-closure step that turns near-dup PAIRS into dedup
+  * CLUSTERS. `Graft.removeNearDups` documents the gap this closes: a
+  * component like {1,2,3} with edges (1,3),(2,3) keeps BOTH 1 and 2
+  * under pairwise drop-the-higher-id (2 never collides with a lower id),
+  * while the transitive variant keeps exactly one canonical survivor per
+  * component.
+  *
+  * Algorithm: every vertex starts labeled with its own id; each round
+  * takes the min of its label and its neighbors' labels; fixpoint = each
+  * vertex holds its component's minimum id. The fixpoint is unique, so
+  * the result is deterministic regardless of partitioning or join order.
+  * Rounds needed = the largest component's diameter — for near-dup
+  * clusters (threshold ≥ 0.5 makes them near-cliques) that is 1–3; the
+  * `maxIters` guard fails LOUDLY rather than returning a half-converged
+  * labeling. For adversarial long-chain graphs at extreme scale, the
+  * literature's large-star/small-star alternation (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC '14) converges
+  * in O(log n) rounds with the same per-round join shape — the upgrade
+  * path if diameters ever grow past tens.
+  *
+  * Each round is one equi-join + one partial-aggregated groupBy (shuffle
+  * keyed by vertex id). Every frontier is a [[graft.core.CacheScope]]
+  * cache (the per-round `changed` count materializes it), so execution
+  * reads each round from memory while the action-runner's scope releases
+  * everything afterwards — and a released frame is still recomputable
+  * from lineage, the repo's no-leak contract. On a cluster job with deep
+  * iteration, add a periodic `checkpoint` to a reliable store so
+  * executor loss cannot force a full recompute chain.
+  */
+object ConnectedComponents {
+
+  /** Component labels for every vertex of the (undirected) edge list:
+    * returns (`id`, `component`) where `component` = min vertex id
+    * reachable from `id`. Vertices with no edges don't appear — callers
+    * union isolated vertices back in as their own singletons if needed. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 30): DataFrame = {
+    import graft.core.CacheScope
+    // symmetric neighbor list, computed once and reused every round. A
+    // single-scan explode, not union(select, select): a union of two
+    // projections over the same plan EXECUTES the upstream (here:
+    // possibly a whole LSH pair pipeline) once per branch. No distinct():
+    // duplicate edges cannot change a min aggregate, so the dedup
+    // shuffle would buy nothing.
+    val sym = CacheScope.cached(
+      edges.select(explode(array(
+        call_function("named_struct",
+          lit("a"), col(srcCol), lit("b"), col(dstCol)),
+        call_function("named_struct",
+          lit("a"), col(dstCol), lit("b"), col(srcCol)))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b")))
+    var labels = CacheScope.cached(
+      sym.select(col("a").as("id")).distinct()
+        .withColumn("component", col("id")))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // min over neighbors' labels; every vertex has >= 1 neighbor in the
+      // symmetric list, so the join is inner
+      val nbrMin = sym
+        .join(labels.select(col("id").as("b"), col("component").as("nbr_label")), "b")
+        .groupBy(col("a"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+        .withColumnRenamed("a", "id")
+      // the per-row improvement flag rides the frame so ONE action both
+      // materializes the round's cache and counts the changes — a
+      // separate next-vs-labels comparison join would double the jobs
+      val next = CacheScope.cached(labels
+        .join(nbrMin, "id")
+        .select(col("id"),
+          least(col("component"), col("nbr_min")).as("component"),
+          (col("nbr_min") < col("component")).as("_changed")))
+      val changed = next.filter(col("_changed")).count()
+      labels = next.drop("_changed")
+      converged = changed == 0
+      it += 1
+    }
+    require(converged,
+      s"connected components did not converge within $maxIters rounds — " +
+        "component diameter exceeds the bound; raise maxIters or switch " +
+        "to large-star/small-star")
+    labels
+  }
+}

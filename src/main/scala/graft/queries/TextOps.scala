@@ -231,12 +231,16 @@ object TextOps {
       fastOverride = Some(false))
       .orderBy(col("d1"), col("d2"))
 
-  private val q36Oracle = {
+  /** The q36 pair pipeline as a bare CTE list ending in
+    * `verified(d1, d2, jaccard)` — shared by q36 (pair listing) and q77
+    * (recursive component closure over the same pairs), so the two
+    * oracles cannot drift. Callers prefix `WITH ` / `WITH RECURSIVE `. */
+  private val q36PairCtes = {
     // slot i = min(h1 + i*h2); h2s precomputed per shingle in the sh2 CTE
     val mh = (0 until MH).map(i =>
       s"list_min(list_transform(range(len(hs)), j -> hs[j+1] + $i * h2s[j+1]))")
       .mkString(",\n                  ")
-    s"""WITH sh AS (
+    s"""sh AS (
          SELECT doc_id,
                 list_transform(
                   list_distinct(list_transform(
@@ -271,10 +275,13 @@ object TextOps {
                    - len(list_intersect(s1.hs, s2.hs))) AS jaccard
          FROM cand
          JOIN sh s1 ON s1.doc_id = d1
-         JOIN sh s2 ON s2.doc_id = d2)
+         JOIN sh s2 ON s2.doc_id = d2)"""
+  }
+
+  private val q36Oracle =
+    s"""WITH $q36PairCtes
        SELECT d1, d2, jaccard FROM verified
        WHERE jaccard >= 0.5 ORDER BY d1, d2"""
-  }
 
   // --------------------------------------------------------------------
   // q37 — exact n-gram Jaccard similarity, length-bucket-blocked: the
@@ -768,6 +775,39 @@ object TextOps {
        FROM slots GROUP BY 1, 2 ORDER BY source, slot"""
   }
 
+  // --------------------------------------------------------------------
+  // q77 — transitive near-dup CLUSTERS over q36's pairs: iterative
+  // min-label propagation (graft.operators.ConnectedComponents) until
+  // fixpoint, so every document in a connected component reports the
+  // component's minimum doc_id. This is the closure pairwise
+  // drop-the-higher-id dedup lacks — a component {1,2,3} with edges
+  // (1,3),(2,3) has ONE canonical survivor here, not two. The oracle is
+  // a recursive CTE over the identical pair CTEs, so Spark's iterative
+  // loop is checked against DuckDB's recursive reachability exactly.
+  // --------------------------------------------------------------------
+  def q77NearDupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.NearDup.minHashLshPairs(
+      lake(s, dir).documents, "doc_id", "text",
+      shingleSize = 3, minHashes = MH, bands = BANDS, threshold = 0.5,
+      partitionWidth = Some(Scale.par(s)),
+      fastOverride = Some(false)) // oracle-checked: pin the md5 family
+    graft.operators.ConnectedComponents.run(pairs, "d1", "d2")
+      .select(col("id").as("doc_id"), col("component").as("component_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q77Oracle =
+    s"""WITH RECURSIVE $q36PairCtes,
+       pairs AS (SELECT d1, d2 FROM verified WHERE jaccard >= 0.5),
+       edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                 UNION SELECT d2, d1 FROM pairs),
+       reach(a, b) AS (
+         SELECT a, a FROM (SELECT DISTINCT a FROM edges) v
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       SELECT a AS doc_id, min(b) AS component_id
+       FROM reach GROUP BY a ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_token_stats" -> (q31TokenStats _),
     "q32_lang_id" -> (q32LangId _),
@@ -783,7 +823,8 @@ object TextOps {
     "q55_profile" -> (q55Profile _),
     "q56_frame_sample" -> (q56FrameSample _),
     "q63_prep_pipeline" -> (q63PrepPipeline _),
-    "q69_grouped_minhash_index" -> (q69GroupedMinhashIndex _))
+    "q69_grouped_minhash_index" -> (q69GroupedMinhashIndex _),
+    "q77_neardup_components" -> (q77NearDupComponents _))
 
   val oracle: Map[String, String] = Map(
     "q31_token_stats" -> q31Oracle,
@@ -800,5 +841,6 @@ object TextOps {
     "q55_profile" -> q55Oracle,
     "q56_frame_sample" -> q56Oracle,
     "q63_prep_pipeline" -> q63Oracle,
-    "q69_grouped_minhash_index" -> q69Oracle)
+    "q69_grouped_minhash_index" -> q69Oracle,
+    "q77_neardup_components" -> q77Oracle)
 }
