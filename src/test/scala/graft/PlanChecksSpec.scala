@@ -133,6 +133,36 @@ class PlanChecksSpec extends SparkSpec {
       s"embedding arrays rode the candidate join:\n$p")
   }
 
+  test("q75: sequence packing shuffles once (the stratum window), nothing else") {
+    val p = plan(graft.queries.TrainingOps.q75SequencePacking(spark, sfDir))
+    // one exchange for the per-stratum window partitioning + the final
+    // presentation sort's rangepartitioning — a second hash exchange
+    // would mean the running sum re-shuffled what the window already
+    // partitioned
+    // the executed-plan string repeats the tree under "== Initial Plan =="
+    // when AQE is on — count only the final plan's exchanges
+    val finalPlan = p.split("== Initial Plan ==").head
+    val hashExchanges = finalPlan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).size
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange (the stratum window), got $hashExchanges in:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected a window operator in:\n$p")
+  }
+
+  test("q76: corpus mixing is shuffle-free (narrow explode + filter)") {
+    // the mix must compose with downstream packing without adding its own
+    // exchange — drop q76's presentation ORDER BY (display-only) and
+    // assert the operator itself plans zero exchanges
+    val mixed = graft.operators.Curation.mixCorpus(
+      graft.core.Lake(spark, sfDir).documents, "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.25))
+    val p = plan(mixed)
+    assert(!p.contains("Exchange"),
+      s"weighted mixing must stay narrow, found an exchange in:\n$p")
+    assert(p.contains("Generate explode"), s"expected the epoch explode in:\n$p")
+  }
+
   test("q31: column pruning reaches the scan (only text/lang read)") {
     val p = plan(TextOps.q31TokenStats(spark, sfDir))
     assert(p.contains("ReadSchema"))
