@@ -191,7 +191,13 @@ object Graft {
     * (2 never collides with a lower id) but only 1 here. Costs the
     * pairwise pass plus O(component diameter) small label-propagation
     * rounds (see [[graft.operators.ConnectedComponents]]); at near-dup
-    * thresholds components are near-cliques, so 1–3 rounds. */
+    * thresholds components are near-cliques, so 2–4 rounds.
+    *
+    * NOT lazy, unlike the rest of the facade: the propagation loop runs
+    * Spark jobs AT CALL TIME (the pair pipeline plus one job per round)
+    * to find the fixpoint; the returned frame is then the cheap
+    * anti-join. Call it when inputs are final, not while assembling a
+    * plan. */
   def removeNearDupsTransitive(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, minHashes: Int = 12, bands: Int = 4,

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * takes the min of its label and its neighbors' labels; fixpoint = each
   * vertex holds its component's minimum id. The fixpoint is unique, so
   * the result is deterministic regardless of partitioning or join order.
-  * Rounds needed = the largest component's diameter — for near-dup
-  * clusters (threshold ≥ 0.5 makes them near-cliques) that is 1–3; the
+  * Rounds needed = the largest component's diameter PLUS a confirming
+  * zero-change round (so set `maxIters` ≥ diameter + 1) — for near-dup
+  * clusters (threshold ≥ 0.5 makes them near-cliques) that is 2–4; the
   * `maxIters` guard fails LOUDLY rather than returning a half-converged
   * labeling. For adversarial long-chain graphs at extreme scale, the
   * literature's large-star/small-star alternation (Kiveris et al.,
@@ -58,6 +59,9 @@ object ConnectedComponents {
     var labels = CacheScope.cached(
       sym.select(col("a").as("id")).distinct()
         .withColumn("component", col("id")))
+    // the frame whose PLAN holds the cache — unpersist must target it,
+    // not a projection layered on top (that would be a silent no-op)
+    var cachedLabels = labels
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -77,14 +81,22 @@ object ConnectedComponents {
           least(col("component"), col("nbr_min")).as("component"),
           (col("nbr_min") < col("component")).as("_changed")))
       val changed = next.filter(col("_changed")).count()
+      // the previous round's labels are fully superseded once `next` is
+      // materialized: release its blocks NOW instead of letting up to
+      // maxIters copies of the label set pin executor storage until the
+      // enclosing scope exits (lineage keeps it recomputable, so an
+      // early release is correctness-neutral — the CacheScope contract)
+      cachedLabels.unpersist(blocking = false)
       labels = next.drop("_changed")
+      cachedLabels = next
       converged = changed == 0
       it += 1
     }
     require(converged,
       s"connected components did not converge within $maxIters rounds — " +
-        "component diameter exceeds the bound; raise maxIters or switch " +
-        "to large-star/small-star")
+        "the largest component's diameter exceeds maxIters - 1 (the last " +
+        "round must observe zero changes); raise maxIters or switch to " +
+        "large-star/small-star")
     labels
   }
 }

@@ -157,6 +157,11 @@ object KMeans {
     * ranking is a per-query window (partial WindowGroupLimit). */
   def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, model: Model, nprobe: Int, topK: Int): DataFrame = {
+    // a rounded-to-zero nprobe would silently return "no neighbors" for
+    // every query rather than erroring — fail at call time instead
+    require(nprobe >= 1 && nprobe <= model.k,
+      s"nprobe must be in [1, ${model.k}]: $nprobe")
+    require(topK >= 1, s"topK must be >= 1: $topK")
     val s = corpus.sparkSession
     graft.engine.GraftFunctions.register(s)
     val n = ivfAssign(corpus, vecCol, model)

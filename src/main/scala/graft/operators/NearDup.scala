@@ -51,9 +51,7 @@ object NearDup {
         hashedShingles(col(textCol), shingleSize, fast).as("hs"))
       .filter(size(col("hs")) > 0))
     val sig = sh.select(col("d_id"), minHash(col("hs"), minHashes, fast).as("sig"))
-    val bandRows = sig.select(col("d_id"),
-      posexplode(array((0 until bands).map(b =>
-        bandKey(col("sig"), b, rows, fast)): _*)).as(Seq("band", "bkey")))
+    val bandRows = bandedKeys(sig, "d_id", "sig", bands, rows, fast)
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
@@ -70,6 +68,15 @@ object NearDup {
         jaccardFromSizes(col("inter"), col("na"), col("nb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** One (key, band, bkey) row per band per signature — THE band-key
+    * derivation, shared by the pairwise self-join and the index query so
+    * the two paths cannot diverge on how collisions are keyed. */
+  private def bandedKeys(df: DataFrame, keyCol: String, sigCol: String,
+      bands: Int, rows: Int, fast: Boolean): DataFrame =
+    df.select(col(keyCol),
+      posexplode(array((0 until bands).map(b =>
+        bandKey(col(sigCol), b, rows, fast)): _*)).as(Seq("band", "bkey")))
 
   /** Incremental near-dup check of a NEW BATCH against a STORED index
     * (built by `Graft.minHashIndex`, maintained by `mergeMinHashIndexes`)
@@ -102,20 +109,33 @@ object NearDup {
         hashedShingles(col(textCol), shingleSize, fast).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("b_id"), minHash(col("hs"), slots, fast).as("bsig")))
+    // two loud execution-time guards (both the raise_error pattern from
+    // mergeMinHashIndexes): a family mismatch OR a missing family would
+    // compare garbage signatures, and a stored signature narrower/wider
+    // than `slots` would silently band empty slices and cap agreement
+    // below 1.0 — every one of these must fail, not degrade. Unlike the
+    // merge (whose full-outer join makes one-sided nulls legitimate),
+    // every row of a stored index must carry its family.
+    val badFamily = col("family").isNull || col("family") =!= fam
+    val badWidth = size(col("sig")) =!= slots
     val isig = CacheScope.cached(index.select(col("group_key"),
-      when(col("family") =!= fam,
+      when(badFamily,
         raise_error(format_string(
           "minhash index hash-family mismatch: index=%s session=%s — " +
-            "rebuild the index or pin the family", col("family"), lit(fam)))
+            "rebuild the index or pin the family",
+          coalesce(col("family"), lit("NULL")), lit(fam)))
           .cast(org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.LongType)))
+        .when(badWidth,
+          raise_error(format_string(
+            "minhash index signature width mismatch: index=%s query slots=%s",
+            size(col("sig")).cast("string"), lit(slots.toString)))
+            .cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))
         .otherwise(col("sig")).as("isig")))
-    def banded(df: DataFrame, key: String, sig: String) =
-      df.select(col(key),
-        posexplode(array((0 until bands).map(b =>
-          bandKey(col(sig), b, rows, fast)): _*)).as(Seq("band", "bkey")))
-    val cand = banded(bsig, "b_id", "bsig")
-      .join(banded(isig, "group_key", "isig"), Seq("band", "bkey"))
+    val cand = bandedKeys(bsig, "b_id", "bsig", bands, rows, fast)
+      .join(bandedKeys(isig, "group_key", "isig", bands, rows, fast),
+        Seq("band", "bkey"))
       .select(col("b_id"), col("group_key"))
       .distinct()
     cand

@@ -140,15 +140,38 @@ class MinHashAggSpec extends SparkSpec {
     import graft.api.Graft
     import spark.implicits._
     val batch = Lake(spark, sfDir).documents.limit(5)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+
     val foreign = Seq(("g1", Seq.fill(12)(1L), "xxhash64"))
       .toDF("group_key", "sig", "family")
     val e = intercept[Exception] {
       Graft.nearDupsAgainstIndex(batch, "doc_id", "text", foreign).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("hash-family mismatch")),
       s"expected the family-mismatch error, got: $e")
+
+    // a NULL family must also refuse — it would otherwise silently
+    // compare signatures of unknown provenance
+    val nullFam = Seq(("g1", Seq.fill(12)(1L)))
+      .toDF("group_key", "sig")
+      .withColumn("family", lit(null).cast("string"))
+    val e2 = intercept[Exception] {
+      Graft.nearDupsAgainstIndex(batch, "doc_id", "text", nullFam).collect()
+    }
+    assert(messages(e2).exists(_.contains("hash-family mismatch")),
+      s"expected the family-mismatch error on NULL family, got: $e2")
+
+    // a stored signature narrower than the query's slots would band
+    // empty slices and cap agreement below 1.0 — must refuse, not degrade
+    val narrow = Seq(("g1", Seq.fill(8)(1L), "md5"))
+      .toDF("group_key", "sig", "family")
+    val e3 = intercept[Exception] {
+      Graft.nearDupsAgainstIndex(batch, "doc_id", "text", narrow,
+        slots = 12).collect()
+    }
+    assert(messages(e3).exists(_.contains("signature width mismatch")),
+      s"expected the width-mismatch error, got: $e3")
   }
 
   test("partial-merge order does not matter (associativity/commutativity)") {
