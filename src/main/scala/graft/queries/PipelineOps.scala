@@ -6,7 +6,7 @@ import graft.medallion.Medallion
 import graft.medallion.Medallion.CleaningRule
 import graft.multimodal.Media
 import graft.streaming.EventStreams
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -265,13 +265,121 @@ object PipelineOps {
        FROM events JOIN customer ON user_id = c_custkey
        GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""
 
+  // --------------------------------------------------------------------
+  // q78 — ordered funnel analysis (signup → view → purchase, STRICT
+  // temporal order with a 24 h per-step conversion window — a view
+  // before the signup, or a purchase three days after the qualifying
+  // view, does not count; that is what separates a funnel from three
+  // filters). Two chained running windows over one (user_id)
+  // partitioning compute "earliest qualified stage-k time so far"; a
+  // per-user aggregate collapses to the furthest stage reached; a tiny
+  // stage histogram comes out. ONE shuffle (both windows and the user
+  // aggregate share the user_id partitioning — Catalyst plans a single
+  // exchange), no self-joins, no per-user event collection. Strict `<`
+  // on whole-microsecond timestamps with (ts, event_id) tiebreak
+  // ordering and exact interval addition — cross-engine exact.
+  // --------------------------------------------------------------------
+  private val Q78_WINDOW = "INTERVAL 24 HOURS"
+
+  def q78Funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def within(base: Column) =
+      base < col("ts") && col("ts") < base + expr(Q78_WINDOW)
+    lake(s, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t_signup",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view" && within(col("t_signup")),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg((
+        max(when(col("event_type") === "signup", 1).otherwise(0))
+          + max(when(col("event_type") === "view"
+              && within(col("t_signup")), 1).otherwise(0))
+          + max(when(col("event_type") === "purchase"
+              && within(col("t_view")), 1).otherwise(0))
+        ).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  private val q78Oracle =
+    """WITH w1 AS (
+         SELECT user_id, ts, event_id, event_type,
+                min(CASE WHEN event_type = 'signup' THEN ts END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS t_signup
+         FROM events),
+       w2 AS (
+         SELECT *, min(CASE WHEN event_type = 'view' AND t_signup < ts
+                            AND ts < t_signup + INTERVAL 24 HOURS
+                            THEN ts END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS t_view
+         FROM w1),
+       u AS (
+         SELECT user_id,
+                max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              + max(CASE WHEN event_type = 'view' AND t_signup < ts
+                         AND ts < t_signup + INTERVAL 24 HOURS
+                         THEN 1 ELSE 0 END)
+              + max(CASE WHEN event_type = 'purchase' AND t_view < ts
+                         AND ts < t_view + INTERVAL 24 HOURS
+                         THEN 1 ELSE 0 END) AS stage
+         FROM w2 GROUP BY user_id)
+       SELECT stage, count(*) AS n_users FROM u
+       GROUP BY stage ORDER BY stage"""
+
+  // --------------------------------------------------------------------
+  // q79 — cohort retention: users grouped by first-activity ISO week,
+  // distinct actives per (cohort, week offset). All-integer offset math
+  // (epoch-day difference div 7 — both engines truncate toward zero on
+  // the non-negative domain), dates out as ISO strings. Two shuffles:
+  // the per-user cohort aggregate and the events-to-cohort join share
+  // the user_id key (one exchange each side), the final histogram is
+  // cohort-cardinality-sized.
+  // --------------------------------------------------------------------
+  def q79Retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = lake(s, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("d"))).cast(DateType).as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        expr("datediff(d, cohort_week) div 7").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val q79Oracle =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+       c AS (SELECT user_id, date_trunc('week', min(d)) AS cw
+             FROM ev GROUP BY user_id),
+       j AS (SELECT ev.user_id, c.cw,
+                    date_diff('day', c.cw, ev.d) // 7 AS week_offset
+             FROM ev JOIN c ON ev.user_id = c.user_id)
+       SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
+              count(DISTINCT user_id) AS n_users
+       FROM j GROUP BY cw, week_offset ORDER BY cohort_week, week_offset"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_sessionize" -> (q43Sessionize _),
     "q44_medallion_e2e" -> (q44MedallionE2e _),
     "q45_streaming_hourly" -> (q45StreamingHourly _),
     "q59_session_window" -> (q59SessionWindow _),
-    "q64_stream_static_join" -> (q64StreamStaticJoin _))
+    "q64_stream_static_join" -> (q64StreamStaticJoin _),
+    "q78_funnel" -> (q78Funnel _),
+    "q79_retention" -> (q79Retention _))
 
   val oracle: Map[String, String] = Map(
     "q42_multimodal_meta" -> q42Oracle,
@@ -279,5 +387,7 @@ object PipelineOps {
     "q44_medallion_e2e" -> q44Oracle,
     "q45_streaming_hourly" -> q45Oracle,
     "q59_session_window" -> q59Oracle,
-    "q64_stream_static_join" -> q64Oracle)
+    "q64_stream_static_join" -> q64Oracle,
+    "q78_funnel" -> q78Oracle,
+    "q79_retention" -> q79Oracle)
 }
