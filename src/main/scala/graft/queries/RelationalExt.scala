@@ -241,7 +241,84 @@ object RelationalExt {
        CROSS JOIN (SELECT DISTINCT c_mktsegment AS segment FROM customer)
        ORDER BY r_name, segment"""
 
+  // --------------------------------------------------------------------
+  // q80 — time-RANGE window frame: per-customer trailing-30-day order
+  // revenue. A RANGE frame over integer epoch days (value-based peers,
+  // not row counts — three same-day orders all see each other, which a
+  // ROWS frame gets wrong) — the window semantics q24's running total
+  // and q48's rank suite don't cover. Exact-decimal window sums cast to
+  // double (the Det money policy — window sums of DECIMAL are
+  // order-independent). One customer-keyed exchange.
+  // --------------------------------------------------------------------
+  def q80TimeRangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(day.cast(LongType))
+      .rangeBetween(-29, 0)
+    lake(s, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("trailing30_revenue",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType))
+      .withColumn("trailing30_orders", count(lit(1)).over(w))
+      .select(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderkey"), col("trailing30_revenue"), col("trailing30_orders"))
+      .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
+  }
+
+  private val q80Oracle =
+    """SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+              o_orderkey,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER w AS DOUBLE) AS trailing30_revenue,
+              count(*) OVER w AS trailing30_orders
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey
+                    ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+                    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+       ORDER BY o_custkey, order_date, o_orderkey"""
+
+  // --------------------------------------------------------------------
+  // q81 — FULL OUTER reconciliation: every customer x order-activity
+  // summary, keeping rows present on either side with presence flags
+  // (the audit query: "who exists but never ordered; which orders
+  // reference a missing customer"). The one join type the inventory
+  // lacked an oracled query for.
+  // --------------------------------------------------------------------
+  def q81FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val custs = lake(s, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val activity = lake(s, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.queries.Det.dsum(col("o_totalprice")).as("revenue"))
+    custs.join(activity, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        when(col("c_custkey").isNotNull, 1).otherwise(0).as("in_customers"),
+        when(col("o_custkey").isNotNull, 1).otherwise(0).as("has_orders"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy(col("custkey"))
+  }
+
+  private val q81Oracle =
+    """WITH activity AS (
+         SELECT o_custkey, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY o_custkey)
+       SELECT coalesce(c_custkey, o_custkey) AS custkey,
+              CAST(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS in_customers,
+              CAST(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS has_orders,
+              coalesce(n_orders, 0) AS n_orders,
+              coalesce(revenue, 0.0) AS revenue
+       FROM customer FULL OUTER JOIN activity ON c_custkey = o_custkey
+       ORDER BY custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_time_range_window" -> (q80TimeRangeWindow _),
+    "q81_full_outer" -> (q81FullOuter _),
     "q21_dedup_first" -> (q21DedupFirst _),
     "q22_envelope_roundtrip" -> (q22EnvelopeRoundtrip _),
     "q23_json_extract" -> (q23JsonExtract _),
@@ -254,6 +331,8 @@ object RelationalExt {
     "q30_cross_join" -> (q30CrossJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q80_time_range_window" -> q80Oracle,
+    "q81_full_outer" -> q81Oracle,
     "q21_dedup_first" -> q21Oracle,
     "q22_envelope_roundtrip" -> q22Oracle,
     "q23_json_extract" -> q23Oracle,
