@@ -65,6 +65,26 @@ class KMeansSpec extends SparkSpec {
     assert(cells.map(_.getLong(1)).sum === emb.count())
   }
 
+  test("trained cells drive storage partition pruning (the 100 TB probe path)") {
+    // the point of ivfAssign at scale: write the corpus partitioned by
+    // cell, and a probe that touches nprobe cells prunes the scan to
+    // those partition directories — mechanically visible as a partition
+    // filter on the read
+    val model = KMeans.fit(emb, "vec_id", "embedding", 64, k = 4, iters = 2)
+    val path = new java.io.File("target/tmp/spec_ivf/cells").getAbsolutePath
+    KMeans.ivfAssign(emb, "embedding", model)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val probed = spark.read.parquet(path).filter(col("cell") === 2)
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cell"),
+      s"expected the cell filter to prune partitions in:\n$plan")
+    // and the pruned read returns exactly that cell's rows
+    val direct = KMeans.ivfAssign(emb, "embedding", model)
+      .filter(col("cell") === 2).count()
+    assert(probed.count() === direct)
+  }
+
   test("empty clusters keep their previous centroid (no respawn, no crash)") {
     import spark.implicits._
     // two tight groups, k=3: one centroid must end up memberless
