@@ -4,7 +4,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.SparkSession
 
-/** Lake maintenance: small-file compaction.
+/** Lake maintenance: small-file compaction and the shared
+  * park-and-atomic-move directory swap protocol.
   *
   * The reference's consumer flushes one JSON file per 100 buffered
   * records per table (kafka_to_bronze.py:38,85-87) — at 100 TB that is
@@ -17,14 +18,74 @@ import org.apache.spark.sql.SparkSession
   * The swap relies on LOCAL-FILESYSTEM rename semantics: each `Files.move`
   * is atomic, but the two moves together are not one transaction, so a
   * crash between them is recovered on the NEXT run (a parked
-  * `__compact_old` with no live table dir is promoted back before
-  * compacting; stale `__compact_tmp`/`__compact_old` leftovers are
+  * `__swap_old` with no live table dir is promoted back before
+  * writing; stale `__swap_tmp`/`__swap_old` leftovers are
   * cleared). Object stores have no atomic rename at all — there this
   * operator must be replaced by a table format's transactional rewrite
   * (Delta/Iceberg `OPTIMIZE`; no such jar ships in this container — see
   * README "Table-format gap").
   */
 object Maintenance {
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(); ()
+  }
+
+  /** Replace the directory at `livePath` with whatever `write` produces,
+    * crash-safely on a local filesystem — THE swap protocol, shared by
+    * [[compactParquet]] and the streaming index fold
+    * (`CurationStream`):
+    *
+    *   1. recover: live missing + `__swap_old` parked → a previous run
+    *      crashed between its two moves; promote old back (nothing was
+    *      lost). Stale `__swap_tmp`/`__swap_old` next to a live dir are
+    *      junk from an interrupted run — removed.
+    *   2. `write(tmpPath)` materializes the replacement FULLY while the
+    *      live dir is still intact (so a lazy plan reading the live dir
+    *      is safe).
+    *   3. park live → `__swap_old` (atomic), promote tmp → live
+    *      (atomic; on failure the park rolls back so the live path
+    *      never stays empty), drop old.
+    *
+    * A first-time call (no live dir yet) just promotes tmp. */
+  def atomicReplaceDir(livePath: String)(write: String => Unit): Unit = {
+    val tmp = s"${livePath}__swap_tmp"
+    val old = s"${livePath}__swap_old"
+    recoverAndClean(livePath)
+
+    write(tmp)
+
+    if (Files.exists(Paths.get(livePath))) {
+      Files.move(Paths.get(livePath), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+      try
+        Files.move(Paths.get(tmp), Paths.get(livePath), StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: Throwable =>
+          Files.move(Paths.get(old), Paths.get(livePath), StandardCopyOption.ATOMIC_MOVE)
+          throw e
+      }
+      rm(new java.io.File(old))
+    } else
+      Files.move(Paths.get(tmp), Paths.get(livePath), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Step 1 of the protocol, callable on its own: promote a parked
+    * `__swap_old` when the live dir is missing (crash between the two
+    * moves), then clear stale temp/old leftovers. Callers that CHECK
+    * the live dir's existence before eventually swapping (the streaming
+    * index fold) must run this FIRST — otherwise a parked dir reads as
+    * "no index yet" and the swap at the end of the batch would bury it. */
+  def recoverSwap(livePath: String): Unit = recoverAndClean(livePath)
+
+  private def recoverAndClean(livePath: String): Unit = {
+    val tmp = s"${livePath}__swap_tmp"
+    val old = s"${livePath}__swap_old"
+    if (!Files.exists(Paths.get(livePath)) && Files.exists(Paths.get(old)))
+      Files.move(Paths.get(old), Paths.get(livePath), StandardCopyOption.ATOMIC_MOVE)
+    rm(new java.io.File(tmp))
+    rm(new java.io.File(old))
+  }
 
   /** Compact a parquet directory. Returns (filesBefore, filesAfter). */
   def compactParquet(
@@ -36,43 +97,19 @@ object Maintenance {
         else Nil
       walk(new java.io.File(p))
     }
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
 
-    val tmp = s"${path}__compact_tmp"
-    val old = s"${path}__compact_old"
-
-    // Recover from a previous crashed run before doing anything else:
-    // - table dir missing but __compact_old parked → the crash happened
-    //   between the two moves; promote old back (no data was lost).
-    // - stale __compact_tmp / __compact_old with a live table dir → junk
-    //   from an interrupted run; remove so ATOMIC_MOVE targets are free.
-    if (!Files.exists(Paths.get(path)) && Files.exists(Paths.get(old)))
-      Files.move(Paths.get(old), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    rm(new java.io.File(tmp))
-    rm(new java.io.File(old))
-
+    // run recovery FIRST so `before` counts the recovered live dir, then
+    // size the rewrite and swap through the shared protocol
+    recoverAndClean(path)
     val before = parquetFiles(path)
     val bytes = before.map(_.length()).sum
     val outParts = math.max(1, math.ceil(bytes.toDouble / (targetFileMB * 1024.0 * 1024.0)).toInt)
 
-    spark.read.parquet(path)
-      .repartition(outParts)
-      .write.mode("overwrite").parquet(tmp)
-
-    // swap: move old out of the way, promote tmp, drop old. If the second
-    // move fails, roll the first back so the table path never stays empty.
-    Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
-    try
-      Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case e: Throwable =>
-        Files.move(Paths.get(old), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-        throw e
+    atomicReplaceDir(path) { tmp =>
+      spark.read.parquet(path)
+        .repartition(outParts)
+        .write.mode("overwrite").parquet(tmp)
     }
-    rm(new java.io.File(old))
     (before.size, parquetFiles(path).size)
   }
 }

@@ -70,13 +70,45 @@ object NearDup {
   }
 
   /** One (key, band, bkey) row per band per signature — THE band-key
-    * derivation, shared by the pairwise self-join and the index query so
-    * the two paths cannot diverge on how collisions are keyed. */
-  private def bandedKeys(df: DataFrame, keyCol: String, sigCol: String,
+    * derivation, shared by the pairwise self-join, the index query, and
+    * the streaming ingest so the collision paths cannot diverge. */
+  private[graft] def bandedKeys(df: DataFrame, keyCol: String, sigCol: String,
       bands: Int, rows: Int, fast: Boolean): DataFrame =
     df.select(col(keyCol),
       posexplode(array((0 until bands).map(b =>
         bandKey(col(sigCol), b, rows, fast)): _*)).as(Seq("band", "bkey")))
+
+  /** Fraction of agreeing signature slots — the unbiased MinHash
+    * estimate of Jaccard similarity. Int/int double division. */
+  private[graft] def sigAgreement(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, slots: Int): org.apache.spark.sql.Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), x => x))
+      .cast("double") / slots
+
+  /** Guarded (`group_key`, `isig`) view of a stored index: raises at
+    * execution on a family mismatch, a missing family, or a signature
+    * whose width differs from `slots` — every one of these would
+    * otherwise silently degrade matching instead of failing. */
+  private[graft] def guardedIndexSigs(index: DataFrame, fam: String,
+      slots: Int): DataFrame = {
+    val badFamily = col("family").isNull || col("family") =!= fam
+    val badWidth = size(col("sig")) =!= slots
+    index.select(col("group_key"),
+      when(badFamily,
+        raise_error(format_string(
+          "minhash index hash-family mismatch: index=%s session=%s — " +
+            "rebuild the index or pin the family",
+          coalesce(col("family"), lit("NULL")), lit(fam)))
+          .cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))
+        .when(badWidth,
+          raise_error(format_string(
+            "minhash index signature width mismatch: index=%s query slots=%s",
+            size(col("sig")).cast("string"), lit(slots.toString)))
+            .cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))
+        .otherwise(col("sig")).as("isig"))
+  }
 
   /** Incremental near-dup check of a NEW BATCH against a STORED index
     * (built by `Graft.minHashIndex`, maintained by `mergeMinHashIndexes`)
@@ -109,30 +141,9 @@ object NearDup {
         hashedShingles(col(textCol), shingleSize, fast).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("b_id"), minHash(col("hs"), slots, fast).as("bsig")))
-    // two loud execution-time guards (both the raise_error pattern from
-    // mergeMinHashIndexes): a family mismatch OR a missing family would
-    // compare garbage signatures, and a stored signature narrower/wider
-    // than `slots` would silently band empty slices and cap agreement
-    // below 1.0 — every one of these must fail, not degrade. Unlike the
-    // merge (whose full-outer join makes one-sided nulls legitimate),
-    // every row of a stored index must carry its family.
-    val badFamily = col("family").isNull || col("family") =!= fam
-    val badWidth = size(col("sig")) =!= slots
-    val isig = CacheScope.cached(index.select(col("group_key"),
-      when(badFamily,
-        raise_error(format_string(
-          "minhash index hash-family mismatch: index=%s session=%s — " +
-            "rebuild the index or pin the family",
-          coalesce(col("family"), lit("NULL")), lit(fam)))
-          .cast(org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.LongType)))
-        .when(badWidth,
-          raise_error(format_string(
-            "minhash index signature width mismatch: index=%s query slots=%s",
-            size(col("sig")).cast("string"), lit(slots.toString)))
-            .cast(org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.LongType)))
-        .otherwise(col("sig")).as("isig")))
+    // a family mismatch, missing family, or width mismatch must fail
+    // loudly (see guardedIndexSigs), never silently degrade matching
+    val isig = CacheScope.cached(guardedIndexSigs(index, fam, slots))
     val cand = bandedKeys(bsig, "b_id", "bsig", bands, rows, fast)
       .join(bandedKeys(isig, "group_key", "isig", bands, rows, fast),
         Seq("band", "bkey"))
@@ -142,8 +153,7 @@ object NearDup {
       .join(bsig, "b_id")
       .join(isig, "group_key")
       .select(col("b_id").as(idCol), col("group_key"),
-        (size(filter(zip_with(col("bsig"), col("isig"), (a, b) => a === b),
-          x => x)).cast("double") / slots).as("sig_agreement"))
+        sigAgreement(col("bsig"), col("isig"), slots).as("sig_agreement"))
       .filter(col("sig_agreement") >= threshold)
   }
 }

@@ -2,6 +2,8 @@ package graft.streaming
 
 import graft.api.Graft
 import graft.core.CacheScope
+import graft.functions.TextFns
+import graft.medallion.Maintenance
 import graft.operators.NearDup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -12,39 +14,51 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * appended to the curated output, and the survivors' signatures fold
   * into the index — so every batch dedups against EVERYTHING already
   * accepted, at O(|batch| + |index|) per batch with no corpus rescan.
-  * This is the streaming composition of the three incremental-index
-  * operators (`Graft.minHashIndex` / `mergeMinHashIndexes` /
+  * This is the streaming composition of the incremental-index operators
+  * (`Graft.minHashIndex` / `mergeMinHashIndexes` /
   * `nearDupsAgainstIndex`): the continuous-ingestion twin of the batch
   * `removeNearDups` pass, the shape a 100 TB corpus keeps itself deduped
   * with as new crawls arrive.
   *
-  * Within one batch, survivors are ALSO deduped against each other
-  * (pairwise exact-Jaccard ≥ `threshold`) before they join the corpus —
-  * otherwise two near-identical documents arriving together would both
-  * pass the index check.
-  *
-  * The index swap is write-to-temp + directory rename (the
-  * `Maintenance.compactParquet` protocol): the merged index materializes
-  * fully into a `_`-prefixed temp dir BEFORE the live dir is replaced,
-  * so a crash mid-batch leaves the previous index intact (the batch
-  * replays — appends are then the at-least-once caveat, same as every
-  * non-transactional parquet sink; a table format makes both atomic,
-  * see README "Table-format gap").
+  * Design points:
+  *   - signatures are computed ONCE per batch and threaded through all
+  *     three passes (index check, within-batch dedup, index fold) — the
+  *     md5 shingling pass is the dominant per-document cost, and a
+  *     compose-the-public-operators version would pay it three times;
+  *   - both dedup passes use the same criterion, MinHash signature
+  *     agreement ≥ `threshold` (the unbiased Jaccard estimate), so a
+  *     pair dedups identically whether the two docs arrive together or
+  *     batches apart;
+  *   - documents too short to shingle (fewer than 3 tokens, or
+  *     null/empty text) fall back to the whole-trimmed-text hash as a
+  *     singleton shingle set: they deduplicate EXACTLY instead of
+  *     silently bypassing every pass;
+  *   - the index swap goes through [[Maintenance.atomicReplaceDir]] —
+  *     the merged index materializes fully to a temp dir while the live
+  *     one (which the merge plan lazily reads) is intact, then the
+  *     park-and-atomic-move protocol promotes it; a crash at any point
+  *     leaves a recoverable index (the next batch's recovery step
+  *     promotes a parked dir and clears stale temps). The curated
+  *     APPEND is then the at-least-once caveat on crash-replay, same as
+  *     every non-transactional parquet sink; a table format makes both
+  *     atomic — see README "Table-format gap".
   */
 object CurationStream {
 
-  /** Start the deduped ingestion of a STREAMING `docs` frame. Bounded
-    * sources (AvailableNow) run to completion with `awaitTermination`;
-    * unbounded sources process per micro-batch. Returns the running
-    * query. */
+  /** Start the deduped ingestion of a STREAMING `docs` frame. The
+    * default trigger drains what is currently available and terminates
+    * (`awaitTermination` completes — the replay/backfill shape); pass
+    * e.g. `Trigger.ProcessingTime(...)` for a long-running continuous
+    * ingest. Returns the running query. */
   def dedupedIngest(
       docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, outDir: String, checkpointDir: String,
-      slots: Int = 12, bands: Int = 4, threshold: Double = 0.9): StreamingQuery =
+      slots: Int = 12, bands: Int = 4, threshold: Double = 0.9,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, indexDir, outDir,
           slots, bands, threshold)
@@ -57,55 +71,84 @@ object CurationStream {
       batch: DataFrame, batchId: Long, idCol: String, textCol: String,
       indexDir: String, outDir: String,
       slots: Int, bands: Int, threshold: Double): Unit = CacheScope.scoped {
+    require(slots % bands == 0, s"bands ($bands) must divide slots ($slots)")
+    val rows = slots / bands
     val spark = batch.sparkSession
-    val b = CacheScope.cached(batch)
+    val fast = TextFns.fastHash(spark)
+    val fam = if (fast) "xxhash64" else "md5"
+
+    // ONE signature pass. Shingle-less docs (< 3 tokens, null/empty
+    // text) get the whole-trimmed-text hash as their singleton shingle
+    // set — exact dedup instead of a silent bypass.
+    def h60(c: org.apache.spark.sql.Column) =
+      if (fast) TextFns.xxhash60(c) else TextFns.hash60(c)
+    val text = coalesce(col(textCol).cast("string"), lit(""))
+    val hs = TextFns.hashedShingles(text, 3, fast)
+    val hsSafe = when(size(hs) === 0, array(h60(trim(text)))).otherwise(hs)
+    val b = CacheScope.cached(
+      batch.withColumn("_sig", TextFns.minHash(hsSafe, slots, fast)))
+
+    // BEFORE the existence check: a crash between the previous batch's
+    // two swap moves leaves the index parked at __swap_old — promote it
+    // now, or this batch would read "no index yet" and bury it
+    Maintenance.recoverSwap(indexDir)
     val stored =
       if (new java.io.File(indexDir).exists())
-        Some(CacheScope.cached(spark.read.parquet(indexDir)))
+        Some(CacheScope.cached(
+          NearDup.guardedIndexSigs(spark.read.parquet(indexDir), fam, slots)))
       else None
 
-    // 1. drop documents whose signature agrees >= threshold with any
-    //    stored group (threshold here is SIGNATURE agreement — the
-    //    MinHash estimate of Jaccard; the within-batch pass below uses
-    //    exact Jaccard on the same scale)
+    // 1. drop documents agreeing >= threshold with any stored group
     val afterIndex = stored match {
-      case Some(idx) =>
-        val hits = NearDup.nearDupsAgainstIndex(b, idCol, textCol, idx,
-          slots = slots, bands = bands, threshold = threshold)
-          .select(col(idCol)).distinct()
+      case Some(isig) =>
+        val bsig = b.select(col(idCol).as("b_id"), col("_sig").as("bsig"))
+        val hits = NearDup.bandedKeys(bsig, "b_id", "bsig", bands, rows, fast)
+          .join(NearDup.bandedKeys(isig, "group_key", "isig", bands, rows, fast),
+            Seq("band", "bkey"))
+          .select(col("b_id"), col("group_key")).distinct()
+          .join(bsig, "b_id")
+          .join(isig, "group_key")
+          .filter(NearDup.sigAgreement(col("bsig"), col("isig"), slots)
+            >= threshold)
+          .select(col("b_id").as(idCol)).distinct()
         b.join(hits, Seq(idCol), "left_anti")
       case None => b
     }
 
-    // 2. within-batch near-dups: keep the lowest id of each colliding
-    //    pair (two near-copies arriving in one batch both pass step 1)
-    val novel = CacheScope.cached(Graft.removeNearDups(
-      afterIndex, idCol, textCol,
-      minHashes = slots, bands = bands, threshold = threshold))
+    // 2. within-batch: same banded join + agreement criterion against
+    //    the batch itself; the lower id of each colliding pair survives
+    val s2 = afterIndex.select(col(idCol).as("d_id"), col("_sig").as("dsig"))
+    val bb = NearDup.bandedKeys(s2, "d_id", "dsig", bands, rows, fast)
+    val dropIds = bb.as("a")
+      .join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.d_id") < col("b.d_id"))
+      .select(col("a.d_id").as("d1"), col("b.d_id").as("d2")).distinct()
+      .join(s2.select(col("d_id").as("d1"), col("dsig").as("sig1")), "d1")
+      .join(s2.select(col("d_id").as("d2"), col("dsig").as("sig2")), "d2")
+      .filter(NearDup.sigAgreement(col("sig1"), col("sig2"), slots)
+        >= threshold)
+      .select(col("d2").as(idCol)).distinct()
+    val novel = CacheScope.cached(
+      afterIndex.join(dropIds, Seq(idCol), "left_anti"))
 
     // 3. curated append (at-least-once on crash-replay; see scaladoc)
-    novel.write.mode("append").parquet(outDir)
+    novel.drop("_sig").write.mode("append").parquet(outDir)
 
-    // 4. fold the survivors' per-doc signatures into the index, then
-    //    swap atomically: materialize to temp FIRST (the merged plan
-    //    lazily reads the live index — overwriting in place would read
-    //    what it deletes), then rename over the old dir
-    val batchIdx = Graft.minHashIndex(
-      novel.withColumn("_gid", col(idCol).cast("string")), "_gid", textCol,
-      slots)
+    // 4. fold the survivors' per-doc signatures into the index and swap
+    //    crash-safely (temp materializes while the live dir, which the
+    //    merge plan lazily reads, is still intact)
+    val batchIdx = novel.select(
+      col(idCol).cast("string").as("group_key"),
+      col("_sig").as("sig"),
+      lit(fam).as("family"))
     val merged = stored match {
-      case Some(idx) => Graft.mergeMinHashIndexes(idx, batchIdx)
+      case Some(_) => Graft.mergeMinHashIndexes(
+        spark.read.parquet(indexDir), batchIdx)
       case None => batchIdx
     }
-    val live = new java.io.File(indexDir)
-    val tmp = new java.io.File(live.getParentFile, s"_${live.getName}_swap_$batchId")
-    merged.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
+    Maintenance.atomicReplaceDir(indexDir) { tmp =>
+      merged.write.mode("overwrite").parquet(tmp)
     }
-    rm(live)
-    require(tmp.renameTo(live),
-      s"index swap rename failed: $tmp -> $live")
   }
 }

@@ -181,16 +181,16 @@ class MedallionSpec extends SparkSpec {
     val path = new java.io.File("target/tmp/spec_compact_crash/t").getAbsolutePath
     (1L to 100L).map(i => (i, s"r$i")).toDF("id", "v")
       .repartition(5).write.mode("overwrite").parquet(path)
-    // simulate the worst crash point: table moved to __compact_old, tmp
+    // simulate the worst crash point: table moved to __swap_old, tmp
     // never promoted (plus a stale tmp left behind)
     java.nio.file.Files.move(
-      java.nio.file.Paths.get(path), java.nio.file.Paths.get(s"${path}__compact_old"))
-    new java.io.File(s"${path}__compact_tmp").mkdirs()
+      java.nio.file.Paths.get(path), java.nio.file.Paths.get(s"${path}__swap_old"))
+    new java.io.File(s"${path}__swap_tmp").mkdirs()
     val (before, after) = Maintenance.compactParquet(spark, path)
     assert(before === 5 && after >= 1)
     assert(spark.read.parquet(path).count() === 100L)
-    assert(!new java.io.File(s"${path}__compact_old").exists())
-    assert(!new java.io.File(s"${path}__compact_tmp").exists())
+    assert(!new java.io.File(s"${path}__swap_old").exists())
+    assert(!new java.io.File(s"${path}__swap_tmp").exists())
   }
 
   test("silver parquet write partitions by processed_date") {

@@ -52,7 +52,7 @@ class StreamingCurationSpec extends SparkSpec {
       .map(_.getString(0)).toSeq === Seq("md5"))
   }
 
-  test("a crash between output append and index swap leaves the old index readable") {
+  test("crash artifacts recover: stale swap temp is cleared, a parked index is promoted") {
     import spark.implicits._
     val root = new java.io.File(
       s"target/tmp/curation_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -66,18 +66,56 @@ class StreamingCurationSpec extends SparkSpec {
     val before = spark.read.parquet(indexDir).collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
 
-    // leave a stale swap dir behind (the crash artifact) — the next
-    // batch must still read the live index and succeed
-    val stale = new java.io.File(new java.io.File(indexDir).getParentFile,
-      "_index_swap_99")
-    stale.mkdirs()
-
+    // crash artifact 1: a stale swap temp next to a live index — junk
+    // from an interrupted write; must be cleared, live index still used
+    val staleTmp = new java.io.File(s"${indexDir}__swap_tmp")
+    staleTmp.mkdirs()
     CurationStream.processBatch(
       Seq(2L -> doc("beta")).toDF("doc_id", "text"), 1L,
       "doc_id", "text", indexDir, outDir, 12, 4, 0.9)
+    assert(!staleTmp.exists(), "stale swap temp must be cleared")
     val after = spark.read.parquet(indexDir).collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(after.keySet === Set("1", "2"))
     assert(after("1") === before("1"), "seeded signature survives the fold")
+
+    // crash artifact 2: the WORST crash point — live index parked to
+    // __swap_old, promotion never happened. The next batch must promote
+    // it back and keep deduplicating against it (doc 3 = copy of doc 1)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(indexDir),
+      java.nio.file.Paths.get(s"${indexDir}__swap_old"))
+    CurationStream.processBatch(
+      Seq(3L -> doc("alpha"), 4L -> doc("gamma")).toDF("doc_id", "text"), 2L,
+      "doc_id", "text", indexDir, outDir, 12, 4, 0.9)
+    val recovered = spark.read.parquet(indexDir).collect()
+      .map(r => r.getString(0)).toSet
+    assert(recovered === Set("1", "2", "4"),
+      "parked index promoted: doc 3 deduped against it, doc 4 accepted")
+    val curated = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(curated === Set(1L, 2L, 4L))
+  }
+
+  test("shingle-less documents dedup exactly instead of bypassing the index") {
+    import spark.implicits._
+    val root = new java.io.File(
+      s"target/tmp/curation_${java.util.UUID.randomUUID().toString.take(8)}")
+    val indexDir = new java.io.File(root, "index").getAbsolutePath
+    val outDir = new java.io.File(root, "curated").getAbsolutePath
+
+    // two-token docs produce NO 3-shingles; the whole-text-hash fallback
+    // must still catch the exact repeat in a later batch — and distinct
+    // short docs must still pass
+    CurationStream.processBatch(
+      Seq(1L -> "hello world").toDF("doc_id", "text"), 0L,
+      "doc_id", "text", indexDir, outDir, 12, 4, 0.9)
+    CurationStream.processBatch(
+      Seq(2L -> "hello world", 3L -> "different words").toDF("doc_id", "text"), 1L,
+      "doc_id", "text", indexDir, outDir, 12, 4, 0.9)
+    val curated = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(curated === Set(1L, 3L),
+      "the exact short-doc repeat drops; the distinct short doc passes")
   }
 }
