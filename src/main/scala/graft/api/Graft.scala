@@ -241,6 +241,22 @@ object Graft {
   def repetitionFlags(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.operators.Curation.repetitionFlags(df, idCol, textCol)
 
+  /** GPT-style sequence packing (q75's implementation): per-stratum
+    * hash-ordered layout, each document's training-sequence id and
+    * offset under `budgetTokens`. Honors `spark.graft.fastHash`. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, budgetTokens: Int): DataFrame =
+    graft.operators.Curation.packSequences(df, idCol, textCol, stratumCol,
+      budgetTokens, TextFns.fastHash(df.sparkSession))
+
+  /** Weighted corpus mixing (q76's implementation): source-weight map →
+    * deterministic epoch-carrying repetition, no shuffle. Honors
+    * `spark.graft.fastHash`. */
+  def mixCorpus(df: DataFrame, idCol: String, srcCol: String,
+      weights: Map[String, Double]): DataFrame =
+    graft.operators.Curation.mixCorpus(df, idCol, srcCol, weights,
+      TextFns.fastHash(df.sparkSession))
+
   // ---------------- vector index training ----------------
 
   /** Train IVF centroids with deterministic distributed Lloyd's k-means
