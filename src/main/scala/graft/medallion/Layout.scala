@@ -55,8 +55,12 @@ object Layout {
     }
     val aggs = cols.flatMap(c => Seq(min(asDouble(c)), max(asDouble(c))))
     val statsRow = df.agg(aggs.head, aggs.tail: _*).head()
-    val stats = cols.indices.map(i =>
-      (statsRow.getDouble(2 * i), statsRow.getDouble(2 * i + 1)))
+    val stats = cols.zipWithIndex.map { case (name, i) =>
+      require(!statsRow.isNullAt(2 * i),
+        s"zorderBy: column '$name' has no non-null values — empty input " +
+          "or an all-null clustering column cannot define a layout")
+      (statsRow.getDouble(2 * i), statsRow.getDouble(2 * i + 1))
+    }
 
     val maxVal = (1L << bits) - 1
     val scaled: Seq[Column] = cols.zip(stats).map { case (name, (mn, mx)) =>

@@ -49,25 +49,34 @@ object Maintenance {
     *      never stays empty), drop old.
     *
     * A first-time call (no live dir yet) just promotes tmp. */
+  /** Sibling marker path for `livePath` + `suffix`, built through File
+    * so a trailing slash on livePath cannot make the marker a CHILD of
+    * the live dir (which would break every move). */
+  private def marker(livePath: String, suffix: String): String = {
+    val live = new java.io.File(livePath)
+    new java.io.File(live.getParentFile, live.getName + suffix).getPath
+  }
+
   def atomicReplaceDir(livePath: String)(write: String => Unit): Unit = {
-    val tmp = s"${livePath}__swap_tmp"
-    val old = s"${livePath}__swap_old"
+    val live = new java.io.File(livePath).getPath
+    val tmp = marker(livePath, "__swap_tmp")
+    val old = marker(livePath, "__swap_old")
     recoverAndClean(livePath)
 
     write(tmp)
 
-    if (Files.exists(Paths.get(livePath))) {
-      Files.move(Paths.get(livePath), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(Paths.get(live))) {
+      Files.move(Paths.get(live), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
       try
-        Files.move(Paths.get(tmp), Paths.get(livePath), StandardCopyOption.ATOMIC_MOVE)
+        Files.move(Paths.get(tmp), Paths.get(live), StandardCopyOption.ATOMIC_MOVE)
       catch {
         case e: Throwable =>
-          Files.move(Paths.get(old), Paths.get(livePath), StandardCopyOption.ATOMIC_MOVE)
+          Files.move(Paths.get(old), Paths.get(live), StandardCopyOption.ATOMIC_MOVE)
           throw e
       }
       rm(new java.io.File(old))
     } else
-      Files.move(Paths.get(tmp), Paths.get(livePath), StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(tmp), Paths.get(live), StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Step 1 of the protocol, callable on its own: promote a parked
@@ -79,12 +88,17 @@ object Maintenance {
   def recoverSwap(livePath: String): Unit = recoverAndClean(livePath)
 
   private def recoverAndClean(livePath: String): Unit = {
-    val tmp = s"${livePath}__swap_tmp"
-    val old = s"${livePath}__swap_old"
-    if (!Files.exists(Paths.get(livePath)) && Files.exists(Paths.get(old)))
-      Files.move(Paths.get(old), Paths.get(livePath), StandardCopyOption.ATOMIC_MOVE)
-    rm(new java.io.File(tmp))
-    rm(new java.io.File(old))
+    val live = new java.io.File(livePath).getPath
+    // current marker names plus the legacy pre-unification ones
+    // (__compact_*) — a crash artifact from an older build must still
+    // be recovered, not silently abandoned
+    for (suffix <- Seq("__swap", "__compact")) {
+      val old = marker(livePath, s"${suffix}_old")
+      if (!Files.exists(Paths.get(live)) && Files.exists(Paths.get(old)))
+        Files.move(Paths.get(old), Paths.get(live), StandardCopyOption.ATOMIC_MOVE)
+      rm(new java.io.File(marker(livePath, s"${suffix}_tmp")))
+      rm(new java.io.File(old))
+    }
   }
 
   /** Compact a parquet directory. Returns (filesBefore, filesAfter). */

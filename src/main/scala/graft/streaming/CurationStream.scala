@@ -54,7 +54,13 @@ object CurationStream {
       docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, outDir: String, checkpointDir: String,
       slots: Int = 12, bands: Int = 4, threshold: Double = 0.9,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // fail at call time, not wrapped inside the first micro-batch's
+    // StreamingQueryException
+    require(slots % bands == 0, s"bands ($bands) must divide slots ($slots)")
+    require(!docs.columns.contains(SigCol),
+      s"input already has a '$SigCol' column — rename it; the ingest " +
+        "threads its signatures through that name")
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -64,6 +70,11 @@ object CurationStream {
           slots, bands, threshold)
       }
       .start()
+  }
+
+  /** The internal signature column threaded through the batch passes —
+    * reserved: input frames must not carry a column of this name. */
+  private val SigCol = "_graft_sig"
 
   /** One micro-batch: index-check → within-batch dedup → append output →
     * fold survivors into the index. Package-visible for direct testing. */
@@ -72,6 +83,8 @@ object CurationStream {
       indexDir: String, outDir: String,
       slots: Int, bands: Int, threshold: Double): Unit = CacheScope.scoped {
     require(slots % bands == 0, s"bands ($bands) must divide slots ($slots)")
+    require(!batch.columns.contains(SigCol),
+      s"input already has a '$SigCol' column — rename it")
     val rows = slots / bands
     val spark = batch.sparkSession
     val fast = TextFns.fastHash(spark)
@@ -79,29 +92,42 @@ object CurationStream {
 
     // ONE signature pass. Shingle-less docs (< 3 tokens, null/empty
     // text) get the whole-trimmed-text hash as their singleton shingle
-    // set — exact dedup instead of a silent bypass.
+    // set — exact dedup instead of a silent bypass. An at-least-once
+    // source can redeliver the same id WITHIN one batch (equal ids
+    // never collide in the a.id < b.id pair join, and duplicate
+    // group_keys would violate the index merge's unique-key contract),
+    // so ids dedup first; identical redeliveries carry identical
+    // payloads, making the kept-row choice immaterial.
     def h60(c: org.apache.spark.sql.Column) =
       if (fast) TextFns.xxhash60(c) else TextFns.hash60(c)
     val text = coalesce(col(textCol).cast("string"), lit(""))
     val hs = TextFns.hashedShingles(text, 3, fast)
     val hsSafe = when(size(hs) === 0, array(h60(trim(text)))).otherwise(hs)
     val b = CacheScope.cached(
-      batch.withColumn("_sig", TextFns.minHash(hsSafe, slots, fast)))
+      batch.dropDuplicates(Seq(idCol))
+        .withColumn(SigCol, TextFns.minHash(hsSafe, slots, fast)))
 
     // BEFORE the existence check: a crash between the previous batch's
     // two swap moves leaves the index parked at __swap_old — promote it
     // now, or this batch would read "no index yet" and bury it
     Maintenance.recoverSwap(indexDir)
-    val stored =
+    // ONE cached read of the index, feeding both the guarded check view
+    // and the step-4 merge — a second full index scan per batch is real
+    // money at corpus-scale index sizes
+    val storedRaw =
       if (new java.io.File(indexDir).exists())
-        Some(CacheScope.cached(
-          NearDup.guardedIndexSigs(spark.read.parquet(indexDir), fam, slots)))
+        Some(CacheScope.cached(spark.read.parquet(indexDir)))
       else None
+    val stored = storedRaw.map(raw =>
+      CacheScope.cached(NearDup.guardedIndexSigs(raw, fam, slots)))
 
-    // 1. drop documents agreeing >= threshold with any stored group
-    val afterIndex = stored match {
+    // 1. drop documents agreeing >= threshold with any stored group.
+    //    Cached: the anti-joined frame feeds the pair join (twice via
+    //    bandedKeys), both verify branches, and the final left-anti —
+    //    five consumers, and exchange reuse is not guaranteed.
+    val afterIndex = CacheScope.cached(stored match {
       case Some(isig) =>
-        val bsig = b.select(col(idCol).as("b_id"), col("_sig").as("bsig"))
+        val bsig = b.select(col(idCol).as("b_id"), col(SigCol).as("bsig"))
         val hits = NearDup.bandedKeys(bsig, "b_id", "bsig", bands, rows, fast)
           .join(NearDup.bandedKeys(isig, "group_key", "isig", bands, rows, fast),
             Seq("band", "bkey"))
@@ -113,11 +139,11 @@ object CurationStream {
           .select(col("b_id").as(idCol)).distinct()
         b.join(hits, Seq(idCol), "left_anti")
       case None => b
-    }
+    })
 
     // 2. within-batch: same banded join + agreement criterion against
     //    the batch itself; the lower id of each colliding pair survives
-    val s2 = afterIndex.select(col(idCol).as("d_id"), col("_sig").as("dsig"))
+    val s2 = afterIndex.select(col(idCol).as("d_id"), col(SigCol).as("dsig"))
     val bb = NearDup.bandedKeys(s2, "d_id", "dsig", bands, rows, fast)
     val dropIds = bb.as("a")
       .join(bb.as("b"),
@@ -133,18 +159,19 @@ object CurationStream {
       afterIndex.join(dropIds, Seq(idCol), "left_anti"))
 
     // 3. curated append (at-least-once on crash-replay; see scaladoc)
-    novel.drop("_sig").write.mode("append").parquet(outDir)
+    novel.drop(SigCol).write.mode("append").parquet(outDir)
 
-    // 4. fold the survivors' per-doc signatures into the index and swap
-    //    crash-safely (temp materializes while the live dir, which the
-    //    merge plan lazily reads, is still intact)
+    // 4. fold the survivors' per-doc signatures into the index (ids are
+    //    unique after the batch dedup, so a plain select honors the
+    //    merge's unique-group_key contract) and swap crash-safely (temp
+    //    materializes while the live dir, which the cached merge input
+    //    came from, is still intact)
     val batchIdx = novel.select(
       col(idCol).cast("string").as("group_key"),
-      col("_sig").as("sig"),
+      col(SigCol).as("sig"),
       lit(fam).as("family"))
-    val merged = stored match {
-      case Some(_) => Graft.mergeMinHashIndexes(
-        spark.read.parquet(indexDir), batchIdx)
+    val merged = storedRaw match {
+      case Some(raw) => Graft.mergeMinHashIndexes(raw, batchIdx)
       case None => batchIdx
     }
     Maintenance.atomicReplaceDir(indexDir) { tmp =>
