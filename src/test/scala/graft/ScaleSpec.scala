@@ -191,6 +191,27 @@ class ScaleSpec extends SparkSpec {
     assert(rows(1).getDouble(rows(1).fieldIndex("score")) === 9.5)
   }
 
+  test("percentile_approx (quantile sketch) lands within 5% of exact quantiles") {
+    // the mergeable-sketch path for quantiles: like HLL for distincts,
+    // percentile_approx aggregates a bounded sketch partial-first — the
+    // only way to get quantiles out of a 100 TB column in one pass
+    // (exact percentile sorts the whole column per group)
+    val l = Lake(spark, sfDir)
+    val r = l.lineitem
+      .agg(
+        expr("percentile_approx(CAST(l_quantity AS DOUBLE), array(0.25, 0.5, 0.75), 1000)")
+          .as("approx"),
+        expr("percentile(CAST(l_quantity AS DOUBLE), array(0.25, 0.5, 0.75))")
+          .as("exact"))
+      .head()
+    val approx = r.getSeq[Double](0)
+    val exact = r.getSeq[Double](1)
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) <= math.max(0.05 * e, 1.0),
+        s"sketch quantile $a too far from exact $e")
+    }
+  }
+
   test("approx_count_distinct (HLL) lands within 5% of exact at this scale") {
     val li = Lake(spark, sfDir).lineitem
     val exact = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
