@@ -273,9 +273,10 @@ object PipelineOps {
   // filters). Two chained running windows over one (user_id)
   // partitioning compute "earliest qualified stage-k time so far"; a
   // per-user aggregate collapses to the furthest stage reached; a tiny
-  // stage histogram comes out. ONE shuffle (both windows and the user
-  // aggregate share the user_id partitioning — Catalyst plans a single
-  // exchange), no self-joins, no per-user event collection. Strict `<`
+  // stage histogram comes out. ONE user-keyed shuffle (both windows and
+  // the user aggregate share the user_id partitioning — plan-checked;
+  // only the 4-key histogram re-shuffles after map-side pre-agg), no
+  // self-joins, no per-user event collection. Strict `<`
   // on whole-microsecond timestamps with (ts, event_id) tiebreak
   // ordering and exact interval addition — cross-engine exact.
   // --------------------------------------------------------------------

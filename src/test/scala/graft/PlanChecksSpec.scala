@@ -163,6 +163,24 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.contains("Generate explode"), s"expected the epoch explode in:\n$p")
   }
 
+  test("q78/q80: chained windows + aggregate reuse ONE entity-keyed exchange") {
+    // q78's two running windows and its per-user aggregate all key on
+    // user_id; q80's RANGE window keys on o_custkey — Catalyst must
+    // reuse that partitioning rather than re-shuffling per operator.
+    // (q78's tiny final stage-histogram exchange — 4 distinct keys,
+    // map-side pre-aggregated — is excluded: the entity-keyed shuffle
+    // is the one that carries data.)
+    for ((df, key) <- Seq(
+        graft.queries.PipelineOps.q78Funnel(spark, sfDir) -> "user_id",
+        graft.queries.RelationalExt.q80TimeRangeWindow(spark, sfDir) -> "o_custkey")) {
+      val finalPlan = plan(df).split("== Initial Plan ==").head
+      val keyed = finalPlan.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning") && l.contains(key)).size
+      assert(keyed == 1,
+        s"expected one $key-keyed exchange, got $keyed in:\n$finalPlan")
+    }
+  }
+
   test("q31: column pruning reaches the scan (only text/lang read)") {
     val p = plan(TextOps.q31TokenStats(spark, sfDir))
     assert(p.contains("ReadSchema"))
