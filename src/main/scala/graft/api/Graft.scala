@@ -93,12 +93,18 @@ object Graft {
     * `minHashIndex(a union b)` exactly — min-of-mins — which is what
     * makes incremental maintenance O(|batch| + |index|), no rescan.
     * Merging indexes built under DIFFERENT hash families (one md5, one
-    * xxhash64 — e.g. a stored index meeting a fastHash session) would
-    * silently produce garbage signatures; that is rejected at execution
-    * via `raise_error`. */
+    * xxhash64 — e.g. a stored index meeting a fastHash session) or with
+    * DIFFERENT slot widths (a 12-slot index meeting a 16-slot batch —
+    * `zip_with` would null-pad the shorter side and `least` would
+    * ignore the nulls, yielding a mixed-width garbage signature) would
+    * silently corrupt the index; both are rejected at execution via
+    * `raise_error` — mirroring the query path's
+    * `NearDup.guardedIndexSigs` width guard. */
   def mergeMinHashIndexes(stored: DataFrame, batch: DataFrame): DataFrame = {
     val mismatch = col("fam_a").isNotNull && col("fam_b").isNotNull &&
       col("fam_a") =!= col("fam_b")
+    val badWidth = col("sig_a").isNotNull && col("sig_b").isNotNull &&
+      size(col("sig_a")) =!= size(col("sig_b"))
     stored.select(col("group_key"), col("sig").as("sig_a"), col("family").as("fam_a"))
       .join(batch.select(col("group_key"), col("sig").as("sig_b"), col("family").as("fam_b")),
         Seq("group_key"), "full_outer")
@@ -107,6 +113,10 @@ object Graft {
           raise_error(format_string(
             "minhash index hash-family mismatch: %s vs %s — rebuild one side",
             col("fam_a"), col("fam_b"))).cast(ArrayType(LongType)))
+          .when(badWidth,
+            raise_error(format_string(
+              "minhash index signature-width mismatch: %d vs %d slots — rebuild one side",
+              size(col("sig_a")), size(col("sig_b")))).cast(ArrayType(LongType)))
           .otherwise(coalesce(
             zip_with(col("sig_a"), col("sig_b"), (a, b) => least(a, b)),
             col("sig_a"), col("sig_b"))).as("sig"),

@@ -122,11 +122,14 @@ private[core] object YamlLite {
   /** Scalar value of a raw `key:` tail: a single- or double-quoted value
     * keeps its content verbatim (the YAML-standard way to carry " #" or
     * leading/trailing spaces — e.g. a password), with the standard
-    * escapes — `''` inside single quotes and `\"`/`\\` inside double
-    * quotes — so values CONTAINING quote characters are expressible; an
-    * unquoted value ends at the first " #" (inline comment), exactly as
-    * real YAML plain scalars do. Malformed quoting fails loudly rather
-    * than truncating. */
+    * escapes — `''` inside single quotes, and the YAML double-quote
+    * escapes `\"` `\\` `\/` `\n` `\t` `\r` `\0` (translated, not copied
+    * verbatim) — so values CONTAINING quote characters or control
+    * characters are expressible. An UNKNOWN escape fails loudly: a
+    * password carrying a real `\x` sequence must never be silently
+    * corrupted into the letter `x`. An unquoted value ends at the first
+    * " #" (inline comment), exactly as real YAML plain scalars do.
+    * Malformed quoting fails loudly rather than truncating. */
   private[core] def scalar(raw: String): String = {
     val v = raw.trim
     if (v.nonEmpty && (v.head == '"' || v.head == '\'')) {
@@ -139,7 +142,19 @@ private[core] object YamlLite {
         if (q == '\'' && c == '\'' && i + 1 < v.length && v.charAt(i + 1) == '\'') {
           out += '\''; i += 2 // YAML '' → literal single quote
         } else if (q == '"' && c == '\\' && i + 1 < v.length) {
-          out += v.charAt(i + 1); i += 2 // \" and \\ → literal
+          out += (v.charAt(i + 1) match {
+            case '"'  => '"'
+            case '\\' => '\\'
+            case '/'  => '/'
+            case 'n'  => '\n'
+            case 't'  => '\t'
+            case 'r'  => '\r'
+            case '0'  => '\u0000'
+            case other => throw new IllegalArgumentException(
+              s"unsupported escape \\$other in double-quoted value: $raw " +
+                "(supported: \\\" \\\\ \\/ \\n \\t \\r \\0)")
+          })
+          i += 2
         } else if (c == q) { closed = true; i += 1 }
         else { out += c; i += 1 }
       }

@@ -213,13 +213,22 @@ object Medallion {
     * format). A change for a not-yet-existing partition creates it.
     *
     * Each touched partition is rewritten to a sibling temp dir and
-    * swapped in with the same atomic-rename + rollback discipline as
-    * [[Maintenance.compactParquet]] (local-FS semantics; a table
-    * format's transactional commit replaces this on object stores).
+    * swapped in with the same atomic-rename + rollback + crash-recovery
+    * discipline as [[Maintenance.compactParquet]]: a run killed between
+    * park and promote leaves the live rows parked in `_cdc_old_…`, and
+    * the next call promotes them back BEFORE probing existence, so the
+    * batch folds into the restored snapshot instead of an empty one
+    * (local-FS rename semantics; a table format's transactional commit
+    * replaces this on object stores).
     *
     * Returns the touched partition values (driver-side partition LIST —
     * cardinality = partitions in the batch, never data rows).
     */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
   def applyCdcPartitioned(
       spark: SparkSession, tablePath: String, changes: DataFrame,
       key: String, seqCol: String, partitionCol: String): Seq[String] = {
@@ -240,6 +249,24 @@ object Medallion {
       val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .escapePathName(pv)
       val partPath = s"$tablePath/$partitionCol=$escaped"
+      // underscore-prefixed siblings: Spark's file index ignores `_`
+      // paths, so a concurrent reader of the table root never sees the
+      // in-flight rewrite as a conflicting partition directory
+      val tmp = s"$tablePath/_cdc_tmp_$escaped"
+      val old = s"$tablePath/_cdc_old_$escaped"
+      // crash recovery BEFORE the existence probe (same discipline as
+      // Maintenance.recoverSwap): a hard kill between park and promote
+      // leaves the live rows parked in `_cdc_old_`, and probing
+      // existence without promoting them back would fold this batch
+      // into an EMPTY snapshot — silently dropping every prior row of
+      // the partition. Promote the parked dir when live is missing;
+      // then clear stale tmp/old leftovers (junk from any interrupted
+      // run — after promote, `old` is a superseded copy, and the batch
+      // re-apply is safe because applyCdc is replay-idempotent).
+      if (!Files.exists(Paths.get(partPath)) && Files.exists(Paths.get(old)))
+        Files.move(Paths.get(old), Paths.get(partPath), StandardCopyOption.ATOMIC_MOVE)
+      rmTree(new java.io.File(tmp))
+      rmTree(new java.io.File(old))
       val chg = changes.filter(col(partitionCol) === lit(raw)).drop(partitionCol)
       val exists = Files.exists(Paths.get(partPath))
       // a missing partition folds the batch into an empty snapshot with
@@ -248,11 +275,6 @@ object Medallion {
         if (exists) spark.read.parquet(partPath)
         else chg.drop("_deleted", "_op", seqCol).limit(0)
       val next = applyCdc(snap, chg, key, seqCol)
-      // underscore-prefixed siblings: Spark's file index ignores `_`
-      // paths, so a concurrent reader of the table root never sees the
-      // in-flight rewrite as a conflicting partition directory
-      val tmp = s"$tablePath/_cdc_tmp_$escaped"
-      val old = s"$tablePath/_cdc_old_$escaped"
       next.write.mode("overwrite").parquet(tmp)
       if (exists)
         Files.move(Paths.get(partPath), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
@@ -263,13 +285,7 @@ object Medallion {
             Files.move(Paths.get(old), Paths.get(partPath), StandardCopyOption.ATOMIC_MOVE)
           throw e
       }
-      if (exists) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(new java.io.File(old))
-      }
+      if (exists) rmTree(new java.io.File(old))
     }
     touchedRaw.map(_.toString)
   }

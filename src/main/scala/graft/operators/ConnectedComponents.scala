@@ -30,9 +30,16 @@ import org.apache.spark.sql.functions._
   * cache (the per-round `changed` count materializes it), so execution
   * reads each round from memory while the action-runner's scope releases
   * everything afterwards — and a released frame is still recomputable
-  * from lineage, the repo's no-leak contract. On a cluster job with deep
-  * iteration, add a periodic `checkpoint` to a reliable store so
-  * executor loss cannot force a full recompute chain.
+  * from lineage, the repo's no-leak contract.
+  *
+  * Deep iteration grows the lineage chain one join+agg per round; on a
+  * cluster, executor loss late in a long run would then recompute the
+  * whole chain (and the planner itself slows on a many-round plan). Set
+  * `spark.graft.cc.checkpointInterval` to N > 0 to truncate lineage
+  * with a reliable `checkpoint` every N rounds (requires
+  * `SparkContext.setCheckpointDir` pointing at job-surviving storage).
+  * Off by default — near-dup components converge in 2–4 rounds, where a
+  * checkpoint's extra materialization costs more than it insures.
   */
 object ConnectedComponents {
 
@@ -43,6 +50,10 @@ object ConnectedComponents {
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 30): DataFrame = {
     import graft.core.CacheScope
+    // 0 = off; N > 0 = reliable-checkpoint the frontier every N rounds
+    // (see the object doc — driver fault tolerance for deep iteration)
+    val ckptEvery = edges.sparkSession.conf
+      .get("spark.graft.cc.checkpointInterval", "0").toInt
     // symmetric neighbor list, computed once and reused every round. A
     // single-scan explode, not union(select, select): a union of two
     // projections over the same plan EXECUTES the upstream (here:
@@ -87,10 +98,20 @@ object ConnectedComponents {
       // enclosing scope exits (lineage keeps it recomputable, so an
       // early release is correctness-neutral — the CacheScope contract)
       cachedLabels.unpersist(blocking = false)
-      labels = next.drop("_changed")
-      cachedLabels = next
       converged = changed == 0
       it += 1
+      if (ckptEvery > 0 && it % ckptEvery == 0 && !converged) {
+        // truncate lineage: `next` is cached, so the checkpoint job
+        // re-reads memory, not the round chain; after it the cache is
+        // superseded by the checkpoint files and released immediately
+        val cp = next.drop("_changed").checkpoint()
+        next.unpersist(blocking = false)
+        labels = cp
+        cachedLabels = cp // unpersist on a checkpointed frame is a no-op
+      } else {
+        labels = next.drop("_changed")
+        cachedLabels = next
+      }
     }
     require(converged,
       s"connected components did not converge within $maxIters rounds — " +

@@ -372,6 +372,83 @@ object PipelineOps {
               count(DISTINCT user_id) AS n_users
        FROM j GROUP BY cw, week_offset ORDER BY cohort_week, week_offset"""
 
+  // --------------------------------------------------------------------
+  // q82 — CDC upsert (the Delta-MERGE equivalent, Medallion.applyCdc):
+  // fold a deterministic change batch into the customer snapshot —
+  // two UPDATE versions per key (latest _seq wins), an upsert-then-
+  // DELETE (the delete wins and drops the key), and brand-new INSERT
+  // keys — then emit the merged snapshot. Exercises the full reference
+  // envelope semantics (setup_debezium.py upsert/delete apply) under
+  // the oracle: latest-per-key window ≫ delete filter ≫ anti-join ≫
+  // union. The change batch is synthesized from the customer table
+  // itself so the oracle can reproduce it exactly; each branch is a
+  // pushdown-filtered dim scan (cheap), and the merge itself is the
+  // scale-relevant part: one window shuffle of the (small) batch + one
+  // key anti-join against the snapshot, never a snapshot rewrite.
+  // Double arithmetic (+100.0/+200.0) is a single IEEE add on both
+  // engines — bit-exact.
+  // --------------------------------------------------------------------
+  def q82CdcUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = lake(s, dir).customer.select(
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment"))
+    val m = col("c_custkey") % 10
+    def tagged(df: DataFrame, deleted: Boolean, seq: Long): DataFrame =
+      df.withColumn("_deleted", lit(deleted)).withColumn("_seq", lit(seq))
+    val changes =
+      tagged(base.filter(m < 3)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .withColumn("c_mktsegment", lit("UPDATED_V1")), deleted = false, 1L)
+      .unionByName(tagged(base.filter(m < 3)
+        .withColumn("c_acctbal", col("c_acctbal") + 200.0)
+        .withColumn("c_mktsegment", lit("UPDATED_V2")), deleted = false, 2L))
+      .unionByName(tagged(base.filter(m === 7)
+        .withColumn("c_mktsegment", lit("DOOMED")), deleted = false, 1L))
+      .unionByName(tagged(base.filter(m === 7), deleted = true, 2L))
+      .unionByName(tagged(base.filter(m === 5)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+        .withColumn("c_mktsegment", lit("INSERTED")), deleted = false, 1L))
+    Medallion.applyCdc(base, changes, "c_custkey", "_seq")
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q82Oracle =
+    """WITH base AS (
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer),
+       changes AS (
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+                'UPDATED_V1' AS c_mktsegment, false AS _deleted, 1 AS _seq
+         FROM base WHERE c_custkey % 10 < 3
+         UNION ALL
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal + 200.0,
+                'UPDATED_V2', false, 2
+         FROM base WHERE c_custkey % 10 < 3
+         UNION ALL
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                'DOOMED', false, 1
+         FROM base WHERE c_custkey % 10 = 7
+         UNION ALL
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                c_mktsegment, true, 2
+         FROM base WHERE c_custkey % 10 = 7
+         UNION ALL
+         SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+                'INSERTED', false, 1
+         FROM base WHERE c_custkey % 10 = 5),
+       latest AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                        ORDER BY _seq DESC) AS rn
+           FROM changes)
+         WHERE rn = 1)
+       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+       FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+       UNION ALL
+       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+       FROM latest WHERE NOT _deleted
+       ORDER BY c_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_sessionize" -> (q43Sessionize _),
@@ -380,7 +457,8 @@ object PipelineOps {
     "q59_session_window" -> (q59SessionWindow _),
     "q64_stream_static_join" -> (q64StreamStaticJoin _),
     "q78_funnel" -> (q78Funnel _),
-    "q79_retention" -> (q79Retention _))
+    "q79_retention" -> (q79Retention _),
+    "q82_cdc_upsert" -> (q82CdcUpsert _))
 
   val oracle: Map[String, String] = Map(
     "q42_multimodal_meta" -> q42Oracle,
@@ -390,5 +468,6 @@ object PipelineOps {
     "q59_session_window" -> q59Oracle,
     "q64_stream_static_join" -> q64Oracle,
     "q78_funnel" -> q78Oracle,
-    "q79_retention" -> q79Oracle)
+    "q79_retention" -> q79Oracle,
+    "q82_cdc_upsert" -> q82Oracle)
 }

@@ -30,13 +30,22 @@ object Sinks {
       to_json(struct(df.columns.map(col): _*)).as("value"))
   }
 
+  /** The exact (format, options) pair [[toKafka]] submits to the
+    * DataFrameWriter — split out so the transport wiring is a testable
+    * contract in this broker-less container (the closest available
+    * analogue of a MockedProducer assertion); [[toKafka]] stays a
+    * two-liner that cannot drift from it. */
+  def kafkaWriteConfig(bootstrap: String, topic: String): (String, Map[String, String]) = {
+    require(bootstrap.nonEmpty, "kafka.bootstrap.servers must be non-empty")
+    require(topic.nonEmpty, "topic must be non-empty")
+    ("kafka", Map("kafka.bootstrap.servers" -> bootstrap, "topic" -> topic))
+  }
+
   /** K1 — Kafka produce with primary-key keying. */
-  def toKafka(df: DataFrame, bootstrap: String, topic: String, keyCol: String): Unit =
-    kafkaRecords(df, Seq(keyCol))
-      .write.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
-      .save()
+  def toKafka(df: DataFrame, bootstrap: String, topic: String, keyCol: String): Unit = {
+    val (fmt, opts) = kafkaWriteConfig(bootstrap, topic)
+    kafkaRecords(df, Seq(keyCol)).write.format(fmt).options(opts).save()
+  }
 
   /** K5 — direct distributed JDBC write (replaces the reference's
     * driver-side pandas collect + chunked to_sql, gold_to_postgres.py:33-58:

@@ -84,6 +84,25 @@ class ConfigSpec extends SparkSpec {
     }
   }
 
+  test("double-quoted escapes translate; unknown escapes fail loudly") {
+    // "\n" must decode to a real newline — never the letter n (a
+    // password carrying escape sequences must not be silently corrupted)
+    val nl = GraftConfig.fromYamlString("spark:\n  app_name: \"a\\nb\"\n")
+    assert(nl.appName === "a\nb")
+    val tab = GraftConfig.fromYamlString("spark:\n  app_name: \"a\\tb\"\n")
+    assert(tab.appName === "a\tb")
+    val bs = GraftConfig.fromYamlString("spark:\n  app_name: \"a\\\\nb\"\n")
+    assert(bs.appName === "a\\nb", "escaped backslash then literal n")
+    // an escape outside the supported set raises instead of guessing
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig.fromYamlString("spark:\n  app_name: \"a\\xb\"\n")
+    }
+    assert(e.getMessage.contains("unsupported escape"))
+    // single-quoted values stay verbatim — no escape processing at all
+    val sq = GraftConfig.fromYamlString("spark:\n  app_name: 'a\\nb'\n")
+    assert(sq.appName === "a\\nb")
+  }
+
   test("a config with no deployment sections still loads with local defaults") {
     val cfg = GraftConfig.fromYamlString("processing:\n  bronze:\n    batch_size: 1000\n")
     assert(cfg.mysql.isEmpty && cfg.kafka.isEmpty && cfg.objectStore.isEmpty)

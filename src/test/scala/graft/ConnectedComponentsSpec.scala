@@ -52,6 +52,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc(edges) === cc(edges))
   }
 
+  test("periodic checkpointing (deep iteration) yields identical labels") {
+    // each round references `labels` twice (the neighbor join + the
+    // improvement join), so WITHOUT lineage truncation the logical plan
+    // DOUBLES per round — a diameter-9 chain needs 10 rounds ≈ 2^10
+    // plan copies and OOMs the planner before fault tolerance even
+    // matters. Checkpointing every 3 rounds bounds the plan and is the
+    // only way this fixture completes at all; labels come out exact.
+    val chain = (1L to 9L).map(i => (i, i + 1)) :+ ((20L, 21L))
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.cc.checkpointInterval", "3")
+    try {
+      val expected =
+        ((1L to 10L).map(_ -> 1L) ++ Seq(20L -> 20L, 21L -> 20L)).toMap
+      assert(cc(chain) === expected,
+        "checkpointed deep run must reach the exact fixpoint")
+    } finally spark.conf.unset("spark.graft.cc.checkpointInterval")
+  }
+
   test("transitive removal keeps ONE survivor where pairwise keeps two") {
     import spark.implicits._
     // the wedge graph: docs 1 and 2 are each near-dups of core doc 3 but

@@ -160,6 +160,44 @@ class MedallionSpec extends SparkSpec {
     assert(!new java.io.File(s"$table/_cdc_tmp_2026-01-04").exists())
   }
 
+  test("applyCdcPartitioned recovers a partition parked by a crash between park and promote") {
+    import spark.implicits._
+    val table = new java.io.File("target/tmp/spec_cdc_crash/t").getAbsolutePath
+    rmRf(new java.io.File(table))
+    Seq(
+      (1L, "a", 10.0, "2026-01-01"), (2L, "b", 20.0, "2026-01-01"),
+      (3L, "c", 30.0, "2026-01-02"))
+      .toDF("id", "name", "amount", "pd")
+      .write.mode("overwrite").partitionBy("pd").parquet(table)
+
+    // simulate the worst crash point of a previous run: the live
+    // partition was parked to _cdc_old_ but the temp dir was never
+    // promoted (a stale _cdc_tmp_ is also left behind). Without
+    // recovery the next run would see "partition missing", fold into an
+    // EMPTY snapshot, and silently drop rows 1 and 2.
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$table/pd=2026-01-01"),
+      java.nio.file.Paths.get(s"$table/_cdc_old_2026-01-01"))
+    new java.io.File(s"$table/_cdc_tmp_2026-01-01").mkdirs()
+
+    val changes = Seq((2L, "b2", 21.0, "u", false, 100L, "2026-01-01"))
+      .toDF("id", "name", "amount", "_op", "_deleted", "_seq", "pd")
+    Medallion.applyCdcPartitioned(spark, table, changes, "id", "_seq", "pd")
+
+    // the parked rows were promoted back and the batch applied on top
+    val after = spark.read.parquet(table)
+      .orderBy("id").select("id", "name").as[(Long, String)].collect()
+    assert(after.toSeq === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    // no swap debris
+    assert(!new java.io.File(s"$table/_cdc_old_2026-01-01").exists())
+    assert(!new java.io.File(s"$table/_cdc_tmp_2026-01-01").exists())
+  }
+
+  private def rmRf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
+    f.delete(); ()
+  }
+
   test("compaction shrinks a fragmented table without changing its rows") {
     import spark.implicits._
     import graft.medallion.Maintenance

@@ -97,6 +97,29 @@ class MinHashAggSpec extends SparkSpec {
     assert(ok.count() === 2) // passes through; families kept per group
   }
 
+  test("mergeMinHashIndexes refuses indexes of different signature widths") {
+    import spark.implicits._
+    // zip_with would null-pad the 12-slot side to 16 and least() would
+    // ignore the nulls — a mixed-width garbage signature, not an error;
+    // the guard must raise instead (mirroring guardedIndexSigs)
+    val a = Seq(("g1", Seq.fill(12)(5L)))
+      .toDF("group_key", "sig").withColumn("family", lit("md5"))
+    val b = Seq(("g1", Seq.fill(16)(3L)))
+      .toDF("group_key", "sig").withColumn("family", lit("md5"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e = intercept[Exception] {
+      graft.api.Graft.mergeMinHashIndexes(a, b).collect()
+    }
+    assert(messages(e).exists(_.contains("signature-width mismatch")),
+      s"expected the width-mismatch error, got: $e")
+    // one-sided groups of any width still pass through untouched
+    val ok = graft.api.Graft.mergeMinHashIndexes(
+      a, Seq(("g2", Seq.fill(16)(3L))).toDF("group_key", "sig")
+        .withColumn("family", lit("md5")))
+    assert(ok.count() === 2)
+  }
+
   test("nearDupsAgainstIndex: banded query equals brute-force signature agreement") {
     import graft.api.Graft
     val docs = Lake(spark, sfDir).documents

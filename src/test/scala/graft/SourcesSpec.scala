@@ -40,6 +40,19 @@ class SourcesSpec extends SparkSpec {
     assert(nullKeys.toSet === Set(Some("5"), None))
   }
 
+  test("toKafka's transport wiring is the documented (format, options) contract") {
+    import graft.sources.Sinks
+    // no broker exists in this container; the write config is split from
+    // the save() so the wiring itself stays covered (K1)
+    val (fmt, opts) = Sinks.kafkaWriteConfig("b1:29092,b2:29092", "sakila.actor")
+    assert(fmt === "kafka")
+    assert(opts === Map(
+      "kafka.bootstrap.servers" -> "b1:29092,b2:29092",
+      "topic" -> "sakila.actor"))
+    intercept[IllegalArgumentException] { Sinks.kafkaWriteConfig("", "t") }
+    intercept[IllegalArgumentException] { Sinks.kafkaWriteConfig("b", "") }
+  }
+
   test("parseEnvelope flattens the CDC envelope and keeps the operation") {
     import spark.implicits._
     val kafkaish = Seq(
