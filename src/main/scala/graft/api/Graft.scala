@@ -220,6 +220,20 @@ object Graft {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Connected components of an edge list (e.g. the near-dup pair
+    * graph): (`id`, `component` = min reachable id). `alternating =
+    * false` runs min-label propagation — the cheap choice for near-dup
+    * clusters, whose near-clique components converge in 2–4 rounds;
+    * `alternating = true` runs large-star/small-star (Kiveris et al.,
+    * SoCC '14) — O(log n) rounds regardless of component diameter, for
+    * unknown or chain-like graph shapes. Both reach the same unique
+    * fixpoint. NOT lazy: the loop runs jobs at call time. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      alternating: Boolean = false): DataFrame =
+    if (alternating)
+      graft.operators.ConnectedComponents.runAlternating(edges, srcCol, dstCol)
+    else graft.operators.ConnectedComponents.run(edges, srcCol, dstCol)
+
   // ---------------- curation ----------------
 
   /** Stratified sample with exact per-stratum quotas (adds an `rk`

@@ -19,11 +19,11 @@ import org.apache.spark.sql.functions._
   * zero-change round (so set `maxIters` ≥ diameter + 1) — for near-dup
   * clusters (threshold ≥ 0.5 makes them near-cliques) that is 2–4; the
   * `maxIters` guard fails LOUDLY rather than returning a half-converged
-  * labeling. For adversarial long-chain graphs at extreme scale, the
-  * literature's large-star/small-star alternation (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC '14) converges
-  * in O(log n) rounds with the same per-round join shape — the upgrade
-  * path if diameters ever grow past tens.
+  * labeling. For adversarial long-chain graphs at extreme scale, use
+  * [[runAlternating]] — the literature's large-star/small-star
+  * alternation (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC '14) — which converges in O(log n) rounds with the
+  * same per-round join shape.
   *
   * Each round is one equi-join + one partial-aggregated groupBy (shuffle
   * keyed by vertex id). Every frontier is a [[graft.core.CacheScope]]
@@ -117,7 +117,110 @@ object ConnectedComponents {
       s"connected components did not converge within $maxIters rounds — " +
         "the largest component's diameter exceeds maxIters - 1 (the last " +
         "round must observe zero changes); raise maxIters or switch to " +
-        "large-star/small-star")
+        "runAlternating (large-star/small-star)")
     labels
+  }
+
+  /** Large-star operation on a canonical (a > b) edge set: around every
+    * vertex u, connect each STRICTLY LARGER neighbor to the minimum of
+    * u's closed neighborhood. Stars are fixpoints; long paths halve. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    // single-scan symmetrize (explode, not union-of-selects — a union
+    // executes the upstream once per branch)
+    val sym = e.select(explode(array(
+      call_function("named_struct", lit("u"), col("a"), lit("v"), col("b")),
+      call_function("named_struct", lit("u"), col("b"), lit("v"), col("a")))).as("x"))
+      .select(col("x.u").as("u"), col("x.v").as("v"))
+    val mins = sym.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      // v > u ≥ m, so (v, m) is already in canonical big-small order
+      .select(col("v").as("a"), col("m").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Small-star operation on a canonical (a > b) edge set: around every
+    * vertex a, connect each (smaller) neighbor AND a itself to the
+    * minimum neighbor. Stars are fixpoints; shallow trees flatten. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("a")).agg(min(col("b")).as("m"))
+    e.join(mins, "a")
+      .select(explode(array(
+        call_function("named_struct", lit("x"), col("b"), lit("y"), col("m")),
+        call_function("named_struct", lit("x"), col("a"), lit("y"), col("m")))).as("p"))
+      // b ≥ m and a > b ≥ m: canonical order preserved; the b = m case
+      // (the min neighbor pointing at itself) drops as a self-loop
+      .select(col("p.x").as("a"), col("p.y").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Connected components by alternating large-star/small-star (Kiveris
+    * et al., SoCC '14): same (`id`, `component` = min reachable id)
+    * output as [[run]], but convergence takes O(log n) rounds regardless
+    * of component DIAMETER — min-label propagation needs diameter-many
+    * rounds, which for a million-vertex chain is a million rounds; this
+    * needs ~20. Use it when the pair graph's shape is unknown or
+    * adversarial (generic graph inputs, chain-like duplicate families);
+    * [[run]] stays the cheaper choice for near-dup clusters, whose
+    * near-clique components converge in 2–4 rounds.
+    *
+    * State per round is a canonical big→small edge set; each half-round
+    * is one groupBy + one equi-join keyed by vertex id (the exact
+    * shuffle shape of [[run]]), and the fixpoint — a star forest rooted
+    * at each component's minimum — is unique, so the result is
+    * deterministic. Every round's frontier is lineage-truncated: the
+    * edge set is rewritten (not just relabeled) each round, so the plan
+    * would otherwise QUADRUPLE per round; `localCheckpoint` by default,
+    * or a reliable `checkpoint` every `spark.graft.cc.checkpointInterval`
+    * rounds when that is set (cluster fault tolerance — localCheckpoint
+    * blocks die with their executor). Like [[run]], NOT lazy: the loop
+    * runs jobs at call time. Vertices with no edges don't appear. */
+  def runAlternating(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 30): DataFrame = {
+    val ckptEvery = edges.sparkSession.conf
+      .get("spark.graft.cc.checkpointInterval", "0").toInt
+    def truncate(df: DataFrame, round: Int): DataFrame =
+      if (ckptEvery > 0 && round % ckptEvery == 0) df.checkpoint()
+      else df.localCheckpoint()
+
+    var cur = truncate(
+      edges.select(
+        greatest(col(srcCol), col(dstCol)).as("a"),
+        least(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a") =!= col("b") && col("b").isNotNull)
+        .distinct(), 0)
+    var curCount = cur.count()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = truncate(smallStar(largeStar(cur)), it + 1)
+      val nextCount = next.count()
+      // deterministic set functions: output == input means every later
+      // round repeats it — the fixpoint. Both sides are distinct, so
+      // equal counts + empty one-way difference prove set equality.
+      converged = nextCount == curCount && next.except(cur).isEmpty
+      val prev = cur
+      cur = next; curCount = nextCount
+      if (!converged) prev.unpersist(blocking = false)
+      it += 1
+    }
+    require(converged,
+      s"alternating connected components did not converge within $maxIters " +
+        "rounds — expected O(log n); raise maxIters")
+    // the fixpoint theorem says `cur` is a star forest rooted at minima;
+    // assert the invariants loudly rather than trusting them (cheap:
+    // edge-count-sized jobs, run once)
+    require(cur.groupBy(col("a")).count().filter(col("count") > 1).isEmpty,
+      "internal error: converged state has a vertex with two parents")
+    require(cur.select(col("a")).join(cur.select(col("b").as("a")),
+      Seq("a"), "left_semi").isEmpty,
+      "internal error: converged state has a two-level chain")
+    cur.select(col("a").as("id"), col("b").as("component"))
+      .unionByName(
+        cur.select(col("b").as("id")).distinct()
+          .withColumn("component", col("id")))
   }
 }

@@ -449,6 +449,83 @@ object PipelineOps {
        FROM latest WHERE NOT _deleted
        ORDER BY c_custkey"""
 
+  // --------------------------------------------------------------------
+  // q84 — partition-scoped CDC upsert ON DISK (applyCdcPartitioned, the
+  // partition-pruned MERGE): orders land as a year-partitioned parquet
+  // snapshot under target/tmp; a change batch touching ONLY years 1996,
+  // 1999 (update chains + deletes) and creating year 2099 (inserts)
+  // folds in, rewriting just those three partition directories; the
+  // merged table is read back whole. Every change carries its row's own
+  // partition value, so the per-partition merge equals the oracle's
+  // global latest-per-key ≫ delete ≫ anti-join ≫ union semantics. The
+  // snapshot is rewritten fresh each run (static partition-overwrite
+  // truncates the table dir), so reruns are deterministic.
+  // --------------------------------------------------------------------
+  def q84CdcPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val table = s"${scratch("cdc_part", dir)}/orders"
+    val base = lake(s, dir).orders.select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), year(col("o_orderdate")).as("yr"))
+    base.repartition(Scale.par(s), col("o_orderkey"))
+      .write.mode("overwrite").partitionBy("yr").parquet(table)
+    val m = col("o_orderkey") % 10
+    val touched = col("yr").isin(1996, 1999)
+    def tagged(df: DataFrame, deleted: Boolean, seq: Long): DataFrame =
+      df.withColumn("_deleted", lit(deleted)).withColumn("_seq", lit(seq))
+    val changes =
+      tagged(base.filter(touched && m === 1)
+        .withColumn("o_orderstatus", lit("U1"))
+        .withColumn("o_totalprice", col("o_totalprice") + 50.0), deleted = false, 1L)
+      .unionByName(tagged(base.filter(touched && m === 1)
+        .withColumn("o_orderstatus", lit("U2"))
+        .withColumn("o_totalprice", col("o_totalprice") + 75.0), deleted = false, 2L))
+      .unionByName(tagged(base.filter(touched && m === 2), deleted = true, 1L))
+      .unionByName(tagged(base.filter(touched && m === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderstatus", lit("NEW"))
+        .withColumn("yr", lit(2099)), deleted = false, 1L))
+    Medallion.applyCdcPartitioned(s, table, changes, "o_orderkey", "_seq", "yr")
+    s.read.parquet(table)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("yr").cast(LongType).as("yr"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q84Oracle =
+    """WITH base AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                year(o_orderdate) AS yr
+         FROM orders),
+       changes AS (
+         SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+                o_totalprice + 50.0 AS o_totalprice, yr,
+                false AS _deleted, 1 AS _seq
+         FROM base WHERE yr IN (1996, 1999) AND o_orderkey % 10 = 1
+         UNION ALL
+         SELECT o_orderkey, o_custkey, 'U2', o_totalprice + 75.0, yr, false, 2
+         FROM base WHERE yr IN (1996, 1999) AND o_orderkey % 10 = 1
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, yr, true, 1
+         FROM base WHERE yr IN (1996, 1999) AND o_orderkey % 10 = 2
+         UNION ALL
+         SELECT o_orderkey + 10000000, o_custkey, 'NEW', o_totalprice, 2099,
+                false, 1
+         FROM base WHERE yr IN (1996, 1999) AND o_orderkey % 10 = 3),
+       latest AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                        ORDER BY _seq DESC) AS rn
+           FROM changes)
+         WHERE rn = 1)
+       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              CAST(yr AS BIGINT) AS yr
+       FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+       UNION ALL
+       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              CAST(yr AS BIGINT)
+       FROM latest WHERE NOT _deleted
+       ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_sessionize" -> (q43Sessionize _),
@@ -458,7 +535,8 @@ object PipelineOps {
     "q64_stream_static_join" -> (q64StreamStaticJoin _),
     "q78_funnel" -> (q78Funnel _),
     "q79_retention" -> (q79Retention _),
-    "q82_cdc_upsert" -> (q82CdcUpsert _))
+    "q82_cdc_upsert" -> (q82CdcUpsert _),
+    "q84_cdc_partitioned" -> (q84CdcPartitioned _))
 
   val oracle: Map[String, String] = Map(
     "q42_multimodal_meta" -> q42Oracle,
@@ -469,5 +547,6 @@ object PipelineOps {
     "q64_stream_static_join" -> q64Oracle,
     "q78_funnel" -> q78Oracle,
     "q79_retention" -> q79Oracle,
-    "q82_cdc_upsert" -> q82Oracle)
+    "q82_cdc_upsert" -> q82Oracle,
+    "q84_cdc_partitioned" -> q84Oracle)
 }

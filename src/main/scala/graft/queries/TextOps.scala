@@ -808,6 +808,97 @@ object TextOps {
        SELECT a AS doc_id, min(b) AS component_id
        FROM reach GROUP BY a ORDER BY doc_id"""
 
+  // --------------------------------------------------------------------
+  // q83 — incremental near-dup lookup of a NEW BATCH against a STORED
+  // per-source MinHash index (NearDup.nearDupsAgainstIndex — the
+  // arrival-time dedup query, O(batch + index), no corpus rescan):
+  // stored docs (doc_id % 3 ≠ 0) fold into one 12-slot signature per
+  // source through the mergeable aggregator; batch docs (doc_id % 3 = 0)
+  // sign per doc and meet the index ONLY through the banded equi-join
+  // (4 bands × 3 rows — key cardinality rows × bands, never
+  // batch × index); matches report signature agreement (matching
+  // slots / 12, the unbiased Jaccard estimate) ≥ 0.5. The oracle
+  // rebuilds both signatures arithmetically AND reproduces the banding,
+  // so a hash match proves candidate generation and verification — this
+  // promotes the operator from spec-only to oracle-checked. md5 family
+  // pinned (oracle rule).
+  // --------------------------------------------------------------------
+  def q83IndexNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = lake(s, dir).documents.repartition(Scale.par(s), col("doc_id"))
+    val mergeSig = udaf(new graft.functions.MinHashAgg(MH))
+    val index = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("source").as("group_key"),
+        hashedShingles(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("group_key"), minHash(col("hs"), MH).as("sig"))
+      .groupBy(col("group_key"))
+      .agg(mergeSig(col("sig")).as("sig"))
+      .withColumn("family", lit("md5"))
+    graft.operators.NearDup.nearDupsAgainstIndex(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", index,
+      shingleSize = 3, slots = MH, bands = BANDS, threshold = 0.5,
+      fastOverride = Some(false))
+      .orderBy(col("doc_id"), col("group_key"))
+  }
+
+  private val q83Oracle = {
+    val mh = (0 until MH).map(i =>
+      s"list_min(list_transform(range(len(hs)), j -> hs[j+1] + $i * h2s[j+1]))")
+      .mkString(",\n                  ")
+    s"""WITH sh AS (
+         SELECT doc_id, source,
+                list_transform(
+                  list_distinct(list_transform(
+                    range(len(string_split(trim(text), ' ')) - 2),
+                    i -> concat_ws(' ', string_split(trim(text), ' ')[i+1],
+                                   string_split(trim(text), ' ')[i+2],
+                                   string_split(trim(text), ' ')[i+3]))),
+                  s -> ${dHash("s")}) AS hs
+         FROM documents
+         WHERE len(string_split(trim(text), ' ')) >= 3),
+       sh2 AS (
+         SELECT doc_id, source, hs,
+                list_transform(hs, h ->
+                  CAST(concat('0x', substr(md5(CAST(h AS VARCHAR)), 1, 12)) AS BIGINT)) AS h2s
+         FROM sh),
+       sig AS (
+         SELECT doc_id, source, [$mh] AS sig FROM sh2),
+       gslots AS (
+         SELECT source, j.j AS slot, min(sig[j.j + 1]) AS v
+         FROM sig CROSS JOIN (SELECT unnest(range($MH)) AS j) j
+         WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
+       gsig AS (
+         SELECT source, list(v ORDER BY slot) AS gsig FROM gslots GROUP BY source),
+       bsig AS (
+         SELECT doc_id, sig AS bsig FROM sig WHERE doc_id % 3 = 0),
+       bbands AS (
+         SELECT doc_id, b.b AS band,
+                md5(array_to_string(list_transform(
+                  list_slice(bsig, b.b * $ROWS + 1, b.b * $ROWS + $ROWS),
+                  x -> CAST(x AS VARCHAR)), ',')) AS bkey
+         FROM bsig CROSS JOIN (SELECT unnest(range($BANDS)) AS b) b),
+       gbands AS (
+         SELECT source, b.b AS band,
+                md5(array_to_string(list_transform(
+                  list_slice(gsig, b.b * $ROWS + 1, b.b * $ROWS + $ROWS),
+                  x -> CAST(x AS VARCHAR)), ',')) AS bkey
+         FROM gsig CROSS JOIN (SELECT unnest(range($BANDS)) AS b) b),
+       cand AS (
+         SELECT DISTINCT a.doc_id, g.source
+         FROM bbands a JOIN gbands g ON a.band = g.band AND a.bkey = g.bkey),
+       scored AS (
+         SELECT c.doc_id, c.source AS group_key,
+                CAST(len(list_filter(range($MH),
+                  j -> b.bsig[j + 1] = g.gsig[j + 1])) AS DOUBLE) / $MH
+                  AS sig_agreement
+         FROM cand c
+         JOIN bsig b ON b.doc_id = c.doc_id
+         JOIN gsig g ON g.source = c.source)
+       SELECT doc_id, group_key, sig_agreement
+       FROM scored WHERE sig_agreement >= 0.5
+       ORDER BY doc_id, group_key"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_token_stats" -> (q31TokenStats _),
     "q32_lang_id" -> (q32LangId _),
@@ -824,7 +915,8 @@ object TextOps {
     "q56_frame_sample" -> (q56FrameSample _),
     "q63_prep_pipeline" -> (q63PrepPipeline _),
     "q69_grouped_minhash_index" -> (q69GroupedMinhashIndex _),
-    "q77_neardup_components" -> (q77NearDupComponents _))
+    "q77_neardup_components" -> (q77NearDupComponents _),
+    "q83_index_neardup" -> (q83IndexNearDup _))
 
   val oracle: Map[String, String] = Map(
     "q31_token_stats" -> q31Oracle,
@@ -842,5 +934,6 @@ object TextOps {
     "q56_frame_sample" -> q56Oracle,
     "q63_prep_pipeline" -> q63Oracle,
     "q69_grouped_minhash_index" -> q69Oracle,
-    "q77_neardup_components" -> q77Oracle)
+    "q77_neardup_components" -> q77Oracle,
+    "q83_index_neardup" -> q83Oracle)
 }

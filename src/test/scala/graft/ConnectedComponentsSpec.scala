@@ -71,6 +71,44 @@ class ConnectedComponentsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.cc.checkpointInterval")
   }
 
+  private def ccAlt(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.runAlternating(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("alternating large-star/small-star matches min-label on the real near-dup pairs") {
+    val pairs = graft.operators.NearDup.minHashLshPairs(
+      graft.core.Lake(spark, sfDir).documents, "doc_id", "text",
+      fastOverride = Some(false))
+    val edges = pairs.select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(edges.nonEmpty)
+    assert(ccAlt(edges) === cc(edges),
+      "both algorithms must reach the same unique fixpoint (min id per component)")
+  }
+
+  test("alternating converges on a diameter-99 chain min-label could not plan") {
+    // 100 vertices in one path: min-label needs 100 rounds (and its plan
+    // doubles per round — hopeless); large-star/small-star halves path
+    // lengths, so this converges in O(log n) rounds with per-round
+    // lineage truncation keeping the plan flat. Mixed with a separate
+    // triangle to prove components stay apart.
+    val chain = (1L to 99L).map(i => (i, i + 1))
+    val triangle = Seq((500L, 501L), (501L, 502L), (500L, 502L))
+    val got = ccAlt(chain ++ triangle)
+    val expected = ((1L to 100L).map(_ -> 1L) ++
+      Seq(500L, 501L, 502L).map(_ -> 500L)).toMap
+    assert(got === expected)
+  }
+
+  test("alternating is deterministic and handles duplicate/reversed edges") {
+    val edges = Seq((4L, 9L), (9L, 4L), (4L, 9L), (7L, 4L), (60L, 50L))
+    val expected = Map(4L -> 4L, 9L -> 4L, 7L -> 4L, 50L -> 50L, 60L -> 50L)
+    assert(ccAlt(edges) === expected)
+    assert(ccAlt(edges) === ccAlt(edges))
+  }
+
   test("transitive removal keeps ONE survivor where pairwise keeps two") {
     import spark.implicits._
     // the wedge graph: docs 1 and 2 are each near-dups of core doc 3 but

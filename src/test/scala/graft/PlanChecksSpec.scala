@@ -75,6 +75,12 @@ class PlanChecksSpec extends SparkSpec {
     }
   }
 
+  test("q83: batch-vs-index candidate stage is a banded equi-join, never nested-loop") {
+    val p = plan(TextOps.q83IndexNearDup(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"batch × index degenerated to a nested loop:\n$p")
+  }
+
   test("q37: candidate self-join carries no shingle arrays (keys+sizes only)") {
     val p = plan(TextOps.q37NgramJaccard(spark, sfDir))
     // the first (candidate) joins shuffle only ints; the hs arrays appear
