@@ -466,7 +466,11 @@ object PipelineOps {
     val base = lake(s, dir).orders.select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_totalprice"), year(col("o_orderdate")).as("yr"))
-    base.repartition(Scale.par(s), col("o_orderkey"))
+    // partition-dir-aligned shuffle: each task owns whole year dirs, so
+    // the table lands as one file per partition — a key-spread
+    // repartition here would write (tasks × years) tiny files, the
+    // small-files antipattern Maintenance.compactParquet exists to fix
+    base.repartition(col("yr"))
       .write.mode("overwrite").partitionBy("yr").parquet(table)
     val m = col("o_orderkey") % 10
     val touched = col("yr").isin(1996, 1999)

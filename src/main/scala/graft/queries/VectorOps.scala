@@ -265,15 +265,69 @@ object VectorOps {
        ORDER BY d1, d2"""
   }
 
+  // --------------------------------------------------------------------
+  // q85 — int8 embedding quantization (the 4× memory/IO cut that makes
+  // billion-vector ANN fit storage budgets): symmetric per-vector
+  // scheme — scale = 127/amax, q_i = floor(x_i·scale + 0.5) ∈
+  // [-127, 127] — with a per-vector reconstruction-error report
+  // (max and total |x - dequant(quant(x))|). Narrow per-row transform,
+  // scan-parallel, zero shuffles before the output sort. Determinism:
+  // float→double casts are exact, floor and max are exact/order-free,
+  // and the error total is a strict left fold (Spark aggregate HOF ≡
+  // DuckDB list_reduce; the elements are abs() ≥ +0.0, so the 0.0-init
+  // vs first-element-init difference vanishes exactly).
+  // --------------------------------------------------------------------
+  def q85QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val scale = lit(127.0) / col("amax")
+    vectors(s, dir)
+      .filter(size(col("embedding")) === SRP_DIMS)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("xs"))
+      .withColumn("amax", array_max(transform(col("xs"), a => abs(a))))
+      // an all-zero vector has no scale; its quantization is exact
+      .withColumn("errs",
+        when(col("amax") === 0.0, array_repeat(lit(0.0), SRP_DIMS))
+          .otherwise(transform(col("xs"), x =>
+            abs(x - floor(x * scale + lit(0.5)) / scale))))
+      .select(col("vec_id"), col("amax"),
+        array_max(col("errs")).as("max_abs_err"),
+        aggregate(col("errs"), lit(0.0), (acc, e) => acc + e).as("sum_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q85Oracle =
+    s"""WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+         FROM embeddings WHERE len(embedding) = $SRP_DIMS),
+       a AS (
+         SELECT vec_id, xs,
+                list_max(list_transform(xs, x -> abs(x))) AS amax
+         FROM v),
+       e AS (
+         SELECT vec_id, amax,
+                CASE WHEN amax = 0 THEN list_transform(xs, x -> 0.0)
+                     ELSE list_transform(xs, x ->
+                       abs(x - floor(x * (127.0 / amax) + 0.5)
+                             / (127.0 / amax)))
+                END AS errs
+         FROM a)
+       SELECT vec_id, amax,
+              list_max(errs) AS max_abs_err,
+              list_reduce(errs, (x, y) -> x + y) AS sum_abs_err
+       FROM e ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_embedding_neardup" -> (q39EmbeddingNearDup _),
     "q40_knn_bruteforce" -> (q40KnnBruteForce _),
     "q41_ivf_ann" -> (q41IvfAnn _),
-    "q73_srp_lsh_pairs" -> (q73SrpLshPairs _))
+    "q73_srp_lsh_pairs" -> (q73SrpLshPairs _),
+    "q85_quantize_int8" -> (q85QuantizeInt8 _))
 
   val oracle: Map[String, String] = Map(
     "q39_embedding_neardup" -> q39Oracle,
     "q40_knn_bruteforce" -> q40Oracle,
     "q41_ivf_ann" -> q41Oracle,
-    "q73_srp_lsh_pairs" -> q73Oracle)
+    "q73_srp_lsh_pairs" -> q73Oracle,
+    "q85_quantize_int8" -> q85Oracle)
 }

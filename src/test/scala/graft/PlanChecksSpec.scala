@@ -75,6 +75,12 @@ class PlanChecksSpec extends SparkSpec {
     }
   }
 
+  test("q85: quantization is a narrow scan-parallel transform — no hash exchange") {
+    val p = plan(graft.queries.VectorOps.q85QuantizeInt8(spark, sfDir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row quantization must not shuffle (only the output sort ranges):\n$p")
+  }
+
   test("q83: batch-vs-index candidate stage is a banded equi-join, never nested-loop") {
     val p = plan(TextOps.q83IndexNearDup(spark, sfDir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
