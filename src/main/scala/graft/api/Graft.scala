@@ -245,6 +245,15 @@ object Graft {
     graft.operators.Curation.stratifiedSample(
       df, stratumCol, idCol, quota, TextFns.fastHash(df.sparkSession))
 
+  /** Weighted deterministic Bernoulli sample: keep each row with its own
+    * probability, given as an integer parts-per-million column —
+    * quality-weighted subsampling (q86's implementation; [[hashSample]]
+    * is the constant-rate case, [[stratifiedSample]] the exact-quota
+    * one). Honors `spark.graft.fastHash`. */
+  def weightedSample(df: DataFrame, idCol: String, weightPpmCol: String): DataFrame =
+    graft.operators.Curation.weightedSample(
+      df, idCol, weightPpmCol, TextFns.fastHash(df.sparkSession))
+
   /** Top-k tokens per group by corpus frequency (vocabulary pass; q71's
     * implementation). */
   def vocabulary(df: DataFrame, groupCol: String, textCol: String,

@@ -29,6 +29,22 @@ object Curation {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= quota)
   }
 
+  /** Deterministic WEIGHTED Bernoulli sample: keep a row iff
+    * hash60(id) mod 10⁶ < its weight in parts-per-million. Per-row
+    * probabilities (quality-weighted subsampling — keep 90% of high-
+    * quality documents, 5% of low) where [[stratifiedSample]] does exact
+    * quotas and a fixed-rate hash sample is the constant-ppm case.
+    * Selection is pure integer arithmetic on a portable hash: the same
+    * id keeps or drops identically across runs, engines, and cluster
+    * layouts, so reruns and backfills are reproducible. Narrow filter —
+    * scan-parallel, no shuffle. */
+  def weightedSample(df: DataFrame, idCol: String, weightPpmCol: String,
+      fast: Boolean = false): DataFrame = {
+    val h = if (fast) xxhash60(col(idCol).cast("string"))
+            else hash60(col(idCol).cast("string"))
+    df.filter(h % 1000000L < col(weightPpmCol).cast(LongType))
+  }
+
   /** Top-k tokens per group by corpus frequency (vocabulary pass). The
     * explode's fan-out is absorbed by map-side partial counts: the
     * shuffle carries one row per DISTINCT (group, token). */

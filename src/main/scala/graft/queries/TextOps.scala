@@ -899,6 +899,39 @@ object TextOps {
        ORDER BY doc_id, group_key"""
   }
 
+  // --------------------------------------------------------------------
+  // q87 — pattern redaction / normalization (the scrubbing stage every
+  // training pipeline runs before tokenization — PII masking is this op
+  // with PII regexes): replace every `(key|customer|order) <word>` span
+  // with a mask token, report per-doc match count, redacted length, and
+  // a preview. Narrow per-row regex work — scan-parallel, zero shuffles
+  // before the output sort. Portability: the pattern uses only
+  // alternation + explicit character classes, semantics shared by
+  // Spark's Java regex and DuckDB's RE2; both engines scan
+  // left-to-right non-overlapping, so counts and replacements align.
+  // --------------------------------------------------------------------
+  private val Q87_PATTERN = "(key|customer|order) [a-z]+"
+
+  def q87Redact(s: SparkSession, dir: String): DataFrame = {
+    val redacted = regexp_replace(col("text"), Q87_PATTERN, "<MASKED>")
+    lake(s, dir).documents
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(Q87_PATTERN)).as("n_redacted"),
+        length(redacted).as("redacted_len"),
+        substring(redacted, 1, 60).as("preview"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q87Oracle =
+    s"""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '$Q87_PATTERN')) AS INTEGER)
+                AS n_redacted,
+              CAST(length(regexp_replace(text, '$Q87_PATTERN', '<MASKED>', 'g'))
+                AS INTEGER) AS redacted_len,
+              substr(regexp_replace(text, '$Q87_PATTERN', '<MASKED>', 'g'), 1, 60)
+                AS preview
+       FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_token_stats" -> (q31TokenStats _),
     "q32_lang_id" -> (q32LangId _),
@@ -916,7 +949,8 @@ object TextOps {
     "q63_prep_pipeline" -> (q63PrepPipeline _),
     "q69_grouped_minhash_index" -> (q69GroupedMinhashIndex _),
     "q77_neardup_components" -> (q77NearDupComponents _),
-    "q83_index_neardup" -> (q83IndexNearDup _))
+    "q83_index_neardup" -> (q83IndexNearDup _),
+    "q87_redact" -> (q87Redact _))
 
   val oracle: Map[String, String] = Map(
     "q31_token_stats" -> q31Oracle,
@@ -935,5 +969,6 @@ object TextOps {
     "q63_prep_pipeline" -> q63Oracle,
     "q69_grouped_minhash_index" -> q69Oracle,
     "q77_neardup_components" -> q77Oracle,
-    "q83_index_neardup" -> q83Oracle)
+    "q83_index_neardup" -> q83Oracle,
+    "q87_redact" -> q87Oracle)
 }

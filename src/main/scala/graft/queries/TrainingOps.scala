@@ -60,6 +60,30 @@ object TrainingOps {
         WHERE rk <= $Q70_QUOTA ORDER BY lang, rk"""
 
   // --------------------------------------------------------------------
+  // q86 — WEIGHTED deterministic sampling: each document keeps with its
+  // own probability (integer ppm derived from document length here; in
+  // production, a quality score) — the curation stage between q54's
+  // fixed rate and q70's exact quotas. Pure integer arithmetic on the
+  // portable doc-id hash, so the keep/drop decision is bit-identical
+  // across engines, runs, and cluster layouts (reproducible backfills).
+  // Narrow filter: scan-parallel, zero shuffles before the output sort.
+  // --------------------------------------------------------------------
+  def q86WeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.weightedSample(
+      lake(s, dir).documents
+        .withColumn("ppm", least(col("n_chars") * 1500, lit(800000L))),
+      "doc_id", "ppm")
+      .select(col("doc_id"), col("lang"), col("ppm"))
+      .orderBy(col("doc_id"))
+
+  private val q86Oracle =
+    s"""SELECT doc_id, lang, least(n_chars * 1500, 800000) AS ppm
+       FROM documents
+       WHERE ${dHash("CAST(doc_id AS VARCHAR)")} % 1000000
+             < least(n_chars * 1500, 800000)
+       ORDER BY doc_id"""
+
+  // --------------------------------------------------------------------
   // q71 — vocabulary construction: top-20 tokens per language by corpus
   // frequency (the first pass of any BPE/WordPiece trainer). Two-phase:
   // token explode + (lang, token) count — partial aggregation absorbs
@@ -235,7 +259,8 @@ object TrainingOps {
     "q72_contamination" -> (q72Contamination _),
     "q74_repetition_flags" -> (q74RepetitionFlags _),
     "q75_sequence_packing" -> (q75SequencePacking _),
-    "q76_corpus_mix" -> (q76CorpusMix _))
+    "q76_corpus_mix" -> (q76CorpusMix _),
+    "q86_weighted_sample" -> (q86WeightedSample _))
 
   val oracle: Map[String, String] = Map(
     "q70_stratified_sample" -> q70Oracle,
@@ -243,5 +268,6 @@ object TrainingOps {
     "q72_contamination" -> q72Oracle,
     "q74_repetition_flags" -> q74Oracle,
     "q75_sequence_packing" -> q75Oracle,
-    "q76_corpus_mix" -> q76Oracle)
+    "q76_corpus_mix" -> q76Oracle,
+    "q86_weighted_sample" -> q86Oracle)
 }
