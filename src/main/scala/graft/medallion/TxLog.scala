@@ -1,0 +1,581 @@
+package graft.medallion
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.collection.immutable.ListMap
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A minimal log-structured table format — the transactional layer the
+  * reference's medallion pipeline assumes a managed lakehouse provides
+  * (its north-star names Delta Lake; no table-format jar ships in this
+  * container, so this is the from-scratch equivalent, following the
+  * published designs: Delta Lake's ordered commit log of add/remove
+  * actions [Armbrust et al., VLDB 2020] and Iceberg's snapshot+stats
+  * model).
+  *
+  * Layout:
+  * {{{
+  * table/
+  *   _graft_log/00000000000000000001.json   one commit = one JSON-lines file
+  *   _graft_log/00000000000000000007.checkpoint.json
+  *   _graft_log/_last_checkpoint            hint {"version":7}
+  *   part-<uuid>-<i>.parquet                immutable data files
+  * }}}
+  *
+  * Why this shape survives an object store (unlike every rename-based
+  * swap in [[Maintenance]]):
+  *
+  *   - '''Commit = put-if-absent of one small object.''' The next
+  *     version's log file is created atomically via a hard link from a
+  *     fully-written temp file ([[TxLog.putIfAbsent]]) — the local-FS
+  *     analogue of S3 `If-None-Match:*` / GCS `ifGenerationMatch=0`.
+  *     Exactly one of two racing writers wins; the loser re-reads and
+  *     retries (appends) or aborts loudly (rewrites). No rename of data
+  *     ever happens — data files are immutable and uniquely named.
+  *   - '''Readers never list data files.''' A snapshot is resolved purely
+  *     from the log (checkpoint + suffix replay), so a crashed writer's
+  *     orphan parquet is invisible — there is no torn-state window at
+  *     all, rather than a recovered one.
+  *   - '''Stats-based data skipping.''' Each `add` records per-column
+  *     min/max ([[TxLog.ColStats]]); range reads and the upsert's
+  *     copy-on-write both prune at FILE granularity, which is what keeps
+  *     a point-ish MERGE from rewriting 100 TB.
+  *
+  * Concurrency model: optimistic. Blind appends never conflict logically
+  * and auto-retry under a bounded loop; overwrite/upsert/compact validate
+  * that the table head still equals their read version and throw
+  * [[TxLog.ConcurrentWriteException]] otherwise (a lost-update there
+  * would silently drop the other writer's rows — the caller must re-read
+  * and re-merge).
+  */
+object TxLog {
+
+  /** Per-column file statistics. `kind` picks the comparison domain:
+    * "num" values are decimal strings compared numerically (timestamps
+    * and dates are stored as epoch millis/days — Timestamp.toString has
+    * variable fraction width and would mis-compare lexicographically at
+    * boundaries), "str" compare as strings. Conservative by design: a
+    * column with no stats never prunes. */
+  final case class ColStats(kind: String, min: String, max: String) {
+    private def cmp(a: String, b: String): Int =
+      if (kind == "num") BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+    /** Could any value in [min,max] fall inside [lo,hi] (inclusive)? */
+    def overlaps(lo: Option[String], hi: Option[String]): Boolean =
+      lo.forall(l => cmp(max, l) >= 0) && hi.forall(h => cmp(min, h) <= 0)
+  }
+
+  /** One live data file: path RELATIVE to the table root (tables stay
+    * relocatable), row/byte counts, and optional per-column stats. */
+  final case class AddFile(
+      path: String, rows: Long, bytes: Long, stats: Map[String, ColStats])
+
+  /** Resolved table state at `version`: the live file set + schema. */
+  final case class Snapshot(version: Long, schemaJson: String, files: Seq[AddFile]) {
+    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
+
+  final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
+  private[graft] val LogDir = "_graft_log"
+
+  /** Atomic put-if-absent with full content: hard-link a fully-written
+    * temp file to the target name. Link creation is a single atomic
+    * metadata operation that FAILS if the target exists — unlike
+    * `Files.move`, whose POSIX rename silently overwrites. Returns true
+    * if this writer won the name. */
+  private[graft] def putIfAbsent(content: String, target: Path): Boolean = {
+    val tmp = target.getParent.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, content.getBytes("UTF-8"))
+    try { Files.createLink(target, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally { Files.deleteIfExists(tmp); () }
+  }
+
+  // ---------------------------------------------------------------- JSON
+  // json4s (ships with Spark) — hand-navigated, no reflection extraction.
+
+  private def statsToJson(s: Map[String, ColStats]): JObject =
+    JObject(s.toList.map { case (c, cs) =>
+      c -> (JObject("k" -> JString(cs.kind), "min" -> JString(cs.min),
+        "max" -> JString(cs.max)): JValue)
+    })
+
+  private def addToJson(a: AddFile): JObject =
+    JObject("a" -> JString("add"), "path" -> JString(a.path),
+      "rows" -> JLong(a.rows), "bytes" -> JLong(a.bytes),
+      "stats" -> statsToJson(a.stats))
+
+  private def str(j: JValue): String = j match {
+    case JString(s) => s
+    case other => throw new IllegalStateException(s"txlog: expected string, got $other")
+  }
+  private def lng(j: JValue): Long = j match {
+    case JLong(v) => v
+    case JInt(v) => v.toLong
+    case other => throw new IllegalStateException(s"txlog: expected long, got $other")
+  }
+
+  private def parseAdd(o: JObject): AddFile = {
+    val m = o.obj.toMap
+    val stats = m.get("stats") match {
+      case Some(JObject(fields)) => fields.map { case (c, v) =>
+        val sm = v.asInstanceOf[JObject].obj.toMap
+        c -> ColStats(str(sm("k")), str(sm("min")), str(sm("max")))
+      }.toMap
+      case _ => Map.empty[String, ColStats]
+    }
+    AddFile(str(m("path")), lng(m("rows")), lng(m("bytes")), stats)
+  }
+
+  /** One commit file = JSON lines: an `info` line (op + readVersion, for
+    * history/debugging), optional `schema` line, then add/remove lines. */
+  private[graft] def renderCommit(
+      op: String, readVersion: Long, schemaJson: Option[String],
+      adds: Seq[AddFile], removes: Seq[String]): String = {
+    val lines =
+      JObject("a" -> JString("info"), "op" -> JString(op),
+        "readVersion" -> JLong(readVersion)) ::
+      schemaJson.toList.map(s => JObject("a" -> JString("schema"), "json" -> JString(s))) :::
+      adds.toList.map(addToJson) :::
+      removes.toList.map(p => JObject("a" -> JString("remove"), "path" -> JString(p)))
+    lines.map(j => JsonMethods.compact(JsonMethods.render(j))).mkString("\n")
+  }
+
+  private[medallion] final case class Commit(
+      op: String, schemaJson: Option[String], adds: Seq[AddFile], removes: Seq[String])
+
+  private[medallion] def parseCommit(content: String): Commit = {
+    var op = "unknown"; var schema: Option[String] = None
+    val adds = Seq.newBuilder[AddFile]; val removes = Seq.newBuilder[String]
+    content.linesIterator.filter(_.nonEmpty).foreach { line =>
+      val o = JsonMethods.parse(line).asInstanceOf[JObject]
+      val m = o.obj.toMap
+      str(m("a")) match {
+        case "info" => op = str(m("op"))
+        case "schema" => schema = Some(str(m("json")))
+        case "add" => adds += parseAdd(o)
+        case "remove" => removes += str(m("path"))
+        case other => throw new IllegalStateException(
+          s"txlog: unknown action '$other' — refusing to read a log written by a newer format")
+      }
+    }
+    Commit(op, schema, adds.result(), removes.result())
+  }
+}
+
+/** Handle on one log-structured table rooted at `tablePath`. Thread-safe
+  * across PROCESSES via the commit protocol; a single handle is cheap and
+  * stateless (every operation re-resolves the head).
+  *
+  * Scale notes: the log is driver-side metadata — O(files touched per
+  * commit), never O(rows) — and checkpointing keeps snapshot resolution
+  * O(files live + commits since checkpoint). Data moves only through
+  * Spark jobs (staged parquet writes at full parallelism); the driver
+  * never holds row data.
+  */
+final class GraftTable(val tablePath: String) {
+  import TxLog._
+
+  private val root = Paths.get(new java.io.File(tablePath).getAbsolutePath)
+  private def logDir: Path = root.resolve(LogDir)
+  private def versionFile(v: Long): Path = logDir.resolve(s"${("%020d").format(v)}.json")
+  private def checkpointFile(v: Long): Path =
+    logDir.resolve(s"${("%020d").format(v)}.checkpoint.json")
+
+  private def ensureDirs(): Unit = { Files.createDirectories(logDir); () }
+
+  /** Newest committed version, or 0 if the table has none. One bounded
+    * directory listing of the LOG (not the data). */
+  def latestVersion(): Long =
+    if (!Files.exists(logDir)) 0L
+    else {
+      val it = Files.list(logDir)
+      try it.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json") && !n.startsWith("."))
+        .map(_.stripSuffix(".json")).filter(_.forall(_.isDigit))
+        .map(_.toLong).foldLeft(0L)(math.max)
+      finally it.close()
+    }
+
+  private implicit class RichIt[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+
+  // -------------------------------------------------------- snapshot read
+
+  /** Latest checkpoint version ≤ `atMost`: try the `_last_checkpoint`
+    * hint first (one small read), fall back to listing — the hint is
+    * best-effort and may lag; a stale hint is always safe. */
+  private def checkpointAtOrBefore(atMost: Long): Option[Long] = {
+    val hinted =
+      try {
+        val h = logDir.resolve("_last_checkpoint")
+        if (Files.exists(h)) {
+          val m = JsonMethods.parse(new String(Files.readAllBytes(h), "UTF-8"))
+            .asInstanceOf[JObject].obj.toMap
+          val v = m.get("version").map {
+            case JLong(x) => x; case JInt(x) => x.toLong; case _ => 0L
+          }.getOrElse(0L)
+          if (v <= atMost && Files.exists(checkpointFile(v))) Some(v) else None
+        } else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    hinted.orElse {
+      if (!Files.exists(logDir)) None
+      else {
+        val it = Files.list(logDir)
+        val vs =
+          try it.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".checkpoint.json"))
+            .map(_.stripSuffix(".checkpoint.json").toLong)
+            .filter(_ <= atMost).toSeq
+          finally it.close()
+        if (vs.isEmpty) None else Some(vs.max)
+      }
+    }
+  }
+
+  /** Resolve the table state at `version` (default: head) purely from
+    * the log: start at the newest checkpoint ≤ version, replay the
+    * commit suffix in order. Uncommitted data files do not exist as far
+    * as this is concerned. */
+  def snapshot(version: Long = -1L): Snapshot = {
+    val head = latestVersion()
+    val target = if (version < 0) head else version
+    require(target <= head, s"txlog: version $target does not exist (head=$head)")
+    val cp = checkpointAtOrBefore(target)
+    var live = ListMap.empty[String, AddFile]
+    var schemaJson: String = null
+    cp.foreach { cv =>
+      val c = parseCommit(new String(Files.readAllBytes(checkpointFile(cv)), "UTF-8"))
+      c.schemaJson.foreach(schemaJson = _)
+      c.adds.foreach(a => live += (a.path -> a))
+    }
+    var v = cp.getOrElse(0L) + 1
+    while (v <= target) {
+      val f = versionFile(v)
+      require(Files.exists(f),
+        s"txlog: commit $v missing (vacuumed past a checkpoint?) — cannot resolve $target")
+      val c = parseCommit(new String(Files.readAllBytes(f), "UTF-8"))
+      c.schemaJson.foreach(schemaJson = _)
+      c.removes.foreach(live -= _)
+      c.adds.foreach(a => live += (a.path -> a))
+      v += 1
+    }
+    require(schemaJson != null || live.isEmpty,
+      s"txlog: no schema action found resolving version $target")
+    Snapshot(target, Option(schemaJson).getOrElse(new StructType().json), live.values.toSeq)
+  }
+
+  /** Read the table at `version` (default head). The scan is a plain
+    * multi-file parquet read of exactly the live files — pushdown,
+    * pruning and codegen all apply as usual. */
+  def read(spark: SparkSession, version: Long = -1L): DataFrame =
+    readFiles(spark, snapshot(version), identity)
+
+  /** Stats-pruned range read: only files whose [min,max] for `column`
+    * overlaps [lower,upper] are scanned (both bounds inclusive; pass
+    * None for open ends). The residual filter is still applied — stats
+    * prune FILES, the scan prunes rows. */
+  def readRange(
+      spark: SparkSession, column: String,
+      lower: Option[Any], upper: Option[Any], version: Long = -1L): DataFrame = {
+    val snap = snapshot(version)
+    val lo = lower.map(statsLiteral)
+    val hi = upper.map(statsLiteral)
+    val pruned = snap.copy(files = snap.files.filter(
+      _.stats.get(column).forall(_.overlaps(lo, hi))))
+    readFiles(spark, pruned, { df =>
+      val c = col(column)
+      (lower, upper) match {
+        case (Some(l), Some(u)) => df.filter(c >= lit(l) && c <= lit(u))
+        case (Some(l), None) => df.filter(c >= lit(l))
+        case (None, Some(u)) => df.filter(c <= lit(u))
+        case (None, None) => df
+      }
+    })
+  }
+
+  /** Number of files `readRange` would scan — the data-skipping metric. */
+  def filesForRange(column: String, lower: Option[Any], upper: Option[Any]): Int = {
+    val lo = lower.map(statsLiteral); val hi = upper.map(statsLiteral)
+    snapshot().files.count(_.stats.get(column).forall(_.overlaps(lo, hi)))
+  }
+
+  private def readFiles(
+      spark: SparkSession, snap: Snapshot, residual: DataFrame => DataFrame): DataFrame =
+    if (snap.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else {
+      val paths = snap.files.map(a => root.resolve(a.path).toString)
+      // explicit schema: file-order inference must not decide column
+      // order after a schema-widening overwrite
+      residual(spark.read.schema(snap.schema).parquet(paths: _*))
+    }
+
+  // ------------------------------------------------------------- writes
+
+  /** Columns that get min/max stats: primitive orderable types only. */
+  private def statsColumns(schema: StructType): Seq[StructField] =
+    schema.fields.toSeq.filter(f => f.dataType match {
+      case _: NumericType | StringType | DateType | TimestampType => true
+      case _ => false
+    })
+
+  /** Normalize a stats value into its comparison-domain string (see
+    * [[TxLog.ColStats]]): timestamps → epoch millis, dates → epoch days,
+    * numerics → decimal string, strings as-is. */
+  private def statsLiteral(v: Any): String = v match {
+    case t: java.sql.Timestamp => t.getTime.toString
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+    case t: java.time.Instant => t.toEpochMilli.toString
+    case d: java.time.LocalDate => d.toEpochDay.toString
+    case n: java.lang.Number => new java.math.BigDecimal(n.toString).toPlainString
+    case d: BigDecimal => d.bigDecimal.toPlainString
+    case s: String => s
+    case other => other.toString
+  }
+
+  private def statsKind(dt: DataType): String = dt match {
+    case StringType => "str"
+    case _ => "num"
+  }
+
+  /** Stage `df` as immutable uniquely-named parquet files in the table
+    * root and return their add-actions. One extra Spark job computes
+    * per-file rows + min/max by grouping on `_metadata.file_path` — a
+    * #files-row aggregate, not a second full shuffle. Files only become
+    * visible when a later commit references them; a crash here leaves
+    * invisible orphans for [[vacuum]]. */
+  private def stageData(df: DataFrame): Seq[AddFile] = {
+    ensureDirs()
+    val spark = df.sparkSession
+    val batch = UUID.randomUUID().toString.take(8)
+    val stage = root.resolve(s"_staged_$batch")
+    df.write.parquet(stage.toString)
+
+    val sCols = statsColumns(df.schema)
+    val aggs = count(lit(1)).as("_rows") +:
+      sCols.flatMap(f => Seq(
+        min(col(f.name)).as(s"_min_${f.name}"), max(col(f.name)).as(s"_max_${f.name}")))
+    val perFile = spark.read.schema(df.schema).parquet(stage.toString)
+      .groupBy(col("_metadata.file_path").as("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per staged FILE — bounded by write parallelism
+
+    val adds = perFile.toSeq.sortBy(_.getString(0)).zipWithIndex.map { case (row, i) =>
+      val staged = Paths.get(java.net.URI.create(row.getString(0)).getPath)
+      val name = s"part-$batch-$i.parquet"
+      // move INTO the root under the final unique name: data files are
+      // invisible until committed, so this move needs no atomicity
+      Files.move(staged, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      val stats = sCols.flatMap { f =>
+        val mn = row.get(row.fieldIndex(s"_min_${f.name}"))
+        val mx = row.get(row.fieldIndex(s"_max_${f.name}"))
+        if (mn == null || mx == null) None // all-null file column: never prune on it
+        else Some(f.name -> ColStats(statsKind(f.dataType), statsLiteral(mn), statsLiteral(mx)))
+      }.toMap
+      AddFile(name, row.getLong(row.fieldIndex("_rows")), Files.size(root.resolve(name)), stats)
+    }
+    rmTree(stage.toFile)
+    adds
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
+  /** Attempt to commit at exactly `version`; true if won. */
+  private def tryCommit(
+      version: Long, op: String, readVersion: Long, schemaJson: Option[String],
+      adds: Seq[AddFile], removes: Seq[String]): Boolean = {
+    ensureDirs()
+    putIfAbsent(renderCommit(op, readVersion, schemaJson, adds, removes), versionFile(version))
+  }
+
+  /** Blind append: new files, no removes — logically conflict-free, so a
+    * lost race just retries at the next version number. Returns the
+    * committed version. */
+  def append(df: DataFrame, maxRetries: Int = 20): Long = {
+    val head = latestVersion()
+    if (head > 0) {
+      val existing = snapshot(head).schema
+      require(sameSchema(existing, df.schema),
+        s"txlog: append schema ${df.schema.simpleString} does not match table " +
+          s"schema ${existing.simpleString}; use overwrite() to change schema")
+    }
+    val adds = stageData(df)
+    val schemaJson = Some(df.schema.json)
+    var attempt = 0
+    var v = latestVersion() + 1
+    while (attempt < maxRetries) {
+      if (tryCommit(v, "append", v - 1, schemaJson, adds, Nil)) return v
+      attempt += 1
+      v = latestVersion() + 1
+    }
+    throw new ConcurrentWriteException(
+      s"txlog: append lost $maxRetries commit races at $tablePath")
+  }
+
+  private def sameSchema(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType)).toSeq ==
+      b.fields.map(f => (f.name, f.dataType)).toSeq
+
+  /** Replace the whole table content (and possibly schema) in one
+    * commit. Conflict-checked against the snapshot read at entry: a
+    * concurrent commit of ANY kind aborts this one (its rows would be
+    * silently dropped otherwise). `expectedVersion` makes the check
+    * CAS-style against a version the CALLER read earlier (compute
+    * outside, commit conditionally — the shape long-running jobs need:
+    * stage an hour-long rewrite, then refuse to clobber anything that
+    * landed meanwhile). */
+  def overwrite(df: DataFrame, expectedVersion: Long = -1L): Long = {
+    val snap = if (Files.exists(logDir)) snapshot() else Snapshot(0L, df.schema.json, Nil)
+    if (expectedVersion >= 0 && snap.version != expectedVersion)
+      throw new ConcurrentWriteException(
+        s"txlog: overwrite expected version $expectedVersion but head is " +
+          s"${snap.version} — re-read and re-derive before committing")
+    val adds = stageData(df)
+    commitRewrite(snap, "overwrite", Some(df.schema.json), adds, snap.files.map(_.path))
+  }
+
+  /** File-granular copy-on-write MERGE ([[Medallion.applyCdc]] semantics:
+    * latest change per key by `seqCol` wins, winning `_deleted` drops the
+    * key, new keys insert). Only files whose key-range stats overlap the
+    * change batch's key range are read and rewritten; every other live
+    * file is carried over untouched — at 100 TB a point-ish CDC batch
+    * rewrites a handful of files, not the table. */
+  def upsert(changes: DataFrame, key: String, seqCol: String): Long = {
+    val spark = changes.sparkSession
+    val snap = snapshot()
+    val bounds = changes.agg(min(col(key)), max(col(key))).head()
+    if (bounds.isNullAt(0)) return snap.version // empty batch: no-op, no commit
+    val lo = Some(statsLiteral(bounds.get(0))); val hi = Some(statsLiteral(bounds.get(1)))
+    // conservative: a file with no stats for the key column must be
+    // treated as overlapping
+    val (touched, untouched) = snap.files.partition(
+      _.stats.get(key).forall(_.overlaps(lo, hi)))
+    val base =
+      if (touched.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          changes.drop("_deleted", "_op", seqCol).schema)
+      else
+        spark.read.schema(snap.schema)
+          .parquet(touched.map(a => root.resolve(a.path).toString): _*)
+    val merged = Medallion.applyCdc(base, changes, key, seqCol)
+    val adds = stageData(merged)
+    val v = commitRewrite(snap, "upsert", None, adds, touched.map(_.path))
+    require(untouched.forall(a => Files.exists(root.resolve(a.path))),
+      "txlog: untouched file vanished during upsert") // invariant, not cleanup
+    v
+  }
+
+  /** Transactional OPTIMIZE: rewrite the live set into ~`targetFileMB`
+    * files in one conflict-checked commit — the object-store-safe
+    * replacement for [[Maintenance.compactParquet]]'s directory swap.
+    * Returns (filesBefore, filesAfter, committedVersion). */
+  def compact(spark: SparkSession, targetFileMB: Int = 128): (Int, Int, Long) = {
+    val snap = snapshot()
+    if (snap.files.isEmpty) return (0, 0, snap.version)
+    val bytes = snap.files.map(_.bytes).sum
+    val outParts = math.max(1,
+      math.ceil(bytes.toDouble / (targetFileMB * 1024.0 * 1024.0)).toInt)
+    val df = spark.read.schema(snap.schema)
+      .parquet(snap.files.map(a => root.resolve(a.path).toString): _*)
+      .repartition(outParts)
+    val adds = stageData(df)
+    val v = commitRewrite(snap, "compact", None, adds, snap.files.map(_.path))
+    (snap.files.size, adds.size, v)
+  }
+
+  /** Commit a rewrite (removes + adds) iff the head is still the read
+    * version; otherwise delete the staged files and abort loudly. */
+  private def commitRewrite(
+      readSnap: Snapshot, op: String, schemaJson: Option[String],
+      adds: Seq[AddFile], removes: Seq[String]): Long = {
+    val v = readSnap.version + 1
+    val won = latestVersion() == readSnap.version &&
+      tryCommit(v, op, readSnap.version, schemaJson, adds, removes)
+    if (!won) {
+      adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+      throw new ConcurrentWriteException(
+        s"txlog: $op read version ${readSnap.version} but head moved — " +
+          "re-read and retry (a silent commit here would drop the concurrent writer's rows)")
+    }
+    v
+  }
+
+  // ------------------------------------------------- checkpoint / vacuum
+
+  /** Write a checkpoint of the current snapshot (full live-file list +
+    * schema) and refresh the `_last_checkpoint` hint. Safe concurrently:
+    * the checkpoint content for a version is deterministic, and the hint
+    * is advisory. Snapshot resolution after this reads one checkpoint +
+    * the commit suffix instead of the whole log. */
+  def checkpoint(): Long = {
+    val snap = snapshot()
+    val content = renderCommit("checkpoint", snap.version, Some(snap.schemaJson),
+      snap.files, Nil)
+    putIfAbsent(content, checkpointFile(snap.version)) // lost race == same content
+    val hint = JsonMethods.compact(JsonMethods.render(
+      JObject("version" -> JLong(snap.version))))
+    val tmp = logDir.resolve(s".hint-${UUID.randomUUID()}")
+    Files.write(tmp, hint.getBytes("UTF-8"))
+    Files.move(tmp, logDir.resolve("_last_checkpoint"),
+      StandardCopyOption.REPLACE_EXISTING)
+    snap.version
+  }
+
+  /** Delete data files no version in (head−retainVersions, head] can
+    * reach — both files removed by old commits and never-committed
+    * orphans from crashed writers. Time travel older than the retention
+    * window stops working, as documented by every format with a vacuum.
+    * NOT safe concurrent with an in-flight writer whose files are staged
+    * but uncommitted — the standard table-format contract that vacuum
+    * retention must exceed the longest write (Delta's RETAIN n HOURS).
+    * Returns the deleted file names. */
+  def vacuum(retainVersions: Int = 2): Seq[String] = {
+    val head = latestVersion()
+    val floor = math.max(0L, head - retainVersions)
+    val reachable = ((floor.max(1L)) to head).flatMap(v =>
+      snapshot(v).files.map(_.path)).toSet
+    val it = Files.list(root)
+    val deletable =
+      try it.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !reachable.contains(n)).toList
+      finally it.close()
+    deletable.foreach(n => Files.deleteIfExists(root.resolve(n)))
+    // staged dirs from crashed writers are orphans too
+    val it2 = Files.list(root)
+    val staged =
+      try it2.iterator().asScala.filter(_.getFileName.toString.startsWith("_staged_")).toList
+      finally it2.close()
+    staged.foreach(p => rmTree(p.toFile))
+    deletable
+  }
+
+  /** Commit history, newest first: (version, op, adds, removes). The
+    * DESCRIBE HISTORY equivalent. */
+  def history(): Seq[(Long, String, Int, Int)] = {
+    val head = latestVersion()
+    (1L to head).reverseIterator.flatMap { v =>
+      val f = versionFile(v)
+      if (!Files.exists(f)) None
+      else {
+        val c = parseCommit(new String(Files.readAllBytes(f), "UTF-8"))
+        Some((v, c.op, c.adds.size, c.removes.size))
+      }
+    }.toSeq
+  }
+}

@@ -530,6 +530,93 @@ object PipelineOps {
        FROM latest WHERE NOT _deleted
        ORDER BY o_orderkey"""
 
+  // --------------------------------------------------------------------
+  // q88 — log-structured table format end to end (GraftTable/TxLog, the
+  // transactional layer that replaces every rename-based swap on object
+  // stores): orders land in a fresh table via two APPEND commits (split
+  // at 1996), a CDC change batch folds in through the file-granular
+  // copy-on-write UPSERT (update chain on m==1, delete on m==2, inserts
+  // at +10M — latest _seq wins), the live set is COMPACTED in one
+  // conflict-checked commit, a CHECKPOINT is cut, and the final read
+  // resolves the snapshot purely from the log (checkpoint + suffix,
+  // never a data-dir listing). Every row thus flows through
+  // put-if-absent commits, stats collection, and snapshot resolution;
+  // the oracle reproduces the merge arithmetic, so a hash match proves
+  // the whole protocol preserves data exactly. Scale: the log is
+  // O(files) driver-side metadata; data moves only in staged parquet
+  // jobs at full parallelism.
+  // --------------------------------------------------------------------
+  def q88TableFormat(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${scratch("txlog", dir)}/orders_tx"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(root)) // fresh table per run: reruns deterministic
+    val t = new graft.medallion.GraftTable(root)
+    val base = lake(s, dir).orders.select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), year(col("o_orderdate")).as("yr"))
+    t.append(base.filter(col("yr") <= 1995))
+    t.append(base.filter(col("yr") >= 1996))
+    val m = col("o_orderkey") % 10
+    def tagged(df: DataFrame, deleted: Boolean, seq: Long): DataFrame =
+      df.withColumn("_deleted", lit(deleted)).withColumn("_seq", lit(seq))
+    val changes =
+      tagged(base.filter(m === 1)
+        .withColumn("o_orderstatus", lit("U1"))
+        .withColumn("o_totalprice", col("o_totalprice") + 50.0), deleted = false, 1L)
+      .unionByName(tagged(base.filter(m === 1)
+        .withColumn("o_orderstatus", lit("U2"))
+        .withColumn("o_totalprice", col("o_totalprice") + 75.0), deleted = false, 2L))
+      .unionByName(tagged(base.filter(m === 2), deleted = true, 1L))
+      .unionByName(tagged(base.filter(m === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderstatus", lit("NEW")), deleted = false, 1L))
+    t.upsert(changes, "o_orderkey", "_seq")
+    t.compact(s)
+    t.checkpoint()
+    t.read(s)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("yr").cast(LongType).as("yr"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q88Oracle =
+    """WITH base AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                year(o_orderdate) AS yr
+         FROM orders),
+       changes AS (
+         SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+                o_totalprice + 50.0 AS o_totalprice, yr,
+                false AS _deleted, 1 AS _seq
+         FROM base WHERE o_orderkey % 10 = 1
+         UNION ALL
+         SELECT o_orderkey, o_custkey, 'U2', o_totalprice + 75.0, yr, false, 2
+         FROM base WHERE o_orderkey % 10 = 1
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, yr, true, 1
+         FROM base WHERE o_orderkey % 10 = 2
+         UNION ALL
+         SELECT o_orderkey + 10000000, o_custkey, 'NEW', o_totalprice, yr,
+                false, 1
+         FROM base WHERE o_orderkey % 10 = 3),
+       latest AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                        ORDER BY _seq DESC) AS rn
+           FROM changes)
+         WHERE rn = 1)
+       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              CAST(yr AS BIGINT) AS yr
+       FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+       UNION ALL
+       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              CAST(yr AS BIGINT)
+       FROM latest WHERE NOT _deleted
+       ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_sessionize" -> (q43Sessionize _),
@@ -540,7 +627,8 @@ object PipelineOps {
     "q78_funnel" -> (q78Funnel _),
     "q79_retention" -> (q79Retention _),
     "q82_cdc_upsert" -> (q82CdcUpsert _),
-    "q84_cdc_partitioned" -> (q84CdcPartitioned _))
+    "q84_cdc_partitioned" -> (q84CdcPartitioned _),
+    "q88_table_format" -> (q88TableFormat _))
 
   val oracle: Map[String, String] = Map(
     "q42_multimodal_meta" -> q42Oracle,
@@ -552,5 +640,6 @@ object PipelineOps {
     "q78_funnel" -> q78Oracle,
     "q79_retention" -> q79Oracle,
     "q82_cdc_upsert" -> q82Oracle,
-    "q84_cdc_partitioned" -> q84Oracle)
+    "q84_cdc_partitioned" -> q84Oracle,
+    "q88_table_format" -> q88Oracle)
 }

@@ -1,0 +1,199 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.medallion.{GraftTable, TxLog}
+import org.apache.spark.sql.functions._
+
+/** The log-structured table format: commit atomicity (put-if-absent),
+  * snapshot isolation (readers never list data files), time travel,
+  * optimistic concurrency, stats-based data skipping, file-granular
+  * copy-on-write upsert, checkpoint resolution, vacuum.
+  */
+class TxLogSpec extends SparkSpec {
+
+  private def freshTable(tag: String): GraftTable = {
+    val dir = new java.io.File(s"target/tmp/txlog_$tag")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(dir)
+    new GraftTable(dir.getAbsolutePath)
+  }
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("id", "name")
+  }
+
+  private def dataFiles(t: GraftTable): Set[String] = {
+    val root = new java.io.File(t.tablePath)
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+  }
+
+  test("append/read round-trip; two appends both visible; versions advance") {
+    val t = freshTable("roundtrip")
+    val v1 = t.append(df(Seq(1L -> "a", 2L -> "b")))
+    val v2 = t.append(df(Seq(3L -> "c")))
+    assert(v1 === 1L && v2 === 2L)
+    val got = t.read(spark).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(t.latestVersion() === 2L)
+  }
+
+  test("uncommitted data files are invisible to readers (no directory listing)") {
+    val t = freshTable("orphan")
+    t.append(df(Seq(1L -> "a")))
+    // simulate a crashed writer: a fully-formed parquet lands in the
+    // table root but no commit references it
+    df(Seq(99L -> "ghost")).coalesce(1)
+      .write.parquet(s"${t.tablePath}/_staged_crashed")
+    val ghost = new java.io.File(s"${t.tablePath}/_staged_crashed").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(ghost.toPath, Paths.get(t.tablePath, "part-crashed-0.parquet"))
+    assert(t.read(spark).count() === 1L)
+    // vacuum removes the orphan (file + stale staging dir), read unchanged
+    val deleted = t.vacuum()
+    assert(deleted.contains("part-crashed-0.parquet"))
+    assert(!Files.exists(Paths.get(t.tablePath, "_staged_crashed")))
+    assert(t.read(spark).count() === 1L)
+  }
+
+  test("commit is put-if-absent: losing writer of the same version retries (append) or aborts (rewrite)") {
+    val t = freshTable("race")
+    t.append(df(Seq(1L -> "a")))
+    // occupy version 2, as a concurrent writer would
+    val occupied = TxLog.renderCommit("append", 1L, None, Nil, Nil)
+    assert(TxLog.putIfAbsent(occupied, Paths.get(t.tablePath, TxLog.LogDir,
+      "%020d".format(2L) + ".json")))
+    // blind append loses the race at v2 and lands at v3
+    val v = t.append(df(Seq(2L -> "b")))
+    assert(v === 3L)
+    assert(t.read(spark).count() === 2L)
+    // a rewrite derived from v3 must ABORT when the head has moved on:
+    // CAS-style expectedVersion is the caller-visible form of the check
+    val derivedFrom = t.latestVersion()
+    assert(TxLog.putIfAbsent(TxLog.renderCommit("append", derivedFrom, None, Nil, Nil),
+      Paths.get(t.tablePath, TxLog.LogDir, "%020d".format(derivedFrom + 1) + ".json")))
+    intercept[TxLog.ConcurrentWriteException] {
+      t.overwrite(df(Seq(9L -> "z")), expectedVersion = derivedFrom)
+    }
+    // the loser staged nothing and committed nothing
+    assert(t.read(spark).count() === 2L)
+    assert(t.latestVersion() === derivedFrom + 1)
+  }
+
+  test("time travel: every version stays readable; history records ops") {
+    val t = freshTable("timetravel")
+    t.append(df(Seq(1L -> "a")))
+    t.append(df(Seq(2L -> "b")))
+    t.overwrite(df(Seq(7L -> "seven")))
+    assert(t.read(spark, version = 1L).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(t.read(spark, version = 2L).orderBy("id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L))
+    assert(t.read(spark).collect().map(_.getLong(0)).toSeq === Seq(7L))
+    assert(t.history().map(h => (h._1, h._2)) === Seq((3L, "overwrite"), (2L, "append"), (1L, "append")))
+  }
+
+  test("upsert: applyCdc semantics + only key-range-overlapping files rewritten") {
+    import spark.implicits._
+    val t = freshTable("upsert")
+    // two appends with DISJOINT key ranges -> separate files with disjoint stats
+    t.append(df((1L to 100L).map(i => i -> s"low$i")).repartition(1))
+    t.append(df((1000L to 1100L).map(i => i -> s"high$i")).repartition(1))
+    val before = dataFiles(t)
+    val lowFiles = before.size
+    assert(lowFiles === 2)
+
+    // changes touch ONLY the high range: update 1000, delete 1001, insert 2000
+    val changes = Seq(
+      (1000L, "HIGH-UPDATED", false, 1L),
+      (1001L, "whatever", true, 1L),
+      (2000L, "NEW", false, 1L)
+    ).toDF("id", "name", "_deleted", "_seq")
+    t.upsert(changes, "id", "_seq")
+
+    val after = dataFiles(t)
+    // the low-range file is still live AND byte-identical (it was never rewritten)
+    val snap = t.snapshot()
+    val liveLow = snap.files.filter(_.stats("id").overlaps(Some("1"), Some("100")))
+    assert(liveLow.size === 1)
+    assert(before.contains(liveLow.head.path), "low-range file must be carried over, not rewritten")
+
+    val got = t.read(spark).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 201) // 100 low + (101 high - 1 delete) + 1 insert
+    assert(got.contains((1000L, "HIGH-UPDATED")))
+    assert(!got.map(_._1).contains(1001L))
+    assert(got.contains((2000L, "NEW")))
+    assert(got.count(_._1 <= 100L) === 100)
+    // removed high file is still on disk (time travel) until vacuum
+    assert(after.intersect(before).size >= 1)
+  }
+
+  test("stats-based data skipping: range read scans only overlapping files") {
+    val t = freshTable("skip")
+    t.append(df((1L to 100L).map(i => i -> "a")).repartition(1))
+    t.append(df((200L to 300L).map(i => i -> "b")).repartition(1))
+    t.append(df((500L to 600L).map(i => i -> "c")).repartition(1))
+    assert(t.filesForRange("id", Some(210L), Some(250L)) === 1)
+    assert(t.filesForRange("id", Some(90L), Some(210L)) === 2)
+    assert(t.filesForRange("id", None, None) === 3)
+    val got = t.readRange(spark, "id", Some(210L), Some(250L))
+    assert(got.count() === 41L)
+    // residual filter still applies inside the chosen file
+    assert(t.readRange(spark, "id", Some(250L), Some(250L)).count() === 1L)
+  }
+
+  test("checkpoint: snapshot resolves from checkpoint + suffix, not the full log") {
+    val t = freshTable("checkpoint")
+    (1 to 5).foreach(i => t.append(df(Seq(i.toLong -> s"v$i"))))
+    t.checkpoint()
+    t.append(df(Seq(100L -> "post")))
+    // delete the pre-checkpoint commit files: resolution must survive,
+    // proving the checkpoint actually short-circuits the replay
+    (1L to 5L).foreach(v =>
+      Files.delete(Paths.get(t.tablePath, TxLog.LogDir, "%020d".format(v) + ".json")))
+    assert(t.read(spark).count() === 6L)
+    // time travel PAST the checkpoint is now honestly impossible
+    intercept[IllegalArgumentException] { t.snapshot(3L) }
+  }
+
+  test("compact: transactional OPTIMIZE — one commit, same rows, fewer files") {
+    val t = freshTable("compact")
+    (1 to 6).foreach(i => t.append(df(Seq(i.toLong -> s"r$i")).repartition(1)))
+    val (before, after, v) = t.compact(spark)
+    assert(before === 6 && after === 1 && v === 7L)
+    assert(t.read(spark).count() === 6L)
+    // pre-compact version still time-travels (files not yet vacuumed)
+    assert(t.read(spark, version = 6L).count() === 6L)
+    // after vacuum with a 0-version retention window the old files go away
+    // but the head keeps reading
+    t.vacuum(retainVersions = 0)
+    assert(t.read(spark).count() === 6L)
+    assert(dataFiles(t).size === 1)
+  }
+
+  test("schema: append with mismatched schema fails; overwrite may change it") {
+    import spark.implicits._
+    val t = freshTable("schema")
+    t.append(df(Seq(1L -> "a")))
+    val bad = Seq((1L, 2.0)).toDF("id", "amount")
+    val e = intercept[IllegalArgumentException] { t.append(bad) }
+    assert(e.getMessage.contains("schema"))
+    t.overwrite(bad)
+    assert(t.read(spark).schema.fieldNames.toSeq === Seq("id", "amount"))
+  }
+
+  test("empty-batch upsert is a no-op commit-wise") {
+    import spark.implicits._
+    val t = freshTable("emptyupsert")
+    t.append(df(Seq(1L -> "a")))
+    val empty = Seq.empty[(Long, String, Boolean, Long)]
+      .toDF("id", "name", "_deleted", "_seq")
+    val v = t.upsert(empty, "id", "_seq")
+    assert(v === 1L && t.latestVersion() === 1L)
+  }
+}
