@@ -290,6 +290,33 @@ object Graft {
     graft.operators.Curation.mixCorpus(df, idCol, srcCol, weights,
       TextFns.fastHash(df.sparkSession))
 
+  /** Top-k adjacent token pairs by corpus frequency — one BPE training
+    * round's merge-candidate count pass (q89's implementation). */
+  def bigramTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
+    graft.operators.Curation.bigramTopK(df, textCol, k)
+
+  /** Sliding-window chunking with overlap (q90's implementation): RAG
+    * indexing / long-context splits with engine-independent integer
+    * boundaries. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame =
+    graft.operators.Curation.chunkDocuments(
+      df, idCol, textCol, chunkTokens, strideTokens)
+
+  /** Exact dedup after lowercase/strip/collapse normalization (q91's
+    * implementation) — catches trivially-reformatted copies
+    * [[dedupExact]] misses. */
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Curation.normalizedDedup(df, idCol, textCol)
+
+  /** Deterministic seeded shuffle into training shards (q92's
+    * implementation): (seed, id) fully determines (shard, pos). Honors
+    * `spark.graft.fastHash`. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      seed: Long): DataFrame =
+    graft.operators.Curation.shuffleShards(df, idCol, nShards, seed,
+      TextFns.fastHash(df.sparkSession))
+
   // ---------------- vector index training ----------------
 
   /** Train IVF centroids with deterministic distributed Lloyd's k-means

@@ -141,6 +141,106 @@ object Curation {
       .select(col(idCol), col(srcCol), col("epoch"))
   }
 
+  /** Top-k adjacent token pairs by corpus frequency — the merge-candidate
+    * statistic at the heart of BPE tokenizer training (each merge round
+    * picks the most frequent pair; this is one round's count pass over
+    * the corpus). Same two-phase shape as [[vocabTopK]]: the pair explode
+    * (fan-out ≈ tokens per doc) is absorbed by map-side partial counts,
+    * so the one shuffle carries a row per DISTINCT pair — pair-vocabulary
+    * sized, not corpus sized — then a global rank window over that small
+    * aggregate. Returns (pair, n_occurrences, rk). */
+  def bigramTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val w = Window.orderBy(col("n_occurrences").desc, col("pair"))
+    df.select(tokens(col(textCol)).as("toks"))
+      // sequence(1, size-1) DESCENDS when size < 2 (see wordShingles) and
+      // toks[out-of-range] nulls the concat — guard, don't clamp
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        // i-th pair = 0-based tokens i-1,i joined by one space
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      // global top-k via TakeOrderedAndProject (total order: count desc,
+      // pair) — never a one-partition window over the full pair
+      // vocabulary; the rank window below sees only k rows
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(k)
+      .withColumn("rk", row_number().over(w))
+  }
+
+  /** Sliding-window document chunking with overlap — the retrieval-side
+    * sibling of [[packSequences]] (RAG indexing, long-document training
+    * with context overlap). Chunk starts advance by `strideTokens`; the
+    * LAST chunk is the first one whose window reaches the document end
+    * (no degenerate tail chunks). Every document yields at least one
+    * chunk. All-integer start/length math, so chunk boundaries are
+    * engine- and layout-independent; narrow explode bounded by
+    * n_toks/stride with no shuffle. Returns one row per chunk:
+    * (idCol, chunk_id, chunk_start, chunk_len, chunk_text). */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      s"need 0 < stride <= chunk: chunk=$chunkTokens stride=$strideTokens")
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast(LongType))
+      // last chunk index: ceil((n-chunk)/stride) with non-negative
+      // numerator (integer div truncates toward zero — keep it floor by
+      // construction), 0 when the document fits in one chunk
+      .withColumn("last_k",
+        when(col("n_toks") <= chunkTokens, lit(0L))
+          .otherwise(expr(s"(n_toks - $chunkTokens + $strideTokens - 1) div $strideTokens")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("last_k"))))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * strideTokens).as("chunk_start"),
+        least(lit(chunkTokens.toLong), col("n_toks") - col("chunk_id") * strideTokens)
+          .as("chunk_len"),
+        concat_ws(" ", expr(
+          s"slice(toks, chunk_id * $strideTokens + 1, " +
+            s"least($chunkTokens, n_toks - chunk_id * $strideTokens))"))
+          .as("chunk_text"))
+  }
+
+  /** Exact dedup AFTER text normalization (lowercase, strip everything
+    * outside [a-z0-9 ], collapse runs of spaces, trim) — the
+    * RefinedWeb-style canonicalization that catches trivially-reformatted
+    * copies plain [[graft.queries.TextOps]] exact dedup misses. Character
+    * classes only, so Java regex and RE2 agree. Keeps the lowest id per
+    * normalized form; returns survivors as (idCol, n_variants). One
+    * uniform-key shuffle on the normalized hash — same scale shape as
+    * exact dedup. */
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    df.select(col(idCol), md5(norm).as("_nh"))
+      .groupBy(col("_nh"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_variants"))
+      .drop("_nh")
+  }
+
+  /** Deterministic global shuffle into training shards — the final
+    * layout stage of a pretraining pipeline: break curation order (which
+    * correlates neighbors by source/crawl) with a seeded portable hash,
+    * then assign each document a shard and its position within it.
+    * Reproducible: (seed, id) fully determines (shard, pos) — reruns,
+    * backfills, and a different cluster layout produce the identical
+    * epoch order. One shuffle keyed by shard (uniform by construction —
+    * hash-derived), position via a per-shard rank window ordered by the
+    * SECOND hash so within-shard order is also seed-controlled. */
+  def shuffleShards(
+      df: DataFrame, idCol: String, nShards: Int, seed: Long,
+      fast: Boolean = false): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val keyed = concat(lit(s"$seed:"), col(idCol).cast("string"))
+    val h = if (fast) xxhash60(keyed) else hash60(keyed)
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+    df.select(col(idCol), h.as("_h"))
+      .withColumn("shard", (col("_h") % nShards).cast(LongType))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Gopher-style repetition/diversity flags per document: top-token
     * mass ratio, type-token ratio, and the repetitive flag. Int/int
     * double divisions — bit-deterministic. */

@@ -253,6 +253,121 @@ object TrainingOps {
         ORDER BY source, doc_id, epoch"""
   }
 
+  // --------------------------------------------------------------------
+  // q89 — BPE merge-candidate pass: top-50 adjacent token pairs by corpus
+  // frequency (each BPE training round picks the most frequent pair and
+  // merges it; this is the count pass that drives the pick). Same scale
+  // shape as q71: map-side partial counts absorb the pair explode, the
+  // shuffle is pair-vocabulary-sized, and the global top-k is a
+  // TakeOrderedAndProject — never a one-partition window over the full
+  // pair vocabulary.
+  // --------------------------------------------------------------------
+  private val Q89_TOPK = 50
+
+  def q89BpePairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.bigramTopK(
+      lake(s, dir).documents, "text", Q89_TOPK)
+      .orderBy(col("rk"))
+
+  private val q89Oracle =
+    s"""WITH p AS (
+          SELECT unnest(list_transform(
+                   range(len(string_split(trim(text), ' ')) - 1),
+                   i -> concat(string_split(trim(text), ' ')[i+1], ' ',
+                               string_split(trim(text), ' ')[i+2]))) AS pair
+          FROM documents
+          WHERE len(string_split(trim(text), ' ')) >= 2)
+        SELECT pair, n_occurrences, CAST(rk AS INTEGER) AS rk FROM (
+          SELECT pair, count(*) AS n_occurrences,
+                 row_number() OVER (ORDER BY count(*) DESC, pair) AS rk
+          FROM p GROUP BY pair)
+        WHERE rk <= $Q89_TOPK ORDER BY rk"""
+
+  // --------------------------------------------------------------------
+  // q90 — sliding-window chunking with overlap (chunk 64 tokens, stride
+  // 48): the RAG-indexing / long-context sibling of q75's packing. Chunk
+  // boundaries are all-integer (start = k·stride, last chunk = first
+  // window reaching the end), so the split is engine- and layout-
+  // independent; narrow bounded explode, no shuffle before the output
+  // sort.
+  // --------------------------------------------------------------------
+  private val Q90_CHUNK = 64
+  private val Q90_STRIDE = 48
+
+  def q90Chunking(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.chunkDocuments(
+      lake(s, dir).documents, "doc_id", "text", Q90_CHUNK, Q90_STRIDE)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val q90Oracle =
+    s"""WITH t AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS toks,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, toks, n_toks,
+                 unnest(range(0, CASE WHEN n_toks <= $Q90_CHUNK THEN 1
+                   ELSE (n_toks - $Q90_CHUNK + $Q90_STRIDE - 1) // $Q90_STRIDE + 1
+                   END)) AS chunk_id
+          FROM t)
+        SELECT doc_id, chunk_id,
+               chunk_id * $Q90_STRIDE AS chunk_start,
+               least($Q90_CHUNK, n_toks - chunk_id * $Q90_STRIDE) AS chunk_len,
+               array_to_string(
+                 toks[chunk_id * $Q90_STRIDE + 1 :
+                      chunk_id * $Q90_STRIDE +
+                      least($Q90_CHUNK, n_toks - chunk_id * $Q90_STRIDE)],
+                 ' ') AS chunk_text
+        FROM c ORDER BY doc_id, chunk_id"""
+
+  // --------------------------------------------------------------------
+  // q91 — normalized exact dedup: canonicalize (lowercase, strip outside
+  // [a-z0-9 ], collapse space runs, trim) BEFORE hashing, catching the
+  // trivially-reformatted copies raw exact dedup (q35) misses — the
+  // RefinedWeb-style normalization stage. Character classes only, so
+  // Java regex and DuckDB RE2 agree byte for byte. One uniform-key
+  // shuffle on the normalized hash.
+  // --------------------------------------------------------------------
+  def q91NormalizedDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.normalizedDedup(
+      lake(s, dir).documents, "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q91Oracle =
+    """WITH n AS (
+         SELECT doc_id,
+                md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nh
+         FROM documents)
+       SELECT min(doc_id) AS doc_id, count(*) AS n_variants
+       FROM n GROUP BY nh ORDER BY doc_id"""
+
+  // --------------------------------------------------------------------
+  // q92 — deterministic shuffle into training shards: the final layout
+  // stage of every pretraining pipeline. A seeded portable hash breaks
+  // curation order (which correlates neighbors by source/crawl); each
+  // document gets its shard (hash mod 16) and in-shard position (rank by
+  // a second use of the hash). (seed, doc_id) fully determines (shard,
+  // pos) — reruns, backfills, and different cluster layouts reproduce
+  // the identical epoch order. One uniform shard-keyed shuffle.
+  // --------------------------------------------------------------------
+  private val Q92_SHARDS = 16
+  private val Q92_SEED = 42L
+
+  def q92ShuffleShards(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.shuffleShards(
+      lake(s, dir).documents, "doc_id", Q92_SHARDS, Q92_SEED)
+      .orderBy(col("doc_id"))
+
+  private val q92Oracle = {
+    val hv = dHash(s"concat('$Q92_SEED:', CAST(doc_id AS VARCHAR))")
+    s"""WITH h AS (SELECT doc_id, $hv AS hv FROM documents)
+        SELECT doc_id, hv % $Q92_SHARDS AS shard,
+               CAST(row_number() OVER (PARTITION BY hv % $Q92_SHARDS
+                 ORDER BY hv, doc_id) AS BIGINT) AS pos
+        FROM h ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_vocab_topk" -> (q71VocabTopK _),
@@ -260,7 +375,11 @@ object TrainingOps {
     "q74_repetition_flags" -> (q74RepetitionFlags _),
     "q75_sequence_packing" -> (q75SequencePacking _),
     "q76_corpus_mix" -> (q76CorpusMix _),
-    "q86_weighted_sample" -> (q86WeightedSample _))
+    "q86_weighted_sample" -> (q86WeightedSample _),
+    "q89_bpe_pairs" -> (q89BpePairs _),
+    "q90_chunking" -> (q90Chunking _),
+    "q91_normalized_dedup" -> (q91NormalizedDedup _),
+    "q92_shuffle_shards" -> (q92ShuffleShards _))
 
   val oracle: Map[String, String] = Map(
     "q70_stratified_sample" -> q70Oracle,
@@ -269,5 +388,9 @@ object TrainingOps {
     "q74_repetition_flags" -> q74Oracle,
     "q75_sequence_packing" -> q75Oracle,
     "q76_corpus_mix" -> q76Oracle,
-    "q86_weighted_sample" -> q86Oracle)
+    "q86_weighted_sample" -> q86Oracle,
+    "q89_bpe_pairs" -> q89Oracle,
+    "q90_chunking" -> q90Oracle,
+    "q91_normalized_dedup" -> q91Oracle,
+    "q92_shuffle_shards" -> q92Oracle)
 }
