@@ -241,6 +241,140 @@ object Curation {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Gopher-style HARD-FILTER rule suite (the pass/fail sibling of the
+    * continuous scores in [[repetitionFlags]] / TextOps quality scoring):
+    * per document, one flag per rule plus the combined `keep` verdict —
+    * kept as separate columns so a pipeline can audit WHICH rule killed
+    * a document (the per-rule removal tally is the first thing a
+    * curation report shows).
+    *
+    * Rules (each a published pretraining heuristic):
+    *   - word count within [minToks, maxToks]
+    *   - mean token length within [minMeanLen, maxMeanLen]
+    *   - at least `minStopwords` DISTINCT stopwords present
+    *   - no run of identical adjacent tokens longer than `maxRun`
+    *
+    * Scale shape: everything is a per-row fold over the token array
+    * (`aggregate` HOFs — codegen'd, no UDF), so the whole suite is one
+    * narrow scan-parallel projection: zero shuffles, zero joins at any
+    * corpus size. The adjacent-run rule in particular is deliberately a
+    * single left-to-right fold rather than the explode + gaps-and-islands
+    * window form (two corpus-sized shuffles) the same statistic costs in
+    * plain SQL. */
+  def gopherFilters(
+      df: DataFrame, idCol: String, textCol: String,
+      minToks: Int = 50, maxToks: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minStopwords: Int = 2, maxRun: Int = 2,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): DataFrame = {
+    require(stopwords.nonEmpty, "gopherFilters needs a stopword list")
+    val flag = (c: org.apache.spark.sql.Column) => when(c, 1).otherwise(0)
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast(LongType))
+      // int/int → double division: bit-deterministic across engines
+      .withColumn("mean_tok_len",
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").cast("double")
+          / col("n_toks"))
+      .withColumn("n_stopwords",
+        size(array_intersect(array_distinct(col("toks")),
+          array(stopwords.map(lit): _*))).cast(LongType))
+      // longest run of identical adjacent tokens: strict left-to-right
+      // fold carrying (prev, current run, best run)
+      .withColumn("max_run", expr(
+        """aggregate(toks,
+             named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+             (acc, t) -> named_struct(
+               'prev', t,
+               'run',  if(acc.prev <=> t, acc.run + 1, 1),
+               'best', greatest(acc.best, if(acc.prev <=> t, acc.run + 1, 1))),
+             acc -> acc.best)""").cast(LongType))
+      .withColumn("ok_word_count",
+        flag(col("n_toks") >= minToks && col("n_toks") <= maxToks))
+      .withColumn("ok_mean_len",
+        flag(col("mean_tok_len") >= minMeanLen && col("mean_tok_len") <= maxMeanLen))
+      .withColumn("ok_stopwords", flag(col("n_stopwords") >= minStopwords))
+      .withColumn("ok_run", flag(col("max_run") <= maxRun))
+      .withColumn("keep", flag(
+        col("ok_word_count") === 1 && col("ok_mean_len") === 1 &&
+          col("ok_stopwords") === 1 && col("ok_run") === 1))
+      .drop("toks")
+  }
+
+  /** CCNet-style boilerplate removal: chop every document into
+    * non-overlapping `segTokens`-token segments, hash each, and call a
+    * segment boilerplate when its exact hash appears in at least
+    * `minDocs` DISTINCT documents (headers, footers, navigation chrome —
+    * the text that repeats across a crawl). Returns one row per document:
+    * segment counts plus the document re-assembled WITHOUT its
+    * boilerplate segments (original segment order preserved; empty
+    * string when everything was boilerplate).
+    *
+    * Scale shape: segment fan-out is corpus-linear (n_toks / segTokens
+    * rows per doc); the boilerplate set is found with one md5-keyed
+    * groupBy whose partial aggregation collapses within-doc repeats
+    * map-side, membership is marked by an equi-join on the same uniform
+    * hash key (no broadcast needed — the join is hash-partitioned on
+    * both sides), and re-assembly is a per-doc sort_array over collected
+    * (index, kept-segment) structs — one doc-keyed shuffle whose rows
+    * are segments, never all-pairs anything. */
+  def boilerplateRemoval(
+      df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10, minDocs: Int = 3): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive: $segTokens")
+    require(minDocs >= 2, s"minDocs below 2 flags unique text: $minDocs")
+    val segs = df
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n_segs",
+        expr(s"(size(toks) + $segTokens - 1) div $segTokens").cast(LongType))
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, int(n_segs) - 1), " +
+            s"k -> concat_ws(' ', slice(toks, k * $segTokens + 1, $segTokens)))"))
+          .as(Seq("seg_idx", "seg_text")))
+      .withColumn("_h", md5(col("seg_text")))
+    val boiler = segs.groupBy(col("_h"))
+      .agg(countDistinct(col(idCol)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select(col("_h"), lit(1).as("_is_bp"))
+    segs.join(boiler, Seq("_h"), "left")
+      .withColumn("_bp", coalesce(col("_is_bp"), lit(0)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("_bp")).as("n_boilerplate"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(named_struct(" +
+            "'i', seg_idx, 'kept', if(_bp = 0, seg_text, null)))), s -> s.kept)"))
+          .as("clean_text"))
+  }
+
+  /** Temperature-based mixture reweighting at α = 0.5 (the multilingual
+    * rebalancing rule: sampling probability ∝ p^α flattens the source
+    * distribution so head sources stop drowning tail ones). Returns one
+    * row per source: document count and `rel_epochs` — the repetition
+    * weight relative to the LARGEST source, i.e. √(n_max / n_s), which
+    * is exactly the α = 0.5 rate ratio q_s/p_s normalized so the head
+    * source trains for one epoch. The output composes directly with
+    * [[mixCorpus]] (weights) + [[packSequences]].
+    *
+    * α is fixed at 0.5 because √ is the one power IEEE 754 rounds
+    * correctly — n_max and n_s are exact integers, the double divide and
+    * sqrt are each correctly rounded, so the weights are bit-identical
+    * across engines (a general pow() is last-ulp engine-dependent and
+    * would break oracle hashing).
+    *
+    * Scale shape: one source-keyed partial-agg count (source cardinality
+    * rows — tens, not billions) and a broadcast of the 1-row max back
+    * over it; nothing here scales with corpus size. */
+  def temperatureWeights(df: DataFrame, srcCol: String): DataFrame = {
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))
+    counts
+      .crossJoin(broadcast(counts.agg(max(col("n_docs")).as("_n_max"))))
+      .select(col(srcCol), col("n_docs"),
+        sqrt(col("_n_max").cast("double") / col("n_docs").cast("double"))
+          .as("rel_epochs"))
+  }
+
   /** Gopher-style repetition/diversity flags per document: top-token
     * mass ratio, type-token ratio, and the repetitive flag. Int/int
     * double divisions — bit-deterministic. */

@@ -368,6 +368,122 @@ object TrainingOps {
         FROM h ORDER BY doc_id"""
   }
 
+  // --------------------------------------------------------------------
+  // q93 — Gopher-style hard-filter suite: one flag per published rule
+  // (word-count bounds, mean-token-length bounds, ≥2 distinct stopwords,
+  // no adjacent-token run > 2) plus the combined keep verdict. Thresholds
+  // here are tuned so EVERY rule splits this corpus nontrivially (each
+  // flag has both 0s and 1s at sf0.01 — a rule that never fires is an
+  // untested rule). Spark computes the run statistic as a per-row fold
+  // (zero shuffles); the oracle pays the explode + gaps-and-islands
+  // window form to agree — same numbers, independently derived.
+  // --------------------------------------------------------------------
+  private val Q93_STOP = Seq("the", "a", "of", "and", "to", "in")
+
+  def q93GopherFilters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.gopherFilters(
+      lake(s, dir).documents, "doc_id", "text",
+      minToks = 20, maxToks = 90, minMeanLen = 3.0, maxMeanLen = 5.0,
+      minStopwords = 2, maxRun = 2, stopwords = Q93_STOP)
+      .orderBy(col("doc_id"))
+
+  private val q93Oracle = {
+    val stop = Q93_STOP.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                   FROM documents),
+        base AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+                 CAST(list_aggregate(list_transform(toks, tk -> len(tk)), 'sum')
+                      AS DOUBLE) / len(toks) AS mean_tok_len,
+                 CAST(len(list_intersect(list_distinct(toks), [$stop]))
+                      AS BIGINT) AS n_stopwords
+          FROM t),
+        pos AS (SELECT doc_id, i, toks[i+1] AS token
+                FROM t, UNNEST(range(len(toks))) AS u(i)),
+        runs AS (
+          SELECT doc_id, count(*) AS run_len
+          FROM (SELECT doc_id, token,
+                       i - row_number() OVER (PARTITION BY doc_id, token
+                                              ORDER BY i) AS grp
+                FROM pos)
+          GROUP BY doc_id, token, grp),
+        mr AS (SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run
+               FROM runs GROUP BY doc_id)
+        SELECT b.doc_id, n_toks, mean_tok_len, n_stopwords, max_run,
+               CAST(CASE WHEN n_toks BETWEEN 20 AND 90
+                    THEN 1 ELSE 0 END AS INTEGER) AS ok_word_count,
+               CAST(CASE WHEN mean_tok_len BETWEEN 3.0 AND 5.0
+                    THEN 1 ELSE 0 END AS INTEGER) AS ok_mean_len,
+               CAST(CASE WHEN n_stopwords >= 2
+                    THEN 1 ELSE 0 END AS INTEGER) AS ok_stopwords,
+               CAST(CASE WHEN max_run <= 2
+                    THEN 1 ELSE 0 END AS INTEGER) AS ok_run,
+               CAST(CASE WHEN n_toks BETWEEN 20 AND 90
+                          AND mean_tok_len BETWEEN 3.0 AND 5.0
+                          AND n_stopwords >= 2 AND max_run <= 2
+                    THEN 1 ELSE 0 END AS INTEGER) AS keep
+        FROM base b JOIN mr USING (doc_id)
+        ORDER BY doc_id"""
+  }
+
+  // --------------------------------------------------------------------
+  // q94 — CCNet-style boilerplate removal: 3-token segments whose exact
+  // hash appears in ≥ 3 distinct documents are crawl chrome; each doc is
+  // re-assembled without them. 3-token segments (not the production ~50)
+  // because this vocabulary-limited corpus only repeats at that scale —
+  // the operator itself takes the segment length as a parameter.
+  // --------------------------------------------------------------------
+  private val Q94_SEG = 3
+  private val Q94_MIN_DOCS = 3
+
+  def q94BoilerplateRemoval(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.boilerplateRemoval(
+      lake(s, dir).documents, "doc_id", "text",
+      segTokens = Q94_SEG, minDocs = Q94_MIN_DOCS)
+      .orderBy(col("doc_id"))
+
+  private val q94Oracle =
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                   FROM documents),
+        seg AS (
+          SELECT doc_id, k AS seg_idx,
+                 array_to_string(toks[k*$Q94_SEG+1 : k*$Q94_SEG+$Q94_SEG], ' ')
+                   AS seg_text
+          FROM t, UNNEST(range((len(toks) + ${Q94_SEG - 1}) // $Q94_SEG)) AS u(k)),
+        bp AS (
+          SELECT md5(seg_text) AS h FROM seg
+          GROUP BY md5(seg_text)
+          HAVING count(DISTINCT doc_id) >= $Q94_MIN_DOCS),
+        m AS (
+          SELECT s.doc_id, s.seg_idx, s.seg_text,
+                 CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS is_bp
+          FROM seg s LEFT JOIN bp b ON md5(s.seg_text) = b.h)
+        SELECT doc_id, count(*) AS n_segments,
+               CAST(sum(is_bp) AS BIGINT) AS n_boilerplate,
+               coalesce(string_agg(CASE WHEN is_bp = 0 THEN seg_text END,
+                                   ' ' ORDER BY seg_idx), '') AS clean_text
+        FROM m GROUP BY doc_id ORDER BY doc_id"""
+
+  // --------------------------------------------------------------------
+  // q96 — temperature mixture reweighting at α = 0.5: per source, the
+  // repetition weight √(n_max/n_s) that flattens the source distribution
+  // (head source = 1 epoch, tail sources up-weighted). √ because it is
+  // the one power IEEE rounds correctly — the weights hash bit-identical
+  // across engines; a general pow() would not.
+  // --------------------------------------------------------------------
+  def q96TemperatureWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.temperatureWeights(
+      lake(s, dir).documents, "source")
+      .orderBy(col("source"))
+
+  private val q96Oracle =
+    """WITH c AS (SELECT source, count(*) AS n_docs
+                  FROM documents GROUP BY source)
+       SELECT source, n_docs,
+              sqrt(CAST((SELECT max(n_docs) FROM c) AS DOUBLE)
+                   / CAST(n_docs AS DOUBLE)) AS rel_epochs
+       FROM c ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_vocab_topk" -> (q71VocabTopK _),
@@ -379,7 +495,10 @@ object TrainingOps {
     "q89_bpe_pairs" -> (q89BpePairs _),
     "q90_chunking" -> (q90Chunking _),
     "q91_normalized_dedup" -> (q91NormalizedDedup _),
-    "q92_shuffle_shards" -> (q92ShuffleShards _))
+    "q92_shuffle_shards" -> (q92ShuffleShards _),
+    "q93_gopher_filters" -> (q93GopherFilters _),
+    "q94_boilerplate_removal" -> (q94BoilerplateRemoval _),
+    "q96_temperature_weights" -> (q96TemperatureWeights _))
 
   val oracle: Map[String, String] = Map(
     "q70_stratified_sample" -> q70Oracle,
@@ -392,5 +511,8 @@ object TrainingOps {
     "q89_bpe_pairs" -> q89Oracle,
     "q90_chunking" -> q90Oracle,
     "q91_normalized_dedup" -> q91Oracle,
-    "q92_shuffle_shards" -> q92Oracle)
+    "q92_shuffle_shards" -> q92Oracle,
+    "q93_gopher_filters" -> q93Oracle,
+    "q94_boilerplate_removal" -> q94Oracle,
+    "q96_temperature_weights" -> q96Oracle)
 }

@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the round-5 curation operators: the Gopher hard-filter
+  * suite, CCNet-style boilerplate removal, and α=0.5 temperature mixture
+  * reweighting — planted-input semantics plus the zero/one-shuffle plan
+  * shapes the scale notes claim.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  test("gopherFilters: each rule fires on its planted violator and keep is the conjunction") {
+    import spark.implicits._
+    val docs = Seq(
+      // good: 20+ tokens incl 2 stopwords, short words, no runs
+      (1L, ("the a " + (1 to 20).map(i => s"tok$i").mkString(" ")).trim),
+      (2L, "the a short doc"),                               // too few tokens
+      (3L, ("the a " + (1 to 20).map(i => s"tok$i").mkString(" ")
+        + " run run run run").trim),                          // long run
+      (4L, (1 to 22).map(i => s"tok$i").mkString(" ")),       // no stopwords
+      (5L, ("the a " + (1 to 20).map(_ => "extraordinarily").mkString(" ")).trim)
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherFilters(docs, "doc_id", "text",
+      minToks = 10, maxToks = 100, minMeanLen = 1.0, maxMeanLen = 8.0,
+      minStopwords = 2, maxRun = 2).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("ok_word_count"), r.getAs[Int]("ok_mean_len"),
+          r.getAs[Int]("ok_stopwords"), r.getAs[Int]("ok_run"),
+          r.getAs[Int]("keep"))).toMap
+    assert(out(1L) === ((1, 1, 1, 1, 1)))
+    assert(out(2L)._1 === 0 && out(2L)._5 === 0)
+    assert(out(3L)._4 === 0 && out(3L)._5 === 0)
+    assert(out(4L)._3 === 0 && out(4L)._5 === 0)
+    assert(out(5L)._2 === 0 && out(5L)._5 === 0) // mean token len > 8
+  }
+
+  test("gopherFilters: max_run counts the longest adjacent run only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y x y"),           // repeats but never adjacent → 1
+      (2L, "x x y y y x"),           // runs 2 and 3 → 3
+      (3L, "z z z z z z")            // one run of 6
+    ).toDF("doc_id", "text")
+    val runs = Curation.gopherFilters(docs, "doc_id", "text")
+      .orderBy("doc_id").select("max_run").as[Long].collect()
+    assert(runs.toSeq === Seq(1L, 3L, 6L))
+  }
+
+  test("gopherFilters is a narrow projection: zero exchanges in the plan") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val p = Curation.gopherFilters(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"gopherFilters must stay scan-parallel (no shuffle):\n$p")
+  }
+
+  test("boilerplateRemoval flags cross-doc repeated segments and reassembles in order") {
+    import spark.implicits._
+    // segment length 2: "nav bar" planted segment-aligned in docs 1-3
+    val docs = Seq(
+      (1L, "nav bar alpha beta gamma delta"),
+      (2L, "nav bar epsilon zeta eta theta"),
+      (3L, "nav bar iota kappa"),
+      (4L, "lambda mu nu xi")
+    ).toDF("doc_id", "text")
+    val out = Curation.boilerplateRemoval(docs, "doc_id", "text",
+      segTokens = 2, minDocs = 3).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_segments"), r.getAs[Long]("n_boilerplate"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) === ((3L, 1L, "alpha beta gamma delta")))
+    assert(out(2L) === ((3L, 1L, "epsilon zeta eta theta")))
+    assert(out(3L) === ((2L, 1L, "iota kappa")))
+    assert(out(4L) === ((2L, 0L, "lambda mu nu xi")))
+  }
+
+  test("boilerplateRemoval: a document that is ALL boilerplate empties cleanly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav bar"), (2L, "nav bar"), (3L, "nav bar")
+    ).toDF("doc_id", "text")
+    val out = Curation.boilerplateRemoval(docs, "doc_id", "text",
+      segTokens = 2, minDocs = 3).orderBy("doc_id").collect()
+    assert(out.forall(_.getAs[String]("clean_text") === ""))
+    assert(out.forall(_.getAs[Long]("n_boilerplate") === 1L))
+  }
+
+  test("boilerplateRemoval: within-doc repetition alone never flags (distinct docs counted)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"), // same segment 3× in ONE doc
+      (2L, "unique words here friend")
+    ).toDF("doc_id", "text")
+    val out = Curation.boilerplateRemoval(docs, "doc_id", "text",
+      segTokens = 2, minDocs = 2).orderBy("doc_id").collect()
+    assert(out.forall(_.getAs[Long]("n_boilerplate") === 0L))
+  }
+
+  test("temperatureWeights: rel_epochs is exactly sqrt(n_max/n_s) and heads get 1.0") {
+    import spark.implicits._
+    val docs = (Seq.fill(100)("big") ++ Seq.fill(25)("mid") ++ Seq.fill(4)("tiny"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val out = Curation.temperatureWeights(docs, "source")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rel_epochs")).toMap
+    assert(out("big") === 1.0)
+    assert(out("mid") === 2.0)   // sqrt(100/25)
+    assert(out("tiny") === 5.0)  // sqrt(100/4)
+  }
+
+  test("temperatureWeights composes with mixCorpus: weights feed the mixture recipe") {
+    import spark.implicits._
+    val docs = (Seq.fill(16)("big") ++ Seq.fill(4)("tiny"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val weights = Curation.temperatureWeights(docs, "source")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rel_epochs")).toMap
+    val mixed = Curation.mixCorpus(docs, "doc_id", "source", weights)
+    // big keeps 1 epoch = 16 rows; tiny gets exactly 2 epochs (sqrt(16/4)) = 8
+    val bySrc = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("big") === 16L)
+    assert(bySrc("tiny") === 8L)
+  }
+}
