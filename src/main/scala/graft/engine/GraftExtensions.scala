@@ -42,6 +42,13 @@ object GraftFunctions {
         if (es.length != 2) throw new IllegalArgumentException(
           s"cosine_sim requires exactly 2 arguments, got ${es.length}")
         CosineSimilarity(es.head, es(1))
+      }),
+    ("nfc_normalize",
+      "nfc_normalize(s) - Unicode NFC canonical composition of a string",
+      (es: Seq[Expression]) => {
+        if (es.length != 1) throw new IllegalArgumentException(
+          s"nfc_normalize requires exactly 1 argument, got ${es.length}")
+        org.apache.spark.sql.graft.NfcNormalize(es.head)
       }))
 
   /** Idempotent post-hoc registration on a running session. */

@@ -465,6 +465,47 @@ object TrainingOps {
         FROM m GROUP BY doc_id ORDER BY doc_id"""
 
   // --------------------------------------------------------------------
+  // q95 — Unicode NFC normalization via the native `nfc_normalize`
+  // Catalyst expression (codegen'd; see o.a.s.sql.graft.NfcNormalize).
+  // The synthetic corpus is pure ASCII — where NFC is the identity and
+  // would test nothing — so BOTH engines first inject the same
+  // decomposed sequences ('e'+U+0301, 'o'+U+0308) and then normalize;
+  // NFC must compose them back to single codepoints (é, ö), so the
+  // normalized char count equals the ORIGINAL text length while the
+  // injected count exceeds it. The md5 over the normalized text proves
+  // byte-level agreement with DuckDB's nfc_normalize, not just lengths.
+  // --------------------------------------------------------------------
+  def q95NfcNormalize(s: SparkSession, dir: String): DataFrame = {
+    graft.engine.GraftFunctions.register(s)
+    val injected = replace(replace(col("text"),
+      lit("e"), lit("e\u0301")), lit("o"), lit("o\u0308"))
+    lake(s, dir).documents
+      .select(col("doc_id"), col("text"),
+        call_function("nfc_normalize", injected).as("_norm"),
+        length(injected).cast("long").as("n_injected"))
+      .select(col("doc_id"), col("n_injected"),
+        length(col("_norm")).cast("long").as("n_normalized"),
+        (length(col("_norm")) === length(col("text")))
+          .cast("int").as("composed_back"),
+        md5(col("_norm")).as("norm_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q95Oracle =
+    """WITH i AS (
+         SELECT doc_id, text,
+                replace(replace(text, 'e', 'e' || chr(769)),
+                        'o', 'o' || chr(776)) AS inj
+         FROM documents),
+       n AS (SELECT doc_id, text, inj, nfc_normalize(inj) AS norm FROM i)
+       SELECT doc_id, CAST(len(inj) AS BIGINT) AS n_injected,
+              CAST(len(norm) AS BIGINT) AS n_normalized,
+              CAST(CASE WHEN len(norm) = len(text) THEN 1 ELSE 0 END
+                   AS INTEGER) AS composed_back,
+              md5(norm) AS norm_hash
+       FROM n ORDER BY doc_id"""
+
+  // --------------------------------------------------------------------
   // q96 — temperature mixture reweighting at α = 0.5: per source, the
   // repetition weight √(n_max/n_s) that flattens the source distribution
   // (head source = 1 epoch, tail sources up-weighted). √ because it is
@@ -498,6 +539,7 @@ object TrainingOps {
     "q92_shuffle_shards" -> (q92ShuffleShards _),
     "q93_gopher_filters" -> (q93GopherFilters _),
     "q94_boilerplate_removal" -> (q94BoilerplateRemoval _),
+    "q95_nfc_normalize" -> (q95NfcNormalize _),
     "q96_temperature_weights" -> (q96TemperatureWeights _))
 
   val oracle: Map[String, String] = Map(
@@ -514,5 +556,6 @@ object TrainingOps {
     "q92_shuffle_shards" -> q92Oracle,
     "q93_gopher_filters" -> q93Oracle,
     "q94_boilerplate_removal" -> q94Oracle,
+    "q95_nfc_normalize" -> q95Oracle,
     "q96_temperature_weights" -> q96Oracle)
 }
