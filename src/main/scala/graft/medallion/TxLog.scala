@@ -76,8 +76,13 @@ object TxLog {
   final case class AddFile(
       path: String, rows: Long, bytes: Long, stats: Map[String, ColStats])
 
-  /** Resolved table state at `version`: the live file set + schema. */
-  final case class Snapshot(version: Long, schemaJson: String, files: Seq[AddFile]) {
+  /** Resolved table state at `version`: the live file set + schema +
+    * the newest streaming batch id committed per writer app (the Delta
+    * `txn` action's state — what makes foreachBatch restarts
+    * exactly-once: a replayed batch id is detected here and skipped). */
+  final case class Snapshot(
+      version: Long, schemaJson: String, files: Seq[AddFile],
+      txns: Map[String, Long] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -138,22 +143,28 @@ object TxLog {
     * history/debugging), optional `schema` line, then add/remove lines. */
   private[graft] def renderCommit(
       op: String, readVersion: Long, schemaJson: Option[String],
-      adds: Seq[AddFile], removes: Seq[String]): String = {
+      adds: Seq[AddFile], removes: Seq[String],
+      txns: Map[String, Long] = Map.empty): String = {
     val lines =
       JObject("a" -> JString("info"), "op" -> JString(op),
         "readVersion" -> JLong(readVersion)) ::
       schemaJson.toList.map(s => JObject("a" -> JString("schema"), "json" -> JString(s))) :::
+      // sorted for deterministic checkpoint bytes (lost put race == same content)
+      txns.toList.sortBy(_._1).map { case (app, b) =>
+        JObject("a" -> JString("txn"), "appId" -> JString(app), "batchId" -> JLong(b)) } :::
       adds.toList.map(addToJson) :::
       removes.toList.map(p => JObject("a" -> JString("remove"), "path" -> JString(p)))
     lines.map(j => JsonMethods.compact(JsonMethods.render(j))).mkString("\n")
   }
 
   private[medallion] final case class Commit(
-      op: String, schemaJson: Option[String], adds: Seq[AddFile], removes: Seq[String])
+      op: String, schemaJson: Option[String], adds: Seq[AddFile], removes: Seq[String],
+      txns: Map[String, Long])
 
   private[medallion] def parseCommit(content: String): Commit = {
     var op = "unknown"; var schema: Option[String] = None
     val adds = Seq.newBuilder[AddFile]; val removes = Seq.newBuilder[String]
+    var txns = Map.empty[String, Long]
     content.linesIterator.filter(_.nonEmpty).foreach { line =>
       val o = JsonMethods.parse(line).asInstanceOf[JObject]
       val m = o.obj.toMap
@@ -162,11 +173,12 @@ object TxLog {
         case "schema" => schema = Some(str(m("json")))
         case "add" => adds += parseAdd(o)
         case "remove" => removes += str(m("path"))
+        case "txn" => txns += (str(m("appId")) -> lng(m("batchId")))
         case other => throw new IllegalStateException(
           s"txlog: unknown action '$other' — refusing to read a log written by a newer format")
       }
     }
-    Commit(op, schema, adds.result(), removes.result())
+    Commit(op, schema, adds.result(), removes.result(), txns)
   }
 }
 
@@ -255,10 +267,12 @@ final class GraftTable(val tablePath: String) {
     val cp = checkpointAtOrBefore(target)
     var live = ListMap.empty[String, AddFile]
     var schemaJson: String = null
+    var txns = Map.empty[String, Long]
     cp.foreach { cv =>
       val c = parseCommit(new String(Files.readAllBytes(checkpointFile(cv)), "UTF-8"))
       c.schemaJson.foreach(schemaJson = _)
       c.adds.foreach(a => live += (a.path -> a))
+      txns ++= c.txns
     }
     var v = cp.getOrElse(0L) + 1
     while (v <= target) {
@@ -269,11 +283,16 @@ final class GraftTable(val tablePath: String) {
       c.schemaJson.foreach(schemaJson = _)
       c.removes.foreach(live -= _)
       c.adds.foreach(a => live += (a.path -> a))
+      // monotonic max: an out-of-order replayed txn must never LOWER the
+      // high-water mark (that would re-admit its duplicates later)
+      c.txns.foreach { case (app, b) =>
+        if (txns.get(app).forall(_ < b)) txns += (app -> b) }
       v += 1
     }
     require(schemaJson != null || live.isEmpty,
       s"txlog: no schema action found resolving version $target")
-    Snapshot(target, Option(schemaJson).getOrElse(new StructType().json), live.values.toSeq)
+    Snapshot(target, Option(schemaJson).getOrElse(new StructType().json),
+      live.values.toSeq, txns)
   }
 
   /** Read the table at `version` (default head). The scan is a plain
@@ -398,9 +417,11 @@ final class GraftTable(val tablePath: String) {
   /** Attempt to commit at exactly `version`; true if won. */
   private def tryCommit(
       version: Long, op: String, readVersion: Long, schemaJson: Option[String],
-      adds: Seq[AddFile], removes: Seq[String]): Boolean = {
+      adds: Seq[AddFile], removes: Seq[String],
+      txns: Map[String, Long] = Map.empty): Boolean = {
     ensureDirs()
-    putIfAbsent(renderCommit(op, readVersion, schemaJson, adds, removes), versionFile(version))
+    putIfAbsent(renderCommit(op, readVersion, schemaJson, adds, removes, txns),
+      versionFile(version))
   }
 
   /** Blind append: new files, no removes — logically conflict-free, so a
@@ -425,6 +446,49 @@ final class GraftTable(val tablePath: String) {
     }
     throw new ConcurrentWriteException(
       s"txlog: append lost $maxRetries commit races at $tablePath")
+  }
+
+  /** Idempotent append for streaming writers: the commit records
+    * (`appId`, `batchId`) as a txn action, and a batch at or below the
+    * recorded high-water mark is SKIPPED (returns the current head
+    * unchanged). This is what turns foreachBatch's at-least-once replay
+    * into exactly-once: after a crash between commit and offset-log
+    * update, Structured Streaming re-runs the batch with the SAME id,
+    * and the replay lands here as a no-op — the Delta `txn` protocol
+    * [Armbrust et al., VLDB 2020 §3.1].
+    *
+    * The txn check re-runs on every lost commit race: two executors of
+    * the same restarted query racing the same batch resolve to exactly
+    * one append. Returns the committed (or already-covering) version. */
+  def appendIdempotent(
+      df: DataFrame, appId: String, batchId: Long, maxRetries: Int = 20): Long = {
+    require(appId.nonEmpty, "txlog: appId must be non-empty")
+    val pre = if (Files.exists(logDir)) snapshot() else Snapshot(0L, df.schema.json, Nil)
+    if (pre.txns.get(appId).exists(_ >= batchId)) return pre.version
+    if (pre.version > 0 && pre.schema.nonEmpty) {
+      require(sameSchema(pre.schema, df.schema),
+        s"txlog: append schema ${df.schema.simpleString} does not match table " +
+          s"schema ${pre.schema.simpleString}; use overwrite() to change schema")
+    }
+    val adds = stageData(df)
+    val schemaJson = Some(df.schema.json)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot(latestVersion())
+      if (head.txns.get(appId).exists(_ >= batchId)) {
+        // a racing writer (same restarted query) already landed this
+        // batch — ours would be a duplicate; drop the staged files
+        adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+        return head.version
+      }
+      val v = head.version + 1
+      if (tryCommit(v, "streamingUpdate", head.version, schemaJson, adds, Nil,
+          Map(appId -> batchId))) return v
+      attempt += 1
+    }
+    adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+    throw new ConcurrentWriteException(
+      s"txlog: appendIdempotent lost $maxRetries commit races at $tablePath")
   }
 
   private def sameSchema(a: StructType, b: StructType): Boolean =
@@ -526,7 +590,7 @@ final class GraftTable(val tablePath: String) {
   def checkpoint(): Long = {
     val snap = snapshot()
     val content = renderCommit("checkpoint", snap.version, Some(snap.schemaJson),
-      snap.files, Nil)
+      snap.files, Nil, snap.txns)
     putIfAbsent(content, checkpointFile(snap.version)) // lost race == same content
     val hint = JsonMethods.compact(JsonMethods.render(
       JObject("version" -> JLong(snap.version))))
