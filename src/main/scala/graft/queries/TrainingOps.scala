@@ -525,6 +525,37 @@ object TrainingOps {
                    / CAST(n_docs AS DOUBLE)) AS rel_epochs
        FROM c ORDER BY source"""
 
+  // --------------------------------------------------------------------
+  // q97 — heavy hitters via the mergeable Space-Saving sketch (TopKAgg):
+  // top-10 corpus tokens from ONE partial-agg pass with O(k) state per
+  // partition — the shuffle is O(partitions·k) whatever the key
+  // cardinality, vs q71's vocabulary-sized shuffle. Capacity 64 exceeds
+  // this corpus's distinct-token count, so nothing is evicted and the
+  // sketch is EXACT (err = 0, merge-order-independent) — which is what
+  // makes a hash-exact DuckDB GROUP BY oracle possible; the approximate
+  // regime is property-tested in TopKAggSpec.
+  // --------------------------------------------------------------------
+  private val Q97_CAP = 64
+  private val Q97_TOPK = 10
+
+  def q97HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val hh = udaf(new graft.functions.TopKAgg(Q97_CAP))
+    lake(s, dir).documents
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("token"))
+      .agg(hh(col("token")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("token"), col("e.count").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(Q97_TOPK)
+  }
+
+  private val q97Oracle =
+    s"""SELECT token, count(*) AS n_occurrences
+       FROM (SELECT unnest(string_split(trim(text), ' ')) AS token
+             FROM documents)
+       GROUP BY token
+       ORDER BY n_occurrences DESC, token LIMIT $Q97_TOPK"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_vocab_topk" -> (q71VocabTopK _),
@@ -540,7 +571,8 @@ object TrainingOps {
     "q93_gopher_filters" -> (q93GopherFilters _),
     "q94_boilerplate_removal" -> (q94BoilerplateRemoval _),
     "q95_nfc_normalize" -> (q95NfcNormalize _),
-    "q96_temperature_weights" -> (q96TemperatureWeights _))
+    "q96_temperature_weights" -> (q96TemperatureWeights _),
+    "q97_heavy_hitters" -> (q97HeavyHitters _))
 
   val oracle: Map[String, String] = Map(
     "q70_stratified_sample" -> q70Oracle,
@@ -557,5 +589,6 @@ object TrainingOps {
     "q93_gopher_filters" -> q93Oracle,
     "q94_boilerplate_removal" -> q94Oracle,
     "q95_nfc_normalize" -> q95Oracle,
-    "q96_temperature_weights" -> q96Oracle)
+    "q96_temperature_weights" -> q96Oracle,
+    "q97_heavy_hitters" -> q97Oracle)
 }
