@@ -40,8 +40,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     leaves a recoverable index (the next batch's recovery step
   *     promotes a parked dir and clears stale temps). The curated
   *     APPEND is then the at-least-once caveat on crash-replay, same as
-  *     every non-transactional parquet sink; a table format makes both
-  *     atomic — see README "Table-format gap".
+  *     every non-transactional parquet sink — [[dedupedIngestExactlyOnce]]
+  *     removes it by committing the curated output through a
+  *     [[graft.medallion.GraftTable]] txn ledger.
   */
 object CurationStream {
 
@@ -66,7 +67,44 @@ object CurationStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, idCol, textCol, indexDir, outDir,
+        processBatch(batch, batchId, idCol, textCol, indexDir,
+          (novel, _) => novel.write.mode("append").parquet(outDir),
+          slots, bands, threshold)
+      }
+      .start()
+  }
+
+  /** [[dedupedIngest]] with the curated output going through a
+    * [[graft.medallion.GraftTable]] instead of a plain parquet append —
+    * which upgrades the one at-least-once seam to exactly-once: a
+    * crash-replayed micro-batch's curated append no-ops via the table's
+    * txn ledger ([[TableSink]]), and the index fold it then re-runs is
+    * idempotent by construction (min-of-mins re-merge of the same
+    * signatures is a fixpoint), so the replay converges to the exact
+    * pre-crash target state whatever the crash point. Batch order is
+    * deliberate — curated commit BEFORE index fold: the replay after a
+    * crash between them skips the commit and redoes only the fold.
+    *
+    * `appId` names this query's ledger in the table log: stable across
+    * restarts, unique per logical query. */
+  def dedupedIngestExactlyOnce(
+      docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, tablePath: String, checkpointDir: String,
+      appId: String = "graft-curation",
+      slots: Int = 12, bands: Int = 4, threshold: Double = 0.9,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(slots % bands == 0, s"bands ($bands) must divide slots ($slots)")
+    require(!docs.columns.contains(SigCol),
+      s"input already has a '$SigCol' column — rename it; the ingest " +
+        "threads its signatures through that name")
+    val table = new graft.medallion.GraftTable(tablePath)
+    val sink = TableSink.writerFor(table, appId)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, idCol, textCol, indexDir, sink,
           slots, bands, threshold)
       }
       .start()
@@ -80,7 +118,7 @@ object CurationStream {
     * fold survivors into the index. Package-visible for direct testing. */
   private[graft] def processBatch(
       batch: DataFrame, batchId: Long, idCol: String, textCol: String,
-      indexDir: String, outDir: String,
+      indexDir: String, curatedSink: (DataFrame, Long) => Unit,
       slots: Int, bands: Int, threshold: Double): Unit = CacheScope.scoped {
     require(slots % bands == 0, s"bands ($bands) must divide slots ($slots)")
     require(!batch.columns.contains(SigCol),
@@ -158,8 +196,10 @@ object CurationStream {
     val novel = CacheScope.cached(
       afterIndex.join(dropIds, Seq(idCol), "left_anti"))
 
-    // 3. curated append (at-least-once on crash-replay; see scaladoc)
-    novel.drop(SigCol).write.mode("append").parquet(outDir)
+    // 3. curated append — plain parquet append (at-least-once on
+    //    crash-replay) or the table's idempotent txn append
+    //    (exactly-once), per the caller's sink
+    curatedSink(novel.drop(SigCol), batchId)
 
     // 4. fold the survivors' per-doc signatures into the index (ids are
     //    unique after the batch dedup, so a plain select honors the

@@ -36,7 +36,12 @@ object TableSink {
     * `appId` names THIS query's txn ledger in the table log — stable
     * across restarts (pass the same id), unique per logical query (two
     * different queries sharing an id would suppress each other's
-    * batches). The default trigger drains available input and stops
+    * batches). The appId's lifetime follows the CHECKPOINT's: batch ids
+    * are assigned by the streaming checkpoint, so starting over with a
+    * fresh checkpoint location restarts them at 0 — pair that with a
+    * fresh appId or the old ledger's high-water mark will suppress the
+    * new query's early batches. The default trigger drains available
+    * input and stops
     * (backfill shape); pass `Trigger.ProcessingTime(...)` to run
     * continuously. */
   def start(

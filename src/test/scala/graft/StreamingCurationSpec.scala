@@ -11,6 +11,11 @@ class StreamingCurationSpec extends SparkSpec {
   private def doc(prefix: String) =
     (0 until 40).map(i => s"$prefix$i").mkString(" ")
 
+  /** The plain at-least-once parquet sink the non-transactional entry
+    * point uses — what the direct-processBatch tests always exercised. */
+  private def parquetSink(outDir: String): (org.apache.spark.sql.DataFrame, Long) => Unit =
+    (novel, _) => novel.write.mode("append").parquet(outDir)
+
   test("cross-batch near-dups drop against the growing index; novel docs pass") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
@@ -62,7 +67,7 @@ class StreamingCurationSpec extends SparkSpec {
     // seed the index via one direct batch
     CurationStream.processBatch(
       Seq(1L -> doc("alpha")).toDF("doc_id", "text"), 0L,
-      "doc_id", "text", indexDir, outDir, 12, 4, 0.9)
+      "doc_id", "text", indexDir, parquetSink(outDir), 12, 4, 0.9)
     val before = spark.read.parquet(indexDir).collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
 
@@ -72,7 +77,7 @@ class StreamingCurationSpec extends SparkSpec {
     staleTmp.mkdirs()
     CurationStream.processBatch(
       Seq(2L -> doc("beta")).toDF("doc_id", "text"), 1L,
-      "doc_id", "text", indexDir, outDir, 12, 4, 0.9)
+      "doc_id", "text", indexDir, parquetSink(outDir), 12, 4, 0.9)
     assert(!staleTmp.exists(), "stale swap temp must be cleared")
     val after = spark.read.parquet(indexDir).collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
@@ -87,7 +92,7 @@ class StreamingCurationSpec extends SparkSpec {
       java.nio.file.Paths.get(s"${indexDir}__swap_old"))
     CurationStream.processBatch(
       Seq(3L -> doc("alpha"), 4L -> doc("gamma")).toDF("doc_id", "text"), 2L,
-      "doc_id", "text", indexDir, outDir, 12, 4, 0.9)
+      "doc_id", "text", indexDir, parquetSink(outDir), 12, 4, 0.9)
     val recovered = spark.read.parquet(indexDir).collect()
       .map(r => r.getString(0)).toSet
     assert(recovered === Set("1", "2", "4"),
@@ -109,13 +114,64 @@ class StreamingCurationSpec extends SparkSpec {
     // short docs must still pass
     CurationStream.processBatch(
       Seq(1L -> "hello world").toDF("doc_id", "text"), 0L,
-      "doc_id", "text", indexDir, outDir, 12, 4, 0.9)
+      "doc_id", "text", indexDir, parquetSink(outDir), 12, 4, 0.9)
     CurationStream.processBatch(
       Seq(2L -> "hello world", 3L -> "different words").toDF("doc_id", "text"), 1L,
-      "doc_id", "text", indexDir, outDir, 12, 4, 0.9)
+      "doc_id", "text", indexDir, parquetSink(outDir), 12, 4, 0.9)
     val curated = spark.read.parquet(outDir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(curated === Set(1L, 3L),
       "the exact short-doc repeat drops; the distinct short doc passes")
+  }
+
+  test("exactly-once ingest: a crash-replayed batch converges instead of duplicating") {
+    import spark.implicits._
+    val root = new java.io.File(
+      s"target/tmp/curation_${java.util.UUID.randomUUID().toString.take(8)}")
+    val indexDir = new java.io.File(root, "index").getAbsolutePath
+    val tablePath = new java.io.File(root, "curated_tbl").getAbsolutePath
+
+    val table = new graft.medallion.GraftTable(tablePath)
+    val sink = graft.streaming.TableSink.writerFor(table, "cur-q")
+    def run(batchId: Long, rows: (Long, String)*): Unit =
+      CurationStream.processBatch(
+        rows.toDF("doc_id", "text"), batchId,
+        "doc_id", "text", indexDir, sink, 12, 4, 0.9)
+
+    run(0L, 1L -> doc("alpha"), 2L -> doc("beta"))
+    run(1L, 3L -> doc("alpha"), 4L -> doc("gamma")) // 3 drops vs index
+
+    val indexBefore = spark.read.parquet(indexDir).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val versionBefore = table.snapshot().version
+
+    // crash-replay of batch 1 (same id, same rows — what a restarted
+    // query re-delivers): the curated append must no-op via the txn
+    // ledger, and the re-run index fold must be a fixpoint
+    run(1L, 3L -> doc("alpha"), 4L -> doc("gamma"))
+
+    assert(table.snapshot().version === versionBefore,
+      "the replayed curated append must not commit")
+    assert(table.read(spark).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+    val indexAfter = spark.read.parquet(indexDir).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(indexAfter === indexBefore, "index re-fold is a fixpoint")
+
+    // and the LIVE streaming entry point over the same table: novel doc
+    // accepted, near-copy of an old doc dropped against the index. A
+    // FRESH checkpoint restarts batch ids at 0, so it needs a fresh
+    // appId — reusing "cur-q" here would suppress batch 0 as ≤ the old
+    // ledger mark (the appId-follows-checkpoint contract)
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(5L -> doc("beta"), 6L -> doc("delta"))
+    CurationStream.dedupedIngestExactlyOnce(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      indexDir, tablePath, new java.io.File(root, "ckpt").getAbsolutePath,
+      appId = "cur-q-2").awaitTermination()
+    assert(table.read(spark).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 4L, 6L))
   }
 }
