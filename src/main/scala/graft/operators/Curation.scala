@@ -219,6 +219,39 @@ object Curation {
       .drop("_nh")
   }
 
+  /** Bag-of-words dedup keeping the BEST copy per group — the
+    * cross-source canonicalization stage: when the same content arrives
+    * from several crawls/sources (reordered, repeated, re-chunked), keep
+    * exactly one, and keep the HIGHEST-QUALITY one rather than an
+    * arbitrary first (min-id dedup throws away quality information the
+    * pipeline already paid to compute). The content key is the md5 of
+    * the sorted DISTINCT token set, so token order and repetition do not
+    * split a group — coarser than [[normalizedDedup]]'s normalized-text
+    * key, the right granularity for shuffled/re-chunked copies.
+    *
+    * Winner per group: max `scoreCol`, ties to the LOWEST id
+    * (deterministic, engine-portable). Returns one row per group:
+    * winner id, its score, and `n_variants`.
+    *
+    * Scale shape: the key is a per-row projection (sort of a ≤vocab-size
+    * distinct-token array, then one md5 — scan-parallel); the single
+    * shuffle is the md5-keyed groupBy carrying (key, id, score) — never
+    * the text — with `max_by`/count partially aggregated map-side.
+    * Uniform hash keys: no skew at any corpus size. */
+  def dedupKeepBest(
+      df: DataFrame, idCol: String, textCol: String, scoreCol: String): DataFrame = {
+    val key = md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol))))))
+    df.select(col(idCol), col(scoreCol), key.as("_k"))
+      .groupBy(col("_k"))
+      .agg(
+        // struct ordering = (score asc, -id asc): max picks highest
+        // score, then lowest id
+        max_by(struct(col(idCol), col(scoreCol)),
+          struct(col(scoreCol), negate(col(idCol)))).as("_w"),
+        count(lit(1)).as("n_variants"))
+      .select(col(s"_w.$idCol"), col(s"_w.$scoreCol"), col("n_variants"))
+  }
+
   /** Deterministic global shuffle into training shards — the final
     * layout stage of a pretraining pipeline: break curation order (which
     * correlates neighbors by source/crawl) with a seeded portable hash,

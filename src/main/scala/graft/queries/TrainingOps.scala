@@ -556,6 +556,35 @@ object TrainingOps {
        GROUP BY token
        ORDER BY n_occurrences DESC, token LIMIT $Q97_TOPK"""
 
+  // --------------------------------------------------------------------
+  // q98 — bag-of-words dedup keeping the best copy: groups on the md5 of
+  // the sorted distinct token set (token order/repetition don't split a
+  // group — on this corpus 500 docs collapse to 446 groups, largest 29),
+  // winner = max n_chars, ties to lowest doc_id. One uniform-key shuffle
+  // carrying (key, id, score); max_by partial-aggregates map-side. The
+  // oracle derives the same winners via a rank window — independent path,
+  // same rows.
+  // --------------------------------------------------------------------
+  def q98DedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.dedupKeepBest(
+      lake(s, dir).documents, "doc_id", "text", "n_chars")
+      .orderBy(col("doc_id"))
+
+  private val q98Oracle =
+    """WITH k AS (
+         SELECT doc_id, n_chars,
+                md5(array_to_string(list_sort(list_distinct(
+                      string_split(trim(text), ' '))), ' ')) AS h
+         FROM documents),
+       w AS (
+         SELECT doc_id, n_chars,
+                CAST(count(*) OVER (PARTITION BY h) AS BIGINT) AS n_variants,
+                row_number() OVER (PARTITION BY h
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+         FROM k)
+       SELECT doc_id, n_chars, n_variants FROM w WHERE rn = 1
+       ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_vocab_topk" -> (q71VocabTopK _),
@@ -572,7 +601,8 @@ object TrainingOps {
     "q94_boilerplate_removal" -> (q94BoilerplateRemoval _),
     "q95_nfc_normalize" -> (q95NfcNormalize _),
     "q96_temperature_weights" -> (q96TemperatureWeights _),
-    "q97_heavy_hitters" -> (q97HeavyHitters _))
+    "q97_heavy_hitters" -> (q97HeavyHitters _),
+    "q98_dedup_keep_best" -> (q98DedupKeepBest _))
 
   val oracle: Map[String, String] = Map(
     "q70_stratified_sample" -> q70Oracle,
@@ -590,5 +620,6 @@ object TrainingOps {
     "q94_boilerplate_removal" -> q94Oracle,
     "q95_nfc_normalize" -> q95Oracle,
     "q96_temperature_weights" -> q96Oracle,
-    "q97_heavy_hitters" -> q97Oracle)
+    "q97_heavy_hitters" -> q97Oracle,
+    "q98_dedup_keep_best" -> q98Oracle)
 }

@@ -109,6 +109,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(out("tiny") === 5.0)  // sqrt(100/4)
   }
 
+  test("dedupKeepBest: reordered/repeated copies collapse; highest score wins, ties to lowest id") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "alpha beta gamma", 30L),        // group A, low score
+      (11L, "gamma beta alpha alpha", 90L),  // group A (reorder + repeat), best
+      (12L, "beta alpha gamma gamma", 90L),  // group A, tied score, higher id
+      (20L, "delta epsilon", 50L),           // group B, alone
+      (21L, "delta epsilon zeta", 10L))      // group C: different token SET
+      .toDF("doc_id", "text", "quality")
+    val out = Curation.dedupKeepBest(docs, "doc_id", "text", "quality")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(
+      11L -> ((90L, 3L)), // beats 10 on score, beats 12 on id tie-break
+      20L -> ((50L, 1L)),
+      21L -> ((10L, 1L))))
+  }
+
   test("temperatureWeights composes with mixCorpus: weights feed the mixture recipe") {
     import spark.implicits._
     val docs = (Seq.fill(16)("big") ++ Seq.fill(4)("tiny"))

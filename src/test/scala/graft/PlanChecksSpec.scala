@@ -198,4 +198,32 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.contains("ReadSchema"))
     assert(!p.contains("doc_id,"), s"doc_id should be pruned from scan:\n$p")
   }
+
+  test("q93: the whole hard-filter suite is one shuffle-free scan-parallel projection") {
+    val p = plan(graft.queries.TrainingOps.q93GopherFilters(spark, sfDir))
+    // the output sort is the query's total ORDER BY; the FILTER COMPUTE
+    // itself must not hash-exchange (the fold replaces the explode +
+    // gaps-and-islands window form, which would shuffle the corpus twice)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"gopher filters must not shuffle:\n$p")
+  }
+
+  test("q94: boilerplate marking is a hash equi-join on the segment key — no nested loop") {
+    val p = plan(graft.queries.TrainingOps.q94BoilerplateRemoval(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"segment membership must be an equi-join:\n$p")
+  }
+
+  test("q97: the heavy-hitter sketch partial-aggregates (O(partitions*k) exchange)") {
+    val p = plan(graft.queries.TrainingOps.q97HeavyHitters(spark, sfDir))
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected sketch partial+final aggregation in:\n$p")
+  }
+
+  test("q98: keep-best dedup is one uniform-key exchange with map-side partial max_by") {
+    val p = plan(graft.queries.TrainingOps.q98DedupKeepBest(spark, sfDir))
+    assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"keep-best dedup must not join at all:\n$p")
+  }
 }
