@@ -629,6 +629,66 @@ final class GraftTable(val tablePath: String) {
     deletable
   }
 
+  /** Incremental consumption: all rows ADDED by append-family commits
+    * (`append` / `streamingUpdate`) in versions `(sinceVersion, head]`,
+    * each tagged with its `_commit_version` — what lets a downstream
+    * stage tail this table instead of rescanning it (the
+    * bronze→silver chaining shape; Delta's CDF/streaming-source
+    * equivalent for the insert-only case).
+    *
+    * Non-append commits in the range: `compact` and `checkpoint` are
+    * logically row-neutral and always skipped; `upsert`/`overwrite`
+    * REWRITE data an appends-only consumer cannot attribute, so they
+    * THROW by default — silently skipping them would hand the consumer
+    * a stream missing real changes (the same contract as Delta's
+    * streaming source, where rewrites fail the read unless
+    * `skipChangeCommits` opts out). Pass `skipRewrites = true` to
+    * accept that gap explicitly.
+    *
+    * The returned scan reads exactly the add-files of the qualifying
+    * commits — O(new data), not O(table). Files referenced by old
+    * commits stay on disk until `vacuum`, so incremental consumers must
+    * run within the vacuum retention window (the standard CDF caveat);
+    * a consumer behind that window fails loudly on the missing file. */
+  def appendsSince(
+      spark: SparkSession, sinceVersion: Long,
+      skipRewrites: Boolean = false): DataFrame = {
+    val head = latestVersion()
+    require(sinceVersion <= head,
+      s"txlog: appendsSince($sinceVersion) is ahead of head $head")
+    val schema = snapshot(head).schema
+    val perVersion = ((sinceVersion + 1) to head).flatMap { v =>
+      val f = versionFile(v)
+      require(Files.exists(f),
+        s"txlog: commit $v missing — appendsSince($sinceVersion) is behind " +
+          "the vacuum retention window; re-seed from a full snapshot read")
+      val c = parseCommit(new String(Files.readAllBytes(f), "UTF-8"))
+      c.op match {
+        case "append" | "streamingUpdate" if c.adds.nonEmpty => Some(v -> c.adds)
+        case "append" | "streamingUpdate" => None
+        case "compact" | "checkpoint" => None
+        case rewrite =>
+          if (!skipRewrites) throw new IllegalStateException(
+            s"txlog: commit $v is a '$rewrite' — its rewritten rows cannot be " +
+              "attributed as appends. Re-seed from a snapshot read, or pass " +
+              "skipRewrites = true to knowingly ignore it.")
+          None
+      }
+    }
+    perVersion.foldLeft(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .withColumn("_commit_version", lit(0L)).limit(0)) {
+      case (acc, (v, adds)) =>
+        val paths = adds.map(a => root.resolve(a.path).toString)
+        paths.foreach(p => require(Files.exists(Paths.get(p)),
+          s"txlog: data file $p of commit $v was vacuumed — appendsSince " +
+            "is behind the retention window; re-seed from a snapshot read"))
+        acc.unionAll(spark.read.schema(schema).parquet(paths: _*)
+          .withColumn("_commit_version", lit(v)))
+    }
+  }
+
   /** Commit history, newest first: (version, op, adds, removes). The
     * DESCRIBE HISTORY equivalent. */
   def history(): Seq[(Long, String, Int, Int)] = {

@@ -196,4 +196,46 @@ class TxLogSpec extends SparkSpec {
     val v = t.upsert(empty, "id", "_seq")
     assert(v === 1L && t.latestVersion() === 1L)
   }
+
+  test("appendsSince tails exactly the new appends, version-tagged") {
+    val t = freshTable("tail")
+    t.append(df(Seq(1L -> "a", 2L -> "b"))) // v1
+    t.append(df(Seq(3L -> "c"))) // v2
+
+    val all = t.appendsSince(spark, 0L)
+      .select(col("id"), col("_commit_version")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+
+    val tail = t.appendsSince(spark, 1L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(tail === Set(3L), "a caught-up consumer sees only the new batch")
+    assert(t.appendsSince(spark, 2L).count() === 0L)
+    // ahead-of-head is a caller bug, not an empty stream
+    assertThrows[IllegalArgumentException](t.appendsSince(spark, 9L))
+  }
+
+  test("appendsSince: compaction is row-neutral; rewrites throw unless opted out") {
+    import spark.implicits._
+    val t = freshTable("tailrw")
+    t.append(df(Seq(1L -> "a"))) // v1
+    t.append(df(Seq(2L -> "b"))) // v2
+    t.compact(spark) // v3 — must NOT re-emit rows 1/2
+    t.append(df(Seq(3L -> "c"))) // v4
+
+    val sinceV2 = t.appendsSince(spark, 2L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(sinceV2 === Set(3L), "compaction emits nothing")
+
+    // an upsert rewrite in the range poisons appends-only consumption
+    t.upsert(Seq((2L, "B!", false, 1L)).toDF("id", "name", "_deleted", "_seq"),
+      "id", "_seq") // v5
+    val e = intercept[IllegalStateException](t.appendsSince(spark, 4L))
+    assert(e.getMessage.contains("upsert"))
+    // explicit opt-out skips it; a later append still flows
+    t.append(df(Seq(4L -> "d"))) // v6
+    val skipped = t.appendsSince(spark, 4L, skipRewrites = true)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(skipped === Set(4L))
+  }
 }
