@@ -652,12 +652,13 @@ final class GraftTable(val tablePath: String) {
     * a consumer behind that window fails loudly on the missing file. */
   def appendsSince(
       spark: SparkSession, sinceVersion: Long,
-      skipRewrites: Boolean = false): DataFrame = {
+      skipRewrites: Boolean = false, untilVersion: Long = -1L): DataFrame = {
     val head = latestVersion()
     require(sinceVersion <= head,
       s"txlog: appendsSince($sinceVersion) is ahead of head $head")
+    val until = if (untilVersion < 0) head else math.min(untilVersion, head)
     val schema = snapshot(head).schema
-    val perVersion = ((sinceVersion + 1) to head).flatMap { v =>
+    val perVersion = ((sinceVersion + 1) to until).flatMap { v =>
       val f = versionFile(v)
       require(Files.exists(f),
         s"txlog: commit $v missing — appendsSince($sinceVersion) is behind " +

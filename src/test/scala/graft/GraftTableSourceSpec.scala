@@ -1,0 +1,98 @@
+package graft
+
+import graft.medallion.GraftTable
+import graft.streaming.TableSink
+import org.apache.spark.sql.functions._
+
+/** The graft-table streaming source: version-offset tailing, and the
+  * full table-to-table pipeline (source table → transform → TableSink)
+  * with exactly-once across restarts — both ledgers (streaming
+  * checkpoint offsets, destination txn ledger) doing their half. */
+class GraftTableSourceSpec extends SparkSpec {
+
+  private def freshRoot() = new java.io.File(
+    s"target/tmp/tblsource_${java.util.UUID.randomUUID().toString.take(8)}")
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("id", "payload")
+  }
+
+  test("a chained source→sink pipeline lands appends exactly-once across restarts") {
+    val root = freshRoot()
+    val srcPath = new java.io.File(root, "bronze").getAbsolutePath
+    val dstPath = new java.io.File(root, "silver").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    val src = new GraftTable(srcPath)
+    src.append(df(Seq(1L -> "a", 2L -> "b"))) // v1
+
+    def runPipeline(): Unit = {
+      val stream = spark.readStream.format("graft-table")
+        .option("path", srcPath).load()
+        .withColumn("payload", upper(col("payload")))
+      TableSink.start(stream, dstPath, "b2s", ckpt).awaitTermination()
+    }
+
+    runPipeline()
+    val dst = new GraftTable(dstPath)
+    assert(dst.read(spark).select("id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(1L -> "A", 2L -> "B"))
+
+    // new appends on the source; SAME checkpoint + appId on restart:
+    // only the new rows flow, tagged with their source commit version
+    src.append(df(Seq(3L -> "c"))) // v2
+    src.append(df(Seq(4L -> "d"))) // v3
+    runPipeline()
+    val rows = dst.read(spark)
+      .select("id", "payload", "_commit_version").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows === Map(
+      1L -> (("A", 1L)), 2L -> (("B", 1L)),
+      3L -> (("C", 2L)), 4L -> (("D", 3L))))
+
+    // an idle restart (no new source commits) must move nothing
+    val versionBefore = dst.snapshot().version
+    runPipeline()
+    assert(dst.snapshot().version === versionBefore)
+    assert(dst.read(spark).count() === 4L)
+  }
+
+  test("compaction never disturbs a tailing consumer; a rewrite fails it loudly") {
+    val root = freshRoot()
+    val srcPath = new java.io.File(root, "bronze").getAbsolutePath
+    val dstPath = new java.io.File(root, "silver").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    val src = new GraftTable(srcPath)
+    src.append(df(Seq(1L -> "a"))) // v1
+    src.append(df(Seq(2L -> "b"))) // v2
+
+    def runPipeline(): Unit = {
+      val stream = spark.readStream.format("graft-table")
+        .option("path", srcPath).load()
+      TableSink.start(stream, dstPath, "b2s", ckpt).awaitTermination()
+    }
+    runPipeline()
+
+    src.compact(spark) // v3 — row-neutral
+    src.append(df(Seq(3L -> "c"))) // v4
+    runPipeline()
+    val dst = new GraftTable(dstPath)
+    assert(dst.read(spark).select("id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L), "compaction must not re-emit rows 1/2")
+
+    // an upsert on the tailed table poisons appends-only consumption:
+    // the stream must FAIL, not silently skip the change
+    import spark.implicits._
+    src.upsert(Seq((2L, "B!", false, 1L)).toDF("id", "payload", "_deleted", "_seq"),
+      "id", "_seq") // v5
+    src.append(df(Seq(4L -> "d"))) // v6
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runPipeline()
+    }
+    assert(e.getMessage.contains("upsert") ||
+      Option(e.getCause).exists(_.getMessage.contains("upsert")))
+  }
+}
