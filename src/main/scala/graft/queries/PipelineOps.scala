@@ -617,6 +617,59 @@ object PipelineOps {
        FROM latest WHERE NOT _deleted
        ORDER BY o_orderkey"""
 
+  // --------------------------------------------------------------------
+  // q99 — end-to-end transactional streaming pipeline over the table
+  // format: orders land in a bronze GraftTable in two append commits; a
+  // LIVE `readStream.format("graft-table")` tails it through a transform
+  // into a silver table via the exactly-once TableSink; the second wave
+  // streams through the SAME checkpoint + appId (restart semantics — the
+  // already-processed commit must not re-emit); the silver table is read
+  // back. `_commit_version` is kept in the output: the even/odd split
+  // makes each row's source commit deterministic, so the oracle can
+  // derive it arithmetically — proving not just WHAT flowed but WHEN.
+  // Every moving part is the production shape: version offsets, txn
+  // ledger, log-resolved snapshots; data moves only as parquet scans of
+  // the new files.
+  // --------------------------------------------------------------------
+  def q99TablePipeline(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("tblpipe", dir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(root)) // fresh pipeline per run: reruns deterministic
+    val bronzePath = s"$root/bronze"
+    val silverPath = s"$root/silver"
+    val ckpt = s"$root/ckpt"
+    val bronze = new graft.medallion.GraftTable(bronzePath)
+    val base = lake(s, dir).orders.select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    bronze.append(base.filter(col("o_orderkey") % 2 === 0)) // v1
+    def run(): Unit = graft.streaming.TableSink.start(
+      s.readStream.format("graft-table").option("path", bronzePath).load()
+        .withColumn("price_tier",
+          when(col("o_totalprice") >= 150000.0, "high")
+            .when(col("o_totalprice") >= 50000.0, "mid")
+            .otherwise("low")),
+      silverPath, "q99-b2s", ckpt).awaitTermination()
+    run()
+    bronze.append(base.filter(col("o_orderkey") % 2 === 1)) // v2
+    run() // restart: only commit 2 flows
+    new graft.medallion.GraftTable(silverPath).read(s)
+      .select(col("o_orderkey"), col("o_custkey"), col("price_tier"),
+        col("_commit_version"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q99Oracle =
+    """SELECT o_orderkey, o_custkey,
+              CASE WHEN o_totalprice >= 150000 THEN 'high'
+                   WHEN o_totalprice >= 50000 THEN 'mid'
+                   ELSE 'low' END AS price_tier,
+              CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+                AS _commit_version
+       FROM orders ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_sessionize" -> (q43Sessionize _),
@@ -628,7 +681,8 @@ object PipelineOps {
     "q79_retention" -> (q79Retention _),
     "q82_cdc_upsert" -> (q82CdcUpsert _),
     "q84_cdc_partitioned" -> (q84CdcPartitioned _),
-    "q88_table_format" -> (q88TableFormat _))
+    "q88_table_format" -> (q88TableFormat _),
+    "q99_table_pipeline" -> (q99TablePipeline _))
 
   val oracle: Map[String, String] = Map(
     "q42_multimodal_meta" -> q42Oracle,
@@ -641,5 +695,6 @@ object PipelineOps {
     "q79_retention" -> q79Oracle,
     "q82_cdc_upsert" -> q82Oracle,
     "q84_cdc_partitioned" -> q84Oracle,
-    "q88_table_format" -> q88Oracle)
+    "q88_table_format" -> q88Oracle,
+    "q99_table_pipeline" -> q99Oracle)
 }
