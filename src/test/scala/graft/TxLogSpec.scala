@@ -197,6 +197,28 @@ class TxLogSpec extends SparkSpec {
     assert(v === 1L && t.latestVersion() === 1L)
   }
 
+  test("8 threads racing blind appends: every commit lands, versions stay contiguous") {
+    val t = freshTable("race8")
+    val nThreads = 8; val perThread = 4
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { th =>
+      new Thread(() => {
+        // maxRetries > total competing commits: a loser may be outraced
+        // once per competitor in the worst case, never more
+        try (0 until perThread).foreach { i =>
+          t.append(df(Seq((th * 100L + i) -> s"t$th-$i")), maxRetries = 64)
+        } catch { case e: Throwable => errors.add(e); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent appends must all land: ${errors.peek()}")
+    assert(t.latestVersion() === (nThreads * perThread).toLong,
+      "one commit per append, no version gaps")
+    assert(t.read(spark).count() === (nThreads * perThread).toLong)
+    // every version readable (time travel never sees a torn commit)
+    assert(t.snapshot(t.latestVersion()).files.size === nThreads * perThread)
+  }
+
   test("appendsSince tails exactly the new appends, version-tagged") {
     val t = freshTable("tail")
     t.append(df(Seq(1L -> "a", 2L -> "b"))) // v1
