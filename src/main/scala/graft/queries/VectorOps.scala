@@ -317,17 +317,90 @@ object VectorOps {
               list_reduce(errs, (x, y) -> x + y) AS sum_abs_err
        FROM e ORDER BY vec_id"""
 
+  // --------------------------------------------------------------------
+  // q100 — product-quantization encode + distortion report through the
+  // REAL ProductQuantizer machinery (assignment expressions, reconstruct,
+  // error fold), against a FIXED arithmetic codebook — 8 subspaces of 8
+  // dims, 4 constant-vector centroids per subspace at levels
+  // −0.3 + 0.2·c — so DuckDB can derive the identical codes and the
+  // identical 64-dim error fold with no trained state. (The TRAINED path
+  // — same encode/ADC over KMeans-fit codebooks — is property-tested in
+  // ProductQuantizerSpec: exactness in the lossless regime, determinism,
+  // per-subspace Lloyd descent.) The distance and error folds are strict
+  // left-to-right doubles in both engines; the 0.2·c levels are spaced
+  // ~10⁶ double-ulps apart at the data's scale, so argmin ties cannot
+  // occur and the hash match is exact.
+  // --------------------------------------------------------------------
+  private val Q100_M = 8
+  private val Q100_SUB = 8
+  private val Q100_K = 4
+
+  private def q100Model: graft.operators.ProductQuantizer.PQModel =
+    graft.operators.ProductQuantizer.PQModel(Q100_M, Q100_SUB,
+      Vector.tabulate(Q100_M)(_ => graft.operators.KMeans.Model(
+        Vector.tabulate(Q100_K)(c => Vector.fill(Q100_SUB)(-0.3 + 0.2 * c)))))
+
+  def q100PqEncode(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ProductQuantizer
+    val emb = lake(s, dir).embeddings
+    val pq = q100Model
+    val codes = ProductQuantizer.encode(emb, "vec_id", "embedding", pq)
+    val err = ProductQuantizer.reconstructionError(
+      emb, codes, "vec_id", "embedding", pq)
+    codes.join(err, "vec_id")
+      .select(col("vec_id"),
+        concat_ws("-", transform(col("codes"), _.cast("string"))).as("code_str"),
+        col("sq_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q100Oracle =
+    s"""WITH sub AS (
+         SELECT vec_id, j, c,
+                list_reduce(list_transform(
+                  embedding[j*$Q100_SUB+1 : j*$Q100_SUB+$Q100_SUB],
+                  x -> (CAST(x AS DOUBLE) -
+                        (CAST(-0.3 AS DOUBLE) + CAST(0.2 AS DOUBLE) * c))
+                     * (CAST(x AS DOUBLE) -
+                        (CAST(-0.3 AS DOUBLE) + CAST(0.2 AS DOUBLE) * c))),
+                  (a, b) -> a + b) AS dist
+         FROM embeddings,
+              UNNEST(range($Q100_M)) AS uj(j), UNNEST(range($Q100_K)) AS uc(c)),
+       pick AS (
+         SELECT vec_id, j, c AS code,
+                row_number() OVER (PARTITION BY vec_id, j
+                                   ORDER BY dist, c) AS rn
+         FROM sub),
+       codes AS (
+         SELECT vec_id, list(code ORDER BY j) AS cs,
+                string_agg(code, '-' ORDER BY j) AS code_str
+         FROM pick WHERE rn = 1 GROUP BY vec_id),
+       err AS (
+         SELECT e.vec_id, c.code_str,
+                list_reduce(list_transform(range(${Q100_M * Q100_SUB}),
+                  d -> (CAST(e.embedding[d+1] AS DOUBLE) -
+                        (CAST(-0.3 AS DOUBLE)
+                         + CAST(0.2 AS DOUBLE) * c.cs[d // $Q100_SUB + 1]))
+                     * (CAST(e.embedding[d+1] AS DOUBLE) -
+                        (CAST(-0.3 AS DOUBLE)
+                         + CAST(0.2 AS DOUBLE) * c.cs[d // $Q100_SUB + 1]))),
+                  (a, b) -> a + b) AS sq_err
+         FROM embeddings e JOIN codes c USING (vec_id))
+       SELECT vec_id, code_str, sq_err FROM err ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_embedding_neardup" -> (q39EmbeddingNearDup _),
     "q40_knn_bruteforce" -> (q40KnnBruteForce _),
     "q41_ivf_ann" -> (q41IvfAnn _),
     "q73_srp_lsh_pairs" -> (q73SrpLshPairs _),
-    "q85_quantize_int8" -> (q85QuantizeInt8 _))
+    "q85_quantize_int8" -> (q85QuantizeInt8 _),
+    "q100_pq_encode" -> (q100PqEncode _))
 
   val oracle: Map[String, String] = Map(
     "q39_embedding_neardup" -> q39Oracle,
     "q40_knn_bruteforce" -> q40Oracle,
     "q41_ivf_ann" -> q41Oracle,
     "q73_srp_lsh_pairs" -> q73Oracle,
-    "q85_quantize_int8" -> q85Oracle)
+    "q85_quantize_int8" -> q85Oracle,
+    "q100_pq_encode" -> q100Oracle)
 }
