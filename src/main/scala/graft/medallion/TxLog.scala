@@ -427,16 +427,32 @@ final class GraftTable(val tablePath: String) {
   /** Blind append: new files, no removes — logically conflict-free, so a
     * lost race just retries at the next version number. Returns the
     * committed version. */
-  def append(df: DataFrame, maxRetries: Int = 20): Long = {
+  def append(df: DataFrame, maxRetries: Int = 20): Long =
+    append(df, mergeSchema = false, maxRetries)
+
+  /** Append with optional schema evolution. With `mergeSchema = false`
+    * (the default) the batch schema must match the table's exactly.
+    * With `mergeSchema = true`, NEW columns widen the table schema —
+    * they become nullable trailing fields, and rows from older files
+    * read back as null there (the explicit-schema parquet scan fills
+    * absent columns) — while a same-name column with a DIFFERENT type
+    * still fails: silent type coercion corrupts readers (the Delta
+    * `mergeSchema` contract). Dropping or retyping columns remains an
+    * `overwrite()`. */
+  def append(df: DataFrame, mergeSchema: Boolean, maxRetries: Int): Long = {
     val head = latestVersion()
-    if (head > 0) {
-      val existing = snapshot(head).schema
-      require(sameSchema(existing, df.schema),
-        s"txlog: append schema ${df.schema.simpleString} does not match table " +
-          s"schema ${existing.simpleString}; use overwrite() to change schema")
-    }
+    val schemaJson =
+      if (head == 0) Some(df.schema.json)
+      else {
+        val existing = snapshot(head).schema
+        if (sameSchema(existing, df.schema)) Some(df.schema.json)
+        else if (!mergeSchema) throw new IllegalArgumentException(
+          s"txlog: append schema ${df.schema.simpleString} does not match table " +
+            s"schema ${existing.simpleString}; pass mergeSchema = true to add " +
+            "columns, or overwrite() to change schema")
+        else Some(mergedSchema(existing, df.schema).json)
+      }
     val adds = stageData(df)
-    val schemaJson = Some(df.schema.json)
     var attempt = 0
     var v = latestVersion() + 1
     while (attempt < maxRetries) {
@@ -446,6 +462,23 @@ final class GraftTable(val tablePath: String) {
     }
     throw new ConcurrentWriteException(
       s"txlog: append lost $maxRetries commit races at $tablePath")
+  }
+
+  /** Table schema ∪ batch schema: existing fields keep their order and
+    * type (batch must agree on type where names overlap), genuinely new
+    * batch fields append as nullable. */
+  private def mergedSchema(table: StructType, batch: StructType): StructType = {
+    val tableTypes = table.fields.map(f => f.name -> f.dataType).toMap
+    batch.fields.foreach { f =>
+      tableTypes.get(f.name).foreach { t =>
+        require(t == f.dataType,
+          s"txlog: mergeSchema cannot retype column '${f.name}' from " +
+            s"${t.simpleString} to ${f.dataType.simpleString} — use overwrite()")
+      }
+    }
+    val newFields = batch.fields.filterNot(f => tableTypes.contains(f.name))
+      .map(_.copy(nullable = true))
+    StructType(table.fields ++ newFields)
   }
 
   /** Idempotent append for streaming writers: the commit records

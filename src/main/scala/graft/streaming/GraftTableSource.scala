@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * directories.
   */
 final class GraftTableSource(
-    spark: SparkSession, tablePath: String, skipRewrites: Boolean)
+    spark: SparkSession, tablePath: String, skipRewrites: Boolean,
+    startingVersion: Long = 0L)
     extends Source {
 
   private val table = new GraftTable(tablePath)
@@ -44,11 +45,14 @@ final class GraftTableSource(
 
   override def getOffset: Option[Offset] = {
     val v = table.latestVersion()
-    if (v <= 0L) None else Some(LongOffset(v))
+    if (v <= startingVersion) None else Some(LongOffset(v))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(GraftTableSource.version).getOrElse(0L)
+    // a fresh query (no checkpointed offset) starts AFTER
+    // startingVersion — the Delta startingVersion semantics: history
+    // before it is catch-up a consumer explicitly skips
+    val from = start.map(GraftTableSource.version).getOrElse(startingVersion)
     val until = GraftTableSource.version(end)
     // re-wrapped isStreaming=true (the v1 getBatch contract); the scan
     // itself stays the lazy parquet read of exactly the range's files
@@ -63,7 +67,9 @@ final class GraftTableSource(
 
 /** `format("graft-table")` provider (registered via
   * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister).
-  * Options: `path` (required), `skipRewrites` (default false). */
+  * Options: `path` (required), `skipRewrites` (default false),
+  * `startingVersion` (default 0 — tail everything; a fresh query skips
+  * commits ≤ this version, checkpointed queries ignore it). */
 final class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
@@ -82,7 +88,8 @@ final class GraftTableSourceProvider extends StreamSourceProvider with DataSourc
       providerName: String, parameters: Map[String, String]): Source =
     new GraftTableSource(
       sqlContext.sparkSession, path(parameters),
-      parameters.get("skipRewrites").exists(_.toBoolean))
+      parameters.get("skipRewrites").exists(_.toBoolean),
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
 }
 
 object GraftTableSource {

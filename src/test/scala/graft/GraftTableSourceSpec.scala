@@ -59,6 +59,33 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(dst.read(spark).count() === 4L)
   }
 
+  test("startingVersion skips history for fresh queries, is ignored once checkpointed") {
+    val root = freshRoot()
+    val srcPath = new java.io.File(root, "bronze").getAbsolutePath
+    val dstPath = new java.io.File(root, "silver").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    val src = new GraftTable(srcPath)
+    src.append(df(Seq(1L -> "old"))) // v1 — history to skip
+    src.append(df(Seq(2L -> "new"))) // v2
+
+    def run(): Unit = TableSink.start(
+      spark.readStream.format("graft-table")
+        .option("path", srcPath).option("startingVersion", "1").load(),
+      dstPath, "sv", ckpt).awaitTermination()
+
+    run()
+    val dst = new GraftTable(dstPath)
+    assert(dst.read(spark).select("id").collect().map(_.getLong(0)).toSet
+      === Set(2L), "history at or before startingVersion must not flow")
+
+    // once checkpointed, offsets rule: the next commit flows regardless
+    src.append(df(Seq(3L -> "newer"))) // v3
+    run()
+    assert(dst.read(spark).select("id").collect().map(_.getLong(0)).toSet
+      === Set(2L, 3L))
+  }
+
   test("compaction never disturbs a tailing consumer; a rewrite fails it loudly") {
     val root = freshRoot()
     val srcPath = new java.io.File(root, "bronze").getAbsolutePath

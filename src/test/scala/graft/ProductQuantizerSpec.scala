@@ -87,6 +87,18 @@ class ProductQuantizerSpec extends SparkSpec {
     }
   }
 
+  test("adcSearch plans the compressed-scan shape: broadcast queries, group-limit ranking") {
+    val codes = ProductQuantizer.encode(planted, "vec_id", "embedding", model)
+    val df = ProductQuantizer.adcSearch(
+      codes, planted, "vec_id", "embedding", model, topK = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the tiny query side must broadcast — the codes scan stays in place:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k must group-limit prune before the rank shuffle:\n$plan")
+  }
+
   test("training compresses: mean distortion beats the 1-centroid codebook") {
     val emb = Lakehouse.embeddings(spark)
     def meanErr(pq: PQModel): Double = {

@@ -197,6 +197,31 @@ class TxLogSpec extends SparkSpec {
     assert(v === 1L && t.latestVersion() === 1L)
   }
 
+  test("mergeSchema append widens the table; old rows read null; retyping still fails") {
+    import spark.implicits._
+    val t = freshTable("evolve")
+    t.append(df(Seq(1L -> "a")))
+    // strict append with a new column still refuses
+    val widened = Seq((2L, "b", 0.9)).toDF("id", "name", "score")
+    assertThrows[IllegalArgumentException](t.append(widened))
+    // evolution: new nullable trailing column
+    t.append(widened, mergeSchema = true, maxRetries = 20)
+    val out = t.read(spark).orderBy(col("id")).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out(0).isNullAt(2), "pre-evolution rows read null in the new column")
+    assert(out(1).getDouble(2) === 0.9)
+    // a file written BEFORE evolution lacks the column entirely; one
+    // written after lacks nothing — both resolve through the table schema
+    assert(t.snapshot().schema.fieldNames.toSeq === Seq("id", "name", "score"))
+    // retyping a column is never a merge
+    val retyped = Seq((3L, 7L, 1.0)).toDF("id", "name", "score") // name: long
+    assertThrows[IllegalArgumentException](
+      t.append(retyped, mergeSchema = true, maxRetries = 20))
+    // and the ORIGINAL narrow schema still appends strictly (subset is
+    // not a mismatch the other way? no — strict means exact)
+    assertThrows[IllegalArgumentException](t.append(df(Seq(4L -> "d"))))
+  }
+
   test("8 threads racing blind appends: every commit lands, versions stay contiguous") {
     val t = freshTable("race8")
     val nThreads = 8; val perThread = 4
