@@ -596,6 +596,27 @@ final class GraftTable(val tablePath: String) {
     (snap.files.size, adds.size, v)
   }
 
+  /** Transactional `OPTIMIZE ZORDER BY`: rewrite the WHOLE live file set
+    * Z-order-clustered on `cols` ([[Layout.zorderBy]]) in one commit —
+    * after it, every per-file min/max stat in the log covers a compact
+    * hyper-rectangle of the clustered space, so [[readRange]] on ANY
+    * clustered column prunes to ~targetFiles^(1-1/dims) files instead of
+    * scanning all of them (and concurrent readers never see a torn
+    * layout — they read the old snapshot until the single commit lands;
+    * a concurrent writer aborts this rewrite rather than being lost).
+    * Returns (filesBefore, filesAfter, committedVersion). */
+  def optimizeZorder(
+      spark: SparkSession, cols: Seq[String],
+      targetFiles: Int): (Int, Int, Long) = {
+    val snap = snapshot()
+    if (snap.files.isEmpty) return (0, 0, snap.version)
+    val df = spark.read.schema(snap.schema)
+      .parquet(snap.files.map(a => root.resolve(a.path).toString): _*)
+    val adds = stageData(Layout.zorderBy(df, cols, targetFiles))
+    val v = commitRewrite(snap, "zorder", None, adds, snap.files.map(_.path))
+    (snap.files.size, adds.size, v)
+  }
+
   /** Commit a rewrite (removes + adds) iff the head is still the read
     * version; otherwise delete the staged files and abort loudly. */
   private def commitRewrite(
@@ -700,7 +721,8 @@ final class GraftTable(val tablePath: String) {
       c.op match {
         case "append" | "streamingUpdate" if c.adds.nonEmpty => Some(v -> c.adds)
         case "append" | "streamingUpdate" => None
-        case "compact" | "checkpoint" => None
+        // row-neutral layout rewrites: same rows, different files
+        case "compact" | "zorder" | "checkpoint" => None
         case rewrite =>
           if (!skipRewrites) throw new IllegalStateException(
             s"txlog: commit $v is a '$rewrite' — its rewritten rows cannot be " +

@@ -262,6 +262,35 @@ class TxLogSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](t.appendsSince(spark, 9L))
   }
 
+  test("optimizeZorder: one commit, same rows, both clustered columns prune files") {
+    import spark.implicits._
+    val t = freshTable("zorder")
+    // two independent uniform dims — a single-column sort can only make
+    // ONE of them prunable; the Z-curve must make BOTH prunable
+    val rows = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    // appended in row-major slices: y-ranges start full-width per file
+    rows.grouped(512).foreach(g => t.append(g.toSeq.toDF("x", "y")))
+    val before = t.snapshot()
+
+    def scanned(column: String): Int =
+      t.filesForRange(column, Some(4L), Some(11L)) // 8/64 of the domain
+
+    val beforeY = scanned("y")
+    val (nBefore, nAfter, v) = t.optimizeZorder(spark, Seq("x", "y"), targetFiles = 16)
+    assert(nBefore === before.files.size && nAfter === 16)
+    assert(v === before.version + 1, "one commit")
+    assert(t.read(spark).count() === rows.size.toLong, "row-neutral")
+
+    val afterX = scanned("x"); val afterY = scanned("y")
+    assert(afterX < 16, s"x-range must prune after zorder: $afterX/16")
+    assert(afterY < 16, s"y-range must prune after zorder: $afterY/16")
+    assert(afterY < beforeY,
+      s"y was unprunable row-major ($beforeY files), must improve: $afterY")
+    // history records the op; time travel still reads the old layout
+    assert(t.history().head._2 === "zorder")
+    assert(t.read(spark, before.version).count() === rows.size.toLong)
+  }
+
   test("appendsSince: compaction is row-neutral; rewrites throw unless opted out") {
     import spark.implicits._
     val t = freshTable("tailrw")
