@@ -252,6 +252,28 @@ object Curation {
       .select(col(s"_w.$idCol"), col(s"_w.$scoreCol"), col("n_variants"))
   }
 
+  /** Deterministic train/validation/test assignment — the holdout stage
+    * every training pipeline runs before anything else touches the
+    * data. Pure integer arithmetic on the portable id hash (salted with
+    * `seed` so INDEPENDENT splits of the same corpus don't correlate):
+    * ppm thresholds partition [0, 10⁶) into train/val/test bands, so
+    * membership is bit-identical across engines, runs, and cluster
+    * layouts, and a document can NEVER migrate between splits on a
+    * backfill — the leakage property that matters. Narrow projection:
+    * scan-parallel, zero shuffles. */
+  def trainValTestSplit(
+      df: DataFrame, idCol: String, ppmTrain: Int, ppmVal: Int,
+      seed: Long = 0L, fast: Boolean = false): DataFrame = {
+    require(ppmTrain >= 0 && ppmVal >= 0 && ppmTrain + ppmVal <= 1000000,
+      s"ppm bands must fit in [0, 1e6]: train=$ppmTrain val=$ppmVal")
+    val keyed = concat(lit(s"split:$seed:"), col(idCol).cast("string"))
+    val h = (if (fast) xxhash60(keyed) else hash60(keyed)) % 1000000L
+    df.withColumn("split",
+      when(h < ppmTrain, "train")
+        .when(h < ppmTrain + ppmVal, "val")
+        .otherwise("test"))
+  }
+
   /** Deterministic global shuffle into training shards — the final
     * layout stage of a pretraining pipeline: break curation order (which
     * correlates neighbors by source/crawl) with a seeded portable hash,

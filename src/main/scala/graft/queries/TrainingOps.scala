@@ -437,8 +437,11 @@ object TrainingOps {
   private val Q94_MIN_DOCS = 3
 
   def q94BoilerplateRemoval(s: SparkSession, dir: String): DataFrame =
+    // single-file inputs arrive as ONE partition; spread before the
+    // md5-per-segment pass (the q72 precedent)
     graft.operators.Curation.boilerplateRemoval(
-      lake(s, dir).documents, "doc_id", "text",
+      lake(s, dir).documents.repartition(Scale.par(s), col("doc_id")),
+      "doc_id", "text",
       segTokens = Q94_SEG, minDocs = Q94_MIN_DOCS)
       .orderBy(col("doc_id"))
 
@@ -566,8 +569,10 @@ object TrainingOps {
   // same rows.
   // --------------------------------------------------------------------
   def q98DedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    // spread the sort+md5 key derivation before the group shuffle
     graft.operators.Curation.dedupKeepBest(
-      lake(s, dir).documents, "doc_id", "text", "n_chars")
+      lake(s, dir).documents.repartition(Scale.par(s), col("doc_id")),
+      "doc_id", "text", "n_chars")
       .orderBy(col("doc_id"))
 
   private val q98Oracle =
@@ -584,6 +589,31 @@ object TrainingOps {
          FROM k)
        SELECT doc_id, n_chars, n_variants FROM w WHERE rn = 1
        ORDER BY doc_id"""
+
+  // --------------------------------------------------------------------
+  // q101 — deterministic train/val/test split (80/10/10 in ppm bands of
+  // the salted portable id hash): membership is pure integer arithmetic,
+  // so a document can never migrate between splits on a rerun/backfill —
+  // the leakage property holdouts exist for. Zero shuffles before the
+  // output sort.
+  // --------------------------------------------------------------------
+  private val Q101_TRAIN = 800000
+  private val Q101_VAL = 100000
+
+  def q101TrainValTest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.trainValTestSplit(
+      lake(s, dir).documents.select(col("doc_id"), col("lang")),
+      "doc_id", Q101_TRAIN, Q101_VAL)
+      .orderBy(col("doc_id"))
+
+  private val q101Oracle = {
+    val hv = dHash(s"concat('split:0:', CAST(doc_id AS VARCHAR))")
+    s"""SELECT doc_id, lang,
+              CASE WHEN $hv % 1000000 < $Q101_TRAIN THEN 'train'
+                   WHEN $hv % 1000000 < ${Q101_TRAIN + Q101_VAL} THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents ORDER BY doc_id"""
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_stratified_sample" -> (q70StratifiedSample _),
@@ -602,7 +632,8 @@ object TrainingOps {
     "q95_nfc_normalize" -> (q95NfcNormalize _),
     "q96_temperature_weights" -> (q96TemperatureWeights _),
     "q97_heavy_hitters" -> (q97HeavyHitters _),
-    "q98_dedup_keep_best" -> (q98DedupKeepBest _))
+    "q98_dedup_keep_best" -> (q98DedupKeepBest _),
+    "q101_train_val_test" -> (q101TrainValTest _))
 
   val oracle: Map[String, String] = Map(
     "q70_stratified_sample" -> q70Oracle,
@@ -621,5 +652,6 @@ object TrainingOps {
     "q95_nfc_normalize" -> q95Oracle,
     "q96_temperature_weights" -> q96Oracle,
     "q97_heavy_hitters" -> q97Oracle,
-    "q98_dedup_keep_best" -> q98Oracle)
+    "q98_dedup_keep_best" -> q98Oracle,
+    "q101_train_val_test" -> q101Oracle)
 }
