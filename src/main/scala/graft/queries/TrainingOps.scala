@@ -615,6 +615,75 @@ object TrainingOps {
        FROM documents ORDER BY doc_id"""
   }
 
+  // --------------------------------------------------------------------
+  // q102 — the per-source CURATION REPORT: the composed dashboard every
+  // corpus build publishes — per source, document count, Gopher-keep
+  // count + rate, bag-of-words-unique count (dedup headroom), and mean
+  // token count. Composes the q93 rule suite (per-row fold, no shuffle)
+  // with the q98 content key; ONE source-keyed aggregate after a narrow
+  // projection — the whole report is one shuffle of source-cardinality
+  // rows. keep_ppm as exact integer parts-per-million: bit-deterministic
+  // division-free rate.
+  // --------------------------------------------------------------------
+  def q102CurationReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = lake(s, dir).documents
+    val flags = graft.operators.Curation.gopherFilters(
+      docs, "doc_id", "text",
+      minToks = 20, maxToks = 90, minMeanLen = 3.0, maxMeanLen = 5.0,
+      minStopwords = 2, maxRun = 2, stopwords = Q93_STOP)
+      .select(col("doc_id"), col("n_toks"), col("keep"))
+    val keyed = docs.select(col("doc_id"), col("source"),
+      md5(concat_ws(" ", array_sort(array_distinct(
+        graft.functions.TextFns.tokens(col("text")))))).as("bow"))
+    keyed.join(flags, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep")).cast("long").as("n_keep"),
+        (sum(col("keep")) * 1000000L / count(lit(1))).cast("long").as("keep_ppm"),
+        countDistinct(col("bow")).as("n_unique_bow"),
+        (sum(col("n_toks")) / count(lit(1))).cast("long").as("mean_toks"))
+      .orderBy(col("source"))
+  }
+
+  private val q102Oracle = {
+    val stop = Q93_STOP.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, source,
+                          string_split(trim(text), ' ') AS toks FROM documents),
+        base AS (
+          SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks,
+                 CAST(list_aggregate(list_transform(toks, tk -> len(tk)), 'sum')
+                      AS DOUBLE) / len(toks) AS mean_tok_len,
+                 CAST(len(list_intersect(list_distinct(toks), [$stop]))
+                      AS BIGINT) AS n_stopwords,
+                 md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bow
+          FROM t),
+        pos AS (SELECT doc_id, i, toks[i+1] AS token
+                FROM t, UNNEST(range(len(toks))) AS u(i)),
+        runs AS (
+          SELECT doc_id, count(*) AS run_len
+          FROM (SELECT doc_id, token,
+                       i - row_number() OVER (PARTITION BY doc_id, token
+                                              ORDER BY i) AS grp
+                FROM pos)
+          GROUP BY doc_id, token, grp),
+        mr AS (SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run
+               FROM runs GROUP BY doc_id),
+        flags AS (
+          SELECT b.doc_id, b.source, b.n_toks, b.bow,
+                 CASE WHEN n_toks BETWEEN 20 AND 90
+                       AND mean_tok_len BETWEEN 3.0 AND 5.0
+                       AND n_stopwords >= 2 AND max_run <= 2
+                      THEN 1 ELSE 0 END AS keep
+          FROM base b JOIN mr USING (doc_id))
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(keep) AS BIGINT) AS n_keep,
+               CAST(sum(keep) * 1000000 // count(*) AS BIGINT) AS keep_ppm,
+               CAST(count(DISTINCT bow) AS BIGINT) AS n_unique_bow,
+               CAST(sum(n_toks) // count(*) AS BIGINT) AS mean_toks
+        FROM flags GROUP BY source ORDER BY source"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_vocab_topk" -> (q71VocabTopK _),
@@ -633,7 +702,8 @@ object TrainingOps {
     "q96_temperature_weights" -> (q96TemperatureWeights _),
     "q97_heavy_hitters" -> (q97HeavyHitters _),
     "q98_dedup_keep_best" -> (q98DedupKeepBest _),
-    "q101_train_val_test" -> (q101TrainValTest _))
+    "q101_train_val_test" -> (q101TrainValTest _),
+    "q102_curation_report" -> (q102CurationReport _))
 
   val oracle: Map[String, String] = Map(
     "q70_stratified_sample" -> q70Oracle,
@@ -653,5 +723,6 @@ object TrainingOps {
     "q96_temperature_weights" -> q96Oracle,
     "q97_heavy_hitters" -> q97Oracle,
     "q98_dedup_keep_best" -> q98Oracle,
-    "q101_train_val_test" -> q101Oracle)
+    "q101_train_val_test" -> q101Oracle,
+    "q102_curation_report" -> q102Oracle)
 }
