@@ -335,6 +335,82 @@ object TextOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  // --------------------------------------------------------------------
+  // q37b — exact n-gram Jaccard at SCALE: prefix filtering (AllPairs /
+  // PPJoin, Bayardo et al. WWW '07) replaces q37's length-bucket
+  // blocking. Every shingle gets a global canonical rank (corpus
+  // frequency asc, hash asc — rarest first); a doc with n shingles
+  // exposes only its first n − ⌈t·n⌉ + 1 rarest shingles as join keys,
+  // and the prefix-filter theorem guarantees every pair with J ≥ t
+  // shares at least one key in BOTH prefixes — so candidate generation
+  // is a sparse equi-join on RARE tokens (self-skew-resistant: hot
+  // shingles are never prefix keys), complete by construction, with no
+  // quadratic stage and no length restriction. ⌈t·n⌉ is computed in
+  // integer arithmetic ((4n+4) div 5) — a floating 0.8·n would round
+  // up on exact multiples and silently shorten prefixes, losing pairs.
+  // Verification fetches shingle arrays by id AFTER the symmetric
+  // size-ratio prune (the q36/q37 pattern). Unlike q37, the result is
+  // ALL pairs with J ≥ 0.8, bucket-free — the oracle derives the same
+  // set through DuckDB's inverted-index join.
+  // --------------------------------------------------------------------
+  def q37bPrefixJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = CacheScope.cached(lake(s, dir).documents
+      .repartition(Scale.par(s), col("doc_id"))
+      .select(col("doc_id"), hashedShingles(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0))
+    val toks = sh.select(col("doc_id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("h"))
+    // global canonical order: corpus frequency asc, hash asc. The freq
+    // table is shingle-vocabulary sized.
+    val freq = toks.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
+    val prefix = toks.join(freq, "h")
+      .withColumn("rn", row_number().over(w))
+      // prefix length n − ⌈4n/5⌉ + 1, all-integer
+      .filter(col("rn") <= col("n") - ((col("n") * 4 + 4).divide(5).cast(IntegerType)) + 1)
+      .select(col("doc_id"), col("h"), col("n"))
+    val p1 = prefix.select(col("doc_id").as("d1"), col("h"), col("n").as("na"))
+    val p2 = prefix.select(col("doc_id").as("d2"), col("h"), col("n").as("nb"))
+    val cand = p1.join(p2, "h")
+      .filter(col("d1") < col("d2"))
+      .filter(col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
+      .select(col("d1"), col("d2")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("hs").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("hs").as("sh2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).as("inter"),
+        size(col("sh1")).as("na"), size(col("sh2")).as("nb"))
+      .select(col("d1"), col("d2"),
+        jaccardFromSizes(col("inter"), col("na"), col("nb")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val q37bOracle =
+    s"""WITH sh AS (
+         SELECT doc_id,
+                list_transform(
+                  list_distinct(list_transform(
+                    range(len(string_split(trim(text), ' ')) - 2),
+                    i -> concat_ws(' ', string_split(trim(text), ' ')[i+1],
+                                   string_split(trim(text), ' ')[i+2],
+                                   string_split(trim(text), ' ')[i+3]))),
+                  s -> ${dHash("s")}) AS hs
+         FROM documents
+         WHERE len(string_split(trim(text), ' ')) >= 3),
+       tok AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM sh),
+       inter AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+                count(*) AS i, any_value(a.n) AS na, any_value(b.n) AS nb
+         FROM tok a JOIN tok b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+       SELECT d1, d2, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+       FROM inter
+       WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8
+       ORDER BY d1, d2"""
+
   private val q37Oracle =
     s"""WITH sh AS (
          SELECT doc_id, CAST(n_chars // 8 AS INTEGER) AS bucket,
@@ -940,6 +1016,7 @@ object TextOps {
     "q35_exact_dedup" -> (q35ExactDedup _),
     "q36_minhash_lsh" -> (q36MinHashLsh _),
     "q37_ngram_jaccard" -> (q37NgramJaccard _),
+    "q37b_prefix_jaccard" -> (q37bPrefixJaccard _),
     "q38_simhash" -> (q38SimHash _),
     "q38b_simhash_scale" -> (q38bSimHashScale _),
     "q51_term_importance" -> (q51TermImportance _),
@@ -960,6 +1037,7 @@ object TextOps {
     "q35_exact_dedup" -> q35Oracle,
     "q36_minhash_lsh" -> q36Oracle,
     "q37_ngram_jaccard" -> q37Oracle,
+    "q37b_prefix_jaccard" -> q37bOracle,
     "q38_simhash" -> q38Oracle,
     "q38b_simhash_scale" -> q38bOracle,
     "q51_term_importance" -> q51Oracle,
