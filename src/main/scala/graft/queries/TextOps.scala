@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
   * Scale design: per-doc feature extraction is narrow (scan-parallel, no
   * shuffle). Near-dup candidate generation is LSH banding — the shuffle key
   * is (band, bandKey), cardinality O(docs×bands) — never the O(n²) pairwise
-  * join. The exact-Jaccard op (q37) is the quadratic baseline and is
-  * length-bucket-blocked; q36 is the 100 TB path.
+  * join. For exact Jaccard, q37 is the bucket-blocked quadratic reference
+  * and q37b the scale path: a prefix-filtered (AllPairs/PPJoin) sparse
+  * equi-join, complete with no quadratic stage; q36 is the approximate
+  * 100 TB path.
   */
 object TextOps {
 

@@ -131,4 +131,20 @@ class PropertiesSpec extends SparkSpec {
         assert(silver.count() === src.dropDuplicates("id").count())
       }
   }
+
+  test("q37 (bucket-blocked) finds a subset of q37b (prefix-filtered, complete)") {
+    // q37 restricts candidates to same/adjacent length buckets; q37b is
+    // bucket-free and complete by the prefix-filter theorem — so on the
+    // same corpus and threshold, q37's pairs must be contained in q37b's
+    val blocked = graft.queries.TextOps
+      .q37NgramJaccard(spark, SparkSpec.sfDir)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val complete = graft.queries.TextOps
+      .q37bPrefixJaccard(spark, SparkSpec.sfDir)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(complete),
+      s"bucket-blocked pairs missing from the complete join: ${blocked -- complete}")
+  }
 }

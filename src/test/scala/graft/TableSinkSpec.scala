@@ -2,6 +2,7 @@ package graft
 
 import graft.medallion.GraftTable
 import graft.streaming.TableSink
+import org.apache.spark.sql.functions.col
 
 /** Exactly-once streaming into the log-structured table: a replayed
   * foreachBatch invocation (same batchId — what Structured Streaming
@@ -74,6 +75,30 @@ class TableSinkSpec extends SparkSpec {
 
     assert(table.read(spark).count() === 2L)
     assert(table.snapshot().txns.get("app-ck").contains(1L))
+  }
+
+  test("two threads racing the SAME batchId resolve to exactly one append") {
+    import spark.implicits._
+    val root = freshRoot()
+    val table = new GraftTable(new java.io.File(root, "tbl").getAbsolutePath)
+    // seed so both racers contend on an existing table
+    TableSink.writerFor(table, "race")(Seq((0L, "seed")).toDF("id", "payload"), 0L)
+
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { _ =>
+      new Thread(() => {
+        try {
+          table.appendIdempotent(
+            Seq((1L, "dup")).toDF("id", "payload"), "race", 1L)
+          ()
+        } catch { case e: Throwable => errors.add(e); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"racing writers must both return: ${errors.peek()}")
+    assert(table.read(spark).filter(col("id") === 1L).count() === 1L,
+      "exactly one of the two racing same-batch appends may land")
+    assert(table.snapshot().txns.get("race").contains(1L))
   }
 
   test("distinct appIds keep independent ledgers") {
