@@ -27,10 +27,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Maintenance {
 
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-    f.delete(); ()
-  }
+  private def rm(f: java.io.File): Unit = graft.core.Fs.rmTree(f)
 
   /** Replace the directory at `livePath` with whatever `write` produces,
     * crash-safely on a local filesystem — THE swap protocol, shared by

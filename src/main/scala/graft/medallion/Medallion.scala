@@ -224,11 +224,6 @@ object Medallion {
     * Returns the touched partition values (driver-side partition LIST —
     * cardinality = partitions in the batch, never data rows).
     */
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete(); ()
-  }
-
   def applyCdcPartitioned(
       spark: SparkSession, tablePath: String, changes: DataFrame,
       key: String, seqCol: String, partitionCol: String): Seq[String] = {
@@ -241,6 +236,20 @@ object Medallion {
     // keep the ORIGINAL typed values for the filter (ANSI Spark rejects
     // cross-type compares like string = int); strings only name paths
     val touchedRaw = rawTouched.sortBy(_.toString).toSeq
+    // table-WIDE crash recovery at entry, not per-touched-partition: a
+    // run killed between park and promote leaves `_cdc_old_<p>` with no
+    // live dir, and if the NEXT batch doesn't touch p the partition
+    // would stay invisible to every reader indefinitely — silent data
+    // loss gated on which partitions future batches happen to touch.
+    // Promote ANY parked partition whose live dir is missing.
+    Option(new java.io.File(tablePath).listFiles()).foreach(_.foreach { f =>
+      val n = f.getName
+      if (n.startsWith("_cdc_old_")) {
+        val live = Paths.get(s"$tablePath/$partitionCol=${n.stripPrefix("_cdc_old_")}")
+        if (!Files.exists(live))
+          Files.move(f.toPath, live, StandardCopyOption.ATOMIC_MOVE)
+      }
+    })
     touchedRaw.foreach { raw =>
       val pv = raw.toString
       // Spark escapes special characters in partition directory names
@@ -265,8 +274,8 @@ object Medallion {
       // re-apply is safe because applyCdc is replay-idempotent).
       if (!Files.exists(Paths.get(partPath)) && Files.exists(Paths.get(old)))
         Files.move(Paths.get(old), Paths.get(partPath), StandardCopyOption.ATOMIC_MOVE)
-      rmTree(new java.io.File(tmp))
-      rmTree(new java.io.File(old))
+      graft.core.Fs.rmTree(new java.io.File(tmp))
+      graft.core.Fs.rmTree(new java.io.File(old))
       val chg = changes.filter(col(partitionCol) === lit(raw)).drop(partitionCol)
       val exists = Files.exists(Paths.get(partPath))
       // a missing partition folds the batch into an empty snapshot with
@@ -285,7 +294,7 @@ object Medallion {
             Files.move(Paths.get(old), Paths.get(partPath), StandardCopyOption.ATOMIC_MOVE)
           throw e
       }
-      if (exists) rmTree(new java.io.File(old))
+      if (exists) graft.core.Fs.rmTree(new java.io.File(old))
     }
     touchedRaw.map(_.toString)
   }

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 
 import scala.collection.immutable.ListMap
+import scala.jdk.CollectionConverters.IteratorHasAsScala
 
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -216,13 +217,6 @@ final class GraftTable(val tablePath: String) {
       finally it.close()
     }
 
-  private implicit class RichIt[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
-    }
-  }
-
   // -------------------------------------------------------- snapshot read
 
   /** Latest checkpoint version ≤ `atMost`: try the `_last_checkpoint`
@@ -369,6 +363,14 @@ final class GraftTable(val tablePath: String) {
     case _ => "num"
   }
 
+  /** False for NaN/±Infinity floats/doubles — values the decimal stats
+    * domain cannot represent. */
+  private def isFiniteStat(v: Any): Boolean = v match {
+    case d: java.lang.Double => !d.isNaN && !d.isInfinite
+    case f: java.lang.Float => !f.isNaN && !f.isInfinite
+    case _ => true
+  }
+
   /** Stage `df` as immutable uniquely-named parquet files in the table
     * root and return their add-actions. One extra Spark job computes
     * per-file rows + min/max by grouping on `_metadata.file_path` — a
@@ -400,18 +402,16 @@ final class GraftTable(val tablePath: String) {
       val stats = sCols.flatMap { f =>
         val mn = row.get(row.fieldIndex(s"_min_${f.name}"))
         val mx = row.get(row.fieldIndex(s"_max_${f.name}"))
-        if (mn == null || mx == null) None // all-null file column: never prune on it
+        // all-null file column, or a NaN/Infinity bound (BigDecimal cannot
+        // represent them and max() surfaces NaN as greatest): no stats —
+        // conservative, the file simply never prunes on this column
+        if (mn == null || mx == null || !isFiniteStat(mn) || !isFiniteStat(mx)) None
         else Some(f.name -> ColStats(statsKind(f.dataType), statsLiteral(mn), statsLiteral(mx)))
       }.toMap
       AddFile(name, row.getLong(row.fieldIndex("_rows")), Files.size(root.resolve(name)), stats)
     }
-    rmTree(stage.toFile)
+    graft.core.Fs.rmTree(stage.toFile)
     adds
-  }
-
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete(); ()
   }
 
   /** Attempt to commit at exactly `version`; true if won. */
@@ -440,29 +440,43 @@ final class GraftTable(val tablePath: String) {
     * `mergeSchema` contract). Dropping or retyping columns remains an
     * `overwrite()`. */
   def append(df: DataFrame, mergeSchema: Boolean, maxRetries: Int): Long = {
-    val head = latestVersion()
-    val schemaJson =
-      if (head == 0) Some(df.schema.json)
-      else {
-        val existing = snapshot(head).schema
-        if (sameSchema(existing, df.schema)) Some(df.schema.json)
-        else if (!mergeSchema) throw new IllegalArgumentException(
-          s"txlog: append schema ${df.schema.simpleString} does not match table " +
-            s"schema ${existing.simpleString}; pass mergeSchema = true to add " +
-            "columns, or overwrite() to change schema")
-        else Some(mergedSchema(existing, df.schema).json)
-      }
+    // strict-mode validation happens ONCE at entry (the caller's early
+    // error); the schema actually COMMITTED is recomputed against the
+    // live head on every attempt — see commitSchemaFor
+    val head0 = latestVersion()
+    if (head0 > 0 && !mergeSchema) {
+      val existing = snapshot(head0).schema
+      if (!sameSchema(existing, df.schema)) throw new IllegalArgumentException(
+        s"txlog: append schema ${df.schema.simpleString} does not match table " +
+          s"schema ${existing.simpleString}; pass mergeSchema = true to add " +
+          "columns, or overwrite() to change schema")
+    }
     val adds = stageData(df)
     var attempt = 0
-    var v = latestVersion() + 1
     while (attempt < maxRetries) {
-      if (tryCommit(v, "append", v - 1, schemaJson, adds, Nil)) return v
+      val head = latestVersion()
+      if (tryCommit(head + 1, "append", head, Some(commitSchemaFor(head, df.schema)),
+          adds, Nil)) return head + 1
       attempt += 1
-      v = latestVersion() + 1
     }
     throw new ConcurrentWriteException(
       s"txlog: append lost $maxRetries commit races at $tablePath")
   }
+
+  /** The schema line an append at head `head` must commit: the CURRENT
+    * head schema merged with the batch schema. Recomputed per commit
+    * attempt — committing a schema captured before a lost race would
+    * silently ERASE a concurrent widening append's new columns from the
+    * table (snapshot replay takes the last schema action). Type
+    * conflicts (a concurrent retype via overwrite) still fail loudly
+    * inside [[mergedSchema]]. */
+  private def commitSchemaFor(head: Long, batch: StructType): String =
+    if (head == 0) batch.json
+    else {
+      val existing = snapshot(head).schema
+      if (sameSchema(existing, batch)) existing.json
+      else mergedSchema(existing, batch).json
+    }
 
   /** Table schema ∪ batch schema: existing fields keep their order and
     * type (batch must agree on type where names overlap), genuinely new
@@ -504,7 +518,6 @@ final class GraftTable(val tablePath: String) {
           s"schema ${pre.schema.simpleString}; use overwrite() to change schema")
     }
     val adds = stageData(df)
-    val schemaJson = Some(df.schema.json)
     var attempt = 0
     while (attempt < maxRetries) {
       val head = snapshot(latestVersion())
@@ -515,7 +528,10 @@ final class GraftTable(val tablePath: String) {
         return head.version
       }
       val v = head.version + 1
-      if (tryCommit(v, "streamingUpdate", head.version, schemaJson, adds, Nil,
+      // schema recomputed against the live head per attempt — same
+      // lost-update hazard as append (see commitSchemaFor)
+      if (tryCommit(v, "streamingUpdate", head.version,
+          Some(commitSchemaFor(head.version, df.schema)), adds, Nil,
           Map(appId -> batchId))) return v
       attempt += 1
     }
@@ -572,7 +588,11 @@ final class GraftTable(val tablePath: String) {
           .parquet(touched.map(a => root.resolve(a.path).toString): _*)
     val merged = Medallion.applyCdc(base, changes, key, seqCol)
     val adds = stageData(merged)
-    val v = commitRewrite(snap, "upsert", None, adds, touched.map(_.path))
+    // first commit on a schema-less table MUST write the schema action —
+    // committing only adds would leave every later snapshot() unable to
+    // resolve ("no schema action found"), bricking the table
+    val schemaJson = if (snap.schema.isEmpty) Some(merged.schema.json) else None
+    val v = commitRewrite(snap, "upsert", schemaJson, adds, touched.map(_.path))
     require(untouched.forall(a => Files.exists(root.resolve(a.path))),
       "txlog: untouched file vanished during upsert") // invariant, not cleanup
     v
@@ -679,7 +699,7 @@ final class GraftTable(val tablePath: String) {
     val staged =
       try it2.iterator().asScala.filter(_.getFileName.toString.startsWith("_staged_")).toList
       finally it2.close()
-    staged.foreach(p => rmTree(p.toFile))
+    staged.foreach(p => graft.core.Fs.rmTree(p.toFile))
     deletable
   }
 
@@ -706,12 +726,17 @@ final class GraftTable(val tablePath: String) {
     * a consumer behind that window fails loudly on the missing file. */
   def appendsSince(
       spark: SparkSession, sinceVersion: Long,
-      skipRewrites: Boolean = false, untilVersion: Long = -1L): DataFrame = {
+      skipRewrites: Boolean = false, untilVersion: Long = -1L,
+      readSchema: Option[StructType] = None): DataFrame = {
     val head = latestVersion()
     require(sinceVersion <= head,
       s"txlog: appendsSince($sinceVersion) is ahead of head $head")
     val until = if (untilVersion < 0) head else math.min(untilVersion, head)
-    val schema = snapshot(head).schema
+    // readSchema pins the projection for consumers that declared their
+    // schema earlier (the streaming source): files written after a
+    // mergeSchema widening simply don't surface the new column, instead
+    // of every in-flight batch suddenly changing shape mid-query
+    val schema = readSchema.getOrElse(snapshot(head).schema)
     val perVersion = ((sinceVersion + 1) to until).flatMap { v =>
       val f = versionFile(v)
       require(Files.exists(f),

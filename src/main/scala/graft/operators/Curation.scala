@@ -321,10 +321,13 @@ object Curation {
       minToks: Int = 50, maxToks: Int = 100000,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       minStopwords: Int = 2, maxRun: Int = 2,
-      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): DataFrame = {
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in"),
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(stopwords.nonEmpty, "gopherFilters needs a stopword list")
     val flag = (c: org.apache.spark.sql.Column) => when(c, 1).otherwise(0)
-    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    // carryCols ride the projection so downstream per-source/per-shard
+    // rollups need no corpus-sized join back to the input
+    df.select(col(idCol) +: carryCols.map(col) :+ tokens(col(textCol)).as("toks"): _*)
       .withColumn("n_toks", size(col("toks")).cast(LongType))
       // int/int → double division: bit-deterministic across engines
       .withColumn("mean_tok_len",

@@ -548,11 +548,7 @@ object PipelineOps {
   // --------------------------------------------------------------------
   def q88TableFormat(s: SparkSession, dir: String): DataFrame = {
     val root = s"${scratch("txlog", dir)}/orders_tx"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(new java.io.File(root)) // fresh table per run: reruns deterministic
+    graft.core.Fs.rmTree(new java.io.File(root)) // fresh table per run: reruns deterministic
     val t = new graft.medallion.GraftTable(root)
     val base = lake(s, dir).orders.select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -633,11 +629,7 @@ object PipelineOps {
   // --------------------------------------------------------------------
   def q99TablePipeline(s: SparkSession, dir: String): DataFrame = {
     val root = scratch("tblpipe", dir)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(new java.io.File(root)) // fresh pipeline per run: reruns deterministic
+    graft.core.Fs.rmTree(new java.io.File(root)) // fresh pipeline per run: reruns deterministic
     val bronzePath = s"$root/bronze"
     val silverPath = s"$root/silver"
     val ckpt = s"$root/ckpt"

@@ -626,16 +626,17 @@ object TrainingOps {
   // division-free rate.
   // --------------------------------------------------------------------
   def q102CurationReport(s: SparkSession, dir: String): DataFrame = {
-    val docs = lake(s, dir).documents
-    val flags = graft.operators.Curation.gopherFilters(
+    // bow precomputed as a column and carried THROUGH the rule suite —
+    // one corpus scan, one source-keyed aggregate; a join back to
+    // documents here would shuffle every row on doc_id for nothing
+    val docs = lake(s, dir).documents.withColumn("bow",
+      md5(concat_ws(" ", array_sort(array_distinct(
+        graft.functions.TextFns.tokens(col("text")))))))
+    graft.operators.Curation.gopherFilters(
       docs, "doc_id", "text",
       minToks = 20, maxToks = 90, minMeanLen = 3.0, maxMeanLen = 5.0,
-      minStopwords = 2, maxRun = 2, stopwords = Q93_STOP)
-      .select(col("doc_id"), col("n_toks"), col("keep"))
-    val keyed = docs.select(col("doc_id"), col("source"),
-      md5(concat_ws(" ", array_sort(array_distinct(
-        graft.functions.TextFns.tokens(col("text")))))).as("bow"))
-    keyed.join(flags, "doc_id")
+      minStopwords = 2, maxRun = 2, stopwords = Q93_STOP,
+      carryCols = Seq("source", "bow"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

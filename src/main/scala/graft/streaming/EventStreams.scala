@@ -61,11 +61,7 @@ object EventStreams {
       .option("checkpointLocation", ckpt.getAbsolutePath)
       .start()
     q.awaitTermination()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(ckpt)
+    graft.core.Fs.rmTree(ckpt)
     spark.table(sink)
   }
 

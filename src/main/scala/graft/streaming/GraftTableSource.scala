@@ -43,6 +43,13 @@ final class GraftTableSource(
 
   override val schema: StructType = GraftTableSource.schemaOf(tablePath)
 
+  // the declared schema minus the version tag, PINNED at source creation:
+  // every getBatch reads with it, so a mergeSchema widening of the table
+  // mid-stream cannot change batch shape under the running plan (the new
+  // column appears after a query restart re-resolves the schema)
+  private val baseSchema = StructType(
+    schema.fields.filterNot(_.name == "_commit_version"))
+
   override def getOffset: Option[Offset] = {
     val v = table.latestVersion()
     if (v <= startingVersion) None else Some(LongOffset(v))
@@ -57,7 +64,8 @@ final class GraftTableSource(
     // re-wrapped isStreaming=true (the v1 getBatch contract); the scan
     // itself stays the lazy parquet read of exactly the range's files
     org.apache.spark.sql.graft.StreamingFrames.asStreaming(
-      table.appendsSince(spark, from, skipRewrites, untilVersion = until))
+      table.appendsSince(spark, from, skipRewrites, untilVersion = until,
+        readSchema = Some(baseSchema)))
   }
 
   override def stop(): Unit = ()

@@ -193,6 +193,34 @@ class MedallionSpec extends SparkSpec {
     assert(!new java.io.File(s"$table/_cdc_tmp_2026-01-01").exists())
   }
 
+  test("applyCdcPartitioned recovers a parked partition the CURRENT batch does not touch") {
+    import spark.implicits._
+    val table = new java.io.File("target/tmp/spec_cdc_crash_other/t").getAbsolutePath
+    rmRf(new java.io.File(table))
+    Seq(
+      (1L, "a", 10.0, "2026-01-01"), (2L, "b", 20.0, "2026-01-01"),
+      (3L, "c", 30.0, "2026-01-02"))
+      .toDF("id", "name", "amount", "pd")
+      .write.mode("overwrite").partitionBy("pd").parquet(table)
+
+    // crash parked 2026-01-01; the NEXT batch touches only 2026-01-02 —
+    // per-touched-partition recovery would leave rows 1-2 invisible to
+    // every reader until some future batch happened to touch 01-01
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$table/pd=2026-01-01"),
+      java.nio.file.Paths.get(s"$table/_cdc_old_2026-01-01"))
+
+    val changes = Seq((3L, "c2", 31.0, "u", false, 100L, "2026-01-02"))
+      .toDF("id", "name", "amount", "_op", "_deleted", "_seq", "pd")
+    Medallion.applyCdcPartitioned(spark, table, changes, "id", "_seq", "pd")
+
+    val after = spark.read.parquet(table)
+      .orderBy("id").select("id", "name").as[(Long, String)].collect()
+    assert(after.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c2")),
+      "the untouched parked partition must be promoted at entry")
+    assert(!new java.io.File(s"$table/_cdc_old_2026-01-01").exists())
+  }
+
   private def rmRf(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
     f.delete(); ()

@@ -220,6 +220,13 @@ class PlanChecksSpec extends SparkSpec {
       s"expected sketch partial+final aggregation in:\n$p")
   }
 
+  test("q102: the curation report never joins — one scan, one source-keyed aggregate") {
+    val p = plan(graft.queries.TrainingOps.q102CurationReport(spark, sfDir))
+    assert(!p.contains("Join"),
+      s"bow must be computed inline and carried, not joined back:\n$p")
+    assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
+  }
+
   test("q98: keep-best dedup is one uniform-key exchange with map-side partial max_by") {
     val p = plan(graft.queries.TrainingOps.q98DedupKeepBest(spark, sfDir))
     assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")

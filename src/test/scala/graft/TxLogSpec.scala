@@ -222,6 +222,74 @@ class TxLogSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](t.append(df(Seq(4L -> "d"))))
   }
 
+  test("upsert as the FIRST commit writes the schema action — the table stays readable") {
+    import spark.implicits._
+    val t = freshTable("firstupsert")
+    val changes = Seq((1L, "a", false, 1L), (2L, "b", false, 1L))
+      .toDF("id", "name", "_deleted", "_seq")
+    t.upsert(changes, "id", "_seq")
+    // pre-fix this threw 'no schema action found' forever
+    assert(t.read(spark).count() === 2L)
+    assert(t.snapshot().schema.fieldNames.toSeq === Seq("id", "name"))
+    // and the table keeps working normally afterwards
+    t.append(df(Seq(3L -> "c")))
+    assert(t.read(spark).count() === 3L)
+  }
+
+  test("NaN/Infinity values do not crash stats collection; the file just never prunes") {
+    import spark.implicits._
+    val t = freshTable("nanstats")
+    // one file, so its x-max is NaN (Spark max() sorts NaN greatest)
+    t.append(Seq((1L, Double.NaN), (2L, 3.5), (3L, Double.PositiveInfinity))
+      .toDF("id", "x").repartition(1))
+    assert(t.read(spark).count() === 3L)
+    // no stats on x for the NaN/Inf-carrying file -> conservative:
+    // any range scans it
+    assert(t.snapshot().files.size === 1)
+    assert(t.filesForRange("x", Some(100.0), Some(200.0)) === 1)
+    // the id column's stats are unaffected
+    assert(t.filesForRange("id", Some(99L), Some(100L)) === 0)
+  }
+
+  test("a concurrent widen is never erased by racing strict appends (schema lost-update)") {
+    import spark.implicits._
+    val t = freshTable("widenrace")
+    t.append(df(Seq(0L -> "seed")))
+    val widened = Seq((100L, "w", 1.0)).toDF("id", "name", "score")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val a = new Thread(() => {
+      try { t.append(widened, mergeSchema = true, maxRetries = 64); () }
+      catch { case e: Throwable => errors.add(e); () }
+    })
+    val b = new Thread(() => {
+      (1 to 5).foreach { i =>
+        // strict appends validated against a possibly-pre-widen head: they
+        // must either commit WITHOUT erasing the new column, or fail the
+        // entry validation loudly — never silently drop `score`
+        try { t.append(df(Seq(i.toLong -> s"b$i")), maxRetries = 64); () }
+        catch { case _: IllegalArgumentException => () }
+      }
+    })
+    a.start(); b.start(); a.join(); b.join()
+    assert(errors.isEmpty, s"widening append must land: ${errors.peek()}")
+    assert(t.snapshot().schema.fieldNames.contains("score"),
+      "the widened column must survive every racing strict append")
+    assert(t.read(spark).filter(col("id") === 100L).count() === 1L)
+  }
+
+  test("appendsSince with a pinned readSchema survives a mid-tail widening") {
+    import spark.implicits._
+    val t = freshTable("pintail")
+    t.append(df(Seq(1L -> "a"))) // v1, schema S
+    val pinned = t.snapshot().schema
+    t.append(Seq((2L, "b", 9.9)).toDF("id", "name", "score"),
+      mergeSchema = true, maxRetries = 20) // v2 widens
+    val out = t.appendsSince(spark, 0L, readSchema = Some(pinned))
+    assert(out.schema.fieldNames.toSeq === Seq("id", "name", "_commit_version"),
+      "the pinned projection must not grow mid-tail")
+    assert(out.count() === 2L, "post-widening files still surface, minus the new column")
+  }
+
   test("8 threads racing blind appends: every commit lands, versions stay contiguous") {
     val t = freshTable("race8")
     val nThreads = 8; val perThread = 4
