@@ -318,6 +318,25 @@ final class GraftTable(val tablePath: String) {
     })
   }
 
+  /** Multi-column stats-pruned read for pushdown callers (the batch
+    * `format("graft-table")` relation): a file survives only if EVERY
+    * per-column [lo, hi] bound overlaps its stats; columns without
+    * stats never prune (conservative). Residual row filtering is the
+    * caller's job — stats speak at FILE granularity only. */
+  private[graft] def readPruned(
+      spark: SparkSession,
+      constraints: Seq[(String, Option[Any], Option[Any])],
+      version: Long = -1L): DataFrame = {
+    val snap = snapshot(version)
+    val live = snap.files.filter { f =>
+      constraints.forall { case (c, lo, hi) =>
+        f.stats.get(c).forall(_.overlaps(
+          lo.map(statsLiteral), hi.map(statsLiteral)))
+      }
+    }
+    readFiles(spark, snap.copy(files = live), identity)
+  }
+
   /** Number of files `readRange` would scan — the data-skipping metric. */
   def filesForRange(column: String, lower: Option[Any], upper: Option[Any]): Int = {
     val lo = lower.map(statsLiteral); val hi = upper.map(statsLiteral)

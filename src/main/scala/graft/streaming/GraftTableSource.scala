@@ -4,7 +4,7 @@ import graft.medallion.GraftTable
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Structured Streaming SOURCE over a [[graft.medallion.GraftTable]]:
@@ -78,13 +78,21 @@ final class GraftTableSource(
   * Options: `path` (required), `skipRewrites` (default false),
   * `startingVersion` (default 0 — tail everything; a fresh query skips
   * commits ≤ this version, checkpointed queries ignore it). */
-final class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+final class GraftTableSourceProvider
+    extends StreamSourceProvider with RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
   private def path(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-table source requires .option(\"path\", <table root>)"))
+
+  /** Batch read: `spark.read.format("graft-table").option("path", t)
+    * .load()` — snapshot resolution + stats-based file pruning from
+    * pushed-down filters ([[GraftTableRelation]]). */
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation =
+    new GraftTableRelation(sqlContext, path(parameters))
 
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
