@@ -359,6 +359,21 @@ class TxLogSpec extends SparkSpec {
     assert(t.read(spark, before.version).count() === rows.size.toLong)
   }
 
+  test("a consumer behind the vacuum retention window fails loudly, never silently short") {
+    val t = freshTable("tailvac")
+    t.append(df(Seq(1L -> "a"))) // v1
+    t.append(df(Seq(2L -> "b"))) // v2
+    t.compact(spark) // v3: v1/v2's files become unreachable history
+    t.append(df(Seq(3L -> "c"))) // v4
+    t.vacuum(retainVersions = 1) // deletes v1/v2's data files
+    // a caught-up consumer (only the post-compact append in range) is fine
+    assert(t.appendsSince(spark, 3L).count() === 1L)
+    // a consumer whose range needs the vacuumed files must ERROR, not
+    // return a silently incomplete stream
+    val e = intercept[IllegalArgumentException](t.appendsSince(spark, 0L).count())
+    assert(e.getMessage.contains("vacuum"))
+  }
+
   test("appendsSince: compaction is row-neutral; rewrites throw unless opted out") {
     import spark.implicits._
     val t = freshTable("tailrw")
