@@ -221,6 +221,14 @@ object Medallion {
     * (local-FS rename semantics; a table format's transactional commit
     * replaces this on object stores).
     *
+    * '''Single-writer contract''': like every rename-swap protocol in
+    * this file, the table must have ONE CDC writer at a time — the
+    * entry-time sweep that un-parks crashed partitions cannot tell a
+    * crash artifact from a CONCURRENT batch mid-swap, and two writers
+    * racing the same partition were never safe under directory renames
+    * to begin with. Concurrent upserts belong on [[GraftTable.upsert]],
+    * whose commit protocol detects the race instead of assuming it away.
+    *
     * Returns the touched partition values (driver-side partition LIST —
     * cardinality = partitions in the batch, never data rows).
     */

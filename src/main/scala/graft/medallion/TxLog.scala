@@ -327,9 +327,15 @@ final class GraftTable(val tablePath: String) {
       spark: SparkSession,
       constraints: Seq[(String, Option[Any], Option[Any])],
       version: Long = -1L): DataFrame = {
+    // a NaN/Infinity bound cannot be answered by decimal stats (and
+    // would crash statsLiteral): drop the constraint — conservative,
+    // the filter's rows still come out right via Spark's re-filter
+    val usable = constraints.filter { case (_, lo, hi) =>
+      lo.forall(isFiniteStat) && hi.forall(isFiniteStat)
+    }
     val snap = snapshot(version)
     val live = snap.files.filter { f =>
-      constraints.forall { case (c, lo, hi) =>
+      usable.forall { case (c, lo, hi) =>
         f.stats.get(c).forall(_.overlaps(
           lo.map(statsLiteral), hi.map(statsLiteral)))
       }
@@ -459,41 +465,49 @@ final class GraftTable(val tablePath: String) {
     * `mergeSchema` contract). Dropping or retyping columns remains an
     * `overwrite()`. */
   def append(df: DataFrame, mergeSchema: Boolean, maxRetries: Int): Long = {
-    // strict-mode validation happens ONCE at entry (the caller's early
-    // error); the schema actually COMMITTED is recomputed against the
-    // live head on every attempt — see commitSchemaFor
+    // validation runs BEFORE staging (a type conflict must not cost the
+    // caller a complete data write); the schema actually COMMITTED is
+    // recomputed against the live head on every attempt — see
+    // commitSchemaFor
     val head0 = latestVersion()
-    if (head0 > 0 && !mergeSchema) {
-      val existing = snapshot(head0).schema
-      if (!sameSchema(existing, df.schema)) throw new IllegalArgumentException(
-        s"txlog: append schema ${df.schema.simpleString} does not match table " +
-          s"schema ${existing.simpleString}; pass mergeSchema = true to add " +
-          "columns, or overwrite() to change schema")
-    }
+    if (head0 > 0) { val _ = commitSchemaFor(head0, df.schema, mergeSchema) }
     val adds = stageData(df)
+    def dropStaged(): Unit =
+      adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
     var attempt = 0
     while (attempt < maxRetries) {
       val head = latestVersion()
-      if (tryCommit(head + 1, "append", head, Some(commitSchemaFor(head, df.schema)),
-          adds, Nil)) return head + 1
+      val schemaJson =
+        try commitSchemaFor(head, df.schema, mergeSchema)
+        catch { case e: Throwable => dropStaged(); throw e }
+      if (tryCommit(head + 1, "append", head, Some(schemaJson), adds, Nil))
+        return head + 1
       attempt += 1
     }
+    dropStaged()
     throw new ConcurrentWriteException(
       s"txlog: append lost $maxRetries commit races at $tablePath")
   }
 
   /** The schema line an append at head `head` must commit: the CURRENT
-    * head schema merged with the batch schema. Recomputed per commit
-    * attempt — committing a schema captured before a lost race would
-    * silently ERASE a concurrent widening append's new columns from the
-    * table (snapshot replay takes the last schema action). Type
-    * conflicts (a concurrent retype via overwrite) still fail loudly
-    * inside [[mergedSchema]]. */
-  private def commitSchemaFor(head: Long, batch: StructType): String =
+    * head schema, widened by the batch schema only under
+    * `mergeSchema = true`. Recomputed per commit attempt — committing a
+    * schema captured before a lost race would silently ERASE a
+    * concurrent widening append's new columns from the table (snapshot
+    * replay takes the last schema action). A STRICT append whose head
+    * diverged mid-race (concurrent widen/retype/overwrite) fails loudly
+    * here rather than silently merging; type conflicts under merge mode
+    * fail inside [[mergedSchema]]. */
+  private def commitSchemaFor(
+      head: Long, batch: StructType, mergeSchema: Boolean): String =
     if (head == 0) batch.json
     else {
       val existing = snapshot(head).schema
       if (sameSchema(existing, batch)) existing.json
+      else if (!mergeSchema) throw new IllegalArgumentException(
+        s"txlog: append schema ${batch.simpleString} does not match table " +
+          s"schema ${existing.simpleString}; pass mergeSchema = true to add " +
+          "columns, or overwrite() to change schema")
       else mergedSchema(existing, batch).json
     }
 
@@ -548,9 +562,16 @@ final class GraftTable(val tablePath: String) {
       }
       val v = head.version + 1
       // schema recomputed against the live head per attempt — same
-      // lost-update hazard as append (see commitSchemaFor)
+      // lost-update hazard as append (see commitSchemaFor); streaming
+      // appends are strict (a sink must not silently evolve the table)
+      val schemaJson =
+        try commitSchemaFor(head.version, df.schema, mergeSchema = false)
+        catch { case e: Throwable =>
+          adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+          throw e
+        }
       if (tryCommit(v, "streamingUpdate", head.version,
-          Some(commitSchemaFor(head.version, df.schema)), adds, Nil,
+          Some(schemaJson), adds, Nil,
           Map(appId -> batchId))) return v
       attempt += 1
     }

@@ -26,19 +26,28 @@ final class GraftTableRelation(
     extends BaseRelation with PrunedFilteredScan {
 
   private val table = new GraftTable(tablePath)
+  require(table.latestVersion() > 0L,
+    s"graft-table: no committed table at $tablePath — a typo'd path must " +
+      "fail loudly, not read as an empty table (same contract as the " +
+      "streaming source)")
 
-  override val schema: StructType = table.snapshot().schema
+  // snapshot PINNED at relation creation: every action on the resolved
+  // DataFrame reads the same version — concurrent commits cannot tear
+  // multi-action reads or fail a projection against a moved schema
+  private val snap = table.snapshot()
+
+  override val schema: StructType = snap.schema
 
   // stats prune files, not rows: Spark must re-apply every filter
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val df = table.readPruned(
-      sqlContext.sparkSession, filters.toSeq.flatMap(GraftTableRelation.bounds))
-    val projected =
-      if (requiredColumns.isEmpty) df // COUNT(*)-style scans project nothing
-      else df.select(requiredColumns.map(col).toSeq: _*)
-    projected.rdd
+      sqlContext.sparkSession, filters.toSeq.flatMap(GraftTableRelation.bounds),
+      version = snap.version)
+    // empty requiredColumns (COUNT(*)-style) must project ZERO columns —
+    // returning the full frame would read every column just to count
+    df.select(requiredColumns.map(col).toSeq: _*).rdd
   }
 }
 

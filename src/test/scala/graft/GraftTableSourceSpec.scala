@@ -118,6 +118,28 @@ class GraftTableSourceSpec extends SparkSpec {
       "stats must isolate the middle file for the range")
   }
 
+  test("batch read: NaN filters don't crash pruning; a missing table fails loudly") {
+    import spark.implicits._
+    val root = freshRoot()
+    val path = new java.io.File(root, "tbl").getAbsolutePath
+    val t = new GraftTable(path)
+    t.append(Seq((1L, 1.5), (2L, Double.NaN)).toDF("id", "x"))
+
+    val df = spark.read.format("graft-table").option("path", path).load()
+    // a pushed-down NaN bound must be DROPPED from pruning (stats cannot
+    // answer it), with Spark's residual filter giving the right rows
+    assert(df.filter(col("x").isNaN).count() === 1L)
+    assert(df.filter(col("x") >= Double.NegativeInfinity).count() === 2L)
+    assert(df.filter(col("x") === 1.5).count() === 1L)
+
+    // a typo'd path is an error, not an empty table
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-table")
+        .option("path", s"$path-typo").load()
+    }
+    assert(e.getMessage.contains("no committed table"))
+  }
+
   test("compaction never disturbs a tailing consumer; a rewrite fails it loudly") {
     val root = freshRoot()
     val srcPath = new java.io.File(root, "bronze").getAbsolutePath
