@@ -220,6 +220,25 @@ class PlanChecksSpec extends SparkSpec {
       s"expected sketch partial+final aggregation in:\n$p")
   }
 
+  test("q37b: prefix-filtered candidate stage is an equi-join, never a nested loop") {
+    val p = plan(TextOps.q37bPrefixJaccard(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix-filter candidates must equi-join on the shingle key:\n$p")
+  }
+
+  test("q95: the native nfc_normalize stays inside whole-stage codegen, no shuffle before the sort") {
+    val p = plan(graft.queries.TrainingOps.q95NfcNormalize(spark, sfDir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"normalization is a narrow projection:\n$p")
+    assert(p.contains("*("), s"expected a codegen span:\n$p")
+  }
+
+  test("q101: split assignment is shuffle-free (pure hash arithmetic)") {
+    val p = plan(graft.queries.TrainingOps.q101TrainValTest(spark, sfDir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"split membership must not shuffle:\n$p")
+  }
+
   test("q102: the curation report never joins — one scan, one source-keyed aggregate") {
     val p = plan(graft.queries.TrainingOps.q102CurationReport(spark, sfDir))
     assert(!p.contains("Join"),
