@@ -685,6 +685,51 @@ object TrainingOps {
         FROM flags GROUP BY source ORDER BY source"""
   }
 
+  // --------------------------------------------------------------------
+  // q103 — per-split token budget: the accounting table a training run
+  // consumes — for each (split, lang): documents, total tokens, and the
+  // split's token share in exact integer ppm of its language. Composes
+  // q101's leakage-proof split assignment (zero-shuffle hash bands) with
+  // token counting; ONE aggregate keyed by (split, lang) — cardinality
+  // 3×languages — plus a broadcast of the per-language totals back over
+  // it. Window-free: the per-language total is a 15-row broadcast join,
+  // not a corpus-wide partition window.
+  // --------------------------------------------------------------------
+  def q103SplitBudget(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.operators.Curation.trainValTestSplit(
+      lake(s, dir).documents.select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_toks")),
+      "doc_id", Q101_TRAIN, Q101_VAL)
+    val perCell = split.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+    val perLang = perCell.groupBy(col("lang"))
+      .agg(sum(col("total_tokens")).as("_lang_tokens"))
+    perCell.join(broadcast(perLang), "lang")
+      .select(col("split"), col("lang"), col("n_docs"), col("total_tokens"),
+        // integer `div`, not `/` (Column./ is always a double divide)
+        expr("total_tokens * 1000000 div _lang_tokens").as("token_ppm"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  private val q103Oracle = {
+    val hv = dHash(s"concat('split:0:', CAST(doc_id AS VARCHAR))")
+    s"""WITH s AS (
+         SELECT lang, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks,
+                CASE WHEN $hv % 1000000 < $Q101_TRAIN THEN 'train'
+                     WHEN $hv % 1000000 < ${Q101_TRAIN + Q101_VAL} THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents),
+       cell AS (
+         SELECT split, lang, count(*) AS n_docs,
+                sum(n_toks) AS total_tokens
+         FROM s GROUP BY split, lang),
+       tot AS (SELECT lang, sum(total_tokens) AS lt FROM cell GROUP BY lang)
+       SELECT split, c.lang, n_docs, total_tokens,
+              CAST(total_tokens * 1000000 // lt AS BIGINT) AS token_ppm
+       FROM cell c JOIN tot USING (lang)
+       ORDER BY split, lang"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_vocab_topk" -> (q71VocabTopK _),
@@ -704,7 +749,8 @@ object TrainingOps {
     "q97_heavy_hitters" -> (q97HeavyHitters _),
     "q98_dedup_keep_best" -> (q98DedupKeepBest _),
     "q101_train_val_test" -> (q101TrainValTest _),
-    "q102_curation_report" -> (q102CurationReport _))
+    "q102_curation_report" -> (q102CurationReport _),
+    "q103_split_budget" -> (q103SplitBudget _))
 
   val oracle: Map[String, String] = Map(
     "q70_stratified_sample" -> q70Oracle,
@@ -725,5 +771,6 @@ object TrainingOps {
     "q97_heavy_hitters" -> q97Oracle,
     "q98_dedup_keep_best" -> q98Oracle,
     "q101_train_val_test" -> q101Oracle,
-    "q102_curation_report" -> q102Oracle)
+    "q102_curation_report" -> q102Oracle,
+    "q103_split_budget" -> q103Oracle)
 }
