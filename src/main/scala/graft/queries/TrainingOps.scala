@@ -706,8 +706,12 @@ object TrainingOps {
       .agg(sum(col("total_tokens")).as("_lang_tokens"))
     perCell.join(broadcast(perLang), "lang")
       .select(col("split"), col("lang"), col("n_docs"), col("total_tokens"),
-        // integer `div`, not `/` (Column./ is always a double divide)
-        expr("total_tokens * 1000000 div _lang_tokens").as("token_ppm"))
+        // exact integer division on a WIDENED type: a long multiply
+        // overflows once one language passes ~9.2e12 tokens — a real
+        // 100 TB corpus size. DECIMAL(38,0) here ≡ HUGEINT in the
+        // oracle; both are exact, positive floor division.
+        expr("CAST(CAST(total_tokens AS DECIMAL(38,0)) * 1000000" +
+          " div _lang_tokens AS BIGINT)").as("token_ppm"))
       .orderBy(col("split"), col("lang"))
   }
 
@@ -725,7 +729,8 @@ object TrainingOps {
          FROM s GROUP BY split, lang),
        tot AS (SELECT lang, sum(total_tokens) AS lt FROM cell GROUP BY lang)
        SELECT split, c.lang, n_docs, total_tokens,
-              CAST(total_tokens * 1000000 // lt AS BIGINT) AS token_ppm
+              CAST(CAST(total_tokens AS HUGEINT) * 1000000 // lt AS BIGINT)
+                AS token_ppm
        FROM cell c JOIN tot USING (lang)
        ORDER BY split, lang"""
   }
