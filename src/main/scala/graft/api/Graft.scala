@@ -341,6 +341,81 @@ object Graft {
     graft.operators.KMeans.ivfSearch(
       corpus, queries, idCol, vecCol, model, nprobe, topK)
 
+  // ---------------- quality filtering & canonicalization ----------------
+
+  /** Gopher-style hard-filter rule suite with per-rule audit flags;
+    * see [[graft.operators.Curation.gopherFilters]]. */
+  def gopherFilters(df: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame =
+    graft.operators.Curation.gopherFilters(df, idCol, textCol, carryCols = carryCols)
+
+  /** CCNet-style cross-document boilerplate segment removal;
+    * see [[graft.operators.Curation.boilerplateRemoval]]. */
+  def boilerplateRemoval(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10, minDocs: Int = 3): DataFrame =
+    graft.operators.Curation.boilerplateRemoval(df, idCol, textCol, segTokens, minDocs)
+
+  /** Bag-of-words dedup keeping the highest-`scoreCol` copy per content
+    * group; see [[graft.operators.Curation.dedupKeepBest]]. */
+  def dedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String): DataFrame =
+    graft.operators.Curation.dedupKeepBest(df, idCol, textCol, scoreCol)
+
+  /** α=0.5 temperature mixture reweighting per source;
+    * see [[graft.operators.Curation.temperatureWeights]]. */
+  def temperatureWeights(df: DataFrame, srcCol: String): DataFrame =
+    graft.operators.Curation.temperatureWeights(df, srcCol)
+
+  /** Leakage-proof deterministic train/val/test assignment;
+    * see [[graft.operators.Curation.trainValTestSplit]]. */
+  def trainValTestSplit(df: DataFrame, idCol: String,
+      ppmTrain: Int, ppmVal: Int, seed: Long = 0L): DataFrame =
+    graft.operators.Curation.trainValTestSplit(df, idCol, ppmTrain, ppmVal, seed)
+
+  /** Corpus bigram LM for perplexity-style quality filtering: fit on
+    * trusted text, then [[scoreLm]] candidates;
+    * see [[graft.operators.NgramLm]]. */
+  def fitLm(trusted: DataFrame, textCol: String): graft.operators.NgramLm.Model =
+    graft.operators.NgramLm.fit(trusted, textCol)
+
+  /** Mean add-one bigram log-probability per document under a fitted
+    * LM (exp(−avg_logprob) = perplexity). */
+  def scoreLm(docs: DataFrame, idCol: String, textCol: String,
+      model: graft.operators.NgramLm.Model): DataFrame =
+    graft.operators.NgramLm.score(docs, idCol, textCol, model)
+
+  // ---------------- tokenizer training ----------------
+
+  /** Distributed BPE training (one corpus pass + vocabulary-sized merge
+    * rounds, bit-reproducible); see [[graft.operators.BpeTrainer]]. */
+  def bpeFit(docs: DataFrame, textCol: String, numMerges: Int,
+      minFreq: Long = 2L): graft.operators.BpeTrainer.BpeModel =
+    graft.operators.BpeTrainer.fit(docs, textCol, numMerges, minFreq)
+
+  /** Rank-greedy BPE tokenization under a trained model. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      model: graft.operators.BpeTrainer.BpeModel): DataFrame =
+    graft.operators.BpeTrainer.encode(docs, idCol, textCol, model)
+
+  // ---------------- vector compression ----------------
+
+  /** Product-quantization training (fused one-scan-per-iteration across
+    * subspaces); see [[graft.operators.ProductQuantizer]]. */
+  def pqFit(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      m: Int, k: Int, iters: Int): graft.operators.ProductQuantizer.PQModel =
+    graft.operators.ProductQuantizer.fit(df, idCol, vecCol, dims, m, k, iters)
+
+  /** Encode vectors as m-code arrays under a trained PQ model. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      pq: graft.operators.ProductQuantizer.PQModel): DataFrame =
+    graft.operators.ProductQuantizer.encode(df, idCol, vecCol, pq)
+
+  /** Asymmetric-distance top-k over PQ codes (the compressed-scan ANN). */
+  def pqSearch(codes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, pq: graft.operators.ProductQuantizer.PQModel,
+      topK: Int): DataFrame =
+    graft.operators.ProductQuantizer.adcSearch(codes, queries, idCol, vecCol, pq, topK)
+
   // ---------------- temporal ----------------
 
   /** Point-in-time enrichment; see [[graft.operators.AsOfJoin]]. */
@@ -348,8 +423,14 @@ object Graft {
       leftTime: String, rightTime: String, payload: Seq[String]): DataFrame =
     AsOfJoin.asofJoin(left, right, key, leftTime, rightTime, payload)
 
-  // ---------------- medallion ----------------
+  // ---------------- medallion & tables ----------------
 
   /** Bronze→silver→gold helpers re-exported. */
   val medallion: Medallion.type = Medallion
+
+  /** Open the log-structured transactional table at `path` (append /
+    * upsert / time travel / compact / zorder / streaming source+sink);
+    * see [[graft.medallion.GraftTable]]. */
+  def table(path: String): graft.medallion.GraftTable =
+    new graft.medallion.GraftTable(path)
 }

@@ -113,4 +113,35 @@ class GraftApiSpec extends SparkSpec {
       .head().getLong(0)
     assert(n === 500L)
   }
+
+  test("round-5 facade delegations run end to end over the documents table") {
+    import spark.implicits._
+    val docs = graft.core.Lake(spark, SparkSpec.sfDir).documents.limit(60)
+
+    assert(Graft.gopherFilters(docs, "doc_id", "text").columns.contains("keep"))
+    assert(Graft.boilerplateRemoval(docs, "doc_id", "text", segTokens = 3)
+      .columns.contains("clean_text"))
+    assert(Graft.dedupKeepBest(docs, "doc_id", "text", "n_chars").count() > 0)
+    assert(Graft.temperatureWeights(docs, "source").columns.contains("rel_epochs"))
+    val split = Graft.trainValTestSplit(docs, "doc_id", 800000, 100000)
+    assert(split.select("split").distinct().count() >= 2)
+
+    val lm = Graft.fitLm(docs, "text")
+    assert(Graft.scoreLm(docs, "doc_id", "text", lm).columns.contains("avg_logprob"))
+
+    val bpe = Graft.bpeFit(docs, "text", numMerges = 3)
+    assert(Graft.bpeEncode(Seq((1L, "the data")).toDF("doc_id", "text"),
+      "doc_id", "text", bpe).columns.contains("bpe_tokens"))
+
+    val emb = graft.core.Lake(spark, SparkSpec.sfDir).embeddings.limit(100)
+    val pq = Graft.pqFit(emb, "vec_id", "embedding", 64, m = 4, k = 4, iters = 1)
+    val codes = Graft.pqEncode(emb, "vec_id", "embedding", pq)
+    assert(Graft.pqSearch(codes, emb.limit(2), "vec_id", "embedding", pq, topK = 3)
+      .count() === 6L)
+
+    val tbl = Graft.table(
+      s"target/tmp/facade_tbl_${java.util.UUID.randomUUID().toString.take(8)}")
+    tbl.append(Seq((1L, "a")).toDF("id", "v"))
+    assert(tbl.read(spark).count() === 1L)
+  }
 }
