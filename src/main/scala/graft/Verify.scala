@@ -5,15 +5,19 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (Array(sfDir, outDir), only) = args.splitAt(2)
     val spark = graft.core.SparkSessionFactory.local("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // optional 3rd+ args: run only queries whose name starts with one of
+    // them (targeted re-verification; the driver passes exactly two args)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.isEmpty || only.exists(n.startsWith) }
     // queries are independent — run 4 at a time as concurrent Spark jobs
     // (FIFO scheduler interleaves stages; per-query failure isolated)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val futures = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       scala.concurrent.Future {
         // per-query cache scope: this query's registered caches release
         // right after ITS dump, without evicting concurrent queries'
@@ -45,6 +49,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -142,7 +142,20 @@ object BpeTrainer {
     * with the lowest training rank until none applies. Shared by
     * `encode` and the spec's reference comparisons. */
   def encodeWord(word: String, rank: Map[(String, String), Int]): Seq[String] = {
-    var syms = word.map(_.toString).toVector
+    // split by CODE POINT, not UTF-16 code unit — fit's split(w, "") is
+    // code-point aware, so encode must be too or non-BMP characters
+    // (emoji, supplementary CJK) decompose into lone surrogate halves
+    // that no trained merge can ever match
+    var syms = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
     var continue = syms.length >= 2
     while (continue) {
       val best = syms.zip(syms.tail).zipWithIndex

@@ -229,8 +229,9 @@ object Curation {
     * split a group — coarser than [[normalizedDedup]]'s normalized-text
     * key, the right granularity for shuffled/re-chunked copies.
     *
-    * Winner per group: max `scoreCol`, ties to the LOWEST id
-    * (deterministic, engine-portable). Returns one row per group:
+    * Winner per group: max `scoreCol` (must be numeric), ties to the
+    * LOWEST id — deterministic and engine-portable, for ANY orderable
+    * id type (string/UUID ids included). Returns one row per group:
     * winner id, its score, and `n_variants`.
     *
     * Scale shape: the key is a per-row projection (sort of a ≤vocab-size
@@ -244,10 +245,12 @@ object Curation {
     df.select(col(idCol), col(scoreCol), key.as("_k"))
       .groupBy(col("_k"))
       .agg(
-        // struct ordering = (score asc, -id asc): max picks highest
-        // score, then lowest id
-        max_by(struct(col(idCol), col(scoreCol)),
-          struct(col(scoreCol), negate(col(idCol)))).as("_w"),
+        // struct ordering = (-score asc, id asc): min picks highest
+        // score, then lowest id. Negating the (numeric) SCORE rather
+        // than the id keeps the tie-break portable to string/UUID id
+        // columns — negate(id) only analyzes for numeric ids
+        min_by(struct(col(idCol), col(scoreCol)),
+          struct(negate(col(scoreCol)), col(idCol))).as("_w"),
         count(lit(1)).as("n_variants"))
       .select(col(s"_w.$idCol"), col(s"_w.$scoreCol"), col("n_variants"))
   }

@@ -622,8 +622,10 @@ object TrainingOps {
   // token count. Composes the q93 rule suite (per-row fold, no shuffle)
   // with the q98 content key; ONE source-keyed aggregate after a narrow
   // projection — the whole report is one shuffle of source-cardinality
-  // rows. keep_ppm as exact integer parts-per-million: bit-deterministic
-  // division-free rate.
+  // rows. keep_ppm / mean_toks as exact integer floor division on a
+  // DECIMAL(38,0)-widened numerator (same policy as q103): a bare long
+  // multiply overflows past ~9.2e12 kept docs, and long/long `/` in
+  // Spark is double division that loses exactness past 2^53.
   // --------------------------------------------------------------------
   def q102CurationReport(s: SparkSession, dir: String): DataFrame = {
     // bow precomputed as a column and carried THROUGH the rule suite —
@@ -641,9 +643,11 @@ object TrainingOps {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("keep")).cast("long").as("n_keep"),
-        (sum(col("keep")) * 1000000L / count(lit(1))).cast("long").as("keep_ppm"),
+        expr("CAST(CAST(sum(keep) AS DECIMAL(38,0)) * 1000000" +
+          " div count(1) AS BIGINT)").as("keep_ppm"),
         countDistinct(col("bow")).as("n_unique_bow"),
-        (sum(col("n_toks")) / count(lit(1))).cast("long").as("mean_toks"))
+        expr("CAST(CAST(sum(n_toks) AS DECIMAL(38,0))" +
+          " div count(1) AS BIGINT)").as("mean_toks"))
       .orderBy(col("source"))
   }
 

@@ -94,18 +94,32 @@ final class GraftTableSourceProvider
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation =
     new GraftTableRelation(sqlContext, path(parameters))
 
+  // a user-declared .schema(...) is REJECTED, not echoed: the source
+  // always binds the table's committed schema, and silently resolving
+  // the plan against a different user schema while getBatch emits
+  // table-schema rows would misbind columns by ordinal
+  private def rejectUserSchema(schema: Option[StructType]): Unit =
+    require(schema.isEmpty,
+      "graft-table source derives its schema from the table's commit log; " +
+        "remove .schema(...) — a user-declared schema cannot rebind the " +
+        "committed table schema")
+
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    ("graft-table", schema.getOrElse(GraftTableSource.schemaOf(path(parameters))))
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    rejectUserSchema(schema)
+    ("graft-table", GraftTableSource.schemaOf(path(parameters)))
+  }
 
   override def createSource(
       sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): Source =
+      providerName: String, parameters: Map[String, String]): Source = {
+    rejectUserSchema(schema)
     new GraftTableSource(
       sqlContext.sparkSession, path(parameters),
       parameters.get("skipRewrites").exists(_.toBoolean),
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+  }
 }
 
 object GraftTableSource {

@@ -100,6 +100,27 @@ class BpeTrainerSpec extends SparkSpec {
     assert(out(2L) === BpeTrainer.encodeWord("lowest", rank).toList)
   }
 
+  test("encode splits by code point: non-BMP symbols never become lone surrogates") {
+    // fit splits with Spark's code-point-aware split(w, ""); encodeWord
+    // must agree on the base alphabet or supplementary characters (emoji,
+    // supplementary CJK) decompose into unmatched surrogate halves
+    val face = new String(Character.toChars(0x1F600)) // 😀, outside the BMP
+    val base = BpeTrainer.encodeWord(s"a${face}b", Map.empty)
+    assert(base === Seq("a", face, "b"))
+    assert(base.forall(s => !s.exists(Character.isSurrogate) || s.length == 2))
+    // a merge trained over the code-point alphabet applies at encode time
+    val merged = BpeTrainer.encodeWord(s"a$face", Map(("a", face) -> 0))
+    assert(merged === Seq(s"a$face"))
+    // end-to-end: training corpus containing the emoji round-trips
+    import spark.implicits._
+    val emojiDocs = Seq((1L, s"${face}lo ${face}lo ${face}lo lo"))
+      .toDF("doc_id", "text")
+    val model = BpeTrainer.fit(emojiDocs, "text", numMerges = 3, minFreq = 2L)
+    val out = BpeTrainer.encode(emojiDocs, "doc_id", "text", model)
+      .collect().map(r => r.getSeq[String](1).toList).head
+    assert(out.mkString === s"${face}lo${face}lo${face}lolo")
+  }
+
   test("fit on the real documents table is deterministic and releases its caches") {
     val emb = graft.core.Lake(spark, SparkSpec.sfDir).documents.limit(100)
     val a = BpeTrainer.fit(emb, "text", numMerges = 5)

@@ -126,6 +126,19 @@ class CurationOpsSpec extends SparkSpec {
       21L -> ((10L, 1L))))
   }
 
+  test("dedupKeepBest: string/UUID id columns analyze and tie-break to the lowest id") {
+    import spark.implicits._
+    val docs = Seq(
+      ("doc-b", "alpha beta gamma", 90L),  // group A, tied score, higher id
+      ("doc-a", "gamma beta alpha", 90L),  // group A, tied score, LOWEST id → wins
+      ("doc-c", "alpha beta gamma", 30L),  // group A, low score
+      ("doc-z", "delta epsilon", 50L))     // group B, alone
+      .toDF("doc_id", "text", "quality")
+    val out = Curation.dedupKeepBest(docs, "doc_id", "text", "quality")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map("doc-a" -> ((90L, 3L)), "doc-z" -> ((50L, 1L))))
+  }
+
   test("temperatureWeights composes with mixCorpus: weights feed the mixture recipe") {
     import spark.implicits._
     val docs = (Seq.fill(16)("big") ++ Seq.fill(4)("tiny"))
