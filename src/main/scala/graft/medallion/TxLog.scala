@@ -80,10 +80,18 @@ object TxLog {
   /** Resolved table state at `version`: the live file set + schema +
     * the newest streaming batch id committed per writer app (the Delta
     * `txn` action's state — what makes foreachBatch restarts
-    * exactly-once: a replayed batch id is detected here and skipped). */
+    * exactly-once: a replayed batch id is detected here and skipped).
+    *
+    * `addedIn` maps each live file's path to the version whose commit
+    * added it — the provenance that lets a scan tag rows with
+    * `_commit_version`. Checkpoints persist it as a per-add `v` field,
+    * so attribution survives log truncation; a file from a
+    * pre-provenance checkpoint conservatively attributes the checkpoint
+    * version itself. */
   final case class Snapshot(
       version: Long, schemaJson: String, files: Seq[AddFile],
-      txns: Map[String, Long] = Map.empty) {
+      txns: Map[String, Long] = Map.empty,
+      addedIn: Map[String, Long] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -113,10 +121,14 @@ object TxLog {
         "max" -> JString(cs.max)): JValue)
     })
 
-  private def addToJson(a: AddFile): JObject =
-    JObject("a" -> JString("add"), "path" -> JString(a.path),
+  private def addToJson(a: AddFile, addedIn: Option[Long] = None): JObject =
+    JObject(List(
+      "a" -> (JString("add"): JValue), "path" -> JString(a.path),
       "rows" -> JLong(a.rows), "bytes" -> JLong(a.bytes),
-      "stats" -> statsToJson(a.stats))
+      "stats" -> statsToJson(a.stats)) ++
+      // checkpoint-only provenance: which commit originally added the
+      // file (live commits don't carry it — their file name IS the version)
+      addedIn.map(v => "v" -> (JLong(v): JValue)).toList)
 
   private def str(j: JValue): String = j match {
     case JString(s) => s
@@ -128,7 +140,7 @@ object TxLog {
     case other => throw new IllegalStateException(s"txlog: expected long, got $other")
   }
 
-  private def parseAdd(o: JObject): AddFile = {
+  private def parseAdd(o: JObject): (AddFile, Option[Long]) = {
     val m = o.obj.toMap
     val stats = m.get("stats") match {
       case Some(JObject(fields)) => fields.map { case (c, v) =>
@@ -137,7 +149,8 @@ object TxLog {
       }.toMap
       case _ => Map.empty[String, ColStats]
     }
-    AddFile(str(m("path")), lng(m("rows")), lng(m("bytes")), stats)
+    (AddFile(str(m("path")), lng(m("rows")), lng(m("bytes")), stats),
+      m.get("v").map(lng))
   }
 
   /** One commit file = JSON lines: an `info` line (op + readVersion, for
@@ -145,7 +158,8 @@ object TxLog {
   private[graft] def renderCommit(
       op: String, readVersion: Long, schemaJson: Option[String],
       adds: Seq[AddFile], removes: Seq[String],
-      txns: Map[String, Long] = Map.empty): String = {
+      txns: Map[String, Long] = Map.empty,
+      addVersions: Map[String, Long] = Map.empty): String = {
     val lines =
       JObject("a" -> JString("info"), "op" -> JString(op),
         "readVersion" -> JLong(readVersion)) ::
@@ -153,33 +167,39 @@ object TxLog {
       // sorted for deterministic checkpoint bytes (lost put race == same content)
       txns.toList.sortBy(_._1).map { case (app, b) =>
         JObject("a" -> JString("txn"), "appId" -> JString(app), "batchId" -> JLong(b)) } :::
-      adds.toList.map(addToJson) :::
+      adds.toList.map(a => addToJson(a, addVersions.get(a.path))) :::
       removes.toList.map(p => JObject("a" -> JString("remove"), "path" -> JString(p)))
     lines.map(j => JsonMethods.compact(JsonMethods.render(j))).mkString("\n")
   }
 
   private[medallion] final case class Commit(
       op: String, schemaJson: Option[String], adds: Seq[AddFile], removes: Seq[String],
-      txns: Map[String, Long])
+      txns: Map[String, Long],
+      /** per-add provenance versions, present only in checkpoint files */
+      addVersions: Map[String, Long] = Map.empty)
 
   private[medallion] def parseCommit(content: String): Commit = {
     var op = "unknown"; var schema: Option[String] = None
     val adds = Seq.newBuilder[AddFile]; val removes = Seq.newBuilder[String]
     var txns = Map.empty[String, Long]
+    var addVs = Map.empty[String, Long]
     content.linesIterator.filter(_.nonEmpty).foreach { line =>
       val o = JsonMethods.parse(line).asInstanceOf[JObject]
       val m = o.obj.toMap
       str(m("a")) match {
         case "info" => op = str(m("op"))
         case "schema" => schema = Some(str(m("json")))
-        case "add" => adds += parseAdd(o)
+        case "add" =>
+          val (a, v) = parseAdd(o)
+          adds += a
+          v.foreach(ver => addVs += (a.path -> ver))
         case "remove" => removes += str(m("path"))
         case "txn" => txns += (str(m("appId")) -> lng(m("batchId")))
         case other => throw new IllegalStateException(
           s"txlog: unknown action '$other' — refusing to read a log written by a newer format")
       }
     }
-    Commit(op, schema, adds.result(), removes.result(), txns)
+    Commit(op, schema, adds.result(), removes.result(), txns, addVs)
   }
 }
 
@@ -205,14 +225,18 @@ final class GraftTable(val tablePath: String) {
   private def ensureDirs(): Unit = { Files.createDirectories(logDir); () }
 
   /** Newest committed version, or 0 if the table has none. One bounded
-    * directory listing of the LOG (not the data). */
+    * directory listing of the LOG (not the data). Checkpoint files count
+    * too: a checkpoint AT v proves v committed, so a truncated log whose
+    * newest artifact is the checkpoint itself (every commit ≤ checkpoint
+    * dropped) still resolves its head instead of reporting empty. */
   def latestVersion(): Long =
     if (!Files.exists(logDir)) 0L
     else {
       val it = Files.list(logDir)
       try it.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json") && !n.startsWith("."))
-        .map(_.stripSuffix(".json")).filter(_.forall(_.isDigit))
+        .filter(n => n.endsWith(".json") && !n.startsWith("."))
+        .map(_.stripSuffix(".json").stripSuffix(".checkpoint"))
+        .filter(n => n.nonEmpty && n.forall(_.isDigit))
         .map(_.toLong).foldLeft(0L)(math.max)
       finally it.close()
     }
@@ -262,10 +286,16 @@ final class GraftTable(val tablePath: String) {
     var live = ListMap.empty[String, AddFile]
     var schemaJson: String = null
     var txns = Map.empty[String, Long]
+    var addedIn = Map.empty[String, Long]
     cp.foreach { cv =>
       val c = parseCommit(new String(Files.readAllBytes(checkpointFile(cv)), "UTF-8"))
       c.schemaJson.foreach(schemaJson = _)
-      c.adds.foreach(a => live += (a.path -> a))
+      c.adds.foreach { a =>
+        live += (a.path -> a)
+        // per-add provenance from the checkpoint; a pre-provenance
+        // checkpoint attributes its own version (conservative upper bound)
+        addedIn += (a.path -> c.addVersions.getOrElse(a.path, cv))
+      }
       txns ++= c.txns
     }
     var v = cp.getOrElse(0L) + 1
@@ -275,8 +305,8 @@ final class GraftTable(val tablePath: String) {
         s"txlog: commit $v missing (vacuumed past a checkpoint?) — cannot resolve $target")
       val c = parseCommit(new String(Files.readAllBytes(f), "UTF-8"))
       c.schemaJson.foreach(schemaJson = _)
-      c.removes.foreach(live -= _)
-      c.adds.foreach(a => live += (a.path -> a))
+      c.removes.foreach { p => live -= p; addedIn -= p }
+      c.adds.foreach { a => live += (a.path -> a); addedIn += (a.path -> v) }
       // monotonic max: an out-of-order replayed txn must never LOWER the
       // high-water mark (that would re-admit its duplicates later)
       c.txns.foreach { case (app, b) =>
@@ -286,7 +316,7 @@ final class GraftTable(val tablePath: String) {
     require(schemaJson != null || live.isEmpty,
       s"txlog: no schema action found resolving version $target")
     Snapshot(target, Option(schemaJson).getOrElse(new StructType().json),
-      live.values.toSeq, txns)
+      live.values.toSeq, txns, addedIn)
   }
 
   /** Read the table at `version` (default head). The scan is a plain
@@ -326,10 +356,18 @@ final class GraftTable(val tablePath: String) {
   private[graft] def readPruned(
       spark: SparkSession,
       constraints: Seq[(String, Option[Any], Option[Any])],
-      version: Long = -1L): DataFrame = {
-    // a NaN/Infinity bound cannot be answered by decimal stats (and
-    // would crash statsLiteral): drop the constraint — conservative,
-    // the filter's rows still come out right via Spark's re-filter
+      version: Long = -1L): DataFrame =
+    readFiles(spark, prunedSnapshot(constraints, version), identity)
+
+  /** The snapshot with only the files whose stats overlap EVERY
+    * per-column [lo, hi] bound — the metadata half of [[readPruned]],
+    * for scan planners (the DSv2 relation) that build their own reads.
+    * Columns without stats never prune; NaN/Infinity bounds are dropped
+    * (decimal stats cannot answer them) — both conservative, row
+    * semantics stay with the caller's residual filter. */
+  private[graft] def prunedSnapshot(
+      constraints: Seq[(String, Option[Any], Option[Any])],
+      version: Long = -1L): Snapshot = {
     val usable = constraints.filter { case (_, lo, hi) =>
       lo.forall(isFiniteStat) && hi.forall(isFiniteStat)
     }
@@ -340,8 +378,12 @@ final class GraftTable(val tablePath: String) {
           lo.map(statsLiteral), hi.map(statsLiteral)))
       }
     }
-    readFiles(spark, snap.copy(files = live), identity)
+    snap.copy(files = live)
   }
+
+  /** Absolute path of a live file (add paths are table-root-relative). */
+  private[graft] def absoluteDataPath(a: AddFile): String =
+    root.resolve(a.path).toString
 
   /** Number of files `readRange` would scan — the data-skipping metric. */
   def filesForRange(column: String, lower: Option[Any], upper: Option[Any]): Int = {
@@ -704,7 +746,7 @@ final class GraftTable(val tablePath: String) {
   def checkpoint(): Long = {
     val snap = snapshot()
     val content = renderCommit("checkpoint", snap.version, Some(snap.schemaJson),
-      snap.files, Nil, snap.txns)
+      snap.files, Nil, snap.txns, addVersions = snap.addedIn)
     putIfAbsent(content, checkpointFile(snap.version)) // lost race == same content
     val hint = JsonMethods.compact(JsonMethods.render(
       JObject("version" -> JLong(snap.version))))
@@ -768,16 +810,39 @@ final class GraftTable(val tablePath: String) {
       spark: SparkSession, sinceVersion: Long,
       skipRewrites: Boolean = false, untilVersion: Long = -1L,
       readSchema: Option[StructType] = None): DataFrame = {
-    val head = latestVersion()
-    require(sinceVersion <= head,
-      s"txlog: appendsSince($sinceVersion) is ahead of head $head")
-    val until = if (untilVersion < 0) head else math.min(untilVersion, head)
     // readSchema pins the projection for consumers that declared their
     // schema earlier (the streaming source): files written after a
     // mergeSchema widening simply don't surface the new column, instead
     // of every in-flight batch suddenly changing shape mid-query
-    val schema = readSchema.getOrElse(snapshot(head).schema)
-    val perVersion = ((sinceVersion + 1) to until).flatMap { v =>
+    val schema = readSchema.getOrElse(snapshot(latestVersion()).schema)
+    val perVersion = appendFilesSince(sinceVersion, skipRewrites, untilVersion)
+    perVersion.foldLeft(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .withColumn("_commit_version", lit(0L)).limit(0)) {
+      case (acc, (v, adds)) =>
+        val paths = adds.map(a => root.resolve(a.path).toString)
+        paths.foreach(p => require(Files.exists(Paths.get(p)),
+          s"txlog: data file $p of commit $v was vacuumed — appendsSince " +
+            "is behind the retention window; re-seed from a snapshot read"))
+        acc.unionAll(spark.read.schema(schema).parquet(paths: _*)
+          .withColumn("_commit_version", lit(v)))
+    }
+  }
+
+  /** The metadata half of [[appendsSince]]: (version, its add-files) for
+    * every qualifying append-family commit in `(sinceVersion, until]`,
+    * with the identical rewrite/row-neutral contract. Scan planners (the
+    * DSv2 streaming source) build their own reads from this, so the two
+    * consumption paths cannot drift. */
+  private[graft] def appendFilesSince(
+      sinceVersion: Long, skipRewrites: Boolean = false,
+      untilVersion: Long = -1L): Seq[(Long, Seq[AddFile])] = {
+    val head = latestVersion()
+    require(sinceVersion <= head,
+      s"txlog: appendsSince($sinceVersion) is ahead of head $head")
+    val until = if (untilVersion < 0) head else math.min(untilVersion, head)
+    ((sinceVersion + 1) to until).flatMap { v =>
       val f = versionFile(v)
       require(Files.exists(f),
         s"txlog: commit $v missing — appendsSince($sinceVersion) is behind " +
@@ -795,18 +860,6 @@ final class GraftTable(val tablePath: String) {
               "skipRewrites = true to knowingly ignore it.")
           None
       }
-    }
-    perVersion.foldLeft(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .withColumn("_commit_version", lit(0L)).limit(0)) {
-      case (acc, (v, adds)) =>
-        val paths = adds.map(a => root.resolve(a.path).toString)
-        paths.foreach(p => require(Files.exists(Paths.get(p)),
-          s"txlog: data file $p of commit $v was vacuumed — appendsSince " +
-            "is behind the retention window; re-seed from a snapshot read"))
-        acc.unionAll(spark.read.schema(schema).parquet(paths: _*)
-          .withColumn("_commit_version", lit(v)))
     }
   }
 

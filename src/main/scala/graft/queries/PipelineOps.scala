@@ -662,6 +662,130 @@ object PipelineOps {
                 AS _commit_version
        FROM orders ORDER BY o_orderkey"""
 
+  // --------------------------------------------------------------------
+  // q104 — schema evolution through the transactional log, read back
+  // over the DSv2 batch surface: v1 appends (o_orderkey, o_totalprice);
+  // v2 appends with mergeSchema=true, WIDENING the table by
+  // o_orderstatus. The `format("graft-table")` read resolves the evolved
+  // schema from the log and null-backfills the pre-evolution rows (the
+  // explicit-schema parquet scan fills absent columns); `_commit_version`
+  // comes from the snapshot's provenance map, so the oracle can derive
+  // every cell arithmetically. A hash match certifies the mergeSchema
+  // contract end to end: widen-only evolution, trailing nullable column,
+  // old files readable unrewritten. Scale: evolution is a metadata-only
+  // commit — zero data files rewritten at any table size.
+  // --------------------------------------------------------------------
+  def q104SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${scratch("txevo", dir)}/orders_evo"
+    graft.core.Fs.rmTree(new java.io.File(root)) // fresh table per run: reruns deterministic
+    val t = new graft.medallion.GraftTable(root)
+    val base = lake(s, dir).orders
+    t.append(base.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice")))                    // v1
+    t.append(base.filter(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")),
+      mergeSchema = true, maxRetries = 20)                                // v2
+    s.read.format("graft-table").option("path", root).load()
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        col("_commit_version"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q104Oracle =
+    """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus,
+              CAST(1 AS BIGINT) AS _commit_version
+       FROM orders WHERE o_orderkey % 3 = 0
+       UNION ALL
+       SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(2 AS BIGINT)
+       FROM orders WHERE o_orderkey % 3 = 1
+       ORDER BY o_orderkey"""
+
+  // --------------------------------------------------------------------
+  // q105 — transactional Z-order: lineitem lands scattered across four
+  // append commits, then ONE conflict-checked `zorder` commit rewrites
+  // the live set interleaved on (l_orderkey, l_partkey) into exactly 4
+  // files. The query's require()s burn the layout proof into the green
+  // row — the rewrite hit its file target AND a single-orderkey range
+  // now prunes files via log stats (the multidimensional-skipping
+  // claim); the read-back then proves row identity through the
+  // log-resolved snapshot (a rewrite that lost or duplicated one row
+  // hash-mismatches). Scale: the rewrite is one staged parquet job at
+  // full parallelism + one put-if-absent commit; readers never see a
+  // torn layout.
+  // --------------------------------------------------------------------
+  def q105Zorder(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${scratch("txzorder", dir)}/lineitem_z"
+    graft.core.Fs.rmTree(new java.io.File(root)) // fresh table per run: reruns deterministic
+    val t = new graft.medallion.GraftTable(root)
+    val base = lake(s, dir).lineitem.select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    (0 to 3).foreach(m => t.append(
+      base.filter(col("l_orderkey") % 4 === m).repartition(2)))           // v1..v4
+    val (before, after, _) = t.optimizeZorder(
+      s, Seq("l_orderkey", "l_partkey"), targetFiles = 4)
+    require(before == 8 && after == 4,
+      s"zorder must rewrite the 8 scattered files into 4 (got $before -> $after)")
+    // data skipping on the clustered column: one orderkey's band must
+    // prune at least one of the 4 z-files (the pigeonhole floor for a
+    // 2-dim interleave; typical is 1-2 files scanned)
+    val probe = base.agg(min(col("l_orderkey"))).head().getLong(0)
+    val scanned = t.filesForRange("l_orderkey", Some(probe), Some(probe))
+    require(scanned < after,
+      s"z-order stats must prune a point read below $after files (scanned $scanned)")
+    t.read(s)
+      .withColumn("files_after", lit(after).cast(LongType))
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+  }
+
+  private val q105Oracle =
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+              CAST(4 AS BIGINT) AS files_after
+       FROM lineitem
+       ORDER BY l_orderkey, l_partkey, l_suppkey"""
+
+  // --------------------------------------------------------------------
+  // q106 — the streaming source vs table MAINTENANCE, composed: a live
+  // tail drains bronze v1 into silver; then a COMPACT (v2) rewrites the
+  // layout, a second wave appends (v3), and a VACUUM deletes v1's
+  // pre-compaction files — all BEFORE the stream restarts. The restarted
+  // query replays from its checkpointed offset across the maintenance
+  // window: the compact commit is row-neutral and skipped, the vacuumed
+  // files are never touched (the source reads commit metadata, not the
+  // old data files), and v3 flows exactly once through the txn ledger.
+  // `_commit_version` tags make WHEN each row flowed part of the hash.
+  // This is the operational contract that matters at 100 TB: OPTIMIZE
+  // and VACUUM must never disturb or corrupt a live consumer.
+  // --------------------------------------------------------------------
+  def q106StreamMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("strmvac", dir)
+    graft.core.Fs.rmTree(new java.io.File(root)) // fresh pipeline per run: reruns deterministic
+    val bronzePath = s"$root/bronze"
+    val silverPath = s"$root/silver"
+    val ckpt = s"$root/ckpt"
+    val bronze = new graft.medallion.GraftTable(bronzePath)
+    val base = lake(s, dir).orders.select(col("o_orderkey"), col("o_totalprice"))
+    bronze.append(base.filter(col("o_orderkey") % 2 === 0))               // v1
+    def run(): Unit = graft.streaming.TableSink.start(
+      s.readStream.format("graft-table").option("path", bronzePath).load(),
+      silverPath, "q106-b2s", ckpt).awaitTermination()
+    run() // drains v1
+    bronze.compact(s)                                                     // v2: row-neutral rewrite
+    bronze.append(base.filter(col("o_orderkey") % 2 === 1))               // v3
+    val deleted = bronze.vacuum(retainVersions = 1)
+    require(deleted.nonEmpty,
+      "vacuum must actually delete the pre-compaction files for this test to bite")
+    run() // restart across the maintenance window: only v3 flows
+    new graft.medallion.GraftTable(silverPath).read(s)
+      .select(col("o_orderkey"), col("o_totalprice"), col("_commit_version"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q106Oracle =
+    """SELECT o_orderkey, o_totalprice,
+              CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 3 END AS BIGINT)
+                AS _commit_version
+       FROM orders ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_sessionize" -> (q43Sessionize _),
@@ -674,7 +798,10 @@ object PipelineOps {
     "q82_cdc_upsert" -> (q82CdcUpsert _),
     "q84_cdc_partitioned" -> (q84CdcPartitioned _),
     "q88_table_format" -> (q88TableFormat _),
-    "q99_table_pipeline" -> (q99TablePipeline _))
+    "q99_table_pipeline" -> (q99TablePipeline _),
+    "q104_schema_evolution" -> (q104SchemaEvolution _),
+    "q105_zorder" -> (q105Zorder _),
+    "q106_stream_maintenance" -> (q106StreamMaintenance _))
 
   val oracle: Map[String, String] = Map(
     "q42_multimodal_meta" -> q42Oracle,
@@ -688,5 +815,8 @@ object PipelineOps {
     "q82_cdc_upsert" -> q82Oracle,
     "q84_cdc_partitioned" -> q84Oracle,
     "q88_table_format" -> q88Oracle,
-    "q99_table_pipeline" -> q99Oracle)
+    "q99_table_pipeline" -> q99Oracle,
+    "q104_schema_evolution" -> q104Oracle,
+    "q105_zorder" -> q105Oracle,
+    "q106_stream_maintenance" -> q106Oracle)
 }

@@ -1,0 +1,61 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Bridge into Spark's OWN vectorized parquet DSv2 machinery, for scan
+  * planners that know their exact file list (the graft-table log): builds
+  * a [[ParquetScanBuilder]] over an explicit set of files, pushes the
+  * caller's filters and projection into it, and returns the resulting
+  * [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]].
+  *
+  * Why delegation instead of a hand-rolled `PartitionReaderFactory`: the
+  * stock parquet scan brings whole-stage-ready COLUMNAR batches,
+  * row-group/page skipping from the pushed data filters, and
+  * maxPartitionBytes-aware file packing — re-implementing any of that
+  * would be strictly worse. This object lives in `org.apache.spark.sql`
+  * (like [[CosineSimilarity]]) because the builder is session-internal
+  * API; everything public-facing stays in `graft.streaming`.
+  */
+object ParquetScans {
+
+  /** A vectorized parquet [[Scan]] over exactly `files`.
+    *
+    * @param schema         full table schema (column order authority)
+    * @param requiredSchema projection to push (column pruning)
+    * @param filters        data filters to push into the parquet reader
+    *                       (row-group/page skipping); Spark re-applies
+    *                       them above the scan, so over-claiming is safe
+    */
+  def scanFor(
+      spark: SparkSession, schema: StructType, files: Seq[String],
+      requiredSchema: StructType, filters: Seq[Filter]): Scan = {
+    val index = new InMemoryFileIndex(
+      spark, files.map(new Path(_)), Map.empty[String, String], Some(schema))
+    val builder = ParquetScanBuilder(
+      spark, index, schema, schema, CaseInsensitiveStringMap.empty())
+    builder.pushDataFilters(filters.toArray)
+    builder.pruneColumns(requiredSchema)
+    builder.build()
+  }
+
+  /** A partition-agnostic parquet [[PartitionReaderFactory]] for the
+    * given (schema, projection, filters) spec: the factory only embeds
+    * the broadcast Hadoop conf and the read schema/filters, so ONE
+    * factory (built on the driver, serialized once) can read the file
+    * partitions of EVERY micro-batch a streaming source plans — the
+    * per-batch scans are only needed for maxPartitionBytes file packing. */
+  def readerFactoryFor(
+      spark: SparkSession, schema: StructType,
+      requiredSchema: StructType, filters: Seq[Filter])
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    scanFor(spark, schema, Seq.empty, requiredSchema, filters)
+      .toBatch.createReaderFactory()
+}

@@ -87,7 +87,7 @@ class GraftTableSourceSpec extends SparkSpec {
   }
 
   test("batch read via format('graft-table'): snapshot rows, filters pushed to file pruning") {
-    import graft.streaming.GraftTableRelation
+    import graft.streaming.GraftTableV2
     import org.apache.spark.sql.sources.{And, EqualTo, GreaterThan, IsNotNull, LessThanOrEqual, Or}
     val root = freshRoot()
     val path = new java.io.File(root, "tbl").getAbsolutePath
@@ -99,7 +99,8 @@ class GraftTableSourceSpec extends SparkSpec {
     t.append(Seq((20L, "e")).toDF("id", "payload").repartition(1))
 
     val df = spark.read.format("graft-table").option("path", path).load()
-    assert(df.schema.fieldNames.toSeq === Seq("id", "payload"))
+    // the DSv2 read schema: committed columns + the provenance tag
+    assert(df.schema.fieldNames.toSeq === Seq("id", "payload", "_commit_version"))
     assert(df.count() === 5L)
     // residual row filtering stays correct (filters re-applied by Spark)
     assert(df.filter(col("id") >= 10L && col("id") < 20L)
@@ -107,15 +108,64 @@ class GraftTableSourceSpec extends SparkSpec {
     // column pruning path
     assert(df.select("payload").collect().map(_.getString(0)).toSet
       === Set("a", "b", "c", "d", "e"))
+    // provenance: each row tagged with the commit that added it
+    assert(df.select("id", "_commit_version").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(1L -> 1L, 2L -> 1L, 10L -> 2L, 11L -> 2L, 20L -> 3L))
+    // ...and _commit_version bounds prune at metadata (an incremental
+    // "rows since commit N" read from plain SQL)
+    assert(df.filter(col("_commit_version") > 2L)
+      .select("id").collect().map(_.getLong(0)).toSet === Set(20L))
 
     // the pushdown machinery itself: bounds derivation + file pruning
-    assert(GraftTableRelation.bounds(And(GreaterThan("id", 9L), LessThanOrEqual("id", 11L)))
+    assert(GraftTableV2.bounds(And(GreaterThan("id", 9L), LessThanOrEqual("id", 11L)))
       === Seq(("id", Some(9L), None), ("id", None, Some(11L))))
-    assert(GraftTableRelation.bounds(Or(EqualTo("id", 1L), EqualTo("id", 2L))).isEmpty,
+    assert(GraftTableV2.bounds(Or(EqualTo("id", 1L), EqualTo("id", 2L))).isEmpty,
       "disjunctions must not prune")
-    assert(GraftTableRelation.bounds(IsNotNull("id")).isEmpty)
+    assert(GraftTableV2.bounds(IsNotNull("id")).isEmpty)
     assert(t.filesForRange("id", Some(10L), Some(11L)) === 1,
       "stats must isolate the middle file for the range")
+  }
+
+  test("batch scan is vectorized with filters pushed into the parquet reader") {
+    val root = freshRoot()
+    val path = new java.io.File(root, "tbl").getAbsolutePath
+    val t = new GraftTable(path)
+    import spark.implicits._
+    t.append((1L to 1000L).map(i => (i, s"p$i")).toDF("id", "payload"))
+
+    val q = spark.read.format("graft-table").option("path", path).load()
+      .filter(col("id") >= 100L && col("id") <= 200L)
+      .select("id", "payload")
+    val plan = q.queryExecution.executedPlan
+    val batchScans = plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(batchScans.nonEmpty, s"expected a DSv2 BatchScanExec, got:\n$plan")
+    // no-provenance projection takes the delegated parquet fast path:
+    // columnar batches straight into whole-stage codegen
+    assert(batchScans.head.supportsColumnar,
+      "fast-path scan must hand Spark columnar parquet batches")
+    // the pushed filters reach the inner parquet scan (row-group skipping)
+    val desc = batchScans.head.scan.description()
+    assert(desc.contains("GreaterThanOrEqual(id,100)") && desc.contains("LessThanOrEqual(id,200)"),
+      s"data filters must be pushed into the parquet reader, scan was: $desc")
+    assert(q.collect().map(_.getLong(0)).toSet === (100L to 200L).toSet)
+  }
+
+  test("count(*) over the DSv2 read uses the log's exact statistics") {
+    val root = freshRoot()
+    val path = new java.io.File(root, "tbl").getAbsolutePath
+    val t = new GraftTable(path)
+    import spark.implicits._
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"))
+    val rel = spark.read.format("graft-table").option("path", path).load()
+    // SupportsReportStatistics: the optimizer sees exact log totals, so
+    // a small graft table is broadcast-eligible without a size scan
+    val stats = rel.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 1024 * 1024,
+      s"expected log-reported size, got ${stats.sizeInBytes}")
+    assert(rel.count() === 2L)
   }
 
   test("batch read: NaN filters don't crash pruning; a missing table fails loudly") {

@@ -397,4 +397,68 @@ class TxLogSpec extends SparkSpec {
       .select(col("id")).collect().map(_.getLong(0)).toSet
     assert(skipped === Set(4L))
   }
+
+  test("500 commits: snapshot resolution reads only checkpoint + suffix, never the full log") {
+    // the high-commit-count throughput claim, proven BEHAVIORALLY: after
+    // a checkpoint, every commit file at or before it is deleted — if
+    // snapshot resolution (or latestVersion) touched anything beyond
+    // checkpoint + suffix, it would fail. Commits are synthesized at the
+    // log layer (driver-side metadata, the thing under test); data files
+    // are never read here, matching the reads-resolve-from-log contract.
+    val t = freshTable("manycommits")
+    t.append(df(Seq(1L -> "seed"))) // v1: real commit, writes the schema
+    val logDir = Paths.get(t.tablePath, "_graft_log")
+    def commitFile(v: Long) = logDir.resolve(f"$v%020d.json")
+    (2L to 500L).foreach { v =>
+      val content = TxLog.renderCommit(
+        "append", v - 1, None,
+        Seq(TxLog.AddFile(s"part-synthetic-$v.parquet", 1L, 10L, Map.empty)),
+        Nil)
+      assert(TxLog.putIfAbsent(content, commitFile(v)), s"commit $v must land")
+      if (v % 100 == 0) t.checkpoint()
+    }
+    assert(t.latestVersion() === 500L)
+
+    // sever the history: only the last checkpoint (v500) + nothing after
+    // it may be read. Deleting ALL plain commits ≤ 500 proves the
+    // resolution path is O(since-last-checkpoint), not O(commits).
+    (1L to 500L).foreach(v => Files.deleteIfExists(commitFile(v)))
+    val snap = t.snapshot()
+    assert(snap.version === 500L)
+    assert(snap.files.size === 500, "1 seed file + 499 synthetic adds")
+    // provenance survived the checkpoint: each synthetic file still
+    // attributes its ORIGINAL commit, not the checkpoint's version
+    assert(snap.addedIn("part-synthetic-250.parquet") === 250L)
+    assert(snap.addedIn("part-synthetic-499.parquet") === 499L)
+
+    // new commits keep landing and resolving on the truncated log
+    val content = TxLog.renderCommit(
+      "append", 500L, None,
+      Seq(TxLog.AddFile("part-synthetic-501.parquet", 1L, 10L, Map.empty)), Nil)
+    assert(TxLog.putIfAbsent(content, commitFile(501L)))
+    assert(t.snapshot().files.size === 501)
+    assert(t.snapshot().addedIn("part-synthetic-501.parquet") === 501L)
+
+    // time travel BEHIND the available history fails loudly, not wrongly
+    val e = intercept[IllegalArgumentException](t.snapshot(450L))
+    assert(e.getMessage.contains("missing"))
+  }
+
+  test("checkpoint preserves per-file commit provenance for the DSv2 _commit_version tag") {
+    val t = freshTable("provenance")
+    t.append(df(Seq(1L -> "a"))) // v1
+    t.append(df(Seq(2L -> "b"))) // v2
+    t.checkpoint()
+    t.append(df(Seq(3L -> "c"))) // v3
+    // resolve from the checkpoint: v1/v2 attribution must come from the
+    // persisted per-add version, not collapse to the checkpoint version
+    val snap = t.snapshot()
+    val byVersion = snap.files.map(f => snap.addedIn(f.path)).sorted
+    assert(byVersion === Seq(1L, 2L, 3L))
+    // and the DSv2 batch read surfaces it per row
+    val rows = spark.read.format("graft-table").option("path", t.tablePath)
+      .load().select(col("id"), col("_commit_version")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
 }
