@@ -385,6 +385,18 @@ final class GraftTable(val tablePath: String) {
   private[graft] def absoluteDataPath(a: AddFile): String =
     root.resolve(a.path).toString
 
+  /** Could `a` contain a value of `column` within [lo, hi]? The
+    * single-file overlap test behind [[prunedSnapshot]], exposed so scan
+    * planners can prune with filter shapes the constraint list can't
+    * express (e.g. IN-lists from runtime/join filters: a file survives
+    * if ANY member overlaps). Conservative: no stats, or a NaN/Infinity
+    * bound, never prunes. */
+  private[graft] def statsOverlap(
+      a: AddFile, column: String, lo: Option[Any], hi: Option[Any]): Boolean =
+    if (!lo.forall(isFiniteStat) || !hi.forall(isFiniteStat)) true
+    else a.stats.get(column).forall(_.overlaps(
+      lo.map(statsLiteral), hi.map(statsLiteral)))
+
   /** Number of files `readRange` would scan — the data-skipping metric. */
   def filesForRange(column: String, lower: Option[Any], upper: Option[Any]): Int = {
     val lo = lower.map(statsLiteral); val hi = upper.map(statsLiteral)

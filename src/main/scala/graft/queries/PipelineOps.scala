@@ -786,6 +786,50 @@ object PipelineOps {
                 AS _commit_version
        FROM orders ORDER BY o_orderkey"""
 
+  // --------------------------------------------------------------------
+  // q107 — time travel over a REWRITE: orders land in two append commits
+  // (v1, v2), then an upsert (v3) bumps prices on a deterministic subset
+  // of v1's rows, rewriting its files. The query reads the SAME table
+  // twice through the DSv2 surface — `versionAsOf 2` (pre-upsert
+  // snapshot, resolved from the immutable log even though the upsert
+  // replaced those files) and head — and unions them tagged. A hash
+  // match proves snapshot isolation across copy-on-write: the old
+  // version's bytes are exactly the pre-change data, the head's exactly
+  // the post-change merge. Scale: time travel is pure log resolution —
+  // no data copies, no restore job, any version within the vacuum
+  // retention window.
+  // --------------------------------------------------------------------
+  def q107TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${scratch("txtravel", dir)}/orders_tt"
+    graft.core.Fs.rmTree(new java.io.File(root)) // fresh table per run: reruns deterministic
+    val t = new graft.medallion.GraftTable(root)
+    val base = lake(s, dir).orders.select(col("o_orderkey"), col("o_totalprice"))
+    t.append(base.filter(col("o_orderkey") % 5 === 0))                    // v1
+    t.append(base.filter(col("o_orderkey") % 5 === 1))                    // v2
+    t.upsert(base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      .withColumn("_deleted", lit(false)).withColumn("_seq", lit(1L)),
+      "o_orderkey", "_seq")                                               // v3
+    def readAt(opts: Map[String, String], tag: String) =
+      opts.foldLeft(s.read.format("graft-table").option("path", root)) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load().select(col("o_orderkey"), col("o_totalprice"), lit(tag).as("as_of"))
+    readAt(Map("versionAsOf" -> "2"), "v2")
+      .unionByName(readAt(Map.empty, "head"))
+      .orderBy(col("as_of"), col("o_orderkey"))
+  }
+
+  private val q107Oracle =
+    """SELECT o_orderkey, o_totalprice, 'v2' AS as_of
+       FROM orders WHERE o_orderkey % 5 IN (0, 1)
+       UNION ALL
+       SELECT o_orderkey,
+              CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0
+                   ELSE o_totalprice END,
+              'head'
+       FROM orders WHERE o_orderkey % 5 IN (0, 1)
+       ORDER BY as_of, o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_sessionize" -> (q43Sessionize _),
@@ -801,7 +845,8 @@ object PipelineOps {
     "q99_table_pipeline" -> (q99TablePipeline _),
     "q104_schema_evolution" -> (q104SchemaEvolution _),
     "q105_zorder" -> (q105Zorder _),
-    "q106_stream_maintenance" -> (q106StreamMaintenance _))
+    "q106_stream_maintenance" -> (q106StreamMaintenance _),
+    "q107_time_travel" -> (q107TimeTravel _))
 
   val oracle: Map[String, String] = Map(
     "q42_multimodal_meta" -> q42Oracle,
@@ -818,5 +863,6 @@ object PipelineOps {
     "q99_table_pipeline" -> q99Oracle,
     "q104_schema_evolution" -> q104Oracle,
     "q105_zorder" -> q105Oracle,
-    "q106_stream_maintenance" -> q106Oracle)
+    "q106_stream_maintenance" -> q106Oracle,
+    "q107_time_travel" -> q107Oracle)
 }

@@ -7,8 +7,8 @@ import scala.jdk.CollectionConverters._
 import graft.medallion.{GraftTable, TxLog}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -83,8 +83,11 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
     p
   }
 
+  private def versionAsOf(m: java.util.Map[String, String]): Option[Long] =
+    Option(m.get("versionAsOf")).map(_.toLong)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTableV2.readSchemaOf(path(options))
+    GraftTableV2.readSchemaOf(path(options), versionAsOf(options))
 
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
@@ -93,26 +96,42 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
       path(properties), schema,
       skipRewrites = Option(properties.get("skipRewrites")).exists(_.toBoolean),
       startingVersion =
-        Option(properties.get("startingVersion")).map(_.toLong).getOrElse(0L))
+        Option(properties.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      versionAsOf = versionAsOf(properties))
 }
 
 /** The resolved table: schema pinned at creation (concurrent commits
-  * cannot tear a multi-action read or reshape a running stream). */
+  * cannot tear a multi-action read or reshape a running stream).
+  * `versionAsOf` time-travels batch reads to that committed snapshot —
+  * including its THEN-current schema, so a read before a mergeSchema
+  * widening doesn't grow phantom null columns. */
 final class GraftTableV2(
     val tablePath: String, pinnedSchema: StructType,
-    skipRewrites: Boolean, startingVersion: Long)
+    skipRewrites: Boolean, startingVersion: Long,
+    versionAsOf: Option[Long] = None)
     extends Table with SupportsRead {
 
   // version pinned alongside the schema: every batch scan of this table
-  // instance resolves the same snapshot
-  private[streaming] val snapVersion: Long = new GraftTable(tablePath).latestVersion()
+  // instance resolves the same snapshot. snapshot() validates an
+  // explicit versionAsOf against the head (time travel to a version
+  // that never committed fails loudly).
+  private[streaming] val snapVersion: Long = versionAsOf match {
+    case Some(v) => new GraftTable(tablePath).snapshot(v).version
+    case None => new GraftTable(tablePath).latestVersion()
+  }
 
-  override def name(): String = s"graft-table`$tablePath`"
+  override def name(): String = s"graft-table`$tablePath`" +
+    versionAsOf.map(v => s"@v$v").getOrElse("")
 
   override def schema(): StructType = pinnedSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    if (versionAsOf.isDefined)
+      // a pinned-history read cannot tail: streaming from a past
+      // version is startingVersion's job, and silently streaming the
+      // HEAD under a versionAsOf option would be a lie
+      Set(TableCapability.BATCH_READ).asJava
+    else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(
@@ -156,7 +175,7 @@ final class GraftScan(
     spark: SparkSession, tablePath: String, fullSchema: StructType,
     required: StructType, filters: Array[Filter],
     snapVersion: Long, skipRewrites: Boolean, startingVersion: Long)
-    extends Scan with SupportsReportStatistics {
+    extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   import GraftTableV2.VersionCol
 
@@ -167,9 +186,6 @@ final class GraftScan(
     fullSchema.fields.filterNot(_.name == VersionCol))
   private val dataFilters =
     filters.filter(_.references.forall(_ != VersionCol)).toSeq
-  private val versionBounds =
-    filters.filter(_.references.forall(_ == VersionCol))
-      .flatMap(GraftTableV2.bounds).toSeq
 
   override def readSchema(): StructType = required
 
@@ -177,32 +193,52 @@ final class GraftScan(
     s"graft-table $tablePath v$snapVersion " +
       s"[pushed: ${dataFilters.mkString(", ")}]"
 
-  /** The stats-pruned snapshot this batch reads: log min/max pruning
-    * from the pushed data-filter bounds, then `_commit_version` bounds
-    * against each file's adding commit. */
-  private lazy val pruned: (Seq[(TxLog.AddFile, Long)], TxLog.Snapshot) = {
+  /** Compile-time pruning: log min/max from the pushed data-filter
+    * bounds, then `_commit_version` predicates against each file's
+    * adding commit. */
+  private lazy val pruned: Seq[(TxLog.AddFile, Long)] = {
     val snap = table.prunedSnapshot(
       dataFilters.flatMap(GraftTableV2.bounds), version = snapVersion)
-    val withVersions = snap.files.map(a =>
-      a -> snap.addedIn.getOrElse(a.path, snap.version))
-    val kept = withVersions.filter { case (_, v) =>
-      versionBounds.forall { case (_, lo, hi) =>
-        lo.forall(l => v >= GraftTableV2.asLong(l)) &&
-          hi.forall(h => v <= GraftTableV2.asLong(h))
-      }
-    }
-    (kept, snap)
+    snap.files.map(a => a -> snap.addedIn.getOrElse(a.path, snap.version))
+      .filter { case (a, v) =>
+        filters.forall(f => GraftTableV2.fileSurvives(table, a, v, f)) }
   }
 
+  // ------------------------------------------- runtime (join) filtering
+  // The DPP analogue for the table format: a broadcast join hands the
+  // scan the build side's key set at RUNTIME as In-filters; files whose
+  // log stats cannot contain any member drop before a byte is read. At
+  // 100 TB this is the difference between scanning a fact table and
+  // scanning the handful of files a dimension filter actually touches.
+
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  // only the PROJECTED columns: the planner resolves these against the
+  // scan's output, and a pruned-away column would fail analysis
+  override def filterAttributes(): Array[NamedReference] =
+    required.fields.map(f => Expressions.column(f.name))
+
+  override def filter(rf: Array[Filter]): Unit = runtimeFilters = rf
+
+  /** The files the batch will read NOW: compile-time pruning, then
+    * whatever runtime filters have arrived since. Re-evaluated on every
+    * plan call because runtime filters land after `toBatch`. */
+  private def currentFiles(): Seq[(TxLog.AddFile, Long)] =
+    pruned.filter { case (a, v) =>
+      runtimeFilters.forall(f => GraftTableV2.fileSurvives(table, a, v, f)) }
+
+  // statistics reflect compile-time pruning only — the optimizer
+  // consumes them before runtime filters exist
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(pruned._1.map(_._1.bytes).sum)
+      OptionalLong.of(pruned.map(_._1.bytes).sum)
     override def numRows(): OptionalLong =
-      OptionalLong.of(pruned._1.map(_._1.rows).sum)
+      OptionalLong.of(pruned.map(_._1.rows).sum)
   }
 
   override def toBatch: Batch =
-    new GraftBatch(spark, table, dataSchema, required, dataFilters, pruned._1)
+    new GraftBatch(spark, table, dataSchema, required, dataFilters,
+      () => currentFiles())
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(
@@ -213,12 +249,15 @@ final class GraftScan(
 /** Batch read of a pruned snapshot. Fast path (no `_commit_version`
   * required): transparent delegation to ONE parquet scan — columnar
   * batches pass through untouched. Provenance path: files group by
-  * adding commit; each group is its own delegated scan whose rows get
-  * the group's version appended. */
+  * adding commit; each group plans its own partitions, and ONE
+  * partition-agnostic parquet reader factory (it embeds only the
+  * schema/filters/conf, not the file list) serves every partition with
+  * the group's version appended. The file list is a THUNK because
+  * runtime filters can shrink it after this batch is constructed. */
 final class GraftBatch(
     spark: SparkSession, table: GraftTable, dataSchema: StructType,
     required: StructType, dataFilters: Seq[Filter],
-    files: Seq[(TxLog.AddFile, Long)])
+    files: () => Seq[(TxLog.AddFile, Long)])
     extends Batch {
 
   import GraftTableV2.VersionCol
@@ -227,47 +266,34 @@ final class GraftBatch(
   private val innerRequired = StructType(
     required.fields.filterNot(_.name == VersionCol))
 
-  // one delegated batch on the fast path; one per commit-version group
-  // on the provenance path (group count = live commits, bounded by
-  // compaction). Built once — planInputPartitions and
-  // createReaderFactory must agree on group order.
-  private lazy val delegates: Seq[(Long, Batch)] =
-    if (files.isEmpty) Seq.empty
-    else if (!needVersion)
-      Seq(0L -> org.apache.spark.sql.graft.ParquetScans.scanFor(
-        spark, dataSchema, files.map(f => table.absoluteDataPath(f._1)),
-        innerRequired, dataFilters).toBatch)
-    else files.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, group) =>
-      v -> org.apache.spark.sql.graft.ParquetScans.scanFor(
-        spark, dataSchema, group.map(g => table.absoluteDataPath(g._1)),
-        innerRequired, dataFilters).toBatch
-    }
+  private lazy val innerFactory: PartitionReaderFactory =
+    org.apache.spark.sql.graft.ParquetScans.readerFactoryFor(
+      spark, dataSchema, innerRequired, dataFilters)
 
-  override def planInputPartitions(): Array[InputPartition] =
-    if (!needVersion)
-      delegates.headOption.map(_._2.planInputPartitions()).getOrElse(Array.empty)
-    else delegates.zipWithIndex.flatMap { case ((v, b), i) =>
-      b.planInputPartitions().map(p => GraftVersionedPartition(p, i, v))
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = files()
+    if (fs.isEmpty) Array.empty
+    else if (!needVersion)
+      org.apache.spark.sql.graft.ParquetScans.scanFor(
+        spark, dataSchema, fs.map(f => table.absoluteDataPath(f._1)),
+        innerRequired, dataFilters).toBatch.planInputPartitions()
+    else fs.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (v, group) =>
+      org.apache.spark.sql.graft.ParquetScans.scanFor(
+        spark, dataSchema, group.map(g => table.absoluteDataPath(g._1)),
+        innerRequired, dataFilters).toBatch.planInputPartitions()
+        .map(p => GraftVersionedPartition(p, 0, v))
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (!needVersion)
-      delegates.headOption.map(_._2.createReaderFactory())
-        .getOrElse(EmptyReaderFactory)
-    else GraftVersionedReaderFactory(
-      delegates.map(_._2.createReaderFactory()).toArray,
-      required, innerRequired)
+    if (!needVersion) innerFactory
+    else GraftVersionedReaderFactory(Array(innerFactory), required, innerRequired)
 }
 
 /** An inner parquet partition tagged with its commit version and the
   * index of the delegate factory that can read it. */
 final case class GraftVersionedPartition(
     inner: InputPartition, delegate: Int, version: Long) extends InputPartition
-
-private case object EmptyReaderFactory extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    throw new IllegalStateException("empty scan has no partitions")
-}
 
 /** Wraps the delegated parquet readers to emit rows in `required` order
   * with the partition's commit version in the `_commit_version` slot.
@@ -389,14 +415,18 @@ object GraftTableV2 {
   /** The provenance column every graft-table read carries. */
   val VersionCol = "_commit_version"
 
-  /** The read schema: committed columns + `_commit_version`. Requires a
-    * committed table — a typo'd path must fail loudly, not read empty. */
-  private[streaming] def readSchemaOf(tablePath: String): StructType = {
+  /** The read schema: committed columns + `_commit_version`, resolved
+    * at `versionAsOf` when time-traveling (the THEN-current schema).
+    * Requires a committed table — a typo'd path must fail loudly, not
+    * read empty. */
+  private[graft] def readSchemaOf(
+      tablePath: String, versionAsOf: Option[Long] = None): StructType = {
     val t = new GraftTable(tablePath)
     require(t.latestVersion() > 0L,
       s"graft-table: no committed table at $tablePath — create it " +
         "(one append) before reading")
-    t.snapshot().schema.add(VersionCol, LongType, nullable = false)
+    t.snapshot(versionAsOf.getOrElse(-1L)).schema
+      .add(VersionCol, LongType, nullable = false)
   }
 
   /** Per-column [lo, hi] bounds derivable from a pushed filter — only
@@ -421,5 +451,33 @@ object GraftTableV2 {
   private[streaming] def asLong(v: Any): Long = v match {
     case n: java.lang.Number => n.longValue()
     case other => other.toString.toLong
+  }
+
+  /** Could file `a` (added in commit `v`) contain rows matching `f`?
+    * Handles the bound shapes [[bounds]] derives plus IN-lists (a file
+    * survives if ANY member overlaps its stats — the shape runtime/join
+    * filters arrive in). `_commit_version` predicates check the adding
+    * commit exactly. Conservative everywhere else: an unrecognized
+    * filter never prunes, and Spark's residual filtering owns row
+    * semantics regardless. */
+  private[graft] def fileSurvives(
+      table: GraftTable, a: TxLog.AddFile, v: Long, f: Filter): Boolean = {
+    import org.apache.spark.sql.sources.{And, EqualTo, In}
+    def onVersion = f.references.nonEmpty && f.references.forall(_ == VersionCol)
+    f match {
+      case In(VersionCol, values) =>
+        values.exists(x => x != null && asLong(x) == v)
+      case EqualTo(VersionCol, value) => value != null && asLong(value) == v
+      case _ if onVersion =>
+        bounds(f).forall { case (_, lo, hi) =>
+          lo.forall(l => v >= asLong(l)) && hi.forall(h => v <= asLong(h)) }
+      case In(col, values) =>
+        values.isEmpty || values.exists(x =>
+          x == null || table.statsOverlap(a, col, Some(x), Some(x)))
+      case And(l, r) =>
+        fileSurvives(table, a, v, l) && fileSurvives(table, a, v, r)
+      case _ =>
+        bounds(f).forall { case (col, lo, hi) => table.statsOverlap(a, col, lo, hi) }
+    }
   }
 }

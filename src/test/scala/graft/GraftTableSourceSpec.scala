@@ -168,6 +168,83 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(rel.count() === 2L)
   }
 
+  test("runtime (join) filters prune files before a byte is read — the DPP analogue") {
+    import graft.streaming.{GraftScan, GraftTableV2}
+    import org.apache.spark.sql.sources.{Filter, In}
+    val root = freshRoot()
+    val path = new java.io.File(root, "tbl").getAbsolutePath
+    val t = new GraftTable(path)
+    import spark.implicits._
+    // three single-file commits with disjoint id ranges
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "payload").repartition(1))
+    t.append(Seq((10L, "c"), (11L, "d")).toDF("id", "payload").repartition(1))
+    t.append(Seq((20L, "e")).toDF("id", "payload").repartition(1))
+
+    val fullSchema = GraftTableV2.readSchemaOf(path)
+    def scan() = new GraftScan(
+      spark, path, fullSchema, fullSchema, Array.empty,
+      snapVersion = t.latestVersion(), skipRewrites = false, startingVersion = 0L)
+
+    // a join's build-side key set arrives at runtime as an In-filter:
+    // only the files whose stats can contain a member survive
+    val unfiltered = scan().toBatch.planInputPartitions().length
+    val s2 = scan()
+    s2.filter(Array[Filter](In("id", Array(10L, 11L))))
+    val filtered = s2.toBatch.planInputPartitions().length
+    assert(unfiltered === 3 && filtered === 1,
+      s"In(10,11) must isolate the middle file (got $unfiltered -> $filtered)")
+    // the scan advertises its filterable columns to the planner
+    assert(scan().filterAttributes().map(_.describe()).toSet
+      === Set("id", "payload", "_commit_version"))
+    // ...and a runtime filter on the PROVENANCE column prunes by commit
+    val s3 = scan()
+    s3.filter(Array[Filter](In("_commit_version", Array(3L))))
+    assert(s3.toBatch.planInputPartitions().length === 1)
+
+    // end to end: a broadcast join over the DSv2 read stays correct
+    val dim = Seq((10L, "x"), (11L, "y")).toDF("id", "tag")
+    val fact = spark.read.format("graft-table").option("path", path).load()
+    val joined = fact.join(broadcast(dim), "id")
+      .select("id", "payload", "tag").collect()
+    assert(joined.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      === Set((10L, "c", "x"), (11L, "d", "y")))
+  }
+
+  test("versionAsOf time travel: past snapshot, then-current schema, streaming refused") {
+    val root = freshRoot()
+    val path = new java.io.File(root, "tbl").getAbsolutePath
+    val t = new GraftTable(path)
+    import spark.implicits._
+    t.append(df(Seq(1L -> "a")))                                    // v1
+    t.append(Seq((2L, "b", 7L)).toDF("id", "payload", "extra"),
+      mergeSchema = true, maxRetries = 20)                          // v2: widen
+    t.append(Seq((3L, "c", 8L)).toDF("id", "payload", "extra"),
+      mergeSchema = true, maxRetries = 20)                          // v3
+
+    def read(v: Long) = spark.read.format("graft-table")
+      .option("path", path).option("versionAsOf", v.toString).load()
+
+    // v1: pre-widening schema — no phantom null column
+    assert(read(1L).schema.fieldNames.toSeq === Seq("id", "payload", "_commit_version"))
+    assert(read(1L).select("id").collect().map(_.getLong(0)).toSet === Set(1L))
+    // v2: the widened schema, v1's rows null-backfilled
+    val v2 = read(2L).select("id", "extra").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(v2 === Map(1L -> -1L, 2L -> 7L))
+    // head unchanged
+    assert(spark.read.format("graft-table").option("path", path).load().count() === 3L)
+    // a version that never committed fails loudly
+    val e = intercept[IllegalArgumentException](read(99L).collect())
+    assert(e.getMessage.contains("does not exist"))
+    // time travel cannot tail: the table refuses streaming capability
+    val stream = intercept[Exception] {
+      spark.readStream.format("graft-table")
+        .option("path", path).option("versionAsOf", "1").load()
+    }
+    assert(stream.getMessage.toLowerCase.contains("stream"),
+      s"expected a streaming-capability refusal, got: ${stream.getMessage}")
+  }
+
   test("batch read: NaN filters don't crash pruning; a missing table fails loudly") {
     import spark.implicits._
     val root = freshRoot()
