@@ -5,14 +5,16 @@ import java.util.OptionalLong
 import scala.jdk.CollectionConverters._
 
 import graft.medallion.{GraftTable, TxLog}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, StreamSinkProvider}
 import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -72,7 +74,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * snapshot's exact byte/row totals from the log, so the optimizer can
   * broadcast a small graft table without a size-estimation scan.
   */
-final class GraftTableProvider extends TableProvider with DataSourceRegister {
+final class GraftTableProvider extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft-table"
 
@@ -81,6 +84,80 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
     if (p == null) throw new IllegalArgumentException(
       "graft-table requires .option(\"path\", <table root>)")
     p
+  }
+
+  // ------------------------------------------------------------- writes
+  // The table deliberately does NOT advertise DSv2 write capabilities:
+  // V2 byName output resolution would demand the synthetic
+  // `_commit_version` column from every writer. Spark therefore falls
+  // back to these V1 hooks, where the input schema is the TABLE's data
+  // schema — what a writer naturally has.
+
+  /** `df.write.format("graft-table").option("path", t).mode(...)`:
+    * Append commits through the table's optimistic append (pass
+    * `mergeSchema=true` to widen); Overwrite is the CAS overwrite
+    * commit; ErrorIfExists/Ignore follow their SaveMode contracts
+    * against table existence (≥1 commit). */
+  override def createRelation(
+      sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val p = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-table requires .option(\"path\", <table root>)"))
+    val t = new GraftTable(p)
+    val exists = t.latestVersion() > 0L
+    val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
+    mode match {
+      case SaveMode.Append => t.append(data, mergeSchema, maxRetries = 20)
+      case SaveMode.Overwrite => t.overwrite(data)
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft-table at $p already exists (SaveMode.ErrorIfExists)")
+      case SaveMode.ErrorIfExists => t.append(data, mergeSchema, maxRetries = 20)
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Ignore => t.append(data, mergeSchema, maxRetries = 20)
+    }
+    // the post-write relation: a fresh DSv2 read resolves it, so give
+    // the caller the canonical batch-read schema
+    val ctx = sqlContext
+    new BaseRelation {
+      override val sqlContext: SQLContext = ctx
+      override def schema: StructType = GraftTableV2.readSchemaOf(p)
+    }
+  }
+
+  /** `df.writeStream.format("graft-table").option("path", t)`: the
+    * exactly-once table sink as a format — each micro-batch commits
+    * through [[GraftTable.appendIdempotent]] under the query's txn
+    * ledger, so a crash-replayed batch id is a no-op (the
+    * [[TableSink]] contract without writing foreachBatch yourself).
+    * `appId` names the ledger; it defaults to the checkpoint location,
+    * which shares the batch-id lifetime — pass it explicitly when two
+    * logical queries must not suppress each other's batches. */
+  override def createSink(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-table sink: partitionBy is the table's layout concern (zorder/compact), not the sink's")
+    require(outputMode == OutputMode.Append(),
+      s"graft-table sink supports Append output only, got $outputMode")
+    val p = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-table requires .option(\"path\", <table root>)"))
+    val appId = parameters.get("appId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-table sink needs .option(\"appId\", ...) or a checkpointLocation " +
+          "to name its exactly-once txn ledger"))
+    val table = new GraftTable(p)
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // re-plan the micro-batch as a batch frame (the standard sink
+        // pattern: a streaming frame refuses batch writes)
+        table.appendIdempotent(
+          org.apache.spark.sql.graft.ParquetScans.asBatch(data), appId, batchId)
+        ()
+      }
+      override def toString: String = s"GraftTableSink[$p]"
+    }
   }
 
   private def versionAsOf(m: java.util.Map[String, String]): Option[Long] =
@@ -133,10 +210,17 @@ final class GraftTableV2(
       Set(TableCapability.BATCH_READ).asJava
     else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the first unambiguously-READ entry point: a typo'd path must fail
+    // loudly here, not resolve as an empty table (inferSchema stays
+    // lenient because the write path probes it before the table exists)
+    require(snapVersion > 0L,
+      s"graft-table: no committed table at $tablePath — create it " +
+        "(one append) before reading")
     new GraftScanBuilder(
       SparkSession.active, tablePath, pinnedSchema, snapVersion,
       skipRewrites, startingVersion)
+  }
 }
 
 /** Pushdown surface. All filters stay residual (Spark re-applies them —
@@ -417,15 +501,18 @@ object GraftTableV2 {
 
   /** The read schema: committed columns + `_commit_version`, resolved
     * at `versionAsOf` when time-traveling (the THEN-current schema).
-    * Requires a committed table — a typo'd path must fail loudly, not
-    * read empty. */
+    *
+    * A table with NO commits yields a placeholder schema instead of
+    * throwing: Spark probes `inferSchema` on the WRITE path too (to
+    * decide V2-vs-V1 write routing), where the table legitimately does
+    * not exist yet. Reads of a missing table still fail loudly — at
+    * scan building ([[GraftTableV2.newScanBuilder]]), the first point
+    * that is unambiguously a read. */
   private[graft] def readSchemaOf(
       tablePath: String, versionAsOf: Option[Long] = None): StructType = {
     val t = new GraftTable(tablePath)
-    require(t.latestVersion() > 0L,
-      s"graft-table: no committed table at $tablePath — create it " +
-        "(one append) before reading")
-    t.snapshot(versionAsOf.getOrElse(-1L)).schema
+    if (t.latestVersion() == 0L) new StructType().add(VersionCol, LongType, nullable = false)
+    else t.snapshot(versionAsOf.getOrElse(-1L)).schema
       .add(VersionCol, LongType, nullable = false)
   }
 

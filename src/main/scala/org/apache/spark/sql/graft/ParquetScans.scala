@@ -58,4 +58,13 @@ object ParquetScans {
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
     scanFor(spark, schema, Seq.empty, requiredSchema, filters)
       .toBatch.createReaderFactory()
+
+  /** Re-plan a streaming micro-batch frame as a BATCH frame over the
+    * same physical rows — the standard custom-`Sink.addBatch` pattern
+    * (a frame with `isStreaming=true` refuses batch writes). The plan
+    * is executed once, by the caller's write action. */
+  def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(
+        df.queryExecution.toRdd, df.schema, isStreaming = false)
 }

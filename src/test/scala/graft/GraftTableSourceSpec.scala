@@ -259,12 +259,85 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(df.filter(col("x") >= Double.NegativeInfinity).count() === 2L)
     assert(df.filter(col("x") === 1.5).count() === 1L)
 
-    // a typo'd path is an error, not an empty table
-    val e = intercept[IllegalArgumentException] {
+    // a typo'd path is an error, not an empty table. The check fires at
+    // scan building (first action) — schema inference stays lenient
+    // because the WRITE path probes it before the table exists.
+    val e = intercept[Exception] {
       spark.read.format("graft-table")
-        .option("path", s"$path-typo").load()
+        .option("path", s"$path-typo").load().collect()
     }
     assert(e.getMessage.contains("no committed table"))
+  }
+
+  test("df.write.format('graft-table'): append/overwrite/mergeSchema/SaveMode contracts") {
+    import org.apache.spark.sql.SaveMode
+    val root = freshRoot()
+    val path = new java.io.File(root, "tbl").getAbsolutePath
+    import spark.implicits._
+
+    def write(rows: Seq[(Long, String)], mode: SaveMode,
+        opts: Map[String, String] = Map.empty) = {
+      val w = rows.toDF("id", "payload").write.format("graft-table")
+        .option("path", path).mode(mode)
+      opts.foldLeft(w) { case (b, (k, v)) => b.option(k, v) }.save()
+    }
+
+    write(Seq(1L -> "a"), SaveMode.Append)                  // v1 creates
+    write(Seq(2L -> "b"), SaveMode.Append)                  // v2
+    val t = new GraftTable(path)
+    assert(t.latestVersion() === 2L)
+    assert(t.read(spark).select("id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+    // the commits went through the log (provenance proves it)
+    val prov = spark.read.format("graft-table").option("path", path).load()
+      .select("id", "_commit_version").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prov === Map(1L -> 1L, 2L -> 2L))
+
+    // mergeSchema widening via a write option
+    Seq((3L, "c", 9L)).toDF("id", "payload", "extra").write
+      .format("graft-table").option("path", path)
+      .option("mergeSchema", "true").mode(SaveMode.Append).save()
+    assert(t.snapshot().schema.fieldNames.toSeq === Seq("id", "payload", "extra"))
+
+    // SaveMode contracts against an existing table
+    intercept[IllegalStateException](write(Seq(9L -> "x"), SaveMode.ErrorIfExists))
+    write(Seq(9L -> "x"), SaveMode.Ignore) // no-op
+    assert(t.read(spark).count() === 3L)
+    // overwrite replaces the table in one CAS commit
+    write(Seq(7L -> "z"), SaveMode.Overwrite)
+    assert(t.read(spark).select("id").collect().map(_.getLong(0)).toSet === Set(7L))
+  }
+
+  test("writeStream.format('graft-table') commits exactly-once through the txn ledger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = freshRoot()
+    val path = new java.io.File(root, "tbl").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (2L, "b"))
+    val q = mem.toDF().toDF("id", "payload")
+      .writeStream.format("graft-table")
+      .option("path", path).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val t = new GraftTable(path)
+    assert(t.read(spark).select("id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+    // replaying the SAME batch id through the ledger is a no-op: the
+    // sink's exactly-once contract, directly on the format surface
+    val before = t.latestVersion()
+    val sink = new graft.streaming.GraftTableProvider().createSink(
+      spark.sqlContext, Map("path" -> path, "appId" -> ckpt),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(0L, Seq((1L, "dup"), (2L, "dup")).toDF("id", "payload"))
+    assert(t.latestVersion() === before, "replayed batch 0 must not commit")
+    assert(t.read(spark).count() === 2L)
   }
 
   test("compaction never disturbs a tailing consumer; a rewrite fails it loudly") {
