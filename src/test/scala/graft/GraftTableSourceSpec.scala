@@ -340,6 +340,28 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(t.read(spark).count() === 2L)
   }
 
+  test("SQL DDL surface: CREATE TEMPORARY VIEW ... USING `graft-table` serves plain SQL") {
+    val root = freshRoot()
+    val path = new java.io.File(root, "tbl").getAbsolutePath
+    val t = new GraftTable(path)
+    t.append(df(Seq(1L -> "a", 2L -> "b")))  // v1
+    t.append(df(Seq(3L -> "c")))             // v2
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW graft_sql_tv USING `graft-table` OPTIONS (path '$path')")
+    try {
+      // plain SQL reads the transactional snapshot through the DSv2 scan,
+      // provenance column included
+      val rows = spark.sql(
+        "SELECT id, payload, _commit_version FROM graft_sql_tv ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.toSeq === Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L)))
+      // and filters/aggregates push through the same scan machinery
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_sql_tv WHERE _commit_version = 1")
+        .head().getLong(0) === 2L)
+    } finally spark.catalog.dropTempView("graft_sql_tv")
+  }
+
   test("compaction never disturbs a tailing consumer; a rewrite fails it loudly") {
     val root = freshRoot()
     val srcPath = new java.io.File(root, "bronze").getAbsolutePath
