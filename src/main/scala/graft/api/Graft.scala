@@ -341,6 +341,15 @@ object Graft {
     graft.operators.KMeans.ivfSearch(
       corpus, queries, idCol, vecCol, model, nprobe, topK)
 
+  /** SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
+    * remove every vector cosine-`tau`-close to a lower-id vector in the
+    * same cell. Compose with [[kmeansFit]]+[[ivfAssign]] for the cell
+    * column, or pass any coarse assignment; see
+    * [[graft.operators.SemDedup.semanticDedup]]. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, tau: Double): DataFrame =
+    graft.operators.SemDedup.semanticDedup(df, idCol, vecCol, cellCol, tau)
+
   // ---------------- quality filtering & canonicalization ----------------
 
   /** Gopher-style hard-filter rule suite with per-rule audit flags;

@@ -388,7 +388,44 @@ object VectorOps {
          FROM embeddings e JOIN codes c USING (vec_id))
        SELECT vec_id, code_str, sq_err FROM err ORDER BY vec_id"""
 
+  // --------------------------------------------------------------------
+  // q108 — SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup.
+  // Every vector flagged kept/removed: removed iff a LOWER-id vector in
+  // the same cell (the `label` assignment, standing in for the k-means
+  // centroid as in q41) is cosine ≥ 0.5 close. The quadratic compare is
+  // confined to cells — the published trick that makes embedding dedup
+  // scale: at 100 TB you raise k so cells stay ~10³ vectors, and the
+  // whole pass is one cell-keyed equi-join + one anti-join on ids. The
+  // kept flag (not just survivors) goes into the hash so the oracle
+  // certifies both sides of the cut.
+  // --------------------------------------------------------------------
+  private val Q108_TAU = 0.5
+
+  def q108SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val v = vectors(s, dir)
+    val kept = graft.operators.SemDedup.semanticDedup(
+      v, "vec_id", "embedding", "label", Q108_TAU)
+      .select(col("vec_id"), lit(true).as("kept"))
+    v.select(col("vec_id"), col("label"))
+      .join(kept, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("kept"), lit(false)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q108Oracle =
+    s"""WITH v AS (SELECT vec_id, label, embedding, $dNorm AS norm_sq FROM embeddings),
+       removed AS (
+         SELECT DISTINCT b.vec_id
+         FROM v a JOIN v b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+          AND $dDot / sqrt(a.norm_sq * b.norm_sq) >= $Q108_TAU)
+       SELECT vec_id, label,
+              vec_id NOT IN (SELECT vec_id FROM removed) AS kept
+       FROM v ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_semantic_dedup" -> (q108SemanticDedup _),
     "q39_embedding_neardup" -> (q39EmbeddingNearDup _),
     "q40_knn_bruteforce" -> (q40KnnBruteForce _),
     "q41_ivf_ann" -> (q41IvfAnn _),
@@ -397,6 +434,7 @@ object VectorOps {
     "q100_pq_encode" -> (q100PqEncode _))
 
   val oracle: Map[String, String] = Map(
+    "q108_semantic_dedup" -> q108Oracle,
     "q39_embedding_neardup" -> q39Oracle,
     "q40_knn_bruteforce" -> q40Oracle,
     "q41_ivf_ann" -> q41Oracle,
