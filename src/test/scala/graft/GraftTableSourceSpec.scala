@@ -362,6 +362,30 @@ class GraftTableSourceSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("graft_sql_tv")
   }
 
+  test("a batch read is snapshot-pinned: concurrent commits never tear multi-action reads") {
+    val root = freshRoot()
+    val path = new java.io.File(root, "tbl").getAbsolutePath
+    val t = new GraftTable(path)
+    t.append(df(Seq(1L -> "a", 2L -> "b"))) // v1
+
+    val pinned = spark.read.format("graft-table").option("path", path).load()
+    assert(pinned.count() === 2L)
+    // a commit lands AFTER the relation resolved
+    t.append(df(Seq(3L -> "c"))) // v2
+    // every further action on the SAME frame reads the SAME snapshot —
+    // the count cannot drift mid-query-plan reuse
+    assert(pinned.count() === 2L)
+    assert(pinned.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // ...and equals the programmatic API's read of that version exactly
+    val api = t.read(spark, version = 1L)
+      .select("id", "payload").collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    val v2f = pinned.select("id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(api === v2f)
+    // a FRESH relation sees the new head
+    assert(spark.read.format("graft-table").option("path", path).load().count() === 3L)
+  }
+
   test("compaction never disturbs a tailing consumer; a rewrite fails it loudly") {
     val root = freshRoot()
     val srcPath = new java.io.File(root, "bronze").getAbsolutePath
