@@ -63,13 +63,24 @@ object TxLog {
     * and dates are stored as epoch millis/days — Timestamp.toString has
     * variable fraction width and would mis-compare lexicographically at
     * boundaries), "str" compare as strings. Conservative by design: a
-    * column with no stats never prunes. */
-  final case class ColStats(kind: String, min: String, max: String) {
+    * column with no stats never prunes.
+    *
+    * `nulls` is the file's null count for the column — `None` on files
+    * written before null counting existed (readers must treat unknown
+    * as "may contain nulls"). min/max say nothing about nulls, so this
+    * is what lets a reader prove a file is SINGLE-VALUED on a column
+    * (`min == max && nulls == Some(0)`) — the soundness key for
+    * answering GROUP BY from the log — and makes `COUNT(col)` exact
+    * (`rows - nulls`). */
+  final case class ColStats(
+      kind: String, min: String, max: String, nulls: Option[Long] = None) {
     private def cmp(a: String, b: String): Int =
       if (kind == "num") BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
     /** Could any value in [min,max] fall inside [lo,hi] (inclusive)? */
     def overlaps(lo: Option[String], hi: Option[String]): Boolean =
       lo.forall(l => cmp(max, l) >= 0) && hi.forall(h => cmp(min, h) <= 0)
+    /** Exactly one distinct non-null value, and no nulls at all? */
+    def singleValued: Boolean = nulls.contains(0L) && cmp(min, max) == 0
   }
 
   /** One live data file: path RELATIVE to the table root (tables stay
@@ -117,8 +128,9 @@ object TxLog {
 
   private def statsToJson(s: Map[String, ColStats]): JObject =
     JObject(s.toList.map { case (c, cs) =>
-      c -> (JObject("k" -> JString(cs.kind), "min" -> JString(cs.min),
-        "max" -> JString(cs.max)): JValue)
+      c -> (JObject(List("k" -> (JString(cs.kind): JValue),
+        "min" -> JString(cs.min), "max" -> JString(cs.max)) ++
+        cs.nulls.map(n => "nulls" -> (JLong(n): JValue)).toList): JValue)
     })
 
   private def addToJson(a: AddFile, addedIn: Option[Long] = None): JObject =
@@ -145,7 +157,8 @@ object TxLog {
     val stats = m.get("stats") match {
       case Some(JObject(fields)) => fields.map { case (c, v) =>
         val sm = v.asInstanceOf[JObject].obj.toMap
-        c -> ColStats(str(sm("k")), str(sm("min")), str(sm("max")))
+        c -> ColStats(str(sm("k")), str(sm("min")), str(sm("max")),
+          sm.get("nulls").map(lng))
       }.toMap
       case _ => Map.empty[String, ColStats]
     }
@@ -466,7 +479,8 @@ final class GraftTable(val tablePath: String) {
     val sCols = statsColumns(df.schema)
     val aggs = count(lit(1)).as("_rows") +:
       sCols.flatMap(f => Seq(
-        min(col(f.name)).as(s"_min_${f.name}"), max(col(f.name)).as(s"_max_${f.name}")))
+        min(col(f.name)).as(s"_min_${f.name}"), max(col(f.name)).as(s"_max_${f.name}"),
+        count(col(f.name)).as(s"_cnt_${f.name}"))) // non-null count (NaN IS non-null)
     val perFile = spark.read.schema(df.schema).parquet(stage.toString)
       .groupBy(col("_metadata.file_path").as("_file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -478,14 +492,17 @@ final class GraftTable(val tablePath: String) {
       // move INTO the root under the final unique name: data files are
       // invisible until committed, so this move needs no atomicity
       Files.move(staged, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      val fileRows = row.getLong(row.fieldIndex("_rows"))
       val stats = sCols.flatMap { f =>
         val mn = row.get(row.fieldIndex(s"_min_${f.name}"))
         val mx = row.get(row.fieldIndex(s"_max_${f.name}"))
+        val nulls = fileRows - row.getLong(row.fieldIndex(s"_cnt_${f.name}"))
         // all-null file column, or a NaN/Infinity bound (BigDecimal cannot
         // represent them and max() surfaces NaN as greatest): no stats —
         // conservative, the file simply never prunes on this column
         if (mn == null || mx == null || !isFiniteStat(mn) || !isFiniteStat(mx)) None
-        else Some(f.name -> ColStats(statsKind(f.dataType), statsLiteral(mn), statsLiteral(mx)))
+        else Some(f.name -> ColStats(statsKind(f.dataType), statsLiteral(mn),
+          statsLiteral(mx), Some(nulls)))
       }.toMap
       AddFile(name, row.getLong(row.fieldIndex("_rows")), Files.size(root.resolve(name)), stats)
     }

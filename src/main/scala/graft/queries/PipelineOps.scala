@@ -830,6 +830,96 @@ object PipelineOps {
        FROM orders WHERE o_orderkey % 5 IN (0, 1)
        ORDER BY as_of, o_orderkey"""
 
+  // --------------------------------------------------------------------
+  // q109 — metadata-only aggregates: COUNT(*) / MIN / MAX over a graft
+  // table answer ENTIRELY from the commit log's per-file row counts and
+  // min/max stats — the require() proves the plan contains no data scan,
+  // so the green row certifies both the zero-IO plan shape AND the
+  // arithmetic (the oracle recomputes from the raw rows). At 100 TB
+  // this is the difference between a sub-second driver-side metadata
+  // read and a full-table scan for the most common dashboard queries.
+  // --------------------------------------------------------------------
+  def q109MetadataAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${scratch("txmeta", dir)}/orders_meta"
+    graft.core.Fs.rmTree(new java.io.File(root)) // fresh table per run: reruns deterministic
+    val t = new graft.medallion.GraftTable(root)
+    val base = lake(s, dir).orders.select(
+      col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    t.append(base.filter(col("o_orderkey") % 2 === 0))                    // v1
+    t.append(base.filter(col("o_orderkey") % 2 === 1))                    // v2
+    val agg = s.read.format("graft-table").option("path", root).load()
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderstatus")).as("min_status"),
+        max(col("o_orderstatus")).as("max_status"),
+        max(col("_commit_version")).as("max_version"))
+    // the zero-IO proof, burned into the green row: the pushed aggregate
+    // plans a local metadata row, never a data scan
+    val plan = agg.queryExecution.executedPlan.toString
+    require(!plan.contains("BatchScan"),
+      s"metadata aggregate must not scan data:\n$plan")
+    agg
+  }
+
+  private val q109Oracle =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+              min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+              min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+              CAST(2 AS BIGINT) AS max_version
+       FROM orders"""
+
+  // --------------------------------------------------------------------
+  // q110 — GROUP BY + COUNT(col) answered from the commit log alone.
+  // One append per o_orderstatus reproduces the layout partitioned
+  // ingest leaves behind (every file single-valued on the group
+  // column); the per-file null counts make COUNT(maybe_key) exact.
+  // The require() proves no data file is opened — at 100 TB the
+  // per-partition dashboard rollup (`GROUP BY dt`) is a driver-side
+  // metadata read.
+  // --------------------------------------------------------------------
+  def q110GroupedMetadataAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${scratch("txmeta", dir)}/orders_by_status"
+    graft.core.Fs.rmTree(new java.io.File(root)) // fresh table per run: reruns deterministic
+    val t = new graft.medallion.GraftTable(root)
+    val base = lake(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("maybe_key", when(col("o_orderkey") % 3 === 0, col("o_orderkey")))
+    // group-count-sized collect (3 statuses): drives the one-commit-per-
+    // partition-value ingest this scenario simulates
+    val statuses = base.select("o_orderstatus").distinct()
+      .collect().map(_.getString(0)).sorted
+    statuses.foreach(st => t.append(base.filter(col("o_orderstatus") === st)))
+    val agg = s.read.format("graft-table").option("path", root).load()
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("maybe_key")).as("n_maybe"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        max(col("_commit_version")).as("version"))
+      .orderBy("o_orderstatus")
+    val plan = agg.queryExecution.executedPlan.toString
+    require(!plan.contains("BatchScan"),
+      s"grouped metadata aggregate must not scan data:\n$plan")
+    agg
+  }
+
+  private val q110Oracle =
+    """SELECT o_orderstatus,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(CASE WHEN o_orderkey % 3 = 0 THEN 1 END) AS BIGINT) AS n_maybe,
+              min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+              min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+              CAST(dense_rank() OVER (ORDER BY o_orderstatus) AS BIGINT) AS version
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_sessionize" -> (q43Sessionize _),
@@ -846,7 +936,9 @@ object PipelineOps {
     "q104_schema_evolution" -> (q104SchemaEvolution _),
     "q105_zorder" -> (q105Zorder _),
     "q106_stream_maintenance" -> (q106StreamMaintenance _),
-    "q107_time_travel" -> (q107TimeTravel _))
+    "q107_time_travel" -> (q107TimeTravel _),
+    "q109_metadata_agg" -> (q109MetadataAgg _),
+    "q110_grouped_metadata_agg" -> (q110GroupedMetadataAgg _))
 
   val oracle: Map[String, String] = Map(
     "q42_multimodal_meta" -> q42Oracle,
@@ -864,5 +956,7 @@ object PipelineOps {
     "q104_schema_evolution" -> q104Oracle,
     "q105_zorder" -> q105Oracle,
     "q106_stream_maintenance" -> q106Oracle,
-    "q107_time_travel" -> q107Oracle)
+    "q107_time_travel" -> q107Oracle,
+    "q109_metadata_agg" -> q109Oracle,
+    "q110_grouped_metadata_agg" -> q110Oracle)
 }

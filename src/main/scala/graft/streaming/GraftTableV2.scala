@@ -10,12 +10,13 @@ import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, StreamSinkProvider}
-import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 surface of a [[graft.medallion.GraftTable]] — ONE table
@@ -226,14 +227,26 @@ final class GraftTableV2(
 /** Pushdown surface. All filters stay residual (Spark re-applies them —
   * log stats and parquet stats only prune storage); `pushedFilters`
   * reports the subset forwarded to the parquet reader / file pruner, so
-  * plans and specs can see the pushdown happened. */
+  * plans and specs can see the pushdown happened.
+  *
+  * Unfiltered `COUNT(*)` / `COUNT(col)` / `MIN` / `MAX` aggregates —
+  * including `GROUP BY` over columns on which every file is provably
+  * single-valued (the layout partitioned ingest produces) — push
+  * COMPLETELY into the commit log: the answer comes from per-file row
+  * counts, null counts, and min/max stats — a driver-side metadata
+  * read, zero bytes of data scanned at ANY table size (the Delta
+  * metadata-count optimization, extended to min/max and partition-
+  * grouped rollups). Soundness rules in
+  * [[GraftTableV2.metadataAggregate]]. */
 final class GraftScanBuilder(
     spark: SparkSession, tablePath: String, fullSchema: StructType,
     snapVersion: Long, skipRewrites: Boolean, startingVersion: Long)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var filters: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(StructType, Seq[InternalRow])] = None
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
@@ -250,9 +263,34 @@ final class GraftScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftScan(spark, tablePath, fullSchema, required, filters,
-      snapVersion, skipRewrites, startingVersion)
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    GraftTableV2.metadataAggregate(
+      new GraftTable(tablePath), fullSchema, snapVersion, filters, agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    pushedAgg = GraftTableV2.metadataAggregate(
+      new GraftTable(tablePath), fullSchema, snapVersion, filters, agg)
+    pushedAgg.isDefined
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, rows)) => GraftMetadataScan(tablePath, snapVersion, schema, rows)
+    case None =>
+      new GraftScan(spark, tablePath, fullSchema, required, filters,
+        snapVersion, skipRewrites, startingVersion)
+  }
+}
+
+/** A completely-pushed aggregate: one row per group (one total for the
+  * ungrouped case), resolved from the commit log on the driver. No
+  * data file is opened. */
+final case class GraftMetadataScan(
+    tablePath: String, snapVersion: Long,
+    schema: StructType, resolved: Seq[InternalRow]) extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = resolved.toArray
+  override def description(): String =
+    s"graft-table $tablePath v$snapVersion [metadata-only aggregate, ${resolved.size} row(s)]"
 }
 
 final class GraftScan(
@@ -285,7 +323,7 @@ final class GraftScan(
       dataFilters.flatMap(GraftTableV2.bounds), version = snapVersion)
     snap.files.map(a => a -> snap.addedIn.getOrElse(a.path, snap.version))
       .filter { case (a, v) =>
-        filters.forall(f => GraftTableV2.fileSurvives(table, a, v, f)) }
+        filters.forall(f => GraftTableV2.fileSurvives(table, fullSchema, a, v, f)) }
   }
 
   // ------------------------------------------- runtime (join) filtering
@@ -309,7 +347,7 @@ final class GraftScan(
     * plan call because runtime filters land after `toBatch`. */
   private def currentFiles(): Seq[(TxLog.AddFile, Long)] =
     pruned.filter { case (a, v) =>
-      runtimeFilters.forall(f => GraftTableV2.fileSurvives(table, a, v, f)) }
+      runtimeFilters.forall(f => GraftTableV2.fileSurvives(table, fullSchema, a, v, f)) }
 
   // statistics reflect compile-time pruning only — the optimizer
   // consumes them before runtime filters exist
@@ -540,29 +578,218 @@ object GraftTableV2 {
     case other => other.toString.toLong
   }
 
+  /** Resolve an unfiltered COUNT(*)/COUNT(col)/MIN/MAX aggregation —
+    * optionally GROUP BY'd — purely from the commit log, or None if any
+    * part is ineligible.
+    *
+    * Soundness:
+    *   - only with NO pushed filters (any filter means rows must
+    *     actually be read);
+    *   - COUNT(*) = Σ per-file row counts (exact by construction);
+    *   - COUNT(col) = Σ per-file (rows − nulls); needs the per-file
+    *     null count, so files from before null counting make a column
+    *     ineligible. A stats-less file contributes 0 — provably
+    *     all-null — but ONLY for types the writer always stats
+    *     (numeric/string/date/timestamp) and never for float/double
+    *     (missing stats there can mean NaN/Infinity, which COUNT
+    *     counts);
+    *   - MIN/MAX(col) folds per-file min/max stats. A stats-less file
+    *     holds only nulls and SQL MIN/MAX ignores nulls — again EXCEPT
+    *     float/double, where a stats-less file is disqualifying;
+    *   - MIN/MAX on timestamps is ineligible (their stats are truncated
+    *     to epoch millis — not exact), but COUNT(timestamp) is fine
+    *     (null counts don't truncate);
+    *   - GROUP BY col needs every live file provably SINGLE-VALUED on
+    *     that column: `min == max && nulls == 0`, or a stats-less file
+    *     of a non-float always-stat'd type (wholly null ⇒ the whole
+    *     file belongs to the NULL group). This is exactly the layout a
+    *     date/tenant-partitioned ingest produces, so the common
+    *     `GROUP BY dt` dashboard query over a 100 TB table resolves on
+    *     the driver without touching a data file;
+    *   - `_commit_version` works everywhere (COUNT/MIN/MAX/GROUP BY):
+    *     the provenance map makes every file single-valued on it.
+    */
+  private[streaming] def metadataAggregate(
+      table: GraftTable, fullSchema: StructType, snapVersion: Long,
+      filters: Array[Filter], agg: Aggregation): Option[(StructType, Seq[InternalRow])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (filters.nonEmpty) return None
+    val snap = table.prunedSnapshot(Seq.empty, version = snapVersion)
+    type Files = Seq[TxLog.AddFile]
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+        case _ => None
+      }
+    def fieldType(c: String): Option[DataType] =
+      if (c == VersionCol) Some(LongType)
+      else fullSchema.fields.find(_.name == c).map(_.dataType)
+    def floaty(dt: DataType) = dt == DoubleType || dt == FloatType
+    // types the writer ALWAYS stats when any non-null value exists —
+    // for these, a stats-less file is provably all-null (mod floats)
+    def alwaysStatted(dt: DataType) = dt match {
+      case _: NumericType | StringType | DateType | TimestampType => true
+      case _ => false
+    }
+    def fileVersion(a: TxLog.AddFile): Long = snap.addedIn.getOrElse(a.path, snap.version)
+
+    // MIN/MAX eligibility is global (across ALL live files), not
+    // per-group — simpler to reason about, conservatively stricter
+    def minMaxEligible(c: String): Option[DataType] = {
+      if (c == VersionCol) return Some(LongType)
+      val dt = fieldType(c).getOrElse(return None)
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType
+            | DoubleType | StringType | DateType | _: DecimalType => ()
+        case _ => return None // incl. timestamps: stats truncated to millis
+      }
+      // NaN/Inf indistinguishable from all-null when stats are missing
+      if (floaty(dt) && snap.files.exists(_.stats.get(c).isEmpty)) None else Some(dt)
+    }
+    def foldMinMax(files: Files, c: String, dt: DataType, wantMin: Boolean): Any = {
+      if (c == VersionCol) {
+        val vs = files.map(fileVersion)
+        return if (vs.isEmpty) null else if (wantMin) vs.min else vs.max
+      }
+      val present = files.flatMap(_.stats.get(c))
+      if (present.isEmpty) return null // all nulls -> SQL MIN/MAX = null
+      val isNum = present.head.kind == "num"
+      val picked = present.map(cs => if (wantMin) cs.min else cs.max)
+        .reduce { (a, b) =>
+          val cmp = if (isNum) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+          if ((cmp <= 0) == wantMin) a else b
+        }
+      statsValue(picked, dt)
+    }
+    def countEligible(c: String): Boolean = {
+      if (c == VersionCol) return true // never null, count = rows
+      val dt = fieldType(c).getOrElse(return false)
+      if (!alwaysStatted(dt)) return false // boolean/binary/…: absence proves nothing
+      snap.files.forall(a => a.stats.get(c) match {
+        case Some(cs) => cs.nulls.isDefined // pre-null-count file: unknown
+        case None => !floaty(dt) // provably all-null, contributes 0
+      })
+    }
+    def foldCount(files: Files, c: String): Any =
+      if (c == VersionCol) files.map(_.rows).sum
+      else files.map(a => a.stats.get(c).fold(0L)(cs => a.rows - cs.nulls.get)).sum
+
+    // ----- group columns: every live file must carry exactly one
+    // group-key value (single-valued or wholly null)
+    val groupColsOpt = agg.groupByExpressions.toSeq.map(colOf)
+    if (groupColsOpt.exists(_.isEmpty)) return None
+    val groupCols = groupColsOpt.flatten
+    def groupValue(a: TxLog.AddFile, c: String): Option[Any] = {
+      if (c == VersionCol) return Some(fileVersion(a))
+      val dt = fieldType(c).getOrElse(return None)
+      a.stats.get(c) match {
+        case Some(cs) if minMaxEligible(c).isDefined && cs.singleValued =>
+          Some(statsValue(cs.min, dt))
+        case None if alwaysStatted(dt) && !floaty(dt) => Some(null) // the NULL group
+        case _ => None // multi-valued, nulls present/unknown, or possible NaN
+      }
+    }
+
+    // ----- resolve each aggregate to (name, type, nullable, fold fn)
+    val aggCols: Seq[Option[(String, DataType, Boolean, Files => Any)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some(("count(*)", LongType, false, (fs: Files) => fs.map(_.rows).sum: Any))
+        case cnt: Count if !cnt.isDistinct => colOf(cnt.column).filter(countEligible)
+          .map(c => (s"count($c)", LongType, false, (fs: Files) => foldCount(fs, c)))
+        case m: Min => colOf(m.column).flatMap(c => minMaxEligible(c).map(dt =>
+          (s"min($c)", dt, true, (fs: Files) => foldMinMax(fs, c, dt, wantMin = true))))
+        case m: Max => colOf(m.column).flatMap(c => minMaxEligible(c).map(dt =>
+          (s"max($c)", dt, true, (fs: Files) => foldMinMax(fs, c, dt, wantMin = false))))
+        case _ => None
+      }
+    if (aggCols.exists(_.isEmpty)) return None
+    val resolved = aggCols.flatten
+
+    // Spark's complete-pushdown contract: scan output = group columns
+    // (in GROUP BY order) followed by the aggregate columns
+    val schema = StructType(
+      groupCols.map(c => StructField(c, fieldType(c).get, nullable = true)) ++
+        resolved.map { case (n, dt, nullable, _) => StructField(n, dt, nullable) })
+
+    val grouped: Seq[(Seq[Any], Files)] =
+      if (groupCols.isEmpty) Seq((Seq.empty, snap.files))
+      else {
+        val keyed = snap.files.map { a =>
+          val ks = groupCols.map(c => groupValue(a, c))
+          if (ks.exists(_.isEmpty)) return None
+          (ks.map(_.get), a)
+        }
+        // deterministic group order (the driver compare sorts anyway)
+        keyed.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+          .sortBy(_._1.map(String.valueOf(_)).mkString("\u0000"))
+      }
+    val rows = grouped.map { case (key, files) =>
+      new GenericInternalRow((key ++ resolved.map(_._4(files))).toArray): InternalRow
+    }
+    Some((schema, rows))
+  }
+
+  /** Reconstruct a typed value from its stats string — the inverse of
+    * the log's `statsLiteral` for the exactly-representable types. */
+  private def statsValue(s: String, dt: DataType): Any = dt match {
+    case LongType => BigDecimal(s).toLongExact
+    case IntegerType => BigDecimal(s).toIntExact
+    case ShortType => BigDecimal(s).toShortExact
+    case ByteType => BigDecimal(s).toByteExact
+    case DoubleType => s.toDouble // doubles round-trip toString exactly
+    case FloatType => s.toFloat
+    case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case DateType => BigDecimal(s).toIntExact // stored as epoch days
+    case d: DecimalType =>
+      org.apache.spark.sql.types.Decimal(BigDecimal(s), d.precision, d.scale)
+    case other => throw new IllegalStateException(
+      s"statsValue on unsupported type $other — eligibility must gate this")
+  }
+
   /** Could file `a` (added in commit `v`) contain rows matching `f`?
     * Handles the bound shapes [[bounds]] derives plus IN-lists (a file
     * survives if ANY member overlaps its stats — the shape runtime/join
     * filters arrive in). `_commit_version` predicates check the adding
-    * commit exactly. Conservative everywhere else: an unrecognized
-    * filter never prunes, and Spark's residual filtering owns row
-    * semantics regardless. */
+    * commit exactly. Null-count stats prune on nullness: `IS NULL`
+    * drops files with a proven zero null count, `IS NOT NULL` drops
+    * provably all-null files (no stats on an always-stat'd non-float
+    * column — NOTABLY every pre-evolution file for a later-added
+    * column, so `WHERE new_col IS NOT NULL` skips the old data
+    * entirely). Conservative everywhere else: an unrecognized filter
+    * never prunes, and Spark's residual filtering owns row semantics
+    * regardless. */
   private[graft] def fileSurvives(
-      table: GraftTable, a: TxLog.AddFile, v: Long, f: Filter): Boolean = {
-    import org.apache.spark.sql.sources.{And, EqualTo, In}
+      table: GraftTable, schema: StructType, a: TxLog.AddFile, v: Long,
+      f: Filter): Boolean = {
+    import org.apache.spark.sql.sources.{And, EqualTo, In, IsNotNull, IsNull}
     def onVersion = f.references.nonEmpty && f.references.forall(_ == VersionCol)
+    // stats absent on a column the writer always stats ⇒ every row is
+    // null there (floats excluded: absence can also mean NaN/Infinity)
+    def provablyAllNull(c: String): Boolean =
+      a.stats.get(c).isEmpty && schema.fields.find(_.name == c).exists(fd =>
+        (fd.dataType match {
+          case _: NumericType | StringType | DateType | TimestampType => true
+          case _ => false
+        }) && fd.dataType != DoubleType && fd.dataType != FloatType)
     f match {
       case In(VersionCol, values) =>
         values.exists(x => x != null && asLong(x) == v)
       case EqualTo(VersionCol, value) => value != null && asLong(value) == v
+      case IsNull(VersionCol) => false // provenance is never null
+      case IsNotNull(VersionCol) => true
       case _ if onVersion =>
         bounds(f).forall { case (_, lo, hi) =>
           lo.forall(l => v >= asLong(l)) && hi.forall(h => v <= asLong(h)) }
+      case IsNull(c) => a.stats.get(c).forall(cs => !cs.nulls.contains(0L))
+      case IsNotNull(c) => !provablyAllNull(c)
       case In(col, values) =>
         values.isEmpty || values.exists(x =>
           x == null || table.statsOverlap(a, col, Some(x), Some(x)))
       case And(l, r) =>
-        fileSurvives(table, a, v, l) && fileSurvives(table, a, v, r)
+        fileSurvives(table, schema, a, v, l) && fileSurvives(table, schema, a, v, r)
       case _ =>
         bounds(f).forall { case (col, lo, hi) => table.statsOverlap(a, col, lo, hi) }
     }

@@ -386,6 +386,148 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(spark.read.format("graft-table").option("path", path).load().count() === 3L)
   }
 
+  test("COUNT/MIN/MAX push completely into the commit log: zero data bytes scanned") {
+    import spark.implicits._
+    val root = freshRoot()
+    val path = new java.io.File(root, "tbl").getAbsolutePath
+    val t = new GraftTable(path)
+    t.append(Seq((5L, "m", 1.5), (2L, "a", 2.5)).toDF("id", "name", "x"))  // v1
+    t.append(Seq((9L, "z", -0.5)).toDF("id", "name", "x"))                 // v2
+
+    def rel = spark.read.format("graft-table").option("path", path).load()
+
+    val q = rel.agg(
+      count(lit(1)).as("n"), min(col("id")).as("mn"), max(col("id")).as("mx"),
+      min(col("name")).as("smn"), max(col("x")).as("xmx"),
+      max(col("_commit_version")).as("vmx"))
+    // the plan is a LOCAL scan of the one metadata row — no file read,
+    // no BatchScan, at any table size (string check: AQE wraps the tree
+    // in AdaptiveSparkPlanExec, which collect() does not descend into)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchScan"),
+      s"metadata aggregate must not plan a data scan:\n$plan")
+    assert(plan.contains("metadata-only aggregate") || plan.contains("LocalTableScan"),
+      s"expected the pushed LocalScan in:\n$plan")
+    val r = q.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+      r.getDouble(4), r.getLong(5)) === ((3L, 2L, 9L, "a", 2.5, 2L)))
+
+    // filters disable the pushdown (rows must actually be read) and the
+    // answer stays right
+    assert(rel.filter(col("id") > 2L).count() === 2L)
+
+    // a NaN-bearing file writes no stats for x: min/max(x) must fall
+    // back to a real scan, never a wrong metadata answer
+    t.append(Seq((1L, "q", Double.NaN)).toDF("id", "name", "x"))          // v3
+    val nanAgg = rel.agg(max(col("x")).as("xmx"))
+    assert(nanAgg.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "float/double with a stats-less file must scan")
+    assert(nanAgg.head().getDouble(0).isNaN)
+    // ...while count(*) and the long column still push from metadata
+    assert(!rel.agg(count(lit(1))).queryExecution.executedPlan.toString
+      .contains("BatchScan"))
+    assert(rel.count() === 4L)
+  }
+
+  test("GROUP BY a per-file-constant column answers from the commit log; mixed files fall back") {
+    import spark.implicits._
+    val root = freshRoot()
+    val path = new java.io.File(root, "tbl").getAbsolutePath
+    val t = new GraftTable(path)
+    // partitioned-ingest layout: each append single-valued on `dt`
+    // x is Long, not Double: COUNT over float/double stays scan-bound
+    // whenever any file lacks stats (NaN indistinguishable from all-null)
+    t.append(Seq(("a", 1L, Some(10L)), ("a", 2L, None)).toDF("dt", "id", "x"))    // v1
+    t.append(Seq(("b", 3L, Some(30L))).toDF("dt", "id", "x"))                     // v2
+    t.append(Seq(("a", 9L, Some(90L))).toDF("dt", "id", "x"))                     // v3
+    t.append(Seq((null.asInstanceOf[String], 7L, Some(70L))).toDF("dt", "id", "x")) // v4: NULL group
+
+    def rel = spark.read.format("graft-table").option("path", path).load()
+    val q = rel.groupBy(col("dt")).agg(
+      count(lit(1)).as("n"), count(col("x")).as("nx"),
+      min(col("id")).as("mn"), max(col("id")).as("mx"),
+      max(col("_commit_version")).as("vmx"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchScan"),
+      s"grouped metadata aggregate must not plan a data scan:\n$plan")
+    val got = q.collect().map(r => Option(r.getString(0)) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === Map(
+      Some("a") -> ((3L, 2L, 1L, 9L, 3L)),
+      Some("b") -> ((1L, 1L, 3L, 3L, 2L)),
+      None -> ((1L, 1L, 7L, 7L, 4L))))
+
+    // COUNT(col) pushes ungrouped too, exact across the null in v1
+    val cq = rel.agg(count(col("x")).as("nx"), count(col("dt")).as("nd"))
+    assert(!cq.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(cq.head() === org.apache.spark.sql.Row(4L, 4L))
+
+    // a file that mixes dt values breaks per-file-constancy: same
+    // answer, but through a real scan
+    t.append(Seq(("a", 11L, Some(1L)), ("b", 12L, None)).toDF("dt", "id", "x")
+      .repartition(1))                                                           // v5
+    val q2 = rel.groupBy(col("dt")).agg(count(lit(1)).as("n"))
+    assert(q2.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "mixed-value file must force a data scan")
+    assert(q2.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      === Map(Some("a") -> 4L, Some("b") -> 2L, None -> 1L))
+    // ...and grouping by _commit_version still never needs the data
+    val q3 = rel.groupBy(col("_commit_version")).agg(count(lit(1)).as("n"))
+    assert(!q3.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(q3.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("null-count stats prune files on IS NULL / IS NOT NULL") {
+    import graft.streaming.GraftTableV2
+    import org.apache.spark.sql.sources.{IsNotNull, IsNull}
+    import spark.implicits._
+    val root = freshRoot()
+    val path = new java.io.File(root, "tbl").getAbsolutePath
+    val t = new GraftTable(path)
+    t.append(Seq((1L, Some("a")), (2L, Some("b"))).toDF("id", "s"))     // v1: s never null
+    t.append(Seq((3L, None), (4L, None)).map(x => (x._1, x._2: Option[String]))
+      .toDF("id", "s").repartition(1))                                  // v2: s all null
+    t.append(Seq((5L, Some("c")), (6L, None)).toDF("id", "s")
+      .repartition(1))                                                  // v3: mixed
+
+    val snap = t.snapshot(-1)
+    val schema = snap.schema
+    def survivors(f: org.apache.spark.sql.sources.Filter): Int =
+      snap.files.count(a => GraftTableV2.fileSurvives(
+        t, schema, a, snap.addedIn.getOrElse(a.path, snap.version), f))
+    val nFiles = snap.files.size
+    val filesOf = snap.files.groupBy(a => snap.addedIn.getOrElse(a.path, snap.version))
+    // IS NULL skips the zero-null v1 files; IS NOT NULL skips the
+    // all-null v2 file; the mixed v3 file survives both
+    assert(survivors(IsNull("s")) === nFiles - filesOf(1L).size,
+      "v1's zero-null files must prune")
+    assert(survivors(IsNotNull("s")) === nFiles - filesOf(2L).size,
+      "v2's all-null file must prune")
+    // provenance pseudo-column is never null
+    assert(survivors(IsNull("_commit_version")) === 0)
+    assert(survivors(IsNotNull("_commit_version")) === nFiles)
+
+    // end-to-end: results are right THROUGH the pruned scans
+    def rel = spark.read.format("graft-table").option("path", path).load()
+    assert(rel.filter(col("s").isNull).select("id").collect().map(_.getLong(0)).toSet
+      === Set(3L, 4L, 6L))
+    assert(rel.filter(col("s").isNotNull).select("id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 5L))
+
+    // schema evolution: files from before a column existed have no
+    // stats for it — `new_col IS NOT NULL` must skip ALL of them
+    t.append(Seq((7L, Some("d"), 70L)).toDF("id", "s", "extra"),
+      mergeSchema = true, maxRetries = 20)                              // v4
+    val snap2 = t.snapshot(-1)
+    val pre = snap2.files.count(a => !GraftTableV2.fileSurvives(
+      t, snap2.schema, a, snap2.addedIn.getOrElse(a.path, snap2.version),
+      IsNotNull("extra")))
+    assert(pre === nFiles, "every pre-evolution file must prune on IS NOT NULL(extra)")
+    assert(rel.filter(col("extra").isNotNull).select("id").collect()
+      .map(_.getLong(0)).toSet === Set(7L))
+  }
+
   test("compaction never disturbs a tailing consumer; a rewrite fails it loudly") {
     val root = freshRoot()
     val srcPath = new java.io.File(root, "bronze").getAbsolutePath
