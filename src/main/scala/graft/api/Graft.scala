@@ -438,7 +438,8 @@ object Graft {
   val medallion: Medallion.type = Medallion
 
   /** Open the log-structured transactional table at `path` (append /
-    * upsert / time travel / compact / zorder / streaming source+sink);
+    * upsert / range delete / time travel / compact / zorder /
+    * streaming source+sink);
     * see [[graft.medallion.GraftTable]]. */
   def table(path: String): graft.medallion.GraftTable =
     new graft.medallion.GraftTable(path)

@@ -709,6 +709,78 @@ final class GraftTable(val tablePath: String) {
     v
   }
 
+  /** Transactional range DELETE (`DELETE WHERE lower <= column <=
+    * upper`, either bound open): three-way file triage from log stats —
+    *
+    *   - files whose stats prove EVERY row matches (file range inside
+    *     the delete range AND zero nulls — a null key never matches a
+    *     comparison, so it would wrongly die with the file) drop by
+    *     pure metadata: no byte read, no byte written;
+    *   - files whose stats cannot overlap the range carry over
+    *     untouched;
+    *   - only genuinely straddling files are read and rewritten with
+    *     their surviving rows (rows where the predicate is NULL — a
+    *     null key — survive, per SQL DELETE semantics).
+    *
+    * At 100 TB this makes the retention delete ("drop everything before
+    * date D" on date-clustered data) a metadata operation that rewrites
+    * only the boundary file. A file with NO stats for `column` is
+    * provably all-null when the column's type always gets stats and
+    * isn't float/double — those carry over untouched (no row can
+    * match); otherwise the no-stats file is conservatively rewritten
+    * (it may hold matches — or NaNs, which compare greatest in Spark's
+    * ordering). Commits as a conflict-checked rewrite:
+    * concurrent writers abort it, and streaming tails refuse to cross
+    * it unless `skipRewrites` (rows disappeared — the Delta contract).
+    * Returns (droppedFiles, rewrittenFiles, committedVersion). */
+  def delete(
+      spark: SparkSession, column: String,
+      lower: Option[Any], upper: Option[Any]): (Int, Int, Long) = {
+    val snap = snapshot()
+    val lo = lower.map(statsLiteral); val hi = upper.map(statsLiteral)
+    require(lower.forall(isFiniteStat) && upper.forall(isFiniteStat),
+      "txlog: delete bounds must be finite (NaN/Infinity compare unreliably)")
+    def cmp(kind: String, a: String, b: String): Int =
+      if (kind == "num") BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+    // every row matches: file interval ⊆ [lo, hi] and provably no nulls
+    def allMatch(cs: ColStats): Boolean =
+      cs.nulls.contains(0L) &&
+        lo.forall(l => cmp(cs.kind, cs.min, l) >= 0) &&
+        hi.forall(h => cmp(cs.kind, cs.max, h) <= 0)
+    // stats absent + always-stat'd non-float type ⇒ the file is all
+    // null there ⇒ no row can match a comparison: never read, never drop
+    val provablyAllNull = snap.schema.fields.find(_.name == column).exists(f =>
+      (f.dataType match {
+        case _: NumericType | StringType | DateType | TimestampType => true
+        case _ => false
+      }) && f.dataType != DoubleType && f.dataType != FloatType)
+    val (dropped, kept) = snap.files.partition(_.stats.get(column).exists(allMatch))
+    val (touched, untouched) = kept.partition(_.stats.get(column) match {
+      case Some(cs) => cs.overlaps(lo, hi)
+      case None => !provablyAllNull
+    })
+    if (dropped.isEmpty && touched.isEmpty) return (0, 0, snap.version) // no-op, no commit
+
+    val adds = if (touched.isEmpty) Seq.empty else {
+      val c = col(column)
+      val matched = (lower, upper) match {
+        case (Some(l), Some(u)) => c >= lit(l) && c <= lit(u)
+        case (Some(l), None) => c >= lit(l)
+        case (None, Some(u)) => c <= lit(u)
+        case (None, None) => c.isNotNull // full-range: non-null rows match
+      }
+      val survivors = spark.read.schema(snap.schema)
+        .parquet(touched.map(a => root.resolve(a.path).toString): _*)
+        .filter(!coalesce(matched, lit(false))) // NULL predicate ⇒ row survives
+      stageData(survivors)
+    }
+    val v = commitRewrite(snap, "delete", None, adds,
+      (dropped ++ touched).map(_.path))
+    require(untouched.forall(a => Files.exists(root.resolve(a.path))),
+      "txlog: untouched file vanished during delete") // invariant, not cleanup
+    (dropped.size, touched.size, v)
+  }
+
   /** Transactional OPTIMIZE: rewrite the live set into ~`targetFileMB`
     * files in one conflict-checked commit — the object-store-safe
     * replacement for [[Maintenance.compactParquet]]'s directory swap.

@@ -920,6 +920,44 @@ object PipelineOps {
               CAST(dense_rank() OVER (ORDER BY o_orderstatus) AS BIGINT) AS version
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  // --------------------------------------------------------------------
+  // q111 — transactional range DELETE with three-way file triage. Four
+  // key-range appends (one file each), then DELETE of a range that
+  // wholly covers the second file and straddles the third: the require
+  // proves exactly one file dropped by PURE METADATA (no read, no
+  // write) and exactly one rewritten — at 100 TB the retention delete
+  // ("drop everything before date D") touches the boundary file, not
+  // the table. Null keys and survivors hash-checked against SQL DELETE
+  // semantics (NOT BETWEEN).
+  // --------------------------------------------------------------------
+  def q111RangeDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${scratch("txmeta", dir)}/orders_delete"
+    graft.core.Fs.rmTree(new java.io.File(root)) // fresh table per run: reruns deterministic
+    val t = new graft.medallion.GraftTable(root)
+    val base = lake(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val q = base.agg(max(col("o_orderkey"))).head().getLong(0) / 4
+    val k = col("o_orderkey")
+    t.append(base.filter(k <= q).repartition(1))                       // v1
+    t.append(base.filter(k > q && k <= 2 * q).repartition(1))          // v2
+    t.append(base.filter(k > 2 * q && k <= 3 * q).repartition(1))      // v3
+    t.append(base.filter(k > 3 * q).repartition(1))                    // v4
+    // DELETE WHERE q+1 <= key <= 5q/2: covers v2 wholly, half of v3
+    val (dropped, rewritten, _) =
+      t.delete(s, "o_orderkey", Some(q + 1), Some(5 * q / 2))
+    require(dropped == 1 && rewritten == 1,
+      s"triage must drop v2 by metadata and rewrite only v3 ($dropped/$rewritten)")
+    s.read.format("graft-table").option("path", root).load()
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q111Oracle =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       WHERE o_orderkey NOT BETWEEN ((SELECT max(o_orderkey) FROM orders)//4)+1
+                                AND (5*((SELECT max(o_orderkey) FROM orders)//4))//2
+       ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_sessionize" -> (q43Sessionize _),
@@ -938,7 +976,8 @@ object PipelineOps {
     "q106_stream_maintenance" -> (q106StreamMaintenance _),
     "q107_time_travel" -> (q107TimeTravel _),
     "q109_metadata_agg" -> (q109MetadataAgg _),
-    "q110_grouped_metadata_agg" -> (q110GroupedMetadataAgg _))
+    "q110_grouped_metadata_agg" -> (q110GroupedMetadataAgg _),
+    "q111_range_delete" -> (q111RangeDelete _))
 
   val oracle: Map[String, String] = Map(
     "q42_multimodal_meta" -> q42Oracle,
@@ -958,5 +997,6 @@ object PipelineOps {
     "q106_stream_maintenance" -> q106Oracle,
     "q107_time_travel" -> q107Oracle,
     "q109_metadata_agg" -> q109Oracle,
-    "q110_grouped_metadata_agg" -> q110Oracle)
+    "q110_grouped_metadata_agg" -> q110Oracle,
+    "q111_range_delete" -> q111Oracle)
 }

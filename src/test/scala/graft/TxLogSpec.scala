@@ -34,6 +34,51 @@ class TxLogSpec extends SparkSpec {
       .map(_.getName).toSet
   }
 
+  test("range delete: covered files drop by metadata, boundary files rewrite, null keys survive") {
+    import spark.implicits._
+    val t = freshTable("delete")
+    // one file per commit, disjoint id ranges + one all-null-key file
+    t.append(df((1L to 10L).map(i => i -> "lo")).repartition(1))        // v1
+    t.append(df((11L to 20L).map(i => i -> "mid")).repartition(1))      // v2
+    t.append(df((21L to 30L).map(i => i -> "hi")).repartition(1))       // v3
+    t.append(Seq((None: Option[Long], "nul"), (None, "nul2"))
+      .toDF("id", "name").repartition(1))                               // v4
+    val before = t.snapshot(-1)
+    val v1File = before.files.find(a =>
+      before.addedIn(a.path) == 1L).get.path
+
+    // DELETE WHERE 11 <= id <= 25
+    val (droppedN, rewrittenN, v) = t.delete(spark, "id", Some(11L), Some(25L))
+    // v2 is wholly covered (metadata drop); v3 straddles 25 (rewrite);
+    // v4 has no id stats ⇒ provably all-null ⇒ untouched (null keys
+    // never match a comparison); v1 is untouched by its stats
+    assert((droppedN, rewrittenN, v) === ((1, 1, 5L)))
+    val after = t.snapshot(-1)
+    assert(after.files.map(_.path).contains(v1File),
+      "the untouched file must carry over byte-identical (same path)")
+    val got = t.read(spark).select("id", "name").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+    assert(got.filter(_._1 >= 0).map(_._1).sorted.toSeq
+      === ((1L to 10L) ++ (26L to 30L)))
+    assert(got.count(_._1 == -1L) === 2, "null keys survive every range delete")
+    assert(t.history().head._2 === "delete")
+
+    // non-overlapping delete: pure no-op, no commit
+    assert(t.delete(spark, "id", Some(1000L), None) === ((0, 0, v)))
+
+    // full-range delete (both bounds open) keeps ONLY the null keys and
+    // drops zero-null files by metadata alone
+    val (d2, r2, v2) = t.delete(spark, "id", None, None)
+    assert(d2 >= 1, "zero-null survivors must drop by metadata")
+    val rest = t.read(spark).select("id").collect()
+    assert(rest.length === 2 && rest.forall(_.isNullAt(0)))
+    assert(v2 === v + 1)
+
+    // a tailing consumer must refuse to cross the delete commits
+    val ex = intercept[IllegalStateException](t.appendsSince(spark, 3L))
+    assert(ex.getMessage.contains("delete"))
+  }
+
   test("append/read round-trip; two appends both visible; versions advance") {
     val t = freshTable("roundtrip")
     val v1 = t.append(df(Seq(1L -> "a", 2L -> "b")))
