@@ -11,7 +11,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -242,11 +242,24 @@ final class GraftScanBuilder(
     spark: SparkSession, tablePath: String, fullSchema: StructType,
     snapVersion: Long, skipRewrites: Boolean, startingVersion: Long)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var filters: Array[Filter] = Array.empty
   private var pushedAgg: Option[(StructType, Seq[InternalRow])] = None
+  private var limit: Option[Int] = None
+
+  /** An unfiltered LIMIT stops planning files once the log's row counts
+    * guarantee enough rows — a `LIMIT 10` peek at a million-file table
+    * opens one file. Refused whenever filters exist: they are residual
+    * (rows drop ABOVE the scan), so row-count file truncation could
+    * under-produce. Partial push (the default): Spark keeps its own
+    * LIMIT on top, we just plan fewer files. */
+  override def pushLimit(n: Int): Boolean = {
+    if (filters.nonEmpty) return false
+    limit = Some(n); true
+  }
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
@@ -277,7 +290,7 @@ final class GraftScanBuilder(
     case Some((schema, rows)) => GraftMetadataScan(tablePath, snapVersion, schema, rows)
     case None =>
       new GraftScan(spark, tablePath, fullSchema, required, filters,
-        snapVersion, skipRewrites, startingVersion)
+        snapVersion, skipRewrites, startingVersion, limit)
   }
 }
 
@@ -296,7 +309,8 @@ final case class GraftMetadataScan(
 final class GraftScan(
     spark: SparkSession, tablePath: String, fullSchema: StructType,
     required: StructType, filters: Array[Filter],
-    snapVersion: Long, skipRewrites: Boolean, startingVersion: Long)
+    snapVersion: Long, skipRewrites: Boolean, startingVersion: Long,
+    limit: Option[Int] = None)
     extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   import GraftTableV2.VersionCol
@@ -313,7 +327,8 @@ final class GraftScan(
 
   override def description(): String =
     s"graft-table $tablePath v$snapVersion " +
-      s"[pushed: ${dataFilters.mkString(", ")}]"
+      s"[pushed: ${dataFilters.mkString(", ")}]" +
+      limit.map(n => s" [limit: $n]").getOrElse("")
 
   /** Compile-time pruning: log min/max from the pushed data-filter
     * bounds, then `_commit_version` predicates against each file's
@@ -343,11 +358,20 @@ final class GraftScan(
   override def filter(rf: Array[Filter]): Unit = runtimeFilters = rf
 
   /** The files the batch will read NOW: compile-time pruning, then
-    * whatever runtime filters have arrived since. Re-evaluated on every
-    * plan call because runtime filters land after `toBatch`. */
-  private def currentFiles(): Seq[(TxLog.AddFile, Long)] =
-    pruned.filter { case (a, v) =>
+    * whatever runtime filters have arrived since, then the pushed-limit
+    * truncation (last, so a runtime filter can never starve it).
+    * Re-evaluated on every plan call because runtime filters land after
+    * `toBatch`. */
+  private[graft] def currentFiles(): Seq[(TxLog.AddFile, Long)] = {
+    val alive = pruned.filter { case (a, v) =>
       runtimeFilters.forall(f => GraftTableV2.fileSurvives(table, fullSchema, a, v, f)) }
+    limit match {
+      case Some(n) => // keep files until their row counts guarantee n rows
+        var acc = 0L
+        alive.takeWhile { f => val need = acc < n; acc += f._1.rows; need }
+      case None => alive
+    }
+  }
 
   // statistics reflect compile-time pruning only — the optimizer
   // consumes them before runtime filters exist

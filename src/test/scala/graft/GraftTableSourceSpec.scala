@@ -478,6 +478,39 @@ class GraftTableSourceSpec extends SparkSpec {
       === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("an unfiltered LIMIT plans only enough files to cover it") {
+    import graft.streaming.GraftScan
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import spark.implicits._
+    val root = freshRoot()
+    val path = new java.io.File(root, "tbl").getAbsolutePath
+    val t = new GraftTable(path)
+    (1 to 5).foreach(i => t.append(
+      (1L to 100L).map(j => (i * 1000L + j, s"p$j")).toDF("id", "payload")
+        .repartition(1)))                               // 5 files × 100 rows
+
+    def rel = spark.read.format("graft-table").option("path", path).load()
+    def graftScan(q: org.apache.spark.sql.DataFrame): GraftScan =
+      q.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.scan }.get.asInstanceOf[GraftScan]
+
+    val q = rel.limit(250)
+    assert(graftScan(q).currentFiles().size === 3,
+      "250 rows need ceil(250/100)=3 of the 5 files")
+    assert(q.count() === 250L)
+    assert(graftScan(rel.limit(1)).currentFiles().size === 1)
+    assert(rel.limit(1).collect().length === 1)
+    // more than the table holds: every file, every row
+    assert(graftScan(rel.limit(10000)).currentFiles().size === 5)
+    assert(rel.limit(10000).count() === 500L)
+    // a filtered LIMIT must refuse the pushdown: filters are residual,
+    // so a row-count truncation could under-produce
+    val filtered = rel.filter(col("id") > 3150L).limit(10)
+    assert(graftScan(filtered).currentFiles().size === 2,
+      "file pruning by the filter, NOT by the limit")
+    assert(filtered.count() === 10L)
+  }
+
   test("null-count stats prune files on IS NULL / IS NOT NULL") {
     import graft.streaming.GraftTableV2
     import org.apache.spark.sql.sources.{IsNotNull, IsNull}
