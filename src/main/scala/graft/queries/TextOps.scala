@@ -1010,6 +1010,53 @@ object TextOps {
                 AS preview
        FROM documents ORDER BY doc_id"""
 
+  // --------------------------------------------------------------------
+  // q112 — exact shared-span detection: the W-gram windowed
+  // approximation of suffix-array substring dedup (Lee et al., "Dedup-
+  // licating Training Data Makes Language Models Better", ACL '22 —
+  // /root/reference has no equivalent; this is the training-pipeline
+  // memorization guard). Every 40-char window at stride 10 is hashed
+  // (hash60 — the
+  // md5 60-bit family DuckDB reproduces bit-for-bit); a window seen in
+  // ≥ 2 distinct documents marks an exactly-shared span. Per doc:
+  // how many of its distinct windows are shared.
+  //
+  // Scale: the shuffle carries (doc_id, hash) longs only — never the
+  // window text; windows/doc = len/stride (bounded explode); the
+  // groupBy(h) and the join back on h share one hash partitioning
+  // (AQE reuses it), then one doc-keyed agg. No pairwise stage exists
+  // at any point — cost is O(total windows), not O(docs²).
+  // --------------------------------------------------------------------
+  def q112SharedSpans(s: SparkSession, dir: String): DataFrame = {
+    val W = 40; val S = 10
+    val spans = lake(s, dir).documents
+      .filter(length(col("text")) >= W)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(text) - ${W - 1}, $S)," +
+          s" i -> substring(text, i, $W))")).as("span"))
+      .select(col("doc_id"), hash60(col("span")).as("h"))
+      .distinct() // a doc repeating its own span is not "shared"
+    val shared = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd")) // post-distinct: = #docs holding the span
+      .filter(col("nd") >= 2)
+    spans.join(shared, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q112Oracle =
+    s"""WITH spans AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(
+                  range(1, greatest(length(text) - 39, 0) + 1, 10),
+                  i -> ${dHash("substr(text, i, 40)")})) AS h
+         FROM documents WHERE length(text) >= 40),
+       shared AS (SELECT h FROM spans GROUP BY h HAVING count(*) >= 2)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_spans
+       FROM spans JOIN shared USING (h)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_token_stats" -> (q31TokenStats _),
     "q32_lang_id" -> (q32LangId _),
@@ -1029,7 +1076,8 @@ object TextOps {
     "q69_grouped_minhash_index" -> (q69GroupedMinhashIndex _),
     "q77_neardup_components" -> (q77NearDupComponents _),
     "q83_index_neardup" -> (q83IndexNearDup _),
-    "q87_redact" -> (q87Redact _))
+    "q87_redact" -> (q87Redact _),
+    "q112_shared_spans" -> (q112SharedSpans _))
 
   val oracle: Map[String, String] = Map(
     "q31_token_stats" -> q31Oracle,
@@ -1050,5 +1098,6 @@ object TextOps {
     "q69_grouped_minhash_index" -> q69Oracle,
     "q77_neardup_components" -> q77Oracle,
     "q83_index_neardup" -> q83Oracle,
-    "q87_redact" -> q87Oracle)
+    "q87_redact" -> q87Oracle,
+    "q112_shared_spans" -> q112Oracle)
 }
