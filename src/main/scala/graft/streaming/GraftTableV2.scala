@@ -175,7 +175,13 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
       skipRewrites = Option(properties.get("skipRewrites")).exists(_.toBoolean),
       startingVersion =
         Option(properties.get("startingVersion")).map(_.toLong).getOrElse(0L),
-      versionAsOf = versionAsOf(properties))
+      versionAsOf = versionAsOf(properties),
+      maxVersionsPerTrigger =
+        Option(properties.get("maxVersionsPerTrigger")).map { s =>
+          val n = s.toLong
+          require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+          n
+        })
 }
 
 /** The resolved table: schema pinned at creation (concurrent commits
@@ -186,7 +192,8 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
 final class GraftTableV2(
     val tablePath: String, pinnedSchema: StructType,
     skipRewrites: Boolean, startingVersion: Long,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Table with SupportsRead {
 
   // version pinned alongside the schema: every batch scan of this table
@@ -220,7 +227,7 @@ final class GraftTableV2(
         "(one append) before reading")
     new GraftScanBuilder(
       SparkSession.active, tablePath, pinnedSchema, snapVersion,
-      skipRewrites, startingVersion)
+      skipRewrites, startingVersion, maxVersionsPerTrigger)
   }
 }
 
@@ -240,7 +247,8 @@ final class GraftTableV2(
   * [[GraftTableV2.metadataAggregate]]. */
 final class GraftScanBuilder(
     spark: SparkSession, tablePath: String, fullSchema: StructType,
-    snapVersion: Long, skipRewrites: Boolean, startingVersion: Long)
+    snapVersion: Long, skipRewrites: Boolean, startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -290,7 +298,7 @@ final class GraftScanBuilder(
     case Some((schema, rows)) => GraftMetadataScan(tablePath, snapVersion, schema, rows)
     case None =>
       new GraftScan(spark, tablePath, fullSchema, required, filters,
-        snapVersion, skipRewrites, startingVersion, limit)
+        snapVersion, skipRewrites, startingVersion, limit, maxVersionsPerTrigger)
   }
 }
 
@@ -310,7 +318,8 @@ final class GraftScan(
     spark: SparkSession, tablePath: String, fullSchema: StructType,
     required: StructType, filters: Array[Filter],
     snapVersion: Long, skipRewrites: Boolean, startingVersion: Long,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   import GraftTableV2.VersionCol
@@ -389,7 +398,7 @@ final class GraftScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(
       spark, table, dataSchema, required, dataFilters,
-      skipRewrites, startingVersion)
+      skipRewrites, startingVersion, maxVersionsPerTrigger)
 }
 
 /** Batch read of a pruned snapshot. Fast path (no `_commit_version`
@@ -480,11 +489,18 @@ final case class GraftVersionedReaderFactory(
 
 /** Version-offset micro-batch stream — the V1 source's exactly-once
   * contract (offsets are table versions, deterministic replay from the
-  * immutable log) plus [[SupportsTriggerAvailableNow]]. */
+  * immutable log) plus [[SupportsTriggerAvailableNow]].
+  *
+  * `maxVersionsPerTrigger` caps each micro-batch at that many source
+  * commits (admission control): a month-long backfill drains in bounded
+  * batches instead of one giant batch whose shuffle/commit state must
+  * fit at once — with `Trigger.AvailableNow` the capped batches still
+  * stop exactly at the head pinned when the run began. */
 final class GraftMicroBatchStream(
     spark: SparkSession, table: GraftTable, dataSchema: StructType,
     required: StructType, dataFilters: Seq[Filter],
-    skipRewrites: Boolean, startingVersion: Long)
+    skipRewrites: Boolean, startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   import GraftTableV2.VersionCol
@@ -508,8 +524,12 @@ final class GraftMicroBatchStream(
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is the admission-control entry point")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    GraftVersionOffset(pinnedHead.getOrElse(table.latestVersion()))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head = pinnedHead.getOrElse(table.latestVersion())
+    val from = start.asInstanceOf[GraftVersionOffset].version
+    GraftVersionOffset(
+      maxVersionsPerTrigger.fold(head)(n => math.min(head, from + n)))
+  }
 
   override def reportLatestOffset(): Offset =
     GraftVersionOffset(table.latestVersion())

@@ -478,6 +478,44 @@ class GraftTableSourceSpec extends SparkSpec {
       === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("maxVersionsPerTrigger drains a backlog in capped micro-batches, exactly-once") {
+    val root = freshRoot()
+    val srcPath = new java.io.File(root, "bronze").getAbsolutePath
+    val dstPath = new java.io.File(root, "silver").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val src = new GraftTable(srcPath)
+    (1L to 4L).foreach(i => src.append(df(Seq(i -> s"p$i"))))   // v1..v4 backlog
+
+    val stream = spark.readStream.format("graft-table")
+      .option("path", srcPath).option("maxVersionsPerTrigger", "1").load()
+    TableSink.start(stream, dstPath, "capped", ckpt).awaitTermination()
+
+    val dst = new GraftTable(dstPath)
+    // one sink commit per capped micro-batch: the 4-version backlog
+    // landed as 4 batches, not one — and still exactly-once
+    assert(dst.latestVersion() === 4L,
+      "each source version must arrive in its own micro-batch")
+    assert(dst.read(spark).select("id", "_commit_version").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+
+    // a restart with no new input moves nothing
+    TableSink.start(
+      spark.readStream.format("graft-table")
+        .option("path", srcPath).option("maxVersionsPerTrigger", "1").load(),
+      dstPath, "capped", ckpt).awaitTermination()
+    assert(dst.latestVersion() === 4L)
+
+    // invalid cap fails loudly, never a silent unthrottled run
+    intercept[Exception] {
+      TableSink.start(
+        spark.readStream.format("graft-table")
+          .option("path", srcPath).option("maxVersionsPerTrigger", "0").load(),
+        dstPath, "bad", new java.io.File(root, "ckpt2").getAbsolutePath)
+        .awaitTermination()
+    }
+  }
+
   test("an unfiltered LIMIT plans only enough files to cover it") {
     import graft.streaming.GraftScan
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
