@@ -709,6 +709,29 @@ final class GraftTable(val tablePath: String) {
     v
   }
 
+  /** Create an EMPTY table: commit v1 carries the schema and no files.
+    * The catalog's `CREATE TABLE` — fails if anything ever committed
+    * here (concurrent creators race on the same put-if-absent commit,
+    * one wins). */
+  def create(schema: StructType): Long = {
+    ensureDirs()
+    if (latestVersion() > 0L)
+      throw new ConcurrentWriteException(s"txlog: table already exists at $root")
+    if (!tryCommit(1L, "create", 0L, Some(schema.json), Nil, Nil))
+      throw new ConcurrentWriteException(s"txlog: lost the create race at $root")
+    1L
+  }
+
+  /** Unconditional TRUNCATE: one commit removes every live file (data
+    * files stay on disk for time travel until [[vacuum]]). Unlike a
+    * full-range [[delete]] this drops null-keyed rows too — it is the
+    * `DELETE FROM t` with no predicate. */
+  def truncate(): Long = {
+    val snap = snapshot()
+    if (snap.files.isEmpty) return snap.version
+    commitRewrite(snap, "delete", None, Nil, snap.files.map(_.path))
+  }
+
   /** Transactional range DELETE (`DELETE WHERE lower <= column <=
     * upper`, either bound open): three-way file triage from log stats —
     *
@@ -952,8 +975,8 @@ final class GraftTable(val tablePath: String) {
       c.op match {
         case "append" | "streamingUpdate" if c.adds.nonEmpty => Some(v -> c.adds)
         case "append" | "streamingUpdate" => None
-        // row-neutral layout rewrites: same rows, different files
-        case "compact" | "zorder" | "checkpoint" => None
+        // row-neutral commits: same rows, different (or no) files
+        case "compact" | "zorder" | "checkpoint" | "create" => None
         case rewrite =>
           if (!skipRewrites) throw new IllegalStateException(
             s"txlog: commit $v is a '$rewrite' — its rewritten rows cannot be " +

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.medallion.GraftTable
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A Spark `TableCatalog` over a directory of graft tables — the piece
+  * that makes the table format a first-class SQL citizen:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.streaming.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft
+  *
+  *   CREATE TABLE graft.db.events (id BIGINT, payload STRING)
+  *   SELECT * FROM graft.db.events WHERE id > 5        -- DSv2 scan
+  *   DELETE FROM graft.db.events WHERE id <= 100       -- stats-triaged
+  *   TRUNCATE TABLE graft.db.events
+  *   DROP TABLE graft.db.events
+  * }}}
+  *
+  * Identifiers map to directories under the warehouse
+  * (`warehouse/ns…/name`); a table exists iff its commit log has a
+  * version. Reads resolve through [[GraftTableV2]] (same snapshot
+  * pinning, pushdown, and provenance column as the path-based API);
+  * DELETE/TRUNCATE route through the table's transactional delete.
+  * Writes stay on the explicit surfaces (`df.write.format`,
+  * `TableSink`, `GraftTable.append`) — the scan schema carries the
+  * synthetic `_commit_version` column, which a by-name DSv2 INSERT
+  * would demand from writers.
+  *
+  * No driver-side state beyond the warehouse path: every operation
+  * re-resolves the log, so concurrent sessions see each other's
+  * commits through the same put-if-absent protocol as everything else.
+  */
+final class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): String =
+    (ident.namespace().toSeq :+ ident.name())
+      .foldLeft(Paths.get(warehouse)) { (p, part) =>
+        require(!part.contains("/") && !part.startsWith("."),
+          s"catalog $catalogName: illegal identifier segment '$part'")
+        p.resolve(part)
+      }.toString
+
+  private def exists(ident: Identifier): Boolean =
+    new GraftTable(dirOf(ident)).latestVersion() > 0L
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = namespace.foldLeft(Paths.get(warehouse))(_.resolve(_))
+    if (!Files.isDirectory(base)) Array.empty
+    else Files.list(base).iterator().asScala
+      .filter(p => Files.isDirectory(p.resolve(graft.medallion.TxLog.LogDir)))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val path = dirOf(ident)
+    new GraftTableV2(
+      path, GraftTableV2.readSchemaOf(path, None),
+      skipRewrites = false, startingVersion = 0L)
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog: PARTITIONED BY is not supported — clustering is " +
+        "a layout concern (optimizeZorder), not a schema concern")
+    if (exists(ident)) throw new TableAlreadyExistsException((ident.namespace().toSeq :+ ident.name()).toSeq)
+    new GraftTable(dirOf(ident)).create(schema)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported — schema evolution " +
+        "goes through append(mergeSchema = true)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    if (!exists(ident)) false
+    else { graft.core.Fs.rmTree(new java.io.File(dirOf(ident))); true }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: RENAME is not supported — table paths are " +
+        "identity (relocate by moving the directory, the log is relative)")
+}

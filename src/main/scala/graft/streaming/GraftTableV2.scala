@@ -8,7 +8,7 @@ import graft.medallion.{GraftTable, TxLog}
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
@@ -194,7 +194,7 @@ final class GraftTableV2(
     skipRewrites: Boolean, startingVersion: Long,
     versionAsOf: Option[Long] = None,
     maxVersionsPerTrigger: Option[Long] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsDelete {
 
   // version pinned alongside the schema: every batch scan of this table
   // instance resolves the same snapshot. snapshot() validates an
@@ -217,6 +217,33 @@ final class GraftTableV2(
       // HEAD under a versionAsOf option would be a lie
       Set(TableCapability.BATCH_READ).asJava
     else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  /** SQL `DELETE FROM` / `TRUNCATE TABLE` (through [[GraftCatalog]]):
+    * accepted only when the predicate translates EXACTLY to the
+    * table's one-column inclusive range delete (=, >=, <=, BETWEEN,
+    * their conjunction, or no predicate at all = truncate). Strict
+    * inequalities and nullness predicates are refused loudly — the
+    * pruning machinery's inclusive widening would over-delete here,
+    * and a refused DELETE is recoverable where a wrong one is not. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    versionAsOf.isEmpty && GraftTableV2.deleteRange(filters).exists {
+      case None => true // unconditional: truncate
+      case Some((c, _, _)) => c != GraftTableV2.VersionCol &&
+        pinnedSchema.fields.exists(_.name == c)
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      s"graft-table: DELETE predicate ${filters.mkString(" AND ")} does not " +
+        "translate to a one-column inclusive range — rewrite it with " +
+        ">=/<=/BETWEEN, or truncate with no predicate")
+    val t = new GraftTable(tablePath)
+    GraftTableV2.deleteRange(filters).get match {
+      case None => t.truncate()
+      case Some((c, lo, hi)) => t.delete(SparkSession.active, c, lo, hi)
+    }
+    ()
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // the first unambiguously-READ entry point: a typo'd path must fail
@@ -791,6 +818,39 @@ object GraftTableV2 {
       org.apache.spark.sql.types.Decimal(BigDecimal(s), d.precision, d.scale)
     case other => throw new IllegalStateException(
       s"statsValue on unsupported type $other — eligibility must gate this")
+  }
+
+  /** EXACT translation of DELETE predicates into the table's range
+    * shape — the opposite discipline from [[bounds]]: pruning may
+    * widen conservatively, a DELETE may not deviate by one row.
+    * Returns Some(None) for an unconditional delete (truncate),
+    * Some(Some((col, lo, hi))) for a single-column inclusive range,
+    * None when the filters cannot be represented exactly (strict
+    * inequality, IS NULL, OR, a second column, conflicting bounds). */
+  private[graft] def deleteRange(filters: Array[Filter])
+      : Option[Option[(String, Option[Any], Option[Any])]] = {
+    import org.apache.spark.sql.sources.{AlwaysTrue, And, EqualTo, GreaterThanOrEqual, LessThanOrEqual}
+    def flatten(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => flatten(l) ++ flatten(r)
+      case other => Seq(other)
+    }
+    val leaves = filters.toSeq.flatMap(flatten).filterNot(_.isInstanceOf[AlwaysTrue])
+    if (leaves.isEmpty) return Some(None)
+    var colName: Option[String] = None
+    var lo: Option[Any] = None
+    var hi: Option[Any] = None
+    def setCol(c: String): Boolean =
+      if (colName.forall(_ == c)) { colName = Some(c); true } else false
+    val ok = leaves.forall {
+      case EqualTo(c, v) if v != null =>
+        setCol(c) && lo.isEmpty && hi.isEmpty && { lo = Some(v); hi = Some(v); true }
+      case GreaterThanOrEqual(c, v) if v != null =>
+        setCol(c) && lo.isEmpty && { lo = Some(v); true }
+      case LessThanOrEqual(c, v) if v != null =>
+        setCol(c) && hi.isEmpty && { hi = Some(v); true }
+      case _ => false
+    }
+    if (ok) Some(Some((colName.get, lo, hi))) else None
   }
 
   /** Could file `a` (added in commit `v`) contain rows matching `f`?

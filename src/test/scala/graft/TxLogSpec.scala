@@ -34,6 +34,33 @@ class TxLogSpec extends SparkSpec {
       .map(_.getName).toSet
   }
 
+  test("create/truncate: empty-table contract and tailing classification") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val t = freshTable("create")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    assert(t.create(schema) === 1L)
+    // schema resolves, zero rows, both read paths
+    assert(t.read(spark).count() === 0L)
+    assert(t.read(spark).schema.fieldNames.toSeq === Seq("id", "name"))
+    // double-create fails loudly (put-if-absent: one creator wins)
+    intercept[TxLog.ConcurrentWriteException](t.create(schema))
+
+    t.append(df(Seq(1L -> "a", 2L -> "b")))                       // v2
+    // a create commit is row-neutral: tailing from 0 sees only appends
+    assert(t.appendsSince(spark, 0L).count() === 2L)
+
+    assert(t.truncate() === 3L)
+    assert(t.read(spark).count() === 0L)
+    assert(t.history().head._2 === "delete")
+    // truncating an already-empty table is a no-op, not a commit
+    assert(t.truncate() === 3L)
+    // rows disappeared: tailing across the truncate must refuse
+    intercept[IllegalStateException](t.appendsSince(spark, 0L))
+    // ...and time travel still reads the pre-truncate data
+    assert(t.read(spark, version = 2L).count() === 2L)
+  }
+
   test("range delete: covered files drop by metadata, boundary files rewrite, null keys survive") {
     import spark.implicits._
     val t = freshTable("delete")
