@@ -822,6 +822,38 @@ final class GraftTable(val tablePath: String) {
     (snap.files.size, adds.size, v)
   }
 
+  /** Partial OPTIMIZE (`OPTIMIZE ... WHERE` shape): compact only the
+    * SMALL files (< `targetFileMB`) whose stats overlap the given range
+    * into right-sized ones — at 100 TB the whole-table [[compact]] is
+    * not an operation anyone runs; the streaming-ingest small-file
+    * problem is always concentrated in the recent key/date range.
+    * Conservative overlap is fine here (the rewrite is row-neutral, so
+    * including an extra file is wasted IO, never wrongness); files at
+    * or above the target size carry over untouched, as does everything
+    * outside the range. Tailing consumers cross it freely ("compact"
+    * is row-neutral). Returns (filesCompacted, filesAfter,
+    * committedVersion) — (0, 0, head) when fewer than two files
+    * qualify, with no commit. */
+  def compactRange(
+      spark: SparkSession, column: String,
+      lower: Option[Any], upper: Option[Any],
+      targetFileMB: Int = 128): (Int, Int, Long) = {
+    val snap = snapshot()
+    val lo = lower.map(statsLiteral); val hi = upper.map(statsLiteral)
+    val threshold = targetFileMB.toLong * 1024L * 1024L
+    val (targets, _) = snap.files.partition(a =>
+      a.bytes < threshold && a.stats.get(column).forall(_.overlaps(lo, hi)))
+    if (targets.size < 2) return (0, 0, snap.version) // nothing worth merging
+    val outParts = math.max(1,
+      math.ceil(targets.map(_.bytes).sum.toDouble / threshold).toInt)
+    val df = spark.read.schema(snap.schema)
+      .parquet(targets.map(a => root.resolve(a.path).toString): _*)
+      .repartition(outParts)
+    val adds = stageData(df)
+    val v = commitRewrite(snap, "compact", None, adds, targets.map(_.path))
+    (targets.size, adds.size, v)
+  }
+
   /** Transactional `OPTIMIZE ZORDER BY`: rewrite the WHOLE live file set
     * Z-order-clustered on `cols` ([[Layout.zorderBy]]) in one commit —
     * after it, every per-file min/max stat in the log covers a compact

@@ -61,6 +61,32 @@ class TxLogSpec extends SparkSpec {
     assert(t.read(spark, version = 2L).count() === 2L)
   }
 
+  test("compactRange merges only small in-range files; a tailing consumer crosses it") {
+    val t = freshTable("compactrange")
+    // 3 small files in the low range, 2 in the high range
+    t.append(df(Seq(1L -> "a")).repartition(1))                 // v1
+    t.append(df(Seq(2L -> "b")).repartition(1))                 // v2
+    t.append(df(Seq(3L -> "c")).repartition(1))                 // v3
+    t.append(df(Seq(100L -> "x")).repartition(1))               // v4
+    t.append(df(Seq(101L -> "y")).repartition(1))               // v5
+    val highBefore = t.snapshot(-1).files
+      .filter(_.stats("id").overlaps(Some("100"), None)).map(_.path).toSet
+
+    val (compacted, after, v) = t.compactRange(spark, "id", Some(1L), Some(10L))
+    assert(compacted === 3 && after === 1 && v === 6L,
+      "exactly the three low-range files merge into one")
+    // out-of-range files carried over byte-identical (same paths)
+    assert(highBefore.subsetOf(t.snapshot(-1).files.map(_.path).toSet))
+    // row-neutral: full content unchanged
+    assert(t.read(spark).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 3L, 100L, 101L))
+    // a tailing consumer reads THROUGH the compact commit untroubled
+    assert(t.appendsSince(spark, 3L).select("id").collect()
+      .map(_.getLong(0)).toSet === Set(100L, 101L))
+    // nothing else worth merging in that range now: no-op, no commit
+    assert(t.compactRange(spark, "id", Some(1L), Some(10L)) === ((0, 0, 6L)))
+  }
+
   test("range delete: covered files drop by metadata, boundary files rewrite, null keys survive") {
     import spark.implicits._
     val t = freshTable("delete")
