@@ -687,7 +687,7 @@ final class GraftTable(val tablePath: String) {
     val lo = Some(statsLiteral(bounds.get(0))); val hi = Some(statsLiteral(bounds.get(1)))
     // conservative: a file with no stats for the key column must be
     // treated as overlapping
-    val (touched, untouched) = snap.files.partition(
+    val (touched, _) = snap.files.partition(
       _.stats.get(key).forall(_.overlaps(lo, hi)))
     val base =
       if (touched.isEmpty)
@@ -704,8 +704,9 @@ final class GraftTable(val tablePath: String) {
     // resolve ("no schema action found"), bricking the table
     val schemaJson = if (snap.schema.isEmpty) Some(merged.schema.json) else None
     val v = commitRewrite(snap, "upsert", schemaJson, adds, touched.map(_.path))
-    require(untouched.forall(a => Files.exists(root.resolve(a.path))),
-      "txlog: untouched file vanished during upsert") // invariant, not cleanup
+    // untouched files are never staged or referenced by the commit —
+    // no post-commit existence sweep (O(#files) stat() calls, and a
+    // concurrent vacuum hiccup would blame this committed upsert)
     v
   }
 
@@ -759,26 +760,35 @@ final class GraftTable(val tablePath: String) {
   def delete(
       spark: SparkSession, column: String,
       lower: Option[Any], upper: Option[Any]): (Int, Int, Long) = {
-    val snap = snapshot()
-    val lo = lower.map(statsLiteral); val hi = upper.map(statsLiteral)
     require(lower.forall(isFiniteStat) && upper.forall(isFiniteStat),
       "txlog: delete bounds must be finite (NaN/Infinity compare unreliably)")
+    val snap = snapshot()
+    val lo = lower.map(statsLiteral); val hi = upper.map(statsLiteral)
     def cmp(kind: String, a: String, b: String): Int =
       if (kind == "num") BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+    val field = snap.schema.fields.find(_.name == column)
+    // timestamp stats are floored to epoch millis — sound for the
+    // OVERLAP direction (a floored max below a floored lo still proves
+    // no row matches) but NOT for the SUBSET direction: a file whose
+    // true max is 10:00:00.000900 stores the same floored max as a
+    // bound of 10:00:00.000100, and a metadata drop would over-delete
+    // the sub-millisecond survivors. Timestamps always take the
+    // rewrite path, where the exact row filter decides.
+    val exactStats = field.exists(_.dataType != TimestampType)
     // every row matches: file interval ⊆ [lo, hi] and provably no nulls
     def allMatch(cs: ColStats): Boolean =
-      cs.nulls.contains(0L) &&
+      exactStats && cs.nulls.contains(0L) &&
         lo.forall(l => cmp(cs.kind, cs.min, l) >= 0) &&
         hi.forall(h => cmp(cs.kind, cs.max, h) <= 0)
     // stats absent + always-stat'd non-float type ⇒ the file is all
     // null there ⇒ no row can match a comparison: never read, never drop
-    val provablyAllNull = snap.schema.fields.find(_.name == column).exists(f =>
+    val provablyAllNull = field.exists(f =>
       (f.dataType match {
         case _: NumericType | StringType | DateType | TimestampType => true
         case _ => false
       }) && f.dataType != DoubleType && f.dataType != FloatType)
     val (dropped, kept) = snap.files.partition(_.stats.get(column).exists(allMatch))
-    val (touched, untouched) = kept.partition(_.stats.get(column) match {
+    val (touched, _) = kept.partition(_.stats.get(column) match {
       case Some(cs) => cs.overlaps(lo, hi)
       case None => !provablyAllNull
     })
@@ -799,8 +809,10 @@ final class GraftTable(val tablePath: String) {
     }
     val v = commitRewrite(snap, "delete", None, adds,
       (dropped ++ touched).map(_.path))
-    require(untouched.forall(a => Files.exists(root.resolve(a.path))),
-      "txlog: untouched file vanished during delete") // invariant, not cleanup
+    // untouched files are never staged or referenced by the commit, so
+    // there is nothing to verify driver-side — a post-commit existence
+    // sweep would be O(#files) stat() calls appended to what is
+    // otherwise a metadata-only operation
     (dropped.size, touched.size, v)
   }
 

@@ -53,24 +53,33 @@ final class GraftCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
+  /** Warehouse-relative path from identifier segments; every segment —
+    * namespace and name alike — is validated, so no identifier can
+    * escape the warehouse root (`..`, absolute paths, hidden dirs). */
+  private def resolveUnder(segments: Seq[String]): java.nio.file.Path =
+    segments.foldLeft(Paths.get(warehouse)) { (p, part) =>
+      require(!part.contains("/") && !part.startsWith("."),
+        s"catalog $catalogName: illegal identifier segment '$part'")
+      p.resolve(part)
+    }
+
   private def dirOf(ident: Identifier): String =
-    (ident.namespace().toSeq :+ ident.name())
-      .foldLeft(Paths.get(warehouse)) { (p, part) =>
-        require(!part.contains("/") && !part.startsWith("."),
-          s"catalog $catalogName: illegal identifier segment '$part'")
-        p.resolve(part)
-      }.toString
+    resolveUnder(ident.namespace().toSeq :+ ident.name()).toString
 
   private def exists(ident: Identifier): Boolean =
     new GraftTable(dirOf(ident)).latestVersion() > 0L
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val base = namespace.foldLeft(Paths.get(warehouse))(_.resolve(_))
+    val base = resolveUnder(namespace.toSeq)
     if (!Files.isDirectory(base)) Array.empty
-    else Files.list(base).iterator().asScala
-      .filter(p => Files.isDirectory(p.resolve(graft.medallion.TxLog.LogDir)))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray
+    else {
+      val stream = Files.list(base)
+      try stream.iterator().asScala
+        .filter(p => Files.isDirectory(p.resolve(graft.medallion.TxLog.LogDir)))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+      finally stream.close()
+    }
   }
 
   override def loadTable(ident: Identifier): Table = {

@@ -311,13 +311,23 @@ final class GraftScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // resolution is deterministic in (snapVersion, filters, agg), and
+  // Spark calls supportCompletePushDown then pushAggregation with the
+  // same instance during one planning pass — resolve the log once, not
+  // twice per query
+  private var resolvedFor: Option[(Aggregation, Option[(StructType, Seq[InternalRow])])] = None
+  private def resolveAgg(agg: Aggregation): Option[(StructType, Seq[InternalRow])] = {
+    if (!resolvedFor.exists(_._1 eq agg))
+      resolvedFor = Some((agg, GraftTableV2.metadataAggregate(
+        new GraftTable(tablePath), fullSchema, snapVersion, filters, agg)))
+    resolvedFor.get._2
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    GraftTableV2.metadataAggregate(
-      new GraftTable(tablePath), fullSchema, snapVersion, filters, agg).isDefined
+    resolveAgg(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    pushedAgg = GraftTableV2.metadataAggregate(
-      new GraftTable(tablePath), fullSchema, snapVersion, filters, agg)
+    pushedAgg = resolveAgg(agg)
     pushedAgg.isDefined
   }
 
@@ -554,8 +564,11 @@ final class GraftMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val head = pinnedHead.getOrElse(table.latestVersion())
     val from = start.asInstanceOf[GraftVersionOffset].version
+    // saturating step: a huge cap (Long.MaxValue) must clamp to head,
+    // not wrap negative and regress the offset
     GraftVersionOffset(
-      maxVersionsPerTrigger.fold(head)(n => math.min(head, from + n)))
+      maxVersionsPerTrigger.fold(head)(n =>
+        from + math.min(n, math.max(0L, head - from))))
   }
 
   override def reportLatestOffset(): Offset =

@@ -65,6 +65,12 @@ class GraftCatalogSpec extends SparkSpec {
       intercept[AnalysisException](
         spark.sql("SELECT * FROM gtest.db.events").collect())
       assert(spark.sql("SHOW TABLES IN gtest.db").count() === 0L)
+
+      // path-traversal identifiers never escape the warehouse —
+      // listTables validates segments exactly like every other op
+      intercept[Exception](spark.sql("SHOW TABLES IN gtest.`..`").collect())
+      intercept[Exception](
+        spark.sql("SELECT * FROM gtest.`..`.`etc`").collect())
     } finally {
       spark.conf.unset("spark.sql.catalog.gtest")
       spark.conf.unset("spark.sql.catalog.gtest.warehouse")

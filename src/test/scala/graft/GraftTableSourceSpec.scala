@@ -514,6 +514,16 @@ class GraftTableSourceSpec extends SparkSpec {
         dstPath, "bad", new java.io.File(root, "ckpt2").getAbsolutePath)
         .awaitTermination()
     }
+
+    // a huge cap saturates at head instead of overflowing negative
+    import graft.streaming.{GraftMicroBatchStream, GraftVersionOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val hugeCap = new GraftMicroBatchStream(
+      spark, src, src.snapshot(-1).schema, src.snapshot(-1).schema, Seq.empty,
+      skipRewrites = false, startingVersion = 0L,
+      maxVersionsPerTrigger = Some(Long.MaxValue))
+    assert(hugeCap.latestOffset(GraftVersionOffset(1L), ReadLimit.allAvailable())
+      .asInstanceOf[GraftVersionOffset].version === src.latestVersion())
   }
 
   test("an unfiltered LIMIT plans only enough files to cover it") {

@@ -87,6 +87,22 @@ class TxLogSpec extends SparkSpec {
     assert(t.compactRange(spark, "id", Some(1L), Some(10L)) === ((0, 0, 6L)))
   }
 
+  test("timestamp delete never metadata-drops: floored stats must not over-delete sub-ms rows") {
+    import spark.implicits._
+    val t = freshTable("tsdelete")
+    def ts(micros: Int): java.sql.Timestamp = {
+      val x = new java.sql.Timestamp(1700000000000L) // some exact millisecond
+      x.setNanos(micros * 1000); x
+    }
+    // both rows share the same floored-millis stats value
+    t.append(Seq((1L, ts(100)), (2L, ts(900))).toDF("id", "ts").repartition(1))
+    val (dropped, rewritten, _) = t.delete(spark, "ts", None, Some(ts(500)))
+    assert(dropped === 0, "timestamp stats are millis-floored: subset proof is unsound")
+    assert(rewritten === 1)
+    // the sub-millisecond survivor is intact, the matching row is gone
+    assert(t.read(spark).select("id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("range delete: covered files drop by metadata, boundary files rewrite, null keys survive") {
     import spark.implicits._
     val t = freshTable("delete")
