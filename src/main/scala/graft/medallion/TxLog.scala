@@ -444,8 +444,9 @@ final class GraftTable(val tablePath: String) {
     case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
     case t: java.time.Instant => t.toEpochMilli.toString
     case d: java.time.LocalDate => d.toEpochDay.toString
+    // scala.BigDecimal extends java.lang.Number, so this case also
+    // covers it (toString is the plain decimal form either way)
     case n: java.lang.Number => new java.math.BigDecimal(n.toString).toPlainString
-    case d: BigDecimal => d.bigDecimal.toPlainString
     case s: String => s
     case other => other.toString
   }
@@ -721,6 +722,38 @@ final class GraftTable(val tablePath: String) {
     if (!tryCommit(1L, "create", 0L, Some(schema.json), Nil, Nil))
       throw new ConcurrentWriteException(s"txlog: lost the create race at $root")
     1L
+  }
+
+  /** Widen the table by `cols` in ONE schema-only commit — the catalog's
+    * `ALTER TABLE ADD COLUMNS`. New columns append as nullable trailing
+    * fields and existing rows read back as null there (the
+    * explicit-schema parquet scan fills absent columns), exactly the
+    * `append(mergeSchema = true)` widening without the data write. A
+    * column name already on the table fails loudly (SQL contract), as
+    * does a non-nullable column (no backfill value exists). Row-neutral
+    * for tailing consumers — a stream skips it like `compact`. Retries
+    * lost commit races: widening by disjoint column sets composes. */
+  def addColumns(cols: Seq[StructField], maxRetries: Int = 20): Long = {
+    require(cols.nonEmpty, "txlog: addColumns needs at least one column")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = latestVersion()
+      require(head > 0L, s"txlog: no table at $root to alter")
+      val existing = snapshot(head).schema
+      cols.foreach { f =>
+        require(!existing.fieldNames.contains(f.name),
+          s"txlog: column '${f.name}' already exists on $root")
+        require(f.nullable,
+          s"txlog: new column '${f.name}' must be nullable — existing " +
+            "rows have no value to backfill")
+      }
+      val widened = StructType(existing.fields ++ cols)
+      if (tryCommit(head + 1, "addColumns", head, Some(widened.json), Nil, Nil))
+        return head + 1
+      attempt += 1
+    }
+    throw new ConcurrentWriteException(
+      s"txlog: addColumns lost $maxRetries commit races at $tablePath")
   }
 
   /** Unconditional TRUNCATE: one commit removes every live file (data
@@ -1020,7 +1053,7 @@ final class GraftTable(val tablePath: String) {
         case "append" | "streamingUpdate" if c.adds.nonEmpty => Some(v -> c.adds)
         case "append" | "streamingUpdate" => None
         // row-neutral commits: same rows, different (or no) files
-        case "compact" | "zorder" | "checkpoint" | "create" => None
+        case "compact" | "zorder" | "checkpoint" | "create" | "addColumns" => None
         case rewrite =>
           if (!skipRewrites) throw new IllegalStateException(
             s"txlog: commit $v is a '$rewrite' — its rewritten rows cannot be " +

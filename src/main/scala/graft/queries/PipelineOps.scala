@@ -958,6 +958,73 @@ object PipelineOps {
                                 AND (5*((SELECT max(o_orderkey) FROM orders)//4))//2
        ORDER BY o_orderkey"""
 
+  // --------------------------------------------------------------------
+  // q113 — the table format as a full SQL-DML citizen, driven end to end
+  // through the TableCatalog: CREATE TABLE (v1) → INSERT INTO a third of
+  // orders (v2, optimistic append commit) → ALTER TABLE ADD COLUMNS
+  // (v3, schema-only commit: zero files rewritten, old rows null) →
+  // INSERT INTO with the widened schema (v4) → CTAS a second table →
+  // INSERT OVERWRITE it (CAS overwrite commit) — then one read-back
+  // selecting `_commit_version`, the DSv2 METADATA column (absent from
+  // SELECT *, invisible to INSERT resolution, resolved on request from
+  // the log's provenance map). Deterministic commit numbering makes
+  // every provenance cell oracle-derivable, so a hash match certifies
+  // the whole DML surface: by-position INSERT casts, widen-only ALTER,
+  // null backfill, overwrite isolation, metadata-column reads. Scale:
+  // each statement is one parquet write at full parallelism + one
+  // put-if-absent commit; ALTER moves no data at any table size.
+  // --------------------------------------------------------------------
+  def q113SqlDml(s: SparkSession, dir: String): DataFrame = {
+    val wh = s"${scratch("sqldml", dir)}/warehouse"
+    graft.core.Fs.rmTree(new java.io.File(wh)) // fresh warehouse per run: reruns deterministic
+    s.conf.set("spark.sql.catalog.gq113",
+      classOf[graft.streaming.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gq113.warehouse", wh)
+    try {
+      lake(s, dir).orders
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .createOrReplaceTempView("q113_src")
+      s.sql("CREATE TABLE gq113.dml.orders_sql (o_orderkey BIGINT, o_totalprice DOUBLE)") // v1
+      s.sql("""INSERT INTO gq113.dml.orders_sql
+               SELECT o_orderkey, o_totalprice FROM q113_src
+               WHERE o_orderkey % 3 = 0""")                                // v2
+      s.sql("ALTER TABLE gq113.dml.orders_sql ADD COLUMNS (o_orderstatus STRING)") // v3
+      s.sql("""INSERT INTO gq113.dml.orders_sql
+               SELECT o_orderkey, o_totalprice, o_orderstatus FROM q113_src
+               WHERE o_orderkey % 3 = 1""")                                // v4
+      s.sql("""CREATE TABLE gq113.dml.rest AS
+               SELECT o_orderkey, o_totalprice, o_orderstatus FROM q113_src
+               WHERE o_orderkey % 3 = 2""")                                // rest v1+v2
+      s.sql("""INSERT OVERWRITE gq113.dml.rest
+               SELECT o_orderkey, o_totalprice, o_orderstatus FROM q113_src
+               WHERE o_orderkey % 9 = 2""")                                // rest v3
+      s.sql("""SELECT o_orderkey, o_totalprice, o_orderstatus,
+                      _commit_version
+               FROM gq113.dml.orders_sql
+               UNION ALL
+               SELECT o_orderkey, o_totalprice, o_orderstatus,
+                      _commit_version
+               FROM gq113.dml.rest
+               ORDER BY o_orderkey""")
+    } finally {
+      s.catalog.dropTempView("q113_src")
+      s.conf.unset("spark.sql.catalog.gq113")
+      s.conf.unset("spark.sql.catalog.gq113.warehouse")
+    }
+  }
+
+  private val q113Oracle =
+    """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus,
+              CAST(2 AS BIGINT) AS _commit_version
+       FROM orders WHERE o_orderkey % 3 = 0
+       UNION ALL
+       SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(4 AS BIGINT)
+       FROM orders WHERE o_orderkey % 3 = 1
+       UNION ALL
+       SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(3 AS BIGINT)
+       FROM orders WHERE o_orderkey % 9 = 2
+       ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_sessionize" -> (q43Sessionize _),
@@ -977,7 +1044,8 @@ object PipelineOps {
     "q107_time_travel" -> (q107TimeTravel _),
     "q109_metadata_agg" -> (q109MetadataAgg _),
     "q110_grouped_metadata_agg" -> (q110GroupedMetadataAgg _),
-    "q111_range_delete" -> (q111RangeDelete _))
+    "q111_range_delete" -> (q111RangeDelete _),
+    "q113_sql_dml" -> (q113SqlDml _))
 
   val oracle: Map[String, String] = Map(
     "q42_multimodal_meta" -> q42Oracle,
@@ -998,5 +1066,6 @@ object PipelineOps {
     "q107_time_travel" -> q107Oracle,
     "q109_metadata_agg" -> q109Oracle,
     "q110_grouped_metadata_agg" -> q110Oracle,
-    "q111_range_delete" -> q111Oracle)
+    "q111_range_delete" -> q111Oracle,
+    "q113_sql_dml" -> q113Oracle)
 }

@@ -8,7 +8,7 @@ import graft.medallion.GraftTable
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A Spark `TableCatalog` over a directory of graft tables — the piece
@@ -19,7 +19,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.sql.catalog.graft.warehouse = /data/graft
   *
   *   CREATE TABLE graft.db.events (id BIGINT, payload STRING)
+  *   CREATE TABLE graft.db.big AS SELECT ...           -- CTAS
+  *   INSERT INTO graft.db.events SELECT ...            -- append commit
+  *   INSERT OVERWRITE graft.db.events SELECT ...       -- CAS overwrite
+  *   ALTER TABLE graft.db.events ADD COLUMNS (src STRING)
   *   SELECT * FROM graft.db.events WHERE id > 5        -- DSv2 scan
+  *   SELECT *, _commit_version FROM graft.db.events    -- provenance
   *   DELETE FROM graft.db.events WHERE id <= 100       -- stats-triaged
   *   TRUNCATE TABLE graft.db.events
   *   DROP TABLE graft.db.events
@@ -27,13 +32,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Identifiers map to directories under the warehouse
   * (`warehouse/ns…/name`); a table exists iff its commit log has a
-  * version. Reads resolve through [[GraftTableV2]] (same snapshot
-  * pinning, pushdown, and provenance column as the path-based API);
-  * DELETE/TRUNCATE route through the table's transactional delete.
-  * Writes stay on the explicit surfaces (`df.write.format`,
-  * `TableSink`, `GraftTable.append`) — the scan schema carries the
-  * synthetic `_commit_version` column, which a by-name DSv2 INSERT
-  * would demand from writers.
+  * version. Everything resolves through [[GraftCatalogTable]]: the same
+  * snapshot pinning, pushdown, and metadata aggregates as the
+  * path-based API, plus DSv2 writes (the V1Write bridge into the
+  * optimistic commit protocol) and `_commit_version` as a metadata
+  * column — requested by name, invisible to `SELECT *` and to INSERT
+  * resolution.
   *
   * No driver-side state beyond the warehouse path: every operation
   * re-resolves the log, so concurrent sessions see each other's
@@ -85,9 +89,7 @@ final class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val path = dirOf(ident)
-    new GraftTableV2(
-      path, GraftTableV2.readSchemaOf(path, None),
-      skipRewrites = false, startingVersion = 0L)
+    new GraftCatalogTable(path, new GraftTable(path).snapshot(-1L).schema)
   }
 
   override def createTable(
@@ -102,10 +104,34 @@ final class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported — schema evolution " +
-        "goes through append(mergeSchema = true)")
+  /** `ALTER TABLE … ADD COLUMNS (…)`: one schema-only commit through
+    * the transaction log (see [[GraftTable.addColumns]] — nullable
+    * trailing columns, existing rows null-backfill, zero data files
+    * rewritten). Every other change class is refused loudly: renames
+    * and drops would re-map data the immutable files still carry, and
+    * retypes corrupt readers. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val cols = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"graft catalog: nested column '${a.fieldNames.mkString(".")}' " +
+            "is not supported — add a top-level column")
+        require(a.position() == null,
+          "graft catalog: column position is not supported — new columns append")
+        require(a.defaultValue() == null,
+          "graft catalog: DEFAULT values are not supported — new columns backfill null")
+        require(a.isNullable,
+          s"graft catalog: new column '${a.fieldNames()(0)}' must be nullable " +
+            "— existing rows have no value to backfill")
+        StructField(a.fieldNames()(0), a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other — only " +
+          "ADD COLUMNS (schema widening) is transactional on this format")
+    }
+    new GraftTable(dirOf(ident)).addColumns(cols)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     if (!exists(ident)) false

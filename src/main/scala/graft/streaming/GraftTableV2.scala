@@ -5,17 +5,18 @@ import java.util.OptionalLong
 import scala.jdk.CollectionConverters._
 
 import graft.medallion.{GraftTable, TxLog}
-import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider}
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -189,7 +190,7 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
   * `versionAsOf` time-travels batch reads to that committed snapshot —
   * including its THEN-current schema, so a read before a mergeSchema
   * widening doesn't grow phantom null columns. */
-final class GraftTableV2(
+class GraftTableV2(
     val tablePath: String, pinnedSchema: StructType,
     skipRewrites: Boolean, startingVersion: Long,
     versionAsOf: Option[Long] = None,
@@ -245,6 +246,12 @@ final class GraftTableV2(
     ()
   }
 
+  /** Whether a required column named `_commit_version` is the SYNTHETIC
+    * provenance tag (resolved from the log) rather than a real data
+    * column. The catalog table overrides this when the data schema
+    * claims the name. */
+  protected def versionIsSynthetic: Boolean = true
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // the first unambiguously-READ entry point: a typo'd path must fail
     // loudly here, not resolve as an empty table (inferSchema stays
@@ -254,7 +261,7 @@ final class GraftTableV2(
         "(one append) before reading")
     new GraftScanBuilder(
       SparkSession.active, tablePath, pinnedSchema, snapVersion,
-      skipRewrites, startingVersion, maxVersionsPerTrigger)
+      skipRewrites, startingVersion, maxVersionsPerTrigger, versionIsSynthetic)
   }
 }
 
@@ -275,7 +282,8 @@ final class GraftTableV2(
 final class GraftScanBuilder(
     spark: SparkSession, tablePath: String, fullSchema: StructType,
     snapVersion: Long, skipRewrites: Boolean, startingVersion: Long,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    syntheticVersion: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -302,7 +310,8 @@ final class GraftScanBuilder(
   }
 
   override def pushedFilters(): Array[Filter] =
-    filters.filter(f => f.references.nonEmpty &&
+    if (!syntheticVersion) filters.filter(_.references.nonEmpty)
+    else filters.filter(f => f.references.nonEmpty &&
       f.references.forall(_ != GraftTableV2.VersionCol)) ++
       filters.filter(f => f.references.nonEmpty &&
         f.references.forall(_ == GraftTableV2.VersionCol) &&
@@ -319,7 +328,8 @@ final class GraftScanBuilder(
   private def resolveAgg(agg: Aggregation): Option[(StructType, Seq[InternalRow])] = {
     if (!resolvedFor.exists(_._1 eq agg))
       resolvedFor = Some((agg, GraftTableV2.metadataAggregate(
-        new GraftTable(tablePath), fullSchema, snapVersion, filters, agg)))
+        new GraftTable(tablePath), fullSchema, snapVersion, filters, agg,
+        syntheticVersion)))
     resolvedFor.get._2
   }
 
@@ -335,7 +345,8 @@ final class GraftScanBuilder(
     case Some((schema, rows)) => GraftMetadataScan(tablePath, snapVersion, schema, rows)
     case None =>
       new GraftScan(spark, tablePath, fullSchema, required, filters,
-        snapVersion, skipRewrites, startingVersion, limit, maxVersionsPerTrigger)
+        snapVersion, skipRewrites, startingVersion, limit,
+        maxVersionsPerTrigger, syntheticVersion)
   }
 }
 
@@ -356,7 +367,8 @@ final class GraftScan(
     required: StructType, filters: Array[Filter],
     snapVersion: Long, skipRewrites: Boolean, startingVersion: Long,
     limit: Option[Int] = None,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    syntheticVersion: Boolean = true)
     extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   import GraftTableV2.VersionCol
@@ -364,10 +376,13 @@ final class GraftScan(
   private val table = new GraftTable(tablePath)
 
   // the physical (on-disk) schema: everything except the provenance tag
-  private val dataSchema = StructType(
-    fullSchema.fields.filterNot(_.name == VersionCol))
+  // (a data column that happens to share the name stays on disk)
+  private val dataSchema =
+    if (!syntheticVersion) fullSchema
+    else StructType(fullSchema.fields.filterNot(_.name == VersionCol))
   private val dataFilters =
-    filters.filter(_.references.forall(_ != VersionCol)).toSeq
+    if (!syntheticVersion) filters.toSeq
+    else filters.filter(_.references.forall(_ != VersionCol)).toSeq
 
   override def readSchema(): StructType = required
 
@@ -384,7 +399,8 @@ final class GraftScan(
       dataFilters.flatMap(GraftTableV2.bounds), version = snapVersion)
     snap.files.map(a => a -> snap.addedIn.getOrElse(a.path, snap.version))
       .filter { case (a, v) =>
-        filters.forall(f => GraftTableV2.fileSurvives(table, fullSchema, a, v, f)) }
+        filters.forall(f =>
+          GraftTableV2.fileSurvives(table, fullSchema, a, v, f, syntheticVersion)) }
   }
 
   // ------------------------------------------- runtime (join) filtering
@@ -410,7 +426,8 @@ final class GraftScan(
     * `toBatch`. */
   private[graft] def currentFiles(): Seq[(TxLog.AddFile, Long)] = {
     val alive = pruned.filter { case (a, v) =>
-      runtimeFilters.forall(f => GraftTableV2.fileSurvives(table, fullSchema, a, v, f)) }
+      runtimeFilters.forall(f =>
+        GraftTableV2.fileSurvives(table, fullSchema, a, v, f, syntheticVersion)) }
     limit match {
       case Some(n) => // keep files until their row counts guarantee n rows
         var acc = 0L
@@ -430,7 +447,7 @@ final class GraftScan(
 
   override def toBatch: Batch =
     new GraftBatch(spark, table, dataSchema, required, dataFilters,
-      () => currentFiles())
+      () => currentFiles(), syntheticVersion)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(
@@ -449,14 +466,17 @@ final class GraftScan(
 final class GraftBatch(
     spark: SparkSession, table: GraftTable, dataSchema: StructType,
     required: StructType, dataFilters: Seq[Filter],
-    files: () => Seq[(TxLog.AddFile, Long)])
+    files: () => Seq[(TxLog.AddFile, Long)],
+    syntheticVersion: Boolean = true)
     extends Batch {
 
   import GraftTableV2.VersionCol
 
-  private val needVersion = required.fieldNames.contains(VersionCol)
-  private val innerRequired = StructType(
-    required.fields.filterNot(_.name == VersionCol))
+  private val needVersion =
+    syntheticVersion && required.fieldNames.contains(VersionCol)
+  private val innerRequired =
+    if (!syntheticVersion) required
+    else StructType(required.fields.filterNot(_.name == VersionCol))
 
   private lazy val innerFactory: PartitionReaderFactory =
     org.apache.spark.sql.graft.ParquetScans.readerFactoryFor(
@@ -616,6 +636,95 @@ final case class GraftVersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
+/** The CATALOG's resolved table — the full SQL-DML citizen behind
+  * `gcat.ns.table` identifiers:
+  *
+  * {{{
+  *   INSERT INTO gcat.db.t SELECT ...        -- optimistic append commit
+  *   INSERT OVERWRITE gcat.db.t SELECT ...   -- CAS overwrite commit
+  *   CREATE TABLE gcat.db.t2 AS SELECT ...   -- create + append
+  *   ALTER TABLE gcat.db.t ADD COLUMNS (...) -- schema-only commit
+  *   SELECT *, _commit_version FROM gcat.db.t
+  * }}}
+  *
+  * Differences from the path-based [[GraftTableV2]] surface, all
+  * deliberate:
+  *
+  *   - `schema()` is the table's DATA schema alone; `_commit_version`
+  *     is a DSv2 METADATA column ([[SupportsMetadataColumns]]) — absent
+  *     from `SELECT *`, resolved on request, and invisible to write
+  *     resolution, which is what lets by-name/by-position `INSERT`
+  *     validate against the real columns (the path surface instead
+  *     bakes the tag into every read schema, which is why it cannot
+  *     accept DSv2 writes).
+  *   - Writes go through the sanctioned [[V1Write]] bridge into the
+  *     SAME optimistic commits as the programmatic API (`append` /
+  *     `overwrite`) — full executor parallelism on the data write, one
+  *     put-if-absent commit at the end, nothing driver-materialized.
+  *   - Batch-read only: a streaming tail needs the provenance tag IN
+  *     its schema (Spark's micro-batch planner builds the scan without
+  *     column pruning, so a metadata column a stream references could
+  *     not bind by ordinal) — `readStream.format("graft-table")` is the
+  *     streaming surface, and says so in its schema.
+  *
+  * Scan, pushdown, metadata aggregates, DELETE, and TRUNCATE are all
+  * inherited — one implementation per behavior. */
+final class GraftCatalogTable(tablePath: String, dataSchema: StructType)
+    extends GraftTableV2(
+      tablePath,
+      // the scan machinery's full schema keeps the version column so a
+      // metadata-column reference reaches the provenance read path
+      if (dataSchema.fieldNames.contains(GraftTableV2.VersionCol)) dataSchema
+      else dataSchema.add(GraftTableV2.VersionCol, LongType, nullable = false),
+      skipRewrites = false, startingVersion = 0L)
+    with SupportsWrite with SupportsMetadataColumns {
+
+  override def schema(): StructType = dataSchema
+
+  override protected def versionIsSynthetic: Boolean =
+    !dataSchema.fieldNames.contains(GraftTableV2.VersionCol)
+
+  override def name(): String = s"graft-table`$tablePath`"
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  /** Hidden when the data schema already claims the name (a silver
+    * table that persisted a stream's provenance tag as real data must
+    * keep reading its own column). */
+  override def metadataColumns(): Array[MetadataColumn] =
+    if (dataSchema.fieldNames.contains(GraftTableV2.VersionCol)) Array.empty
+    else Array(GraftCatalogTable.CommitVersionColumn)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: Dataset[Row], ignored: Boolean): Unit = {
+              val t = new GraftTable(tablePath)
+              if (overwrite) t.overwrite(data.toDF())
+              else t.append(data.toDF(), mergeSchema = false, maxRetries = 20)
+              ()
+            }
+          }
+      }
+    }
+}
+
+object GraftCatalogTable {
+  private object CommitVersionColumn extends MetadataColumn {
+    override def name(): String = GraftTableV2.VersionCol
+    override def dataType: DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "version of the commit that added each row (from the transaction log)"
+  }
+}
+
 object GraftTableV2 {
 
   /** The provenance column every graft-table read carries. */
@@ -695,12 +804,17 @@ object GraftTableV2 {
     */
   private[streaming] def metadataAggregate(
       table: GraftTable, fullSchema: StructType, snapVersion: Long,
-      filters: Array[Filter], agg: Aggregation): Option[(StructType, Seq[InternalRow])] = {
+      filters: Array[Filter], agg: Aggregation,
+      syntheticVersion: Boolean = true): Option[(StructType, Seq[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (filters.nonEmpty) return None
     val snap = table.prunedSnapshot(Seq.empty, version = snapVersion)
     type Files = Seq[TxLog.AddFile]
+
+    // is this name the synthetic provenance tag (vs a real data column
+    // that happens to share it)?
+    def isVersion(c: String): Boolean = syntheticVersion && c == VersionCol
 
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -708,7 +822,7 @@ object GraftTableV2 {
         case _ => None
       }
     def fieldType(c: String): Option[DataType] =
-      if (c == VersionCol) Some(LongType)
+      if (isVersion(c)) Some(LongType)
       else fullSchema.fields.find(_.name == c).map(_.dataType)
     def floaty(dt: DataType) = dt == DoubleType || dt == FloatType
     // types the writer ALWAYS stats when any non-null value exists —
@@ -722,7 +836,7 @@ object GraftTableV2 {
     // MIN/MAX eligibility is global (across ALL live files), not
     // per-group — simpler to reason about, conservatively stricter
     def minMaxEligible(c: String): Option[DataType] = {
-      if (c == VersionCol) return Some(LongType)
+      if (isVersion(c)) return Some(LongType)
       val dt = fieldType(c).getOrElse(return None)
       dt match {
         case ByteType | ShortType | IntegerType | LongType | FloatType
@@ -733,7 +847,7 @@ object GraftTableV2 {
       if (floaty(dt) && snap.files.exists(_.stats.get(c).isEmpty)) None else Some(dt)
     }
     def foldMinMax(files: Files, c: String, dt: DataType, wantMin: Boolean): Any = {
-      if (c == VersionCol) {
+      if (isVersion(c)) {
         val vs = files.map(fileVersion)
         return if (vs.isEmpty) null else if (wantMin) vs.min else vs.max
       }
@@ -748,7 +862,7 @@ object GraftTableV2 {
       statsValue(picked, dt)
     }
     def countEligible(c: String): Boolean = {
-      if (c == VersionCol) return true // never null, count = rows
+      if (isVersion(c)) return true // never null, count = rows
       val dt = fieldType(c).getOrElse(return false)
       if (!alwaysStatted(dt)) return false // boolean/binary/…: absence proves nothing
       snap.files.forall(a => a.stats.get(c) match {
@@ -757,7 +871,7 @@ object GraftTableV2 {
       })
     }
     def foldCount(files: Files, c: String): Any =
-      if (c == VersionCol) files.map(_.rows).sum
+      if (isVersion(c)) files.map(_.rows).sum
       else files.map(a => a.stats.get(c).fold(0L)(cs => a.rows - cs.nulls.get)).sum
 
     // ----- group columns: every live file must carry exactly one
@@ -766,7 +880,7 @@ object GraftTableV2 {
     if (groupColsOpt.exists(_.isEmpty)) return None
     val groupCols = groupColsOpt.flatten
     def groupValue(a: TxLog.AddFile, c: String): Option[Any] = {
-      if (c == VersionCol) return Some(fileVersion(a))
+      if (isVersion(c)) return Some(fileVersion(a))
       val dt = fieldType(c).getOrElse(return None)
       a.stats.get(c) match {
         case Some(cs) if minMaxEligible(c).isDefined && cs.singleValued =>
@@ -880,9 +994,13 @@ object GraftTableV2 {
     * regardless. */
   private[graft] def fileSurvives(
       table: GraftTable, schema: StructType, a: TxLog.AddFile, v: Long,
-      f: Filter): Boolean = {
+      f: Filter, syntheticVersion: Boolean = true): Boolean = {
     import org.apache.spark.sql.sources.{And, EqualTo, In, IsNotNull, IsNull}
-    def onVersion = f.references.nonEmpty && f.references.forall(_ == VersionCol)
+    // when the table's data schema claims the name, `_commit_version`
+    // gets NO provenance special-casing: it prunes from its own file
+    // stats like any other column (the guards below)
+    def onVersion = syntheticVersion &&
+      f.references.nonEmpty && f.references.forall(_ == VersionCol)
     // stats absent on a column the writer always stats ⇒ every row is
     // null there (floats excluded: absence can also mean NaN/Infinity)
     def provablyAllNull(c: String): Boolean =
@@ -892,11 +1010,12 @@ object GraftTableV2 {
           case _ => false
         }) && fd.dataType != DoubleType && fd.dataType != FloatType)
     f match {
-      case In(VersionCol, values) =>
+      case In(VersionCol, values) if syntheticVersion =>
         values.exists(x => x != null && asLong(x) == v)
-      case EqualTo(VersionCol, value) => value != null && asLong(value) == v
-      case IsNull(VersionCol) => false // provenance is never null
-      case IsNotNull(VersionCol) => true
+      case EqualTo(VersionCol, value) if syntheticVersion =>
+        value != null && asLong(value) == v
+      case IsNull(VersionCol) if syntheticVersion => false // provenance is never null
+      case IsNotNull(VersionCol) if syntheticVersion => true
       case _ if onVersion =>
         bounds(f).forall { case (_, lo, hi) =>
           lo.forall(l => v >= asLong(l)) && hi.forall(h => v <= asLong(h)) }
@@ -906,7 +1025,8 @@ object GraftTableV2 {
         values.isEmpty || values.exists(x =>
           x == null || table.statsOverlap(a, col, Some(x), Some(x)))
       case And(l, r) =>
-        fileSurvives(table, schema, a, v, l) && fileSurvives(table, schema, a, v, r)
+        fileSurvives(table, schema, a, v, l, syntheticVersion) &&
+          fileSurvives(table, schema, a, v, r, syntheticVersion)
       case _ =>
         bounds(f).forall { case (col, lo, hi) => table.statsOverlap(a, col, lo, hi) }
     }

@@ -77,6 +77,86 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("INSERT INTO / INSERT OVERWRITE / CTAS / ALTER TABLE ADD COLUMNS through plain SQL") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.gsql", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsql.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE gsql.db.t (id BIGINT, payload STRING)")
+
+      // INSERT INTO: by-position VALUES and by-query, each one append commit
+      spark.sql("INSERT INTO gsql.db.t VALUES (1, 'a'), (2, 'b')")
+      spark.sql("INSERT INTO gsql.db.t SELECT col1 + 10, col2 FROM VALUES (3, 'c')")
+      assert(spark.sql("SELECT id, payload FROM gsql.db.t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((1L, "a"), (2L, "b"), (13L, "c")))
+      val t = new GraftTable(s"$wh/db/t")
+      assert(t.history().take(2).map(_._2) === Seq("append", "append"))
+
+      // _commit_version is a METADATA column: absent from SELECT *,
+      // resolved on request, and correct per insert
+      assert(spark.sql("SELECT * FROM gsql.db.t").schema.fieldNames.toSeq
+        === Seq("id", "payload"))
+      assert(spark.sql(
+        "SELECT id, _commit_version FROM gsql.db.t ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        === Seq((1L, 2L), (2L, 2L), (13L, 3L)))
+
+      // ALTER TABLE ADD COLUMNS: schema-only commit, old rows null there
+      spark.sql("ALTER TABLE gsql.db.t ADD COLUMNS (score DOUBLE)")
+      assert(t.history().head._2 === "addColumns")
+      spark.sql("INSERT INTO gsql.db.t VALUES (20, 'u', 0.5)")
+      val rows = spark.sql(
+        "SELECT id, score FROM gsql.db.t ORDER BY id").collect()
+      assert(rows.map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+        === Seq((1L, None), (2L, None), (13L, None), (20L, Some(0.5))))
+      // non-widening changes refuse loudly
+      intercept[Exception](
+        spark.sql("ALTER TABLE gsql.db.t DROP COLUMN payload"))
+      intercept[Exception](
+        spark.sql("ALTER TABLE gsql.db.t ADD COLUMNS (id STRING)"))
+
+      // INSERT OVERWRITE: the CAS overwrite commit replaces the contents
+      spark.sql("INSERT OVERWRITE gsql.db.t VALUES (99, 'z', 1.0)")
+      assert(spark.sql("SELECT id, payload, score FROM gsql.db.t").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+        === Seq((99L, "z", 1.0)))
+
+      // CTAS: create + append in one statement
+      spark.sql("CREATE TABLE gsql.db.t2 AS SELECT id * 2 AS id2 FROM gsql.db.t")
+      assert(spark.sql("SELECT id2 FROM gsql.db.t2").head().getLong(0) === 198L)
+
+      // unfiltered COUNT/MIN/MAX still answer from the commit log alone
+      val agg = spark.sql("SELECT count(*), max(id) FROM gsql.db.t")
+      assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        "metadata aggregate must stay zero-IO through the writable catalog table")
+      assert(agg.head().getLong(0) === 1L && agg.head().getLong(1) === 99L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gsql")
+      spark.conf.unset("spark.sql.catalog.gsql.warehouse")
+    }
+  }
+
+  test("a data column named _commit_version shadows the metadata column") {
+    import spark.implicits._
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.gshad", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gshad.warehouse", wh)
+    try {
+      // a silver table that persisted a stream's provenance tag as real
+      // data (the q99 shape): its OWN column must win
+      new GraftTable(s"$wh/db/sv")
+        .append(Seq((1L, 7L)).toDF("id", "_commit_version"))
+      assert(spark.sql("SELECT * FROM gshad.db.sv").schema.fieldNames.toSeq
+        === Seq("id", "_commit_version"))
+      assert(spark.sql("SELECT _commit_version FROM gshad.db.sv")
+        .head().getLong(0) === 7L, "the persisted data value, not the commit number")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gshad")
+      spark.conf.unset("spark.sql.catalog.gshad.warehouse")
+    }
+  }
+
   test("deleteRange translates exactly or refuses") {
     import graft.streaming.GraftTableV2.deleteRange
     import org.apache.spark.sql.sources._
