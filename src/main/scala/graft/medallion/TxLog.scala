@@ -473,26 +473,44 @@ final class GraftTable(val tablePath: String) {
   private def stageData(df: DataFrame): Seq[AddFile] = {
     ensureDirs()
     val spark = df.sparkSession
-    val batch = UUID.randomUUID().toString.take(8)
-    val stage = root.resolve(s"_staged_$batch")
+    val stage = root.resolve(s"_staged_${UUID.randomUUID().toString.take(8)}")
     df.write.parquet(stage.toString)
+    val it = Files.list(stage)
+    val parts =
+      try it.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toList
+      finally it.close()
+    val adds = adoptStaged(spark, df.schema, parts)
+    graft.core.Fs.rmTree(stage.toFile)
+    adds
+  }
 
-    val sCols = statsColumns(df.schema)
+  /** Stats + adopt: one Spark aggregate computes per-file row counts and
+    * min/max/null stats over exactly `staged` parquet files, then each
+    * moves INTO the root under a fresh unique name (data files are
+    * invisible until committed, so the moves need no atomicity). The
+    * stats job is the only read — O(staged bytes) at full parallelism,
+    * one collected row per FILE. */
+  private[graft] def adoptStaged(
+      spark: SparkSession, schema: StructType,
+      staged: Seq[java.nio.file.Path]): Seq[AddFile] = {
+    if (staged.isEmpty) return Nil
+    ensureDirs()
+    val batch = UUID.randomUUID().toString.take(8)
+    val sCols = statsColumns(schema)
     val aggs = count(lit(1)).as("_rows") +:
       sCols.flatMap(f => Seq(
         min(col(f.name)).as(s"_min_${f.name}"), max(col(f.name)).as(s"_max_${f.name}"),
         count(col(f.name)).as(s"_cnt_${f.name}"))) // non-null count (NaN IS non-null)
-    val perFile = spark.read.schema(df.schema).parquet(stage.toString)
+    val perFile = spark.read.schema(schema).parquet(staged.map(_.toString): _*)
       .groupBy(col("_metadata.file_path").as("_file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // one row per staged FILE — bounded by write parallelism
 
-    val adds = perFile.toSeq.sortBy(_.getString(0)).zipWithIndex.map { case (row, i) =>
-      val staged = Paths.get(java.net.URI.create(row.getString(0)).getPath)
+    perFile.toSeq.sortBy(_.getString(0)).zipWithIndex.map { case (row, i) =>
+      val src = Paths.get(java.net.URI.create(row.getString(0)).getPath)
       val name = s"part-$batch-$i.parquet"
-      // move INTO the root under the final unique name: data files are
-      // invisible until committed, so this move needs no atomicity
-      Files.move(staged, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      Files.move(src, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
       val fileRows = row.getLong(row.fieldIndex("_rows"))
       val stats = sCols.flatMap { f =>
         val mn = row.get(row.fieldIndex(s"_min_${f.name}"))
@@ -505,10 +523,24 @@ final class GraftTable(val tablePath: String) {
         else Some(f.name -> ColStats(statsKind(f.dataType), statsLiteral(mn),
           statsLiteral(mx), Some(nulls)))
       }.toMap
-      AddFile(name, row.getLong(row.fieldIndex("_rows")), Files.size(root.resolve(name)), stats)
+      AddFile(name, fileRows, Files.size(root.resolve(name)), stats)
     }
-    graft.core.Fs.rmTree(stage.toFile)
-    adds
+  }
+
+  /** Group-replace commit for the SQL row-level operations (copy-on-write
+    * UPDATE / MERGE / rewritten DELETE): adopt the parquet files a DSv2
+    * write staged, drop `removePaths` (the file groups the row-level scan
+    * planned), one serializable commit against `readVersion`. A head
+    * that moved since the scan fails loudly — the replacement rows were
+    * computed from that exact snapshot, and committing them over a
+    * concurrent writer's commit would silently drop its rows. */
+  private[graft] def replaceFiles(
+      spark: SparkSession, readVersion: Long, removePaths: Seq[String],
+      staged: Seq[java.nio.file.Path]): Long = {
+    val snap = snapshot(readVersion)
+    val adds = adoptStaged(spark, snap.schema, staged)
+    if (adds.isEmpty && removePaths.isEmpty) return snap.version
+    commitRewrite(snap, "replace", None, adds, removePaths)
   }
 
   /** Attempt to commit at exactly `version`; true if won. */

@@ -1025,6 +1025,85 @@ object PipelineOps {
        FROM orders WHERE o_orderkey % 9 = 2
        ORDER BY o_orderkey"""
 
+  // --------------------------------------------------------------------
+  // q114 — SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE on the
+  // table format, through Spark's group-based (copy-on-write) row-level
+  // operation rewrite: the operation's scan prunes candidate FILES from
+  // log stats (pushed condition, conservatively widened — safe because
+  // the rewrite re-evaluates the exact predicate per row) and surfaces
+  // every row of the surviving files; the replacement rows stage as
+  // parquet through Spark's own writer factory; ONE serializable
+  // `replace` commit swaps scanned files for staged. UPDATE discounts a
+  // third of the orders, a MERGE (sourced from the customer table)
+  // re-prices matched rows and inserts synthetic audit rows, and a
+  // strict-inequality DELETE — refused by the metadata path by design —
+  // rewrites groups instead. Every surviving cell is oracle-derivable,
+  // so a hash match certifies predicate routing, null-safe carry-over
+  // of unmatched rows in matched files, and insert dedup. Scale: only
+  // affected files are read or written at any table size.
+  // --------------------------------------------------------------------
+  def q114SqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val wh = s"${scratch("sqlmerge", dir)}/warehouse"
+    graft.core.Fs.rmTree(new java.io.File(wh)) // fresh warehouse per run: reruns deterministic
+    s.conf.set("spark.sql.catalog.gq114",
+      classOf[graft.streaming.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gq114.warehouse", wh)
+    try {
+      lake(s, dir).orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("q114_src")
+      val t = new graft.medallion.GraftTable(s"$wh/dml/orders_rl")
+      // four files with disjoint key ranges, so candidate pruning bites
+      val maxKey = lake(s, dir).orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val q = maxKey / 4
+      (0 to 3).foreach { b =>
+        t.append(lake(s, dir).orders
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .filter((if (b == 0) lit(true) else col("o_orderkey") > b * q) &&
+            (if (b == 3) lit(true) else col("o_orderkey") <= (b + 1) * q))
+          .repartition(1))
+      }
+      s.sql(s"""UPDATE gq114.dml.orders_rl
+                SET o_totalprice = o_totalprice * CAST(0.9 AS DOUBLE)
+                WHERE o_orderkey % 3 = 0 AND o_orderkey <= $q""")
+      // matched keys re-price; negated keys exist nowhere → INSERT branch
+      s.sql(s"""MERGE INTO gq114.dml.orders_rl AS t
+                USING (SELECT o_orderkey AS k FROM q114_src
+                       WHERE o_orderkey % 5 = 0 AND o_orderkey <= $q
+                       UNION ALL
+                       SELECT -o_orderkey FROM q114_src
+                       WHERE o_orderkey % 7 = 0 AND o_orderkey > 0
+                         AND o_orderkey <= $q) AS src
+                ON t.o_orderkey = src.k
+                WHEN MATCHED THEN UPDATE SET o_custkey = -1
+                WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_totalprice)
+                  VALUES (src.k, -2, CAST(0.0 AS DOUBLE))""")
+      s.sql(s"DELETE FROM gq114.dml.orders_rl WHERE o_orderkey > ${3 * q}")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+               FROM gq114.dml.orders_rl ORDER BY o_orderkey""")
+    } finally {
+      s.catalog.dropTempView("q114_src")
+      s.conf.unset("spark.sql.catalog.gq114")
+      s.conf.unset("spark.sql.catalog.gq114.warehouse")
+    }
+  }
+
+  private val q114Oracle =
+    """WITH q AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+       SELECT * FROM (
+         SELECT o_orderkey,
+                CASE WHEN o_orderkey % 5 = 0 AND o_orderkey <= (SELECT q FROM q)
+                     THEN -1 ELSE o_custkey END AS o_custkey,
+                CASE WHEN o_orderkey % 3 = 0 AND o_orderkey <= (SELECT q FROM q)
+                     THEN o_totalprice * CAST(0.9 AS DOUBLE)
+                     ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey <= 3 * (SELECT q FROM q)
+         UNION ALL
+         SELECT -o_orderkey, -2, CAST(0.0 AS DOUBLE) FROM orders
+         WHERE o_orderkey % 7 = 0 AND o_orderkey > 0
+           AND o_orderkey <= (SELECT q FROM q))
+       ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_sessionize" -> (q43Sessionize _),
@@ -1045,7 +1124,8 @@ object PipelineOps {
     "q109_metadata_agg" -> (q109MetadataAgg _),
     "q110_grouped_metadata_agg" -> (q110GroupedMetadataAgg _),
     "q111_range_delete" -> (q111RangeDelete _),
-    "q113_sql_dml" -> (q113SqlDml _))
+    "q113_sql_dml" -> (q113SqlDml _),
+    "q114_sql_merge" -> (q114SqlMerge _))
 
   val oracle: Map[String, String] = Map(
     "q42_multimodal_meta" -> q42Oracle,
@@ -1067,5 +1147,6 @@ object PipelineOps {
     "q109_metadata_agg" -> q109Oracle,
     "q110_grouped_metadata_agg" -> q110Oracle,
     "q111_range_delete" -> q111Oracle,
-    "q113_sql_dml" -> q113Oracle)
+    "q113_sql_dml" -> q113Oracle,
+    "q114_sql_merge" -> q114Oracle)
 }

@@ -1,0 +1,175 @@
+package graft.streaming
+
+import java.nio.file.Paths
+import java.util.UUID
+
+import graft.medallion.{GraftTable, TxLog}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Group-based (copy-on-write) row-level operations — what turns SQL
+  * `UPDATE`, `MERGE INTO`, and arbitrary-predicate `DELETE` loose on the
+  * table format through Spark's own rewrite machinery
+  * (`RewriteUpdateTable` / `RewriteMergeIntoTable` /
+  * `RewriteDeleteFromTable`, the Iceberg-pioneered API):
+  *
+  *   1. Spark asks the operation for a SCAN of the candidate row
+  *      groups. The pushed command condition prunes FILES from log
+  *      stats — conservatively widened, which is always safe here
+  *      because the rewrite plan re-evaluates the exact condition per
+  *      row — and every surviving file surfaces ALL of its rows:
+  *      nothing is pushed into the parquet reader, since a row-group
+  *      skip would silently DELETE the unmatched rows of a matched
+  *      file when the groups are written back.
+  *   2. Spark computes the replacement rows (updated + carried-over,
+  *      plus MERGE's inserts) and hands them to the operation's WRITE:
+  *      executors stage plain parquet through Spark's own writer
+  *      factory ([[org.apache.spark.sql.graft.ParquetWrites]]).
+  *   3. The commit swaps exactly the scanned files for the staged ones
+  *      in ONE serializable `replace` commit; a head that moved since
+  *      the scan fails loudly instead of dropping a concurrent
+  *      writer's rows.
+  *
+  * Interplay with the metadata paths, by construction: a DELETE whose
+  * predicate translates exactly to the one-column range is converted
+  * BACK to the zero-IO metadata delete by Spark's
+  * `OptimizeMetadataOnlyDeleteFromTable` (our `canDeleteWhere`), so
+  * this path only runs when rows genuinely must be read. 100 TB shape:
+  * scan and write are full-parallelism parquet jobs over ONLY the
+  * affected files; the driver touches log metadata and per-file stats
+  * rows.
+  */
+final class GraftRowLevelOperation(
+    tablePath: String, dataSchema: StructType,
+    cmd: RowLevelOperation.Command,
+    private[streaming] val snapVersion: Long)
+    extends RowLevelOperation {
+
+  /** The file groups the scan planned — set exactly once per scan
+    * build; the write replaces precisely these. */
+  @volatile private[streaming] var plannedFiles: Option[Seq[String]] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft-table $cmd copy-on-write at $tablePath v$snapVersion"
+
+  /** The provenance metadata column rides along with every candidate
+    * row. Spark's group-based exec splits each replacement row into
+    * (data, metadata) ONLY when required metadata exists — this is what
+    * routes the write through the projecting task, so the writer sees
+    * exactly the data columns. The metadata half reaches
+    * `DataWriter.writeWithMetadata`, whose default discards it: replaced
+    * rows mint a fresh commit version from the log, as they must. */
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      GraftTableV2.VersionCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRowLevelScanBuilder(this, tablePath, dataSchema, snapVersion)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().fieldNames.sameElements(dataSchema.fieldNames),
+      s"graft-table $cmd: replacement row schema ${info.schema().simpleString} " +
+        s"does not match the table's ${dataSchema.simpleString}")
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftReplaceWrite(GraftRowLevelOperation.this, tablePath, info.schema())
+    }
+  }
+}
+
+/** The candidate-group scan: pushed filters prune files, rows stay
+  * whole (see [[GraftRowLevelOperation]] step 1). */
+private final class GraftRowLevelScanBuilder(
+    op: GraftRowLevelOperation, tablePath: String,
+    schema: StructType, snapVersion: Long)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = schema
+  private var filters: Array[Filter] = Array.empty
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs // all residual: the rewrite plan owns row semantics
+  }
+
+  override def pushedFilters(): Array[Filter] = filters
+
+  override def pruneColumns(r: StructType): Unit = required = r
+
+  override def build(): Scan =
+    new GraftRowLevelScan(op, tablePath, schema, required, filters, snapVersion)
+}
+
+private final class GraftRowLevelScan(
+    op: GraftRowLevelOperation, tablePath: String, schema: StructType,
+    required: StructType, filters: Array[Filter], snapVersion: Long)
+    extends Scan {
+
+  private val table = new GraftTable(tablePath)
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-table $tablePath v$snapVersion [row-level candidates: " +
+      s"${filters.mkString(", ")}]"
+
+  override def toBatch: Batch = {
+    val snap = table.prunedSnapshot(
+      filters.flatMap(GraftTableV2.bounds).toSeq, version = snapVersion)
+    val files = snap.files.map(a => a -> snap.addedIn.getOrElse(a.path, snap.version))
+      .filter { case (a, v) =>
+        filters.forall(f => GraftTableV2.fileSurvives(table, schema, a, v, f)) }
+    op.plannedFiles = Some(files.map(_._1.path))
+    // the group read: full rows of the candidate files, NO filters to
+    // the parquet reader (row semantics live in the rewrite plan
+    // above). GraftBatch also serves the preserved `_commit_version`
+    // metadata column from the provenance map when Spark asks for it.
+    new GraftBatch(
+      SparkSession.active, table, schema, required,
+      dataFilters = Seq.empty, () => files)
+  }
+}
+
+/** The group-replace write: executors stage parquet, the driver commits
+  * staged-for-scanned in one `replace` commit. */
+private final class GraftReplaceWrite(
+    op: GraftRowLevelOperation, tablePath: String, writeSchema: StructType)
+    extends Write {
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val stageDir =
+      s"$tablePath/_staged_rlw_${UUID.randomUUID().toString.take(8)}"
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      org.apache.spark.sql.graft.ParquetWrites.factory(
+        SparkSession.active, writeSchema, stageDir)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val staged = messages.toSeq.flatMap {
+        case org.apache.spark.sql.graft.ParquetWrites.StagedFiles(fs) => fs
+        case other => throw new IllegalStateException(
+          s"graft-table replace: unexpected commit message $other")
+      }
+      val removed = op.plannedFiles.getOrElse(throw new IllegalStateException(
+        "graft-table replace: the write committed before its scan planned " +
+          "— the rewrite plan must read the table through the operation scan"))
+      new GraftTable(tablePath).replaceFiles(
+        SparkSession.active, op.snapVersion, removed, staged.map(Paths.get(_)))
+      cleanupStage()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = cleanupStage()
+
+    private def cleanupStage(): Unit = {
+      graft.core.Fs.rmTree(new java.io.File(stageDir)); ()
+    }
+  }
+}

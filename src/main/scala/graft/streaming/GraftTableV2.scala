@@ -8,8 +8,8 @@ import graft.medallion.{GraftTable, TxLog}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
@@ -677,7 +677,8 @@ final class GraftCatalogTable(tablePath: String, dataSchema: StructType)
       if (dataSchema.fieldNames.contains(GraftTableV2.VersionCol)) dataSchema
       else dataSchema.add(GraftTableV2.VersionCol, LongType, nullable = false),
       skipRewrites = false, startingVersion = 0L)
-    with SupportsWrite with SupportsMetadataColumns {
+    with SupportsWrite with SupportsMetadataColumns
+    with SupportsRowLevelOperations {
 
   override def schema(): StructType = dataSchema
 
@@ -687,8 +688,29 @@ final class GraftCatalogTable(tablePath: String, dataSchema: StructType)
   override def name(): String = s"graft-table`$tablePath`"
 
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  /** Copy-on-write UPDATE / MERGE INTO / arbitrary-predicate DELETE —
+    * see [[GraftRowLevelOperation]]. Pinned to this table instance's
+    * snapshot: the rewrite's scan and commit agree on the read version,
+    * and a concurrent commit in between fails the operation loudly
+    * instead of dropping rows. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    // Spark's group-based exec only applies its write-side row
+    // projection on the preserved-metadata path; without the metadata
+    // column the raw plan row (operation code included) would reach
+    // the writer — so a shadowed table refuses rather than corrupts
+    require(metadataColumns().nonEmpty,
+      s"graft-table: row-level ${info.command()} needs the _commit_version " +
+        "metadata column, which a data column of the same name shadows " +
+        "on this table — rename the data column or use the programmatic API")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(tablePath, dataSchema, info.command(), snapVersion)
+    }
+  }
 
   /** Hidden when the data schema already claims the name (a silver
     * table that persisted a stream's provenance tag as real data must
@@ -722,6 +744,14 @@ object GraftCatalogTable {
     override def isNullable: Boolean = false
     override def comment(): String =
       "version of the commit that added each row (from the transaction log)"
+    // left preserved (the default) through row-level operations: Spark
+    // reads it alongside the data and hands it to the writer's
+    // writeWithMetadata, whose default DISCARDS it — so replaced rows
+    // mint a fresh commit version from the log, as they must. (The
+    // preserved-metadata path is also the only one where Spark 4.1's
+    // ReplaceDataExec applies its row projection — with no metadata
+    // columns the raw plan row, operation code included, would reach
+    // the writer.)
   }
 }
 

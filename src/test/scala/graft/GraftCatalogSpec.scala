@@ -47,11 +47,12 @@ class GraftCatalogSpec extends SparkSpec {
         .head().getLong(0) === 1L, "null keys survive a range DELETE")
       assert(t.history().head._2 === "delete")
 
-      // a strict inequality cannot be represented exactly: refused
-      // loudly, nothing deleted
-      intercept[Exception](
-        spark.sql("DELETE FROM gtest.db.events WHERE id > 1"))
-      assert(spark.sql("SELECT count(*) FROM gtest.db.events").head().getLong(0) === 3L)
+      // a strict inequality cannot be a metadata delete — it routes
+      // through the copy-on-write group rewrite instead (null keys
+      // survive: NULL > 1 is not true)
+      spark.sql("DELETE FROM gtest.db.events WHERE id > 1")
+      assert(t.history().head._2 === "replace")
+      assert(spark.sql("SELECT count(*) FROM gtest.db.events").head().getLong(0) === 2L)
 
       // TRUNCATE is the no-predicate delete: null keys go too
       spark.sql("TRUNCATE TABLE gtest.db.events")
@@ -134,6 +135,59 @@ class GraftCatalogSpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.sql.catalog.gsql")
       spark.conf.unset("spark.sql.catalog.gsql.warehouse")
+    }
+  }
+
+  test("UPDATE / MERGE INTO / arbitrary-predicate DELETE via copy-on-write row-level ops") {
+    import spark.implicits._
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.grl", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grl.warehouse", wh)
+    try {
+      val t = new GraftTable(s"$wh/db/t")
+      // two files with disjoint id ranges, so group pruning is observable
+      t.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "s", "x").repartition(1))
+      t.append(Seq((10L, "j", 100.0), (11L, "k", 110.0)).toDF("id", "s", "x").repartition(1))
+
+      // UPDATE: only the low file's group is rewritten; the high file's
+      // untouched rows — including the unmatched id=1 row — survive
+      spark.sql("UPDATE grl.db.t SET x = x + 1, s = upper(s) WHERE id = 2")
+      assert(spark.sql("SELECT id, s, x FROM grl.db.t ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+        === Seq((1L, "a", 10.0), (2L, "B", 21.0), (10L, "j", 100.0), (11L, "k", 110.0)))
+      assert(t.history().head._2 === "replace")
+      assert(t.history().head._4 === 1, "only the matched file's group is removed")
+
+      // a strict-inequality DELETE — refused by the metadata path —
+      // now rewrites the affected groups instead
+      spark.sql("DELETE FROM grl.db.t WHERE id > 10")
+      assert(spark.sql("SELECT id FROM grl.db.t ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L, 2L, 10L))
+      assert(t.history().head._2 === "replace")
+
+      // ...while an exact-range DELETE stays a metadata-only commit
+      spark.sql("DELETE FROM grl.db.t WHERE id BETWEEN 10 AND 10")
+      assert(t.history().head._2 === "delete")
+      assert(spark.sql("SELECT count(*) FROM grl.db.t").head().getLong(0) === 2L)
+
+      // MERGE INTO: update + insert through one group replacement
+      Seq((2L, 99.0), (7L, 70.0)).toDF("mid", "mx").createOrReplaceTempView("m_src")
+      spark.sql("""MERGE INTO grl.db.t AS tgt USING m_src AS src
+                   ON tgt.id = src.mid
+                   WHEN MATCHED THEN UPDATE SET x = src.mx
+                   WHEN NOT MATCHED THEN INSERT (id, s, x) VALUES (src.mid, 'new', src.mx)""")
+      assert(spark.sql("SELECT id, s, x FROM grl.db.t ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+        === Seq((1L, "a", 10.0), (2L, "B", 99.0), (7L, "new", 70.0)))
+      assert(t.history().head._2 === "replace")
+
+      // provenance stays consistent after replaces: count answers from metadata
+      assert(spark.sql("SELECT count(*) FROM grl.db.t").queryExecution
+        .executedPlan.toString.contains("LocalTableScan"))
+    } finally {
+      spark.catalog.dropTempView("m_src")
+      spark.conf.unset("spark.sql.catalog.grl")
+      spark.conf.unset("spark.sql.catalog.grl.warehouse")
     }
   }
 
