@@ -1005,6 +1005,14 @@ object PipelineOps {
                SELECT o_orderkey, o_totalprice, o_orderstatus,
                       _commit_version
                FROM gq113.dml.rest
+               UNION ALL
+               -- SQL time travel: the pre-evolution snapshot (its
+               -- then-current two-column schema), keys negated so the
+               -- branch is distinguishable in the sorted union
+               SELECT -o_orderkey, o_totalprice, CAST(NULL AS STRING),
+                      _commit_version
+               FROM gq113.dml.orders_sql VERSION AS OF 2
+               WHERE o_orderkey > 0
                ORDER BY o_orderkey""")
     } finally {
       s.catalog.dropTempView("q113_src")
@@ -1023,6 +1031,9 @@ object PipelineOps {
        UNION ALL
        SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(3 AS BIGINT)
        FROM orders WHERE o_orderkey % 9 = 2
+       UNION ALL
+       SELECT -o_orderkey, o_totalprice, CAST(NULL AS VARCHAR), CAST(2 AS BIGINT)
+       FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey > 0
        ORDER BY o_orderkey"""
 
   // --------------------------------------------------------------------

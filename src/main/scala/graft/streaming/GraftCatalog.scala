@@ -22,10 +22,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   CREATE TABLE graft.db.big AS SELECT ...           -- CTAS
   *   INSERT INTO graft.db.events SELECT ...            -- append commit
   *   INSERT OVERWRITE graft.db.events SELECT ...       -- CAS overwrite
+  *   UPDATE graft.db.events SET payload = ... WHERE …  -- copy-on-write
+  *   MERGE INTO graft.db.events USING src ON … WHEN …  -- copy-on-write
   *   ALTER TABLE graft.db.events ADD COLUMNS (src STRING)
   *   SELECT * FROM graft.db.events WHERE id > 5        -- DSv2 scan
   *   SELECT *, _commit_version FROM graft.db.events    -- provenance
-  *   DELETE FROM graft.db.events WHERE id <= 100       -- stats-triaged
+  *   SELECT * FROM graft.db.events VERSION AS OF 3     -- time travel
+  *   DELETE FROM graft.db.events WHERE id <= 100       -- metadata when
+  *   DELETE FROM graft.db.events WHERE id != 7         -- exact, else COW
   *   TRUNCATE TABLE graft.db.events
   *   DROP TABLE graft.db.events
   * }}}
@@ -91,6 +95,35 @@ final class GraftCatalog extends TableCatalog {
     val path = dirOf(ident)
     new GraftCatalogTable(path, new GraftTable(path).snapshot(-1L).schema)
   }
+
+  /** SQL time travel: `SELECT … FROM t VERSION AS OF n` resolves the
+    * table at commit `n` — pure log resolution against the immutable
+    * snapshot, including its THEN-current schema, read-only by
+    * capability. Works within the vacuum retention window, like every
+    * log-structured format. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft catalog: VERSION AS OF takes the commit version number, got '$version'")
+      }
+    val path = dirOf(ident)
+    new GraftCatalogTable(
+      path, new GraftTable(path).snapshot(v).schema, timeTravelTo = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` is refused loudly: the commit log deliberately
+    * records no wall-clock times (commits are identified by version,
+    * and file mtimes don't survive copies), so a timestamp lookup
+    * would be a guess. `DESCRIBE HISTORY` (the `history()` API) maps
+    * versions to operations; travel by version. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: TIMESTAMP AS OF is not supported — the log keys " +
+        "history by commit VERSION (wall-clock times don't survive file " +
+        "copies); use VERSION AS OF n")
 
   override def createTable(
       ident: Identifier, schema: StructType,

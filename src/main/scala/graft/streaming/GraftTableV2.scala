@@ -669,14 +669,16 @@ final case class GraftVersionOffset(version: Long) extends Offset {
   *
   * Scan, pushdown, metadata aggregates, DELETE, and TRUNCATE are all
   * inherited — one implementation per behavior. */
-final class GraftCatalogTable(tablePath: String, dataSchema: StructType)
+final class GraftCatalogTable(
+    tablePath: String, dataSchema: StructType,
+    timeTravelTo: Option[Long] = None)
     extends GraftTableV2(
       tablePath,
       // the scan machinery's full schema keeps the version column so a
       // metadata-column reference reaches the provenance read path
       if (dataSchema.fieldNames.contains(GraftTableV2.VersionCol)) dataSchema
       else dataSchema.add(GraftTableV2.VersionCol, LongType, nullable = false),
-      skipRewrites = false, startingVersion = 0L)
+      skipRewrites = false, startingVersion = 0L, versionAsOf = timeTravelTo)
     with SupportsWrite with SupportsMetadataColumns
     with SupportsRowLevelOperations {
 
@@ -688,7 +690,8 @@ final class GraftCatalogTable(tablePath: String, dataSchema: StructType)
   override def name(): String = s"graft-table`$tablePath`"
 
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    if (timeTravelTo.isDefined) Set(TableCapability.BATCH_READ).asJava
+    else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
   /** Copy-on-write UPDATE / MERGE INTO / arbitrary-predicate DELETE —
@@ -698,6 +701,8 @@ final class GraftCatalogTable(tablePath: String, dataSchema: StructType)
     * instead of dropping rows. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(timeTravelTo.isEmpty,
+      s"graft-table: ${info.command()} on a VERSION AS OF read — history is immutable")
     // Spark's group-based exec only applies its write-side row
     // projection on the preserved-metadata path; without the metadata
     // column the raw plan row (operation code included) would reach
@@ -719,7 +724,9 @@ final class GraftCatalogTable(tablePath: String, dataSchema: StructType)
     if (dataSchema.fieldNames.contains(GraftTableV2.VersionCol)) Array.empty
     else Array(GraftCatalogTable.CommitVersionColumn)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(timeTravelTo.isEmpty,
+      "graft-table: cannot write to a VERSION AS OF read — history is immutable")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -735,6 +742,7 @@ final class GraftCatalogTable(tablePath: String, dataSchema: StructType)
           }
       }
     }
+  }
 }
 
 object GraftCatalogTable {

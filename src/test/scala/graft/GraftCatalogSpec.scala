@@ -132,6 +132,18 @@ class GraftCatalogSpec extends SparkSpec {
       assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
         "metadata aggregate must stay zero-IO through the writable catalog table")
       assert(agg.head().getLong(0) === 1L && agg.head().getLong(1) === 99L)
+
+      // VERSION AS OF: the pre-overwrite snapshot, with its then-current
+      // schema, read-only by capability
+      assert(spark.sql("SELECT id FROM gsql.db.t VERSION AS OF 5 ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 13L, 20L))
+      assert(spark.sql("SELECT * FROM gsql.db.t VERSION AS OF 2")
+        .schema.fieldNames.toSeq === Seq("id", "payload"),
+        "time travel resolves the THEN-current schema (before ADD COLUMNS)")
+      intercept[Exception](
+        spark.sql("INSERT INTO gsql.db.t VERSION AS OF 2 VALUES (1, 'x')"))
+      intercept[Exception](
+        spark.sql("SELECT * FROM gsql.db.t TIMESTAMP AS OF '2026-01-01'").collect())
     } finally {
       spark.conf.unset("spark.sql.catalog.gsql")
       spark.conf.unset("spark.sql.catalog.gsql.warehouse")
