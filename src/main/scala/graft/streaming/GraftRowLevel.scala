@@ -5,7 +5,7 @@ import java.util.UUID
 
 import graft.medallion.{GraftTable, TxLog}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
@@ -111,9 +111,42 @@ private final class GraftRowLevelScanBuilder(
 private final class GraftRowLevelScan(
     op: GraftRowLevelOperation, tablePath: String, schema: StructType,
     required: StructType, filters: Array[Filter], snapVersion: Long)
-    extends Scan {
+    extends Scan with SupportsRuntimeV2Filtering {
 
   private val table = new GraftTable(tablePath)
+
+  // --------------------------------------- runtime GROUP filtering
+  // Spark's RowLevelOperationRuntimeGroupFiltering feeds the scan the
+  // set of groups that actually contain matching rows (a DPP-style
+  // subquery over the command condition) — the piece that keeps a
+  // MERGE, whose join condition prunes nothing at compile time, from
+  // rewriting a 100 TB table. A file dropped here provably holds no
+  // matching row, so leaving it un-rewritten is exact; untranslatable
+  // predicates or stats-less files conservatively stay in the rewrite
+  // set (extra IO, never wrong data).
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  /** ONE stats-prunable column: Spark keys the matching-groups
+    * subquery on a struct of EVERY reported attribute, and a
+    * multi-column struct IN neither translates to a V1 filter nor
+    * prunes on per-column stats. A single column is still sound — the
+    * IN-list is a projection of the matching rows, so a file whose
+    * stats exclude every listed value provably contains no matching
+    * row. The first stats-bearing data column is the table's leading
+    * (usually key/cluster) column, where log stats bite hardest. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    schema.fields
+      .find(f => f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType |
+             org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.DateType => true
+        case _ => false
+      })
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+      .toArray
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    runtimeFilters = org.apache.spark.sql.graft.ParquetScans.predicatesToV1(predicates)
 
   override def readSchema(): StructType = required
 
@@ -124,17 +157,26 @@ private final class GraftRowLevelScan(
   override def toBatch: Batch = {
     val snap = table.prunedSnapshot(
       filters.flatMap(GraftTableV2.bounds).toSeq, version = snapVersion)
-    val files = snap.files.map(a => a -> snap.addedIn.getOrElse(a.path, snap.version))
+    val candidates = snap.files
+      .map(a => a -> snap.addedIn.getOrElse(a.path, snap.version))
       .filter { case (a, v) =>
         filters.forall(f => GraftTableV2.fileSurvives(table, schema, a, v, f)) }
-    op.plannedFiles = Some(files.map(_._1.path))
+    // evaluated at planInputPartitions time, AFTER runtime filters
+    // land; the planned set is exactly what the write later replaces
+    def currentFiles(): Seq[(TxLog.AddFile, Long)] = {
+      val alive = candidates.filter { case (a, v) =>
+        runtimeFilters.forall(f =>
+          GraftTableV2.fileSurvives(table, schema, a, v, f)) }
+      op.plannedFiles = Some(alive.map(_._1.path))
+      alive
+    }
     // the group read: full rows of the candidate files, NO filters to
     // the parquet reader (row semantics live in the rewrite plan
     // above). GraftBatch also serves the preserved `_commit_version`
     // metadata column from the provenance map when Spark asks for it.
     new GraftBatch(
       SparkSession.active, table, schema, required,
-      dataFilters = Seq.empty, () => files)
+      dataFilters = Seq.empty, () => currentFiles())
   }
 }
 

@@ -59,6 +59,17 @@ object ParquetScans {
     scanFor(spark, schema, Seq.empty, requiredSchema, filters)
       .toBatch.createReaderFactory()
 
+  /** Best-effort V2→V1 predicate translation for file-pruning callers
+    * (the row-level scan's runtime group filter): untranslatable
+    * predicates simply drop out, which for PRUNING means the file
+    * conservatively survives. Forwarded here because
+    * [[org.apache.spark.sql.internal.connector.PredicateUtils]] is
+    * session-internal. */
+  def predicatesToV1(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
+
   /** Re-plan a streaming micro-batch frame as a BATCH frame over the
     * same physical rows — the standard custom-`Sink.addBatch` pattern
     * (a frame with `isStreaming=true` refuses batch writes). The plan

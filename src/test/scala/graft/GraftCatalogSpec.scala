@@ -182,7 +182,12 @@ class GraftCatalogSpec extends SparkSpec {
       assert(t.history().head._2 === "delete")
       assert(spark.sql("SELECT count(*) FROM grl.db.t").head().getLong(0) === 2L)
 
-      // MERGE INTO: update + insert through one group replacement
+      // MERGE INTO: update + insert through one group replacement.
+      // A far-range file first: MERGE's join condition prunes nothing
+      // at compile time, so only RUNTIME group filtering (the DPP-style
+      // matching-groups subquery) keeps the untouched file out of the
+      // rewrite — the 100 TB-critical path
+      t.append(Seq((100L, "z", 1.0)).toDF("id", "s", "x").repartition(1))
       Seq((2L, 99.0), (7L, 70.0)).toDF("mid", "mx").createOrReplaceTempView("m_src")
       spark.sql("""MERGE INTO grl.db.t AS tgt USING m_src AS src
                    ON tgt.id = src.mid
@@ -190,8 +195,11 @@ class GraftCatalogSpec extends SparkSpec {
                    WHEN NOT MATCHED THEN INSERT (id, s, x) VALUES (src.mid, 'new', src.mx)""")
       assert(spark.sql("SELECT id, s, x FROM grl.db.t ORDER BY id").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
-        === Seq((1L, "a", 10.0), (2L, "B", 99.0), (7L, "new", 70.0)))
+        === Seq((1L, "a", 10.0), (2L, "B", 99.0), (7L, "new", 70.0), (100L, "z", 1.0)))
       assert(t.history().head._2 === "replace")
+      assert(t.history().head._4 === 1,
+        "runtime group filtering must keep the unmatched far-range file " +
+          s"out of the MERGE rewrite (history: ${t.history().take(2)})")
 
       // provenance stays consistent after replaces: count answers from metadata
       assert(spark.sql("SELECT count(*) FROM grl.db.t").queryExecution
