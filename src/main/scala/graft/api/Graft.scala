@@ -438,9 +438,21 @@ object Graft {
   val medallion: Medallion.type = Medallion
 
   /** Open the log-structured transactional table at `path` (append /
-    * upsert / range delete / time travel / compact / zorder /
-    * streaming source+sink);
+    * upsert / range delete / schema widening / time travel / compact /
+    * zorder / streaming source+sink);
     * see [[graft.medallion.GraftTable]]. */
   def table(path: String): graft.medallion.GraftTable =
     new graft.medallion.GraftTable(path)
+
+  /** Register `warehouse` as SQL catalog `name`, making every graft
+    * table under it a full SQL-DML citizen — `CREATE TABLE` / CTAS /
+    * `INSERT INTO` / `INSERT OVERWRITE` / `UPDATE` / `MERGE INTO` /
+    * `DELETE` / `ALTER TABLE ADD COLUMNS` / `VERSION AS OF` time
+    * travel / `TRUNCATE` / `DROP`, plus the `_commit_version` metadata
+    * column; see [[graft.streaming.GraftCatalog]]. */
+  def registerCatalog(spark: SparkSession, name: String, warehouse: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.streaming.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
+  }
 }

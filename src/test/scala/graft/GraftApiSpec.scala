@@ -143,5 +143,19 @@ class GraftApiSpec extends SparkSpec {
       s"target/tmp/facade_tbl_${java.util.UUID.randomUUID().toString.take(8)}")
     tbl.append(Seq((1L, "a")).toDF("id", "v"))
     assert(tbl.read(spark).count() === 1L)
+
+    // the SQL-catalog registration: one call, then plain SQL DML
+    val wh = s"target/tmp/facade_wh_${java.util.UUID.randomUUID().toString.take(8)}"
+    Graft.registerCatalog(spark, "gapi", new java.io.File(wh).getAbsolutePath)
+    try {
+      spark.sql("CREATE TABLE gapi.db.t (id BIGINT, v STRING)")
+      spark.sql("INSERT INTO gapi.db.t VALUES (1, 'a'), (2, 'b')")
+      spark.sql("UPDATE gapi.db.t SET v = 'z' WHERE id = 2")
+      assert(spark.sql("SELECT v FROM gapi.db.t ORDER BY id").collect()
+        .map(_.getString(0)).toSeq === Seq("a", "z"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gapi")
+      spark.conf.unset("spark.sql.catalog.gapi.warehouse")
+    }
   }
 }
