@@ -449,8 +449,20 @@ object Graft {
     * `INSERT INTO` / `INSERT OVERWRITE` / `UPDATE` / `MERGE INTO` /
     * `DELETE` / `ALTER TABLE ADD COLUMNS` / `VERSION AS OF` time
     * travel / `TRUNCATE` / `DROP`, plus the `_commit_version` metadata
-    * column; see [[graft.streaming.GraftCatalog]]. */
+    * column; see [[graft.streaming.GraftCatalog]].
+    *
+    * Re-registering the SAME name with a DIFFERENT warehouse fails
+    * loudly: Spark's CatalogManager caches catalog instances per
+    * session at first use and never re-reads the conf, so the silent
+    * alternative would keep reading AND WRITING the old warehouse.
+    * Use a fresh catalog name per warehouse within a session. */
   def registerCatalog(spark: SparkSession, name: String, warehouse: String): Unit = {
+    val prev = spark.conf.getOption(s"spark.sql.catalog.$name.warehouse")
+    require(prev.forall(_ == warehouse),
+      s"catalog '$name' is already registered at warehouse ${prev.get} — " +
+        "Spark caches catalog instances per session, so re-pointing the " +
+        "conf would silently keep using the old warehouse; register a " +
+        "different catalog name instead")
     spark.conf.set(s"spark.sql.catalog.$name",
       classOf[graft.streaming.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)

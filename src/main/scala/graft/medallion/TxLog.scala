@@ -439,7 +439,7 @@ final class GraftTable(val tablePath: String) {
   /** Normalize a stats value into its comparison-domain string (see
     * [[TxLog.ColStats]]): timestamps → epoch millis, dates → epoch days,
     * numerics → decimal string, strings as-is. */
-  private def statsLiteral(v: Any): String = v match {
+  private[graft] def statsLiteral(v: Any): String = v match {
     case t: java.sql.Timestamp => t.getTime.toString
     case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
     case t: java.time.Instant => t.toEpochMilli.toString
@@ -451,14 +451,14 @@ final class GraftTable(val tablePath: String) {
     case other => other.toString
   }
 
-  private def statsKind(dt: DataType): String = dt match {
+  private[graft] def statsKind(dt: DataType): String = dt match {
     case StringType => "str"
     case _ => "num"
   }
 
   /** False for NaN/±Infinity floats/doubles — values the decimal stats
     * domain cannot represent. */
-  private def isFiniteStat(v: Any): Boolean = v match {
+  private[graft] def isFiniteStat(v: Any): Boolean = v match {
     case d: java.lang.Double => !d.isNaN && !d.isInfinite
     case f: java.lang.Float => !f.isNaN && !f.isInfinite
     case _ => true
@@ -767,14 +767,24 @@ final class GraftTable(val tablePath: String) {
     * lost commit races: widening by disjoint column sets composes. */
   def addColumns(cols: Seq[StructField], maxRetries: Int = 20): Long = {
     require(cols.nonEmpty, "txlog: addColumns needs at least one column")
+    // intra-call duplicates would commit a schema no reader can resolve
+    // (ambiguous column) — validate the batch against itself first,
+    // case-insensitively (Spark's default resolution is)
+    val lowered = cols.map(_.name.toLowerCase(java.util.Locale.ROOT))
+    require(lowered.distinct.size == cols.size,
+      s"txlog: addColumns batch repeats a column name (case-insensitive): " +
+        cols.map(_.name).mkString(", "))
     var attempt = 0
     while (attempt < maxRetries) {
       val head = latestVersion()
       require(head > 0L, s"txlog: no table at $root to alter")
       val existing = snapshot(head).schema
+      val existingLower =
+        existing.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
       cols.foreach { f =>
-        require(!existing.fieldNames.contains(f.name),
-          s"txlog: column '${f.name}' already exists on $root")
+        require(!existingLower.contains(f.name.toLowerCase(java.util.Locale.ROOT)),
+          s"txlog: column '${f.name}' already exists on $root " +
+            "(names compare case-insensitively, as Spark resolves them)")
         require(f.nullable,
           s"txlog: new column '${f.name}' must be nullable — existing " +
             "rows have no value to backfill")

@@ -977,47 +977,50 @@ object PipelineOps {
   def q113SqlDml(s: SparkSession, dir: String): DataFrame = {
     val wh = s"${scratch("sqldml", dir)}/warehouse"
     graft.core.Fs.rmTree(new java.io.File(wh)) // fresh warehouse per run: reruns deterministic
-    s.conf.set("spark.sql.catalog.gq113",
-      classOf[graft.streaming.GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.gq113.warehouse", wh)
+    // dir-derived name: Spark caches catalog instances per session, so
+    // one session verifying several scale factors needs one catalog
+    // name per warehouse (same reason Graft.registerCatalog refuses to
+    // re-point a name)
+    val cat = s"gq113_${math.abs(wh.hashCode).toString.take(8)}"
+    graft.api.Graft.registerCatalog(s, cat, wh)
     try {
       lake(s, dir).orders
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
         .createOrReplaceTempView("q113_src")
-      s.sql("CREATE TABLE gq113.dml.orders_sql (o_orderkey BIGINT, o_totalprice DOUBLE)") // v1
-      s.sql("""INSERT INTO gq113.dml.orders_sql
+      s.sql(s"CREATE TABLE $cat.dml.orders_sql (o_orderkey BIGINT, o_totalprice DOUBLE)") // v1
+      s.sql(s"""INSERT INTO $cat.dml.orders_sql
                SELECT o_orderkey, o_totalprice FROM q113_src
                WHERE o_orderkey % 3 = 0""")                                // v2
-      s.sql("ALTER TABLE gq113.dml.orders_sql ADD COLUMNS (o_orderstatus STRING)") // v3
-      s.sql("""INSERT INTO gq113.dml.orders_sql
+      s.sql(s"ALTER TABLE $cat.dml.orders_sql ADD COLUMNS (o_orderstatus STRING)") // v3
+      s.sql(s"""INSERT INTO $cat.dml.orders_sql
                SELECT o_orderkey, o_totalprice, o_orderstatus FROM q113_src
                WHERE o_orderkey % 3 = 1""")                                // v4
-      s.sql("""CREATE TABLE gq113.dml.rest AS
+      s.sql(s"""CREATE TABLE $cat.dml.rest AS
                SELECT o_orderkey, o_totalprice, o_orderstatus FROM q113_src
                WHERE o_orderkey % 3 = 2""")                                // rest v1+v2
-      s.sql("""INSERT OVERWRITE gq113.dml.rest
+      s.sql(s"""INSERT OVERWRITE $cat.dml.rest
                SELECT o_orderkey, o_totalprice, o_orderstatus FROM q113_src
                WHERE o_orderkey % 9 = 2""")                                // rest v3
-      s.sql("""SELECT o_orderkey, o_totalprice, o_orderstatus,
+      s.sql(s"""SELECT o_orderkey, o_totalprice, o_orderstatus,
                       _commit_version
-               FROM gq113.dml.orders_sql
+               FROM $cat.dml.orders_sql
                UNION ALL
                SELECT o_orderkey, o_totalprice, o_orderstatus,
                       _commit_version
-               FROM gq113.dml.rest
+               FROM $cat.dml.rest
                UNION ALL
                -- SQL time travel: the pre-evolution snapshot (its
                -- then-current two-column schema), keys negated so the
                -- branch is distinguishable in the sorted union
                SELECT -o_orderkey, o_totalprice, CAST(NULL AS STRING),
                       _commit_version
-               FROM gq113.dml.orders_sql VERSION AS OF 2
+               FROM $cat.dml.orders_sql VERSION AS OF 2
                WHERE o_orderkey > 0
                ORDER BY o_orderkey""")
     } finally {
       s.catalog.dropTempView("q113_src")
-      s.conf.unset("spark.sql.catalog.gq113")
-      s.conf.unset("spark.sql.catalog.gq113.warehouse")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
     }
   }
 
@@ -1056,9 +1059,9 @@ object PipelineOps {
   def q114SqlMerge(s: SparkSession, dir: String): DataFrame = {
     val wh = s"${scratch("sqlmerge", dir)}/warehouse"
     graft.core.Fs.rmTree(new java.io.File(wh)) // fresh warehouse per run: reruns deterministic
-    s.conf.set("spark.sql.catalog.gq114",
-      classOf[graft.streaming.GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.gq114.warehouse", wh)
+    // dir-derived name — see q113
+    val cat = s"gq114_${math.abs(wh.hashCode).toString.take(8)}"
+    graft.api.Graft.registerCatalog(s, cat, wh)
     try {
       lake(s, dir).orders
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -1074,11 +1077,11 @@ object PipelineOps {
             (if (b == 3) lit(true) else col("o_orderkey") <= (b + 1) * q))
           .repartition(1))
       }
-      s.sql(s"""UPDATE gq114.dml.orders_rl
+      s.sql(s"""UPDATE $cat.dml.orders_rl
                 SET o_totalprice = o_totalprice * CAST(0.9 AS DOUBLE)
                 WHERE o_orderkey % 3 = 0 AND o_orderkey <= $q""")
       // matched keys re-price; negated keys exist nowhere → INSERT branch
-      s.sql(s"""MERGE INTO gq114.dml.orders_rl AS t
+      s.sql(s"""MERGE INTO $cat.dml.orders_rl AS t
                 USING (SELECT o_orderkey AS k FROM q114_src
                        WHERE o_orderkey % 5 = 0 AND o_orderkey <= $q
                        UNION ALL
@@ -1089,13 +1092,13 @@ object PipelineOps {
                 WHEN MATCHED THEN UPDATE SET o_custkey = -1
                 WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_totalprice)
                   VALUES (src.k, -2, CAST(0.0 AS DOUBLE))""")
-      s.sql(s"DELETE FROM gq114.dml.orders_rl WHERE o_orderkey > ${3 * q}")
-      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
-               FROM gq114.dml.orders_rl ORDER BY o_orderkey""")
+      s.sql(s"DELETE FROM $cat.dml.orders_rl WHERE o_orderkey > ${3 * q}")
+      s.sql(s"""SELECT o_orderkey, o_custkey, o_totalprice
+               FROM $cat.dml.orders_rl ORDER BY o_orderkey""")
     } finally {
       s.catalog.dropTempView("q114_src")
-      s.conf.unset("spark.sql.catalog.gq114")
-      s.conf.unset("spark.sql.catalog.gq114.warehouse")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
     }
   }
 

@@ -93,7 +93,11 @@ final class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val path = dirOf(ident)
-    new GraftCatalogTable(path, new GraftTable(path).snapshot(-1L).schema)
+    // ONE snapshot resolution supplies both schema and pinned version —
+    // a commit landing between two separate reads could otherwise tear
+    // them apart (new files read under the old schema)
+    val snap = new GraftTable(path).snapshot(-1L)
+    new GraftCatalogTable(path, snap.schema, resolvedVersion = Some(snap.version))
   }
 
   /** SQL time travel: `SELECT … FROM t VERSION AS OF n` resolves the
@@ -110,8 +114,10 @@ final class GraftCatalog extends TableCatalog {
           s"graft catalog: VERSION AS OF takes the commit version number, got '$version'")
       }
     val path = dirOf(ident)
+    val snap = new GraftTable(path).snapshot(v) // validates v committed
     new GraftCatalogTable(
-      path, new GraftTable(path).snapshot(v).schema, timeTravelTo = Some(v))
+      path, snap.schema, timeTravelTo = Some(v),
+      resolvedVersion = Some(snap.version))
   }
 
   /** `TIMESTAMP AS OF` is refused loudly: the commit log deliberately

@@ -164,9 +164,8 @@ private final class GraftRowLevelScan(
     // evaluated at planInputPartitions time, AFTER runtime filters
     // land; the planned set is exactly what the write later replaces
     def currentFiles(): Seq[(TxLog.AddFile, Long)] = {
-      val alive = candidates.filter { case (a, v) =>
-        runtimeFilters.forall(f =>
-          GraftTableV2.fileSurvives(table, schema, a, v, f)) }
+      val compiled = GraftTableV2.compileRuntimeFilters(table, schema, runtimeFilters)
+      val alive = candidates.filter { case (a, v) => compiled.forall(_(a, v)) }
       op.plannedFiles = Some(alive.map(_._1.path))
       alive
     }

@@ -194,17 +194,22 @@ class GraftTableV2(
     val tablePath: String, pinnedSchema: StructType,
     skipRewrites: Boolean, startingVersion: Long,
     versionAsOf: Option[Long] = None,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsDelete {
 
   // version pinned alongside the schema: every batch scan of this table
-  // instance resolves the same snapshot. snapshot() validates an
-  // explicit versionAsOf against the head (time travel to a version
-  // that never committed fails loudly).
-  private[streaming] val snapVersion: Long = versionAsOf match {
-    case Some(v) => new GraftTable(tablePath).snapshot(v).version
-    case None => new GraftTable(tablePath).latestVersion()
-  }
+  // instance resolves the same snapshot. A caller that already resolved
+  // a snapshot passes its version as `pinnedVersion`, so schema and
+  // version come from ONE log read (a concurrent commit in between
+  // cannot tear them apart); otherwise snapshot() validates an explicit
+  // versionAsOf against the head (time travel to a version that never
+  // committed fails loudly).
+  private[streaming] val snapVersion: Long = pinnedVersion.getOrElse(
+    versionAsOf match {
+      case Some(v) => new GraftTable(tablePath).snapshot(v).version
+      case None => new GraftTable(tablePath).latestVersion()
+    })
 
   override def name(): String = s"graft-table`$tablePath`" +
     versionAsOf.map(v => s"@v$v").getOrElse("")
@@ -425,9 +430,9 @@ final class GraftScan(
     * Re-evaluated on every plan call because runtime filters land after
     * `toBatch`. */
   private[graft] def currentFiles(): Seq[(TxLog.AddFile, Long)] = {
-    val alive = pruned.filter { case (a, v) =>
-      runtimeFilters.forall(f =>
-        GraftTableV2.fileSurvives(table, fullSchema, a, v, f, syntheticVersion)) }
+    val compiled = GraftTableV2.compileRuntimeFilters(
+      table, fullSchema, runtimeFilters, syntheticVersion)
+    val alive = pruned.filter { case (a, v) => compiled.forall(_(a, v)) }
     limit match {
       case Some(n) => // keep files until their row counts guarantee n rows
         var acc = 0L
@@ -671,14 +676,16 @@ final case class GraftVersionOffset(version: Long) extends Offset {
   * inherited — one implementation per behavior. */
 final class GraftCatalogTable(
     tablePath: String, dataSchema: StructType,
-    timeTravelTo: Option[Long] = None)
+    timeTravelTo: Option[Long] = None,
+    resolvedVersion: Option[Long] = None)
     extends GraftTableV2(
       tablePath,
       // the scan machinery's full schema keeps the version column so a
       // metadata-column reference reaches the provenance read path
       if (dataSchema.fieldNames.contains(GraftTableV2.VersionCol)) dataSchema
       else dataSchema.add(GraftTableV2.VersionCol, LongType, nullable = false),
-      skipRewrites = false, startingVersion = 0L, versionAsOf = timeTravelTo)
+      skipRewrites = false, startingVersion = 0L, versionAsOf = timeTravelTo,
+      pinnedVersion = resolvedVersion)
     with SupportsWrite with SupportsMetadataColumns
     with SupportsRowLevelOperations {
 
@@ -1016,6 +1023,60 @@ object GraftTableV2 {
       case _ => false
     }
     if (ok) Some(Some((colName.get, lo, hi))) else None
+  }
+
+  /** Compile runtime filters once per planning pass. Join runtime
+    * filters arrive as IN-lists that can carry MILLIONS of build-side
+    * keys; probing them through [[fileSurvives]] costs
+    * O(files × values) driver-side stats parses. Compiled, each
+    * IN-list parses and sorts its values ONCE, and each candidate file
+    * then costs one min/max parse plus a binary search —
+    * O(values log values + files log values). Non-IN shapes (and
+    * conservative corner cases: null members, NaN/Infinity, stats-less
+    * columns) fall back to [[fileSurvives]] unchanged. */
+  private[streaming] def compileRuntimeFilters(
+      table: GraftTable, schema: StructType, filters: Array[Filter],
+      syntheticVersion: Boolean = true): Seq[(TxLog.AddFile, Long) => Boolean] = {
+    import org.apache.spark.sql.sources.In
+    filters.toSeq.map {
+      case In(VersionCol, values) if syntheticVersion =>
+        val versions = values.iterator.filter(_ != null).map(asLong).toSet
+        (_: TxLog.AddFile, v: Long) => versions.contains(v)
+      case f @ In(col, values)
+          if values.nonEmpty && !values.contains(null) &&
+            values.forall(table.isFiniteStat) =>
+        schema.fields.find(_.name == col) match {
+          case Some(field) =>
+            val numeric = table.statsKind(field.dataType) == "num"
+            if (numeric) {
+              val sorted = values.map(v => BigDecimal(table.statsLiteral(v))).sorted
+              (a: TxLog.AddFile, _: Long) => a.stats.get(col).forall { cs =>
+                anyInRange(sorted, BigDecimal(cs.min), BigDecimal(cs.max))
+              }
+            } else {
+              val sorted = values.map(table.statsLiteral).sorted
+              (a: TxLog.AddFile, _: Long) => a.stats.get(col).forall { cs =>
+                anyInRange(sorted, cs.min, cs.max)
+              }
+            }
+          case None => // unknown column: conservative, same as fileSurvives
+            (a: TxLog.AddFile, v: Long) => fileSurvives(table, schema, a, v, f, syntheticVersion)
+        }
+      case f =>
+        (a: TxLog.AddFile, v: Long) => fileSurvives(table, schema, a, v, f, syntheticVersion)
+    }
+  }
+
+  /** Does the sorted array hold any element in [lo, hi]? Binary search
+    * for the first element >= lo, then one comparison against hi. */
+  private def anyInRange[T](sorted: Array[T], lo: T, hi: T)(
+      implicit ord: Ordering[T]): Boolean = {
+    var l = 0; var r = sorted.length
+    while (l < r) {
+      val m = (l + r) >>> 1
+      if (ord.lt(sorted(m), lo)) l = m + 1 else r = m
+    }
+    l < sorted.length && ord.lteq(sorted(l), hi)
   }
 
   /** Could file `a` (added in commit `v`) contain rows matching `f`?

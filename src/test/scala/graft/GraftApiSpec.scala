@@ -153,6 +153,13 @@ class GraftApiSpec extends SparkSpec {
       spark.sql("UPDATE gapi.db.t SET v = 'z' WHERE id = 2")
       assert(spark.sql("SELECT v FROM gapi.db.t ORDER BY id").collect()
         .map(_.getString(0)).toSeq === Seq("a", "z"))
+      // re-pointing a registered name must fail loudly: Spark caches
+      // catalog instances per session, so the conf flip would silently
+      // keep using the OLD warehouse
+      intercept[IllegalArgumentException](
+        Graft.registerCatalog(spark, "gapi", "/tmp/other-warehouse"))
+      // same name + same warehouse is an idempotent no-op
+      Graft.registerCatalog(spark, "gapi", new java.io.File(wh).getAbsolutePath)
     } finally {
       spark.conf.unset("spark.sql.catalog.gapi")
       spark.conf.unset("spark.sql.catalog.gapi.warehouse")

@@ -87,6 +87,31 @@ class TxLogSpec extends SparkSpec {
     assert(t.compactRange(spark, "id", Some(1L), Some(10L)) === ((0, 0, 6L)))
   }
 
+  test("addColumns refuses duplicate and case-colliding names before committing anything") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField}
+    val t = freshTable("addcols")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    val before = t.latestVersion()
+    // a batch repeating a name (even by case) would commit a schema no
+    // reader can resolve — refused with the table untouched
+    intercept[IllegalArgumentException](t.addColumns(Seq(
+      StructField("c", IntegerType, nullable = true),
+      StructField("C", StringType, nullable = true))))
+    // a name the table already has, case-insensitively (Spark resolves
+    // case-insensitively by default)
+    intercept[IllegalArgumentException](t.addColumns(Seq(
+      StructField("ID", StringType, nullable = true))))
+    // non-nullable: no backfill value exists
+    intercept[IllegalArgumentException](t.addColumns(Seq(
+      StructField("req", IntegerType, nullable = false))))
+    assert(t.latestVersion() === before, "failed alters commit nothing")
+    // the valid widen still lands and old rows null-backfill
+    t.addColumns(Seq(StructField("w", IntegerType, nullable = true)))
+    assert(t.read(spark).columns.toSeq === Seq("id", "v", "w"))
+    assert(t.read(spark).select("w").head().isNullAt(0))
+  }
+
   test("timestamp delete never metadata-drops: floored stats must not over-delete sub-ms rows") {
     import spark.implicits._
     val t = freshTable("tsdelete")
