@@ -644,6 +644,51 @@ final class GraftTable(val tablePath: String) {
     * The txn check re-runs on every lost commit race: two executors of
     * the same restarted query racing the same batch resolve to exactly
     * one append. Returns the committed (or already-covering) version. */
+  /** [[appendIdempotent]] over files a DSv2 streaming write already
+    * staged (the `writeStream.toTable` path): same txn-ledger contract
+    * — a batch id at or below the app's high-water mark is a no-op and
+    * the staged files are dropped; otherwise the files adopt with
+    * stats and commit with the (appId, batchId) action. The table must
+    * already exist: the catalog's streaming write resolves it through
+    * `loadTable`, so the schema was validated by Spark's resolution. */
+  private[graft] def appendStagedIdempotent(
+      spark: SparkSession, appId: String, batchId: Long, schema: StructType,
+      staged: Seq[java.nio.file.Path], maxRetries: Int = 20): Long = {
+    require(appId.nonEmpty, "txlog: appId must be non-empty")
+    def dropStaged(): Unit = staged.foreach(p => Files.deleteIfExists(p))
+    val pre = snapshot()
+    require(pre.version > 0L,
+      s"txlog: no committed table at $root for a streaming append")
+    if (pre.txns.get(appId).exists(_ >= batchId)) { dropStaged(); return pre.version }
+    val adds = adoptStaged(spark, schema, staged)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = snapshot(latestVersion())
+      if (head.txns.get(appId).exists(_ >= batchId)) {
+        // a racing writer (same restarted query) already landed this
+        // batch — ours would be a duplicate
+        adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+        return head.version
+      }
+      // strict schema line, recomputed per attempt like appendIdempotent:
+      // a concurrent retype mid-stream fails loudly rather than
+      // committing files the head schema cannot read
+      val schemaJson =
+        try commitSchemaFor(head.version, schema, mergeSchema = false)
+        catch { case e: Throwable =>
+          adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+          throw e
+        }
+      if (tryCommit(head.version + 1, "streamingUpdate", head.version,
+          Some(schemaJson), adds, Nil,
+          Map(appId -> batchId))) return head.version + 1
+      attempt += 1
+    }
+    adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+    throw new ConcurrentWriteException(
+      s"txlog: streaming append lost $maxRetries commit races at $tablePath")
+  }
+
   def appendIdempotent(
       df: DataFrame, appId: String, batchId: Long, maxRetries: Int = 20): Long = {
     require(appId.nonEmpty, "txlog: appId must be non-empty")

@@ -10,6 +10,7 @@ import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{streaming => streaming_write}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
@@ -699,7 +700,8 @@ final class GraftCatalogTable(
   override def capabilities(): java.util.Set[TableCapability] =
     if (timeTravelTo.isDefined) Set(TableCapability.BATCH_READ).asJava
     else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
 
   /** Copy-on-write UPDATE / MERGE INTO / arbitrary-predicate DELETE —
     * see [[GraftRowLevelOperation]]. Pinned to this table instance's
@@ -747,9 +749,65 @@ final class GraftCatalogTable(
               ()
             }
           }
+
+        /** `df.writeStream.toTable("cat.db.t")`: the exactly-once table
+          * sink on the DSv2 plane — executors stage parquet through
+          * Spark's own writer factory, each epoch commits through the
+          * txn ledger keyed by the streaming queryId, so a
+          * crash-replayed epoch is a no-op (the same contract as
+          * `writeStream.format("graft-table")`, without the option
+          * plumbing). */
+        override def toStreaming: streaming_write.StreamingWrite = {
+          require(!overwrite,
+            "graft-table streaming writes are append-only — Complete/" +
+              "Update output modes would overwrite history every epoch")
+          new GraftStreamingTableWrite(tablePath, info.schema(), info.queryId())
+        }
       }
     }
   }
+}
+
+/** The exactly-once streaming table write behind `writeStream.toTable`.
+  * Epochs stage attempt-unique parquet files; `commit(epoch)` adopts
+  * exactly the winning messages' files and lands ONE `streamingUpdate`
+  * commit carrying the (queryId, epoch) txn action — replayed or
+  * racing epochs no-op through the ledger, same as [[TableSink]]. */
+private final class GraftStreamingTableWrite(
+    tablePath: String, writeSchema: StructType, queryId: String)
+    extends streaming_write.StreamingWrite {
+
+  private val stageDir =
+    s"$tablePath/_staged_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : streaming_write.StreamingDataWriterFactory =
+    org.apache.spark.sql.graft.ParquetWrites.factory(
+      SparkSession.active, writeSchema, stageDir)
+
+  override def commit(
+      epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val staged = messages.toSeq.flatMap {
+      case org.apache.spark.sql.graft.ParquetWrites.StagedFiles(fs) => fs
+      case other => throw new IllegalStateException(
+        s"graft-table streaming write: unexpected commit message $other")
+    }
+    new GraftTable(tablePath).appendStagedIdempotent(
+      SparkSession.active, s"graft-stream-$queryId", epochId, writeSchema,
+      staged.map(java.nio.file.Paths.get(_)))
+    ()
+  }
+
+  override def abort(
+      epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    messages.foreach {
+      case org.apache.spark.sql.graft.ParquetWrites.StagedFiles(fs) =>
+        fs.foreach(f => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+      case _ => ()
+    }
 }
 
 object GraftCatalogTable {

@@ -39,7 +39,7 @@ object ParquetWrites {
     * abort/vacuum cleanup (never adopted: the commit lists only winning
     * messages). */
   def factory(
-      spark: SparkSession, schema: StructType, stageDir: String): DataWriterFactory = {
+      spark: SparkSession, schema: StructType, stageDir: String): GraftParquetWriterFactory = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val options = new ParquetOptions(Map.empty[String, String], spark.sessionState.conf)
     val owf = ParquetUtils.prepareWrite(spark.sessionState.conf, job, schema, options)
@@ -48,9 +48,18 @@ object ParquetWrites {
   }
 }
 
-private final class GraftParquetWriterFactory(
+/** Serves BOTH write planes: batch ([[DataWriterFactory]]) and
+  * streaming ([[org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory]]
+  * — the epoch only names the file; every name is attempt-unique via
+  * UUID regardless). */
+final class GraftParquetWriterFactory(
     owf: OutputWriterFactory, conf: SerializableConfiguration,
-    schema: StructType, stageDir: String) extends DataWriterFactory {
+    schema: StructType, stageDir: String) extends DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId)
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {

@@ -211,6 +211,48 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("writeStream.toTable: exactly-once DSv2 streaming appends through the txn ledger") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.gstw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstw.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE gstw.db.sink (id BIGINT, payload STRING)")
+      val ckpt = freshWarehouse() + "/ckpt"
+      val ms = MemoryStream[(Long, String)]
+      val stream = ms.toDF().toDF("id", "payload")
+
+      ms.addData(1L -> "a", 2L -> "b")
+      stream.writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).toTable("gstw.db.sink")
+        .awaitTermination()
+      // restart from the same checkpoint: only the new wave flows
+      ms.addData(3L -> "c")
+      stream.writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).toTable("gstw.db.sink")
+        .awaitTermination()
+
+      assert(spark.sql("SELECT id FROM gstw.db.sink ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+      // epochs landed as txn-ledgered streamingUpdate commits
+      val t = new GraftTable(s"$wh/db/sink")
+      assert(t.history().take(2).map(_._2) === Seq("streamingUpdate", "streamingUpdate"))
+      assert(t.snapshot().txns.keys.exists(_.startsWith("graft-stream-")),
+        "the ledger is keyed by the streaming queryId")
+
+      // a time-traveled table refuses streaming writes by capability
+      intercept[Exception](
+        stream.writeStream.option("checkpointLocation", freshWarehouse())
+          .toTable("gstw.db.sink VERSION AS OF 1"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gstw")
+      spark.conf.unset("spark.sql.catalog.gstw.warehouse")
+    }
+  }
+
   test("a data column named _commit_version shadows the metadata column") {
     import spark.implicits._
     val wh = freshWarehouse()

@@ -87,6 +87,27 @@ class TxLogSpec extends SparkSpec {
     assert(t.compactRange(spark, "id", Some(1L), Some(10L)) === ((0, 0, 6L)))
   }
 
+  test("replaceFiles is serializable: a head that moved since the scan fails loudly") {
+    import spark.implicits._
+    val t = freshTable("replace")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1))   // v1
+    val readVersion = t.latestVersion()
+    val removed = t.read(spark).inputFiles.toSeq // just to have run a read
+    assert(removed.nonEmpty)
+    // stage a replacement like the DSv2 write would
+    val stage = new java.io.File(s"target/tmp/replace_stage_${java.util.UUID.randomUUID().toString.take(8)}")
+    Seq((1L, "A"), (2L, "B")).toDF("id", "v").repartition(1)
+      .write.parquet(stage.getAbsolutePath)
+    val staged = stage.listFiles().filter(_.getName.endsWith(".parquet")).map(_.toPath).toSeq
+    // a concurrent append moves the head between scan and commit
+    t.append(Seq((3L, "c")).toDF("id", "v"))                             // v2
+    intercept[graft.medallion.TxLog.ConcurrentWriteException](
+      t.replaceFiles(spark, readVersion, Seq("whatever.parquet"), staged))
+    // the concurrent writer's row survives; nothing was torn
+    assert(t.read(spark).count() === 3L)
+    graft.core.Fs.rmTree(stage)
+  }
+
   test("addColumns refuses duplicate and case-colliding names before committing anything") {
     import spark.implicits._
     import org.apache.spark.sql.types.{IntegerType, StringType, StructField}
