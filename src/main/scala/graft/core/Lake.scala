@@ -35,23 +35,29 @@ final case class Lake(spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) which the Spark parquet
-    * reader rejects outright. We read nanos as long via the legacy conf and
-    * rebuild a proper TimestampType column. Lossless here: the generator
-    * emits microsecond-resolution values (verified: epoch_ns % 1000 == 0).
-    *
-    * The conf is session-wide (any OTHER TIMESTAMP(NANOS) parquet in the
-    * session also surfaces as long after this) — which is why
-    * [[SparkSessionFactory.builder]] sets it at construction for every
-    * graft session, making the behavior uniform rather than dependent on
-    * whether an events scan ran first. The set here remains for sessions
-    * built outside the factory. */
+  /** events.parquet has shipped with two physical types for `ts` across
+    * driver testdata generations: INT64 TIMESTAMP(NANOS) — which the Spark
+    * parquet reader surfaces as plain long under the legacy nanosAsLong
+    * conf (set session-wide in [[SparkSessionFactory.builder]]; repeated
+    * here for sessions built outside the factory) — and standard
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false, which surfaces as
+    * TIMESTAMP_NTZ. Both normalize to the SAME session-local TimestampType
+    * column so every downstream query/oracle sees one shape: nanos are
+    * floor-divided to micros (lossless — the generator emits
+    * microsecond-resolution values), and NTZ casts 1:1 under the factory's
+    * pinned UTC session timezone. */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw("events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = raw("events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")

@@ -20,25 +20,39 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw parquet schema of events.parquet: ts is INT64 TIMESTAMP(NANOS),
-    * surfaced as long via spark.sql.legacy.parquet.nanosAsLong. */
-  val rawSchema: StructType = StructType(Seq(
+  /** Raw parquet schema of events.parquet, parameterized on the physical
+    * type of `ts`: driver testdata generations have shipped both INT64
+    * TIMESTAMP(NANOS) (surfaced as long via
+    * spark.sql.legacy.parquet.nanosAsLong) and standard TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false (surfaced as TIMESTAMP_NTZ). */
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming scan of the events file(s): nanos → proper TimestampType. */
+  /** Streaming scan of the events file(s), normalized to TimestampType.
+    *
+    * The file source requires an explicit schema, and the physical ts type
+    * varies by testdata generation — so probe it once with a driver-side
+    * batch footer read (metadata-only, no data scan) and declare the
+    * matching schema. Nanos-as-long floor-divides to micros; NTZ casts 1:1
+    * under the factory's pinned UTC session timezone. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val df = spark.readStream
+      .schema(rawSchema(tsType))
       // the file source needs a directory; glob-filter to the events file
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Run a streaming frame's bounded replay to completion
