@@ -260,6 +260,13 @@ object Graft {
       k: Int): DataFrame =
     graft.operators.Curation.vocabTopK(df, groupCol, textCol, k)
 
+  /** Inverted index: term → document frequency, corpus term frequency,
+    * and a bounded ascending posting list (q115's implementation; cap
+    * bounds the per-term output regardless of Zipf skew). */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      postingsCap: Int = 8): DataFrame =
+    graft.operators.InvertedIndex.build(df, idCol, textCol, postingsCap)
+
   /** Documents sharing ≥ `minOverlap` distinct shingles with the probe
     * set (benchmark-contamination check; q72's implementation — probe
     * side broadcasts, corpus side never shuffles in full). Honors

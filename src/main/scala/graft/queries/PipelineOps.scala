@@ -1118,7 +1118,78 @@ object PipelineOps {
            AND o_orderkey <= (SELECT q FROM q))
        ORDER BY o_orderkey"""
 
+  // --------------------------------------------------------------------
+  // q118 — incremental materialized-view maintenance over the table
+  // format: a per-supplier aggregate MV kept current across three source
+  // append batches by reading ONLY the change feed (`appendsSince` — the
+  // CDF scan is O(new data), never O(table)) and merging the delta
+  // aggregate into the MV with a keyed `upsert` (copy-on-write touches
+  // only files whose key range overlaps the delta). This is the 100 TB
+  // contract for derived tables: refresh cost scales with the batch, not
+  // the accumulated history — a full recompute would re-shuffle the
+  // whole source every batch. Sums accumulate as DECIMAL(28,2) (exact,
+  // associative — incremental addition ≡ one global sum) and convert to
+  // double once at read-back, inside the Det 2^53 bound. The final MV
+  // must hash-match the oracle's from-scratch aggregate over the full
+  // source — proving delta-maintenance ≡ recompute.
+  // --------------------------------------------------------------------
+  def q118IncrementalMv(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("txmv", dir)
+    graft.core.Fs.rmTree(new java.io.File(root)) // fresh tables per run
+    val src = new graft.medallion.GraftTable(s"$root/src")
+    val mv = new graft.medallion.GraftTable(s"$root/mv")
+    val dec = DecimalType(28, 2)
+    val base = lake(s, dir).lineitem.select(
+      col("l_orderkey"), col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+    var seen = 0L
+    (0 to 2).foreach { m =>
+      src.append(base.filter(col("l_orderkey") % 3 === m))
+      val head = src.latestVersion()
+      val deltaAgg = src.appendsSince(s, seen)
+        .groupBy(col("l_suppkey"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(dec).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(dec).as("sum_price"))
+      if (seen == 0L) {
+        mv.append(deltaAgg)
+      } else {
+        // merge currently-stored partials into the delta for TOUCHED keys
+        // only; untouched MV rows (and their files, when key-disjoint)
+        // are never rewritten
+        val merged = deltaAgg.as("d")
+          .join(mv.read(s).as("c"), Seq("l_suppkey"), "left")
+          .select(
+            col("l_suppkey"),
+            (coalesce(col("c.n_items"), lit(0L)) + col("d.n_items")).as("n_items"),
+            (coalesce(col("c.sum_qty"), lit(0).cast(dec)) + col("d.sum_qty"))
+              .cast(dec).as("sum_qty"),
+            (coalesce(col("c.sum_price"), lit(0).cast(dec)) + col("d.sum_price"))
+              .cast(dec).as("sum_price"))
+        mv.upsert(
+          merged.withColumn("_seq", lit(head)).withColumn("_deleted", lit(false)),
+          "l_suppkey", "_seq")
+      }
+      seen = head
+    }
+    require(mv.latestVersion() == 3L,
+      s"MV must advance one commit per batch (got ${mv.latestVersion()})")
+    mv.read(s)
+      .select(
+        col("l_suppkey"), col("n_items"),
+        col("sum_qty").cast(DoubleType).as("sum_qty"),
+        col("sum_price").cast(DoubleType).as("sum_price"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  private val q118Oracle =
+    """SELECT l_suppkey, count(*) AS n_items,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_incremental_mv" -> (q118IncrementalMv _),
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_sessionize" -> (q43Sessionize _),
     "q44_medallion_e2e" -> (q44MedallionE2e _),
@@ -1142,6 +1213,7 @@ object PipelineOps {
     "q114_sql_merge" -> (q114SqlMerge _))
 
   val oracle: Map[String, String] = Map(
+    "q118_incremental_mv" -> q118Oracle,
     "q42_multimodal_meta" -> q42Oracle,
     "q43_sessionize" -> q43Oracle,
     "q44_medallion_e2e" -> q44Oracle,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Lake
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -515,7 +515,86 @@ object RelationalMore {
        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
        ORDER BY g_rf, g_ls, rf, ls"""
 
+  // --------------------------------------------------------------------
+  // q116 — per-group EXACT quantile profile by rank selection: the value
+  // at index ((n-1)*p) div 100 of the group-sorted column. Pure integer
+  // index math — no interpolation, so no engine-specific float rounding
+  // to diverge on (q46's median uses the same trick for one quantile;
+  // this is the general profile). ONE shuffle on the group key serves
+  // both windows AND the final aggregate (same partitioning, Catalyst
+  // reuses the exchange). At 100 TB the same shape holds per group; for
+  // a GLOBAL quantile prefer the percentile_approx sketch (spec'd in
+  // ApproxDistinctSpec) over a single-partition global sort.
+  // --------------------------------------------------------------------
+  def q116QuantileProfile(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val wAll = Window.partitionBy(col("lang"))
+    def pick(p: Int): Column =
+      max(when(col("rn") === expr(s"((n - 1) * $p) div 100") + 1, col("n_chars")))
+    lake(s, dir).documents
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        pick(25).as("p25"), pick(50).as("p50"), pick(75).as("p75"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q116Oracle =
+    """WITH r AS (SELECT lang, n_chars,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY n_chars, doc_id) AS rn,
+                         count(*) OVER (PARTITION BY lang) AS n
+                  FROM documents)
+       SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
+              max(CASE WHEN rn = ((n - 1) * 25) // 100 + 1 THEN n_chars END) AS p25,
+              max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN n_chars END) AS p50,
+              max(CASE WHEN rn = ((n - 1) * 75) // 100 + 1 THEN n_chars END) AS p75,
+              max(n_chars) AS max_chars
+       FROM r GROUP BY lang ORDER BY lang"""
+
+  // --------------------------------------------------------------------
+  // q117 — explicit GROUPING SETS (the non-hierarchical shape ROLLUP/CUBE
+  // can't express: ((rf,ls),(ls),()) skips the (rf) level). Spark 4's
+  // native Dataset.groupingSets — one Expand + one hash aggregate, the
+  // same partial-agg plan as q27/q57. Money total under the Det exact-
+  // decimal policy.
+  // --------------------------------------------------------------------
+  def q117GroupingSets(s: SparkSession, dir: String): DataFrame =
+    lake(s, dir).lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast(IntegerType).as("g_rf"),
+        grouping(col("l_linestatus")).cast(IntegerType).as("g_ls"),
+        count(lit(1)).as("cnt"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("-")).as("rf"),
+        coalesce(col("l_linestatus"), lit("-")).as("ls"),
+        col("g_rf"), col("g_ls"), col("cnt"), col("sum_price"))
+      .orderBy(col("g_rf"), col("g_ls"), col("rf"), col("ls"))
+
+  private val q117Oracle =
+    """SELECT coalesce(l_returnflag, '-') AS rf,
+              coalesce(l_linestatus, '-') AS ls,
+              CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+              CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+              count(*) AS cnt,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+       ORDER BY g_rf, g_ls, rf, ls"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_quantile_profile" -> (q116QuantileProfile _),
+    "q117_grouping_sets" -> (q117GroupingSets _),
     "q46_median" -> (q46Median _),
     "q47_exact_stats" -> (q47ExactStats _),
     "q48_window_suite" -> (q48WindowSuite _),
@@ -534,6 +613,8 @@ object RelationalMore {
     "q68_grouping_id" -> (q68GroupingId _))
 
   val oracle: Map[String, String] = Map(
+    "q116_quantile_profile" -> q116Oracle,
+    "q117_grouping_sets" -> q117Oracle,
     "q46_median" -> q46Oracle,
     "q47_exact_stats" -> q47Oracle,
     "q48_window_suite" -> q48Oracle,

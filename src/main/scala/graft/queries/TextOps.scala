@@ -1057,7 +1057,37 @@ object TextOps {
        FROM spans JOIN shared USING (h)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  // --------------------------------------------------------------------
+  // q115 — inverted-index build (graft.operators.InvertedIndex): term →
+  // df / corpus tf / first-8 posting list. Two uniform-key shuffles;
+  // posting arrays capped per term BEFORE collection (rank filter →
+  // WindowGroupLimit), so Zipf-hot terms cost k rows, not df rows. The
+  // oracle rebuilds the same ranked cap in SQL — df and total_tf stay
+  // exact over ALL occurrences while postings carry only the cap.
+  // --------------------------------------------------------------------
+  def q115InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.operators.InvertedIndex.build(
+      lake(s, dir).documents, "doc_id", "text", postingsCap = 8)
+      .orderBy(col("term"))
+
+  private val q115Oracle =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+                    FROM documents),
+       tf AS (SELECT term, doc_id, count(*) AS tf
+              FROM tok WHERE term <> '' GROUP BY term, doc_id),
+       ranked AS (SELECT term, doc_id, tf,
+                         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+                  FROM tf)
+       SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+              array_to_string(
+                list_transform(
+                  list_sort(list(doc_id) FILTER (WHERE rn <= 8)),
+                  x -> CAST(x AS VARCHAR)),
+                ',') AS postings
+       FROM ranked GROUP BY term ORDER BY term"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_inverted_index" -> (q115InvertedIndex _),
     "q31_token_stats" -> (q31TokenStats _),
     "q32_lang_id" -> (q32LangId _),
     "q33_quality_score" -> (q33QualityScore _),
@@ -1080,6 +1110,7 @@ object TextOps {
     "q112_shared_spans" -> (q112SharedSpans _))
 
   val oracle: Map[String, String] = Map(
+    "q115_inverted_index" -> q115Oracle,
     "q31_token_stats" -> q31Oracle,
     "q32_lang_id" -> q32Oracle,
     "q33_quality_score" -> q33Oracle,
