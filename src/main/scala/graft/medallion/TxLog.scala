@@ -102,7 +102,11 @@ object TxLog {
   final case class Snapshot(
       version: Long, schemaJson: String, files: Seq[AddFile],
       txns: Map[String, Long] = Map.empty,
-      addedIn: Map[String, Long] = Map.empty) {
+      addedIn: Map[String, Long] = Map.empty,
+      /** CHECK constraints by name → SQL boolean expression. Enforced on
+        * every row-bearing write path; a row passes unless the
+        * expression evaluates to FALSE (SQL CHECK: NULL passes). */
+      constraints: Map[String, String] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -172,11 +176,17 @@ object TxLog {
       op: String, readVersion: Long, schemaJson: Option[String],
       adds: Seq[AddFile], removes: Seq[String],
       txns: Map[String, Long] = Map.empty,
-      addVersions: Map[String, Long] = Map.empty): String = {
+      addVersions: Map[String, Long] = Map.empty,
+      constraints: Option[Map[String, String]] = None): String = {
     val lines =
       JObject("a" -> JString("info"), "op" -> JString(op),
         "readVersion" -> JLong(readVersion)) ::
       schemaJson.toList.map(s => JObject("a" -> JString("schema"), "json" -> JString(s))) :::
+      // FULL-replacement semantics like the schema line (an empty set
+      // present clears); sorted for deterministic checkpoint bytes
+      constraints.toList.map(cs => JObject("a" -> JString("constraints"),
+        "set" -> (JObject(cs.toList.sortBy(_._1).map {
+          case (n, e) => n -> (JString(e): JValue) }): JValue))) :::
       // sorted for deterministic checkpoint bytes (lost put race == same content)
       txns.toList.sortBy(_._1).map { case (app, b) =>
         JObject("a" -> JString("txn"), "appId" -> JString(app), "batchId" -> JLong(b)) } :::
@@ -189,13 +199,16 @@ object TxLog {
       op: String, schemaJson: Option[String], adds: Seq[AddFile], removes: Seq[String],
       txns: Map[String, Long],
       /** per-add provenance versions, present only in checkpoint files */
-      addVersions: Map[String, Long] = Map.empty)
+      addVersions: Map[String, Long] = Map.empty,
+      /** full-replacement constraint set, when this commit changed it */
+      constraints: Option[Map[String, String]] = None)
 
   private[medallion] def parseCommit(content: String): Commit = {
     var op = "unknown"; var schema: Option[String] = None
     val adds = Seq.newBuilder[AddFile]; val removes = Seq.newBuilder[String]
     var txns = Map.empty[String, Long]
     var addVs = Map.empty[String, Long]
+    var cons: Option[Map[String, String]] = None
     content.linesIterator.filter(_.nonEmpty).foreach { line =>
       val o = JsonMethods.parse(line).asInstanceOf[JObject]
       val m = o.obj.toMap
@@ -208,11 +221,14 @@ object TxLog {
           v.foreach(ver => addVs += (a.path -> ver))
         case "remove" => removes += str(m("path"))
         case "txn" => txns += (str(m("appId")) -> lng(m("batchId")))
+        case "constraints" =>
+          cons = Some(m("set").asInstanceOf[JObject].obj.map {
+            case (n, e) => n -> str(e) }.toMap)
         case other => throw new IllegalStateException(
           s"txlog: unknown action '$other' — refusing to read a log written by a newer format")
       }
     }
-    Commit(op, schema, adds.result(), removes.result(), txns, addVs)
+    Commit(op, schema, adds.result(), removes.result(), txns, addVs, cons)
   }
 }
 
@@ -300,6 +316,7 @@ final class GraftTable(val tablePath: String) {
     var schemaJson: String = null
     var txns = Map.empty[String, Long]
     var addedIn = Map.empty[String, Long]
+    var cons = Map.empty[String, String]
     cp.foreach { cv =>
       val c = parseCommit(new String(Files.readAllBytes(checkpointFile(cv)), "UTF-8"))
       c.schemaJson.foreach(schemaJson = _)
@@ -310,6 +327,7 @@ final class GraftTable(val tablePath: String) {
         addedIn += (a.path -> c.addVersions.getOrElse(a.path, cv))
       }
       txns ++= c.txns
+      c.constraints.foreach(cons = _)
     }
     var v = cp.getOrElse(0L) + 1
     while (v <= target) {
@@ -324,12 +342,13 @@ final class GraftTable(val tablePath: String) {
       // high-water mark (that would re-admit its duplicates later)
       c.txns.foreach { case (app, b) =>
         if (txns.get(app).forall(_ < b)) txns += (app -> b) }
+      c.constraints.foreach(cons = _)
       v += 1
     }
     require(schemaJson != null || live.isEmpty,
       s"txlog: no schema action found resolving version $target")
     Snapshot(target, Option(schemaJson).getOrElse(new StructType().json),
-      live.values.toSeq, txns, addedIn)
+      live.values.toSeq, txns, addedIn, cons)
   }
 
   /** Read the table at `version` (default head). The scan is a plain
@@ -539,6 +558,18 @@ final class GraftTable(val tablePath: String) {
       staged: Seq[java.nio.file.Path]): Long = {
     val snap = snapshot(readVersion)
     val adds = adoptStaged(spark, snap.schema, staged)
+    // SQL UPDATE/MERGE can write constraint-violating values; check the
+    // replacement rows (adopted parquet — one columnar scan) pre-commit
+    if (snap.constraints.nonEmpty && adds.nonEmpty) {
+      try enforceConstraints(
+        spark.read.schema(snap.schema)
+          .parquet(adds.map(a => root.resolve(a.path).toString): _*),
+        snap.constraints)
+      catch { case e: Throwable =>
+        adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+        throw e
+      }
+    }
     if (adds.isEmpty && removePaths.isEmpty) return snap.version
     commitRewrite(snap, "replace", None, adds, removePaths)
   }
@@ -547,11 +578,35 @@ final class GraftTable(val tablePath: String) {
   private def tryCommit(
       version: Long, op: String, readVersion: Long, schemaJson: Option[String],
       adds: Seq[AddFile], removes: Seq[String],
-      txns: Map[String, Long] = Map.empty): Boolean = {
+      txns: Map[String, Long] = Map.empty,
+      constraints: Option[Map[String, String]] = None): Boolean = {
     ensureDirs()
-    putIfAbsent(renderCommit(op, readVersion, schemaJson, adds, removes, txns),
+    putIfAbsent(
+      renderCommit(op, readVersion, schemaJson, adds, removes, txns,
+        constraints = constraints),
       versionFile(version))
   }
+
+  /** Fail loudly if any row of `df` VIOLATES a constraint (evaluates it
+    * to FALSE — a NULL result passes, the SQL CHECK contract). One
+    * scan-parallel job over the batch for ALL constraints at once
+    * (`coalesce` of per-constraint violation tags picks the first
+    * violated name per row); O(batch), never O(table). */
+  private def enforceConstraints(
+      df: DataFrame, cons: Map[String, String]): Unit =
+    if (cons.nonEmpty) {
+      val tags = cons.toList.sortBy(_._1).map { case (n, e) =>
+        when(expr(e) === lit(false), lit(n)) }
+      val hit = df.select(coalesce(tags: _*).as("_violated"))
+        .filter(col("_violated").isNotNull)
+        .take(1)
+      hit.headOption.foreach { r =>
+        val n = r.getString(0)
+        throw new IllegalStateException(
+          s"txlog: CHECK constraint '$n' (${cons(n)}) violated by the " +
+            s"incoming batch at $tablePath — nothing was committed")
+      }
+    }
 
   /** Blind append: new files, no removes — logically conflict-free, so a
     * lost race just retries at the next version number. Returns the
@@ -574,7 +629,12 @@ final class GraftTable(val tablePath: String) {
     // recomputed against the live head on every attempt — see
     // commitSchemaFor
     val head0 = latestVersion()
-    if (head0 > 0) { val _ = commitSchemaFor(head0, df.schema, mergeSchema) }
+    var validated = Map.empty[String, String]
+    if (head0 > 0) {
+      val _ = commitSchemaFor(head0, df.schema, mergeSchema)
+      validated = snapshot(head0).constraints
+      enforceConstraints(df, validated) // before staging: a violation must not cost a write
+    }
     val adds = stageData(df)
     def dropStaged(): Unit =
       adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
@@ -584,6 +644,13 @@ final class GraftTable(val tablePath: String) {
       val schemaJson =
         try commitSchemaFor(head, df.schema, mergeSchema)
         catch { case e: Throwable => dropStaged(); throw e }
+      // a constraint added since validation must re-check the batch (the
+      // rare race; re-validation reads the batch once more)
+      val cur = if (head == head0) validated else snapshot(head).constraints
+      if (cur != validated) {
+        try { enforceConstraints(df, cur); validated = cur }
+        catch { case e: Throwable => dropStaged(); throw e }
+      }
       if (tryCommit(head + 1, "append", head, Some(schemaJson), adds, Nil))
         return head + 1
       attempt += 1
@@ -661,6 +728,18 @@ final class GraftTable(val tablePath: String) {
       s"txlog: no committed table at $root for a streaming append")
     if (pre.txns.get(appId).exists(_ >= batchId)) { dropStaged(); return pre.version }
     val adds = adoptStaged(spark, schema, staged)
+    // DSv2-staged epochs validate like every other write: the adopted
+    // parquet is the batch — one columnar scan, drop-and-throw on breach
+    if (pre.constraints.nonEmpty && adds.nonEmpty) {
+      try enforceConstraints(
+        spark.read.schema(schema)
+          .parquet(adds.map(a => root.resolve(a.path).toString): _*),
+        pre.constraints)
+      catch { case e: Throwable =>
+        adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+        throw e
+      }
+    }
     var attempt = 0
     while (attempt < maxRetries) {
       val head = snapshot(latestVersion())
@@ -699,6 +778,7 @@ final class GraftTable(val tablePath: String) {
         s"txlog: append schema ${df.schema.simpleString} does not match table " +
           s"schema ${pre.schema.simpleString}; use overwrite() to change schema")
     }
+    enforceConstraints(df, pre.constraints)
     val adds = stageData(df)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -747,6 +827,7 @@ final class GraftTable(val tablePath: String) {
       throw new ConcurrentWriteException(
         s"txlog: overwrite expected version $expectedVersion but head is " +
           s"${snap.version} — re-read and re-derive before committing")
+    enforceConstraints(df, snap.constraints)
     val adds = stageData(df)
     commitRewrite(snap, "overwrite", Some(df.schema.json), adds, snap.files.map(_.path))
   }
@@ -777,6 +858,19 @@ final class GraftTable(val tablePath: String) {
           .parquet(touched.map(a => root.resolve(a.path).toString): _*)
     val merged = Medallion.applyCdc(base, changes, key, seqCol)
     val adds = stageData(merged)
+    // constraints check the WRITTEN rows (the merged file content), read
+    // back from the staged parquet — no second CDC-merge computation; a
+    // violation drops the staged files and nothing commits
+    if (snap.constraints.nonEmpty && adds.nonEmpty) {
+      try enforceConstraints(
+        spark.read.schema(merged.schema)
+          .parquet(adds.map(a => root.resolve(a.path).toString): _*),
+        snap.constraints)
+      catch { case e: Throwable =>
+        adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+        throw e
+      }
+    }
     // first commit on a schema-less table MUST write the schema action —
     // committing only adds would leave every later snapshot() unable to
     // resolve ("no schema action found"), bricking the table
@@ -841,6 +935,90 @@ final class GraftTable(val tablePath: String) {
     }
     throw new ConcurrentWriteException(
       s"txlog: addColumns lost $maxRetries commit races at $tablePath")
+  }
+
+  /** ADD CONSTRAINT: register a named CHECK expression, enforced on
+    * every subsequent row-bearing write (append, streaming append,
+    * overwrite, upsert, SQL DML rewrite). Validates ALL existing rows
+    * first — one scan — and commits CAS-style against the validated
+    * version: a concurrent write landing mid-validation aborts the add
+    * (its rows were never checked), the Delta ADD CONSTRAINT contract.
+    * A row violates only when the expression evaluates to FALSE; NULL
+    * passes (SQL CHECK semantics). */
+  def addConstraint(spark: SparkSession, name: String, sqlExpr: String): Long = {
+    require(name.nonEmpty, "txlog: constraint name must be non-empty")
+    val snap = snapshot()
+    require(snap.version > 0L, s"txlog: no table at $root to constrain")
+    require(!snap.constraints.contains(name),
+      s"txlog: constraint '$name' already exists " +
+        s"(${snap.constraints(name)}) — drop it first")
+    enforceConstraints(readFiles(spark, snap, identity), Map(name -> sqlExpr))
+    val v = snap.version + 1
+    val won = latestVersion() == snap.version &&
+      tryCommit(v, "addConstraint", snap.version, None, Nil, Nil,
+        constraints = Some(snap.constraints + (name -> sqlExpr)))
+    if (!won) throw new ConcurrentWriteException(
+      s"txlog: addConstraint read version ${snap.version} but head moved — " +
+        "the concurrent commit's rows were never validated; re-run")
+    v
+  }
+
+  /** DROP CONSTRAINT: one metadata commit removes the named check.
+    * Retries lost races (dropping is conflict-free — later writes just
+    * stop enforcing). Fails loudly on an unknown name. */
+  def dropConstraint(name: String, maxRetries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = latestVersion()
+      val snap = snapshot(head)
+      require(snap.constraints.contains(name),
+        s"txlog: no constraint '$name' on $root " +
+          s"(have: ${snap.constraints.keys.toSeq.sorted.mkString(", ")})")
+      if (tryCommit(head + 1, "dropConstraint", head, None, Nil, Nil,
+        constraints = Some(snap.constraints - name)))
+        return head + 1
+      attempt += 1
+    }
+    throw new ConcurrentWriteException(
+      s"txlog: dropConstraint lost $maxRetries commit races at $tablePath")
+  }
+
+  /** Current CHECK constraints (name → SQL expression). */
+  def constraints: Map[String, String] = snapshot().constraints
+
+  /** RESTORE TABLE TO VERSION: one commit makes `targetVersion`'s live
+    * file set (and schema) current again — re-adding files later
+    * commits removed, removing files they added. Data files must still
+    * exist ([[vacuum]] retention bounds how far back a restore reaches;
+    * a vacuumed target fails loudly BEFORE committing). Retained files
+    * keep their original provenance; re-added ones attribute the
+    * restore commit. Tailing consumers see a rewrite (rows changed
+    * non-append-wise), so `appendsSince` fails unless `skipRewrites` —
+    * the correct contract: restored rows cannot be attributed as
+    * appends. */
+  def restore(targetVersion: Long): Long = {
+    val snap = snapshot()
+    require(targetVersion <= snap.version,
+      s"txlog: cannot restore to $targetVersion — head is ${snap.version}")
+    if (targetVersion == snap.version) return snap.version
+    val target = snapshot(targetVersion)
+    val liveNow = snap.files.map(_.path).toSet
+    val wanted = target.files.map(_.path).toSet
+    val readds = target.files.filterNot(a => liveNow.contains(a.path))
+    readds.foreach(a => require(Files.exists(root.resolve(a.path)),
+      s"txlog: data file ${a.path} of version $targetVersion was vacuumed — " +
+        "restore target is behind the retention window"))
+    val removes = snap.files.map(_.path).filterNot(wanted.contains)
+    val v = snap.version + 1
+    // NOT commitRewrite: its lost-race cleanup deletes the adds' files,
+    // which here are live HISTORICAL data files, not staged temporaries
+    val won = latestVersion() == snap.version &&
+      tryCommit(v, "restore", snap.version, Some(target.schemaJson),
+        readds, removes)
+    if (!won) throw new ConcurrentWriteException(
+      s"txlog: restore read version ${snap.version} but head moved — " +
+        "re-read and retry")
+    v
   }
 
   /** Unconditional TRUNCATE: one commit removes every live file (data
@@ -1034,7 +1212,8 @@ final class GraftTable(val tablePath: String) {
   def checkpoint(): Long = {
     val snap = snapshot()
     val content = renderCommit("checkpoint", snap.version, Some(snap.schemaJson),
-      snap.files, Nil, snap.txns, addVersions = snap.addedIn)
+      snap.files, Nil, snap.txns, addVersions = snap.addedIn,
+      constraints = Some(snap.constraints))
     putIfAbsent(content, checkpointFile(snap.version)) // lost race == same content
     val hint = JsonMethods.compact(JsonMethods.render(
       JObject("version" -> JLong(snap.version))))
@@ -1140,7 +1319,8 @@ final class GraftTable(val tablePath: String) {
         case "append" | "streamingUpdate" if c.adds.nonEmpty => Some(v -> c.adds)
         case "append" | "streamingUpdate" => None
         // row-neutral commits: same rows, different (or no) files
-        case "compact" | "zorder" | "checkpoint" | "create" | "addColumns" => None
+        case "compact" | "zorder" | "checkpoint" | "create" | "addColumns"
+           | "addConstraint" | "dropConstraint" => None
         case rewrite =>
           if (!skipRewrites) throw new IllegalStateException(
             s"txlog: commit $v is a '$rewrite' — its rewritten rows cannot be " +

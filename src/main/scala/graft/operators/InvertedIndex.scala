@@ -30,6 +30,15 @@ object InvertedIndex {
     * doc ids in ascending id order — deterministic, so oracle-hashable).
     * Tokenization is the repo-wide whitespace convention
     * (split(trim(text), ' '), empty tokens dropped).
+    *
+    * Two branches over the SAME (term,doc) aggregate — its exchange is
+    * computed once and reused: the stats branch keeps df/total_tf exact
+    * over all occurrences, while the postings branch filters on
+    * `row_number() <= cap` — the shape Catalyst plans as a
+    * WindowGroupLimit, pruning to k rows per term per partition BEFORE
+    * the shuffle, which is what keeps "the" from funneling its full
+    * posting list anywhere. The closing join aligns on the term
+    * partitioning both branches already have — no extra exchange.
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
             postingsCap: Int): DataFrame = {
@@ -39,17 +48,17 @@ object InvertedIndex {
       .filter(col("term") =!= "")
       .groupBy(col("term"), col("doc"))
       .agg(count(lit(1)).as("tf"))
-    tf
+    val stats = tf.groupBy(col("term")).agg(
+      count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+    val postings = tf
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("term")).orderBy(col("doc"))))
+      .filter(col("rn") <= postingsCap) // -> WindowGroupLimit
       .groupBy(col("term"))
-      .agg(
-        count(lit(1)).as("df"),
-        sum(col("tf")).as("total_tf"),
-        array_join(
-          transform(
-            sort_array(collect_list(when(col("rn") <= postingsCap, col("doc")))),
-            _.cast(StringType)),
-          ",").as("postings"))
+      .agg(array_join(
+        transform(sort_array(collect_list(col("doc"))), _.cast(StringType)),
+        ",").as("postings"))
+    // inner join is total: every term with df >= 1 has >= 1 posting
+    stats.join(postings, Seq("term"))
   }
 }

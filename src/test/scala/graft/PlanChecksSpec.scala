@@ -252,4 +252,30 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"keep-best dedup must not join at all:\n$p")
   }
+
+  test("q115: posting cap prunes per-term rows BEFORE collection (WindowGroupLimit)") {
+    val p = plan(TextOps.q115InvertedIndex(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank cap must plan as a group limit, not a full window:\n$p")
+    assert(p.contains("partial_"),
+      s"(term,doc) counts must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"branch join must stay a term equi-join:\n$p")
+  }
+
+  test("q116: quantile profile reuses ONE lang-keyed exchange for windows + aggregate") {
+    // AQE plan strings append an "Initial Plan" section — count the FINAL plan only
+    val p = plan(graft.queries.RelationalMore.q116QuantileProfile(spark, sfDir))
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"windows and aggregate share the lang partitioning (got $exchanges):\n$p")
+    assert(!p.contains("Join"), s"rank selection never joins:\n$p")
+  }
+
+  test("q117: grouping sets plan one Expand + two-phase aggregate") {
+    val p = plan(graft.queries.RelationalMore.q117GroupingSets(spark, sfDir))
+    assert(p.contains("Expand"), s"expected Expand for grouping sets:\n$p")
+    assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
+  }
 }
