@@ -1011,10 +1011,13 @@ final class GraftTable(val tablePath: String) {
     val removes = snap.files.map(_.path).filterNot(wanted.contains)
     val v = snap.version + 1
     // NOT commitRewrite: its lost-race cleanup deletes the adds' files,
-    // which here are live HISTORICAL data files, not staged temporaries
+    // which here are live HISTORICAL data files, not staged temporaries.
+    // The constraint set reverts WITH the data (restoring to a
+    // pre-constraint version must not keep enforcing a rule whose
+    // clean-table validation no longer holds).
     val won = latestVersion() == snap.version &&
       tryCommit(v, "restore", snap.version, Some(target.schemaJson),
-        readds, removes)
+        readds, removes, constraints = Some(target.constraints))
     if (!won) throw new ConcurrentWriteException(
       s"txlog: restore read version ${snap.version} but head moved — " +
         "re-read and retry")

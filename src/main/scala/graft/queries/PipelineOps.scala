@@ -1188,8 +1188,48 @@ object PipelineOps {
               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""
 
+  // --------------------------------------------------------------------
+  // q119 — CHECK constraints + RESTORE, composed on disk: a priced table
+  // gains a `price_nonneg` CHECK (validated over existing rows in one
+  // scan), a valid batch lands, a violating batch is REJECTED — require'd:
+  // exception raised AND head unmoved, so the no-partial-commit contract
+  // is burned into the green row — then an accidental TRUNCATE is undone
+  // by one RESTORE commit. The final read must hash-match the full
+  // source: proving the violating batch left zero rows behind and the
+  // restore recovered the pre-truncate state exactly. Enforcement and
+  // validation are O(batch)/O(table-once) scans; restore is one metadata
+  // commit (re-add + remove lists), no data movement at any scale.
+  // --------------------------------------------------------------------
+  def q119ConstraintsRestore(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${scratch("txcons", dir)}/orders_cons"
+    graft.core.Fs.rmTree(new java.io.File(root)) // fresh table per run
+    val t = new graft.medallion.GraftTable(root)
+    val base = lake(s, dir).orders.select(col("o_orderkey"), col("o_totalprice"))
+    t.append(base.filter(col("o_orderkey") % 2 === 0))           // v1
+    t.addConstraint(s, "price_nonneg", "o_totalprice >= 0")      // v2
+    t.append(base.filter(col("o_orderkey") % 2 === 1))           // v3
+    val headBefore = t.latestVersion()
+    val caught =
+      try { t.append(base.limit(5).withColumn("o_totalprice", lit(-1.0))); false }
+      catch { case _: IllegalStateException => true }
+    require(caught, "violating batch must be rejected by the CHECK constraint")
+    require(t.latestVersion() == headBefore,
+      "a rejected batch must not commit (no partial state)")
+    t.truncate()                                                 // v4: the mistake
+    require(t.read(s).count() == 0L, "truncate must empty the table")
+    t.restore(headBefore)                                        // v5: the undo
+    t.read(s)
+      .withColumn("n_constraints", lit(t.constraints.size).cast(IntegerType))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q119Oracle =
+    """SELECT o_orderkey, o_totalprice, CAST(1 AS INTEGER) AS n_constraints
+       FROM orders ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_incremental_mv" -> (q118IncrementalMv _),
+    "q119_constraints_restore" -> (q119ConstraintsRestore _),
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_sessionize" -> (q43Sessionize _),
     "q44_medallion_e2e" -> (q44MedallionE2e _),
@@ -1214,6 +1254,7 @@ object PipelineOps {
 
   val oracle: Map[String, String] = Map(
     "q118_incremental_mv" -> q118Oracle,
+    "q119_constraints_restore" -> q119Oracle,
     "q42_multimodal_meta" -> q42Oracle,
     "q43_sessionize" -> q43Oracle,
     "q44_medallion_e2e" -> q44Oracle,

@@ -108,6 +108,17 @@ class ConstraintsSpec extends SparkSpec {
     assert(t.latestVersion() == 4L)
   }
 
+  test("restore reverts the constraint set with the data") {
+    val t = freshTable("restorecons")
+    t.append(df(1L -> "a"))                                 // v1: no constraints
+    t.addConstraint(spark, "id_pos", "id > 0")              // v2
+    t.restore(1L)                                           // v3
+    assert(t.constraints.isEmpty,
+      "a pre-constraint version must restore WITHOUT the later constraint")
+    t.append(df(-1L -> "ok-now"))                           // enforcement gone
+    assert(t.read(spark).count() == 2L)
+  }
+
   test("restore is a rewrite for tailing consumers; vacuumed target fails loudly") {
     val t = freshTable("restoretail")
     t.append(df(1L -> "a"))                                 // v1
