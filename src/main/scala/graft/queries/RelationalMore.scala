@@ -592,7 +592,39 @@ object RelationalMore {
        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
        ORDER BY g_rf, g_ls, rf, ls"""
 
+  // --------------------------------------------------------------------
+  // q120 — multiset set ops: INTERSECT ALL (multiplicity = min of the two
+  // sides) and EXCEPT ALL (left multiplicity minus right, floored at 0) —
+  // the bag semantics q28/q60's DISTINCT variants can't express. Output
+  // is the per-value multiplicity so the bag itself is hash-checked.
+  // Spark plans both as count-aggregate + replicate (Generate) — two
+  // uniform-key shuffles, never a join.
+  // --------------------------------------------------------------------
+  def q120SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val l = lake(s, dir)
+    val c = l.customer.select(col("c_nationkey").as("nationkey"))
+    val sup = l.supplier.select(col("s_nationkey").as("nationkey"))
+    c.intersectAll(sup).withColumn("op", lit("intersect_all"))
+      .unionAll(c.exceptAll(sup).withColumn("op", lit("except_all")))
+      .groupBy(col("op"), col("nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("op"), col("nationkey"))
+  }
+
+  private val q120Oracle =
+    """WITH ia AS (SELECT c_nationkey AS nationkey FROM customer
+                   INTERSECT ALL SELECT s_nationkey FROM supplier),
+            ea AS (SELECT c_nationkey AS nationkey FROM customer
+                   EXCEPT ALL SELECT s_nationkey FROM supplier)
+       SELECT 'intersect_all' AS op, nationkey, count(*) AS n
+       FROM ia GROUP BY nationkey
+       UNION ALL
+       SELECT 'except_all' AS op, nationkey, count(*) AS n
+       FROM ea GROUP BY nationkey
+       ORDER BY op, nationkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_setops_all" -> (q120SetOpsAll _),
     "q116_quantile_profile" -> (q116QuantileProfile _),
     "q117_grouping_sets" -> (q117GroupingSets _),
     "q46_median" -> (q46Median _),
@@ -613,6 +645,7 @@ object RelationalMore {
     "q68_grouping_id" -> (q68GroupingId _))
 
   val oracle: Map[String, String] = Map(
+    "q120_setops_all" -> q120Oracle,
     "q116_quantile_profile" -> q116Oracle,
     "q117_grouping_sets" -> q117Oracle,
     "q46_median" -> q46Oracle,

@@ -217,6 +217,16 @@ class GraftTableV2(
 
   override def schema(): StructType = pinnedSchema
 
+  /** Table metadata surfaced to `DESCRIBE TABLE EXTENDED` and catalog
+    * listings: the resolved version plus every CHECK constraint as
+    * `constraint.<name>` → expression — read from the SAME snapshot
+    * version the scans are pinned to (no torn metadata). */
+  override def properties(): java.util.Map[String, String] = {
+    val cons = new GraftTable(tablePath).snapshot(snapVersion).constraints
+    (Map("version" -> snapVersion.toString) ++
+      cons.map { case (n, e) => s"constraint.$n" -> e }).asJava
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     if (versionAsOf.isDefined)
       // a pinned-history read cannot tail: streaming from a past

@@ -108,6 +108,28 @@ class ConstraintsSpec extends SparkSpec {
     assert(t.latestVersion() == 4L)
   }
 
+  test("constraints surface as table properties through the SQL catalog") {
+    val wh = new java.io.File(
+      s"target/tmp/conscat_${java.util.UUID.randomUUID().toString.take(8)}")
+      .getAbsolutePath
+    spark.conf.set("spark.sql.catalog.ctest",
+      classOf[graft.streaming.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ctest.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE ctest.db.t (id BIGINT, name STRING)")
+      val t = new GraftTable(s"$wh/db/t")
+      t.append(df(1L -> "a"))
+      t.addConstraint(spark, "id_pos", "id > 0")
+      val props = spark.sql("DESCRIBE TABLE EXTENDED ctest.db.t")
+        .collect().map(_.toString).mkString("\n")
+      assert(props.contains("constraint.id_pos") && props.contains("id > 0"),
+        s"DESCRIBE EXTENDED must surface the CHECK constraint:\n$props")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ctest")
+      spark.conf.unset("spark.sql.catalog.ctest.warehouse")
+    }
+  }
+
   test("restore reverts the constraint set with the data") {
     val t = freshTable("restorecons")
     t.append(df(1L -> "a"))                                 // v1: no constraints
