@@ -1024,6 +1024,42 @@ final class GraftTable(val tablePath: String) {
     v
   }
 
+  /** Zero-copy snapshot CLONE (the `CREATE TABLE ... CLONE` shape): hard-
+    * link every live data file of `version` (default head) into a fresh
+    * table at `destPath` and write its v1 commit with the same schema,
+    * per-file stats, and CHECK constraints. No data bytes move — links
+    * are metadata operations (an object store maps them to server-side
+    * copies). Unlike Delta's shallow clone, the result is SELF-CONTAINED:
+    * the link has its own name in the destination, so vacuuming or
+    * dropping either table never breaks the other (asserted in
+    * CloneSpec). History does not carry over — the clone's version 1 is
+    * its creation; the txn ledger resets too (a streaming writer's
+    * exactly-once high-water marks belong to the SOURCE's checkpoint
+    * lineage, replaying them against a fork would wrongly no-op). Falls
+    * back to a real copy when the filesystem refuses links. */
+  def cloneTo(destPath: String, version: Long = -1L): GraftTable = {
+    val snap = snapshot(version)
+    val dest = new GraftTable(destPath)
+    require(dest.latestVersion() == 0L,
+      s"txlog: clone destination $destPath is already a table")
+    Files.createDirectories(dest.root)
+    snap.files.foreach { a =>
+      val src = root.resolve(a.path)
+      require(Files.exists(src),
+        s"txlog: data file ${a.path} of version ${snap.version} was " +
+          "vacuumed — clone source is behind the retention window")
+      val dst = dest.root.resolve(a.path)
+      try Files.createLink(dst, src)
+      catch { case _: java.io.IOException =>
+        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING) }
+    }
+    val won = dest.tryCommit(1L, "clone", 0L, Some(snap.schemaJson),
+      snap.files, Nil, constraints = Some(snap.constraints))
+    if (!won) throw new ConcurrentWriteException(
+      s"txlog: clone destination $destPath raced another creator")
+    dest
+  }
+
   /** Unconditional TRUNCATE: one commit removes every live file (data
     * files stay on disk for time travel until [[vacuum]]). Unlike a
     * full-range [[delete]] this drops null-keyed rows too — it is the
@@ -1319,8 +1355,11 @@ final class GraftTable(val tablePath: String) {
           "the vacuum retention window; re-seed from a full snapshot read")
       val c = parseCommit(new String(Files.readAllBytes(f), "UTF-8"))
       c.op match {
-        case "append" | "streamingUpdate" if c.adds.nonEmpty => Some(v -> c.adds)
-        case "append" | "streamingUpdate" => None
+        // a clone's v1 is pure addition (the fork's initial content) —
+        // tailing a fresh clone from 0 sees it as the append it is
+        case "append" | "streamingUpdate" | "clone" if c.adds.nonEmpty =>
+          Some(v -> c.adds)
+        case "append" | "streamingUpdate" | "clone" => None
         // row-neutral commits: same rows, different (or no) files
         case "compact" | "zorder" | "checkpoint" | "create" | "addColumns"
            | "addConstraint" | "dropConstraint" => None
