@@ -91,7 +91,19 @@ final class GraftCatalog extends TableCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
-    if (!exists(ident)) throw new NoSuchTableException(ident)
+    if (!exists(ident)) {
+      // metadata table: `SELECT * FROM cat.db.t.history` parses as
+      // namespace [db, t] + name "history" — when the NAMESPACE path is
+      // itself a committed table, serve its commit history (the
+      // DESCRIBE HISTORY surface, Iceberg's metadata-table shape). A
+      // real table named "history" shadows this (checked first above).
+      if (ident.name() == "history" && ident.namespace().nonEmpty) {
+        val base = Identifier.of(
+          ident.namespace().dropRight(1), ident.namespace().last)
+        if (exists(base)) return new GraftHistoryTable(dirOf(base))
+      }
+      throw new NoSuchTableException(ident)
+    }
     val path = dirOf(ident)
     // ONE snapshot resolution supplies both schema and pinned version —
     // a commit landing between two separate reads could otherwise tear
@@ -180,4 +192,39 @@ final class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "graft catalog: RENAME is not supported — table paths are " +
         "identity (relocate by moving the directory, the log is relative)")
+}
+
+/** The `t.history` metadata table: the commit log as SQL rows (version,
+  * op, files added/removed), newest first — DESCRIBE HISTORY without
+  * leaving SQL. Driver-resolved from the log alone ([[GraftMetadataScan]]
+  * LocalScan): no data file is ever opened, O(commits) at any table
+  * size. */
+final class GraftHistoryTable(tablePath: String)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val historySchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("n_added_files", IntegerType, nullable = false),
+    StructField("n_removed_files", IntegerType, nullable = false)))
+
+  override def name(): String = s"graft-table`$tablePath`.history"
+  override def schema(): StructType = historySchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val t = new GraftTable(tablePath)
+    val rows = t.history().map { case (v, op, a, r) =>
+      InternalRow(v, UTF8String.fromString(op), a, r) }
+    new ScanBuilder {
+      override def build(): Scan =
+        GraftMetadataScan(tablePath, t.latestVersion(), historySchema, rows)
+    }
+  }
 }

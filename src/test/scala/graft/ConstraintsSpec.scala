@@ -124,6 +124,17 @@ class ConstraintsSpec extends SparkSpec {
         .collect().map(_.toString).mkString("\n")
       assert(props.contains("constraint.id_pos") && props.contains("id > 0"),
         s"DESCRIBE EXTENDED must surface the CHECK constraint:\n$props")
+      // the history metadata table reads the commit log as SQL rows
+      val hist = spark.sql(
+        "SELECT version, op FROM ctest.db.t.history ORDER BY version")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(hist == Seq((1L, "create"), (2L, "append"), (3L, "addConstraint")),
+        s"history metadata table mismatch: $hist")
+      // and its plan is metadata-only (LocalScan, no file read)
+      val histPlan = spark.sql("SELECT * FROM ctest.db.t.history")
+        .queryExecution.executedPlan.toString
+      assert(histPlan.contains("LocalTableScan") || histPlan.contains("metadata-only"),
+        s"history must resolve driver-side from the log:\n$histPlan")
     } finally {
       spark.conf.unset("spark.sql.catalog.ctest")
       spark.conf.unset("spark.sql.catalog.ctest.warehouse")
