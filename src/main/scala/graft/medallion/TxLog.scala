@@ -560,16 +560,7 @@ final class GraftTable(val tablePath: String) {
     val adds = adoptStaged(spark, snap.schema, staged)
     // SQL UPDATE/MERGE can write constraint-violating values; check the
     // replacement rows (adopted parquet — one columnar scan) pre-commit
-    if (snap.constraints.nonEmpty && adds.nonEmpty) {
-      try enforceConstraints(
-        spark.read.schema(snap.schema)
-          .parquet(adds.map(a => root.resolve(a.path).toString): _*),
-        snap.constraints)
-      catch { case e: Throwable =>
-        adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
-        throw e
-      }
-    }
+    enforceOnStaged(spark, snap.schema, adds, snap.constraints)
     if (adds.isEmpty && removePaths.isEmpty) return snap.version
     commitRewrite(snap, "replace", None, adds, removePaths)
   }
@@ -593,6 +584,31 @@ final class GraftTable(val tablePath: String) {
     * (`coalesce` of per-constraint violation tags picks the first
     * violated name per row); O(batch), never O(table). */
   private def enforceConstraints(
+      df: DataFrame, cons: Map[String, String]): Unit =
+    enforceConstraintsImpl(df, cons)
+
+  /** Validate the STAGED parquet of `adds` against `cons`; on violation
+    * delete the staged files and rethrow — nothing commits. Reading back
+    * the written bytes (one cheap columnar scan) rather than
+    * re-evaluating the source frame is load-bearing twice over: the
+    * rows validated ARE the rows committed (a non-deterministic source
+    * expression re-evaluated for validation could pass while the
+    * written rows violate), and the batch's expensive upstream lineage
+    * is never computed a second time. */
+  private def enforceOnStaged(
+      spark: SparkSession, schema: StructType, adds: Seq[AddFile],
+      cons: Map[String, String]): Unit =
+    if (cons.nonEmpty && adds.nonEmpty) {
+      try enforceConstraintsImpl(
+        spark.read.schema(schema)
+          .parquet(adds.map(a => root.resolve(a.path).toString): _*), cons)
+      catch { case e: Throwable =>
+        adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+        throw e
+      }
+    }
+
+  private def enforceConstraintsImpl(
       df: DataFrame, cons: Map[String, String]): Unit =
     if (cons.nonEmpty) {
       val tags = cons.toList.sortBy(_._1).map { case (n, e) =>
@@ -629,13 +645,14 @@ final class GraftTable(val tablePath: String) {
     // recomputed against the live head on every attempt — see
     // commitSchemaFor
     val head0 = latestVersion()
-    var validated = Map.empty[String, String]
-    if (head0 > 0) {
-      val _ = commitSchemaFor(head0, df.schema, mergeSchema)
-      validated = snapshot(head0).constraints
-      enforceConstraints(df, validated) // before staging: a violation must not cost a write
-    }
+    if (head0 > 0) { val _ = commitSchemaFor(head0, df.schema, mergeSchema) }
     val adds = stageData(df)
+    // constraints validate the STAGED bytes (see enforceOnStaged: the
+    // rows checked are the rows committed, and the source lineage never
+    // runs twice); a violation deletes the staged files and throws
+    var validated = if (head0 > 0) snapshot(head0).constraints
+                    else Map.empty[String, String]
+    enforceOnStaged(df.sparkSession, df.schema, adds, validated)
     def dropStaged(): Unit =
       adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
     var attempt = 0
@@ -645,11 +662,11 @@ final class GraftTable(val tablePath: String) {
         try commitSchemaFor(head, df.schema, mergeSchema)
         catch { case e: Throwable => dropStaged(); throw e }
       // a constraint added since validation must re-check the batch (the
-      // rare race; re-validation reads the batch once more)
+      // rare race; re-validation is one more columnar read of the stage)
       val cur = if (head == head0) validated else snapshot(head).constraints
       if (cur != validated) {
-        try { enforceConstraints(df, cur); validated = cur }
-        catch { case e: Throwable => dropStaged(); throw e }
+        enforceOnStaged(df.sparkSession, df.schema, adds, cur)
+        validated = cur
       }
       if (tryCommit(head + 1, "append", head, Some(schemaJson), adds, Nil))
         return head + 1
@@ -730,16 +747,8 @@ final class GraftTable(val tablePath: String) {
     val adds = adoptStaged(spark, schema, staged)
     // DSv2-staged epochs validate like every other write: the adopted
     // parquet is the batch — one columnar scan, drop-and-throw on breach
-    if (pre.constraints.nonEmpty && adds.nonEmpty) {
-      try enforceConstraints(
-        spark.read.schema(schema)
-          .parquet(adds.map(a => root.resolve(a.path).toString): _*),
-        pre.constraints)
-      catch { case e: Throwable =>
-        adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
-        throw e
-      }
-    }
+    var validated = pre.constraints
+    enforceOnStaged(spark, schema, adds, validated)
     var attempt = 0
     while (attempt < maxRetries) {
       val head = snapshot(latestVersion())
@@ -758,6 +767,12 @@ final class GraftTable(val tablePath: String) {
           adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
           throw e
         }
+      // a constraint added mid-race must re-validate the batch — same
+      // contract as append(); skipping it would commit unchecked rows
+      if (head.constraints != validated) {
+        enforceOnStaged(spark, schema, adds, head.constraints)
+        validated = head.constraints
+      }
       if (tryCommit(head.version + 1, "streamingUpdate", head.version,
           Some(schemaJson), adds, Nil,
           Map(appId -> batchId))) return head.version + 1
@@ -778,8 +793,11 @@ final class GraftTable(val tablePath: String) {
         s"txlog: append schema ${df.schema.simpleString} does not match table " +
           s"schema ${pre.schema.simpleString}; use overwrite() to change schema")
     }
-    enforceConstraints(df, pre.constraints)
     val adds = stageData(df)
+    // constraints validate the staged bytes (enforceOnStaged): checked
+    // rows == committed rows, source lineage never runs twice
+    var validated = pre.constraints
+    enforceOnStaged(df.sparkSession, df.schema, adds, validated)
     var attempt = 0
     while (attempt < maxRetries) {
       val head = snapshot(latestVersion())
@@ -799,6 +817,11 @@ final class GraftTable(val tablePath: String) {
           adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
           throw e
         }
+      // a constraint added mid-race must re-validate the batch
+      if (head.constraints != validated) {
+        enforceOnStaged(df.sparkSession, df.schema, adds, head.constraints)
+        validated = head.constraints
+      }
       if (tryCommit(v, "streamingUpdate", head.version,
           Some(schemaJson), adds, Nil,
           Map(appId -> batchId))) return v
@@ -827,8 +850,10 @@ final class GraftTable(val tablePath: String) {
       throw new ConcurrentWriteException(
         s"txlog: overwrite expected version $expectedVersion but head is " +
           s"${snap.version} — re-read and re-derive before committing")
-    enforceConstraints(df, snap.constraints)
     val adds = stageData(df)
+    // CAS commit — no constraint race to re-check: a head moved since
+    // `snap` aborts the commit itself
+    enforceOnStaged(df.sparkSession, df.schema, adds, snap.constraints)
     commitRewrite(snap, "overwrite", Some(df.schema.json), adds, snap.files.map(_.path))
   }
 
@@ -861,16 +886,7 @@ final class GraftTable(val tablePath: String) {
     // constraints check the WRITTEN rows (the merged file content), read
     // back from the staged parquet — no second CDC-merge computation; a
     // violation drops the staged files and nothing commits
-    if (snap.constraints.nonEmpty && adds.nonEmpty) {
-      try enforceConstraints(
-        spark.read.schema(merged.schema)
-          .parquet(adds.map(a => root.resolve(a.path).toString): _*),
-        snap.constraints)
-      catch { case e: Throwable =>
-        adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
-        throw e
-      }
-    }
+    enforceOnStaged(spark, merged.schema, adds, snap.constraints)
     // first commit on a schema-less table MUST write the schema action —
     // committing only adds would leave every later snapshot() unable to
     // resolve ("no schema action found"), bricking the table
@@ -998,6 +1014,11 @@ final class GraftTable(val tablePath: String) {
     * appends. */
   def restore(targetVersion: Long): Long = {
     val snap = snapshot()
+    // version 0 is "before the table existed" — restoring to it would
+    // commit the empty-struct schema and brick every later append
+    require(targetVersion >= 1,
+      s"txlog: cannot restore to $targetVersion — the earliest committed " +
+        "version is 1 (use truncate() to empty the table)")
     require(targetVersion <= snap.version,
       s"txlog: cannot restore to $targetVersion — head is ${snap.version}")
     if (targetVersion == snap.version) return snap.version
@@ -1039,6 +1060,9 @@ final class GraftTable(val tablePath: String) {
     * back to a real copy when the filesystem refuses links. */
   def cloneTo(destPath: String, version: Long = -1L): GraftTable = {
     val snap = snapshot(version)
+    require(snap.version > 0L,
+      s"txlog: no committed table at $root to clone (a typo'd source " +
+        "path would otherwise manufacture an empty-schema table)")
     val dest = new GraftTable(destPath)
     require(dest.latestVersion() == 0L,
       s"txlog: clone destination $destPath is already a table")
@@ -1250,9 +1274,14 @@ final class GraftTable(val tablePath: String) {
     * the commit suffix instead of the whole log. */
   def checkpoint(): Long = {
     val snap = snapshot()
+    // the constraints line appears only when the set is non-empty: a
+    // full-state checkpoint with NO line means "none" on replay anyway,
+    // and omitting it keeps constraint-free tables' checkpoints readable
+    // by pre-constraint readers (the format bump is confined to tables
+    // actually using the feature)
     val content = renderCommit("checkpoint", snap.version, Some(snap.schemaJson),
       snap.files, Nil, snap.txns, addVersions = snap.addedIn,
-      constraints = Some(snap.constraints))
+      constraints = if (snap.constraints.nonEmpty) Some(snap.constraints) else None)
     putIfAbsent(content, checkpointFile(snap.version)) // lost race == same content
     val hint = JsonMethods.compact(JsonMethods.render(
       JObject("version" -> JLong(snap.version))))

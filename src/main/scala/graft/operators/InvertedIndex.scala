@@ -44,7 +44,8 @@ object InvertedIndex {
             postingsCap: Int): DataFrame = {
     require(postingsCap > 0, s"postingsCap must be positive (got $postingsCap)")
     val tf = docs
-      .select(col(idCol).as("doc"), explode(split(trim(col(textCol)), " ")).as("term"))
+      .select(col(idCol).as("doc"),
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term"), col("doc"))
       .agg(count(lit(1)).as("tf"))

@@ -42,7 +42,15 @@ object EventStreams {
     * under the factory's pinned UTC session timezone. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    // the probe is best-effort: when the file has not landed yet (the
+    // standard start-stream-before-data file-source pattern), declare
+    // the current generation's type — a later nanos-generation file in
+    // the same directory would fail the scan loudly, not misread
+    val tsType =
+      try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      catch { case e: Exception if e.getMessage != null &&
+        (e.getMessage.contains("PATH_NOT_FOUND") ||
+          e.getMessage.contains("does not exist")) => TimestampNTZType }
     val df = spark.readStream
       .schema(rawSchema(tsType))
       // the file source needs a directory; glob-filter to the events file

@@ -220,12 +220,16 @@ class GraftTableV2(
   /** Table metadata surfaced to `DESCRIBE TABLE EXTENDED` and catalog
     * listings: the resolved version plus every CHECK constraint as
     * `constraint.<name>` → expression — read from the SAME snapshot
-    * version the scans are pinned to (no torn metadata). */
-  override def properties(): java.util.Map[String, String] = {
+    * version the scans are pinned to (no torn metadata). Lazy and
+    * cached per table instance: Spark calls properties() repeatedly
+    * (DESCRIBE, SHOW TBLPROPERTIES), and each full snapshot resolution
+    * is O(commits-since-checkpoint) log I/O. */
+  private lazy val resolvedProperties: java.util.Map[String, String] = {
     val cons = new GraftTable(tablePath).snapshot(snapVersion).constraints
     (Map("version" -> snapVersion.toString) ++
       cons.map { case (n, e) => s"constraint.$n" -> e }).asJava
   }
+  override def properties(): java.util.Map[String, String] = resolvedProperties
 
   override def capabilities(): java.util.Set[TableCapability] =
     if (versionAsOf.isDefined)
