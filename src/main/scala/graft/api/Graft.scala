@@ -260,6 +260,13 @@ object Graft {
       k: Int): DataFrame =
     graft.operators.Curation.vocabTopK(df, groupCol, textCol, k)
 
+  /** Corpus-wide exact paragraph dedup with reassembly (q121's
+    * implementation): duplicated segments keep their first corpus
+    * occurrence, documents rebuild from survivors in order. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n"): DataFrame =
+    graft.operators.Curation.dedupParagraphs(df, idCol, textCol, delim)
+
   /** Inverted index: term → document frequency, corpus term frequency,
     * and a bounded ascending posting list (q115's implementation; cap
     * bounds the per-term output regardless of Zipf skew). */

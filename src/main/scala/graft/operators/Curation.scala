@@ -456,4 +456,48 @@ object Curation {
           || col("n_distinct").cast("double") / col("n_toks") < minTypeTokenRatio, 1)
           .otherwise(0).as("is_repetitive"))
 
+  /** Corpus-wide exact paragraph-level deduplication with reassembly —
+    * the segment-granular dedup stage (Dolma's paragraph dedup; Lee et
+    * al. ACL '22 run it on substrings): every duplicated segment keeps
+    * exactly its FIRST corpus occurrence (lowest (doc, position)), later
+    * copies are removed, and each document's text is rebuilt from its
+    * surviving segments in order. Differs from [[boilerplateRemoval]],
+    * which drops frequency-flagged segments from EVERY document.
+    *
+    * Output: idCol, `dedup_text` (possibly empty), `n_kept`, `n_parts`.
+    *
+    * Scale: one shuffle keyed by segment content (uniform — duplicate-
+    * heavy segments collapse through the rn=1 WindowGroupLimit, so a
+    * boilerplate line repeated 10^9 times retains one row per partition
+    * before the exchange), one doc-keyed shuffle to reassemble. At
+    * 100 TB key the window by a 64-bit segment hash instead of the
+    * string to slim the first shuffle (the oracle pins the exact-string
+    * key; collision risk there is the standard birthday bound). */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n"): DataFrame = {
+    val parts = df
+      .select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("pos", "para")))
+      .filter(trim(col("para")) =!= "")
+    val first = Window.partitionBy(col("para")).orderBy(col(idCol), col("pos"))
+    val kept = parts
+      .withColumn("rn", row_number().over(first))
+      .filter(col("rn") === 1) // -> WindowGroupLimit
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          _.getField("para")),
+        delim).as("dedup_text"),
+      count(lit(1)).as("n_kept"))
+    val totals = parts.groupBy(col(idCol)).agg(count(lit(1)).as("n_parts"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .join(totals, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_parts"), lit(0L)).as("n_parts"))
+  }
+
 }

@@ -1086,7 +1086,47 @@ object TextOps {
                 ',') AS postings
        FROM ranked GROUP BY term ORDER BY term"""
 
+  // --------------------------------------------------------------------
+  // q121 — corpus-wide segment dedup with reassembly (Curation
+  // .dedupParagraphs): every duplicated segment keeps its FIRST corpus
+  // occurrence, later copies are cut, documents rebuild from survivors
+  // in order. Driven here at word granularity (the corpus has no
+  // paragraph delimiters — the degenerate segmentation still exercises
+  // first-occurrence choice, cut, and reassembly exactly; newline-real
+  // paragraph semantics are spec'd in CurationOpsSpec). One content-
+  // keyed shuffle with an rn=1 WindowGroupLimit + one doc-keyed
+  // reassembly shuffle.
+  // --------------------------------------------------------------------
+  def q121ParagraphDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.dedupParagraphs(
+      lake(s, dir).documents, "doc_id", "text", delim = " ")
+      .orderBy(col("doc_id"))
+
+  private val q121Oracle =
+    """WITH parts0 AS (
+         SELECT doc_id,
+                unnest(list_transform(range(len(string_split(text, ' '))),
+                       i -> {'pos': i + 1, 'para': string_split(text, ' ')[i + 1]})) AS u
+         FROM documents),
+       parts AS (SELECT doc_id, u.pos AS pos, u.para AS para
+                 FROM parts0 WHERE trim(u.para) <> ''),
+       ranked AS (SELECT doc_id, pos, para,
+                         row_number() OVER (PARTITION BY para
+                                            ORDER BY doc_id, pos) AS rn
+                  FROM parts),
+       kept AS (SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS dedup_text,
+                       count(*) AS n_kept
+                FROM ranked WHERE rn = 1 GROUP BY doc_id),
+       totals AS (SELECT doc_id, count(*) AS n_parts FROM parts GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(k.dedup_text, '') AS dedup_text,
+              coalesce(k.n_kept, 0) AS n_kept, coalesce(t.n_parts, 0) AS n_parts
+       FROM documents d
+       LEFT JOIN kept k USING (doc_id)
+       LEFT JOIN totals t USING (doc_id)
+       ORDER BY d.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_paragraph_dedup" -> (q121ParagraphDedup _),
     "q115_inverted_index" -> (q115InvertedIndex _),
     "q31_token_stats" -> (q31TokenStats _),
     "q32_lang_id" -> (q32LangId _),
@@ -1110,6 +1150,7 @@ object TextOps {
     "q112_shared_spans" -> (q112SharedSpans _))
 
   val oracle: Map[String, String] = Map(
+    "q121_paragraph_dedup" -> q121Oracle,
     "q115_inverted_index" -> q115Oracle,
     "q31_token_stats" -> q31Oracle,
     "q32_lang_id" -> q32Oracle,

@@ -152,4 +152,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(bySrc("big") === 16L)
     assert(bySrc("tiny") === 8L)
   }
+
+  test("dedupParagraphs: first corpus occurrence survives, later copies cut, order kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nshared one\nbeta"),
+      (2L, "shared one\ngamma\nshared two"),
+      (3L, "shared two\nshared one\ndelta"),
+      (4L, "shared one") // ALL paragraphs duplicated -> empties cleanly
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("alpha\nshared one\nbeta", 3L, 3L)))
+    assert(out(2L) == (("gamma\nshared two", 2L, 3L)),
+      "doc2 loses 'shared one' (doc1 owns it) but keeps first 'shared two'")
+    assert(out(3L) == (("delta", 1L, 3L)),
+      "doc3 loses both shared paragraphs to earlier docs")
+    assert(out(4L) == (("", 0L, 1L)), "a fully-duplicated doc empties, stays a row")
+  }
+
+  test("dedupParagraphs: within-doc repeats keep only the first position") {
+    import spark.implicits._
+    val docs = Seq((7L, "x\ny\nx\nz\nx")).toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(docs, "doc_id", "text").collect().head
+    assert(out.getString(1) == "x\ny\nz" && out.getLong(2) == 3L && out.getLong(3) == 5L)
+  }
 }
