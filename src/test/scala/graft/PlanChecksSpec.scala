@@ -263,6 +263,14 @@ class PlanChecksSpec extends SparkSpec {
       s"branch join must stay a term equi-join:\n$p")
   }
 
+  test("q121: first-occurrence paragraph dedup prunes via WindowGroupLimit, no pairwise stage") {
+    val p = plan(TextOps.q121ParagraphDedup(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rn=1 must plan as a group limit (hot segments collapse pre-exchange):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"dedup must never go pairwise:\n$p")
+  }
+
   test("q116: quantile profile reuses ONE lang-keyed exchange for windows + aggregate") {
     // AQE plan strings append an "Initial Plan" section — count the FINAL plan only
     val p = plan(graft.queries.RelationalMore.q116QuantileProfile(spark, sfDir))
