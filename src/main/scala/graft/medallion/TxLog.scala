@@ -645,14 +645,21 @@ final class GraftTable(val tablePath: String) {
     // recomputed against the live head on every attempt — see
     // commitSchemaFor
     val head0 = latestVersion()
-    if (head0 > 0) { val _ = commitSchemaFor(head0, df.schema, mergeSchema) }
+    val schemaJson0 =
+      if (head0 > 0) commitSchemaFor(head0, df.schema, mergeSchema) else df.schema.json
     val adds = stageData(df)
     // constraints validate the STAGED bytes (see enforceOnStaged: the
     // rows checked are the rows committed, and the source lineage never
-    // runs twice); a violation deletes the staged files and throws
+    // runs twice); a violation deletes the staged files and throws.
+    // The read schema is the WIDENED committed schema, not the batch's:
+    // a mergeSchema batch may omit a constrained table column, whose
+    // rows are then NULL — which PASSES the check (SQL semantics) —
+    // rather than failing analysis on a missing column.
+    def commitSchema(json: String): StructType =
+      DataType.fromJson(json).asInstanceOf[StructType]
     var validated = if (head0 > 0) snapshot(head0).constraints
                     else Map.empty[String, String]
-    enforceOnStaged(df.sparkSession, df.schema, adds, validated)
+    enforceOnStaged(df.sparkSession, commitSchema(schemaJson0), adds, validated)
     def dropStaged(): Unit =
       adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
     var attempt = 0
@@ -665,7 +672,7 @@ final class GraftTable(val tablePath: String) {
       // rare race; re-validation is one more columnar read of the stage)
       val cur = if (head == head0) validated else snapshot(head).constraints
       if (cur != validated) {
-        enforceOnStaged(df.sparkSession, df.schema, adds, cur)
+        enforceOnStaged(df.sparkSession, commitSchema(schemaJson), adds, cur)
         validated = cur
       }
       if (tryCommit(head + 1, "append", head, Some(schemaJson), adds, Nil))

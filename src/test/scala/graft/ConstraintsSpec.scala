@@ -76,6 +76,20 @@ class ConstraintsSpec extends SparkSpec {
     assert(t.read(spark).count() == 3L)
   }
 
+  test("a mergeSchema batch omitting a constrained column passes (NULL passes)") {
+    val t = freshTable("mergecol")
+    t.append(df(1L -> "a"))
+    t.addConstraint(spark, "name_nonempty", "length(name) >= 1")
+    // widen with a new column while OMITTING the constrained one: the
+    // staged rows read NULL for name, which passes SQL CHECK semantics
+    t.append(Seq((2L, 7.5)).toDF("id", "score"), mergeSchema = true, maxRetries = 20)
+    assert(t.read(spark).count() == 2L)
+    // the constraint still bites on a present-and-violating value
+    intercept[IllegalStateException](
+      t.append(Seq((3L, Some(""))).toDF("id", "name"),
+        mergeSchema = true, maxRetries = 20))
+  }
+
   test("constraints survive checkpoint resolution and appear to fresh handles") {
     val t = freshTable("ckpt")
     t.append(df(1L -> "a"))
