@@ -1227,9 +1227,44 @@ object PipelineOps {
     """SELECT o_orderkey, o_totalprice, CAST(1 AS INTEGER) AS n_constraints
        FROM orders ORDER BY o_orderkey"""
 
+  // --------------------------------------------------------------------
+  // q122 — zero-copy CLONE as a fork, on disk: half the parts land in a
+  // source table, cloneTo hard-links them into a fork (no data bytes
+  // move), the fork diverges with the other half, then the SOURCE is
+  // truncated — and the fork must still read EVERYTHING, hash-matched
+  // against the full parts table, with the source's emptiness require'd
+  // and carried in the output. Proves the fork owns its files (link
+  // independence), carries schema+stats, and diverges without touching
+  // the original — the table-management op teams use for dev/test forks
+  // of production data at any size, since the clone commit is
+  // O(files-metadata), never O(bytes).
+  // --------------------------------------------------------------------
+  def q122CloneFork(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("txclone", dir)
+    graft.core.Fs.rmTree(new java.io.File(root)) // fresh tables per run
+    val src = new graft.medallion.GraftTable(s"$root/src")
+    val base = lake(s, dir).part.select(col("p_partkey"), col("p_retailprice"))
+    src.append(base.filter(col("p_partkey") % 2 === 0))      // src v1
+    val fork = src.cloneTo(s"$root/fork")                    // fork v1 (links)
+    fork.append(base.filter(col("p_partkey") % 2 === 1))     // fork diverges
+    src.truncate()                                           // source dies
+    val srcRows = src.read(s).count()
+    require(srcRows == 0L, "truncated source must read empty")
+    require(fork.latestVersion() == 2L,
+      s"fork history is its own (got ${fork.latestVersion()})")
+    fork.read(s)
+      .withColumn("src_rows", lit(srcRows).cast(LongType))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q122Oracle =
+    """SELECT p_partkey, p_retailprice, CAST(0 AS BIGINT) AS src_rows
+       FROM part ORDER BY p_partkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_incremental_mv" -> (q118IncrementalMv _),
     "q119_constraints_restore" -> (q119ConstraintsRestore _),
+    "q122_clone_fork" -> (q122CloneFork _),
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_sessionize" -> (q43Sessionize _),
     "q44_medallion_e2e" -> (q44MedallionE2e _),
@@ -1255,6 +1290,7 @@ object PipelineOps {
   val oracle: Map[String, String] = Map(
     "q118_incremental_mv" -> q118Oracle,
     "q119_constraints_restore" -> q119Oracle,
+    "q122_clone_fork" -> q122Oracle,
     "q42_multimodal_meta" -> q42Oracle,
     "q43_sessionize" -> q43Oracle,
     "q44_medallion_e2e" -> q44Oracle,
