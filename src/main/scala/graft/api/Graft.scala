@@ -260,6 +260,12 @@ object Graft {
       k: Int): DataFrame =
     graft.operators.Curation.vocabTopK(df, groupCol, textCol, k)
 
+  /** Edit-distance-1 fuzzy pairs over a short string column (q123's
+    * implementation): deletion-neighborhood equi-join + Levenshtein
+    * verify — record-linkage without a quadratic stage. */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    graft.operators.FuzzyJoin.editDistance1Pairs(df, idCol, strCol)
+
   /** Corpus-wide exact paragraph dedup with reassembly (q121's
     * implementation): duplicated segments keep their first corpus
     * occurrence, documents rebuild from survivors in order. */

@@ -1125,7 +1125,30 @@ object TextOps {
        LEFT JOIN totals t USING (doc_id)
        ORDER BY d.doc_id"""
 
+  // --------------------------------------------------------------------
+  // q123 — fuzzy matching (operators.FuzzyJoin): every customer-name
+  // pair within edit distance 1, found by a deletion-neighborhood
+  // EQUI-join (FastSS) + Levenshtein verify on candidates only — no
+  // quadratic stage. The oracle IS the quadratic definition (blocked to
+  // a deterministic key subset so it stays runnable), so the green row
+  // proves the neighborhood method finds exactly the brute-force pairs.
+  // --------------------------------------------------------------------
+  def q123FuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.editDistance1Pairs(
+      lake(s, dir).customer.filter(col("c_custkey") % 10 === 0),
+      "c_custkey", "c_name")
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q123Oracle =
+    """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 = 0)
+       SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+              CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+       FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+       WHERE levenshtein(a.c_name, b.c_name) <= 1
+       ORDER BY id_a, id_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_fuzzy_pairs" -> (q123FuzzyPairs _),
     "q121_paragraph_dedup" -> (q121ParagraphDedup _),
     "q115_inverted_index" -> (q115InvertedIndex _),
     "q31_token_stats" -> (q31TokenStats _),
@@ -1150,6 +1173,7 @@ object TextOps {
     "q112_shared_spans" -> (q112SharedSpans _))
 
   val oracle: Map[String, String] = Map(
+    "q123_fuzzy_pairs" -> q123Oracle,
     "q121_paragraph_dedup" -> q121Oracle,
     "q115_inverted_index" -> q115Oracle,
     "q31_token_stats" -> q31Oracle,
