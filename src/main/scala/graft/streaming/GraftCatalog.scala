@@ -163,7 +163,29 @@ final class GraftCatalog extends TableCatalog {
     * retypes corrupt readers. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
-    val cols = changes.map {
+    // constraint management rides the standard DSv2 property channel
+    // (no CHECK-constraint TableChange exists in Spark 4.1):
+    //   ALTER TABLE t SET TBLPROPERTIES ('constraint.<name>' = '<expr>')
+    //   ALTER TABLE t UNSET TBLPROPERTIES ('constraint.<name>')
+    // SET validates all existing rows (one scan) and commits CAS-style;
+    // UNSET drops. Mirrors how DESCRIBE EXTENDED surfaces them.
+    val (consChanges, colChanges) = changes.partition {
+      case p: TableChange.SetProperty => p.property.startsWith("constraint.")
+      case p: TableChange.RemoveProperty => p.property.startsWith("constraint.")
+      case _ => false
+    }
+    consChanges.foreach {
+      case p: TableChange.SetProperty =>
+        new GraftTable(dirOf(ident)).addConstraint(
+          org.apache.spark.sql.SparkSession.active,
+          p.property.stripPrefix("constraint."), p.value)
+      case p: TableChange.RemoveProperty =>
+        new GraftTable(dirOf(ident)).dropConstraint(
+          p.property.stripPrefix("constraint."))
+      case _ => ()
+    }
+    if (colChanges.isEmpty) return loadTable(ident)
+    val cols = colChanges.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"graft catalog: nested column '${a.fieldNames.mkString(".")}' " +
@@ -178,7 +200,8 @@ final class GraftCatalog extends TableCatalog {
         StructField(a.fieldNames()(0), a.dataType, nullable = true)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — only " +
-          "ADD COLUMNS (schema widening) is transactional on this format")
+          "ADD COLUMNS (schema widening) and constraint.* TBLPROPERTIES " +
+          "are transactional on this format")
     }
     new GraftTable(dirOf(ident)).addColumns(cols)
     loadTable(ident)

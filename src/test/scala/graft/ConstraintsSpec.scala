@@ -138,11 +138,24 @@ class ConstraintsSpec extends SparkSpec {
         .collect().map(_.toString).mkString("\n")
       assert(props.contains("constraint.id_pos") && props.contains("id > 0"),
         s"DESCRIBE EXTENDED must surface the CHECK constraint:\n$props")
+      // SQL management via the standard property channel
+      spark.sql(
+        "ALTER TABLE ctest.db.t SET TBLPROPERTIES ('constraint.id_small' = 'id < 1000')")
+      assert(t.constraints.keySet == Set("id_pos", "id_small"))
+      intercept[Exception](t.append(df(5000L -> "too-big")))
+      // SET of a constraint the existing data violates is refused
+      intercept[Exception](spark.sql(
+        "ALTER TABLE ctest.db.t SET TBLPROPERTIES ('constraint.impossible' = 'id > 100')"))
+      assert(!t.constraints.contains("impossible"))
+      spark.sql("ALTER TABLE ctest.db.t UNSET TBLPROPERTIES ('constraint.id_small')")
+      assert(t.constraints.keySet == Set("id_pos"))
+      t.append(df(5000L -> "ok-now"))
       // the history metadata table reads the commit log as SQL rows
       val hist = spark.sql(
         "SELECT version, op FROM ctest.db.t.history ORDER BY version")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-      assert(hist == Seq((1L, "create"), (2L, "append"), (3L, "addConstraint")),
+      assert(hist == Seq((1L, "create"), (2L, "append"), (3L, "addConstraint"),
+        (4L, "addConstraint"), (5L, "dropConstraint"), (6L, "append")),
         s"history metadata table mismatch: $hist")
       // and its plan is metadata-only (LocalScan, no file read)
       val histPlan = spark.sql("SELECT * FROM ctest.db.t.history")

@@ -271,6 +271,12 @@ class PlanChecksSpec extends SparkSpec {
       s"dedup must never go pairwise:\n$p")
   }
 
+  test("q123: fuzzy candidates come from an equi-join, never a nested loop") {
+    val p = plan(TextOps.q123FuzzyPairs(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"deletion-neighborhood join must stay an equi-join:\n$p")
+  }
+
   test("q116: quantile profile reuses ONE lang-keyed exchange for windows + aggregate") {
     // AQE plan strings append an "Initial Plan" section — count the FINAL plan only
     val p = plan(graft.queries.RelationalMore.q116QuantileProfile(spark, sfDir))
