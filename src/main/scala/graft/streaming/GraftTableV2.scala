@@ -151,12 +151,35 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
         "graft-table sink needs .option(\"appId\", ...) or a checkpointLocation " +
           "to name its exactly-once txn ledger"))
     val table = new GraftTable(p)
+    // opt-in auto-compaction (the Delta autoOptimize shape): when the
+    // count of sub-target files reaches minFiles after a commit, merge
+    // them in one transactional compact. Streaming ingest is THE
+    // small-file factory, so the debt is paid where it accrues; each
+    // byte is rewritten O(log_minFiles(table/batch)) times (geometric,
+    // LSM-style), tails skip the row-neutral compact commits, and a
+    // failed/raced compact never fails the batch — the data already
+    // committed.
+    val autoCompact = parameters.get("autoCompact").exists(_.toBoolean)
+    val autoMin = parameters.get("autoCompactMinFiles").map(_.toInt).getOrElse(10)
+    val autoTargetMB = parameters.get("autoCompactTargetMB").map(_.toInt).getOrElse(128)
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         // re-plan the micro-batch as a batch frame (the standard sink
         // pattern: a streaming frame refuses batch writes)
         table.appendIdempotent(
           org.apache.spark.sql.graft.ParquetScans.asBatch(data), appId, batchId)
+        if (autoCompact) {
+          try {
+            val threshold = autoTargetMB.toLong * 1024L * 1024L
+            if (table.snapshot().files.count(_.bytes < threshold) >= autoMin) {
+              val _ = table.compact(sqlContext.sparkSession, autoTargetMB)
+            }
+          } catch { case scala.util.control.NonFatal(e) =>
+            // best-effort maintenance: the append committed; a lost
+            // compact race or transient failure just defers the merge
+            System.err.println(s"[graft-table] autoCompact skipped: ${e.getMessage}")
+          }
+        }
         ()
       }
       override def toString: String = s"GraftTableSink[$p]"

@@ -645,4 +645,30 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("upsert") ||
       Option(e.getCause).exists(_.getMessage.contains("upsert")))
   }
+
+  test("autoCompact sink option pays the small-file debt as it accrues, exactly-once intact") {
+    import spark.implicits._
+    val root = freshRoot()
+    val path = new java.io.File(root, "ac").getAbsolutePath
+    val sink = new graft.streaming.GraftTableProvider().createSink(
+      spark.sqlContext,
+      Map("path" -> path, "appId" -> "ac-app",
+        "autoCompact" -> "true", "autoCompactMinFiles" -> "5"),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+    // 12 tiny single-row batches; without compaction that is >= 12 files
+    (0 until 12).foreach { b =>
+      sink.addBatch(b.toLong,
+        Seq((b.toLong, s"row$b")).toDF("id", "payload").coalesce(1))
+    }
+    val t = new GraftTable(path)
+    // every row exactly once, regardless of when compacts interleaved
+    assert(t.read(spark).select("id").collect().map(_.getLong(0)).toSet ==
+      (0L until 12L).toSet)
+    val files = t.snapshot().files.size
+    assert(files < 7, s"auto-compaction must bound the live file count (got $files)")
+    // a replayed batch still no-ops through the ledger (compacts carried the txn map)
+    val before = t.latestVersion()
+    sink.addBatch(5L, Seq((99L, "dup")).toDF("id", "payload"))
+    assert(t.latestVersion() == before, "replayed batch must not commit")
+  }
 }
