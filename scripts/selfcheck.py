@@ -45,6 +45,17 @@ for name in sorted(oracle):
     bad = None
     for c in s.columns:
         sv, dv = s[c], d[c]
+        # Driver-faithful dtype gate: the driver hashes canonicalized
+        # values, so an int column on one side arriving as float on the
+        # other (e.g. DuckDB sum(BIGINT) -> HUGEINT -> pandas float64)
+        # hash-mismatches ("307" vs "307.0") even when numerically equal.
+        # Numeric-kind drift is therefore a FAIL here, not a tolerated
+        # widening. (q103 round 5-6 went driver-red exactly this way.)
+        kinds = {sv.dtype.kind, dv.dtype.kind}
+        if len(kinds) > 1 and kinds <= {"i", "u", "f"}:
+            bad = (f"col {c}: dtype kind drift spark={sv.dtype} "
+                   f"duck={dv.dtype} (driver hash would mismatch)")
+            break
         try:
             import pandas as pd
             if sv.dtype.kind == "f" or dv.dtype.kind == "f":

@@ -732,7 +732,13 @@ object TrainingOps {
                 sum(n_toks) AS total_tokens
          FROM s GROUP BY split, lang),
        tot AS (SELECT lang, sum(total_tokens) AS lt FROM cell GROUP BY lang)
-       SELECT split, c.lang, n_docs, total_tokens,
+       SELECT split, c.lang, n_docs,
+              -- DuckDB's sum(BIGINT) is HUGEINT; an uncast HUGEINT output
+              -- column canonicalizes as float (307.0 vs Spark's 307) in a
+              -- pandas-side hasher even when every value is equal, so the
+              -- output type must be pinned to BIGINT exactly like the
+              -- Spark side's long sum.
+              CAST(total_tokens AS BIGINT) AS total_tokens,
               CAST(CAST(total_tokens AS HUGEINT) * 1000000 // lt AS BIGINT)
                 AS token_ppm
        FROM cell c JOIN tot USING (lang)
