@@ -114,6 +114,64 @@ object TxLog {
 
   private[graft] val LogDir = "_graft_log"
 
+  // ------------------------------------------------------ column mapping
+  // Delta-style name mapping (column-mapping mode `name`, Delta protocol
+  // §column-mapping): each field MAY carry the immutable PHYSICAL column
+  // name its data files use in its StructField metadata, under
+  // [[PhysicalKey]] — rename is then a schema-only commit (logical name
+  // changes, physical stays), drop is a schema-only commit (the field
+  // leaves the schema; file bytes are simply never read). The mapping
+  // rides inside the existing schemaJson action — no new log action, and
+  // unmapped tables (no field carries the key) behave byte-for-byte as
+  // before. Everything below the schema boundary — file columns, stats
+  // keys, pushdown — speaks PHYSICAL; translation happens exactly at
+  // ingestion (logical frame → physical bytes) and read-out (physical
+  // bytes → logical frame).
+
+  private[graft] val PhysicalKey = "graft.physical"
+
+  private[graft] def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  private[graft] def isMapped(schema: StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(PhysicalKey))
+
+  /** The schema of the BYTES: fields renamed to their physical names
+    * (metadata kept — it is inert in a parquet read schema). */
+  private[graft] def physicalSchema(schema: StructType): StructType =
+    if (!isMapped(schema)) schema
+    else StructType(schema.fields.map(f => f.copy(name = physicalName(f))))
+
+  /** Physical name of logical column `name`; columns outside the schema
+    * (metadata cols, genuinely new mergeSchema fields on unmapped
+    * tables) pass through unchanged. */
+  private[graft] def physicalOf(schema: StructType, name: String): String =
+    schema.fields.find(_.name == name).map(physicalName).getOrElse(name)
+
+  /** Rename an about-to-stage logical frame to physical column names. */
+  private[graft] def toPhysical(df: DataFrame, schema: StructType): DataFrame =
+    if (!isMapped(schema)) df
+    else df.select(df.columns.toIndexedSeq.map(c =>
+      col(c).as(physicalOf(schema, c))): _*)
+
+  /** Project a physical-named frame back to the logical schema (field
+    * metadata carried, so a re-staged frame still knows its mapping). */
+  private[graft] def toLogical(df: DataFrame, schema: StructType): DataFrame =
+    if (!isMapped(schema)) df
+    else df.select(schema.fields.toIndexedSeq.map(f =>
+      col(physicalName(f)).as(f.name, f.metadata)): _*)
+
+  /** A fresh physical name for a new column on a MAPPED table: unique
+    * across the table's whole lifetime (a re-added name must never
+    * resurrect bytes a dropped column left in old files). */
+  private[graft] def freshPhysical(logical: String): String =
+    s"${logical}_p${UUID.randomUUID().toString.replace("-", "").take(12)}"
+
+  private[graft] def withPhysical(f: StructField, physical: String): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putString(PhysicalKey, physical).build())
+
   /** Atomic put-if-absent with full content: hard-link a fully-written
     * temp file to the target name. Link creation is a single atomic
     * metadata operation that FAILS if the target exists — unlike
@@ -177,10 +235,18 @@ object TxLog {
       adds: Seq[AddFile], removes: Seq[String],
       txns: Map[String, Long] = Map.empty,
       addVersions: Map[String, Long] = Map.empty,
-      constraints: Option[Map[String, String]] = None): String = {
+      constraints: Option[Map[String, String]] = None,
+      tsMillis: Option[Long] = None): String = {
     val lines =
-      JObject("a" -> JString("info"), "op" -> JString(op),
-        "readVersion" -> JLong(readVersion)) ::
+      JObject(("a" -> JString("info")) :: ("op" -> JString(op)) ::
+        ("readVersion" -> JLong(readVersion)) ::
+        // wall-clock commit time, for TIMESTAMP AS OF resolution. An
+        // extra info FIELD, not a new action: every reader of any
+        // version only looks at "op" here, so old logs (no ts) and old
+        // readers (ignore ts) both keep working. Checkpoint files omit
+        // it — racing checkpointers must produce byte-identical content
+        // (lost put race == same content).
+        tsMillis.toList.map(ms => "ts" -> (JLong(ms): JValue))) ::
       schemaJson.toList.map(s => JObject("a" -> JString("schema"), "json" -> JString(s))) :::
       // FULL-replacement semantics like the schema line (an empty set
       // present clears); sorted for deterministic checkpoint bytes
@@ -201,7 +267,9 @@ object TxLog {
       /** per-add provenance versions, present only in checkpoint files */
       addVersions: Map[String, Long] = Map.empty,
       /** full-replacement constraint set, when this commit changed it */
-      constraints: Option[Map[String, String]] = None)
+      constraints: Option[Map[String, String]] = None,
+      /** wall-clock commit time (epoch millis); absent in pre-ts logs */
+      tsMillis: Option[Long] = None)
 
   private[medallion] def parseCommit(content: String): Commit = {
     var op = "unknown"; var schema: Option[String] = None
@@ -209,11 +277,14 @@ object TxLog {
     var txns = Map.empty[String, Long]
     var addVs = Map.empty[String, Long]
     var cons: Option[Map[String, String]] = None
+    var ts: Option[Long] = None
     content.linesIterator.filter(_.nonEmpty).foreach { line =>
       val o = JsonMethods.parse(line).asInstanceOf[JObject]
       val m = o.obj.toMap
       str(m("a")) match {
-        case "info" => op = str(m("op"))
+        case "info" =>
+          op = str(m("op"))
+          ts = m.get("ts").map(lng)
         case "schema" => schema = Some(str(m("json")))
         case "add" =>
           val (a, v) = parseAdd(o)
@@ -228,7 +299,7 @@ object TxLog {
           s"txlog: unknown action '$other' — refusing to read a log written by a newer format")
       }
     }
-    Commit(op, schema, adds.result(), removes.result(), txns, addVs, cons)
+    Commit(op, schema, adds.result(), removes.result(), txns, addVs, cons, ts)
   }
 }
 
@@ -367,8 +438,9 @@ final class GraftTable(val tablePath: String) {
     val snap = snapshot(version)
     val lo = lower.map(statsLiteral)
     val hi = upper.map(statsLiteral)
+    val physCol = physicalOf(snap.schema, column)
     val pruned = snap.copy(files = snap.files.filter(
-      _.stats.get(column).forall(_.overlaps(lo, hi))))
+      _.stats.get(physCol).forall(_.overlaps(lo, hi))))
     readFiles(spark, pruned, { df =>
       val c = col(column)
       (lower, upper) match {
@@ -406,7 +478,7 @@ final class GraftTable(val tablePath: String) {
     val snap = snapshot(version)
     val live = snap.files.filter { f =>
       usable.forall { case (c, lo, hi) =>
-        f.stats.get(c).forall(_.overlaps(
+        f.stats.get(physicalOf(snap.schema, c)).forall(_.overlaps(
           lo.map(statsLiteral), hi.map(statsLiteral)))
       }
     }
@@ -432,7 +504,9 @@ final class GraftTable(val tablePath: String) {
   /** Number of files `readRange` would scan — the data-skipping metric. */
   def filesForRange(column: String, lower: Option[Any], upper: Option[Any]): Int = {
     val lo = lower.map(statsLiteral); val hi = upper.map(statsLiteral)
-    snapshot().files.count(_.stats.get(column).forall(_.overlaps(lo, hi)))
+    val snap = snapshot()
+    val physCol = physicalOf(snap.schema, column)
+    snap.files.count(_.stats.get(physCol).forall(_.overlaps(lo, hi)))
   }
 
   private def readFiles(
@@ -442,8 +516,12 @@ final class GraftTable(val tablePath: String) {
     else {
       val paths = snap.files.map(a => root.resolve(a.path).toString)
       // explicit schema: file-order inference must not decide column
-      // order after a schema-widening overwrite
-      residual(spark.read.schema(snap.schema).parquet(paths: _*))
+      // order after a schema-widening overwrite. The bytes are read
+      // under PHYSICAL names and projected back to logical — a no-op
+      // select on unmapped tables
+      residual(toLogical(
+        spark.read.schema(physicalSchema(snap.schema)).parquet(paths: _*),
+        snap.schema))
     }
 
   // ------------------------------------------------------------- writes
@@ -557,7 +635,9 @@ final class GraftTable(val tablePath: String) {
       spark: SparkSession, readVersion: Long, removePaths: Seq[String],
       staged: Seq[java.nio.file.Path]): Long = {
     val snap = snapshot(readVersion)
-    val adds = adoptStaged(spark, snap.schema, staged)
+    // staged bytes carry PHYSICAL names (the row-level writer factory is
+    // built over physicalSchema); constraints validate logically
+    val adds = adoptStaged(spark, physicalSchema(snap.schema), staged)
     // SQL UPDATE/MERGE can write constraint-violating values; check the
     // replacement rows (adopted parquet — one columnar scan) pre-commit
     enforceOnStaged(spark, snap.schema, adds, snap.constraints)
@@ -574,7 +654,11 @@ final class GraftTable(val tablePath: String) {
     ensureDirs()
     putIfAbsent(
       renderCommit(op, readVersion, schemaJson, adds, removes, txns,
-        constraints = constraints),
+        constraints = constraints,
+        // every real commit carries wall-clock time (TIMESTAMP AS OF
+        // resolves against it); checkpoints bypass tryCommit and stay
+        // deterministic-bytes
+        tsMillis = Some(System.currentTimeMillis())),
       versionFile(version))
   }
 
@@ -599,9 +683,13 @@ final class GraftTable(val tablePath: String) {
       spark: SparkSession, schema: StructType, adds: Seq[AddFile],
       cons: Map[String, String]): Unit =
     if (cons.nonEmpty && adds.nonEmpty) {
+      // `schema` is the LOGICAL commit schema (constraint expressions
+      // speak logical names); the staged bytes carry physical names
       try enforceConstraintsImpl(
-        spark.read.schema(schema)
-          .parquet(adds.map(a => root.resolve(a.path).toString): _*), cons)
+        toLogical(
+          spark.read.schema(physicalSchema(schema))
+            .parquet(adds.map(a => root.resolve(a.path).toString): _*),
+          schema), cons)
       catch { case e: Throwable =>
         adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
         throw e
@@ -647,7 +735,13 @@ final class GraftTable(val tablePath: String) {
     val head0 = latestVersion()
     val schemaJson0 =
       if (head0 > 0) commitSchemaFor(head0, df.schema, mergeSchema) else df.schema.json
-    val adds = stageData(df)
+    def commitSchema0(json: String): StructType =
+      DataType.fromJson(json).asInstanceOf[StructType]
+    // mapped tables: the staged bytes carry the commit schema's PHYSICAL
+    // names; a rename/drop racing this append would de-sync the staged
+    // bytes from the schema actually committed — detected per attempt
+    val stagedPhysical = physicalSchema(commitSchema0(schemaJson0)).fieldNames.toSeq
+    val adds = stageData(toPhysical(df, commitSchema0(schemaJson0)))
     // constraints validate the STAGED bytes (see enforceOnStaged: the
     // rows checked are the rows committed, and the source lineage never
     // runs twice); a violation deletes the staged files and throws.
@@ -668,6 +762,14 @@ final class GraftTable(val tablePath: String) {
       val schemaJson =
         try commitSchemaFor(head, df.schema, mergeSchema)
         catch { case e: Throwable => dropStaged(); throw e }
+      if (physicalSchema(commitSchema(schemaJson)).fieldNames.toSeq
+          != stagedPhysical) {
+        dropStaged()
+        throw new ConcurrentWriteException(
+          s"txlog: a column rename/drop landed at $tablePath while this " +
+            "append was staging — the staged bytes carry the old physical " +
+            "names; re-run the append against the new head")
+      }
       // a constraint added since validation must re-check the batch (the
       // rare race; re-validation is one more columnar read of the stage)
       val cur = if (head == head0) validated else snapshot(head).constraints
@@ -720,6 +822,14 @@ final class GraftTable(val tablePath: String) {
     }
     val newFields = batch.fields.filterNot(f => tableTypes.contains(f.name))
       .map(_.copy(nullable = true))
+    // a MAPPED table assigns new columns fresh physical names inside a
+    // single schema-only commit (addColumns) — assigning them here, in a
+    // staging path that re-derives the schema per commit attempt, could
+    // commit a physical name the already-staged bytes don't carry
+    require(newFields.isEmpty || !isMapped(table),
+      s"txlog: mergeSchema cannot add columns " +
+        s"(${newFields.map(_.name).mkString(", ")}) to a column-mapped " +
+        "table — run addColumns / ALTER TABLE ADD COLUMNS first, then append")
     StructType(table.fields ++ newFields)
   }
 
@@ -751,7 +861,9 @@ final class GraftTable(val tablePath: String) {
     require(pre.version > 0L,
       s"txlog: no committed table at $root for a streaming append")
     if (pre.txns.get(appId).exists(_ >= batchId)) { dropStaged(); return pre.version }
-    val adds = adoptStaged(spark, schema, staged)
+    // the staged bytes carry PHYSICAL names (the DSv2 writer factory is
+    // built over physicalSchema); `schema` here is the logical schema
+    val adds = adoptStaged(spark, physicalSchema(schema), staged)
     // DSv2-staged epochs validate like every other write: the adopted
     // parquet is the batch — one columnar scan, drop-and-throw on breach
     var validated = pre.constraints
@@ -774,6 +886,16 @@ final class GraftTable(val tablePath: String) {
           adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
           throw e
         }
+      // a rename/drop landing mid-epoch would commit a schema whose
+      // physical names the staged bytes don't carry — fail loudly
+      if (physicalSchema(DataType.fromJson(schemaJson).asInstanceOf[StructType])
+          .fieldNames.toSeq != physicalSchema(schema).fieldNames.toSeq) {
+        adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+        throw new ConcurrentWriteException(
+          s"txlog: a column rename/drop landed at $tablePath while this " +
+            "streaming epoch was staging — restart the query to pick up " +
+            "the new mapping")
+      }
       // a constraint added mid-race must re-validate the batch — same
       // contract as append(); skipping it would commit unchecked rows
       if (head.constraints != validated) {
@@ -800,11 +922,16 @@ final class GraftTable(val tablePath: String) {
         s"txlog: append schema ${df.schema.simpleString} does not match table " +
           s"schema ${pre.schema.simpleString}; use overwrite() to change schema")
     }
-    val adds = stageData(df)
+    // mapped tables: stage under the table's physical names; validate
+    // against the table's LOGICAL schema (constraints speak logical)
+    val stagedPhysical = physicalSchema(pre.schema).fieldNames.toSeq
+    val adds = stageData(toPhysical(df, pre.schema))
     // constraints validate the staged bytes (enforceOnStaged): checked
     // rows == committed rows, source lineage never runs twice
     var validated = pre.constraints
-    enforceOnStaged(df.sparkSession, df.schema, adds, validated)
+    enforceOnStaged(df.sparkSession,
+      if (pre.version > 0 && pre.schema.nonEmpty) pre.schema else df.schema,
+      adds, validated)
     var attempt = 0
     while (attempt < maxRetries) {
       val head = snapshot(latestVersion())
@@ -824,6 +951,14 @@ final class GraftTable(val tablePath: String) {
           adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
           throw e
         }
+      if (pre.version > 0 &&
+          physicalSchema(DataType.fromJson(schemaJson)
+            .asInstanceOf[StructType]).fieldNames.toSeq != stagedPhysical) {
+        adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+        throw new ConcurrentWriteException(
+          s"txlog: a column rename/drop landed at $tablePath while this " +
+            "streaming append was staging — re-run against the new head")
+      }
       // a constraint added mid-race must re-validate the batch
       if (head.constraints != validated) {
         enforceOnStaged(df.sparkSession, df.schema, adds, head.constraints)
@@ -857,7 +992,11 @@ final class GraftTable(val tablePath: String) {
       throw new ConcurrentWriteException(
         s"txlog: overwrite expected version $expectedVersion but head is " +
           s"${snap.version} — re-read and re-derive before committing")
-    val adds = stageData(df)
+    // the committed schema is df's OWN (overwrite may change schema —
+    // and with it the mapping: a metadata-free frame resets the table
+    // to unmapped); the staged bytes must match whatever that schema
+    // declares as physical
+    val adds = stageData(toPhysical(df, df.schema))
     // CAS commit — no constraint race to re-check: a head moved since
     // `snap` aborts the commit itself
     enforceOnStaged(df.sparkSession, df.schema, adds, snap.constraints)
@@ -878,22 +1017,27 @@ final class GraftTable(val tablePath: String) {
     val lo = Some(statsLiteral(bounds.get(0))); val hi = Some(statsLiteral(bounds.get(1)))
     // conservative: a file with no stats for the key column must be
     // treated as overlapping
+    val physKey = physicalOf(snap.schema, key)
     val (touched, _) = snap.files.partition(
-      _.stats.get(key).forall(_.overlaps(lo, hi)))
+      _.stats.get(physKey).forall(_.overlaps(lo, hi)))
     val base =
       if (touched.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           changes.drop("_deleted", "_op", seqCol).schema)
       else
-        spark.read.schema(snap.schema)
-          .parquet(touched.map(a => root.resolve(a.path).toString): _*)
+        toLogical(
+          spark.read.schema(physicalSchema(snap.schema))
+            .parquet(touched.map(a => root.resolve(a.path).toString): _*),
+          snap.schema)
     val merged = Medallion.applyCdc(base, changes, key, seqCol)
-    val adds = stageData(merged)
+    val adds = stageData(toPhysical(merged, snap.schema))
     // constraints check the WRITTEN rows (the merged file content), read
     // back from the staged parquet — no second CDC-merge computation; a
     // violation drops the staged files and nothing commits
-    enforceOnStaged(spark, merged.schema, adds, snap.constraints)
+    enforceOnStaged(spark,
+      if (snap.schema.isEmpty) merged.schema else snap.schema,
+      adds, snap.constraints)
     // first commit on a schema-less table MUST write the schema action —
     // committing only adds would leave every later snapshot() unable to
     // resolve ("no schema action found"), bricking the table
@@ -951,13 +1095,101 @@ final class GraftTable(val tablePath: String) {
           s"txlog: new column '${f.name}' must be nullable — existing " +
             "rows have no value to backfill")
       }
-      val widened = StructType(existing.fields ++ cols)
+      // on a MAPPED table every new column takes a FRESH physical name:
+      // a previously-dropped column of the same logical name may have
+      // left bytes under it in old files, and re-reading those as the
+      // new column would resurrect deleted data
+      val stamped =
+        if (!isMapped(existing)) cols
+        else cols.map(f => withPhysical(f, freshPhysical(f.name)))
+      val widened = StructType(existing.fields ++ stamped)
       if (tryCommit(head + 1, "addColumns", head, Some(widened.json), Nil, Nil))
         return head + 1
       attempt += 1
     }
     throw new ConcurrentWriteException(
       s"txlog: addColumns lost $maxRetries commit races at $tablePath")
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN old TO new` as ONE schema-only commit:
+    * the field's LOGICAL name changes; its physical name — the one the
+    * immutable data files carry — is pinned first if absent, so no data
+    * file is read or rewritten at any table size (Delta column-mapping
+    * `name` mode). Every later read/write translates at the schema
+    * boundary; old snapshots keep their old schemaJson, so time travel
+    * sees the old name. */
+  def renameColumn(oldName: String, newName: String, maxRetries: Int = 20): Long = {
+    require(oldName != newName, "txlog: rename to the same name is a no-op")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = latestVersion()
+      require(head > 0L, s"txlog: no table at $root to alter")
+      val existing = snapshot(head).schema
+      require(existing.fieldNames.contains(oldName),
+        s"txlog: no column '$oldName' on $root to rename")
+      require(!existing.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT))
+          .contains(newName.toLowerCase(java.util.Locale.ROOT)),
+        s"txlog: column '$newName' already exists on $root " +
+          "(names compare case-insensitively, as Spark resolves them)")
+      constraintsReferencing(snapshot(head).constraints, oldName).foreach { n =>
+        throw new IllegalArgumentException(
+          s"txlog: cannot rename '$oldName' — CHECK constraint '$n' " +
+            "references it; drop the constraint first and re-add it " +
+            "against the new name")
+      }
+      val renamed = StructType(existing.fields.map { f =>
+        if (f.name != oldName) f
+        else withPhysical(f, physicalName(f)).copy(name = newName)
+      })
+      if (tryCommit(head + 1, "renameColumn", head, Some(renamed.json), Nil, Nil))
+        return head + 1
+      attempt += 1
+    }
+    throw new ConcurrentWriteException(
+      s"txlog: renameColumn lost $maxRetries commit races at $tablePath")
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` as ONE schema-only commit: the field
+    * leaves the logical schema; the bytes stay in the immutable files,
+    * simply never read again (and physically gone at the next full
+    * rewrite — compact/zorder stage only live columns). Dropping turns
+    * column mapping ON for every surviving field: a future ADD COLUMNS
+    * of the same name must take a fresh physical name, or it would
+    * resurrect this column's bytes from pre-drop files. */
+  def dropColumn(name: String, maxRetries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = latestVersion()
+      require(head > 0L, s"txlog: no table at $root to alter")
+      val existing = snapshot(head).schema
+      require(existing.fieldNames.contains(name),
+        s"txlog: no column '$name' on $root to drop")
+      require(existing.fields.length > 1,
+        s"txlog: cannot drop '$name' — it is the only column")
+      constraintsReferencing(snapshot(head).constraints, name).foreach { n =>
+        throw new IllegalArgumentException(
+          s"txlog: cannot drop '$name' — CHECK constraint '$n' references " +
+            "it; drop the constraint first")
+      }
+      val remaining = StructType(existing.fields.filterNot(_.name == name)
+        .map(f => withPhysical(f, physicalName(f))))
+      if (tryCommit(head + 1, "dropColumn", head, Some(remaining.json), Nil, Nil))
+        return head + 1
+      attempt += 1
+    }
+    throw new ConcurrentWriteException(
+      s"txlog: dropColumn lost $maxRetries commit races at $tablePath")
+  }
+
+  /** Names of constraints whose SQL expression mentions `column` —
+    * conservative word-boundary text match (no SQL parse): renames and
+    * drops refuse rather than silently breaking an enforcement rule. */
+  private def constraintsReferencing(
+      cons: Map[String, String], column: String): Option[String] = {
+    val p = java.util.regex.Pattern.compile(
+      "(?i)(^|[^A-Za-z0-9_`])" + java.util.regex.Pattern.quote(column) +
+        "($|[^A-Za-z0-9_])")
+    cons.collectFirst { case (n, e) if p.matcher(e).find() => n }
   }
 
   /** ADD CONSTRAINT: register a named CHECK expression, enforced on
@@ -1080,12 +1312,26 @@ final class GraftTable(val tablePath: String) {
         s"txlog: data file ${a.path} of version ${snap.version} was " +
           "vacuumed — clone source is behind the retention window")
       val dst = dest.root.resolve(a.path)
+      // links fail as IOException on link-capable filesystems (cross-
+      // device, EMLINK) but as UnsupportedOperationException where the
+      // store has no hard links at all, and as SecurityException under a
+      // manager — the copy fallback must cover every refusal class
       try Files.createLink(dst, src)
-      catch { case _: java.io.IOException =>
-        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING) }
+      catch {
+        case _: java.io.IOException | _: UnsupportedOperationException |
+             _: SecurityException =>
+          Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      }
     }
+    // constraints line only when the source actually has constraints —
+    // same gating as checkpoint(): an unconditional line would bump the
+    // format for every clone and break pre-constraint readers on tables
+    // that never used the feature (restore keeps its unconditional line
+    // for clear-on-revert semantics)
     val won = dest.tryCommit(1L, "clone", 0L, Some(snap.schemaJson),
-      snap.files, Nil, constraints = Some(snap.constraints))
+      snap.files, Nil,
+      constraints = if (snap.constraints.nonEmpty) Some(snap.constraints)
+                    else None)
     if (!won) throw new ConcurrentWriteException(
       s"txlog: clone destination $destPath raced another creator")
     dest
@@ -1155,22 +1401,25 @@ final class GraftTable(val tablePath: String) {
         case _: NumericType | StringType | DateType | TimestampType => true
         case _ => false
       }) && f.dataType != DoubleType && f.dataType != FloatType)
-    val (dropped, kept) = snap.files.partition(_.stats.get(column).exists(allMatch))
-    val (touched, _) = kept.partition(_.stats.get(column) match {
+    val physCol = physicalOf(snap.schema, column)
+    val (dropped, kept) = snap.files.partition(_.stats.get(physCol).exists(allMatch))
+    val (touched, _) = kept.partition(_.stats.get(physCol) match {
       case Some(cs) => cs.overlaps(lo, hi)
       case None => !provablyAllNull
     })
     if (dropped.isEmpty && touched.isEmpty) return (0, 0, snap.version) // no-op, no commit
 
     val adds = if (touched.isEmpty) Seq.empty else {
-      val c = col(column)
+      // pure rewrite: read and re-stage under PHYSICAL names (no
+      // logical round trip needed — only the filter column translates)
+      val c = col(physCol)
       val matched = (lower, upper) match {
         case (Some(l), Some(u)) => c >= lit(l) && c <= lit(u)
         case (Some(l), None) => c >= lit(l)
         case (None, Some(u)) => c <= lit(u)
         case (None, None) => c.isNotNull // full-range: non-null rows match
       }
-      val survivors = spark.read.schema(snap.schema)
+      val survivors = spark.read.schema(physicalSchema(snap.schema))
         .parquet(touched.map(a => root.resolve(a.path).toString): _*)
         .filter(!coalesce(matched, lit(false))) // NULL predicate ⇒ row survives
       stageData(survivors)
@@ -1194,7 +1443,7 @@ final class GraftTable(val tablePath: String) {
     val bytes = snap.files.map(_.bytes).sum
     val outParts = math.max(1,
       math.ceil(bytes.toDouble / (targetFileMB * 1024.0 * 1024.0)).toInt)
-    val df = spark.read.schema(snap.schema)
+    val df = spark.read.schema(physicalSchema(snap.schema))
       .parquet(snap.files.map(a => root.resolve(a.path).toString): _*)
       .repartition(outParts)
     val adds = stageData(df)
@@ -1221,12 +1470,39 @@ final class GraftTable(val tablePath: String) {
     val snap = snapshot()
     val lo = lower.map(statsLiteral); val hi = upper.map(statsLiteral)
     val threshold = targetFileMB.toLong * 1024L * 1024L
+    val physCol = physicalOf(snap.schema, column)
     val (targets, _) = snap.files.partition(a =>
-      a.bytes < threshold && a.stats.get(column).forall(_.overlaps(lo, hi)))
+      a.bytes < threshold && a.stats.get(physCol).forall(_.overlaps(lo, hi)))
     if (targets.size < 2) return (0, 0, snap.version) // nothing worth merging
     val outParts = math.max(1,
       math.ceil(targets.map(_.bytes).sum.toDouble / threshold).toInt)
-    val df = spark.read.schema(snap.schema)
+    val df = spark.read.schema(physicalSchema(snap.schema))
+      .parquet(targets.map(a => root.resolve(a.path).toString): _*)
+      .repartition(outParts)
+    val adds = stageData(df)
+    val v = commitRewrite(snap, "compact", None, adds, targets.map(_.path))
+    (targets.size, adds.size, v)
+  }
+
+  /** Compact ONLY the live files below `targetFileMB` — the auto-
+    * compaction primitive. Right-sized files carry over untouched, so
+    * the cost of one pass is O(small-file bytes), never O(table): each
+    * merge multiplies the survivors' size by ~the merge fan-in, which is
+    * what makes total write amplification O(log_fanin(table/batch)) per
+    * byte (LSM-style) instead of linear in table size the way a full
+    * [[compact]] fired per-batch would be. Returns (filesCompacted,
+    * filesAfter, committedVersion) — (0, 0, head) with no commit when
+    * fewer than `minFiles` qualify. */
+  def compactSmall(
+      spark: SparkSession, targetFileMB: Int = 128,
+      minFiles: Int = 2): (Int, Int, Long) = {
+    val snap = snapshot()
+    val threshold = targetFileMB.toLong * 1024L * 1024L
+    val targets = snap.files.filter(_.bytes < threshold)
+    if (targets.size < math.max(2, minFiles)) return (0, 0, snap.version)
+    val outParts = math.max(1,
+      math.ceil(targets.map(_.bytes).sum.toDouble / threshold).toInt)
+    val df = spark.read.schema(physicalSchema(snap.schema))
       .parquet(targets.map(a => root.resolve(a.path).toString): _*)
       .repartition(outParts)
     val adds = stageData(df)
@@ -1248,9 +1524,10 @@ final class GraftTable(val tablePath: String) {
       targetFiles: Int): (Int, Int, Long) = {
     val snap = snapshot()
     if (snap.files.isEmpty) return (0, 0, snap.version)
-    val df = spark.read.schema(snap.schema)
+    val df = spark.read.schema(physicalSchema(snap.schema))
       .parquet(snap.files.map(a => root.resolve(a.path).toString): _*)
-    val adds = stageData(Layout.zorderBy(df, cols, targetFiles))
+    val adds = stageData(
+      Layout.zorderBy(df, cols.map(physicalOf(snap.schema, _)), targetFiles))
     val v = commitRewrite(snap, "zorder", None, adds, snap.files.map(_.path))
     (snap.files.size, adds.size, v)
   }
@@ -1367,8 +1644,50 @@ final class GraftTable(val tablePath: String) {
         paths.foreach(p => require(Files.exists(Paths.get(p)),
           s"txlog: data file $p of commit $v was vacuumed — appendsSince " +
             "is behind the retention window; re-seed from a snapshot read"))
-        acc.unionAll(spark.read.schema(schema).parquet(paths: _*)
+        acc.unionAll(
+          toLogical(spark.read.schema(physicalSchema(schema))
+            .parquet(paths: _*), schema)
           .withColumn("_commit_version", lit(v)))
+    }
+  }
+
+  /** The key envelope of a CDF batch, from the log alone: min/max of
+    * `column` over the files added by append-family commits in
+    * `(sinceVersion, head]`, as typed values ready for [[readRange]].
+    * Zero data bytes read — this is how an incremental-MV refresh
+    * bounds which MV files its merge can touch (O(batch) metadata,
+    * never an O(MV) scan just to discover the overlap). None when no
+    * qualifying commit added files or the column carries no stats
+    * (readRange's conservative contract then reads everything). */
+  def appendsKeyBounds(
+      column: String, sinceVersion: Long): Option[(Any, Any)] = {
+    val schema = snapshot().schema
+    val dt = schema.fields.find(_.name == column).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"txlog: no column '$column' to bound"))
+    val physCol = physicalOf(schema, column)
+    val stats = appendFilesSince(sinceVersion)
+      .flatMap { case (_, adds) => adds.flatMap(_.stats.get(physCol)) }
+    if (stats.isEmpty) None
+    else {
+      def typed(s: String): Any = dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          new java.math.BigDecimal(s).longValueExact()
+        case FloatType | DoubleType => s.toDouble
+        case _: DecimalType => new java.math.BigDecimal(s)
+        case DateType => java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(s.toLong))
+        case TimestampType => new java.sql.Timestamp(s.toLong)
+        case StringType => s
+        case other => throw new IllegalArgumentException(
+          s"txlog: no stats domain for ${other.simpleString} bounds")
+      }
+      def lte(a: String, b: String): Boolean =
+        if (statsKind(dt) == "num") BigDecimal(a) <= BigDecimal(b)
+        else a <= b
+      val lo = stats.map(_.min).reduce((a, b) => if (lte(a, b)) a else b)
+      val hi = stats.map(_.max).reduce((a, b) => if (lte(a, b)) b else a)
+      Some((typed(lo), typed(hi)))
     }
   }
 
@@ -1397,8 +1716,11 @@ final class GraftTable(val tablePath: String) {
           Some(v -> c.adds)
         case "append" | "streamingUpdate" | "clone" => None
         // row-neutral commits: same rows, different (or no) files
+        // (rename/drop are schema-only: a pinned readSchema keeps
+        // resolving the same physical bytes)
         case "compact" | "zorder" | "checkpoint" | "create" | "addColumns"
-           | "addConstraint" | "dropConstraint" => None
+           | "addConstraint" | "dropConstraint"
+           | "renameColumn" | "dropColumn" => None
         case rewrite =>
           if (!skipRewrites) throw new IllegalStateException(
             s"txlog: commit $v is a '$rewrite' — its rewritten rows cannot be " +
@@ -1411,15 +1733,48 @@ final class GraftTable(val tablePath: String) {
 
   /** Commit history, newest first: (version, op, adds, removes). The
     * DESCRIBE HISTORY equivalent. */
-  def history(): Seq[(Long, String, Int, Int)] = {
+  def history(): Seq[(Long, String, Int, Int)] =
+    historyFull().map { case (v, op, a, r, _) => (v, op, a, r) }
+
+  /** [[history]] plus the wall-clock commit time (epoch millis; None for
+    * commits written before the log stamped timestamps). */
+  def historyFull(): Seq[(Long, String, Int, Int, Option[Long])] = {
     val head = latestVersion()
     (1L to head).reverseIterator.flatMap { v =>
       val f = versionFile(v)
       if (!Files.exists(f)) None
       else {
         val c = parseCommit(new String(Files.readAllBytes(f), "UTF-8"))
-        Some((v, c.op, c.adds.size, c.removes.size))
+        Some((v, c.op, c.adds.size, c.removes.size, c.tsMillis))
       }
     }.toSeq
+  }
+
+  /** TIMESTAMP AS OF resolution: the greatest version whose commit time
+    * is ≤ `tsMillis`, against MONOTONIZED commit times (running max in
+    * version order — wall clocks step backwards across machines; version
+    * order is the one total order the log guarantees, so a later version
+    * never resolves as earlier, Delta's exact rule). Refuses loudly when
+    * the timestamp predates every stamped commit — both "before the
+    * table existed" and "the stamped history doesn't reach back that
+    * far" (pre-ts commits, truncated logs) are answered with the
+    * earliest stamped (version, time) so the caller can rephrase as
+    * VERSION AS OF. */
+  def versionAtTimestamp(tsMillis: Long): Long = {
+    val stamped = historyFull().reverseIterator // oldest → newest
+      .collect { case (v, _, _, _, Some(ts)) => (v, ts) }.toSeq
+    require(stamped.nonEmpty,
+      s"txlog: no commit of $root carries a timestamp — the log predates " +
+        "commit-time stamping; travel with VERSION AS OF")
+    val monotonic = stamped.scanLeft((0L, Long.MinValue)) {
+      case ((_, prevTs), (v, ts)) => (v, math.max(prevTs, ts))
+    }.drop(1)
+    val eligible = monotonic.takeWhile(_._2 <= tsMillis)
+    require(eligible.nonEmpty, {
+      val (v0, t0) = monotonic.head
+      s"txlog: timestamp $tsMillis predates the earliest stamped commit " +
+        s"of $root (version $v0 at $t0) — travel with VERSION AS OF"
+    })
+    eligible.last._1
   }
 }

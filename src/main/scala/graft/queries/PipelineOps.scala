@@ -1156,9 +1156,18 @@ object PipelineOps {
       } else {
         // merge currently-stored partials into the delta for TOUCHED keys
         // only; untouched MV rows (and their files, when key-disjoint)
-        // are never rewritten
+        // are never rewritten. The MV side of the join is PRUNED to the
+        // delta's key envelope first — bounds come from the source
+        // log's file stats (appendsKeyBounds: zero data bytes), so the
+        // refresh reads O(overlapping MV files), honoring the CDF
+        // contract even when the MV itself grows huge
+        val (kLo, kHi) = src.appendsKeyBounds("l_suppkey", seen)
+          .getOrElse((null, null))
+        val mvSide =
+          if (kLo == null) mv.read(s)
+          else mv.readRange(s, "l_suppkey", Some(kLo), Some(kHi))
         val merged = deltaAgg.as("d")
-          .join(mv.read(s).as("c"), Seq("l_suppkey"), "left")
+          .join(mvSide.as("c"), Seq("l_suppkey"), "left")
           .select(
             col("l_suppkey"),
             (coalesce(col("c.n_items"), lit(0L)) + col("d.n_items")).as("n_items"),
@@ -1261,6 +1270,130 @@ object PipelineOps {
     """SELECT p_partkey, p_retailprice, CAST(0 AS BIGINT) AS src_rows
        FROM part ORDER BY p_partkey"""
 
+  // --------------------------------------------------------------------
+  // q124 — table MAINTENANCE driven entirely from SQL, the persona the
+  // reference's query tools serve (query_datalake.py:139-146 — a user
+  // who never leaves SQL): INSERT INTO lands supplier rows in four
+  // small-file commits → CALL system.optimize merges them (row-neutral,
+  // require'd down to one right-sized file) → a fat-finger INSERT of
+  // negated keys pollutes the table → CALL system.restore rewinds to
+  // the pre-mistake version → CALL system.checkpoint + system.vacuum
+  // retire the dead files. The final read-back must hash-match the
+  // oracle's plain supplier projection — proving the whole maintenance
+  // cycle is row-identical — with the procedures' own result rows
+  // (files compacted, restore target) require'd in passing. Scale: each
+  // CALL is one transactional commit; optimize rewrites only the files
+  // it merges, vacuum deletes only unreachable names — both
+  // O(touched), never O(table).
+  // --------------------------------------------------------------------
+  def q124SqlMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val wh = s"${scratch("sqlmaint", dir)}/warehouse"
+    graft.core.Fs.rmTree(new java.io.File(wh))
+    val cat = s"gq124_${math.abs(wh.hashCode).toString.take(8)}"
+    graft.api.Graft.registerCatalog(s, cat, wh)
+    try {
+      lake(s, dir).supplier
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        .createOrReplaceTempView("q124_src")
+      s.sql(s"CREATE TABLE $cat.m.sup (s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE)")
+      (0 to 3).foreach(i => s.sql(
+        s"""INSERT INTO $cat.m.sup
+           SELECT s_suppkey, s_nationkey, s_acctbal FROM q124_src
+           WHERE s_suppkey % 4 = $i"""))
+      val t = new graft.medallion.GraftTable(s"$wh/m/sup")
+      require(t.snapshot().files.size == 4, "four small-file commits")
+      val opt = s.sql(s"CALL $cat.system.optimize(table => 'm.sup')").head()
+      require(opt.getString(0) == "compact" && opt.getInt(1) == 4 &&
+        opt.getInt(2) == 1, s"optimize must merge 4 files into 1: $opt")
+      val goodV = t.latestVersion()
+      s.sql(s"""INSERT INTO $cat.m.sup
+               SELECT -s_suppkey, s_nationkey, s_acctbal FROM q124_src""")
+      val res = s.sql(
+        s"CALL $cat.system.restore(table => 'm.sup', version => $goodV)").head()
+      require(res.getLong(0) == goodV, "restore targets the pre-mistake version")
+      s.sql(s"CALL $cat.system.checkpoint(table => 'm.sup')")
+      // retain 1 keeps only {restore-head, fat-finger} versions
+      // reachable, so exactly the four pre-compact small files are
+      // unreachable and leave the disk; the live snapshot reads on
+      val del = s.sql(
+        s"CALL $cat.system.vacuum(table => 'm.sup', retain_versions => 1)").head()
+      require(del.getInt(0) == 4, s"the 4 pre-compact files go: $del")
+      s.sql(s"""SELECT s_suppkey, s_nationkey, s_acctbal FROM $cat.m.sup
+               ORDER BY s_suppkey""")
+    } finally {
+      s.catalog.dropTempView("q124_src")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  private val q124Oracle =
+    """SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+       ORDER BY s_suppkey"""
+
+  // --------------------------------------------------------------------
+  // q125 — TIMESTAMP AS OF time travel: every commit stamps its wall-
+  // clock time into the log's info line (file mtimes don't survive
+  // copies; the log entry does), and the catalog resolves a timestamp
+  // to the greatest stamped version with commit-time ≤ t — monotonized
+  // in version order, so a clock step-back can never make a later
+  // version resolve as earlier. Two INSERT batches with a captured
+  // instant between them; reading AS OF that instant must see exactly
+  // batch one, AS OF "now" both — each branch tagged and unioned, the
+  // whole thing oracle-derivable from the batch predicates.
+  // Deterministic at any wall-clock because the probe instants are
+  // captured relative to the commits themselves. Scale: resolution
+  // reads O(commits) info lines, no data files.
+  // --------------------------------------------------------------------
+  def q125TimestampTravel(s: SparkSession, dir: String): DataFrame = {
+    val wh = s"${scratch("tstravel", dir)}/warehouse"
+    graft.core.Fs.rmTree(new java.io.File(wh))
+    val cat = s"gq125_${math.abs(wh.hashCode).toString.take(8)}"
+    graft.api.Graft.registerCatalog(s, cat, wh)
+    try {
+      lake(s, dir).nation
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .createOrReplaceTempView("q125_src")
+      s.sql(s"CREATE TABLE $cat.t.nat (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)")
+      s.sql(s"""INSERT INTO $cat.t.nat
+               SELECT n_nationkey, n_name, n_regionkey FROM q125_src
+               WHERE n_regionkey < 2""")
+      // the instant between the batches comes from the COMMIT's own
+      // stamp, not a sleep: ≥ batch-1's time and (strictly, because
+      // resolution monotonizes) < batch-2's — no race at any clock skew
+      val t = new graft.medallion.GraftTable(s"$wh/t/nat")
+      val betweenMs = t.historyFull().head._5.get
+      Thread.sleep(5) // batch 2 must stamp strictly later
+      s.sql(s"""INSERT INTO $cat.t.nat
+               SELECT n_nationkey, n_name, n_regionkey FROM q125_src
+               WHERE n_regionkey >= 2""")
+      val afterMs = t.historyFull().head._5.get
+      // literal rendered explicitly in UTC — the session timezone the
+      // factory pins — NOT via Timestamp.toString, which uses the JVM
+      // default zone and would shift the instant on a non-UTC machine
+      def lit(ms: Long): String = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+      s.sql(s"""SELECT 'asof_batch1' AS branch, n_nationkey, n_name, n_regionkey
+               FROM $cat.t.nat TIMESTAMP AS OF '${lit(betweenMs)}'
+               UNION ALL
+               SELECT 'asof_head', n_nationkey, n_name, n_regionkey
+               FROM $cat.t.nat TIMESTAMP AS OF '${lit(afterMs)}'
+               ORDER BY branch, n_nationkey""")
+    } finally {
+      s.catalog.dropTempView("q125_src")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  private val q125Oracle =
+    """SELECT 'asof_batch1' AS branch, n_nationkey, n_name, n_regionkey
+       FROM nation WHERE n_regionkey < 2
+       UNION ALL
+       SELECT 'asof_head', n_nationkey, n_name, n_regionkey FROM nation
+       ORDER BY branch, n_nationkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_incremental_mv" -> (q118IncrementalMv _),
     "q119_constraints_restore" -> (q119ConstraintsRestore _),
@@ -1285,7 +1418,9 @@ object PipelineOps {
     "q110_grouped_metadata_agg" -> (q110GroupedMetadataAgg _),
     "q111_range_delete" -> (q111RangeDelete _),
     "q113_sql_dml" -> (q113SqlDml _),
-    "q114_sql_merge" -> (q114SqlMerge _))
+    "q114_sql_merge" -> (q114SqlMerge _),
+    "q124_sql_maintenance" -> (q124SqlMaintenance _),
+    "q125_timestamp_travel" -> (q125TimestampTravel _))
 
   val oracle: Map[String, String] = Map(
     "q118_incremental_mv" -> q118Oracle,
@@ -1311,5 +1446,7 @@ object PipelineOps {
     "q110_grouped_metadata_agg" -> q110Oracle,
     "q111_range_delete" -> q111Oracle,
     "q113_sql_dml" -> q113Oracle,
-    "q114_sql_merge" -> q114Oracle)
+    "q114_sql_merge" -> q114Oracle,
+    "q124_sql_maintenance" -> q124Oracle,
+    "q125_timestamp_travel" -> q125Oracle)
 }

@@ -424,7 +424,102 @@ object VectorOps {
               vec_id NOT IN (SELECT vec_id FROM removed) AS kept
        FROM v ORDER BY vec_id"""
 
+  // --------------------------------------------------------------------
+  // q126 — IVF-PQ composed ANN (the production billion-vector shape,
+  // Jégou et al. TPAMI 2011): candidates come from the query's coarse
+  // cell (IVF restriction, as q41) but are represented ONLY by their
+  // PQ codes (q100's fixed codebook) — the float vectors never cross
+  // the candidate join. Distance is ADC (asymmetric distance
+  // computation): the float query against each candidate's
+  // reconstructed centroids, Σ_j Σ_d (q[j·8+d] − centroid(code_j))²,
+  // folded strictly left-to-right per subspace then across subspaces —
+  // the exact sequence the oracle replays, so doubles are
+  // bit-identical. Top-5 per query by ADC distance, n_id tiebreak
+  // (candidates sharing a code vector tie EXACTLY, and only they can).
+  // Scale: at 10⁹ vectors the candidate side of the join carries
+  // M=8 bytes of codes instead of 256 bytes of floats — the shuffle
+  // shrinks 32×, and the per-pair distance is 64 flops against codes
+  // already in cache. PlanChecksSpec asserts the no-floats-in-join
+  // property mechanically.
+  // --------------------------------------------------------------------
+  def q126IvfPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ProductQuantizer
+    val emb = lake(s, dir).embeddings
+    val codes = ProductQuantizer.encode(emb, "vec_id", "embedding", q100Model)
+    // the candidate side: (id, cell, codes) — NO float column
+    val n = codes.join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id").as("n_id"), col("label").as("n_cell"),
+        col("codes"))
+    val q = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("q_id"), col("label").as("cell"),
+        col("embedding").as("qe"))
+    // ADC: per-subspace LUT fold against the constant-level codebook
+    // (level = −0.3 + 0.2·code, identical across the subspace's dims)
+    val adc = expr(
+      s"""aggregate(sequence(0, ${Q100_M - 1}), cast(0.0 as double),
+            (acc, j) -> acc + aggregate(sequence(0, ${Q100_SUB - 1}),
+              cast(0.0 as double),
+              (a, d) -> a +
+                (cast(element_at(qe, j*$Q100_SUB+d+1) as double)
+                   - (cast(-0.3 as double)
+                      + cast(0.2 as double) * element_at(codes, j+1)))
+              * (cast(element_at(qe, j*$Q100_SUB+d+1) as double)
+                   - (cast(-0.3 as double)
+                      + cast(0.2 as double) * element_at(codes, j+1)))))""")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+    q.join(n, col("cell") === col("n_cell") && col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("cell"), col("n_id"), adc.as("adc"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private val q126Oracle =
+    s"""WITH sub AS (
+         SELECT vec_id, j, c,
+                list_reduce(list_transform(
+                  embedding[j*$Q100_SUB+1 : j*$Q100_SUB+$Q100_SUB],
+                  x -> (CAST(x AS DOUBLE) -
+                        (CAST(-0.3 AS DOUBLE) + CAST(0.2 AS DOUBLE) * c))
+                     * (CAST(x AS DOUBLE) -
+                        (CAST(-0.3 AS DOUBLE) + CAST(0.2 AS DOUBLE) * c))),
+                  (a, b) -> a + b) AS dist
+         FROM embeddings,
+              UNNEST(range($Q100_M)) AS uj(j), UNNEST(range($Q100_K)) AS uc(c)),
+       pick AS (
+         SELECT vec_id, j, c AS code,
+                row_number() OVER (PARTITION BY vec_id, j
+                                   ORDER BY dist, c) AS rn
+         FROM sub),
+       codes AS (
+         SELECT vec_id, list(code ORDER BY j) AS cs
+         FROM pick WHERE rn = 1 GROUP BY vec_id),
+       pairs AS (
+         SELECT a.vec_id AS q_id, a.label AS cell, b.vec_id AS n_id,
+                list_reduce(list_transform(range($Q100_M),
+                  j -> list_reduce(list_transform(range($Q100_SUB),
+                    d -> (CAST(a.embedding[j*$Q100_SUB+d+1] AS DOUBLE) -
+                          (CAST(-0.3 AS DOUBLE)
+                           + CAST(0.2 AS DOUBLE) * cb.cs[j+1]))
+                       * (CAST(a.embedding[j*$Q100_SUB+d+1] AS DOUBLE) -
+                          (CAST(-0.3 AS DOUBLE)
+                           + CAST(0.2 AS DOUBLE) * cb.cs[j+1]))),
+                    (x, y) -> x + y)),
+                  (x, y) -> x + y) AS adc
+         FROM embeddings a
+         JOIN embeddings b ON a.vec_id < 32 AND a.label = b.label
+                          AND a.vec_id <> b.vec_id
+         JOIN codes cb ON cb.vec_id = b.vec_id),
+       ranked AS (
+         SELECT q_id, cell, n_id, adc,
+                CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY adc, n_id) AS INTEGER) AS rnk
+         FROM pairs)
+       SELECT q_id, cell, n_id, adc, rnk FROM ranked WHERE rnk <= 5
+       ORDER BY q_id, rnk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_ivf_pq" -> (q126IvfPq _),
     "q108_semantic_dedup" -> (q108SemanticDedup _),
     "q39_embedding_neardup" -> (q39EmbeddingNearDup _),
     "q40_knn_bruteforce" -> (q40KnnBruteForce _),
@@ -434,6 +529,7 @@ object VectorOps {
     "q100_pq_encode" -> (q100PqEncode _))
 
   val oracle: Map[String, String] = Map(
+    "q126_ivf_pq" -> q126Oracle,
     "q108_semantic_dedup" -> q108Oracle,
     "q39_embedding_neardup" -> q39Oracle,
     "q40_knn_bruteforce" -> q40Oracle,

@@ -46,11 +46,18 @@ object EventStreams {
     // standard start-stream-before-data file-source pattern), declare
     // the current generation's type — a later nanos-generation file in
     // the same directory would fail the scan loudly, not misread
+    // "file not landed yet" is classified by the error CLASS, not the
+    // message text — message wording changes across Spark versions and
+    // locales; the condition string is the stable API
+    def isMissingPath(e: Throwable): Boolean = e match {
+      case t: org.apache.spark.SparkThrowable =>
+        Option(t.getCondition).exists(c =>
+          c == "PATH_NOT_FOUND" || c.startsWith("PATH_NOT_FOUND."))
+      case _ => e.isInstanceOf[java.io.FileNotFoundException]
+    }
     val tsType =
       try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-      catch { case e: Exception if e.getMessage != null &&
-        (e.getMessage.contains("PATH_NOT_FOUND") ||
-          e.getMessage.contains("does not exist")) => TimestampNTZType }
+      catch { case e: Exception if isMissingPath(e) => TimestampNTZType }
     val df = spark.readStream
       .schema(rawSchema(tsType))
       // the file source needs a directory; glob-filter to the events file

@@ -25,13 +25,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   UPDATE graft.db.events SET payload = ... WHERE …  -- copy-on-write
   *   MERGE INTO graft.db.events USING src ON … WHEN …  -- copy-on-write
   *   ALTER TABLE graft.db.events ADD COLUMNS (src STRING)
+  *   ALTER TABLE graft.db.events RENAME COLUMN src TO origin  -- schema-only
+  *   ALTER TABLE graft.db.events DROP COLUMN origin           -- schema-only
   *   SELECT * FROM graft.db.events WHERE id > 5        -- DSv2 scan
   *   SELECT *, _commit_version FROM graft.db.events    -- provenance
   *   SELECT * FROM graft.db.events VERSION AS OF 3     -- time travel
+  *   SELECT * FROM graft.db.events TIMESTAMP AS OF '2026-08-14 12:00:00'
   *   DELETE FROM graft.db.events WHERE id <= 100       -- metadata when
   *   DELETE FROM graft.db.events WHERE id != 7         -- exact, else COW
   *   TRUNCATE TABLE graft.db.events
   *   DROP TABLE graft.db.events
+  *   CALL graft.system.optimize(table => 'db.events')  -- maintenance
+  *   CALL graft.system.vacuum(table => 'db.events', retain_versions => 2)
+  *   CALL graft.system.restore(table => 'db.events', version => 3)
+  *   CALL graft.system.clone(source => 'db.events', target => 'db.fork')
+  *   CALL graft.system.checkpoint(table => 'db.events')
   * }}}
   *
   * Identifiers map to directories under the warehouse
@@ -47,7 +55,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * re-resolves the log, so concurrent sessions see each other's
   * commits through the same put-if-absent protocol as everything else.
   */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -132,16 +141,20 @@ final class GraftCatalog extends TableCatalog {
       resolvedVersion = Some(snap.version))
   }
 
-  /** `TIMESTAMP AS OF` is refused loudly: the commit log deliberately
-    * records no wall-clock times (commits are identified by version,
-    * and file mtimes don't survive copies), so a timestamp lookup
-    * would be a guess. `DESCRIBE HISTORY` (the `history()` API) maps
-    * versions to operations; travel by version. */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: TIMESTAMP AS OF is not supported — the log keys " +
-        "history by commit VERSION (wall-clock times don't survive file " +
-        "copies); use VERSION AS OF n")
+  /** `TIMESTAMP AS OF t`: every commit records its wall-clock time in
+    * the log itself (an info-line field — file mtimes don't survive
+    * copies, the log entry does), so this resolves timestamp → greatest
+    * stamped version with commit-time ≤ t (monotonized in version
+    * order, Delta's rule) and delegates to the VERSION AS OF path.
+    * Spark hands the timestamp in MICROseconds since epoch. Timestamps
+    * before the earliest stamped commit refuse loudly with the earliest
+    * (version, time) so the caller can rephrase as VERSION AS OF. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val v = new GraftTable(dirOf(ident))
+      .versionAtTimestamp(Math.floorDiv(timestamp, 1000L))
+    loadTable(ident, v.toString)
+  }
 
   override def createTable(
       ident: Identifier, schema: StructType,
@@ -158,9 +171,18 @@ final class GraftCatalog extends TableCatalog {
   /** `ALTER TABLE … ADD COLUMNS (…)`: one schema-only commit through
     * the transaction log (see [[GraftTable.addColumns]] — nullable
     * trailing columns, existing rows null-backfill, zero data files
-    * rewritten). Every other change class is refused loudly: renames
-    * and drops would re-map data the immutable files still carry, and
-    * retypes corrupt readers. */
+    * rewritten). Renames and drops commit as name-mapping metadata
+    * (see below); retypes are refused loudly (they would corrupt
+    * readers of the immutable files).
+    *
+    * ATOMICITY CONTRACT: each change class commits separately —
+    * constraint.* property changes first (one log commit each), then
+    * the column changes (one commit). A statement mixing several
+    * change classes is therefore NOT atomic: a mid-statement failure
+    * (e.g. a CHECK that existing rows violate) leaves the earlier
+    * commits applied. Single-purpose ALTER TABLE statements — the
+    * overwhelmingly common shape — are fully transactional; issue one
+    * statement per change when all-or-nothing matters. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     // constraint management rides the standard DSv2 property channel
@@ -185,7 +207,27 @@ final class GraftCatalog extends TableCatalog {
       case _ => ()
     }
     if (colChanges.isEmpty) return loadTable(ident)
-    val cols = colChanges.map {
+    // RENAME / DROP COLUMN are schema-only commits via column mapping
+    // (the data files keep their physical names; see TxLog.renameColumn)
+    val (mappingChanges, addChanges) = colChanges.partition {
+      case _: TableChange.RenameColumn | _: TableChange.DeleteColumn => true
+      case _ => false
+    }
+    mappingChanges.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"graft catalog: nested column '${r.fieldNames.mkString(".")}' " +
+            "is not supported")
+        new GraftTable(dirOf(ident)).renameColumn(r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"graft catalog: nested column '${d.fieldNames.mkString(".")}' " +
+            "is not supported")
+        new GraftTable(dirOf(ident)).dropColumn(d.fieldNames()(0))
+      case _ => ()
+    }
+    if (addChanges.isEmpty) return loadTable(ident)
+    val cols = addChanges.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"graft catalog: nested column '${a.fieldNames.mkString(".")}' " +
@@ -200,12 +242,29 @@ final class GraftCatalog extends TableCatalog {
         StructField(a.fieldNames()(0), a.dataType, nullable = true)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — only " +
-          "ADD COLUMNS (schema widening) and constraint.* TBLPROPERTIES " +
-          "are transactional on this format")
+          "ADD COLUMNS, RENAME COLUMN, DROP COLUMN (schema-only commits) " +
+          "and constraint.* TBLPROPERTIES are transactional on this format")
     }
     new GraftTable(dirOf(ident)).addColumns(cols)
     loadTable(ident)
   }
+
+  // ------------------------------------------------------------------
+  // maintenance procedures: CALL graft.system.optimize('db.t') etc.
+  // Table-name arguments resolve through the SAME validated segment
+  // walk as identifiers — a procedure cannot reach outside the
+  // warehouse any more than a SELECT can.
+  // ------------------------------------------------------------------
+  private def dirOfName(raw: String): String =
+    resolveUnder(raw.split('.').toSeq).toString
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident, dirOfName)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftProcedures.Namespace)) GraftProcedures.list()
+    else Array.empty
 
   override def dropTable(ident: Identifier): Boolean =
     if (!exists(ident)) false
@@ -227,14 +286,16 @@ final class GraftHistoryTable(tablePath: String)
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.catalog.TableCapability
   import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
   import org.apache.spark.unsafe.types.UTF8String
 
   private val historySchema = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("op", StringType, nullable = false),
     StructField("n_added_files", IntegerType, nullable = false),
-    StructField("n_removed_files", IntegerType, nullable = false)))
+    StructField("n_removed_files", IntegerType, nullable = false),
+    // wall-clock commit time; null for commits from pre-ts logs
+    StructField("commit_ts", TimestampType, nullable = true)))
 
   override def name(): String = s"graft-table`$tablePath`.history"
   override def schema(): StructType = historySchema
@@ -243,8 +304,10 @@ final class GraftHistoryTable(tablePath: String)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val t = new GraftTable(tablePath)
-    val rows = t.history().map { case (v, op, a, r) =>
-      InternalRow(v, UTF8String.fromString(op), a, r) }
+    val rows = t.historyFull().map { case (v, op, a, r, ts) =>
+      InternalRow(v, UTF8String.fromString(op), a, r,
+        // TimestampType is epoch MICROS internally
+        ts.map(ms => (ms * 1000L): java.lang.Long).orNull) }
     new ScanBuilder {
       override def build(): Scan =
         GraftMetadataScan(tablePath, t.latestVersion(), historySchema, rows)

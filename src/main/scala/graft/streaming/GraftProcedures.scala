@@ -1,0 +1,212 @@
+package graft.streaming
+
+import scala.jdk.CollectionConverters._
+
+import graft.medallion.GraftTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The SQL face of table maintenance — DSv2 procedures under the
+  * catalog's `system` namespace, so the SQL-only persona (the reference's
+  * `query_datalake.py` / `fast_query.py` users never leave SQL) can run
+  * every lifecycle operation the Scala API has:
+  *
+  * {{{
+  *   CALL graft.system.optimize(table => 'db.t')                  -- compact
+  *   CALL graft.system.optimize(table => 'db.t', small_only => true)
+  *   CALL graft.system.optimize(table => 'db.t', zorder_by => 'a,b')
+  *   CALL graft.system.vacuum(table => 'db.t', retain_versions => 2)
+  *   CALL graft.system.restore(table => 'db.t', version => 3)
+  *   CALL graft.system.clone(source => 'db.t', target => 'db.t2')
+  *   CALL graft.system.checkpoint(table => 'db.t')
+  * }}}
+  *
+  * Each procedure is one call into the SAME transactional primitive the
+  * programmatic API uses ([[GraftTable]] compact/compactSmall/
+  * optimizeZorder/vacuum/restore/cloneTo/checkpoint — no parallel code
+  * path to drift) and returns its outcome as rows through a driver-local
+  * scan: metadata-sized output, no data files opened to report it.
+  *
+  * Reference anchor: the reference exposes NO maintenance surface at all
+  * (`query_datalake.py:139-146` can only SELECT); this is the Delta/
+  * Iceberg `CALL` shape (Iceberg's `system.rewrite_data_files`,
+  * `expire_snapshots`) adapted to the graft log's operations.
+  */
+object GraftProcedures {
+
+  /** All procedures live in the `system` namespace, Iceberg-style. */
+  val Namespace: Array[String] = Array("system")
+
+  def list(): Array[Identifier] =
+    names.map(n => Identifier.of(Namespace, n)).toArray
+
+  private val names =
+    Seq("optimize", "vacuum", "restore", "clone", "checkpoint")
+
+  def load(ident: Identifier, dirOfTable: String => String): UnboundProcedure = {
+    require(ident.namespace().sameElements(Namespace),
+      s"graft catalog: no procedure namespace '${ident.namespace().mkString(".")}'" +
+        " — procedures live under `system`")
+    ident.name().toLowerCase match {
+      case "optimize"   => optimize(dirOfTable)
+      case "vacuum"     => vacuum(dirOfTable)
+      case "restore"    => restore(dirOfTable)
+      case "clone"      => cloneProc(dirOfTable)
+      case "checkpoint" => checkpoint(dirOfTable)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: no procedure system.$other — available: " +
+          names.mkString(", "))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // plumbing
+  // ------------------------------------------------------------------
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def paramD(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** One bound procedure: `parameters` in declaration order, `call`
+    * receives them as an InternalRow in that same order. */
+  private def bound(
+      procName: String, procParams: Seq[ProcedureParameter],
+      out: StructType)(
+      run: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft table maintenance: $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = s"graft table maintenance: $procName"
+          override def parameters(): Array[ProcedureParameter] = procParams.toArray
+          // every maintenance op commits (or deletes files) — never
+          // eligible for re-execution by the engine
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val rows = run(input)
+            Iterator[Scan](GraftMetadataScan(procName, -1L, out, rows))
+              .asJava
+          }
+        }
+    }
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** `db.t` → warehouse directory, via the owning catalog's resolver
+    * (same `..`-proof segment validation as table identifiers). */
+  private def tableDir(dirOfTable: String => String, raw: UTF8String): GraftTable = {
+    val s = Option(raw).map(_.toString).getOrElse(
+      throw new IllegalArgumentException("procedure needs a table name"))
+    val t = new GraftTable(dirOfTable(s))
+    require(t.latestVersion() > 0L,
+      s"graft catalog: no committed table '$s'")
+    t
+  }
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  // ------------------------------------------------------------------
+  // the procedures
+  // ------------------------------------------------------------------
+
+  private val optimizeOut = StructType(Seq(
+    StructField("operation", StringType, nullable = false),
+    StructField("files_in", IntegerType, nullable = false),
+    StructField("files_out", IntegerType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  /** OPTIMIZE: full compact by default; `small_only => true` merges just
+    * the sub-target files (the auto-compaction primitive — at 100 TB
+    * this is the only shape anyone runs on a schedule); `zorder_by =>
+    * 'a,b'` rewrites Z-order-clustered. The three are mutually
+    * exclusive by construction (zorder wins, then small_only). */
+  private def optimize(dirOf: String => String): UnboundProcedure =
+    bound("optimize", Seq(
+      param("table", StringType),
+      paramD("zorder_by", StringType, "CAST(NULL AS STRING)"),
+      paramD("target_file_mb", IntegerType, "128"),
+      paramD("target_files", IntegerType, "16"),
+      paramD("small_only", BooleanType, "false")), optimizeOut) { in =>
+      val t = tableDir(dirOf, in.getUTF8String(0))
+      val zorderBy = if (in.isNullAt(1)) None else Some(in.getUTF8String(1).toString)
+      val targetMB = if (in.isNullAt(2)) 128 else in.getInt(2)
+      val targetFiles = if (in.isNullAt(3)) 16 else in.getInt(3)
+      val smallOnly = !in.isNullAt(4) && in.getBoolean(4)
+      val (op, (nIn, nOut, v)) = zorderBy match {
+        case Some(cols) =>
+          val cs = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          require(cs.nonEmpty, "optimize: zorder_by needs at least one column")
+          ("zorder", t.optimizeZorder(spark, cs, targetFiles))
+        case None if smallOnly =>
+          ("compact-small", t.compactSmall(spark, targetMB))
+        case None =>
+          ("compact", t.compact(spark, targetMB))
+      }
+      Seq(InternalRow(utf8(op), nIn, nOut, v))
+    }
+
+  private val vacuumOut = StructType(Seq(
+    StructField("files_deleted", IntegerType, nullable = false),
+    StructField("retained_from_version", LongType, nullable = false)))
+
+  private def vacuum(dirOf: String => String): UnboundProcedure =
+    bound("vacuum", Seq(
+      param("table", StringType),
+      paramD("retain_versions", IntegerType, "2")), vacuumOut) { in =>
+      val t = tableDir(dirOf, in.getUTF8String(0))
+      val retain = if (in.isNullAt(1)) 2 else in.getInt(1)
+      val deleted = t.vacuum(retain)
+      Seq(InternalRow(deleted.size,
+        math.max(1L, t.latestVersion() - retain + 1)))
+    }
+
+  private val restoreOut = StructType(Seq(
+    StructField("restored_to_version", LongType, nullable = false),
+    StructField("committed_version", LongType, nullable = false)))
+
+  private def restore(dirOf: String => String): UnboundProcedure =
+    bound("restore", Seq(
+      param("table", StringType),
+      param("version", LongType)), restoreOut) { in =>
+      val t = tableDir(dirOf, in.getUTF8String(0))
+      require(!in.isNullAt(1), "restore: version is required")
+      val target = in.getLong(1)
+      val v = t.restore(target)
+      Seq(InternalRow(target, v))
+    }
+
+  private val cloneOut = StructType(Seq(
+    StructField("source_version", LongType, nullable = false),
+    StructField("files_linked", IntegerType, nullable = false)))
+
+  private def cloneProc(dirOf: String => String): UnboundProcedure =
+    bound("clone", Seq(
+      param("source", StringType),
+      param("target", StringType),
+      paramD("version", LongType, "CAST(-1 AS BIGINT)")), cloneOut) { in =>
+      val t = tableDir(dirOf, in.getUTF8String(0))
+      require(!in.isNullAt(1), "clone: target is required")
+      val destDir = dirOf(in.getUTF8String(1).toString)
+      val version = if (in.isNullAt(2)) -1L else in.getLong(2)
+      val snapV = if (version >= 0) version else t.latestVersion()
+      val dest = t.cloneTo(destDir, version)
+      Seq(InternalRow(snapV, dest.snapshot().files.size))
+    }
+
+  private val checkpointOut = StructType(Seq(
+    StructField("checkpointed_version", LongType, nullable = false)))
+
+  private def checkpoint(dirOf: String => String): UnboundProcedure =
+    bound("checkpoint", Seq(param("table", StringType)), checkpointOut) { in =>
+      val t = tableDir(dirOf, in.getUTF8String(0))
+      Seq(InternalRow(t.checkpoint()))
+    }
+}

@@ -78,8 +78,12 @@ final class GraftRowLevelOperation(
       s"graft-table $cmd: replacement row schema ${info.schema().simpleString} " +
         s"does not match the table's ${dataSchema.simpleString}")
     new WriteBuilder {
+      // the staged bytes carry PHYSICAL names on column-mapped tables
+      // (same field order — info.schema() was just validated against
+      // dataSchema, and DSv2 rows are positional)
       override def build(): Write =
-        new GraftReplaceWrite(GraftRowLevelOperation.this, tablePath, info.schema())
+        new GraftReplaceWrite(GraftRowLevelOperation.this, tablePath,
+          TxLog.physicalSchema(dataSchema))
     }
   }
 }

@@ -153,12 +153,13 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
     val table = new GraftTable(p)
     // opt-in auto-compaction (the Delta autoOptimize shape): when the
     // count of sub-target files reaches minFiles after a commit, merge
-    // them in one transactional compact. Streaming ingest is THE
-    // small-file factory, so the debt is paid where it accrues; each
-    // byte is rewritten O(log_minFiles(table/batch)) times (geometric,
-    // LSM-style), tails skip the row-neutral compact commits, and a
-    // failed/raced compact never fails the batch — the data already
-    // committed.
+    // JUST those sub-target files in one transactional compactSmall —
+    // right-sized files never rewrite, which is what keeps per-byte
+    // write amplification O(log_minFiles(table/batch)) (geometric,
+    // LSM-style) instead of linear in table size. Streaming ingest is
+    // THE small-file factory, so the debt is paid where it accrues;
+    // tails skip the row-neutral compact commits, and a failed/raced
+    // compact never fails the batch — the data already committed.
     val autoCompact = parameters.get("autoCompact").exists(_.toBoolean)
     val autoMin = parameters.get("autoCompactMinFiles").map(_.toInt).getOrElse(10)
     val autoTargetMB = parameters.get("autoCompactTargetMB").map(_.toInt).getOrElse(128)
@@ -170,10 +171,8 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
           org.apache.spark.sql.graft.ParquetScans.asBatch(data), appId, batchId)
         if (autoCompact) {
           try {
-            val threshold = autoTargetMB.toLong * 1024L * 1024L
-            if (table.snapshot().files.count(_.bytes < threshold) >= autoMin) {
-              val _ = table.compact(sqlContext.sparkSession, autoTargetMB)
-            }
+            val _ = table.compactSmall(
+              sqlContext.sparkSession, autoTargetMB, autoMin)
           } catch { case scala.util.control.NonFatal(e) =>
             // best-effort maintenance: the append committed; a lost
             // compact race or transient failure just defers the merge
@@ -521,21 +520,29 @@ final class GraftBatch(
     if (!syntheticVersion) required
     else StructType(required.fields.filterNot(_.name == VersionCol))
 
+  // the delegated parquet reader sees PHYSICAL names on column-mapped
+  // tables (files carry them); rows come back positionally, so the
+  // logical `required`/`innerRequired` above stay authoritative for
+  // everything row-shaped
+  private val physDataSchema = GraftTableV2.physicalProjection(dataSchema, dataSchema)
+  private val physRequired = GraftTableV2.physicalProjection(dataSchema, innerRequired)
+  private val physFilters = GraftTableV2.physicalFilters(dataSchema, dataFilters)
+
   private lazy val innerFactory: PartitionReaderFactory =
     org.apache.spark.sql.graft.ParquetScans.readerFactoryFor(
-      spark, dataSchema, innerRequired, dataFilters)
+      spark, physDataSchema, physRequired, physFilters)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = files()
     if (fs.isEmpty) Array.empty
     else if (!needVersion)
       org.apache.spark.sql.graft.ParquetScans.scanFor(
-        spark, dataSchema, fs.map(f => table.absoluteDataPath(f._1)),
-        innerRequired, dataFilters).toBatch.planInputPartitions()
+        spark, physDataSchema, fs.map(f => table.absoluteDataPath(f._1)),
+        physRequired, physFilters).toBatch.planInputPartitions()
     else fs.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (v, group) =>
       org.apache.spark.sql.graft.ParquetScans.scanFor(
-        spark, dataSchema, group.map(g => table.absoluteDataPath(g._1)),
-        innerRequired, dataFilters).toBatch.planInputPartitions()
+        spark, physDataSchema, group.map(g => table.absoluteDataPath(g._1)),
+        physRequired, physFilters).toBatch.planInputPartitions()
         .map(p => GraftVersionedPartition(p, 0, v))
     }.toArray
   }
@@ -640,13 +647,19 @@ final class GraftMicroBatchStream(
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.trim.toLong) // V1 LongOffset checkpoints replay as-is
 
+  // column-mapped tables: the delegated parquet reader speaks PHYSICAL
+  // names (see GraftBatch) — rows are positional, logical stays above
+  private val physDataSchema = GraftTableV2.physicalProjection(dataSchema, dataSchema)
+  private val physRequired = GraftTableV2.physicalProjection(dataSchema, innerRequired)
+  private val physFilters = GraftTableV2.physicalFilters(dataSchema, dataFilters)
+
   // ONE partition-agnostic parquet reader factory, built on the driver
   // at stream creation and serialized once: it can read every file
   // partition any micro-batch plans (the per-batch scans below exist
   // only for maxPartitionBytes file packing)
   private val innerFactory: PartitionReaderFactory =
     org.apache.spark.sql.graft.ParquetScans.readerFactoryFor(
-      spark, dataSchema, innerRequired, dataFilters)
+      spark, physDataSchema, physRequired, physFilters)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftVersionOffset].version
@@ -656,8 +669,8 @@ final class GraftMicroBatchStream(
     table.appendFilesSince(from, skipRewrites, untilVersion = until)
       .flatMap { case (v, adds) =>
         val batch = org.apache.spark.sql.graft.ParquetScans.scanFor(
-          spark, dataSchema, adds.map(table.absoluteDataPath),
-          innerRequired, dataFilters).toBatch
+          spark, physDataSchema, adds.map(table.absoluteDataPath),
+          physRequired, physFilters).toBatch
         batch.planInputPartitions().map(p =>
           if (needVersion) GraftVersionedPartition(p, 0, v) else p)
       }.toArray
@@ -817,11 +830,25 @@ private final class GraftStreamingTableWrite(
   private val stageDir =
     s"$tablePath/_staged_stream_${java.util.UUID.randomUUID().toString.take(8)}"
 
+  /** The query's logical schema re-dressed with the TABLE's mapping
+    * metadata (info.schema() is resolution output — it never carries
+    * it): staged bytes must use the table's physical names. Resolved
+    * ONCE per write object so the writer factory and the commit agree
+    * on the physical names even if a rename races the epoch (the
+    * commit-side drift check in appendStagedIdempotent then decides). */
+  private lazy val tableSchema: StructType = {
+    val t = new GraftTable(tablePath).snapshot(-1L).schema
+    if (!TxLog.isMapped(t)) writeSchema
+    else StructType(writeSchema.fields.map(f =>
+      t.fields.find(_.name == f.name).map(tf => f.copy(metadata = tf.metadata))
+        .getOrElse(f)))
+  }
+
   override def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : streaming_write.StreamingDataWriterFactory =
     org.apache.spark.sql.graft.ParquetWrites.factory(
-      SparkSession.active, writeSchema, stageDir)
+      SparkSession.active, TxLog.physicalSchema(tableSchema), stageDir)
 
   override def commit(
       epochId: Long,
@@ -832,7 +859,7 @@ private final class GraftStreamingTableWrite(
         s"graft-table streaming write: unexpected commit message $other")
     }
     new GraftTable(tablePath).appendStagedIdempotent(
-      SparkSession.active, s"graft-stream-$queryId", epochId, writeSchema,
+      SparkSession.active, s"graft-stream-$queryId", epochId, tableSchema,
       staged.map(java.nio.file.Paths.get(_)))
     ()
   }
@@ -886,6 +913,55 @@ object GraftTableV2 {
     else t.snapshot(versionAsOf.getOrElse(-1L)).schema
       .add(VersionCol, LongType, nullable = false)
   }
+
+  /** The parquet-facing shape of a projection on a column-mapped table:
+    * `required`'s fields renamed to the physical names `tableSchema`
+    * declares (order untouched — DSv2 rows are positional, so renaming
+    * is free). Identity on unmapped tables. */
+  private[streaming] def physicalProjection(
+      tableSchema: StructType, required: StructType): StructType =
+    if (!TxLog.isMapped(tableSchema)) required
+    else StructType(required.fields.map(f =>
+      f.copy(name = TxLog.physicalOf(tableSchema, f.name))))
+
+  /** Rewrite a pushed filter's attribute names logical→physical for the
+    * delegated parquet reader. A shape this translator doesn't know is
+    * DROPPED on mapped tables — sound, because every pushed filter here
+    * is residual (Spark re-applies all row predicates); the cost is
+    * only lost row-group pruning on that one filter. */
+  private[streaming] def physicalFilters(
+      tableSchema: StructType, filters: Seq[Filter]): Seq[Filter] =
+    if (!TxLog.isMapped(tableSchema)) filters
+    else {
+      import org.apache.spark.sql.sources._
+      def m(c: String): String = TxLog.physicalOf(tableSchema, c)
+      def tr(f: Filter): Option[Filter] = f match {
+        case EqualTo(c, v) => Some(EqualTo(m(c), v))
+        case EqualNullSafe(c, v) => Some(EqualNullSafe(m(c), v))
+        case GreaterThan(c, v) => Some(GreaterThan(m(c), v))
+        case GreaterThanOrEqual(c, v) => Some(GreaterThanOrEqual(m(c), v))
+        case LessThan(c, v) => Some(LessThan(m(c), v))
+        case LessThanOrEqual(c, v) => Some(LessThanOrEqual(m(c), v))
+        case In(c, vs) => Some(In(m(c), vs))
+        case IsNull(c) => Some(IsNull(m(c)))
+        case IsNotNull(c) => Some(IsNotNull(m(c)))
+        case StringStartsWith(c, v) => Some(StringStartsWith(m(c), v))
+        case StringEndsWith(c, v) => Some(StringEndsWith(m(c), v))
+        case StringContains(c, v) => Some(StringContains(m(c), v))
+        case Not(child) => tr(child).map(Not)
+        case And(l, r) => (tr(l), tr(r)) match {
+          case (Some(a), Some(b)) => Some(And(a, b))
+          // AND may keep the half it can translate (conjuncts prune
+          // independently); OR below may not
+          case (a, b) => a.orElse(b)
+        }
+        case Or(l, r) => for { a <- tr(l); b <- tr(r) } yield Or(a, b)
+        case _: AlwaysTrue => Some(f)
+        case _: AlwaysFalse => Some(f)
+        case _ => None
+      }
+      filters.flatMap(tr)
+    }
 
   /** Per-column [lo, hi] bounds derivable from a pushed filter — only
     * shapes the inclusive stats domain can serve conservatively.
@@ -961,6 +1037,9 @@ object GraftTableV2 {
         case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
         case _ => None
       }
+    // stats are keyed by PHYSICAL column names (column-mapped tables)
+    def st(a: TxLog.AddFile, c: String): Option[TxLog.ColStats] =
+      a.stats.get(TxLog.physicalOf(fullSchema, c))
     def fieldType(c: String): Option[DataType] =
       if (isVersion(c)) Some(LongType)
       else fullSchema.fields.find(_.name == c).map(_.dataType)
@@ -984,14 +1063,14 @@ object GraftTableV2 {
         case _ => return None // incl. timestamps: stats truncated to millis
       }
       // NaN/Inf indistinguishable from all-null when stats are missing
-      if (floaty(dt) && snap.files.exists(_.stats.get(c).isEmpty)) None else Some(dt)
+      if (floaty(dt) && snap.files.exists(a => st(a, c).isEmpty)) None else Some(dt)
     }
     def foldMinMax(files: Files, c: String, dt: DataType, wantMin: Boolean): Any = {
       if (isVersion(c)) {
         val vs = files.map(fileVersion)
         return if (vs.isEmpty) null else if (wantMin) vs.min else vs.max
       }
-      val present = files.flatMap(_.stats.get(c))
+      val present = files.flatMap(a => st(a, c))
       if (present.isEmpty) return null // all nulls -> SQL MIN/MAX = null
       val isNum = present.head.kind == "num"
       val picked = present.map(cs => if (wantMin) cs.min else cs.max)
@@ -1005,14 +1084,14 @@ object GraftTableV2 {
       if (isVersion(c)) return true // never null, count = rows
       val dt = fieldType(c).getOrElse(return false)
       if (!alwaysStatted(dt)) return false // boolean/binary/…: absence proves nothing
-      snap.files.forall(a => a.stats.get(c) match {
+      snap.files.forall(a => st(a, c) match {
         case Some(cs) => cs.nulls.isDefined // pre-null-count file: unknown
         case None => !floaty(dt) // provably all-null, contributes 0
       })
     }
     def foldCount(files: Files, c: String): Any =
       if (isVersion(c)) files.map(_.rows).sum
-      else files.map(a => a.stats.get(c).fold(0L)(cs => a.rows - cs.nulls.get)).sum
+      else files.map(a => st(a, c).fold(0L)(cs => a.rows - cs.nulls.get)).sum
 
     // ----- group columns: every live file must carry exactly one
     // group-key value (single-valued or wholly null)
@@ -1022,7 +1101,7 @@ object GraftTableV2 {
     def groupValue(a: TxLog.AddFile, c: String): Option[Any] = {
       if (isVersion(c)) return Some(fileVersion(a))
       val dt = fieldType(c).getOrElse(return None)
-      a.stats.get(c) match {
+      st(a, c) match {
         case Some(cs) if minMaxEligible(c).isDefined && cs.singleValued =>
           Some(statsValue(cs.min, dt))
         case None if alwaysStatted(dt) && !floaty(dt) => Some(null) // the NULL group
@@ -1142,15 +1221,16 @@ object GraftTableV2 {
             values.forall(table.isFiniteStat) =>
         schema.fields.find(_.name == col) match {
           case Some(field) =>
+            val physCol = TxLog.physicalOf(schema, col)
             val numeric = table.statsKind(field.dataType) == "num"
             if (numeric) {
               val sorted = values.map(v => BigDecimal(table.statsLiteral(v))).sorted
-              (a: TxLog.AddFile, _: Long) => a.stats.get(col).forall { cs =>
+              (a: TxLog.AddFile, _: Long) => a.stats.get(physCol).forall { cs =>
                 anyInRange(sorted, BigDecimal(cs.min), BigDecimal(cs.max))
               }
             } else {
               val sorted = values.map(table.statsLiteral).sorted
-              (a: TxLog.AddFile, _: Long) => a.stats.get(col).forall { cs =>
+              (a: TxLog.AddFile, _: Long) => a.stats.get(physCol).forall { cs =>
                 anyInRange(sorted, cs.min, cs.max)
               }
             }
@@ -1198,7 +1278,8 @@ object GraftTableV2 {
     // stats absent on a column the writer always stats ⇒ every row is
     // null there (floats excluded: absence can also mean NaN/Infinity)
     def provablyAllNull(c: String): Boolean =
-      a.stats.get(c).isEmpty && schema.fields.find(_.name == c).exists(fd =>
+      a.stats.get(TxLog.physicalOf(schema, c)).isEmpty &&
+        schema.fields.find(_.name == c).exists(fd =>
         (fd.dataType match {
           case _: NumericType | StringType | DateType | TimestampType => true
           case _ => false
@@ -1213,16 +1294,19 @@ object GraftTableV2 {
       case _ if onVersion =>
         bounds(f).forall { case (_, lo, hi) =>
           lo.forall(l => v >= asLong(l)) && hi.forall(h => v <= asLong(h)) }
-      case IsNull(c) => a.stats.get(c).forall(cs => !cs.nulls.contains(0L))
+      case IsNull(c) =>
+        a.stats.get(TxLog.physicalOf(schema, c)).forall(cs => !cs.nulls.contains(0L))
       case IsNotNull(c) => !provablyAllNull(c)
       case In(col, values) =>
         values.isEmpty || values.exists(x =>
-          x == null || table.statsOverlap(a, col, Some(x), Some(x)))
+          x == null || table.statsOverlap(
+            a, TxLog.physicalOf(schema, col), Some(x), Some(x)))
       case And(l, r) =>
         fileSurvives(table, schema, a, v, l, syntheticVersion) &&
           fileSurvives(table, schema, a, v, r, syntheticVersion)
       case _ =>
-        bounds(f).forall { case (col, lo, hi) => table.statsOverlap(a, col, lo, hi) }
+        bounds(f).forall { case (col, lo, hi) =>
+          table.statsOverlap(a, TxLog.physicalOf(schema, col), lo, hi) }
     }
   }
 }

@@ -111,9 +111,8 @@ class GraftCatalogSpec extends SparkSpec {
         "SELECT id, score FROM gsql.db.t ORDER BY id").collect()
       assert(rows.map(r => (r.getLong(0), Option(r.get(1)))).toSeq
         === Seq((1L, None), (2L, None), (13L, None), (20L, Some(0.5))))
-      // non-widening changes refuse loudly
-      intercept[Exception](
-        spark.sql("ALTER TABLE gsql.db.t DROP COLUMN payload"))
+      // RENAME/DROP COLUMN are schema-only commits now (column
+      // mapping — ColumnMappingSpec covers them); retypes still refuse
       intercept[Exception](
         spark.sql("ALTER TABLE gsql.db.t ADD COLUMNS (id STRING)"))
 

@@ -1,0 +1,167 @@
+package graft
+
+import graft.medallion.GraftTable
+import graft.streaming.GraftCatalog
+
+/** The SQL maintenance surface: CALL graft.system.{optimize, vacuum,
+  * restore, clone, checkpoint} — every lifecycle operation of the table
+  * format reachable without leaving SQL, each a thin shim over the same
+  * transactional primitive the Scala API uses, plus TIMESTAMP AS OF
+  * time travel resolved from the commit-time stamps the log now
+  * records. */
+class GraftProceduresSpec extends SparkSpec {
+
+  private def freshWarehouse(): String =
+    new java.io.File(
+      s"target/tmp/proc_${java.util.UUID.randomUUID().toString.take(8)}")
+      .getAbsolutePath
+
+  private def withCatalog(testBody: (String, String) => Unit): Unit = {
+    val wh = freshWarehouse()
+    val cat = s"gp${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try testBody(cat, wh)
+    finally spark.conf.unset(s"spark.sql.catalog.$cat")
+  }
+
+  test("CALL system.optimize compacts many small files into few, row-identical") {
+    import spark.implicits._
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v STRING)")
+      val t = new GraftTable(s"$wh/db/t")
+      (1 to 6).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+      val before = spark.sql(s"SELECT * FROM $cat.db.t").collect().toSet
+      val filesBefore = t.snapshot().files.size
+      assert(filesBefore >= 6)
+      val row = spark.sql(
+        s"CALL $cat.system.optimize(table => 'db.t')").head()
+      assert(row.getString(0) === "compact")
+      assert(row.getInt(1) === filesBefore)
+      assert(row.getInt(2) < filesBefore)
+      assert(t.history().head._2 === "compact")
+      assert(spark.sql(s"SELECT * FROM $cat.db.t").collect().toSet === before,
+        "compact is row-neutral")
+    }
+  }
+
+  test("CALL system.optimize small_only leaves right-sized files untouched") {
+    import spark.implicits._
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v STRING)")
+      val t = new GraftTable(s"$wh/db/t")
+      (1 to 5).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+      // every test file is tiny, so with a huge threshold all qualify;
+      // with target 0 MB none do (threshold 0 bytes) and no commit lands
+      val head0 = t.latestVersion()
+      val none = spark.sql(
+        s"CALL $cat.system.optimize(table => 'db.t', small_only => true," +
+          " target_file_mb => 0)").head()
+      assert(none.getInt(1) === 0 && t.latestVersion() === head0,
+        "no sub-threshold files -> no commit")
+      val all = spark.sql(
+        s"CALL $cat.system.optimize(table => 'db.t', small_only => true)").head()
+      assert(all.getString(0) === "compact-small" && all.getInt(1) === 5)
+    }
+  }
+
+  test("CALL system.optimize zorder_by clusters and stays row-identical") {
+    import spark.implicits._
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.z (x BIGINT, y BIGINT)")
+      val t = new GraftTable(s"$wh/db/z")
+      t.append((1L to 256L).map(i => (i % 16, i / 16)).toDF("x", "y")
+        .repartition(8))
+      val before = spark.sql(s"SELECT * FROM $cat.db.z").collect().toSet
+      val row = spark.sql(
+        s"CALL $cat.system.optimize(table => 'db.z', zorder_by => 'x,y'," +
+          " target_files => 4)").head()
+      assert(row.getString(0) === "zorder")
+      assert(t.history().head._2 === "zorder")
+      assert(spark.sql(s"SELECT * FROM $cat.db.z").collect().toSet === before)
+    }
+  }
+
+  test("CALL system.restore + vacuum + checkpoint round trip in SQL") {
+    import spark.implicits._
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.r (id BIGINT)")
+      val t = new GraftTable(s"$wh/db/r")
+      t.append(Seq(1L, 2L).toDF("id"))   // v2
+      val goodV = t.latestVersion()
+      t.append(Seq(99L).toDF("id"))      // v3 (the "bad load")
+      val res = spark.sql(
+        s"CALL $cat.system.restore(table => 'db.r', version => $goodV)").head()
+      assert(res.getLong(0) === goodV)
+      assert(spark.sql(s"SELECT id FROM $cat.db.r").collect()
+        .map(_.getLong(0)).toSet === Set(1L, 2L))
+      // checkpoint then vacuum through SQL; the table still reads
+      val cp = spark.sql(s"CALL $cat.system.checkpoint(table => 'db.r')").head()
+      assert(cp.getLong(0) === t.latestVersion())
+      // advance head once more so the bad version leaves the retention
+      // window, then vacuum drops its file
+      t.append(Seq(3L).toDF("id"))
+      val del = spark.sql(
+        s"CALL $cat.system.vacuum(table => 'db.r', retain_versions => 1)").head()
+      assert(del.getInt(0) >= 1, "the un-restored v3 file is unreachable now")
+      assert(spark.sql(s"SELECT id FROM $cat.db.r").collect()
+        .map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    }
+  }
+
+  test("CALL system.clone forks a self-contained table") {
+    import spark.implicits._
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.src (id BIGINT)")
+      val t = new GraftTable(s"$wh/db/src")
+      t.append(Seq(1L, 2L, 3L).toDF("id"))
+      val row = spark.sql(
+        s"CALL $cat.system.clone(source => 'db.src', target => 'db.fork')").head()
+      assert(row.getLong(0) === t.latestVersion())
+      assert(spark.sql(s"SELECT id FROM $cat.db.fork").collect()
+        .map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+      // diverge the fork; the source is untouched
+      spark.sql(s"DELETE FROM $cat.db.fork WHERE id <= 2")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.src").head().getLong(0) === 3L)
+    }
+  }
+
+  test("procedures cannot escape the warehouse") {
+    withCatalog { (cat, _) =>
+      val e = intercept[Exception](spark.sql(
+        s"CALL $cat.system.optimize(table => '../../etc')").collect())
+      assert(e.getMessage.contains("illegal identifier segment"))
+    }
+  }
+
+  test("TIMESTAMP AS OF resolves stamped commits; refuses pre-history") {
+    import spark.implicits._
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.tt (id BIGINT)")
+      val t = new GraftTable(s"$wh/db/tt")
+      t.append(Seq(1L).toDF("id"))
+      val between = new java.sql.Timestamp(System.currentTimeMillis())
+      Thread.sleep(15)
+      t.append(Seq(2L).toDF("id"))
+
+      // exact head time (>= last commit) sees everything
+      val nowTs = new java.sql.Timestamp(System.currentTimeMillis())
+      assert(spark.sql(
+        s"SELECT id FROM $cat.db.tt TIMESTAMP AS OF '$nowTs'").collect()
+        .map(_.getLong(0)).toSet === Set(1L, 2L))
+      // between the two appends: only the first
+      assert(spark.sql(
+        s"SELECT id FROM $cat.db.tt TIMESTAMP AS OF '$between'").collect()
+        .map(_.getLong(0)).toSet === Set(1L))
+      // before v1 existed: loud refusal naming the earliest version
+      val e = intercept[Exception](spark.sql(
+        s"SELECT * FROM $cat.db.tt TIMESTAMP AS OF '2001-01-01 00:00:00'")
+        .collect())
+      assert(e.getMessage.contains("VERSION AS OF"))
+      // commit_ts surfaces in the history metadata table
+      val hist = spark.sql(
+        s"SELECT version, commit_ts FROM $cat.db.tt.history").collect()
+      assert(hist.forall(r => !r.isNullAt(1)), "every commit is stamped")
+    }
+  }
+}

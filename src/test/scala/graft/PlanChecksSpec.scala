@@ -277,6 +277,26 @@ class PlanChecksSpec extends SparkSpec {
       s"deletion-neighborhood join must stay an equi-join:\n$p")
   }
 
+  test("q126: IVF-PQ — the float vectors never enter the candidate join") {
+    val df = graft.queries.VectorOps.q126IvfPq(spark, sfDir)
+    df.collect()
+    // the candidate (n_id) side of the cell join must carry codes only:
+    // walk the optimized plan to the join and check its right output —
+    // this is THE property that shrinks the 10⁹-vector shuffle 32×
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, "expected the cell-restricted candidate join")
+    val cellJoin = joins.head // outermost join = q × candidates
+    val floatSide = cellJoin.right.output.filter(a => a.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    })
+    assert(floatSide.isEmpty,
+      s"float vectors crossed the candidate join: ${cellJoin.right.output}")
+  }
+
   test("q116: quantile profile reuses ONE lang-keyed exchange for windows + aggregate") {
     // AQE plan strings append an "Initial Plan" section — count the FINAL plan only
     val p = plan(graft.queries.RelationalMore.q116QuantileProfile(spark, sfDir))

@@ -490,6 +490,36 @@ class TxLogSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](t.appendsSince(spark, 9L))
   }
 
+  test("appendsKeyBounds: the CDF key envelope comes from the log alone") {
+    val t = freshTable("kbounds")
+    t.append(df(Seq(10L -> "a", 20L -> "b"))) // v1
+    t.append(df(Seq(15L -> "c", 40L -> "d"))) // v2
+    t.append(df(Seq(7L -> "e")))              // v3
+    assert(t.appendsKeyBounds("id", 0L) === Some((7L, 40L)))
+    assert(t.appendsKeyBounds("id", 1L) === Some((7L, 40L)))
+    assert(t.appendsKeyBounds("id", 2L) === Some((7L, 7L)))
+    assert(t.appendsKeyBounds("id", 3L) === None, "caught-up: no envelope")
+    assert(t.appendsKeyBounds("name", 2L) === Some(("e", "e")),
+      "string columns bound in the str domain")
+    assertThrows[IllegalArgumentException](t.appendsKeyBounds("nope", 0L))
+  }
+
+  test("MV-refresh pruning: a disjoint delta's bounds read zero MV files") {
+    val mv = freshTable("mvprune")
+    // one file per append (toDF would split 2 rows into 2 partitions)
+    mv.append(df(Seq(1L -> "a", 5L -> "b")).coalesce(1))     // file 1: ids 1..5
+    mv.append(df(Seq(100L -> "x", 200L -> "y")).coalesce(1)) // file 2: ids 100..200
+    // delta envelope [40, 60] overlaps neither MV file → the pruned
+    // read plans over ZERO parquet inputs (the CDF-contract assertion:
+    // refresh IO is bounded by overlap, not MV size)
+    val disjoint = mv.readRange(spark, "id", Some(40L), Some(60L))
+    assert(disjoint.inputFiles.isEmpty, "no MV file overlaps the envelope")
+    assert(disjoint.count() === 0L)
+    // an envelope over file 2 only reads file 2
+    val half = mv.readRange(spark, "id", Some(150L), Some(160L))
+    assert(half.inputFiles.length === 1)
+  }
+
   test("optimizeZorder: one commit, same rows, both clustered columns prune files") {
     import spark.implicits._
     val t = freshTable("zorder")
