@@ -73,7 +73,13 @@ object TxLog {
     * answering GROUP BY from the log — and makes `COUNT(col)` exact
     * (`rows - nulls`). */
   final case class ColStats(
-      kind: String, min: String, max: String, nulls: Option[Long] = None) {
+      kind: String, min: String, max: String, nulls: Option[Long] = None,
+      /** Optional per-file Bloom filter over the column's values
+        * (base64 bitset, [[TxLog.BloomBits]] bits, [[TxLog.BloomK]]
+        * xxhash64-pair probes) — what prunes POINT lookups on
+        * high-cardinality columns whose min/max ranges overlap every
+        * file (random ids, hashes). Absent ⇒ never prunes. */
+      bloom: Option[String] = None) {
     private def cmp(a: String, b: String): Int =
       if (kind == "num") BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
     /** Could any value in [min,max] fall inside [lo,hi] (inclusive)? */
@@ -106,7 +112,11 @@ object TxLog {
       /** CHECK constraints by name → SQL boolean expression. Enforced on
         * every row-bearing write path; a row passes unless the
         * expression evaluates to FALSE (SQL CHECK: NULL passes). */
-      constraints: Map[String, String] = Map.empty) {
+      constraints: Map[String, String] = Map.empty,
+      /** Free-form table properties (e.g. [[TxLog.BloomColumnsProp]]);
+        * full-replacement action like constraints, absent on tables
+        * that never set one (no format bump). */
+      props: Map[String, String] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -172,6 +182,78 @@ object TxLog {
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putString(PhysicalKey, physical).build())
 
+  // ----------------------------------------------------- bloom skipping
+  // Per-file Bloom filters (the Delta bloomFilterIndex / Iceberg puffin
+  // shape) for POINT lookups: min/max stats cannot prune `WHERE id = x`
+  // when ids are scattered (every file's range covers x), but a 1 KiB
+  // per-file bitset answers "provably absent" for ~99% of files at any
+  // table size. Opt-in per table via the `bloom.columns` property;
+  // restricted to int/long/string columns (the point-lookup types, and
+  // the ones whose write-side xxhash64 the probe can replay exactly).
+  // 8192 bits / 6 probes ≈ 2% false positives at ~1k distinct values
+  // per file; false positives only cost IO, never rows.
+
+  /** Table property naming the comma-separated LOGICAL columns to bloom. */
+  private[graft] val BloomColumnsProp = "bloom.columns"
+  /** Table property sizing the per-file bitset (bits; default
+    * [[BloomBits]]). Size to ~10 bits per expected distinct value per
+    * file — a 128 MB file of ~2M ids wants `bloom.bits = 25000000`
+    * (~3 MB of log per file; still metadata-sized next to the data).
+    * The PROBE side reads m from the stored bitset's length, so files
+    * written under different sizes coexist in one table. */
+  private[graft] val BloomBitsProp = "bloom.bits"
+  private[graft] val BloomBits = 8192
+  private[graft] val BloomK = 6
+  /** xxhash64's SQL default seed — h1 is the plain `xxhash64(col)`
+    * the codegen'd staging aggregate computes; h2 = XXH64(h1) (double
+    * hashing with a derived second hash, the standard trick). */
+  private[graft] val BloomSeed = 42L
+
+  private[graft] def bloomH2(h1: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h1, BloomSeed)
+
+  /** The k bit positions of a value from its two seed hashes
+    * (Kirsch–Mitzenmacher double hashing: g_i = h1 + i·h2). */
+  private[graft] def bloomBitsOf(h1: Long, h2: Long, m: Int): Array[Int] =
+    Array.tabulate(BloomK)(i =>
+      (((h1 + i * h2) % m + m) % m).toInt)
+
+  /** Probe a serialized filter; true = the value MAY be present
+    * (absence proof is the only sound pruning direction). The bit
+    * count comes from the stored bitset itself, so differently-sized
+    * filters (bloom.bits changed mid-table) all probe correctly. */
+  private[graft] def bloomMightContain(b64: String, h1: Long, h2: Long): Boolean = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    if (bytes.isEmpty) return true
+    bloomBitsOf(h1, h2, bytes.length * 8).forall { bit =>
+      (bytes(bit >>> 3) & (1 << (bit & 7))) != 0
+    }
+  }
+
+  /** Write-side-identical hashes of a probe literal: evaluate Spark's
+    * own XxHash64 over a typed literal with the same seeds the staging
+    * aggregate used — the probe and the build hash the same bytes. */
+  private[graft] def bloomHashes(value: Any, dt: DataType): Option[(Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    if (value == null) return None
+    // coerce the filter literal to the COLUMN's native type — the
+    // write-side aggregate hashed the column's own representation
+    val coerced: Option[Any] = (dt, value) match {
+      case (LongType, n: java.lang.Number) => Some(n.longValue())
+      case (IntegerType, n: java.lang.Number)
+          if n.longValue() == n.intValue().toLong => Some(n.intValue())
+      case (StringType, s: String) => Some(s)
+      case (StringType, u: org.apache.spark.unsafe.types.UTF8String) =>
+        Some(u.toString)
+      case _ => None
+    }
+    coerced.map { v =>
+      val h1 = new XxHash64(Seq(Literal.create(v, dt)), BloomSeed)
+        .eval(null).asInstanceOf[Long]
+      (h1, bloomH2(h1))
+    }
+  }
+
   /** Atomic put-if-absent with full content: hard-link a fully-written
     * temp file to the target name. Link creation is a single atomic
     * metadata operation that FAILS if the target exists — unlike
@@ -192,7 +274,8 @@ object TxLog {
     JObject(s.toList.map { case (c, cs) =>
       c -> (JObject(List("k" -> (JString(cs.kind): JValue),
         "min" -> JString(cs.min), "max" -> JString(cs.max)) ++
-        cs.nulls.map(n => "nulls" -> (JLong(n): JValue)).toList): JValue)
+        cs.nulls.map(n => "nulls" -> (JLong(n): JValue)).toList ++
+        cs.bloom.map(b => "b" -> (JString(b): JValue)).toList): JValue)
     })
 
   private def addToJson(a: AddFile, addedIn: Option[Long] = None): JObject =
@@ -204,11 +287,11 @@ object TxLog {
       // file (live commits don't carry it — their file name IS the version)
       addedIn.map(v => "v" -> (JLong(v): JValue)).toList)
 
-  private def str(j: JValue): String = j match {
+  private[medallion] def str(j: JValue): String = j match {
     case JString(s) => s
     case other => throw new IllegalStateException(s"txlog: expected string, got $other")
   }
-  private def lng(j: JValue): Long = j match {
+  private[medallion] def lng(j: JValue): Long = j match {
     case JLong(v) => v
     case JInt(v) => v.toLong
     case other => throw new IllegalStateException(s"txlog: expected long, got $other")
@@ -220,7 +303,7 @@ object TxLog {
       case Some(JObject(fields)) => fields.map { case (c, v) =>
         val sm = v.asInstanceOf[JObject].obj.toMap
         c -> ColStats(str(sm("k")), str(sm("min")), str(sm("max")),
-          sm.get("nulls").map(lng))
+          sm.get("nulls").map(lng), sm.get("b").map(str))
       }.toMap
       case _ => Map.empty[String, ColStats]
     }
@@ -236,7 +319,8 @@ object TxLog {
       txns: Map[String, Long] = Map.empty,
       addVersions: Map[String, Long] = Map.empty,
       constraints: Option[Map[String, String]] = None,
-      tsMillis: Option[Long] = None): String = {
+      tsMillis: Option[Long] = None,
+      props: Option[Map[String, String]] = None): String = {
     val lines =
       JObject(("a" -> JString("info")) :: ("op" -> JString(op)) ::
         ("readVersion" -> JLong(readVersion)) ::
@@ -253,6 +337,10 @@ object TxLog {
       constraints.toList.map(cs => JObject("a" -> JString("constraints"),
         "set" -> (JObject(cs.toList.sortBy(_._1).map {
           case (n, e) => n -> (JString(e): JValue) }): JValue))) :::
+      // FULL-replacement table properties, same contract as constraints
+      props.toList.map(ps => JObject("a" -> JString("props"),
+        "set" -> (JObject(ps.toList.sortBy(_._1).map {
+          case (n, v) => n -> (JString(v): JValue) }): JValue))) :::
       // sorted for deterministic checkpoint bytes (lost put race == same content)
       txns.toList.sortBy(_._1).map { case (app, b) =>
         JObject("a" -> JString("txn"), "appId" -> JString(app), "batchId" -> JLong(b)) } :::
@@ -269,7 +357,9 @@ object TxLog {
       /** full-replacement constraint set, when this commit changed it */
       constraints: Option[Map[String, String]] = None,
       /** wall-clock commit time (epoch millis); absent in pre-ts logs */
-      tsMillis: Option[Long] = None)
+      tsMillis: Option[Long] = None,
+      /** full-replacement table properties, when this commit changed them */
+      props: Option[Map[String, String]] = None)
 
   private[medallion] def parseCommit(content: String): Commit = {
     var op = "unknown"; var schema: Option[String] = None
@@ -278,6 +368,7 @@ object TxLog {
     var addVs = Map.empty[String, Long]
     var cons: Option[Map[String, String]] = None
     var ts: Option[Long] = None
+    var prp: Option[Map[String, String]] = None
     content.linesIterator.filter(_.nonEmpty).foreach { line =>
       val o = JsonMethods.parse(line).asInstanceOf[JObject]
       val m = o.obj.toMap
@@ -295,11 +386,14 @@ object TxLog {
         case "constraints" =>
           cons = Some(m("set").asInstanceOf[JObject].obj.map {
             case (n, e) => n -> str(e) }.toMap)
+        case "props" =>
+          prp = Some(m("set").asInstanceOf[JObject].obj.map {
+            case (n, v) => n -> str(v) }.toMap)
         case other => throw new IllegalStateException(
           s"txlog: unknown action '$other' — refusing to read a log written by a newer format")
       }
     }
-    Commit(op, schema, adds.result(), removes.result(), txns, addVs, cons, ts)
+    Commit(op, schema, adds.result(), removes.result(), txns, addVs, cons, ts, prp)
   }
 }
 
@@ -388,6 +482,7 @@ final class GraftTable(val tablePath: String) {
     var txns = Map.empty[String, Long]
     var addedIn = Map.empty[String, Long]
     var cons = Map.empty[String, String]
+    var prps = Map.empty[String, String]
     cp.foreach { cv =>
       val c = parseCommit(new String(Files.readAllBytes(checkpointFile(cv)), "UTF-8"))
       c.schemaJson.foreach(schemaJson = _)
@@ -399,6 +494,7 @@ final class GraftTable(val tablePath: String) {
       }
       txns ++= c.txns
       c.constraints.foreach(cons = _)
+      c.props.foreach(prps = _)
     }
     var v = cp.getOrElse(0L) + 1
     while (v <= target) {
@@ -414,12 +510,13 @@ final class GraftTable(val tablePath: String) {
       c.txns.foreach { case (app, b) =>
         if (txns.get(app).forall(_ < b)) txns += (app -> b) }
       c.constraints.foreach(cons = _)
+      c.props.foreach(prps = _)
       v += 1
     }
     require(schemaJson != null || live.isEmpty,
       s"txlog: no schema action found resolving version $target")
     Snapshot(target, Option(schemaJson).getOrElse(new StructType().json),
-      live.values.toSeq, txns, addedIn, cons)
+      live.values.toSeq, txns, addedIn, cons, prps)
   }
 
   /** Read the table at `version` (default head). The scan is a plain
@@ -439,8 +536,9 @@ final class GraftTable(val tablePath: String) {
     val lo = lower.map(statsLiteral)
     val hi = upper.map(statsLiteral)
     val physCol = physicalOf(snap.schema, column)
-    val pruned = snap.copy(files = snap.files.filter(
-      _.stats.get(physCol).forall(_.overlaps(lo, hi))))
+    val pruned = snap.copy(files = snap.files.filter(a =>
+      a.stats.get(physCol).forall(_.overlaps(lo, hi)) &&
+        pointAdmits(snap.schema, a, physCol, column, lower, upper)))
     readFiles(spark, pruned, { df =>
       val c = col(column)
       (lower, upper) match {
@@ -506,8 +604,36 @@ final class GraftTable(val tablePath: String) {
     val lo = lower.map(statsLiteral); val hi = upper.map(statsLiteral)
     val snap = snapshot()
     val physCol = physicalOf(snap.schema, column)
-    snap.files.count(_.stats.get(physCol).forall(_.overlaps(lo, hi)))
+    snap.files.count(a =>
+      a.stats.get(physCol).forall(_.overlaps(lo, hi)) &&
+        pointAdmits(snap.schema, a, physCol, column, lower, upper))
   }
+
+  /** Bloom admission for a POINT range (`lower == upper`): false only
+    * when the file carries a filter that provably excludes the value —
+    * the extra pruning min/max cannot give on scattered ids. Ranges,
+    * bloom-less files, and un-bloomable types always admit. */
+  private def pointAdmits(
+      schema: StructType, a: AddFile, physCol: String, column: String,
+      lower: Option[Any], upper: Option[Any]): Boolean =
+    (lower, upper) match {
+      case (Some(l), Some(u)) if l == u =>
+        bloomAdmits(schema, a, physCol, column, l)
+      case _ => true
+    }
+
+  private[graft] def bloomAdmits(
+      schema: StructType, a: AddFile, physCol: String, column: String,
+      value: Any): Boolean =
+    a.stats.get(physCol).flatMap(_.bloom) match {
+      case None => true
+      case Some(b64) =>
+        schema.fields.find(_.name == column).map(_.dataType)
+          .flatMap(dt => bloomHashes(value, dt)) match {
+          case Some((h1, h2)) => bloomMightContain(b64, h1, h2)
+          case None => true
+        }
+    }
 
   private def readFiles(
       spark: SparkSession, snap: Snapshot, residual: DataFrame => DataFrame): DataFrame =
@@ -595,10 +721,31 @@ final class GraftTable(val tablePath: String) {
     ensureDirs()
     val batch = UUID.randomUUID().toString.take(8)
     val sCols = statsColumns(schema)
-    val aggs = count(lit(1)).as("_rows") +:
+    // opt-in per-file Bloom filters: the head's bloom.columns property
+    // (LOGICAL names) resolved to the physical columns this staged
+    // schema actually carries — one extra mergeable bitset aggregate
+    // per (file × column), hashes computed codegen'd in the projection
+    val bloomPhys: Seq[String] =
+      if (latestVersion() == 0L) Seq.empty
+      else {
+        val head = snapshot()
+        head.props.get(BloomColumnsProp).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          .map(c => physicalOf(head.schema, c))
+          .filter(p => schema.fields.exists(f => f.name == p &&
+            (f.dataType == IntegerType || f.dataType == LongType ||
+              f.dataType == StringType)))
+      }
+    val bloomBits =
+      if (bloomPhys.isEmpty) BloomBits
+      else snapshot().props.get(BloomBitsProp).map(_.toInt).getOrElse(BloomBits)
+    val bloomFn = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BloomAgg(bloomBits, BloomK))
+    val aggs = (count(lit(1)).as("_rows") +:
       sCols.flatMap(f => Seq(
         min(col(f.name)).as(s"_min_${f.name}"), max(col(f.name)).as(s"_max_${f.name}"),
-        count(col(f.name)).as(s"_cnt_${f.name}"))) // non-null count (NaN IS non-null)
+        count(col(f.name)).as(s"_cnt_${f.name}")))) ++ // non-null count (NaN IS non-null)
+      bloomPhys.map(p => bloomFn(xxhash64(col(p))).as(s"_bloom_$p"))
     val perFile = spark.read.schema(schema).parquet(staged.map(_.toString): _*)
       .groupBy(col("_metadata.file_path").as("_file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -620,7 +767,17 @@ final class GraftTable(val tablePath: String) {
         else Some(f.name -> ColStats(statsKind(f.dataType), statsLiteral(mn),
           statsLiteral(mx), Some(nulls)))
       }.toMap
-      AddFile(name, fileRows, Files.size(root.resolve(name)), stats)
+      // overlay the per-file Bloom bitsets on columns that have stats
+      // (a stats-less column is all-null — nothing to bloom)
+      val withBlooms = bloomPhys.foldLeft(stats) { (acc, p) =>
+        (acc.get(p), Option(row.getAs[Array[Byte]](s"_bloom_$p"))) match {
+          case (Some(cs), Some(bytes)) =>
+            acc + (p -> cs.copy(bloom =
+              Some(java.util.Base64.getEncoder.encodeToString(bytes))))
+          case _ => acc
+        }
+      }
+      AddFile(name, fileRows, Files.size(root.resolve(name)), withBlooms)
     }
   }
 
@@ -650,7 +807,8 @@ final class GraftTable(val tablePath: String) {
       version: Long, op: String, readVersion: Long, schemaJson: Option[String],
       adds: Seq[AddFile], removes: Seq[String],
       txns: Map[String, Long] = Map.empty,
-      constraints: Option[Map[String, String]] = None): Boolean = {
+      constraints: Option[Map[String, String]] = None,
+      props: Option[Map[String, String]] = None): Boolean = {
     ensureDirs()
     putIfAbsent(
       renderCommit(op, readVersion, schemaJson, adds, removes, txns,
@@ -658,7 +816,8 @@ final class GraftTable(val tablePath: String) {
         // every real commit carries wall-clock time (TIMESTAMP AS OF
         // resolves against it); checkpoints bypass tryCommit and stay
         // deterministic-bytes
-        tsMillis = Some(System.currentTimeMillis())),
+        tsMillis = Some(System.currentTimeMillis()),
+        props = props),
       versionFile(version))
   }
 
@@ -762,13 +921,19 @@ final class GraftTable(val tablePath: String) {
       val schemaJson =
         try commitSchemaFor(head, df.schema, mergeSchema)
         catch { case e: Throwable => dropStaged(); throw e }
-      if (physicalSchema(commitSchema(schemaJson)).fieldNames.toSeq
-          != stagedPhysical) {
+      // PREFIX compare: physical names are immutable for surviving
+      // columns (rename re-points the logical name only) and a
+      // concurrent widen APPENDS fields — both leave the staged bytes'
+      // binding intact. What this catches is a concurrent overwrite /
+      // drop+re-add changing the physical identity of a column this
+      // batch already staged bytes for
+      if (physicalSchema(commitSchema(schemaJson)).fieldNames
+          .take(stagedPhysical.length).toSeq != stagedPhysical) {
         dropStaged()
         throw new ConcurrentWriteException(
-          s"txlog: a column rename/drop landed at $tablePath while this " +
-            "append was staging — the staged bytes carry the old physical " +
-            "names; re-run the append against the new head")
+          s"txlog: the column mapping of $tablePath changed while this " +
+            "append was staging (concurrent overwrite or drop/re-add) — " +
+            "the staged bytes carry stale physical names; re-run the append")
       }
       // a constraint added since validation must re-check the batch (the
       // rare race; re-validation is one more columnar read of the stage)
@@ -886,13 +1051,15 @@ final class GraftTable(val tablePath: String) {
           adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
           throw e
         }
-      // a rename/drop landing mid-epoch would commit a schema whose
-      // physical names the staged bytes don't carry — fail loudly
+      // PREFIX compare (see append): a mapping-identity change landing
+      // mid-epoch (concurrent overwrite, drop/re-add) would commit a
+      // schema whose physical names the staged bytes don't carry
+      val epochPhysical = physicalSchema(schema).fieldNames.toSeq
       if (physicalSchema(DataType.fromJson(schemaJson).asInstanceOf[StructType])
-          .fieldNames.toSeq != physicalSchema(schema).fieldNames.toSeq) {
+          .fieldNames.take(epochPhysical.length).toSeq != epochPhysical) {
         adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
         throw new ConcurrentWriteException(
-          s"txlog: a column rename/drop landed at $tablePath while this " +
+          s"txlog: the column mapping of $tablePath changed while this " +
             "streaming epoch was staging — restart the query to pick up " +
             "the new mapping")
       }
@@ -951,12 +1118,15 @@ final class GraftTable(val tablePath: String) {
           adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
           throw e
         }
+      // PREFIX compare (see append): only a mapping-identity change
+      // (concurrent overwrite, drop/re-add) invalidates the staged bytes
       if (pre.version > 0 &&
           physicalSchema(DataType.fromJson(schemaJson)
-            .asInstanceOf[StructType]).fieldNames.toSeq != stagedPhysical) {
+            .asInstanceOf[StructType]).fieldNames
+            .take(stagedPhysical.length).toSeq != stagedPhysical) {
         adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
         throw new ConcurrentWriteException(
-          s"txlog: a column rename/drop landed at $tablePath while this " +
+          s"txlog: the column mapping of $tablePath changed while this " +
             "streaming append was staging — re-run against the new head")
       }
       // a constraint added mid-race must re-validate the batch
@@ -1241,6 +1411,68 @@ final class GraftTable(val tablePath: String) {
   /** Current CHECK constraints (name → SQL expression). */
   def constraints: Map[String, String] = snapshot().constraints
 
+  /** Set a table property as ONE schema-less commit (full-replacement
+    * `props` action). Setting [[TxLog.BloomColumnsProp]] validates the
+    * named columns exist and are bloom-able; blooms then build for
+    * every SUBSEQUENT write (existing files prune by min/max only
+    * until a compact rewrites them with filters). */
+  def setProperty(name: String, value: String, maxRetries: Int = 20): Long = {
+    require(name.nonEmpty, "txlog: property name must be non-empty")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = latestVersion()
+      require(head > 0L, s"txlog: no table at $root to set properties on")
+      val snap = snapshot(head)
+      if (name == BloomBitsProp) {
+        val bits = try value.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"txlog: $BloomBitsProp must be an integer bit count, got '$value'")
+        }
+        require(bits >= 64 && bits % 8 == 0 && bits <= (1 << 28),
+          s"txlog: $BloomBitsProp must be a multiple of 8 in [64, 2^28], got $bits")
+      }
+      if (name == BloomColumnsProp) {
+        val schema = snap.schema
+        value.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+          val f = schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"txlog: $BloomColumnsProp names unknown column '$c'"))
+          require(f.dataType == IntegerType || f.dataType == LongType ||
+            f.dataType == StringType,
+            s"txlog: $BloomColumnsProp column '$c' is " +
+              s"${f.dataType.simpleString} — blooms support int/long/string " +
+              "(the point-lookup types)")
+        }
+      }
+      if (tryCommit(head + 1, "setProps", head, None, Nil, Nil,
+        props = Some(snap.props + (name -> value))))
+        return head + 1
+      attempt += 1
+    }
+    throw new ConcurrentWriteException(
+      s"txlog: setProperty lost $maxRetries commit races at $tablePath")
+  }
+
+  def unsetProperty(name: String, maxRetries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = latestVersion()
+      val snap = snapshot(head)
+      require(snap.props.contains(name),
+        s"txlog: no property '$name' on $root " +
+          s"(have: ${snap.props.keys.toSeq.sorted.mkString(", ")})")
+      if (tryCommit(head + 1, "setProps", head, None, Nil, Nil,
+        props = Some(snap.props - name)))
+        return head + 1
+      attempt += 1
+    }
+    throw new ConcurrentWriteException(
+      s"txlog: unsetProperty lost $maxRetries commit races at $tablePath")
+  }
+
+  /** Current table properties. */
+  def properties: Map[String, String] = snapshot().props
+
   /** RESTORE TABLE TO VERSION: one commit makes `targetVersion`'s live
     * file set (and schema) current again — re-adding files later
     * commits removed, removing files they added. Data files must still
@@ -1277,7 +1509,8 @@ final class GraftTable(val tablePath: String) {
     // clean-table validation no longer holds).
     val won = latestVersion() == snap.version &&
       tryCommit(v, "restore", snap.version, Some(target.schemaJson),
-        readds, removes, constraints = Some(target.constraints))
+        readds, removes, constraints = Some(target.constraints),
+        props = Some(target.props))
     if (!won) throw new ConcurrentWriteException(
       s"txlog: restore read version ${snap.version} but head moved — " +
         "re-read and retry")
@@ -1331,7 +1564,8 @@ final class GraftTable(val tablePath: String) {
     val won = dest.tryCommit(1L, "clone", 0L, Some(snap.schemaJson),
       snap.files, Nil,
       constraints = if (snap.constraints.nonEmpty) Some(snap.constraints)
-                    else None)
+                    else None,
+      props = if (snap.props.nonEmpty) Some(snap.props) else None)
     if (!won) throw new ConcurrentWriteException(
       s"txlog: clone destination $destPath raced another creator")
     dest
@@ -1565,7 +1799,8 @@ final class GraftTable(val tablePath: String) {
     // actually using the feature)
     val content = renderCommit("checkpoint", snap.version, Some(snap.schemaJson),
       snap.files, Nil, snap.txns, addVersions = snap.addedIn,
-      constraints = if (snap.constraints.nonEmpty) Some(snap.constraints) else None)
+      constraints = if (snap.constraints.nonEmpty) Some(snap.constraints) else None,
+      props = if (snap.props.nonEmpty) Some(snap.props) else None)
     putIfAbsent(content, checkpointFile(snap.version)) // lost race == same content
     val hint = JsonMethods.compact(JsonMethods.render(
       JObject("version" -> JLong(snap.version))))
@@ -1584,7 +1819,13 @@ final class GraftTable(val tablePath: String) {
     * but uncommitted — the standard table-format contract that vacuum
     * retention must exceed the longest write (Delta's RETAIN n HOURS).
     * Returns the deleted file names. */
-  def vacuum(retainVersions: Int = 2): Seq[String] = {
+  def vacuum(retainVersions: Int = 2): Seq[String] =
+    vacuum(retainVersions, dryRun = false)
+
+  /** `dryRun = true` reports what a vacuum WOULD delete — same
+    * reachability walk, zero deletions (the Delta `VACUUM ... DRY RUN`
+    * shape: operators audit the blast radius before retiring bytes). */
+  def vacuum(retainVersions: Int, dryRun: Boolean): Seq[String] = {
     val head = latestVersion()
     val floor = math.max(0L, head - retainVersions)
     val reachable = ((floor.max(1L)) to head).flatMap(v =>
@@ -1594,6 +1835,7 @@ final class GraftTable(val tablePath: String) {
       try it.iterator().asScala.map(_.getFileName.toString)
         .filter(n => n.endsWith(".parquet") && !reachable.contains(n)).toList
       finally it.close()
+    if (dryRun) return deletable
     deletable.foreach(n => Files.deleteIfExists(root.resolve(n)))
     // staged dirs from crashed writers are orphans too
     val it2 = Files.list(root)
@@ -1720,7 +1962,7 @@ final class GraftTable(val tablePath: String) {
         // resolving the same physical bytes)
         case "compact" | "zorder" | "checkpoint" | "create" | "addColumns"
            | "addConstraint" | "dropConstraint"
-           | "renameColumn" | "dropColumn" => None
+           | "renameColumn" | "dropColumn" | "setProps" => None
         case rewrite =>
           if (!skipRewrites) throw new IllegalStateException(
             s"txlog: commit $v is a '$rewrite' — its rewritten rows cannot be " +
@@ -1760,9 +2002,26 @@ final class GraftTable(val tablePath: String) {
     * far" (pre-ts commits, truncated logs) are answered with the
     * earliest stamped (version, time) so the caller can rephrase as
     * VERSION AS OF. */
+  /** (op, commit time) of one version from the commit's FIRST line
+    * only — timestamp resolution over a long history must not re-read
+    * every add/remove action of every commit (O(log bytes) → O(commits)
+    * small reads). None when the version file is gone (truncated log). */
+  private def commitInfo(v: Long): Option[(String, Option[Long])] = {
+    val f = versionFile(v)
+    if (!Files.exists(f)) return None
+    val in = Files.newBufferedReader(f)
+    try {
+      val line = in.readLine()
+      if (line == null || line.isEmpty) return None
+      val m = JsonMethods.parse(line).asInstanceOf[JObject].obj.toMap
+      if (str(m("a")) != "info") None
+      else Some((str(m("op")), m.get("ts").map(lng)))
+    } finally in.close()
+  }
+
   def versionAtTimestamp(tsMillis: Long): Long = {
-    val stamped = historyFull().reverseIterator // oldest → newest
-      .collect { case (v, _, _, _, Some(ts)) => (v, ts) }.toSeq
+    val stamped = (1L to latestVersion()).iterator // oldest → newest
+      .flatMap(v => commitInfo(v).flatMap(_._2).map(v -> _)).toSeq
     require(stamped.nonEmpty,
       s"txlog: no commit of $root carries a timestamp — the log predates " +
         "commit-time stamping; travel with VERSION AS OF")

@@ -1394,6 +1394,60 @@ object PipelineOps {
        SELECT 'asof_head', n_nationkey, n_name, n_regionkey FROM nation
        ORDER BY branch, n_nationkey"""
 
+  // --------------------------------------------------------------------
+  // q127 — per-file BLOOM skipping on a point lookup: orders land in 6
+  // round-robin key slices (every file's [min,max] covers any mid-range
+  // key, so min/max stats prune NOTHING for a point probe — the exact
+  // shape of a lookup by id/hash on an unclustered 100 TB table), the
+  // `bloom.columns` property arms 1 KiB per-file filters, and the
+  // mid-key SELECT must then plan ≤2 of the 6 files (require'd into the
+  // green row) while hash-matching the oracle's plain scalar-subquery
+  // lookup. False positives cost IO; a false negative would be a wrong
+  // answer — the hash match certifies there is none.
+  // --------------------------------------------------------------------
+  def q127BloomLookup(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("bloom", dir)
+    graft.core.Fs.rmTree(new java.io.File(root))
+    val t = new graft.medallion.GraftTable(s"$root/orders")
+    // a 1-in-97 key subset keeps per-file cardinality inside the
+    // DEFAULT 1 KiB bloom's design load at every test scale factor —
+    // a production table sizes `bloom.bits` to its file row counts
+    // instead (probe side adapts per stored bitset)
+    val base = lake(s, dir).orders
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    t.append(base.limit(0))                          // v1: schema only
+    t.setProperty(graft.medallion.TxLog.BloomColumnsProp, "o_orderkey")
+    // 64 Kib per file: ~10 bits per expected key at the largest test
+    // scale factor — the sizing rule a production table applies
+    t.setProperty(graft.medallion.TxLog.BloomBitsProp, "65536")
+    (0 until 6).foreach(f =>
+      t.append(base.filter(col("o_orderkey") % 6 === f).repartition(1)))
+    // a PRESENT mid-range key, derived deterministically from the data
+    // (the same two scalar steps the oracle replays): max key, halved,
+    // then the greatest existing key at or below it
+    val maxRow = base.agg(max(col("o_orderkey"))).head()
+    require(!maxRow.isNullAt(0), "q127 needs at least one key ≡ 0 (mod 97)")
+    val maxKey = maxRow.getLong(0)
+    val midKey = base.filter(col("o_orderkey") <= maxKey / 2)
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    val admitted = t.filesForRange("o_orderkey", Some(midKey), Some(midKey))
+    require(admitted <= 2,
+      s"bloom must prune the 6 overlapping slices to ~1 file, got $admitted")
+    t.readRange(s, "o_orderkey", Some(midKey), Some(midKey))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q127Oracle =
+    """WITH sub AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                   WHERE o_orderkey % 97 = 0)
+       SELECT o_orderkey, o_custkey, o_totalprice FROM sub
+       WHERE o_orderkey = (
+         SELECT max(o_orderkey) FROM sub
+         WHERE o_orderkey <= (SELECT max(o_orderkey) FROM sub) // 2)
+       ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_incremental_mv" -> (q118IncrementalMv _),
     "q119_constraints_restore" -> (q119ConstraintsRestore _),
@@ -1420,7 +1474,8 @@ object PipelineOps {
     "q113_sql_dml" -> (q113SqlDml _),
     "q114_sql_merge" -> (q114SqlMerge _),
     "q124_sql_maintenance" -> (q124SqlMaintenance _),
-    "q125_timestamp_travel" -> (q125TimestampTravel _))
+    "q125_timestamp_travel" -> (q125TimestampTravel _),
+    "q127_bloom_lookup" -> (q127BloomLookup _))
 
   val oracle: Map[String, String] = Map(
     "q118_incremental_mv" -> q118Oracle,
@@ -1448,5 +1503,6 @@ object PipelineOps {
     "q113_sql_dml" -> q113Oracle,
     "q114_sql_merge" -> q114Oracle,
     "q124_sql_maintenance" -> q124Oracle,
-    "q125_timestamp_travel" -> q125Oracle)
+    "q125_timestamp_travel" -> q125Oracle,
+    "q127_bloom_lookup" -> q127Oracle)
 }

@@ -191,19 +191,25 @@ final class GraftCatalog extends TableCatalog
     //   ALTER TABLE t UNSET TBLPROPERTIES ('constraint.<name>')
     // SET validates all existing rows (one scan) and commits CAS-style;
     // UNSET drops. Mirrors how DESCRIBE EXTENDED surfaces them.
-    val (consChanges, colChanges) = changes.partition {
-      case p: TableChange.SetProperty => p.property.startsWith("constraint.")
-      case p: TableChange.RemoveProperty => p.property.startsWith("constraint.")
+    val (propChanges, colChanges) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
       case _ => false
     }
-    consChanges.foreach {
-      case p: TableChange.SetProperty =>
+    propChanges.foreach {
+      case p: TableChange.SetProperty if p.property.startsWith("constraint.") =>
         new GraftTable(dirOf(ident)).addConstraint(
           org.apache.spark.sql.SparkSession.active,
           p.property.stripPrefix("constraint."), p.value)
-      case p: TableChange.RemoveProperty =>
+      case p: TableChange.RemoveProperty if p.property.startsWith("constraint.") =>
         new GraftTable(dirOf(ident)).dropConstraint(
           p.property.stripPrefix("constraint."))
+      // everything else is a free-form table property (e.g.
+      // 'bloom.columns' turns on per-file Bloom skipping) — one
+      // full-replacement props commit each
+      case p: TableChange.SetProperty =>
+        new GraftTable(dirOf(ident)).setProperty(p.property, p.value)
+      case p: TableChange.RemoveProperty =>
+        new GraftTable(dirOf(ident)).unsetProperty(p.property)
       case _ => ()
     }
     if (colChanges.isEmpty) return loadTable(ident)

@@ -20,7 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.system.optimize(table => 'db.t')                  -- compact
   *   CALL graft.system.optimize(table => 'db.t', small_only => true)
   *   CALL graft.system.optimize(table => 'db.t', zorder_by => 'a,b')
+  *   CALL graft.system.optimize(table => 'db.t',                  -- OPTIMIZE ... WHERE
+  *        where_column => 'dt', where_lower => '2026-08-01')
   *   CALL graft.system.vacuum(table => 'db.t', retain_versions => 2)
+  *   CALL graft.system.vacuum(table => 'db.t', dry_run => true)   -- audit only
   *   CALL graft.system.restore(table => 'db.t', version => 3)
   *   CALL graft.system.clone(source => 'db.t', target => 'db.t2')
   *   CALL graft.system.checkpoint(table => 'db.t')
@@ -123,31 +126,67 @@ object GraftProcedures {
     StructField("files_out", IntegerType, nullable = false),
     StructField("version", LongType, nullable = false)))
 
+  /** Parse a SQL-string bound into the typed value the stats domain of
+    * `column` compares in (the [[graft.medallion.GraftTable.compactRange]]
+    * contract): numerics as exact decimals, dates/timestamps as their
+    * epoch forms (timestamps accept epoch millis or a UTC
+    * `yyyy-MM-dd HH:mm:ss[.SSS]` literal), strings as-is. */
+  private def typedBound(t: GraftTable, column: String, s: String): Any = {
+    import org.apache.spark.sql.types._
+    val dt = t.snapshot().schema.fields.find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(
+        s"optimize: no column '$column' to range on")).dataType
+    dt match {
+      case _: NumericType => new java.math.BigDecimal(s.trim)
+      case StringType => s
+      case DateType => java.time.LocalDate.parse(s.trim)
+      case TimestampType =>
+        if (s.trim.forall(c => c.isDigit || c == '-'))
+          java.time.Instant.ofEpochMilli(s.trim.toLong)
+        else java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC)
+      case other => throw new IllegalArgumentException(
+        s"optimize: cannot range on ${other.simpleString} column '$column'")
+    }
+  }
+
   /** OPTIMIZE: full compact by default; `small_only => true` merges just
     * the sub-target files (the auto-compaction primitive — at 100 TB
     * this is the only shape anyone runs on a schedule); `zorder_by =>
-    * 'a,b'` rewrites Z-order-clustered. The three are mutually
-    * exclusive by construction (zorder wins, then small_only). */
+    * 'a,b'` rewrites Z-order-clustered; `where_column` (+ optional
+    * `where_lower`/`where_upper`) scopes the small-file merge to the
+    * stats range — the `OPTIMIZE ... WHERE` shape for the
+    * recent-ingest key/date band. Precedence: zorder, then range,
+    * then small_only, then full. */
   private def optimize(dirOf: String => String): UnboundProcedure =
     bound("optimize", Seq(
       param("table", StringType),
       paramD("zorder_by", StringType, "CAST(NULL AS STRING)"),
       paramD("target_file_mb", IntegerType, "128"),
       paramD("target_files", IntegerType, "16"),
-      paramD("small_only", BooleanType, "false")), optimizeOut) { in =>
+      paramD("small_only", BooleanType, "false"),
+      paramD("where_column", StringType, "CAST(NULL AS STRING)"),
+      paramD("where_lower", StringType, "CAST(NULL AS STRING)"),
+      paramD("where_upper", StringType, "CAST(NULL AS STRING)")), optimizeOut) { in =>
       val t = tableDir(dirOf, in.getUTF8String(0))
       val zorderBy = if (in.isNullAt(1)) None else Some(in.getUTF8String(1).toString)
       val targetMB = if (in.isNullAt(2)) 128 else in.getInt(2)
       val targetFiles = if (in.isNullAt(3)) 16 else in.getInt(3)
       val smallOnly = !in.isNullAt(4) && in.getBoolean(4)
-      val (op, (nIn, nOut, v)) = zorderBy match {
-        case Some(cols) =>
+      val whereCol = if (in.isNullAt(5)) None else Some(in.getUTF8String(5).toString)
+      def bnd(i: Int): Option[Any] = whereCol.flatMap(c =>
+        if (in.isNullAt(i)) None
+        else Some(typedBound(t, c, in.getUTF8String(i).toString)))
+      val (op, (nIn, nOut, v)) = (zorderBy, whereCol) match {
+        case (Some(cols), _) =>
           val cs = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
           require(cs.nonEmpty, "optimize: zorder_by needs at least one column")
           ("zorder", t.optimizeZorder(spark, cs, targetFiles))
-        case None if smallOnly =>
+        case (None, Some(c)) =>
+          ("compact-range", t.compactRange(spark, c, bnd(6), bnd(7), targetMB))
+        case (None, None) if smallOnly =>
           ("compact-small", t.compactSmall(spark, targetMB))
-        case None =>
+        case (None, None) =>
           ("compact", t.compact(spark, targetMB))
       }
       Seq(InternalRow(utf8(op), nIn, nOut, v))
@@ -157,13 +196,17 @@ object GraftProcedures {
     StructField("files_deleted", IntegerType, nullable = false),
     StructField("retained_from_version", LongType, nullable = false)))
 
+  /** `dry_run => true` audits the blast radius: same reachability walk,
+    * nothing deleted (Delta's `VACUUM ... DRY RUN`). */
   private def vacuum(dirOf: String => String): UnboundProcedure =
     bound("vacuum", Seq(
       param("table", StringType),
-      paramD("retain_versions", IntegerType, "2")), vacuumOut) { in =>
+      paramD("retain_versions", IntegerType, "2"),
+      paramD("dry_run", BooleanType, "false")), vacuumOut) { in =>
       val t = tableDir(dirOf, in.getUTF8String(0))
       val retain = if (in.isNullAt(1)) 2 else in.getInt(1)
-      val deleted = t.vacuum(retain)
+      val dry = !in.isNullAt(2) && in.getBoolean(2)
+      val deleted = t.vacuum(retain, dryRun = dry)
       Seq(InternalRow(deleted.size,
         math.max(1L, t.latestVersion() - retain + 1)))
     }

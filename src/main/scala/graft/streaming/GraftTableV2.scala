@@ -185,8 +185,29 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
     }
   }
 
-  private def versionAsOf(m: java.util.Map[String, String]): Option[Long] =
-    Option(m.get("versionAsOf")).map(_.toLong)
+  /** Version pin from either travel option: `versionAsOf` directly, or
+    * `timestampAsOf` resolved against the log's commit-time stamps
+    * (epoch millis, or a UTC `yyyy-MM-dd HH:mm:ss[.SSS]` literal —
+    * UTC because that is the session timezone convention of every
+    * other timestamp surface here). Both present must agree or it's a
+    * caller bug — refuse rather than pick one silently. */
+  private def versionAsOf(m: java.util.Map[String, String]): Option[Long] = {
+    val byVersion = Option(m.get("versionAsOf")).map(_.toLong)
+    val byTime = Option(m.get("timestampAsOf")).map { s =>
+      val millis =
+        if (s.forall(c => c.isDigit || c == '-')) s.toLong
+        else java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      new GraftTable(path(m)).versionAtTimestamp(millis)
+    }
+    (byVersion, byTime) match {
+      case (Some(v), Some(t)) =>
+        require(v == t, s"graft-table: versionAsOf=$v and timestampAsOf " +
+          s"resolve to different versions ($v vs $t) — pass one")
+        byVersion
+      case _ => byVersion.orElse(byTime)
+    }
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftTableV2.readSchemaOf(path(options), versionAsOf(options))
@@ -247,9 +268,10 @@ class GraftTableV2(
     * (DESCRIBE, SHOW TBLPROPERTIES), and each full snapshot resolution
     * is O(commits-since-checkpoint) log I/O. */
   private lazy val resolvedProperties: java.util.Map[String, String] = {
-    val cons = new GraftTable(tablePath).snapshot(snapVersion).constraints
+    val snap = new GraftTable(tablePath).snapshot(snapVersion)
     (Map("version" -> snapVersion.toString) ++
-      cons.map { case (n, e) => s"constraint.$n" -> e }).asJava
+      snap.props ++
+      snap.constraints.map { case (n, e) => s"constraint.$n" -> e }).asJava
   }
   override def properties(): java.util.Map[String, String] = resolvedProperties
 
@@ -1222,16 +1244,35 @@ object GraftTableV2 {
         schema.fields.find(_.name == col) match {
           case Some(field) =>
             val physCol = TxLog.physicalOf(schema, col)
+            // small lists additionally probe per-file Bloom filters —
+            // conservative conjunct (range-any AND bloom-any); beyond
+            // ~64 members a 2%-FP bloom admits almost surely, so only
+            // the range check runs
+            val bloomProbes: Option[Seq[(Long, Long)]] =
+              if (values.length > 64) None
+              else {
+                val hs = values.toSeq.map(v =>
+                  TxLog.bloomHashes(v, field.dataType))
+                if (hs.exists(_.isEmpty)) None else Some(hs.map(_.get))
+              }
+            def bloomAny(cs: TxLog.ColStats): Boolean =
+              (cs.bloom, bloomProbes) match {
+                case (Some(b64), Some(hs)) =>
+                  hs.exists { case (h1, h2) =>
+                    TxLog.bloomMightContain(b64, h1, h2) }
+                case _ => true
+              }
             val numeric = table.statsKind(field.dataType) == "num"
             if (numeric) {
               val sorted = values.map(v => BigDecimal(table.statsLiteral(v))).sorted
               (a: TxLog.AddFile, _: Long) => a.stats.get(physCol).forall { cs =>
-                anyInRange(sorted, BigDecimal(cs.min), BigDecimal(cs.max))
+                anyInRange(sorted, BigDecimal(cs.min), BigDecimal(cs.max)) &&
+                  bloomAny(cs)
               }
             } else {
               val sorted = values.map(table.statsLiteral).sorted
               (a: TxLog.AddFile, _: Long) => a.stats.get(physCol).forall { cs =>
-                anyInRange(sorted, cs.min, cs.max)
+                anyInRange(sorted, cs.min, cs.max) && bloomAny(cs)
               }
             }
           case None => // unknown column: conservative, same as fileSurvives
@@ -1298,9 +1339,14 @@ object GraftTableV2 {
         a.stats.get(TxLog.physicalOf(schema, c)).forall(cs => !cs.nulls.contains(0L))
       case IsNotNull(c) => !provablyAllNull(c)
       case In(col, values) =>
+        val phys = TxLog.physicalOf(schema, col)
         values.isEmpty || values.exists(x =>
-          x == null || table.statsOverlap(
-            a, TxLog.physicalOf(schema, col), Some(x), Some(x)))
+          x == null || (table.statsOverlap(a, phys, Some(x), Some(x)) &&
+            table.bloomAdmits(schema, a, phys, col, x)))
+      case EqualTo(col, value) if value != null =>
+        val phys = TxLog.physicalOf(schema, col)
+        table.statsOverlap(a, phys, Some(value), Some(value)) &&
+          table.bloomAdmits(schema, a, phys, col, value)
       case And(l, r) =>
         fileSurvives(table, schema, a, v, l, syntheticVersion) &&
           fileSurvives(table, schema, a, v, r, syntheticVersion)

@@ -126,6 +126,59 @@ class GraftProceduresSpec extends SparkSpec {
     }
   }
 
+  test("optimize where_column scopes the merge; vacuum dry_run deletes nothing") {
+    import spark.implicits._
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.w (id BIGINT, v STRING)")
+      val t = new GraftTable(s"$wh/db/w")
+      // two small files in the low range, two in the high range
+      Seq(Seq(1L -> "a"), Seq(2L -> "b"), Seq(100L -> "x"), Seq(200L -> "y"))
+        .foreach(rows => t.append(rows.toDF("id", "v").coalesce(1)))
+      val row = spark.sql(
+        s"CALL $cat.system.optimize(table => 'db.w', where_column => 'id'," +
+          " where_upper => '50')").head()
+      assert(row.getString(0) === "compact-range")
+      assert(row.getInt(1) === 2, s"only the low-range files merge: $row")
+      assert(spark.sql(s"SELECT id FROM $cat.db.w").collect()
+        .map(_.getLong(0)).toSet === Set(1L, 2L, 100L, 200L))
+      // dry-run vacuum reports the two merged-away files, deletes nothing
+      val preview = spark.sql(
+        s"CALL $cat.system.vacuum(table => 'db.w', retain_versions => 0," +
+          " dry_run => true)").head()
+      assert(preview.getInt(0) === 2)
+      val filesOnDisk = new java.io.File(s"$wh/db/w").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(filesOnDisk === 5, "dry run must not delete (4 small + 1 merged)")
+      val real = spark.sql(
+        s"CALL $cat.system.vacuum(table => 'db.w', retain_versions => 0)").head()
+      assert(real.getInt(0) === 2)
+    }
+  }
+
+  test("path-based DSv2 read honors option(timestampAsOf)") {
+    import spark.implicits._
+    val dir = new java.io.File(
+      s"target/tmp/proc_tsopt_${java.util.UUID.randomUUID().toString.take(8)}")
+      .getAbsolutePath
+    val t = new GraftTable(dir)
+    t.append(Seq(1L).toDF("id"))
+    val betweenMs = t.historyFull().head._5.get
+    Thread.sleep(5)
+    t.append(Seq(2L).toDF("id"))
+    val asOf = spark.read.format("graft-table").option("path", dir)
+      .option("timestampAsOf", betweenMs.toString).load()
+    assert(asOf.select("id").collect().map(_.getLong(0)).toSet === Set(1L))
+    // literal form, and the disagreement guard
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(betweenMs))
+    assert(spark.read.format("graft-table").option("path", dir)
+      .option("timestampAsOf", lit).load().count() === 1L)
+    intercept[Exception](spark.read.format("graft-table").option("path", dir)
+      .option("timestampAsOf", betweenMs.toString)
+      .option("versionAsOf", t.latestVersion().toString).load().collect())
+  }
+
   test("procedures cannot escape the warehouse") {
     withCatalog { (cat, _) =>
       val e = intercept[Exception](spark.sql(
