@@ -90,9 +90,22 @@ object TxLog {
   }
 
   /** One live data file: path RELATIVE to the table root (tables stay
-    * relocatable), row/byte counts, and optional per-column stats. */
+    * relocatable), row/byte counts, and optional per-column stats.
+    *
+    * `dv` is the file's DELETION VECTOR — a serialized RoaringBitmap
+    * (base64) of the row indexes (parquet `_metadata.row_index` order)
+    * deleted merge-on-read: the file's bytes are immutable, the bitmap
+    * says which of its rows no longer exist. `dvRows` is its exact
+    * cardinality, persisted so metadata-only row accounting
+    * ([[effectiveRows]]) never deserializes a bitmap. A file whose DV
+    * grows past the [[GraftTable.deleteRows]] thresholds is rewritten
+    * instead — DVs stay metadata-sized by construction. */
   final case class AddFile(
-      path: String, rows: Long, bytes: Long, stats: Map[String, ColStats])
+      path: String, rows: Long, bytes: Long, stats: Map[String, ColStats],
+      dv: Option[String] = None, dvRows: Long = 0L) {
+    /** Rows a reader actually sees: physical rows minus DV'd rows. */
+    def effectiveRows: Long = rows - dvRows
+  }
 
   /** Resolved table state at `version`: the live file set + schema +
     * the newest streaming batch id committed per writer app (the Delta
@@ -202,6 +215,35 @@ object TxLog {
     * The PROBE side reads m from the stored bitset's length, so files
     * written under different sizes coexist in one table. */
   private[graft] val BloomBitsProp = "bloom.bits"
+  /** Table property: max deleted fraction of a file before a
+    * merge-on-read delete rewrites it instead (see
+    * [[GraftTable.deleteRows]]). */
+  private[graft] val DvMaxFractionProp = "dv.maxFraction"
+  private[graft] val DvMaxFraction = 0.5
+  /** Table property: max serialized deletion-vector bytes per file. */
+  private[graft] val DvMaxBytesProp = "dv.maxBytes"
+  private[graft] val DvMaxBytes = 65536
+  /** Table property routing SQL `DELETE FROM` with an arbitrary
+    * predicate to [[GraftTable.deleteRows]] when set to
+    * `merge-on-read` (default: copy-on-write via the row-level
+    * rewrite; exact one-column ranges stay metadata-only drops under
+    * both modes). */
+  private[graft] val DeleteModeProp = "delete.mode"
+  private[graft] val DeleteModeMor = "merge-on-read"
+  /** Table property (`'true'`) turning on the CHANGE DATA FEED: every
+    * row-mutating commit (upsert / delete / deleteRows / SQL row-level
+    * DML) additionally stages its net row changes as parquet under
+    * [[ChangeDir]] and references them with `cdc` actions, so
+    * [[GraftTable.readChangeFeed]] can serve deletes and updates — not
+    * just appends — incrementally (Delta's
+    * `delta.enableChangeDataFeed`). */
+  private[graft] val CdfEnabledProp = "cdf.enabled"
+  private[graft] val ChangeDir = "_change"
+  /** Column carrying the change kind in CDF output: `insert` |
+    * `delete`. Updates surface as a delete+insert pair (net-change
+    * semantics — exactly what an incremental consumer folds; pre/post
+    * pairing adds nothing a fold can use). */
+  private[graft] val ChangeTypeCol = "_change_type"
   private[graft] val BloomBits = 8192
   private[graft] val BloomK = 6
   /** xxhash64's SQL default seed — h1 is the plain `xxhash64(col)`
@@ -280,11 +322,21 @@ object TxLog {
 
   private def addToJson(a: AddFile, addedIn: Option[Long] = None): JObject =
     JObject(List(
-      "a" -> (JString("add"): JValue), "path" -> JString(a.path),
+      // a DV-carrying add uses its own action tag: a pre-DV reader that
+      // silently ignored the bitmap would RESURRECT deleted rows, so it
+      // must fail loudly instead ("unknown action") — the same format-
+      // bump-confined-to-users gating as constraints/props (only commits
+      // and checkpoints actually referencing a DV'd file carry the tag)
+      "a" -> (JString(if (a.dv.isDefined) "add-dv" else "add"): JValue),
+      "path" -> JString(a.path),
       "rows" -> JLong(a.rows), "bytes" -> JLong(a.bytes),
       "stats" -> statsToJson(a.stats)) ++
-      // checkpoint-only provenance: which commit originally added the
-      // file (live commits don't carry it — their file name IS the version)
+      a.dv.map(b => "dv" -> (JString(b): JValue)).toList ++
+      (if (a.dv.isDefined) List("dvn" -> (JLong(a.dvRows): JValue)) else Nil) ++
+      // provenance: which commit originally added the file. Always in
+      // checkpoints; in LIVE commits only when the commit re-adds a path
+      // it did not originate (a DV update must not re-attribute the
+      // file's surviving rows to the delete's version).
       addedIn.map(v => "v" -> (JLong(v): JValue)).toList)
 
   private[medallion] def str(j: JValue): String = j match {
@@ -307,9 +359,50 @@ object TxLog {
       }.toMap
       case _ => Map.empty[String, ColStats]
     }
-    (AddFile(str(m("path")), lng(m("rows")), lng(m("bytes")), stats),
+    (AddFile(str(m("path")), lng(m("rows")), lng(m("bytes")), stats,
+      m.get("dv").map(str), m.get("dvn").map(lng).getOrElse(0L)),
       m.get("v").map(lng))
   }
+
+  // ------------------------------------------------- deletion vectors
+  // Merge-on-read DELETE (the Delta deletion-vector / Iceberg v2
+  // position-delete shape): a sparse DELETE that touches every file is
+  // a full-table rewrite under copy-on-write; recording the deleted
+  // ROW INDEXES per file as a compressed bitmap in the log makes it a
+  // metadata-sized commit at any table size. Bitmaps are RoaringBitmaps
+  // (ships with Spark) over parquet row indexes; int-indexed is
+  // sufficient — a single parquet file beyond 2^31 rows does not
+  // happen under any sane target file size, and the build guards it.
+
+  private[graft] def dvSerialize(bm: org.roaringbitmap.RoaringBitmap): String = {
+    bm.runOptimize()
+    val buf = java.nio.ByteBuffer.allocate(bm.serializedSizeInBytes())
+    bm.serialize(buf)
+    java.util.Base64.getEncoder.encodeToString(buf.array())
+  }
+
+  private[graft] def dvDeserialize(b64: String): org.roaringbitmap.RoaringBitmap = {
+    val bm = new org.roaringbitmap.RoaringBitmap()
+    bm.deserialize(java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b64)))
+    bm
+  }
+
+  private[graft] def dvOf(idxs: Iterable[Long]): org.roaringbitmap.RoaringBitmap = {
+    val bm = new org.roaringbitmap.RoaringBitmap()
+    idxs.foreach { i =>
+      require(i >= 0 && i < Int.MaxValue,
+        s"txlog: row index $i exceeds the deletion-vector domain — " +
+          "a file this tall must take the rewrite path")
+      bm.add(i.toInt)
+    }
+    bm
+  }
+
+  /** The deleted row indexes of a serialized DV, as longs (the
+    * `_metadata.row_index` comparison domain). Size is bounded by the
+    * [[GraftTable.deleteRows]] thresholds that admitted the DV. */
+  private[graft] def dvIndexes(b64: String): Array[Long] =
+    dvDeserialize(b64).toArray.map(_.toLong) // indexes < 2^31 by the build guard
 
   /** One commit file = JSON lines: an `info` line (op + readVersion, for
     * history/debugging), optional `schema` line, then add/remove lines. */
@@ -320,7 +413,8 @@ object TxLog {
       addVersions: Map[String, Long] = Map.empty,
       constraints: Option[Map[String, String]] = None,
       tsMillis: Option[Long] = None,
-      props: Option[Map[String, String]] = None): String = {
+      props: Option[Map[String, String]] = None,
+      cdc: Seq[(String, Long)] = Nil): String = {
     val lines =
       JObject(("a" -> JString("info")) :: ("op" -> JString(op)) ::
         ("readVersion" -> JLong(readVersion)) ::
@@ -345,7 +439,13 @@ object TxLog {
       txns.toList.sortBy(_._1).map { case (app, b) =>
         JObject("a" -> JString("txn"), "appId" -> JString(app), "batchId" -> JLong(b)) } :::
       adds.toList.map(a => addToJson(a, addVersions.get(a.path))) :::
-      removes.toList.map(p => JObject("a" -> JString("remove"), "path" -> JString(p)))
+      removes.toList.map(p => JObject("a" -> JString("remove"), "path" -> JString(p))) :::
+      // change-data-feed files of this commit (NOT live data — snapshot
+      // replay ignores them; readChangeFeed reads them). A new action,
+      // so pre-CDF readers fail loudly on CDF-bearing commits only —
+      // the same format-bump confinement as constraints/props/add-dv.
+      cdc.toList.map { case (p, n) => JObject("a" -> JString("cdc"),
+        "path" -> JString(p), "rows" -> JLong(n)) }
     lines.map(j => JsonMethods.compact(JsonMethods.render(j))).mkString("\n")
   }
 
@@ -359,7 +459,9 @@ object TxLog {
       /** wall-clock commit time (epoch millis); absent in pre-ts logs */
       tsMillis: Option[Long] = None,
       /** full-replacement table properties, when this commit changed them */
-      props: Option[Map[String, String]] = None)
+      props: Option[Map[String, String]] = None,
+      /** change-data-feed files (path, rows) this commit staged */
+      cdc: Seq[(String, Long)] = Nil)
 
   private[medallion] def parseCommit(content: String): Commit = {
     var op = "unknown"; var schema: Option[String] = None
@@ -369,6 +471,7 @@ object TxLog {
     var cons: Option[Map[String, String]] = None
     var ts: Option[Long] = None
     var prp: Option[Map[String, String]] = None
+    val cdc = Seq.newBuilder[(String, Long)]
     content.linesIterator.filter(_.nonEmpty).foreach { line =>
       val o = JsonMethods.parse(line).asInstanceOf[JObject]
       val m = o.obj.toMap
@@ -377,7 +480,7 @@ object TxLog {
           op = str(m("op"))
           ts = m.get("ts").map(lng)
         case "schema" => schema = Some(str(m("json")))
-        case "add" =>
+        case "add" | "add-dv" =>
           val (a, v) = parseAdd(o)
           adds += a
           v.foreach(ver => addVs += (a.path -> ver))
@@ -389,11 +492,13 @@ object TxLog {
         case "props" =>
           prp = Some(m("set").asInstanceOf[JObject].obj.map {
             case (n, v) => n -> str(v) }.toMap)
+        case "cdc" => cdc += ((str(m("path")), lng(m("rows"))))
         case other => throw new IllegalStateException(
           s"txlog: unknown action '$other' — refusing to read a log written by a newer format")
       }
     }
-    Commit(op, schema, adds.result(), removes.result(), txns, addVs, cons, ts, prp)
+    Commit(op, schema, adds.result(), removes.result(), txns, addVs, cons, ts,
+      prp, cdc.result())
   }
 }
 
@@ -504,7 +609,13 @@ final class GraftTable(val tablePath: String) {
       val c = parseCommit(new String(Files.readAllBytes(f), "UTF-8"))
       c.schemaJson.foreach(schemaJson = _)
       c.removes.foreach { p => live -= p; addedIn -= p }
-      c.adds.foreach { a => live += (a.path -> a); addedIn += (a.path -> v) }
+      // a live commit may carry explicit provenance for a path it
+      // re-adds without originating (a DV update replaces the AddFile
+      // but the surviving rows still belong to their original commit)
+      c.adds.foreach { a =>
+        live += (a.path -> a)
+        addedIn += (a.path -> c.addVersions.getOrElse(a.path, v))
+      }
       // monotonic max: an out-of-order replayed txn must never LOWER the
       // high-water mark (that would re-admit its duplicates later)
       c.txns.foreach { case (app, b) =>
@@ -639,16 +750,176 @@ final class GraftTable(val tablePath: String) {
       spark: SparkSession, snap: Snapshot, residual: DataFrame => DataFrame): DataFrame =
     if (snap.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else {
-      val paths = snap.files.map(a => root.resolve(a.path).toString)
+    else
       // explicit schema: file-order inference must not decide column
       // order after a schema-widening overwrite. The bytes are read
       // under PHYSICAL names and projected back to logical — a no-op
       // select on unmapped tables
       residual(toLogical(
-        spark.read.schema(physicalSchema(snap.schema)).parquet(paths: _*),
+        readPhysicalFiles(spark, physicalSchema(snap.schema), snap.files),
         snap.schema))
+
+  /** Read exactly `files` under the PHYSICAL schema with each file's
+    * deletion vector applied — the ONE raw-bytes entry point every
+    * snapshot read and every rewrite (compact / zorder / upsert /
+    * delete survivors) goes through, so DV'd rows can never resurrect.
+    *
+    * DV-free files stream through one plain vectorized parquet scan
+    * (unchanged plan). DV'd files read with their parquet row index and
+    * anti-join the deleted (file, row_index) pairs — pairs come from
+    * the log's bitmaps, whose total size the [[deleteRows]] thresholds
+    * bound (an over-threshold DV becomes a rewrite instead), so the
+    * broadcast side stays metadata-sized at any table size; a purge or
+    * any compaction retires it entirely. */
+  private[graft] def readPhysicalFiles(
+      spark: SparkSession, physSchema: StructType,
+      files: Seq[AddFile]): DataFrame = {
+    def cols = physSchema.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
+    def plain(fs: Seq[AddFile]): DataFrame =
+      spark.read.schema(physSchema)
+        .parquet(fs.map(a => root.resolve(a.path).toString): _*)
+    val (dvd, clean) = files.partition(_.dv.isDefined)
+    if (dvd.isEmpty) return plain(files)
+    val pairs = dvd.flatMap(a => dvIndexes(a.dv.get).map(i => (a.path, i)))
+    val pairDf = spark.createDataFrame(pairs).toDF("__dv_file", "__dv_idx")
+    // staged file names are unique within a table (part-<batch>-<i>),
+    // so the file NAME keys the join — no file_path URI-format coupling
+    val surviving = plain(dvd)
+      .withColumn("__dv_file",
+        substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("__dv_idx", col("_metadata.row_index"))
+      .join(broadcast(pairDf), Seq("__dv_file", "__dv_idx"), "left_anti")
+      .select(cols: _*)
+    if (clean.isEmpty) surviving else plain(clean).unionAll(surviving)
+  }
+
+  // ------------------------------------------------- change data feed
+
+  private def cdfEnabled(snap: Snapshot): Boolean =
+    snap.props.get(CdfEnabledProp).contains("true")
+
+  /** Stage a change frame (PHYSICAL column names + [[ChangeTypeCol]])
+    * as parquet under [[ChangeDir]] and return (relative path, rows)
+    * refs for the commit's `cdc` actions. Invisible until a commit
+    * references them; a lost commit race leaves orphans for
+    * [[vacuum]]. An empty frame stages nothing. */
+  private def stageChanges(changes: DataFrame): Seq[(String, Long)] = {
+    val spark = changes.sparkSession
+    val changeRoot = root.resolve(ChangeDir)
+    Files.createDirectories(changeRoot)
+    val stage = root.resolve(s"_staged_cdc_${UUID.randomUUID().toString.take(8)}")
+    changes.write.parquet(stage.toString)
+    val it = Files.list(stage)
+    val parts =
+      try it.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toList
+      finally it.close()
+    val counted =
+      if (parts.isEmpty) Nil
+      else spark.read.parquet(parts.map(_.toString): _*)
+        .groupBy(col("_metadata.file_path").as("_f")).count()
+        .collect().toSeq.sortBy(_.getString(0))
+    val batch = UUID.randomUUID().toString.take(8)
+    val refs = counted.zipWithIndex.map { case (row, i) =>
+      val src = Paths.get(java.net.URI.create(row.getString(0)).getPath)
+      val name = s"cdf-$batch-$i.parquet"
+      Files.move(src, changeRoot.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      (s"$ChangeDir/$name", row.getLong(1))
     }
+    graft.core.Fs.rmTree(stage.toFile)
+    refs
+  }
+
+  /** Net row changes of a rewrite, as a stageable PHYSICAL-named frame:
+    * multiset difference pre-vs-post — rows only in the pre state are
+    * `delete`, rows only in the post state are `insert` (an UPDATE is
+    * the pair; unchanged rows carried through a rewrite cancel out).
+    * Exactly what an incremental consumer folds, and derived from the
+    * SAME bytes the commit removes/adds — the feed can never disagree
+    * with the table. Cost: one exceptAll over the TOUCHED files only,
+    * and only on `cdf.enabled` tables. */
+  private def cdcDiff(
+      spark: SparkSession, snap: Snapshot,
+      preFiles: Seq[AddFile], postFiles: Seq[AddFile]): Seq[(String, Long)] = {
+    require(!snap.schema.fieldNames.contains(ChangeTypeCol),
+      s"txlog: cdf.enabled tables must not have a '$ChangeTypeCol' column")
+    val phys = physicalSchema(snap.schema)
+    def readOr(fs: Seq[AddFile]): DataFrame =
+      if (fs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], phys)
+      else readPhysicalFiles(spark, phys, fs)
+    val pre = readOr(preFiles)
+    val post = readOr(postFiles)
+    stageChanges(
+      pre.exceptAll(post).withColumn(ChangeTypeCol, lit("delete"))
+        .unionAll(post.exceptAll(pre).withColumn(ChangeTypeCol, lit("insert"))))
+  }
+
+  /** The CHANGE DATA FEED: every row change in versions
+    * `(sinceVersion, until]`, tagged `_change_type` (`insert` |
+    * `delete`; updates are the pair) and `_commit_version` — the full
+    * generalization of [[appendsSince]] to tables that UPDATE and
+    * DELETE. Append-family commits serve their add-files as inserts
+    * (no extra bytes stored); mutating commits serve the change files
+    * they staged under `cdf.enabled`; row-neutral commits (compact /
+    * zorder / purge / checkpoint / schema-only) contribute nothing. A
+    * mutating commit written WITHOUT `cdf.enabled` fails the read
+    * loudly — silently skipping it would hand the consumer a feed
+    * missing real changes. O(changes in range) reads at any table
+    * size; same vacuum-retention caveat as [[appendsSince]].
+    *
+    * Invariant (spec-enforced): for any window, folding the feed into
+    * the `since` snapshot reproduces the `until` snapshot exactly. */
+  def readChangeFeed(
+      spark: SparkSession, sinceVersion: Long,
+      untilVersion: Long = -1L): DataFrame = {
+    val head = latestVersion()
+    require(sinceVersion <= head,
+      s"txlog: readChangeFeed($sinceVersion) is ahead of head $head")
+    val until = if (untilVersion < 0) head else math.min(untilVersion, head)
+    val schema = snapshot(until).schema
+    val phys = physicalSchema(schema)
+    def logical(df: DataFrame): DataFrame =
+      df.select(schema.fields.toIndexedSeq.map(f =>
+        col(s"`${physicalName(f)}`").as(f.name, f.metadata)) :+
+        col(ChangeTypeCol): _*)
+    val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .withColumn(ChangeTypeCol, lit("")).limit(0)
+      .withColumn("_commit_version", lit(0L)).limit(0)
+    ((sinceVersion + 1) to until).foldLeft(empty) { (acc, v) =>
+      val f = versionFile(v)
+      require(Files.exists(f),
+        s"txlog: commit $v missing — readChangeFeed($sinceVersion) is " +
+          "behind the vacuum retention window; re-seed from a snapshot read")
+      val c = parseCommit(new String(Files.readAllBytes(f), "UTF-8"))
+      val batch: Option[DataFrame] =
+        if (c.cdc.nonEmpty) {
+          val paths = c.cdc.map { case (p, _) => root.resolve(p) }
+          paths.foreach(p => require(Files.exists(p),
+            s"txlog: change file $p of commit $v was vacuumed — " +
+              "readChangeFeed is behind the retention window"))
+          Some(logical(spark.read
+            .schema(phys.add(ChangeTypeCol, StringType))
+            .parquet(paths.map(_.toString): _*)))
+        } else c.op match {
+          case "append" | "streamingUpdate" | "clone" if c.adds.nonEmpty =>
+            Some(logical(
+              readPhysicalFiles(spark, phys, c.adds)
+                .withColumn(ChangeTypeCol, lit("insert"))))
+          case "append" | "streamingUpdate" | "clone" => None
+          case "compact" | "zorder" | "checkpoint" | "create" | "addColumns"
+             | "addConstraint" | "dropConstraint" | "renameColumn"
+             | "dropColumn" | "setProps" | "purge" => None
+          case mutating => throw new IllegalStateException(
+            s"txlog: commit $v is a '$mutating' with no change data — it " +
+              s"was written without '$CdfEnabledProp'. Re-seed from a " +
+              "snapshot read, or enable the feed before mutating.")
+        }
+      batch.fold(acc)(b => acc.unionAll(b.withColumn("_commit_version", lit(v))))
+    }
+  }
 
   // ------------------------------------------------------------- writes
 
@@ -808,10 +1079,12 @@ final class GraftTable(val tablePath: String) {
       adds: Seq[AddFile], removes: Seq[String],
       txns: Map[String, Long] = Map.empty,
       constraints: Option[Map[String, String]] = None,
-      props: Option[Map[String, String]] = None): Boolean = {
+      props: Option[Map[String, String]] = None,
+      addVersions: Map[String, Long] = Map.empty): Boolean = {
     ensureDirs()
     putIfAbsent(
       renderCommit(op, readVersion, schemaJson, adds, removes, txns,
+        addVersions = addVersions,
         constraints = constraints,
         // every real commit carries wall-clock time (TIMESTAMP AS OF
         // resolves against it); checkpoints bypass tryCommit and stay
@@ -1197,8 +1470,7 @@ final class GraftTable(val tablePath: String) {
           changes.drop("_deleted", "_op", seqCol).schema)
       else
         toLogical(
-          spark.read.schema(physicalSchema(snap.schema))
-            .parquet(touched.map(a => root.resolve(a.path).toString): _*),
+          readPhysicalFiles(spark, physicalSchema(snap.schema), touched),
           snap.schema)
     val merged = Medallion.applyCdc(base, changes, key, seqCol)
     val adds = stageData(toPhysical(merged, snap.schema))
@@ -1494,9 +1766,13 @@ final class GraftTable(val tablePath: String) {
       s"txlog: cannot restore to $targetVersion — head is ${snap.version}")
     if (targetVersion == snap.version) return snap.version
     val target = snapshot(targetVersion)
-    val liveNow = snap.files.map(_.path).toSet
+    val headByPath = snap.files.map(a => a.path -> a).toMap
     val wanted = target.files.map(_.path).toSet
-    val readds = target.files.filterNot(a => liveNow.contains(a.path))
+    // a path live in BOTH versions still re-adds when its AddFile
+    // differs — a deletion vector acquired since the target version
+    // must revert with the data (the bytes are identical, so only the
+    // dv fields can diverge for a same-path file)
+    val readds = target.files.filterNot(a => headByPath.get(a.path).contains(a))
     readds.foreach(a => require(Files.exists(root.resolve(a.path)),
       s"txlog: data file ${a.path} of version $targetVersion was vacuumed — " +
         "restore target is behind the retention window"))
@@ -1507,10 +1783,14 @@ final class GraftTable(val tablePath: String) {
     // The constraint set reverts WITH the data (restoring to a
     // pre-constraint version must not keep enforcing a rule whose
     // clean-table validation no longer holds).
+    // Re-adds carry the TARGET version's provenance: after a restore,
+    // rows attribute exactly as they did at the restored version.
     val won = latestVersion() == snap.version &&
       tryCommit(v, "restore", snap.version, Some(target.schemaJson),
         readds, removes, constraints = Some(target.constraints),
-        props = Some(target.props))
+        props = Some(target.props),
+        addVersions = readds.map(a =>
+          a.path -> target.addedIn.getOrElse(a.path, targetVersion)).toMap)
     if (!won) throw new ConcurrentWriteException(
       s"txlog: restore read version ${snap.version} but head moved — " +
         "re-read and retry")
@@ -1653,8 +1933,8 @@ final class GraftTable(val tablePath: String) {
         case (None, Some(u)) => c <= lit(u)
         case (None, None) => c.isNotNull // full-range: non-null rows match
       }
-      val survivors = spark.read.schema(physicalSchema(snap.schema))
-        .parquet(touched.map(a => root.resolve(a.path).toString): _*)
+      val survivors =
+        readPhysicalFiles(spark, physicalSchema(snap.schema), touched)
         .filter(!coalesce(matched, lit(false))) // NULL predicate ⇒ row survives
       stageData(survivors)
     }
@@ -1667,6 +1947,141 @@ final class GraftTable(val tablePath: String) {
     (dropped.size, touched.size, v)
   }
 
+  /** Merge-on-read DELETE (deletion vectors — the Delta DV / Iceberg v2
+    * position-delete shape): rows matching `condition` (a SQL boolean
+    * expression over LOGICAL column names; NULL = no match, SQL DELETE
+    * semantics) are recorded as per-file row-index bitmaps in the log —
+    * the data bytes never move. A sparse delete scattered across every
+    * file of a 100 TB table — the GDPR/right-to-be-forgotten shape that
+    * copy-on-write turns into a full-table rewrite — commits here as
+    * metadata: one bitmap per touched file.
+    *
+    * Per-file triage keeps DVs honest: a file whose total deleted
+    * fraction would exceed `dv.maxFraction` (table property, default
+    * 0.5) or whose merged bitmap would serialize past `dv.maxBytes`
+    * (default 64 KiB) is rewritten copy-on-write in the same commit
+    * instead — a DV bigger than the IO it saves is debt. The bounds are
+    * also what keep every reader's DV anti-join side metadata-sized.
+    * Successive deletes OR into the existing bitmap (idempotent per
+    * row); surviving rows keep their original `_commit_version`
+    * provenance. The commit is a rewrite for tailing consumers (rows
+    * disappeared — same contract as [[delete]]).
+    *
+    * Returns (filesVectorized, filesRewritten, rowsDeleted, version) —
+    * a no-match delete is (0, 0, 0, head) with no commit. */
+  def deleteRows(spark: SparkSession, condition: String): (Int, Int, Long, Long) = {
+    val snap = snapshot()
+    if (snap.files.isEmpty) return (0, 0, 0L, snap.version)
+    val maxFraction = snap.props.get(DvMaxFractionProp)
+      .map(_.toDouble).getOrElse(DvMaxFraction)
+    val maxBytes = snap.props.get(DvMaxBytesProp)
+      .map(_.toInt).getOrElse(DvMaxBytes)
+    val phys = physicalSchema(snap.schema)
+    val byName = snap.files.map(a => a.path -> a).toMap
+
+    // live rows tagged with (file, row_index), existing DVs applied —
+    // so already-deleted rows can never match again (counts stay exact)
+    def taggedLive(): DataFrame = {
+      val raw = spark.read.schema(phys)
+        .parquet(snap.files.map(a => root.resolve(a.path).toString): _*)
+        .withColumn("__file",
+          substring_index(col("_metadata.file_path"), "/", -1))
+        .withColumn("__idx", col("_metadata.row_index"))
+      val existing = snap.files.filter(_.dv.isDefined)
+        .flatMap(a => dvIndexes(a.dv.get).map(i => (a.path, i)))
+      val live = if (existing.isEmpty) raw
+        else raw.join(
+          broadcast(spark.createDataFrame(existing).toDF("__file", "__idx")),
+          Seq("__file", "__idx"), "left_anti")
+      // logical names for the condition, tag columns carried through
+      live.select(snap.schema.fields.toIndexedSeq.map(f =>
+        col(s"`${physicalName(f)}`").as(f.name, f.metadata)) ++
+        Seq(col("__file"), col("__idx")): _*)
+    }
+    def matchedPairs(): DataFrame = taggedLive()
+      .filter(coalesce(expr(condition), lit(false)))
+      .select("__file", "__idx")
+
+    // phase 1: per-file match counts only (no index materialization) —
+    // the triage decides which files may collect indexes at all
+    val counts: Map[String, Long] = matchedPairs()
+      .groupBy("__file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return (0, 0, 0L, snap.version)
+    val overFraction = counts.keySet.filter { p =>
+      val a = byName(p)
+      (a.dvRows + counts(p)).toDouble / a.rows > maxFraction
+    }
+    // phase 2: indexes for the DV-eligible files only. Per-file volume
+    // is bounded by maxFraction × file rows on the executor and by the
+    // serialized-size check before anything long-lived is kept.
+    val dvCandidates = (counts.keySet -- overFraction).toSeq.sorted
+    val built: Seq[(String, org.roaringbitmap.RoaringBitmap)] =
+      if (dvCandidates.isEmpty) Nil
+      else matchedPairs()
+        .filter(col("__file").isin(dvCandidates: _*))
+        .groupBy("__file").agg(collect_list(col("__idx")).as("idxs"))
+        .collect().toSeq
+        .map { r =>
+          val p = r.getString(0)
+          val bm = dvOf(r.getSeq[Long](1))
+          byName(p).dv.foreach(b64 => bm.or(dvDeserialize(b64)))
+          p -> bm
+        }
+    val (vectorized, overBytes) = built.partition { case (_, bm) =>
+      bm.runOptimize(); bm.serializedSizeInBytes() <= maxBytes
+    }
+    val rewriteFiles =
+      (overFraction ++ overBytes.map(_._1)).toSeq.sorted.map(byName)
+    val dvAdds = vectorized.sortBy(_._1).map { case (p, bm) =>
+      byName(p).copy(dv = Some(dvSerialize(bm)),
+        dvRows = bm.getLongCardinality)
+    }
+    // copy-on-write leg: over-threshold files rewrite DV-applied
+    val stagedAdds = if (rewriteFiles.isEmpty) Seq.empty else
+      stageData(toPhysical(
+        toLogical(readPhysicalFiles(spark, phys, rewriteFiles), snap.schema)
+          .filter(!coalesce(expr(condition), lit(false))),
+        snap.schema))
+    // provenance of the re-added DV files stays with their ORIGINAL
+    // commit — the delete changed which rows exist, not who wrote them
+    val addVersions = dvAdds.map(a =>
+      a.path -> snap.addedIn.getOrElse(a.path, snap.version)).toMap
+    val v = snap.version + 1
+    val won = latestVersion() == snap.version &&
+      tryCommit(v, "delete", snap.version, None,
+        stagedAdds ++ dvAdds,
+        rewriteFiles.map(_.path) ++ dvAdds.map(_.path),
+        addVersions = addVersions)
+    if (!won) {
+      // clean up ONLY the staged rewrite output — the DV adds reference
+      // live data files that must never be touched on abort
+      stagedAdds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+      throw new ConcurrentWriteException(
+        s"txlog: deleteRows read version ${snap.version} but head moved — " +
+          "re-read and retry (a silent commit here would drop the concurrent writer's rows)")
+    }
+    (dvAdds.size, rewriteFiles.size, counts.values.sum, v)
+  }
+
+  /** Materialize every deletion vector: each DV'd file is rewritten
+    * with its bitmap applied and the bitmaps leave the log — the
+    * REORG TABLE ... APPLY (PURGE) shape. Logically row-neutral (the
+    * rows vanished at their delete's commit, not here), so tailing
+    * consumers cross it freely, like compact. Any compaction retires
+    * DVs the same way as a side effect; this is the targeted form.
+    * Returns (filesPurged, filesAfter, version) — (0, 0, head) with no
+    * commit when nothing carries a DV. */
+  def purgeDeletes(spark: SparkSession): (Int, Int, Long) = {
+    val snap = snapshot()
+    val dvd = snap.files.filter(_.dv.isDefined)
+    if (dvd.isEmpty) return (0, 0, snap.version)
+    val adds = stageData(
+      readPhysicalFiles(spark, physicalSchema(snap.schema), dvd))
+    val v = commitRewrite(snap, "purge", None, adds, dvd.map(_.path))
+    (dvd.size, adds.size, v)
+  }
+
   /** Transactional OPTIMIZE: rewrite the live set into ~`targetFileMB`
     * files in one conflict-checked commit — the object-store-safe
     * replacement for [[Maintenance.compactParquet]]'s directory swap.
@@ -1677,8 +2092,7 @@ final class GraftTable(val tablePath: String) {
     val bytes = snap.files.map(_.bytes).sum
     val outParts = math.max(1,
       math.ceil(bytes.toDouble / (targetFileMB * 1024.0 * 1024.0)).toInt)
-    val df = spark.read.schema(physicalSchema(snap.schema))
-      .parquet(snap.files.map(a => root.resolve(a.path).toString): _*)
+    val df = readPhysicalFiles(spark, physicalSchema(snap.schema), snap.files)
       .repartition(outParts)
     val adds = stageData(df)
     val v = commitRewrite(snap, "compact", None, adds, snap.files.map(_.path))
@@ -1710,8 +2124,7 @@ final class GraftTable(val tablePath: String) {
     if (targets.size < 2) return (0, 0, snap.version) // nothing worth merging
     val outParts = math.max(1,
       math.ceil(targets.map(_.bytes).sum.toDouble / threshold).toInt)
-    val df = spark.read.schema(physicalSchema(snap.schema))
-      .parquet(targets.map(a => root.resolve(a.path).toString): _*)
+    val df = readPhysicalFiles(spark, physicalSchema(snap.schema), targets)
       .repartition(outParts)
     val adds = stageData(df)
     val v = commitRewrite(snap, "compact", None, adds, targets.map(_.path))
@@ -1736,8 +2149,7 @@ final class GraftTable(val tablePath: String) {
     if (targets.size < math.max(2, minFiles)) return (0, 0, snap.version)
     val outParts = math.max(1,
       math.ceil(targets.map(_.bytes).sum.toDouble / threshold).toInt)
-    val df = spark.read.schema(physicalSchema(snap.schema))
-      .parquet(targets.map(a => root.resolve(a.path).toString): _*)
+    val df = readPhysicalFiles(spark, physicalSchema(snap.schema), targets)
       .repartition(outParts)
     val adds = stageData(df)
     val v = commitRewrite(snap, "compact", None, adds, targets.map(_.path))
@@ -1758,8 +2170,7 @@ final class GraftTable(val tablePath: String) {
       targetFiles: Int): (Int, Int, Long) = {
     val snap = snapshot()
     if (snap.files.isEmpty) return (0, 0, snap.version)
-    val df = spark.read.schema(physicalSchema(snap.schema))
-      .parquet(snap.files.map(a => root.resolve(a.path).toString): _*)
+    val df = readPhysicalFiles(spark, physicalSchema(snap.schema), snap.files)
     val adds = stageData(
       Layout.zorderBy(df, cols.map(physicalOf(snap.schema, _)), targetFiles))
     val v = commitRewrite(snap, "zorder", None, adds, snap.files.map(_.path))
@@ -1770,10 +2181,12 @@ final class GraftTable(val tablePath: String) {
     * version; otherwise delete the staged files and abort loudly. */
   private def commitRewrite(
       readSnap: Snapshot, op: String, schemaJson: Option[String],
-      adds: Seq[AddFile], removes: Seq[String]): Long = {
+      adds: Seq[AddFile], removes: Seq[String],
+      addVersions: Map[String, Long] = Map.empty): Long = {
     val v = readSnap.version + 1
     val won = latestVersion() == readSnap.version &&
-      tryCommit(v, op, readSnap.version, schemaJson, adds, removes)
+      tryCommit(v, op, readSnap.version, schemaJson, adds, removes,
+        addVersions = addVersions)
     if (!won) {
       adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
       throw new ConcurrentWriteException(
@@ -1882,13 +2295,14 @@ final class GraftTable(val tablePath: String) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .withColumn("_commit_version", lit(0L)).limit(0)) {
       case (acc, (v, adds)) =>
-        val paths = adds.map(a => root.resolve(a.path).toString)
-        paths.foreach(p => require(Files.exists(Paths.get(p)),
-          s"txlog: data file $p of commit $v was vacuumed — appendsSince " +
+        adds.foreach(a => require(Files.exists(root.resolve(a.path)),
+          s"txlog: data file ${a.path} of commit $v was vacuumed — appendsSince " +
             "is behind the retention window; re-seed from a snapshot read"))
+        // DV-aware: a clone's v1 may re-add files with deletion vectors
+        // (the fork of a DV'd table) — its tail must not resurrect them
         acc.unionAll(
-          toLogical(spark.read.schema(physicalSchema(schema))
-            .parquet(paths: _*), schema)
+          toLogical(readPhysicalFiles(spark, physicalSchema(schema), adds),
+            schema)
           .withColumn("_commit_version", lit(v)))
     }
   }
@@ -1959,10 +2373,11 @@ final class GraftTable(val tablePath: String) {
         case "append" | "streamingUpdate" | "clone" => None
         // row-neutral commits: same rows, different (or no) files
         // (rename/drop are schema-only: a pinned readSchema keeps
-        // resolving the same physical bytes)
+        // resolving the same physical bytes; purge materializes DVs
+        // whose rows already vanished at their delete's own commit)
         case "compact" | "zorder" | "checkpoint" | "create" | "addColumns"
            | "addConstraint" | "dropConstraint"
-           | "renameColumn" | "dropColumn" | "setProps" => None
+           | "renameColumn" | "dropColumn" | "setProps" | "purge" => None
         case rewrite =>
           if (!skipRewrites) throw new IllegalStateException(
             s"txlog: commit $v is a '$rewrite' — its rewritten rows cannot be " +

@@ -1448,7 +1448,125 @@ object PipelineOps {
          WHERE o_orderkey <= (SELECT max(o_orderkey) FROM sub) // 2)
        ORDER BY o_orderkey"""
 
+  // --------------------------------------------------------------------
+  // q128 — DELETION VECTORS (merge-on-read DELETE): orders land in 4
+  // round-robin key slices, then a scattered predicate delete
+  // (`o_orderkey % 7 = 3` — touches every file) commits as per-file
+  // row-index bitmaps with ZERO files rewritten (require'd: the live
+  // file set is byte-identical before and after). This is the GDPR /
+  // right-to-be-forgotten shape that copy-on-write turns into a
+  // full-table rewrite at 100 TB and a DV commit turns into metadata.
+  // The DV'd read must hash-match the oracle's plain anti-predicate —
+  // proving no deleted row survives and no surviving row is lost — then
+  // CALL-equivalent purgeDeletes materializes the bitmaps (row-neutral,
+  // require'd DV-free) and the FINAL read is what the driver hashes,
+  // with the pre-purge row count carried as a column (purge ≡ no-op on
+  // rows). Scale: the delete reads the table once and writes only
+  // bitmaps; every reader's DV side is bounded by the dv.maxBytes /
+  // dv.maxFraction triage that falls back to rewriting a too-deleted
+  // file.
+  // --------------------------------------------------------------------
+  def q128DeletionVectors(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("dvdel", dir)
+    graft.core.Fs.rmTree(new java.io.File(root))
+    val t = new graft.medallion.GraftTable(s"$root/orders")
+    val base = lake(s, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    (0 until 4).foreach(f =>
+      t.append(base.filter(col("o_orderkey") % 4 === f).repartition(1)))
+    val filesBefore = t.snapshot().files.map(_.path).toSet
+    val (dvFiles, rewrites, deleted, _) = t.deleteRows(s, "o_orderkey % 7 = 3")
+    require(rewrites == 0 && dvFiles >= 1,
+      s"a scattered sparse delete must vectorize, not rewrite " +
+        s"(dv=$dvFiles rewrites=$rewrites)")
+    val snap = t.snapshot()
+    require(snap.files.map(_.path).toSet == filesBefore,
+      "merge-on-read DELETE must not move a single data byte")
+    require(snap.files.map(_.dvRows).sum == deleted,
+      "bitmap cardinalities must account for every deleted row")
+    val prePurge = t.read(s).count()
+    val (purged, _, _) = t.purgeDeletes(s)
+    require(purged == dvFiles, "purge rewrites exactly the DV'd files")
+    require(t.snapshot().files.forall(_.dv.isEmpty),
+      "purge must retire every bitmap")
+    t.read(s)
+      .withColumn("pre_purge_rows", lit(prePurge).cast(LongType))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q128Oracle =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+              (SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 3)
+                AS pre_purge_rows
+       FROM orders WHERE o_orderkey % 7 <> 3
+       ORDER BY o_orderkey"""
+
+  // --------------------------------------------------------------------
+  // q129 — SQL DELETE routed merge-on-read: a catalog table opts in via
+  // `delete.mode = merge-on-read` TBLPROPERTIES, and a DELETE whose
+  // predicate is NOT a metadata range (strict inequality OR'd with an
+  // IN-set) lands as one deletion-vector commit — require'd: the live
+  // file set is unchanged and at least one bitmap exists. COUNT(*)
+  // afterwards must STILL answer from the log alone (the LocalScan plan
+  // is require'd — per-file effectiveRows keeps metadata counts exact
+  // under DVs) and carry the same number the oracle derives. The final
+  // SELECT hash-matches the anti-predicate. Scale: the SQL-only persona
+  // gets the same O(metadata) delete as the Scala API; MIN/MAX-style
+  // aggregates deliberately fall back to real scans while DVs exist
+  // (a deleted row may have held the extreme).
+  // --------------------------------------------------------------------
+  def q129SqlMorDelete(s: SparkSession, dir: String): DataFrame = {
+    val wh = s"${scratch("sqlmor", dir)}/warehouse"
+    graft.core.Fs.rmTree(new java.io.File(wh))
+    val cat = s"gq129_${math.abs(wh.hashCode).toString.take(8)}"
+    graft.api.Graft.registerCatalog(s, cat, wh)
+    try {
+      lake(s, dir).customer
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .createOrReplaceTempView("q129_src")
+      s.sql(s"CREATE TABLE $cat.d.cust (c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING)")
+      (0 to 2).foreach(i => s.sql(
+        s"""INSERT INTO $cat.d.cust
+           SELECT c_custkey, c_acctbal, c_mktsegment FROM q129_src
+           WHERE c_custkey % 3 = $i"""))
+      s.sql(s"ALTER TABLE $cat.d.cust SET TBLPROPERTIES " +
+        s"('${graft.medallion.TxLog.DeleteModeProp}' = " +
+        s"'${graft.medallion.TxLog.DeleteModeMor}')")
+      val t = new graft.medallion.GraftTable(s"$wh/d/cust")
+      val filesBefore = t.snapshot().files.map(_.path).toSet
+      s.sql(s"""DELETE FROM $cat.d.cust
+               WHERE c_acctbal < 0.0 OR c_mktsegment IN ('MACHINERY')""")
+      val snap = t.snapshot()
+      require(snap.files.map(_.path).toSet == filesBefore,
+        "merge-on-read SQL DELETE must not stage or rewrite data files")
+      require(snap.files.exists(_.dv.isDefined),
+        "the delete must have landed as deletion vectors")
+      val cnt = s.sql(s"SELECT count(*) AS live_rows FROM $cat.d.cust")
+      require(cnt.queryExecution.executedPlan.toString
+          .contains("LocalTableScan"),
+        "COUNT(*) must stay a zero-scan metadata aggregate under DVs")
+      val liveRows = cnt.head().getLong(0)
+      s.sql(s"""SELECT c_custkey, c_acctbal, c_mktsegment,
+                       CAST($liveRows AS BIGINT) AS live_rows
+               FROM $cat.d.cust ORDER BY c_custkey""")
+    } finally {
+      s.catalog.dropTempView("q129_src")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  private val q129Oracle =
+    """WITH live AS (
+         SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+         WHERE NOT (c_acctbal < 0.0 OR c_mktsegment IN ('MACHINERY')))
+       SELECT c_custkey, c_acctbal, c_mktsegment,
+              (SELECT count(*) FROM live) AS live_rows
+       FROM live ORDER BY c_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_deletion_vectors" -> (q128DeletionVectors _),
+    "q129_sql_mor_delete" -> (q129SqlMorDelete _),
     "q118_incremental_mv" -> (q118IncrementalMv _),
     "q119_constraints_restore" -> (q119ConstraintsRestore _),
     "q122_clone_fork" -> (q122CloneFork _),
@@ -1478,6 +1596,8 @@ object PipelineOps {
     "q127_bloom_lookup" -> (q127BloomLookup _))
 
   val oracle: Map[String, String] = Map(
+    "q128_deletion_vectors" -> q128Oracle,
+    "q129_sql_mor_delete" -> q129Oracle,
     "q118_incremental_mv" -> q118Oracle,
     "q119_constraints_restore" -> q119Oracle,
     "q122_clone_fork" -> q122Oracle,

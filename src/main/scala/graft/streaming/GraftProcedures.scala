@@ -167,17 +167,22 @@ object GraftProcedures {
       paramD("small_only", BooleanType, "false"),
       paramD("where_column", StringType, "CAST(NULL AS STRING)"),
       paramD("where_lower", StringType, "CAST(NULL AS STRING)"),
-      paramD("where_upper", StringType, "CAST(NULL AS STRING)")), optimizeOut) { in =>
+      paramD("where_upper", StringType, "CAST(NULL AS STRING)"),
+      paramD("purge_deletes", BooleanType, "false")), optimizeOut) { in =>
       val t = tableDir(dirOf, in.getUTF8String(0))
       val zorderBy = if (in.isNullAt(1)) None else Some(in.getUTF8String(1).toString)
       val targetMB = if (in.isNullAt(2)) 128 else in.getInt(2)
       val targetFiles = if (in.isNullAt(3)) 16 else in.getInt(3)
       val smallOnly = !in.isNullAt(4) && in.getBoolean(4)
       val whereCol = if (in.isNullAt(5)) None else Some(in.getUTF8String(5).toString)
+      val purge = !in.isNullAt(8) && in.getBoolean(8)
       def bnd(i: Int): Option[Any] = whereCol.flatMap(c =>
         if (in.isNullAt(i)) None
         else Some(typedBound(t, c, in.getUTF8String(i).toString)))
       val (op, (nIn, nOut, v)) = (zorderBy, whereCol) match {
+        case _ if purge =>
+          // REORG ... APPLY (PURGE): materialize every deletion vector
+          ("purge-deletes", t.purgeDeletes(spark))
         case (Some(cols), _) =>
           val cs = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
           require(cs.nonEmpty, "optimize: zorder_by needs at least one column")

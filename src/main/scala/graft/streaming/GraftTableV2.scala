@@ -284,18 +284,31 @@ class GraftTableV2(
     else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   /** SQL `DELETE FROM` / `TRUNCATE TABLE` (through [[GraftCatalog]]):
-    * accepted only when the predicate translates EXACTLY to the
-    * table's one-column inclusive range delete (=, >=, <=, BETWEEN,
-    * their conjunction, or no predicate at all = truncate). Strict
-    * inequalities and nullness predicates are refused loudly — the
-    * pruning machinery's inclusive widening would over-delete here,
-    * and a refused DELETE is recoverable where a wrong one is not. */
+    * accepted when the predicate translates EXACTLY to the table's
+    * one-column inclusive range delete (=, >=, <=, BETWEEN, their
+    * conjunction, or no predicate at all = truncate) — the metadata-
+    * drop path. On a `delete.mode = merge-on-read` table, ANY predicate
+    * that renders row-exactly as SQL is also accepted and routes to
+    * [[GraftTable.deleteRows]] — per-file deletion-vector commits
+    * instead of a copy-on-write rewrite. Everything else is refused, so
+    * Spark's row-level rewrite (or a loud error) takes over — a refused
+    * DELETE is recoverable where a wrong one is not. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    versionAsOf.isEmpty && GraftTableV2.deleteRange(filters).exists {
-      case None => true // unconditional: truncate
-      case Some((c, _, _)) => c != GraftTableV2.VersionCol &&
-        pinnedSchema.fields.exists(_.name == c)
-    }
+    versionAsOf.isEmpty && (
+      GraftTableV2.deleteRange(filters).exists {
+        case None => true // unconditional: truncate
+        case Some((c, _, _)) => c != GraftTableV2.VersionCol &&
+          pinnedSchema.fields.exists(_.name == c)
+      } || (deleteModeMor && morDeletable(filters)))
+
+  private def deleteModeMor: Boolean =
+    Option(resolvedProperties.get(TxLog.DeleteModeProp))
+      .contains(TxLog.DeleteModeMor)
+
+  private def morDeletable(filters: Array[Filter]): Boolean =
+    GraftTableV2.filtersToSql(filters).isDefined &&
+      filters.forall(_.references.forall(r =>
+        r != GraftTableV2.VersionCol && pinnedSchema.fields.exists(_.name == r)))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(canDeleteWhere(filters),
@@ -303,9 +316,15 @@ class GraftTableV2(
         "translate to a one-column inclusive range — rewrite it with " +
         ">=/<=/BETWEEN, or truncate with no predicate")
     val t = new GraftTable(tablePath)
-    GraftTableV2.deleteRange(filters).get match {
-      case None => t.truncate()
-      case Some((c, lo, hi)) => t.delete(SparkSession.active, c, lo, hi)
+    GraftTableV2.deleteRange(filters) match {
+      case Some(None) => t.truncate()
+      case Some(Some((c, lo, hi)))
+          if c != GraftTableV2.VersionCol &&
+            pinnedSchema.fields.exists(_.name == c) =>
+        t.delete(SparkSession.active, c, lo, hi)
+      case _ => // merge-on-read: deletion-vector commit
+        t.deleteRows(SparkSession.active,
+          GraftTableV2.filtersToSql(filters).get)
     }
     ()
   }
@@ -495,7 +514,8 @@ final class GraftScan(
     limit match {
       case Some(n) => // keep files until their row counts guarantee n rows
         var acc = 0L
-        alive.takeWhile { f => val need = acc < n; acc += f._1.rows; need }
+        // effectiveRows: a DV'd file guarantees only its SURVIVING rows
+        alive.takeWhile { f => val need = acc < n; acc += f._1.effectiveRows; need }
       case None => alive
     }
   }
@@ -506,7 +526,7 @@ final class GraftScan(
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(pruned.map(_._1.bytes).sum)
     override def numRows(): OptionalLong =
-      OptionalLong.of(pruned.map(_._1.rows).sum)
+      OptionalLong.of(pruned.map(_._1.effectiveRows).sum)
   }
 
   override def toBatch: Batch =
@@ -553,25 +573,47 @@ final class GraftBatch(
   private lazy val innerFactory: PartitionReaderFactory =
     org.apache.spark.sql.graft.ParquetScans.readerFactoryFor(
       spark, physDataSchema, physRequired, physFilters)
+  // filter-free factory for deletion-vector partitions: row positions
+  // must be exact, so row-group skipping stays OFF underneath them
+  // (the residual Filter above the scan still owns row semantics)
+  private lazy val dvFactory: PartitionReaderFactory =
+    org.apache.spark.sql.graft.ParquetScans.readerFactoryFor(
+      spark, physDataSchema, physRequired, Nil)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = files()
-    if (fs.isEmpty) Array.empty
-    else if (!needVersion)
-      org.apache.spark.sql.graft.ParquetScans.scanFor(
-        spark, physDataSchema, fs.map(f => table.absoluteDataPath(f._1)),
-        physRequired, physFilters).toBatch.planInputPartitions()
-    else fs.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (v, group) =>
-      org.apache.spark.sql.graft.ParquetScans.scanFor(
-        spark, physDataSchema, group.map(g => table.absoluteDataPath(g._1)),
-        physRequired, physFilters).toBatch.planInputPartitions()
-        .map(p => GraftVersionedPartition(p, 0, v))
-    }.toArray
+    val all = files()
+    // files with a deletion vector leave the vectorized fast path: each
+    // plans as ONE whole unsplit partition whose reader skips the DV'd
+    // row indexes (see GraftVersionedReaderFactory)
+    val (dvd, fs) = all.partition(_._1.dv.isDefined)
+    val dvParts: Seq[InputPartition] = dvd.map { case (a, v) =>
+      GraftDvPartition(
+        org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
+          spark, table.absoluteDataPath(a)),
+        1, if (needVersion) Some(v) else None, a.dv.get)
+    }
+    val cleanParts: Seq[InputPartition] =
+      if (fs.isEmpty) Seq.empty
+      else if (!needVersion)
+        org.apache.spark.sql.graft.ParquetScans.scanFor(
+          spark, physDataSchema, fs.map(f => table.absoluteDataPath(f._1)),
+          physRequired, physFilters).toBatch.planInputPartitions().toSeq
+      else fs.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (v, group) =>
+        org.apache.spark.sql.graft.ParquetScans.scanFor(
+          spark, physDataSchema, group.map(g => table.absoluteDataPath(g._1)),
+          physRequired, physFilters).toBatch.planInputPartitions()
+          .map(p => GraftVersionedPartition(p, 0, v))
+      }
+    GraftTableV2.uniformRows(cleanParts ++ dvParts)
   }
 
+  // always the wrapping factory: it DELEGATES columnar reads for plain
+  // parquet partitions (vectorized batches pass through untouched) and
+  // row-wraps only the version-tagged / DV partitions — so no
+  // plan-time/factory-time race over which partition kinds exist
   override def createReaderFactory(): PartitionReaderFactory =
-    if (!needVersion) innerFactory
-    else GraftVersionedReaderFactory(Array(innerFactory), required, innerRequired)
+    GraftVersionedReaderFactory(
+      Array(innerFactory, dvFactory), required, innerRequired)
 }
 
 /** An inner parquet partition tagged with its commit version and the
@@ -579,22 +621,52 @@ final class GraftBatch(
 final case class GraftVersionedPartition(
     inner: InputPartition, delegate: Int, version: Long) extends InputPartition
 
-/** Wraps the delegated parquet readers to emit rows in `required` order
-  * with the partition's commit version in the `_commit_version` slot.
-  * Row-based on purpose: provenance reads trade columnar passthrough for
-  * the tag (the no-tag fast path keeps full vectorization). */
+/** One whole unsplit file whose reader must skip the deletion vector's
+  * row indexes (`dv`: serialized bitmap). `version` is present when the
+  * surviving rows also need the `_commit_version` tag. The delegate
+  * factory index MUST point at a filter-free factory — row positions
+  * are only exact when no row group is skipped underneath. */
+final case class GraftDvPartition(
+    inner: InputPartition, delegate: Int, version: Option[Long], dv: String)
+    extends InputPartition
+
+/** A plain inner partition FORCED onto the row path: Spark refuses to
+  * mix columnar and row partitions in one BatchScan, so when a scan
+  * plans any DV partition, its clean siblings ride through this
+  * delegating wrapper instead of the columnar fast path. */
+final case class GraftRowPartition(inner: InputPartition, delegate: Int)
+    extends InputPartition
+
+/** Wraps the delegated parquet readers: version-tagged partitions emit
+  * rows in `required` order with the commit version in the
+  * `_commit_version` slot; DV partitions count row positions and skip
+  * the bitmap's indexes; every other partition DELEGATES — including
+  * columnar reads, so plain parquet partitions keep full vectorization
+  * through this factory. */
 final case class GraftVersionedReaderFactory(
     delegates: Array[PartitionReaderFactory],
     required: StructType, innerRequired: StructType)
     extends PartitionReaderFactory {
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val vp = p.asInstanceOf[GraftVersionedPartition]
-    val inner = delegates(vp.delegate).createReader(vp.inner)
-    // required-ordinal -> inner-ordinal (-1 = the version slot)
-    val mapping = required.fields.map(f =>
-      if (f.name == GraftTableV2.VersionCol) -1
-      else innerRequired.fieldIndex(f.name))
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case _: GraftVersionedPartition | _: GraftDvPartition |
+         _: GraftRowPartition => false
+    case other => delegates(0).supportColumnarReads(other)
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    delegates(0).createColumnarReader(p)
+
+  // required-ordinal -> inner-ordinal (-1 = the version slot)
+  private def versionMapping: Array[Int] = required.fields.map(f =>
+    if (f.name == GraftTableV2.VersionCol) -1
+    else innerRequired.fieldIndex(f.name))
+
+  private def tagged(
+      inner: PartitionReader[InternalRow], version: Long)
+      : PartitionReader[InternalRow] = {
+    val mapping = versionMapping
     val types: Array[DataType] = innerRequired.fields.map(_.dataType)
     new PartitionReader[InternalRow] {
       override def next(): Boolean = inner.next()
@@ -604,7 +676,7 @@ final case class GraftVersionedReaderFactory(
         var i = 0
         while (i < mapping.length) {
           val m = mapping(i)
-          out(i) = if (m < 0) vp.version
+          out(i) = if (m < 0) version
             else if (in.isNullAt(m)) null
             else in.get(m, types(m))
           i += 1
@@ -614,6 +686,34 @@ final case class GraftVersionedReaderFactory(
       override def close(): Unit = inner.close()
     }
   }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case vp: GraftVersionedPartition =>
+        tagged(delegates(vp.delegate).createReader(vp.inner), vp.version)
+      case dp: GraftDvPartition =>
+        val inner = delegates(dp.delegate).createReader(dp.inner)
+        val bm = graft.medallion.TxLog.dvDeserialize(dp.dv)
+        val skipping = new PartitionReader[InternalRow] {
+          private var pos = -1L // row index of the row `inner` points at
+          override def next(): Boolean = {
+            while (inner.next()) {
+              pos += 1
+              // indexes past Int.MaxValue can never be in a DV (the
+              // build guard refuses them) — such rows always survive
+              if (pos > Int.MaxValue.toLong || !bm.contains(pos.toInt))
+                return true
+            }
+            false
+          }
+          override def get(): InternalRow = inner.get()
+          override def close(): Unit = inner.close()
+        }
+        dp.version.fold(skipping)(v => tagged(skipping, v))
+      case rp: GraftRowPartition =>
+        delegates(rp.delegate).createReader(rp.inner)
+      case other => delegates(0).createReader(other)
+    }
 }
 
 /** Version-offset micro-batch stream — the V1 source's exactly-once
@@ -683,6 +783,12 @@ final class GraftMicroBatchStream(
     org.apache.spark.sql.graft.ParquetScans.readerFactoryFor(
       spark, physDataSchema, physRequired, physFilters)
 
+  // filter-free factory for deletion-vector partitions (a clone's v1 —
+  // the one append-family commit whose adds can carry DVs)
+  private val dvFactory: PartitionReaderFactory =
+    org.apache.spark.sql.graft.ParquetScans.readerFactoryFor(
+      spark, physDataSchema, physRequired, Nil)
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftVersionOffset].version
     val until = end.asInstanceOf[GraftVersionOffset].version
@@ -690,17 +796,26 @@ final class GraftMicroBatchStream(
     // rewrites are skipped, attribution-breaking rewrites throw
     table.appendFilesSince(from, skipRewrites, untilVersion = until)
       .flatMap { case (v, adds) =>
-        val batch = org.apache.spark.sql.graft.ParquetScans.scanFor(
-          spark, physDataSchema, adds.map(table.absoluteDataPath),
-          physRequired, physFilters).toBatch
-        batch.planInputPartitions().map(p =>
-          if (needVersion) GraftVersionedPartition(p, 0, v) else p)
-      }.toArray
+        val (dvd, clean) = adds.partition(_.dv.isDefined)
+        val dvParts: Seq[InputPartition] = dvd.map(a =>
+          GraftDvPartition(
+            org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
+              spark, table.absoluteDataPath(a)),
+            1, if (needVersion) Some(v) else None, a.dv.get))
+        val cleanParts: Seq[InputPartition] =
+          if (clean.isEmpty) Seq.empty
+          else org.apache.spark.sql.graft.ParquetScans.scanFor(
+            spark, physDataSchema, clean.map(table.absoluteDataPath),
+            physRequired, physFilters).toBatch.planInputPartitions()
+            .toSeq.map(p =>
+              if (needVersion) GraftVersionedPartition(p, 0, v) else p)
+        cleanParts ++ dvParts
+      } match { case parts => GraftTableV2.uniformRows(parts) }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (!needVersion) innerFactory
-    else GraftVersionedReaderFactory(Array(innerFactory), required, innerRequired)
+    GraftVersionedReaderFactory(
+      Array(innerFactory, dvFactory), required, innerRequired)
 
   override def commit(end: Offset): Unit = ()
 
@@ -1047,7 +1162,14 @@ object GraftTableV2 {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (filters.nonEmpty) return None
-    val snap = table.prunedSnapshot(Seq.empty, version = snapVersion)
+    val snapAll = table.prunedSnapshot(Seq.empty, version = snapVersion)
+    // deletion vectors: a fully-DV'd file contributes no rows (and must
+    // not manufacture an empty group), so it drops here; partially-DV'd
+    // files keep COUNT(*) exact through effectiveRows, but their
+    // min/max/null-count stats describe rows that may no longer exist —
+    // every other aggregate shape falls back to a real scan
+    val snap = snapAll.copy(files = snapAll.files.filter(_.effectiveRows > 0))
+    val dvFree = snap.files.forall(_.dvRows == 0L)
     type Files = Seq[TxLog.AddFile]
 
     // is this name the synthetic provenance tag (vs a real data column
@@ -1078,6 +1200,7 @@ object GraftTableV2 {
     // per-group — simpler to reason about, conservatively stricter
     def minMaxEligible(c: String): Option[DataType] = {
       if (isVersion(c)) return Some(LongType)
+      if (!dvFree) return None // a deleted row may have held the min/max
       val dt = fieldType(c).getOrElse(return None)
       dt match {
         case ByteType | ShortType | IntegerType | LongType | FloatType
@@ -1104,6 +1227,7 @@ object GraftTableV2 {
     }
     def countEligible(c: String): Boolean = {
       if (isVersion(c)) return true // never null, count = rows
+      if (!dvFree) return false // deleted rows' null counts are unknown
       val dt = fieldType(c).getOrElse(return false)
       if (!alwaysStatted(dt)) return false // boolean/binary/…: absence proves nothing
       snap.files.forall(a => st(a, c) match {
@@ -1112,7 +1236,7 @@ object GraftTableV2 {
       })
     }
     def foldCount(files: Files, c: String): Any =
-      if (isVersion(c)) files.map(_.rows).sum
+      if (isVersion(c)) files.map(_.effectiveRows).sum
       else files.map(a => st(a, c).fold(0L)(cs => a.rows - cs.nulls.get)).sum
 
     // ----- group columns: every live file must carry exactly one
@@ -1135,7 +1259,8 @@ object GraftTableV2 {
     val aggCols: Seq[Option[(String, DataType, Boolean, Files => Any)]] =
       agg.aggregateExpressions.toSeq.map {
         case _: CountStar =>
-          Some(("count(*)", LongType, false, (fs: Files) => fs.map(_.rows).sum: Any))
+          Some(("count(*)", LongType, false,
+            (fs: Files) => fs.map(_.effectiveRows).sum: Any))
         case cnt: Count if !cnt.isDistinct => colOf(cnt.column).filter(countEligible)
           .map(c => (s"count($c)", LongType, false, (fs: Files) => foldCount(fs, c)))
         case m: Min => colOf(m.column).flatMap(c => minMaxEligible(c).map(dt =>
@@ -1188,6 +1313,20 @@ object GraftTableV2 {
       s"statsValue on unsupported type $other — eligibility must gate this")
   }
 
+  /** Enforce Spark's one-BatchScan invariant (all partitions columnar
+    * or all row): when any deletion-vector partition is planned, every
+    * plain parquet partition wraps into the row-delegating
+    * [[GraftRowPartition]]. DV-free scans pass through untouched and
+    * keep full vectorization. */
+  private[streaming] def uniformRows(
+      parts: Seq[InputPartition]): Array[InputPartition] =
+    if (!parts.exists(_.isInstanceOf[GraftDvPartition])) parts.toArray
+    else parts.map {
+      case w: GraftVersionedPartition => w: InputPartition
+      case d: GraftDvPartition => d: InputPartition
+      case raw => GraftRowPartition(raw, 0): InputPartition
+    }.toArray
+
   /** EXACT translation of DELETE predicates into the table's range
     * shape — the opposite discipline from [[bounds]]: pruning may
     * widen conservatively, a DELETE may not deviate by one row.
@@ -1219,6 +1358,79 @@ object GraftTableV2 {
       case _ => false
     }
     if (ok) Some(Some((colName.get, lo, hi))) else None
+  }
+
+  /** EXACT rendering of V1 DELETE filters as ONE Spark SQL boolean
+    * expression — what routes an arbitrary-predicate `DELETE FROM` on a
+    * `delete.mode = merge-on-read` table into
+    * [[graft.medallion.GraftTable.deleteRows]]. Same discipline as
+    * [[deleteRange]]: a shape that cannot be reproduced row-exactly
+    * returns None (the statement then falls back to the copy-on-write
+    * row-level rewrite — never a wrong delete). Values render as typed
+    * literals (doubles/floats through CAST of their round-trippable
+    * toString; strings with both backslash and quote escaped). */
+  private[graft] def filtersToSql(filters: Array[Filter]): Option[String] = {
+    import org.apache.spark.sql.sources._
+    def colRef(c: String): Option[String] =
+      // V1 references join nested paths with '.' ambiguously — only
+      // plain top-level names translate
+      if (c.contains(".") || c.contains("`")) None else Some(s"`$c`")
+    def litSql(v: Any): Option[String] = v match {
+      case null => None
+      case s: String =>
+        Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      case s: org.apache.spark.unsafe.types.UTF8String => litSql(s.toString)
+      case b: java.lang.Boolean => Some(b.toString)
+      case b: java.lang.Byte => Some(s"${b}Y")
+      case s: java.lang.Short => Some(s"${s}S")
+      case i: java.lang.Integer => Some(i.toString)
+      case l: java.lang.Long => Some(s"${l}L")
+      case f: java.lang.Float => Some(s"CAST('${f.toString}' AS FLOAT)")
+      case d: java.lang.Double => Some(s"CAST('${d.toString}' AS DOUBLE)")
+      case d: java.math.BigDecimal => Some(s"CAST('${d.toPlainString}' AS DECIMAL(${d.precision},${d.scale}))")
+      case d: BigDecimal => litSql(d.underlying)
+      case d: java.sql.Date => Some(s"DATE'${d.toString}'")
+      case d: java.time.LocalDate => Some(s"DATE'${d.toString}'")
+      // timestamp literals resolve in the session zone — the same zone
+      // Spark used to bind the filter value, so the round trip is exact
+      case t: java.sql.Timestamp => Some(s"TIMESTAMP'${t.toString}'")
+      case t: java.time.Instant =>
+        litSql(java.sql.Timestamp.from(t))
+      case _ => None
+    }
+    def render(f: Filter): Option[String] = f match {
+      case EqualTo(c, v) => for (a <- colRef(c); l <- litSql(v)) yield s"($a = $l)"
+      case EqualNullSafe(c, null) => colRef(c).map(a => s"($a IS NULL)")
+      case EqualNullSafe(c, v) =>
+        for (a <- colRef(c); l <- litSql(v)) yield s"($a <=> $l)"
+      case GreaterThan(c, v) => for (a <- colRef(c); l <- litSql(v)) yield s"($a > $l)"
+      case GreaterThanOrEqual(c, v) =>
+        for (a <- colRef(c); l <- litSql(v)) yield s"($a >= $l)"
+      case LessThan(c, v) => for (a <- colRef(c); l <- litSql(v)) yield s"($a < $l)"
+      case LessThanOrEqual(c, v) =>
+        for (a <- colRef(c); l <- litSql(v)) yield s"($a <= $l)"
+      case In(c, vs) if vs.nonEmpty =>
+        val ls = vs.toSeq.map(litSql)
+        if (ls.exists(_.isEmpty)) None
+        else colRef(c).map(a => s"($a IN (${ls.map(_.get).mkString(", ")}))")
+      case IsNull(c) => colRef(c).map(a => s"($a IS NULL)")
+      case IsNotNull(c) => colRef(c).map(a => s"($a IS NOT NULL)")
+      case StringStartsWith(c, p) =>
+        for (a <- colRef(c); l <- litSql(p)) yield s"startswith($a, $l)"
+      case StringEndsWith(c, p) =>
+        for (a <- colRef(c); l <- litSql(p)) yield s"endswith($a, $l)"
+      case StringContains(c, p) =>
+        for (a <- colRef(c); l <- litSql(p)) yield s"contains($a, $l)"
+      case Not(child) => render(child).map(s => s"(NOT $s)")
+      case And(l, r) => for (a <- render(l); b <- render(r)) yield s"($a AND $b)"
+      case Or(l, r) => for (a <- render(l); b <- render(r)) yield s"($a OR $b)"
+      case _: AlwaysTrue => Some("true")
+      case _: AlwaysFalse => Some("false")
+      case _ => None
+    }
+    val parts = filters.toSeq.map(render)
+    if (parts.isEmpty || parts.exists(_.isEmpty)) None
+    else Some(parts.map(_.get).mkString("(", " AND ", ")"))
   }
 
   /** Compile runtime filters once per planning pass. Join runtime

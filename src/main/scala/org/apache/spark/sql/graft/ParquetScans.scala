@@ -59,6 +59,24 @@ object ParquetScans {
     scanFor(spark, schema, Seq.empty, requiredSchema, filters)
       .toBatch.createReaderFactory()
 
+  /** One UNSPLIT partition covering the whole of `file`, for readers
+    * that must see the file's rows in exact row-index order (deletion-
+    * vector application counts positions): byte-range splits would
+    * reset the count mid-file, and pushed filters would skip row groups
+    * underneath it — so DV partitions are planned whole and unfiltered
+    * (Spark's residual Filter above the scan still drops rows). One
+    * file per partition costs split parallelism only on the DV'd files,
+    * which the delete thresholds keep few and small. */
+  def wholeFilePartition(spark: SparkSession, file: String): org.apache.spark.sql.connector.read.InputPartition = {
+    import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+    val p = new Path(file)
+    val st = p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p)
+    FilePartition(0, Array(PartitionedFile(
+      org.apache.spark.sql.catalyst.InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPath(p),
+      0L, st.getLen, Array.empty, st.getModificationTime, st.getLen)))
+  }
+
   /** Best-effort V2→V1 predicate translation for file-pruning callers
     * (the row-level scan's runtime group filter): untranslatable
     * predicates simply drop out, which for PRUNING means the file
