@@ -26,6 +26,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // config-gated count(DISTINCT) → HLL sketch rewrite (off by default)
     ext.injectOptimizerRule(session =>
       org.apache.spark.sql.graft.ApproxDistinctRewrite.forSession(session))
+    // SQL surface for the table format's CHANGE DATA FEED (the Delta
+    // `table_changes` TVF shape): resolves at analysis time to the
+    // feed's logical plan — O(changes in range) scans, not O(table)
+    ext.injectTableFunction(
+      (FunctionIdentifier("graft_table_changes"),
+        new ExpressionInfo("graft", null, "graft_table_changes",
+          "graft_table_changes(path, since[, until]) - every row change " +
+            "of the graft table at `path` in versions (since, until], " +
+            "tagged _change_type ('insert'|'delete'; updates are the " +
+            "pair) and _commit_version", ""),
+        GraftTableChanges.plan _))
+  }
+}
+
+/** Builder behind the `graft_table_changes` table function: argument
+  * literals → [[graft.medallion.GraftTable.readChangeFeed]]'s plan. */
+object GraftTableChanges {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  def plan(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 2 || es.length == 3,
+      s"graft_table_changes(path, since[, until]) takes 2 or 3 arguments, got ${es.length}")
+    def literal(e: Expression, what: String): Any = e match {
+      case Literal(v, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_table_changes: $what must be a literal, got ${other.sql}")
+    }
+    def asLong(v: Any, what: String): Long = v match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_table_changes: $what must be an integer version, got $other")
+    }
+    val path = String.valueOf(literal(es.head, "path"))
+    val since = asLong(literal(es(1), "since"), "since")
+    val until =
+      if (es.length == 3) asLong(literal(es(2), "until"), "until") else -1L
+    new graft.medallion.GraftTable(path)
+      .readChangeFeed(SparkSession.active, since, until)
+      .queryExecution.analyzed
   }
 }
 
@@ -52,8 +92,13 @@ object GraftFunctions {
       }))
 
   /** Idempotent post-hoc registration on a running session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, usage, builder) =>
       org.apache.spark.sql.graft.FunctionInjector.register(spark, name, usage, builder)
     }
+    org.apache.spark.sql.graft.FunctionInjector.registerTable(
+      spark, "graft_table_changes",
+      "graft_table_changes(path, since[, until]) - change data feed",
+      GraftTableChanges.plan _)
+  }
 }

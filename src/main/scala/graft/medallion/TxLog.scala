@@ -414,7 +414,8 @@ object TxLog {
       constraints: Option[Map[String, String]] = None,
       tsMillis: Option[Long] = None,
       props: Option[Map[String, String]] = None,
-      cdc: Seq[(String, Long)] = Nil): String = {
+      cdc: Seq[(String, Long)] = Nil,
+      cdcFull: Seq[String] = Nil): String = {
     val lines =
       JObject(("a" -> JString("info")) :: ("op" -> JString(op)) ::
         ("readVersion" -> JLong(readVersion)) ::
@@ -445,7 +446,14 @@ object TxLog {
       // so pre-CDF readers fail loudly on CDF-bearing commits only —
       // the same format-bump confinement as constraints/props/add-dv.
       cdc.toList.map { case (p, n) => JObject("a" -> JString("cdc"),
-        "path" -> JString(p), "rows" -> JLong(n)) }
+        "path" -> JString(p), "rows" -> JLong(n)) } :::
+      // a removed DATA file whose entire pre-state content (DV applied)
+      // is deletes in this commit's feed — the change rows are served by
+      // reading the file itself, so a metadata-only file drop stays
+      // zero-write even with the feed on. Same format-bump confinement
+      // as `cdc`.
+      cdcFull.toList.map(p => JObject("a" -> JString("cdcfull"),
+        "path" -> JString(p)))
     lines.map(j => JsonMethods.compact(JsonMethods.render(j))).mkString("\n")
   }
 
@@ -461,7 +469,10 @@ object TxLog {
       /** full-replacement table properties, when this commit changed them */
       props: Option[Map[String, String]] = None,
       /** change-data-feed files (path, rows) this commit staged */
-      cdc: Seq[(String, Long)] = Nil)
+      cdc: Seq[(String, Long)] = Nil,
+      /** removed data files whose whole pre-state content is this
+        * commit's deletes (metadata-only drops under cdf.enabled) */
+      cdcFull: Seq[String] = Nil)
 
   private[medallion] def parseCommit(content: String): Commit = {
     var op = "unknown"; var schema: Option[String] = None
@@ -472,6 +483,7 @@ object TxLog {
     var ts: Option[Long] = None
     var prp: Option[Map[String, String]] = None
     val cdc = Seq.newBuilder[(String, Long)]
+    val cdcFull = Seq.newBuilder[String]
     content.linesIterator.filter(_.nonEmpty).foreach { line =>
       val o = JsonMethods.parse(line).asInstanceOf[JObject]
       val m = o.obj.toMap
@@ -493,12 +505,13 @@ object TxLog {
           prp = Some(m("set").asInstanceOf[JObject].obj.map {
             case (n, v) => n -> str(v) }.toMap)
         case "cdc" => cdc += ((str(m("path")), lng(m("rows"))))
+        case "cdcfull" => cdcFull += str(m("path"))
         case other => throw new IllegalStateException(
           s"txlog: unknown action '$other' — refusing to read a log written by a newer format")
       }
     }
     Commit(op, schema, adds.result(), removes.result(), txns, addVs, cons, ts,
-      prp, cdc.result())
+      prp, cdc.result(), cdcFull.result())
   }
 }
 
@@ -860,14 +873,31 @@ final class GraftTable(val tablePath: String) {
     * `(sinceVersion, until]`, tagged `_change_type` (`insert` |
     * `delete`; updates are the pair) and `_commit_version` — the full
     * generalization of [[appendsSince]] to tables that UPDATE and
-    * DELETE. Append-family commits serve their add-files as inserts
-    * (no extra bytes stored); mutating commits serve the change files
-    * they staged under `cdf.enabled`; row-neutral commits (compact /
-    * zorder / purge / checkpoint / schema-only) contribute nothing. A
-    * mutating commit written WITHOUT `cdf.enabled` fails the read
-    * loudly — silently skipping it would hand the consumer a feed
-    * missing real changes. O(changes in range) reads at any table
-    * size; same vacuum-retention caveat as [[appendsSince]].
+    * DELETE. Each commit serves its changes from the cheapest exact
+    * source:
+    *
+    *   - append-family commits: their add-files read as inserts (no
+    *     extra bytes stored);
+    *   - mutating commits under `cdf.enabled`: the `cdc` change files
+    *     they staged (the net pre-vs-post diff of the touched files)
+    *     plus `cdcfull` refs — removed data files whose whole
+    *     DV-applied pre-state is deletes, served by reading the file
+    *     itself (metadata-only drops and truncate stay zero-write);
+    *   - `overwrite` / `restore` / remove-only deletes: served exactly
+    *     from the commit's own add/remove lists regardless of
+    *     enablement (delete the pre-state of removed/replaced files,
+    *     insert the post-state) — these ops are self-describing;
+    *   - row-neutral commits (compact / zorder / purge / checkpoint /
+    *     schema-only): nothing.
+    *
+    * Only a REWRITING mutation written without `cdf.enabled` fails the
+    * read loudly (its adds mix surviving copies with real changes —
+    * unrecoverable post-hoc; silently skipping would hand the consumer
+    * a feed missing real changes). O(changes in range) reads at any
+    * table size; same vacuum-retention caveat as [[appendsSince]]; an
+    * `overwrite` that changed the physical schema refuses (the
+    * pre-state rows cannot be expressed in the until-schema) —
+    * re-seed from a snapshot read.
     *
     * Invariant (spec-enforced): for any window, folding the feed into
     * the `since` snapshot reproduces the `until` snapshot exactly. */
@@ -884,40 +914,112 @@ final class GraftTable(val tablePath: String) {
       df.select(schema.fields.toIndexedSeq.map(f =>
         col(s"`${physicalName(f)}`").as(f.name, f.metadata)) :+
         col(ChangeTypeCol): _*)
+    // pre-state entries (with their DVs as of v-1) read as deletes,
+    // post-state entries as inserts — both through the DV-aware reader
+    def tagged(fs: Seq[AddFile], v: Long, kind: String): Option[DataFrame] =
+      if (fs.isEmpty) None
+      else {
+        fs.foreach(a => require(Files.exists(root.resolve(a.path)),
+          s"txlog: data file ${a.path} of commit $v was vacuumed — " +
+            "readChangeFeed is behind the retention window; re-seed from " +
+            "a snapshot read"))
+        Some(logical(readPhysicalFiles(spark, phys, fs)
+          .withColumn(ChangeTypeCol, lit(kind))))
+      }
     val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .withColumn(ChangeTypeCol, lit("")).limit(0)
       .withColumn("_commit_version", lit(0L)).limit(0)
     ((sinceVersion + 1) to until).foldLeft(empty) { (acc, v) =>
-      val f = versionFile(v)
-      require(Files.exists(f),
-        s"txlog: commit $v missing — readChangeFeed($sinceVersion) is " +
-          "behind the vacuum retention window; re-seed from a snapshot read")
-      val c = parseCommit(new String(Files.readAllBytes(f), "UTF-8"))
-      val batch: Option[DataFrame] =
-        if (c.cdc.nonEmpty) {
-          val paths = c.cdc.map { case (p, _) => root.resolve(p) }
-          paths.foreach(p => require(Files.exists(p),
-            s"txlog: change file $p of commit $v was vacuumed — " +
-              "readChangeFeed is behind the retention window"))
-          Some(logical(spark.read
-            .schema(phys.add(ChangeTypeCol, StringType))
-            .parquet(paths.map(_.toString): _*)))
-        } else c.op match {
-          case "append" | "streamingUpdate" | "clone" if c.adds.nonEmpty =>
-            Some(logical(
-              readPhysicalFiles(spark, phys, c.adds)
-                .withColumn(ChangeTypeCol, lit("insert"))))
-          case "append" | "streamingUpdate" | "clone" => None
-          case "compact" | "zorder" | "checkpoint" | "create" | "addColumns"
-             | "addConstraint" | "dropConstraint" | "renameColumn"
-             | "dropColumn" | "setProps" | "purge" => None
-          case mutating => throw new IllegalStateException(
-            s"txlog: commit $v is a '$mutating' with no change data — it " +
-              s"was written without '$CdfEnabledProp'. Re-seed from a " +
-              "snapshot read, or enable the feed before mutating.")
+      val slice = changeFeedSlice(v)
+      val staged = if (slice.cdc.isEmpty) None else
+        Some(logical(spark.read
+          .schema(phys.add(ChangeTypeCol, StringType))
+          .parquet(slice.cdc.map(_.toString): _*)))
+      val parts: Seq[DataFrame] =
+        staged.toSeq ++ tagged(slice.deletes, v, "delete").toSeq ++
+          tagged(slice.inserts, v, "insert").toSeq
+      parts.reduceOption(_ unionAll _)
+        .fold(acc)(b => acc.unionAll(b.withColumn("_commit_version", lit(v))))
+    }
+  }
+
+  /** Feed slice of ONE commit: staged change files (rows already carry
+    * [[TxLog.ChangeTypeCol]]) + AddFile entries to serve as all-deletes
+    * (their DV-applied pre-state) + entries to serve as all-inserts. */
+  private[graft] final case class FeedSlice(
+      cdc: Seq[Path], deletes: Seq[AddFile], inserts: Seq[AddFile])
+
+  /** Classify commit `v` for the change feed — the single source of
+    * truth behind [[readChangeFeed]] and the streaming CDF source (see
+    * readChangeFeed's Scaladoc for the serving rules). One
+    * checkpoint+suffix log read per PRE-STATE-serving commit; pure
+    * metadata otherwise. */
+  private[graft] def changeFeedSlice(v: Long): FeedSlice = {
+    val f = versionFile(v)
+    require(Files.exists(f),
+      s"txlog: commit $v missing — the change feed window is " +
+        "behind the vacuum retention window; re-seed from a snapshot read")
+    val c = parseCommit(new String(Files.readAllBytes(f), "UTF-8"))
+    // resolved only for ops that serve from the pre-state
+    lazy val prevSnap: Snapshot = snapshot(v - 1)
+    lazy val prevByPath: Map[String, AddFile] =
+      prevSnap.files.map(a => a.path -> a).toMap
+    def prevEntries(paths: Seq[String]): Seq[AddFile] =
+      paths.map(p => prevByPath.getOrElse(p, throw new IllegalStateException(
+        s"txlog: commit $v removes '$p' which version ${v - 1} does not " +
+          "hold — corrupt log")))
+    if (c.cdc.nonEmpty || c.cdcFull.nonEmpty) {
+      val paths = c.cdc.map { case (p, _) => root.resolve(p) }
+      paths.foreach(p => require(Files.exists(p),
+        s"txlog: change file $p of commit $v was vacuumed — " +
+          "the change feed is behind the retention window"))
+      FeedSlice(paths, prevEntries(c.cdcFull), Nil)
+    } else c.op match {
+      case "append" | "streamingUpdate" | "clone" =>
+        FeedSlice(Nil, Nil, c.adds)
+      case "overwrite" =>
+        // guard only when pre-rows exist to serve: an overwrite of an
+        // empty table is pure inserts whatever the schema did
+        if (c.removes.nonEmpty) {
+          val prevPhys = physicalSchema(prevSnap.schema)
+          val postPhys = physicalSchema(
+            c.schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+              .getOrElse(prevSnap.schema))
+          require(prevPhys.fields.map(f => (f.name, f.dataType)).toSeq ==
+              postPhys.fields.map(f => (f.name, f.dataType)).toSeq,
+            s"txlog: commit $v is an overwrite that changed the physical " +
+              "schema — its pre-state rows cannot be expressed in the " +
+              "current schema. Re-seed from a snapshot read.")
         }
-      batch.fold(acc)(b => acc.unionAll(b.withColumn("_commit_version", lit(v))))
+        FeedSlice(Nil, prevEntries(c.removes), c.adds)
+      case "restore" =>
+        // removed paths: their whole pre-state deletes; a re-added
+        // path live in BOTH versions (a reverted deletion vector)
+        // replaces: delete(pre entry) + insert(restored entry)
+        val (replaced, fresh) = c.adds.partition(a => prevByPath.contains(a.path))
+        FeedSlice(Nil, prevEntries(c.removes ++ replaced.map(_.path)),
+          replaced ++ fresh)
+      case "delete" if c.adds.isEmpty =>
+        // remove-only delete (truncate / pure metadata drops written
+        // before cdf.enabled): every removed row is a delete — exact
+        // from the removed files alone
+        FeedSlice(Nil, prevEntries(c.removes), Nil)
+      case "compact" | "zorder" | "checkpoint" | "create" | "addColumns"
+         | "addConstraint" | "dropConstraint" | "renameColumn"
+         | "dropColumn" | "setProps" | "purge" =>
+        FeedSlice(Nil, Nil, Nil)
+      case mutating =>
+        // a cdf.enabled rewrite stages its diff at commit time; no
+        // cdc actions then means the NET change was empty (e.g.
+        // UPDATE SET x = x) — nothing to serve. Only a rewrite
+        // written while the feed was OFF is unrecoverable.
+        if (prevSnap.props.get(CdfEnabledProp).contains("true"))
+          FeedSlice(Nil, Nil, Nil)
+        else throw new IllegalStateException(
+          s"txlog: commit $v is a '$mutating' rewrite with no change " +
+            s"data — it was written without '$CdfEnabledProp'. Re-seed " +
+            "from a snapshot read, or enable the feed before mutating.")
     }
   }
 
@@ -1070,7 +1172,16 @@ final class GraftTable(val tablePath: String) {
     // replacement rows (adopted parquet — one columnar scan) pre-commit
     enforceOnStaged(spark, snap.schema, adds, snap.constraints)
     if (adds.isEmpty && removePaths.isEmpty) return snap.version
-    commitRewrite(snap, "replace", None, adds, removePaths)
+    // cdf.enabled: diff the replaced group against its replacement —
+    // O(touched groups), the same bytes the row-level rewrite moved
+    val cdc = if (cdfEnabled(snap)) {
+      val removedEntries = {
+        val want = removePaths.toSet
+        snap.files.filter(a => want.contains(a.path))
+      }
+      cdcDiff(spark, snap, removedEntries, adds)
+    } else Nil
+    commitRewrite(snap, "replace", None, adds, removePaths, cdc = cdc)
   }
 
   /** Attempt to commit at exactly `version`; true if won. */
@@ -1080,7 +1191,9 @@ final class GraftTable(val tablePath: String) {
       txns: Map[String, Long] = Map.empty,
       constraints: Option[Map[String, String]] = None,
       props: Option[Map[String, String]] = None,
-      addVersions: Map[String, Long] = Map.empty): Boolean = {
+      addVersions: Map[String, Long] = Map.empty,
+      cdc: Seq[(String, Long)] = Nil,
+      cdcFull: Seq[String] = Nil): Boolean = {
     ensureDirs()
     putIfAbsent(
       renderCommit(op, readVersion, schemaJson, adds, removes, txns,
@@ -1090,7 +1203,8 @@ final class GraftTable(val tablePath: String) {
         // resolves against it); checkpoints bypass tryCommit and stay
         // deterministic-bytes
         tsMillis = Some(System.currentTimeMillis()),
-        props = props),
+        props = props,
+        cdc = cdc, cdcFull = cdcFull),
       versionFile(version))
   }
 
@@ -1484,7 +1598,11 @@ final class GraftTable(val tablePath: String) {
     // committing only adds would leave every later snapshot() unable to
     // resolve ("no schema action found"), bricking the table
     val schemaJson = if (snap.schema.isEmpty) Some(merged.schema.json) else None
-    val v = commitRewrite(snap, "upsert", schemaJson, adds, touched.map(_.path))
+    // cdf.enabled: the feed batch is the pre-vs-post diff of the TOUCHED
+    // files only — O(rewrite), never O(table)
+    val cdc = if (cdfEnabled(snap)) cdcDiff(spark, snap, touched, adds) else Nil
+    val v = commitRewrite(snap, "upsert", schemaJson, adds, touched.map(_.path),
+      cdc = cdc)
     // untouched files are never staged or referenced by the commit —
     // no post-commit existence sweep (O(#files) stat() calls, and a
     // concurrent vacuum hiccup would blame this committed upsert)
@@ -1858,7 +1976,10 @@ final class GraftTable(val tablePath: String) {
   def truncate(): Long = {
     val snap = snapshot()
     if (snap.files.isEmpty) return snap.version
-    commitRewrite(snap, "delete", None, Nil, snap.files.map(_.path))
+    // cdf.enabled: every live file is a zero-write `cdcfull` delete ref —
+    // truncate stays a metadata-only commit with the feed on
+    commitRewrite(snap, "delete", None, Nil, snap.files.map(_.path),
+      cdcFull = if (cdfEnabled(snap)) snap.files.map(_.path) else Nil)
   }
 
   /** Transactional range DELETE (`DELETE WHERE lower <= column <=
@@ -1938,8 +2059,14 @@ final class GraftTable(val tablePath: String) {
         .filter(!coalesce(matched, lit(false))) // NULL predicate ⇒ row survives
       stageData(survivors)
     }
+    // cdf.enabled: metadata-dropped files become `cdcfull` refs (their
+    // own bytes ARE the change rows — the drop stays zero-write); only
+    // the straddling rewrites stage a real diff (O(rewrite))
+    val cdc = if (cdfEnabled(snap) && touched.nonEmpty)
+      cdcDiff(spark, snap, touched, adds) else Nil
+    val cdcFull = if (cdfEnabled(snap)) dropped.map(_.path) else Nil
     val v = commitRewrite(snap, "delete", None, adds,
-      (dropped ++ touched).map(_.path))
+      (dropped ++ touched).map(_.path), cdc = cdc, cdcFull = cdcFull)
     // untouched files are never staged or referenced by the commit, so
     // there is nothing to verify driver-side — a post-commit existence
     // sweep would be O(#files) stat() calls appended to what is
@@ -2047,16 +2174,30 @@ final class GraftTable(val tablePath: String) {
     // commit — the delete changed which rows exist, not who wrote them
     val addVersions = dvAdds.map(a =>
       a.path -> snap.addedIn.getOrElse(a.path, snap.version)).toMap
+    // cdf.enabled: the matched rows ARE the change batch (MOR delete
+    // never inserts) — one more pass over the live set, staged as
+    // all-delete change rows. No diff computation needed.
+    val cdc = if (!cdfEnabled(snap)) Nil else {
+      require(!snap.schema.fieldNames.contains(ChangeTypeCol),
+        s"txlog: cdf.enabled tables must not have a '$ChangeTypeCol' column")
+      stageChanges(
+        toPhysical(
+          taggedLive().filter(coalesce(expr(condition), lit(false)))
+            .drop("__file", "__idx"),
+          snap.schema)
+        .withColumn(ChangeTypeCol, lit("delete")))
+    }
     val v = snap.version + 1
     val won = latestVersion() == snap.version &&
       tryCommit(v, "delete", snap.version, None,
         stagedAdds ++ dvAdds,
         rewriteFiles.map(_.path) ++ dvAdds.map(_.path),
-        addVersions = addVersions)
+        addVersions = addVersions, cdc = cdc)
     if (!won) {
       // clean up ONLY the staged rewrite output — the DV adds reference
       // live data files that must never be touched on abort
       stagedAdds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+      cdc.foreach { case (p, _) => Files.deleteIfExists(root.resolve(p)) }
       throw new ConcurrentWriteException(
         s"txlog: deleteRows read version ${snap.version} but head moved — " +
           "re-read and retry (a silent commit here would drop the concurrent writer's rows)")
@@ -2182,13 +2323,17 @@ final class GraftTable(val tablePath: String) {
   private def commitRewrite(
       readSnap: Snapshot, op: String, schemaJson: Option[String],
       adds: Seq[AddFile], removes: Seq[String],
-      addVersions: Map[String, Long] = Map.empty): Long = {
+      addVersions: Map[String, Long] = Map.empty,
+      cdc: Seq[(String, Long)] = Nil,
+      cdcFull: Seq[String] = Nil): Long = {
     val v = readSnap.version + 1
     val won = latestVersion() == readSnap.version &&
       tryCommit(v, op, readSnap.version, schemaJson, adds, removes,
-        addVersions = addVersions)
+        addVersions = addVersions, cdc = cdc, cdcFull = cdcFull)
     if (!won) {
       adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+      // staged change files are this commit's own temporaries too
+      cdc.foreach { case (p, _) => Files.deleteIfExists(root.resolve(p)) }
       throw new ConcurrentWriteException(
         s"txlog: $op read version ${readSnap.version} but head moved — " +
           "re-read and retry (a silent commit here would drop the concurrent writer's rows)")
@@ -2248,15 +2393,32 @@ final class GraftTable(val tablePath: String) {
       try it.iterator().asScala.map(_.getFileName.toString)
         .filter(n => n.endsWith(".parquet") && !reachable.contains(n)).toList
       finally it.close()
-    if (dryRun) return deletable
+    // change-data-feed files are retention-governed like data files:
+    // keep those referenced by commits inside the window, drop the rest
+    // (orphans of lost commit races included)
+    val changeRoot = root.resolve(ChangeDir)
+    val staleCdc = if (!Files.exists(changeRoot)) Nil else {
+      val keep = ((floor.max(0L) + 1) to head).flatMap { v =>
+        val f = versionFile(v)
+        if (!Files.exists(f)) Nil
+        else parseCommit(new String(Files.readAllBytes(f), "UTF-8"))
+          .cdc.map { case (p, _) => p.stripPrefix(s"$ChangeDir/") }
+      }.toSet
+      val itc = Files.list(changeRoot)
+      try itc.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !keep.contains(n)).toList
+      finally itc.close()
+    }
+    if (dryRun) return deletable ++ staleCdc.map(n => s"$ChangeDir/$n")
     deletable.foreach(n => Files.deleteIfExists(root.resolve(n)))
+    staleCdc.foreach(n => Files.deleteIfExists(changeRoot.resolve(n)))
     // staged dirs from crashed writers are orphans too
     val it2 = Files.list(root)
     val staged =
       try it2.iterator().asScala.filter(_.getFileName.toString.startsWith("_staged_")).toList
       finally it2.close()
     staged.foreach(p => graft.core.Fs.rmTree(p.toFile))
-    deletable
+    deletable ++ staleCdc.map(n => s"$ChangeDir/$n")
   }
 
   /** Incremental consumption: all rows ADDED by append-family commits

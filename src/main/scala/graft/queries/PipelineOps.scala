@@ -1564,7 +1564,163 @@ object PipelineOps {
               (SELECT count(*) FROM live) AS live_rows
        FROM live ORDER BY c_custkey"""
 
+  // --------------------------------------------------------------------
+  // q130 — CHANGE DATA FEED round trip through the SQL surface: orders
+  // land in a `cdf.enabled` table, then three mutation classes commit —
+  // a CDC upsert (updates + key-deletes + inserts), a transactional
+  // range DELETE, and a merge-on-read deletion-vector DELETE — and the
+  // WHOLE feed is read back with the `graft_table_changes` table
+  // function (the Delta `table_changes` TVF shape, injected via
+  // SparkSessionExtensions). Every feed row is NET change only: rows
+  // carried through a rewrite cancel, metadata-only drops ride as
+  // zero-write `cdcfull` refs (the removed file's own bytes serve as
+  // the delete rows), and the MOR delete stages exactly the matched
+  // rows. The oracle recomputes each commit's change set from the base
+  // table with window-free set algebra, so a hash match proves the log
+  // attributed every insert/delete to the right commit. Scale: the feed
+  // read is O(changes in range) — staged diffs + referenced files —
+  // never O(table).
+  // --------------------------------------------------------------------
+  def q130ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cdf", dir)
+    graft.core.Fs.rmTree(new java.io.File(root))
+    val t = new graft.medallion.GraftTable(s"$root/orders")
+    val base = lake(s, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    (0 until 4).foreach(f =>
+      t.append(base.filter(col("o_orderkey") % 4 === f).repartition(1)))
+    t.setProperty(graft.medallion.TxLog.CdfEnabledProp, "true")
+    val vProps = t.latestVersion()
+    // commit 1: CDC upsert — bump price for keys %11=0, drop keys %13=7
+    val isUpd = col("o_orderkey") % 11 === 0
+    val isDel = col("o_orderkey") % 13 === 7 && col("o_orderkey") % 11 =!= 0
+    t.upsert(
+      base.filter(isUpd || isDel).select(
+        col("o_orderkey"), col("o_custkey"),
+        when(isUpd, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        lit(1L).as("_seq"), isDel.as("_deleted")),
+      "o_orderkey", "_seq")
+    // commit 2: transactional range delete
+    t.delete(s, "o_orderkey", Some(100L), Some(299L))
+    // commit 3: scattered merge-on-read delete (deletion vectors)
+    val (dvFiles, _, _, _) = t.deleteRows(s, "o_orderkey % 19 = 3")
+    require(dvFiles >= 1, "the scattered delete must vectorize at least one file")
+    graft.engine.GraftFunctions.register(s)
+    s.sql(
+      s"""SELECT CAST(_commit_version - $vProps AS INT) AS op, _change_type,
+                 o_orderkey, o_custkey, o_totalprice
+          FROM graft_table_changes('${t.tablePath}', $vProps)
+          ORDER BY op, _change_type, o_orderkey""")
+  }
+
+  private val q130Oracle =
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p FROM orders),
+       upd AS (SELECT * FROM base WHERE k % 11 = 0),
+       del1 AS (SELECT * FROM base WHERE k % 13 = 7 AND k % 11 <> 0),
+       state1 AS (
+         SELECT k, c, CASE WHEN k % 11 = 0 THEN p + 1000.0 ELSE p END AS p
+         FROM base WHERE NOT (k % 13 = 7 AND k % 11 <> 0)),
+       rdel AS (SELECT * FROM state1 WHERE k BETWEEN 100 AND 299),
+       state2 AS (SELECT * FROM state1 WHERE k NOT BETWEEN 100 AND 299),
+       mdel AS (SELECT * FROM state2 WHERE k % 19 = 3),
+       feed AS (
+         SELECT 1 AS op, 'delete' AS ct, k, c, p FROM upd
+         UNION ALL SELECT 1, 'delete', k, c, p FROM del1
+         UNION ALL SELECT 1, 'insert', k, c, p + 1000.0 FROM upd
+         UNION ALL SELECT 2, 'delete', k, c, p FROM rdel
+         UNION ALL SELECT 3, 'delete', k, c, p FROM mdel)
+       SELECT op, ct AS _change_type, k AS o_orderkey, c AS o_custkey,
+              p AS o_totalprice
+       FROM feed ORDER BY op, _change_type, o_orderkey"""
+
+  // --------------------------------------------------------------------
+  // q131 — incremental MV maintenance over the FULL change feed: where
+  // q118's MV folds appends only, this per-customer aggregate stays
+  // current across UPDATES and DELETES too — each refresh reads
+  // `readChangeFeed` (O(changes)), folds it into a signed delta
+  // (+row/-row, +cents/-cents), and upserts touched keys into the MV,
+  // dropping keys whose row count reaches zero. Money rides as BIGINT
+  // cents so incremental addition is exact and associative (delta
+  // maintenance ≡ recompute, bit-for-bit). The final MV must hash-match
+  // the oracle's from-scratch aggregate over the post-mutation state —
+  // proving the feed's net-change contract composes: upsert pairs,
+  // zero-write range-delete refs, and append inserts all fold into the
+  // same numbers a full rescan yields. Scale: refresh cost is
+  // O(feed ∪ touched MV files); the MV is never rescanned.
+  // --------------------------------------------------------------------
+  def q131CdfMv(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cdfmv", dir)
+    graft.core.Fs.rmTree(new java.io.File(root))
+    val src = new graft.medallion.GraftTable(s"$root/src")
+    val mv = new graft.medallion.GraftTable(s"$root/mv")
+    val base = lake(s, dir).orders.select(
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+    src.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey", LongType),
+      org.apache.spark.sql.types.StructField("o_custkey", LongType),
+      org.apache.spark.sql.types.StructField("cents", LongType))))
+    src.setProperty(graft.medallion.TxLog.CdfEnabledProp, "true")
+    var seen = src.latestVersion()
+    def refresh(): Unit = {
+      val head = src.latestVersion()
+      val delta = src.readChangeFeed(s, seen, head)
+        .select(col("o_custkey"),
+          when(col("_change_type") === "insert", 1L).otherwise(-1L).as("sgn"),
+          col("cents"))
+        .groupBy("o_custkey")
+        .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("cents")).as("dc"))
+      if (mv.latestVersion() == 0L) {
+        mv.append(delta.select(
+          col("o_custkey"), col("dn").as("n_orders"), col("dc").as("sum_cents")))
+      } else {
+        val merged = delta.as("d")
+          .join(mv.read(s).as("c"), Seq("o_custkey"), "left")
+          .select(
+            col("o_custkey"),
+            (coalesce(col("c.n_orders"), lit(0L)) + col("d.dn")).as("n_orders"),
+            (coalesce(col("c.sum_cents"), lit(0L)) + col("d.dc")).as("sum_cents"))
+        mv.upsert(
+          merged.withColumn("_seq", lit(head))
+            .withColumn("_deleted", col("n_orders") === 0L),
+          "o_custkey", "_seq")
+      }
+      seen = head
+    }
+    // two append batches, then an update/delete CDC batch, then a range
+    // delete — the MV refreshes after each from the feed alone
+    src.append(base.filter(col("o_orderkey") % 2 === 0)); refresh()
+    src.append(base.filter(col("o_orderkey") % 2 === 1)); refresh()
+    val isUpd = col("o_orderkey") % 11 === 0
+    val isDel = col("o_orderkey") % 13 === 7 && col("o_orderkey") % 11 =!= 0
+    src.upsert(
+      base.filter(isUpd || isDel).select(
+        col("o_orderkey"), col("o_custkey"),
+        when(isUpd, col("cents") + 500L).otherwise(col("cents")).as("cents"),
+        lit(9L).as("_seq"), isDel.as("_deleted")),
+      "o_orderkey", "_seq"); refresh()
+    src.delete(s, "o_orderkey", Some(100L), Some(499L)); refresh()
+    mv.read(s).orderBy(col("o_custkey"))
+  }
+
+  private val q131Oracle =
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey AS c,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders),
+       s1 AS (
+         SELECT k, c, CASE WHEN k % 11 = 0 THEN cents + 500 ELSE cents END AS cents
+         FROM base WHERE NOT (k % 13 = 7 AND k % 11 <> 0)),
+       s2 AS (SELECT * FROM s1 WHERE k NOT BETWEEN 100 AND 499)
+       SELECT c AS o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(cents) AS BIGINT) AS sum_cents
+       FROM s2 GROUP BY c ORDER BY o_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_change_feed" -> (q130ChangeFeed _),
+    "q131_cdf_mv" -> (q131CdfMv _),
     "q128_deletion_vectors" -> (q128DeletionVectors _),
     "q129_sql_mor_delete" -> (q129SqlMorDelete _),
     "q118_incremental_mv" -> (q118IncrementalMv _),
@@ -1596,6 +1752,8 @@ object PipelineOps {
     "q127_bloom_lookup" -> (q127BloomLookup _))
 
   val oracle: Map[String, String] = Map(
+    "q130_change_feed" -> q130Oracle,
+    "q131_cdf_mv" -> q131Oracle,
     "q128_deletion_vectors" -> q128Oracle,
     "q129_sql_mor_delete" -> q129Oracle,
     "q118_incremental_mv" -> q118Oracle,

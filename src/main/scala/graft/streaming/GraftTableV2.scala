@@ -209,12 +209,30 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
     }
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTableV2.readSchemaOf(path(options), versionAsOf(options))
+  private def changeFeed(m: java.util.Map[String, String]): Boolean =
+    Option(m.get("readChangeFeed")).exists(_.toBoolean)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = GraftTableV2.readSchemaOf(path(options), versionAsOf(options))
+    if (!changeFeed(options)) base
+    else {
+      // the feed's schema: data columns, then _change_type, then the
+      // provenance tag readSchemaOf already appended last
+      val (data, version) = base.fields.partition(
+        _.name != GraftTableV2.VersionCol)
+      StructType((data :+
+        StructField(TxLog.ChangeTypeCol, StringType, nullable = false)) ++
+        version)
+    }
+  }
 
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
+      properties: java.util.Map[String, String]): Table = {
+    val cdf = changeFeed(properties)
+    require(!cdf || versionAsOf(properties).isEmpty,
+      "graft-table: readChangeFeed streams FORWARD from startingVersion — " +
+        "it cannot combine with versionAsOf/timestampAsOf time travel")
     new GraftTableV2(
       path(properties), schema,
       skipRewrites = Option(properties.get("skipRewrites")).exists(_.toBoolean),
@@ -226,7 +244,9 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
           val n = s.toLong
           require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
           n
-        })
+        },
+      changeFeed = cdf)
+  }
 }
 
 /** The resolved table: schema pinned at creation (concurrent commits
@@ -239,7 +259,8 @@ class GraftTableV2(
     skipRewrites: Boolean, startingVersion: Long,
     versionAsOf: Option[Long] = None,
     maxVersionsPerTrigger: Option[Long] = None,
-    pinnedVersion: Option[Long] = None)
+    pinnedVersion: Option[Long] = None,
+    changeFeed: Boolean = false)
     extends Table with SupportsRead with SupportsDelete {
 
   // version pinned alongside the schema: every batch scan of this table
@@ -276,7 +297,11 @@ class GraftTableV2(
   override def properties(): java.util.Map[String, String] = resolvedProperties
 
   override def capabilities(): java.util.Set[TableCapability] =
-    if (versionAsOf.isDefined)
+    if (changeFeed)
+      // the readChangeFeed option is the STREAMING feed surface; batch
+      // feed reads are graft_table_changes / GraftTable.readChangeFeed
+      Set(TableCapability.MICRO_BATCH_READ).asJava
+    else if (versionAsOf.isDefined)
       // a pinned-history read cannot tail: streaming from a past
       // version is startingVersion's job, and silently streaming the
       // HEAD under a versionAsOf option would be a lie
@@ -344,7 +369,8 @@ class GraftTableV2(
         "(one append) before reading")
     new GraftScanBuilder(
       SparkSession.active, tablePath, pinnedSchema, snapVersion,
-      skipRewrites, startingVersion, maxVersionsPerTrigger, versionIsSynthetic)
+      skipRewrites, startingVersion, maxVersionsPerTrigger, versionIsSynthetic,
+      changeFeed)
   }
 }
 
@@ -366,7 +392,8 @@ final class GraftScanBuilder(
     spark: SparkSession, tablePath: String, fullSchema: StructType,
     snapVersion: Long, skipRewrites: Boolean, startingVersion: Long,
     maxVersionsPerTrigger: Option[Long] = None,
-    syntheticVersion: Boolean = true)
+    syntheticVersion: Boolean = true,
+    changeFeed: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -383,7 +410,7 @@ final class GraftScanBuilder(
     * under-produce. Partial push (the default): Spark keeps its own
     * LIMIT on top, we just plan fewer files. */
   override def pushLimit(n: Int): Boolean = {
-    if (filters.nonEmpty) return false
+    if (filters.nonEmpty || changeFeed) return false
     limit = Some(n); true
   }
 
@@ -409,6 +436,7 @@ final class GraftScanBuilder(
   // twice per query
   private var resolvedFor: Option[(Aggregation, Option[(StructType, Seq[InternalRow])])] = None
   private def resolveAgg(agg: Aggregation): Option[(StructType, Seq[InternalRow])] = {
+    if (changeFeed) return None // a feed is row attribution, not a rollup
     if (!resolvedFor.exists(_._1 eq agg))
       resolvedFor = Some((agg, GraftTableV2.metadataAggregate(
         new GraftTable(tablePath), fullSchema, snapVersion, filters, agg,
@@ -429,7 +457,7 @@ final class GraftScanBuilder(
     case None =>
       new GraftScan(spark, tablePath, fullSchema, required, filters,
         snapVersion, skipRewrites, startingVersion, limit,
-        maxVersionsPerTrigger, syntheticVersion)
+        maxVersionsPerTrigger, syntheticVersion, changeFeed)
   }
 }
 
@@ -451,7 +479,8 @@ final class GraftScan(
     snapVersion: Long, skipRewrites: Boolean, startingVersion: Long,
     limit: Option[Int] = None,
     maxVersionsPerTrigger: Option[Long] = None,
-    syntheticVersion: Boolean = true)
+    syntheticVersion: Boolean = true,
+    changeFeed: Boolean = false)
     extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   import GraftTableV2.VersionCol
@@ -459,13 +488,18 @@ final class GraftScan(
   private val table = new GraftTable(tablePath)
 
   // the physical (on-disk) schema: everything except the provenance tag
-  // (a data column that happens to share the name stays on disk)
-  private val dataSchema =
-    if (!syntheticVersion) fullSchema
-    else StructType(fullSchema.fields.filterNot(_.name == VersionCol))
-  private val dataFilters =
-    if (!syntheticVersion) filters.toSeq
-    else filters.filter(_.references.forall(_ != VersionCol)).toSeq
+  // (a data column that happens to share the name stays on disk) — and,
+  // in CDF mode, the feed's change-type tag
+  private val dataSchema = StructType(fullSchema.fields.filterNot(f =>
+    (syntheticVersion && f.name == VersionCol) ||
+      (changeFeed && f.name == TxLog.ChangeTypeCol)))
+  private val dataFilters = {
+    val noVersion =
+      if (!syntheticVersion) filters.toSeq
+      else filters.filter(_.references.forall(_ != VersionCol)).toSeq
+    if (!changeFeed) noVersion
+    else noVersion.filter(_.references.forall(_ != TxLog.ChangeTypeCol))
+  }
 
   override def readSchema(): StructType = required
 
@@ -529,14 +563,19 @@ final class GraftScan(
       OptionalLong.of(pruned.map(_._1.effectiveRows).sum)
   }
 
-  override def toBatch: Batch =
+  override def toBatch: Batch = {
+    require(!changeFeed,
+      "graft-table: batch change-feed reads go through the " +
+        "graft_table_changes table function (or GraftTable.readChangeFeed); " +
+        "the readChangeFeed option is the STREAMING surface")
     new GraftBatch(spark, table, dataSchema, required, dataFilters,
       () => currentFiles(), syntheticVersion)
+  }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(
       spark, table, dataSchema, required, dataFilters,
-      skipRewrites, startingVersion, maxVersionsPerTrigger)
+      skipRewrites, startingVersion, maxVersionsPerTrigger, changeFeed)
 }
 
 /** Batch read of a pruned snapshot. Fast path (no `_commit_version`
@@ -716,6 +755,91 @@ final case class GraftVersionedReaderFactory(
     }
 }
 
+/** A feed partition of the streaming CHANGE DATA FEED source: an inner
+  * parquet partition tagged with its commit version and either a
+  * CONSTANT change type (pre-state files served as all-deletes,
+  * add-files as all-inserts) or none — the staged-cdc-file case, where
+  * `_change_type` is the file's own trailing column. `dv`: serialized
+  * deletion-vector bitmap whose row positions the reader must skip
+  * (the delegate must then be filter-free — positions are only exact
+  * with no row group skipped underneath). */
+final case class GraftChangePartition(
+    inner: InputPartition, delegate: Int, version: Long,
+    changeType: Option[String], dv: Option[String]) extends InputPartition
+
+/** Reader factory of the streaming CDF source: every partition emits
+  * rows in `required` order with `_commit_version` and `_change_type`
+  * filled from the partition's constants (or, for staged change files,
+  * `_change_type` read as the inner row's trailing column). All feed
+  * partitions are row-based — the feed's value is attribution, not
+  * scan throughput, and mixing columnar kinds in one scan is not worth
+  * the complexity here. */
+final case class GraftChangeFeedReaderFactory(
+    delegates: Array[PartitionReaderFactory],
+    required: StructType, innerRequired: StructType)
+    extends PartitionReaderFactory {
+
+  import GraftTableV2.VersionCol
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case cp: GraftChangePartition =>
+        val raw = delegates(cp.delegate).createReader(cp.inner)
+        val inner = cp.dv.fold(raw) { b64 =>
+          val bm = graft.medallion.TxLog.dvDeserialize(b64)
+          new PartitionReader[InternalRow] {
+            private var pos = -1L
+            override def next(): Boolean = {
+              while (raw.next()) {
+                pos += 1
+                if (pos > Int.MaxValue.toLong || !bm.contains(pos.toInt))
+                  return true
+              }
+              false
+            }
+            override def get(): InternalRow = raw.get()
+            override def close(): Unit = raw.close()
+          }
+        }
+        // required-ordinal mapping: -1 = version const, -2 = change-type
+        // const; the staged-cdc read appends _change_type as the
+        // trailing inner column (ordinal innerRequired.length)
+        val ctOrdinal = innerRequired.length
+        val mapping: Array[Int] = required.fields.map { f =>
+          if (f.name == VersionCol) -1
+          else if (f.name == graft.medallion.TxLog.ChangeTypeCol)
+            if (cp.changeType.isDefined) -2 else ctOrdinal
+          else innerRequired.fieldIndex(f.name)
+        }
+        val types: Array[DataType] =
+          innerRequired.fields.map(_.dataType) :+ StringType
+        val ctConst = cp.changeType
+          .map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = inner.next()
+          override def get(): InternalRow = {
+            val in = inner.get()
+            val out = new Array[Any](mapping.length)
+            var i = 0
+            while (i < mapping.length) {
+              val m = mapping(i)
+              out(i) =
+                if (m == -1) cp.version
+                else if (m == -2) ctConst
+                else if (in.isNullAt(m)) null
+                else in.get(m, types(m))
+              i += 1
+            }
+            new GenericInternalRow(out)
+          }
+          override def close(): Unit = inner.close()
+        }
+      case other => delegates(0).createReader(other)
+    }
+}
+
 /** Version-offset micro-batch stream — the V1 source's exactly-once
   * contract (offsets are table versions, deterministic replay from the
   * immutable log) plus [[SupportsTriggerAvailableNow]].
@@ -729,14 +853,16 @@ final class GraftMicroBatchStream(
     spark: SparkSession, table: GraftTable, dataSchema: StructType,
     required: StructType, dataFilters: Seq[Filter],
     skipRewrites: Boolean, startingVersion: Long,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    changeFeed: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   import GraftTableV2.VersionCol
 
   private val needVersion = required.fieldNames.contains(VersionCol)
   private val innerRequired = StructType(
-    required.fields.filterNot(_.name == VersionCol))
+    required.fields.filterNot(f => f.name == VersionCol ||
+      (changeFeed && f.name == TxLog.ChangeTypeCol)))
 
   // Trigger.AvailableNow: the head version pinned at query start — the
   // run drains to exactly here in micro-batches, then stops
@@ -770,10 +896,15 @@ final class GraftMicroBatchStream(
     GraftVersionOffset(json.trim.toLong) // V1 LongOffset checkpoints replay as-is
 
   // column-mapped tables: the delegated parquet reader speaks PHYSICAL
-  // names (see GraftBatch) — rows are positional, logical stays above
-  private val physDataSchema = GraftTableV2.physicalProjection(dataSchema, dataSchema)
-  private val physRequired = GraftTableV2.physicalProjection(dataSchema, innerRequired)
-  private val physFilters = GraftTableV2.physicalFilters(dataSchema, dataFilters)
+  // names (see GraftBatch) — rows are positional, logical stays above.
+  // In CDF mode the declared schema carries the feed's tag columns too,
+  // which no DATA file holds — strip them before facing parquet.
+  private val dataOnly = StructType(dataSchema.fields.filterNot(f =>
+    changeFeed &&
+      (f.name == TxLog.ChangeTypeCol || f.name == GraftTableV2.VersionCol)))
+  private val physDataSchema = GraftTableV2.physicalProjection(dataOnly, dataOnly)
+  private val physRequired = GraftTableV2.physicalProjection(dataOnly, innerRequired)
+  private val physFilters = GraftTableV2.physicalFilters(dataOnly, dataFilters)
 
   // ONE partition-agnostic parquet reader factory, built on the driver
   // at stream creation and serialized once: it can read every file
@@ -789,9 +920,63 @@ final class GraftMicroBatchStream(
     org.apache.spark.sql.graft.ParquetScans.readerFactoryFor(
       spark, physDataSchema, physRequired, Nil)
 
+  // CDF: staged change files carry the physical data columns PLUS the
+  // trailing _change_type string — their own read projection/factory
+  private val cdcPhysSchema =
+    StructType(physDataSchema.fields :+
+      StructField(TxLog.ChangeTypeCol, StringType))
+  private val cdcPhysRequired =
+    StructType(physRequired.fields :+
+      StructField(TxLog.ChangeTypeCol, StringType))
+  private lazy val cdcFactory: PartitionReaderFactory =
+    org.apache.spark.sql.graft.ParquetScans.readerFactoryFor(
+      spark, cdcPhysSchema, cdcPhysRequired, Nil)
+
+  /** CDF mode: each commit in `(from, until]` plans its feed slice —
+    * staged change files read as-is (their trailing `_change_type`
+    * column rides through), pre-state delete entries and add-file
+    * insert entries as constant-tagged partitions, DV-aware. The same
+    * serving rules as [[GraftTable.readChangeFeed]] (ONE classifier —
+    * `changeFeedSlice`), so a stream and a batch feed read can never
+    * disagree. O(changes per batch), never O(table). */
+  private def planChangeFeed(from: Long, until: Long): Array[InputPartition] = {
+    ((from + 1) to until).flatMap { v =>
+      val slice = table.changeFeedSlice(v)
+      (slice.deletes ++ slice.inserts).foreach(a =>
+        require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(table.absoluteDataPath(a))),
+          s"graft-table CDF: data file ${a.path} of commit $v was " +
+            "vacuumed — the stream is behind the retention window"))
+      val cdcParts: Seq[InputPartition] =
+        if (slice.cdc.isEmpty) Nil
+        else org.apache.spark.sql.graft.ParquetScans.scanFor(
+          spark, cdcPhysSchema, slice.cdc.map(_.toString),
+          cdcPhysRequired, Nil).toBatch.planInputPartitions().toSeq
+          .map(p => GraftChangePartition(p, 2, v, None, None))
+      def tagged(fs: Seq[TxLog.AddFile], ct: String): Seq[InputPartition] = {
+        val (dvd, clean) = fs.partition(_.dv.isDefined)
+        val dvParts: Seq[InputPartition] = dvd.map(a =>
+          GraftChangePartition(
+            org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
+              spark, table.absoluteDataPath(a)),
+            1, v, Some(ct), a.dv))
+        val cleanParts: Seq[InputPartition] =
+          if (clean.isEmpty) Nil
+          else org.apache.spark.sql.graft.ParquetScans.scanFor(
+            spark, physDataSchema, clean.map(table.absoluteDataPath),
+            physRequired, physFilters).toBatch.planInputPartitions()
+            .toSeq.map(p => GraftChangePartition(p, 0, v, Some(ct), None))
+        cleanParts ++ dvParts
+      }
+      cdcParts ++ tagged(slice.deletes, "delete") ++
+        tagged(slice.inserts, "insert")
+    }.toArray
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftVersionOffset].version
     val until = end.asInstanceOf[GraftVersionOffset].version
+    if (changeFeed) return planChangeFeed(from, until)
     // the same contract appendsSince enforces: appends flow, row-neutral
     // rewrites are skipped, attribution-breaking rewrites throw
     table.appendFilesSince(from, skipRewrites, untilVersion = until)
@@ -814,14 +999,18 @@ final class GraftMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftVersionedReaderFactory(
+    if (changeFeed)
+      GraftChangeFeedReaderFactory(
+        Array(innerFactory, dvFactory, cdcFactory), required, innerRequired)
+    else GraftVersionedReaderFactory(
       Array(innerFactory, dvFactory), required, innerRequired)
 
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
 
-  override def toString: String = s"GraftTableV2[${table.tablePath}]"
+  override def toString: String =
+    s"GraftTableV2[${table.tablePath}]${if (changeFeed) "[cdf]" else ""}"
 }
 
 /** Offset = table version; JSON is the bare number (LongOffset-compatible). */

@@ -27,4 +27,19 @@ object FunctionInjector {
         id, new ExpressionInfo("graft", null, name, usage, ""), builder)
     }
   }
+
+  /** Idempotently register a TABLE function (`SELECT * FROM name(...)`)
+    * — the post-hoc twin of `SparkSessionExtensions.injectTableFunction`. */
+  def registerTable(
+      spark: SparkSession,
+      name: String,
+      usage: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+    val id = FunctionIdentifier(name)
+    val registry = spark.sessionState.tableFunctionRegistry
+    if (!registry.functionExists(id)) {
+      registry.registerFunction(
+        id, new ExpressionInfo("graft", null, name, usage, ""), builder)
+    }
+  }
 }

@@ -1,0 +1,246 @@
+package graft
+
+import graft.medallion.GraftTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CHANGE DATA FEED: every row-mutating commit of a `cdf.enabled` table
+  * serves its net row changes through `readChangeFeed` (and the
+  * `graft_table_changes` SQL table function), tagged
+  * `_change_type` ∈ {insert, delete} and `_commit_version`.
+  *
+  * The load-bearing invariant, asserted per operation class: for any
+  * window, folding the feed into the `since` snapshot reproduces the
+  * `until` snapshot EXACTLY (multiset equality). Cost bars: metadata-only
+  * drops and truncate must stage ZERO change bytes (`cdcfull` refs), and
+  * append/overwrite/restore serve straight from the commit's own
+  * add/remove lists. */
+class CdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(tag: String): GraftTable = {
+    val dir = new java.io.File(
+      s"target/tmp/cdf_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+    new GraftTable(dir.getAbsolutePath)
+  }
+
+  private def enabled(tag: String): GraftTable = {
+    val t = freshTable(tag)
+    t.append((0L until 100L).map(i => (i, s"n$i", i % 5)).toDF("id", "name", "b")
+      .repartition(4))
+    t.setProperty("cdf.enabled", "true")
+    t
+  }
+
+  /** Multiset fold check: since-snapshot ⊎ inserts ∖ deletes == until. */
+  private def assertFold(t: GraftTable, since: Long, until: Long): Unit = {
+    val cols = t.snapshot(until).schema.fieldNames.toSeq.map(col)
+    val feed = t.readChangeFeed(spark, since, until)
+    val ins = feed.filter($"_change_type" === "insert").select(cols: _*)
+    val del = feed.filter($"_change_type" === "delete").select(cols: _*)
+    val folded = t.read(spark, since).select(cols: _*).unionAll(ins).exceptAll(del)
+    val target = t.read(spark, until).select(cols: _*)
+    assert(folded.exceptAll(target).count() === 0L,
+      s"fold($since->$until) has rows the target lacks")
+    assert(target.exceptAll(folded).count() === 0L,
+      s"target($until) has rows the fold lacks")
+  }
+
+  private def commitText(t: GraftTable, v: Long): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t.tablePath, "_graft_log",
+        "%020d.json".format(v))), "UTF-8")
+
+  private def changeDir(t: GraftTable) =
+    new java.io.File(t.tablePath, "_change")
+
+  private def changeFiles(t: GraftTable): Seq[String] = {
+    val d = changeDir(t)
+    if (!d.exists()) Nil
+    else d.listFiles().map(_.getName).toSeq.filter(_.endsWith(".parquet"))
+  }
+
+  test("appends serve as inserts with no change bytes; fold holds") {
+    val t = enabled("append")
+    t.append(Seq((200L, "x", 1L), (201L, "y", 2L)).toDF("id", "name", "b"))
+    val feed = t.readChangeFeed(spark, 2) // since the setProperty commit
+    assert(feed.count() === 2L)
+    assert(feed.select("_change_type").distinct().as[String].collect().toSeq === Seq("insert"))
+    assert(changeFiles(t).isEmpty)
+    assertFold(t, 1, t.latestVersion())
+  }
+
+  test("upsert: an updated key is one delete + one insert; new keys insert") {
+    val t = enabled("upsert")
+    val head = t.latestVersion()
+    t.upsert(
+      Seq((7L, "SEVEN", 99L, 1L, false), (500L, "new", 0L, 1L, false))
+        .toDF("id", "name", "b", "_seq", "_deleted"),
+      "id", "_seq")
+    val v = t.latestVersion()
+    val feed = t.readChangeFeed(spark, head, v)
+    val byType = feed.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    // key 7: old row deleted + new row inserted; key 500: inserted.
+    // Unchanged rows carried through the rewrite MUST cancel out.
+    assert(byType === Map("delete" -> 1L, "insert" -> 2L))
+    val del = feed.filter($"_change_type" === "delete")
+      .select("id", "name").as[(Long, String)].collect().toSeq
+    assert(del === Seq((7L, "n7")))
+    assertFold(t, head, v)
+  }
+
+  test("upsert delete-key emits only deletes; net-zero upsert emits nothing") {
+    val t = enabled("upsertdel")
+    val head = t.latestVersion()
+    t.upsert(Seq((3L, "n3", 3L, 1L, true)).toDF("id", "name", "b", "_seq", "_deleted"),
+      "id", "_seq")
+    val v1 = t.latestVersion()
+    val feed1 = t.readChangeFeed(spark, head, v1)
+    assert(feed1.select("_change_type", "id").as[(String, Long)].collect().toSeq
+      === Seq(("delete", 3L)))
+    // re-writing an identical row is a rewrite with EMPTY net change
+    t.upsert(Seq((8L, "n8", 3L, 1L, false)).toDF("id", "name", "b", "_seq", "_deleted"),
+      "id", "_seq")
+    val v2 = t.latestVersion()
+    assert(t.readChangeFeed(spark, v1, v2).count() === 0L)
+    assertFold(t, head, v2)
+  }
+
+  test("range delete: metadata drops are zero-write cdcfull refs") {
+    val t = freshTable("rangedel")
+    // one file per bucket so a whole-bucket delete is a pure metadata drop
+    (0L until 4L).foreach { bkt =>
+      t.append((0L until 50L).map(i => (bkt * 100 + i, bkt)).toDF("id", "bkt")
+        .coalesce(1))
+    }
+    t.setProperty("cdf.enabled", "true")
+    val head = t.latestVersion()
+    val (dropped, rewritten, v) = t.delete(spark, "bkt", Some(1L), Some(1L))
+    assert(dropped === 1 && rewritten === 0)
+    // the drop staged NOTHING — the commit references the dropped file itself
+    assert(changeFiles(t).isEmpty)
+    assert(commitText(t, v).contains("\"cdcfull\""))
+    val feed = t.readChangeFeed(spark, head, v)
+    assert(feed.count() === 50L)
+    assert(feed.select("_change_type").distinct().as[String].collect().toSeq === Seq("delete"))
+    assertFold(t, head, v)
+  }
+
+  test("range delete: straddling rewrite stages only the net deletes") {
+    val t = enabled("straddle")
+    val head = t.latestVersion()
+    val (_, rewritten, v) = t.delete(spark, "id", Some(10L), Some(19L))
+    assert(rewritten > 0)
+    val feed = t.readChangeFeed(spark, head, v)
+    assert(feed.count() === 10L) // survivors carried through cancel out
+    assert(feed.select("id").as[Long].collect().toSet === (10L until 20L).toSet)
+    // staged change bytes hold exactly the net rows, not the rewrites
+    val stagedRows = spark.read.parquet(
+      changeFiles(t).map(n => s"${t.tablePath}/_change/$n"): _*).count()
+    assert(stagedRows === 10L)
+    assertFold(t, head, v)
+  }
+
+  test("merge-on-read deleteRows feeds the matched rows as deletes") {
+    val t = enabled("mor")
+    val head = t.latestVersion()
+    val (dvFiles, _, rows, v) = t.deleteRows(spark, "id % 10 = 0")
+    assert(dvFiles > 0 && rows === 10L)
+    val feed = t.readChangeFeed(spark, head, v)
+    assert(feed.filter($"_change_type" === "delete").count() === 10L)
+    assert(feed.count() === 10L)
+    assertFold(t, head, v)
+    // a second overlapping delete must not re-feed already-dead rows
+    val (_, _, rows2, v2) = t.deleteRows(spark, "id % 5 = 0")
+    assert(rows2 === 10L) // the %10 rows are already gone
+    assert(t.readChangeFeed(spark, v, v2).count() === 10L)
+    assertFold(t, head, v2)
+  }
+
+  test("truncate is a zero-write all-delete feed") {
+    val t = enabled("trunc")
+    val head = t.latestVersion()
+    val v = t.truncate()
+    assert(changeFiles(t).isEmpty)
+    val feed = t.readChangeFeed(spark, head, v)
+    assert(feed.count() === 100L)
+    assert(feed.select("_change_type").distinct().as[String].collect().toSeq === Seq("delete"))
+    assertFold(t, head, v)
+  }
+
+  test("overwrite and restore serve exactly from the commit lists — even without cdf.enabled") {
+    val t = freshTable("overwrite")
+    t.append((0L until 20L).map(i => (i, s"a$i")).toDF("id", "name"))
+    val v1 = t.latestVersion()
+    t.overwrite((10L until 25L).map(i => (i, s"b$i")).toDF("id", "name"))
+    val v2 = t.latestVersion()
+    val feed = t.readChangeFeed(spark, v1, v2)
+    assert(feed.filter($"_change_type" === "delete").count() === 20L)
+    assert(feed.filter($"_change_type" === "insert").count() === 15L)
+    assertFold(t, v1, v2)
+    val v3 = t.restore(v1)
+    assertFold(t, v2, v3)
+    assertFold(t, v1, v3) // net across overwrite+restore is zero… as a fold
+  }
+
+  test("row-neutral maintenance feeds nothing; fold crosses it") {
+    val t = enabled("neutral")
+    val head = t.latestVersion()
+    t.append(Seq((300L, "z", 0L)).toDF("id", "name", "b"))
+    val (_, _, cv) = t.compact(spark)
+    assert(t.readChangeFeed(spark, cv - 1, cv).count() === 0L)
+    assertFold(t, head, t.latestVersion())
+  }
+
+  test("a rewrite written while the feed was OFF fails the read loudly; remove-only deletes still serve") {
+    val t = freshTable("off")
+    t.append((0L until 30L).map(i => (i, i % 3)).toDF("id", "bkt").coalesce(1))
+    val v1 = t.latestVersion()
+    t.upsert(Seq((1L, 9L, 1L, false)).toDF("id", "bkt", "_seq", "_deleted"),
+      "id", "_seq")
+    val ex = intercept[IllegalStateException](
+      t.readChangeFeed(spark, v1).count())
+    assert(ex.getMessage.contains("cdf.enabled"))
+    // pre-enablement TRUNCATE is remove-only — self-describing, serves fine
+    val t2 = freshTable("off2")
+    t2.append((0L until 10L).map(i => (i, s"x$i")).toDF("id", "name"))
+    val tv1 = t2.latestVersion()
+    val tv2 = t2.truncate()
+    assert(t2.readChangeFeed(spark, tv1, tv2).count() === 10L)
+    assertFold(t2, tv1, tv2)
+  }
+
+  test("SQL surface: graft_table_changes table function") {
+    graft.engine.GraftFunctions.register(spark)
+    val t = enabled("tvf")
+    val head = t.latestVersion()
+    t.delete(spark, "id", Some(0L), Some(9L))
+    val got = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM " +
+        s"graft_table_changes('${t.tablePath}', $head) GROUP BY 1")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("delete" -> 10L))
+    // until-bounded form pins the window
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_table_changes('${t.tablePath}', 0, 1)")
+      .as[Long].head() === 100L)
+  }
+
+  test("vacuum retires change files past retention and keeps the window; behind-window read fails loudly") {
+    val t = enabled("vacuum")
+    t.delete(spark, "id", Some(10L), Some(19L)) // stages a change file
+    val vDel = t.latestVersion()
+    assert(changeFiles(t).nonEmpty)
+    // push the delete outside a 2-version retention window
+    (0 until 3).foreach(i =>
+      t.append(Seq((1000L + i, "pad", 0L)).toDF("id", "name", "b")))
+    t.vacuum(2)
+    assert(changeFiles(t).isEmpty)
+    val ex = intercept[IllegalArgumentException](
+      t.readChangeFeed(spark, vDel - 1, vDel).count())
+    assert(ex.getMessage.contains("retention"))
+    // inside the window everything still serves
+    assert(t.readChangeFeed(spark, vDel).count() === 3L)
+  }
+}
