@@ -59,13 +59,35 @@ object GraftTableChanges {
       case other => throw new IllegalArgumentException(
         s"graft_table_changes: $what must be an integer version, got $other")
     }
-    val path = String.valueOf(literal(es.head, "path"))
+    val raw = String.valueOf(literal(es.head, "path"))
     val since = asLong(literal(es(1), "since"), "since")
     val until =
       if (es.length == 3) asLong(literal(es(2), "until"), "until") else -1L
-    new graft.medallion.GraftTable(path)
+    new graft.medallion.GraftTable(resolve(raw))
       .readChangeFeed(SparkSession.active, since, until)
       .queryExecution.analyzed
+  }
+
+  /** First argument: a filesystem path (anything containing '/'), or a
+    * registered graft-catalog identifier `cat.db.t` resolved against
+    * that catalog's warehouse — the same segment validation as the
+    * catalog's own identifier walk (no `..`/absolute/hidden escapes). */
+  private def resolve(raw: String): String = {
+    if (raw.contains("/")) return raw
+    val parts = raw.split('.')
+    require(parts.length >= 2,
+      s"graft_table_changes: '$raw' is neither a path (no '/') nor a " +
+        "catalog identifier (cat.db.table)")
+    val wh = SparkSession.active.conf
+      .getOption(s"spark.sql.catalog.${parts.head}.warehouse")
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft_table_changes: no catalog named '${parts.head}' is " +
+          s"registered (spark.sql.catalog.${parts.head}.warehouse unset)"))
+    parts.tail.foldLeft(java.nio.file.Paths.get(wh)) { (p, part) =>
+      require(part.nonEmpty && !part.contains("/") && !part.startsWith("."),
+        s"graft_table_changes: illegal identifier segment '$part'")
+      p.resolve(part)
+    }.toString
   }
 }
 

@@ -1147,7 +1147,106 @@ object TextOps {
        WHERE levenshtein(a.c_name, b.c_name) <= 1
        ORDER BY id_a, id_b"""
 
+  // --------------------------------------------------------------------
+  // q132 — BM25-shaped ranked retrieval (the Robertson/Spärck Jones
+  // probabilistic weighting behind Lucene/Elasticsearch scoring): rank
+  // documents for a fixed 3-term query by Σ_t idf(t) ·
+  // tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with k1=3/2, b=3/4. Two
+  // cross-engine determinism moves: (1) the log-free rational idf
+  // N/df (libm log is not bit-identical across engines — q51's
+  // policy), under which each term score reduces to ONE division of two
+  // exact integer products (numerator N·tf·20·total, denominator
+  // df·(8·total·tf + 3·total + 9·dl·N) — multiply through by 8·total,
+  // avgdl = total/N), computed DECIMAL-exact then cast to double; (2) a
+  // FIXED summation order (s1+s2+s3 as written) instead of an
+  // order-dependent SUM. Shape at scale: one tokenize+tf shuffle, the
+  // query-term df/N/total scalars broadcast as one row, matching docs
+  // only (inner join on the pivoted query-term tfs), global top-10.
+  // --------------------------------------------------------------------
+  def q132Bm25(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = Seq("spark", "merge", "window")
+    val dec = DecimalType(38, 0)
+    val docs = lake(s, dir).documents
+    val toks = docs.repartition(Scale.par(s), col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // ONE row of corpus scalars: N, total token count, per-term df
+    val stats = tf.agg(
+        count(lit(1)).as("ignore"), // keeps the agg non-empty pre-pivot
+        sum(col("tf")).as("total"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(when(col("term") === qs(0), 1)).as("df_0"),
+        count(when(col("term") === qs(1), 1)).as("df_1"),
+        count(when(col("term") === qs(2), 1)).as("df_2"))
+      .drop("ignore")
+    val qtf = tf.filter(col("term").isin(qs: _*))
+      .groupBy(col("doc_id"))
+      .agg(
+        coalesce(sum(when(col("term") === qs(0), col("tf"))), lit(0L)).as("tf_0"),
+        coalesce(sum(when(col("term") === qs(1), col("tf"))), lit(0L)).as("tf_1"),
+        coalesce(sum(when(col("term") === qs(2), col("tf"))), lit(0L)).as("tf_2"))
+    def termScore(tfc: Column, dfc: Column): Column =
+      when(tfc === 0L, lit(0.0)).otherwise(
+        (col("n_docs").cast(dec) * tfc * lit(20) * col("total"))
+          .cast(DoubleType) /
+        (dfc.cast(dec) * (lit(8) * col("total").cast(dec) * tfc +
+          lit(3) * col("total") + lit(9) * col("dl") * col("n_docs")))
+          .cast(DoubleType))
+    // top-k FIRST (TakeOrderedAndProject — per-partition heaps, never a
+    // single-partition global window), then rank the 10 survivors
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    qtf.join(dl, "doc_id")
+      .crossJoin(broadcast(stats)) // one row — always broadcastable
+      .select(col("doc_id"), col("dl"),
+        col("tf_0"), col("tf_1"), col("tf_2"),
+        (termScore(col("tf_0"), col("df_0")) +
+          termScore(col("tf_1"), col("df_1")) +
+          termScore(col("tf_2"), col("df_2"))).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .orderBy(col("rnk"))
+  }
+
+  private val q132Oracle =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       stats AS (SELECT
+         CAST((SELECT count(*) FROM toks) AS BIGINT) AS total,
+         CAST((SELECT count(DISTINCT doc_id) FROM tf) AS BIGINT) AS n_docs,
+         CAST((SELECT count(*) FROM tf WHERE term = 'spark') AS BIGINT) AS df_0,
+         CAST((SELECT count(*) FROM tf WHERE term = 'merge') AS BIGINT) AS df_1,
+         CAST((SELECT count(*) FROM tf WHERE term = 'window') AS BIGINT) AS df_2),
+       qtf AS (SELECT doc_id,
+         CAST(COALESCE(sum(CASE WHEN term = 'spark' THEN tf END), 0) AS BIGINT) AS tf_0,
+         CAST(COALESCE(sum(CASE WHEN term = 'merge' THEN tf END), 0) AS BIGINT) AS tf_1,
+         CAST(COALESCE(sum(CASE WHEN term = 'window' THEN tf END), 0) AS BIGINT) AS tf_2
+         FROM tf WHERE term IN ('spark', 'merge', 'window') GROUP BY 1),
+       scored AS (SELECT doc_id, dl, tf_0, tf_1, tf_2,
+         (CASE WHEN tf_0 = 0 THEN 0.0 ELSE
+            CAST(CAST(n_docs AS HUGEINT) * tf_0 * 20 * total AS DOUBLE) /
+            CAST(CAST(df_0 AS HUGEINT) * (8 * CAST(total AS HUGEINT) * tf_0
+              + 3 * total + 9 * dl * n_docs) AS DOUBLE) END) +
+         (CASE WHEN tf_1 = 0 THEN 0.0 ELSE
+            CAST(CAST(n_docs AS HUGEINT) * tf_1 * 20 * total AS DOUBLE) /
+            CAST(CAST(df_1 AS HUGEINT) * (8 * CAST(total AS HUGEINT) * tf_1
+              + 3 * total + 9 * dl * n_docs) AS DOUBLE) END) +
+         (CASE WHEN tf_2 = 0 THEN 0.0 ELSE
+            CAST(CAST(n_docs AS HUGEINT) * tf_2 * 20 * total AS DOUBLE) /
+            CAST(CAST(df_2 AS HUGEINT) * (8 * CAST(total AS HUGEINT) * tf_2
+              + 3 * total + 9 * dl * n_docs) AS DOUBLE) END) AS score
+         FROM qtf JOIN dl USING (doc_id) CROSS JOIN stats),
+       ranked AS (SELECT *, CAST(row_number() OVER
+           (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk FROM scored)
+       SELECT doc_id, dl, tf_0, tf_1, tf_2, score, rnk
+       FROM ranked WHERE rnk <= 10 ORDER BY rnk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_bm25" -> (q132Bm25 _),
     "q123_fuzzy_pairs" -> (q123FuzzyPairs _),
     "q121_paragraph_dedup" -> (q121ParagraphDedup _),
     "q115_inverted_index" -> (q115InvertedIndex _),
@@ -1173,6 +1272,7 @@ object TextOps {
     "q112_shared_spans" -> (q112SharedSpans _))
 
   val oracle: Map[String, String] = Map(
+    "q132_bm25" -> q132Oracle,
     "q123_fuzzy_pairs" -> q123Oracle,
     "q121_paragraph_dedup" -> q121Oracle,
     "q115_inverted_index" -> q115Oracle,

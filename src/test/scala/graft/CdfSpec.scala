@@ -227,6 +227,33 @@ class CdfSpec extends SparkSpec {
       .as[Long].head() === 100L)
   }
 
+  test("graft_table_changes resolves catalog identifiers against the warehouse") {
+    graft.engine.GraftFunctions.register(spark)
+    val wh = new java.io.File(
+      s"target/tmp/cdf_cat_${java.util.UUID.randomUUID().toString.take(8)}")
+      .getAbsolutePath
+    val cat = s"gcdf${math.abs(wh.hashCode).toString.take(6)}"
+    graft.api.Graft.registerCatalog(spark, cat, wh)
+    try {
+      spark.sql(s"CREATE TABLE $cat.d.t (id BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO $cat.d.t VALUES (1, 'a'), (2, 'b')")
+      val rows = spark.sql(
+        s"SELECT id, _change_type FROM graft_table_changes('$cat.d.t', 0)")
+        .as[(Long, String)].collect().toSet
+      assert(rows === Set((1L, "insert"), (2L, "insert")))
+      // escape attempts and unknown catalogs refuse loudly
+      val ex = intercept[Exception](
+        spark.sql(s"SELECT * FROM graft_table_changes('$cat..secret', 0)").collect())
+      assert(ex.getMessage.contains("illegal identifier segment"))
+      val ex2 = intercept[Exception](
+        spark.sql("SELECT * FROM graft_table_changes('nosuch.d.t', 0)").collect())
+      assert(ex2.getMessage.contains("no catalog named"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
   test("vacuum retires change files past retention and keeps the window; behind-window read fails loudly") {
     val t = enabled("vacuum")
     t.delete(spark, "id", Some(10L), Some(19L)) // stages a change file

@@ -297,6 +297,19 @@ class PlanChecksSpec extends SparkSpec {
       s"float vectors crossed the candidate join: ${cellJoin.right.output}")
   }
 
+  test("q132: BM25 — corpus scalars broadcast, top-k via TakeOrderedAndProject, no global window") {
+    val df = graft.queries.TextOps.q132Bm25(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the one-row stats side must ride a broadcast, never a shuffle join
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"stats row not broadcast:\n$plan")
+    // the top-10 is per-partition heaps, not a single-partition sort of
+    // every matching document
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for the top-k:\n$plan")
+  }
+
   test("q116: quantile profile reuses ONE lang-keyed exchange for windows + aggregate") {
     // AQE plan strings append an "Initial Plan" section — count the FINAL plan only
     val p = plan(graft.queries.RelationalMore.q116QuantileProfile(spark, sfDir))
