@@ -1718,7 +1718,88 @@ object PipelineOps {
               CAST(sum(cents) AS BIGINT) AS sum_cents
        FROM s2 GROUP BY c ORDER BY o_custkey"""
 
+  // --------------------------------------------------------------------
+  // q133 — CDC REPLICATION off the streaming change feed: a silver
+  // replica of a mutating bronze table is maintained by NOTHING but
+  // `readStream.option("readChangeFeed", "true")` + a keyed upsert per
+  // micro-batch — the cross-region/warehouse replication shape Delta
+  // CDF exists for. Bronze takes appends, a CDC upsert
+  // (updates + key deletes), a deletion-vector delete, and a range
+  // delete; the stream (capped at 2 commits per trigger, so several
+  // micro-batches really happen) folds each feed batch into the replica
+  // with seq = 2·version + isInsert — the +1 makes an update's insert
+  // beat its delete WITHIN one commit while preserving cross-commit
+  // order. Replica ≡ source is require'd (both exceptAll directions)
+  // and the replica hash-matches the oracle's end state. Scale: each
+  // refresh moves O(feed batch) rows and rewrites only key-overlapping
+  // replica files; checkpointed offsets are table versions, so restarts
+  // re-fold at most one batch — and the keyed upsert makes that replay
+  // idempotent.
+  // --------------------------------------------------------------------
+  def q133CdcReplication(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cdcrepl", dir)
+    graft.core.Fs.rmTree(new java.io.File(root))
+    val bronzePath = s"$root/bronze"
+    val bronze = new graft.medallion.GraftTable(bronzePath)
+    val silver = new graft.medallion.GraftTable(s"$root/silver")
+    val base = lake(s, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    bronze.append(base.filter(col("o_orderkey") % 2 === 0))            // v1
+    bronze.setProperty(graft.medallion.TxLog.CdfEnabledProp, "true")   // v2
+    bronze.append(base.filter(col("o_orderkey") % 2 === 1))            // v3
+    val isUpd = col("o_orderkey") % 11 === 0
+    val isDel = col("o_orderkey") % 13 === 7 && col("o_orderkey") % 11 =!= 0
+    bronze.upsert(                                                     // v4
+      base.filter(isUpd || isDel).select(
+        col("o_orderkey"), col("o_custkey"),
+        when(isUpd, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        lit(1L).as("_seq"), isDel.as("_deleted")),
+      "o_orderkey", "_seq")
+    bronze.deleteRows(s, "o_orderkey % 19 = 3")                        // v5
+    bronze.delete(s, "o_orderkey", Some(100L), Some(499L))             // v6
+    val fold: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        silver.upsert(
+          batch.select(
+            col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            (col("_commit_version") * 2 +
+              when(col("_change_type") === "insert", 1L).otherwise(0L))
+              .as("_seq"),
+            (col("_change_type") === "delete").as("_deleted")),
+          "o_orderkey", "_seq")
+        ()
+      }
+    s.readStream.format("graft-table")
+      .option("path", bronzePath)
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "2")
+      .load()
+      .writeStream.foreachBatch(fold)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice").map(col)
+    val replica = silver.read(s).select(cols: _*)
+    val source = bronze.read(s).select(cols: _*)
+    require(replica.exceptAll(source).isEmpty && source.exceptAll(replica).isEmpty,
+      "the feed-maintained replica must equal the source exactly")
+    replica.orderBy(col("o_orderkey"))
+  }
+
+  private val q133Oracle =
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p FROM orders),
+       s1 AS (
+         SELECT k, c, CASE WHEN k % 11 = 0 THEN p + 1000.0 ELSE p END AS p
+         FROM base WHERE NOT (k % 13 = 7 AND k % 11 <> 0)),
+       s2 AS (SELECT * FROM s1 WHERE NOT (k % 19 = 3)),
+       s3 AS (SELECT * FROM s2 WHERE k NOT BETWEEN 100 AND 499)
+       SELECT k AS o_orderkey, c AS o_custkey, p AS o_totalprice
+       FROM s3 ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_cdc_replication" -> (q133CdcReplication _),
     "q130_change_feed" -> (q130ChangeFeed _),
     "q131_cdf_mv" -> (q131CdfMv _),
     "q128_deletion_vectors" -> (q128DeletionVectors _),
@@ -1752,6 +1833,7 @@ object PipelineOps {
     "q127_bloom_lookup" -> (q127BloomLookup _))
 
   val oracle: Map[String, String] = Map(
+    "q133_cdc_replication" -> q133Oracle,
     "q130_change_feed" -> q130Oracle,
     "q131_cdf_mv" -> q131Oracle,
     "q128_deletion_vectors" -> q128Oracle,

@@ -184,6 +184,25 @@ class CdfSpec extends SparkSpec {
     assertFold(t, v1, v3) // net across overwrite+restore is zero… as a fold
   }
 
+  test("restore that reverts a deletion vector feeds the same-path re-add as delete+insert") {
+    val t = enabled("restoredv")
+    val preDelete = t.latestVersion()
+    val (dvFiles, _, rows, vDel) = t.deleteRows(spark, "id < 10")
+    assert(dvFiles > 0 && rows === 10L)
+    val vRestore = t.restore(preDelete)
+    // the restored version re-adds the SAME paths with their DVs
+    // reverted — the feed must net to exactly the resurrected rows
+    val feed = t.readChangeFeed(spark, vDel, vRestore)
+    val ins = feed.filter($"_change_type" === "insert").select("id")
+    val del = feed.filter($"_change_type" === "delete").select("id")
+    val net = ins.exceptAll(del).as[Long].collect().toSet
+    assert(net === (0L until 10L).toSet,
+      "restore must resurrect exactly the DV'd rows through the feed")
+    assert(del.exceptAll(ins).count() === 0L)
+    assertFold(t, vDel, vRestore)
+    assertFold(t, preDelete, vRestore) // full circle nets to zero
+  }
+
   test("row-neutral maintenance feeds nothing; fold crosses it") {
     val t = enabled("neutral")
     val head = t.latestVersion()
