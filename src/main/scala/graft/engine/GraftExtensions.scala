@@ -32,10 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(
       (FunctionIdentifier("graft_table_changes"),
         new ExpressionInfo("graft", null, "graft_table_changes",
-          "graft_table_changes(path, since[, until]) - every row change " +
-            "of the graft table at `path` in versions (since, until], " +
-            "tagged _change_type ('insert'|'delete'; updates are the " +
-            "pair) and _commit_version", ""),
+          "graft_table_changes(path, since[, until[, update_images]]) - " +
+            "every row change of the graft table at `path` in versions " +
+            "(since, until], tagged _change_type ('insert'|'delete'; " +
+            "updates are the pair, or 'update_preimage'/" +
+            "'update_postimage' with update_images=true) and " +
+            "_commit_version", ""),
         GraftTableChanges.plan _))
   }
 }
@@ -47,8 +49,9 @@ object GraftTableChanges {
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
   def plan(es: Seq[Expression]): LogicalPlan = {
-    require(es.length == 2 || es.length == 3,
-      s"graft_table_changes(path, since[, until]) takes 2 or 3 arguments, got ${es.length}")
+    require(es.length >= 2 && es.length <= 4,
+      "graft_table_changes(path, since[, until[, update_images]]) takes " +
+        s"2 to 4 arguments, got ${es.length}")
     def literal(e: Expression, what: String): Any = e match {
       case Literal(v, _) => v
       case other => throw new IllegalArgumentException(
@@ -62,9 +65,14 @@ object GraftTableChanges {
     val raw = String.valueOf(literal(es.head, "path"))
     val since = asLong(literal(es(1), "since"), "since")
     val until =
-      if (es.length == 3) asLong(literal(es(2), "until"), "until") else -1L
+      if (es.length >= 3) asLong(literal(es(2), "until"), "until") else -1L
+    val updateImages = es.length == 4 && (literal(es(3), "update_images") match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_table_changes: update_images must be a boolean, got $other")
+    })
     new graft.medallion.GraftTable(resolve(raw))
-      .readChangeFeed(SparkSession.active, since, until)
+      .readChangeFeed(SparkSession.active, since, until, updateImages)
       .queryExecution.analyzed
   }
 
@@ -75,9 +83,12 @@ object GraftTableChanges {
   private def resolve(raw: String): String = {
     if (raw.contains("/")) return raw
     val parts = raw.split('.')
-    require(parts.length >= 2,
+    // exactly-3 minimum: a 2-segment 'cat.t' would silently resolve to
+    // <warehouse>/t, skipping the database level — a typo'd identifier
+    // must fail loudly instead of probing a nonexistent path
+    require(parts.length >= 3,
       s"graft_table_changes: '$raw' is neither a path (no '/') nor a " +
-        "catalog identifier (cat.db.table)")
+        "catalog identifier (cat.db.table — all three segments required)")
     val wh = SparkSession.active.conf
       .getOption(s"spark.sql.catalog.${parts.head}.warehouse")
       .getOrElse(throw new IllegalArgumentException(

@@ -239,6 +239,15 @@ object TxLog {
     * `delta.enableChangeDataFeed`). */
   private[graft] val CdfEnabledProp = "cdf.enabled"
   private[graft] val ChangeDir = "_change"
+  /** Min age (ms) before vacuum may sweep an UNREFERENCED change file.
+    * Writers stage change files into [[ChangeDir]] BEFORE `tryCommit`,
+    * so a zero-age sweep racing an in-flight writer would delete its
+    * just-staged cdc files and leave the winning commit's feed
+    * unreadable. The guard must exceed the longest stage→commit gap
+    * (the same contract as vacuum retention vs the longest write);
+    * tests set it to 0 via the table property. */
+  private[graft] val VacuumCdcMinAgeProp = "vacuum.cdcMinAgeMs"
+  private[graft] val VacuumCdcMinAge = 600000L
   /** Column carrying the change kind in CDF output: `insert` |
     * `delete`. Updates surface as a delete+insert pair (net-change
     * semantics — exactly what an incremental consumer folds; pre/post
@@ -387,25 +396,58 @@ object TxLog {
     bm
   }
 
-  private[graft] def dvOf(idxs: Iterable[Long]): org.roaringbitmap.RoaringBitmap = {
-    val bm = new org.roaringbitmap.RoaringBitmap()
-    idxs.foreach { i =>
-      require(i >= 0 && i < Int.MaxValue,
-        s"txlog: row index $i exceeds the deletion-vector domain — " +
-          "a file this tall must take the rewrite path")
-      bm.add(i.toInt)
-    }
-    bm
-  }
-
   /** The deleted row indexes of a serialized DV, as longs (the
     * `_metadata.row_index` comparison domain). Size is bounded by the
     * [[GraftTable.deleteRows]] thresholds that admitted the DV. */
   private[graft] def dvIndexes(b64: String): Array[Long] =
     dvDeserialize(b64).toArray.map(_.toLong) // indexes < 2^31 by the build guard
 
+  /** Phase-2 of [[GraftTable.deleteRows]]: fold `(__file, __idx)`
+    * match pairs into per-file deletion bitmaps EXECUTOR-SIDE via the
+    * mergeable [[graft.functions.DvAgg]] aggregator (same shape as the
+    * Bloom build in `adoptStaged`). Output is one row per file:
+    * (`__file` string, `dv` binary) — `dv` is null when the optimized
+    * bitmap exceeds `maxBytes`, routing that file to the rewrite leg.
+    * The driver therefore collects file-count-sized metadata only,
+    * never row indexes. */
+  private[graft] def dvAggregate(pairs: DataFrame, maxBytes: Int): DataFrame = {
+    val dvFn = org.apache.spark.sql.functions.udaf(new graft.functions.DvAgg(maxBytes))
+    pairs.groupBy("__file").agg(dvFn(col("__idx")).as("dv"))
+  }
+
+  /** Reader features this build understands. A commit that uses a gated
+    * capability carries a `protocol` line naming the features required
+    * to read it (Delta's minReaderVersion/readerFeatures shape) — so a
+    * pre-feature reader that knows the protocol action fails with a
+    * NAMED missing capability ("requires reader feature 'x'") instead
+    * of a generic unknown-action error, and tables using no gated
+    * feature never grow a protocol line at all (format-bump
+    * confinement, same policy as the feature actions themselves). */
+  private[graft] val SupportedReaderFeatures: Set[String] = Set(
+    "deletionVectors", "changeDataFeed", "checkConstraints",
+    "tableProperties", "columnMapping")
+
+  /** The reader features a commit's CONTENT requires — derived, not
+    * declared, so the protocol line can never drift from the actions it
+    * gates. Deterministic (sorted emission) for checkpoint bytes. */
+  private[graft] def requiredFeatures(
+      schemaJson: Option[String], adds: Seq[AddFile],
+      constraints: Option[Map[String, String]],
+      props: Option[Map[String, String]],
+      cdc: Seq[(String, Long)], cdcFull: Seq[String]): Seq[String] =
+    (Seq(
+      if (adds.exists(_.dv.isDefined)) Some("deletionVectors") else None,
+      if (cdc.nonEmpty || cdcFull.nonEmpty) Some("changeDataFeed") else None,
+      // feature follows the ACTION's presence: an empty full-replacement
+      // set (UNSET-all) still renders the action, so it still gates
+      if (constraints.isDefined) Some("checkConstraints") else None,
+      if (props.isDefined) Some("tableProperties") else None,
+      if (schemaJson.exists(_.contains(PhysicalKey))) Some("columnMapping")
+      else None).flatten).sorted
+
   /** One commit file = JSON lines: an `info` line (op + readVersion, for
-    * history/debugging), optional `schema` line, then add/remove lines. */
+    * history/debugging), optional `protocol` + `schema` lines, then
+    * add/remove lines. */
   private[graft] def renderCommit(
       op: String, readVersion: Long, schemaJson: Option[String],
       adds: Seq[AddFile], removes: Seq[String],
@@ -415,7 +457,8 @@ object TxLog {
       tsMillis: Option[Long] = None,
       props: Option[Map[String, String]] = None,
       cdc: Seq[(String, Long)] = Nil,
-      cdcFull: Seq[String] = Nil): String = {
+      cdcFull: Seq[String] = Nil,
+      mergeKey: Option[String] = None): String = {
     val lines =
       JObject(("a" -> JString("info")) :: ("op" -> JString(op)) ::
         ("readVersion" -> JLong(readVersion)) ::
@@ -425,7 +468,19 @@ object TxLog {
         // readers (ignore ts) both keep working. Checkpoint files omit
         // it — racing checkpointers must produce byte-identical content
         // (lost put race == same content).
-        tsMillis.toList.map(ms => "ts" -> (JLong(ms): JValue))) ::
+        (tsMillis.toList.map(ms => "ts" -> (JLong(ms): JValue)) ++
+          // the upsert's merge key (logical name at commit time) — same
+          // extra-info-field confinement as ts. Lets the change feed
+          // re-pair a commit's delete+insert rows into
+          // update_preimage/update_postimage on request.
+          mergeKey.toList.map(k => "key" -> (JString(k): JValue)))) ::
+      // protocol line FIRST among actions: a reader missing a feature
+      // fails on the NAME before tripping over the gated action itself
+      { val req = requiredFeatures(schemaJson, adds, constraints, props,
+          cdc, cdcFull)
+        if (req.isEmpty) Nil
+        else List(JObject("a" -> JString("protocol"),
+          "readerFeatures" -> (JArray(req.toList.map(JString(_): JValue)): JValue))) } :::
       schemaJson.toList.map(s => JObject("a" -> JString("schema"), "json" -> JString(s))) :::
       // FULL-replacement semantics like the schema line (an empty set
       // present clears); sorted for deterministic checkpoint bytes
@@ -472,7 +527,9 @@ object TxLog {
       cdc: Seq[(String, Long)] = Nil,
       /** removed data files whose whole pre-state content is this
         * commit's deletes (metadata-only drops under cdf.enabled) */
-      cdcFull: Seq[String] = Nil)
+      cdcFull: Seq[String] = Nil,
+      /** the upsert's merge-key column (logical name at commit time) */
+      mergeKey: Option[String] = None)
 
   private[medallion] def parseCommit(content: String): Commit = {
     var op = "unknown"; var schema: Option[String] = None
@@ -484,6 +541,7 @@ object TxLog {
     var prp: Option[Map[String, String]] = None
     val cdc = Seq.newBuilder[(String, Long)]
     val cdcFull = Seq.newBuilder[String]
+    var mk: Option[String] = None
     content.linesIterator.filter(_.nonEmpty).foreach { line =>
       val o = JsonMethods.parse(line).asInstanceOf[JObject]
       val m = o.obj.toMap
@@ -491,6 +549,7 @@ object TxLog {
         case "info" =>
           op = str(m("op"))
           ts = m.get("ts").map(lng)
+          mk = m.get("key").map(str)
         case "schema" => schema = Some(str(m("json")))
         case "add" | "add-dv" =>
           val (a, v) = parseAdd(o)
@@ -506,12 +565,22 @@ object TxLog {
             case (n, v) => n -> str(v) }.toMap)
         case "cdc" => cdc += ((str(m("path")), lng(m("rows"))))
         case "cdcfull" => cdcFull += str(m("path"))
+        case "protocol" =>
+          val req = m("readerFeatures").asInstanceOf[JArray].arr.map(str)
+          val missing = req.filterNot(SupportedReaderFeatures.contains)
+          if (missing.nonEmpty) throw new IllegalStateException(
+            s"txlog: this commit requires reader feature" +
+              s"${if (missing.size > 1) "s" else ""} " +
+              missing.sorted.mkString("'", "', '", "'") +
+              " which this reader does not support — upgrade to read " +
+              "this table (supported: " +
+              SupportedReaderFeatures.toSeq.sorted.mkString(", ") + ")")
         case other => throw new IllegalStateException(
           s"txlog: unknown action '$other' — refusing to read a log written by a newer format")
       }
     }
     Commit(op, schema, adds.result(), removes.result(), txns, addVs, cons, ts,
-      prp, cdc.result(), cdcFull.result())
+      prp, cdc.result(), cdcFull.result(), mk)
   }
 }
 
@@ -900,10 +969,19 @@ final class GraftTable(val tablePath: String) {
     * re-seed from a snapshot read.
     *
     * Invariant (spec-enforced): for any window, folding the feed into
-    * the `since` snapshot reproduces the `until` snapshot exactly. */
+    * the `since` snapshot reproduces the `until` snapshot exactly.
+    *
+    * `updateImages = true` re-tags an upsert commit's paired rows: a
+    * key (the commit's RECORDED merge key) carrying both a delete and
+    * an insert within one commit surfaces as `update_preimage` /
+    * `update_postimage` instead (the Delta CDF consumer shape).
+    * Unpaired rows keep their net tags; commits without a recorded key
+    * (non-upsert mutations, pre-key logs) are left untouched. Cost: ONE
+    * extra hash-partition window over the O(changes) feed — never
+    * O(table). */
   def readChangeFeed(
       spark: SparkSession, sinceVersion: Long,
-      untilVersion: Long = -1L): DataFrame = {
+      untilVersion: Long = -1L, updateImages: Boolean = false): DataFrame = {
     val head = latestVersion()
     require(sinceVersion <= head,
       s"txlog: readChangeFeed($sinceVersion) is ahead of head $head")
@@ -930,8 +1008,8 @@ final class GraftTable(val tablePath: String) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .withColumn(ChangeTypeCol, lit("")).limit(0)
       .withColumn("_commit_version", lit(0L)).limit(0)
-    ((sinceVersion + 1) to until).foldLeft(empty) { (acc, v) =>
-      val slice = changeFeedSlice(v)
+    val slices = ((sinceVersion + 1) to until).map(v => v -> changeFeedSlice(v))
+    val feed = slices.foldLeft(empty) { case (acc, (v, slice)) =>
       val staged = if (slice.cdc.isEmpty) None else
         Some(logical(spark.read
           .schema(phys.add(ChangeTypeCol, StringType))
@@ -942,13 +1020,36 @@ final class GraftTable(val tablePath: String) {
       parts.reduceOption(_ unionAll _)
         .fold(acc)(b => acc.unionAll(b.withColumn("_commit_version", lit(v))))
     }
+    if (!updateImages) return feed
+    // versions whose recorded merge key still exists under the
+    // until-schema's logical names (a since-renamed key cannot pair —
+    // those commits keep net tags rather than mis-joining)
+    val keyed = slices.flatMap { case (v, s) => s.mergeKey.map(v -> _) }
+      .filter { case (_, k) => schema.fieldNames.contains(k) }
+    if (keyed.isEmpty) return feed
+    val keyExpr = keyed.foldLeft(lit(null).cast(StringType)) {
+      case (acc, (v, k)) =>
+        when(col("_commit_version") === lit(v), col(s"`$k`").cast(StringType))
+          .otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_commit_version"), keyExpr)
+    val hasDel = max(when(col(ChangeTypeCol) === "delete", 1).otherwise(0)).over(w)
+    val hasIns = max(when(col(ChangeTypeCol) === "insert", 1).otherwise(0)).over(w)
+    feed.withColumn(ChangeTypeCol,
+      when(keyExpr.isNotNull && hasDel === 1 && hasIns === 1,
+        when(col(ChangeTypeCol) === "delete", lit("update_preimage"))
+          .otherwise(lit("update_postimage")))
+        .otherwise(col(ChangeTypeCol)))
   }
 
   /** Feed slice of ONE commit: staged change files (rows already carry
     * [[TxLog.ChangeTypeCol]]) + AddFile entries to serve as all-deletes
     * (their DV-applied pre-state) + entries to serve as all-inserts. */
   private[graft] final case class FeedSlice(
-      cdc: Seq[Path], deletes: Seq[AddFile], inserts: Seq[AddFile])
+      cdc: Seq[Path], deletes: Seq[AddFile], inserts: Seq[AddFile],
+      /** the commit's recorded merge key, when it was an upsert */
+      mergeKey: Option[String] = None)
 
   /** Classify commit `v` for the change feed — the single source of
     * truth behind [[readChangeFeed]] and the streaming CDF source (see
@@ -974,7 +1075,7 @@ final class GraftTable(val tablePath: String) {
       paths.foreach(p => require(Files.exists(p),
         s"txlog: change file $p of commit $v was vacuumed — " +
           "the change feed is behind the retention window"))
-      FeedSlice(paths, prevEntries(c.cdcFull), Nil)
+      FeedSlice(paths, prevEntries(c.cdcFull), Nil, c.mergeKey)
     } else c.op match {
       case "append" | "streamingUpdate" | "clone" =>
         FeedSlice(Nil, Nil, c.adds)
@@ -1193,7 +1294,8 @@ final class GraftTable(val tablePath: String) {
       props: Option[Map[String, String]] = None,
       addVersions: Map[String, Long] = Map.empty,
       cdc: Seq[(String, Long)] = Nil,
-      cdcFull: Seq[String] = Nil): Boolean = {
+      cdcFull: Seq[String] = Nil,
+      mergeKey: Option[String] = None): Boolean = {
     ensureDirs()
     putIfAbsent(
       renderCommit(op, readVersion, schemaJson, adds, removes, txns,
@@ -1204,7 +1306,7 @@ final class GraftTable(val tablePath: String) {
         // deterministic-bytes
         tsMillis = Some(System.currentTimeMillis()),
         props = props,
-        cdc = cdc, cdcFull = cdcFull),
+        cdc = cdc, cdcFull = cdcFull, mergeKey = mergeKey),
       versionFile(version))
   }
 
@@ -1602,7 +1704,7 @@ final class GraftTable(val tablePath: String) {
     // files only — O(rewrite), never O(table)
     val cdc = if (cdfEnabled(snap)) cdcDiff(spark, snap, touched, adds) else Nil
     val v = commitRewrite(snap, "upsert", schemaJson, adds, touched.map(_.path),
-      cdc = cdc)
+      cdc = cdc, mergeKey = Some(key))
     // untouched files are never staged or referenced by the commit —
     // no post-commit existence sweep (O(#files) stat() calls, and a
     // concurrent vacuum hiccup would blame this committed upsert)
@@ -2139,27 +2241,39 @@ final class GraftTable(val tablePath: String) {
       val a = byName(p)
       (a.dvRows + counts(p)).toDouble / a.rows > maxFraction
     }
-    // phase 2: indexes for the DV-eligible files only. Per-file volume
-    // is bounded by maxFraction × file rows on the executor and by the
-    // serialized-size check before anything long-lived is kept.
+    // phase 2: deletion bitmaps for the DV-eligible files, built
+    // EXECUTOR-SIDE by the mergeable DvAgg aggregator — the over-
+    // maxBytes check runs in-aggregate (finish → null), so the driver
+    // receives one ≤maxBytes row per file, never the row indexes. A
+    // scattered 100 TB-scale delete thus stays metadata-sized on the
+    // driver regardless of total matched-row count.
     val dvCandidates = (counts.keySet -- overFraction).toSeq.sorted
-    val built: Seq[(String, org.roaringbitmap.RoaringBitmap)] =
+    val built: Seq[(String, Option[org.roaringbitmap.RoaringBitmap])] =
       if (dvCandidates.isEmpty) Nil
-      else matchedPairs()
-        .filter(col("__file").isin(dvCandidates: _*))
-        .groupBy("__file").agg(collect_list(col("__idx")).as("idxs"))
+      else dvAggregate(
+        matchedPairs().filter(col("__file").isin(dvCandidates: _*)), maxBytes)
         .collect().toSeq
         .map { r =>
           val p = r.getString(0)
-          val bm = dvOf(r.getSeq[Long](1))
-          byName(p).dv.foreach(b64 => bm.or(dvDeserialize(b64)))
-          p -> bm
+          p -> Option(r.getAs[Array[Byte]](1)).map { bytes =>
+            val bm = new org.roaringbitmap.RoaringBitmap()
+            bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+            // existing DVs are log metadata (≤maxBytes each, disjoint
+            // from new matches by the anti-join in taggedLive)
+            byName(p).dv.foreach(b64 => bm.or(dvDeserialize(b64)))
+            bm
+          }
         }
-    val (vectorized, overBytes) = built.partition { case (_, bm) =>
-      bm.runOptimize(); bm.serializedSizeInBytes() <= maxBytes
-    }
+    val (kept, overNew) = built.partition(_._2.isDefined)
+    // merged-with-existing size re-check — both sides ≤maxBytes, so
+    // this runs on metadata-sized driver state
+    val (vectorized, overMerged) = kept.map { case (p, o) => p -> o.get }
+      .partition { case (_, bm) =>
+        bm.runOptimize(); bm.serializedSizeInBytes() <= maxBytes
+      }
     val rewriteFiles =
-      (overFraction ++ overBytes.map(_._1)).toSeq.sorted.map(byName)
+      (overFraction ++ overNew.map(_._1) ++ overMerged.map(_._1))
+        .toSeq.sorted.map(byName)
     val dvAdds = vectorized.sortBy(_._1).map { case (p, bm) =>
       byName(p).copy(dv = Some(dvSerialize(bm)),
         dvRows = bm.getLongCardinality)
@@ -2325,11 +2439,13 @@ final class GraftTable(val tablePath: String) {
       adds: Seq[AddFile], removes: Seq[String],
       addVersions: Map[String, Long] = Map.empty,
       cdc: Seq[(String, Long)] = Nil,
-      cdcFull: Seq[String] = Nil): Long = {
+      cdcFull: Seq[String] = Nil,
+      mergeKey: Option[String] = None): Long = {
     val v = readSnap.version + 1
     val won = latestVersion() == readSnap.version &&
       tryCommit(v, op, readSnap.version, schemaJson, adds, removes,
-        addVersions = addVersions, cdc = cdc, cdcFull = cdcFull)
+        addVersions = addVersions, cdc = cdc, cdcFull = cdcFull,
+        mergeKey = mergeKey)
     if (!won) {
       adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
       // staged change files are this commit's own temporaries too
@@ -2395,7 +2511,10 @@ final class GraftTable(val tablePath: String) {
       finally it.close()
     // change-data-feed files are retention-governed like data files:
     // keep those referenced by commits inside the window, drop the rest
-    // (orphans of lost commit races included)
+    // (orphans of lost commit races included). An unreferenced-but-
+    // YOUNG file may belong to an in-flight writer (stageChanges runs
+    // before tryCommit) — the age guard keeps it until it is either
+    // committed (referenced) or provably abandoned.
     val changeRoot = root.resolve(ChangeDir)
     val staleCdc = if (!Files.exists(changeRoot)) Nil else {
       val keep = ((floor.max(0L) + 1) to head).flatMap { v =>
@@ -2404,9 +2523,15 @@ final class GraftTable(val tablePath: String) {
         else parseCommit(new String(Files.readAllBytes(f), "UTF-8"))
           .cdc.map { case (p, _) => p.stripPrefix(s"$ChangeDir/") }
       }.toSet
+      val minAge = (if (head == 0L) None
+        else snapshot(head).props.get(VacuumCdcMinAgeProp))
+        .map(_.toLong).getOrElse(VacuumCdcMinAge)
+      val cutoff = System.currentTimeMillis() - minAge
       val itc = Files.list(changeRoot)
       try itc.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.endsWith(".parquet") && !keep.contains(n)).toList
+        .filter(n => n.endsWith(".parquet") && !keep.contains(n) &&
+          Files.getLastModifiedTime(changeRoot.resolve(n)).toMillis <= cutoff)
+        .toList
       finally itc.close()
     }
     if (dryRun) return deletable ++ staleCdc.map(n => s"$ChangeDir/$n")

@@ -1798,7 +1798,66 @@ object PipelineOps {
        SELECT k AS o_orderkey, c AS o_custkey, p AS o_totalprice
        FROM s3 ORDER BY o_orderkey"""
 
+  // --------------------------------------------------------------------
+  // q134 — CDF UPDATE IMAGES: the feed nets an upsert's updates into
+  // delete+insert pairs (right for folds, q131/q133); Delta consumers
+  // instead expect `update_preimage`/`update_postimage` tags. The
+  // 4-argument `graft_table_changes(path, since, until, true)` re-pairs
+  // a commit's rows per the commit's RECORDED merge key: keys carrying
+  // both a delete and an insert within one upsert commit re-tag as
+  // images; unpaired deletes (key drops) and inserts (new keys) keep
+  // their net tags. The oracle rebuilds all four tag classes with
+  // window-free set algebra, so a hash match proves the pairing uses
+  // exactly the commit's key — not value coincidence. Scale: ONE extra
+  // hash-partition window over the O(changes) feed; never O(table).
+  // --------------------------------------------------------------------
+  def q134CdfUpdateImages(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cdfimg", dir)
+    graft.core.Fs.rmTree(new java.io.File(root))
+    val t = new graft.medallion.GraftTable(s"$root/orders")
+    val base = lake(s, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    (0 until 4).foreach(f =>
+      t.append(base.filter(col("o_orderkey") % 4 === f).repartition(1)))
+    t.setProperty(graft.medallion.TxLog.CdfEnabledProp, "true")
+    val v0 = t.latestVersion()
+    // one upsert commit carrying all three mutation classes: updates
+    // (%7=0 price bump), key drops (%13=2), and brand-new keys
+    val isUpd = col("o_orderkey") % 7 === 0
+    val isDel = col("o_orderkey") % 13 === 2 && col("o_orderkey") % 7 =!= 0
+    val updDel = base.filter(isUpd || isDel).select(
+      col("o_orderkey"), col("o_custkey"),
+      when(isUpd, col("o_totalprice") + 500.0)
+        .otherwise(col("o_totalprice")).as("o_totalprice"),
+      lit(1L).as("_seq"), isDel.as("_deleted"))
+    val fresh = base.filter(col("o_orderkey") % 17 === 5).select(
+      (col("o_orderkey") + 2000000L).as("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), lit(1L).as("_seq"), lit(false).as("_deleted"))
+    t.upsert(updDel.unionAll(fresh), "o_orderkey", "_seq")
+    graft.engine.GraftFunctions.register(s)
+    s.sql(
+      s"""SELECT _change_type, o_orderkey, o_custkey, o_totalprice
+          FROM graft_table_changes('${t.tablePath}', $v0, ${v0 + 1}, true)
+          ORDER BY _change_type, o_orderkey""")
+  }
+
+  private val q134Oracle =
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p FROM orders),
+       upd AS (SELECT * FROM base WHERE k % 7 = 0),
+       del AS (SELECT * FROM base WHERE k % 13 = 2 AND k % 7 <> 0),
+       ins AS (SELECT k + 2000000 AS k, c, p FROM base WHERE k % 17 = 5),
+       feed AS (
+         SELECT 'update_preimage' AS ct, k, c, p FROM upd
+         UNION ALL SELECT 'update_postimage', k, c, p + 500.0 FROM upd
+         UNION ALL SELECT 'delete', k, c, p FROM del
+         UNION ALL SELECT 'insert', k, c, p FROM ins)
+       SELECT ct AS _change_type, k AS o_orderkey, c AS o_custkey,
+              p AS o_totalprice
+       FROM feed ORDER BY _change_type, o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_cdf_update_images" -> (q134CdfUpdateImages _),
     "q133_cdc_replication" -> (q133CdcReplication _),
     "q130_change_feed" -> (q130ChangeFeed _),
     "q131_cdf_mv" -> (q131CdfMv _),
@@ -1833,6 +1892,7 @@ object PipelineOps {
     "q127_bloom_lookup" -> (q127BloomLookup _))
 
   val oracle: Map[String, String] = Map(
+    "q134_cdf_update_images" -> q134Oracle,
     "q133_cdc_replication" -> q133Oracle,
     "q130_change_feed" -> q130Oracle,
     "q131_cdf_mv" -> q131Oracle,

@@ -199,10 +199,14 @@ object GraftProcedures {
 
   private val vacuumOut = StructType(Seq(
     StructField("files_deleted", IntegerType, nullable = false),
+    StructField("change_files_deleted", IntegerType, nullable = false),
     StructField("retained_from_version", LongType, nullable = false)))
 
   /** `dry_run => true` audits the blast radius: same reachability walk,
-    * nothing deleted (Delta's `VACUUM ... DRY RUN`). */
+    * nothing deleted (Delta's `VACUUM ... DRY RUN`). Change-data-feed
+    * files report in their own column — retiring them shortens the FEED
+    * horizon (`readChangeFeed` windows), not time travel, so an
+    * operator auditing CDC consumers needs the split. */
   private def vacuum(dirOf: String => String): UnboundProcedure =
     bound("vacuum", Seq(
       param("table", StringType),
@@ -212,7 +216,9 @@ object GraftProcedures {
       val retain = if (in.isNullAt(1)) 2 else in.getInt(1)
       val dry = !in.isNullAt(2) && in.getBoolean(2)
       val deleted = t.vacuum(retain, dryRun = dry)
-      Seq(InternalRow(deleted.size,
+      val (change, data) = deleted.partition(
+        _.startsWith(graft.medallion.TxLog.ChangeDir + "/"))
+      Seq(InternalRow(data.size, change.size,
         math.max(1L, t.latestVersion() - retain + 1)))
     }
 

@@ -82,8 +82,19 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
 
   override def shortName(): String = "graft-table"
 
+  /** Option lookups must be case-insensitive on BOTH DSv2 entry points:
+    * `inferSchema` receives a [[CaseInsensitiveStringMap]] but
+    * `getTable` receives the original-cased `asCaseSensitiveMap` keys —
+    * an exact-case `get` there would let `readchangefeed` produce a CDF
+    * schema on a table constructed with `changeFeed=false`. */
+  private def ci(m: java.util.Map[String, String]): CaseInsensitiveStringMap =
+    m match {
+      case c: CaseInsensitiveStringMap => c
+      case other => new CaseInsensitiveStringMap(other)
+    }
+
   private def path(m: java.util.Map[String, String]): String = {
-    val p = m.get("path")
+    val p = ci(m).get("path")
     if (p == null) throw new IllegalArgumentException(
       "graft-table requires .option(\"path\", <table root>)")
     p
@@ -191,7 +202,8 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
     * UTC because that is the session timezone convention of every
     * other timestamp surface here). Both present must agree or it's a
     * caller bug — refuse rather than pick one silently. */
-  private def versionAsOf(m: java.util.Map[String, String]): Option[Long] = {
+  private def versionAsOf(m0: java.util.Map[String, String]): Option[Long] = {
+    val m = ci(m0)
     val byVersion = Option(m.get("versionAsOf")).map(_.toLong)
     val byTime = Option(m.get("timestampAsOf")).map { s =>
       val millis =
@@ -210,7 +222,7 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
   }
 
   private def changeFeed(m: java.util.Map[String, String]): Boolean =
-    Option(m.get("readChangeFeed")).exists(_.toBoolean)
+    Option(ci(m).get("readChangeFeed")).exists(_.toBoolean)
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val base = GraftTableV2.readSchemaOf(path(options), versionAsOf(options))
@@ -229,18 +241,19 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    val cdf = changeFeed(properties)
-    require(!cdf || versionAsOf(properties).isEmpty,
+    val props = ci(properties)
+    val cdf = changeFeed(props)
+    require(!cdf || versionAsOf(props).isEmpty,
       "graft-table: readChangeFeed streams FORWARD from startingVersion — " +
         "it cannot combine with versionAsOf/timestampAsOf time travel")
     new GraftTableV2(
-      path(properties), schema,
-      skipRewrites = Option(properties.get("skipRewrites")).exists(_.toBoolean),
+      path(props), schema,
+      skipRewrites = Option(props.get("skipRewrites")).exists(_.toBoolean),
       startingVersion =
-        Option(properties.get("startingVersion")).map(_.toLong).getOrElse(0L),
-      versionAsOf = versionAsOf(properties),
+        Option(props.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      versionAsOf = versionAsOf(props),
       maxVersionsPerTrigger =
-        Option(properties.get("maxVersionsPerTrigger")).map { s =>
+        Option(props.get("maxVersionsPerTrigger")).map { s =>
           val n = s.toLong
           require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
           n

@@ -267,10 +267,73 @@ class CdfSpec extends SparkSpec {
       val ex2 = intercept[Exception](
         spark.sql("SELECT * FROM graft_table_changes('nosuch.d.t', 0)").collect())
       assert(ex2.getMessage.contains("no catalog named"))
+      // a 2-segment 'cat.t' must refuse loudly, not silently resolve to
+      // <warehouse>/t with the database level skipped
+      val ex3 = intercept[Exception](
+        spark.sql(s"SELECT * FROM graft_table_changes('$cat.t', 0)").collect())
+      assert(ex3.getMessage.contains("all three segments required"))
     } finally {
       spark.conf.unset(s"spark.sql.catalog.$cat")
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
     }
+  }
+
+  test("updateImages re-tags an upsert's paired rows; unpaired and keyless commits keep net tags") {
+    val t = enabled("img")
+    val v0 = t.latestVersion()
+    // one upsert: update ids 0..9 (value change), drop ids 90..94,
+    // insert brand-new ids 200..204
+    val changes =
+      ((0L until 10L).map(i => (i, s"upd$i", i % 5, 1L, false)) ++
+        (90L until 95L).map(i => (i, s"n$i", i % 5, 1L, true)) ++
+        (200L until 205L).map(i => (i, s"new$i", i % 5, 1L, false)))
+        .toDF("id", "name", "b", "_seq", "_deleted")
+    t.upsert(changes, "id", "_seq")
+    // a second, NET-only consumer contract must be unchanged by default
+    val net = t.readChangeFeed(spark, v0).groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(net === Map("insert" -> 15L, "delete" -> 15L))
+    // with images: the 10 updated keys pair up; drops/new keys keep tags
+    val img = t.readChangeFeed(spark, v0, updateImages = true)
+    val byTag = img.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byTag === Map("update_preimage" -> 10L, "update_postimage" -> 10L,
+      "delete" -> 5L, "insert" -> 5L))
+    // the postimage rows carry the NEW values, preimage the OLD
+    assert(img.filter($"_change_type" === "update_postimage")
+      .select("name").as[String].collect().forall(_.startsWith("upd")))
+    assert(img.filter($"_change_type" === "update_preimage")
+      .select("name").as[String].collect().forall(_.startsWith("n")))
+    // the upsert commit RECORDS its merge key in the log info line
+    assert(commitText(t, t.latestVersion()).contains("\"key\":\"id\""))
+    // a non-upsert mutation (range delete) has no recorded key: its
+    // rows keep net tags even under updateImages
+    t.delete(spark, "id", Some(10L), Some(19L))
+    val afterDel = t.readChangeFeed(spark, t.latestVersion() - 1,
+      updateImages = true)
+    assert(afterDel.select("_change_type").distinct()
+      .as[String].collect().toSet === Set("delete"))
+    // SQL surface: 4th TVF argument
+    graft.engine.GraftFunctions.register(spark)
+    val sqlTags = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM graft_table_changes(" +
+        s"'${t.tablePath}', $v0, ${v0 + 1}, true) GROUP BY 1")
+      .as[(String, Long)].collect().toMap
+    assert(sqlTags === byTag)
+  }
+
+  test("updateImages skips commits whose recorded key was renamed away") {
+    val t = enabled("imgren")
+    val v0 = t.latestVersion()
+    t.upsert(Seq((3L, "x", 0L, 1L, false)).toDF("id", "name", "b", "_seq", "_deleted"),
+      "id", "_seq")
+    t.renameColumn("id", "ident")
+    // the upsert commit's recorded key 'id' no longer exists under the
+    // until-schema — pairing must be skipped (net tags), not mis-join
+    val feed = t.readChangeFeed(spark, v0, updateImages = true)
+    assert(feed.select("_change_type").distinct()
+      .as[String].collect().toSet === Set("insert", "delete"))
+    assert(feed.count() === 2L)
   }
 
   test("vacuum retires change files past retention and keeps the window; behind-window read fails loudly") {
@@ -281,6 +344,14 @@ class CdfSpec extends SparkSpec {
     // push the delete outside a 2-version retention window
     (0 until 3).foreach(i =>
       t.append(Seq((1000L + i, "pad", 0L)).toDF("id", "name", "b")))
+    // age guard first: with the default in-flight protection window, a
+    // vacuum must NOT sweep seconds-old change files even when they sit
+    // outside version retention — they could be a racing writer's
+    // just-staged cdc output
+    t.vacuum(2)
+    assert(changeFiles(t).nonEmpty,
+      "default vacuum must retain young change files (in-flight guard)")
+    t.setProperty(graft.medallion.TxLog.VacuumCdcMinAgeProp, "0")
     t.vacuum(2)
     assert(changeFiles(t).isEmpty)
     val ex = intercept[IllegalArgumentException](

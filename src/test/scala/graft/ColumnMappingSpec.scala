@@ -207,4 +207,85 @@ class ColumnMappingSpec extends SparkSpec {
     val e = intercept[Exception](t.append(widened, mergeSchema = true, 20))
     assert(e.getMessage.contains("addColumns"))
   }
+
+  test("deleteRows (deletion vectors) on a RENAMED predicate column") {
+    import spark.implicits._
+    val t = freshTable("dvrename")
+    (0 until 3).foreach(f =>
+      t.append((0L until 90L).filter(_ % 3 == f)
+        .map(i => (i, s"n$i", i / 10.0)).toDF("id", "name", "score")
+        .coalesce(1)))
+    t.renameColumn("id", "ident")
+    val before = t.snapshot().files.map(_.path).toSet
+    // the MOR delete's condition speaks the NEW logical name; matching,
+    // bitmap build and the existing-DV anti-join all translate through
+    // the mapping to the immutable physical column
+    val (dvFiles, rewrites, rows, _) = t.deleteRows(spark, "ident % 10 = 4")
+    assert(dvFiles === 3 && rewrites === 0 && rows === 9L)
+    assert(t.snapshot().files.map(_.path).toSet === before)
+    assert(t.read(spark).select("ident").as[Long].collect().toSet ===
+      (0L until 90L).filterNot(_ % 10 == 4).toSet)
+    // second delete on the same mapped table ORs in (anti-join path)
+    val (_, _, rows2, _) = t.deleteRows(spark, "ident < 10 AND ident % 10 <> 4")
+    assert(rows2 === 9L)
+    assert(t.read(spark).count() === 72L)
+    // purge launders the DVs under the mapping too
+    t.purgeDeletes(spark)
+    assert(t.snapshot().files.forall(_.dv.isEmpty))
+    assert(t.read(spark).count() === 72L)
+  }
+
+  test("Bloom point-lookup pruning survives a RENAME of the bloomed column") {
+    import spark.implicits._
+    val t = freshTable("bloomrename")
+    t.append(Seq((0L, "seed", 0.0)).toDF("id", "name", "score"))
+    t.setProperty(TxLog.BloomColumnsProp, "id")
+    // scattered EVEN ids round-robin over 8 files: every file's
+    // [min,max] covers every probe — only the Bloom bitsets can prune
+    (0 until 8).foreach(f =>
+      t.append((0L until 512L).filter(_ % 8 == f)
+        .map(k => (k * 2L, s"n$k", 0.0)).toDF("id", "name", "score")
+        .coalesce(1)))
+    t.renameColumn("id", "ident")
+    // build side already translated (stats under the physical name);
+    // the PROBE side must translate the renamed logical name too
+    val n = t.filesForRange("ident", Some(500L), Some(500L))
+    assert(n >= 1 && n <= 4,
+      s"present-key probe must Bloom-prune after the rename, planned $n")
+    assert(t.readRange(spark, "ident", Some(500L), Some(500L)).count() === 1L)
+    // an ODD id is absent-but-in-range for every file: bitsets prune
+    // what min/max kept — proven on the RENAMED name
+    assert(t.filesForRange("ident", Some(501L), Some(501L)) <= 2)
+    assert(t.readRange(spark, "ident", Some(501L), Some(501L)).count() === 0L)
+  }
+
+  test("CDF read across a RENAME commit attributes changes in the until-schema") {
+    import spark.implicits._
+    val t = freshTable("cdfrename")
+    t.append((0L until 20L).map(i => (i, s"n$i", 0.0))
+      .toDF("id", "name", "score"))
+    t.setProperty(TxLog.CdfEnabledProp, "true")
+    val v0 = t.latestVersion()
+    t.upsert(Seq((3L, "x", 9.9, 1L, false))
+      .toDF("id", "name", "score", "_seq", "_deleted"), "id", "_seq")
+    t.renameColumn("name", "label") // schema-only commit INSIDE the window
+    t.upsert(Seq((4L, "y", 8.8, 1L, false))
+      .toDF("id", "label", "score", "_seq", "_deleted"), "id", "_seq")
+    val feed = t.readChangeFeed(spark, v0)
+    // the whole window reads under the UNTIL schema's logical names —
+    // including the pre-rename commit's change files
+    assert(feed.columns.contains("label") && !feed.columns.contains("name"))
+    val byVersion = feed.groupBy("_commit_version").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byVersion === Map((v0 + 1) -> 2L, (v0 + 3) -> 2L),
+      s"rename commit must feed nothing, upserts pair: $byVersion")
+    assert(feed.filter($"_change_type" === "insert" && $"id" === 3L)
+      .select("label").as[String].head() === "x")
+    // updateImages pairs BOTH upserts: the recorded key 'id' survived
+    // the rename of a NON-key column
+    val img = t.readChangeFeed(spark, v0, updateImages = true)
+    assert(img.groupBy("_change_type").count().as[(String, Long)]
+      .collect().toMap ===
+      Map("update_preimage" -> 2L, "update_postimage" -> 2L))
+  }
 }

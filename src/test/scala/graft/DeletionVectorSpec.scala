@@ -95,6 +95,34 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.read(spark).count() === 666L)
   }
 
+  test("phase-2 build is executor-side: driver gets one bitmap row per file, never indexes") {
+    import spark.implicits._
+    // the exact aggregate deleteRows phase 2 collects: per-file bitmap
+    // BYTES (binary), not a collect_list of row indexes — so the
+    // driver-side volume is files × maxBytes regardless of match count
+    val pairs = (0L until 10000L).map(i => (s"f${i % 4}", i / 4))
+      .toDF("__file", "__idx")
+    val agg = TxLog.dvAggregate(pairs, TxLog.DvMaxBytes)
+    assert(agg.schema.map(f => (f.name, f.dataType.typeName)) ===
+      Seq(("__file", "string"), ("dv", "binary")),
+      "driver must receive serialized bitmaps, not index arrays")
+    val rows = agg.collect()
+    assert(rows.length === 4) // file-count-sized, not match-count-sized
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      assert(bytes != null && bytes.length <= TxLog.DvMaxBytes)
+      val bm = new org.roaringbitmap.RoaringBitmap()
+      bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+      assert(bm.getLongCardinality === 2500L)
+    }
+    // the over-maxBytes check runs IN-AGGREGATE: an oversized file
+    // finishes as null — its bytes never ship to the driver at all
+    val wide = (0L until 3000L).map(i => ("big", i * 7 % 100000))
+      .toDF("__file", "__idx")
+    val overRow = TxLog.dvAggregate(wide, 8).collect()
+    assert(overRow.length === 1 && overRow.head.isNullAt(1))
+  }
+
   test("purge materializes DVs; compact and zorder apply them; upsert cannot resurrect") {
     import spark.implicits._
     val t = seeded("purge")

@@ -155,6 +155,30 @@ class GraftProceduresSpec extends SparkSpec {
     }
   }
 
+  test("vacuum reports change-file retirements distinctly from data files") {
+    import spark.implicits._
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.c (id BIGINT, v STRING)")
+      val t = new GraftTable(s"$wh/db/c")
+      t.append((0L until 20L).map(i => (i, s"n$i")).toDF("id", "v"))
+      t.setProperty("cdf.enabled", "true")
+      t.setProperty(graft.medallion.TxLog.VacuumCdcMinAgeProp, "0")
+      t.upsert(Seq((3L, "x", 1L, false)).toDF("id", "v", "_seq", "_deleted"),
+        "id", "_seq") // stages a change file
+      t.append(Seq((100L, "z")).toDF("id", "v")) // pushes it past retention
+      val dry = spark.sql(s"CALL $cat.system.vacuum(table => 'db.c'," +
+        " retain_versions => 0, dry_run => true)").head()
+      assert(dry.getInt(1) >= 1,
+        s"feed-horizon audit needs change files in their own column: $dry")
+      val real = spark.sql(s"CALL $cat.system.vacuum(table => 'db.c'," +
+        " retain_versions => 0)").head()
+      assert(real.getInt(1) === dry.getInt(1))
+      val leftover = Option(new java.io.File(s"$wh/db/c/_change").listFiles())
+        .toSeq.flatten.count(_.getName.endsWith(".parquet"))
+      assert(leftover === 0)
+    }
+  }
+
   test("path-based DSv2 read honors option(timestampAsOf)") {
     import spark.implicits._
     val dir = new java.io.File(

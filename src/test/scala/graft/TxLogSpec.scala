@@ -634,6 +634,51 @@ class TxLogSpec extends SparkSpec {
     assert(e.getMessage.contains("missing"))
   }
 
+  test("protocol reader features: gated commits name their capability; plain tables carry none") {
+    import spark.implicits._
+    def logText(t: GraftTable, v: Long): String =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        t.tablePath, "_graft_log", "%020d.json".format(v))), "UTF-8")
+    // a table using NO gated feature never grows a protocol line
+    val plain = freshTable("proto_plain")
+    plain.append(df(Seq(1L -> "a")))
+    plain.compact(spark)
+    (1L to plain.latestVersion()).foreach(v =>
+      assert(!logText(plain, v).contains("\"protocol\""),
+        s"ungated commit $v must not carry a protocol line"))
+    // each gated feature's first use names itself in the SAME commit
+    val t = freshTable("proto_dv")
+    t.append(df((0L until 50L).map(i => i -> s"n$i")))
+    t.setProperty("dv.maxFraction", "0.9")
+    assert(logText(t, t.latestVersion()).contains("tableProperties"))
+    t.deleteRows(spark, "id % 7 = 0")
+    val dvLine = logText(t, t.latestVersion())
+    assert(dvLine.contains("\"protocol\"") &&
+      dvLine.contains("deletionVectors"))
+    t.addConstraint(spark, "pos", "id >= 0")
+    assert(logText(t, t.latestVersion()).contains("checkConstraints"))
+    t.renameColumn("name", "label")
+    assert(logText(t, t.latestVersion()).contains("columnMapping"))
+    // ... and the table stays readable by THIS reader (round trip)
+    assert(t.read(spark).count() === 42L)
+    // a commit demanding an unknown future feature fails with its NAME,
+    // before the reader trips over the gated action itself
+    val future = freshTable("proto_future")
+    future.append(df(Seq(1L -> "a")))
+    val v = future.latestVersion() + 1
+    val content =
+      """{"a":"info","op":"append","readVersion":1}
+        |{"a":"protocol","readerFeatures":["vectorClocks"]}
+        |{"a":"shard-map","path":"x"}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      future.tablePath, "_graft_log", "%020d.json".format(v)),
+      content.getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException](future.snapshot())
+    assert(ex.getMessage.contains("vectorClocks") &&
+      ex.getMessage.contains("reader feature"),
+      s"expected a NAMED missing capability, got: ${ex.getMessage}")
+  }
+
   test("checkpoint preserves per-file commit provenance for the DSv2 _commit_version tag") {
     val t = freshTable("provenance")
     t.append(df(Seq(1L -> "a"))) // v1
