@@ -2496,6 +2496,26 @@ final class GraftTable(val tablePath: String) {
   def vacuum(retainVersions: Int = 2): Seq[String] =
     vacuum(retainVersions, dryRun = false)
 
+  /** Time-based retention (Delta's `VACUUM ... RETAIN n HOURS` shape):
+    * keeps every version committed within the trailing `retainMs`
+    * window, resolved against the log's wall-clock commit stamps
+    * (the same stamps `TIMESTAMP AS OF` travels on), then delegates to
+    * the version-based sweep. A window predating the table's history
+    * keeps everything. Returns (deleted names, equivalent
+    * retainVersions) so callers can report the resolved window. */
+  def vacuumRetainMillis(
+      retainMs: Long, dryRun: Boolean = false): (Seq[String], Int) = {
+    require(retainMs >= 0, s"txlog: negative retention window $retainMs ms")
+    val head = latestVersion()
+    // greatest version at-or-before the cutoff = the last version the
+    // sweep may treat as expired; pre-history cutoffs keep everything
+    val floorV =
+      try versionAtTimestamp(System.currentTimeMillis() - retainMs)
+      catch { case _: IllegalArgumentException => 0L }
+    val retain = math.max(0L, head - floorV).toInt
+    (vacuum(retain, dryRun), retain)
+  }
+
   /** `dryRun = true` reports what a vacuum WOULD delete — same
     * reachability walk, zero deletions (the Delta `VACUUM ... DRY RUN`
     * shape: operators audit the blast radius before retiring bytes). */

@@ -255,6 +255,36 @@ object Curation {
       .select(col(s"_w.$idCol"), col(s"_w.$scoreCol"), col("n_variants"))
   }
 
+  /** Per-source frequency cap — the CCNet/RefinedWeb anti-dominance
+    * stage: no single domain/crawl source may contribute more than `k`
+    * documents, keeping the best by (`scoreCol` desc, `idCol` asc ties)
+    * so the cut is deterministic. Emits survivors with their
+    * within-source `src_rank` plus the source's pre-cap `src_total`
+    * (the audit number: how dominant the source WAS). Scale: the
+    * rank-then-filter shape compiles to a WindowGroupLimit — each map
+    * task forwards at most k rows per source BEFORE the exchange, so a
+    * mega-domain holding half a 100 TB crawl ships k rows per input
+    * partition, never its whole row set. The pre-cap totals
+    * DELIBERATELY do not ride the rank window (a full-frame count in
+    * the same Window node would make the group limit unsound, so Spark
+    * would drop it): they come from a separate partial-aggregated
+    * groupBy carrying (source, count) pairs only, joined onto the
+    * k-per-source survivor set. */
+  def capPerSource(
+      df: DataFrame, idCol: String, srcCol: String, scoreCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"capPerSource: k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val kept = df
+      .withColumn("src_rank", row_number().over(w))
+      .filter(col("src_rank") <= k)
+    val totals = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("src_total"))
+    kept.join(totals, Seq(srcCol))
+  }
+
   /** Deterministic train/validation/test assignment — the holdout stage
     * every training pipeline runs before anything else touches the
     * data. Pure integer arithmetic on the portable id hash (salted with

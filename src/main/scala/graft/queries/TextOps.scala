@@ -1245,7 +1245,40 @@ object TextOps {
        SELECT doc_id, dl, tf_0, tf_1, tf_2, score, rnk
        FROM ranked WHERE rnk <= 10 ORDER BY rnk"""
 
+  // --------------------------------------------------------------------
+  // q135 — per-source frequency cap (Curation.capPerSource): the
+  // CCNet/RefinedWeb anti-dominance stage — no source contributes more
+  // than 25 documents, keeping the longest (n_chars desc, doc_id ties),
+  // each survivor tagged with its within-source rank and the source's
+  // PRE-cap total. Scale: the rank-filter compiles to WindowGroupLimit
+  // (≤25 rows per source leave each map task before the exchange —
+  // plan-asserted in PlanChecksSpec), and the totals join carries one
+  // (source, count) row per source, broadcast onto the capped set.
+  // --------------------------------------------------------------------
+  def q135SourceCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.capPerSource(
+      lake(s, dir).documents.select(
+        col("doc_id"), col("source"), col("n_chars")),
+      "doc_id", "source", "n_chars", k = 25)
+      .select(col("source"), col("doc_id"),
+        col("src_rank").cast("long").as("src_rank"), col("src_total"))
+      .orderBy(col("source"), col("src_rank"))
+
+  private val q135Oracle =
+    """WITH ranked AS (
+         SELECT source, doc_id, n_chars,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id) AS src_rank
+         FROM documents),
+       totals AS (SELECT source, count(*) AS src_total
+                  FROM documents GROUP BY source)
+       SELECT r.source, r.doc_id, r.src_rank, t.src_total
+       FROM ranked r JOIN totals t USING (source)
+       WHERE r.src_rank <= 25
+       ORDER BY r.source, r.src_rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_source_cap" -> (q135SourceCap _),
     "q132_bm25" -> (q132Bm25 _),
     "q123_fuzzy_pairs" -> (q123FuzzyPairs _),
     "q121_paragraph_dedup" -> (q121ParagraphDedup _),
@@ -1272,6 +1305,7 @@ object TextOps {
     "q112_shared_spans" -> (q112SharedSpans _))
 
   val oracle: Map[String, String] = Map(
+    "q135_source_cap" -> q135Oracle,
     "q132_bm25" -> q132Oracle,
     "q123_fuzzy_pairs" -> q123Oracle,
     "q121_paragraph_dedup" -> q121Oracle,

@@ -206,16 +206,24 @@ object GraftProcedures {
     * nothing deleted (Delta's `VACUUM ... DRY RUN`). Change-data-feed
     * files report in their own column — retiring them shortens the FEED
     * horizon (`readChangeFeed` windows), not time travel, so an
-    * operator auditing CDC consumers needs the split. */
+    * operator auditing CDC consumers needs the split. `retain_hours`
+    * resolves the window against commit wall-clock stamps (Delta's
+    * `RETAIN n HOURS`) and takes precedence over `retain_versions`. */
   private def vacuum(dirOf: String => String): UnboundProcedure =
     bound("vacuum", Seq(
       param("table", StringType),
       paramD("retain_versions", IntegerType, "2"),
-      paramD("dry_run", BooleanType, "false")), vacuumOut) { in =>
+      paramD("dry_run", BooleanType, "false"),
+      paramD("retain_hours", DoubleType, "CAST(NULL AS DOUBLE)")), vacuumOut) { in =>
       val t = tableDir(dirOf, in.getUTF8String(0))
-      val retain = if (in.isNullAt(1)) 2 else in.getInt(1)
       val dry = !in.isNullAt(2) && in.getBoolean(2)
-      val deleted = t.vacuum(retain, dryRun = dry)
+      val (deleted, retain) =
+        if (!in.isNullAt(3)) t.vacuumRetainMillis(
+          (in.getDouble(3) * 3600000.0).toLong, dryRun = dry)
+        else {
+          val r = if (in.isNullAt(1)) 2 else in.getInt(1)
+          (t.vacuum(r, dryRun = dry), r)
+        }
       val (change, data) = deleted.partition(
         _.startsWith(graft.medallion.TxLog.ChangeDir + "/"))
       Seq(InternalRow(data.size, change.size,
@@ -226,13 +234,29 @@ object GraftProcedures {
     StructField("restored_to_version", LongType, nullable = false),
     StructField("committed_version", LongType, nullable = false)))
 
+  /** `timestamp` restores to the snapshot the table held at that
+    * instant (UTC `yyyy-MM-dd HH:mm:ss[.SSS]` or epoch millis),
+    * resolved via the same commit stamps as `TIMESTAMP AS OF` — the
+    * Delta `RESTORE ... TO TIMESTAMP AS OF` shape. Exactly one of
+    * `version`/`timestamp` is required. */
   private def restore(dirOf: String => String): UnboundProcedure =
     bound("restore", Seq(
       param("table", StringType),
-      param("version", LongType)), restoreOut) { in =>
+      paramD("version", LongType, "CAST(NULL AS BIGINT)"),
+      paramD("timestamp", StringType, "CAST(NULL AS STRING)")), restoreOut) { in =>
       val t = tableDir(dirOf, in.getUTF8String(0))
-      require(!in.isNullAt(1), "restore: version is required")
-      val target = in.getLong(1)
+      require(in.isNullAt(1) != in.isNullAt(2),
+        "restore: pass exactly one of version / timestamp")
+      val target =
+        if (!in.isNullAt(1)) in.getLong(1)
+        else {
+          val s = in.getUTF8String(2).toString
+          val millis =
+            if (s.forall(c => c.isDigit || c == '-')) s.toLong
+            else java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          t.versionAtTimestamp(millis)
+        }
       val v = t.restore(target)
       Seq(InternalRow(target, v))
     }

@@ -246,11 +246,27 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
     require(!cdf || versionAsOf(props).isEmpty,
       "graft-table: readChangeFeed streams FORWARD from startingVersion — " +
         "it cannot combine with versionAsOf/timestampAsOf time travel")
+    // startingTimestamp (streams): resolve to the version committed
+    // at-or-before the instant — the stream then tails strictly AFTER
+    // it, i.e. "changes since what the table held at time T". Delta's
+    // startingTimestamp option, riding the same commit stamps as
+    // TIMESTAMP AS OF. Mutually exclusive with startingVersion.
+    val startByTime = Option(props.get("startingTimestamp")).map { s =>
+      require(props.get("startingVersion") == null,
+        "graft-table: pass startingVersion OR startingTimestamp, not both")
+      val millis =
+        if (s.forall(c => c.isDigit || c == '-')) s.toLong
+        else java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      // pre-history instants mean "everything": tail from version 0
+      try new GraftTable(path(props)).versionAtTimestamp(millis)
+      catch { case _: IllegalArgumentException => 0L }
+    }
     new GraftTableV2(
       path(props), schema,
       skipRewrites = Option(props.get("skipRewrites")).exists(_.toBoolean),
-      startingVersion =
-        Option(props.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      startingVersion = startByTime.getOrElse(
+        Option(props.get("startingVersion")).map(_.toLong).getOrElse(0L)),
       versionAsOf = versionAsOf(props),
       maxVersionsPerTrigger =
         Option(props.get("maxVersionsPerTrigger")).map { s =>

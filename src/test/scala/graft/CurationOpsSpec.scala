@@ -153,6 +153,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(bySrc("tiny") === 8L)
   }
 
+  test("capPerSource: k best per source survive, ranked; pre-cap totals ride along") {
+    import spark.implicits._
+    val docs = Seq(
+      // dominant source: 5 docs, cap 2 keeps the two longest
+      (1L, "web", 100L), (2L, "web", 300L), (3L, "web", 200L),
+      (4L, "web", 300L), (5L, "web", 50L),
+      // small source under the cap: untouched
+      (6L, "books", 10L), (7L, "books", 20L)
+    ).toDF("doc_id", "source", "n_chars")
+    val out = Curation.capPerSource(docs, "doc_id", "source", "n_chars", 2)
+      .select("source", "doc_id", "src_rank", "src_total")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    // ties on n_chars=300 break to the LOWER doc_id first
+    assert(out === Set(
+      ("web", 2L, 1, 5L), ("web", 4L, 2, 5L),
+      ("books", 7L, 1, 2L), ("books", 6L, 2, 2L)))
+  }
+
   test("dedupParagraphs: first corpus occurrence survives, later copies cut, order kept") {
     import spark.implicits._
     val docs = Seq(

@@ -179,6 +179,46 @@ class GraftProceduresSpec extends SparkSpec {
     }
   }
 
+  test("restore(timestamp => ...) rolls back to the snapshot held at that instant") {
+    import spark.implicits._
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.ts (id BIGINT)")
+      val t = new GraftTable(s"$wh/db/ts")
+      t.append(Seq(1L, 2L).toDF("id"))
+      val goodTs = t.historyFull().find(_._1 == t.latestVersion()).get._5.get
+      Thread.sleep(5)
+      t.append(Seq(99L).toDF("id")) // the fat-finger commit to undo
+      val row = spark.sql(s"CALL $cat.system.restore(table => 'db.ts'," +
+        s" timestamp => '$goodTs')").head()
+      assert(row.getLong(0) === 2L, s"resolved wrong version: $row")
+      assert(spark.sql(s"SELECT id FROM $cat.db.ts").as[Long].collect().toSet
+        === Set(1L, 2L))
+      // exactly one of version/timestamp
+      val e = intercept[Exception](spark.sql(
+        s"CALL $cat.system.restore(table => 'db.ts')").collect())
+      assert(e.getMessage.contains("exactly one"))
+    }
+  }
+
+  test("vacuum retain_hours resolves the window against commit timestamps") {
+    import spark.implicits._
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.h (id BIGINT)")
+      val t = new GraftTable(s"$wh/db/h")
+      Seq(Seq(1L), Seq(2L)).foreach(r => t.append(r.toDF("id").coalesce(1)))
+      t.compact(spark) // the 2 pre-compact files are head-unreachable
+      // a window predating the table's history keeps everything
+      val keep = spark.sql(s"CALL $cat.system.vacuum(table => 'db.h'," +
+        " retain_hours => 1.0E6)").head()
+      assert(keep.getInt(0) === 0 && keep.getInt(1) === 0, s"got $keep")
+      // a zero-hour window sweeps everything head cannot reach
+      val sweep = spark.sql(s"CALL $cat.system.vacuum(table => 'db.h'," +
+        " retain_hours => 0.0)").head()
+      assert(sweep.getInt(0) === 2, s"got $sweep")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.h").head().getLong(0) === 2L)
+    }
+  }
+
   test("path-based DSv2 read honors option(timestampAsOf)") {
     import spark.implicits._
     val dir = new java.io.File(

@@ -86,6 +86,40 @@ class GraftTableSourceSpec extends SparkSpec {
       === Set(2L, 3L))
   }
 
+  test("startingTimestamp resolves the tail start against commit stamps") {
+    val root = freshRoot()
+    val srcPath = new java.io.File(root, "bronze").getAbsolutePath
+    val src = new GraftTable(srcPath)
+    src.append(df(Seq(1L -> "old"))) // v1
+    // capture the v1 commit's own stamp: starting AT it means
+    // "changes since what the table held then" = v2 only
+    val v1ts = src.historyFull().find(_._1 == 1L).get._5.get
+    Thread.sleep(5)
+    src.append(df(Seq(2L -> "new"))) // v2
+
+    def run(tsOpt: String, tag: String): Set[Long] = {
+      val dstPath = new java.io.File(root, s"silver_$tag").getAbsolutePath
+      TableSink.start(
+        spark.readStream.format("graft-table")
+          .option("path", srcPath).option("startingTimestamp", tsOpt).load(),
+        dstPath, s"st_$tag",
+        new java.io.File(root, s"ckpt_$tag").getAbsolutePath)
+        .awaitTermination()
+      new GraftTable(dstPath).read(spark)
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    assert(run(v1ts.toString, "at") === Set(2L),
+      "starting at v1's stamp must tail strictly after v1")
+    // a pre-history instant means everything
+    assert(run((v1ts - 1000000L).toString, "pre") === Set(1L, 2L))
+    // both pins together refuse loudly
+    val e = intercept[Exception](
+      spark.readStream.format("graft-table").option("path", srcPath)
+        .option("startingVersion", "1")
+        .option("startingTimestamp", v1ts.toString).load())
+    assert(e.getMessage.contains("not both"))
+  }
+
   test("batch read via format('graft-table'): snapshot rows, filters pushed to file pruning") {
     import graft.streaming.GraftTableV2
     import org.apache.spark.sql.sources.{And, EqualTo, GreaterThan, IsNotNull, LessThanOrEqual, Or}

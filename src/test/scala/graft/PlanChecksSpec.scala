@@ -57,6 +57,19 @@ class PlanChecksSpec extends SparkSpec {
       s"expected two-phase group limit in:\n$p")
   }
 
+  test("q135: per-source cap plans WindowGroupLimit; totals broadcast onto survivors") {
+    val p = plan(graft.queries.TextOps.q135SourceCap(spark, sfDir))
+    // the k-per-source filter must prune BEFORE the exchange — a
+    // mega-source's rows must not all cross the shuffle
+    assert(p.contains("WindowGroupLimit"), s"expected group-limit prune in:\n$p")
+    assert(p.contains("Partial") && p.contains("Final"),
+      s"expected two-phase group limit in:\n$p")
+    // the (source, count) totals side is source-cardinality-sized —
+    // it must broadcast, never sort-merge
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the totals join to broadcast in:\n$p")
+  }
+
   test("q61: correlated scalar subquery is decorrelated into an aggregate join") {
     val p = plan(graft.queries.RelationalMore.q61CorrelatedSubquery(spark, sfDir))
     // no surviving per-row subquery: Catalyst rewrites to agg + outer join
