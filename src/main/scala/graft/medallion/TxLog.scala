@@ -978,10 +978,17 @@ final class GraftTable(val tablePath: String) {
     * Unpaired rows keep their net tags; commits without a recorded key
     * (non-upsert mutations, pre-key logs) are left untouched. Cost: ONE
     * extra hash-partition window over the O(changes) feed — never
-    * O(table). */
+    * O(table).
+    *
+    * `commitTimestamps = true` appends a `_commit_ts` column — each
+    * row's commit wall-clock stamp (the Delta `_commit_timestamp`
+    * consumer shape; null for pre-stamp logs). Opt-in so default feed
+    * schemas stay stable for existing consumers; a per-version literal,
+    * zero extra IO. */
   def readChangeFeed(
       spark: SparkSession, sinceVersion: Long,
-      untilVersion: Long = -1L, updateImages: Boolean = false): DataFrame = {
+      untilVersion: Long = -1L, updateImages: Boolean = false,
+      commitTimestamps: Boolean = false): DataFrame = {
     val head = latestVersion()
     require(sinceVersion <= head,
       s"txlog: readChangeFeed($sinceVersion) is ahead of head $head")
@@ -1004,10 +1011,13 @@ final class GraftTable(val tablePath: String) {
         Some(logical(readPhysicalFiles(spark, phys, fs)
           .withColumn(ChangeTypeCol, lit(kind))))
       }
-    val empty = spark.createDataFrame(
+    val empty0 = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .withColumn(ChangeTypeCol, lit("")).limit(0)
       .withColumn("_commit_version", lit(0L)).limit(0)
+    val empty = if (!commitTimestamps) empty0
+      else empty0.withColumn("_commit_ts",
+        lit(null).cast(TimestampType)).limit(0)
     val slices = ((sinceVersion + 1) to until).map(v => v -> changeFeedSlice(v))
     val feed = slices.foldLeft(empty) { case (acc, (v, slice)) =>
       val staged = if (slice.cdc.isEmpty) None else
@@ -1018,7 +1028,14 @@ final class GraftTable(val tablePath: String) {
         staged.toSeq ++ tagged(slice.deletes, v, "delete").toSeq ++
           tagged(slice.inserts, v, "insert").toSeq
       parts.reduceOption(_ unionAll _)
-        .fold(acc)(b => acc.unionAll(b.withColumn("_commit_version", lit(v))))
+        .fold(acc) { b0 =>
+          val b1 = b0.withColumn("_commit_version", lit(v))
+          val b = if (!commitTimestamps) b1
+            else b1.withColumn("_commit_ts", slice.tsMillis
+              .map(ms => lit(new java.sql.Timestamp(ms)))
+              .getOrElse(lit(null).cast(TimestampType)))
+          acc.unionAll(b)
+        }
     }
     if (!updateImages) return feed
     // versions whose recorded merge key still exists under the
@@ -1049,7 +1066,9 @@ final class GraftTable(val tablePath: String) {
   private[graft] final case class FeedSlice(
       cdc: Seq[Path], deletes: Seq[AddFile], inserts: Seq[AddFile],
       /** the commit's recorded merge key, when it was an upsert */
-      mergeKey: Option[String] = None)
+      mergeKey: Option[String] = None,
+      /** the commit's wall-clock stamp (absent in pre-ts logs) */
+      tsMillis: Option[Long] = None)
 
   /** Classify commit `v` for the change feed — the single source of
     * truth behind [[readChangeFeed]] and the streaming CDF source (see
@@ -1070,7 +1089,7 @@ final class GraftTable(val tablePath: String) {
       paths.map(p => prevByPath.getOrElse(p, throw new IllegalStateException(
         s"txlog: commit $v removes '$p' which version ${v - 1} does not " +
           "hold — corrupt log")))
-    if (c.cdc.nonEmpty || c.cdcFull.nonEmpty) {
+    val slice = if (c.cdc.nonEmpty || c.cdcFull.nonEmpty) {
       val paths = c.cdc.map { case (p, _) => root.resolve(p) }
       paths.foreach(p => require(Files.exists(p),
         s"txlog: change file $p of commit $v was vacuumed — " +
@@ -1122,6 +1141,7 @@ final class GraftTable(val tablePath: String) {
             s"data — it was written without '$CdfEnabledProp'. Re-seed " +
             "from a snapshot read, or enable the feed before mutating.")
     }
+    slice.copy(tsMillis = c.tsMillis)
   }
 
   // ------------------------------------------------------------- writes

@@ -322,6 +322,25 @@ class CdfSpec extends SparkSpec {
     assert(sqlTags === byTag)
   }
 
+  test("commitTimestamps appends each row's commit wall-clock stamp") {
+    val t = enabled("cts")
+    val v0 = t.latestVersion()
+    t.append((100L until 110L).map(i => (i, s"n$i", i % 5)).toDF("id", "name", "b"))
+    t.delete(spark, "id", Some(0L), Some(9L))
+    // default schema is UNCHANGED — existing consumers see no new column
+    assert(!t.readChangeFeed(spark, v0).columns.contains("_commit_ts"))
+    val feed = t.readChangeFeed(spark, v0, commitTimestamps = true)
+    assert(feed.columns.takeRight(2).toSeq ===
+      Seq("_commit_version", "_commit_ts"))
+    // every row's stamp equals ITS commit's history stamp, exactly
+    val stamps = t.historyFull().flatMap(h => h._5.map(h._1 -> _)).toMap
+    val rows = feed.select("_commit_version", "_commit_ts")
+      .distinct().collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(rows.nonEmpty && rows.forall { case (v, ms) => stamps(v) == ms },
+      s"feed stamps $rows must match history $stamps")
+  }
+
   test("updateImages skips commits whose recorded key was renamed away") {
     val t = enabled("imgren")
     val v0 = t.latestVersion()
