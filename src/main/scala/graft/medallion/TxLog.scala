@@ -284,6 +284,34 @@ object TxLog {
   /** Write-side-identical hashes of a probe literal: evaluate Spark's
     * own XxHash64 over a typed literal with the same seeds the staging
     * aggregate used — the probe and the build hash the same bytes. */
+  /** Normalize a stats value into its comparison-domain string (see
+    * [[TxLog.ColStats]]): timestamps → epoch millis, dates → epoch days,
+    * numerics → decimal string, strings as-is. */
+  private[graft] def statsLiteral(v: Any): String = v match {
+    case t: java.sql.Timestamp => t.getTime.toString
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+    case t: java.time.Instant => t.toEpochMilli.toString
+    case d: java.time.LocalDate => d.toEpochDay.toString
+    // scala.BigDecimal extends java.lang.Number, so this case also
+    // covers it (toString is the plain decimal form either way)
+    case n: java.lang.Number => new java.math.BigDecimal(n.toString).toPlainString
+    case s: String => s
+    case other => other.toString
+  }
+
+  private[graft] def statsKind(dt: DataType): String = dt match {
+    case StringType => "str"
+    case _ => "num"
+  }
+
+  /** False for NaN/±Infinity floats/doubles — values the decimal stats
+    * domain cannot represent. */
+  private[graft] def isFiniteStat(v: Any): Boolean = v match {
+    case d: java.lang.Double => !d.isNaN && !d.isInfinite
+    case f: java.lang.Float => !f.isNaN && !f.isInfinite
+    case _ => true
+  }
+
   private[graft] def bloomHashes(value: Any, dt: DataType): Option[(Long, Long)] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     if (value == null) return None
@@ -731,6 +759,7 @@ final class GraftTable(val tablePath: String) {
     val physCol = physicalOf(snap.schema, column)
     val pruned = snap.copy(files = snap.files.filter(a =>
       a.stats.get(physCol).forall(_.overlaps(lo, hi)) &&
+        PartitionSpec.admits(snap.schema, a, physCol, lower, upper) &&
         pointAdmits(snap.schema, a, physCol, column, lower, upper)))
     readFiles(spark, pruned, { df =>
       val c = col(column)
@@ -769,8 +798,10 @@ final class GraftTable(val tablePath: String) {
     val snap = snapshot(version)
     val live = snap.files.filter { f =>
       usable.forall { case (c, lo, hi) =>
-        f.stats.get(physicalOf(snap.schema, c)).forall(_.overlaps(
-          lo.map(statsLiteral), hi.map(statsLiteral)))
+        val phys = physicalOf(snap.schema, c)
+        f.stats.get(phys).forall(_.overlaps(
+          lo.map(statsLiteral), hi.map(statsLiteral))) &&
+          PartitionSpec.admits(snap.schema, f, phys, lo, hi)
       }
     }
     snap.copy(files = live)
@@ -787,10 +818,12 @@ final class GraftTable(val tablePath: String) {
     * if ANY member overlaps). Conservative: no stats, or a NaN/Infinity
     * bound, never prunes. */
   private[graft] def statsOverlap(
-      a: AddFile, column: String, lo: Option[Any], hi: Option[Any]): Boolean =
+      schema: StructType, a: AddFile, column: String,
+      lo: Option[Any], hi: Option[Any]): Boolean =
     if (!lo.forall(isFiniteStat) || !hi.forall(isFiniteStat)) true
     else a.stats.get(column).forall(_.overlaps(
-      lo.map(statsLiteral), hi.map(statsLiteral)))
+      lo.map(statsLiteral), hi.map(statsLiteral))) &&
+      PartitionSpec.admits(schema, a, column, lo, hi)
 
   /** Number of files `readRange` would scan — the data-skipping metric. */
   def filesForRange(column: String, lower: Option[Any], upper: Option[Any]): Int = {
@@ -799,6 +832,7 @@ final class GraftTable(val tablePath: String) {
     val physCol = physicalOf(snap.schema, column)
     snap.files.count(a =>
       a.stats.get(physCol).forall(_.overlaps(lo, hi)) &&
+        PartitionSpec.admits(snap.schema, a, physCol, lower, upper) &&
         pointAdmits(snap.schema, a, physCol, column, lower, upper))
   }
 
@@ -1153,34 +1187,6 @@ final class GraftTable(val tablePath: String) {
       case _ => false
     })
 
-  /** Normalize a stats value into its comparison-domain string (see
-    * [[TxLog.ColStats]]): timestamps → epoch millis, dates → epoch days,
-    * numerics → decimal string, strings as-is. */
-  private[graft] def statsLiteral(v: Any): String = v match {
-    case t: java.sql.Timestamp => t.getTime.toString
-    case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
-    case t: java.time.Instant => t.toEpochMilli.toString
-    case d: java.time.LocalDate => d.toEpochDay.toString
-    // scala.BigDecimal extends java.lang.Number, so this case also
-    // covers it (toString is the plain decimal form either way)
-    case n: java.lang.Number => new java.math.BigDecimal(n.toString).toPlainString
-    case s: String => s
-    case other => other.toString
-  }
-
-  private[graft] def statsKind(dt: DataType): String = dt match {
-    case StringType => "str"
-    case _ => "num"
-  }
-
-  /** False for NaN/±Infinity floats/doubles — values the decimal stats
-    * domain cannot represent. */
-  private[graft] def isFiniteStat(v: Any): Boolean = v match {
-    case d: java.lang.Double => !d.isNaN && !d.isInfinite
-    case f: java.lang.Float => !f.isNaN && !f.isInfinite
-    case _ => true
-  }
-
   /** Stage `df` as immutable uniquely-named parquet files in the table
     * root and return their add-actions. One extra Spark job computes
     * per-file rows + min/max by grouping on `_metadata.file_path` — a
@@ -1235,11 +1241,28 @@ final class GraftTable(val tablePath: String) {
       else snapshot().props.get(BloomBitsProp).map(_.toInt).getOrElse(BloomBits)
     val bloomFn = org.apache.spark.sql.functions.udaf(
       new graft.functions.BloomAgg(bloomBits, BloomK))
-    val aggs = (count(lit(1)).as("_rows") +:
+    // hidden partitioning: the head's partition.spec resolved to the
+    // transforms applicable to this staged (physical) schema — min/max
+    // of the TRANSFORMED value ride the same per-file aggregate as
+    // ordinary stats (see [[PartitionSpec]]; one extra codegen'd
+    // projection column per transform, zero extra passes)
+    val pTransforms: Seq[PartitionSpec.Transform] =
+      if (latestVersion() == 0L) Seq.empty
+      else {
+        val head = snapshot()
+        PartitionSpec.resolved(head.props, head.schema, schema)
+      }
+    def pDt(t: PartitionSpec.Transform): DataType =
+      schema.fields.find(_.name == t.source).get.dataType
+    val aggs = ((count(lit(1)).as("_rows") +:
       sCols.flatMap(f => Seq(
         min(col(f.name)).as(s"_min_${f.name}"), max(col(f.name)).as(s"_max_${f.name}"),
         count(col(f.name)).as(s"_cnt_${f.name}")))) ++ // non-null count (NaN IS non-null)
-      bloomPhys.map(p => bloomFn(xxhash64(col(p))).as(s"_bloom_$p"))
+      bloomPhys.map(p => bloomFn(xxhash64(col(p))).as(s"_bloom_$p"))) ++
+      pTransforms.flatMap(t => Seq(
+        min(PartitionSpec.column(t, pDt(t))).as(s"_pmin_${t.render}"),
+        max(PartitionSpec.column(t, pDt(t))).as(s"_pmax_${t.render}"),
+        count(PartitionSpec.column(t, pDt(t))).as(s"_pcnt_${t.render}")))
     val perFile = spark.read.schema(schema).parquet(staged.map(_.toString): _*)
       .groupBy(col("_metadata.file_path").as("_file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1271,7 +1294,17 @@ final class GraftTable(val tablePath: String) {
           case _ => acc
         }
       }
-      AddFile(name, fileRows, Files.size(root.resolve(name)), withBlooms)
+      // derived partition stats under reserved __p$ keys (all-null
+      // source → no entry → the file never partition-prunes: conservative)
+      val pStats = pTransforms.flatMap { t =>
+        val mn = row.get(row.fieldIndex(s"_pmin_${t.render}"))
+        val mx = row.get(row.fieldIndex(s"_pmax_${t.render}"))
+        if (mn == null || mx == null) None
+        else Some(t.statKey -> ColStats(
+          PartitionSpec.statsKind(t, pDt(t)), statsLiteral(mn), statsLiteral(mx),
+          Some(fileRows - row.getLong(row.fieldIndex(s"_pcnt_${t.render}")))))
+      }.toMap
+      AddFile(name, fileRows, Files.size(root.resolve(name)), withBlooms ++ pStats)
     }
   }
 
@@ -1409,7 +1442,18 @@ final class GraftTable(val tablePath: String) {
     // names; a rename/drop racing this append would de-sync the staged
     // bytes from the schema actually committed — detected per attempt
     val stagedPhysical = physicalSchema(commitSchema0(schemaJson0)).fieldNames.toSeq
-    val adds = stageData(toPhysical(df, commitSchema0(schemaJson0)))
+    // hidden partitioning: cluster the batch by the spec's transform
+    // tuple (one range exchange) so files cover tight transform ranges —
+    // see [[PartitionSpec.cluster]]; no-op on spec-less tables
+    val physDf = toPhysical(df, commitSchema0(schemaJson0))
+    val clustered =
+      if (head0 == 0L) physDf
+      else {
+        val h = snapshot(head0)
+        PartitionSpec.cluster(physDf,
+          PartitionSpec.resolved(h.props, h.schema, physDf.schema))
+      }
+    val adds = stageData(clustered)
     // constraints validate the STAGED bytes (see enforceOnStaged: the
     // rows checked are the rows committed, and the source lineage never
     // runs twice); a violation deletes the staged files and throws.
@@ -1853,6 +1897,16 @@ final class GraftTable(val tablePath: String) {
           s"txlog: cannot drop '$name' — CHECK constraint '$n' references " +
             "it; drop the constraint first")
       }
+      // a partition transform reading this column would silently stop
+      // applying to new files — refuse, like constraints (the spec is
+      // one `setProperty` away from dropping the transform first)
+      snapshot(head).props.get(PartitionSpec.Prop).foreach { spec =>
+        if (PartitionSpec.parse(spec).exists(t => t.source == name ||
+            t.source == physicalOf(existing, name)))
+          throw new IllegalArgumentException(
+            s"txlog: cannot drop '$name' — ${PartitionSpec.Prop} " +
+              s"('$spec') partitions on it; update the spec first")
+      }
       val remaining = StructType(existing.fields.filterNot(_.name == name)
         .map(f => withPhysical(f, physicalName(f))))
       if (tryCommit(head + 1, "dropColumn", head, Some(remaining.json), Nil, Nil))
@@ -1943,6 +1997,7 @@ final class GraftTable(val tablePath: String) {
         require(bits >= 64 && bits % 8 == 0 && bits <= (1 << 28),
           s"txlog: $BloomBitsProp must be a multiple of 8 in [64, 2^28], got $bits")
       }
+      if (name == PartitionSpec.Prop) PartitionSpec.validate(value, snap.schema)
       if (name == BloomColumnsProp) {
         val schema = snap.schema
         value.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
@@ -2367,8 +2422,15 @@ final class GraftTable(val tablePath: String) {
     val bytes = snap.files.map(_.bytes).sum
     val outParts = math.max(1,
       math.ceil(bytes.toDouble / (targetFileMB * 1024.0 * 1024.0)).toInt)
-    val df = readPhysicalFiles(spark, physicalSchema(snap.schema), snap.files)
-      .repartition(outParts)
+    val raw = readPhysicalFiles(spark, physicalSchema(snap.schema), snap.files)
+    // under a partition.spec, re-cluster by the transform tuple instead
+    // of a round-robin repartition (which would scatter every tuple
+    // across every output file and erase partition pruning)
+    val spec = PartitionSpec.resolved(
+      snap.props, snap.schema, physicalSchema(snap.schema))
+    val df =
+      if (spec.isEmpty) raw.repartition(outParts)
+      else PartitionSpec.cluster(raw, spec)
     val adds = stageData(df)
     val v = commitRewrite(snap, "compact", None, adds, snap.files.map(_.path))
     (snap.files.size, adds.size, v)
@@ -2420,13 +2482,23 @@ final class GraftTable(val tablePath: String) {
       minFiles: Int = 2): (Int, Int, Long) = {
     val snap = snapshot()
     val threshold = targetFileMB.toLong * 1024L * 1024L
-    val targets = snap.files.filter(_.bytes < threshold)
-    if (targets.size < math.max(2, minFiles)) return (0, 0, snap.version)
-    val outParts = math.max(1,
-      math.ceil(targets.map(_.bytes).sum.toDouble / threshold).toInt)
-    val df = readPhysicalFiles(spark, physicalSchema(snap.schema), targets)
-      .repartition(outParts)
-    val adds = stageData(df)
+    val targets0 = snap.files.filter(_.bytes < threshold)
+    // partition-aware binning: only merge files sharing the same
+    // single-valued transform tuple (signature) — a cross-tuple merge
+    // stays CORRECT (staging recomputes derived stats) but widens the
+    // merged file's transform range and degrades pruning; straddling
+    // files (None-valued signature entries) only merge with their like
+    val groups = targets0.groupBy(a => PartitionSpec.tupleSignature(a))
+      .values.toSeq.filter(_.size >= math.max(2, minFiles))
+      .sortBy(g => g.map(_.path).min)
+    if (groups.isEmpty) return (0, 0, snap.version)
+    val targets = groups.flatten
+    val adds = groups.flatMap { g =>
+      val outParts = math.max(1,
+        math.ceil(g.map(_.bytes).sum.toDouble / threshold).toInt)
+      stageData(readPhysicalFiles(spark, physicalSchema(snap.schema), g)
+        .repartition(outParts))
+    }
     val v = commitRewrite(snap, "compact", None, adds, targets.map(_.path))
     (targets.size, adds.size, v)
   }

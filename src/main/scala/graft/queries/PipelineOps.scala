@@ -1856,7 +1856,103 @@ object PipelineOps {
               p AS o_totalprice
        FROM feed ORDER BY _change_type, o_orderkey"""
 
+  // --------------------------------------------------------------------
+  // q136 — HIDDEN PARTITIONING (Iceberg transform partitioning, spec
+  // §Partitioning, realised as derived per-file stats — see
+  // PartitionSpec.scala): events ingest under
+  // `partition.spec = days(ts), bucket(16,user_id)` — the append
+  // range-clusters by the transform tuple, and each file records
+  // min/max of the TRANSFORMED values as ordinary stats. Two probes,
+  // both require'd to prune: a 3-day window (users filter raw `ts`;
+  // pruning happens on `days(ts)` — the "hidden" contract) and a
+  // user-id point lookup (bucket pruning via the same xxhash64 the
+  // writer used). Bounds derive deterministically from the data
+  // (mid-span day, greatest user ≤ max/2) so the oracle replays them
+  // as scalar subqueries; comparisons run in exact integer MICROSECONDS
+  // in both engines (timestamps are µs-precision; ms-rounded bounds
+  // would disagree at file-boundary rows). At 100 TB: the day window
+  // reads O(window) files instead of the table, the point probe O(1/16)
+  // — and spec EVOLUTION is one metadata commit, old files pruning
+  // under the transforms they were written with.
+  // --------------------------------------------------------------------
+  def q136HiddenPartitioning(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("pspec", dir)
+    graft.core.Fs.rmTree(new java.io.File(root))
+    val base = lake(s, dir).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    // one table per transform: range clustering orders by the spec's
+    // leading transform, so a composite spec prunes its leader best —
+    // a time-queried table partitions by time, a key-probed one buckets
+    val tDay = new graft.medallion.GraftTable(s"$root/by_day")
+    val tUser = new graft.medallion.GraftTable(s"$root/by_user")
+    tDay.append(base.limit(0)) // v1: schema only
+    tDay.setProperty(graft.medallion.PartitionSpec.Prop, "days(ts)")
+    tUser.append(base.limit(0))
+    tUser.setProperty(graft.medallion.PartitionSpec.Prop, "bucket(16,user_id)")
+    // AQE's shuffle coalescing would fold this test-scale ingest into
+    // one advisory-sized file (exactly right at 100 TB, where files hit
+    // the target size); pin it off — and the exchange to ≥32 ways —
+    // around the appends so the staged layout exposes the pruning the
+    // spec exists for
+    val confKeys = Seq("spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "32")
+    val prev = confKeys.map { case (k, _) => k -> s.conf.getOption(k) }
+    confKeys.foreach { case (k, v) => s.conf.set(k, v) }
+    try { tDay.append(base); tUser.append(base) }
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+    // probe bounds, oracle-derivably: the day at the middle of the ts
+    // span, and the greatest user_id at or below half the max
+    val mm = base.agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))),
+      max(col("user_id"))).head()
+    val dayLo = Math.floorDiv((mm.getLong(0) + mm.getLong(1)) / 2, 86400000L)
+    val winLoUs = dayLo * 86400000000L
+    val winHiUs = (dayLo + 3L) * 86400000000L // exclusive
+    val probeUser = base.filter(col("user_id") <= mm.getLong(2) / 2)
+      .agg(max(col("user_id"))).head().getLong(0)
+    val tsLo = new java.sql.Timestamp(winLoUs / 1000L)
+    val tsHi = new java.sql.Timestamp(winHiUs / 1000L)
+    val totalDay = tDay.snapshot().files.size
+    val totalUser = tUser.snapshot().files.size
+    val nDay = tDay.filesForRange("ts", Some(tsLo), Some(tsHi))
+    val nUser = tUser.filesForRange("user_id", Some(probeUser), Some(probeUser))
+    require(totalDay >= 8 && nDay * 3 <= totalDay,
+      s"days() must prune a 3-of-30-day window: $nDay of $totalDay files")
+    require(nUser * 4 <= totalUser,
+      s"bucket(16) must prune a point probe: $nUser of $totalUser files")
+    val dayRows = tDay.readRange(s, "ts", Some(tsLo), Some(tsHi))
+      .filter(unix_micros(col("ts")) >= winLoUs &&
+        unix_micros(col("ts")) < winHiUs)
+      .select(lit("day_window").as("branch"), col("event_id"),
+        col("user_id"), col("event_type"))
+    val userRows = tUser.readRange(s, "user_id", Some(probeUser), Some(probeUser))
+      .select(lit("user_point").as("branch"), col("event_id"),
+        col("user_id"), col("event_type"))
+    dayRows.unionAll(userRows).orderBy(col("branch"), col("event_id"))
+  }
+
+  private val q136Oracle =
+    """WITH bounds AS (
+         SELECT ((min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2) // 86400000
+                  AS day_lo,
+                (SELECT max(user_id) FROM events
+                 WHERE user_id <= (SELECT max(user_id) FROM events) // 2)
+                  AS probe_user
+         FROM events)
+       SELECT 'day_window' AS branch, event_id, user_id, event_type
+       FROM events, bounds
+       WHERE epoch_us(ts) >= day_lo * 86400000000
+         AND epoch_us(ts) < (day_lo + 3) * 86400000000
+       UNION ALL
+       SELECT 'user_point', event_id, user_id, event_type
+       FROM events, bounds
+       WHERE user_id = probe_user
+       ORDER BY branch, event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_hidden_partitioning" -> (q136HiddenPartitioning _),
     "q134_cdf_update_images" -> (q134CdfUpdateImages _),
     "q133_cdc_replication" -> (q133CdcReplication _),
     "q130_change_feed" -> (q130ChangeFeed _),
@@ -1892,6 +1988,7 @@ object PipelineOps {
     "q127_bloom_lookup" -> (q127BloomLookup _))
 
   val oracle: Map[String, String] = Map(
+    "q136_hidden_partitioning" -> q136Oracle,
     "q134_cdf_update_images" -> q134Oracle,
     "q133_cdc_replication" -> q133Oracle,
     "q130_change_feed" -> q130Oracle,

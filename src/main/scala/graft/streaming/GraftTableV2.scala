@@ -1670,7 +1670,7 @@ object GraftTableV2 {
         (_: TxLog.AddFile, v: Long) => versions.contains(v)
       case f @ In(col, values)
           if values.nonEmpty && !values.contains(null) &&
-            values.forall(table.isFiniteStat) =>
+            values.forall(TxLog.isFiniteStat) =>
         schema.fields.find(_.name == col) match {
           case Some(field) =>
             val physCol = TxLog.physicalOf(schema, col)
@@ -1692,15 +1692,15 @@ object GraftTableV2 {
                     TxLog.bloomMightContain(b64, h1, h2) }
                 case _ => true
               }
-            val numeric = table.statsKind(field.dataType) == "num"
+            val numeric = TxLog.statsKind(field.dataType) == "num"
             if (numeric) {
-              val sorted = values.map(v => BigDecimal(table.statsLiteral(v))).sorted
+              val sorted = values.map(v => BigDecimal(TxLog.statsLiteral(v))).sorted
               (a: TxLog.AddFile, _: Long) => a.stats.get(physCol).forall { cs =>
                 anyInRange(sorted, BigDecimal(cs.min), BigDecimal(cs.max)) &&
                   bloomAny(cs)
               }
             } else {
-              val sorted = values.map(table.statsLiteral).sorted
+              val sorted = values.map(TxLog.statsLiteral).sorted
               (a: TxLog.AddFile, _: Long) => a.stats.get(physCol).forall { cs =>
                 anyInRange(sorted, cs.min, cs.max) && bloomAny(cs)
               }
@@ -1771,18 +1771,18 @@ object GraftTableV2 {
       case In(col, values) =>
         val phys = TxLog.physicalOf(schema, col)
         values.isEmpty || values.exists(x =>
-          x == null || (table.statsOverlap(a, phys, Some(x), Some(x)) &&
+          x == null || (table.statsOverlap(schema, a, phys, Some(x), Some(x)) &&
             table.bloomAdmits(schema, a, phys, col, x)))
       case EqualTo(col, value) if value != null =>
         val phys = TxLog.physicalOf(schema, col)
-        table.statsOverlap(a, phys, Some(value), Some(value)) &&
+        table.statsOverlap(schema, a, phys, Some(value), Some(value)) &&
           table.bloomAdmits(schema, a, phys, col, value)
       case And(l, r) =>
         fileSurvives(table, schema, a, v, l, syntheticVersion) &&
           fileSurvives(table, schema, a, v, r, syntheticVersion)
       case _ =>
         bounds(f).forall { case (col, lo, hi) =>
-          table.statsOverlap(a, TxLog.physicalOf(schema, col), lo, hi) }
+          table.statsOverlap(schema, a, TxLog.physicalOf(schema, col), lo, hi) }
     }
   }
 }
