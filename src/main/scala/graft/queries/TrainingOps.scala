@@ -746,6 +746,8 @@ object TrainingOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_dsir" -> (q137Dsir _),
+    "q138_quality_classifier" -> (q138QualityClassifier _),
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_vocab_topk" -> (q71VocabTopK _),
     "q72_contamination" -> (q72Contamination _),
@@ -767,7 +769,148 @@ object TrainingOps {
     "q102_curation_report" -> (q102CurationReport _),
     "q103_split_budget" -> (q103SplitBudget _))
 
+  // --------------------------------------------------------------------
+  // q137 — DSIR domain selection (Xie et al., NeurIPS 2023): score every
+  // NON-target document by how much more likely the TARGET-domain
+  // hashed-unigram model (here: the `lang = 'en'` slice, the paper's
+  // "Wikipedia-like target" role) makes its tokens than the raw model,
+  // and keep the top 20. Model = 4096 smoothed count-ratio weights
+  // (TokenClassifier.fitRatio — one explode + one 4096-bounded
+  // aggregate; the collect is the MODEL, 32 KiB, broadcast back as a
+  // literal); scoring = one stateless codegen'd pass, zero shuffles;
+  // selection = TakeOrderedAndProject. Determinism: the oracle-checked
+  // score is the linear-domain MEAN ratio — each weight ONE IEEE
+  // division of exact integer products, each document folding its
+  // SORTED weight multiset left-to-right (≡ DuckDB list_reduce) — while
+  // the paper's log-domain weight and the hash-threshold importance
+  // RESAMPLER are the same model spec-side (TokenClassifierSpec), where
+  // engine-dependent ln() is allowed. At 100 TB nothing here grows but
+  // the two linear passes.
+  // --------------------------------------------------------------------
+  def q137Dsir(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TokenClassifier
+    val docs = lake(s, dir).documents
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .repartition(Scale.par(s), col("doc_id")) // md5-heavy token pass
+    val feats = TokenClassifier.unigramBuckets(col("text"))
+    val w = TokenClassifier.fitRatio(
+      docs.select((col("lang") === "en").as("t"), feats.as("f")), "f", "t")
+    val scored = docs.filter(col("lang") =!= "en")
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(feats).cast("long").as("n_tok"),
+        TokenClassifier.meanRatioScore(feats, w).as("score"))
+    val rk = Window.orderBy(col("score").desc, col("doc_id"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("rnk", row_number().over(rk).cast("int"))
+      .orderBy(col("rnk"))
+  }
+
+  private val q137Oracle = {
+    val toks = "string_split(trim(text), ' ')"
+    val bkt = s"CAST(${dHash("t")} % 4096 AS INT)"
+    s"""WITH tb AS (
+         SELECT lang, $bkt AS bucket
+         FROM (SELECT lang, unnest($toks) AS t FROM documents)),
+       tc AS (SELECT bucket, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+       rc AS (SELECT bucket, count(*) AS cr FROM tb WHERE lang <> 'en' GROUP BY 1),
+       tot AS (SELECT
+         (SELECT count(*) FROM tb WHERE lang = 'en') AS t_tot,
+         (SELECT count(*) FROM tb WHERE lang <> 'en') AS r_tot),
+       dense AS (SELECT b.bucket, COALESCE(tc.ct, 0) AS ct,
+                        COALESCE(rc.cr, 0) AS cr
+                 FROM (SELECT unnest(range(4096)) AS bucket) b
+                 LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)),
+       wtab AS (SELECT bucket,
+           CAST(CAST(ct + 1 AS HUGEINT) * (r_tot + 4096) AS DOUBLE) /
+           CAST(CAST(cr + 1 AS HUGEINT) * (t_tot + 4096) AS DOUBLE) AS w
+         FROM dense, tot),
+       warr AS (SELECT list(w ORDER BY bucket) AS wl FROM wtab),
+       scored AS (SELECT doc_id, lang, source,
+           len($toks) AS n_tok,
+           list_reduce(list_sort(list_transform($toks,
+               t -> wl[$bkt + 1])), (x, y) -> x + y)
+             / CAST(len($toks) AS DOUBLE) AS score
+         FROM documents, warr WHERE lang <> 'en'),
+       ranked AS (SELECT *, CAST(row_number() OVER
+           (ORDER BY score DESC, doc_id) AS INT) AS rnk FROM scored)
+       SELECT doc_id, lang, source, n_tok, score, rnk
+       FROM ranked WHERE rnk <= 20 ORDER BY rnk"""
+  }
+
+  // --------------------------------------------------------------------
+  // q138 — trained QUALITY CLASSIFIER filter (the fastText-supervised /
+  // CCNet stage, Joulin et al. 2017; Wenzek et al. 2020): fit the
+  // hashed-BIGRAM ratio model on a labeled train split (good =
+  // n_chars ≥ 400, bad = n_chars < 200 — the mid range is held out),
+  // score EVERY document, and report per-source keep rates under the
+  // `score > 1` decision — the per-domain quality audit that decides
+  // which crawls feed the mix. Same model/determinism machinery as
+  // q137 (one 4096-bounded fit aggregate, literal-broadcast weights,
+  // stateless scoring); the output is one row per source: doc count,
+  // predicted-good count (exact int), and their ratio (one division).
+  // --------------------------------------------------------------------
+  def q138QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TokenClassifier
+    val docs = lake(s, dir).documents
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .repartition(Scale.par(s), col("doc_id"))
+    val feats = TokenClassifier.bigramBuckets(col("text"))
+    val w = TokenClassifier.fitRatio(
+      docs.filter(col("n_chars") >= 400 || col("n_chars") < 200)
+        .select((col("n_chars") >= 400).as("t"), feats.as("f")), "f", "t")
+    docs
+      .select(col("source"),
+        (TokenClassifier.meanRatioScore(feats, w) > 1.0).as("pred"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("pred"), 1)).as("n_good"))
+      .withColumn("good_share",
+        col("n_good").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  private val q138Oracle = {
+    val toks = "string_split(trim(text), ' ')"
+    val big = s"list_transform(range(len($toks) - 1), " +
+      s"i -> concat($toks[i+1], ' ', $toks[i+2]))"
+    val bkt = s"CAST(${dHash("t")} % 4096 AS INT)"
+    s"""WITH tb AS (
+         SELECT good, $bkt AS bucket
+         FROM (SELECT n_chars >= 400 AS good, unnest($big) AS t
+               FROM documents WHERE n_chars >= 400 OR n_chars < 200)),
+       tc AS (SELECT bucket, count(*) AS ct FROM tb WHERE good GROUP BY 1),
+       rc AS (SELECT bucket, count(*) AS cr FROM tb WHERE NOT good GROUP BY 1),
+       tot AS (SELECT
+         (SELECT count(*) FROM tb WHERE good) AS t_tot,
+         (SELECT count(*) FROM tb WHERE NOT good) AS r_tot),
+       dense AS (SELECT b.bucket, COALESCE(tc.ct, 0) AS ct,
+                        COALESCE(rc.cr, 0) AS cr
+                 FROM (SELECT unnest(range(4096)) AS bucket) b
+                 LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)),
+       wtab AS (SELECT bucket,
+           CAST(CAST(ct + 1 AS HUGEINT) * (r_tot + 4096) AS DOUBLE) /
+           CAST(CAST(cr + 1 AS HUGEINT) * (t_tot + 4096) AS DOUBLE) AS w
+         FROM dense, tot),
+       warr AS (SELECT list(w ORDER BY bucket) AS wl FROM wtab),
+       scored AS (SELECT source,
+           CASE WHEN len($toks) < 2 THEN 0.0 ELSE
+             list_reduce(list_sort(list_transform($big,
+                 t -> wl[$bkt + 1])), (x, y) -> x + y)
+               / CAST(len($toks) - 1 AS DOUBLE) END > 1.0 AS pred
+         FROM documents, warr)
+       SELECT source,
+              count(*) AS n_docs,
+              CAST(COALESCE(sum(CASE WHEN pred THEN 1 END), 0) AS BIGINT)
+                AS n_good,
+              CAST(COALESCE(sum(CASE WHEN pred THEN 1 END), 0) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS good_share
+       FROM scored GROUP BY source ORDER BY source"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q137_dsir" -> q137Oracle,
+    "q138_quality_classifier" -> q138Oracle,
     "q70_stratified_sample" -> q70Oracle,
     "q71_vocab_topk" -> q71Oracle,
     "q72_contamination" -> q72Oracle,
