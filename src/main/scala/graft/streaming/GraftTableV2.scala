@@ -1144,7 +1144,61 @@ final class GraftCatalogTable(
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def build(): Write = new V1Write {
+      override def build(): Write = new V1Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+        /** Native write distribution (the Iceberg write-distribution
+          * design): under a `partition.spec`, ask Spark to range-
+          * distribute and sort incoming rows by the transforms' SOURCE
+          * columns, in spec order. Plain column references — monotone
+          * transforms cluster identically whether ordered by the raw
+          * column or its transform, and even `bucket` sources gain
+          * tight per-file min/max on the raw column — so resolution
+          * needs no FunctionCatalog and path-based writes work. This
+          * is what aligns the STREAMING table sink's staged files with
+          * the spec (its epochs adopt Spark's task output verbatim);
+          * the batch V1 path re-clusters inside `append` either way.
+          * Spec-less tables request nothing (empty ordering =
+          * unspecified distribution — plans unchanged). */
+        private def specSources: Array[String] = {
+          val t = new GraftTable(tablePath)
+          if (t.latestVersion() == 0L) Array.empty
+          else {
+            val snap = t.snapshot()
+            snap.props.get(graft.medallion.PartitionSpec.Prop).toArray
+              .flatMap(spec => graft.medallion.PartitionSpec.parse(spec)
+                .flatMap { tr =>
+                  // the ordering references the INPUT query's columns —
+                  // logical names; resolve the spec's (possibly stale,
+                  // bloom-style lenient) source through the physical
+                  // plane back to the current logical field
+                  val phys = TxLog.physicalOf(snap.schema, tr.source)
+                  snap.schema.fields
+                    .find(f => TxLog.physicalName(f) == phys).map(_.name)
+                })
+              .filter(info.schema().fieldNames.contains)
+              .distinct
+          }
+        }
+
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution = {
+          val sorts = requiredOrdering()
+          if (sorts.isEmpty)
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+          else
+            org.apache.spark.sql.connector.distributions.Distributions.ordered(sorts)
+        }
+
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          specSources.map(src => Expressions.sort(
+            Expressions.column(src),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+
+        // advisory, not strict: a spec-less table or a tiny batch must
+        // not fail planning over distribution; AQE may still coalesce
+        override def distributionStrictlyRequired(): Boolean = false
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: Dataset[Row], ignored: Boolean): Unit = {

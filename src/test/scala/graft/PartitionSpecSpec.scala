@@ -231,6 +231,48 @@ class PartitionSpecSpec extends SparkSpec {
     }
   } }
 
+  test("streaming toTable clusters epochs by the spec (native write distribution)") { withoutCoalesce {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val wh = new java.io.File(
+      s"target/tmp/pspec_stream_${java.util.UUID.randomUUID().toString.take(8)}")
+      .getAbsolutePath
+    val ckpt = s"$wh/_ckpt"
+    val cat = s"pw${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.streaming.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.ev (id BIGINT, ts TIMESTAMP)")
+      spark.sql(s"ALTER TABLE $cat.db.ev SET TBLPROPERTIES " +
+        "('partition.spec' = 'days(ts)')")
+      val mem = MemoryStream[(Long, Long)]
+      // 8 days × 100 events, deliberately interleaved (worst case for
+      // an undistributed write: every task would straddle every day)
+      mem.addData((0L until 800L).map(i => (i, (i % 8) * MsPerDay + i)): _*)
+      val q = mem.toDF().toDF("id", "ms")
+        .select(col("id"), timestamp_millis(col("ms") + 19700L * MsPerDay).as("ts"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).toTable(s"$cat.db.ev")
+      q.awaitTermination()
+      val t = new GraftTable(s"$wh/db/ev")
+      assert(t.read(spark).count() === 800L)
+      val total = t.snapshot().files.size
+      assert(total >= 2, s"expected the required distribution to spread epochs, got $total")
+      // RequiresDistributionAndOrdering range-distributed the epoch by
+      // ts, so a one-day probe prunes (files cover contiguous day runs)
+      val lo = tsOf(19703L, 0L); val hi = tsOf(19703L, MsPerDay - 1L)
+      val n = t.filesForRange("ts", Some(lo), Some(hi))
+      assert(n * 2 <= total,
+        s"a 1-of-8-day probe should prune a clustered epoch: $n of $total")
+      assert(t.readRange(spark, "ts", Some(lo), Some(hi)).count() === 100L)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  } }
+
   test("dropColumn refuses a partition source; rename keeps pruning") { withoutCoalesce {
     import spark.implicits._
     val t = freshTable("alter")
