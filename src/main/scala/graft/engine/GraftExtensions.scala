@@ -39,6 +39,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "'update_postimage' with update_images=true) and " +
             "_commit_version", ""),
         GraftTableChanges.plan _))
+    // metadata tables (the Iceberg `t.history`/`t.files` and Delta
+    // DESCRIBE HISTORY shape): driver-local, metadata-sized rows —
+    // commit-count and live-file-count respectively, never data-sized
+    ext.injectTableFunction(
+      (FunctionIdentifier("graft_table_history"),
+        new ExpressionInfo("graft", null, "graft_table_history",
+          "graft_table_history(path) - one row per commit of the graft " +
+            "table at `path`: version, operation, n_add, n_remove, " +
+            "commit_ts", ""),
+        GraftMetaTables.historyPlan _))
+    ext.injectTableFunction(
+      (FunctionIdentifier("graft_table_files"),
+        new ExpressionInfo("graft", null, "graft_table_files",
+          "graft_table_files(path) - one row per LIVE data file of the " +
+            "graft table at `path`: path, rows, dv_rows, bytes, " +
+            "added_in, partition, stats", ""),
+        GraftMetaTables.filesPlan _))
   }
 }
 
@@ -76,27 +93,111 @@ object GraftTableChanges {
       .queryExecution.analyzed
   }
 
-  /** First argument: a filesystem path (anything containing '/'), or a
-    * registered graft-catalog identifier `cat.db.t` resolved against
-    * that catalog's warehouse — the same segment validation as the
-    * catalog's own identifier walk (no `..`/absolute/hidden escapes). */
-  private def resolve(raw: String): String = {
+  private def resolve(raw: String): String =
+    GraftMetaTables.resolvePath("graft_table_changes", raw)
+}
+
+/** Builders behind the metadata table functions — the Iceberg
+  * `t.history`/`t.files` (and Delta `DESCRIBE HISTORY`) observability
+  * surface as plain SQL TVFs. Both materialize driver-local rows that
+  * are METADATA-sized by construction (one per commit / one per live
+  * file — the same bound as the procedure outputs), never data-sized. */
+object GraftMetaTables {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private def pathArg(es: Seq[Expression], fn: String): String = {
+    require(es.length == 1, s"$fn(path) takes exactly 1 argument, got ${es.length}")
+    es.head match {
+      case Literal(v, _) => resolvePath(fn, String.valueOf(v))
+      case other => throw new IllegalArgumentException(
+        s"$fn: path must be a literal, got ${other.sql}")
+    }
+  }
+
+  /** One row per commit: (version, operation, n_add, n_remove,
+    * commit_ts) — commit_ts null on pre-stamp logs. */
+  def historyPlan(es: Seq[Expression]): LogicalPlan = {
+    val t = new graft.medallion.GraftTable(pathArg(es, "graft_table_history"))
+    val spark = SparkSession.active
+    val rows = t.historyFull().map { case (v, op, nAdd, nRemove, ts) =>
+      Row(v, op, nAdd, nRemove,
+        ts.map(ms => new java.sql.Timestamp(ms)).orNull)
+    }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("n_add", IntegerType, nullable = false),
+      StructField("n_remove", IntegerType, nullable = false),
+      StructField("commit_ts", TimestampType, nullable = true)))
+    spark.createDataFrame(javaRows(rows), schema).queryExecution.analyzed
+  }
+
+  /** One row per LIVE file: (path, rows, dv_rows, bytes, added_in,
+    * partition, stats) — `partition` renders the file's transform
+    * tuple (`days(ts)=19701, bucket(8,id)=*` — `*` marks a straddling
+    * range), `stats` a compact sorted per-column min/max/nulls JSON
+    * (bloom bitsets and partition keys excluded — bitsets are opaque
+    * bytes, the tuple has its own column). */
+  def filesPlan(es: Seq[Expression]): LogicalPlan = {
+    val t = new graft.medallion.GraftTable(pathArg(es, "graft_table_files"))
+    val spark = SparkSession.active
+    val snap = t.snapshot()
+    val rows = snap.files.sortBy(_.path).map { a =>
+      val sig = graft.medallion.PartitionSpec.tupleSignature(a)
+      val partition =
+        if (sig.isEmpty) null
+        else sig.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"${k.stripPrefix(graft.medallion.PartitionSpec.Prefix)}=${v.getOrElse("*")}"
+        }.mkString(", ")
+      val stats = a.stats.toSeq
+        .filterNot(_._1.startsWith(graft.medallion.PartitionSpec.Prefix))
+        .sortBy(_._1).map { case (c, cs) =>
+          val nulls = cs.nulls.map(n => s""","nulls":$n""").getOrElse("")
+          s""""$c":{"min":"${cs.min}","max":"${cs.max}"$nulls}"""
+        }.mkString("{", ",", "}")
+      Row(a.path, a.effectiveRows, a.dvRows, a.bytes,
+        snap.addedIn.getOrElse(a.path, snap.version), partition, stats)
+    }
+    val schema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("dv_rows", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("added_in", LongType, nullable = false),
+      StructField("partition", StringType, nullable = true),
+      StructField("stats", StringType, nullable = false)))
+    spark.createDataFrame(javaRows(rows), schema).queryExecution.analyzed
+  }
+
+  private def javaRows(s: Seq[Row]): java.util.List[Row] = {
+    val l = new java.util.ArrayList[Row](s.length)
+    s.foreach(l.add)
+    l
+  }
+
+  /** A TVF's first argument: a filesystem path (anything containing
+    * '/'), or a registered graft-catalog identifier `cat.db.t` resolved
+    * against that catalog's warehouse — the same segment validation as
+    * the catalog's own identifier walk (no `..`/absolute/hidden
+    * escapes). A 2-segment 'cat.t' fails loudly rather than silently
+    * resolving to <warehouse>/t. */
+  private[engine] def resolvePath(fn: String, raw: String): String = {
     if (raw.contains("/")) return raw
     val parts = raw.split('.')
-    // exactly-3 minimum: a 2-segment 'cat.t' would silently resolve to
-    // <warehouse>/t, skipping the database level — a typo'd identifier
-    // must fail loudly instead of probing a nonexistent path
     require(parts.length >= 3,
-      s"graft_table_changes: '$raw' is neither a path (no '/') nor a " +
+      s"$fn: '$raw' is neither a path (no '/') nor a " +
         "catalog identifier (cat.db.table — all three segments required)")
     val wh = SparkSession.active.conf
       .getOption(s"spark.sql.catalog.${parts.head}.warehouse")
       .getOrElse(throw new IllegalArgumentException(
-        s"graft_table_changes: no catalog named '${parts.head}' is " +
+        s"$fn: no catalog named '${parts.head}' is " +
           s"registered (spark.sql.catalog.${parts.head}.warehouse unset)"))
     parts.tail.foldLeft(java.nio.file.Paths.get(wh)) { (p, part) =>
       require(part.nonEmpty && !part.contains("/") && !part.startsWith("."),
-        s"graft_table_changes: illegal identifier segment '$part'")
+        s"$fn: illegal identifier segment '$part'")
       p.resolve(part)
     }.toString
   }
@@ -133,5 +234,13 @@ object GraftFunctions {
       spark, "graft_table_changes",
       "graft_table_changes(path, since[, until]) - change data feed",
       GraftTableChanges.plan _)
+    org.apache.spark.sql.graft.FunctionInjector.registerTable(
+      spark, "graft_table_history",
+      "graft_table_history(path) - one row per commit",
+      GraftMetaTables.historyPlan _)
+    org.apache.spark.sql.graft.FunctionInjector.registerTable(
+      spark, "graft_table_files",
+      "graft_table_files(path) - one row per live data file",
+      GraftMetaTables.filesPlan _)
   }
 }
