@@ -34,7 +34,7 @@ object Layout {
     * partition, each covering a compact hyper-rectangle of the `cols`
     * space. */
   def zorderBy(df: DataFrame, cols: Seq[String], targetFiles: Int,
-      bits: Int = 12): DataFrame = {
+      bits: Int = 12, prefix: Seq[Column] = Nil): DataFrame = {
     require(cols.nonEmpty, "zorderBy needs at least one column")
     require(cols.size * bits <= 60,
       s"${cols.size} cols x $bits bits exceeds the 60-bit z-value budget")
@@ -73,9 +73,13 @@ object Layout {
         a + shiftright(sc, b).bitwiseAND(1L) * (1L << (b * dims + d))
       }
     }
+    // `prefix` columns lead the range exchange and the within-partition
+    // sort (PARTITION-MAJOR, z-within): a partitioned table keeps its
+    // transform clustering while the z-curve orders inside each tuple
+    val keys = prefix :+ col("_zorder")
     df.withColumn("_zorder", z)
-      .repartitionByRange(targetFiles, col("_zorder"))
-      .sortWithinPartitions(col("_zorder"))
+      .repartitionByRange(targetFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
       .drop("_zorder")
   }
 }

@@ -2518,8 +2518,16 @@ final class GraftTable(val tablePath: String) {
     val snap = snapshot()
     if (snap.files.isEmpty) return (0, 0, snap.version)
     val df = readPhysicalFiles(spark, physicalSchema(snap.schema), snap.files)
+    // under a partition.spec, the transform tuple LEADS the layout
+    // (partition-major, z-within) — a global z-curve would interleave
+    // every partition into every file and erase partition pruning
+    val phys = physicalSchema(snap.schema)
+    val prefix = PartitionSpec.resolved(snap.props, snap.schema, phys)
+      .flatMap(t => phys.fields.find(_.name == t.source)
+        .map(f => PartitionSpec.column(t, f.dataType)))
     val adds = stageData(
-      Layout.zorderBy(df, cols.map(physicalOf(snap.schema, _)), targetFiles))
+      Layout.zorderBy(df, cols.map(physicalOf(snap.schema, _)), targetFiles,
+        prefix = prefix))
     val v = commitRewrite(snap, "zorder", None, adds, snap.files.map(_.path))
     (snap.files.size, adds.size, v)
   }

@@ -231,6 +231,33 @@ class PartitionSpecSpec extends SparkSpec {
     }
   } }
 
+  test("zorder is partition-major: the tuple leads, the z-curve orders within") { withoutCoalesce {
+    import spark.implicits._
+    val t = freshTable("zorder")
+    t.append(Seq((0L, tsOf(19700L, 0L), 0L)).toDF("id", "ts", "user_id"))
+    t.setProperty(PartitionSpec.Prop, "days(ts)")
+    val rows = for (d <- 0L until 6L; i <- 0L until 300L)
+      yield (d * 300L + i, tsOf(19700L + d, i), i % 97L)
+    t.overwrite(rows.toDF("id", "ts", "user_id").repartition(6)) // straddled
+    t.optimizeZorder(spark, Seq("user_id"), targetFiles = 12)
+    val total = t.snapshot().files.size
+    assert(total >= 6)
+    // the day tuple survived the z-order rewrite...
+    val lo = tsOf(19702L, 0L); val hi = tsOf(19702L, MsPerDay - 1L)
+    val nDay = t.filesForRange("ts", Some(lo), Some(hi))
+    assert(nDay * 2 <= total,
+      s"zorder must keep day clustering: $nDay of $total files for one day")
+    assert(t.readRange(spark, "ts", Some(lo), Some(hi)).count() === 300L)
+    // ...and the z-curve still clusters user_id within partitions: a
+    // narrow user range must not scan every file
+    val nUser = t.filesForRange("user_id", Some(10L), Some(15L))
+    assert(nUser < total, s"z-within should prune a user range: $nUser of $total")
+    // i % 97 over 0..299 hits each residue in 10..15 exactly 3 times
+    // (i, i+97, i+194): 6 users × 3 × 6 days = 108; the overwrite
+    // replaced the seed row
+    assert(t.readRange(spark, "user_id", Some(10L), Some(15L)).count() === 108L)
+  } }
+
   test("streaming toTable clusters epochs by the spec (native write distribution)") { withoutCoalesce {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
