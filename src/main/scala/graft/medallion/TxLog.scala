@@ -239,6 +239,30 @@ object TxLog {
     * `delta.enableChangeDataFeed`). */
   private[graft] val CdfEnabledProp = "cdf.enabled"
   private[graft] val ChangeDir = "_change"
+  // ---------------------------------------------------- generated columns
+  // Delta-style GENERATED ALWAYS AS: the table property
+  // `generated.<col> = <sql expr>` declares <col> computed from the
+  // other columns. Batch writes that OMIT the column get it filled
+  // (expr cast to the declared type, projected into schema order);
+  // writes that PROVIDE it are validated value-by-value through the
+  // same staged-bytes machinery as CHECK constraints (`col <=> expr` —
+  // a mismatch refuses the commit). The classic pairing is a generated
+  // day column under `partition.spec = id(day)`: ingest never computes
+  // the partition value, queries on it prune.
+
+  private[graft] val GeneratedPrefix = "generated."
+
+  private[graft] def generatedCols(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(GeneratedPrefix) =>
+      k.stripPrefix(GeneratedPrefix) -> v }
+
+  /** The per-column consistency checks enforced when a writer PROVIDES
+    * a generated column: null-safe equality with the defining
+    * expression, under the constraint engine's CHECK semantics. */
+  private[graft] def generatedChecks(props: Map[String, String]): Map[String, String] =
+    generatedCols(props).map { case (c, e) =>
+      s"$GeneratedPrefix$c" -> s"`$c` <=> ($e)" }
+
   /** Min age (ms) before vacuum may sweep an UNREFERENCED change file.
     * Writers stage change files into [[ChangeDir]] BEFORE `tryCommit`,
     * so a zero-age sweep racing an in-flight writer would delete its
@@ -1324,7 +1348,8 @@ final class GraftTable(val tablePath: String) {
     val adds = adoptStaged(spark, physicalSchema(snap.schema), staged)
     // SQL UPDATE/MERGE can write constraint-violating values; check the
     // replacement rows (adopted parquet — one columnar scan) pre-commit
-    enforceOnStaged(spark, snap.schema, adds, snap.constraints)
+    enforceOnStaged(spark, snap.schema, adds,
+      snap.constraints ++ generatedChecks(snap.props))
     if (adds.isEmpty && removePaths.isEmpty) return snap.version
     // cdf.enabled: diff the replaced group against its replacement —
     // O(touched groups), the same bytes the row-level rewrite moved
@@ -1371,6 +1396,24 @@ final class GraftTable(val tablePath: String) {
   private def enforceConstraints(
       df: DataFrame, cons: Map[String, String]): Unit =
     enforceConstraintsImpl(df, cons)
+
+  /** Fill ABSENT generated columns of a batch frame from their defining
+    * expressions (cast to the declared type) and project into table
+    * schema order; frames already carrying every generated column pass
+    * through untouched (their values are then VALIDATED on the staged
+    * bytes via [[TxLog.generatedChecks]]). */
+  private def fillGenerated(
+      df: DataFrame, schema: StructType, props: Map[String, String]): DataFrame = {
+    val missing = generatedCols(props).filter { case (c, _) =>
+      schema.fieldNames.contains(c) && !df.columns.contains(c) }
+    if (missing.isEmpty) df
+    else {
+      val filled = missing.foldLeft(df) { case (d, (c, e)) =>
+        d.withColumn(c, expr(e).cast(schema(c).dataType)) }
+      filled.select(
+        schema.fieldNames.filter(filled.columns.contains).toIndexedSeq.map(col): _*)
+    }
+  }
 
   /** Validate the STAGED parquet of `adds` against `cons`; on violation
     * delete the staged files and rethrow — nothing commits. Reading back
@@ -1428,12 +1471,21 @@ final class GraftTable(val tablePath: String) {
     * still fails: silent type coercion corrupts readers (the Delta
     * `mergeSchema` contract). Dropping or retyping columns remains an
     * `overwrite()`. */
-  def append(df: DataFrame, mergeSchema: Boolean, maxRetries: Int): Long = {
+  def append(df0: DataFrame, mergeSchema: Boolean, maxRetries: Int): Long = {
     // validation runs BEFORE staging (a type conflict must not cost the
     // caller a complete data write); the schema actually COMMITTED is
     // recomputed against the live head on every attempt — see
     // commitSchemaFor
     val head0 = latestVersion()
+    // generated columns the batch omits are computed here, BEFORE the
+    // schema check (an omitting batch is the feature's contract, not a
+    // mismatch); provided values are validated on the staged bytes below
+    val df =
+      if (head0 == 0L) df0
+      else {
+        val snap0 = snapshot(head0)
+        fillGenerated(df0, snap0.schema, snap0.props)
+      }
     val schemaJson0 =
       if (head0 > 0) commitSchemaFor(head0, df.schema, mergeSchema) else df.schema.json
     def commitSchema0(json: String): StructType =
@@ -1463,8 +1515,10 @@ final class GraftTable(val tablePath: String) {
     // rather than failing analysis on a missing column.
     def commitSchema(json: String): StructType =
       DataType.fromJson(json).asInstanceOf[StructType]
-    var validated = if (head0 > 0) snapshot(head0).constraints
-                    else Map.empty[String, String]
+    var validated = if (head0 > 0) {
+      val s0 = snapshot(head0)
+      s0.constraints ++ generatedChecks(s0.props)
+    } else Map.empty[String, String]
     enforceOnStaged(df.sparkSession, commitSchema(schemaJson0), adds, validated)
     def dropStaged(): Unit =
       adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
@@ -1490,7 +1544,12 @@ final class GraftTable(val tablePath: String) {
       }
       // a constraint added since validation must re-check the batch (the
       // rare race; re-validation is one more columnar read of the stage)
-      val cur = if (head == head0) validated else snapshot(head).constraints
+      val cur =
+        if (head == head0) validated
+        else {
+          val sh = snapshot(head)
+          sh.constraints ++ generatedChecks(sh.props)
+        }
       if (cur != validated) {
         enforceOnStaged(df.sparkSession, commitSchema(schemaJson), adds, cur)
         validated = cur
@@ -1584,7 +1643,7 @@ final class GraftTable(val tablePath: String) {
     val adds = adoptStaged(spark, physicalSchema(schema), staged)
     // DSv2-staged epochs validate like every other write: the adopted
     // parquet is the batch — one columnar scan, drop-and-throw on breach
-    var validated = pre.constraints
+    var validated = pre.constraints ++ generatedChecks(pre.props)
     enforceOnStaged(spark, schema, adds, validated)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -1618,9 +1677,9 @@ final class GraftTable(val tablePath: String) {
       }
       // a constraint added mid-race must re-validate the batch — same
       // contract as append(); skipping it would commit unchecked rows
-      if (head.constraints != validated) {
-        enforceOnStaged(spark, schema, adds, head.constraints)
-        validated = head.constraints
+      if (head.constraints ++ generatedChecks(head.props) != validated) {
+        validated = head.constraints ++ generatedChecks(head.props)
+        enforceOnStaged(spark, schema, adds, validated)
       }
       if (tryCommit(head.version + 1, "streamingUpdate", head.version,
           Some(schemaJson), adds, Nil,
@@ -1633,10 +1692,12 @@ final class GraftTable(val tablePath: String) {
   }
 
   def appendIdempotent(
-      df: DataFrame, appId: String, batchId: Long, maxRetries: Int = 20): Long = {
+      df0: DataFrame, appId: String, batchId: Long, maxRetries: Int = 20): Long = {
     require(appId.nonEmpty, "txlog: appId must be non-empty")
-    val pre = if (Files.exists(logDir)) snapshot() else Snapshot(0L, df.schema.json, Nil)
+    val pre = if (Files.exists(logDir)) snapshot() else Snapshot(0L, df0.schema.json, Nil)
     if (pre.txns.get(appId).exists(_ >= batchId)) return pre.version
+    // generated columns an epoch omits are computed, like append
+    val df = if (pre.version == 0L) df0 else fillGenerated(df0, pre.schema, pre.props)
     if (pre.version > 0 && pre.schema.nonEmpty) {
       require(sameSchema(pre.schema, df.schema),
         s"txlog: append schema ${df.schema.simpleString} does not match table " +
@@ -1648,7 +1709,7 @@ final class GraftTable(val tablePath: String) {
     val adds = stageData(toPhysical(df, pre.schema))
     // constraints validate the staged bytes (enforceOnStaged): checked
     // rows == committed rows, source lineage never runs twice
-    var validated = pre.constraints
+    var validated = pre.constraints ++ generatedChecks(pre.props)
     enforceOnStaged(df.sparkSession,
       if (pre.version > 0 && pre.schema.nonEmpty) pre.schema else df.schema,
       adds, validated)
@@ -1683,9 +1744,9 @@ final class GraftTable(val tablePath: String) {
             "streaming append was staging — re-run against the new head")
       }
       // a constraint added mid-race must re-validate the batch
-      if (head.constraints != validated) {
-        enforceOnStaged(df.sparkSession, df.schema, adds, head.constraints)
-        validated = head.constraints
+      if (head.constraints ++ generatedChecks(head.props) != validated) {
+        validated = head.constraints ++ generatedChecks(head.props)
+        enforceOnStaged(df.sparkSession, df.schema, adds, validated)
       }
       if (tryCommit(v, "streamingUpdate", head.version,
           Some(schemaJson), adds, Nil,
@@ -1709,12 +1770,16 @@ final class GraftTable(val tablePath: String) {
     * outside, commit conditionally — the shape long-running jobs need:
     * stage an hour-long rewrite, then refuse to clobber anything that
     * landed meanwhile). */
-  def overwrite(df: DataFrame, expectedVersion: Long = -1L): Long = {
-    val snap = if (Files.exists(logDir)) snapshot() else Snapshot(0L, df.schema.json, Nil)
+  def overwrite(df0: DataFrame, expectedVersion: Long = -1L): Long = {
+    val snap = if (Files.exists(logDir)) snapshot() else Snapshot(0L, df0.schema.json, Nil)
     if (expectedVersion >= 0 && snap.version != expectedVersion)
       throw new ConcurrentWriteException(
         s"txlog: overwrite expected version $expectedVersion but head is " +
           s"${snap.version} — re-read and re-derive before committing")
+    // an overwrite that omits a generated column keeps the table shape
+    // (the column is computed, like append); reshaping overwrites unset
+    // the `generated.` property first
+    val df = fillGenerated(df0, snap.schema, snap.props)
     // the committed schema is df's OWN (overwrite may change schema —
     // and with it the mapping: a metadata-free frame resets the table
     // to unmapped); the staged bytes must match whatever that schema
@@ -1722,7 +1787,8 @@ final class GraftTable(val tablePath: String) {
     val adds = stageData(toPhysical(df, df.schema))
     // CAS commit — no constraint race to re-check: a head moved since
     // `snap` aborts the commit itself
-    enforceOnStaged(df.sparkSession, df.schema, adds, snap.constraints)
+    enforceOnStaged(df.sparkSession, df.schema, adds,
+      snap.constraints ++ generatedChecks(snap.props))
     commitRewrite(snap, "overwrite", Some(df.schema.json), adds, snap.files.map(_.path))
   }
 
@@ -1759,7 +1825,7 @@ final class GraftTable(val tablePath: String) {
     // violation drops the staged files and nothing commits
     enforceOnStaged(spark,
       if (snap.schema.isEmpty) merged.schema else snap.schema,
-      adds, snap.constraints)
+      adds, snap.constraints ++ generatedChecks(snap.props))
     // first commit on a schema-less table MUST write the schema action —
     // committing only adds would leave every later snapshot() unable to
     // resolve ("no schema action found"), bricking the table
@@ -1863,6 +1929,17 @@ final class GraftTable(val tablePath: String) {
             "references it; drop the constraint first and re-add it " +
             "against the new name")
       }
+      locally {
+        val gens = generatedCols(snapshot(head).props)
+        require(!gens.contains(oldName),
+          s"txlog: cannot rename '$oldName' — it is a generated column; " +
+            s"unset '$GeneratedPrefix$oldName' first and re-declare it")
+        constraintsReferencing(gens, oldName).foreach { g =>
+          throw new IllegalArgumentException(
+            s"txlog: cannot rename '$oldName' — generated column '$g' " +
+              "derives from it; unset its property first")
+        }
+      }
       val renamed = StructType(existing.fields.map { f =>
         if (f.name != oldName) f
         else withPhysical(f, physicalName(f)).copy(name = newName)
@@ -1906,6 +1983,17 @@ final class GraftTable(val tablePath: String) {
           throw new IllegalArgumentException(
             s"txlog: cannot drop '$name' — ${PartitionSpec.Prop} " +
               s"('$spec') partitions on it; update the spec first")
+      }
+      locally {
+        val gens = generatedCols(snapshot(head).props)
+        require(!gens.contains(name),
+          s"txlog: cannot drop '$name' — it is a generated column; " +
+            s"unset '$GeneratedPrefix$name' first")
+        constraintsReferencing(gens, name).foreach { g =>
+          throw new IllegalArgumentException(
+            s"txlog: cannot drop '$name' — generated column '$g' derives " +
+              "from it; unset its property first")
+        }
       }
       val remaining = StructType(existing.fields.filterNot(_.name == name)
         .map(f => withPhysical(f, physicalName(f))))
@@ -1998,6 +2086,31 @@ final class GraftTable(val tablePath: String) {
           s"txlog: $BloomBitsProp must be a multiple of 8 in [64, 2^28], got $bits")
       }
       if (name == PartitionSpec.Prop) PartitionSpec.validate(value, snap.schema)
+      if (name.startsWith(GeneratedPrefix)) {
+        val c = name.stripPrefix(GeneratedPrefix)
+        require(snap.schema.fieldNames.contains(c),
+          s"txlog: $name names unknown column '$c'")
+        val parsed =
+          try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(value)
+          catch { case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+            throw new IllegalArgumentException(
+              s"txlog: $name expression does not parse: ${e.getMessage}")
+          }
+        val refs = parsed.collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name }
+        refs.foreach { r =>
+          require(r != c, s"txlog: $name expression references the " +
+            "generated column itself")
+          require(snap.schema.fieldNames.contains(r),
+            s"txlog: $name expression references unknown column '$r'")
+          require(!generatedCols(snap.props).contains(r),
+            s"txlog: $name expression references generated column '$r' — " +
+              "generated columns cannot derive from each other (fill " +
+              "order would be ambiguous)")
+        }
+      }
       if (name == BloomColumnsProp) {
         val schema = snap.schema
         value.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>

@@ -1951,7 +1951,55 @@ object PipelineOps {
        WHERE user_id = probe_user
        ORDER BY branch, event_id"""
 
+  // --------------------------------------------------------------------
+  // q139 — GENERATED COLUMNS (Delta's GENERATED ALWAYS AS as the
+  // `generated.<col>` table property): a `day` column declared as
+  // floor(unix_millis(o_orderdate)/86400000) is COMPUTED at write for
+  // batches that omit it — the ingest never materializes the partition
+  // value, the classic Delta date-partitioning pairing — and VALIDATED
+  // value-by-value when provided (require'd: a mismatching batch
+  // refuses with zero commit). The read groups by the generated column;
+  // the oracle recomputes it from the raw timestamps — a hash match
+  // certifies the fill is exactly the declared expression. Scale: the
+  // fill is one codegen'd projection inside the existing staging pass;
+  // validation is the constraints engine's one columnar scan of the
+  // staged bytes.
+  // --------------------------------------------------------------------
+  def q139GeneratedColumns(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("gencol", dir)
+    graft.core.Fs.rmTree(new java.io.File(root))
+    val t = new graft.medallion.GraftTable(s"$root/orders")
+    val base = lake(s, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    t.append(base.limit(0).withColumn("day", lit(0L))) // v1: schema only
+    // tz-free day derivation (o_orderdate is TIMESTAMP_NTZ — wall-clock
+    // date part, no session-zone dependence; §8.3 determinism policy)
+    t.setProperty("generated.day",
+      "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+    t.append(base) // omits `day` — computed at write
+    // a batch PROVIDING a wrong value must refuse with zero commit
+    val head = t.latestVersion()
+    val bad = base.limit(5).withColumn("day", lit(-1L))
+    val refused =
+      try { t.append(bad); false }
+      catch { case _: IllegalStateException => true }
+    require(refused && t.latestVersion() == head,
+      "q139: a mismatching provided value must refuse without committing")
+    t.read(s)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_custkey")).as("custkey_sum")) // exact BIGINT sum
+      .orderBy(col("day"))
+  }
+
+  private val q139Oracle =
+    """SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+              count(*) AS n_orders,
+              CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+       FROM orders GROUP BY 1 ORDER BY day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_generated_columns" -> (q139GeneratedColumns _),
     "q136_hidden_partitioning" -> (q136HiddenPartitioning _),
     "q134_cdf_update_images" -> (q134CdfUpdateImages _),
     "q133_cdc_replication" -> (q133CdcReplication _),
@@ -1988,6 +2036,7 @@ object PipelineOps {
     "q127_bloom_lookup" -> (q127BloomLookup _))
 
   val oracle: Map[String, String] = Map(
+    "q139_generated_columns" -> q139Oracle,
     "q136_hidden_partitioning" -> q136Oracle,
     "q134_cdf_update_images" -> q134Oracle,
     "q133_cdc_replication" -> q133Oracle,
