@@ -79,7 +79,13 @@ object TxLog {
         * xxhash64-pair probes) — what prunes POINT lookups on
         * high-cardinality columns whose min/max ranges overlap every
         * file (random ids, hashes). Absent ⇒ never prunes. */
-      bloom: Option[String] = None) {
+      bloom: Option[String] = None,
+      /** Optional per-file HyperLogLog registers (base64, 2^[[TxLog.HllP]]
+        * one-byte registers) — mergeable by element-wise max, so the
+        * snapshot's distinct count estimates from the LOG alone
+        * ([[GraftTable.approxCountDistinct]]) and feeds the DSv2
+        * column statistics the CBO's join estimation reads. */
+      hll: Option[String] = None) {
     private def cmp(a: String, b: String): Int =
       if (kind == "num") BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
     /** Could any value in [min,max] fall inside [lo,hi] (inclusive)? */
@@ -215,6 +221,14 @@ object TxLog {
     * The PROBE side reads m from the stored bitset's length, so files
     * written under different sizes coexist in one table. */
   private[graft] val BloomBitsProp = "bloom.bits"
+  /** Table property naming the comma-separated LOGICAL columns to
+    * sketch with per-file HLL registers for distinct-count stats
+    * (int/long/string — the same hash-replayable set as blooms). */
+  private[graft] val NdvColumnsProp = "ndv.columns"
+  /** HLL precision: 2^11 = 2048 registers, 2 KiB per file×column,
+    * ≈2.3% relative error — planning-grade. */
+  private[graft] val HllP = 11
+
   /** Table property: max deleted fraction of a file before a
     * merge-on-read delete rewrites it instead (see
     * [[GraftTable.deleteRows]]). */
@@ -378,7 +392,8 @@ object TxLog {
       c -> (JObject(List("k" -> (JString(cs.kind): JValue),
         "min" -> JString(cs.min), "max" -> JString(cs.max)) ++
         cs.nulls.map(n => "nulls" -> (JLong(n): JValue)).toList ++
-        cs.bloom.map(b => "b" -> (JString(b): JValue)).toList): JValue)
+        cs.bloom.map(b => "b" -> (JString(b): JValue)).toList ++
+        cs.hll.map(h => "h" -> (JString(h): JValue)).toList): JValue)
     })
 
   private def addToJson(a: AddFile, addedIn: Option[Long] = None): JObject =
@@ -416,7 +431,8 @@ object TxLog {
       case Some(JObject(fields)) => fields.map { case (c, v) =>
         val sm = v.asInstanceOf[JObject].obj.toMap
         c -> ColStats(str(sm("k")), str(sm("min")), str(sm("max")),
-          sm.get("nulls").map(lng), sm.get("b").map(str))
+          sm.get("nulls").map(lng), sm.get("b").map(str),
+          sm.get("h").map(str))
       }.toMap
       case _ => Map.empty[String, ColStats]
     }
@@ -849,6 +865,28 @@ final class GraftTable(val tablePath: String) {
       lo.map(statsLiteral), hi.map(statsLiteral))) &&
       PartitionSpec.admits(schema, a, column, lo, hi)
 
+  /** Zero-scan approximate distinct count of `column`, merged from the
+    * log's per-file HLL sketches (`ndv.columns` property): register-max
+    * union across live files, file-count × 2 KiB on the driver, no data
+    * read at any table size. `None` when any live file with values in
+    * the column lacks a sketch (written pre-property — a partial union
+    * would under-count); all-null files carry no entry and contribute
+    * nothing; rows hidden by deletion vectors remain counted (sketches
+    * are additive-only — planning-grade, like every NDV). */
+  def approxCountDistinct(column: String, version: Long = -1L): Option[Long] = {
+    val snap = snapshot(version)
+    val phys = physicalOf(snap.schema, column)
+    val entries = snap.files.flatMap(_.stats.get(phys))
+    if (entries.isEmpty) return Some(0L) // no file has a value
+    if (entries.exists(_.hll.isEmpty)) return None
+    val acc = new Array[Byte](1 << HllP)
+    entries.foreach { cs =>
+      graft.functions.HllAgg.mergeInto(acc,
+        java.util.Base64.getDecoder.decode(cs.hll.get))
+    }
+    Some(graft.functions.HllAgg.estimate(acc))
+  }
+
   /** Number of files `readRange` would scan — the data-skipping metric. */
   def filesForRange(column: String, lower: Option[Any], upper: Option[Any]): Int = {
     val lo = lower.map(statsLiteral); val hi = upper.map(statsLiteral)
@@ -1265,6 +1303,21 @@ final class GraftTable(val tablePath: String) {
       else snapshot().props.get(BloomBitsProp).map(_.toInt).getOrElse(BloomBits)
     val bloomFn = org.apache.spark.sql.functions.udaf(
       new graft.functions.BloomAgg(bloomBits, BloomK))
+    // opt-in per-file HLL NDV sketches: same resolution, same
+    // hash-replayable type set, same one-aggregate ride-along as blooms
+    val ndvPhys: Seq[String] =
+      if (latestVersion() == 0L) Seq.empty
+      else {
+        val head = snapshot()
+        head.props.get(NdvColumnsProp).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          .map(c => physicalOf(head.schema, c))
+          .filter(p => schema.fields.exists(f => f.name == p &&
+            (f.dataType == IntegerType || f.dataType == LongType ||
+              f.dataType == StringType)))
+      }
+    val hllFn = org.apache.spark.sql.functions.udaf(
+      new graft.functions.HllAgg(HllP))
     // hidden partitioning: the head's partition.spec resolved to the
     // transforms applicable to this staged (physical) schema — min/max
     // of the TRANSFORMED value ride the same per-file aggregate as
@@ -1282,7 +1335,8 @@ final class GraftTable(val tablePath: String) {
       sCols.flatMap(f => Seq(
         min(col(f.name)).as(s"_min_${f.name}"), max(col(f.name)).as(s"_max_${f.name}"),
         count(col(f.name)).as(s"_cnt_${f.name}")))) ++ // non-null count (NaN IS non-null)
-      bloomPhys.map(p => bloomFn(xxhash64(col(p))).as(s"_bloom_$p"))) ++
+      bloomPhys.map(p => bloomFn(xxhash64(col(p))).as(s"_bloom_$p")) ++
+      ndvPhys.map(p => hllFn(xxhash64(col(p))).as(s"_hll_$p"))) ++
       pTransforms.flatMap(t => Seq(
         min(PartitionSpec.column(t, pDt(t))).as(s"_pmin_${t.render}"),
         max(PartitionSpec.column(t, pDt(t))).as(s"_pmax_${t.render}"),
@@ -1318,6 +1372,14 @@ final class GraftTable(val tablePath: String) {
           case _ => acc
         }
       }
+      val withHll = ndvPhys.foldLeft(withBlooms) { (acc, p) =>
+        (acc.get(p), Option(row.getAs[Array[Byte]](s"_hll_$p"))) match {
+          case (Some(cs), Some(regs)) =>
+            acc + (p -> cs.copy(hll =
+              Some(java.util.Base64.getEncoder.encodeToString(regs))))
+          case _ => acc
+        }
+      }
       // derived partition stats under reserved __p$ keys (all-null
       // source → no entry → the file never partition-prunes: conservative)
       val pStats = pTransforms.flatMap { t =>
@@ -1328,7 +1390,7 @@ final class GraftTable(val tablePath: String) {
           PartitionSpec.statsKind(t, pDt(t)), statsLiteral(mn), statsLiteral(mx),
           Some(fileRows - row.getLong(row.fieldIndex(s"_pcnt_${t.render}")))))
       }.toMap
-      AddFile(name, fileRows, Files.size(root.resolve(name)), withBlooms ++ pStats)
+      AddFile(name, fileRows, Files.size(root.resolve(name)), withHll ++ pStats)
     }
   }
 
@@ -2111,17 +2173,17 @@ final class GraftTable(val tablePath: String) {
               "order would be ambiguous)")
         }
       }
-      if (name == BloomColumnsProp) {
+      if (name == BloomColumnsProp || name == NdvColumnsProp) {
         val schema = snap.schema
         value.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
           val f = schema.fields.find(_.name == c).getOrElse(
             throw new IllegalArgumentException(
-              s"txlog: $BloomColumnsProp names unknown column '$c'"))
+              s"txlog: $name names unknown column '$c'"))
           require(f.dataType == IntegerType || f.dataType == LongType ||
             f.dataType == StringType,
-            s"txlog: $BloomColumnsProp column '$c' is " +
-              s"${f.dataType.simpleString} — blooms support int/long/string " +
-              "(the point-lookup types)")
+            s"txlog: $name column '$c' is " +
+              s"${f.dataType.simpleString} — supported types are " +
+              "int/long/string (the hash-replayable set)")
         }
       }
       if (tryCommit(head + 1, "setProps", head, None, Nil, Nil,

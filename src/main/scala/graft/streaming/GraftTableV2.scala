@@ -584,12 +584,51 @@ final class GraftScan(
   }
 
   // statistics reflect compile-time pruning only — the optimizer
-  // consumes them before runtime filters exist
+  // consumes them before runtime filters exist. Column-level stats
+  // (distinct count from the per-file HLL sketches when `ndv.columns`
+  // covers the pruned set, null counts from the per-file stats) feed
+  // the CBO's join-size estimation — at 100 TB the difference between
+  // a sane join order and a blown-up one, for the cost of reading the
+  // log.
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(pruned.map(_._1.bytes).sum)
     override def numRows(): OptionalLong =
       OptionalLong.of(pruned.map(_._1.effectiveRows).sum)
+    override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      dataSchema.fields.foreach { f =>
+        val phys = TxLog.physicalOf(fullSchema, f.name)
+        val entries = pruned.flatMap(_._1.stats.get(phys))
+        // nulls: per-file counts where recorded, plus every row of a
+        // file with NO entry for the column (an all-null file)
+        val nullsKnown = entries.forall(_.nulls.isDefined)
+        val nulls =
+          if (!nullsKnown) None
+          else Some(entries.flatMap(_.nulls).sum +
+            pruned.filter(_._1.stats.get(phys).isEmpty).map(_._1.rows).sum)
+        val ndv =
+          if (entries.isEmpty || entries.exists(_.hll.isEmpty)) None
+          else {
+            val acc = new Array[Byte](1 << TxLog.HllP)
+            entries.foreach(cs => graft.functions.HllAgg.mergeInto(acc,
+              java.util.Base64.getDecoder.decode(cs.hll.get)))
+            Some(graft.functions.HllAgg.estimate(acc))
+          }
+        if (nulls.isDefined || ndv.isDefined) {
+          out.put(Expressions.column(f.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): OptionalLong =
+                ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+              override def nullCount(): OptionalLong =
+                nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+            })
+        }
+      }
+      out
+    }
   }
 
   override def toBatch: Batch = {
