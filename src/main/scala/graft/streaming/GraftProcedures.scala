@@ -49,7 +49,7 @@ object GraftProcedures {
     names.map(n => Identifier.of(Namespace, n)).toArray
 
   private val names =
-    Seq("optimize", "vacuum", "restore", "clone", "checkpoint")
+    Seq("optimize", "vacuum", "restore", "clone", "checkpoint", "analyze")
 
   def load(ident: Identifier, dirOfTable: String => String): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -61,6 +61,7 @@ object GraftProcedures {
       case "restore"    => restore(dirOfTable)
       case "clone"      => cloneProc(dirOfTable)
       case "checkpoint" => checkpoint(dirOfTable)
+      case "analyze"    => analyze(dirOfTable)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure system.$other — available: " +
           names.mkString(", "))
@@ -119,6 +120,49 @@ object GraftProcedures {
   // ------------------------------------------------------------------
   // the procedures
   // ------------------------------------------------------------------
+
+  private val analyzeOut = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("distinct_count", LongType, nullable = true),
+    StructField("null_count", LongType, nullable = true),
+    StructField("min", StringType, nullable = true),
+    StructField("max", StringType, nullable = true)))
+
+  /** ANALYZE: per-column statistics straight from the LOG — distinct
+    * count from the merged per-file HLL sketches (`ndv.columns`; null
+    * when coverage is partial — a partial union would under-count),
+    * exact null counts, and the live min/max in the stats comparison
+    * domain. Zero data scanned at any table size; the SQL persona's
+    * view of what the CBO reads. */
+  private def analyze(dirOfTable: String => String): UnboundProcedure =
+    bound("analyze", Seq(param("table", StringType)), analyzeOut) { in =>
+      val t = tableDir(dirOfTable, in.getUTF8String(0))
+      val snap = t.snapshot()
+      snap.schema.fields.toSeq.map { f =>
+        val phys = graft.medallion.TxLog.physicalOf(snap.schema, f.name)
+        val entries = snap.files.flatMap(_.stats.get(phys))
+        val ndv = t.approxCountDistinct(f.name, snap.version)
+        val nulls =
+          if (!entries.forall(_.nulls.isDefined)) None
+          else Some(entries.flatMap(_.nulls).sum +
+            snap.files.filter(_.stats.get(phys).isEmpty).map(_.rows).sum)
+        def pick(worst: Boolean): Option[String] =
+          if (entries.isEmpty) None
+          else if (entries.head.kind == "num") {
+            val vs = entries.map(e =>
+              BigDecimal(if (worst) e.max else e.min))
+            Some((if (worst) vs.max else vs.min).bigDecimal.toPlainString)
+          } else {
+            val vs = entries.map(e => if (worst) e.max else e.min)
+            Some(if (worst) vs.max else vs.min)
+          }
+        InternalRow(utf8(f.name),
+          ndv.map(Long.box).orNull,
+          nulls.map(Long.box).orNull,
+          pick(worst = false).map(utf8).orNull,
+          pick(worst = true).map(utf8).orNull)
+      }
+    }
 
   private val optimizeOut = StructType(Seq(
     StructField("operation", StringType, nullable = false),

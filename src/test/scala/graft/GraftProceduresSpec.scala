@@ -45,6 +45,34 @@ class GraftProceduresSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.analyze reports log-derived column stats, zero scans") {
+    import spark.implicits._
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.a (id BIGINT, v STRING, d DOUBLE)")
+      spark.sql(s"ALTER TABLE $cat.db.a SET TBLPROPERTIES ('ndv.columns' = 'id')")
+      val t = new GraftTable(s"$wh/db/a")
+      t.append((1L until 501L).map(i =>
+        (i, if (i % 5 == 0) null else s"v$i", i / 10.0)).toDF("id", "v", "d"))
+      t.append((401L until 901L).map(i =>
+        (i, s"w$i", i / 10.0)).toDF("id", "v", "d"))
+      val rows = spark.sql(s"CALL $cat.system.analyze(table => 'db.a')")
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            r.getString(3), r.getString(4))).toMap
+      // id: sketched — NDV ≈ 900 distinct (401..500 overlap), 0 nulls
+      val (idNdv, idNulls, idMin, idMax) = rows("id")
+      assert(idNdv.exists(n => math.abs(n - 900L) <= 50L), s"id ndv $idNdv")
+      assert(idNulls === Some(0L))
+      assert(idMin === "1" && idMax === "900")
+      // v: not sketched — NDV null; nulls exact (100 of the first 500)
+      val (vNdv, vNulls, _, _) = rows("v")
+      assert(vNdv === None && vNulls === Some(100L))
+      // d: numeric min/max in the stats domain
+      assert(rows("d")._3 === "0.1" && rows("d")._4 === "90.0")
+    }
+  }
+
   test("CALL system.optimize small_only leaves right-sized files untouched") {
     import spark.implicits._
     withCatalog { (cat, wh) =>

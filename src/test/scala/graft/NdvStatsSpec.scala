@@ -102,6 +102,30 @@ class NdvStatsSpec extends SparkSpec {
     assert(math.abs(ndv - 2000L) <= 100L, s"NDV $ndv vs ~2000")
   }
 
+  test("CBO consumes the scan's column stats (attributeStats in the plan)") {
+    val t = freshTable("cbo")
+    t.append(Seq(0L).toDF("id"))
+    t.setProperty(TxLog.NdvColumnsProp, "id")
+    t.delete(spark, "id", Some(0L), Some(0L))
+    t.append((1L until 1001L).toDF("id"))
+    val key = "spark.sql.cbo.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val df = spark.read.format("graft-table").load(t.tablePath).select("id")
+      val stats = df.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.exists(_.toLong === 1000L))
+      val attr = stats.attributeStats.find(_._1.name == "id").map(_._2)
+      assert(attr.exists(_.distinctCount.exists(n =>
+        math.abs(n.toLong - 1000L) <= 60L)),
+        s"CBO must see the HLL distinct count, got $attr")
+      assert(attr.exists(_.nullCount.contains(BigInt(0))))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("HllAgg estimator: deterministic, merge == union") {
     // SplitMix64: a full-width 64-bit mix (hash60 is 60-bit — its zero
     // top nibble would starve 15/16 of the registers)
