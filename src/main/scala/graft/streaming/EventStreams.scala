@@ -286,4 +286,39 @@ object EventStreams {
           out.result().iterator
       }
   }
+
+  /** Watermarked STREAM-STREAM interval join (the ad-tech
+    * impression→click attribution shape): rows of `right` join rows of
+    * `left` on `key` when `rightTs` falls inside
+    * `[leftTs, leftTs + within]`. Both sides carry their own watermark;
+    * the interval condition is what BOUNDS the join state — each side
+    * can discard buffered rows once the watermark proves no partner can
+    * still arrive (Spark refuses an unbounded stream-stream join in
+    * append mode without it). `leftOuter` additionally emits
+    * never-matched left rows with null right columns once the watermark
+    * passes their window end — exactly the "impressions that never
+    * converted" feed.
+    *
+    * Column contract: the inputs share ONLY `key` (the join drops the
+    * right copy); everything else passes through both sides. At scale
+    * this is one hash-partition exchange per side on `key` with
+    * watermark-bounded state — O(in-window rows per key), never
+    * O(stream). */
+  def joinWithin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, within: String,
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "leftOuter",
+      s"joinWithin supports inner/leftOuter, got $joinType")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared == Set(key),
+      s"joinWithin: inputs must share only the key column; shared: $shared")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    val cond = l(key) === r(key) &&
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"interval $within")
+    l.join(r, cond, joinType).drop(r(key))
+  }
 }
