@@ -277,6 +277,25 @@ object TxLog {
     generatedCols(props).map { case (c, e) =>
       s"$GeneratedPrefix$c" -> s"`$c` <=> ($e)" }
 
+  // ----------------------------------------------------- identity columns
+  // Delta-style GENERATED ALWAYS AS IDENTITY: the table property
+  // `identity.<col> = <next>` declares <col> (a BIGINT) engine-assigned
+  // and stores the NEXT unallocated value. An append that omits the
+  // column gets monotonically-unique values at or above `next` (gaps
+  // allowed, the Delta contract); the SAME commit advances the
+  // property to max-assigned + 1, read from the staged files' own
+  // stats — so allocation is transactional with the data, and a racing
+  // allocator forces a restage instead of overlapping ranges. Appends
+  // PROVIDING the column refuse (ALWAYS semantics); overwrite is the
+  // documented escape hatch, after which [[GraftTable.syncIdentity]]
+  // re-bases `next` above the live maximum from log stats alone.
+
+  private[graft] val IdentityPrefix = "identity."
+
+  private[graft] def identityCols(props: Map[String, String]): Map[String, Long] =
+    props.collect { case (k, v) if k.startsWith(IdentityPrefix) =>
+      k.stripPrefix(IdentityPrefix) -> v.trim.toLong }
+
   /** Min age (ms) before vacuum may sweep an UNREFERENCED change file.
     * Writers stage change files into [[ChangeDir]] BEFORE `tryCommit`,
     * so a zero-age sweep racing an in-flight writer would delete its
@@ -885,6 +904,26 @@ final class GraftTable(val tablePath: String) {
         java.util.Base64.getDecoder.decode(cs.hll.get))
     }
     Some(graft.functions.HllAgg.estimate(acc))
+  }
+
+  /** Re-base an identity column's `next` above the LIVE maximum — the
+    * Delta `ALTER TABLE ... SYNC IDENTITY` shape, needed after an
+    * overwrite that brought its own values. Zero-scan: the maximum
+    * comes from per-file min/max stats (exact for BIGINT); a file with
+    * no stats entry is all-null and contributes nothing. Returns the
+    * committed `next`. */
+  def syncIdentity(column: String): Long = {
+    val snap = snapshot()
+    require(identityCols(snap.props).contains(column),
+      s"txlog: '$column' is not an identity column " +
+        s"(no $IdentityPrefix$column property)")
+    val phys = physicalOf(snap.schema, column)
+    val mx = snap.files.flatMap(_.stats.get(phys))
+      .map(cs => BigDecimal(cs.max).toLongExact)
+    val next = math.max(identityCols(snap.props)(column),
+      if (mx.isEmpty) Long.MinValue + 1 else mx.max + 1L)
+    setProperty(IdentityPrefix + column, next.toString)
+    next
   }
 
   /** Number of files `readRange` would scan — the data-skipping metric. */
@@ -1541,12 +1580,32 @@ final class GraftTable(val tablePath: String) {
     val head0 = latestVersion()
     // generated columns the batch omits are computed here, BEFORE the
     // schema check (an omitting batch is the feature's contract, not a
-    // mismatch); provided values are validated on the staged bytes below
+    // mismatch); provided values are validated on the staged bytes below.
+    // Identity columns fill with monotonically-unique values at or above
+    // the property's `next` (gaps allowed — the Delta contract); the
+    // commit below advances `next` transactionally, and a racing
+    // allocator forces a restage (see the attempt loop). A batch
+    // PROVIDING an identity column refuses: ALWAYS semantics.
+    val idBase: Map[String, Long] =
+      if (head0 == 0L) Map.empty else identityCols(snapshot(head0).props)
     val df =
       if (head0 == 0L) df0
       else {
         val snap0 = snapshot(head0)
-        fillGenerated(df0, snap0.schema, snap0.props)
+        idBase.keys.foreach(c => require(!df0.columns.contains(c),
+          s"txlog: column '$c' is GENERATED ALWAYS AS IDENTITY — the " +
+            "engine assigns it (overwrite() is the reshape escape hatch, " +
+            "then syncIdentity)"))
+        val genFilled = fillGenerated(df0, snap0.schema, snap0.props)
+        val idFilled = idBase.foldLeft(genFilled) { case (d, (c, next)) =>
+          if (!snap0.schema.fieldNames.contains(c)) d
+          else d.withColumn(c,
+            (lit(next) + monotonically_increasing_id())
+              .cast(snap0.schema(c).dataType))
+        }
+        if (idBase.isEmpty) idFilled
+        else idFilled.select(snap0.schema.fieldNames
+          .filter(idFilled.columns.contains).toIndexedSeq.map(col): _*)
       }
     val schemaJson0 =
       if (head0 > 0) commitSchemaFor(head0, df.schema, mergeSchema) else df.schema.json
@@ -1616,7 +1675,28 @@ final class GraftTable(val tablePath: String) {
         enforceOnStaged(df.sparkSession, commitSchema(schemaJson), adds, cur)
         validated = cur
       }
-      if (tryCommit(head + 1, "append", head, Some(schemaJson), adds, Nil))
+      // identity: the staged values were allocated against idBase — a
+      // head whose `next` moved means a racing allocator; restage with
+      // fresh bases rather than committing overlapping ranges
+      val headProps = if (idBase.isEmpty) Map.empty[String, String]
+                      else snapshot(head).props
+      if (idBase.nonEmpty && identityCols(headProps) != idBase) {
+        dropStaged()
+        if (maxRetries - attempt <= 1) throw new ConcurrentWriteException(
+          s"txlog: identity allocation kept racing at $tablePath")
+        return append(df0, mergeSchema, maxRetries - attempt - 1)
+      }
+      val commitProps: Option[Map[String, String]] =
+        if (idBase.isEmpty) None
+        else Some(headProps ++ idBase.map { case (c, next) =>
+          val phys = physicalOf(commitSchema(schemaJson), c)
+          val mx = adds.flatMap(_.stats.get(phys))
+            .map(cs => BigDecimal(cs.max).toLongExact)
+          (IdentityPrefix + c) ->
+            (if (mx.isEmpty) next else math.max(next, mx.max + 1L)).toString
+        })
+      if (tryCommit(head + 1, "append", head, Some(schemaJson), adds, Nil,
+          props = commitProps))
         return head + 1
       attempt += 1
     }
@@ -1993,6 +2073,9 @@ final class GraftTable(val tablePath: String) {
       }
       locally {
         val gens = generatedCols(snapshot(head).props)
+        require(!identityCols(snapshot(head).props).contains(oldName),
+          s"txlog: cannot rename '$oldName' — it is an identity column; " +
+            s"unset '$IdentityPrefix$oldName' first and re-declare it")
         require(!gens.contains(oldName),
           s"txlog: cannot rename '$oldName' — it is a generated column; " +
             s"unset '$GeneratedPrefix$oldName' first and re-declare it")
@@ -2048,6 +2131,9 @@ final class GraftTable(val tablePath: String) {
       }
       locally {
         val gens = generatedCols(snapshot(head).props)
+        require(!identityCols(snapshot(head).props).contains(name),
+          s"txlog: cannot drop '$name' — it is an identity column; " +
+            s"unset '$IdentityPrefix$name' first")
         require(!gens.contains(name),
           s"txlog: cannot drop '$name' — it is a generated column; " +
             s"unset '$GeneratedPrefix$name' first")
@@ -2148,10 +2234,28 @@ final class GraftTable(val tablePath: String) {
           s"txlog: $BloomBitsProp must be a multiple of 8 in [64, 2^28], got $bits")
       }
       if (name == PartitionSpec.Prop) PartitionSpec.validate(value, snap.schema)
+      if (name.startsWith(IdentityPrefix)) {
+        val c = name.stripPrefix(IdentityPrefix)
+        val f = snap.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"txlog: $name names unknown column '$c'"))
+        require(f.dataType == LongType,
+          s"txlog: identity column '$c' must be BIGINT, is " +
+            f.dataType.simpleString)
+        require(!snap.props.contains(s"$GeneratedPrefix$c"),
+          s"txlog: '$c' is already a generated column")
+        try { value.trim.toLong; () } catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"txlog: $name needs an integer start value, got '$value'")
+        }
+      }
       if (name.startsWith(GeneratedPrefix)) {
         val c = name.stripPrefix(GeneratedPrefix)
         require(snap.schema.fieldNames.contains(c),
           s"txlog: $name names unknown column '$c'")
+        require(!snap.props.contains(s"$IdentityPrefix$c"),
+          s"txlog: '$c' is already an identity column")
         val parsed =
           try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
             .parseExpression(value)

@@ -1,0 +1,82 @@
+package graft
+
+import graft.medallion.{GraftTable, TxLog}
+import org.apache.spark.sql.functions._
+
+/** Identity columns (`identity.<col> = <next>` — Delta's GENERATED
+  * ALWAYS AS IDENTITY): omitted on append, engine-assigned
+  * monotonically-unique BIGINTs (gaps allowed); the allocation advances
+  * `next` in the SAME commit as the data, provided values refuse, and
+  * `syncIdentity` re-bases after an overwrite from log stats alone. */
+class IdentityColumnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(tag: String): GraftTable = {
+    val dir = new java.io.File(
+      s"target/tmp/ident_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+    new GraftTable(dir.getAbsolutePath)
+  }
+
+  test("appends allocate unique increasing ids; next advances transactionally") {
+    val t = freshTable("alloc")
+    t.append(Seq((0L, "seed")).toDF("id", "v"))
+    t.delete(spark, "id", Some(0L), Some(0L))
+    t.setProperty("identity.id", "100")
+    t.append(Seq.fill(50)("a").toDF("v"))
+    val first = t.read(spark).select("id").collect().map(_.getLong(0))
+    assert(first.length === 50 && first.distinct.length === 50)
+    assert(first.min >= 100L, s"ids start at the declared base: ${first.min}")
+    val nextAfter1 = t.properties("identity.id").toLong
+    assert(nextAfter1 > first.max, "next must clear the allocated range")
+    t.append(Seq.fill(30)("b").toDF("v"))
+    val all = t.read(spark).select("id").collect().map(_.getLong(0))
+    assert(all.length === 80 && all.distinct.length === 80,
+      "ranges from successive appends must never overlap")
+    assert(t.read(spark).filter(col("v") === "b")
+      .agg(min("id")).head().getLong(0) >= nextAfter1)
+  }
+
+  test("a batch providing the identity column refuses (ALWAYS semantics)") {
+    val t = freshTable("always")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.setProperty("identity.id", "10")
+    val err = intercept[IllegalArgumentException] {
+      t.append(Seq((99L, "x")).toDF("id", "v")) }
+    assert(err.getMessage.contains("IDENTITY"))
+    assert(t.read(spark).count() === 1L)
+  }
+
+  test("property validation and ALTER guards") {
+    val t = freshTable("guards")
+    t.append(Seq((1L, "a", 0.5)).toDF("id", "v", "d"))
+    intercept[IllegalArgumentException] {
+      t.setProperty("identity.v", "1") } // string column
+    intercept[IllegalArgumentException] {
+      t.setProperty("identity.id", "soon") } // non-integer start
+    intercept[IllegalArgumentException] {
+      t.setProperty("identity.nope", "1") }
+    t.setProperty("identity.id", "1")
+    intercept[IllegalArgumentException] {
+      t.setProperty("generated.id", "id + 1") } // identity excludes generated
+    intercept[IllegalArgumentException] { t.dropColumn("id") }
+    intercept[IllegalArgumentException] { t.renameColumn("id", "pk") }
+    t.unsetProperty("identity.id")
+    t.renameColumn("id", "pk") // released
+  }
+
+  test("overwrite is the escape hatch; syncIdentity re-bases from log stats") {
+    val t = freshTable("sync")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.setProperty("identity.id", "2")
+    t.append(Seq("b", "c").toDF("v"))
+    // reshape with explicit ids far above the allocator
+    t.overwrite(Seq((5000L, "x"), (7000L, "y")).toDF("id", "v"))
+    val next = t.syncIdentity("id")
+    assert(next === 7001L, s"sync must clear the live maximum, got $next")
+    t.append(Seq("z").toDF("v"))
+    val zId = t.read(spark).filter(col("v") === "z").head().getLong(0)
+    assert(zId >= 7001L, s"post-sync allocation must not collide: $zId")
+    assert(t.read(spark).select("id").collect().map(_.getLong(0))
+      .distinct.length === 3)
+  }
+}
