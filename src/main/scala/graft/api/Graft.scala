@@ -445,12 +445,66 @@ object Graft {
       topK: Int): DataFrame =
     graft.operators.ProductQuantizer.adcSearch(codes, queries, idCol, vecCol, pq, topK)
 
+  // ---------------- domain selection & quality ----------------
+
+  /** Fit the DSIR / quality-classifier ratio model (hashed token
+    * buckets, add-one-smoothed class ratio — Xie et al. '23 / the
+    * fastText-supervised shape); `bigrams = true` hashes word pairs.
+    * Returns the 4096-double weight array — the MODEL, KiB-sized.
+    * See [[graft.operators.TokenClassifier]]. */
+  def fitTokenRatio(labeled: DataFrame, textCol: String, targetCol: String,
+      bigrams: Boolean = false): Array[Double] = {
+    val feats =
+      if (bigrams) graft.operators.TokenClassifier.bigramBuckets(col(textCol))
+      else graft.operators.TokenClassifier.unigramBuckets(col(textCol))
+    graft.operators.TokenClassifier.fitRatio(
+      labeled.select(col(targetCol).as("t"), feats.as("f")), "f", "t")
+  }
+
+  /** Score documents under a fitted ratio model: `scoreCol` is the
+    * linear-domain mean ratio (>1 ⇒ target-typical; the oracle-portable
+    * form), `logScoreCol` the paper-faithful log-likelihood ratio. */
+  def tokenRatioScore(docs: DataFrame, textCol: String,
+      weights: Array[Double], scoreCol: String = "score",
+      logScoreCol: String = "log_score",
+      bigrams: Boolean = false): DataFrame = {
+    val feats =
+      if (bigrams) graft.operators.TokenClassifier.bigramBuckets(col(textCol))
+      else graft.operators.TokenClassifier.unigramBuckets(col(textCol))
+    docs
+      .withColumn(scoreCol,
+        graft.operators.TokenClassifier.meanRatioScore(feats, weights))
+      .withColumn(logScoreCol,
+        graft.operators.TokenClassifier.logScore(feats, weights))
+  }
+
+  /** DSIR importance resampling: keep rows Bernoulli-∝ exp(logScore),
+    * reproducible hash in place of a RNG. */
+  def importanceResample(docs: DataFrame, idCol: String,
+      logScoreCol: String, scale: Double): DataFrame =
+    graft.operators.TokenClassifier.resample(docs, idCol, logScoreCol, scale)
+
+  /** Cap each source/domain at `k` best documents (anti-dominance);
+    * see [[graft.operators.Curation.capPerSource]]. */
+  def capPerSource(df: DataFrame, idCol: String, srcCol: String,
+      scoreCol: String, k: Int): DataFrame =
+    graft.operators.Curation.capPerSource(df, idCol, srcCol, scoreCol, k)
+
   // ---------------- temporal ----------------
 
   /** Point-in-time enrichment; see [[graft.operators.AsOfJoin]]. */
   def asof(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payload: Seq[String]): DataFrame =
     AsOfJoin.asofJoin(left, right, key, leftTime, rightTime, payload)
+
+  /** Watermarked STREAM-STREAM interval join (impression→click
+    * attribution); see [[graft.streaming.EventStreams.joinWithin]]. */
+  def joinWithin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, within: String,
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame =
+    graft.streaming.EventStreams.joinWithin(
+      left, right, key, leftTs, rightTs, within, watermarkDelay, joinType)
 
   // ---------------- medallion & tables ----------------
 

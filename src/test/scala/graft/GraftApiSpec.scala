@@ -77,6 +77,35 @@ class GraftApiSpec extends SparkSpec {
     assert(flags.filter(col("max_token_ratio") > 1.0).count() === 0)
   }
 
+  test("fitTokenRatio + tokenRatioScore + importanceResample compose (DSIR facade)") {
+    import spark.implicits._
+    val labeled = ((0 until 30).map(i => (s"alpha beta tok$i", true)) ++
+      (0 until 30).map(i => (s"zeta eta tok$i", false))).toDF("text", "t")
+    val w = Graft.fitTokenRatio(labeled, "text", "t")
+    assert(w.length === 4096 && w.forall(_ > 0))
+    val scored = Graft.tokenRatioScore(
+      labeled.withColumn("doc_id", monotonically_increasing_id()), "text", w)
+    val byClass = scored.groupBy("t").agg(min("score"), max("score")).collect()
+      .map(r => r.getBoolean(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byClass(true)._1 > byClass(false)._2, "classes separate")
+    val kept = Graft.importanceResample(scored, "doc_id", "log_score", 1.0)
+    assert(kept.filter(col("t")).count() > kept.filter(!col("t")).count(),
+      "target-typical docs survive resampling preferentially")
+    // bigram variant runs end to end
+    assert(Graft.fitTokenRatio(labeled, "text", "t", bigrams = true).length === 4096)
+  }
+
+  test("capPerSource keeps at most k best per source") {
+    import spark.implicits._
+    val df = (0 until 40).map(i => (i.toLong, s"src${i % 2}", i.toLong))
+      .toDF("doc_id", "source", "score")
+    val capped = Graft.capPerSource(df, "doc_id", "source", "score", k = 5)
+    val per = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per === Map("src0" -> 5L, "src1" -> 5L))
+    assert(capped.agg(min("score")).head().getLong(0) >= 30L, "keeps the best")
+  }
+
   test("contamination finds a planted probe overlap and nothing else") {
     import spark.implicits._
     val corpus = Seq(
