@@ -852,16 +852,21 @@ object TrainingOps {
   // --------------------------------------------------------------------
   def q138QualityClassifier(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TokenClassifier
-    val docs = lake(s, dir).documents
-      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
-      .repartition(Scale.par(s), col("doc_id"))
-    val feats = TokenClassifier.bigramBuckets(col("text"))
+    // hash the bigrams ONCE: the fit pass and the scoring pass both
+    // read the cached (source, n_chars, buckets) projection — the md5
+    // tokenization is the query's dominant cost, not the model math
+    val featured = graft.core.CacheScope.cached(
+      lake(s, dir).documents
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        .repartition(Scale.par(s), col("doc_id"))
+        .select(col("source"), col("n_chars"),
+          TokenClassifier.bigramBuckets(col("text")).as("f")))
     val w = TokenClassifier.fitRatio(
-      docs.filter(col("n_chars") >= 400 || col("n_chars") < 200)
-        .select((col("n_chars") >= 400).as("t"), feats.as("f")), "f", "t")
-    docs
+      featured.filter(col("n_chars") >= 400 || col("n_chars") < 200)
+        .select((col("n_chars") >= 400).as("t"), col("f")), "f", "t")
+    featured
       .select(col("source"),
-        (TokenClassifier.meanRatioScore(feats, w) > 1.0).as("pred"))
+        (TokenClassifier.meanRatioScore(col("f"), w) > 1.0).as("pred"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("pred"), 1)).as("n_good"))
