@@ -300,6 +300,56 @@ class PartitionSpecSpec extends SparkSpec {
     }
   } }
 
+  test("soundness fuzz: pruned reads equal unpruned filters under a composite spec") { withoutCoalesce {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // seeded: green forever or never
+    val t = freshTable("fuzz")
+    t.append(Seq((0L, tsOf(19700L, 0L), "seed")).toDF("id", "ts", "s"))
+    t.setProperty(PartitionSpec.Prop, "days(ts), bucket(7,id), trunc(3,s)")
+    def batch(n: Int) = (0 until n).map { _ =>
+      (rnd.nextLong() % 100000L,
+        tsOf(19700L + rnd.nextInt(60), rnd.nextInt(86400000)),
+        rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+    }.toDF("id", "ts", "s")
+    (0 until 3).foreach(_ => t.append(batch(400)))
+    t.overwrite(t.read(spark).unionAll(batch(400)).repartition(5)) // straddle
+    t.append(batch(300))
+    t.compactSmall(spark, targetFileMB = 128, minFiles = 2)
+    val full = t.read(spark).cache()
+    def oracle(c: String, lo: Option[Any], hi: Option[Any]): Long = {
+      val cc = col(c)
+      full.filter((lo, hi) match {
+        case (Some(l), Some(u)) => cc >= lit(l) && cc <= lit(u)
+        case (Some(l), None) => cc >= lit(l)
+        case (None, Some(u)) => cc <= lit(u)
+        case (None, None) => lit(true)
+      }).count()
+    }
+    val probes: Seq[(String, Option[Any], Option[Any])] =
+      (0 until 25).map { _ =>
+        val v = rnd.nextLong() % 100000L
+        ("id", Some(v): Option[Any], Some(v): Option[Any]) // bucket points
+      } ++ (0 until 15).map { _ =>
+        val a = tsOf(19700L + rnd.nextInt(60), rnd.nextInt(86400000))
+        val b = tsOf(19700L + rnd.nextInt(60), rnd.nextInt(86400000))
+        val (lo, hi) = if (a.before(b)) (a, b) else (b, a)
+        ("ts", Some(lo): Option[Any], Some(hi): Option[Any])
+      } ++ (0 until 10).map { _ =>
+        val p = rnd.alphanumeric.take(2).mkString
+        ("s", Some(p): Option[Any], Some(p + "zzzz"): Option[Any])
+      } ++ Seq(
+        ("ts", None, Some(tsOf(19710L, 0L)): Option[Any]),
+        ("id", Some(-50000L): Option[Any], None),
+        ("s", None, None))
+    probes.foreach { case (c, lo, hi) =>
+      val pruned = t.readRange(spark, c, lo, hi).count()
+      val want = oracle(c, lo, hi)
+      assert(pruned === want, s"probe $c [$lo, $hi]: pruned=$pruned full=$want")
+    }
+    full.unpersist()
+    ()
+  } }
+
   test("dropColumn refuses a partition source; rename keeps pruning") { withoutCoalesce {
     import spark.implicits._
     val t = freshTable("alter")
