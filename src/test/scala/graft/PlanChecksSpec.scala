@@ -323,6 +323,25 @@ class PlanChecksSpec extends SparkSpec {
       s"expected TakeOrderedAndProject for the top-k:\n$plan")
   }
 
+  test("q137: DSIR scoring joins NOTHING — the model is a broadcast-free literal") {
+    val p = plan(graft.queries.TrainingOps.q137Dsir(spark, sfDir))
+    // the 4096-weight model travels as a plan literal, so the scoring
+    // pass is stateless: no join of any kind, and selection is
+    // per-partition top-k heaps, not a single-partition global sort
+    assert(!p.contains("Join"), s"model must be a literal, not a join side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as TakeOrderedAndProject:\n$p")
+  }
+
+  test("q138: classifier fit+score share one cached featurization, no join") {
+    val p = plan(graft.queries.TrainingOps.q138QualityClassifier(spark, sfDir))
+    assert(!p.contains("Join"), s"weights must be literal:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"the scoring pass must reuse the cached featurization:\n$p")
+    assert(p.contains("partial_count"),
+      s"the keep-rate aggregate must partial-aggregate map-side:\n$p")
+  }
+
   test("q116: quantile profile reuses ONE lang-keyed exchange for windows + aggregate") {
     // AQE plan strings append an "Initial Plan" section — count the FINAL plan only
     val p = plan(graft.queries.RelationalMore.q116QuantileProfile(spark, sfDir))
