@@ -2695,8 +2695,15 @@ final class GraftTable(val tablePath: String) {
     * files in one conflict-checked commit — the object-store-safe
     * replacement for [[Maintenance.compactParquet]]'s directory swap.
     * Returns (filesBefore, filesAfter, committedVersion). */
-  def compact(spark: SparkSession, targetFileMB: Int = 128): (Int, Int, Long) = {
-    val snap = snapshot()
+  def compact(spark: SparkSession, targetFileMB: Int = 128): (Int, Int, Long) =
+    compactSnapshot(spark, snapshot(), targetFileMB)
+
+  /** [[compact]] pinned to an explicit read snapshot — the seam the
+    * concurrency spec uses to interleave an append between the read
+    * and the commit deterministically. */
+  private[graft] def compactSnapshot(
+      spark: SparkSession, snap: Snapshot,
+      targetFileMB: Int = 128): (Int, Int, Long) = {
     if (snap.files.isEmpty) return (0, 0, snap.version)
     val bytes = snap.files.map(_.bytes).sum
     val outParts = math.max(1,
@@ -2813,6 +2820,35 @@ final class GraftTable(val tablePath: String) {
 
   /** Commit a rewrite (removes + adds) iff the head is still the read
     * version; otherwise delete the staged files and abort loudly. */
+  /** Rewrites whose output preserves the table's ROW CONTENT exactly
+    * (compaction, z-order, DV purge) — the ops the Delta-style conflict
+    * matrix lets REBASE over concurrent blind appends instead of
+    * aborting. At 100 TB this is the difference between maintenance
+    * that completes and maintenance that loses every race to a busy
+    * ingest: the rewrite's removes name files no pure append touches,
+    * and log replay is per-path, so re-committing the SAME add/remove
+    * lists at the new head folds the interleaved appends in untouched.
+    * Everything else (upsert/delete/replace/overwrite/restore — row-
+    * CHANGING, or schema/mapping movers) still aborts loudly: their
+    * correctness was computed against the exact read snapshot. */
+  private val RowPreservingOps = Set("compact", "zorder", "purge")
+
+  /** Could the rewrite safely re-commit on top of version `iv`'s
+    * commit? Pure blind appends only: no removes (nothing of ours or
+    * anyone's retired), no constraint change (our re-materialized rows
+    * were validated as the pre-image of the same content), not a
+    * schema-REPLACING or mapping-moving op (append's schema line only
+    * ever widens, which explicit-schema reads null-fill). */
+  private def rebaseSafe(iv: Long): Boolean = {
+    val f = versionFile(iv)
+    Files.exists(f) && {
+      val c = parseCommit(new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8))
+      (c.op == "append" || c.op == "streamingUpdate") &&
+        c.removes.isEmpty && c.constraints.isEmpty
+    }
+  }
+
   private def commitRewrite(
       readSnap: Snapshot, op: String, schemaJson: Option[String],
       adds: Seq[AddFile], removes: Seq[String],
@@ -2820,20 +2856,33 @@ final class GraftTable(val tablePath: String) {
       cdc: Seq[(String, Long)] = Nil,
       cdcFull: Seq[String] = Nil,
       mergeKey: Option[String] = None): Long = {
-    val v = readSnap.version + 1
-    val won = latestVersion() == readSnap.version &&
-      tryCommit(v, op, readSnap.version, schemaJson, adds, removes,
-        addVersions = addVersions, cdc = cdc, cdcFull = cdcFull,
-        mergeKey = mergeKey)
-    if (!won) {
-      adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
-      // staged change files are this commit's own temporaries too
-      cdc.foreach { case (p, _) => Files.deleteIfExists(root.resolve(p)) }
-      throw new ConcurrentWriteException(
-        s"txlog: $op read version ${readSnap.version} but head moved — " +
-          "re-read and retry (a silent commit here would drop the concurrent writer's rows)")
+    var expected = readSnap.version
+    var attempt = 0
+    while (attempt < 20) {
+      val v = expected + 1
+      if (latestVersion() == expected &&
+          tryCommit(v, op, readSnap.version, schemaJson, adds, removes,
+            addVersions = addVersions, cdc = cdc, cdcFull = cdcFull,
+            mergeKey = mergeKey)) return v
+      val head = latestVersion()
+      val rebasable = RowPreservingOps.contains(op) &&
+        cdc.isEmpty && cdcFull.isEmpty && schemaJson.isEmpty &&
+        head > expected && ((expected + 1) to head).forall(rebaseSafe)
+      if (!rebasable) {
+        adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+        // staged change files are this commit's own temporaries too
+        cdc.foreach { case (p, _) => Files.deleteIfExists(root.resolve(p)) }
+        throw new ConcurrentWriteException(
+          s"txlog: $op read version ${readSnap.version} but head moved — " +
+            "re-read and retry (a silent commit here would drop the " +
+            "concurrent writer's rows)")
+      }
+      expected = head
+      attempt += 1
     }
-    v
+    adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+    throw new ConcurrentWriteException(
+      s"txlog: $op lost 20 rebased commit races at $tablePath")
   }
 
   // ------------------------------------------------- checkpoint / vacuum
