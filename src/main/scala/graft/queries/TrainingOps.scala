@@ -746,6 +746,7 @@ object TrainingOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_prep_v2" -> (q140PrepV2 _),
     "q137_dsir" -> (q137Dsir _),
     "q138_quality_classifier" -> (q138QualityClassifier _),
     "q70_stratified_sample" -> (q70StratifiedSample _),
@@ -913,7 +914,117 @@ object TrainingOps {
        FROM scored GROUP BY source ORDER BY source"""
   }
 
+  // --------------------------------------------------------------------
+  // q140 — the ROUND-8 PREP PIPELINE, composed end to end from the new
+  // selection stages (the modern data-curation recipe: quality filter →
+  // domain selection → dedup → anti-dominance): (A) keep documents the
+  // hashed-BIGRAM quality classifier scores > 1 (q138's model, fit on
+  // the length-labeled split); (B) of those, keep English docs plus
+  // non-English docs the DSIR unigram model scores ≥ 1 toward the
+  // `lang='en'` target (q137's model); (C) exact-dedup by trimmed-text
+  // hash, smallest doc_id survives; (D) cap every source at its 10
+  // longest survivors. Each stage was hash-verified alone (q137/q138/
+  // q35/q135); this row certifies the COMPOSITION — same models, same
+  // fixed-order folds, one output. Scale: two 4096-bounded model fits,
+  // two stateless scoring passes, one dedup shuffle on the text hash,
+  // one WindowGroupLimit-capped rank — nothing grows with corpus size
+  // but the linear passes.
+  // --------------------------------------------------------------------
+  def q140PrepV2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Curation, TokenClassifier}
+    val docs = graft.core.CacheScope.cached(
+      lake(s, dir).documents
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .repartition(Scale.par(s), col("doc_id")))
+    val big = TokenClassifier.bigramBuckets(col("text"))
+    val uni = TokenClassifier.unigramBuckets(col("text"))
+    val wQ = TokenClassifier.fitRatio(
+      docs.filter(col("n_chars") >= 400 || col("n_chars") < 200)
+        .select((col("n_chars") >= 400).as("t"), big.as("f")), "f", "t")
+    val wD = TokenClassifier.fitRatio(
+      docs.select((col("lang") === "en").as("t"), uni.as("f")), "f", "t")
+    val selected = docs
+      .filter(TokenClassifier.meanRatioScore(big, wQ) > 1.0)           // (A)
+      .filter(col("lang") === "en" ||
+        TokenClassifier.meanRatioScore(uni, wD) >= 1.0)                // (B)
+    val deduped = selected                                             // (C)
+      .withColumn("_h", md5(trim(col("text"))))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("_h")).orderBy(col("doc_id"))))
+      .filter(col("_r") === 1).drop("_h", "_r")
+    Curation.capPerSource(deduped, "doc_id", "source", "n_chars", k = 10) // (D)
+      .select(col("source"), col("doc_id"), col("lang"), col("n_chars"),
+        col("src_rank").cast("long").as("src_rank"))
+      .orderBy(col("source"), col("src_rank"))
+  }
+
+  private val q140Oracle = {
+    val toks = "string_split(trim(text), ' ')"
+    val bigr = s"list_transform(range(len($toks) - 1), " +
+      s"i -> concat($toks[i+1], ' ', $toks[i+2]))"
+    val bkt = s"CAST(${dHash("t")} % 4096 AS INT)"
+    s"""WITH qtb AS (
+         SELECT good, $bkt AS bucket
+         FROM (SELECT n_chars >= 400 AS good, unnest($bigr) AS t
+               FROM documents WHERE n_chars >= 400 OR n_chars < 200)),
+       qtc AS (SELECT bucket, count(*) AS ct FROM qtb WHERE good GROUP BY 1),
+       qrc AS (SELECT bucket, count(*) AS cr FROM qtb WHERE NOT good GROUP BY 1),
+       qtot AS (SELECT
+         (SELECT count(*) FROM qtb WHERE good) AS t_tot,
+         (SELECT count(*) FROM qtb WHERE NOT good) AS r_tot),
+       qdense AS (SELECT b.bucket, COALESCE(qtc.ct, 0) AS ct,
+                         COALESCE(qrc.cr, 0) AS cr
+                  FROM (SELECT unnest(range(4096)) AS bucket) b
+                  LEFT JOIN qtc USING (bucket) LEFT JOIN qrc USING (bucket)),
+       qw AS (SELECT bucket,
+           CAST(CAST(ct + 1 AS HUGEINT) * (r_tot + 4096) AS DOUBLE) /
+           CAST(CAST(cr + 1 AS HUGEINT) * (t_tot + 4096) AS DOUBLE) AS w
+         FROM qdense, qtot),
+       qwarr AS (SELECT list(w ORDER BY bucket) AS qwl FROM qw),
+       dtb AS (
+         SELECT lang, $bkt AS bucket
+         FROM (SELECT lang, unnest($toks) AS t FROM documents)),
+       dtc AS (SELECT bucket, count(*) AS ct FROM dtb WHERE lang = 'en' GROUP BY 1),
+       drc AS (SELECT bucket, count(*) AS cr FROM dtb WHERE lang <> 'en' GROUP BY 1),
+       dtot AS (SELECT
+         (SELECT count(*) FROM dtb WHERE lang = 'en') AS t_tot,
+         (SELECT count(*) FROM dtb WHERE lang <> 'en') AS r_tot),
+       ddense AS (SELECT b.bucket, COALESCE(dtc.ct, 0) AS ct,
+                         COALESCE(drc.cr, 0) AS cr
+                  FROM (SELECT unnest(range(4096)) AS bucket) b
+                  LEFT JOIN dtc USING (bucket) LEFT JOIN drc USING (bucket)),
+       dw AS (SELECT bucket,
+           CAST(CAST(ct + 1 AS HUGEINT) * (r_tot + 4096) AS DOUBLE) /
+           CAST(CAST(cr + 1 AS HUGEINT) * (t_tot + 4096) AS DOUBLE) AS w
+         FROM ddense, dtot),
+       dwarr AS (SELECT list(w ORDER BY bucket) AS dwl FROM dw),
+       scored AS (SELECT doc_id, text, lang, source, n_chars,
+           CASE WHEN len($toks) < 2 THEN 0.0 ELSE
+             list_reduce(list_sort(list_transform($bigr,
+                 t -> qwl[$bkt + 1])), (x, y) -> x + y)
+               / CAST(len($toks) - 1 AS DOUBLE) END AS q_score,
+           list_reduce(list_sort(list_transform($toks,
+               t -> dwl[$bkt + 1])), (x, y) -> x + y)
+             / CAST(len($toks) AS DOUBLE) AS d_score
+         FROM documents, qwarr, dwarr),
+       selected AS (SELECT * FROM scored
+         WHERE q_score > 1.0 AND (lang = 'en' OR d_score >= 1.0)),
+       deduped AS (SELECT * FROM (SELECT *, row_number() OVER
+           (PARTITION BY md5(trim(text)) ORDER BY doc_id) AS _r
+         FROM selected) WHERE _r = 1),
+       capped AS (SELECT source, doc_id, lang, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS src_rank
+         FROM deduped)
+       SELECT source, doc_id, lang, n_chars, CAST(src_rank AS BIGINT) AS src_rank
+       FROM capped WHERE src_rank <= 10
+       ORDER BY source, src_rank"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q140_prep_v2" -> q140Oracle,
     "q137_dsir" -> q137Oracle,
     "q138_quality_classifier" -> q138Oracle,
     "q70_stratified_sample" -> q70Oracle,
