@@ -49,7 +49,8 @@ object GraftProcedures {
     names.map(n => Identifier.of(Namespace, n)).toArray
 
   private val names =
-    Seq("optimize", "vacuum", "restore", "clone", "checkpoint", "analyze")
+    Seq("optimize", "vacuum", "restore", "clone", "checkpoint", "analyze",
+      "sync_identity")
 
   def load(ident: Identifier, dirOfTable: String => String): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -62,6 +63,7 @@ object GraftProcedures {
       case "clone"      => cloneProc(dirOfTable)
       case "checkpoint" => checkpoint(dirOfTable)
       case "analyze"    => analyze(dirOfTable)
+      case "sync_identity" => syncIdentity(dirOfTable)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure system.$other — available: " +
           names.mkString(", "))
@@ -162,6 +164,24 @@ object GraftProcedures {
           pick(worst = false).map(utf8).orNull,
           pick(worst = true).map(utf8).orNull)
       }
+    }
+
+  private val syncIdentityOut = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("next", LongType, nullable = false)))
+
+  /** SYNC IDENTITY (Delta's `ALTER TABLE ... SYNC IDENTITY`): re-base an
+    * identity column's `next` above the live maximum — needed after an
+    * overwrite that brought explicit values. Zero-scan: the maximum
+    * comes from per-file min/max stats. */
+  private def syncIdentity(dirOfTable: String => String): UnboundProcedure =
+    bound("sync_identity",
+      Seq(param("table", StringType), param("column", StringType)),
+      syncIdentityOut) { in =>
+      val t = tableDir(dirOfTable, in.getUTF8String(0))
+      val c = Option(in.getUTF8String(1)).map(_.toString).getOrElse(
+        throw new IllegalArgumentException("sync_identity needs a column"))
+      Seq(InternalRow(utf8(c), t.syncIdentity(c)))
     }
 
   private val optimizeOut = StructType(Seq(

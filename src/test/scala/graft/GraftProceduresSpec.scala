@@ -73,6 +73,26 @@ class GraftProceduresSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.sync_identity re-bases the allocator after a reshape") {
+    import spark.implicits._
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.i (id BIGINT, v STRING)")
+      spark.sql(s"ALTER TABLE $cat.db.i SET TBLPROPERTIES ('identity.id' = '1')")
+      val t = new GraftTable(s"$wh/db/i")
+      t.append(Seq("a", "b").toDF("v"))
+      t.overwrite(Seq((500L, "x")).toDF("id", "v")) // explicit reshape
+      val row = spark.sql(
+        s"CALL $cat.system.sync_identity(table => 'db.i', column => 'id')").head()
+      assert(row.getString(0) === "id" && row.getLong(1) === 501L)
+      t.append(Seq("y").toDF("v"))
+      assert(t.read(spark).filter(org.apache.spark.sql.functions.col("v") === "y")
+        .head().getLong(0) >= 501L)
+      // unknown column refuses loudly
+      intercept[Exception] { spark.sql(
+        s"CALL $cat.system.sync_identity(table => 'db.i', column => 'v')").collect() }
+    }
+  }
+
   test("CALL system.optimize small_only leaves right-sized files untouched") {
     import spark.implicits._
     withCatalog { (cat, wh) =>
