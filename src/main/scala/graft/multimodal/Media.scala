@@ -260,4 +260,49 @@ object Media {
     import s.implicits._
     mediaRecords(documents).mapPartitions(MediaCodec.decodeBatch _)
   }
+
+  /** Ingest RAW media files from a directory via Spark's built-in
+    * `binaryFile` source — the entry point of a real multimodal
+    * pipeline (a crawl dump of .png/.jpg/.wav files → typed records →
+    * [[decodeMeta]]-style batch decode). Files stream as whole-content
+    * binary rows (path, length, bytes); doc ids are the portable
+    * 60-bit hash of the file path (stable across re-ingests of the
+    * same layout), `fmt` derives from the extension. At scale:
+    * binaryFile is a plain file-parallel scan — no shuffle until
+    * someone aggregates — and `maxBytesPerFile` style partitioning is
+    * Spark's own; pair with `pathGlobFilter` to ingest one modality.
+    *
+    * [binaryFile: Spark SQL's built-in binary file data source;
+    *  the reference has no multimodal surface at all.] */
+  def ingestBinary(dir: String, glob: String = "*")(
+      implicit s: SparkSession): Dataset[MediaRecord] = {
+    import s.implicits._
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5")
+        rows.map { case (path, bytes) =>
+          val fmt = path.substring(path.lastIndexOf('.') + 1)
+            .toLowerCase(java.util.Locale.ROOT) match {
+            case "png" => "image"
+            case "jpg" | "jpeg" => "image"
+            case "wav" => "audio"
+            case other => other
+          }
+          MediaRecord(MediaCodec.hash60(
+            path.getBytes(java.nio.charset.StandardCharsets.UTF_8), md),
+            bytes, fmt)
+        }
+      }
+  }
+
+  /** Decode a binary-ingested dataset: same typed batch decode as
+    * [[decodeMeta]], over real file bytes. */
+  def decodeIngested(records: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(MediaCodec.decodeBatch _)
+  }
 }

@@ -196,4 +196,35 @@ class MediaSpec extends SparkSpec {
     val plan = Media.decodeMeta(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
   }
+
+  test("binaryFile ingestion: raw files -> typed records -> decoded meta") {
+    import graft.multimodal.Media
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    val dir = new java.io.File(
+      s"target/tmp/media_ingest_${java.util.UUID.randomUUID().toString.take(8)}")
+    dir.mkdirs()
+    def write(name: String, bytes: Array[Byte]): Unit = {
+      val f = new java.io.FileOutputStream(new java.io.File(dir, name))
+      try f.write(bytes) finally f.close()
+    }
+    val body = Array.fill[Byte](64)(7)
+    write("a.png", Media.MediaCodec.writePng(320, 200, body))
+    write("b.wav", Media.MediaCodec.writeWav(44100, 2, body))
+    write("notes.txt", "not media".getBytes)
+    // glob-scoped ingest sees one modality only
+    val pngs = Media.ingestBinary(dir.getAbsolutePath, "*.png").collect()
+    assert(pngs.length === 1 && pngs.head.fmt === "image")
+    // full ingest + batch decode: headers parse from the REAL bytes
+    val metas = Media.decodeIngested(
+      Media.ingestBinary(dir.getAbsolutePath, "*.{png,wav}"))
+      .collect().sortBy(_.fmt)
+    assert(metas.length === 2)
+    val img = metas.find(_.fmt == "image").get
+    assert(img.width === Some(320) && img.height === Some(200))
+    val aud = metas.find(_.fmt == "audio").get
+    assert(aud.sample_rate === Some(44100) && aud.channels === Some(2))
+    // ids are the stable path hash: re-ingest gives identical ids
+    val again = Media.ingestBinary(dir.getAbsolutePath, "*.png").collect()
+    assert(again.head.doc_id === pngs.head.doc_id)
+  }
 }
