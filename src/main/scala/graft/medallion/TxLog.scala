@@ -85,7 +85,13 @@ object TxLog {
         * snapshot's distinct count estimates from the LOG alone
         * ([[GraftTable.approxCountDistinct]]) and feeds the DSv2
         * column statistics the CBO's join estimation reads. */
-      hll: Option[String] = None) {
+      hll: Option[String] = None,
+      /** Optional EXACT per-file column sum (decimal string; integral
+        * source types only — order-independent and exact, unlike float
+        * sums), opt-in via `sum.columns`: what lets an unfiltered
+        * `SELECT SUM(col)` answer from the commit log with zero files
+        * opened, like COUNT/MIN/MAX. */
+      sum: Option[String] = None) {
     private def cmp(a: String, b: String): Int =
       if (kind == "num") BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
     /** Could any value in [min,max] fall inside [lo,hi] (inclusive)? */
@@ -228,6 +234,10 @@ object TxLog {
   /** HLL precision: 2^11 = 2048 registers, 2 KiB per file×column,
     * ≈2.3% relative error — planning-grade. */
   private[graft] val HllP = 11
+  /** Table property naming the comma-separated LOGICAL columns to keep
+    * EXACT per-file sums for (integral types only) — the zero-scan
+    * SUM-aggregate enabler. */
+  private[graft] val SumColumnsProp = "sum.columns"
 
   /** Table property: max deleted fraction of a file before a
     * merge-on-read delete rewrites it instead (see
@@ -412,7 +422,8 @@ object TxLog {
         "min" -> JString(cs.min), "max" -> JString(cs.max)) ++
         cs.nulls.map(n => "nulls" -> (JLong(n): JValue)).toList ++
         cs.bloom.map(b => "b" -> (JString(b): JValue)).toList ++
-        cs.hll.map(h => "h" -> (JString(h): JValue)).toList): JValue)
+        cs.hll.map(h => "h" -> (JString(h): JValue)).toList ++
+        cs.sum.map(x => "sm" -> (JString(x): JValue)).toList): JValue)
     })
 
   private def addToJson(a: AddFile, addedIn: Option[Long] = None): JObject =
@@ -451,7 +462,7 @@ object TxLog {
         val sm = v.asInstanceOf[JObject].obj.toMap
         c -> ColStats(str(sm("k")), str(sm("min")), str(sm("max")),
           sm.get("nulls").map(lng), sm.get("b").map(str),
-          sm.get("h").map(str))
+          sm.get("h").map(str), sm.get("sm").map(str))
       }.toMap
       case _ => Map.empty[String, ColStats]
     }
@@ -1357,6 +1368,18 @@ final class GraftTable(val tablePath: String) {
       }
     val hllFn = org.apache.spark.sql.functions.udaf(
       new graft.functions.HllAgg(HllP))
+    // opt-in exact per-file sums (integral columns; decimal-exact)
+    val sumPhys: Seq[String] =
+      if (latestVersion() == 0L) Seq.empty
+      else {
+        val head = snapshot()
+        head.props.get(SumColumnsProp).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          .map(c => physicalOf(head.schema, c))
+          .filter(p => schema.fields.exists(f => f.name == p &&
+            (f.dataType == ByteType || f.dataType == ShortType ||
+              f.dataType == IntegerType || f.dataType == LongType)))
+      }
     // hidden partitioning: the head's partition.spec resolved to the
     // transforms applicable to this staged (physical) schema — min/max
     // of the TRANSFORMED value ride the same per-file aggregate as
@@ -1375,7 +1398,8 @@ final class GraftTable(val tablePath: String) {
         min(col(f.name)).as(s"_min_${f.name}"), max(col(f.name)).as(s"_max_${f.name}"),
         count(col(f.name)).as(s"_cnt_${f.name}")))) ++ // non-null count (NaN IS non-null)
       bloomPhys.map(p => bloomFn(xxhash64(col(p))).as(s"_bloom_$p")) ++
-      ndvPhys.map(p => hllFn(xxhash64(col(p))).as(s"_hll_$p"))) ++
+      ndvPhys.map(p => hllFn(xxhash64(col(p))).as(s"_hll_$p")) ++
+      sumPhys.map(p => sum(col(p).cast(DecimalType(38, 0))).as(s"_sum_$p"))) ++
       pTransforms.flatMap(t => Seq(
         min(PartitionSpec.column(t, pDt(t))).as(s"_pmin_${t.render}"),
         max(PartitionSpec.column(t, pDt(t))).as(s"_pmax_${t.render}"),
@@ -1411,7 +1435,14 @@ final class GraftTable(val tablePath: String) {
           case _ => acc
         }
       }
-      val withHll = ndvPhys.foldLeft(withBlooms) { (acc, p) =>
+      val withSums = sumPhys.foldLeft(withBlooms) { (acc, p) =>
+        (acc.get(p), Option(row.getAs[java.math.BigDecimal](s"_sum_$p"))) match {
+          case (Some(cs), Some(sm)) =>
+            acc + (p -> cs.copy(sum = Some(sm.toBigInteger.toString)))
+          case _ => acc
+        }
+      }
+      val withHll = ndvPhys.foldLeft(withSums) { (acc, p) =>
         (acc.get(p), Option(row.getAs[Array[Byte]](s"_hll_$p"))) match {
           case (Some(cs), Some(regs)) =>
             acc + (p -> cs.copy(hll =
@@ -2234,6 +2265,19 @@ final class GraftTable(val tablePath: String) {
           s"txlog: $BloomBitsProp must be a multiple of 8 in [64, 2^28], got $bits")
       }
       if (name == PartitionSpec.Prop) PartitionSpec.validate(value, snap.schema)
+      if (name == SumColumnsProp) {
+        val schema = snap.schema
+        value.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+          val f = schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"txlog: $SumColumnsProp names unknown column '$c'"))
+          require(f.dataType == ByteType || f.dataType == ShortType ||
+            f.dataType == IntegerType || f.dataType == LongType,
+            s"txlog: $SumColumnsProp column '$c' is " +
+              s"${f.dataType.simpleString} — exact sums need integral " +
+              "types (float sums are order-dependent)")
+        }
+      }
       if (name.startsWith(IdentityPrefix)) {
         val c = name.stripPrefix(IdentityPrefix)
         val f = snap.schema.fields.find(_.name == c).getOrElse(

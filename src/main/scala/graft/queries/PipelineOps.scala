@@ -1998,7 +1998,46 @@ object PipelineOps {
               CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
        FROM orders GROUP BY 1 ORDER BY day"""
 
+  // --------------------------------------------------------------------
+  // q141 — zero-scan SUM aggregates (per-file sum stats, `sum.columns`):
+  // q109's metadata-aggregate story extended to SUM — the staging pass
+  // keeps an EXACT decimal sum per (file × declared integral column),
+  // and an unfiltered SELECT SUM()/COUNT() then folds file-count-sized
+  // log metadata on the driver with ZERO data files opened (require'd:
+  // no BatchScan in the plan). At 100 TB this turns the dashboard's
+  // revenue-by-nothing rollup into a log read. Anything uncovered —
+  // deletion vectors, pre-property files, float columns, long
+  // overflow — falls back to a real scan (MetadataSumSpec), never to a
+  // wrong answer; the hash match certifies the folded values equal the
+  // oracle's real sums.
+  // --------------------------------------------------------------------
+  def q141MetadataSum(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${scratch("msum", dir)}/orders_sum"
+    graft.core.Fs.rmTree(new java.io.File(root))
+    val t = new graft.medallion.GraftTable(root)
+    val base = lake(s, dir).orders.select(col("o_orderkey"), col("o_custkey"))
+    t.append(base.limit(0)) // v1: schema only
+    t.setProperty(graft.medallion.TxLog.SumColumnsProp, "o_orderkey,o_custkey")
+    t.append(base.filter(col("o_orderkey") % 2 === 0))
+    t.append(base.filter(col("o_orderkey") % 2 === 1))
+    val agg = s.read.format("graft-table").option("path", root).load()
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("o_custkey")).as("sum_cust"))
+    val plan = agg.queryExecution.executedPlan.toString
+    require(!plan.contains("BatchScan"),
+      s"zero-scan SUM must not open a data file: $plan")
+    agg
+  }
+
+  private val q141Oracle =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+              CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+       FROM orders"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_metadata_sum" -> (q141MetadataSum _),
     "q139_generated_columns" -> (q139GeneratedColumns _),
     "q136_hidden_partitioning" -> (q136HiddenPartitioning _),
     "q134_cdf_update_images" -> (q134CdfUpdateImages _),
@@ -2036,6 +2075,7 @@ object PipelineOps {
     "q127_bloom_lookup" -> (q127BloomLookup _))
 
   val oracle: Map[String, String] = Map(
+    "q141_metadata_sum" -> q141Oracle,
     "q139_generated_columns" -> q139Oracle,
     "q136_hidden_partitioning" -> q136Oracle,
     "q134_cdf_update_images" -> q134Oracle,

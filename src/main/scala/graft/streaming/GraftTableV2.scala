@@ -1470,7 +1470,7 @@ object GraftTableV2 {
       table: GraftTable, fullSchema: StructType, snapVersion: Long,
       filters: Array[Filter], agg: Aggregation,
       syntheticVersion: Boolean = true): Option[(StructType, Seq[InternalRow])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (filters.nonEmpty) return None
     val snapAll = table.prunedSnapshot(Seq.empty, version = snapVersion)
@@ -1550,6 +1550,29 @@ object GraftTableV2 {
       if (isVersion(c)) files.map(_.effectiveRows).sum
       else files.map(a => st(a, c).fold(0L)(cs => a.rows - cs.nulls.get)).sum
 
+    // SUM(col): exact per-file sums from the opt-in `sum.columns` stats
+    // (integral types, decimal-exact, order-independent). Eligible only
+    // DV-free and when EVERY file carries the sum (a stats-less file of
+    // an always-stat'd integral type is provably all-null — contributes
+    // nothing; SQL SUM ignores nulls). The folded value must fit LONG
+    // (Spark's sum-over-integral result type) or the scan falls back.
+    def sumEligible(c: String): Boolean = {
+      if (isVersion(c) || !dvFree) return false
+      val dt = fieldType(c).getOrElse(return false)
+      val integral = dt == ByteType || dt == ShortType ||
+        dt == IntegerType || dt == LongType
+      integral && snap.files.forall(a => st(a, c) match {
+        case Some(cs) => cs.sum.isDefined
+        case None => true // provably all-null for integral (always statted)
+      })
+    }
+    def foldSum(files: Files, c: String): Option[Any] = {
+      val present = files.flatMap(a => st(a, c).flatMap(_.sum))
+      if (present.isEmpty) return Some(null) // SUM over all-null = null
+      val total = present.map(BigInt(_)).sum
+      if (total.isValidLong) Some(total.toLong) else None // overflow: real scan
+    }
+
     // ----- group columns: every live file must carry exactly one
     // group-key value (single-valued or wholly null)
     val groupColsOpt = agg.groupByExpressions.toSeq.map(colOf)
@@ -1578,6 +1601,19 @@ object GraftTableV2 {
           (s"min($c)", dt, true, (fs: Files) => foldMinMax(fs, c, dt, wantMin = true))))
         case m: Max => colOf(m.column).flatMap(c => minMaxEligible(c).map(dt =>
           (s"max($c)", dt, true, (fs: Files) => foldMinMax(fs, c, dt, wantMin = false))))
+        case sm: Sum if !sm.isDistinct =>
+          colOf(sm.column).filter(sumEligible).flatMap { c =>
+            // resolve eagerly so an overflow disqualifies the WHOLE
+            // pushdown (partial answers cannot mix with a real scan);
+            // per-group folds below re-fold the same per-file strings
+            val groups: Seq[Files] =
+              if (groupCols.isEmpty) Seq(snap.files)
+              else snap.files.groupBy(a =>
+                groupCols.map(gc => groupValue(a, gc))).values.toSeq
+            if (groups.exists(g => foldSum(g, c).isEmpty)) None
+            else Some((s"sum($c)", LongType, true,
+              (fs: Files) => foldSum(fs, c).orNull))
+          }
         case _ => None
       }
     if (aggCols.exists(_.isEmpty)) return None
