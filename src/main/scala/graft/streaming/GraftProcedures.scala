@@ -128,7 +128,8 @@ object GraftProcedures {
     StructField("distinct_count", LongType, nullable = true),
     StructField("null_count", LongType, nullable = true),
     StructField("min", StringType, nullable = true),
-    StructField("max", StringType, nullable = true)))
+    StructField("max", StringType, nullable = true),
+    StructField("sum", StringType, nullable = true)))
 
   /** ANALYZE: per-column statistics straight from the LOG — distinct
     * count from the merged per-file HLL sketches (`ndv.columns`; null
@@ -158,11 +159,16 @@ object GraftProcedures {
             val vs = entries.map(e => if (worst) e.max else e.min)
             Some(if (worst) vs.max else vs.min)
           }
+        // exact log sum only when EVERY value-bearing file carries it
+        val sumStr =
+          if (entries.isEmpty || entries.exists(_.sum.isEmpty)) None
+          else Some(entries.flatMap(_.sum).map(BigInt(_)).sum.toString)
         InternalRow(utf8(f.name),
           ndv.map(Long.box).orNull,
           nulls.map(Long.box).orNull,
           pick(worst = false).map(utf8).orNull,
-          pick(worst = true).map(utf8).orNull)
+          pick(worst = true).map(utf8).orNull,
+          sumStr.map(utf8).orNull)
       }
     }
 

@@ -50,6 +50,7 @@ class GraftProceduresSpec extends SparkSpec {
     withCatalog { (cat, wh) =>
       spark.sql(s"CREATE TABLE $cat.db.a (id BIGINT, v STRING, d DOUBLE)")
       spark.sql(s"ALTER TABLE $cat.db.a SET TBLPROPERTIES ('ndv.columns' = 'id')")
+      spark.sql(s"ALTER TABLE $cat.db.a SET TBLPROPERTIES ('sum.columns' = 'id')")
       val t = new GraftTable(s"$wh/db/a")
       t.append((1L until 501L).map(i =>
         (i, if (i % 5 == 0) null else s"v$i", i / 10.0)).toDF("id", "v", "d"))
@@ -70,6 +71,12 @@ class GraftProceduresSpec extends SparkSpec {
       assert(vNdv === None && vNulls === Some(100L))
       // d: numeric min/max in the stats domain
       assert(rows("d")._3 === "0.1" && rows("d")._4 === "90.0")
+      // id carries the exact log sum; unsummed columns report null
+      val sums = spark.sql(s"CALL $cat.system.analyze(table => 'db.a')")
+        .collect().map(r => r.getString(0) -> Option(r.getString(5))).toMap
+      assert(sums("id") ===
+        Some(((1L until 501L).sum + (401L until 901L).sum).toString))
+      assert(sums("v") === None)
     }
   }
 
