@@ -1542,9 +1542,19 @@ final class GraftTable(val tablePath: String) {
     else {
       val filled = missing.foldLeft(df) { case (d, (c, e)) =>
         d.withColumn(c, expr(e).cast(schema(c).dataType)) }
-      filled.select(
-        schema.fieldNames.filter(filled.columns.contains).toIndexedSeq.map(col): _*)
+      projectSchemaOrder(filled, schema)
     }
+  }
+
+  /** Project a filled frame into table-schema column order, KEEPING any
+    * columns outside the schema (a mergeSchema batch's new trailing
+    * fields must survive the fill — dropping them here would silently
+    * un-widen the append). */
+  private def projectSchemaOrder(
+      df: DataFrame, schema: StructType): DataFrame = {
+    val inSchema = schema.fieldNames.filter(df.columns.contains)
+    val extras = df.columns.filterNot(schema.fieldNames.contains)
+    df.select((inSchema ++ extras).toIndexedSeq.map(col): _*)
   }
 
   /** Validate the STAGED parquet of `adds` against `cons`; on violation
@@ -1635,8 +1645,7 @@ final class GraftTable(val tablePath: String) {
               .cast(snap0.schema(c).dataType))
         }
         if (idBase.isEmpty) idFilled
-        else idFilled.select(snap0.schema.fieldNames
-          .filter(idFilled.columns.contains).toIndexedSeq.map(col): _*)
+        else projectSchemaOrder(idFilled, snap0.schema)
       }
     val schemaJson0 =
       if (head0 > 0) commitSchemaFor(head0, df.schema, mergeSchema) else df.schema.json

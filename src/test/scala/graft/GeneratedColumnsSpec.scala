@@ -42,6 +42,18 @@ class GeneratedColumnsSpec extends SparkSpec {
     assert(t.read(spark).count() === 4L)
   }
 
+  test("a mergeSchema widen that omits the generated column fills AND widens") {
+    val t = freshTable("widen")
+    seed(t)
+    // new trailing column + omitted generated column, in one batch
+    t.append(Seq((2L, 20L, "tag")).toDF("id", "v", "note"),
+      mergeSchema = true, maxRetries = 20)
+    val rows = t.read(spark).orderBy("id").collect()
+    assert(rows.map(_.getLong(2)).toSeq === Seq(10L, 40L), "fill intact")
+    assert(rows.last.getString(3) === "tag", "the widen survives the fill")
+    assert(rows.head.isNullAt(3))
+  }
+
   test("overwrite keeps the table shape when omitting; upsert validates too") {
     val t = freshTable("paths")
     seed(t)

@@ -64,6 +64,20 @@ class IdentityColumnsSpec extends SparkSpec {
     t.renameColumn("id", "pk") // released
   }
 
+  test("a mergeSchema widen that omits the identity column still allocates") {
+    val t = freshTable("widen")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.setProperty("identity.id", "5")
+    // widened batch: new trailing column, identity omitted
+    t.append(Seq(("b", 3.5)).toDF("v", "score"), mergeSchema = true, maxRetries = 20)
+    val rows = t.read(spark).orderBy("id").collect()
+    assert(rows.length === 2)
+    assert(rows.last.getLong(0) >= 5L, "widen batch got an allocated id")
+    assert(rows.last.getDouble(2) === 3.5)
+    assert(rows.head.isNullAt(2), "pre-widen rows null-backfill")
+    assert(t.properties("identity.id").toLong > rows.last.getLong(0))
+  }
+
   test("overwrite is the escape hatch; syncIdentity re-bases from log stats") {
     val t = freshTable("sync")
     t.append(Seq((1L, "a")).toDF("id", "v"))

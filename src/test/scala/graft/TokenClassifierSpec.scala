@@ -48,6 +48,17 @@ class TokenClassifierSpec extends SparkSpec {
     assert(g.map(_.getDouble(2)).min > 0.0 && b.map(_.getDouble(2)).max < 0.0)
   }
 
+  test("degenerate fits stay finite: empty corpus and one-class corpus") {
+    val empty = Seq.empty[(String, Boolean)].toDF("text", "t")
+    val feats = TokenClassifier.unigramBuckets(col("text"), B)
+    val w0 = TokenClassifier.fitRatio(empty.select(col("t"), feats.as("f")), "f", "t", B)
+    assert(w0.forall(_ === 1.0), "no evidence -> uniform weights")
+    // one-class corpora skew every weight the same way, never NaN/Inf
+    val oneClass = Seq(("alpha beta", true)).toDF("text", "t")
+    val w1 = TokenClassifier.fitRatio(oneClass.select(col("t"), feats.as("f")), "f", "t", B)
+    assert(w1.forall(x => x > 0 && !x.isNaN && !x.isInfinite))
+  }
+
   test("logScore is the exact sum of per-bucket log weights") {
     val df = Seq("x y x").toDF("text")
     val feats = TokenClassifier.unigramBuckets(col("text"), B)
