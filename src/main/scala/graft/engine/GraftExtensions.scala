@@ -152,12 +152,22 @@ object GraftMetaTables {
         else sig.toSeq.sortBy(_._1).map { case (k, v) =>
           s"${k.stripPrefix(graft.medallion.PartitionSpec.Prefix)}=${v.getOrElse("*")}"
         }.mkString(", ")
-      val stats = a.stats.toSeq
-        .filterNot(_._1.startsWith(graft.medallion.PartitionSpec.Prefix))
-        .sortBy(_._1).map { case (c, cs) =>
-          val nulls = cs.nulls.map(n => s""","nulls":$n""").getOrElse("")
-          s""""$c":{"min":"${cs.min}","max":"${cs.max}"$nulls}"""
-        }.mkString("{", ",", "}")
+      // json4s render (as the commit serializer) — min/max/column names
+      // may carry quotes/backslashes/control chars; raw interpolation
+      // would emit invalid JSON
+      val stats = {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        JsonMethods.compact(JsonMethods.render(JObject(
+          a.stats.toSeq
+            .filterNot(_._1.startsWith(graft.medallion.PartitionSpec.Prefix))
+            .sortBy(_._1).map { case (c, cs) =>
+              c -> (JObject(List(
+                "min" -> (JString(cs.min): JValue),
+                "max" -> (JString(cs.max): JValue)) ++
+                cs.nulls.map(n => "nulls" -> (JLong(n): JValue)).toList): JValue)
+            }.toList)))
+      }
       Row(a.path, a.effectiveRows, a.dvRows, a.bytes,
         snap.addedIn.getOrElse(a.path, snap.version), partition, stats)
     }

@@ -21,7 +21,8 @@ import org.apache.spark.sql.expressions.Aggregator
   * 2 KiB per (file × column) and the relative error ≈ 1.04/√2048 ≈
   * 2.3%.
   */
-class HllAgg(p: Int) extends Aggregator[Long, Array[Byte], Array[Byte]] {
+class HllAgg(p: Int)
+    extends Aggregator[java.lang.Long, Array[Byte], Array[Byte]] {
   require(p >= 4 && p <= 16, s"HllAgg: p must be in [4,16], got $p")
 
   private val m = 1 << p
@@ -29,7 +30,13 @@ class HllAgg(p: Int) extends Aggregator[Long, Array[Byte], Array[Byte]] {
 
   override def zero: Array[Byte] = new Array[Byte](m)
 
-  override def reduce(buf: Array[Byte], h: Long): Array[Byte] = {
+  // null input = a NULL column value (the staging projection maps them
+  // to null rather than hashing them — Spark's xxhash64 returns its
+  // seed for NULL, which would register one phantom distinct value per
+  // file). Nulls contribute nothing, per the NDV contract.
+  override def reduce(buf: Array[Byte], hBoxed: java.lang.Long): Array[Byte] = {
+    if (hBoxed == null) return buf
+    val h = hBoxed.longValue()
     val idx = (h >>> (64 - p)).toInt
     val w = h << p
     val rank =

@@ -220,7 +220,13 @@ private[graft] object PartitionSpec {
         ((d.getYear - 1970) * 12 + d.getMonthValue - 1).toString)
       case "trunc" =>
         if (dt == StringType) v match {
-          case s: String => Some(s.take(t.arg))
+          // truncate by CODE POINTS, matching the write side's Spark
+          // `substring(c, 1, w)` (UTF8String counts code points, not
+          // UTF-16 units — `s.take(w)` would split differently on
+          // supplementary chars and mis-prune)
+          case s: String =>
+            val cps = s.codePointCount(0, s.length)
+            Some(s.substring(0, s.offsetByCodePoints(0, math.min(t.arg, cps))))
           case _ => None
         }
         else asLong.map(x => (Math.floorDiv(x, t.arg.toLong) * t.arg).toString)

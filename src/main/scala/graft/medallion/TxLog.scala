@@ -93,7 +93,8 @@ object TxLog {
         * opened, like COUNT/MIN/MAX. */
       sum: Option[String] = None) {
     private def cmp(a: String, b: String): Int =
-      if (kind == "num") BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+      if (kind == "num") BigDecimal(a).compare(BigDecimal(b))
+      else TxLog.utf8Cmp(a, b)
     /** Could any value in [min,max] fall inside [lo,hi] (inclusive)? */
     def overlaps(lo: Option[String], hi: Option[String]): Boolean =
       lo.forall(l => cmp(max, l) >= 0) && hi.forall(h => cmp(min, h) <= 0)
@@ -364,6 +365,36 @@ object TxLog {
     case n: java.lang.Number => new java.math.BigDecimal(n.toString).toPlainString
     case s: String => s
     case other => other.toString
+  }
+
+  /** Is "this file has NO stats entry for the column" proof the file is
+    * all-null on it? Only for types the writer ALWAYS records when
+    * non-null values exist: non-stats-able types (boolean, binary,
+    * array, struct, map) never get entries, and float/double entries
+    * are dropped when min/max lands on NaN/Infinity — for those,
+    * absence proves nothing and null counts must stay unknown. */
+  private[graft] def absenceMeansAllNull(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => false
+    case _: NumericType | StringType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** Compare two strings in UTF-8 BYTE order — the order Spark's
+    * UTF8String min/max aggregates use when the stats were written.
+    * Java `String.compareTo` is UTF-16 code-unit order, which diverges
+    * for supplementary characters (surrogates 0xD800–0xDFFF sort BELOW
+    * BMP chars in 0xE000–0xFFFF, but their code points sort above all
+    * of the BMP): comparing stored bounds with `compareTo` could prune
+    * a file that actually overlaps. Code-point order == UTF-8 byte
+    * order, so step by code point. */
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return java.lang.Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    java.lang.Integer.compare(a.length - i, b.length - j)
   }
 
   private[graft] def statsKind(dt: DataType): String = dt match {
@@ -694,6 +725,12 @@ object TxLog {
   */
 final class GraftTable(val tablePath: String) {
   import TxLog._
+
+  /** Test-only seam: runs after an append's files are staged but before
+    * its commit loop, letting specs interleave a concurrent commit into
+    * the stage→commit window deterministically (e.g. the identity
+    * property appearing mid-append). No-op in production. */
+  private[graft] var afterStageHook: () => Unit = () => ()
 
   private val root = Paths.get(new java.io.File(tablePath).getAbsolutePath)
   private def logDir: Path = root.resolve(LogDir)
@@ -1398,7 +1435,10 @@ final class GraftTable(val tablePath: String) {
         min(col(f.name)).as(s"_min_${f.name}"), max(col(f.name)).as(s"_max_${f.name}"),
         count(col(f.name)).as(s"_cnt_${f.name}")))) ++ // non-null count (NaN IS non-null)
       bloomPhys.map(p => bloomFn(xxhash64(col(p))).as(s"_bloom_$p")) ++
-      ndvPhys.map(p => hllFn(xxhash64(col(p))).as(s"_hll_$p")) ++
+      // nulls map to NULL (not hashed): xxhash64(NULL) is the seed, a
+      // phantom distinct value; the aggregator skips null inputs
+      ndvPhys.map(p =>
+        hllFn(when(col(p).isNotNull, xxhash64(col(p)))).as(s"_hll_$p")) ++
       sumPhys.map(p => sum(col(p).cast(DecimalType(38, 0))).as(s"_sum_$p"))) ++
       pTransforms.flatMap(t => Seq(
         min(PartitionSpec.column(t, pDt(t))).as(s"_pmin_${t.render}"),
@@ -1681,6 +1721,7 @@ final class GraftTable(val tablePath: String) {
       s0.constraints ++ generatedChecks(s0.props)
     } else Map.empty[String, String]
     enforceOnStaged(df.sparkSession, commitSchema(schemaJson0), adds, validated)
+    afterStageHook()
     def dropStaged(): Unit =
       adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
     var attempt = 0
@@ -1717,10 +1758,17 @@ final class GraftTable(val tablePath: String) {
       }
       // identity: the staged values were allocated against idBase — a
       // head whose `next` moved means a racing allocator; restage with
-      // fresh bases rather than committing overlapping ranges
-      val headProps = if (idBase.isEmpty) Map.empty[String, String]
-                      else snapshot(head).props
-      if (idBase.nonEmpty && identityCols(headProps) != idBase) {
+      // fresh bases rather than committing overlapping ranges. Re-read
+      // even when idBase was EMPTY at staging: a concurrent
+      // setProperty('identity.<c>') landing mid-flight would otherwise
+      // let a batch that PROVIDES c commit past ALWAYS semantics
+      // without advancing `next` — later allocations would collide.
+      val headProps =
+        if (head == head0 && idBase.isEmpty) Map.empty[String, String]
+        else snapshot(head).props
+      val headIds =
+        if (head == head0) idBase else identityCols(headProps)
+      if (headIds != idBase) {
         dropStaged()
         if (maxRetries - attempt <= 1) throw new ConcurrentWriteException(
           s"txlog: identity allocation kept racing at $tablePath")

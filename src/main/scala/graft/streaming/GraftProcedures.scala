@@ -145,10 +145,14 @@ object GraftProcedures {
         val phys = graft.medallion.TxLog.physicalOf(snap.schema, f.name)
         val entries = snap.files.flatMap(_.stats.get(phys))
         val ndv = t.approxCountDistinct(f.name, snap.version)
+        val absent = snap.files.filter(_.stats.get(phys).isEmpty)
+        // absence ⇒ all-null only for always-stats-able types (see
+        // TxLog.absenceMeansAllNull) — else the count is unknown
         val nulls =
-          if (!entries.forall(_.nulls.isDefined)) None
-          else Some(entries.flatMap(_.nulls).sum +
-            snap.files.filter(_.stats.get(phys).isEmpty).map(_.rows).sum)
+          if (!entries.forall(_.nulls.isDefined) ||
+              (absent.nonEmpty &&
+                !graft.medallion.TxLog.absenceMeansAllNull(f.dataType))) None
+          else Some(entries.flatMap(_.nulls).sum + absent.map(_.rows).sum)
         def pick(worst: Boolean): Option[String] =
           if (entries.isEmpty) None
           else if (entries.head.kind == "num") {
@@ -156,8 +160,11 @@ object GraftProcedures {
               BigDecimal(if (worst) e.max else e.min))
             Some((if (worst) vs.max else vs.min).bigDecimal.toPlainString)
           } else {
+            // UTF-8 byte order — the order the stats were written in
+            val ord = Ordering.fromLessThan[String](
+              graft.medallion.TxLog.utf8Cmp(_, _) < 0)
             val vs = entries.map(e => if (worst) e.max else e.min)
-            Some(if (worst) vs.max else vs.min)
+            Some(if (worst) vs.max(ord) else vs.min(ord))
           }
         // exact log sum only when EVERY value-bearing file carries it
         val sumStr =

@@ -603,12 +603,18 @@ final class GraftScan(
         val phys = TxLog.physicalOf(fullSchema, f.name)
         val entries = pruned.flatMap(_._1.stats.get(phys))
         // nulls: per-file counts where recorded, plus every row of a
-        // file with NO entry for the column (an all-null file)
-        val nullsKnown = entries.forall(_.nulls.isDefined)
+        // file with NO entry for the column (an all-null file). The
+        // absence⇒all-null inference is only sound for types the
+        // writer ALWAYS records stats for when non-null values exist:
+        // non-stats-able types (boolean/binary/array/struct) never get
+        // entries, and float/double entries are dropped when min/max
+        // is NaN/Infinity — for those, absence proves nothing.
+        val absent = pruned.filter(_._1.stats.get(phys).isEmpty)
+        val nullsKnown = entries.forall(_.nulls.isDefined) &&
+          (absent.isEmpty || TxLog.absenceMeansAllNull(f.dataType))
         val nulls =
           if (!nullsKnown) None
-          else Some(entries.flatMap(_.nulls).sum +
-            pruned.filter(_._1.stats.get(phys).isEmpty).map(_._1.rows).sum)
+          else Some(entries.flatMap(_.nulls).sum + absent.map(_._1.rows).sum)
         val ndv =
           if (entries.isEmpty || entries.exists(_.hll.isEmpty)) None
           else {

@@ -93,4 +93,38 @@ class IdentityColumnsSpec extends SparkSpec {
     assert(t.read(spark).select("id").collect().map(_.getLong(0))
       .distinct.length === 3)
   }
+
+  test("identity appearing MID-append is detected (stage→commit race)") {
+    // A concurrent setProperty('identity.id') lands after this append
+    // staged its files (which PROVIDE id): the commit loop must re-read
+    // identity columns at the live head and refuse ALWAYS semantics
+    // rather than commit values that skip `next` advancement.
+    val t = freshTable("midrace")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    val racer = new GraftTable(t.tablePath)
+    t.afterStageHook = () => {
+      t.afterStageHook = () => () // one-shot: the restage must not re-race
+      racer.setProperty("identity.id", "1000")
+    }
+    val err = intercept[IllegalArgumentException] {
+      t.append(Seq((99L, "x")).toDF("id", "v")) }
+    assert(err.getMessage.contains("IDENTITY"))
+    assert(t.read(spark).count() === 1L, "the racing append must not commit")
+
+    // ...and a mid-race batch NOT providing the column restages and
+    // allocates (the benign shape of the same race)
+    val t2 = freshTable("midrace2")
+    t2.append(Seq((1L, "a")).toDF("id", "v"))
+    val racer2 = new GraftTable(t2.tablePath)
+    t2.afterStageHook = () => {
+      t2.afterStageHook = () => ()
+      racer2.setProperty("identity.id", "500")
+    }
+    t2.append(Seq("b", "c").toDF("v"), mergeSchema = true, 20)
+    val ids = t2.read(spark).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.length === 3 && ids.distinct.length === 3)
+    assert(ids.filter(_ >= 500L).length === 2,
+      s"the restaged batch must allocate from the new base: ${ids.mkString(",")}")
+    assert(t2.properties("identity.id").toLong > ids.max)
+  }
 }

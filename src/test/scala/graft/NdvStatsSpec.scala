@@ -144,5 +144,47 @@ class NdvStatsSpec extends SparkSpec {
     assert(math.abs(e1 - 5000L) <= 250L, s"e1=$e1")
     assert(math.abs(eu - 7500L) <= 375L, s"union=$eu")
     assert(HllAgg.estimate(a.zero) === 0L)
+    // null input (a NULL column value) contributes nothing
+    assert(HllAgg.estimate(a.reduce(a.zero, null)) === 0L)
+  }
+
+  test("nulls contribute nothing to NDV (no phantom distinct per file)") {
+    val t = freshTable("nulls")
+    t.append(Seq(Option.empty[Long]).toDF("id"))
+    t.setProperty(TxLog.NdvColumnsProp, "id")
+    // 4 files, each: one real value (42) + many nulls. xxhash64(NULL)
+    // returns the seed — un-skipped, each sketch would register a
+    // phantom value and the union would answer 2, not 1.
+    (0 until 4).foreach { _ =>
+      t.append((Seq(Some(42L)) ++ Seq.fill(200)(Option.empty[Long]))
+        .toDF("id").coalesce(1))
+    }
+    t.overwrite(t.read(spark)) // rewrite so every live file is sketched
+    assert(t.approxCountDistinct("id").get === 1L,
+      "nulls must not register as a distinct value")
+  }
+
+  test("columnStats: absence of a stats entry is all-null proof only for " +
+      "always-stats-able types") {
+    val t = freshTable("absence")
+    // binary column: never stats-able — no entries ever; double column:
+    // entries are DROPPED when min/max is NaN — absence proves nothing
+    t.append(Seq((1L, Array[Byte](1, 2), Double.NaN),
+      (2L, Array[Byte](3), 1.5)).toDF("id", "b", "d"))
+    val df = spark.read.format("graft-table").load(t.tablePath)
+      .select("id", "b", "d")
+    df.count()
+    val gs = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.asInstanceOf[graft.streaming.GraftScan]
+    import scala.jdk.CollectionConverters.MapHasAsScala
+    val byName = gs.estimateStatistics().columnStats().asScala
+      .map { case (k, v) => k.describe() -> v }
+    assert(byName.get("b").forall(!_.nullCount().isPresent),
+      "a never-stats-able column must not report nullCount == rowCount")
+    assert(byName.get("d").forall(!_.nullCount().isPresent),
+      "a NaN-dropped double file must leave the null count unknown")
+    assert(byName("id").nullCount().getAsLong === 0L,
+      "always-stats-able columns keep their exact null counts")
   }
 }

@@ -370,5 +370,35 @@ class PartitionSpecSpec extends SparkSpec {
     assert(n <= 2 && total >= 4,
       s"post-rename day probe should still prune: $n of $total")
     assert(t.readRange(spark, "etime", Some(lo), Some(hi)).count() === 100L)
-  }
-} }
+  } }
+
+  test("supplementary characters: trunc probes and string bounds stay sound") { withoutCoalesce {
+    import spark.implicits._
+    // U+1F600 (😀) is a surrogate pair: UTF-16 code-unit order puts it
+    // BELOW U+FFFD, UTF-8/code-point order (what Spark's min/max used)
+    // puts it ABOVE. A probe truncated by UTF-16 units, or bounds
+    // compared with String.compareTo, silently drops matching files.
+    val smile = new String(Character.toChars(0x1F600))
+    val t = freshTable("supp")
+    t.append(Seq((1L, smile + "alpha")).toDF("id", "s"))
+    t.setProperty(PartitionSpec.Prop, "trunc(1,s)")
+    t.append(Seq((2L, smile + "beta"), (3L, smile + "gamma")).toDF("id", "s")
+      .coalesce(1))
+    t.append(Seq((4L, "�delta"), (5L, "ascii")).toDF("id", "s").coalesce(1))
+    val full = t.read(spark)
+    def check(lo: Option[Any], hi: Option[Any]): Unit = {
+      val want = full.filter((lo, hi) match {
+        case (Some(l), Some(u)) => col("s") >= lit(l) && col("s") <= lit(u)
+        case (Some(l), None) => col("s") >= lit(l)
+        case (None, Some(u)) => col("s") <= lit(u)
+        case _ => lit(true)
+      }).count()
+      val got = t.readRange(spark, "s", lo, hi).count()
+      assert(got === want, s"probe [$lo, $hi]: pruned=$got full=$want")
+    }
+    check(Some(smile + "beta"), Some(smile + "beta")) // point on a pair
+    check(Some("�"), None) // everything at/above U+FFFD includes 😀*
+    check(Some(smile), Some(smile + "zzz"))
+    check(None, Some("�")) // ascii + the U+FFFD row only
+  } }
+}

@@ -696,4 +696,20 @@ class TxLogSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
+
+  test("utf8Cmp matches UTF8String binary order, not String.compareTo") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val smile = new String(Character.toChars(0x1F600)) // U+1F600
+    val samples = Seq("", "a", "ab", "b", "é", "�", smile,
+      smile + "a", "a" + smile, "z￿", "z" + smile)
+    for (x <- samples; y <- samples) {
+      val want = Integer.signum(
+        UTF8String.fromString(x).compareTo(UTF8String.fromString(y)))
+      val got = Integer.signum(graft.medallion.TxLog.utf8Cmp(x, y))
+      assert(got === want, s"utf8Cmp('$x','$y') = $got, UTF8String order $want")
+    }
+    // the motivating divergence: compareTo inverts this pair
+    assert(graft.medallion.TxLog.utf8Cmp(smile, "�") > 0)
+    assert(smile.compareTo("�") < 0)
+  }
 }
