@@ -255,6 +255,15 @@ object TxLog {
     * both modes). */
   private[graft] val DeleteModeProp = "delete.mode"
   private[graft] val DeleteModeMor = "merge-on-read"
+  /** Table properties routing SQL `UPDATE` / `MERGE INTO` through the
+    * DELTA-based row-level write ([[GraftTable.commitDeltaRowLevel]])
+    * when set to `merge-on-read`: matched rows become deletion-vector
+    * entries on their source files and the post-image rows append as
+    * new files — ONE commit, zero data-file rewrites for DV-eligible
+    * files (Delta's DV-backed DML shape). Default: copy-on-write via
+    * the group-based rewrite. */
+  private[graft] val UpdateModeProp = "update.mode"
+  private[graft] val MergeModeProp = "merge.mode"
   /** Table property (`'true'`) turning on the CHANGE DATA FEED: every
     * row-mutating commit (upsert / delete / deleteRows / SQL row-level
     * DML) additionally stages its net row changes as parquet under
@@ -2772,6 +2781,148 @@ final class GraftTable(val tablePath: String) {
           "re-read and retry (a silent commit here would drop the concurrent writer's rows)")
     }
     (dvAdds.size, rewriteFiles.size, counts.values.sum, v)
+  }
+
+  /** Expand serialized per-file deletion bitmaps into `(__f, __i)`
+    * position rows EXECUTOR-side — a run-encoded RoaringBitmap holds
+    * millions of indexes in a few KiB, so driver-side expansion is the
+    * anti-pattern; here each bitmap ships compressed and explodes
+    * inside its task. */
+  private def positionsDf(
+      spark: SparkSession, bms: Seq[(String, Array[Byte])]): DataFrame = {
+    import spark.implicits._
+    bms.toDS().flatMap { case (f, bytes) =>
+      val bm = new org.roaringbitmap.RoaringBitmap()
+      bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+      val it = bm.getIntIterator
+      new Iterator[(String, Long)] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): (String, Long) = (f, it.next().toLong)
+      }
+    }.toDF("__f", "__i")
+  }
+
+  /** Commit a DELTA-based (merge-on-read) row-level write — the Delta
+    * DV-backed `UPDATE` / `MERGE` shape (cf. Delta protocol
+    * deletion-vector DML; Iceberg v2 position deltas): `newDeletes`
+    * are the rows this operation retired, as per-file serialized
+    * RoaringBitmaps over physical row indexes (built executor-side by
+    * [[graft.streaming.GraftDeltaRowLevelOperation]]'s writers);
+    * `insertStaged` are the already-written post-image / NOT-MATCHED
+    * parquet files. One serializable commit swaps each touched file
+    * for its DV'd copy and adopts the inserts — an UPDATE touching
+    * 0.1% of a 100 TB table moves no data bytes at all.
+    *
+    * The same [[DvMaxFractionProp]]/[[DvMaxBytesProp]] triage as
+    * [[deleteRows]] keeps DVs honest: an over-threshold file (or a
+    * fully-emptied one) is rewritten copy-on-write in the SAME commit,
+    * its survivors derived from the merged bitmap. `cdf.enabled`
+    * stages exact change rows: the newly-deleted positions' pre-images
+    * as `delete`, the insert files as `insert` (net-change semantics,
+    * same as the copy-on-write replace path). A moved head fails
+    * loudly — the deletes were computed against `readVersion`'s exact
+    * row positions. */
+  private[graft] def commitDeltaRowLevel(
+      spark: SparkSession, readVersion: Long,
+      newDeletes: Seq[(String, Array[Byte])],
+      insertStaged: Seq[java.nio.file.Path]): Long = {
+    val snap = snapshot(readVersion)
+    if (newDeletes.isEmpty && insertStaged.isEmpty) return snap.version
+    val byName = snap.files.map(a => a.path -> a).toMap
+    newDeletes.foreach { case (p, _) =>
+      require(byName.contains(p),
+        s"txlog: delta row-level write targets '$p' which version " +
+          s"$readVersion does not hold — stale scan") }
+    val maxFraction = snap.props.get(DvMaxFractionProp)
+      .map(_.toDouble).getOrElse(DvMaxFraction)
+    val maxBytes = snap.props.get(DvMaxBytesProp)
+      .map(_.toInt).getOrElse(DvMaxBytes)
+    val phys = physicalSchema(snap.schema)
+    val insertAdds = adoptStaged(spark, phys, insertStaged)
+    // the post-image / NOT-MATCHED rows are the only NEW values —
+    // validate them; DV'd survivors and rewrite-leg carry-overs are
+    // rows the table already held
+    enforceOnStaged(spark, snap.schema, insertAdds,
+      snap.constraints ++ generatedChecks(snap.props))
+    // merge this op's deletions into any existing DV, then triage:
+    // over-fraction / over-bytes / fully-emptied files rewrite instead
+    val merged: Seq[(String, org.roaringbitmap.RoaringBitmap)] =
+      newDeletes.sortBy(_._1).map { case (p, bytes) =>
+        val bm = new org.roaringbitmap.RoaringBitmap()
+        bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+        byName(p).dv.foreach(b64 => bm.or(dvDeserialize(b64)))
+        bm.runOptimize()
+        p -> bm
+      }
+    val (vectorized, over) = merged.partition { case (p, bm) =>
+      val a = byName(p)
+      bm.getLongCardinality < a.rows &&
+        bm.getLongCardinality.toDouble / a.rows <= maxFraction &&
+        bm.serializedSizeInBytes() <= maxBytes
+    }
+    val dvAdds = vectorized.map { case (p, bm) =>
+      byName(p).copy(dv = Some(dvSerialize(bm)), dvRows = bm.getLongCardinality) }
+    val cols = phys.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
+    def tagged(fs: Seq[AddFile]): DataFrame =
+      spark.read.schema(phys)
+        .parquet(fs.map(a => root.resolve(a.path).toString): _*)
+        .withColumn("__f",
+          substring_index(col("_metadata.file_path"), "/", -1))
+        .withColumn("__i", col("_metadata.row_index"))
+    def serialized(bm: org.roaringbitmap.RoaringBitmap): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(bm.serializedSizeInBytes())
+      bm.serialize(buf)
+      buf.array()
+    }
+    // copy-on-write leg: survivors = file minus MERGED bitmap (anti-
+    // join against executor-expanded positions — never driver longs)
+    val stagedAdds = if (over.isEmpty) Nil else
+      stageData(
+        tagged(over.map { case (p, _) => byName(p) })
+          .join(positionsDf(spark,
+            over.map { case (p, bm) => p -> serialized(bm) }),
+            Seq("__f", "__i"), "left_anti")
+          .select(cols: _*))
+    // cdf.enabled: newly-deleted positions' pre-images + insert rows
+    val cdc = if (!cdfEnabled(snap)) Nil else {
+      require(!snap.schema.fieldNames.contains(ChangeTypeCol),
+        s"txlog: cdf.enabled tables must not have a '$ChangeTypeCol' column")
+      val pre = if (newDeletes.isEmpty) None else Some(
+        tagged(merged.map { case (p, _) => byName(p) })
+          .join(positionsDf(spark, newDeletes), Seq("__f", "__i"), "left_semi")
+          .select(cols: _*)
+          .withColumn(ChangeTypeCol, lit("delete")))
+      val post = if (insertAdds.isEmpty) None else Some(
+        readPhysicalFiles(spark, phys, insertAdds)
+          .withColumn(ChangeTypeCol, lit("insert")))
+      (pre, post) match {
+        case (Some(a), Some(b)) => stageChanges(a.unionAll(b))
+        case (a, b) => a.orElse(b).map(stageChanges).getOrElse(Nil)
+      }
+    }
+    // provenance of DV'd survivors stays with their ORIGINAL commit —
+    // the operation changed which rows exist, not who wrote them
+    val addVersions = dvAdds.map(a =>
+      a.path -> snap.addedIn.getOrElse(a.path, snap.version)).toMap
+    val removes = merged.map(_._1)
+    val v = snap.version + 1
+    // manual CAS (not commitRewrite): its abort path deletes `adds`
+    // files, and dvAdds reference LIVE data files that must never be
+    // touched — same discipline as deleteRows
+    val won = latestVersion() == snap.version &&
+      tryCommit(v, "replace", snap.version, None,
+        dvAdds ++ stagedAdds ++ insertAdds, removes,
+        addVersions = addVersions, cdc = cdc)
+    if (!won) {
+      (stagedAdds ++ insertAdds).foreach(a =>
+        Files.deleteIfExists(root.resolve(a.path)))
+      cdc.foreach { case (p, _) => Files.deleteIfExists(root.resolve(p)) }
+      throw new ConcurrentWriteException(
+        s"txlog: row-level write read version $readVersion but head " +
+          "moved — re-run (a silent commit would drop the concurrent " +
+          "writer's rows)")
+    }
+    v
   }
 
   /** Materialize every deletion vector: each DV'd file is rewritten

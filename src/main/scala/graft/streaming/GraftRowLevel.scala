@@ -71,7 +71,7 @@ final class GraftRowLevelOperation(
       GraftTableV2.VersionCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRowLevelScanBuilder(this, tablePath, dataSchema, snapVersion)
+    new GraftRowLevelScanBuilder(Some(this), tablePath, dataSchema, snapVersion)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.schema().fieldNames.sameElements(dataSchema.fieldNames),
@@ -91,7 +91,7 @@ final class GraftRowLevelOperation(
 /** The candidate-group scan: pushed filters prune files, rows stay
   * whole (see [[GraftRowLevelOperation]] step 1). */
 private final class GraftRowLevelScanBuilder(
-    op: GraftRowLevelOperation, tablePath: String,
+    op: Option[GraftRowLevelOperation], tablePath: String,
     schema: StructType, snapVersion: Long)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -113,7 +113,7 @@ private final class GraftRowLevelScanBuilder(
 }
 
 private final class GraftRowLevelScan(
-    op: GraftRowLevelOperation, tablePath: String, schema: StructType,
+    op: Option[GraftRowLevelOperation], tablePath: String, schema: StructType,
     required: StructType, filters: Array[Filter], snapVersion: Long)
     extends Scan with SupportsRuntimeV2Filtering {
 
@@ -170,7 +170,7 @@ private final class GraftRowLevelScan(
     def currentFiles(): Seq[(TxLog.AddFile, Long)] = {
       val compiled = GraftTableV2.compileRuntimeFilters(table, schema, runtimeFilters)
       val alive = candidates.filter { case (a, v) => compiled.forall(_(a, v)) }
-      op.plannedFiles = Some(alive.map(_._1.path))
+      op.foreach(_.plannedFiles = Some(alive.map(_._1.path)))
       alive
     }
     // the group read: full rows of the candidate files, NO filters to
@@ -217,4 +217,257 @@ private final class GraftReplaceWrite(
       graft.core.Fs.rmTree(new java.io.File(stageDir)); ()
     }
   }
+}
+
+// ---------------------------------------------------------------------------
+// Delta-based (merge-on-read) row-level operations
+// ---------------------------------------------------------------------------
+
+/** Merge-on-read row-level operations through Spark's DELTA-based
+  * rewrite (`SupportsDelta`, the Iceberg position-delta API; semantics
+  * follow Delta Lake's deletion-vector DML): instead of rewriting every
+  * matched file group, the rewrite plan hands each matched row's
+  * POSITION (`_file`, `_pos` — the row-id metadata columns the scan
+  * serves) to this operation's writers, which fold them into per-file
+  * RoaringBitmaps executor-side and stage only the post-image /
+  * NOT-MATCHED rows as new parquet. The commit
+  * ([[graft.medallion.GraftTable.commitDeltaRowLevel]]) swaps each
+  * touched file for a DV'd copy of itself — a sparse UPDATE on a
+  * 100 TB table moves zero existing data bytes.
+  *
+  * Enabled per command by the `update.mode` / `merge.mode` /
+  * `delete.mode` = `merge-on-read` table properties; copy-on-write
+  * ([[GraftRowLevelOperation]]) stays the default and remains the
+  * fallback commit-side for DV-ineligible files (the
+  * `dv.maxFraction` / `dv.maxBytes` triage). */
+final class GraftDeltaRowLevelOperation(
+    tablePath: String, dataSchema: StructType,
+    cmd: RowLevelOperation.Command,
+    private[streaming] val snapVersion: Long)
+    extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft-table $cmd merge-on-read at $tablePath v$snapVersion"
+
+  /** Row identity = physical position: source file name + row index —
+    * exactly the deletion vectors' addressing domain. */
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column(GraftTableV2.FileCol),
+      org.apache.spark.sql.connector.expressions.Expressions.column(GraftTableV2.PosCol))
+
+  /** UPDATE arrives as one `update(meta, id, row)` call per row — no
+    * delete+insert split doubling the plan's row traffic. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRowLevelScanBuilder(None, tablePath, dataSchema, snapVersion)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder = {
+    // rows reaching insert()/update() carry the table's data columns
+    require(info.schema().fields.isEmpty ||
+        info.schema().fieldNames.sameElements(dataSchema.fieldNames),
+      s"graft-table $cmd: delta row schema ${info.schema().simpleString} " +
+        s"does not match the table's ${dataSchema.simpleString}")
+    val idSchema = info.rowIdSchema().orElseThrow(() =>
+      new IllegalStateException(
+        s"graft-table $cmd: delta write planned without a row-id schema"))
+    val fileOrd = idSchema.fieldIndex(GraftTableV2.FileCol)
+    val posOrd = idSchema.fieldIndex(GraftTableV2.PosCol)
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new GraftDeltaWrite(tablePath, snapVersion,
+          TxLog.physicalSchema(dataSchema), fileOrd, posOrd)
+    }
+  }
+}
+
+/** The delta write: executors stage post-image parquet (through
+  * Spark's own writer factory) and per-file deletion bitmaps; the
+  * driver merges bitmaps per file and commits once. Task bitmap sets
+  * above [[GraftDeltaWrite.InlineBitmapBytes]] spill to a manifest
+  * file in the staging dir and ship by PATH — commit-message traffic
+  * stays bounded no matter how many rows a task deleted. */
+private final class GraftDeltaWrite(
+    tablePath: String, snapVersion: Long, writeSchema: StructType,
+    fileOrd: Int, posOrd: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWrite {
+
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+    new org.apache.spark.sql.connector.write.DeltaBatchWrite {
+      private val stageDir =
+        s"$tablePath/_staged_mor_${UUID.randomUUID().toString.take(8)}"
+
+      override def createBatchWriterFactory(
+          info: PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+        new GraftDeltaWriterFactory(
+          org.apache.spark.sql.graft.ParquetWrites.factory(
+            SparkSession.active, writeSchema, stageDir),
+          stageDir, fileOrd, posOrd)
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val msgs = messages.toSeq.collect {
+          case m: GraftDeltaWrite.DeltaStaged => m }
+        // per-file OR across tasks (a file's deletes may arrive from
+        // many writers); bitmaps stream in one task-manifest at a time
+        val merged = scala.collection.mutable.LinkedHashMap
+          .empty[String, org.roaringbitmap.RoaringBitmap]
+        def fold(name: String, bytes: Array[Byte]): Unit = {
+          val bm = new org.roaringbitmap.RoaringBitmap()
+          bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+          merged.get(name) match {
+            case Some(acc) => acc.or(bm)
+            case None => merged.put(name, bm)
+          }
+        }
+        msgs.foreach { m =>
+          m.inlineDeletes.foreach { case (n, b) => fold(n, b) }
+          m.spilledDeletes.foreach { p =>
+            GraftDeltaWrite.readManifest(Paths.get(p)).foreach {
+              case (n, b) => fold(n, b) }
+          }
+        }
+        val deletes = merged.toSeq.map { case (n, bm) =>
+          bm.runOptimize()
+          val buf = java.nio.ByteBuffer.allocate(bm.serializedSizeInBytes())
+          bm.serialize(buf)
+          n -> buf.array()
+        }
+        new GraftTable(tablePath).commitDeltaRowLevel(
+          SparkSession.active, snapVersion, deletes,
+          msgs.flatMap(_.files).map(Paths.get(_)))
+        cleanupStage()
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        cleanupStage()
+
+      private def cleanupStage(): Unit = {
+        graft.core.Fs.rmTree(new java.io.File(stageDir)); ()
+      }
+    }
+}
+
+private[streaming] object GraftDeltaWrite {
+
+  /** Task bitmap payloads above this spill to a staging-dir manifest. */
+  val InlineBitmapBytes: Int = 1 << 22 // 4 MiB
+
+  /** One task's contribution: staged insert files + its per-file
+    * deletion bitmaps (inline, or spilled manifest paths). */
+  final case class DeltaStaged(
+      files: Seq[String], inlineDeletes: Seq[(String, Array[Byte])],
+      spilledDeletes: Seq[String]) extends WriterCommitMessage
+
+  /** Manifest format: repeated [nameLen int][nameUtf8][bmLen int][bm]. */
+  def writeManifest(
+      path: java.nio.file.Path, entries: Seq[(String, Array[Byte])]): Unit = {
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(path)))
+    try entries.foreach { case (n, b) =>
+      val nb = n.getBytes("UTF-8")
+      out.writeInt(nb.length); out.write(nb)
+      out.writeInt(b.length); out.write(b)
+    } finally out.close()
+  }
+
+  def readManifest(path: java.nio.file.Path): Seq[(String, Array[Byte])] = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(path)))
+    val acc = Seq.newBuilder[(String, Array[Byte])]
+    try {
+      while (in.available() > 0) {
+        val nb = new Array[Byte](in.readInt()); in.readFully(nb)
+        val bb = new Array[Byte](in.readInt()); in.readFully(bb)
+        acc += ((new String(nb, "UTF-8"), bb))
+      }
+      acc.result()
+    } finally in.close()
+  }
+}
+
+/** Per-task delta writer: inserts delegate to the shared parquet
+  * writer; deletes/updates fold `(_file, _pos)` row ids into per-file
+  * RoaringBitmaps (memory: one compressed bitmap per touched file per
+  * task — never a row-sized buffer). */
+private final class GraftDeltaWriterFactory(
+    inner: org.apache.spark.sql.graft.GraftParquetWriterFactory,
+    stageDir: String, fileOrd: Int, posOrd: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private val rows = inner.createWriter(partitionId, taskId)
+      private val bitmaps = scala.collection.mutable.LinkedHashMap
+        .empty[String, org.roaringbitmap.RoaringBitmap]
+
+      private def record(id: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        val file = id.getUTF8String(fileOrd).toString
+        val pos = id.getLong(posOrd)
+        require(pos <= Int.MaxValue.toLong,
+          s"graft-table: row index $pos of '$file' exceeds the deletion-" +
+            "vector domain (2^31 rows in one parquet file) — use " +
+            "copy-on-write mode for this table")
+        bitmaps.getOrElseUpdate(file,
+          new org.roaringbitmap.RoaringBitmap()).add(pos.toInt)
+      }
+
+      override def delete(
+          meta: org.apache.spark.sql.catalyst.InternalRow,
+          id: org.apache.spark.sql.catalyst.InternalRow): Unit = record(id)
+
+      override def update(
+          meta: org.apache.spark.sql.catalyst.InternalRow,
+          id: org.apache.spark.sql.catalyst.InternalRow,
+          row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        record(id)
+        rows.write(row)
+      }
+
+      override def insert(
+          row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        rows.write(row)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        val staged = rows.commit() match {
+          case org.apache.spark.sql.graft.ParquetWrites.StagedFiles(fs) => fs
+          case other => throw new IllegalStateException(
+            s"graft-table delta write: unexpected inner message $other")
+        }
+        val entries = bitmaps.toSeq.map { case (n, bm) =>
+          bm.runOptimize()
+          val buf = java.nio.ByteBuffer.allocate(bm.serializedSizeInBytes())
+          bm.serialize(buf)
+          n -> buf.array()
+        }
+        if (entries.map(_._2.length.toLong).sum <=
+            GraftDeltaWrite.InlineBitmapBytes.toLong)
+          GraftDeltaWrite.DeltaStaged(staged, entries, Nil)
+        else {
+          val p = Paths.get(stageDir,
+            s"dv-manifest-$partitionId-$taskId-" +
+              s"${UUID.randomUUID().toString.take(8)}.bin")
+          java.nio.file.Files.createDirectories(p.getParent)
+          GraftDeltaWrite.writeManifest(p, entries)
+          GraftDeltaWrite.DeltaStaged(staged, Nil, Seq(p.toString))
+        }
+      }
+
+      override def abort(): Unit = rows.abort()
+
+      override def close(): Unit = rows.close()
+    }
 }

@@ -671,9 +671,21 @@ final class GraftBatch(
 
   private val needVersion =
     syntheticVersion && required.fieldNames.contains(VersionCol)
-  private val innerRequired =
-    if (!syntheticVersion) required
-    else StructType(required.fields.filterNot(_.name == VersionCol))
+  // positional mode: the row-id metadata columns (_file/_pos) are only
+  // synthetic when the data schema does not claim the names
+  private def synthetic(name: String): Boolean =
+    !dataSchema.fieldNames.contains(name)
+  private val needFile =
+    required.fieldNames.contains(GraftTableV2.FileCol) &&
+      synthetic(GraftTableV2.FileCol)
+  private val needPos =
+    required.fieldNames.contains(GraftTableV2.PosCol) &&
+      synthetic(GraftTableV2.PosCol)
+  private val positional = needFile || needPos
+  private val innerRequired = StructType(required.fields.filterNot(f =>
+    (syntheticVersion && f.name == VersionCol) ||
+      (needFile && f.name == GraftTableV2.FileCol) ||
+      (needPos && f.name == GraftTableV2.PosCol)))
 
   // the delegated parquet reader sees PHYSICAL names on column-mapped
   // tables (files carry them); rows come back positionally, so the
@@ -695,6 +707,19 @@ final class GraftBatch(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val all = files()
+    // positional mode (_file/_pos required — the merge-on-read delta
+    // scan): EVERY file plans whole and unsplit through the filter-free
+    // factory so physical row indexes are exact; rows already deleted
+    // by an existing DV are skipped but still advance the position
+    // counter, keeping the served _pos aligned with the bitmaps
+    if (positional)
+      return all.map { case (a, v) =>
+        GraftPosPartition(
+          org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
+            spark, table.absoluteDataPath(a)),
+          1, if (needVersion) Some(v) else None, a.dv, a.path)
+          : InputPartition
+      }.toArray
     // files with a deletion vector leave the vectorized fast path: each
     // plans as ONE whole unsplit partition whose reader skips the DV'd
     // row indexes (see GraftVersionedReaderFactory)
@@ -743,6 +768,17 @@ final case class GraftDvPartition(
     inner: InputPartition, delegate: Int, version: Option[Long], dv: String)
     extends InputPartition
 
+/** One whole unsplit file served POSITIONALLY: every row carries its
+  * source file name (`_file`) and exact physical row index (`_pos`) —
+  * the merge-on-read row-level scan's row id. Rows in the existing
+  * deletion vector are skipped but still advance the index. The
+  * delegate must be filter-free (positions are only exact with no row
+  * group skipped underneath). */
+final case class GraftPosPartition(
+    inner: InputPartition, delegate: Int, version: Option[Long],
+    dv: Option[String], file: String)
+    extends InputPartition
+
 /** A plain inner partition FORCED onto the row path: Spark refuses to
   * mix columnar and row partitions in one BatchScan, so when a scan
   * plans any DV partition, its clean siblings ride through this
@@ -763,7 +799,7 @@ final case class GraftVersionedReaderFactory(
 
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case _: GraftVersionedPartition | _: GraftDvPartition |
-         _: GraftRowPartition => false
+         _: GraftRowPartition | _: GraftPosPartition => false
     case other => delegates(0).supportColumnarReads(other)
   }
 
@@ -823,6 +859,51 @@ final case class GraftVersionedReaderFactory(
           override def close(): Unit = inner.close()
         }
         dp.version.fold(skipping)(v => tagged(skipping, v))
+      case pp: GraftPosPartition =>
+        val inner = delegates(pp.delegate).createReader(pp.inner)
+        val bm = pp.dv.map(graft.medallion.TxLog.dvDeserialize)
+        // required-ordinal mapping: -1 version, -2 file, -3 pos
+        val mapping: Array[Int] = required.fields.map { f =>
+          if (f.name == GraftTableV2.VersionCol && pp.version.isDefined) -1
+          else if (f.name == GraftTableV2.FileCol &&
+            !innerRequired.fieldNames.contains(GraftTableV2.FileCol)) -2
+          else if (f.name == GraftTableV2.PosCol &&
+            !innerRequired.fieldNames.contains(GraftTableV2.PosCol)) -3
+          else innerRequired.fieldIndex(f.name)
+        }
+        val types: Array[DataType] = innerRequired.fields.map(_.dataType)
+        val fileConst =
+          org.apache.spark.unsafe.types.UTF8String.fromString(pp.file)
+        val version = pp.version.getOrElse(0L)
+        new PartitionReader[InternalRow] {
+          private var pos = -1L
+          override def next(): Boolean = {
+            while (inner.next()) {
+              pos += 1
+              if (bm.forall(b =>
+                  pos > Int.MaxValue.toLong || !b.contains(pos.toInt)))
+                return true
+            }
+            false
+          }
+          override def get(): InternalRow = {
+            val in = inner.get()
+            val out = new Array[Any](mapping.length)
+            var i = 0
+            while (i < mapping.length) {
+              val m = mapping(i)
+              out(i) =
+                if (m == -1) version
+                else if (m == -2) fileConst
+                else if (m == -3) pos
+                else if (in.isNullAt(m)) null
+                else in.get(m, types(m))
+              i += 1
+            }
+            new GenericInternalRow(out)
+          }
+          override def close(): Unit = inner.close()
+        }
       case rp: GraftRowPartition =>
         delegates(rp.delegate).createReader(rp.inner)
       case other => delegates(0).createReader(other)
@@ -1170,18 +1251,43 @@ final class GraftCatalogTable(
       s"graft-table: row-level ${info.command()} needs the _commit_version " +
         "metadata column, which a data column of the same name shadows " +
         "on this table — rename the data column or use the programmatic API")
+    // merge-on-read routing: the per-command mode property elects the
+    // DELTA-based operation (matched rows → deletion vectors, post-
+    // images → appends) — needing the _file/_pos row-id metadata
+    // columns, so a table whose data schema shadows them silently
+    // stays copy-on-write (correct either way, COW is never wrong)
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    val modeProp = info.command() match {
+      case Command.UPDATE => TxLog.UpdateModeProp
+      case Command.MERGE => TxLog.MergeModeProp
+      case _ => TxLog.DeleteModeProp
+    }
+    val mor =
+      Option(properties().get(modeProp)).contains(TxLog.DeleteModeMor) &&
+        metadataColumns().exists(_.name == GraftTableV2.FileCol)
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new GraftRowLevelOperation(tablePath, dataSchema, info.command(), snapVersion)
+        if (mor)
+          new GraftDeltaRowLevelOperation(
+            tablePath, dataSchema, info.command(), snapVersion)
+        else
+          new GraftRowLevelOperation(
+            tablePath, dataSchema, info.command(), snapVersion)
     }
   }
 
   /** Hidden when the data schema already claims the name (a silver
     * table that persisted a stream's provenance tag as real data must
-    * keep reading its own column). */
+    * keep reading its own column). `_file`/`_pos` ride along only with
+    * `_commit_version` unshadowed — the row-level machinery requires
+    * the full metadata set or none (see newRowLevelOperationBuilder). */
   override def metadataColumns(): Array[MetadataColumn] =
     if (dataSchema.fieldNames.contains(GraftTableV2.VersionCol)) Array.empty
-    else Array(GraftCatalogTable.CommitVersionColumn)
+    else Array[MetadataColumn](GraftCatalogTable.CommitVersionColumn) ++
+      (if (dataSchema.fieldNames.contains(GraftTableV2.FileCol) ||
+           dataSchema.fieldNames.contains(GraftTableV2.PosCol)) Array.empty[MetadataColumn]
+       else Array[MetadataColumn](
+         GraftCatalogTable.FileColumn, GraftCatalogTable.PosColumn))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(timeTravelTo.isEmpty,
@@ -1344,12 +1450,40 @@ object GraftCatalogTable {
     // columns the raw plan row, operation code included, would reach
     // the writer.)
   }
+
+  /** Row-position metadata columns (see [[GraftTableV2.FileCol]]):
+    * selecting either routes the scan through whole-file positional
+    * partitions — exact physical row indexes, the deletion vectors'
+    * addressing domain. */
+  private object FileColumn extends MetadataColumn {
+    override def name(): String = GraftTableV2.FileCol
+    override def dataType: DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "source data file name of each row"
+  }
+
+  private object PosColumn extends MetadataColumn {
+    override def name(): String = GraftTableV2.PosCol
+    override def dataType: DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "physical row index of each row within its source file"
+  }
 }
 
 object GraftTableV2 {
 
   /** The provenance column every graft-table read carries. */
   val VersionCol = "_commit_version"
+
+  /** Row-position metadata columns (the Iceberg `_file` / `_pos`
+    * shape): source file name and PHYSICAL row index within it — the
+    * addressing domain of the deletion vectors, and the row id the
+    * merge-on-read row-level operations key their delta writes by.
+    * Serving them forces whole-file row-order scans (positions must be
+    * exact), so they cost nothing unless actually selected. */
+  val FileCol = "_file"
+  val PosCol = "_pos"
 
   /** The read schema: committed columns + `_commit_version`, resolved
     * at `versionAsOf` when time-traveling (the THEN-current schema).

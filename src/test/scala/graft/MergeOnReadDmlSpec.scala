@@ -1,0 +1,220 @@
+package graft
+
+import graft.medallion.{GraftTable, TxLog}
+import graft.streaming.GraftCatalog
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read UPDATE / MERGE / DELETE (`update.mode` / `merge.mode`
+  * / `delete.mode` = `merge-on-read`): SQL row-level DML through the
+  * DELTA-based rewrite — matched rows become deletion-vector entries on
+  * their source files, post-images append as new files, ONE commit,
+  * zero data-file rewrites for DV-eligible files (the Delta DV-backed
+  * DML shape; Iceberg v2 position deltas). */
+class MergeOnReadDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWarehouse(): String =
+    new java.io.File(
+      s"target/tmp/mor_${java.util.UUID.randomUUID().toString.take(8)}")
+      .getAbsolutePath
+
+  private def withCatalog(name: String)(body: String => Unit): Unit = {
+    val wh = freshWarehouse()
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    try body(wh)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$name")
+      spark.conf.unset(s"spark.sql.catalog.$name.warehouse")
+    }
+  }
+
+  test("sparse UPDATE commits zero data-file rewrites (DV + post-image append)") {
+    withCatalog("mor1") { wh =>
+      val t = new GraftTable(s"$wh/db/t")
+      // 4 files x 50 rows; a 1-row update must NOT rewrite any of them
+      (0 until 4).foreach { f =>
+        t.append((0 until 50).map(i =>
+          (f * 50L + i, s"v${f * 50 + i}", i.toDouble)).toDF("id", "s", "x")
+          .coalesce(1))
+      }
+      t.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
+      val before = t.snapshot()
+      assert(before.files.size === 4)
+
+      spark.sql("UPDATE mor1.db.t SET s = upper(s), x = x + 0.5 WHERE id = 77")
+
+      val after = t.snapshot()
+      // every pre-existing data file is STILL LIVE (one now carries a
+      // DV); the only new file is the single post-image append
+      val beforePaths = before.files.map(_.path).toSet
+      val kept = after.files.filter(a => beforePaths.contains(a.path))
+      require(kept.size === 4,
+        s"a sparse merge-on-read UPDATE must rewrite zero data files " +
+          s"(kept ${kept.size} of 4)")
+      assert(kept.count(_.dv.isDefined) === 1, "exactly one file is DV'd")
+      assert(kept.filter(_.dv.isDefined).head.dvRows === 1L)
+      val fresh = after.files.filterNot(a => beforePaths.contains(a.path))
+      assert(fresh.size === 1 && fresh.head.rows === 1L,
+        s"one post-image file of one row, got $fresh")
+
+      // read-back: exact
+      assert(spark.sql("SELECT s, x FROM mor1.db.t WHERE id = 77").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq === Seq(("V77", 27.5)))
+      assert(spark.sql("SELECT count(*) FROM mor1.db.t").head().getLong(0) === 200L)
+      assert(spark.sql("SELECT sum(id) FROM mor1.db.t").head().getLong(0) ===
+        (0L until 200L).sum)
+
+      // provenance: survivors keep their original commit version, the
+      // post-image row minted a fresh one
+      val vOf = spark.sql(
+        "SELECT id, _commit_version FROM mor1.db.t WHERE id IN (76, 77)")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(vOf(76L) === 2L, "untouched neighbor keeps its append version")
+      assert(vOf(77L) === after.version, "the post-image is the DML commit's row")
+    }
+  }
+
+  test("MERGE INTO merge-on-read: matched -> DV + post-image, not-matched -> insert") {
+    withCatalog("mor2") { wh =>
+      val t = new GraftTable(s"$wh/db/t")
+      t.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "s", "x").coalesce(1))
+      t.append(Seq((10L, "j", 100.0), (11L, "k", 110.0)).toDF("id", "s", "x").coalesce(1))
+      t.setProperty(TxLog.MergeModeProp, TxLog.DeleteModeMor)
+      val before = t.snapshot()
+      Seq((2L, 99.0), (7L, 70.0)).toDF("mid", "mx").createOrReplaceTempView("mor2_src")
+      try {
+        spark.sql("""MERGE INTO mor2.db.t AS tgt USING mor2_src AS src
+                     ON tgt.id = src.mid
+                     WHEN MATCHED THEN UPDATE SET x = src.mx
+                     WHEN NOT MATCHED THEN INSERT (id, s, x) VALUES (src.mid, 'new', src.mx)""")
+      } finally spark.catalog.dropTempView("mor2_src")
+      val after = t.snapshot()
+      val beforePaths = before.files.map(_.path).toSet
+      require(before.files.forall(a =>
+        after.files.exists(_.path == a.path)),
+        "merge-on-read MERGE must keep every pre-existing data file live")
+      assert(after.files.count(a =>
+        beforePaths.contains(a.path) && a.dv.isDefined) === 1,
+        "only the matched file carries a DV")
+      assert(spark.sql("SELECT id, s, x FROM mor2.db.t ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+        === Seq((1L, "a", 10.0), (2L, "b", 99.0), (7L, "new", 70.0),
+          (10L, "j", 100.0), (11L, "k", 110.0)))
+    }
+  }
+
+  test("subquery DELETE under delete.mode=merge-on-read vectorizes too") {
+    withCatalog("mor3") { wh =>
+      val t = new GraftTable(s"$wh/db/t")
+      t.append((0L until 100L).map(i => (i, s"d$i")).toDF("id", "s").coalesce(1))
+      t.setProperty(TxLog.DeleteModeProp, TxLog.DeleteModeMor)
+      Seq(3L, 50L, 98L).toDF("kid").createOrReplaceTempView("mor3_kill")
+      try {
+        // IN-subquery: not expressible as V1 filters, so it bypasses
+        // canDeleteWhere/deleteRows and lands on the row-level path —
+        // which under merge-on-read is the delta operation
+        spark.sql(
+          "DELETE FROM mor3.db.t WHERE id IN (SELECT kid FROM mor3_kill)")
+      } finally spark.catalog.dropTempView("mor3_kill")
+      val after = t.snapshot()
+      assert(after.files.size === 1 && after.files.head.dv.isDefined,
+        s"the file must survive with a DV, got ${after.files}")
+      assert(after.files.head.dvRows === 3L)
+      assert(spark.sql("SELECT count(*) FROM mor3.db.t").head().getLong(0) === 97L)
+      assert(spark.sql("SELECT count(*) FROM mor3.db.t WHERE id IN (3, 50, 98)")
+        .head().getLong(0) === 0L)
+    }
+  }
+
+  test("CDF serves exact pre/post images across a merge-on-read UPDATE") {
+    withCatalog("mor4") { wh =>
+      val t = new GraftTable(s"$wh/db/t")
+      t.append((0L until 20L).map(i => (i, i * 1.0)).toDF("id", "x").coalesce(1))
+      t.setProperty(TxLog.CdfEnabledProp, "true")
+      t.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
+      val v0 = t.latestVersion()
+      spark.sql("UPDATE mor4.db.t SET x = x * 10 WHERE id IN (5, 6)")
+      val feed = t.readChangeFeed(spark, sinceVersion = v0)
+        .select("id", "x", TxLog.ChangeTypeCol).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(feed === Set(
+        (5L, 5.0, "delete"), (6L, 6.0, "delete"),
+        (5L, 50.0, "insert"), (6L, 60.0, "insert")),
+        s"feed must be the exact pre/post pairs, got $feed")
+      // fold invariant: since-snapshot + feed == head snapshot
+      val folded = (0L until 20L).map(i =>
+        if (i == 5L || i == 6L) (i, i * 10.0) else (i, i * 1.0)).toSet
+      assert(spark.sql("SELECT id, x FROM mor4.db.t").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet === folded)
+    }
+  }
+
+  test("triage: an over-fraction file rewrites copy-on-write in the same commit") {
+    withCatalog("mor5") { wh =>
+      val t = new GraftTable(s"$wh/db/t")
+      t.append((0L until 100L).map(i => (i, i * 1.0)).toDF("id", "x").coalesce(1))
+      t.append((100L until 200L).map(i => (i, i * 1.0)).toDF("id", "x").coalesce(1))
+      t.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
+      val before = t.snapshot()
+      // updates 80% of file 1 (over dv.maxFraction=0.5) and 2% of file 2
+      spark.sql("UPDATE mor5.db.t SET x = -1.0 WHERE id < 80 OR id IN (150, 151)")
+      val after = t.snapshot()
+      val beforePaths = before.files.map(_.path).toSet
+      // file 1 was rewritten (gone); file 2 survives with a 2-row DV
+      val kept = after.files.filter(a => beforePaths.contains(a.path))
+      assert(kept.size === 1 && kept.head.dv.isDefined &&
+        kept.head.dvRows === 2L,
+        s"the lightly-touched file must vectorize, got $kept")
+      assert(spark.sql("SELECT count(*) FROM mor5.db.t WHERE x = -1.0")
+        .head().getLong(0) === 82L)
+      assert(spark.sql("SELECT count(*) FROM mor5.db.t").head().getLong(0) === 200L)
+    }
+  }
+
+  test("purge launders MOR-update DVs; _file/_pos metadata columns serve reads") {
+    withCatalog("mor6") { wh =>
+      val t = new GraftTable(s"$wh/db/t")
+      t.append((0L until 30L).map(i => (i, s"p$i")).toDF("id", "s").coalesce(1))
+      t.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
+      spark.sql("UPDATE mor6.db.t SET s = 'UP' WHERE id = 7")
+      assert(t.snapshot().files.exists(_.dv.isDefined))
+      // _file/_pos are selectable metadata columns; the updated row
+      // lives in the NEW post-image file at position 0
+      val rows = spark.sql(
+        "SELECT id, _file, _pos FROM mor6.db.t WHERE id IN (6, 7)")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(rows(6L)._2 === 6L, "survivor keeps its physical position")
+      assert(rows(7L)._2 === 0L && rows(7L)._1 != rows(6L)._1,
+        "the post-image row sits at position 0 of a new file")
+      val (purged, _, _) = t.purgeDeletes(spark)
+      assert(purged === 1)
+      assert(t.snapshot().files.forall(_.dv.isEmpty))
+      assert(spark.sql("SELECT s FROM mor6.db.t WHERE id = 7").head().getString(0) === "UP")
+      assert(spark.sql("SELECT count(*) FROM mor6.db.t").head().getLong(0) === 30L)
+    }
+  }
+
+  test("second MOR update ORs into the existing DV; positions stay exact") {
+    withCatalog("mor7") { wh =>
+      val t = new GraftTable(s"$wh/db/t")
+      t.append((0L until 50L).map(i => (i, i * 1.0)).toDF("id", "x").coalesce(1))
+      t.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
+      spark.sql("UPDATE mor7.db.t SET x = -1.0 WHERE id = 10")
+      spark.sql("UPDATE mor7.db.t SET x = -2.0 WHERE id = 20")
+      // the original file survives both updates, DVs merged
+      val orig = t.snapshot().files.filter(_.path.startsWith("part-"))
+        .filter(_.dv.isDefined)
+      assert(orig.exists(_.dvRows === 2L),
+        s"successive updates must OR into one bitmap: ${t.snapshot().files}")
+      // update the ALREADY-updated row (it lives in a post-image file
+      // now): positions served for that file must be exact too
+      spark.sql("UPDATE mor7.db.t SET x = -3.0 WHERE id = 10")
+      assert(spark.sql("SELECT x FROM mor7.db.t WHERE id = 10").head().getDouble(0) === -3.0)
+      assert(spark.sql("SELECT x FROM mor7.db.t WHERE id = 20").head().getDouble(0) === -2.0)
+      assert(spark.sql("SELECT count(*) FROM mor7.db.t").head().getLong(0) === 50L)
+      assert(spark.sql("SELECT sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) FROM mor7.db.t")
+        .head().getLong(0) === 2L)
+    }
+  }
+}
