@@ -2030,6 +2030,74 @@ object PipelineOps {
     agg
   }
 
+  // --------------------------------------------------------------------
+  // q142 — merge-on-read UPDATE through SQL (`update.mode =
+  // merge-on-read`, the Delta DV-backed DML shape): a sparse UPDATE
+  // (~1% of rows) on a multi-file orders table must commit as
+  // deletion-vector entries + a post-image append — ZERO data-file
+  // rewrites (require'd) — with the change feed serving the exact
+  // pre/post pair count, and a purge laundering the DVs back out
+  // without changing a single row. 100 TB story: the commit moves
+  // (changed rows) bytes, never (touched files) bytes — the
+  // write-amplification gap copy-on-write leaves open.
+  def q142SqlMorUpdate(s: SparkSession, dir: String): DataFrame = {
+    val wh = s"${scratch("morupd", dir)}/warehouse"
+    graft.core.Fs.rmTree(new java.io.File(wh))
+    val cat = s"gq142_${math.abs(wh.hashCode).toString.take(8)}"
+    graft.api.Graft.registerCatalog(s, cat, wh)
+    try {
+      lake(s, dir).orders
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .createOrReplaceTempView("q142_src")
+      s.sql(s"CREATE TABLE $cat.d.ord (o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE, o_orderstatus STRING)")
+      (0 to 3).foreach(i => s.sql(
+        s"""INSERT INTO $cat.d.ord
+           SELECT o_orderkey, o_totalprice, o_orderstatus FROM q142_src
+           WHERE o_orderkey % 4 = $i"""))
+      s.sql(s"ALTER TABLE $cat.d.ord SET TBLPROPERTIES " +
+        s"('${graft.medallion.TxLog.CdfEnabledProp}' = 'true', " +
+        s"'${graft.medallion.TxLog.UpdateModeProp}' = " +
+        s"'${graft.medallion.TxLog.DeleteModeMor}')")
+      val t = new graft.medallion.GraftTable(s"$wh/d/ord")
+      val filesBefore = t.snapshot().files.map(_.path).toSet
+      val v0 = t.latestVersion()
+      s.sql(s"UPDATE $cat.d.ord SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderkey % 97 = 0")
+      val snap = t.snapshot()
+      require(filesBefore.subsetOf(snap.files.map(_.path).toSet),
+        "a sparse merge-on-read UPDATE must rewrite ZERO data files — " +
+          "every pre-update file stays live (matched ones gain a DV)")
+      require(snap.files.exists(_.dv.isDefined),
+        "the update must have landed as deletion vectors")
+      // the feed serves the exact pre/post pair per updated row
+      val nChanges = t.readChangeFeed(s, sinceVersion = v0).count()
+      // purge: DVs materialize out, rows stay byte-identical
+      t.purgeDeletes(s)
+      require(t.snapshot().files.forall(_.dv.isEmpty),
+        "purge must launder every deletion vector")
+      s.sql(s"""SELECT o_orderkey, o_totalprice, o_orderstatus,
+                       CAST($nChanges AS BIGINT) AS n_changes
+               FROM $cat.d.ord ORDER BY o_orderkey""")
+    } finally {
+      s.catalog.dropTempView("q142_src")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  private val q142Oracle =
+    """WITH upd AS (
+         SELECT o_orderkey,
+                CASE WHEN o_orderkey % 97 = 0
+                     THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+                o_orderstatus
+         FROM orders)
+       SELECT o_orderkey, o_totalprice, o_orderstatus,
+              (SELECT CAST(2 * count(*) AS BIGINT) FROM orders
+               WHERE o_orderkey % 97 = 0) AS n_changes
+       FROM upd ORDER BY o_orderkey"""
+
   private val q141Oracle =
     """SELECT CAST(count(*) AS BIGINT) AS n_rows,
               CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
@@ -2037,6 +2105,7 @@ object PipelineOps {
        FROM orders"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_sql_mor_update" -> (q142SqlMorUpdate _),
     "q141_metadata_sum" -> (q141MetadataSum _),
     "q139_generated_columns" -> (q139GeneratedColumns _),
     "q136_hidden_partitioning" -> (q136HiddenPartitioning _),
@@ -2075,6 +2144,7 @@ object PipelineOps {
     "q127_bloom_lookup" -> (q127BloomLookup _))
 
   val oracle: Map[String, String] = Map(
+    "q142_sql_mor_update" -> q142Oracle,
     "q141_metadata_sum" -> q141Oracle,
     "q139_generated_columns" -> q139Oracle,
     "q136_hidden_partitioning" -> q136Oracle,
