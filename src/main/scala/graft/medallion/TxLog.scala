@@ -264,6 +264,15 @@ object TxLog {
     * the group-based rewrite. */
   private[graft] val UpdateModeProp = "update.mode"
   private[graft] val MergeModeProp = "merge.mode"
+  /** Table property: auto-checkpoint the commit log every N commits
+    * (Delta's every-10-commits shape; default [[CheckpointIntervalDefault]],
+    * `0` disables). Checked best-effort after each successful commit —
+    * a raced or failed checkpoint never fails the batch — so a
+    * streaming ingest accumulating thousands of commits keeps snapshot
+    * resolution at O(interval) log reads without an operator ever
+    * running `CALL system.checkpoint`. */
+  private[graft] val CheckpointIntervalProp = "checkpoint.interval"
+  private[graft] val CheckpointIntervalDefault = 20
   /** Table property (`'true'`) turning on the CHANGE DATA FEED: every
     * row-mutating commit (upsert / delete / deleteRows / SQL row-level
     * DML) additionally stages its net row changes as parquet under
@@ -1556,7 +1565,7 @@ final class GraftTable(val tablePath: String) {
       cdcFull: Seq[String] = Nil,
       mergeKey: Option[String] = None): Boolean = {
     ensureDirs()
-    putIfAbsent(
+    val won = putIfAbsent(
       renderCommit(op, readVersion, schemaJson, adds, removes, txns,
         addVersions = addVersions,
         constraints = constraints,
@@ -1567,6 +1576,8 @@ final class GraftTable(val tablePath: String) {
         props = props,
         cdc = cdc, cdcFull = cdcFull, mergeKey = mergeKey),
       versionFile(version))
+    if (won) autoCheckpointIfDue(version)
+    won
   }
 
   /** Fail loudly if any row of `df` VIOLATES a constraint (evaluates it
@@ -2331,6 +2342,15 @@ final class GraftTable(val tablePath: String) {
           s"txlog: $BloomBitsProp must be a multiple of 8 in [64, 2^28], got $bits")
       }
       if (name == PartitionSpec.Prop) PartitionSpec.validate(value, snap.schema)
+      if (name == CheckpointIntervalProp) {
+        val n = try value.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"txlog: $CheckpointIntervalProp must be an integer commit " +
+              s"count (0 disables), got '$value'")
+        }
+        require(n >= 0,
+          s"txlog: $CheckpointIntervalProp must be >= 0, got $n")
+      }
       if (name == SumColumnsProp) {
         val schema = snap.schema
         value.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
@@ -3144,8 +3164,9 @@ final class GraftTable(val tablePath: String) {
     * the checkpoint content for a version is deterministic, and the hint
     * is advisory. Snapshot resolution after this reads one checkpoint +
     * the commit suffix instead of the whole log. */
-  def checkpoint(): Long = {
-    val snap = snapshot()
+  def checkpoint(): Long = checkpointAt(snapshot())
+
+  private def checkpointAt(snap: Snapshot): Long = {
     // the constraints line appears only when the set is non-empty: a
     // full-state checkpoint with NO line means "none" on replay anyway,
     // and omitting it keeps constraint-free tables' checkpoints readable
@@ -3164,6 +3185,22 @@ final class GraftTable(val tablePath: String) {
       StandardCopyOption.REPLACE_EXISTING)
     snap.version
   }
+
+  /** Best-effort auto-checkpoint (see [[TxLog.CheckpointIntervalProp]]):
+    * runs after a commit WON at `committed`; any failure or race is
+    * swallowed — the data commit already happened, a missed checkpoint
+    * only defers the next one. The snapshot walk this performs is
+    * itself O(interval) once checkpoints exist. */
+  private def autoCheckpointIfDue(committed: Long): Unit =
+    try {
+      val last = checkpointAtOrBefore(committed).getOrElse(0L)
+      if (committed > last) {
+        val snap = snapshot(committed)
+        val interval = snap.props.get(CheckpointIntervalProp)
+          .map(_.trim.toInt).getOrElse(CheckpointIntervalDefault)
+        if (interval > 0 && committed - last >= interval) { checkpointAt(snap); () }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Delete data files no version in (head−retainVersions, head] can
     * reach — both files removed by old commits and never-committed

@@ -697,6 +697,61 @@ class TxLogSpec extends SparkSpec {
     assert(rows === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("auto-checkpoint: the log checkpoints itself every interval commits") {
+    def checkpoints(tt: GraftTable): Seq[Long] = {
+      val dir = Paths.get(tt.tablePath, TxLog.LogDir)
+      if (!Files.exists(dir)) Nil
+      else {
+        val it = Files.list(dir)
+        try {
+          val b = Seq.newBuilder[Long]
+          it.forEach(p => {
+            val n = p.getFileName.toString
+            if (n.endsWith(".checkpoint.json"))
+              b += n.stripSuffix(".checkpoint.json").toLong
+          })
+          b.result().sorted
+        } finally it.close()
+      }
+    }
+    val t = freshTable("autockpt")
+    // a 100-commit ingest: checkpoints appear at the default interval
+    // (20) with NO operator intervention, so snapshot resolution
+    // replays a bounded suffix, never the whole log
+    (1 to 100).foreach(i => t.append(df(Seq(i.toLong -> s"v$i"))))
+    val cps = checkpoints(t)
+    assert(cps.nonEmpty, "100 commits must have auto-checkpointed")
+    assert(cps.max >= 80L,
+      s"head 100 must resolve through a recent checkpoint, newest: ${cps.max}")
+    assert(cps.size >= 4 && cps.size <= 7,
+      s"~every-20 cadence expected over 100 commits, got $cps")
+    // the replayed suffix is head - newestCheckpoint <= interval
+    assert(100L - cps.max <= 20L)
+    assert(t.read(spark).count() === 100L)
+
+    // a custom interval tightens the cadence
+    val t2 = freshTable("autockpt5")
+    t2.append(df(Seq(0L -> "seed")))
+    t2.setProperty(TxLog.CheckpointIntervalProp, "5")
+    (1 to 12).foreach(i => t2.append(df(Seq(i.toLong -> s"v$i"))))
+    val cps2 = checkpoints(t2)
+    assert(cps2.nonEmpty && (14L - cps2.max) <= 5L,
+      s"interval=5 must keep the suffix <= 5, got $cps2 (head 14)")
+
+    // interval=0 disables; explicit checkpoint() still works
+    val t3 = freshTable("autockpt0")
+    t3.append(df(Seq(0L -> "seed")))
+    t3.setProperty(TxLog.CheckpointIntervalProp, "0")
+    (1 to 30).foreach(i => t3.append(df(Seq(i.toLong -> s"v$i"))))
+    assert(checkpoints(t3).isEmpty, "interval=0 must never auto-checkpoint")
+    val cv = t3.checkpoint()
+    assert(cv === 32L && checkpoints(t3) === Seq(32L))
+    intercept[IllegalArgumentException] {
+      t3.setProperty(TxLog.CheckpointIntervalProp, "-1") }
+    intercept[IllegalArgumentException] {
+      t3.setProperty(TxLog.CheckpointIntervalProp, "often") }
+  }
+
   test("utf8Cmp matches UTF8String binary order, not String.compareTo") {
     import org.apache.spark.unsafe.types.UTF8String
     val smile = new String(Character.toChars(0x1F600)) // U+1F600
