@@ -273,6 +273,11 @@ object TxLog {
     * running `CALL system.checkpoint`. */
   private[graft] val CheckpointIntervalProp = "checkpoint.interval"
   private[graft] val CheckpointIntervalDefault = 20
+  /** Table property (`'true'`) opting in to metadata-only TYPE
+    * WIDENING ([[GraftTable.widenColumn]] — Delta 3.2's typeWidening
+    * shape). Off by default: a widened schema requires every reader to
+    * up-cast old files at scan time, so the format bump is explicit. */
+  private[graft] val TypeWideningProp = "type.widening"
   /** Table property (`'true'`) turning on the CHANGE DATA FEED: every
     * row-mutating commit (upsert / delete / deleteRows / SQL row-level
     * DML) additionally stages its net row changes as parquet under
@@ -572,17 +577,22 @@ object TxLog {
     * confinement, same policy as the feature actions themselves). */
   private[graft] val SupportedReaderFeatures: Set[String] = Set(
     "deletionVectors", "changeDataFeed", "checkConstraints",
-    "tableProperties", "columnMapping")
+    "tableProperties", "columnMapping", "typeWidening")
 
   /** The reader features a commit's CONTENT requires — derived, not
     * declared, so the protocol line can never drift from the actions it
     * gates. Deterministic (sorted emission) for checkpoint bytes. */
   private[graft] def requiredFeatures(
-      schemaJson: Option[String], adds: Seq[AddFile],
+      op: String, schemaJson: Option[String], adds: Seq[AddFile],
       constraints: Option[Map[String, String]],
       props: Option[Map[String, String]],
       cdc: Seq[(String, Long)], cdcFull: Seq[String]): Seq[String] =
     (Seq(
+      // the widen commit is the first point a reader MUST up-cast old
+      // parquet bytes into the widened schema — gate it by name there
+      // (the one op-derived feature: the widened schema json alone is
+      // indistinguishable from a table created wide)
+      if (op == "widen") Some("typeWidening") else None,
       if (adds.exists(_.dv.isDefined)) Some("deletionVectors") else None,
       if (cdc.nonEmpty || cdcFull.nonEmpty) Some("changeDataFeed") else None,
       // feature follows the ACTION's presence: an empty full-replacement
@@ -623,7 +633,7 @@ object TxLog {
           mergeKey.toList.map(k => "key" -> (JString(k): JValue)))) ::
       // protocol line FIRST among actions: a reader missing a feature
       // fails on the NAME before tripping over the gated action itself
-      { val req = requiredFeatures(schemaJson, adds, constraints, props,
+      { val req = requiredFeatures(op, schemaJson, adds, constraints, props,
           cdc, cdcFull)
         if (req.isEmpty) Nil
         else List(JObject("a" -> JString("protocol"),
@@ -1328,7 +1338,7 @@ final class GraftTable(val tablePath: String) {
         FeedSlice(Nil, prevEntries(c.removes), Nil)
       case "compact" | "zorder" | "checkpoint" | "create" | "addColumns"
          | "addConstraint" | "dropConstraint" | "renameColumn"
-         | "dropColumn" | "setProps" | "purge" =>
+         | "dropColumn" | "setProps" | "purge" | "widen" =>
         FeedSlice(Nil, Nil, Nil)
       case mutating =>
         // a cdf.enabled rewrite stages its diff at commit time; no
@@ -2203,6 +2213,100 @@ final class GraftTable(val tablePath: String) {
     }
     throw new ConcurrentWriteException(
       s"txlog: renameColumn lost $maxRetries commit races at $tablePath")
+  }
+
+  /** TYPE WIDENING as a metadata-only schema commit (opt-in via
+    * `type.widening = true`; Delta 3.2's typeWidening shape): retype a
+    * column to a strictly WIDER type — byte→short→int→long,
+    * float→double, decimal precision growth at the same scale — with
+    * no data file read or rewritten at any table size. Old files
+    * up-cast at scan time: Spark's parquet reader promotes the
+    * physical INT32/FLOAT/decimal bytes into the wider read schema.
+    *
+    * The commit re-emits affected live AddFiles with the column's
+    * stats RE-TYPED, not re-derived: integral/decimal comparison
+    * strings are already exact in the wider domain; float bounds
+    * re-render as the widened double's own comparison string (the
+    * value is exactly `f.toDouble` — so future double probes compare
+    * in one consistent domain). Hash-keyed artifacts — Bloom bitsets,
+    * HLL sketches, and bucket-transform stats — DROP for the column:
+    * their write-side hashes bound the OLD type's bytes, and a stale
+    * hash prunes wrongly where a missing one only costs pruning.
+    * Narrowing (or any unlisted retype) still refuses — that remains
+    * `overwrite()`. */
+  def widenColumn(name: String, to: DataType, maxRetries: Int = 20): Long = {
+    def widens(from: DataType, t: DataType): Boolean = (from, t) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (fd: DecimalType, td: DecimalType) =>
+        td.scale == fd.scale && td.precision > fd.precision
+      case _ => false
+    }
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = latestVersion()
+      require(head > 0L, s"txlog: no table at $root to alter")
+      val snap = snapshot(head)
+      require(snap.props.get(TypeWideningProp).contains("true"),
+        s"txlog: type widening is opt-in — set table property " +
+          s"'$TypeWideningProp' = 'true' first")
+      val idx = snap.schema.fieldNames.indexOf(name)
+      require(idx >= 0, s"txlog: unknown column '$name' on $root")
+      val f = snap.schema.fields(idx)
+      require(widens(f.dataType, to),
+        s"txlog: ${f.dataType.simpleString} -> ${to.simpleString} is not " +
+          "a supported widening (byte/short/int up to long, " +
+          "float -> double, decimal precision growth at the same " +
+          "scale); narrowing or reshaping is overwrite()")
+      require(!identityCols(snap.props).contains(name) &&
+          !generatedCols(snap.props).contains(name),
+        s"txlog: cannot widen '$name' — identity/generated columns pin " +
+          "their declared type; unset the property first")
+      constraintsReferencing(generatedCols(snap.props), name).foreach { g =>
+        throw new IllegalArgumentException(
+          s"txlog: cannot widen '$name' — generated column '$g' derives " +
+            "from it and its declared type is pinned; unset its " +
+            "property first")
+      }
+      val phys = physicalName(f)
+      val widened = StructType(
+        snap.schema.fields.updated(idx, f.copy(dataType = to)))
+      def retype(cs: ColStats): ColStats = f.dataType match {
+        case FloatType =>
+          // exact: the file's bytes read back as f.toDouble, whose
+          // comparison string is what future double probes render
+          def d(s: String): String =
+            statsLiteral(java.lang.Double.valueOf(
+              java.lang.Float.parseFloat(s).toDouble))
+          cs.copy(min = d(cs.min), max = d(cs.max), bloom = None, hll = None)
+        case _ => cs.copy(bloom = None, hll = None)
+      }
+      def staleBucketKey(k: String): Boolean =
+        PartitionSpec.fromStatKey(k).exists(t =>
+          t.kind == "bucket" && t.source == phys)
+      val changed = snap.files.flatMap { a =>
+        val drop = a.stats.keysIterator.filter(staleBucketKey).toSet
+        val entry = a.stats.get(phys)
+        val needsRetype = entry.exists(cs => f.dataType == FloatType ||
+          cs.bloom.isDefined || cs.hll.isDefined)
+        if (drop.isEmpty && !needsRetype) None
+        else Some(a.copy(stats = (a.stats -- drop).map {
+          case (k, cs) if k == phys => k -> retype(cs)
+          case kv => kv
+        }))
+      }
+      // provenance of re-emitted entries stays with the ORIGINAL commit
+      val addVersions = changed.map(a =>
+        a.path -> snap.addedIn.getOrElse(a.path, head)).toMap
+      if (tryCommit(head + 1, "widen", head, Some(widened.json), changed,
+          Nil, addVersions = addVersions))
+        return head + 1
+      attempt += 1
+    }
+    throw new ConcurrentWriteException(
+      s"txlog: widenColumn lost $maxRetries commit races at $tablePath")
   }
 
   /** `ALTER TABLE … DROP COLUMN` as ONE schema-only commit: the field
@@ -3401,7 +3505,8 @@ final class GraftTable(val tablePath: String) {
         // whose rows already vanished at their delete's own commit)
         case "compact" | "zorder" | "checkpoint" | "create" | "addColumns"
            | "addConstraint" | "dropConstraint"
-           | "renameColumn" | "dropColumn" | "setProps" | "purge" => None
+           | "renameColumn" | "dropColumn" | "setProps" | "purge"
+           | "widen" => None
         case rewrite =>
           if (!skipRewrites) throw new IllegalStateException(
             s"txlog: commit $v is a '$rewrite' — its rewritten rows cannot be " +

@@ -2031,6 +2031,46 @@ object PipelineOps {
   }
 
   // --------------------------------------------------------------------
+  // q143 — metadata-only TYPE WIDENING (`type.widening`, the Delta 3.2
+  // typeWidening shape): an orders table created with INT keys and
+  // FLOAT prices outgrows both; ALTER-style widening to BIGINT/DOUBLE
+  // commits pure metadata (require'd: identical data-file set), old
+  // files up-cast at scan time, and a post-widen append lands values
+  // no INT could hold. 100 TB story: the one schema evolution a grown
+  // table actually needs, at zero data IO — where a rewrite would be a
+  // full-table pass.
+  def q143TypeWidening(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val root = s"${scratch("widen", dir)}/orders_narrow"
+    graft.core.Fs.rmTree(new java.io.File(root))
+    val t = new graft.medallion.GraftTable(root)
+    val base = lake(s, dir).orders.select(
+      col("o_orderkey").cast("int").as("o_key"),
+      col("o_totalprice").cast("float").as("o_price"))
+    t.append(base.filter(col("o_key") % 2 === 0))
+    t.append(base.filter(col("o_key") % 2 === 1))
+    t.setProperty(graft.medallion.TxLog.TypeWideningProp, "true")
+    val filesBefore = t.snapshot().files.map(_.path).toSet
+    t.widenColumn("o_key", LongType)
+    t.widenColumn("o_price", DoubleType)
+    require(t.snapshot().files.map(_.path).toSet == filesBefore,
+      "type widening must be metadata-only — zero data files touched")
+    require(t.snapshot().schema("o_key").dataType == LongType &&
+      t.snapshot().schema("o_price").dataType == DoubleType)
+    import s.implicits._
+    t.append(Seq((5000000000L, 123.5)).toDF("o_key", "o_price"))
+    t.read(s).orderBy("o_key")
+  }
+
+  private val q143Oracle =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_key,
+              CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_price
+       FROM orders
+       UNION ALL
+       SELECT CAST(5000000000 AS BIGINT), CAST(123.5 AS DOUBLE)
+       ORDER BY o_key"""
+
+  // --------------------------------------------------------------------
   // q142 — merge-on-read UPDATE through SQL (`update.mode =
   // merge-on-read`, the Delta DV-backed DML shape): a sparse UPDATE
   // (~1% of rows) on a multi-file orders table must commit as
@@ -2105,6 +2145,7 @@ object PipelineOps {
        FROM orders"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_type_widening" -> (q143TypeWidening _),
     "q142_sql_mor_update" -> (q142SqlMorUpdate _),
     "q141_metadata_sum" -> (q141MetadataSum _),
     "q139_generated_columns" -> (q139GeneratedColumns _),
@@ -2144,6 +2185,7 @@ object PipelineOps {
     "q127_bloom_lookup" -> (q127BloomLookup _))
 
   val oracle: Map[String, String] = Map(
+    "q143_type_widening" -> q143Oracle,
     "q142_sql_mor_update" -> q142Oracle,
     "q141_metadata_sum" -> q141Oracle,
     "q139_generated_columns" -> q139Oracle,

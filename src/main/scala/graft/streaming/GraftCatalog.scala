@@ -216,10 +216,18 @@ final class GraftCatalog extends TableCatalog
     // RENAME / DROP COLUMN are schema-only commits via column mapping
     // (the data files keep their physical names; see TxLog.renameColumn)
     val (mappingChanges, addChanges) = colChanges.partition {
-      case _: TableChange.RenameColumn | _: TableChange.DeleteColumn => true
+      case _: TableChange.RenameColumn | _: TableChange.DeleteColumn |
+           _: TableChange.UpdateColumnType => true
       case _ => false
     }
     mappingChanges.foreach {
+      // ALTER TABLE t ALTER COLUMN c TYPE <wider> — metadata-only type
+      // widening (opt-in via 'type.widening'; see TxLog.widenColumn)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          s"graft catalog: nested column '${u.fieldNames.mkString(".")}' " +
+            "is not supported")
+        new GraftTable(dirOf(ident)).widenColumn(u.fieldNames()(0), u.newDataType())
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           s"graft catalog: nested column '${r.fieldNames.mkString(".")}' " +
