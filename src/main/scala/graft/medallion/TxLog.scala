@@ -3270,6 +3270,11 @@ final class GraftTable(val tablePath: String) {
     * the commit suffix instead of the whole log. */
   def checkpoint(): Long = checkpointAt(snapshot())
 
+  /** Newest checkpoint version ≤ head — observability surfaces only
+    * (CALL system.detail); resolution itself uses the same lookup. */
+  private[graft] def lastCheckpointVersion(): Option[Long] =
+    checkpointAtOrBefore(latestVersion())
+
   private def checkpointAt(snap: Snapshot): Long = {
     // the constraints line appears only when the set is non-empty: a
     // full-state checkpoint with NO line means "none" on replay anyway,

@@ -50,7 +50,7 @@ object GraftProcedures {
 
   private val names =
     Seq("optimize", "vacuum", "restore", "clone", "checkpoint", "analyze",
-      "sync_identity")
+      "sync_identity", "detail")
 
   def load(ident: Identifier, dirOfTable: String => String): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -64,6 +64,7 @@ object GraftProcedures {
       case "checkpoint" => checkpoint(dirOfTable)
       case "analyze"    => analyze(dirOfTable)
       case "sync_identity" => syncIdentity(dirOfTable)
+      case "detail"     => detail(dirOfTable)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure system.$other — available: " +
           names.mkString(", "))
@@ -122,6 +123,64 @@ object GraftProcedures {
   // ------------------------------------------------------------------
   // the procedures
   // ------------------------------------------------------------------
+
+  private val detailOut = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("location", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("num_files", LongType, nullable = false),
+    StructField("num_dv_files", LongType, nullable = false),
+    StructField("dv_rows", LongType, nullable = false),
+    StructField("num_rows", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("partition_spec", StringType, nullable = true),
+    StructField("reader_features", StringType, nullable = true),
+    StructField("num_constraints", IntegerType, nullable = false),
+    StructField("checkpoint_version", LongType, nullable = true),
+    StructField("last_commit_ts", TimestampType, nullable = true),
+    StructField("properties", StringType, nullable = false)))
+
+  /** DESCRIBE DETAIL (the Delta shape): the table's whole operational
+    * state as ONE metadata row — resolved version, live file/DV/row/
+    * byte counts, the partition spec, the protocol reader features the
+    * CURRENT state requires, constraint count, the newest checkpoint,
+    * the head commit's wall-clock stamp, and every table property as
+    * sorted JSON. Zero data files opened; closes the operator-persona
+    * loop over pieces graft_table_files/history/analyze each surface
+    * separately. */
+  private def detail(dirOfTable: String => String): UnboundProcedure =
+    bound("detail", Seq(param("table", StringType)), detailOut) { in =>
+      val t = tableDir(dirOfTable, in.getUTF8String(0))
+      val snap = t.snapshot()
+      val dvd = snap.files.filter(_.dv.isDefined)
+      val features = graft.medallion.TxLog.requiredFeatures(
+        "snapshot", Some(snap.schemaJson), snap.files,
+        if (snap.constraints.nonEmpty) Some(snap.constraints) else None,
+        if (snap.props.nonEmpty) Some(snap.props) else None, Nil, Nil)
+      val propsJson = {
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(JObject(
+            snap.props.toList.sortBy(_._1).map {
+              case (k, v) => k -> (JString(v): JValue) })))
+      }
+      val headTs = t.historyFull().headOption.flatMap(_._5)
+      Seq(InternalRow(
+        utf8("graft"),
+        utf8(t.tablePath),
+        snap.version,
+        snap.files.size.toLong,
+        dvd.size.toLong,
+        dvd.map(_.dvRows).sum,
+        snap.files.map(_.effectiveRows).sum,
+        snap.files.map(_.bytes).sum,
+        snap.props.get(graft.medallion.PartitionSpec.Prop).map(utf8).orNull,
+        if (features.isEmpty) null else utf8(features.mkString(",")),
+        snap.constraints.size,
+        t.lastCheckpointVersion().map(Long.box).orNull,
+        headTs.map(ms => Long.box(ms * 1000L)).orNull,
+        utf8(propsJson)))
+    }
 
   private val analyzeOut = StructType(Seq(
     StructField("column", StringType, nullable = false),

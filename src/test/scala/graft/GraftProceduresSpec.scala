@@ -336,4 +336,45 @@ class GraftProceduresSpec extends SparkSpec {
       assert(hist.forall(r => !r.isNullAt(1)), "every commit is stamped")
     }
   }
+
+  test("CALL system.detail: the whole operational state as one metadata row") {
+    import spark.implicits._
+    import graft.medallion.TxLog
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.d (id BIGINT, s STRING)")
+      val t = new GraftTable(s"$wh/db/d")
+      t.append((0L until 40L).map(i => (i, s"v$i")).toDF("id", "s").coalesce(1))
+      t.append((40L until 80L).map(i => (i, s"v$i")).toDF("id", "s").coalesce(1))
+      t.setProperty(graft.medallion.PartitionSpec.Prop, "bucket(4,id)")
+      t.setProperty(TxLog.DeleteModeProp, TxLog.DeleteModeMor)
+      t.addConstraint(spark, "nonneg", "id >= 0")
+      t.deleteRows(spark, "id = 5 OR id = 77") // two DVs
+      t.checkpoint()
+      val row = spark.sql(s"CALL $cat.system.detail(table => 'db.d')").head()
+      assert(row.getString(0) === "graft")
+      assert(row.getString(1).endsWith("/db/d"))
+      assert(row.getLong(2) === t.latestVersion())   // version
+      assert(row.getLong(3) === 2L)                  // num_files
+      assert(row.getLong(4) === 2L)                  // num_dv_files
+      assert(row.getLong(5) === 2L)                  // dv_rows
+      assert(row.getLong(6) === 78L)                 // num_rows (effective)
+      assert(row.getLong(7) > 0L)                    // size_bytes
+      assert(row.getString(8) === "bucket(4,id)")    // partition_spec
+      val features = row.getString(9).split(",").toSet
+      assert(Set("deletionVectors", "checkConstraints", "tableProperties")
+        .subsetOf(features), s"features: $features")
+      assert(row.getInt(10) === 1)                   // num_constraints
+      assert(!row.isNullAt(11) &&
+        row.getLong(11) === t.latestVersion())       // checkpoint_version
+      assert(!row.isNullAt(12))                      // last_commit_ts
+      val props = row.getString(13)
+      assert(props.contains("\"delete.mode\":\"merge-on-read\"") &&
+        props.contains("\"partition.spec\""), s"properties json: $props")
+      // a bare fresh table still answers (nullable slots null)
+      spark.sql(s"CREATE TABLE $cat.db.bare (x BIGINT)")
+      new GraftTable(s"$wh/db/bare").append(Seq(1L).toDF("x"))
+      val bare = spark.sql(s"CALL $cat.system.detail(table => 'db.bare')").head()
+      assert(bare.getLong(3) >= 1L && bare.isNullAt(8))
+    }
+  }
 }
