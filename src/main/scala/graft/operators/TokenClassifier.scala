@@ -123,4 +123,20 @@ object TokenClassifier {
       TextFns.hash60(col(idCol).cast("string")).cast(DoubleType) /
         lit(Math.pow(2.0, 60)) <
         least(lit(1.0), lit(scale) * exp(col(logScoreCol))))
+
+  /** Oracle-portable importance resampling over the LINEAR-domain
+    * score: keep a row iff its id-hash point in [0,1) falls under
+    * `min(1, scale · score)` — the same deterministic Bernoulli as
+    * [[resample]] with a RATIONAL acceptance probability (one IEEE
+    * multiply + compare; no engine-dependent `exp`/`ln`), so the DSIR
+    * SELECTION stage itself reproduces bit-exactly in any engine.
+    * Monotone twice over: a row kept at `scale` is kept at any larger
+    * scale, and — at a fixed hash point — a higher-scoring row is
+    * never dropped where a lower-scoring one survives. */
+  def resampleLinear(docs: DataFrame, idCol: String, scoreCol: String,
+      scale: Double): DataFrame =
+    docs.filter(
+      TextFns.hash60(col(idCol).cast("string")).cast(DoubleType) /
+        lit(Math.pow(2.0, 60)) <
+        least(lit(1.0), lit(scale) * col(scoreCol)))
 }

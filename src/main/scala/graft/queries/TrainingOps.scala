@@ -748,6 +748,7 @@ object TrainingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_prep_v2" -> (q140PrepV2 _),
     "q137_dsir" -> (q137Dsir _),
+    "q144_dsir_resample" -> (q144DsirResample _),
     "q138_quality_classifier" -> (q138QualityClassifier _),
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_vocab_topk" -> (q71VocabTopK _),
@@ -837,6 +838,75 @@ object TrainingOps {
            (ORDER BY score DESC, doc_id) AS INT) AS rnk FROM scored)
        SELECT doc_id, lang, source, n_tok, score, rnk
        FROM ranked WHERE rnk <= 20 ORDER BY rnk"""
+  }
+
+  // --------------------------------------------------------------------
+  // q144 — DSIR importance RESAMPLING, the selection stage itself
+  // (Xie et al., NeurIPS 2023 §3 — q137 oracle-checks the scoring;
+  // this checks the Bernoulli SELECTION): each non-target document is
+  // kept iff its deterministic id-hash point in [0,1) falls under
+  // `min(1, scale · meanRatioScore)` — acceptance proportional to the
+  // importance weight, rational arithmetic only (no engine-dependent
+  // exp/ln), reproducible across engines/runs/partitionings. 100 TB
+  // story: selection is a stateless codegen'd filter over the scored
+  // pass — zero shuffles, zero state; the survivor set is a pure
+  // function of (corpus, model, scale), so a resumed pipeline never
+  // double-admits.
+  // --------------------------------------------------------------------
+  def q144DsirResample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TokenClassifier
+    val docs = lake(s, dir).documents
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .repartition(Scale.par(s), col("doc_id")) // md5-heavy token pass
+    val feats = TokenClassifier.unigramBuckets(col("text"))
+    val w = TokenClassifier.fitRatio(
+      docs.select((col("lang") === "en").as("t"), feats.as("f")), "f", "t")
+    val scored = docs.filter(col("lang") =!= "en")
+      .select(col("doc_id"), col("lang"), col("source"),
+        TokenClassifier.meanRatioScore(feats, w).as("score"))
+    // survivor-set equality is checked EXACTLY: count + integer id
+    // checksum per source (score sums would re-open the double-rounding
+    // can q137 already closed for the scoring itself)
+    TokenClassifier.resampleLinear(scored, "doc_id", "score", scale = 0.5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"))
+  }
+
+  private val q144Oracle = {
+    val toks = "string_split(trim(text), ' ')"
+    val bkt = s"CAST(${dHash("t")} % 4096 AS INT)"
+    s"""WITH tb AS (
+         SELECT lang, $bkt AS bucket
+         FROM (SELECT lang, unnest($toks) AS t FROM documents)),
+       tc AS (SELECT bucket, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+       rc AS (SELECT bucket, count(*) AS cr FROM tb WHERE lang <> 'en' GROUP BY 1),
+       tot AS (SELECT
+         (SELECT count(*) FROM tb WHERE lang = 'en') AS t_tot,
+         (SELECT count(*) FROM tb WHERE lang <> 'en') AS r_tot),
+       dense AS (SELECT b.bucket, COALESCE(tc.ct, 0) AS ct,
+                        COALESCE(rc.cr, 0) AS cr
+                 FROM (SELECT unnest(range(4096)) AS bucket) b
+                 LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)),
+       wtab AS (SELECT bucket,
+           CAST(CAST(ct + 1 AS HUGEINT) * (r_tot + 4096) AS DOUBLE) /
+           CAST(CAST(cr + 1 AS HUGEINT) * (t_tot + 4096) AS DOUBLE) AS w
+         FROM dense, tot),
+       warr AS (SELECT list(w ORDER BY bucket) AS wl FROM wtab),
+       scored AS (SELECT doc_id, source,
+           CASE WHEN len($toks) = 0 THEN 0.0
+                ELSE list_reduce(list_sort(list_transform($toks,
+                    t -> wl[$bkt + 1])), (x, y) -> x + y)
+                  / CAST(len($toks) AS DOUBLE) END AS score
+         FROM documents, warr WHERE lang <> 'en'),
+       kept AS (SELECT * FROM scored
+         WHERE CAST(${dHash("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+                 / 1152921504606846976.0
+               < least(1.0, 0.5 * score))
+       SELECT source, count(*) AS n_kept,
+              CAST(sum(doc_id) AS BIGINT) AS id_sum
+       FROM kept GROUP BY 1 ORDER BY source"""
   }
 
   // --------------------------------------------------------------------
@@ -1026,6 +1096,7 @@ object TrainingOps {
   val oracle: Map[String, String] = Map(
     "q140_prep_v2" -> q140Oracle,
     "q137_dsir" -> q137Oracle,
+    "q144_dsir_resample" -> q144Oracle,
     "q138_quality_classifier" -> q138Oracle,
     "q70_stratified_sample" -> q70Oracle,
     "q71_vocab_topk" -> q71Oracle,

@@ -88,4 +88,25 @@ class TokenClassifierSpec extends SparkSpec {
       s"heavy acceptance ~0.5, got $heavy")
     assert(light < heavy / 4, s"light $light vs heavy $heavy")
   }
+
+  test("resampleLinear: monotone in scale AND in score; exp/ln-free") {
+    val docs = (0 until 600).map(i =>
+      (i.toLong, (i % 3) match { case 0 => 2.0; case 1 => 0.5; case _ => 0.05 }))
+      .toDF("doc_id", "score")
+    def kept(scale: Double) =
+      TokenClassifier.resampleLinear(docs, "doc_id", "score", scale)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val s02 = kept(0.2); val s05 = kept(0.5); val s50 = kept(50.0)
+    assert(kept(0.5) === s05, "reproducible")
+    assert(s02.subsetOf(s05) && s05.subsetOf(s50),
+      "a survivor at a small scale survives every larger scale")
+    assert(s50.size === 600, "scale past 1/min(score) keeps everything")
+    // per-row score monotonicity: for the SAME id-hash point, a higher
+    // score can only widen acceptance — rows of score 2.0 accepted at
+    // a rate tracking min(1, 0.5*2.0)=1.0 vs 0.5*0.05=0.025
+    val hi = s05.count(_ % 3 == 0) / 200.0
+    val lo = s05.count(_ % 3 == 2) / 200.0
+    assert(hi > 0.95, s"score 2.0 at scale 0.5 saturates acceptance: $hi")
+    assert(lo < 0.1, s"score 0.05 accepts rarely: $lo")
+  }
 }
