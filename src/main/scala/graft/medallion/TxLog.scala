@@ -1144,9 +1144,21 @@ final class GraftTable(val tablePath: String) {
       else readPhysicalFiles(spark, phys, fs)
     val pre = readOr(preFiles)
     val post = readOr(postFiles)
+    // ONE signed-count aggregate computes the whole symmetric multiset
+    // difference (pre rows weigh +1, post rows -1; surviving copies
+    // cancel to 0) — where a two-sided exceptAll would shuffle the
+    // touched bytes twice and scan each state twice. Rows re-inflate to
+    // their multiplicity with a bounded sequence-explode. groupBy's
+    // null-safe grouping matches exceptAll's row-equality exactly.
+    val cols = phys.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
     stageChanges(
-      pre.exceptAll(post).withColumn(ChangeTypeCol, lit("delete"))
-        .unionAll(post.exceptAll(pre).withColumn(ChangeTypeCol, lit("insert"))))
+      pre.withColumn("_w", lit(1L)).unionAll(post.withColumn("_w", lit(-1L)))
+        .groupBy(cols: _*).agg(sum(col("_w")).as("_d"))
+        .filter(col("_d") =!= 0L)
+        .withColumn(ChangeTypeCol,
+          when(col("_d") > 0L, lit("delete")).otherwise(lit("insert")))
+        .withColumn("_i", explode(sequence(lit(1L), abs(col("_d")))))
+        .drop("_d", "_i"))
   }
 
   /** The CHANGE DATA FEED: every row change in versions

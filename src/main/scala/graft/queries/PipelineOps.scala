@@ -1735,6 +1735,20 @@ object PipelineOps {
   // replica files; checkpointed offsets are table versions, so restarts
   // re-fold at most one batch — and the keyed upsert makes that replay
   // idempotent.
+  //
+  // Wall-time root cause (round-9 profile at sf0.1, warm): the ~8-9 s
+  // median is 6 commits + 3 micro-batches of IRREDUCIBLE commit
+  // protocol, not a scan/shuffle flaw — upsert 2.3 s, range delete
+  // 1.6 s, batches 1.4+1.3+0.7 s, deleteRows 0.7 s, proof 0.8 s. The
+  // upsert/batches are full-width BY CONSTRUCTION: the %11/%13 key
+  // pattern overlaps every file's key range, so file-granular COW
+  // correctly rewrites the whole table (a real workload's keys cluster;
+  // this query deliberately exercises the worst case plus the restart
+  // path). Each phase is 3-5 fixed-overhead Spark jobs (stage, stats,
+  // feed diff, commit) on ~150k rows — job latency, not data volume.
+  // Round 9 shaved the reducible parts: the feed diff is ONE signed-
+  // count aggregate (was a two-sided exceptAll scanning each state
+  // twice) and the final proof caches both sides.
   // --------------------------------------------------------------------
   def q133CdcReplication(s: SparkSession, dir: String): DataFrame = {
     val root = scratch("cdcrepl", dir)
@@ -1780,8 +1794,11 @@ object PipelineOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start().awaitTermination()
     val cols = Seq("o_orderkey", "o_custkey", "o_totalprice").map(col)
-    val replica = silver.read(s).select(cols: _*)
-    val source = bronze.read(s).select(cols: _*)
+    // cache both sides: each feeds BOTH exceptAll legs (and the replica
+    // additionally the output sort) — uncached, the two-sided proof
+    // re-runs every table read up to three times
+    val replica = graft.core.CacheScope.cached(silver.read(s).select(cols: _*))
+    val source = graft.core.CacheScope.cached(bronze.read(s).select(cols: _*))
     require(replica.exceptAll(source).isEmpty && source.exceptAll(replica).isEmpty,
       "the feed-maintained replica must equal the source exactly")
     replica.orderBy(col("o_orderkey"))
