@@ -233,6 +233,13 @@ object GraftFunctions {
         if (es.length != 1) throw new IllegalArgumentException(
           s"nfc_normalize requires exactly 1 argument, got ${es.length}")
         org.apache.spark.sql.graft.NfcNormalize(es.head)
+      }),
+    ("hilbert_index",
+      "hilbert_index(bits, c0, c1, ...) - Hilbert-curve index of scaled coordinates",
+      (es: Seq[Expression]) => {
+        if (es.length < 2) throw new IllegalArgumentException(
+          s"hilbert_index requires bits + at least 1 coordinate, got ${es.length}")
+        org.apache.spark.sql.graft.HilbertIndex(es)
       }))
 
   /** Idempotent post-hoc registration on a running session. */

@@ -34,7 +34,23 @@ object Layout {
     * partition, each covering a compact hyper-rectangle of the `cols`
     * space. */
   def zorderBy(df: DataFrame, cols: Seq[String], targetFiles: Int,
-      bits: Int = 12, prefix: Seq[Column] = Nil): DataFrame = {
+      bits: Int = 12, prefix: Seq[Column] = Nil): DataFrame =
+    clusterBy(df, cols, targetFiles, bits, prefix, hilbert = false)
+
+  /** Cluster `df` on the HILBERT curve over `cols` — same scaling and
+    * range-partitioned layout as [[zorderBy]], but the interleaved
+    * Morton value is replaced by the codegen'd
+    * [[org.apache.spark.sql.graft.HilbertIndex]]. The Hilbert curve is
+    * everywhere-adjacent (no Z-seam diagonal jumps), so equal-sized
+    * file runs cover compact CONNECTED regions: tighter per-file
+    * min/max on every clustered dimension — strictly better stats
+    * pruning for 2-3-dim clustering at identical write cost. */
+  def hilbertBy(df: DataFrame, cols: Seq[String], targetFiles: Int,
+      bits: Int = 12, prefix: Seq[Column] = Nil): DataFrame =
+    clusterBy(df, cols, targetFiles, bits, prefix, hilbert = true)
+
+  private def clusterBy(df: DataFrame, cols: Seq[String], targetFiles: Int,
+      bits: Int, prefix: Seq[Column], hilbert: Boolean): DataFrame = {
     require(cols.nonEmpty, "zorderBy needs at least one column")
     require(cols.size * bits <= 60,
       s"${cols.size} cols x $bits bits exceeds the 60-bit z-value budget")
@@ -68,11 +84,19 @@ object Layout {
       else ((asDouble(name) - mn) / (mx - mn) * maxVal).cast(LongType)
     }
     val dims = cols.size
-    val z = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
-      scaled.zipWithIndex.foldLeft(acc) { case (a, (sc, d)) =>
-        a + shiftright(sc, b).bitwiseAND(1L) * (1L << (b * dims + d))
+    val z =
+      if (hilbert) {
+        // the native expression resolves through the registered graft
+        // function (idempotent registration — sessions built without
+        // the extensions conf still work)
+        graft.engine.GraftFunctions.register(df.sparkSession)
+        call_function("hilbert_index",
+          (lit(bits) +: scaled.map(_.cast(LongType))): _*)
+      } else (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+        scaled.zipWithIndex.foldLeft(acc) { case (a, (sc, d)) =>
+          a + shiftright(sc, b).bitwiseAND(1L) * (1L << (b * dims + d))
+        }
       }
-    }
     // `prefix` columns lead the range exchange and the within-partition
     // sort (PARTITION-MAJOR, z-within): a partitioned table keeps its
     // transform clustering while the z-curve orders inside each tuple

@@ -3188,7 +3188,19 @@ final class GraftTable(val tablePath: String) {
     * Returns (filesBefore, filesAfter, committedVersion). */
   def optimizeZorder(
       spark: SparkSession, cols: Seq[String],
-      targetFiles: Int): (Int, Int, Long) = {
+      targetFiles: Int): (Int, Int, Long) =
+    optimizeZorder(spark, cols, targetFiles, layout = "zorder")
+
+  /** `layout`: `"zorder"` (Morton interleave) or `"hilbert"` — the
+    * Hilbert index keeps consecutive values grid-adjacent (no Z-seam
+    * diagonal jumps), so the cut files cover compact CONNECTED regions:
+    * measurably tighter per-file ranges on 2-3-dim clustering at the
+    * same write cost ([[Layout.hilbertBy]]). */
+  def optimizeZorder(
+      spark: SparkSession, cols: Seq[String],
+      targetFiles: Int, layout: String): (Int, Int, Long) = {
+    require(layout == "zorder" || layout == "hilbert",
+      s"txlog: unknown layout '$layout' — zorder | hilbert")
     val snap = snapshot()
     if (snap.files.isEmpty) return (0, 0, snap.version)
     val df = readPhysicalFiles(spark, physicalSchema(snap.schema), snap.files)
@@ -3199,9 +3211,12 @@ final class GraftTable(val tablePath: String) {
     val prefix = PartitionSpec.resolved(snap.props, snap.schema, phys)
       .flatMap(t => phys.fields.find(_.name == t.source)
         .map(f => PartitionSpec.column(t, f.dataType)))
-    val adds = stageData(
-      Layout.zorderBy(df, cols.map(physicalOf(snap.schema, _)), targetFiles,
-        prefix = prefix))
+    val physCols = cols.map(physicalOf(snap.schema, _))
+    val clustered =
+      if (layout == "hilbert")
+        Layout.hilbertBy(df, physCols, targetFiles, prefix = prefix)
+      else Layout.zorderBy(df, physCols, targetFiles, prefix = prefix)
+    val adds = stageData(clustered)
     val v = commitRewrite(snap, "zorder", None, adds, snap.files.map(_.path))
     (snap.files.size, adds.size, v)
   }

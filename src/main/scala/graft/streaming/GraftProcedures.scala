@@ -304,7 +304,8 @@ object GraftProcedures {
       paramD("where_column", StringType, "CAST(NULL AS STRING)"),
       paramD("where_lower", StringType, "CAST(NULL AS STRING)"),
       paramD("where_upper", StringType, "CAST(NULL AS STRING)"),
-      paramD("purge_deletes", BooleanType, "false")), optimizeOut) { in =>
+      paramD("purge_deletes", BooleanType, "false"),
+      paramD("layout", StringType, "'zorder'")), optimizeOut) { in =>
       val t = tableDir(dirOf, in.getUTF8String(0))
       val zorderBy = if (in.isNullAt(1)) None else Some(in.getUTF8String(1).toString)
       val targetMB = if (in.isNullAt(2)) 128 else in.getInt(2)
@@ -322,7 +323,9 @@ object GraftProcedures {
         case (Some(cols), _) =>
           val cs = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
           require(cs.nonEmpty, "optimize: zorder_by needs at least one column")
-          ("zorder", t.optimizeZorder(spark, cs, targetFiles))
+          val layout =
+            if (in.isNullAt(9)) "zorder" else in.getUTF8String(9).toString
+          (layout, t.optimizeZorder(spark, cs, targetFiles, layout))
         case (None, Some(c)) =>
           ("compact-range", t.compactRange(spark, c, bnd(6), bnd(7), targetMB))
         case (None, None) if smallOnly =>
