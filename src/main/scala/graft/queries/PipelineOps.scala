@@ -744,6 +744,53 @@ object PipelineOps {
        ORDER BY l_orderkey, l_partkey, l_suppkey"""
 
   // --------------------------------------------------------------------
+  // q145 — HILBERT layout (`OPTIMIZE ... layout => 'hilbert'`): same
+  // transactional rewrite as q105's Morton z-order but clustered on the
+  // Hilbert curve (the Delta OPTIMIZE→Hilbert switch; Skilling's
+  // transpose algorithm as a codegen'd native expression). The curve is
+  // everywhere-adjacent — no Z-seam diagonal jumps — so equal-sized
+  // file runs cover compact CONNECTED regions: the pruning require
+  // below holds on BOTH clustered dims at once, the point Morton's
+  // seam files weaken. Row-neutral and hash-matched like every layout
+  // rewrite; 100 TB story: identical write cost to z-order, strictly
+  // tighter per-file bounds for 2-3-dim range workloads.
+  // --------------------------------------------------------------------
+  def q145HilbertLayout(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${scratch("txhilbert", dir)}/lineitem_h"
+    graft.core.Fs.rmTree(new java.io.File(root))
+    val t = new graft.medallion.GraftTable(root)
+    val base = lake(s, dir).lineitem.select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    (0 to 3).foreach(m => t.append(
+      base.filter(col("l_orderkey") % 4 === m).repartition(2)))           // v1..v4
+    val (before, after, _) = t.optimizeZorder(
+      s, Seq("l_orderkey", "l_partkey"), targetFiles = 8, layout = "hilbert")
+    require(before == 8 && after == 8,
+      s"hilbert must rewrite the 8 scattered files into 8 (got $before -> $after)")
+    // adjacency pays on BOTH dims: a point band on either clustered
+    // column prunes below the full file count
+    val keyProbe = base.agg(min(col("l_orderkey"))).head().getLong(0)
+    val partProbe = base.agg(min(col("l_partkey"))).head().getLong(0)
+    val sKey = t.filesForRange("l_orderkey", Some(keyProbe), Some(keyProbe))
+    val sPart = t.filesForRange("l_partkey", Some(partProbe), Some(partProbe))
+    require(sKey * 2 <= after,
+      s"hilbert stats must prune an orderkey point read to <= ${after / 2} " +
+        s"of $after files (scanned $sKey)")
+    require(sPart < after,
+      s"hilbert stats must prune a partkey point read below $after files " +
+        s"(scanned $sPart)")
+    t.read(s)
+      .withColumn("files_after", lit(after).cast(LongType))
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+  }
+
+  private val q145Oracle =
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+              CAST(8 AS BIGINT) AS files_after
+       FROM lineitem
+       ORDER BY l_orderkey, l_partkey, l_suppkey"""
+
+  // --------------------------------------------------------------------
   // q106 — the streaming source vs table MAINTENANCE, composed: a live
   // tail drains bronze v1 into silver; then a COMPACT (v2) rewrites the
   // layout, a second wave appends (v3), and a VACUUM deletes v1's
@@ -2163,6 +2210,7 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_type_widening" -> (q143TypeWidening _),
+    "q145_hilbert_layout" -> (q145HilbertLayout _),
     "q142_sql_mor_update" -> (q142SqlMorUpdate _),
     "q141_metadata_sum" -> (q141MetadataSum _),
     "q139_generated_columns" -> (q139GeneratedColumns _),
@@ -2203,6 +2251,7 @@ object PipelineOps {
 
   val oracle: Map[String, String] = Map(
     "q143_type_widening" -> q143Oracle,
+    "q145_hilbert_layout" -> q145Oracle,
     "q142_sql_mor_update" -> q142Oracle,
     "q141_metadata_sum" -> q141Oracle,
     "q139_generated_columns" -> q139Oracle,
