@@ -195,6 +195,42 @@ class MergeOnReadDmlSpec extends SparkSpec {
     }
   }
 
+  test("MOR-update DV lifecycle: checkpoint, clone, restore, tails") {
+    withCatalog("mor8") { wh =>
+      val t = new GraftTable(s"$wh/db/t")
+      t.append((0L until 100L).map(i => (i, i * 1.0)).toDF("id", "x").coalesce(1))
+      t.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
+      val preUpdate = t.latestVersion()
+      spark.sql("UPDATE mor8.db.t SET x = -1.0 WHERE id IN (7, 70)")
+      assert(t.snapshot().files.exists(_.dv.isDefined))
+      // checkpoint carries the update's bitmap AND the post-image file
+      t.checkpoint()
+      val fresh = new GraftTable(t.tablePath)
+      assert(fresh.read(spark).count() === 100L)
+      assert(fresh.read(spark).filter(col("x") === -1.0).count() === 2L)
+      // clone keeps the DV'd file and the post-images
+      val fork = new GraftTable(s"$wh/db/fork")
+      t.cloneTo(fork.tablePath)
+      assert(fork.read(spark).filter(col("x") === -1.0).count() === 2L)
+      assert(fork.appendsSince(spark, 0L).count() === 100L,
+        "tailing the clone from 0 applies the carried DVs")
+      // restore resurrects the pre-update values BY DESIGN
+      t.restore(preUpdate)
+      assert(t.read(spark).filter(col("x") === -1.0).count() === 0L)
+      assert(t.snapshot().files.forall(_.dv.isEmpty))
+      // a tail must refuse to cross the update commit (rows mutated)
+      val t2 = new GraftTable(s"$wh/db/t2")
+      t2.append((0L until 10L).map(i => (i, i * 1.0)).toDF("id", "x").coalesce(1))
+      t2.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
+      val mark = t2.latestVersion()
+      spark.sql("UPDATE mor8.db.t2 SET x = 99.0 WHERE id = 3")
+      val ex = intercept[IllegalStateException](
+        t2.appendsSince(spark, mark).count())
+      assert(ex.getMessage.contains("replace"))
+      assert(t2.appendsSince(spark, mark, skipRewrites = true).count() === 0L)
+    }
+  }
+
   test("second MOR update ORs into the existing DV; positions stay exact") {
     withCatalog("mor7") { wh =>
       val t = new GraftTable(s"$wh/db/t")
