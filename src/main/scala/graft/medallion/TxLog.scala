@@ -1764,6 +1764,32 @@ final class GraftTable(val tablePath: String) {
     } else Map.empty[String, String]
     enforceOnStaged(df.sparkSession, commitSchema(schemaJson0), adds, validated)
     afterStageHook()
+    // upcast-on-write: when the commit schema is WIDER than the staged
+    // bytes (an integral-narrow batch on a widened table), the narrow
+    // column's hash-keyed stats artifacts — bloom bitsets, HLL
+    // sketches, bucket-transform keys — were hashed over the NARROW
+    // representation and must drop (probes hash the table's type; a
+    // stale hash prunes wrongly, a missing one only costs pruning).
+    // min/max/null/sum strings are value-identical in the integral
+    // domain and stay. Re-derived per commit attempt: a concurrent
+    // widen can move the commit schema mid-race.
+    def narrowAdjusted(cs: StructType): Seq[AddFile] = {
+      val physTypes = physicalSchema(cs).fields
+        .map(f => f.name -> f.dataType).toMap
+      val narrowed: Set[String] = physDf.schema.fields.collect {
+        case f if physTypes.get(f.name).exists(_ != f.dataType) => f.name
+      }.toSet
+      if (narrowed.isEmpty) adds
+      else adds.map { a =>
+        val drop = a.stats.keysIterator.filter(k =>
+          PartitionSpec.fromStatKey(k).exists(t =>
+            t.kind == "bucket" && narrowed(t.source))).toSet
+        a.copy(stats = (a.stats -- drop).map {
+          case (k, st) if narrowed(k) => k -> st.copy(bloom = None, hll = None)
+          case kv => kv
+        })
+      }
+    }
     def dropStaged(): Unit =
       adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
     var attempt = 0
@@ -1825,7 +1851,8 @@ final class GraftTable(val tablePath: String) {
           (IdentityPrefix + c) ->
             (if (mx.isEmpty) next else math.max(next, mx.max + 1L)).toString
         })
-      if (tryCommit(head + 1, "append", head, Some(schemaJson), adds, Nil,
+      if (tryCommit(head + 1, "append", head, Some(schemaJson),
+          narrowAdjusted(commitSchema(schemaJson)), Nil,
           props = commitProps))
         return head + 1
       attempt += 1
@@ -1849,7 +1876,8 @@ final class GraftTable(val tablePath: String) {
     if (head == 0) batch.json
     else {
       val existing = snapshot(head).schema
-      if (sameSchema(existing, batch)) existing.json
+      if (sameSchema(existing, batch) ||
+          upcastCompatible(existing, batch)) existing.json
       else if (!mergeSchema) throw new IllegalArgumentException(
         s"txlog: append schema ${batch.simpleString} does not match table " +
           s"schema ${existing.simpleString}; pass mergeSchema = true to add " +
@@ -1864,9 +1892,14 @@ final class GraftTable(val tablePath: String) {
     val tableTypes = table.fields.map(f => f.name -> f.dataType).toMap
     batch.fields.foreach { f =>
       tableTypes.get(f.name).foreach { t =>
-        require(t == f.dataType,
+        // an integral NARROWING of the table type is accepted — the
+        // table field wins and the staged narrow bytes up-cast at scan
+        // time (see upcastCompatible); widening the TABLE type is the
+        // explicit widenColumn commit, everything else overwrite()
+        require(t == f.dataType || integralWidens(f.dataType, t),
           s"txlog: mergeSchema cannot retype column '${f.name}' from " +
-            s"${t.simpleString} to ${f.dataType.simpleString} — use overwrite()")
+            s"${t.simpleString} to ${f.dataType.simpleString} — widen " +
+            "with widenColumn (ALTER COLUMN ... TYPE), or overwrite()")
       }
     }
     val newFields = batch.fields.filterNot(f => tableTypes.contains(f.name))
@@ -2033,6 +2066,32 @@ final class GraftTable(val tablePath: String) {
   private def sameSchema(a: StructType, b: StructType): Boolean =
     a.fields.map(f => (f.name, f.dataType)).toSeq ==
       b.fields.map(f => (f.name, f.dataType)).toSeq
+
+  /** Is `from` → `to` an INTEGRAL-family widening (byte→short→int→long)?
+    * The subset of type widening where the stats comparison domain is
+    * value-identical (exact integer strings), so a NARROWER batch can
+    * commit against the wider table schema with its staged bytes read
+    * through parquet type promotion — the upstream-still-writes-INT
+    * shape after an id column widened to BIGINT. Float is excluded:
+    * float-derived stats strings understate the double domain. */
+  private[graft] def integralWidens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case _ => false
+    }
+
+  /** `batch` equals `table` field-for-field, allowing each batch field
+    * to be an integral NARROWING of the table's type (see
+    * [[integralWidens]]); such a batch commits under the table schema
+    * unchanged. */
+  private def upcastCompatible(table: StructType, batch: StructType): Boolean =
+    table.fields.length == batch.fields.length &&
+      table.fields.zip(batch.fields).forall { case (t, b) =>
+        t.name == b.name &&
+          (t.dataType == b.dataType || integralWidens(b.dataType, t.dataType))
+      }
 
   /** Replace the whole table content (and possibly schema) in one
     * commit. Conflict-checked against the snapshot read at entry: a

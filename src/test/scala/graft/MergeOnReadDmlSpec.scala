@@ -195,6 +195,32 @@ class MergeOnReadDmlSpec extends SparkSpec {
     }
   }
 
+  test("MOR update on a column-mapped table: renamed predicate + SET columns translate") {
+    withCatalog("mor9") { wh =>
+      val t = new GraftTable(s"$wh/db/t")
+      t.append((0L until 40L).map(i => (i, i * 1.0, s"s$i")).toDF("id", "x", "note")
+        .coalesce(1))
+      t.renameColumn("x", "score") // mapping ON: physical name stays "x"
+      t.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
+      val before = t.snapshot()
+      spark.sql("UPDATE mor9.db.t SET score = score + 100.0, note = 'UP' " +
+        "WHERE id IN (3, 17)")
+      val after = t.snapshot()
+      assert(before.files.forall(a => after.files.exists(_.path == a.path)),
+        "zero rewrites through the mapping")
+      assert(after.files.count(_.dv.isDefined) === 1)
+      assert(spark.sql(
+        "SELECT id, score, note FROM mor9.db.t WHERE note = 'UP' ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+        === Seq((3L, 103.0, "UP"), (17L, 117.0, "UP")))
+      assert(spark.sql("SELECT count(*) FROM mor9.db.t").head().getLong(0) === 40L)
+      // purge launders through the mapping too
+      t.purgeDeletes(spark)
+      assert(spark.sql("SELECT sum(score) FROM mor9.db.t").head().getDouble(0)
+        === (0L until 40L).map(_.toDouble).sum + 200.0)
+    }
+  }
+
   test("MOR-update DV lifecycle: checkpoint, clone, restore, tails") {
     withCatalog("mor8") { wh =>
       val t = new GraftTable(s"$wh/db/t")

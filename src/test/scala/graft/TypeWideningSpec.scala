@@ -143,6 +143,38 @@ class TypeWideningSpec extends SparkSpec {
     }
   }
 
+  test("upcast-on-write: an integral-narrow batch commits against the widened schema") {
+    val t = freshTable("upcast")
+    t.append((0 until 50).map(i => (i, s"v$i")).toDF("id", "s").coalesce(1))
+    t.setProperty(TxLog.BloomColumnsProp, "id")
+    t.setProperty(TxLog.TypeWideningProp, "true")
+    t.widenColumn("id", LongType)
+    // the upstream producer still writes INT batches — both the strict
+    // and the mergeSchema path accept them under the table's schema
+    t.append((50 until 80).map(i => (i, s"v$i")).toDF("id", "s").coalesce(1))
+    t.append((80 until 90).map(i => (i, s"v$i")).toDF("id", "s"),
+      mergeSchema = true, 20)
+    assert(t.read(spark).schema("id").dataType === LongType)
+    assert(t.read(spark).agg(sum("id")).head().getLong(0) === (0L until 90L).sum)
+    // genuine longs interleave with the narrow files in one scan
+    t.append(Seq((7000000000L, "big")).toDF("id", "s"))
+    assert(t.read(spark).filter(col("id") === 7000000000L).count() === 1L)
+    // the narrow batches' bloom bitsets were hashed over INT bytes —
+    // they must have been dropped (a stale bitset would mis-prune
+    // probes that hash the table's LONG representation); min/max stay
+    val narrow = t.snapshot().files.filter(a =>
+      a.stats.get("id").exists(cs => cs.min == "50" || cs.min == "80"))
+    assert(narrow.nonEmpty && narrow.forall(_.stats("id").bloom.isEmpty),
+      s"narrow-staged bloom must drop: ${narrow.map(_.stats("id"))}")
+    assert(t.readRange(spark, "id", Some(55L), Some(60L)).count() === 6L)
+    // a float batch on a double column still refuses (float stats
+    // strings understate the double domain)
+    val t2 = freshTable("upcast_f")
+    t2.append(Seq((1L, 2.5)).toDF("id", "x"))
+    intercept[IllegalArgumentException] {
+      t2.append(Seq((2L, 1.5f)).toDF("id", "x")) }
+  }
+
   test("identity/generated pins and partition-bucket stats interplay") {
     val t = freshTable("pins")
     t.append(Seq((1L, 5, "a")).toDF("id", "n", "s"))
