@@ -1151,14 +1151,20 @@ final class GraftTable(val tablePath: String) {
     // their multiplicity with a bounded sequence-explode. groupBy's
     // null-safe grouping matches exceptAll's row-equality exactly.
     val cols = phys.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
+    // double-underscore names: reserved, cannot collide with a data
+    // column (same convention as the __file/__idx tags elsewhere)
+    require(!phys.fieldNames.exists(_.startsWith("__cdc_")),
+      "txlog: '__cdc_*' column names are reserved")
     stageChanges(
-      pre.withColumn("_w", lit(1L)).unionAll(post.withColumn("_w", lit(-1L)))
-        .groupBy(cols: _*).agg(sum(col("_w")).as("_d"))
-        .filter(col("_d") =!= 0L)
+      pre.withColumn("__cdc_w", lit(1L))
+        .unionAll(post.withColumn("__cdc_w", lit(-1L)))
+        .groupBy(cols: _*).agg(sum(col("__cdc_w")).as("__cdc_d"))
+        .filter(col("__cdc_d") =!= 0L)
         .withColumn(ChangeTypeCol,
-          when(col("_d") > 0L, lit("delete")).otherwise(lit("insert")))
-        .withColumn("_i", explode(sequence(lit(1L), abs(col("_d")))))
-        .drop("_d", "_i"))
+          when(col("__cdc_d") > 0L, lit("delete")).otherwise(lit("insert")))
+        .withColumn("__cdc_i",
+          explode(sequence(lit(1L), abs(col("__cdc_d")))))
+        .drop("__cdc_d", "__cdc_i"))
   }
 
   /** The CHANGE DATA FEED: every row change in versions
