@@ -548,12 +548,6 @@ object TxLog {
     bm
   }
 
-  /** The deleted row indexes of a serialized DV, as longs (the
-    * `_metadata.row_index` comparison domain). Size is bounded by the
-    * [[GraftTable.deleteRows]] thresholds that admitted the DV. */
-  private[graft] def dvIndexes(b64: String): Array[Long] =
-    dvDeserialize(b64).toArray.map(_.toLong) // indexes < 2^31 by the build guard
-
   /** Phase-2 of [[GraftTable.deleteRows]]: fold `(__file, __idx)`
     * match pairs into per-file deletion bitmaps EXECUTOR-SIDE via the
     * mergeable [[graft.functions.DvAgg]] aggregator (same shape as the
@@ -1073,15 +1067,20 @@ final class GraftTable(val tablePath: String) {
         .parquet(fs.map(a => root.resolve(a.path).toString): _*)
     val (dvd, clean) = files.partition(_.dv.isDefined)
     if (dvd.isEmpty) return plain(files)
-    val pairs = dvd.flatMap(a => dvIndexes(a.dv.get).map(i => (a.path, i)))
-    val pairDf = spark.createDataFrame(pairs).toDF("__dv_file", "__dv_idx")
-    // staged file names are unique within a table (part-<batch>-<i>),
-    // so the file NAME keys the join — no file_path URI-format coupling
+    // deleted positions expand EXECUTOR-side from the compressed
+    // bitmaps (positionsDf) — a run-encoded DV holds millions of
+    // indexes in a few KiB, and materializing them as driver pairs
+    // would scale with deleted-row count, not file count. Staged file
+    // names are unique within a table (part-<batch>-<i>), so the file
+    // NAME keys the join — no file_path URI-format coupling.
+    val pos = positionsDf(spark, dvd.map(a =>
+      a.path -> java.util.Base64.getDecoder.decode(a.dv.get)))
+      .toDF("__dv_file", "__dv_idx")
     val surviving = plain(dvd)
       .withColumn("__dv_file",
         substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn("__dv_idx", col("_metadata.row_index"))
-      .join(broadcast(pairDf), Seq("__dv_file", "__dv_idx"), "left_anti")
+      .join(pos, Seq("__dv_file", "__dv_idx"), "left_anti")
       .select(cols: _*)
     if (clean.isEmpty) surviving else plain(clean).unionAll(surviving)
   }
@@ -2881,11 +2880,14 @@ final class GraftTable(val tablePath: String) {
         .withColumn("__file",
           substring_index(col("_metadata.file_path"), "/", -1))
         .withColumn("__idx", col("_metadata.row_index"))
-      val existing = snap.files.filter(_.dv.isDefined)
-        .flatMap(a => dvIndexes(a.dv.get).map(i => (a.path, i)))
-      val live = if (existing.isEmpty) raw
+      // existing DV positions expand executor-side (positionsDf) — the
+      // driver ships compressed bitmaps only, never index pairs
+      val dvd = snap.files.filter(_.dv.isDefined)
+      val live = if (dvd.isEmpty) raw
         else raw.join(
-          broadcast(spark.createDataFrame(existing).toDF("__file", "__idx")),
+          positionsDf(spark, dvd.map(a =>
+            a.path -> java.util.Base64.getDecoder.decode(a.dv.get)))
+            .toDF("__file", "__idx"),
           Seq("__file", "__idx"), "left_anti")
       // logical names for the condition, tag columns carried through
       live.select(snap.schema.fields.toIndexedSeq.map(f =>
