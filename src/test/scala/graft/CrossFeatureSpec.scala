@@ -90,6 +90,45 @@ class CrossFeatureSpec extends SparkSpec {
       t.snapshot().files.size)
   }
 
+  test("merge-on-read UPDATE on a partitioned table: pruning exact, post-images re-prune") {
+    val wh = new java.io.File(
+      s"target/tmp/cross_morpart_${java.util.UUID.randomUUID().toString.take(8)}")
+      .getAbsolutePath
+    spark.conf.set("spark.sql.catalog.xmor",
+      classOf[graft.streaming.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.xmor.warehouse", wh)
+    try {
+      val t = new GraftTable(s"$wh/db/ev")
+      t.append(Seq((0L, tsOf(19700L, 0L), 0.0)).toDF("id", "ts", "x"))
+      t.setProperty(PartitionSpec.Prop, "days(ts)")
+      t.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
+      val rows = for (d <- 0L until 5L; i <- 0L until 100L)
+        yield (d * 100L + i, tsOf(19700L + d, i), 1.0)
+      t.append(rows.toDF("id", "ts", "x"))
+      val before = t.snapshot()
+      // a sparse update inside day 19702 — DV on its file, post-image
+      // appended; the TOUCHED file stays live (zero rewrites)
+      spark.sql("UPDATE xmor.db.ev SET x = 9.0 WHERE id = 250")
+      val after = t.snapshot()
+      assert(before.files.forall(a => after.files.exists(_.path == a.path)))
+      assert(after.files.exists(_.dv.isDefined))
+      // day pruning answers exactly THROUGH the DV + the new file (the
+      // post-image carries its own days(ts) stats via adoptStaged)
+      val lo = tsOf(19702L, 0L); val hi = tsOf(19702L, 86400000L - 1L)
+      val day2 = t.readRange(spark, "ts", Some(lo), Some(hi))
+      assert(day2.count() === 100L)
+      assert(day2.filter(col("x") === 9.0).count() === 1L,
+        "the updated row's post-image must surface inside its day window")
+      val scanned = t.filesForRange("ts", Some(lo), Some(hi))
+      assert(scanned < after.files.size,
+        s"day probe must still prune under the MOR update: $scanned of ${after.files.size}")
+      assert(t.read(spark).count() === 501L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.xmor")
+      spark.conf.unset("spark.sql.catalog.xmor.warehouse")
+    }
+  }
+
   private def tsOf(day: Long, offsetMs: Long): java.sql.Timestamp =
     new java.sql.Timestamp(day * 86400000L + offsetMs)
 }
