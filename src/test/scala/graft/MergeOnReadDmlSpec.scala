@@ -104,6 +104,40 @@ class MergeOnReadDmlSpec extends SparkSpec {
     }
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: deletes/updates land as DVs too") {
+    withCatalog("morA") { wh =>
+      val t = new GraftTable(s"$wh/db/t")
+      t.append((0L until 100L).map(i => (i, i * 1.0)).toDF("id", "x").coalesce(1))
+      t.setProperty(TxLog.MergeModeProp, TxLog.DeleteModeMor)
+      val before = t.snapshot()
+      // source covers 0..97 plus a new key: 98/99 are unmatched-by-source
+      ((0L until 98L) :+ 200L).toDF("sid").createOrReplaceTempView("morA_src")
+      try {
+        // a guarded matched-UPDATE, a new-key INSERT, and a
+        // NOT-MATCHED-BY-SOURCE DELETE — three legs, one sparse
+        // merge-on-read commit (matched-no-action rows untouched)
+        spark.sql("""MERGE INTO morA.db.t AS tgt USING morA_src AS src
+                     ON tgt.id = src.sid
+                     WHEN MATCHED AND src.sid IN (2, 52)
+                       THEN UPDATE SET x = tgt.x + 100.0
+                     WHEN NOT MATCHED THEN INSERT (id, x) VALUES (src.sid, -1.0)
+                     WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      } finally spark.catalog.dropTempView("morA_src")
+      val after = t.snapshot()
+      assert(before.files.forall(a => after.files.exists(_.path == a.path)),
+        "all three MERGE legs must commit without rewriting the data file")
+      assert(after.files.exists(a => a.dv.isDefined && a.dvRows === 4L),
+        s"2 updates + 2 by-source deletes = one 4-row DV: ${after.files}")
+      val got = spark.sql("SELECT id, x FROM morA.db.t ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.length === 99) // 100 - 2 deleted + 1 inserted
+      assert(got.contains((2L, 102.0)) && got.contains((52L, 152.0)))
+      assert(got.contains((200L, -1.0)))
+      assert(!got.exists(r => r._1 == 98L || r._1 == 99L))
+      assert(got.contains((3L, 3.0)), "matched-no-action rows untouched")
+    }
+  }
+
   test("subquery DELETE under delete.mode=merge-on-read vectorizes too") {
     withCatalog("mor3") { wh =>
       val t = new GraftTable(s"$wh/db/t")
