@@ -56,7 +56,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * commits through the same put-if-absent protocol as everything else.
   */
 final class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** The V2 function registry: `bucket` alone — what lets Spark resolve
+    * a scan-reported `KeyGroupedPartitioning(bucket(n, col))` and plan
+    * STORAGE-PARTITIONED JOINS between co-bucketed graft tables with
+    * zero shuffle exchanges (under
+    * `spark.sql.sources.v2.bucketing.enabled`). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name().equalsIgnoreCase("bucket"))
+      org.apache.spark.sql.graft.GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var warehouse: String = _

@@ -13,7 +13,8 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation
 import org.apache.spark.sql.connector.write.{streaming => streaming_write}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -510,7 +511,8 @@ final class GraftScan(
     maxVersionsPerTrigger: Option[Long] = None,
     syntheticVersion: Boolean = true,
     changeFeed: Boolean = false)
-    extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
+    extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
 
   import GraftTableV2.VersionCol
 
@@ -540,9 +542,11 @@ final class GraftScan(
   /** Compile-time pruning: log min/max from the pushed data-filter
     * bounds, then `_commit_version` predicates against each file's
     * adding commit. */
+  private lazy val prunedSnap: TxLog.Snapshot = table.prunedSnapshot(
+    dataFilters.flatMap(GraftTableV2.bounds), version = snapVersion)
+
   private lazy val pruned: Seq[(TxLog.AddFile, Long)] = {
-    val snap = table.prunedSnapshot(
-      dataFilters.flatMap(GraftTableV2.bounds), version = snapVersion)
+    val snap = prunedSnap
     snap.files.map(a => a -> snap.addedIn.getOrElse(a.path, snap.version))
       .filter { case (a, v) =>
         filters.forall(f =>
@@ -637,13 +641,63 @@ final class GraftScan(
     }
   }
 
+  // ------------------------------------ storage-partitioned joins
+  // Under a sole `bucket(n, col)` partition spec whose every pruned
+  // file is single-valued on the bucket (what spec-clustered appends
+  // produce) and DV-free, the scan reports its files as ONE partition
+  // per bucket value, keyed by the V2 `bucket` function the owning
+  // catalog registers — Spark's storage-partitioned join then
+  // co-locates two such scans on the join key with ZERO shuffle
+  // exchanges (spark.sql.sources.v2.bucketing.enabled; the Iceberg
+  // SPJ design, SPARK-37375). Degrades silently: any disqualifier —
+  // straddling or DV'd files, other specs, version/position columns
+  // required, a pushed limit — reports UnknownPartitioning and the
+  // join plans its usual exchanges. The group set is FROZEN here
+  // (compile-time pruning only): runtime filters may not shrink the
+  // reported partition count.
+  private lazy val keyedGroups
+      : Option[(Int, String, Seq[(Int, Seq[(TxLog.AddFile, Long)])])] = {
+    if (changeFeed || limit.isDefined ||
+        (syntheticVersion && required.fieldNames.contains(VersionCol)) ||
+        required.fieldNames.contains(GraftTableV2.FileCol) ||
+        required.fieldNames.contains(GraftTableV2.PosCol)) None
+    else {
+      // the pruned snapshot is already resolved for file listing —
+      // reporting partitioning costs no extra log IO
+      val snap = prunedSnap
+      val phys = TxLog.physicalSchema(snap.schema)
+      graft.medallion.PartitionSpec.resolved(snap.props, snap.schema, phys) match {
+        case Seq(t) if t.kind == "bucket" =>
+          val logical = snap.schema.fields
+            .find(f => TxLog.physicalName(f) == t.source).map(_.name)
+          def bucketOf(a: TxLog.AddFile): Option[Int] =
+            graft.medallion.PartitionSpec.tupleSignature(a)
+              .getOrElse(t.statKey, None).flatMap(_.toIntOption)
+          val files = pruned
+          val eligible = files.nonEmpty && logical.isDefined &&
+            files.forall { case (a, _) => a.dv.isEmpty && bucketOf(a).isDefined }
+          if (!eligible) None
+          else Some((t.arg, logical.get,
+            files.groupBy { case (a, _) => bucketOf(a).get }.toSeq.sortBy(_._1)))
+        case _ => None
+      }
+    }
+  }
+
+  override def outputPartitioning(): Partitioning = keyedGroups match {
+    case Some((n, c, groups)) =>
+      new KeyGroupedPartitioning(Array(Expressions.bucket(n, c)), groups.size)
+    case None => new UnknownPartitioning(0)
+  }
+
   override def toBatch: Batch = {
     require(!changeFeed,
       "graft-table: batch change-feed reads go through the " +
         "graft_table_changes table function (or GraftTable.readChangeFeed); " +
         "the readChangeFeed option is the STREAMING surface")
     new GraftBatch(spark, table, dataSchema, required, dataFilters,
-      () => currentFiles(), syntheticVersion)
+      () => currentFiles(), syntheticVersion,
+      keyed = keyedGroups.map(_._3))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -664,7 +718,8 @@ final class GraftBatch(
     spark: SparkSession, table: GraftTable, dataSchema: StructType,
     required: StructType, dataFilters: Seq[Filter],
     files: () => Seq[(TxLog.AddFile, Long)],
-    syntheticVersion: Boolean = true)
+    syntheticVersion: Boolean = true,
+    keyed: Option[Seq[(Int, Seq[(TxLog.AddFile, Long)])]] = None)
     extends Batch {
 
   import GraftTableV2.VersionCol
@@ -706,6 +761,19 @@ final class GraftBatch(
       spark, physDataSchema, physRequired, Nil)
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // storage-partitioned-join mode: one partition per bucket value,
+    // each covering ALL of that bucket's files whole (splits would
+    // tear the key grouping), keyed for Spark's co-location. The
+    // group set was frozen at compile-time pruning (see GraftScan);
+    // columnar reads delegate untouched.
+    keyed.foreach { groups =>
+      return groups.map { case (k, fs) =>
+        GraftKeyedPartition(
+          org.apache.spark.sql.graft.ParquetScans.filesPartition(
+            spark, fs.map(f => table.absoluteDataPath(f._1))),
+          0, k): InputPartition
+      }.toArray
+    }
     val all = files()
     // positional mode (_file/_pos required — the merge-on-read delta
     // scan): EVERY file plans whole and unsplit through the filter-free
@@ -786,6 +854,19 @@ final case class GraftPosPartition(
 final case class GraftRowPartition(inner: InputPartition, delegate: Int)
     extends InputPartition
 
+/** One BUCKET's files as a single keyed partition — the storage-
+  * partitioned-join unit: `partitionKey` is the bucket value the V2
+  * `bucket` function computes, so Spark can zip two co-bucketed scans
+  * partition-by-partition without an exchange. Reads delegate
+  * untouched (columnar included). */
+final case class GraftKeyedPartition(
+    inner: InputPartition, delegate: Int, key: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](key))
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
 /** Wraps the delegated parquet readers: version-tagged partitions emit
   * rows in `required` order with the commit version in the
   * `_commit_version` slot; DV partitions count row positions and skip
@@ -800,12 +881,18 @@ final case class GraftVersionedReaderFactory(
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case _: GraftVersionedPartition | _: GraftDvPartition |
          _: GraftRowPartition | _: GraftPosPartition => false
+    case kp: GraftKeyedPartition =>
+      delegates(kp.delegate).supportColumnarReads(kp.inner)
     case other => delegates(0).supportColumnarReads(other)
   }
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    delegates(0).createColumnarReader(p)
+    p match {
+      case kp: GraftKeyedPartition =>
+        delegates(kp.delegate).createColumnarReader(kp.inner)
+      case other => delegates(0).createColumnarReader(other)
+    }
 
   // required-ordinal -> inner-ordinal (-1 = the version slot)
   private def versionMapping: Array[Int] = required.fields.map(f =>
@@ -906,6 +993,8 @@ final case class GraftVersionedReaderFactory(
         }
       case rp: GraftRowPartition =>
         delegates(rp.delegate).createReader(rp.inner)
+      case kp: GraftKeyedPartition =>
+        delegates(kp.delegate).createReader(kp.inner)
       case other => delegates(0).createReader(other)
     }
 }

@@ -77,6 +77,24 @@ object ParquetScans {
       0L, st.getLen, Array.empty, st.getModificationTime, st.getLen)))
   }
 
+  /** One partition covering several whole files — the storage-
+    * partitioned-join unit: all files of one bucket read by one task
+    * (splits would tear the key grouping). */
+  def filesPartition(
+      spark: SparkSession, files: Seq[String])
+      : org.apache.spark.sql.connector.read.InputPartition = {
+    import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+    val conf = spark.sessionState.newHadoopConf()
+    FilePartition(0, files.toArray.map { f =>
+      val p = new Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      PartitionedFile(
+        org.apache.spark.sql.catalyst.InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPath(p),
+        0L, st.getLen, Array.empty, st.getModificationTime, st.getLen)
+    })
+  }
+
   /** Best-effort V2→V1 predicate translation for file-pruning callers
     * (the row-level scan's runtime group filter): untranslatable
     * predicates simply drop out, which for PRUNING means the file

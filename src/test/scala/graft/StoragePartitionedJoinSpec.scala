@@ -1,0 +1,142 @@
+package graft
+
+import graft.medallion.{GraftTable, PartitionSpec, TxLog}
+import graft.streaming.GraftCatalog
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Storage-partitioned joins (SPARK-37375, the Iceberg SPJ design):
+  * two graft tables bucketed on the join key via `partition.spec =
+  * bucket(n, col)` report `KeyGroupedPartitioning` keyed by the
+  * catalog's V2 `bucket` function, and Spark co-locates their
+  * partitions — the join plans with ZERO shuffle exchanges. At 100 TB
+  * this is THE join: co-bucketed fact tables join at scan parallelism
+  * with no exchange of either side. */
+class StoragePartitionedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWarehouse(): String =
+    new java.io.File(
+      s"target/tmp/spj_${java.util.UUID.randomUUID().toString.take(8)}")
+      .getAbsolutePath
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // materialize so AQE finalizes
+    df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }.size
+  }
+
+  private def withSpj(body: => Unit): Unit = {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ/shuffle shape
+      "spark.sql.adaptive.enabled" -> "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("co-bucketed graft tables join with zero shuffle exchanges") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spj", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spj.warehouse", wh)
+    try {
+      val a = new GraftTable(s"$wh/db/a")
+      val b = new GraftTable(s"$wh/db/b")
+      a.append(Seq((0L, "seed")).toDF("id", "av"))
+      b.append(Seq((0L, -1.0)).toDF("id", "bv"))
+      a.setProperty(PartitionSpec.Prop, "bucket(8,id)")
+      b.setProperty(PartitionSpec.Prop, "bucket(8,id)")
+      a.append((1L until 500L).map(i => (i, s"a$i")).toDF("id", "av"))
+      b.append((1L until 800L).map(i => (i, i * 2.0)).toDF("id", "bv"))
+      // seed files predate the spec (no bucket stats) — compact so the
+      // whole live set is spec-clustered and single-valued per bucket
+      a.compact(spark, targetFileMB = 128)
+      b.compact(spark, targetFileMB = 128)
+
+      val joined = spark.sql(
+        """SELECT x.id, x.av, y.bv
+           FROM spj.db.a x JOIN spj.db.b y ON x.id = y.id
+           ORDER BY x.id""")
+      withSpj {
+        val n = shuffles(spark.sql(
+          "SELECT x.id, x.av, y.bv FROM spj.db.a x JOIN spj.db.b y ON x.id = y.id"))
+        assert(n === 0,
+          s"co-bucketed join must plan without exchanges, found $n shuffles")
+      }
+      // rows identical with and without SPJ
+      val expect = (1L until 500L).map(i => (i, s"a$i", i * 2.0)) :+
+        ((0L, "seed", -1.0))
+      withSpj {
+        assert(joined.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+          === expect.sortBy(_._1))
+      }
+      assert(joined.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+        === expect.sortBy(_._1), "non-SPJ plan agrees")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spj")
+      spark.conf.unset("spark.sql.catalog.spj.warehouse")
+    }
+  }
+
+  test("the V2 bucket function matches the write-side transform exactly") {
+    import org.apache.spark.sql.graft.GraftBucketFunction
+    import org.apache.spark.sql.types._
+    val boundL = GraftBucketFunction.bind(new StructType()
+      .add("n", IntegerType).add("k", LongType))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    val boundS = GraftBucketFunction.bind(new StructType()
+      .add("n", IntegerType).add("k", StringType))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    // oracle: Spark's own pmod(xxhash64(col), n) — the write side
+    val rows = spark.range(0, 1000)
+      .select(col("id"), concat(lit("k"), col("id")).as("s"))
+      .select(col("id"), col("s"),
+        pmod(xxhash64(col("id")), lit(16L)).as("bl"),
+        pmod(xxhash64(col("s")), lit(16L)).as("bs"))
+      .collect()
+    rows.foreach { r =>
+      val viaL = boundL.produceResult(
+        org.apache.spark.sql.catalyst.InternalRow(16, r.getLong(0)))
+      assert(viaL.intValue() === r.getLong(2).toInt,
+        s"long key ${r.getLong(0)}")
+      val viaS = boundS.produceResult(
+        org.apache.spark.sql.catalyst.InternalRow(16,
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1))))
+      assert(viaS.intValue() === r.getLong(3).toInt,
+        s"string key ${r.getString(1)}")
+    }
+  }
+
+  test("disqualifiers degrade to normal planning: DV'd files, straddling, feed") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjx", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjx.warehouse", wh)
+    try {
+      val a = new GraftTable(s"$wh/db/a")
+      a.append(Seq((0L, "seed")).toDF("id", "v"))
+      a.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+      a.setProperty(TxLog.DeleteModeProp, TxLog.DeleteModeMor)
+      a.append((1L until 200L).map(i => (i, s"v$i")).toDF("id", "v"))
+      a.compact(spark, targetFileMB = 128)
+      a.deleteRows(spark, "id = 77") // a DV disqualifies
+      withSpj {
+        val self = spark.sql(
+          "SELECT x.id FROM spjx.db.a x JOIN spjx.db.a y ON x.id = y.id")
+        // still correct, just not exchange-free
+        assert(self.count() === 199L)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjx")
+      spark.conf.unset("spark.sql.catalog.spjx.warehouse")
+    }
+  }
+}
