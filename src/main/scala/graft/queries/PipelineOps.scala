@@ -2095,6 +2095,78 @@ object PipelineOps {
   }
 
   // --------------------------------------------------------------------
+  // q146 — STORAGE-PARTITIONED JOIN (SPARK-37375, the Iceberg SPJ
+  // design): orders and customer land in graft tables co-bucketed on
+  // the customer key (`partition.spec = bucket(8, key)`), the scans
+  // report KeyGroupedPartitioning through the catalog's V2 `bucket`
+  // function, and the join between them plans with ZERO exchanges of
+  // either kind — require'd: no ShuffleExchange AND no
+  // BroadcastExchange in the executed plan. 100 TB story: THE join —
+  // two co-bucketed fact tables join at scan parallelism with neither
+  // side ever crossing the network.
+  // --------------------------------------------------------------------
+  def q146SpjJoin(s: SparkSession, dir: String): DataFrame = {
+    val wh = s"${scratch("spj", dir)}/warehouse"
+    graft.core.Fs.rmTree(new java.io.File(wh))
+    val cat = s"gq146_${math.abs(wh.hashCode).toString.take(8)}"
+    graft.api.Graft.registerCatalog(s, cat, wh)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      val ot = new graft.medallion.GraftTable(s"$wh/d/ord")
+      val ct = new graft.medallion.GraftTable(s"$wh/d/cust")
+      ot.append(lake(s, dir).orders
+        .select(col("o_custkey"), col("o_totalprice")).limit(0))
+      ct.append(lake(s, dir).customer
+        .select(col("c_custkey"), col("c_mktsegment")).limit(0))
+      ot.setProperty(graft.medallion.PartitionSpec.Prop, "bucket(8,o_custkey)")
+      ct.setProperty(graft.medallion.PartitionSpec.Prop, "bucket(8,c_custkey)")
+      ot.append(lake(s, dir).orders.select(col("o_custkey"), col("o_totalprice")))
+      ct.append(lake(s, dir).customer.select(col("c_custkey"), col("c_mktsegment")))
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val joined = s.sql(
+        s"""SELECT c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price
+            FROM $cat.d.ord o JOIN $cat.d.cust c
+              ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+      joined.collect() // finalize AQE before inspecting the plan
+      val plan = joined.queryExecution.executedPlan
+      // the segment GROUP BY above the join may shuffle (different
+      // key); what must NOT exist is any exchange keyed on the JOIN
+      // key — that would mean Spark re-partitioned a scan side
+      val joinShuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("custkey") => e
+      }
+      require(joinShuffles.isEmpty,
+        s"the co-bucketed join must not exchange either scan side:\n$plan")
+      require(!plan.toString.contains("BroadcastExchange"),
+        s"zero-exchange must not be broadcast's doing:\n$plan")
+      joined
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  private val q146Oracle =
+    """SELECT c_mktsegment,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // --------------------------------------------------------------------
   // q143 — metadata-only TYPE WIDENING (`type.widening`, the Delta 3.2
   // typeWidening shape): an orders table created with INT keys and
   // FLOAT prices outgrows both; ALTER-style widening to BIGINT/DOUBLE
@@ -2211,6 +2283,7 @@ object PipelineOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_type_widening" -> (q143TypeWidening _),
     "q145_hilbert_layout" -> (q145HilbertLayout _),
+    "q146_spj_join" -> (q146SpjJoin _),
     "q142_sql_mor_update" -> (q142SqlMorUpdate _),
     "q141_metadata_sum" -> (q141MetadataSum _),
     "q139_generated_columns" -> (q139GeneratedColumns _),
@@ -2252,6 +2325,7 @@ object PipelineOps {
   val oracle: Map[String, String] = Map(
     "q143_type_widening" -> q143Oracle,
     "q145_hilbert_layout" -> q145Oracle,
+    "q146_spj_join" -> q146Oracle,
     "q142_sql_mor_update" -> q142Oracle,
     "q141_metadata_sum" -> q141Oracle,
     "q139_generated_columns" -> q139Oracle,
