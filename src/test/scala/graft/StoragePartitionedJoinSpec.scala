@@ -116,6 +116,34 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY the bucket key aggregates without an exchange too") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjg", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjg.warehouse", wh)
+    try {
+      val a = new GraftTable(s"$wh/db/a")
+      a.append(Seq((0L, 0.0)).toDF("id", "x"))
+      a.setProperty(PartitionSpec.Prop, "bucket(8,id)")
+      a.append((0L until 400L).flatMap(i => Seq((i, 1.0), (i, 2.0)))
+        .toDF("id", "x"))
+      a.compact(spark, targetFileMB = 128)
+      withSpj {
+        val agg = spark.sql(
+          "SELECT id, sum(x) AS sx FROM spjg.db.a GROUP BY id")
+        val n = shuffles(agg)
+        assert(n === 0,
+          s"a bucket-key GROUP BY must aggregate in place, found $n shuffles")
+        assert(agg.count() === 400L)
+        assert(spark.sql(
+          "SELECT sx FROM (SELECT id, sum(x) AS sx FROM spjg.db.a GROUP BY id) WHERE id = 7")
+          .head().getDouble(0) === 3.0)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjg")
+      spark.conf.unset("spark.sql.catalog.spjg.warehouse")
+    }
+  }
+
   test("disqualifiers degrade to normal planning: DV'd files, straddling, feed") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.spjx", classOf[GraftCatalog].getName)
