@@ -674,8 +674,11 @@ final class GraftScan(
             graft.medallion.PartitionSpec.tupleSignature(a)
               .getOrElse(t.statKey, None).flatMap(_.toIntOption)
           val files = pruned
+          // DV'd files stay ELIGIBLE: the batch plans their buckets as
+          // composite row partitions that skip bitmap positions per
+          // file — merge-on-read tables keep their zero-exchange joins
           val eligible = files.nonEmpty && logical.isDefined &&
-            files.forall { case (a, _) => a.dv.isEmpty && bucketOf(a).isDefined }
+            files.forall { case (a, _) => bucketOf(a).isDefined }
           if (!eligible) None
           else Some((t.arg, logical.get,
             files.groupBy { case (a, _) => bucketOf(a).get }.toSeq.sortBy(_._1)))
@@ -767,11 +770,22 @@ final class GraftBatch(
     // group set was frozen at compile-time pruning (see GraftScan);
     // columnar reads delegate untouched.
     keyed.foreach { groups =>
+      // any deletion vector forces the WHOLE scan onto composite row
+      // partitions (mixed columnar/row kinds are refused by Spark);
+      // DV-free scans keep full vectorization through the delegation
+      val anyDv = groups.exists(_._2.exists(_._1.dv.isDefined))
       return groups.map { case (k, fs) =>
-        GraftKeyedPartition(
-          org.apache.spark.sql.graft.ParquetScans.filesPartition(
-            spark, fs.map(f => table.absoluteDataPath(f._1))),
-          0, k): InputPartition
+        if (!anyDv)
+          GraftKeyedPartition(
+            org.apache.spark.sql.graft.ParquetScans.filesPartition(
+              spark, fs.map(f => table.absoluteDataPath(f._1))),
+            0, k): InputPartition
+        else
+          GraftKeyedRowPartition(
+            fs.map(f => (org.apache.spark.sql.graft.ParquetScans
+              .wholeFilePartition(spark, table.absoluteDataPath(f._1)),
+              f._1.dv)),
+            1, k): InputPartition
       }.toArray
     }
     val all = files()
@@ -867,6 +881,18 @@ final case class GraftKeyedPartition(
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
+/** A bucket's files as ONE row-based keyed partition whose reader
+  * walks the files sequentially, skipping each file's deletion-vector
+  * positions — what keeps storage-partitioned joins available on
+  * merge-on-read tables. The delegate must be filter-free (positions
+  * are only exact with no row group skipped underneath). */
+final case class GraftKeyedRowPartition(
+    files: Seq[(InputPartition, Option[String])], delegate: Int, key: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](key))
+}
+
 /** Wraps the delegated parquet readers: version-tagged partitions emit
   * rows in `required` order with the commit version in the
   * `_commit_version` slot; DV partitions count row positions and skip
@@ -883,6 +909,7 @@ final case class GraftVersionedReaderFactory(
          _: GraftRowPartition | _: GraftPosPartition => false
     case kp: GraftKeyedPartition =>
       delegates(kp.delegate).supportColumnarReads(kp.inner)
+    case _: GraftKeyedRowPartition => false
     case other => delegates(0).supportColumnarReads(other)
   }
 
@@ -995,6 +1022,40 @@ final case class GraftVersionedReaderFactory(
         delegates(rp.delegate).createReader(rp.inner)
       case kp: GraftKeyedPartition =>
         delegates(kp.delegate).createReader(kp.inner)
+      case kr: GraftKeyedRowPartition =>
+        new PartitionReader[InternalRow] {
+          private val it = kr.files.iterator
+          private var cur: PartitionReader[InternalRow] = _
+          private var bm: org.roaringbitmap.RoaringBitmap = _
+          private var pos = -1L
+          private def open(): Boolean = it.hasNext && {
+            val (p, dv) = it.next()
+            cur = delegates(kr.delegate).createReader(p)
+            bm = dv.map(graft.medallion.TxLog.dvDeserialize).orNull
+            pos = -1L
+            true
+          }
+          override def next(): Boolean = {
+            var out = false
+            var done = false
+            while (!done) {
+              if (cur == null && !open()) done = true
+              else {
+                var hit = false
+                while (!hit && cur.next()) {
+                  pos += 1
+                  if (bm == null || pos > Int.MaxValue.toLong ||
+                      !bm.contains(pos.toInt)) hit = true
+                }
+                if (hit) { out = true; done = true }
+                else { cur.close(); cur = null }
+              }
+            }
+            out
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
       case other => delegates(0).createReader(other)
     }
 }

@@ -144,7 +144,38 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
-  test("disqualifiers degrade to normal planning: DV'd files, straddling, feed") {
+  test("pruned buckets on one side: pushPartValues keeps the join exact") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjp.warehouse", wh)
+    try {
+      val a = new GraftTable(s"$wh/db/a")
+      val b = new GraftTable(s"$wh/db/b")
+      a.append(Seq((0L, "z")).toDF("id", "av"))
+      b.append(Seq((0L, 0.0)).toDF("id", "bv"))
+      a.setProperty(PartitionSpec.Prop, "bucket(8,id)")
+      b.setProperty(PartitionSpec.Prop, "bucket(8,id)")
+      a.append((1L until 300L).map(i => (i, s"a$i")).toDF("id", "av"))
+      b.append((1L until 300L).map(i => (i, i * 1.0)).toDF("id", "bv"))
+      a.compact(spark, targetFileMB = 128)
+      b.compact(spark, targetFileMB = 128)
+      withSpj {
+        // a selective filter on ONE side prunes whole bucket files
+        // there; the join over mismatched partition counts must stay
+        // exact (Spark's partially-clustered handling)
+        val j = spark.sql(
+          """SELECT x.id, y.bv FROM spjp.db.a x JOIN spjp.db.b y
+             ON x.id = y.id WHERE x.id BETWEEN 10 AND 20""")
+        assert(j.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+          === (10L to 20L).map(i => (i, i * 1.0)).toSet)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjp")
+      spark.conf.unset("spark.sql.catalog.spjp.warehouse")
+    }
+  }
+
+  test("deletion vectors keep SPJ: composite row partitions skip positions in place") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.spjx", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.spjx.warehouse", wh)
@@ -155,16 +186,44 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       a.setProperty(TxLog.DeleteModeProp, TxLog.DeleteModeMor)
       a.append((1L until 200L).map(i => (i, s"v$i")).toDF("id", "v"))
       a.compact(spark, targetFileMB = 128)
-      a.deleteRows(spark, "id = 77") // a DV disqualifies
+      a.deleteRows(spark, "id = 77 OR id = 130") // DVs, zero rewrites
+      assert(a.snapshot().files.exists(_.dv.isDefined))
       withSpj {
         val self = spark.sql(
           "SELECT x.id FROM spjx.db.a x JOIN spjx.db.a y ON x.id = y.id")
-        // still correct, just not exchange-free
-        assert(self.count() === 199L)
+        val n = shuffles(self)
+        assert(n === 0,
+          s"a DV'd co-bucketed self-join must stay exchange-free, got $n")
+        assert(self.count() === 198L, "deleted rows must not join back")
+        assert(spark.sql(
+          "SELECT count(*) FROM spjx.db.a x JOIN spjx.db.a y ON x.id = y.id " +
+            "WHERE x.id IN (77, 130)").head().getLong(0) === 0L)
       }
     } finally {
       spark.conf.unset("spark.sql.catalog.spjx")
       spark.conf.unset("spark.sql.catalog.spjx.warehouse")
+    }
+  }
+
+  test("a straddling (pre-spec, uncompacted) file degrades to normal planning") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjy", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjy.warehouse", wh)
+    try {
+      val a = new GraftTable(s"$wh/db/a")
+      // the seed predates the spec: no bucket stats -> not single-valued
+      a.append((0L until 50L).map(i => (i, s"s$i")).toDF("id", "v").coalesce(1))
+      a.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+      a.append((50L until 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+      withSpj {
+        val self = spark.sql(
+          "SELECT x.id FROM spjy.db.a x JOIN spjy.db.a y ON x.id = y.id")
+        // correct rows; planning just falls back to exchanges
+        assert(self.count() === 100L)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjy")
+      spark.conf.unset("spark.sql.catalog.spjy.warehouse")
     }
   }
 }
