@@ -291,6 +291,61 @@ class MergeOnReadDmlSpec extends SparkSpec {
     }
   }
 
+  test("soundness fuzz: a random MOR DML sequence matches an in-memory model") {
+    withCatalog("morF") { wh =>
+      val rnd = new scala.util.Random(4242) // seeded: green forever or never
+      val t = new GraftTable(s"$wh/db/t")
+      val model = scala.collection.mutable.Map.empty[Long, Double]
+      (0L until 300L).foreach(i => model(i) = i * 1.0)
+      t.append(model.toSeq.toDF("id", "x").repartition(3))
+      t.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
+      t.setProperty(TxLog.MergeModeProp, TxLog.DeleteModeMor)
+      t.setProperty(TxLog.DeleteModeProp, TxLog.DeleteModeMor)
+      def check(tag: String): Unit = {
+        val got = spark.sql("SELECT id, x FROM morF.db.t").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got === model.toMap, s"divergence after $tag")
+      }
+      (0 until 10).foreach { step =>
+        rnd.nextInt(3) match {
+          case 0 => // sparse UPDATE by a modulo class
+            val m = 17 + rnd.nextInt(40); val r = rnd.nextInt(m)
+            val c = rnd.nextInt(1000).toDouble
+            spark.sql(s"UPDATE morF.db.t SET x = x + $c WHERE id % $m = $r")
+            model.keys.toSeq.filter(_ % m == r).foreach(k => model(k) += c)
+          case 1 => // sparse DELETE (modulo: not V1-translatable -> delta)
+            val m = 29 + rnd.nextInt(50); val r = rnd.nextInt(m)
+            spark.sql(s"DELETE FROM morF.db.t WHERE id % $m = $r AND x < 1e7")
+            model.keys.toSeq.filter(k => k % m == r && model(k) < 1e7)
+              .foreach(model.remove)
+          case _ => // MERGE: bump some, insert a fresh key
+            val picks = Seq.fill(3)(rnd.nextLong(1000))
+            val fresh = 1000L + step
+            (picks :+ fresh).distinct.toDF("sid")
+              .createOrReplaceTempView("morF_src")
+            try spark.sql(
+              s"""MERGE INTO morF.db.t AS tgt USING morF_src AS src
+                  ON tgt.id = src.sid
+                  WHEN MATCHED THEN UPDATE SET x = tgt.x * 2
+                  WHEN NOT MATCHED THEN INSERT (id, x) VALUES (src.sid, ${step}.5)""")
+            finally spark.catalog.dropTempView("morF_src")
+            (picks :+ fresh).distinct.foreach { k =>
+              if (model.contains(k)) model(k) *= 2 else model(k) = step + 0.5
+            }
+        }
+        if (step % 3 == 2) check(s"step $step")
+      }
+      check("final")
+      // the sequence must have actually exercised the DV path
+      assert(t.snapshot().files.exists(_.dv.isDefined) ||
+        t.history().map(_._2).contains("replace"))
+      // purge + compact launder everything; model still agrees
+      t.purgeDeletes(spark)
+      t.compact(spark, targetFileMB = 128)
+      check("post-maintenance")
+    }
+  }
+
   test("second MOR update ORs into the existing DV; positions stay exact") {
     withCatalog("mor7") { wh =>
       val t = new GraftTable(s"$wh/db/t")
