@@ -2145,6 +2145,16 @@ final class GraftTable(val tablePath: String) {
     val physKey = physicalOf(snap.schema, key)
     val (touched, _) = snap.files.partition(
       _.stats.get(physKey).forall(_.overlaps(lo, hi)))
+    // merge-on-read upsert (`update.mode = merge-on-read`): matched
+    // rows become deletion-vector entries on their files and the
+    // batch's latest upsert images append as new files — the streaming
+    // CDC-replication shape where copy-on-write re-stages every row of
+    // every key-overlapping file per micro-batch. The DV triage and
+    // rewrite leg ride [[commitDeltaRowLevelAdds]]; untouched keys
+    // never move.
+    if (touched.nonEmpty && snap.schema.fields.nonEmpty &&
+        snap.props.get(UpdateModeProp).contains(DeleteModeMor))
+      return upsertMor(spark, snap, changes, key, seqCol, touched)
     val base =
       if (touched.isEmpty)
         spark.createDataFrame(
@@ -2175,6 +2185,53 @@ final class GraftTable(val tablePath: String) {
     // no post-commit existence sweep (O(#files) stat() calls, and a
     // concurrent vacuum hiccup would blame this committed upsert)
     v
+  }
+
+  /** The merge-on-read leg of [[upsert]]: ONE tagged pass over the
+    * touched files finds the matched positions (existing DVs applied —
+    * an already-deleted row can never match again), the mergeable
+    * [[graft.functions.DvAgg]] folds them into per-file bitmaps
+    * executor-side (unbounded here — the commit core's triage decides
+    * rewrite legs from the MERGED bitmaps), and the batch's latest
+    * non-deleted images stage as the only new bytes. CDF note: unlike
+    * the copy-on-write leg's net diff, this stages every matched
+    * pre-image + every post-image (the Delta DV-DML feed shape — an
+    * identity update pairs instead of netting out; folds agree either
+    * way), with the merge key recorded for image re-pairing. */
+  private def upsertMor(
+      spark: SparkSession, snap: Snapshot, changes: DataFrame,
+      key: String, seqCol: String, touched: Seq[AddFile]): Long = {
+    val phys = physicalSchema(snap.schema)
+    val physKey = physicalOf(snap.schema, key)
+    def tagged(): DataFrame = {
+      val raw = spark.read.schema(phys)
+        .parquet(touched.map(a => root.resolve(a.path).toString): _*)
+        .withColumn("__file",
+          substring_index(col("_metadata.file_path"), "/", -1))
+        .withColumn("__idx", col("_metadata.row_index"))
+      val dvd = touched.filter(_.dv.isDefined)
+      if (dvd.isEmpty) raw
+      else raw.join(
+        positionsDf(spark, dvd.map(a =>
+          a.path -> java.util.Base64.getDecoder.decode(a.dv.get)))
+          .toDF("__file", "__idx"),
+        Seq("__file", "__idx"), "left_anti")
+    }
+    val keyVals = changes.select(col(key).as("__k")).distinct()
+    val matchedPairs = tagged()
+      .join(keyVals, col(s"`$physKey`") === col("__k"), "left_semi")
+      .select("__file", "__idx")
+    val bitmaps: Seq[(String, Array[Byte])] =
+      dvAggregate(matchedPairs, Int.MaxValue).collect().toSeq
+        .flatMap(r => Option(r.getAs[Array[Byte]](1)).map(r.getString(0) -> _))
+    // the batch's own latest images ARE the post-state for matched and
+    // brand-new keys alike (changes carry full rows — the applyCdc
+    // contract); base rows of untouched keys never move
+    val emptyBase = changes.drop("_deleted", "_op", seqCol).limit(0)
+    val inserts = Medallion.applyCdc(emptyBase, changes, key, seqCol)
+    val insertAdds = stageData(toPhysical(inserts, snap.schema))
+    commitDeltaRowLevelAdds(spark, snap, bitmaps, insertAdds,
+      op = "upsert", mergeKey = Some(key))
   }
 
   /** Create an EMPTY table: commit v1 carries the schema and no files.
@@ -3031,6 +3088,22 @@ final class GraftTable(val tablePath: String) {
       insertStaged: Seq[java.nio.file.Path]): Long = {
     val snap = snapshot(readVersion)
     if (newDeletes.isEmpty && insertStaged.isEmpty) return snap.version
+    commitDeltaRowLevelAdds(spark, snap, newDeletes,
+      adoptStaged(spark, physicalSchema(snap.schema), insertStaged),
+      op = "replace", mergeKey = None)
+  }
+
+  /** [[commitDeltaRowLevel]] over ALREADY-ADOPTED insert files — the
+    * shared core behind the SQL delta write ("replace") and the
+    * merge-on-read keyed [[upsert]] ("upsert" + recorded merge key, so
+    * the change feed can re-pair images). */
+  private def commitDeltaRowLevelAdds(
+      spark: SparkSession, snap: Snapshot,
+      newDeletes: Seq[(String, Array[Byte])],
+      insertAdds: Seq[AddFile],
+      op: String, mergeKey: Option[String]): Long = {
+    if (newDeletes.isEmpty && insertAdds.isEmpty) return snap.version
+    val readVersion = snap.version
     val byName = snap.files.map(a => a.path -> a).toMap
     newDeletes.foreach { case (p, _) =>
       require(byName.contains(p),
@@ -3041,7 +3114,6 @@ final class GraftTable(val tablePath: String) {
     val maxBytes = snap.props.get(DvMaxBytesProp)
       .map(_.toInt).getOrElse(DvMaxBytes)
     val phys = physicalSchema(snap.schema)
-    val insertAdds = adoptStaged(spark, phys, insertStaged)
     // the post-image / NOT-MATCHED rows are the only NEW values —
     // validate them; DV'd survivors and rewrite-leg carry-overs are
     // rows the table already held
@@ -3113,9 +3185,9 @@ final class GraftTable(val tablePath: String) {
     // files, and dvAdds reference LIVE data files that must never be
     // touched — same discipline as deleteRows
     val won = latestVersion() == snap.version &&
-      tryCommit(v, "replace", snap.version, None,
+      tryCommit(v, op, snap.version, None,
         dvAdds ++ stagedAdds ++ insertAdds, removes,
-        addVersions = addVersions, cdc = cdc)
+        addVersions = addVersions, cdc = cdc, mergeKey = mergeKey)
     if (!won) {
       (stagedAdds ++ insertAdds).foreach(a =>
         Files.deleteIfExists(root.resolve(a.path)))

@@ -1808,6 +1808,14 @@ object PipelineOps {
     bronze.append(base.filter(col("o_orderkey") % 2 === 0))            // v1
     bronze.setProperty(graft.medallion.TxLog.CdfEnabledProp, "true")   // v2
     bronze.append(base.filter(col("o_orderkey") % 2 === 1))            // v3
+    // the replica folds copy-on-write here: at sf0.1's file sizes the
+    // merge-on-read upsert's extra fixed-cost jobs (tagged position
+    // scan + bitmap aggregate per micro-batch) outweigh the bytes it
+    // saves — measured 8.1 s COW vs 9.9 s MOR. The crossover is file
+    // size: a production replica whose files dwarf its batches sets
+    // `update.mode = merge-on-read` on silver and each refresh commits
+    // batch-sized DVs + image appends instead of re-staging every
+    // key-overlapping file (MergeOnReadDmlSpec's keyed-upsert tests).
     val isUpd = col("o_orderkey") % 11 === 0
     val isDel = col("o_orderkey") % 13 === 7 && col("o_orderkey") % 11 =!= 0
     bronze.upsert(                                                     // v4

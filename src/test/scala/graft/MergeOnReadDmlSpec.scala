@@ -291,6 +291,77 @@ class MergeOnReadDmlSpec extends SparkSpec {
     }
   }
 
+  test("keyed upsert under update.mode=merge-on-read: DV + image append, zero rewrites") {
+    withCatalog("morU") { wh =>
+      val t = new GraftTable(s"$wh/db/t")
+      (0 until 3).foreach(f => t.append(
+        (f * 100L until (f + 1) * 100L).map(i => (i, i * 1.0))
+          .toDF("id", "x").coalesce(1)))
+      t.setProperty(TxLog.CdfEnabledProp, "true")
+      t.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
+      val before = t.snapshot()
+      val v0 = t.latestVersion()
+      // a CDC batch: two updates, one key-delete, one brand-new key —
+      // with a stale older image of key 50 that must LOSE by seq
+      val changes = Seq(
+        (50L, -1.0, 1L, false), (50L, 555.0, 2L, false),
+        (150L, 999.0, 2L, false),
+        (250L, 0.0, 2L, true),
+        (900L, 9.0, 2L, false))
+        .toDF("id", "x", "_seq", "_deleted")
+      t.upsert(changes, "id", "_seq")
+      val after = t.snapshot()
+      assert(before.files.forall(a => after.files.exists(_.path == a.path)),
+        "a sparse merge-on-read upsert must rewrite zero data files")
+      assert(after.files.count(a =>
+        before.files.exists(_.path == a.path) && a.dv.isDefined) === 3,
+        "each touched file carries a DV for its matched key")
+      assert(t.history().head._2 === "upsert")
+      assert(spark.sql("SELECT count(*) FROM morU.db.t").head().getLong(0) === 300L)
+      val got = spark.sql(
+        "SELECT id, x FROM morU.db.t WHERE id IN (50, 150, 250, 900)")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === Map(50L -> 555.0, 150L -> 999.0, 900L -> 9.0))
+      // CDF: pre/post images pair under the recorded merge key
+      val feed = t.readChangeFeed(spark, v0, updateImages = true)
+        .select("id", "x", TxLog.ChangeTypeCol).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(feed === Set(
+        (50L, 50.0, "update_preimage"), (50L, 555.0, "update_postimage"),
+        (150L, 150.0, "update_preimage"), (150L, 999.0, "update_postimage"),
+        (250L, 250.0, "delete"),
+        (900L, 9.0, "insert")), s"feed: $feed")
+      // a second upsert ORs into the same files' bitmaps
+      t.upsert(Seq((51L, -5.0, 3L, false)).toDF("id", "x", "_seq", "_deleted"),
+        "id", "_seq")
+      assert(t.snapshot().files.exists(_.dvRows === 2L))
+      assert(spark.sql("SELECT x FROM morU.db.t WHERE id = 51")
+        .head().getDouble(0) === -5.0)
+      assert(spark.sql("SELECT count(*) FROM morU.db.t").head().getLong(0) === 300L)
+    }
+  }
+
+  test("MOR upsert triage: a mostly-replaced file rewrites in the same commit") {
+    withCatalog("morV") { wh =>
+      val t = new GraftTable(s"$wh/db/t")
+      t.append((0L until 100L).map(i => (i, i * 1.0)).toDF("id", "x").coalesce(1))
+      t.append((100L until 200L).map(i => (i, i * 1.0)).toDF("id", "x").coalesce(1))
+      t.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
+      val before = t.snapshot()
+      // replaces 90% of file 1, 1% of file 2
+      val changes = ((0L until 90L) :+ 150L)
+        .map(i => (i, -1.0, 1L, false)).toDF("id", "x", "_seq", "_deleted")
+      t.upsert(changes, "id", "_seq")
+      val after = t.snapshot()
+      val kept = after.files.filter(a => before.files.exists(_.path == a.path))
+      assert(kept.size === 1 && kept.head.dv.isDefined && kept.head.dvRows === 1L,
+        s"the lightly-touched file vectorizes, the hot one rewrites: $kept")
+      assert(spark.sql("SELECT count(*) FROM morV.db.t WHERE x = -1.0")
+        .head().getLong(0) === 91L)
+      assert(spark.sql("SELECT count(*) FROM morV.db.t").head().getLong(0) === 200L)
+    }
+  }
+
   test("soundness fuzz: a random MOR DML sequence matches an in-memory model") {
     withCatalog("morF") { wh =>
       val rnd = new scala.util.Random(4242) // seeded: green forever or never
