@@ -2563,13 +2563,36 @@ final class GraftTable(val tablePath: String) {
     * named columns exist and are bloom-able; blooms then build for
     * every SUBSEQUENT write (existing files prune by min/max only
     * until a compact rewrites them with filters). */
-  def setProperty(name: String, value: String, maxRetries: Int = 20): Long = {
-    require(name.nonEmpty, "txlog: property name must be non-empty")
+  def setProperty(name: String, value: String, maxRetries: Int = 20): Long =
+    setProperties(Map(name -> value), maxRetries)
+
+  /** Set SEVERAL table properties in ONE commit (the `CREATE TABLE …
+    * TBLPROPERTIES` / multi-key `ALTER TABLE … SET TBLPROPERTIES`
+    * shape): every key validates against the same head snapshot, then
+    * one full-replacement props commit carries them all — a validation
+    * failure commits nothing. */
+  def setProperties(
+      kvs: Map[String, String], maxRetries: Int = 20): Long = {
+    require(kvs.nonEmpty, "txlog: setProperties needs at least one property")
+    kvs.keys.foreach(n =>
+      require(n.nonEmpty, "txlog: property name must be non-empty"))
     var attempt = 0
     while (attempt < maxRetries) {
       val head = latestVersion()
       require(head > 0L, s"txlog: no table at $root to set properties on")
       val snap = snapshot(head)
+      kvs.foreach { case (name, value) => validateProperty(name, value, snap) }
+      if (tryCommit(head + 1, "setProps", head, None, Nil, Nil,
+        props = Some(snap.props ++ kvs)))
+        return head + 1
+      attempt += 1
+    }
+    throw new ConcurrentWriteException(
+      s"txlog: setProperties lost $maxRetries commit races at $tablePath")
+  }
+
+  private def validateProperty(
+      name: String, value: String, snap: Snapshot): Unit = {
       if (name == BloomBitsProp) {
         val bits = try value.trim.toInt catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
@@ -2657,13 +2680,7 @@ final class GraftTable(val tablePath: String) {
               "int/long/string (the hash-replayable set)")
         }
       }
-      if (tryCommit(head + 1, "setProps", head, None, Nil, Nil,
-        props = Some(snap.props + (name -> value))))
-        return head + 1
-      attempt += 1
-    }
-    throw new ConcurrentWriteException(
-      s"txlog: setProperty lost $maxRetries commit races at $tablePath")
+      ()
   }
 
   def unsetProperty(name: String, maxRetries: Int = 20): Long = {

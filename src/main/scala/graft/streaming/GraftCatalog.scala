@@ -173,15 +173,58 @@ final class GraftCatalog extends TableCatalog
     loadTable(ident, v.toString)
   }
 
+  /** `PARTITIONED BY (days(ts), bucket(16, id), …)` → the table's
+    * `partition.spec` (hidden partitioning — derived per-file stats,
+    * not directory layout; see [[graft.medallion.PartitionSpec]]). */
+  private def specOf(t: Transform): String = {
+    val refs = t.references().flatMap(_.fieldNames())
+    require(refs.length == 1,
+      s"graft catalog: partition transform $t must reference exactly one column")
+    val c = refs.head
+    val lits = t.arguments().collect {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value().toString
+    }
+    t.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "identity" => s"id($c)"
+      case "bucket" =>
+        require(lits.length == 1, s"graft catalog: bucket needs a count: $t")
+        s"bucket(${lits.head},$c)"
+      case "truncate" | "trunc" =>
+        require(lits.length == 1, s"graft catalog: truncate needs a width: $t")
+        s"trunc(${lits.head},$c)"
+      case "days" => s"days($c)"
+      case "hours" => s"hours($c)"
+      case "months" => s"months($c)"
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported partition transform '$other' — " +
+          "supported: identity, bucket(n, c), truncate(w, c), days, " +
+          "hours, months (the PartitionSpec transform matrix)")
+    }
+  }
+
   override def createTable(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog: PARTITIONED BY is not supported — clustering is " +
-        "a layout concern (optimizeZorder), not a schema concern")
     if (exists(ident)) throw new TableAlreadyExistsException((ident.namespace().toSeq :+ ident.name()).toSeq)
-    new GraftTable(dirOf(ident)).create(schema)
+    val t = new GraftTable(dirOf(ident))
+    t.create(schema)
+    // user TBLPROPERTIES commit atomically with the PARTITIONED BY
+    // spec in ONE props commit (Spark-reserved catalog keys excluded);
+    // validation failures leave an empty created table, nothing else
+    val userProps = properties.asScala.toMap.filterNot { case (k, _) =>
+      GraftCatalog.ReservedTableProps(k) || k.startsWith("option.") }
+    require(partitions.isEmpty ||
+        !userProps.contains(graft.medallion.PartitionSpec.Prop),
+      "graft catalog: pass PARTITIONED BY or the partition.spec " +
+        "property, not both")
+    val specProp =
+      if (partitions.isEmpty) Map.empty[String, String]
+      else Map(graft.medallion.PartitionSpec.Prop ->
+        partitions.map(specOf).mkString(", "))
+    val all = specProp ++ userProps
+    if (all.nonEmpty) t.setProperties(all)
     loadTable(ident)
   }
 
@@ -305,6 +348,15 @@ final class GraftCatalog extends TableCatalog
     throw new UnsupportedOperationException(
       "graft catalog: RENAME is not supported — table paths are " +
         "identity (relocate by moving the directory, the log is relative)")
+}
+
+object GraftCatalog {
+  /** Catalog-plumbing keys Spark injects into `CREATE TABLE`
+    * properties — never table state (the `TableCatalog.PROP_*` set). */
+  private[streaming] val ReservedTableProps: Set[String] = Set(
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+    TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
+    TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION)
 }
 
 /** The `t.history` metadata table: the commit log as SQL rows (version,

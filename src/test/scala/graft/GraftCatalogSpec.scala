@@ -17,6 +17,16 @@ class GraftCatalogSpec extends SparkSpec {
     dir.getAbsolutePath
   }
 
+  private def withoutCoalesce[A](body: => A): A = {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("CREATE/SELECT/DELETE/TRUNCATE/SHOW/DROP through plain SQL") {
     import spark.implicits._
     val wh = freshWarehouse()
@@ -148,6 +158,50 @@ class GraftCatalogSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.gsql.warehouse")
     }
   }
+
+  test("CREATE TABLE with PARTITIONED BY and TBLPROPERTIES lands both in the log") { withoutCoalesce {
+    import spark.implicits._
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.gct", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gct.warehouse", wh)
+    try {
+      spark.sql(
+        """CREATE TABLE gct.db.ev (id BIGINT, ts TIMESTAMP, s STRING)
+           PARTITIONED BY (days(ts), bucket(8, id))
+           TBLPROPERTIES ('cdf.enabled' = 'true', 'delete.mode' = 'merge-on-read')""")
+      val t = new GraftTable(s"$wh/db/ev")
+      assert(t.properties(graft.medallion.PartitionSpec.Prop)
+        === "days(ts), bucket(8,id)")
+      assert(t.properties("cdf.enabled") === "true")
+      assert(t.properties("delete.mode") === "merge-on-read")
+      assert(!t.properties.contains("provider"),
+        "Spark catalog-plumbing keys must not leak into table state")
+      // the spec is LIVE: clustered ingest + day pruning through SQL
+      val rows = for (d <- 0L until 6L; i <- 0L until 100L)
+        yield (d * 100L + i,
+          new java.sql.Timestamp((19700L + d) * 86400000L + i), s"v$i")
+      t.append(rows.toDF("id", "ts", "s"))
+      val lo = new java.sql.Timestamp(19702L * 86400000L)
+      val hi = new java.sql.Timestamp(19703L * 86400000L - 1L)
+      assert(t.readRange(spark, "ts", Some(lo), Some(hi)).count() === 100L)
+      assert(t.filesForRange("ts", Some(lo), Some(hi)) * 2
+        <= t.snapshot().files.size,
+        "the SQL-declared day spec must prune")
+      // an invalid transform refuses with a clear message
+      val err = intercept[Exception](spark.sql(
+        "CREATE TABLE gct.db.bad (id BIGINT) PARTITIONED BY (years(id))"))
+      assert(err.getMessage.contains("years") ||
+        err.getMessage.contains("transform"))
+      // invalid TBLPROPERTIES validate atomically: bad spec = no props
+      intercept[Exception](spark.sql(
+        "CREATE TABLE gct.db.bad2 (id BIGINT) " +
+          "TBLPROPERTIES ('partition.spec' = 'days(nope)')"))
+      assert(new GraftTable(s"$wh/db/bad2").properties.isEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gct")
+      spark.conf.unset("spark.sql.catalog.gct.warehouse")
+    }
+  } }
 
   test("UPDATE / MERGE INTO / arbitrary-predicate DELETE via copy-on-write row-level ops") {
     import spark.implicits._
