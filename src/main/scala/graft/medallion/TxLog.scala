@@ -2853,8 +2853,12 @@ final class GraftTable(val tablePath: String) {
       "txlog: delete bounds must be finite (NaN/Infinity compare unreliably)")
     val snap = snapshot()
     val lo = lower.map(statsLiteral); val hi = upper.map(statsLiteral)
+    // UTF-8 byte order for strings — the order the stored min/max were
+    // written in (String.compareTo would invert supplementary-char
+    // pairs and could prove a false subset ⇒ a metadata drop
+    // over-deleting rows below the bound)
     def cmp(kind: String, a: String, b: String): Int =
-      if (kind == "num") BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+      if (kind == "num") BigDecimal(a).compare(BigDecimal(b)) else utf8Cmp(a, b)
     val field = snap.schema.fields.find(_.name == column)
     // timestamp stats are floored to epoch millis — sound for the
     // OVERLAP direction (a floored max below a floored lo still proves

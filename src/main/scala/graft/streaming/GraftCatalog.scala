@@ -255,6 +255,13 @@ final class GraftCatalog extends TableCatalog
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
       case _ => false
     }
+    // plain properties batch into ONE validated commit (an
+    // `ALTER TABLE … SET TBLPROPERTIES('a'='1','b'='2')` is atomic);
+    // constraints keep their own validating commits
+    val plainSets = propChanges.collect {
+      case p: TableChange.SetProperty
+          if !p.property.startsWith("constraint.") => p.property -> p.value
+    }.toMap
     propChanges.foreach {
       case p: TableChange.SetProperty if p.property.startsWith("constraint.") =>
         new GraftTable(dirOf(ident)).addConstraint(
@@ -263,15 +270,12 @@ final class GraftCatalog extends TableCatalog
       case p: TableChange.RemoveProperty if p.property.startsWith("constraint.") =>
         new GraftTable(dirOf(ident)).dropConstraint(
           p.property.stripPrefix("constraint."))
-      // everything else is a free-form table property (e.g.
-      // 'bloom.columns' turns on per-file Bloom skipping) — one
-      // full-replacement props commit each
-      case p: TableChange.SetProperty =>
-        new GraftTable(dirOf(ident)).setProperty(p.property, p.value)
       case p: TableChange.RemoveProperty =>
         new GraftTable(dirOf(ident)).unsetProperty(p.property)
       case _ => ()
     }
+    if (plainSets.nonEmpty)
+      new GraftTable(dirOf(ident)).setProperties(plainSets)
     if (colChanges.isEmpty) return loadTable(ident)
     // RENAME / DROP COLUMN are schema-only commits via column mapping
     // (the data files keep their physical names; see TxLog.renameColumn)

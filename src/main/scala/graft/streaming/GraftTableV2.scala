@@ -1821,7 +1821,11 @@ object GraftTableV2 {
       val isNum = present.head.kind == "num"
       val picked = present.map(cs => if (wantMin) cs.min else cs.max)
         .reduce { (a, b) =>
-          val cmp = if (isNum) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+          // strings fold in UTF-8 BYTE order — what Spark's own MIN/MAX
+          // would compute over the rows (String.compareTo inverts
+          // supplementary-char pairs and would return a WRONG answer)
+          val cmp = if (isNum) BigDecimal(a).compare(BigDecimal(b))
+            else TxLog.utf8Cmp(a, b)
           if ((cmp <= 0) == wantMin) a else b
         }
       statsValue(picked, dt)

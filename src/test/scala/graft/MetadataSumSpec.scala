@@ -83,4 +83,28 @@ class MetadataSumSpec extends SparkSpec {
       t.setProperty(TxLog.SumColumnsProp, "nope") }
     t.setProperty(TxLog.SumColumnsProp, "id") // integral: fine
   }
+
+  test("metadata MIN/MAX folds strings in UTF-8 byte order (supplementary chars)") {
+    val smile = new String(Character.toChars(0x1F600)) // U+1F600
+    val t = freshTable("utf8minmax")
+    // two files whose maxes invert under String.compareTo: the emoji
+    // sorts ABOVE U+FFFD in UTF8String order, below it in UTF-16 units
+    t.append(Seq((1L, smile + "alpha")).toDF("id", "s").coalesce(1))
+    t.append(Seq((2L, "�zeta"), (3L, "ascii")).toDF("id", "s").coalesce(1))
+    val agg = spark.read.format("graft-table").load(t.tablePath)
+      .agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    val plan = planOf(agg)
+    assert(plan.contains("LocalTableScan"),
+      s"string MIN/MAX must answer from the log: $plan")
+    val row = agg.head()
+    // the oracle: what a genuine scan computes
+    val real = spark.read.format("graft-table").load(t.tablePath)
+      .select(col("s")).collect().map(_.getString(0))
+    val realMax = real.reduce((a, b) =>
+      if (org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) >= 0) a else b)
+    assert(row.getString(0) === "ascii")
+    assert(row.getString(1) === realMax && realMax === smile + "alpha",
+      s"metadata max ${row.getString(1)} must equal the scan's $realMax")
+  }
 }
