@@ -2918,6 +2918,94 @@ final class GraftTable(val tablePath: String) {
     (dropped.size, touched.size, v)
   }
 
+  /** Atomic REPLACE WHERE over the one-column inclusive range
+    * `[lower, upper]` (Delta's `replaceWhere` shape): ONE commit drops
+    * fully-covered files by metadata, rewrites straddlers' survivors,
+    * and adopts `df` as the range's new content — the BACKFILL shape
+    * (recompute a day, swap it in) with no delete-then-append gap a
+    * concurrent reader could observe. Every replacement row must fall
+    * INSIDE the range and carry a non-null key — validated on the
+    * STAGED bytes (the rows committed are the rows checked); a
+    * violation deletes the staged files and commits nothing, so the
+    * operation can never clobber rows outside its declared window.
+    * NULL-keyed existing rows survive (they match no range), exactly
+    * like [[delete]]. Returns (filesDropped, filesRewritten, version). */
+  def overwriteRange(
+      spark: SparkSession, df: DataFrame, column: String,
+      lower: Option[Any], upper: Option[Any]): (Int, Int, Long) = {
+    require(lower.forall(isFiniteStat) && upper.forall(isFiniteStat),
+      "txlog: replace bounds must be finite")
+    val snap = snapshot()
+    require(snap.schema.fieldNames.contains(column),
+      s"txlog: unknown range column '$column'")
+    // the same three-way triage as delete(): metadata drops, straddler
+    // rewrites, untouched carry-over
+    val lo = lower.map(statsLiteral); val hi = upper.map(statsLiteral)
+    def cmp(kind: String, a: String, b: String): Int =
+      if (kind == "num") BigDecimal(a).compare(BigDecimal(b)) else utf8Cmp(a, b)
+    val field = snap.schema.fields.find(_.name == column)
+    val exactStats = field.exists(_.dataType != TimestampType)
+    def allMatch(cs: ColStats): Boolean =
+      exactStats && cs.nulls.contains(0L) &&
+        lo.forall(l => cmp(cs.kind, cs.min, l) >= 0) &&
+        hi.forall(h => cmp(cs.kind, cs.max, h) <= 0)
+    val provablyAllNull = field.exists(f =>
+      (f.dataType match {
+        case _: NumericType | StringType | DateType | TimestampType => true
+        case _ => false
+      }) && f.dataType != DoubleType && f.dataType != FloatType)
+    val physCol = physicalOf(snap.schema, column)
+    val (dropped, kept) = snap.files.partition(_.stats.get(physCol).exists(allMatch))
+    val (touched, _) = kept.partition(_.stats.get(physCol) match {
+      case Some(cs) => cs.overlaps(lo, hi)
+      case None => !provablyAllNull
+    })
+    val c = col(physCol)
+    val matched = (lower, upper) match {
+      case (Some(l), Some(u)) => c >= lit(l) && c <= lit(u)
+      case (Some(l), None) => c >= lit(l)
+      case (None, Some(u)) => c <= lit(u)
+      case (None, None) => c.isNotNull
+    }
+    val survivorAdds = if (touched.isEmpty) Seq.empty else
+      stageData(readPhysicalFiles(spark, physicalSchema(snap.schema), touched)
+        .filter(!coalesce(matched, lit(false))))
+    // the replacement content, staged then RANGE-VALIDATED on its own
+    // bytes — out-of-window or null-keyed rows refuse atomically
+    val newAdds = stageData(toPhysical(df, snap.schema))
+    def dropStaged(): Unit = (survivorAdds ++ newAdds).foreach(a =>
+      Files.deleteIfExists(root.resolve(a.path)))
+    if (newAdds.nonEmpty) {
+      val outside = spark.read.schema(physicalSchema(snap.schema))
+        .parquet(newAdds.map(a => root.resolve(a.path).toString): _*)
+        .filter(!coalesce(matched, lit(false)))
+        .limit(1).count()
+      if (outside > 0) {
+        dropStaged()
+        throw new IllegalArgumentException(
+          s"txlog: replaceWhere content carries rows outside " +
+            s"[$lower, $upper] on '$column' (or with a NULL key) — " +
+            "refusing to clobber rows beyond the declared window")
+      }
+      try enforceOnStaged(spark, snap.schema, newAdds,
+        snap.constraints ++ generatedChecks(snap.props))
+      catch { case e: Throwable =>
+        survivorAdds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
+        throw e
+      }
+    }
+    if (dropped.isEmpty && touched.isEmpty && newAdds.isEmpty)
+      return (0, 0, snap.version)
+    // cdf.enabled: dropped files ride as zero-write cdcfull refs; the
+    // straddler+insert net diff stages like every rewrite
+    val cdc = if (cdfEnabled(snap) && (touched.nonEmpty || newAdds.nonEmpty))
+      cdcDiff(spark, snap, touched, survivorAdds ++ newAdds) else Nil
+    val cdcFull = if (cdfEnabled(snap)) dropped.map(_.path) else Nil
+    val v = commitRewrite(snap, "replace", None, survivorAdds ++ newAdds,
+      (dropped ++ touched).map(_.path), cdc = cdc, cdcFull = cdcFull)
+    (dropped.size, touched.size, v)
+  }
+
   /** Merge-on-read DELETE (deletion vectors — the Delta DV / Iceberg v2
     * position-delete shape): rows matching `condition` (a SQL boolean
     * expression over LOGICAL column names; NULL = no match, SQL DELETE

@@ -50,7 +50,7 @@ object GraftProcedures {
 
   private val names =
     Seq("optimize", "vacuum", "restore", "clone", "checkpoint", "analyze",
-      "sync_identity", "detail")
+      "sync_identity", "detail", "replace_range")
 
   def load(ident: Identifier, dirOfTable: String => String): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -65,6 +65,7 @@ object GraftProcedures {
       case "analyze"    => analyze(dirOfTable)
       case "sync_identity" => syncIdentity(dirOfTable)
       case "detail"     => detail(dirOfTable)
+      case "replace_range" => replaceRange(dirOfTable)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure system.$other — available: " +
           names.mkString(", "))
@@ -180,6 +181,37 @@ object GraftProcedures {
         t.lastCheckpointVersion().map(Long.box).orNull,
         headTs.map(ms => Long.box(ms * 1000L)).orNull,
         utf8(propsJson)))
+    }
+
+  private val replaceRangeOut = StructType(Seq(
+    StructField("files_dropped", IntegerType, nullable = false),
+    StructField("files_rewritten", IntegerType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  /** Atomic REPLACE WHERE from SQL (Delta's `replaceWhere` shape):
+    * `CALL cat.system.replace_range(table => 'db.t', column => 'day',
+    * lower => '2026-08-01', upper => '2026-08-01', source => 'v')` —
+    * swaps the range's content for the rows of the named view/table in
+    * ONE commit ([[GraftTable.overwriteRange]]); out-of-window source
+    * rows refuse with nothing committed. */
+  private def replaceRange(dirOf: String => String): UnboundProcedure =
+    bound("replace_range", Seq(
+      param("table", StringType),
+      param("column", StringType),
+      param("source", StringType), // required args precede optionals
+      paramD("lower", StringType, "CAST(NULL AS STRING)"),
+      paramD("upper", StringType, "CAST(NULL AS STRING)")), replaceRangeOut) { in =>
+      val t = tableDir(dirOf, in.getUTF8String(0))
+      val c = in.getUTF8String(1).toString
+      val src = Option(in.getUTF8String(2)).map(_.toString).getOrElse(
+        throw new IllegalArgumentException(
+          "replace_range needs a source view/table name"))
+      def bnd(i: Int): Option[Any] =
+        if (in.isNullAt(i)) None
+        else Some(typedBound(t, c, in.getUTF8String(i).toString))
+      val (dropped, rewritten, v) =
+        t.overwriteRange(spark, spark.table(src), c, bnd(3), bnd(4))
+      Seq(InternalRow(dropped, rewritten, v))
     }
 
   private val analyzeOut = StructType(Seq(

@@ -337,6 +337,42 @@ class GraftProceduresSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.replace_range: atomic REPLACE WHERE from SQL") {
+    import spark.implicits._
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.days (day BIGINT, v STRING)")
+      val t = new GraftTable(s"$wh/db/days")
+      t.append((1L to 3L).flatMap(d => (1 to 4).map(i => (d, s"d$d-r$i")))
+        .toDF("day", "v").repartition(1))
+      Seq((2L, "recomputed-1"), (2L, "recomputed-2"))
+        .toDF("day", "v").createOrReplaceTempView("day2_fix")
+      try {
+        val row = spark.sql(
+          s"""CALL $cat.system.replace_range(table => 'db.days',
+              column => 'day', lower => '2', upper => '2',
+              source => 'day2_fix')""").head()
+        assert(row.getInt(0) + row.getInt(1) === 1, "one file triaged")
+        assert(spark.sql(s"SELECT v FROM $cat.db.days WHERE day = 2").collect()
+          .map(_.getString(0)).toSet
+          === Set("recomputed-1", "recomputed-2"))
+        assert(spark.sql(s"SELECT count(*) FROM $cat.db.days")
+          .head().getLong(0) === 10L)
+        // out-of-window source refuses, nothing committed
+        Seq((9L, "stray")).toDF("day", "v")
+          .createOrReplaceTempView("bad_fix")
+        val before = t.latestVersion()
+        intercept[Exception](spark.sql(
+          s"""CALL $cat.system.replace_range(table => 'db.days',
+              column => 'day', lower => '2', upper => '2',
+              source => 'bad_fix')""").collect())
+        assert(t.latestVersion() === before)
+      } finally {
+        spark.catalog.dropTempView("day2_fix")
+        spark.catalog.dropTempView("bad_fix")
+      }
+    }
+  }
+
   test("CALL system.detail: the whole operational state as one metadata row") {
     import spark.implicits._
     import graft.medallion.TxLog

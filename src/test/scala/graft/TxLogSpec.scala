@@ -752,6 +752,61 @@ class TxLogSpec extends SparkSpec {
       t3.setProperty(TxLog.CheckpointIntervalProp, "often") }
   }
 
+  test("overwriteRange: atomic REPLACE WHERE — drop, rewrite, insert in one commit") {
+    import spark.implicits._
+    val t = freshTable("replwhere")
+    // three files: fully-covered, straddling, untouched
+    t.append(df((1L to 10L).map(i => i -> "old")).repartition(1))   // v1: 1..10
+    t.append(df((8L to 20L).map(i => i -> "mid")).repartition(1))   // v2: 8..20
+    t.append(df((30L to 40L).map(i => i -> "hi")).repartition(1))   // v3
+    val untouched = t.snapshot().files
+      .filter(_.stats("id").overlaps(Some("30"), None)).map(_.path).toSet
+    val replacement = df((1L to 12L).map(i => i -> s"new$i"))
+    val (dropped, rewritten, v) =
+      t.overwriteRange(spark, replacement, "id", Some(1L), Some(12L))
+    assert(dropped === 1 && rewritten === 1, s"triage: $dropped/$rewritten")
+    assert(v === 4L, "ONE commit")
+    // content: range replaced, straddler's out-of-range rows kept,
+    // untouched file byte-identical
+    val rows = t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.count(_._2.startsWith("new")) === 12)
+    assert(rows.filter(r => r._1 >= 13 && r._1 <= 20).forall(_._2 == "mid"))
+    assert(rows.count(_._1 >= 30) === 11)
+    assert(rows.length === 12 + 8 + 11)
+    assert(untouched.subsetOf(t.snapshot().files.map(_.path).toSet))
+    // out-of-window replacement rows refuse with NOTHING committed
+    val before = t.latestVersion()
+    intercept[IllegalArgumentException] {
+      t.overwriteRange(spark, df(Seq(99L -> "stray")), "id", Some(1L), Some(12L))
+    }
+    assert(t.latestVersion() === before)
+    assert(t.read(spark).count() === 31L)
+    // null-keyed replacement rows refuse too
+    intercept[IllegalArgumentException] {
+      t.overwriteRange(spark,
+        Seq((Option.empty[Long], "n")).toDF("id", "name"), "id",
+        Some(1L), Some(12L))
+    }
+  }
+
+  test("overwriteRange under cdf.enabled: the feed folds exactly across the swap") {
+    import spark.implicits._
+    val t = freshTable("replwhere_cdf")
+    t.append(df((1L to 6L).map(i => i -> "a")).repartition(1))
+    t.setProperty(TxLog.CdfEnabledProp, "true")
+    val v0 = t.latestVersion()
+    t.overwriteRange(spark, df(Seq(2L -> "B", 3L -> "B", 99L -> "oops"))
+      .filter(col("id") < 50), "id", Some(2L), Some(4L))
+    val feed = t.readChangeFeed(spark, v0)
+      .select("id", "name", TxLog.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed === Set(
+      (2L, "a", "delete"), (3L, "a", "delete"), (4L, "a", "delete"),
+      (2L, "B", "insert"), (3L, "B", "insert")), s"feed: $feed")
+    assert(t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+      === Set(1L -> "a", 5L -> "a", 6L -> "a", 2L -> "B", 3L -> "B"))
+  }
+
   test("utf8Cmp matches UTF8String binary order, not String.compareTo") {
     import org.apache.spark.unsafe.types.UTF8String
     val smile = new String(Character.toChars(0x1F600)) // U+1F600
