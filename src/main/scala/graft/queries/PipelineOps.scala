@@ -2103,6 +2103,72 @@ object PipelineOps {
   }
 
   // --------------------------------------------------------------------
+  // q147 — atomic REPLACE WHERE (Delta's replaceWhere, the BACKFILL
+  // primitive): a recomputed 1995 slice swaps into the orders table in
+  // ONE commit through `CALL system.replace_range` — the fully-covered
+  // file drops by metadata (require'd), the other slices stay
+  // byte-identical (require'd), and no reader ever sees the
+  // delete-then-append gap two commits would expose. Out-of-window
+  // replacement rows are require'd to refuse with zero residue.
+  // 100 TB story: recompute-a-day-and-swap is the most common batch
+  // correction; this makes it one serializable commit whose IO is the
+  // replaced slice, never the table.
+  // --------------------------------------------------------------------
+  def q147ReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val wh = s"${scratch("replw", dir)}/warehouse"
+    graft.core.Fs.rmTree(new java.io.File(wh))
+    val cat = s"gq147_${math.abs(wh.hashCode).toString.take(8)}"
+    graft.api.Graft.registerCatalog(s, cat, wh)
+    try {
+      val base = lake(s, dir).orders
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_totalprice"))
+      val t = new graft.medallion.GraftTable(s"$wh/d/ord")
+      t.append(base.filter(year(col("o_orderdate")) < 1995).coalesce(1))
+      t.append(base.filter(year(col("o_orderdate")) === 1995).coalesce(1))
+      t.append(base.filter(year(col("o_orderdate")) > 1995).coalesce(1))
+      val untouched = t.snapshot().files.map(_.path).toSet
+      base.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .createOrReplaceTempView("q147_fix")
+      val row = s.sql(
+        s"""CALL $cat.system.replace_range(table => 'd.ord',
+            column => 'o_orderdate', source => 'q147_fix',
+            lower => '1995-01-01', upper => '1995-12-31')""").head()
+      require(row.getInt(0) == 1 && row.getInt(1) == 0,
+        s"the 1995 file must drop by metadata, nothing rewritten: $row")
+      require((untouched -- t.snapshot().files.map(_.path).toSet).size == 1,
+        "only the replaced file may leave the live set")
+      // out-of-window replacement content refuses atomically
+      val v0 = t.latestVersion()
+      base.limit(5).createOrReplaceTempView("q147_bad")
+      val refused =
+        try { s.sql(s"""CALL $cat.system.replace_range(table => 'd.ord',
+              column => 'o_orderdate', source => 'q147_bad',
+              lower => '1995-06-01', upper => '1995-06-02')""").collect()
+          false
+        } catch { case _: Exception => true }
+      require(refused && t.latestVersion() == v0,
+        "out-of-window rows must refuse with nothing committed")
+      s.sql(s"""SELECT o_orderkey, o_orderdate, o_totalprice
+               FROM $cat.d.ord ORDER BY o_orderkey""")
+    } finally {
+      s.catalog.dropTempView("q147_fix")
+      s.catalog.dropTempView("q147_bad")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  private val q147Oracle =
+    """SELECT o_orderkey, o_orderdate,
+              CASE WHEN year(o_orderdate) = 1995
+                   THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+       FROM orders ORDER BY o_orderkey"""
+
+  // --------------------------------------------------------------------
   // q146 — STORAGE-PARTITIONED JOIN (SPARK-37375, the Iceberg SPJ
   // design): orders and customer land in graft tables co-bucketed on
   // the customer key (`partition.spec = bucket(8, key)`), the scans
@@ -2292,6 +2358,7 @@ object PipelineOps {
     "q143_type_widening" -> (q143TypeWidening _),
     "q145_hilbert_layout" -> (q145HilbertLayout _),
     "q146_spj_join" -> (q146SpjJoin _),
+    "q147_replace_where" -> (q147ReplaceWhere _),
     "q142_sql_mor_update" -> (q142SqlMorUpdate _),
     "q141_metadata_sum" -> (q141MetadataSum _),
     "q139_generated_columns" -> (q139GeneratedColumns _),
@@ -2334,6 +2401,7 @@ object PipelineOps {
     "q143_type_widening" -> q143Oracle,
     "q145_hilbert_layout" -> q145Oracle,
     "q146_spj_join" -> q146Oracle,
+    "q147_replace_where" -> q147Oracle,
     "q142_sql_mor_update" -> q142Oracle,
     "q141_metadata_sum" -> q141Oracle,
     "q139_generated_columns" -> q139Oracle,
