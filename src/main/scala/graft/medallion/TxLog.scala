@@ -2229,7 +2229,12 @@ final class GraftTable(val tablePath: String) {
     // contract); base rows of untouched keys never move
     val emptyBase = changes.drop("_deleted", "_op", seqCol).limit(0)
     val inserts = Medallion.applyCdc(emptyBase, changes, key, seqCol)
-    val insertAdds = stageData(toPhysical(inserts, snap.schema))
+    // spec-cluster the image files like any append — post-images keep
+    // tight transform ranges (day pruning, bucket single-valuedness for
+    // storage-partitioned joins) instead of straddling every tuple
+    val physInserts = toPhysical(inserts, snap.schema)
+    val insertAdds = stageData(PartitionSpec.cluster(physInserts,
+      PartitionSpec.resolved(snap.props, snap.schema, physInserts.schema)))
     commitDeltaRowLevelAdds(spark, snap, bitmaps, insertAdds,
       op = "upsert", mergeKey = Some(key))
   }
