@@ -205,6 +205,46 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("row-level DML degrades gracefully; compaction restores the zero-shuffle join") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjm.warehouse", wh)
+    try {
+      val a = new GraftTable(s"$wh/db/a")
+      a.append(Seq((0L, 0.0)).toDF("id", "x"))
+      a.setProperty(PartitionSpec.Prop, "bucket(8,id)")
+      a.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
+      a.append((1L until 400L).map(i => (i, i * 1.0)).toDF("id", "x"))
+      a.compact(spark, targetFileMB = 128)
+      // a MOR UPDATE appends a post-image file that may straddle
+      // buckets — the join stays CORRECT either way
+      spark.sql("UPDATE spjm.db.a SET x = -1.0 WHERE id IN (5, 200)")
+      withSpj {
+        val self = spark.sql(
+          "SELECT x.id, y.x FROM spjm.db.a x JOIN spjm.db.a y ON x.id = y.id")
+        assert(self.count() === 400L)
+        assert(spark.sql(
+          "SELECT count(*) FROM spjm.db.a x JOIN spjm.db.a y ON x.id = y.id " +
+            "WHERE y.x = -1.0").head().getLong(0) === 2L)
+      }
+      // compaction launders the DV and re-clusters by the bucket
+      // tuple — the zero-shuffle plan comes back
+      a.compact(spark, targetFileMB = 128)
+      assert(a.snapshot().files.forall(_.dv.isEmpty))
+      withSpj {
+        val self = spark.sql(
+          "SELECT x.id FROM spjm.db.a x JOIN spjm.db.a y ON x.id = y.id")
+        val n = shuffles(self)
+        assert(n === 0,
+          s"post-compaction the co-bucketed join must be exchange-free: $n")
+        assert(self.count() === 400L)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjm")
+      spark.conf.unset("spark.sql.catalog.spjm.warehouse")
+    }
+  }
+
   test("a straddling (pre-spec, uncompacted) file degrades to normal planning") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.spjy", classOf[GraftCatalog].getName)
