@@ -56,6 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "graft table at `path`: path, rows, dv_rows, bytes, " +
             "added_in, partition, stats", ""),
         GraftMetaTables.filesPlan _))
+    ext.injectTableFunction(
+      (FunctionIdentifier("graft_table_partitions"),
+        new ExpressionInfo("graft", null, "graft_table_partitions",
+          "graft_table_partitions(path) - one row per live partition " +
+            "tuple of the graft table at `path`: partition, n_files, " +
+            "rows, dv_rows, bytes", ""),
+        GraftMetaTables.partitionsPlan _))
   }
 }
 
@@ -182,6 +189,39 @@ object GraftMetaTables {
     spark.createDataFrame(javaRows(rows), schema).queryExecution.analyzed
   }
 
+  /** One row per LIVE partition TUPLE (the Iceberg `partitions`
+    * metadata table): the transform tuple rendered as in
+    * [[filesPlan]]'s `partition` column, with file/row/DV/byte counts
+    * folded across its files. Files straddling a transform (or
+    * predating the spec) group under the `*`-marked tuple; a spec-less
+    * table reports ONE null-partition row. Driver-local and
+    * file-count-sized — never opens data. */
+  def partitionsPlan(es: Seq[Expression]): LogicalPlan = {
+    val t = new graft.medallion.GraftTable(pathArg(es, "graft_table_partitions"))
+    val spark = SparkSession.active
+    val snap = t.snapshot()
+    def tupleOf(a: graft.medallion.TxLog.AddFile): String = {
+      val sig = graft.medallion.PartitionSpec.tupleSignature(a)
+      if (sig.isEmpty) null
+      else sig.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${k.stripPrefix(graft.medallion.PartitionSpec.Prefix)}=${v.getOrElse("*")}"
+      }.mkString(", ")
+    }
+    val rows = snap.files.groupBy(tupleOf).toSeq
+      .sortBy { case (k, _) => Option(k).getOrElse("") }
+      .map { case (tuple, fs) =>
+        Row(tuple, fs.size, fs.map(_.effectiveRows).sum,
+          fs.map(_.dvRows).sum, fs.map(_.bytes).sum)
+      }
+    val schema = StructType(Seq(
+      StructField("partition", StringType, nullable = true),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("dv_rows", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
+    spark.createDataFrame(javaRows(rows), schema).queryExecution.analyzed
+  }
+
   private def javaRows(s: Seq[Row]): java.util.List[Row] = {
     val l = new java.util.ArrayList[Row](s.length)
     s.foreach(l.add)
@@ -259,5 +299,9 @@ object GraftFunctions {
       spark, "graft_table_files",
       "graft_table_files(path) - one row per live data file",
       GraftMetaTables.filesPlan _)
+    org.apache.spark.sql.graft.FunctionInjector.registerTable(
+      spark, "graft_table_partitions",
+      "graft_table_partitions(path) - one row per live partition tuple",
+      GraftMetaTables.partitionsPlan _)
   }
 }

@@ -70,6 +70,44 @@ class MetaTablesSpec extends SparkSpec {
     assert(after.map(_.getLong(1)).sum === 91L, "rows column is DV-effective")
   }
 
+  test("graft_table_partitions: one row per live partition tuple with folded counts") {
+    import spark.implicits._
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+    val (t, path) = freshTable("parts")
+    t.append(Seq((0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
+      .toDF("id", "ts", "v"))
+    t.setProperty(PartitionSpec.Prop, "days(ts)")
+    t.setProperty(TxLog.DeleteModeProp, TxLog.DeleteModeMor)
+    t.append((1L until 101L).map(i =>
+      (i, new java.sql.Timestamp(19700L * 86400000L + (i % 4) * 86400000L), s"v$i"))
+      .toDF("id", "ts", "v").coalesce(8))
+    t.deleteRows(spark, "id = 5") // one DV'd row in its day
+    val rows = spark.sql(
+      s"SELECT * FROM graft_table_partitions('$path') ORDER BY partition")
+      .collect()
+    // 4 day tuples + the null-partition seed bucket
+    assert(rows.count(_.isNullAt(0)) === 1, "pre-spec seed folds under null")
+    val tuples = rows.filterNot(_.isNullAt(0)).map(_.getString(0))
+    assert(tuples.forall(_.startsWith("days(ts)=")) && tuples.length >= 4,
+      s"tuples: ${tuples.toSeq}")
+    assert(rows.map(_.getLong(2)).sum === 100L, "effective rows fold (DV applied)")
+    assert(rows.map(_.getLong(3)).sum === 1L, "dv_rows surface")
+    assert(rows.map(_.getInt(1)).sum === t.snapshot().files.size)
+    // a spec-less table reports one null-partition row
+    val (t2, path2) = freshTable("parts2")
+    t2.append(Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
+      .toDF("id", "ts", "v"))
+    val bare = spark.sql(s"SELECT * FROM graft_table_partitions('$path2')").collect()
+    assert(bare.length === 1 && bare.head.isNullAt(0) && bare.head.getLong(2) === 1L)
+    } finally prevCoalesce match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+  }
+
   test("identifier resolution and argument validation fail loudly") {
     val err = intercept[Exception] {
       spark.sql("SELECT * FROM graft_table_history('cat.t')").collect() }
