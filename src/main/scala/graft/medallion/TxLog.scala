@@ -2221,6 +2221,10 @@ final class GraftTable(val tablePath: String) {
     val matchedPairs = tagged()
       .join(keyVals, col(s"`$physKey`") === col("__k"), "left_semi")
       .select("__file", "__idx")
+    // one COMPRESSED bitmap row per touched file — file-count-sized
+    // driver traffic (unbounded in-aggregate here: the commit core's
+    // triage needs the full merged bitmaps to derive rewrite-leg
+    // survivors; roaring keeps even dense per-file sets KiB-scale)
     val bitmaps: Seq[(String, Array[Byte])] =
       dvAggregate(matchedPairs, Int.MaxValue).collect().toSeq
         .flatMap(r => Option(r.getAs[Array[Byte]](1)).map(r.getString(0) -> _))
