@@ -19,11 +19,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.sql.catalog.graft.warehouse = /data/graft
   *
   *   CREATE TABLE graft.db.events (id BIGINT, payload STRING)
+  *   CREATE TABLE graft.db.ev2 (id BIGINT, ts TIMESTAMP)
+  *     PARTITIONED BY (days(ts), bucket(8, id))        -- hidden partitioning
+  *     TBLPROPERTIES ('cdf.enabled' = 'true')          -- atomic with the spec
   *   CREATE TABLE graft.db.big AS SELECT ...           -- CTAS
   *   INSERT INTO graft.db.events SELECT ...            -- append commit
   *   INSERT OVERWRITE graft.db.events SELECT ...       -- CAS overwrite
-  *   UPDATE graft.db.events SET payload = ... WHERE …  -- copy-on-write
-  *   MERGE INTO graft.db.events USING src ON … WHEN …  -- copy-on-write
+  *   UPDATE graft.db.events SET payload = ... WHERE …  -- copy-on-write, or
+  *                           -- DV + image append under update.mode=merge-on-read
+  *   MERGE INTO graft.db.events USING src ON … WHEN …  -- incl. NOT MATCHED BY
+  *                           -- SOURCE; merge-on-read under merge.mode
+  *   ALTER TABLE graft.db.events ALTER COLUMN id TYPE BIGINT -- type widening
   *   ALTER TABLE graft.db.events ADD COLUMNS (src STRING)
   *   ALTER TABLE graft.db.events RENAME COLUMN src TO origin  -- schema-only
   *   ALTER TABLE graft.db.events DROP COLUMN origin           -- schema-only
@@ -40,6 +46,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   CALL graft.system.restore(table => 'db.events', version => 3)
   *   CALL graft.system.clone(source => 'db.events', target => 'db.fork')
   *   CALL graft.system.checkpoint(table => 'db.events')
+  *   CALL graft.system.detail(table => 'db.events')    -- DESCRIBE DETAIL
+  *   CALL graft.system.replace_range(table => 'db.events',
+  *        column => 'day', source => 'fix_view',
+  *        lower => '2026-08-01', upper => '2026-08-01') -- atomic backfill
+  *   SELECT * FROM graft_table_partitions('/path')     -- partitions TVF
+  *   -- co-bucketed tables join with ZERO exchanges under
+  *   -- spark.sql.sources.v2.bucketing.enabled (storage-partitioned joins)
   * }}}
   *
   * Identifiers map to directories under the warehouse
