@@ -357,4 +357,23 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.contains("Expand"), s"expected Expand for grouping sets:\n$p")
     assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
   }
+
+  test("hilbert_index: a codegen'd scalar inside one whole-stage span, no shuffle") {
+    import org.apache.spark.sql.functions._
+    graft.engine.GraftFunctions.register(spark)
+    val df = spark.range(0, 10000)
+      .select(call_function("hilbert_index",
+        lit(12), col("id") % 4096, (col("id") * 7) % 4096).as("h"))
+      .filter(col("h") >= 0)
+    val p = plan(df)
+    assert(p.contains("*("), s"expected a whole-stage codegen span:\n$p")
+    assert(!p.contains("Exchange"), s"a scalar projection must not shuffle:\n$p")
+    // eval ≡ codegen: the same inputs through the interpreted path
+    val viaPlan = df.collect().map(_.getLong(0))
+    val viaEval = (0L until 10000L).map { i =>
+      org.apache.spark.sql.graft.HilbertCurve.index(
+        Array(i % 4096, (i * 7) % 4096), 12)
+    }
+    assert(viaPlan.toSeq === viaEval)
+  }
 }
