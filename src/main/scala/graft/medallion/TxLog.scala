@@ -9,7 +9,7 @@ import scala.jdk.CollectionConverters.IteratorHasAsScala
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -228,6 +228,12 @@ object TxLog {
     * The PROBE side reads m from the stored bitset's length, so files
     * written under different sizes coexist in one table. */
   private[graft] val BloomBitsProp = "bloom.bits"
+
+  /** Synthetic column staging writes `partitionBy` to roll files at
+    * transform-tuple boundaries under a bucket spec (see
+    * [[GraftTable.stageData]]); dropped from data files by the
+    * dynamic-partition layout, never visible to readers. */
+  private[graft] val StageSplitCol = "__graft_stage_split"
   /** Table property naming the comma-separated LOGICAL columns to
     * sketch with per-file HLL registers for distinct-count stats
     * (int/long/string — the same hash-replayable set as blooms). */
@@ -1391,8 +1397,45 @@ final class GraftTable(val tablePath: String) {
     ensureDirs()
     val spark = df.sparkSession
     val stage = root.resolve(s"_staged_${UUID.randomUUID().toString.take(8)}")
-    df.write.parquet(stage.toString)
-    val it = Files.list(stage)
+    // Bucket-spec FILE INTEGRITY (the storage-partitioned-join
+    // precondition): when the head's partition.spec includes a bucket
+    // transform, every staged file must be SINGLE-VALUED on the full
+    // transform tuple — a file straddling two bucket values poisons
+    // the whole scan's KeyGroupedPartitioning and silently re-enables
+    // both join-side shuffles. No repartitioning scheme guarantees
+    // this (range boundaries come from sampling; hash mod n collides
+    // distinct bucket values into one task), so the guarantee lives at
+    // the WRITER: a synthetic tuple column + dynamic `partitionBy`
+    // rolls to a new file at every tuple boundary inside each task —
+    // the Iceberg fanout/clustered-writer semantic — and is dropped
+    // from the data files by the dynamic-partition layout itself.
+    // Non-bucket specs (days/months/trunc/id) keep the plain write:
+    // their pruning wants tight RANGES per file (cluster() provides
+    // that), not exactness, and skipping the split avoids per-value
+    // file fanout on higher-cardinality transforms.
+    val splitTuple: Seq[Column] = {
+      val transforms =
+        if (latestVersion() == 0L) Seq.empty[PartitionSpec.Transform]
+        else {
+          val head = snapshot()
+          PartitionSpec.resolved(head.props, head.schema, df.schema)
+        }
+      if (!transforms.exists(_.kind == "bucket")) Seq.empty
+      else transforms.flatMap { t =>
+        df.schema.fields.find(_.name == t.source).map(f =>
+          coalesce(PartitionSpec.column(t, f.dataType).cast(StringType),
+            lit("\u0001null")))
+      }
+    }
+    // \u0001 separator/null-sentinel: escaped to %01 by the dynamic-
+    // partition path layer (filesystem-safe), and practically absent
+    // from data -- a pathological collision merely merges two tuples
+    // into one file, which degrades that file's SPJ/pruning
+    // eligibility (stats stop being single-valued), never correctness
+    if (splitTuple.isEmpty) df.write.parquet(stage.toString)
+    else df.withColumn(StageSplitCol, concat_ws("\u0001", splitTuple: _*))
+      .write.partitionBy(StageSplitCol).parquet(stage.toString)
+    val it = Files.walk(stage)
     val parts =
       try it.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toList

@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
+
+/** SOUND physical-plan inspection under AQE.
+  *
+  * The naive idiom `df.queryExecution.executedPlan.collect { case s:
+  * ShuffleExchangeExec => s }` is VACUOUS when adaptive execution is on
+  * (the default): the executed plan is an [[AdaptiveSparkPlanExec]],
+  * which implements `LeafExecNode` — `TreeNode.collect` never descends
+  * into it, so the match returns empty for ANY query and a `=== 0`
+  * assertion can never fail. The same trap repeats one level down:
+  * materialized stages appear as [[QueryStageExec]] nodes, which are
+  * ALSO leaves wrapping the real subtree in a `plan` field.
+  *
+  * [[collectDeep]] descends through all three opaque boundaries
+  * (adaptive root → final plan, query stage → wrapped plan, reused
+  * exchange → original) plus subquery plans, so a zero-count assertion
+  * routed through here means what it says. Every such assertion should
+  * still pair with a NEGATIVE CONTROL (a plan known to shuffle must
+  * count ≥ 1) proving the checker can see an exchange at all — see
+  * StoragePartitionedJoinSpec.
+  */
+object AdaptivePlans {
+
+  /** The FINAL adaptive plan (materializes remaining stages if the
+    * query has not run yet; idempotent after a collect). Non-adaptive
+    * plans pass through. */
+  def finalPlan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan match {
+    case a: AdaptiveSparkPlanExec => a.finalPhysicalPlan
+    case p => p
+  }
+
+  /** `TreeNode.collect` that additionally descends into adaptive
+    * roots, query stages, reused exchanges, and subqueries — the
+    * boundaries plain `collect` treats as leaves. */
+  def collectDeep[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val kids: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.finalPhysicalPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    pf.lift(p).toSeq ++ (kids ++ p.subqueries).flatMap(collectDeep(_)(pf))
+  }
+
+  /** [[collectDeep]] over a DataFrame's final plan. */
+  def collectDeep[T](df: DataFrame)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    collectDeep(finalPlan(df))(pf)
+
+  /** Every shuffle exchange anywhere in the final plan. */
+  def shuffleExchanges(df: DataFrame): Seq[ShuffleExchangeLike] =
+    collectDeep(finalPlan(df)) { case s: ShuffleExchangeLike => s }
+
+  def shuffleCount(df: DataFrame): Int = shuffleExchanges(df).size
+
+  /** Shuffle exchanges whose partitioning mentions `keySubstring` —
+    * the "did a scan side get re-partitioned on the join key?" probe. */
+  def shufflesOn(df: DataFrame, keySubstring: String): Seq[ShuffleExchangeLike] =
+    shuffleExchanges(df).filter(_.outputPartitioning.toString.contains(keySubstring))
+
+  def broadcastCount(df: DataFrame): Int =
+    collectDeep(finalPlan(df)) { case b: BroadcastExchangeLike => b }.size
+}

@@ -2209,19 +2209,30 @@ object PipelineOps {
             FROM $cat.d.ord o JOIN $cat.d.cust c
               ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
-      joined.collect() // finalize AQE before inspecting the plan
-      val plan = joined.queryExecution.executedPlan
       // the segment GROUP BY above the join may shuffle (different
       // key); what must NOT exist is any exchange keyed on the JOIN
-      // key — that would mean Spark re-partitioned a scan side
-      val joinShuffles = plan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-            if e.outputPartitioning.toString.contains("custkey") => e
-      }
+      // key — that would mean Spark re-partitioned a scan side.
+      // Checked with AdaptivePlans (plain `executedPlan.collect` is
+      // VACUOUS under AQE: AdaptiveSparkPlanExec is a leaf to
+      // TreeNode.collect), and guarded by a NEGATIVE CONTROL: the
+      // identical join with v2 bucketing OFF must show ≥1 join-key
+      // exchange — proof the checker can see shuffles at all.
+      val joinShuffles = graft.plans.AdaptivePlans.shufflesOn(joined, "custkey")
       require(joinShuffles.isEmpty,
-        s"the co-bucketed join must not exchange either scan side:\n$plan")
-      require(!plan.toString.contains("BroadcastExchange"),
-        s"zero-exchange must not be broadcast's doing:\n$plan")
+        s"the co-bucketed join must not exchange either scan side:\n" +
+          graft.plans.AdaptivePlans.finalPlan(joined))
+      require(graft.plans.AdaptivePlans.broadcastCount(joined) == 0,
+        s"zero-exchange must not be broadcast's doing:\n" +
+          graft.plans.AdaptivePlans.finalPlan(joined))
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      try {
+        val control = s.sql(
+          s"""SELECT count(*) AS n FROM $cat.d.ord o JOIN $cat.d.cust c
+              ON o.o_custkey = c.c_custkey""")
+        require(graft.plans.AdaptivePlans.shufflesOn(control, "custkey").nonEmpty,
+          "negative control: with v2 bucketing off the join must exchange " +
+            "on the join key — 0 means the shuffle checker is blind")
+      } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       joined
     } finally {
       prev.foreach {
@@ -2232,6 +2243,87 @@ object PipelineOps {
       s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
     }
   }
+
+  // --------------------------------------------------------------------
+  // q148 — COMPOSITE-SPEC STORAGE-PARTITIONED JOIN (`days(d), bucket(8,
+  // key)`, Iceberg's partially-clustered layout): order headers and
+  // priorities land in two graft tables sharing the composite spec, the
+  // scans report a two-transform KeyGroupedPartitioning resolved
+  // through the catalog's V2 `days` + `bucket` functions, and the join
+  // on (key, date) plans with ZERO exchanges. 100 TB story: THE
+  // fact-table layout — date-partitioned AND key-bucketed tables join
+  // day-and-key-aligned at scan parallelism; time-range predicates
+  // still prune whole days on both sides first. (The year-truncated
+  // date keeps the tuple count sane at test scale; at 100 TB the same
+  // spec runs on raw days.)
+  // --------------------------------------------------------------------
+  def q148SpjComposite(s: SparkSession, dir: String): DataFrame = {
+    val wh = s"${scratch("spjc", dir)}/warehouse"
+    graft.core.Fs.rmTree(new java.io.File(wh))
+    val cat = s"gq148_${math.abs(wh.hashCode).toString.take(8)}"
+    graft.api.Graft.registerCatalog(s, cat, wh)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      val ht = new graft.medallion.GraftTable(s"$wh/d/hdr")
+      val pt = new graft.medallion.GraftTable(s"$wh/d/pri")
+      val hdr = lake(s, dir).orders.select(
+        col("o_orderkey"), trunc(col("o_orderdate"), "year").as("o_year"),
+        col("o_totalprice"))
+      val pri = lake(s, dir).orders.select(
+        col("o_orderkey"), trunc(col("o_orderdate"), "year").as("o_year"),
+        col("o_orderpriority"))
+      ht.append(hdr.limit(0)); pt.append(pri.limit(0))
+      ht.setProperty(graft.medallion.PartitionSpec.Prop,
+        "days(o_year), bucket(8,o_orderkey)")
+      pt.setProperty(graft.medallion.PartitionSpec.Prop,
+        "days(o_year), bucket(8,o_orderkey)")
+      ht.append(hdr); pt.append(pri)
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val joined = s.sql(
+        s"""SELECT p.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(h.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price
+            FROM $cat.d.hdr h JOIN $cat.d.pri p
+              ON h.o_orderkey = p.o_orderkey AND h.o_year = p.o_year
+            GROUP BY p.o_orderpriority ORDER BY p.o_orderpriority""")
+      // sound (AQE-unwrapping) check + broadcast exclusion, then the
+      // negative control proving the checker sees exchanges when the
+      // composite co-partitioning is not in play
+      require(graft.plans.AdaptivePlans.shufflesOn(joined, "orderkey").isEmpty,
+        s"the composite co-partitioned join must not exchange a scan side:\n" +
+          graft.plans.AdaptivePlans.finalPlan(joined))
+      require(graft.plans.AdaptivePlans.broadcastCount(joined) == 0,
+        "zero-exchange must not be broadcast's doing")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      try {
+        val control = s.sql(
+          s"""SELECT count(*) AS n FROM $cat.d.hdr h JOIN $cat.d.pri p
+              ON h.o_orderkey = p.o_orderkey AND h.o_year = p.o_year""")
+        require(graft.plans.AdaptivePlans.shufflesOn(control, "orderkey").nonEmpty,
+          "negative control: with v2 bucketing off the composite join must " +
+            "exchange on the join key — 0 means the shuffle checker is blind")
+      } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      joined
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  private val q148Oracle =
+    """SELECT o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   private val q146Oracle =
     """SELECT c_mktsegment,
@@ -2359,6 +2451,7 @@ object PipelineOps {
     "q145_hilbert_layout" -> (q145HilbertLayout _),
     "q146_spj_join" -> (q146SpjJoin _),
     "q147_replace_where" -> (q147ReplaceWhere _),
+    "q148_spj_composite" -> (q148SpjComposite _),
     "q142_sql_mor_update" -> (q142SqlMorUpdate _),
     "q141_metadata_sum" -> (q141MetadataSum _),
     "q139_generated_columns" -> (q139GeneratedColumns _),
@@ -2402,6 +2495,7 @@ object PipelineOps {
     "q145_hilbert_layout" -> q145Oracle,
     "q146_spj_join" -> q146Oracle,
     "q147_replace_where" -> q147Oracle,
+    "q148_spj_composite" -> q148Oracle,
     "q142_sql_mor_update" -> q142Oracle,
     "q141_metadata_sum" -> q141Oracle,
     "q139_generated_columns" -> q139Oracle,

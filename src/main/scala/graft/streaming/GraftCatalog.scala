@@ -72,19 +72,30 @@ final class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
-  /** The V2 function registry: `bucket` alone — what lets Spark resolve
-    * a scan-reported `KeyGroupedPartitioning(bucket(n, col))` and plan
-    * STORAGE-PARTITIONED JOINS between co-bucketed graft tables with
-    * zero shuffle exchanges (under
+  /** The V2 function registry: `bucket`, `days`, `hours` — what lets
+    * Spark resolve a scan-reported `KeyGroupedPartitioning` (sole
+    * bucket or the composite `days(ts), bucket(n, id)` fact layout)
+    * and plan STORAGE-PARTITIONED JOINS between co-partitioned graft
+    * tables with zero shuffle exchanges (under
     * `spark.sql.sources.v2.bucketing.enabled`). */
+  private val v2Functions
+      : Map[String, org.apache.spark.sql.connector.catalog.functions.UnboundFunction] =
+    Map(
+      "bucket" -> org.apache.spark.sql.graft.GraftBucketFunction,
+      "days" -> org.apache.spark.sql.graft.GraftDaysFunction,
+      "hours" -> org.apache.spark.sql.graft.GraftHoursFunction)
+
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty)
+      v2Functions.keys.toArray.sorted.map(Identifier.of(Array.empty, _))
     else Array.empty
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.namespace().isEmpty && ident.name().equalsIgnoreCase("bucket"))
-      org.apache.spark.sql.graft.GraftBucketFunction
+    if (ident.namespace().isEmpty)
+      v2Functions.getOrElse(ident.name().toLowerCase(java.util.Locale.ROOT),
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchFunctionException(ident))
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 

@@ -642,22 +642,34 @@ final class GraftScan(
   }
 
   // ------------------------------------ storage-partitioned joins
-  // Under a sole `bucket(n, col)` partition spec whose every pruned
-  // file is single-valued on the bucket (what spec-clustered appends
-  // produce) and DV-free, the scan reports its files as ONE partition
-  // per bucket value, keyed by the V2 `bucket` function the owning
-  // catalog registers — Spark's storage-partitioned join then
-  // co-locates two such scans on the join key with ZERO shuffle
-  // exchanges (spark.sql.sources.v2.bucketing.enabled; the Iceberg
-  // SPJ design, SPARK-37375). Degrades silently: any disqualifier —
-  // straddling or DV'd files, other specs, version/position columns
-  // required, a pushed limit — reports UnknownPartitioning and the
-  // join plans its usual exchanges. The group set is FROZEN here
-  // (compile-time pruning only): runtime filters may not shrink the
-  // reported partition count.
+  // Under a partition spec whose every transform is SPJ-expressible
+  // (`bucket(n, col)`, `days(ts)`, `hours(ts)` — the tz-free integer
+  // transforms the owning catalog registers as V2 functions) and whose
+  // every pruned file is single-valued on the full transform tuple
+  // (what the bucket-splitting staged writer produces), the scan
+  // reports its files as ONE partition per tuple value — Spark's
+  // storage-partitioned join then co-locates two such scans on the
+  // join key with ZERO shuffle exchanges
+  // (spark.sql.sources.v2.bucketing.enabled; the Iceberg SPJ design,
+  // SPARK-37375). The composite form is the 100-TB fact-table layout:
+  // `days(ts), bucket(n, id)` tables join day-and-key-aligned with
+  // neither side crossing the network. Degrades silently: any
+  // disqualifier — straddling files, unsupported transform kinds,
+  // version/position columns required, a pushed limit — reports
+  // UnknownPartitioning and the join plans its usual exchanges.
+  // GATED on the SPJ conf itself: key-grouping packs each tuple's
+  // files into one unsplittable partition, trading scan parallelism
+  // for exchange-free joins — a trade only worth making when the
+  // session opted into V2 bucketing (Iceberg's preserve-data-grouping
+  // behavior). The group set is FROZEN here (compile-time pruning
+  // only): runtime filters may not shrink the reported partition
+  // count.
   private lazy val keyedGroups
-      : Option[(Int, String, Seq[(Int, Seq[(TxLog.AddFile, Long)])])] = {
+      : Option[(Seq[org.apache.spark.sql.connector.expressions.Transform],
+                Seq[(Seq[Int], Seq[(TxLog.AddFile, Long)])])] = {
     if (changeFeed || limit.isDefined ||
+        !spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+          .equalsIgnoreCase("true") ||
         (syntheticVersion && required.fieldNames.contains(VersionCol)) ||
         required.fieldNames.contains(GraftTableV2.FileCol) ||
         required.fieldNames.contains(GraftTableV2.PosCol)) None
@@ -666,30 +678,50 @@ final class GraftScan(
       // reporting partitioning costs no extra log IO
       val snap = prunedSnap
       val phys = TxLog.physicalSchema(snap.schema)
-      graft.medallion.PartitionSpec.resolved(snap.props, snap.schema, phys) match {
-        case Seq(t) if t.kind == "bucket" =>
-          val logical = snap.schema.fields
-            .find(f => TxLog.physicalName(f) == t.source).map(_.name)
-          def bucketOf(a: TxLog.AddFile): Option[Int] =
-            graft.medallion.PartitionSpec.tupleSignature(a)
-              .getOrElse(t.statKey, None).flatMap(_.toIntOption)
-          val files = pruned
-          // DV'd files stay ELIGIBLE: the batch plans their buckets as
-          // composite row partitions that skip bitmap positions per
-          // file — merge-on-read tables keep their zero-exchange joins
-          val eligible = files.nonEmpty && logical.isDefined &&
-            files.forall { case (a, _) => bucketOf(a).isDefined }
-          if (!eligible) None
-          else Some((t.arg, logical.get,
-            files.groupBy { case (a, _) => bucketOf(a).get }.toSeq.sortBy(_._1)))
-        case _ => None
+      val transforms =
+        graft.medallion.PartitionSpec.resolved(snap.props, snap.schema, phys)
+      val logicalOf: Map[String, String] =
+        snap.schema.fields.map(f => TxLog.physicalName(f) -> f.name).toMap
+      val supported = transforms.nonEmpty &&
+        transforms.forall(t => Set("bucket", "days", "hours")(t.kind) &&
+          logicalOf.contains(t.source))
+      if (!supported) None
+      else {
+        // a file's key tuple: its per-transform stats, iff every one
+        // is single-valued (min == max, no straddle) and integral
+        def keyOf(a: TxLog.AddFile): Option[Seq[Int]] = {
+          val sig = graft.medallion.PartitionSpec.tupleSignature(a)
+          val vals = transforms.map(t =>
+            sig.getOrElse(t.statKey, None).flatMap(_.toIntOption))
+          if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+        }
+        val files = pruned
+        // DV'd files stay ELIGIBLE: the batch plans their tuples as
+        // composite row partitions that skip bitmap positions per
+        // file — merge-on-read tables keep their zero-exchange joins
+        val eligible = files.nonEmpty &&
+          files.forall { case (a, _) => keyOf(a).isDefined }
+        if (!eligible) None
+        else {
+          val exprs = transforms.map { t =>
+            val c = logicalOf(t.source)
+            t.kind match {
+              case "bucket" => Expressions.bucket(t.arg, c)
+              case "days" => Expressions.days(c)
+              case _ => Expressions.hours(c)
+            }
+          }
+          import scala.math.Ordering.Implicits.seqOrdering
+          Some((exprs,
+            files.groupBy { case (a, _) => keyOf(a).get }.toSeq.sortBy(_._1)))
+        }
       }
     }
   }
 
   override def outputPartitioning(): Partitioning = keyedGroups match {
-    case Some((n, c, groups)) =>
-      new KeyGroupedPartitioning(Array(Expressions.bucket(n, c)), groups.size)
+    case Some((exprs, groups)) =>
+      new KeyGroupedPartitioning(exprs.toArray, groups.size)
     case None => new UnknownPartitioning(0)
   }
 
@@ -700,7 +732,7 @@ final class GraftScan(
         "the readChangeFeed option is the STREAMING surface")
     new GraftBatch(spark, table, dataSchema, required, dataFilters,
       () => currentFiles(), syntheticVersion,
-      keyed = keyedGroups.map(_._3))
+      keyed = keyedGroups.map(_._2))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -722,7 +754,7 @@ final class GraftBatch(
     required: StructType, dataFilters: Seq[Filter],
     files: () => Seq[(TxLog.AddFile, Long)],
     syntheticVersion: Boolean = true,
-    keyed: Option[Seq[(Int, Seq[(TxLog.AddFile, Long)])]] = None)
+    keyed: Option[Seq[(Seq[Int], Seq[(TxLog.AddFile, Long)])]] = None)
     extends Batch {
 
   import GraftTableV2.VersionCol
@@ -764,8 +796,8 @@ final class GraftBatch(
       spark, physDataSchema, physRequired, Nil)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // storage-partitioned-join mode: one partition per bucket value,
-    // each covering ALL of that bucket's files whole (splits would
+    // storage-partitioned-join mode: one partition per transform
+    // tuple, each covering ALL of that tuple's files whole (splits would
     // tear the key grouping), keyed for Spark's co-location. The
     // group set was frozen at compile-time pruning (see GraftScan);
     // columnar reads delegate untouched.
@@ -868,29 +900,30 @@ final case class GraftPosPartition(
 final case class GraftRowPartition(inner: InputPartition, delegate: Int)
     extends InputPartition
 
-/** One BUCKET's files as a single keyed partition — the storage-
-  * partitioned-join unit: `partitionKey` is the bucket value the V2
-  * `bucket` function computes, so Spark can zip two co-bucketed scans
-  * partition-by-partition without an exchange. Reads delegate
-  * untouched (columnar included). */
+/** One partition-TUPLE's files as a single keyed partition — the
+  * storage-partitioned-join unit: `partitionKey` is the transform
+  * tuple (sole bucket value, or e.g. (day, bucket) under a composite
+  * spec) the catalog's V2 functions compute, so Spark can zip two
+  * co-partitioned scans partition-by-partition without an exchange.
+  * Reads delegate untouched (columnar included). */
 final case class GraftKeyedPartition(
-    inner: InputPartition, delegate: Int, key: Int)
+    inner: InputPartition, delegate: Int, key: Seq[Int])
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](key))
+    new GenericInternalRow(key.map(Int.box).toArray[Any])
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-/** A bucket's files as ONE row-based keyed partition whose reader
+/** A tuple's files as ONE row-based keyed partition whose reader
   * walks the files sequentially, skipping each file's deletion-vector
   * positions — what keeps storage-partitioned joins available on
   * merge-on-read tables. The delegate must be filter-free (positions
   * are only exact with no row group skipped underneath). */
 final case class GraftKeyedRowPartition(
-    files: Seq[(InputPartition, Option[String])], delegate: Int, key: Int)
+    files: Seq[(InputPartition, Option[String])], delegate: Int, key: Seq[Int])
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](key))
+    new GenericInternalRow(key.map(Int.box).toArray[Any])
 }
 
 /** Wraps the delegated parquet readers: version-tagged partitions emit

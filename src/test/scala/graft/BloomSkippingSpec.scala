@@ -112,7 +112,7 @@ class BloomSkippingSpec extends SparkSpec {
       // the DSv2 scan's file pruning consults the blooms (fileSurvives)
       val df = spark.sql(s"SELECT v FROM $cat.db.ev WHERE id = 77")
       assert(df.collect().map(_.getString(0)).toSeq === Seq("v77"))
-      val gs = df.queryExecution.executedPlan.collect {
+      val gs = graft.plans.AdaptivePlans.collectDeep(df) {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
       }.head.scan.asInstanceOf[graft.streaming.GraftScan]
       val filesPlanned = gs.currentFiles().length

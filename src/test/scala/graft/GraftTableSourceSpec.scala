@@ -573,8 +573,8 @@ class GraftTableSourceSpec extends SparkSpec {
 
     def rel = spark.read.format("graft-table").option("path", path).load()
     def graftScan(q: org.apache.spark.sql.DataFrame): GraftScan =
-      q.queryExecution.executedPlan.collectFirst {
-        case b: BatchScanExec => b.scan }.get.asInstanceOf[GraftScan]
+      graft.plans.AdaptivePlans.collectDeep(q) {
+        case b: BatchScanExec => b.scan }.head.asInstanceOf[GraftScan]
 
     val q = rel.limit(250)
     assert(graftScan(q).currentFiles().size === 3,

@@ -76,7 +76,7 @@ class NdvStatsSpec extends SparkSpec {
       (i, if (i % 10 == 0) None else Some(s"v$i"))).toDF("id", "s"))
     val df = spark.read.format("graft-table").load(t.tablePath).select("id", "s")
     df.count()
-    val gs = df.queryExecution.executedPlan.collect {
+    val gs = graft.plans.AdaptivePlans.collectDeep(df) {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }.head.scan.asInstanceOf[graft.streaming.GraftScan]
     val cs = gs.estimateStatistics().columnStats()
@@ -93,7 +93,7 @@ class NdvStatsSpec extends SparkSpec {
     t.delete(spark, "id", Some(0L), Some(0L))
     val df2 = spark.read.format("graft-table").load(t.tablePath).select("id")
     df2.count()
-    val gs2 = df2.queryExecution.executedPlan.collect {
+    val gs2 = graft.plans.AdaptivePlans.collectDeep(df2) {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }.head.scan.asInstanceOf[graft.streaming.GraftScan]
     val cs2 = gs2.estimateStatistics().columnStats().asScala
@@ -174,7 +174,7 @@ class NdvStatsSpec extends SparkSpec {
     val df = spark.read.format("graft-table").load(t.tablePath)
       .select("id", "b", "d")
     df.count()
-    val gs = df.queryExecution.executedPlan.collect {
+    val gs = graft.plans.AdaptivePlans.collectDeep(df) {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }.head.scan.asInstanceOf[graft.streaming.GraftScan]
     import scala.jdk.CollectionConverters.MapHasAsScala

@@ -219,7 +219,7 @@ class PartitionSpecSpec extends SparkSpec {
       val df = spark.sql(s"SELECT id FROM $cat.db.ev " +
         "WHERE ts >= TIMESTAMP '2023-12-12 00:00:00' " + // day 19703 (UTC tests)
         "AND ts < TIMESTAMP '2023-12-13 00:00:00'")
-      val planned = df.queryExecution.executedPlan.collect {
+      val planned = graft.plans.AdaptivePlans.collectDeep(df) {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
       }.head.scan.asInstanceOf[graft.streaming.GraftScan].currentFiles().length
       assert(planned <= 2 && planned < total,

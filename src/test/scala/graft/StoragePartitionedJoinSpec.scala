@@ -1,8 +1,8 @@
 package graft
 
 import graft.medallion.{GraftTable, PartitionSpec, TxLog}
+import graft.plans.AdaptivePlans
 import graft.streaming.GraftCatalog
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
 /** Storage-partitioned joins (SPARK-37375, the Iceberg SPJ design):
@@ -11,7 +11,14 @@ import org.apache.spark.sql.functions._
   * catalog's V2 `bucket` function, and Spark co-locates their
   * partitions — the join plans with ZERO shuffle exchanges. At 100 TB
   * this is THE join: co-bucketed fact tables join at scan parallelism
-  * with no exchange of either side. */
+  * with no exchange of either side.
+  *
+  * Every zero-shuffle assertion here goes through
+  * [[AdaptivePlans.shuffleCount]] (plain `executedPlan.collect` is
+  * VACUOUS under AQE — `AdaptiveSparkPlanExec` is a leaf to
+  * `TreeNode.collect`) and is paired with a NEGATIVE CONTROL: the
+  * same query with `v2.bucketing.enabled=false` must count ≥ 1
+  * join-key exchange, proving the checker can see shuffles at all. */
 class StoragePartitionedJoinSpec extends SparkSpec {
   import spark.implicits._
 
@@ -20,19 +27,10 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       s"target/tmp/spj_${java.util.UUID.randomUUID().toString.take(8)}")
       .getAbsolutePath
 
-  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
-    df.collect() // materialize so AQE finalizes
-    df.queryExecution.executedPlan.collect {
-      case s: ShuffleExchangeExec => s
-    }.size
-  }
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    AdaptivePlans.shuffleCount(df)
 
-  private def withSpj(body: => Unit): Unit = {
-    val confs = Seq(
-      "spark.sql.sources.v2.bucketing.enabled" -> "true",
-      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ/shuffle shape
-      "spark.sql.adaptive.enabled" -> "true")
+  private def withConfs(confs: Seq[(String, String)])(body: => Unit): Unit = {
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
@@ -41,6 +39,18 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  private val common = Seq(
+    "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ/shuffle shape
+    "spark.sql.adaptive.enabled" -> "true")
+
+  private def withSpj(body: => Unit): Unit =
+    withConfs(("spark.sql.sources.v2.bucketing.enabled" -> "true") +: common)(body)
+
+  /** SPJ disabled, everything else identical — the negative control. */
+  private def withSpjOff(body: => Unit): Unit =
+    withConfs(("spark.sql.sources.v2.bucketing.enabled" -> "false") +: common)(body)
 
   test("co-bucketed graft tables join with zero shuffle exchanges") {
     val wh = freshWarehouse()
@@ -59,28 +69,40 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       // whole live set is spec-clustered and single-valued per bucket
       a.compact(spark, targetFileMB = 128)
       b.compact(spark, targetFileMB = 128)
+      // write-side integrity: after spec-clustered writes + compact,
+      // every live file is single-valued on the bucket transform
+      for (t <- Seq(a, b); f <- t.snapshot().files)
+        assert(PartitionSpec.tupleSignature(f).values.forall(_.isDefined),
+          s"file ${f.path} straddles the bucket tuple: ${f.stats}")
 
+      def q = spark.sql(
+        "SELECT x.id, x.av, y.bv FROM spj.db.a x JOIN spj.db.b y ON x.id = y.id")
+      withSpj {
+        val n = shuffles(q)
+        assert(n === 0,
+          s"co-bucketed join must plan without exchanges, found $n shuffles")
+      }
+      // NEGATIVE CONTROL: same query, SPJ off — the checker must see
+      // the join-key exchanges it asserts the absence of above
+      withSpjOff {
+        assert(AdaptivePlans.shufflesOn(q, "id").nonEmpty,
+          "negative control: with v2 bucketing off the join must " +
+            "exchange on the join key — if this is 0 the checker is blind")
+      }
+      // rows identical with and without SPJ
       val joined = spark.sql(
         """SELECT x.id, x.av, y.bv
            FROM spj.db.a x JOIN spj.db.b y ON x.id = y.id
            ORDER BY x.id""")
-      withSpj {
-        val n = shuffles(spark.sql(
-          "SELECT x.id, x.av, y.bv FROM spj.db.a x JOIN spj.db.b y ON x.id = y.id"))
-        assert(n === 0,
-          s"co-bucketed join must plan without exchanges, found $n shuffles")
-      }
-      // rows identical with and without SPJ
-      val expect = (1L until 500L).map(i => (i, s"a$i", i * 2.0)) :+
-        ((0L, "seed", -1.0))
+      val expect = ((1L until 500L).map(i => (i, s"a$i", i * 2.0)) :+
+        ((0L, "seed", -1.0))).sortBy(_._1)
       withSpj {
         assert(joined.collect().map(r =>
-          (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
-          === expect.sortBy(_._1))
+          (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq === expect)
       }
       assert(joined.collect().map(r =>
         (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
-        === expect.sortBy(_._1), "non-SPJ plan agrees")
+        === expect, "non-SPJ plan agrees")
     } finally {
       spark.conf.unset("spark.sql.catalog.spj")
       spark.conf.unset("spark.sql.catalog.spj.warehouse")
@@ -127,9 +149,9 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       a.append((0L until 400L).flatMap(i => Seq((i, 1.0), (i, 2.0)))
         .toDF("id", "x"))
       a.compact(spark, targetFileMB = 128)
+      def agg = spark.sql(
+        "SELECT id, sum(x) AS sx FROM spjg.db.a GROUP BY id")
       withSpj {
-        val agg = spark.sql(
-          "SELECT id, sum(x) AS sx FROM spjg.db.a GROUP BY id")
         val n = shuffles(agg)
         assert(n === 0,
           s"a bucket-key GROUP BY must aggregate in place, found $n shuffles")
@@ -137,6 +159,10 @@ class StoragePartitionedJoinSpec extends SparkSpec {
         assert(spark.sql(
           "SELECT sx FROM (SELECT id, sum(x) AS sx FROM spjg.db.a GROUP BY id) WHERE id = 7")
           .head().getDouble(0) === 3.0)
+      }
+      withSpjOff {
+        assert(AdaptivePlans.shufflesOn(agg, "id").nonEmpty,
+          "negative control: bucketing off must shuffle the GROUP BY")
       }
     } finally {
       spark.conf.unset("spark.sql.catalog.spjg")
@@ -188,9 +214,9 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       a.compact(spark, targetFileMB = 128)
       a.deleteRows(spark, "id = 77 OR id = 130") // DVs, zero rewrites
       assert(a.snapshot().files.exists(_.dv.isDefined))
+      def self = spark.sql(
+        "SELECT x.id FROM spjx.db.a x JOIN spjx.db.a y ON x.id = y.id")
       withSpj {
-        val self = spark.sql(
-          "SELECT x.id FROM spjx.db.a x JOIN spjx.db.a y ON x.id = y.id")
         val n = shuffles(self)
         assert(n === 0,
           s"a DV'd co-bucketed self-join must stay exchange-free, got $n")
@@ -199,13 +225,17 @@ class StoragePartitionedJoinSpec extends SparkSpec {
           "SELECT count(*) FROM spjx.db.a x JOIN spjx.db.a y ON x.id = y.id " +
             "WHERE x.id IN (77, 130)").head().getLong(0) === 0L)
       }
+      withSpjOff {
+        assert(AdaptivePlans.shufflesOn(self, "id").nonEmpty,
+          "negative control: bucketing off must exchange the self-join")
+      }
     } finally {
       spark.conf.unset("spark.sql.catalog.spjx")
       spark.conf.unset("spark.sql.catalog.spjx.warehouse")
     }
   }
 
-  test("row-level DML degrades gracefully; compaction restores the zero-shuffle join") {
+  test("MOR UPDATE post-images stay bucket-pure; the zero-shuffle join survives DML") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.spjm", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.spjm.warehouse", wh)
@@ -216,32 +246,97 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       a.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
       a.append((1L until 400L).map(i => (i, i * 1.0)).toDF("id", "x"))
       a.compact(spark, targetFileMB = 128)
-      // a MOR UPDATE appends a post-image file that may straddle
-      // buckets — the join stays CORRECT either way
+      // a MOR UPDATE appends post-image files — the bucket-splitting
+      // writer keeps even those single-valued, so SPJ survives DML
       spark.sql("UPDATE spjm.db.a SET x = -1.0 WHERE id IN (5, 200)")
+      def self = spark.sql(
+        "SELECT x.id, y.x FROM spjm.db.a x JOIN spjm.db.a y ON x.id = y.id")
       withSpj {
-        val self = spark.sql(
-          "SELECT x.id, y.x FROM spjm.db.a x JOIN spjm.db.a y ON x.id = y.id")
         assert(self.count() === 400L)
         assert(spark.sql(
           "SELECT count(*) FROM spjm.db.a x JOIN spjm.db.a y ON x.id = y.id " +
             "WHERE y.x = -1.0").head().getLong(0) === 2L)
       }
       // compaction launders the DV and re-clusters by the bucket
-      // tuple — the zero-shuffle plan comes back
+      // tuple — the zero-shuffle plan holds after the full DML cycle
       a.compact(spark, targetFileMB = 128)
       assert(a.snapshot().files.forall(_.dv.isEmpty))
+      def keys = spark.sql(
+        "SELECT x.id FROM spjm.db.a x JOIN spjm.db.a y ON x.id = y.id")
       withSpj {
-        val self = spark.sql(
-          "SELECT x.id FROM spjm.db.a x JOIN spjm.db.a y ON x.id = y.id")
-        val n = shuffles(self)
+        val n = shuffles(keys)
         assert(n === 0,
           s"post-compaction the co-bucketed join must be exchange-free: $n")
-        assert(self.count() === 400L)
+        assert(keys.count() === 400L)
+      }
+      withSpjOff {
+        assert(AdaptivePlans.shufflesOn(keys, "id").nonEmpty,
+          "negative control: bucketing off must exchange the join")
       }
     } finally {
       spark.conf.unset("spark.sql.catalog.spjm")
       spark.conf.unset("spark.sql.catalog.spjm.warehouse")
+    }
+  }
+
+  test("composite days+bucket spec: the fact-table join plans zero shuffles") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjc.warehouse", wh)
+    try {
+      def tsOf(day: Long, ms: Long) =
+        new java.sql.Timestamp(day * 86400000L + ms)
+      val a = new GraftTable(s"$wh/db/a")
+      val b = new GraftTable(s"$wh/db/b")
+      a.append(Seq((0L, tsOf(19700L, 0L), "seed")).toDF("id", "ts", "av"))
+      b.append(Seq((0L, tsOf(19700L, 0L), -1.0)).toDF("id", "ts", "bv"))
+      a.setProperty(PartitionSpec.Prop, "days(ts), bucket(4,id)")
+      b.setProperty(PartitionSpec.Prop, "days(ts), bucket(4,id)")
+      def rows(n: Long) = (1L until n).map(i =>
+        (i, tsOf(19700L + i % 5L, (i % 7) * 1000L)))
+      a.append(rows(400).map { case (i, ts) => (i, ts, s"a$i") }
+        .toDF("id", "ts", "av"))
+      b.append(rows(600).map { case (i, ts) => (i, ts, i * 2.0) }
+        .toDF("id", "ts", "bv"))
+      a.compact(spark, targetFileMB = 128)
+      b.compact(spark, targetFileMB = 128)
+      for (t <- Seq(a, b); f <- t.snapshot().files)
+        assert(PartitionSpec.tupleSignature(f).values.forall(_.isDefined),
+          s"file ${f.path} straddles the composite tuple: ${f.stats}")
+
+      // join keys COVER the partition tuple (ts -> days, id -> bucket):
+      // both sides co-locate on (day, bucket) with zero exchanges
+      def q = spark.sql(
+        """SELECT x.id, x.av, y.bv FROM spjc.db.a x JOIN spjc.db.b y
+           ON x.id = y.id AND x.ts = y.ts""")
+      withSpj {
+        val n = shuffles(q)
+        assert(n === 0,
+          s"composite co-partitioned join must plan without exchanges: $n")
+        val got = q.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+        val expect = ((1L until 400L).map(i => (i, s"a$i", i * 2.0)) :+
+          ((0L, "seed", -1.0))).toSet
+        assert(got === expect)
+      }
+      withSpjOff {
+        assert(AdaptivePlans.shufflesOn(q, "id").nonEmpty,
+          "negative control: bucketing off must exchange the composite join")
+      }
+      // join keys a SUBSET of the partition tuple (id only): Spark's
+      // partially-clustered handling keeps it exchange-free under
+      // allowJoinKeysSubsetOfPartitionKeys
+      withConfs(("spark.sql.sources.v2.bucketing.enabled" -> "true") +:
+        ("spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled" -> "true") +:
+        common) {
+        val sub = spark.sql(
+          """SELECT x.id, y.bv FROM spjc.db.a x JOIN spjc.db.b y
+             ON x.id = y.id AND x.ts = y.ts""")
+        assert(shuffles(sub) === 0)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjc")
+      spark.conf.unset("spark.sql.catalog.spjc.warehouse")
     }
   }
 
@@ -255,11 +350,21 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       a.append((0L until 50L).map(i => (i, s"s$i")).toDF("id", "v").coalesce(1))
       a.setProperty(PartitionSpec.Prop, "bucket(4,id)")
       a.append((50L until 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+      assert(a.snapshot().files.exists(f =>
+        PartitionSpec.tupleSignature(f).isEmpty ||
+          PartitionSpec.tupleSignature(f).values.exists(_.isEmpty)),
+        "precondition: the pre-spec seed file must lack a single-valued tuple")
       withSpj {
         val self = spark.sql(
           "SELECT x.id FROM spjy.db.a x JOIN spjy.db.a y ON x.id = y.id")
-        // correct rows; planning just falls back to exchanges
+        // correct rows; planning falls back to exchanges — and the
+        // checker must SEE them (this doubles as a repo-wide negative
+        // control for the zero-shuffle assertions above)
         assert(self.count() === 100L)
+        val n = shuffles(self)
+        assert(n > 0,
+          "an ineligible scan must fall back to shuffled planning; " +
+            "0 here means the shuffle checker is blind")
       }
     } finally {
       spark.conf.unset("spark.sql.catalog.spjy")
