@@ -2226,9 +2226,12 @@ object PipelineOps {
           graft.plans.AdaptivePlans.finalPlan(joined))
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
       try {
+        // selective pushed filter keeps the control cheap — the
+        // join-key exchanges it must witness survive any row filter
         val control = s.sql(
           s"""SELECT count(*) AS n FROM $cat.d.ord o JOIN $cat.d.cust c
-              ON o.o_custkey = c.c_custkey""")
+              ON o.o_custkey = c.c_custkey
+              WHERE o.o_custkey < 500 AND c.c_custkey < 500""")
         require(graft.plans.AdaptivePlans.shufflesOn(control, "custkey").nonEmpty,
           "negative control: with v2 bucketing off the join must exchange " +
             "on the join key — 0 means the shuffle checker is blind")
@@ -2301,9 +2304,12 @@ object PipelineOps {
         "zero-exchange must not be broadcast's doing")
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
       try {
+        // selective pushed filter keeps the control cheap — the
+        // join-key exchanges it must witness survive any row filter
         val control = s.sql(
           s"""SELECT count(*) AS n FROM $cat.d.hdr h JOIN $cat.d.pri p
-              ON h.o_orderkey = p.o_orderkey AND h.o_year = p.o_year""")
+              ON h.o_orderkey = p.o_orderkey AND h.o_year = p.o_year
+              WHERE h.o_orderkey < 5000 AND p.o_orderkey < 5000""")
         require(graft.plans.AdaptivePlans.shufflesOn(control, "orderkey").nonEmpty,
           "negative control: with v2 bucketing off the composite join must " +
             "exchange on the join key — 0 means the shuffle checker is blind")
