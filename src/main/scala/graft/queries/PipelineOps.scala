@@ -2248,7 +2248,7 @@ object PipelineOps {
   }
 
   // --------------------------------------------------------------------
-  // q148 — COMPOSITE-SPEC STORAGE-PARTITIONED JOIN (`days(d), bucket(8,
+  // q148 — COMPOSITE-SPEC STORAGE-PARTITIONED JOIN (`days(d), bucket(4,
   // key)`, Iceberg's partially-clustered layout): order headers and
   // priorities land in two graft tables sharing the composite spec, the
   // scans report a two-transform KeyGroupedPartitioning resolved
@@ -2280,10 +2280,13 @@ object PipelineOps {
         col("o_orderkey"), trunc(col("o_orderdate"), "year").as("o_year"),
         col("o_orderpriority"))
       ht.append(hdr.limit(0)); pt.append(pri.limit(0))
+      // bucket(4): 7 years x 4 buckets = 28 tuples per table — enough
+      // to prove the composite co-location; at 100 TB the same spec
+      // runs with production bucket counts
       ht.setProperty(graft.medallion.PartitionSpec.Prop,
-        "days(o_year), bucket(8,o_orderkey)")
+        "days(o_year), bucket(4,o_orderkey)")
       pt.setProperty(graft.medallion.PartitionSpec.Prop,
-        "days(o_year), bucket(8,o_orderkey)")
+        "days(o_year), bucket(4,o_orderkey)")
       ht.append(hdr); pt.append(pri)
       confs.foreach { case (k, v) => s.conf.set(k, v) }
       val joined = s.sql(
