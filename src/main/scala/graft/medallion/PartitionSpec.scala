@@ -297,4 +297,101 @@ private[graft] object PartitionSpec {
       case (key, cs) if key.startsWith(Prefix) =>
         key -> (if (cs.nulls.forall(_ == 0L) && cs.min == cs.max) Some(cs.min) else None)
     }
+
+  /** Serializable per-ROW transform-tuple key evaluator over the
+    * PHYSICAL write schema — the executor-side twin of [[column]] for
+    * writers that must roll files at tuple boundaries with no Spark
+    * plan underneath (DSv2 row-level COW rewrites, streaming epochs;
+    * the batch path splits in `stageData` via dynamic `partitionBy`).
+    * The key only needs to be INJECTIVE per tuple (files are grouped
+    * by it, never parsed back), so elements render as plain value
+    * strings; the arithmetic is [[column]]'s exactly (same XXH64 seed
+    * and per-type bytes for bucket, same floor divisions — all
+    * transforms are tz-free: `months` applies to DATE only).
+    *
+    * None unless a bucket transform is present — the same gate as the
+    * batch staging path: only bucket specs need file-exact tuples
+    * (storage-partitioned joins), other specs prefer range-clustered
+    * files. A pathological `\u0001`-in-data collision in string data merges
+    * two tuples into one file: degrades that file's SPJ/pruning
+    * eligibility, never correctness. */
+  def tupleKeyFn(
+      transforms: Seq[Transform],
+      schema: StructType): Option[org.apache.spark.sql.catalyst.InternalRow => String] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    // gate on transforms the write schema can actually evaluate — a
+    // bucket whose source column is absent must not demote to a
+    // partial (days-only) split
+    val present = transforms.filter(t => schema.fieldNames.contains(t.source))
+    if (!present.exists(_.kind == "bucket")) return None
+    val fns: Seq[InternalRow => String] = present.flatMap { t =>
+      schema.fields.zipWithIndex.find(_._1.name == t.source).map { case (f, i) =>
+        def nn(g: InternalRow => String): InternalRow => String =
+          row => if (row.isNullAt(i)) "\u0001null" else g(row)
+        val dt = f.dataType
+        t.kind match {
+          case "bucket" =>
+            val n = t.arg.toLong
+            // null keys: Spark's xxhash64(null) returns the SEED (42),
+            // so the write side clusters them into bucket pmod(42, n) —
+            // match it, or null-keyed rows would fan out into a file of
+            // their own and straddle nothing while the stats say bucket
+            // pmod(42, n)
+            val nullKey = Math.floorMod(42L, n).toString
+            def nb(g: InternalRow => String): InternalRow => String =
+              row => if (row.isNullAt(i)) nullKey else g(row)
+            dt match {
+              case IntegerType =>
+                nb(r => Math.floorMod(XXH64.hashInt(r.getInt(i), 42L), n).toString)
+              case LongType =>
+                nb(r => Math.floorMod(XXH64.hashLong(r.getLong(i), 42L), n).toString)
+              case _ => nb { r =>
+                val s = r.getUTF8String(i)
+                Math.floorMod(XXH64.hashUnsafeBytes(
+                  s.getBaseObject, s.getBaseOffset, s.numBytes, 42L), n).toString
+              }
+            }
+          case "days" =>
+            if (dt == DateType) nn(r => r.getInt(i).toString)
+            else nn(r => Math.floorDiv(r.getLong(i), 86_400_000_000L).toString)
+          case "hours" =>
+            nn(r => Math.floorDiv(r.getLong(i), 3_600_000_000L).toString)
+          case "months" => // DATE only (see applicable): tz-free
+            nn { r =>
+              val d = java.time.LocalDate.ofEpochDay(r.getInt(i).toLong)
+              ((d.getYear - 1970) * 12 + d.getMonthValue - 1).toString
+            }
+          case "trunc" =>
+            dt match {
+              case StringType => // code points, like Spark's substring
+                nn(r => r.getUTF8String(i).substringSQL(1, t.arg).toString)
+              case _ =>
+                val w = t.arg.toLong
+                val get: InternalRow => Long = dt match {
+                  case ByteType => r => r.getByte(i).toLong
+                  case ShortType => r => r.getShort(i).toLong
+                  case IntegerType => r => r.getInt(i).toLong
+                  case _ => r => r.getLong(i)
+                }
+                nn(r => { val v = get(r); (v - Math.floorMod(v, w)).toString })
+            }
+          case _ => // id: raw value, injective within the fixed type
+            dt match {
+              case ByteType => nn(r => r.getByte(i).toString)
+              case ShortType => nn(r => r.getShort(i).toString)
+              case IntegerType | DateType => nn(r => r.getInt(i).toString)
+              case LongType | TimestampType => nn(r => r.getLong(i).toString)
+              case FloatType => nn(r => r.getFloat(i).toString)
+              case DoubleType => nn(r => r.getDouble(i).toString)
+              case d: DecimalType =>
+                nn(r => r.getDecimal(i, d.precision, d.scale).toString)
+              case _ => nn(r => r.getUTF8String(i).toString)
+            }
+        }
+      }
+    }
+    if (fns.isEmpty) None
+    else Some(row => fns.map(_(row)).mkString("\u0001"))
+  }
 }

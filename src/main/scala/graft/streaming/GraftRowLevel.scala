@@ -195,7 +195,8 @@ private final class GraftReplaceWrite(
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
       org.apache.spark.sql.graft.ParquetWrites.factory(
-        SparkSession.active, writeSchema, stageDir)
+        SparkSession.active, writeSchema, stageDir,
+        GraftTableV2.stageSplitKey(tablePath, writeSchema))
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val staged = messages.toSeq.flatMap {
@@ -311,7 +312,8 @@ private final class GraftDeltaWrite(
           : org.apache.spark.sql.connector.write.DeltaWriterFactory =
         new GraftDeltaWriterFactory(
           org.apache.spark.sql.graft.ParquetWrites.factory(
-            SparkSession.active, writeSchema, stageDir),
+            SparkSession.active, writeSchema, stageDir,
+            GraftTableV2.stageSplitKey(tablePath, writeSchema)),
           stageDir, fileOrd, posOrd)
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -1591,7 +1591,8 @@ private final class GraftStreamingTableWrite(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : streaming_write.StreamingDataWriterFactory =
     org.apache.spark.sql.graft.ParquetWrites.factory(
-      SparkSession.active, TxLog.physicalSchema(tableSchema), stageDir)
+      SparkSession.active, TxLog.physicalSchema(tableSchema), stageDir,
+      GraftTableV2.stageSplitKey(tablePath, TxLog.physicalSchema(tableSchema)))
 
   override def commit(
       epochId: Long,
@@ -1655,6 +1656,28 @@ object GraftCatalogTable {
 }
 
 object GraftTableV2 {
+
+  /** Transform-tuple splitter for the DSv2 staging writers (streaming
+    * epochs, COW group-replace, MOR post-images): the table's resolved
+    * spec as a per-row key fn over the PHYSICAL write schema, or None
+    * when no bucket transform applies — see
+    * [[graft.medallion.PartitionSpec.tupleKeyFn]]. Without this, those
+    * paths stage one file per task, which straddles bucket values and
+    * silently demotes the table's storage-partitioned joins until the
+    * next compaction. */
+  private[streaming] def stageSplitKey(
+      tablePath: String, physWriteSchema: StructType)
+      : Option[org.apache.spark.sql.catalyst.InternalRow => String] = {
+    val t = new GraftTable(tablePath)
+    if (t.latestVersion() == 0L) None
+    else {
+      val snap = t.snapshot()
+      graft.medallion.PartitionSpec.tupleKeyFn(
+        graft.medallion.PartitionSpec.resolved(
+          snap.props, snap.schema, physWriteSchema),
+        physWriteSchema)
+    }
+  }
 
   /** The provenance column every graft-table read carries. */
   val VersionCol = "_commit_version"

@@ -340,6 +340,85 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("streaming toTable epochs stage bucket-pure files: SPJ holds without compaction") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjs", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjs.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE spjs.db.sink (id BIGINT, v STRING)")
+      val a = new GraftTable(s"$wh/db/sink")
+      a.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+      val ckpt = freshWarehouse() + "/ckpt"
+      val ms = MemoryStream[(Long, String)]
+      ms.addData((0L until 200L).map(i => (i, s"v$i")): _*)
+      ms.toDF().toDF("id", "v").writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).toTable("spjs.db.sink")
+        .awaitTermination()
+      // the streaming epoch's fanout writer staged one file per live
+      // bucket per task — every file single-valued, NO compact needed
+      assert(a.snapshot().files.nonEmpty)
+      for (f <- a.snapshot().files)
+        assert(PartitionSpec.tupleSignature(f).values.forall(_.isDefined),
+          s"streamed file ${f.path} straddles the bucket: ${f.stats}")
+      def self = spark.sql(
+        "SELECT x.id FROM spjs.db.sink x JOIN spjs.db.sink y ON x.id = y.id")
+      withSpj {
+        val n = shuffles(self)
+        assert(n === 0,
+          s"a freshly-streamed co-bucketed self-join must be exchange-free: $n")
+        assert(self.count() === 200L)
+      }
+      withSpjOff {
+        assert(AdaptivePlans.shufflesOn(self, "id").nonEmpty,
+          "negative control: bucketing off must exchange the self-join")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjs")
+      spark.conf.unset("spark.sql.catalog.spjs.warehouse")
+    }
+  }
+
+  test("SQL COW UPDATE rewrites stay bucket-pure: SPJ holds straight through DML") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjw.warehouse", wh)
+    try {
+      val a = new GraftTable(s"$wh/db/a")
+      a.append(Seq((0L, 0.0)).toDF("id", "x"))
+      a.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+      a.append((1L until 300L).map(i => (i, i * 1.0)).toDF("id", "x"))
+      a.compact(spark, targetFileMB = 128)
+      // copy-on-write UPDATE (default mode): the group-replace rewrite
+      // stages through the DSv2 writer, whose fanout splitter keeps
+      // every rewritten file single-valued on the bucket
+      spark.sql("UPDATE spjw.db.a SET x = -5.0 WHERE id IN (3, 250)")
+      for (f <- a.snapshot().files)
+        assert(PartitionSpec.tupleSignature(f).values.forall(_.isDefined),
+          s"COW-rewritten file ${f.path} straddles the bucket: ${f.stats}")
+      def self = spark.sql(
+        "SELECT x.id, y.x FROM spjw.db.a x JOIN spjw.db.a y ON x.id = y.id")
+      withSpj {
+        val n = shuffles(self)
+        assert(n === 0,
+          s"post-UPDATE the co-bucketed self-join must be exchange-free: $n")
+        assert(self.count() === 300L)
+        assert(spark.sql(
+          "SELECT count(*) FROM spjw.db.a WHERE x = -5.0").head().getLong(0) === 2L)
+      }
+      withSpjOff {
+        assert(AdaptivePlans.shufflesOn(self, "id").nonEmpty,
+          "negative control: bucketing off must exchange the self-join")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjw")
+      spark.conf.unset("spark.sql.catalog.spjw.warehouse")
+    }
+  }
+
   test("a straddling (pre-spec, uncompacted) file degrades to normal planning") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.spjy", classOf[GraftCatalog].getName)
