@@ -796,28 +796,33 @@ final class GraftBatch(
       spark, physDataSchema, physRequired, Nil)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // storage-partitioned-join mode: one partition per transform
-    // tuple, each covering ALL of that tuple's files whole (splits would
-    // tear the key grouping), keyed for Spark's co-location. The
-    // group set was frozen at compile-time pruning (see GraftScan);
-    // columnar reads delegate untouched.
+    // storage-partitioned-join mode: one keyed partition PER FILE —
+    // Spark's DataSourceV2ScanExecBase.groupedPartitions groups them
+    // by key itself (the Iceberg shape), which is what lets
+    // partially-clustered distribution split a SKEWED tuple's files
+    // across tasks (replicating the other side) instead of serializing
+    // a 100-GB bucket into one task; with partial clustering off the
+    // grouped count equals the tuple count, same plan as a pre-packed
+    // report. The group set was frozen at compile-time pruning (see
+    // GraftScan); columnar reads delegate untouched.
     keyed.foreach { groups =>
-      // any deletion vector forces the WHOLE scan onto composite row
-      // partitions (mixed columnar/row kinds are refused by Spark);
-      // DV-free scans keep full vectorization through the delegation
+      // any deletion vector forces the WHOLE scan onto row partitions
+      // (mixed columnar/row kinds are refused by Spark); DV-free scans
+      // keep full vectorization through the delegation
       val anyDv = groups.exists(_._2.exists(_._1.dv.isDefined))
-      return groups.map { case (k, fs) =>
-        if (!anyDv)
-          GraftKeyedPartition(
-            org.apache.spark.sql.graft.ParquetScans.filesPartition(
-              spark, fs.map(f => table.absoluteDataPath(f._1))),
-            0, k): InputPartition
-        else
-          GraftKeyedRowPartition(
-            fs.map(f => (org.apache.spark.sql.graft.ParquetScans
-              .wholeFilePartition(spark, table.absoluteDataPath(f._1)),
-              f._1.dv)),
-            1, k): InputPartition
+      return groups.flatMap { case (k, fs) =>
+        fs.map { case (a, _) =>
+          if (!anyDv)
+            GraftKeyedPartition(
+              org.apache.spark.sql.graft.ParquetScans.filesPartition(
+                spark, Seq(table.absoluteDataPath(a))),
+              0, k): InputPartition
+          else
+            GraftKeyedRowPartition(
+              Seq((org.apache.spark.sql.graft.ParquetScans
+                .wholeFilePartition(spark, table.absoluteDataPath(a)), a.dv)),
+              1, k): InputPartition
+        }
       }.toArray
     }
     val all = files()
@@ -900,12 +905,13 @@ final case class GraftPosPartition(
 final case class GraftRowPartition(inner: InputPartition, delegate: Int)
     extends InputPartition
 
-/** One partition-TUPLE's files as a single keyed partition — the
-  * storage-partitioned-join unit: `partitionKey` is the transform
-  * tuple (sole bucket value, or e.g. (day, bucket) under a composite
-  * spec) the catalog's V2 functions compute, so Spark can zip two
-  * co-partitioned scans partition-by-partition without an exchange.
-  * Reads delegate untouched (columnar included). */
+/** ONE FILE as a keyed partition — the storage-partitioned-join unit:
+  * `partitionKey` is the transform tuple (sole bucket value, or e.g.
+  * (day, bucket) under a composite spec) the catalog's V2 functions
+  * compute; Spark groups same-key partitions itself and zips two
+  * co-partitioned scans key-by-key without an exchange — and, under
+  * partially-clustered distribution, splits a skewed tuple's files
+  * across tasks. Reads delegate untouched (columnar included). */
 final case class GraftKeyedPartition(
     inner: InputPartition, delegate: Int, key: Seq[Int])
     extends InputPartition with HasPartitionKey {
@@ -914,7 +920,7 @@ final case class GraftKeyedPartition(
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-/** A tuple's files as ONE row-based keyed partition whose reader
+/** A tuple's file(s) as ONE row-based keyed partition whose reader
   * walks the files sequentially, skipping each file's deletion-vector
   * positions — what keeps storage-partitioned joins available on
   * merge-on-read tables. The delegate must be filter-free (positions

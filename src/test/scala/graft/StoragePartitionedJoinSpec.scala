@@ -419,6 +419,62 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("skewed tuple: per-file keyed partitions let partial clustering split the big bucket") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjk", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjk.warehouse", wh)
+    try {
+      val big = new GraftTable(s"$wh/db/big")
+      val dim = new GraftTable(s"$wh/db/dim")
+      big.append(Seq((0L, 0.0)).toDF("id", "x"))
+      dim.append(Seq((0L, "z")).toDF("id", "nm"))
+      big.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+      dim.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+      // fold the pre-spec seeds into tuple-pure files, THEN pile on
+      // uncompacted appends
+      big.compact(spark, targetFileMB = 128)
+      dim.compact(spark, targetFileMB = 128)
+      // five appends -> >= 5 files in the hot bucket (no re-compact):
+      // key 1 hashes to ONE bucket and carries most rows
+      (0 until 5).foreach { w =>
+        big.append(((w * 200) until (w * 200 + 200))
+          .map(i => (1L, i * 1.0)).toDF("id", "x")
+          .unionAll(Seq((2L + w.toLong, -1.0)).toDF("id", "x")))
+      }
+      dim.append((1L until 7L).map(i => (i, s"n$i")).toDF("id", "nm"))
+      def q = spark.sql(
+        """SELECT b.id, d.nm, b.x FROM spjk.db.big b JOIN spjk.db.dim d
+           ON b.id = d.id""")
+      withConfs(Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "true")) {
+        val n = shuffles(q)
+        assert(n === 0,
+          s"partially-clustered SPJ must stay exchange-free: $n")
+        assert(q.count() === 5L * 200L + 5L + 1L)
+        // the hot tuple's files spread across MORE scan tasks than the
+        // tuple count — the skew-split partial clustering exists for
+        val scans = AdaptivePlans.collectDeep(q) {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }
+        val bigScan = scans.find(_.toString.contains("db/big")).get
+        val tuples = bigScan.inputPartitions.map {
+          case h: org.apache.spark.sql.connector.read.HasPartitionKey =>
+            h.partitionKey().toString
+        }.distinct.size
+        assert(bigScan.outputPartitioning.numPartitions > tuples,
+          s"expected the skewed bucket split beyond $tuples tuple groups, " +
+            s"got ${bigScan.outputPartitioning.numPartitions}")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjk")
+      spark.conf.unset("spark.sql.catalog.spjk.warehouse")
+    }
+  }
+
   test("a straddling (pre-spec, uncompacted) file degrades to normal planning") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.spjy", classOf[GraftCatalog].getName)
