@@ -2328,6 +2328,147 @@ object PipelineOps {
     }
   }
 
+  // --------------------------------------------------------------------
+  // q149 — STORAGE-PARTITIONED AGGREGATE: a bucket(8, o_custkey) orders
+  // table GROUP BYs its bucket key with NO hash exchange anywhere —
+  // the scan's KeyGroupedPartitioning already clusters equal keys, so
+  // the aggregate runs in place at scan parallelism (only the final
+  // presentation ORDER BY range-partitions). 100 TB story: the
+  // keyed rollup every fact table runs daily, minus its only shuffle.
+  // --------------------------------------------------------------------
+  def q149SpjAgg(s: SparkSession, dir: String): DataFrame = {
+    val wh = s"${scratch("spja", dir)}/warehouse"
+    graft.core.Fs.rmTree(new java.io.File(wh))
+    val cat = s"gq149_${math.abs(wh.hashCode).toString.take(8)}"
+    graft.api.Graft.registerCatalog(s, cat, wh)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      val ot = new graft.medallion.GraftTable(s"$wh/d/ord")
+      ot.append(lake(s, dir).orders
+        .select(col("o_custkey"), col("o_totalprice")).limit(0))
+      ot.setProperty(graft.medallion.PartitionSpec.Prop, "bucket(8,o_custkey)")
+      ot.append(lake(s, dir).orders.select(col("o_custkey"), col("o_totalprice")))
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val agg = s.sql(
+        s"""SELECT o_custkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price
+            FROM $cat.d.ord GROUP BY o_custkey ORDER BY o_custkey""")
+      // the presentation ORDER BY may range-partition; what must NOT
+      // exist is a HASH exchange on the group key — the aggregate
+      // itself runs on the scan's key grouping. Sound (AQE-unwrapping)
+      // count + negative control, as everywhere.
+      def hashOnKey(df: org.apache.spark.sql.DataFrame): Int =
+        graft.plans.AdaptivePlans.shuffleExchanges(df).count { e =>
+          val p = e.outputPartitioning.toString
+          p.contains("hashpartitioning") && p.contains("custkey")
+        }
+      require(hashOnKey(agg) == 0,
+        s"the bucket-key aggregate must run on the scan grouping:\n" +
+          graft.plans.AdaptivePlans.finalPlan(agg))
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      try {
+        val control = s.sql(
+          s"""SELECT o_custkey, count(*) AS n FROM $cat.d.ord
+              WHERE o_custkey < 500 GROUP BY o_custkey""")
+        require(hashOnKey(control) >= 1,
+          "negative control: with v2 bucketing off the GROUP BY must " +
+            "hash-exchange on the key — 0 means the checker is blind")
+      } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      agg
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  private val q149Oracle =
+    """SELECT o_custkey,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
+
+  // --------------------------------------------------------------------
+  // q150 — STORAGE-PARTITIONED WINDOW (keep-best dedup): row_number()
+  // PARTITION BY the bucket key over a bucket(8, o_custkey) table plans
+  // with ZERO exchanges — the scan's KeyGroupedPartitioning satisfies
+  // the window's ClusteredDistribution, so the per-key sort + rank
+  // (best order per customer) runs in place at scan parallelism, with
+  // WindowGroupLimit capping each key before the sort ever widens.
+  // 100 TB story: CDC keep-latest / best-version-wins dedup IS a
+  // window over the primary key — on a bucket-keyed table it crosses
+  // the network zero times at any scale.
+  // --------------------------------------------------------------------
+  def q150SpjWindow(s: SparkSession, dir: String): DataFrame = {
+    val wh = s"${scratch("spjw", dir)}/warehouse"
+    graft.core.Fs.rmTree(new java.io.File(wh))
+    val cat = s"gq150_${math.abs(wh.hashCode).toString.take(8)}"
+    graft.api.Graft.registerCatalog(s, cat, wh)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      val ot = new graft.medallion.GraftTable(s"$wh/d/ord")
+      val cols = Seq(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      ot.append(lake(s, dir).orders.select(cols: _*).limit(0))
+      ot.setProperty(graft.medallion.PartitionSpec.Prop, "bucket(8,o_custkey)")
+      ot.append(lake(s, dir).orders.select(cols: _*))
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      // the deterministic keep-best: highest-value order per customer,
+      // ties broken by date then key so rn = 1 names exactly one row
+      val best = s.sql(
+        s"""SELECT o_custkey, o_orderkey,
+                   CAST(o_totalprice AS DOUBLE) AS best_price
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey) rn
+                  FROM $cat.d.ord)
+            WHERE rn = 1 ORDER BY o_custkey""")
+      def hashOnKey(df: org.apache.spark.sql.DataFrame): Int =
+        graft.plans.AdaptivePlans.shuffleExchanges(df).count { e =>
+          val p = e.outputPartitioning.toString
+          p.contains("hashpartitioning") && p.contains("custkey")
+        }
+      require(hashOnKey(best) == 0,
+        s"the bucket-key window must rank on the scan grouping:\n" +
+          graft.plans.AdaptivePlans.finalPlan(best))
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      try {
+        val control = s.sql(
+          s"""SELECT o_custkey FROM (SELECT o_custkey, row_number() OVER
+                (PARTITION BY o_custkey ORDER BY o_orderkey) rn
+              FROM $cat.d.ord) WHERE rn = 1""")
+        require(hashOnKey(control) >= 1,
+          "negative control: with v2 bucketing off the window must " +
+            "hash-exchange on the key — 0 means the checker is blind")
+      } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      best
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  private val q150Oracle =
+    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS best_price
+       FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderdate, o_orderkey) rn
+             FROM orders)
+       WHERE rn = 1 ORDER BY o_custkey"""
+
   private val q148Oracle =
     """SELECT o_orderpriority,
               CAST(count(*) AS BIGINT) AS n_orders,
@@ -2461,6 +2602,8 @@ object PipelineOps {
     "q146_spj_join" -> (q146SpjJoin _),
     "q147_replace_where" -> (q147ReplaceWhere _),
     "q148_spj_composite" -> (q148SpjComposite _),
+    "q149_spj_agg" -> (q149SpjAgg _),
+    "q150_spj_window" -> (q150SpjWindow _),
     "q142_sql_mor_update" -> (q142SqlMorUpdate _),
     "q141_metadata_sum" -> (q141MetadataSum _),
     "q139_generated_columns" -> (q139GeneratedColumns _),
@@ -2505,6 +2648,8 @@ object PipelineOps {
     "q146_spj_join" -> q146Oracle,
     "q147_replace_where" -> q147Oracle,
     "q148_spj_composite" -> q148Oracle,
+    "q149_spj_agg" -> q149Oracle,
+    "q150_spj_window" -> q150Oracle,
     "q142_sql_mor_update" -> q142Oracle,
     "q141_metadata_sum" -> q141Oracle,
     "q139_generated_columns" -> q139Oracle,

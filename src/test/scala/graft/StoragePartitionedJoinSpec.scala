@@ -170,6 +170,41 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("a window over the bucket key ranks without an exchange: keep-best dedup in place") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjwin", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjwin.warehouse", wh)
+    try {
+      val a = new GraftTable(s"$wh/db/a")
+      a.append(Seq((0L, 0L, 0.0)).toDF("id", "v", "x"))
+      a.setProperty(PartitionSpec.Prop, "bucket(8,id)")
+      // three versions per key; keep-best = highest x, tie-broken by v
+      a.append((0L until 300L).flatMap(i =>
+        Seq((i, 1L, 1.0), (i, 2L, 3.0), (i, 3L, 2.0))).toDF("id", "v", "x"))
+      // launder the pre-spec seed file (no bucket stats) into the spec
+      a.compact(spark, targetFileMB = 128)
+      def best = spark.sql(
+        """SELECT id, v, x FROM (SELECT *, row_number() OVER
+             (PARTITION BY id ORDER BY x DESC, v) rn FROM spjwin.db.a)
+           WHERE rn = 1""")
+      withSpj {
+        val n = shuffles(best)
+        assert(n === 0,
+          s"a bucket-key window must rank on the scan grouping, found $n shuffles")
+        assert(best.count() === 300L)
+        // every surviving row is the x=3.0 / v=2 version
+        assert(best.where("x <> 3.0 OR v <> 2").count() === 0L)
+      }
+      withSpjOff {
+        assert(AdaptivePlans.shufflesOn(best, "id").nonEmpty,
+          "negative control: bucketing off must shuffle the window")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjwin")
+      spark.conf.unset("spark.sql.catalog.spjwin.warehouse")
+    }
+  }
+
   test("pruned buckets on one side: pushPartValues keeps the join exact") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.spjp", classOf[GraftCatalog].getName)
