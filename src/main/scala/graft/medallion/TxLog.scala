@@ -279,6 +279,24 @@ object TxLog {
     * running `CALL system.checkpoint`. */
   private[graft] val CheckpointIntervalProp = "checkpoint.interval"
   private[graft] val CheckpointIntervalDefault = 20
+  /** Table property: comma-separated LOGICAL column names every staged
+    * file's rows are locally sorted by (Iceberg's `WRITE ORDERED BY`
+    * shape, ascending nulls-first). Batch staging ([[GraftTable]]'s
+    * `stageData` — appends, compaction output, COW/MOR rewrites through
+    * it) sorts within each rolled file and stamps the file with a
+    * [[SortedKey]] marker; the DSv2 fanout writers (streaming epochs,
+    * row-level staging) write row-at-a-time and leave files unstamped.
+    * The scan reports the marked order under storage-partitioned key
+    * grouping ([[org.apache.spark.sql.connector.read.SupportsReportOrdering]]),
+    * which is what turns a co-bucketed sort-merge join zero-SORT on top
+    * of zero-exchange. Tighter parquet pages on the sorted columns are
+    * the side benefit at any scale. */
+  private[graft] val WriteOrderProp = "write.orderBy"
+  /** Reserved stats key marking a file as locally sorted: min == max ==
+    * the comma-joined PHYSICAL column list the writer sorted by. Same
+    * `$`-reserved namespace trick as [[PartitionSpec.Prefix]] —
+    * `freshPhysical` never emits `$`, so no data column collides. */
+  private[graft] val SortedKey = "__s$order"
   /** Table property (`'true'`) opting in to metadata-only TYPE
     * WIDENING ([[GraftTable.widenColumn]] — Delta 3.2's typeWidening
     * shape). Off by default: a widened schema requires every reader to
@@ -1413,13 +1431,12 @@ final class GraftTable(val tablePath: String) {
     // their pruning wants tight RANGES per file (cluster() provides
     // that), not exactness, and skipping the split avoids per-value
     // file fanout on higher-cardinality transforms.
+    val headSnap: Option[Snapshot] =
+      if (latestVersion() == 0L) None else Some(snapshot())
     val splitTuple: Seq[Column] = {
-      val transforms =
-        if (latestVersion() == 0L) Seq.empty[PartitionSpec.Transform]
-        else {
-          val head = snapshot()
-          PartitionSpec.resolved(head.props, head.schema, df.schema)
-        }
+      val transforms = headSnap.map(h =>
+        PartitionSpec.resolved(h.props, h.schema, df.schema))
+        .getOrElse(Seq.empty[PartitionSpec.Transform])
       if (!transforms.exists(_.kind == "bucket")) Seq.empty
       else transforms.flatMap { t =>
         df.schema.fields.find(_.name == t.source).map(f =>
@@ -1427,20 +1444,37 @@ final class GraftTable(val tablePath: String) {
             lit("\u0001null")))
       }
     }
+    // write.orderBy: the longest physical sort prefix this staged
+    // schema can honor — stop at the first ABSENT column (a sort by
+    // (c1, c3) is not a (c1, c2, c3) prefix). Each FILE gets locally
+    // sorted: with a tuple split the sort leads with the split column,
+    // so the dynamic-partition writer sees its required clustering
+    // already satisfied and streams rows IN ORDER into each rolled
+    // file; without one the plain write preserves the task-local sort.
+    val orderPhys: Seq[String] = headSnap.toSeq.flatMap { h =>
+      h.props.get(WriteOrderProp).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        .map(c => physicalOf(h.schema, c))
+    }.takeWhile(p => df.schema.fieldNames.contains(p))
+    def sortedStage(d: DataFrame, lead: Seq[String]): DataFrame =
+      if (orderPhys.isEmpty) d
+      else d.sortWithinPartitions((lead ++ orderPhys).map(col): _*)
     // \u0001 separator/null-sentinel: escaped to %01 by the dynamic-
     // partition path layer (filesystem-safe), and practically absent
     // from data -- a pathological collision merely merges two tuples
     // into one file, which degrades that file's SPJ/pruning
     // eligibility (stats stop being single-valued), never correctness
-    if (splitTuple.isEmpty) df.write.parquet(stage.toString)
-    else df.withColumn(StageSplitCol, concat_ws("\u0001", splitTuple: _*))
+    if (splitTuple.isEmpty) sortedStage(df, Nil).write.parquet(stage.toString)
+    else sortedStage(
+      df.withColumn(StageSplitCol, concat_ws("\u0001", splitTuple: _*)),
+      Seq(StageSplitCol))
       .write.partitionBy(StageSplitCol).parquet(stage.toString)
     val it = Files.walk(stage)
     val parts =
       try it.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toList
       finally it.close()
-    val adds = adoptStaged(spark, df.schema, parts)
+    val adds = adoptStaged(spark, df.schema, parts, sortedBy = orderPhys)
     graft.core.Fs.rmTree(stage.toFile)
     adds
   }
@@ -1453,7 +1487,8 @@ final class GraftTable(val tablePath: String) {
     * one collected row per FILE. */
   private[graft] def adoptStaged(
       spark: SparkSession, schema: StructType,
-      staged: Seq[java.nio.file.Path]): Seq[AddFile] = {
+      staged: Seq[java.nio.file.Path],
+      sortedBy: Seq[String] = Nil): Seq[AddFile] = {
     if (staged.isEmpty) return Nil
     ensureDirs()
     val batch = UUID.randomUUID().toString.take(8)
@@ -1588,7 +1623,15 @@ final class GraftTable(val tablePath: String) {
           PartitionSpec.statsKind(t, pDt(t)), statsLiteral(mn), statsLiteral(mx),
           Some(fileRows - row.getLong(row.fieldIndex(s"_pcnt_${t.render}")))))
       }.toMap
-      AddFile(name, fileRows, Files.size(root.resolve(name)), withHll ++ pStats)
+      // locally-sorted marker: min == max == the physical sort list;
+      // read-side ordering reports require EVERY scanned file to carry
+      // an identical one (fanout-written files never do — honest)
+      val sStat =
+        if (sortedBy.isEmpty) Map.empty[String, ColStats]
+        else Map(SortedKey -> ColStats(
+          "str", sortedBy.mkString(","), sortedBy.mkString(","), Some(0L)))
+      AddFile(name, fileRows, Files.size(root.resolve(name)),
+        withHll ++ pStats ++ sStat)
     }
   }
 

@@ -64,4 +64,18 @@ object AdaptivePlans {
 
   def broadcastCount(df: DataFrame): Int =
     collectDeep(finalPlan(df)) { case b: BroadcastExchangeLike => b }.size
+
+  /** LOCAL (per-partition) sorts whose order mentions `keySubstring` —
+    * the "did the sort-merge join have to sort a scan side?" probe. A
+    * presentation ORDER BY is a GLOBAL sort and deliberately excluded:
+    * what a write-ordered scan eliminates is the join/window's local
+    * sort, not the query's final ordering. */
+  def localSortsOn(df: DataFrame, keySubstring: String)
+      : Seq[org.apache.spark.sql.execution.SortExec] =
+    collectDeep(finalPlan(df)) {
+      case s: org.apache.spark.sql.execution.SortExec
+          if !s.global &&
+            s.sortOrder.exists(_.references.exists(_.name.contains(keySubstring)))
+        => s
+    }
 }

@@ -1947,7 +1947,10 @@ object PipelineOps {
   // — and spec EVOLUTION is one metadata commit, old files pruning
   // under the transforms they were written with.
   // --------------------------------------------------------------------
-  def q136HiddenPartitioning(s: SparkSession, dir: String): DataFrame = {
+  def q136HiddenPartitioning(s0: SparkSession, dir: String): DataFrame = {
+    // isolated session — the AQE-coalesce/shuffle-width pin around the
+    // appends must not leak into concurrently-verifying queries
+    val s = s0.newSession()
     val root = scratch("pspec", dir)
     graft.core.Fs.rmTree(new java.io.File(root))
     val base = lake(s, dir).events
@@ -2179,7 +2182,15 @@ object PipelineOps {
   // two co-bucketed fact tables join at scan parallelism with neither
   // side ever crossing the network.
   // --------------------------------------------------------------------
-  def q146SpjJoin(s: SparkSession, dir: String): DataFrame = {
+  def q146SpjJoin(s0: SparkSession, dir: String): DataFrame = {
+    // ISOLATED session: this query (like every SPJ query) flips
+    // session-global confs (`v2.bucketing.enabled` off for its negative
+    // control) — under Verify's 4-way query concurrency that window
+    // would race a sibling SPJ query's planning on a SHARED session
+    // (observed: q148's join planned shuffled while q151's control had
+    // bucketing off). SQLConf is per-session, so a throwaway
+    // newSession() confines every toggle to this query.
+    val s = s0.newSession()
     val wh = s"${scratch("spj", dir)}/warehouse"
     graft.core.Fs.rmTree(new java.io.File(wh))
     val cat = s"gq146_${math.abs(wh.hashCode).toString.take(8)}"
@@ -2260,7 +2271,10 @@ object PipelineOps {
   // date keeps the tuple count sane at test scale; at 100 TB the same
   // spec runs on raw days.)
   // --------------------------------------------------------------------
-  def q148SpjComposite(s: SparkSession, dir: String): DataFrame = {
+  def q148SpjComposite(s0: SparkSession, dir: String): DataFrame = {
+    // isolated session — conf toggles must not race sibling queries
+    // under Verify's concurrency (see q146SpjJoin)
+    val s = s0.newSession()
     val wh = s"${scratch("spjc", dir)}/warehouse"
     graft.core.Fs.rmTree(new java.io.File(wh))
     val cat = s"gq148_${math.abs(wh.hashCode).toString.take(8)}"
@@ -2336,7 +2350,10 @@ object PipelineOps {
   // presentation ORDER BY range-partitions). 100 TB story: the
   // keyed rollup every fact table runs daily, minus its only shuffle.
   // --------------------------------------------------------------------
-  def q149SpjAgg(s: SparkSession, dir: String): DataFrame = {
+  def q149SpjAgg(s0: SparkSession, dir: String): DataFrame = {
+    // isolated session — conf toggles must not race sibling queries
+    // under Verify's concurrency (see q146SpjJoin)
+    val s = s0.newSession()
     val wh = s"${scratch("spja", dir)}/warehouse"
     graft.core.Fs.rmTree(new java.io.File(wh))
     val cat = s"gq149_${math.abs(wh.hashCode).toString.take(8)}"
@@ -2407,7 +2424,10 @@ object PipelineOps {
   // window over the primary key — on a bucket-keyed table it crosses
   // the network zero times at any scale.
   // --------------------------------------------------------------------
-  def q150SpjWindow(s: SparkSession, dir: String): DataFrame = {
+  def q150SpjWindow(s0: SparkSession, dir: String): DataFrame = {
+    // isolated session — conf toggles must not race sibling queries
+    // under Verify's concurrency (see q146SpjJoin)
+    val s = s0.newSession()
     val wh = s"${scratch("spjw", dir)}/warehouse"
     graft.core.Fs.rmTree(new java.io.File(wh))
     val cat = s"gq150_${math.abs(wh.hashCode).toString.take(8)}"
@@ -2468,6 +2488,189 @@ object PipelineOps {
                ORDER BY o_totalprice DESC, o_orderdate, o_orderkey) rn
              FROM orders)
        WHERE rn = 1 ORDER BY o_custkey"""
+
+  // --------------------------------------------------------------------
+  // q151 — STORAGE-PARTITIONED MERGE: a MERGE INTO between two tables
+  // co-bucketed on the merge key plans its copy-on-write rewrite
+  // (FullOuter join) AND its matching-groups subquery (LeftSemi) with
+  // ZERO exchanges — the row-level operation scan reports the same
+  // KeyGroupedPartitioning as a plain scan (provenance `_commit_version`
+  // rides the keyed row partitions per file), while runtime group
+  // filtering still prunes non-matching files (post-filter keys are a
+  // subset of the reported ones). 100 TB story: THE upsert — neither
+  // the rewritten groups nor the CDC batch cross the network, and only
+  // files that provably hold matching rows are rewritten.
+  // --------------------------------------------------------------------
+  def q151SpjMerge(s0: SparkSession, dir: String): DataFrame = {
+    // isolated session — conf toggles must not race sibling queries
+    // under Verify's concurrency (see q146SpjJoin)
+    val s = s0.newSession()
+    val wh = s"${scratch("spjm", dir)}/warehouse"
+    graft.core.Fs.rmTree(new java.io.File(wh))
+    val cat = s"gq151_${math.abs(wh.hashCode).toString.take(8)}"
+    graft.api.Graft.registerCatalog(s, cat, wh)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      val tgt = new graft.medallion.GraftTable(s"$wh/d/t")
+      val src = new graft.medallion.GraftTable(s"$wh/d/s")
+      val base = lake(s, dir).orders
+        .select(col("o_orderkey"), col("o_totalprice"))
+      tgt.append(base.limit(0))
+      src.append(base.limit(0))
+      tgt.setProperty(graft.medallion.PartitionSpec.Prop, "bucket(8,o_orderkey)")
+      src.setProperty(graft.medallion.PartitionSpec.Prop, "bucket(8,o_orderkey)")
+      tgt.append(base)
+      // the CDC batch: re-pricings for every 7th key, fresh rows beyond
+      // the key space — updates AND inserts in one merge
+      src.append(
+        base.where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+          .unionAll(base.where(col("o_orderkey") % 7 === 3)
+            .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+              lit(1.5).as("o_totalprice"))))
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val merge =
+        s"""MERGE INTO $cat.d.t AS tgt USING $cat.d.s AS src
+            ON tgt.o_orderkey = src.o_orderkey
+            WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice
+            WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice)
+              VALUES (src.o_orderkey, src.o_totalprice)"""
+      // EXPLAIN FORMATTED splits node and arguments across lines, so
+      // match the argument text itself: a hash partitioning whose key
+      // list names the merge key. (One match per exchange — the
+      // details section prints each node's arguments once.)
+      def keyExchanges(plan: String): Int =
+        "hashpartitioning\\([^)]*orderkey".r.findAllIn(plan).length
+      require(keyExchanges(
+          s.sql(s"EXPLAIN FORMATTED $merge").head().getString(0)) == 0,
+        "the co-bucketed MERGE must plan both its rewrite join and its " +
+          "matching-groups subquery without a merge-key exchange")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      try require(keyExchanges(
+          s.sql(s"EXPLAIN FORMATTED $merge").head().getString(0)) >= 1,
+        "negative control: with v2 bucketing off the MERGE rewrite " +
+          "join must hash-exchange on the key — 0 means the checker is blind")
+      finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql(merge)
+      s.sql(s"""SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+                FROM $cat.d.t ORDER BY o_orderkey""")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  private val q151Oracle =
+    """SELECT o_orderkey,
+              CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS DOUBLE) AS price
+       FROM orders
+       UNION ALL
+       SELECT o_orderkey + 100000000, CAST(1.5 AS DOUBLE) AS price
+       FROM orders WHERE o_orderkey % 7 = 3
+       ORDER BY o_orderkey"""
+
+  // --------------------------------------------------------------------
+  // q152 — WRITE-ORDERED storage-partitioned join: both tables carry
+  // `write.orderBy` on the bucket key, so every staged file is locally
+  // sorted and the scan reports that order (SupportsReportOrdering) on
+  // top of its KeyGroupedPartitioning. The customer×orders sort-merge
+  // join then plans with ZERO exchanges AND ZERO local sorts on the
+  // key, and the per-customer GROUP BY aggregates exchange-free off
+  // the same report — the only exchange left in the whole pipeline is
+  // the presentation ORDER BY. 100 TB story: the sorted-bucket layout
+  // means THE fact-table join moves data through neither the network
+  // nor a sorter — scan-speed joins at any scale.
+  // --------------------------------------------------------------------
+  def q152SpjSorted(s0: SparkSession, dir: String): DataFrame = {
+    // isolated session — conf toggles must not race sibling queries
+    // under Verify's concurrency (see q146SpjJoin)
+    val s = s0.newSession()
+    val wh = s"${scratch("spjs", dir)}/warehouse"
+    graft.core.Fs.rmTree(new java.io.File(wh))
+    val cat = s"gq152_${math.abs(wh.hashCode).toString.take(8)}"
+    graft.api.Graft.registerCatalog(s, cat, wh)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      val ct = new graft.medallion.GraftTable(s"$wh/d/cust")
+      val ot = new graft.medallion.GraftTable(s"$wh/d/ord")
+      val cust = lake(s, dir).customer.select(col("c_custkey"), col("c_acctbal"))
+      val ords = lake(s, dir).orders.select(col("o_custkey"), col("o_totalprice"))
+      ct.append(cust.limit(0))
+      ot.append(ords.limit(0))
+      ct.setProperty(graft.medallion.PartitionSpec.Prop, "bucket(8,c_custkey)")
+      ct.setProperty("write.orderBy", "c_custkey")
+      ot.setProperty(graft.medallion.PartitionSpec.Prop, "bucket(8,o_custkey)")
+      ot.setProperty("write.orderBy", "o_custkey")
+      ct.append(cust)
+      ot.append(ords)
+      // one file per bucket: multi-file tuples make Spark (correctly)
+      // drop the ordering report — compaction IS the sorted layout
+      ct.compact(s, targetFileMB = 128)
+      ot.compact(s, targetFileMB = 128)
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      def build = s.sql(
+        s"""SELECT c.c_custkey,
+                   CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS revenue
+            FROM $cat.d.cust c JOIN $cat.d.ord o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey, c.c_acctbal ORDER BY c.c_custkey""")
+      val q = build
+      val keyShuffles = graft.plans.AdaptivePlans.shufflesOn(q, "custkey")
+        .count(_.outputPartitioning.toString.contains("hashpartitioning"))
+      require(keyShuffles == 0,
+        "the write-ordered co-bucketed join+agg must plan zero hash " +
+          s"exchanges on the key:\n${graft.plans.AdaptivePlans.finalPlan(q)}")
+      require(graft.plans.AdaptivePlans.localSortsOn(q, "custkey").isEmpty,
+        "the write-ordered join must plan zero LOCAL sorts on the key " +
+          s"(scan-reported ordering):\n${graft.plans.AdaptivePlans.finalPlan(q)}")
+      // negative control, both checkers: bucketing off → the same query
+      // must hash-exchange AND locally sort the key
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      try {
+        val c = build
+        require(graft.plans.AdaptivePlans.shufflesOn(c, "custkey").nonEmpty,
+          "negative control: with v2 bucketing off the join must " +
+            "exchange on the key — 0 means the shuffle checker is blind")
+        require(graft.plans.AdaptivePlans.localSortsOn(c, "custkey").nonEmpty,
+          "negative control: with v2 bucketing off the SMJ must sort " +
+            "its inputs — 0 means the sort checker is blind")
+      } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // return the CHECKED instance: its executedPlan materialized (and
+      // cached) inside the conf window, so later explains/collects show
+      // the zero-exchange zero-sort plan the requires proved — a fresh
+      // build would silently re-plan under restored session confs
+      q
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  private val q152Oracle =
+    """SELECT c_custkey,
+              CAST(c_acctbal AS DOUBLE) AS acctbal,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey, c_acctbal ORDER BY c_custkey"""
 
   private val q148Oracle =
     """SELECT o_orderpriority,
@@ -2604,6 +2807,8 @@ object PipelineOps {
     "q148_spj_composite" -> (q148SpjComposite _),
     "q149_spj_agg" -> (q149SpjAgg _),
     "q150_spj_window" -> (q150SpjWindow _),
+    "q151_spj_merge" -> (q151SpjMerge _),
+    "q152_spj_sorted" -> (q152SpjSorted _),
     "q142_sql_mor_update" -> (q142SqlMorUpdate _),
     "q141_metadata_sum" -> (q141MetadataSum _),
     "q139_generated_columns" -> (q139GeneratedColumns _),
@@ -2650,6 +2855,8 @@ object PipelineOps {
     "q148_spj_composite" -> q148Oracle,
     "q149_spj_agg" -> q149Oracle,
     "q150_spj_window" -> q150Oracle,
+    "q151_spj_merge" -> q151Oracle,
+    "q152_spj_sorted" -> q152Oracle,
     "q142_sql_mor_update" -> q142Oracle,
     "q141_metadata_sum" -> q141Oracle,
     "q139_generated_columns" -> q139Oracle,

@@ -5,7 +5,7 @@ import java.util.UUID
 
 import graft.medallion.{GraftTable, TxLog}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
@@ -115,7 +115,8 @@ private final class GraftRowLevelScanBuilder(
 private final class GraftRowLevelScan(
     op: Option[GraftRowLevelOperation], tablePath: String, schema: StructType,
     required: StructType, filters: Array[Filter], snapVersion: Long)
-    extends Scan with SupportsRuntimeV2Filtering {
+    extends Scan with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning {
 
   private val table = new GraftTable(tablePath)
 
@@ -158,13 +159,47 @@ private final class GraftRowLevelScan(
     s"graft-table $tablePath v$snapVersion [row-level candidates: " +
       s"${filters.mkString(", ")}]"
 
+  private lazy val snap = table.prunedSnapshot(
+    filters.flatMap(GraftTableV2.bounds).toSeq, version = snapVersion)
+  private lazy val candidates = snap.files
+    .map(a => a -> snap.addedIn.getOrElse(a.path, snap.version))
+    .filter { case (a, v) =>
+      filters.forall(f => GraftTableV2.fileSurvives(table, schema, a, v, f)) }
+
+  // ------------------------------- storage-partitioned rewrite joins
+  // Under an SPJ-expressible spec with tuple-pure candidate files, the
+  // operation scan reports the same KeyGroupedPartitioning the plain
+  // scan would — so a MERGE between co-bucketed tables plans its
+  // FullOuter rewrite join with ZERO exchanges of either side (the
+  // 100-TB MERGE: neither the rewritten groups nor the source cross
+  // the network). Reported from the compile-time candidate set;
+  // planInputPartitions regroups AFTER runtime group filtering, so the
+  // matching-groups pruning keeps its IO savings — the post-filter
+  // keys are a subset of the reported ones, which Spark reconciles via
+  // pushed partition values (SPARK-45652 semantics). The delta (MOR)
+  // scan stays unreported: its `_file`/`_pos` row ids need whole-file
+  // positional partitions.
+  private lazy val keyedReport = {
+    val spark = SparkSession.active
+    if (!spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+          .equalsIgnoreCase("true") ||
+        required.fieldNames.contains(GraftTableV2.FileCol) ||
+        required.fieldNames.contains(GraftTableV2.PosCol)) None
+    else GraftTableV2.keyedGroupsFor(snap, candidates)
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedReport match {
+      case Some((exprs, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(exprs.toArray, groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
   override def toBatch: Batch = {
-    val snap = table.prunedSnapshot(
-      filters.flatMap(GraftTableV2.bounds).toSeq, version = snapVersion)
-    val candidates = snap.files
-      .map(a => a -> snap.addedIn.getOrElse(a.path, snap.version))
-      .filter { case (a, v) =>
-        filters.forall(f => GraftTableV2.fileSurvives(table, schema, a, v, f)) }
     // evaluated at planInputPartitions time, AFTER runtime filters
     // land; the planned set is exactly what the write later replaces
     def currentFiles(): Seq[(TxLog.AddFile, Long)] = {
@@ -179,7 +214,10 @@ private final class GraftRowLevelScan(
     // metadata column from the provenance map when Spark asks for it.
     new GraftBatch(
       SparkSession.active, table, schema, required,
-      dataFilters = Seq.empty, () => currentFiles())
+      dataFilters = Seq.empty, () => currentFiles(),
+      keyed = () =>
+        if (keyedReport.isEmpty) None
+        else GraftTableV2.keyedGroupsFor(snap, currentFiles()).map(_._2))
   }
 }
 

@@ -11,7 +11,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.connector.write.{streaming => streaming_write}
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, NullOrdering, SortDirection, Transform, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
@@ -512,7 +512,8 @@ final class GraftScan(
     syntheticVersion: Boolean = true,
     changeFeed: Boolean = false)
     extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   import GraftTableV2.VersionCol
 
@@ -670,53 +671,17 @@ final class GraftScan(
     if (changeFeed || limit.isDefined ||
         !spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
           .equalsIgnoreCase("true") ||
-        (syntheticVersion && required.fieldNames.contains(VersionCol)) ||
         required.fieldNames.contains(GraftTableV2.FileCol) ||
         required.fieldNames.contains(GraftTableV2.PosCol)) None
-    else {
+    else
       // the pruned snapshot is already resolved for file listing —
-      // reporting partitioning costs no extra log IO
-      val snap = prunedSnap
-      val phys = TxLog.physicalSchema(snap.schema)
-      val transforms =
-        graft.medallion.PartitionSpec.resolved(snap.props, snap.schema, phys)
-      val logicalOf: Map[String, String] =
-        snap.schema.fields.map(f => TxLog.physicalName(f) -> f.name).toMap
-      val supported = transforms.nonEmpty &&
-        transforms.forall(t => Set("bucket", "days", "hours")(t.kind) &&
-          logicalOf.contains(t.source))
-      if (!supported) None
-      else {
-        // a file's key tuple: its per-transform stats, iff every one
-        // is single-valued (min == max, no straddle) and integral
-        def keyOf(a: TxLog.AddFile): Option[Seq[Int]] = {
-          val sig = graft.medallion.PartitionSpec.tupleSignature(a)
-          val vals = transforms.map(t =>
-            sig.getOrElse(t.statKey, None).flatMap(_.toIntOption))
-          if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
-        }
-        val files = pruned
-        // DV'd files stay ELIGIBLE: the batch plans their tuples as
-        // composite row partitions that skip bitmap positions per
-        // file — merge-on-read tables keep their zero-exchange joins
-        val eligible = files.nonEmpty &&
-          files.forall { case (a, _) => keyOf(a).isDefined }
-        if (!eligible) None
-        else {
-          val exprs = transforms.map { t =>
-            val c = logicalOf(t.source)
-            t.kind match {
-              case "bucket" => Expressions.bucket(t.arg, c)
-              case "days" => Expressions.days(c)
-              case _ => Expressions.hours(c)
-            }
-          }
-          import scala.math.Ordering.Implicits.seqOrdering
-          Some((exprs,
-            files.groupBy { case (a, _) => keyOf(a).get }.toSeq.sortBy(_._1)))
-        }
-      }
-    }
+      // reporting partitioning costs no extra log IO. A required
+      // `_commit_version` does NOT disqualify: the keyed batch serves
+      // it per file from the row path (the tag is per-file-constant,
+      // so it never perturbs the tuple grouping) — what lets the COW
+      // MERGE rewrite join, whose scan always needs provenance, stay
+      // storage-partitioned.
+      GraftTableV2.keyedGroupsFor(prunedSnap, pruned)
   }
 
   override def outputPartitioning(): Partitioning = keyedGroups match {
@@ -725,6 +690,53 @@ final class GraftScan(
     case None => new UnknownPartitioning(0)
   }
 
+  // ------------------------------------------- write-ordered scans
+  // Files staged under a `write.orderBy` table property carry a
+  // __s$order marker (min == max == the physical sort list). When the
+  // scan is KEY-GROUPED (each input partition is exactly one file —
+  // the SPJ report above) and EVERY pruned file carries the identical
+  // marker, the scan also reports that order
+  // (SupportsReportOrdering): a sort-merge join between two such
+  // co-bucketed tables then plans with zero exchanges AND ZERO SORTS —
+  // the full sorted-bucket join, data crossing neither the network nor
+  // a sorter at any scale. Soundness:
+  //  - gated on the keyed report: the non-keyed path delegates to
+  //    Spark's parquet batch, which BINS multiple files per partition
+  //    (concatenation breaks local order); the keyed path plans one
+  //    file per partition, and when Spark groups same-key files into
+  //    one partition its own guard (DataSourceV2ScanExecBase
+  //    .outputOrdering requires 1 input partition per grouped key)
+  //    drops the report — multi-file tuples degrade, never lie.
+  //  - DV'd files skip bitmap positions IN PLACE; the `_commit_version`
+  //    splice is per-file-constant — both preserve row order.
+  //  - fanout-written files (streaming epochs, row-level staging) are
+  //    row-at-a-time and never stamped, so their presence disables the
+  //    report rather than mis-asserting it.
+  // Ordering is ascending nulls-first (what sortWithinPartitions
+  // wrote), exactly a join/window's required child ordering; only the
+  // prefix whose logical columns survive column pruning is reported
+  // (the rule resolves these against the scan output).
+  private lazy val sortedPrefix: Seq[String] = keyedGroups match {
+    case None => Nil
+    case Some(_) =>
+      val markers = pruned.map(_._1.stats.get(TxLog.SortedKey))
+      val specs = markers.flatten.collect {
+        case cs if cs.min == cs.max => cs.min }.distinct
+      if (markers.exists(_.isEmpty) || specs.size != 1) Nil
+      else {
+        val logicalOf = prunedSnap.schema.fields
+          .map(f => TxLog.physicalName(f) -> f.name).toMap
+        specs.head.split(",").toSeq
+          .map(p => logicalOf.get(p).filter(required.fieldNames.contains))
+          .takeWhile(_.isDefined).flatten
+      }
+  }
+
+  override def outputOrdering(): Array[V2SortOrder] =
+    sortedPrefix.map(c => Expressions.sort(
+      Expressions.column(c),
+      SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
+
   override def toBatch: Batch = {
     require(!changeFeed,
       "graft-table: batch change-feed reads go through the " +
@@ -732,7 +744,9 @@ final class GraftScan(
         "the readChangeFeed option is the STREAMING surface")
     new GraftBatch(spark, table, dataSchema, required, dataFilters,
       () => currentFiles(), syntheticVersion,
-      keyed = keyedGroups.map(_._2))
+      // frozen at compile-time pruning: runtime filters must not
+      // shrink the reported partition count on the plain scan
+      keyed = () => keyedGroups.map(_._2))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -754,7 +768,8 @@ final class GraftBatch(
     required: StructType, dataFilters: Seq[Filter],
     files: () => Seq[(TxLog.AddFile, Long)],
     syntheticVersion: Boolean = true,
-    keyed: Option[Seq[(Seq[Int], Seq[(TxLog.AddFile, Long)])]] = None)
+    keyed: () => Option[Seq[(Seq[Int], Seq[(TxLog.AddFile, Long)])]] =
+      () => None)
     extends Batch {
 
   import GraftTableV2.VersionCol
@@ -805,14 +820,19 @@ final class GraftBatch(
     // grouped count equals the tuple count, same plan as a pre-packed
     // report. The group set was frozen at compile-time pruning (see
     // GraftScan); columnar reads delegate untouched.
-    keyed.foreach { groups =>
-      // any deletion vector forces the WHOLE scan onto row partitions
-      // (mixed columnar/row kinds are refused by Spark); DV-free scans
-      // keep full vectorization through the delegation
+    keyed().foreach { groups =>
+      // any deletion vector — or a required `_commit_version` tag —
+      // forces the WHOLE scan onto row partitions (mixed columnar/row
+      // kinds are refused by Spark; the version must be spliced into
+      // each row); DV-free untagged scans keep full vectorization
+      // through the delegation. The version is per-file-constant, so
+      // tagging never perturbs the tuple grouping — this is what keeps
+      // the COW MERGE rewrite scan (which always needs provenance)
+      // storage-partitioned.
       val anyDv = groups.exists(_._2.exists(_._1.dv.isDefined))
       return groups.flatMap { case (k, fs) =>
-        fs.map { case (a, _) =>
-          if (!anyDv)
+        fs.map { case (a, v) =>
+          if (!anyDv && !needVersion)
             GraftKeyedPartition(
               org.apache.spark.sql.graft.ParquetScans.filesPartition(
                 spark, Seq(table.absoluteDataPath(a))),
@@ -820,7 +840,8 @@ final class GraftBatch(
           else
             GraftKeyedRowPartition(
               Seq((org.apache.spark.sql.graft.ParquetScans
-                .wholeFilePartition(spark, table.absoluteDataPath(a)), a.dv)),
+                .wholeFilePartition(spark, table.absoluteDataPath(a)), a.dv,
+                if (needVersion) Some(v) else None)),
               1, k): InputPartition
         }
       }.toArray
@@ -923,10 +944,14 @@ final case class GraftKeyedPartition(
 /** A tuple's file(s) as ONE row-based keyed partition whose reader
   * walks the files sequentially, skipping each file's deletion-vector
   * positions — what keeps storage-partitioned joins available on
-  * merge-on-read tables. The delegate must be filter-free (positions
-  * are only exact with no row group skipped underneath). */
+  * merge-on-read tables. Each file may carry its commit version: when
+  * present, rows are re-emitted in `required` order with the version
+  * in the `_commit_version` slot (the COW rewrite scan's provenance).
+  * The delegate must be filter-free (positions are only exact with no
+  * row group skipped underneath). */
 final case class GraftKeyedRowPartition(
-    files: Seq[(InputPartition, Option[String])], delegate: Int, key: Seq[Int])
+    files: Seq[(InputPartition, Option[String], Option[Long])],
+    delegate: Int, key: Seq[Int])
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(key.map(Int.box).toArray[Any])
@@ -1062,15 +1087,24 @@ final case class GraftVersionedReaderFactory(
       case kp: GraftKeyedPartition =>
         delegates(kp.delegate).createReader(kp.inner)
       case kr: GraftKeyedRowPartition =>
+        // version slot mapping engages only when some file carries a
+        // commit version (the provenance-tagged keyed scan); untagged
+        // keyed row partitions pass inner rows through untouched
+        val mapping = versionMapping
+        val needMap = kr.files.exists(_._3.isDefined) &&
+          mapping.contains(-1)
+        val types: Array[DataType] = innerRequired.fields.map(_.dataType)
         new PartitionReader[InternalRow] {
           private val it = kr.files.iterator
           private var cur: PartitionReader[InternalRow] = _
           private var bm: org.roaringbitmap.RoaringBitmap = _
+          private var ver = 0L
           private var pos = -1L
           private def open(): Boolean = it.hasNext && {
-            val (p, dv) = it.next()
+            val (p, dv, v) = it.next()
             cur = delegates(kr.delegate).createReader(p)
             bm = dv.map(graft.medallion.TxLog.dvDeserialize).orNull
+            ver = v.getOrElse(0L)
             pos = -1L
             true
           }
@@ -1092,7 +1126,22 @@ final case class GraftVersionedReaderFactory(
             }
             out
           }
-          override def get(): InternalRow = cur.get()
+          override def get(): InternalRow = {
+            val in = cur.get()
+            if (!needMap) in
+            else {
+              val out = new Array[Any](mapping.length)
+              var i = 0
+              while (i < mapping.length) {
+                val m = mapping(i)
+                out(i) = if (m < 0) ver
+                  else if (in.isNullAt(m)) null
+                  else in.get(m, types(m))
+                i += 1
+              }
+              new GenericInternalRow(out)
+            }
+          }
           override def close(): Unit = if (cur != null) cur.close()
         }
       case other => delegates(0).createReader(other)
@@ -1682,6 +1731,63 @@ object GraftTableV2 {
         graft.medallion.PartitionSpec.resolved(
           snap.props, snap.schema, physWriteSchema),
         physWriteSchema)
+    }
+  }
+
+  /** Storage-partitioned-join eligibility + grouping for a file set:
+    * when the snapshot's partition spec is entirely SPJ-expressible
+    * (`bucket`, tz-free `days`/`hours`) and EVERY file is
+    * single-valued on the full transform tuple (what the
+    * bucket-splitting staged writer produces), returns the catalog's
+    * V2 transform expressions plus the files grouped by tuple value —
+    * the `KeyGroupedPartitioning` report. Shared by the plain scan
+    * (compile-time frozen set) and the row-level operation scan
+    * (re-grouped after runtime group filtering, so a MERGE keeps BOTH
+    * its matching-groups pruning and its zero-exchange rewrite join:
+    * the post-filter keys are a subset of the reported ones, which
+    * Spark reconciles via pushed partition values). Any disqualifier
+    * returns None and the caller degrades to normal planning. */
+  private[streaming] def keyedGroupsFor(
+      snap: TxLog.Snapshot, files: Seq[(TxLog.AddFile, Long)])
+      : Option[(Seq[org.apache.spark.sql.connector.expressions.Transform],
+                Seq[(Seq[Int], Seq[(TxLog.AddFile, Long)])])] = {
+    val phys = TxLog.physicalSchema(snap.schema)
+    val transforms =
+      graft.medallion.PartitionSpec.resolved(snap.props, snap.schema, phys)
+    val logicalOf: Map[String, String] =
+      snap.schema.fields.map(f => TxLog.physicalName(f) -> f.name).toMap
+    val supported = transforms.nonEmpty &&
+      transforms.forall(t => Set("bucket", "days", "hours")(t.kind) &&
+        logicalOf.contains(t.source))
+    if (!supported) None
+    else {
+      // a file's key tuple: its per-transform stats, iff every one
+      // is single-valued (min == max, no straddle) and integral
+      def keyOf(a: TxLog.AddFile): Option[Seq[Int]] = {
+        val sig = graft.medallion.PartitionSpec.tupleSignature(a)
+        val vals = transforms.map(t =>
+          sig.getOrElse(t.statKey, None).flatMap(_.toIntOption))
+        if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+      }
+      // DV'd files stay ELIGIBLE: the batch plans their tuples as
+      // composite row partitions that skip bitmap positions per
+      // file — merge-on-read tables keep their zero-exchange joins
+      val eligible = files.nonEmpty &&
+        files.forall { case (a, _) => keyOf(a).isDefined }
+      if (!eligible) None
+      else {
+        val exprs = transforms.map { t =>
+          val c = logicalOf(t.source)
+          t.kind match {
+            case "bucket" => Expressions.bucket(t.arg, c)
+            case "days" => Expressions.days(c)
+            case _ => Expressions.hours(c)
+          }
+        }
+        import scala.math.Ordering.Implicits.seqOrdering
+        Some((exprs,
+          files.groupBy { case (a, _) => keyOf(a).get }.toSeq.sortBy(_._1)))
+      }
     }
   }
 

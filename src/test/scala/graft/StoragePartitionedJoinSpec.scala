@@ -454,6 +454,110 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("co-bucketed MERGE plans zero key exchanges yet keeps runtime group pruning") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjmg", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjmg.warehouse", wh)
+    try {
+      val t = new GraftTable(s"$wh/db/t")
+      val s = new GraftTable(s"$wh/db/s")
+      t.append(Seq((0L, 0.0)).toDF("id", "x"))
+      s.append(Seq((0L, 123.0)).toDF("id", "x"))
+      t.setProperty(PartitionSpec.Prop, "bucket(8,id)")
+      s.setProperty(PartitionSpec.Prop, "bucket(8,id)")
+      t.append((1L until 500L).map(i => (i, i * 1.0)).toDF("id", "x"))
+      s.append((498L until 700L).map(i => (i, i * -1.0)).toDF("id", "x"))
+      t.compact(spark, targetFileMB = 128)
+      s.compact(spark, targetFileMB = 128)
+      val filesBefore = t.snapshot().files.size
+      val merge =
+        """MERGE INTO spjmg.db.t AS tgt USING spjmg.db.s AS src
+           ON tgt.id = src.id
+           WHEN MATCHED THEN UPDATE SET x = src.x
+           WHEN NOT MATCHED THEN INSERT (id, x) VALUES (src.id, src.x)"""
+      // EXPLAIN FORMATTED splits node and arguments across lines —
+      // match the hash-partitioning argument text naming the key
+      def keyExchanges(plan: String): Int =
+        "hashpartitioning\\(id#".r.findAllIn(plan).length
+      withSpj {
+        // both the FullOuter rewrite join and the LeftSemi
+        // matching-groups subquery ride the keyed scans
+        assert(keyExchanges(spark.sql(s"EXPLAIN FORMATTED $merge")
+          .head().getString(0)) === 0)
+      }
+      withSpjOff {
+        val plan = spark.sql(s"EXPLAIN FORMATTED $merge").head().getString(0)
+        assert(keyExchanges(plan) >= 1,
+          "negative control: bucketing off must exchange the rewrite join\n" +
+            Seq("spark.sql.sources.v2.bucketing.enabled",
+              "spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.enabled")
+              .map(k => s"$k=${spark.conf.getOption(k)}").mkString(" ") +
+            "\n" + plan.take(3000))
+      }
+      withSpj {
+        spark.sql(merge)
+        // exact post-merge state: 0 matched (123.0), 1..497 carried,
+        // 498/499 matched (-i), 500..699 inserted (-i)
+        val rows = spark.sql("SELECT id, x FROM spjmg.db.t ORDER BY id").collect()
+        assert(rows.length === 700)
+        rows.foreach { r =>
+          val (i, x) = (r.getLong(0), r.getDouble(1))
+          val want = if (i == 0L) 123.0 else if (i < 498L) i * 1.0 else i * -1.0
+          assert(x === want, s"id $i")
+        }
+        // runtime group filtering survived the keyed report: only the
+        // files provably holding matched ids (498/499) were replaced,
+        // not every candidate file
+        val (_, op, _, nRemoved) = t.history().head
+        assert(op === "replace")
+        assert(nRemoved < filesBefore,
+          s"matching-groups pruning must keep non-matching files out " +
+            s"of the rewrite (replaced $nRemoved of $filesBefore)")
+        // the fanout rewrite kept every file tuple-pure: SPJ holds
+        assert(shuffles(spark.sql(
+          "SELECT id, sum(x) sx FROM spjmg.db.t GROUP BY id")) === 0)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjmg")
+      spark.conf.unset("spark.sql.catalog.spjmg.warehouse")
+    }
+  }
+
+  test("keyed scans serve _commit_version: per-file provenance identical with SPJ on and off") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjv.warehouse", wh)
+    try {
+      val t = new GraftTable(s"$wh/db/t")
+      t.append(Seq((0L, 0.0)).toDF("id", "x"))
+      t.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+      t.append((1L until 100L).map(i => (i, i * 1.0)).toDF("id", "x"))
+      t.compact(spark, targetFileMB = 128)
+      t.append((100L until 200L).map(i => (i, i * 1.0)).toDF("id", "x"))
+      def read() = spark.sql(
+        "SELECT id, x, _commit_version FROM spjv.db.t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      var spjOn: Seq[(Long, Double, Long)] = null
+      withSpj {
+        // the provenance-tagged scan stays keyed (version-carrying row
+        // partitions): a GROUP BY the bucket key over it is exchange-free
+        assert(shuffles(spark.sql(
+          """SELECT id, max(_commit_version) v FROM spjv.db.t GROUP BY id"""))
+          === 0)
+        spjOn = read()
+      }
+      var spjOff: Seq[(Long, Double, Long)] = null
+      withSpjOff { spjOff = read() }
+      assert(spjOn === spjOff)
+      assert(spjOn.map(_._3).distinct.size === 2,
+        "two append commits must surface as two distinct versions")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjv")
+      spark.conf.unset("spark.sql.catalog.spjv.warehouse")
+    }
+  }
+
   test("skewed tuple: per-file keyed partitions let partial clustering split the big bucket") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.spjk", classOf[GraftCatalog].getName)
@@ -539,6 +643,105 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.sql.catalog.spjy")
       spark.conf.unset("spark.sql.catalog.spjy.warehouse")
+    }
+  }
+
+  test("write-ordered co-bucketed tables: the join plans zero exchanges AND zero sorts") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjo", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjo.warehouse", wh)
+    try {
+      val a = new GraftTable(s"$wh/db/a")
+      val b = new GraftTable(s"$wh/db/b")
+      val u = new GraftTable(s"$wh/db/u") // co-bucketed but UNORDERED
+      for (t <- Seq(a, b, u)) {
+        t.append(Seq((0L, 0.0)).toDF("id", "v"))
+        t.setProperty(PartitionSpec.Prop, "bucket(8,id)")
+      }
+      a.setProperty(TxLog.WriteOrderProp, "id")
+      b.setProperty(TxLog.WriteOrderProp, "id")
+      // deliberately UNSORTED ingest order — the writer must sort
+      val rows = scala.util.Random.shuffle((1L until 600L).toList)
+      a.append(rows.map(i => (i, i * 1.0)).toDF("id", "v"))
+      b.append(rows.map(i => (i, i * 2.0)).toDF("id", "v"))
+      u.append(rows.map(i => (i, i * 3.0)).toDF("id", "v"))
+      for (t <- Seq(a, b, u)) t.compact(spark, targetFileMB = 128)
+
+      // every live file of the ordered tables carries the marker…
+      for (t <- Seq(a, b); f <- t.snapshot().files)
+        assert(f.stats.get(TxLog.SortedKey).exists(_.min == "id"),
+          s"file ${f.path} lacks the sorted marker: ${f.stats.keySet}")
+      // …and is PHYSICALLY monotone on id (one read per file)
+      for (f <- a.snapshot().files) {
+        val ids = spark.read.parquet(a.absoluteDataPath(f))
+          .select("id").as[Long].collect()
+        assert(ids.sameElements(ids.sorted),
+          s"file ${f.path} is not locally sorted on id")
+      }
+      // the unordered table must NOT be stamped
+      assert(u.snapshot().files.forall(_.stats.get(TxLog.SortedKey).isEmpty),
+        "a table without write.orderBy must not stamp sorted markers")
+
+      def join(l: String, r: String) = spark.sql(
+        s"SELECT x.id, x.v, y.v AS w FROM spjo.db.$l x JOIN spjo.db.$r y ON x.id = y.id")
+      withSpj {
+        val q = join("a", "b")
+        assert(shuffles(q) === 0, "ordered co-bucketed join must not exchange")
+        assert(AdaptivePlans.localSortsOn(q, "id").isEmpty,
+          s"ordered co-bucketed join must not SORT either side:\n${AdaptivePlans.finalPlan(q)}")
+        // NEGATIVE CONTROL for the sort checker: one unordered side →
+        // the SMJ must sort it, and localSortsOn must SEE that sort
+        val c = join("a", "u")
+        assert(shuffles(c) === 0, "control join stays exchange-free (both bucketed)")
+        assert(AdaptivePlans.localSortsOn(c, "id").nonEmpty,
+          "negative control: an unordered scan side must be sorted — " +
+            "0 here means the sort checker is blind")
+        // rows identical to a plain computed join
+        val got = join("a", "b").orderBy("id").collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        val want = (0L until 600L).map(i => (i, i * 1.0, i * 2.0)).toArray
+        assert(got.sameElements(want))
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjo")
+      spark.conf.unset("spark.sql.catalog.spjo.warehouse")
+    }
+  }
+
+  test("multi-file tuples drop the ordering report (Spark's 1-partition-per-key guard); rows stay correct") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjm2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjm2.warehouse", wh)
+    try {
+      val a = new GraftTable(s"$wh/db/a")
+      val b = new GraftTable(s"$wh/db/b")
+      for (t <- Seq(a, b)) {
+        // schema-only seed: a pre-spec DATA file would (correctly)
+        // disqualify the whole scan — that degradation has its own test
+        t.append(Seq((0L, 0.0)).toDF("id", "v").limit(0))
+        t.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+        t.setProperty(TxLog.WriteOrderProp, "id")
+      }
+      // TWO appends, NO compact: each bucket holds ≥ 2 sorted files —
+      // the concatenation of two sorted files is not sorted, and
+      // Spark's own outputOrdering guard must drop the report (each
+      // grouped key partition has > 1 input partition)
+      a.append((1L until 200L).map(i => (i, i * 1.0)).toDF("id", "v"))
+      a.append((200L until 400L).map(i => (i, i * 1.0)).toDF("id", "v"))
+      b.append((1L until 400L).map(i => (i, i * 2.0)).toDF("id", "v"))
+      b.compact(spark, targetFileMB = 128)
+      withSpj {
+        val q = spark.sql(
+          "SELECT x.id, y.v FROM spjm2.db.a x JOIN spjm2.db.b y ON x.id = y.id")
+        assert(shuffles(q) === 0, "still exchange-free: grouping is unaffected")
+        assert(AdaptivePlans.localSortsOn(q, "id").nonEmpty,
+          "a multi-file tuple must be re-sorted — dropping the report " +
+            "is Spark's guard, and the join must still sort that side")
+        assert(q.count() === 399L)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjm2")
+      spark.conf.unset("spark.sql.catalog.spjm2.warehouse")
     }
   }
 }
