@@ -297,6 +297,20 @@ object TxLog {
     * `$`-reserved namespace trick as [[PartitionSpec.Prefix]] —
     * `freshPhysical` never emits `$`, so no data column collides. */
   private[graft] val SortedKey = "__s$order"
+
+  /** [[WriteOrderProp]] resolved against a snapshot, as the PHYSICAL
+    * prefix a given write schema can honor — the shared truth between
+    * the writes that DECLARE the ordering (RequiresDistributionAndOrdering
+    * on the DSv2 row-level writes, `sortWithinPartitions` in the batch
+    * staging path) and the commits that STAMP adopted files with
+    * [[SortedKey]]. Stops at the first absent column: a sort by
+    * (c1, c3) is not a (c1, c2, c3) prefix. */
+  private[graft] def writeOrderPhys(
+      snap: Snapshot, writeSchema: StructType): Seq[String] =
+    snap.props.get(WriteOrderProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(c => physicalOf(snap.schema, c))
+      .takeWhile(p => writeSchema.fieldNames.contains(p))
   /** Table property (`'true'`) opting in to metadata-only TYPE
     * WIDENING ([[GraftTable.widenColumn]] — Delta 3.2's typeWidening
     * shape). Off by default: a widened schema requires every reader to
@@ -1451,11 +1465,8 @@ final class GraftTable(val tablePath: String) {
     // so the dynamic-partition writer sees its required clustering
     // already satisfied and streams rows IN ORDER into each rolled
     // file; without one the plain write preserves the task-local sort.
-    val orderPhys: Seq[String] = headSnap.toSeq.flatMap { h =>
-      h.props.get(WriteOrderProp).toSeq
-        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-        .map(c => physicalOf(h.schema, c))
-    }.takeWhile(p => df.schema.fieldNames.contains(p))
+    val orderPhys: Seq[String] =
+      headSnap.toSeq.flatMap(h => writeOrderPhys(h, df.schema))
     def sortedStage(d: DataFrame, lead: Seq[String]): DataFrame =
       if (orderPhys.isEmpty) d
       else d.sortWithinPartitions((lead ++ orderPhys).map(col): _*)
@@ -1647,8 +1658,13 @@ final class GraftTable(val tablePath: String) {
       staged: Seq[java.nio.file.Path]): Long = {
     val snap = snapshot(readVersion)
     // staged bytes carry PHYSICAL names (the row-level writer factory is
-    // built over physicalSchema); constraints validate logically
-    val adds = adoptStaged(spark, physicalSchema(snap.schema), staged)
+    // built over physicalSchema); constraints validate logically. The
+    // sorted stamp is sound because GraftReplaceWrite DECLARED this
+    // exact ordering (same writeOrderPhys resolution over the same
+    // snapshot) via RequiresDistributionAndOrdering, so every task —
+    // and hence every tuple-rolled file's subsequence — arrived sorted.
+    val adds = adoptStaged(spark, physicalSchema(snap.schema), staged,
+      sortedBy = writeOrderPhys(snap, physicalSchema(snap.schema)))
     // SQL UPDATE/MERGE can write constraint-violating values; check the
     // replacement rows (adopted parquet — one columnar scan) pre-commit
     enforceOnStaged(spark, snap.schema, adds,
@@ -3292,8 +3308,12 @@ final class GraftTable(val tablePath: String) {
       insertStaged: Seq[java.nio.file.Path]): Long = {
     val snap = snapshot(readVersion)
     if (newDeletes.isEmpty && insertStaged.isEmpty) return snap.version
+    // insert files carry the GraftDeltaWrite-declared ordering (same
+    // resolver/snapshot) — stamp them; DV'd originals keep their own
+    // stats, marker included (positions skip in place)
     commitDeltaRowLevelAdds(spark, snap, newDeletes,
-      adoptStaged(spark, physicalSchema(snap.schema), insertStaged),
+      adoptStaged(spark, physicalSchema(snap.schema), insertStaged,
+        sortedBy = writeOrderPhys(snap, physicalSchema(snap.schema))),
       op = "replace", mergeKey = None)
   }
 

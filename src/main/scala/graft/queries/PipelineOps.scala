@@ -2521,7 +2521,9 @@ object PipelineOps {
       tgt.append(base.limit(0))
       src.append(base.limit(0))
       tgt.setProperty(graft.medallion.PartitionSpec.Prop, "bucket(8,o_orderkey)")
+      tgt.setProperty("write.orderBy", "o_orderkey")
       src.setProperty(graft.medallion.PartitionSpec.Prop, "bucket(8,o_orderkey)")
+      src.setProperty("write.orderBy", "o_orderkey")
       tgt.append(base)
       // the CDC batch: re-pricings for every 7th key, fresh rows beyond
       // the key space — updates AND inserts in one merge
@@ -2531,6 +2533,10 @@ object PipelineOps {
           .unionAll(base.where(col("o_orderkey") % 7 === 3)
             .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
               lit(1.5).as("o_totalprice"))))
+      // ONE sorted file per bucket: the ordering report survives key
+      // grouping only when each tuple is a single input partition
+      tgt.compact(s, targetFileMB = 128)
+      src.compact(s, targetFileMB = 128)
       confs.foreach { case (k, v) => s.conf.set(k, v) }
       val merge =
         s"""MERGE INTO $cat.d.t AS tgt USING $cat.d.s AS src
@@ -2544,16 +2550,33 @@ object PipelineOps {
       // details section prints each node's arguments once.)
       def keyExchanges(plan: String): Int =
         "hashpartitioning\\([^)]*orderkey".r.findAllIn(plan).length
-      require(keyExchanges(
-          s.sql(s"EXPLAIN FORMATTED $merge").head().getString(0)) == 0,
+      // local (non-presentation) sorts on the merge key: a SortExec
+      // argument list ends `NULLS FIRST], false` only when global=false
+      def keySorts(plan: String): Int =
+        "orderkey[^\\]\\n]*NULLS FIRST\\], false".r.findAllIn(plan).length
+      val planOn = s.sql(s"EXPLAIN FORMATTED $merge").head().getString(0)
+      require(keyExchanges(planOn) == 0,
         "the co-bucketed MERGE must plan both its rewrite join and its " +
           "matching-groups subquery without a merge-key exchange")
+      // ONE local key sort remains by design: the WRITE's own declared
+      // ordering (RequiresDistributionAndOrdering) directly above
+      // MergeRows — what keeps the REWRITTEN files stamped-sorted so
+      // zero-sort joins survive the DML. Neither JOIN input sorts.
+      require(keySorts(planOn) == 1 &&
+          "SortMergeJoin[^\\n]*\\n\\s*:- Sort".r.findAllIn(planOn).isEmpty,
+        "the write-ordered MERGE must consume the scans' reported order " +
+          "— no JOIN-side key sorts, only the write's own ordering sort")
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-      try require(keyExchanges(
-          s.sql(s"EXPLAIN FORMATTED $merge").head().getString(0)) >= 1,
-        "negative control: with v2 bucketing off the MERGE rewrite " +
-          "join must hash-exchange on the key — 0 means the checker is blind")
-      finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      try {
+        val planOff = s.sql(s"EXPLAIN FORMATTED $merge").head().getString(0)
+        require(keyExchanges(planOff) >= 1,
+          "negative control: with v2 bucketing off the MERGE rewrite " +
+            "join must hash-exchange on the key — 0 means the checker is blind")
+        require(keySorts(planOff) >= 2,
+          "negative control: with v2 bucketing off the MERGE rewrite " +
+            "join must locally sort its inputs beyond the write's own " +
+            "sort — the sort pattern is blind otherwise")
+      } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.sql(merge)
       s.sql(s"""SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
                 FROM $cat.d.t ORDER BY o_orderkey""")

@@ -116,7 +116,8 @@ private final class GraftRowLevelScan(
     op: Option[GraftRowLevelOperation], tablePath: String, schema: StructType,
     required: StructType, filters: Array[Filter], snapVersion: Long)
     extends Scan with SupportsRuntimeV2Filtering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   private val table = new GraftTable(tablePath)
 
@@ -199,6 +200,25 @@ private final class GraftRowLevelScan(
           .UnknownPartitioning(0)
     }
 
+  /** Write-ordered tables report their file-local sort here too, so a
+    * MERGE between co-bucketed `write.orderBy` tables plans its
+    * FullOuter rewrite join with ZERO SORTS on top of its zero
+    * exchanges — the provenance splice is per-file-constant and DV
+    * skips are in-place, so row order survives the operation scan
+    * unchanged. Same gates as the plain scan: keyed report engaged
+    * (one file per input partition), every candidate stamped
+    * identically, prefix limited to projected columns. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    (keyedReport match {
+      case Some(_) => GraftTableV2.sortedPrefixFor(snap, candidates, required)
+      case None => Nil
+    }).map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+      org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
+      .toArray
+
   override def toBatch: Batch = {
     // evaluated at planInputPartitions time, AFTER runtime filters
     // land; the planned set is exactly what the write later replaces
@@ -221,11 +241,51 @@ private final class GraftRowLevelScan(
   }
 }
 
+private[streaming] object GraftRowLevel {
+  /** The V2 sort order a row-level write declares under `write.orderBy`:
+    * the table's LOGICAL column prefix, ascending nulls-first — exactly
+    * what the batch staging path sorts and the scan-side report claims
+    * (prefix consistency with [[graft.medallion.TxLog]]'s physical-side
+    * `writeOrderPhys`: the schema holds a logical column iff its
+    * physical rename exists). Empty when the property is unset. */
+  def declaredOrdering(tablePath: String, snapVersion: Long)
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val t = new GraftTable(tablePath)
+    if (t.latestVersion() == 0L) return Array.empty
+    val snap = t.snapshot(snapVersion)
+    snap.props.get(TxLog.WriteOrderProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .takeWhile(c => snap.schema.fieldNames.contains(c))
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+        org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
+      .toArray
+  }
+}
+
 /** The group-replace write: executors stage parquet, the driver commits
   * staged-for-scanned in one `replace` commit. */
 private final class GraftReplaceWrite(
     op: GraftRowLevelOperation, tablePath: String, writeSchema: StructType)
-    extends Write {
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  /** Under `write.orderBy`, ask Spark to locally sort the rewrite
+    * rows: every tuple-rolled staged file is then a sorted
+    * subsequence, which [[graft.medallion.GraftTable.replaceFiles]]
+    * stamps — the table keeps its zero-sort joins straight through
+    * copy-on-write DML, no recompaction needed. Distribution stays
+    * UNSPECIFIED on purpose: clustering would add a shuffle to every
+    * DML; the fanout writer already rolls tuple-pure files from any
+    * task layout, so a task-local sort is the whole cost. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+  override def distributionStrictlyRequired(): Boolean = false
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    GraftRowLevel.declaredOrdering(tablePath, op.snapVersion)
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val stageDir =
@@ -324,7 +384,8 @@ final class GraftDeltaRowLevelOperation(
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
         new GraftDeltaWrite(tablePath, snapVersion,
-          TxLog.physicalSchema(dataSchema), fileOrd, posOrd)
+          TxLog.physicalSchema(dataSchema), fileOrd, posOrd,
+          dataColsPresent = info.schema().fields.nonEmpty)
     }
   }
 }
@@ -337,8 +398,22 @@ final class GraftDeltaRowLevelOperation(
   * stays bounded no matter how many rows a task deleted. */
 private final class GraftDeltaWrite(
     tablePath: String, snapVersion: Long, writeSchema: StructType,
-    fileOrd: Int, posOrd: Int)
-    extends org.apache.spark.sql.connector.write.DeltaWrite {
+    fileOrd: Int, posOrd: Int, dataColsPresent: Boolean)
+    extends org.apache.spark.sql.connector.write.DeltaWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  /** Same contract as the COW write; gated on the command actually
+    * carrying data columns — a pure DELETE's delta rows are row-ids
+    * only, and an ordering referencing absent columns would fail
+    * resolution (it also stages no data files to stamp). */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+  override def distributionStrictlyRequired(): Boolean = false
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (!dataColsPresent) Array.empty
+    else GraftRowLevel.declaredOrdering(tablePath, snapVersion)
 
   override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
     new org.apache.spark.sql.connector.write.DeltaBatchWrite {

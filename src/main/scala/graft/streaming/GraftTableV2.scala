@@ -719,17 +719,7 @@ final class GraftScan(
   private lazy val sortedPrefix: Seq[String] = keyedGroups match {
     case None => Nil
     case Some(_) =>
-      val markers = pruned.map(_._1.stats.get(TxLog.SortedKey))
-      val specs = markers.flatten.collect {
-        case cs if cs.min == cs.max => cs.min }.distinct
-      if (markers.exists(_.isEmpty) || specs.size != 1) Nil
-      else {
-        val logicalOf = prunedSnap.schema.fields
-          .map(f => TxLog.physicalName(f) -> f.name).toMap
-        specs.head.split(",").toSeq
-          .map(p => logicalOf.get(p).filter(required.fieldNames.contains))
-          .takeWhile(_.isDefined).flatten
-      }
+      GraftTableV2.sortedPrefixFor(prunedSnap, pruned, required)
   }
 
   override def outputOrdering(): Array[V2SortOrder] =
@@ -1788,6 +1778,30 @@ object GraftTableV2 {
         Some((exprs,
           files.groupBy { case (a, _) => keyOf(a).get }.toSeq.sortBy(_._1)))
       }
+    }
+  }
+
+  /** The file-local sort a set of files commonly carries, as the
+    * LOGICAL column prefix that survives `required`'s column pruning —
+    * Nil unless EVERY file is stamped with an identical [[TxLog.SortedKey]]
+    * marker (mixed stamped/unstamped or differently-sorted histories
+    * degrade honestly). Shared by the plain scan and the row-level
+    * operation scan; callers gate on their keyed report (only keyed
+    * partitions are one-file-per-partition — the delegated parquet
+    * batch BINS files, which breaks local order). */
+  private[streaming] def sortedPrefixFor(
+      snap: TxLog.Snapshot, files: Seq[(TxLog.AddFile, Long)],
+      required: StructType): Seq[String] = {
+    val markers = files.map(_._1.stats.get(TxLog.SortedKey))
+    val specs = markers.flatten.collect {
+      case cs if cs.min == cs.max => cs.min }.distinct
+    if (files.isEmpty || markers.exists(_.isEmpty) || specs.size != 1) Nil
+    else {
+      val logicalOf = snap.schema.fields
+        .map(f => TxLog.physicalName(f) -> f.name).toMap
+      specs.head.split(",").toSeq
+        .map(p => logicalOf.get(p).filter(required.fieldNames.contains))
+        .takeWhile(_.isDefined).flatten
     }
   }
 

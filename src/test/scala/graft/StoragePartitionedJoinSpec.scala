@@ -744,4 +744,136 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.spjm2.warehouse")
     }
   }
+
+  test("write-ordered MERGE: zero key sorts in the rewrite plan; rewritten files stay stamped and sorted") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjod", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjod.warehouse", wh)
+    try {
+      val t = new GraftTable(s"$wh/db/t")
+      val s = new GraftTable(s"$wh/db/s")
+      for (x <- Seq(t, s)) {
+        x.append(Seq((0L, 0.0)).toDF("id", "v").limit(0))
+        x.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+        x.setProperty(TxLog.WriteOrderProp, "id")
+      }
+      val rows = scala.util.Random.shuffle((1L until 400L).toList)
+      t.append(rows.map(i => (i, i * 1.0)).toDF("id", "v"))
+      s.append(scala.util.Random.shuffle((200L until 600L).toList)
+        .map(i => (i, i * -1.0)).toDF("id", "v"))
+      t.compact(spark, targetFileMB = 128)
+      s.compact(spark, targetFileMB = 128)
+      val merge =
+        """MERGE INTO spjod.db.t AS tgt USING spjod.db.s AS src
+           ON tgt.id = src.id
+           WHEN MATCHED THEN UPDATE SET v = src.v
+           WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.v)"""
+      withSpj {
+        val plan = spark.sql(s"EXPLAIN FORMATTED $merge").head().getString(0)
+        assert("hashpartitioning\\([^)]*id".r.findAllIn(plan).isEmpty,
+          s"write-ordered co-bucketed MERGE must not exchange on the key:\n$plan")
+        // the rewrite FullOuter SMJ must consume the scans' reported
+        // order: the ONE remaining local key sort is the WRITE's own
+        // declared ordering (RequiresDistributionAndOrdering) directly
+        // above MergeRows — the sort that keeps rewritten files
+        // stamped-sorted — and neither join input is sorted
+        assert("\\bid#[^\\]\\n]*NULLS FIRST\\], false".r.findAllIn(plan).length === 1,
+          s"exactly the write's own sort must remain:\n$plan")
+        assert("Sort \\(\\d+\\)\\n\\s*\\+- MergeRows".r.findAllIn(plan).nonEmpty,
+          s"the surviving sort must be the write's, above MergeRows:\n$plan")
+        assert("SortMergeJoin[^\\n]*\\n\\s*:- Sort".r.findAllIn(plan).isEmpty,
+          s"the rewrite join must not sort its inputs:\n$plan")
+        // negative control for the sort pattern: bucketing off -> the
+        // same MERGE must both exchange and locally sort on the key
+        withSpjOff {
+          val off = spark.sql(s"EXPLAIN FORMATTED $merge").head().getString(0)
+          assert("hashpartitioning\\([^)]*id".r.findAllIn(off).nonEmpty,
+            "control: bucketing off must exchange on the key")
+          assert("\\bid#[^\\]\\n]*NULLS FIRST\\], false".r.findAllIn(off).length >= 2,
+            "control: bucketing off must locally sort BOTH SMJ inputs " +
+              "(beyond the write's own sort) — the sort pattern is blind otherwise")
+          assert("SortMergeJoin[^\\n]*\\n\\s*:- Sort".r.findAllIn(off).nonEmpty,
+            "control: bucketing off must place a Sort under the join's left input")
+        }
+        spark.sql(merge)
+      }
+      // post-DML: EVERY live file keeps/gains the sorted stamp (the COW
+      // write declared the ordering, replaceFiles stamped the rewrites)
+      // and is PHYSICALLY monotone — zero-sort joins survive DML
+      for (f <- t.snapshot().files) {
+        assert(f.stats.get(TxLog.SortedKey).exists(_.min == "id"),
+          s"post-merge file ${f.path} lost the sorted stamp")
+        val ids = spark.read.parquet(t.absoluteDataPath(f))
+          .select("id").as[Long].collect()
+        assert(ids.sameElements(ids.sorted),
+          s"post-merge file ${f.path} is not locally sorted")
+      }
+      // merged content is exact
+      val got = spark.sql("SELECT id, v FROM spjod.db.t ORDER BY id")
+        .as[(Long, Double)].collect()
+      val want = ((1L until 200L).map(i => (i, i * 1.0)) ++
+        (200L until 600L).map(i => (i, i * -1.0))).toArray
+      assert(got.sameElements(want))
+      // and once compacted back to one file per bucket, the join plans
+      // with zero sorts again — no recompaction was needed for the
+      // STAMP, only for the one-file-per-tuple grouping
+      t.compact(spark, targetFileMB = 128)
+      withSpj {
+        val q = spark.sql(
+          "SELECT x.id, y.v FROM spjod.db.t x JOIN spjod.db.s y ON x.id = y.id")
+        assert(shuffles(q) === 0)
+        assert(AdaptivePlans.localSortsOn(q, "id").isEmpty,
+          s"post-DML post-compact join must stay zero-sort:\n${AdaptivePlans.finalPlan(q)}")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjod")
+      spark.conf.unset("spark.sql.catalog.spjod.warehouse")
+    }
+  }
+
+  test("MOR write-ordered MERGE: insert files stamped sorted, DV'd originals keep their marker; DELETE declares no ordering") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjom", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjom.warehouse", wh)
+    try {
+      val t = new GraftTable(s"$wh/db/t")
+      t.append(Seq((0L, 0.0)).toDF("id", "v").limit(0))
+      t.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+      t.setProperty(TxLog.WriteOrderProp, "id")
+      t.setProperty(TxLog.MergeModeProp, TxLog.DeleteModeMor)
+      t.setProperty(TxLog.DeleteModeProp, TxLog.DeleteModeMor)
+      t.append(scala.util.Random.shuffle((1L until 300L).toList)
+        .map(i => (i, i * 1.0)).toDF("id", "v"))
+      t.compact(spark, targetFileMB = 128)
+      withSpj {
+        (Seq((5L, -5.0), (700L, -7.0), (701L, -8.0)))
+          .toDF("id", "v").createOrReplaceTempView("mor_src")
+        spark.sql(
+          """MERGE INTO spjom.db.t AS tgt USING mor_src AS src
+             ON tgt.id = src.id
+             WHEN MATCHED THEN UPDATE SET v = src.v
+             WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.v)""")
+      }
+      val files = t.snapshot().files
+      assert(files.exists(_.dv.isDefined), "precondition: MOR left a DV")
+      for (f <- files) {
+        assert(f.stats.get(TxLog.SortedKey).exists(_.min == "id"),
+          s"post-MOR-merge file ${f.path} lacks the sorted stamp " +
+            "(inserts must be stamped by the delta commit; DV'd " +
+            "originals keep their original stats)")
+        val ids = spark.read.parquet(t.absoluteDataPath(f))
+          .select("id").as[Long].collect()
+        assert(ids.sameElements(ids.sorted))
+      }
+      // a pure DELETE carries no data columns: the delta write must
+      // declare NO ordering (resolution would fail) and still work
+      withSpj { spark.sql("DELETE FROM spjom.db.t WHERE id = 7") }
+      val left = spark.sql("SELECT id FROM spjom.db.t ORDER BY id")
+        .as[Long].collect()
+      assert(!left.contains(7L) && left.contains(6L) && left.contains(700L))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjom")
+      spark.conf.unset("spark.sql.catalog.spjom.warehouse")
+    }
+  }
 }
