@@ -2043,7 +2043,8 @@ final class GraftTable(val tablePath: String) {
     * `loadTable`, so the schema was validated by Spark's resolution. */
   private[graft] def appendStagedIdempotent(
       spark: SparkSession, appId: String, batchId: Long, schema: StructType,
-      staged: Seq[java.nio.file.Path], maxRetries: Int = 20): Long = {
+      staged: Seq[java.nio.file.Path], maxRetries: Int = 20,
+      sortedBy: Seq[String] = Nil): Long = {
     require(appId.nonEmpty, "txlog: appId must be non-empty")
     def dropStaged(): Unit = staged.foreach(p => Files.deleteIfExists(p))
     val pre = snapshot()
@@ -2052,7 +2053,11 @@ final class GraftTable(val tablePath: String) {
     if (pre.txns.get(appId).exists(_ >= batchId)) { dropStaged(); return pre.version }
     // the staged bytes carry PHYSICAL names (the DSv2 writer factory is
     // built over physicalSchema); `schema` here is the logical schema
-    val adds = adoptStaged(spark, physicalSchema(schema), staged)
+    // `sortedBy` is the write-declared effective sort (spec sources ++
+    // write.orderBy): Spark sorted each epoch task by it, so every
+    // tuple-rolled file is a sorted subsequence — stamp it
+    val adds = adoptStaged(spark, physicalSchema(schema), staged,
+      sortedBy = sortedBy)
     // DSv2-staged epochs validate like every other write: the adopted
     // parquet is the batch — one columnar scan, drop-and-throw on breach
     var validated = pre.constraints ++ generatedChecks(pre.props)

@@ -1560,18 +1560,42 @@ final class GraftCatalogTable(
           }
         }
 
+        /** `write.orderBy` resolved to the LOGICAL columns this write
+          * carries — appended to the ordering (a task-local sort), NOT
+          * to the distribution: ordering a table must never add a
+          * shuffle to its writes. The effective per-task sort is then
+          * (specSources ++ orderCols).distinct, and every tuple-rolled
+          * file is a sorted SUBSEQUENCE of it — what the streaming
+          * commit stamps. */
+        private def orderCols: Array[String] = {
+          val t = new GraftTable(tablePath)
+          if (t.latestVersion() == 0L) Array.empty
+          else {
+            val snap = t.snapshot()
+            snap.props.get(TxLog.WriteOrderProp).toArray
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+              .takeWhile(c => snap.schema.fieldNames.contains(c) &&
+                info.schema().fieldNames.contains(c))
+          }
+        }
+
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution = {
-          val sorts = requiredOrdering()
-          if (sorts.isEmpty)
+          // distribution stays SPEC-derived: range-clustering serves the
+          // transforms' file pruning; `write.orderBy` alone must not
+          // repartition anything
+          val specSorts = specSources.map(src => Expressions.sort(
+            Expressions.column(src),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+          if (specSorts.isEmpty)
             org.apache.spark.sql.connector.distributions.Distributions.unspecified()
           else
-            org.apache.spark.sql.connector.distributions.Distributions.ordered(sorts)
+            org.apache.spark.sql.connector.distributions.Distributions.ordered(specSorts)
         }
 
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          specSources.map(src => Expressions.sort(
+          (specSources ++ orderCols).distinct.map(src => Expressions.sort(
             Expressions.column(src),
             org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
 
@@ -1599,7 +1623,14 @@ final class GraftCatalogTable(
           require(!overwrite,
             "graft-table streaming writes are append-only — Complete/" +
               "Update output modes would overwrite history every epoch")
-          new GraftStreamingTableWrite(tablePath, info.schema(), info.queryId())
+          // stamp epochs ONLY under write.orderBy (spec-only sorts
+          // would stamp streaming files while batch appends stay
+          // unstamped — a mixed history that permanently disables the
+          // report); the stamped list is the full effective sort, the
+          // true per-file order
+          new GraftStreamingTableWrite(tablePath, info.schema(), info.queryId(),
+            sortedBy = if (orderCols.isEmpty) Nil
+                       else (specSources ++ orderCols).distinct.toSeq)
         }
       }
     }
@@ -1612,7 +1643,8 @@ final class GraftCatalogTable(
   * commit carrying the (queryId, epoch) txn action — replayed or
   * racing epochs no-op through the ledger, same as [[TableSink]]. */
 private final class GraftStreamingTableWrite(
-    tablePath: String, writeSchema: StructType, queryId: String)
+    tablePath: String, writeSchema: StructType, queryId: String,
+    sortedBy: Seq[String] = Nil)
     extends streaming_write.StreamingWrite {
 
   private val stageDir =
@@ -1649,7 +1681,9 @@ private final class GraftStreamingTableWrite(
     }
     new GraftTable(tablePath).appendStagedIdempotent(
       SparkSession.active, s"graft-stream-$queryId", epochId, tableSchema,
-      staged.map(java.nio.file.Paths.get(_)))
+      staged.map(java.nio.file.Paths.get(_)),
+      // physical names: staged bytes carry the table's mapping
+      sortedBy = sortedBy.map(c => TxLog.physicalOf(tableSchema, c)))
     ()
   }
 

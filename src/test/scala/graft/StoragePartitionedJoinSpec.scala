@@ -876,4 +876,102 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.spjom.warehouse")
     }
   }
+
+  test("streaming toTable lands SORTED epochs under write.orderBy: stamped files, zero-sort join after compaction") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjso", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjso.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE spjso.db.sink (id BIGINT, v DOUBLE)")
+      val a = new GraftTable(s"$wh/db/sink")
+      a.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+      a.setProperty(TxLog.WriteOrderProp, "id")
+      val ckpt = freshWarehouse() + "/ckpt"
+      val ms = MemoryStream[(Long, Double)]
+      // deliberately SHUFFLED input — the write's declared ordering is
+      // what must sort each epoch task, not the source
+      ms.addData(scala.util.Random.shuffle((0L until 300L).toList)
+        .map(i => (i, i * 1.0)): _*)
+      ms.toDF().toDF("id", "v").writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).toTable("spjso.db.sink")
+        .awaitTermination()
+      // every epoch file carries the effective-sort stamp (spec source
+      // == order column here, so it reads "id") and is PHYSICALLY
+      // monotone — streaming CDC ingest lands query-optimal
+      assert(a.snapshot().files.nonEmpty)
+      for (f <- a.snapshot().files) {
+        assert(f.stats.get(TxLog.SortedKey).exists(_.min == "id"),
+          s"streamed file ${f.path} lacks the sorted stamp: ${f.stats.keySet}")
+        val ids = spark.read.parquet(a.absoluteDataPath(f))
+          .select("id").as[Long].collect()
+        assert(ids.sameElements(ids.sorted),
+          s"streamed file ${f.path} is not locally sorted")
+      }
+      // compacted to one file per bucket, the self-join plans with zero
+      // exchanges AND zero sorts straight off the streamed data
+      a.compact(spark, targetFileMB = 128)
+      def self = spark.sql(
+        "SELECT x.id, y.v FROM spjso.db.sink x JOIN spjso.db.sink y ON x.id = y.id")
+      withSpj {
+        assert(shuffles(self) === 0)
+        assert(AdaptivePlans.localSortsOn(self, "id").isEmpty,
+          s"streamed+compacted ordered table must join zero-sort:\n${AdaptivePlans.finalPlan(self)}")
+        assert(self.count() === 300L)
+      }
+      withSpjOff {
+        assert(AdaptivePlans.localSortsOn(self, "id").nonEmpty,
+          "negative control: bucketing off must sort the self-join inputs")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjso")
+      spark.conf.unset("spark.sql.catalog.spjso.warehouse")
+    }
+  }
+
+  test("multi-column write.orderBy (key,seq): keep-first dedup window ranks with zero exchanges AND zero sorts") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjw2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjw2.warehouse", wh)
+    try {
+      val a = new GraftTable(s"$wh/db/a")
+      a.append(Seq((0L, 0L, 0.0)).toDF("id", "seq", "v").limit(0))
+      a.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+      a.setProperty(TxLog.WriteOrderProp, "id,seq")
+      // three versions per key, shuffled — the writer sorts (id, seq)
+      a.append(scala.util.Random.shuffle(
+        (1L until 200L).flatMap(i => Seq(0L, 1L, 2L).map(s => (i, s, i + s / 10.0)))
+          .toList).toDF("id", "seq", "v"))
+      a.compact(spark, targetFileMB = 128)
+      for (f <- a.snapshot().files)
+        assert(f.stats.get(TxLog.SortedKey).exists(_.min == "id,seq"),
+          s"file ${f.path} must carry the two-column stamp: ${f.stats.keySet}")
+      // keep-FIRST (earliest seq wins): the window's required ordering
+      // (id, seq) is exactly the scans' reported order — the rank runs
+      // with NO exchange and NO sort at any scale
+      def q = spark.sql(
+        """SELECT id, v FROM (
+             SELECT id, v, row_number() OVER (PARTITION BY id ORDER BY seq) AS rn
+             FROM spjw2.db.a) WHERE rn = 1""")
+      withSpj {
+        assert(shuffles(q) === 0,
+          s"bucket-key window must not exchange:\n${AdaptivePlans.finalPlan(q)}")
+        assert(AdaptivePlans.localSortsOn(q, "id").isEmpty &&
+            AdaptivePlans.localSortsOn(q, "seq").isEmpty,
+          s"write-ordered (id,seq) must satisfy the window's sort:\n${AdaptivePlans.finalPlan(q)}")
+        val got = q.orderBy("id").as[(Long, Double)].collect().toSeq
+        assert(got === (1L until 200L).map(i => (i, i + 0.0)))
+      }
+      withSpjOff {
+        assert(AdaptivePlans.localSortsOn(q, "seq").nonEmpty,
+          "negative control: bucketing off must sort for the window")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjw2")
+      spark.conf.unset("spark.sql.catalog.spjw2.warehouse")
+    }
+  }
 }
