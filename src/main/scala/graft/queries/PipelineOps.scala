@@ -2687,6 +2687,111 @@ object PipelineOps {
     }
   }
 
+
+  // --------------------------------------------------------------------
+  // q153 — STREAMING SORTED INGEST, end to end: orders arrive through a
+  // `writeStream.toTable` file-source replay into a bucket(8, o_custkey)
+  // + write.orderBy table — every epoch file lands tuple-pure, locally
+  // SORTED and stamped (the write declares the order; the fanout writer
+  // rolls sorted subsequences) — then ONE compaction yields the
+  // sorted-bucket layout and the join against a batch-written customer
+  // table plans with ZERO exchanges and ZERO local key sorts. 100 TB
+  // story: the CDC firehose lands query-optimal; no post-hoc re-sort
+  // job ever exists, compaction alone restores scan-speed joins.
+  // --------------------------------------------------------------------
+  def q153StreamSorted(s0: SparkSession, dir: String): DataFrame = {
+    // isolated session — conf toggles must not race sibling queries
+    // under Verify's concurrency (see q146SpjJoin)
+    val s = s0.newSession()
+    // streaming toTable resolves its catalog through the THREAD's active
+    // session (not the DataStreamWriter's) — pin it to the isolated one
+    // for the query body and restore after
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(s)
+    val root = scratch("spjstream", dir)
+    graft.core.Fs.rmTree(new java.io.File(root))
+    val wh = s"$root/warehouse"
+    val cat = s"gq153_${math.abs(wh.hashCode).toString.take(8)}"
+    graft.api.Graft.registerCatalog(s, cat, wh)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      val ords = lake(s, dir).orders.select(col("o_custkey"), col("o_totalprice"))
+      // the "kafka" stand-in: a parquet drop the file source replays
+      val srcDir = s"$root/incoming"
+      ords.write.parquet(srcDir)
+      val ot = new graft.medallion.GraftTable(s"$wh/d/ord")
+      ot.append(ords.limit(0))
+      ot.setProperty(graft.medallion.PartitionSpec.Prop, "bucket(8,o_custkey)")
+      ot.setProperty("write.orderBy", "o_custkey")
+      val ct = new graft.medallion.GraftTable(s"$wh/d/cust")
+      val cust = lake(s, dir).customer.select(col("c_custkey"))
+      ct.append(cust.limit(0))
+      ct.setProperty(graft.medallion.PartitionSpec.Prop, "bucket(8,c_custkey)")
+      ct.setProperty("write.orderBy", "c_custkey")
+      ct.append(cust)
+      ct.compact(s, targetFileMB = 128)
+      s.readStream.schema(ords.schema).parquet(srcDir)
+        .writeStream.option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.d.ord")
+        .awaitTermination()
+      // the streaming epochs landed stamped AND tuple-pure — the whole
+      // point of declared write ordering on the streaming plane
+      require(ot.snapshot().files.nonEmpty &&
+          ot.snapshot().files.forall(f =>
+            f.stats.get(graft.medallion.TxLog.SortedKey)
+              .exists(cs => cs.min == cs.max && cs.min == "o_custkey")),
+        "every streamed epoch file must carry the o_custkey sorted stamp")
+      ot.compact(s, targetFileMB = 128)
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val q = s.sql(
+        s"""SELECT c.c_custkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(max(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS max_price
+            FROM $cat.d.cust c JOIN $cat.d.ord o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey ORDER BY c.c_custkey""")
+      require(graft.plans.AdaptivePlans.shufflesOn(q, "custkey")
+          .count(_.outputPartitioning.toString.contains("hashpartitioning")) == 0,
+        "the streamed+compacted join must plan zero key hash exchanges:\n" +
+          graft.plans.AdaptivePlans.finalPlan(q))
+      require(graft.plans.AdaptivePlans.localSortsOn(q, "custkey").isEmpty,
+        "the streamed+compacted join must plan zero local key sorts:\n" +
+          graft.plans.AdaptivePlans.finalPlan(q))
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      try {
+        val c = s.sql(s"""SELECT c.c_custkey, count(*) AS n
+                          FROM $cat.d.cust c JOIN $cat.d.ord o
+                            ON c.c_custkey = o.o_custkey
+                          GROUP BY c.c_custkey""")
+        require(graft.plans.AdaptivePlans.shufflesOn(c, "custkey").nonEmpty &&
+            graft.plans.AdaptivePlans.localSortsOn(c, "custkey").nonEmpty,
+          "negative control: with v2 bucketing off the join must " +
+            "exchange AND sort on the key — the checkers are blind otherwise")
+      } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      q
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  private val q153Oracle =
+    """SELECT c_custkey,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey ORDER BY c_custkey"""
+
   private val q152Oracle =
     """SELECT c_custkey,
               CAST(c_acctbal AS DOUBLE) AS acctbal,
@@ -2832,6 +2937,7 @@ object PipelineOps {
     "q150_spj_window" -> (q150SpjWindow _),
     "q151_spj_merge" -> (q151SpjMerge _),
     "q152_spj_sorted" -> (q152SpjSorted _),
+    "q153_stream_sorted" -> (q153StreamSorted _),
     "q142_sql_mor_update" -> (q142SqlMorUpdate _),
     "q141_metadata_sum" -> (q141MetadataSum _),
     "q139_generated_columns" -> (q139GeneratedColumns _),
@@ -2880,6 +2986,7 @@ object PipelineOps {
     "q150_spj_window" -> q150Oracle,
     "q151_spj_merge" -> q151Oracle,
     "q152_spj_sorted" -> q152Oracle,
+    "q153_stream_sorted" -> q153Oracle,
     "q142_sql_mor_update" -> q142Oracle,
     "q141_metadata_sum" -> q141Oracle,
     "q139_generated_columns" -> q139Oracle,

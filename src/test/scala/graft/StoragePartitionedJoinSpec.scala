@@ -974,4 +974,49 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.spjw2.warehouse")
     }
   }
+
+  test("write.orderBy survives column ops honestly: rename keeps stamps true under the new name; drop disables sorting without crashing") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjren", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjren.warehouse", wh)
+    try {
+      val a = new GraftTable(s"$wh/db/a")
+      a.append(Seq((0L, 0.0)).toDF("id", "v").limit(0))
+      a.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+      a.setProperty(TxLog.WriteOrderProp, "id")
+      a.append(scala.util.Random.shuffle((1L until 200L).toList)
+        .map(i => (i, i * 1.0)).toDF("id", "v"))
+      // RENAME the order column: the stamp names the PHYSICAL column,
+      // which rename never changes — old files stay truthfully stamped,
+      // and the scan reports the order under the NEW logical name
+      a.renameColumn("id", "uid")
+      a.compact(spark, targetFileMB = 128)
+      for (f <- a.snapshot().files)
+        assert(f.stats.get(TxLog.SortedKey).isDefined,
+          s"post-rename compaction must keep files stamped: ${f.stats.keySet}")
+      def q = spark.sql(
+        """SELECT x.uid, x.v FROM spjren.db.a x
+           JOIN spjren.db.a y ON x.uid = y.uid""")
+      withSpj {
+        assert(shuffles(q) === 0, "bucket grouping survives the rename")
+        assert(AdaptivePlans.localSortsOn(q, "uid").isEmpty,
+          s"the report must resolve under the renamed column:\n${AdaptivePlans.finalPlan(q)}")
+        assert(q.count() === 199L)
+      }
+      // DROP the order column: subsequent appends must neither crash
+      // nor stamp (there is nothing left to sort by)
+      a.addColumns(Seq(org.apache.spark.sql.types.StructField(
+        "w", org.apache.spark.sql.types.DoubleType))) // widen so uid is droppable
+      a.unsetProperty(PartitionSpec.Prop) // the spec guards its source from drops
+      a.dropColumn("uid")
+      val before = a.snapshot().files.map(_.path).toSet
+      a.append(Seq((9.0, 9.0)).toDF("v", "w"))
+      val fresh = a.snapshot().files.filterNot(f => before.contains(f.path))
+      assert(fresh.nonEmpty && fresh.forall(_.stats.get(TxLog.SortedKey).isEmpty),
+        "an append after dropping the order column must not stamp")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjren")
+      spark.conf.unset("spark.sql.catalog.spjren.warehouse")
+    }
+  }
 }
