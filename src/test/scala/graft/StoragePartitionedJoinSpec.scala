@@ -1019,4 +1019,37 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.spjren.warehouse")
     }
   }
+
+  test("the sorted stamp survives checkpointing: a fresh handle still plans zero-sort joins") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjck", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjck.warehouse", wh)
+    try {
+      val a = new GraftTable(s"$wh/db/a")
+      a.append(Seq((0L, 0.0)).toDF("id", "v").limit(0))
+      a.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+      a.setProperty(TxLog.WriteOrderProp, "id")
+      a.append((1L until 300L).map(i => (i, i * 1.0)).toDF("id", "v"))
+      a.compact(spark, targetFileMB = 128)
+      a.checkpoint()
+      // a fresh handle resolves through the checkpoint bytes — the
+      // __s$order marker must ride the generic per-add stats there,
+      // same as the __p$ tuple signatures
+      val b = new GraftTable(s"$wh/db/a")
+      for (f <- b.snapshot().files)
+        assert(f.stats.get(TxLog.SortedKey).exists(_.min == "id"),
+          s"marker lost through checkpoint: ${f.stats.keySet}")
+      def q = spark.sql(
+        "SELECT x.id FROM spjck.db.a x JOIN spjck.db.a y ON x.id = y.id")
+      withSpj {
+        assert(shuffles(q) === 0)
+        assert(AdaptivePlans.localSortsOn(q, "id").isEmpty,
+          s"post-checkpoint join must stay zero-sort:\n${AdaptivePlans.finalPlan(q)}")
+        assert(q.count() === 299L)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjck")
+      spark.conf.unset("spark.sql.catalog.spjck.warehouse")
+    }
+  }
 }
