@@ -298,17 +298,43 @@ object TxLog {
     * `freshPhysical` never emits `$`, so no data column collides. */
   private[graft] val SortedKey = "__s$order"
 
-  /** [[WriteOrderProp]] resolved against a snapshot, as the PHYSICAL
-    * prefix a given write schema can honor — the shared truth between
-    * the writes that DECLARE the ordering (RequiresDistributionAndOrdering
-    * on the DSv2 row-level writes, `sortWithinPartitions` in the batch
-    * staging path) and the commits that STAMP adopted files with
-    * [[SortedKey]]. Stops at the first absent column: a sort by
-    * (c1, c3) is not a (c1, c2, c3) prefix. */
+  /** [[WriteOrderProp]] resolved against a snapshot for the BATCH
+    * staging path, as the PHYSICAL prefix the staged schema can honor.
+    * Deliberately tolerant of a stale (post-rename) property value:
+    * `physicalOf`'s identity fallback lets a stale logical name match
+    * the column's stable physical name, and that is SOUND here because
+    * `stageData` sorts by exactly this list before stamping it — the
+    * stamp can never outrun the sort. Row-level commits must NOT use
+    * this resolver (their sort happened in Spark's plan under the
+    * write's DECLARED ordering — see [[writeOrderDeclaredPhys]]).
+    * Stops at the first absent column: a sort by (c1, c3) is not a
+    * (c1, c2, c3) prefix. */
   private[graft] def writeOrderPhys(
       snap: Snapshot, writeSchema: StructType): Seq[String] =
     snap.props.get(WriteOrderProp).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(c => physicalOf(snap.schema, c))
+      .takeWhile(p => writeSchema.fieldNames.contains(p))
+
+  /** The LOGICAL prefix of [[WriteOrderProp]] a row-level write
+    * DECLARES via RequiresDistributionAndOrdering — current logical
+    * names only, NO identity fallback: a stale post-rename property
+    * declares nothing, so Spark adds no sort. */
+  private[graft] def writeOrderDeclared(snap: Snapshot): Seq[String] =
+    snap.props.get(WriteOrderProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .takeWhile(c => snap.schema.fieldNames.contains(c))
+
+  /** [[writeOrderDeclared]] mapped to physical names and truncated to
+    * what `writeSchema` carries — the ONLY list a row-level commit may
+    * stamp. Stamp and sort are equal by construction: both derive from
+    * the same declared prefix, so a write that declared nothing (stale
+    * property, DELETE with no data columns) stamps nothing. Divergence
+    * here was a real bug: `writeOrderPhys`'s identity fallback stamped
+    * rewrite files the write never sorted after a column rename. */
+  private[graft] def writeOrderDeclaredPhys(
+      snap: Snapshot, writeSchema: StructType): Seq[String] =
+    writeOrderDeclared(snap)
       .map(c => physicalOf(snap.schema, c))
       .takeWhile(p => writeSchema.fieldNames.contains(p))
   /** Table property (`'true'`) opting in to metadata-only TYPE
@@ -1660,11 +1686,12 @@ final class GraftTable(val tablePath: String) {
     // staged bytes carry PHYSICAL names (the row-level writer factory is
     // built over physicalSchema); constraints validate logically. The
     // sorted stamp is sound because GraftReplaceWrite DECLARED this
-    // exact ordering (same writeOrderPhys resolution over the same
-    // snapshot) via RequiresDistributionAndOrdering, so every task —
-    // and hence every tuple-rolled file's subsequence — arrived sorted.
+    // exact ordering (writeOrderDeclared over the same snapshot) via
+    // RequiresDistributionAndOrdering, so every task — and hence every
+    // tuple-rolled file's subsequence — arrived sorted; a write that
+    // declared nothing stamps nothing.
     val adds = adoptStaged(spark, physicalSchema(snap.schema), staged,
-      sortedBy = writeOrderPhys(snap, physicalSchema(snap.schema)))
+      sortedBy = writeOrderDeclaredPhys(snap, physicalSchema(snap.schema)))
     // SQL UPDATE/MERGE can write constraint-violating values; check the
     // replacement rows (adopted parquet — one columnar scan) pre-commit
     enforceOnStaged(spark, snap.schema, adds,
@@ -3314,11 +3341,12 @@ final class GraftTable(val tablePath: String) {
     val snap = snapshot(readVersion)
     if (newDeletes.isEmpty && insertStaged.isEmpty) return snap.version
     // insert files carry the GraftDeltaWrite-declared ordering (same
-    // resolver/snapshot) — stamp them; DV'd originals keep their own
-    // stats, marker included (positions skip in place)
+    // writeOrderDeclared resolution over the same snapshot) — stamp
+    // them; DV'd originals keep their own stats, marker included
+    // (positions skip in place)
     commitDeltaRowLevelAdds(spark, snap, newDeletes,
       adoptStaged(spark, physicalSchema(snap.schema), insertStaged,
-        sortedBy = writeOrderPhys(snap, physicalSchema(snap.schema))),
+        sortedBy = writeOrderDeclaredPhys(snap, physicalSchema(snap.schema))),
       op = "replace", mergeKey = None)
   }
 

@@ -2707,7 +2707,6 @@ object PipelineOps {
     // session (not the DataStreamWriter's) — pin it to the isolated one
     // for the query body and restore after
     val prevActive = SparkSession.getActiveSession
-    SparkSession.setActiveSession(s)
     val root = scratch("spjstream", dir)
     graft.core.Fs.rmTree(new java.io.File(root))
     val wh = s"$root/warehouse"
@@ -2719,6 +2718,7 @@ object PipelineOps {
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
     try {
+      SparkSession.setActiveSession(s)
       val ords = lake(s, dir).orders.select(col("o_custkey"), col("o_totalprice"))
       // the "kafka" stand-in: a parquet drop the file source replays
       val srcDir = s"$root/incoming"
@@ -2781,7 +2781,10 @@ object PipelineOps {
       }
       s.conf.unset(s"spark.sql.catalog.$cat")
       s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
-      prevActive.foreach(SparkSession.setActiveSession)
+      // restore UNCONDITIONALLY: leaving the throwaway session pinned
+      // would leak its catalog/conf state into the worker thread's
+      // subsequent queries
+      SparkSession.setActiveSession(prevActive.getOrElse(s0))
     }
   }
 

@@ -182,7 +182,17 @@ private final class GraftRowLevelScan(
   // positional partitions.
   private lazy val keyedReport = {
     val spark = SparkSession.active
+    // pushPartValues is REQUIRED here, not just the bucketing master
+    // switch: planInputPartitions regroups AFTER runtime group
+    // filtering to a SUBSET of the reported partition values, and
+    // Spark can only reconcile subset-vs-full group counts by padding
+    // from pushed common partition values (SPARK-45652). Without it a
+    // pruned rewrite join would fail at execution over unequal
+    // partition counts — the plain scan is immune (frozen group set).
     if (!spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+          .equalsIgnoreCase("true") ||
+        !spark.conf.get(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false")
           .equalsIgnoreCase("true") ||
         required.fieldNames.contains(GraftTableV2.FileCol) ||
         required.fieldNames.contains(GraftTableV2.PosCol)) None
@@ -252,10 +262,10 @@ private[streaming] object GraftRowLevel {
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     val t = new GraftTable(tablePath)
     if (t.latestVersion() == 0L) return Array.empty
-    val snap = t.snapshot(snapVersion)
-    snap.props.get(TxLog.WriteOrderProp).toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      .takeWhile(c => snap.schema.fieldNames.contains(c))
+    // the SAME resolution the commit-side stamp uses
+    // (TxLog.writeOrderDeclaredPhys) — declare and stamp can never
+    // diverge on which columns they mean
+    TxLog.writeOrderDeclared(t.snapshot(snapVersion))
       .map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
         org.apache.spark.sql.connector.expressions.Expressions.column(c),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
@@ -283,9 +293,10 @@ private final class GraftReplaceWrite(
       : org.apache.spark.sql.connector.distributions.Distribution =
     org.apache.spark.sql.connector.distributions.Distributions.unspecified()
   override def distributionStrictlyRequired(): Boolean = false
-  override def requiredOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+  private lazy val declared =
     GraftRowLevel.declaredOrdering(tablePath, op.snapVersion)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = declared
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val stageDir =
@@ -410,10 +421,11 @@ private final class GraftDeltaWrite(
       : org.apache.spark.sql.connector.distributions.Distribution =
     org.apache.spark.sql.connector.distributions.Distributions.unspecified()
   override def distributionStrictlyRequired(): Boolean = false
-  override def requiredOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    if (!dataColsPresent) Array.empty
+  private lazy val declared =
+    if (!dataColsPresent) Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
     else GraftRowLevel.declaredOrdering(tablePath, snapVersion)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = declared
 
   override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
     new org.apache.spark.sql.connector.write.DeltaBatchWrite {

@@ -1539,11 +1539,18 @@ final class GraftCatalogTable(
           * the batch V1 path re-clusters inside `append` either way.
           * Spec-less tables request nothing (empty ordering =
           * unspecified distribution — plans unchanged). */
-        private def specSources: Array[String] = {
+        // ONE head resolution per Write instance: Spark consults
+        // requiredDistribution/requiredOrdering and the streaming
+        // builder several times while planning a single write — the
+        // log replay must not repeat per call
+        private lazy val headSnap: Option[TxLog.Snapshot] = {
           val t = new GraftTable(tablePath)
-          if (t.latestVersion() == 0L) Array.empty
+          if (t.latestVersion() == 0L) None else Some(t.snapshot())
+        }
+        private def specSources: Array[String] = {
+          if (headSnap.isEmpty) Array.empty
           else {
-            val snap = t.snapshot()
+            val snap = headSnap.get
             snap.props.get(graft.medallion.PartitionSpec.Prop).toArray
               .flatMap(spec => graft.medallion.PartitionSpec.parse(spec)
                 .flatMap { tr =>
@@ -1567,17 +1574,10 @@ final class GraftCatalogTable(
           * (specSources ++ orderCols).distinct, and every tuple-rolled
           * file is a sorted SUBSEQUENCE of it — what the streaming
           * commit stamps. */
-        private def orderCols: Array[String] = {
-          val t = new GraftTable(tablePath)
-          if (t.latestVersion() == 0L) Array.empty
-          else {
-            val snap = t.snapshot()
-            snap.props.get(TxLog.WriteOrderProp).toArray
-              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-              .takeWhile(c => snap.schema.fieldNames.contains(c) &&
-                info.schema().fieldNames.contains(c))
-          }
-        }
+        private def orderCols: Array[String] =
+          headSnap.map(snap => TxLog.writeOrderDeclared(snap)
+            .takeWhile(c => info.schema().fieldNames.contains(c)).toArray)
+            .getOrElse(Array.empty)
 
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution = {
@@ -1826,14 +1826,17 @@ object GraftTableV2 {
   private[streaming] def sortedPrefixFor(
       snap: TxLog.Snapshot, files: Seq[(TxLog.AddFile, Long)],
       required: StructType): Seq[String] = {
-    val markers = files.map(_._1.stats.get(TxLog.SortedKey))
-    val specs = markers.flatten.collect {
-      case cs if cs.min == cs.max => cs.min }.distinct
-    if (files.isEmpty || markers.exists(_.isEmpty) || specs.size != 1) Nil
+    // every file must carry a SINGLE-VALUED marker (min == max), and
+    // all markers must agree — a malformed marker (min != max) is as
+    // disqualifying as a missing one, never skipped over
+    val specs = files.map(_._1.stats.get(TxLog.SortedKey).collect {
+      case cs if cs.min == cs.max => cs.min })
+    if (files.isEmpty || specs.exists(_.isEmpty) ||
+        specs.flatten.distinct.size != 1) Nil
     else {
       val logicalOf = snap.schema.fields
         .map(f => TxLog.physicalName(f) -> f.name).toMap
-      specs.head.split(",").toSeq
+      specs.flatten.head.split(",").toSeq
         .map(p => logicalOf.get(p).filter(required.fieldNames.contains))
         .takeWhile(_.isDefined).flatten
     }

@@ -1052,4 +1052,42 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.spjck.warehouse")
     }
   }
+
+  test("a stale write.orderBy column cannot false-stamp DML rewrites: stamps equal the DECLARED prefix") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjst", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjst.warehouse", wh)
+    try {
+      val a = new GraftTable(s"$wh/db/a")
+      a.append(Seq((0L, 0L, 0.0)).toDF("id", "seq", "v").limit(0))
+      a.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+      a.setProperty(TxLog.WriteOrderProp, "id,seq")
+      a.append((1L until 100L).map(i => (i, i % 3, i * 1.0)).toDF("id", "seq", "v"))
+      // rename the SECOND order column: the property's "seq" goes stale.
+      // The declared prefix is now just ["id"] — and since the row-level
+      // write sorts only what it declares, the commit must stamp only
+      // that (the old writeOrderPhys fallback would have stamped
+      // "id,seq" on files the write never sorted by seq).
+      a.renameColumn("seq", "pos")
+      withSpj {
+        spark.sql("UPDATE spjst.db.a SET v = v + 100.0 WHERE id % 2 = 0")
+      }
+      val stamped = a.snapshot().files.flatMap(_.stats.get(TxLog.SortedKey))
+      assert(stamped.nonEmpty, "precondition: some rewritten/kept file is stamped")
+      assert(stamped.forall(cs => cs.min == "id"),
+        s"post-rename DML stamps must equal the DECLARED prefix ('id'), " +
+          s"got: ${stamped.map(_.min).distinct}")
+      // and every stamp is physically TRUE
+      for (f <- a.snapshot().files if f.stats.get(TxLog.SortedKey).isDefined) {
+        val ids = spark.read.parquet(a.absoluteDataPath(f))
+          .select("id").as[Long].collect()
+        assert(ids.sameElements(ids.sorted))
+      }
+      assert(spark.sql("SELECT sum(v) FROM spjst.db.a").head().getDouble(0) ===
+        ((1L until 100L).map(_ * 1.0).sum + 49 * 100.0))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjst")
+      spark.conf.unset("spark.sql.catalog.spjst.warehouse")
+    }
+  }
 }
