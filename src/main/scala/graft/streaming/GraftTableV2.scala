@@ -1595,9 +1595,20 @@ final class GraftCatalogTable(
 
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          (specSources ++ orderCols).distinct.map(src => Expressions.sort(
-            Expressions.column(src),
-            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+          // `write.orderBy` LEADS when present: every tuple-rolled file
+          // is then a subsequence sorted by the declared order alone
+          // (ties broken by the spec sources), so streaming epochs can
+          // stamp EXACTLY what the batch staging path stamps for ANY
+          // spec shape — one marker vocabulary across batch, streaming
+          // and DML planes, no mixed-stamp histories. The leading order
+          // column also tightens per-file min/max on itself for free.
+          // Without a declared order the spec sources keep their
+          // original file-range-tightening sort.
+          (if (orderCols.isEmpty) specSources
+           else (orderCols ++ specSources).distinct)
+            .map(src => Expressions.sort(
+              Expressions.column(src),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
 
         // advisory, not strict: a spec-less table or a tiny batch must
         // not fail planning over distribution; AQE may still coalesce
@@ -1625,12 +1636,13 @@ final class GraftCatalogTable(
               "Update output modes would overwrite history every epoch")
           // stamp epochs ONLY under write.orderBy (spec-only sorts
           // would stamp streaming files while batch appends stay
-          // unstamped — a mixed history that permanently disables the
-          // report); the stamped list is the full effective sort, the
-          // true per-file order
+          // unstamped — a mixed history that disables the report). The
+          // stamp is the DECLARED order alone: the task stream is
+          // sorted (orderCols ++ sources), and every tuple-rolled
+          // file's subsequence is therefore sorted by orderCols — the
+          // same list the batch path stamps.
           new GraftStreamingTableWrite(tablePath, info.schema(), info.queryId(),
-            sortedBy = if (orderCols.isEmpty) Nil
-                       else (specSources ++ orderCols).distinct.toSeq)
+            sortedBy = orderCols.toSeq)
         }
       }
     }

@@ -1090,4 +1090,52 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.spjst.warehouse")
     }
   }
+
+  test("one stamp vocabulary across planes: composite days+bucket table fed by batch AND streaming stamps identically") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjmix", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjmix.warehouse", wh)
+    try {
+      spark.sql(
+        "CREATE TABLE spjmix.db.t (id BIGINT, ts TIMESTAMP, v DOUBLE)")
+      val a = new GraftTable(s"$wh/db/t")
+      a.setProperty(PartitionSpec.Prop, "days(ts),bucket(4,id)")
+      a.setProperty(TxLog.WriteOrderProp, "id")
+      def rows(lo: Long, hi: Long) = scala.util.Random.shuffle((lo until hi).toList)
+        .map(i => (i, java.sql.Timestamp.valueOf(
+          s"2024-01-0${1 + (i % 3)} 0${i % 9}:00:00"), i * 1.0))
+      // batch plane
+      a.append(rows(0L, 150L).toDF("id", "ts", "v"))
+      // streaming plane
+      val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      ms.addData(rows(150L, 300L): _*)
+      ms.toDF().toDF("id", "ts", "v").writeStream
+        .option("checkpointLocation", freshWarehouse() + "/ckpt")
+        .trigger(Trigger.AvailableNow()).toTable("spjmix.db.t")
+        .awaitTermination()
+      // EVERY file — batch-staged or epoch-fanout — carries the SAME
+      // stamp ("id", the declared order; the spec sources only break
+      // ties inside the task sort) and is physically monotone on id
+      val stamps = a.snapshot().files.map(_.stats.get(TxLog.SortedKey))
+      assert(stamps.nonEmpty && stamps.forall(_.exists(_.min == "id")),
+        s"mixed-plane stamps must all read 'id': ${stamps.distinct}")
+      for (f <- a.snapshot().files) {
+        val ids = spark.read.parquet(a.absoluteDataPath(f))
+          .select("id").as[Long].collect()
+        assert(ids.sameElements(ids.sorted),
+          s"file ${f.path} is not locally sorted on id")
+      }
+      // and the unified history survives compaction with the same stamp
+      a.compact(spark, targetFileMB = 128)
+      assert(a.snapshot().files.forall(
+        _.stats.get(TxLog.SortedKey).exists(_.min == "id")))
+      assert(spark.sql("SELECT count(*) FROM spjmix.db.t").head().getLong(0) === 300L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjmix")
+      spark.conf.unset("spark.sql.catalog.spjmix.warehouse")
+    }
+  }
 }
