@@ -2788,6 +2788,88 @@ object PipelineOps {
     }
   }
 
+
+  // --------------------------------------------------------------------
+  // q154 — ZERO-SORT WINDOW (keep-first dedup): over a bucket(8, key)
+  // table write-ordered by (key, seq), a row_number() PARTITION BY key
+  // ORDER BY seq ranks with ZERO exchanges AND ZERO sorts — the scan's
+  // KeyGroupedPartitioning satisfies the window's clustering and its
+  // reported two-column file order satisfies the window's full
+  // (partition, order) sort requirement. 100 TB story: CDC keep-first /
+  // earliest-version-wins dedup IS this window — on the sorted-bucket
+  // layout it runs at raw scan speed, touching neither the network nor
+  // a sorter.
+  // --------------------------------------------------------------------
+  def q154SpjWindowSorted(s0: SparkSession, dir: String): DataFrame = {
+    // isolated session — conf toggles must not race sibling queries
+    // under Verify's concurrency (see q146SpjJoin)
+    val s = s0.newSession()
+    val wh = s"${scratch("spjws", dir)}/warehouse"
+    graft.core.Fs.rmTree(new java.io.File(wh))
+    val cat = s"gq154_${math.abs(wh.hashCode).toString.take(8)}"
+    graft.api.Graft.registerCatalog(s, cat, wh)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      val ot = new graft.medallion.GraftTable(s"$wh/d/ord")
+      val ords = lake(s, dir).orders.select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      ot.append(ords.limit(0))
+      ot.setProperty(graft.medallion.PartitionSpec.Prop, "bucket(8,o_custkey)")
+      ot.setProperty("write.orderBy", "o_custkey,o_orderkey")
+      ot.append(ords)
+      ot.compact(s, targetFileMB = 128)
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val q = s.sql(
+        s"""SELECT o_custkey, o_orderkey,
+                   CAST(o_totalprice AS DOUBLE) AS price
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderkey) AS rn
+                  FROM $cat.d.ord)
+            WHERE rn = 1 ORDER BY o_custkey""")
+      require(graft.plans.AdaptivePlans.shufflesOn(q, "custkey")
+          .count(_.outputPartitioning.toString.contains("hashpartitioning")) == 0,
+        "the bucket-key window must rank without a key hash exchange:\n" +
+          graft.plans.AdaptivePlans.finalPlan(q))
+      require(graft.plans.AdaptivePlans.localSortsOn(q, "custkey").isEmpty &&
+          graft.plans.AdaptivePlans.localSortsOn(q, "orderkey").isEmpty,
+        "the (key, seq) write order must satisfy the window's full sort " +
+          s"requirement:\n${graft.plans.AdaptivePlans.finalPlan(q)}")
+      // negative control for BOTH checkers
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      try {
+        val c = s.sql(
+          s"""SELECT count(*) FROM (
+                SELECT row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderkey) AS rn
+                FROM $cat.d.ord) WHERE rn = 1""")
+        require(graft.plans.AdaptivePlans.shufflesOn(c, "custkey").nonEmpty &&
+            graft.plans.AdaptivePlans.localSortsOn(c, "orderkey").nonEmpty,
+          "negative control: with v2 bucketing off the window must " +
+            "exchange AND sort — the checkers are blind otherwise")
+      } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      q
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  private val q154Oracle =
+    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderkey) AS rn
+             FROM orders)
+       WHERE rn = 1 ORDER BY o_custkey"""
+
   private val q153Oracle =
     """SELECT c_custkey,
               CAST(count(*) AS BIGINT) AS n_orders,
@@ -2941,6 +3023,7 @@ object PipelineOps {
     "q151_spj_merge" -> (q151SpjMerge _),
     "q152_spj_sorted" -> (q152SpjSorted _),
     "q153_stream_sorted" -> (q153StreamSorted _),
+    "q154_spj_window_sorted" -> (q154SpjWindowSorted _),
     "q142_sql_mor_update" -> (q142SqlMorUpdate _),
     "q141_metadata_sum" -> (q141MetadataSum _),
     "q139_generated_columns" -> (q139GeneratedColumns _),
@@ -2990,6 +3073,7 @@ object PipelineOps {
     "q151_spj_merge" -> q151Oracle,
     "q152_spj_sorted" -> q152Oracle,
     "q153_stream_sorted" -> q153Oracle,
+    "q154_spj_window_sorted" -> q154Oracle,
     "q142_sql_mor_update" -> q142Oracle,
     "q141_metadata_sum" -> q141Oracle,
     "q139_generated_columns" -> q139Oracle,
