@@ -3,7 +3,7 @@ package graft.medallion
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 
-import scala.collection.immutable.ListMap
+
 import scala.jdk.CollectionConverters.IteratorHasAsScala
 
 import org.json4s._
@@ -797,6 +797,77 @@ object TxLog {
     Commit(op, schema, adds.result(), removes.result(), txns, addVs, cons, ts,
       prp, cdc.result(), cdcFull.result(), mk)
   }
+
+  // --------------------------- distributed checkpoint pruning (planning)
+
+  /** Session conf bounding when the PLANNING path reads the checkpoint
+    * distributively instead of parsing it whole on the driver. Below
+    * the threshold the driver path is faster (no job overhead); above
+    * it, driver JSON parse time and — on million-file tables — driver
+    * heap become the binding constraint (the wall Delta hit before
+    * parquet checkpoints, Iceberg before manifest trees). */
+  private[graft] val DistributedPruneMinBytesConf =
+    "graft.log.distributedPrune.minBytes"
+  private[graft] val DistributedPruneMinBytesDefault: Long = 64L * 1024 * 1024
+
+  /** Is this rendered log line an add action? EXACT for this log's own
+    * renderer: [[addToJson]] emits the action tag first, so every add /
+    * add-dv line starts with `{"a":"add` and no other action name has
+    * that prefix (info, schema, remove, txn, constraints, props, cdc,
+    * cdcfull, protocol). Only this engine writes these files. */
+  private[medallion] def isAddLine(line: String): Boolean =
+    line.startsWith("{\"a\":\"add")
+
+  /** Parse one checkpoint line into its add action, or None for any
+    * non-add line — the per-line unit the distributed prune maps over
+    * executors. The prefix fast-path mirrors [[isAddLine]]; the JSON
+    * parse confirms. */
+  private[medallion] def parseAddLine(line: String): Option[(AddFile, Option[Long])] =
+    if (!isAddLine(line)) None
+    else {
+      val o = JsonMethods.parse(line).asInstanceOf[JObject]
+      o.obj.headOption.collect {
+        case ("a", JString("add")) | ("a", JString("add-dv")) => parseAdd(o)
+      }
+    }
+
+  /** The distributed half of [[GraftTable.prunedSnapshotDistributed]]:
+    * a Spark job over the checkpoint's JSON-lines (text splits are
+    * line-aligned and offset-ordered, so a multi-hundred-MB checkpoint
+    * parses at cluster parallelism), each executor parsing add lines
+    * and applying EXACTLY the driver path's overlap predicate
+    * ([[ColStats.overlaps]] + [[PartitionSpec.admits]] — shared code,
+    * no semantic fork). Only SURVIVOR lines return to the driver, so
+    * driver state is O(files matching the scan's bounds), not O(files
+    * in the table).
+    *
+    * Static (object) method on purpose: the closure captures only the
+    * serializable arguments, never a GraftTable handle. */
+  private[medallion] def distributedPruneSurvivors(
+      spark: SparkSession, checkpointPath: String, schemaJson: String,
+      excluded: Set[String],
+      constraints: Seq[(String, Option[String], Option[String],
+        Option[Any], Option[Any])]): Seq[(AddFile, Option[Long])] = {
+    import spark.implicits._
+    spark.read.textFile(checkpointPath)
+      .mapPartitions { it =>
+        val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        it.filter { line =>
+          parseAddLine(line) match {
+            case Some((a, _)) =>
+              !excluded.contains(a.path) && constraints.forall {
+                case (phys, loS, hiS, loR, hiR) =>
+                  a.stats.get(phys).forall(_.overlaps(loS, hiS)) &&
+                    PartitionSpec.admits(schema, a, phys, loR, hiR)
+              }
+            case None => false
+          }
+        }
+      }
+      .collect().toSeq
+      .map(l => parseAddLine(l).getOrElse(throw new IllegalStateException(
+        s"txlog: survivor line stopped parsing as an add: ${l.take(200)}")))
+  }
 }
 
 /** Handle on one log-structured table rooted at `tablePath`. Thread-safe
@@ -885,7 +956,12 @@ final class GraftTable(val tablePath: String) {
     val target = if (version < 0) head else version
     require(target <= head, s"txlog: version $target does not exist (head=$head)")
     val cp = checkpointAtOrBefore(target)
-    var live = ListMap.empty[String, AddFile]
+    // insertion-ordered like ListMap (deterministic file order for
+    // scans/checkpoints), but O(1) update — immutable ListMap.updated
+    // is O(n), which made snapshot resolution O(n²): ~hours at the
+    // 2·10⁵-add checkpoint DistributedPruneSpec measures, a wall long
+    // before driver heap becomes one
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     var schemaJson: String = null
     var txns = Map.empty[String, Long]
     var addedIn = Map.empty[String, Long]
@@ -998,6 +1074,137 @@ final class GraftTable(val tablePath: String) {
       }
     }
     snap.copy(files = live)
+  }
+
+  /** Planning-path [[prunedSnapshot]] that BOUNDS DRIVER STATE on
+    * million-file tables. The driver path parses the whole checkpoint
+    * JSON and holds every AddFile (min/max, bloom/HLL base64, DV refs)
+    * in memory — measured ~1 KiB heap and ~3 µs parse per add (see
+    * DistributedPruneSpec), i.e. fine at 10⁴–10⁵ files, multi-GB heap
+    * and minutes of single-threaded parse at the 10⁶–10⁷ files a
+    * 100 TB table carries. Past [[TxLog.DistributedPruneMinBytesConf]]
+    * (default 64 MiB ≈ 2·10⁵ adds) with at least one usable bound,
+    * checkpoint adds are parsed and pruned BY EXECUTORS
+    * ([[TxLog.distributedPruneSurvivors]]); the driver holds the
+    * commit SUFFIX (O(checkpoint interval)) plus survivors only.
+    * Below the threshold, or with no prunable bound (every file would
+    * return anyway), the driver path stays — it is faster there. */
+  private[graft] def prunedSnapshot(
+      spark: SparkSession,
+      constraints: Seq[(String, Option[Any], Option[Any])],
+      version: Long): Snapshot = {
+    val head = latestVersion()
+    val target = if (version < 0) head else version
+    val usable = constraints.filter { case (_, lo, hi) =>
+      (lo.nonEmpty || hi.nonEmpty) &&
+        lo.forall(isFiniteStat) && hi.forall(isFiniteStat)
+    }
+    val minBytes =
+      try spark.conf.get(DistributedPruneMinBytesConf,
+        DistributedPruneMinBytesDefault.toString).toLong
+      catch { case scala.util.control.NonFatal(_) =>
+        DistributedPruneMinBytesDefault }
+    checkpointAtOrBefore(target) match {
+      case Some(cv) if usable.nonEmpty &&
+          Files.size(checkpointFile(cv)) >= minBytes =>
+        prunedSnapshotDistributed(spark, cv, target, usable)
+      case _ => prunedSnapshot(constraints, version)
+    }
+  }
+
+  /** The distributed resolution itself (callers go through the
+    * threshold dispatch above; specs drive this directly). Three
+    * phases, each with bounded driver state:
+    *
+    *  1. checkpoint NON-add actions (schema/txn/constraints/props/
+    *     protocol — a handful of lines) stream through the driver
+    *     line-by-line; add lines are skipped by the exact
+    *     [[TxLog.isAddLine]] prefix, so driver memory here is O(meta).
+    *     The protocol feature check still runs (parseCommit on the
+    *     meta lines).
+    *  2. the commit suffix since the checkpoint replays driver-side as
+    *     usual — O(commits since checkpoint) = O(checkpoint interval).
+    *  3. checkpoint adds parse + prune on EXECUTORS; survivors (and
+    *     only survivors) collect. Suffix adds, already driver-side,
+    *     take the same predicate there.
+    *
+    * Equivalent to `prunedSnapshot(constraints, version)` by
+    * construction: same overlap predicate (shared code), same
+    * live-set replay semantics (last action per path wins). */
+  private[graft] def prunedSnapshotDistributed(
+      spark: SparkSession, cv: Long, target: Long,
+      usable: Seq[(String, Option[Any], Option[Any])]): Snapshot = {
+    // phase 1: checkpoint meta, streamed
+    val metaSb = new StringBuilder
+    val linesIt = Files.lines(checkpointFile(cv))
+    try linesIt.iterator().asScala.foreach { line =>
+      if (line.nonEmpty && !isAddLine(line)) {
+        metaSb.append(line).append('\n'); ()
+      }
+    } finally linesIt.close()
+    val metaCp = parseCommit(metaSb.toString)
+    var schemaJson: String = metaCp.schemaJson.orNull
+    var txns = metaCp.txns
+    var cons = metaCp.constraints.getOrElse(Map.empty[String, String])
+    var prps = metaCp.props.getOrElse(Map.empty[String, String])
+    // phase 2: suffix replay — per-path LAST action wins
+    // (LinkedHashMap: insertion-ordered, O(1) update — see snapshot())
+    val delta = scala.collection.mutable.LinkedHashMap
+      .empty[String, Option[(AddFile, Long)]]
+    var v = cv + 1
+    while (v <= target) {
+      val f = versionFile(v)
+      require(Files.exists(f),
+        s"txlog: commit $v missing (vacuumed past a checkpoint?) — " +
+          s"cannot resolve $target")
+      val c = parseCommit(new String(Files.readAllBytes(f), "UTF-8"))
+      c.schemaJson.foreach(schemaJson = _)
+      c.removes.foreach(p => delta += (p -> None))
+      c.adds.foreach(a =>
+        delta += (a.path -> Some((a, c.addVersions.getOrElse(a.path, v)))))
+      c.txns.foreach { case (app, b) =>
+        if (txns.get(app).forall(_ < b)) txns += (app -> b) }
+      c.constraints.foreach(cons = _)
+      c.props.foreach(prps = _)
+      v += 1
+    }
+    require(schemaJson != null,
+      s"txlog: no schema action found resolving version $target")
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val ser = usable.map { case (c0, lo, hi) =>
+      (physicalOf(schema, c0), lo.map(statsLiteral), hi.map(statsLiteral),
+        lo, hi) }
+    def passes(a: AddFile): Boolean = ser.forall {
+      case (phys, loS, hiS, loR, hiR) =>
+        a.stats.get(phys).forall(_.overlaps(loS, hiS)) &&
+          PartitionSpec.admits(schema, a, phys, loR, hiR)
+    }
+    // phase 3: executor-side prune of checkpoint adds; suffix-touched
+    // paths are excluded there and re-resolved from the delta below
+    val survivors = distributedPruneSurvivors(
+      spark, checkpointFile(cv).toString, schemaJson, delta.keySet.toSet, ser)
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    var addedIn = Map.empty[String, Long]
+    survivors.foreach { case (a, vOpt) =>
+      live += (a.path -> a)
+      addedIn += (a.path -> vOpt.getOrElse(cv))
+    }
+    // safety net: a checkpoint add line the prefix filter somehow
+    // routed to the meta parse (impossible for our renderer) must not
+    // be lost — take the same predicate driver-side
+    metaCp.adds.foreach { a =>
+      if (!delta.contains(a.path) && passes(a)) {
+        live += (a.path -> a)
+        addedIn += (a.path -> metaCp.addVersions.getOrElse(a.path, cv))
+      }
+    }
+    delta.foreach {
+      case (_, None) => ()
+      case (p, Some((a, av))) => if (passes(a)) {
+        live += (p -> a); addedIn += (p -> av)
+      }
+    }
+    Snapshot(target, schemaJson, live.values.toSeq, txns, addedIn, cons, prps)
   }
 
   /** Absolute path of a live file (add paths are table-root-relative). */
@@ -1450,8 +1657,16 @@ final class GraftTable(val tablePath: String) {
     * per-file rows + min/max by grouping on `_metadata.file_path` — a
     * #files-row aggregate, not a second full shuffle. Files only become
     * visible when a later commit references them; a crash here leaves
-    * invisible orphans for [[vacuum]]. */
-  private def stageData(df: DataFrame): Seq[AddFile] = {
+    * invisible orphans for [[vacuum]].
+    *
+    * `at` is the CALLER's read snapshot (None for a not-yet-created
+    * table): partition.spec / write.orderBy resolve from it, not from
+    * a re-read of HEAD — a concurrent setProperty between the caller's
+    * read and this staging must not split/sort files under a spec the
+    * commit never validated against (the sorted stamp would stay sound
+    * — it stamps what it sorted — but the files would silently lose
+    * SPJ/ordering eligibility under the committed spec). */
+  private def stageData(df: DataFrame, at: Option[Snapshot]): Seq[AddFile] = {
     ensureDirs()
     val spark = df.sparkSession
     val stage = root.resolve(s"_staged_${UUID.randomUUID().toString.take(8)}")
@@ -1471,8 +1686,7 @@ final class GraftTable(val tablePath: String) {
     // their pruning wants tight RANGES per file (cluster() provides
     // that), not exactness, and skipping the split avoids per-value
     // file fanout on higher-cardinality transforms.
-    val headSnap: Option[Snapshot] =
-      if (latestVersion() == 0L) None else Some(snapshot())
+    val headSnap: Option[Snapshot] = at.filter(_.version > 0L)
     val splitTuple: Seq[Column] = {
       val transforms = headSnap.map(h =>
         PartitionSpec.resolved(h.props, h.schema, df.schema))
@@ -1875,14 +2089,14 @@ final class GraftTable(val tablePath: String) {
     // tuple (one range exchange) so files cover tight transform ranges —
     // see [[PartitionSpec.cluster]]; no-op on spec-less tables
     val physDf = toPhysical(df, commitSchema0(schemaJson0))
-    val clustered =
-      if (head0 == 0L) physDf
-      else {
-        val h = snapshot(head0)
+    val readSnap0 = if (head0 == 0L) None else Some(snapshot(head0))
+    val clustered = readSnap0 match {
+      case None => physDf
+      case Some(h) =>
         PartitionSpec.cluster(physDf,
           PartitionSpec.resolved(h.props, h.schema, physDf.schema))
-      }
-    val adds = stageData(clustered)
+    }
+    val adds = stageData(clustered, readSnap0)
     // constraints validate the STAGED bytes (see enforceOnStaged: the
     // rows checked are the rows committed, and the source lineage never
     // runs twice); a violation deletes the staged files and throws.
@@ -2150,7 +2364,7 @@ final class GraftTable(val tablePath: String) {
     // mapped tables: stage under the table's physical names; validate
     // against the table's LOGICAL schema (constraints speak logical)
     val stagedPhysical = physicalSchema(pre.schema).fieldNames.toSeq
-    val adds = stageData(toPhysical(df, pre.schema))
+    val adds = stageData(toPhysical(df, pre.schema), Some(pre))
     // constraints validate the staged bytes (enforceOnStaged): checked
     // rows == committed rows, source lineage never runs twice
     var validated = pre.constraints ++ generatedChecks(pre.props)
@@ -2254,7 +2468,7 @@ final class GraftTable(val tablePath: String) {
     // and with it the mapping: a metadata-free frame resets the table
     // to unmapped); the staged bytes must match whatever that schema
     // declares as physical
-    val adds = stageData(toPhysical(df, df.schema))
+    val adds = stageData(toPhysical(df, df.schema), Some(snap))
     // CAS commit — no constraint race to re-check: a head moved since
     // `snap` aborts the commit itself
     enforceOnStaged(df.sparkSession, df.schema, adds,
@@ -2299,7 +2513,7 @@ final class GraftTable(val tablePath: String) {
           readPhysicalFiles(spark, physicalSchema(snap.schema), touched),
           snap.schema)
     val merged = Medallion.applyCdc(base, changes, key, seqCol)
-    val adds = stageData(toPhysical(merged, snap.schema))
+    val adds = stageData(toPhysical(merged, snap.schema), Some(snap))
     // constraints check the WRITTEN rows (the merged file content), read
     // back from the staged parquet — no second CDC-merge computation; a
     // violation drops the staged files and nothing commits
@@ -2372,7 +2586,8 @@ final class GraftTable(val tablePath: String) {
     // storage-partitioned joins) instead of straddling every tuple
     val physInserts = toPhysical(inserts, snap.schema)
     val insertAdds = stageData(PartitionSpec.cluster(physInserts,
-      PartitionSpec.resolved(snap.props, snap.schema, physInserts.schema)))
+      PartitionSpec.resolved(snap.props, snap.schema, physInserts.schema)),
+      Some(snap))
     commitDeltaRowLevelAdds(spark, snap, bitmaps, insertAdds,
       op = "upsert", mergeKey = Some(key))
   }
@@ -3044,7 +3259,7 @@ final class GraftTable(val tablePath: String) {
       val survivors =
         readPhysicalFiles(spark, physicalSchema(snap.schema), touched)
         .filter(!coalesce(matched, lit(false))) // NULL predicate ⇒ row survives
-      stageData(survivors)
+      stageData(survivors, Some(snap))
     }
     // cdf.enabled: metadata-dropped files become `cdcfull` refs (their
     // own bytes ARE the change rows — the drop stays zero-write); only
@@ -3112,10 +3327,10 @@ final class GraftTable(val tablePath: String) {
     }
     val survivorAdds = if (touched.isEmpty) Seq.empty else
       stageData(readPhysicalFiles(spark, physicalSchema(snap.schema), touched)
-        .filter(!coalesce(matched, lit(false))))
+        .filter(!coalesce(matched, lit(false))), Some(snap))
     // the replacement content, staged then RANGE-VALIDATED on its own
     // bytes — out-of-window or null-keyed rows refuse atomically
-    val newAdds = stageData(toPhysical(df, snap.schema))
+    val newAdds = stageData(toPhysical(df, snap.schema), Some(snap))
     def dropStaged(): Unit = (survivorAdds ++ newAdds).foreach(a =>
       Files.deleteIfExists(root.resolve(a.path)))
     if (newAdds.nonEmpty) {
@@ -3259,7 +3474,7 @@ final class GraftTable(val tablePath: String) {
       stageData(toPhysical(
         toLogical(readPhysicalFiles(spark, phys, rewriteFiles), snap.schema)
           .filter(!coalesce(expr(condition), lit(false))),
-        snap.schema))
+        snap.schema), Some(snap))
     // provenance of the re-added DV files stays with their ORIGINAL
     // commit — the delete changed which rows exist, not who wrote them
     val addVersions = dvAdds.map(a =>
@@ -3414,7 +3629,7 @@ final class GraftTable(val tablePath: String) {
           .join(positionsDf(spark,
             over.map { case (p, bm) => p -> serialized(bm) }),
             Seq("__f", "__i"), "left_anti")
-          .select(cols: _*))
+          .select(cols: _*), Some(snap))
     // cdf.enabled: newly-deleted positions' pre-images + insert rows
     val cdc = if (!cdfEnabled(snap)) Nil else {
       require(!snap.schema.fieldNames.contains(ChangeTypeCol),
@@ -3470,7 +3685,7 @@ final class GraftTable(val tablePath: String) {
     val dvd = snap.files.filter(_.dv.isDefined)
     if (dvd.isEmpty) return (0, 0, snap.version)
     val adds = stageData(
-      readPhysicalFiles(spark, physicalSchema(snap.schema), dvd))
+      readPhysicalFiles(spark, physicalSchema(snap.schema), dvd), Some(snap))
     val v = commitRewrite(snap, "purge", None, adds, dvd.map(_.path))
     (dvd.size, adds.size, v)
   }
@@ -3501,7 +3716,7 @@ final class GraftTable(val tablePath: String) {
     val df =
       if (spec.isEmpty) raw.repartition(outParts)
       else PartitionSpec.cluster(raw, spec)
-    val adds = stageData(df)
+    val adds = stageData(df, Some(snap))
     val v = commitRewrite(snap, "compact", None, adds, snap.files.map(_.path))
     (snap.files.size, adds.size, v)
   }
@@ -3533,7 +3748,7 @@ final class GraftTable(val tablePath: String) {
       math.ceil(targets.map(_.bytes).sum.toDouble / threshold).toInt)
     val df = readPhysicalFiles(spark, physicalSchema(snap.schema), targets)
       .repartition(outParts)
-    val adds = stageData(df)
+    val adds = stageData(df, Some(snap))
     val v = commitRewrite(snap, "compact", None, adds, targets.map(_.path))
     (targets.size, adds.size, v)
   }
@@ -3567,7 +3782,7 @@ final class GraftTable(val tablePath: String) {
       val outParts = math.max(1,
         math.ceil(g.map(_.bytes).sum.toDouble / threshold).toInt)
       stageData(readPhysicalFiles(spark, physicalSchema(snap.schema), g)
-        .repartition(outParts))
+        .repartition(outParts), Some(snap))
     }
     val v = commitRewrite(snap, "compact", None, adds, targets.map(_.path))
     (targets.size, adds.size, v)
@@ -3612,7 +3827,7 @@ final class GraftTable(val tablePath: String) {
       if (layout == "hilbert")
         Layout.hilbertBy(df, physCols, targetFiles, prefix = prefix)
       else Layout.zorderBy(df, physCols, targetFiles, prefix = prefix)
-    val adds = stageData(clustered)
+    val adds = stageData(clustered, Some(snap))
     val v = commitRewrite(snap, "zorder", None, adds, snap.files.map(_.path))
     (snap.files.size, adds.size, v)
   }

@@ -231,6 +231,87 @@ object Media {
       * decoder instance is the expensive part — amortize it). */
     def decodeBatch(rows: Iterator[MediaRecord]): Iterator[MediaMeta] =
       rows.map(decode)
+
+    // --------------- perceptual hashing (image near-dup) ---------------
+
+    /** The PNG payload's pixel-plane bytes: a REAL chunk walk (length +
+      * type + data + CRC, concatenating every IDAT) — the same
+      * container traversal a real decoder performs. DECODE STUB: a real
+      * pipeline would inflate the IDAT stream and convert to luma here;
+      * this container ships no image libs, so the raw IDAT bytes stand
+      * in as the luma plane deterministically (the synthesized payloads
+      * store the body uncompressed, so this IS the payload body). All
+      * downstream plumbing — batch shape, hashing, banding, the
+      * self-join — is the real thing. Untrusted lengths guarded the
+      * same way [[parseWav]] guards chunk sizes. */
+    def extractPngBody(b: Array[Byte]): Option[Array[Byte]] = {
+      if (b.length < 8 || !b.take(8).sameElements(PngSig)) return None
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 8L
+      while (i + 8 <= b.length) {
+        val len = be32(b, i.toInt)
+        if (len < 0 || i + 12 + len > b.length) return None
+        val ty = new String(b, i.toInt + 4, 4, StandardCharsets.US_ASCII)
+        if (ty == "IEND")
+          return if (out.size() > 0) Some(out.toByteArray) else None
+        if (ty == "IDAT") out.write(b, i.toInt + 8, len)
+        i += 12L + len
+      }
+      None // no IEND: truncated container
+    }
+
+    /** 60-bit difference hash (dHash, the perceptual-hash family of
+      * Krawetz's pHash writeups) over a byte plane: box-downsample to a
+      * 6×11 luma grid (integer mean of 66 equal byte ranges — each ≥ 1
+      * byte once the plane is ≥ 66 long), then one bit per horizontal
+      * neighbor comparison: bit(r,c) = grid(r,c+1) > grid(r,c), 6 rows
+      * × 10 comparisons = 60 bits. 60 on purpose: 4 × 15-bit pigeonhole
+      * bands make Hamming ≤ 3 candidates an exact band equi-join (any
+      * pair within distance 3 agrees on ≥ 1 band) — the same machinery
+      * as the q38b SimHash self-join, and the hash stays clear of the
+      * BIGINT sign bit for the arithmetic oracle. */
+    def dHash60(plane: Array[Byte]): Long = {
+      require(plane.length >= 66,
+        s"dHash60 needs a plane of >= 66 bytes, got ${plane.length}")
+      val grid = new Array[Long](66)
+      val L = plane.length
+      var k = 0
+      while (k < 66) {
+        val lo = (k.toLong * L / 66).toInt
+        val hi = ((k + 1).toLong * L / 66).toInt
+        var s = 0L; var i = lo
+        while (i < hi) { s += plane(i) & 0xff; i += 1 }
+        grid(k) = s / (hi - lo)
+        k += 1
+      }
+      var h = 0L
+      var r = 0
+      while (r < 6) {
+        var c = 0
+        while (c < 10) {
+          if (grid(r * 11 + c + 1) > grid(r * 11 + c)) h |= 1L << (r * 10 + c)
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
+  }
+
+  /** Per-image perceptual hashes for the documents corpus: the image-
+    * modality payloads, container-walked to their pixel plane and
+    * dHash'd — typed, narrow, scan-parallel (one task never holds more
+    * than a batch of payloads). Planes shorter than the 66-byte grid
+    * floor are skipped (no stable hash exists for them). */
+  def imageHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[(Long, Long)] = {
+    import s.implicits._
+    mediaRecords(documents)
+      .filter((r: MediaRecord) => r.fmt == "image")
+      .mapPartitions(_.flatMap { r =>
+        MediaCodec.extractPngBody(r.payload)
+          .filter(_.length >= 66)
+          .map(body => (r.doc_id, MediaCodec.dHash60(body)))
+      })
   }
 
   /** documents → typed media records: modality assigned round-robin from

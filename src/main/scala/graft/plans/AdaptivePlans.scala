@@ -35,17 +35,64 @@ object AdaptivePlans {
   }
 
   /** `TreeNode.collect` that additionally descends into adaptive
-    * roots, query stages, reused exchanges, and subqueries — the
-    * boundaries plain `collect` treats as leaves. */
+    * roots, query stages, reused exchanges, executed-command results,
+    * and subqueries — the boundaries plain `collect` treats as leaves.
+    * [[org.apache.spark.sql.execution.CommandResultExec]] matters for
+    * DML: `spark.sql("MERGE INTO …")` executes eagerly and hands back
+    * a leaf holding the command's REAL physical plan — the post-AQE
+    * plan that actually ran, which is what a zero-exchange assertion
+    * on a MERGE/UPDATE/DELETE should inspect (not EXPLAIN text). */
   def collectDeep[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val kids: Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.finalPhysicalPlan)
       case q: QueryStageExec => Seq(q.plan)
       case r: ReusedExchangeExec => Seq(r.child)
+      case c: org.apache.spark.sql.execution.CommandResultExec =>
+        Seq(c.commandPhysicalPlan)
       case other => other.children
     }
     pf.lift(p).toSeq ++ (kids ++ p.subqueries).flatMap(collectDeep(_)(pf))
   }
+
+  /** Strip stage/reuse/adaptive AND codegen wrappers off a node — for
+    * "is this join input REALLY a Sort?" questions where the
+    * interesting node hides behind `InputAdapter(WholeStageCodegen(…))`
+    * (codegen regions split exactly at exchange/sort boundaries). */
+  @scala.annotation.tailrec
+  def unwrap(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => unwrap(a.finalPhysicalPlan)
+    case q: QueryStageExec => unwrap(q.plan)
+    case r: ReusedExchangeExec => unwrap(r.child)
+    case w: org.apache.spark.sql.execution.WholeStageCodegenExec => unwrap(w.child)
+    case i: org.apache.spark.sql.execution.InputAdapter => unwrap(i.child)
+    case other => other
+  }
+
+  /** Plan-level variant of [[shufflesOn]] — for executed DML commands
+    * reached through [[collectDeep]] rather than a DataFrame. */
+  def shufflesOn(p: SparkPlan, keySubstring: String): Seq[ShuffleExchangeLike] =
+    collectDeep(p) { case s: ShuffleExchangeLike => s }
+      .filter(_.outputPartitioning.toString.contains(keySubstring))
+
+  /** Plan-level variant of [[localSortsOn]]. */
+  def localSortsOn(p: SparkPlan, keySubstring: String)
+      : Seq[org.apache.spark.sql.execution.SortExec] =
+    collectDeep(p) {
+      case s: org.apache.spark.sql.execution.SortExec
+          if !s.global &&
+            s.sortOrder.exists(_.references.exists(_.name.contains(keySubstring)))
+        => s
+    }
+
+  /** How many sort-merge-join INPUTS are Sorts — 0 means every SMJ in
+    * the plan consumed a scan-reported ordering; a freshly-planned
+    * unsorted SMJ contributes 2. */
+  def smjInputSorts(p: SparkPlan): Int =
+    collectDeep(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        Seq(j.left, j.right).count(c =>
+          unwrap(c).isInstanceOf[org.apache.spark.sql.execution.SortExec])
+    }.sum
 
   /** [[collectDeep]] over a DataFrame's final plan. */
   def collectDeep[T](df: DataFrame)(pf: PartialFunction[SparkPlan, T]): Seq[T] =

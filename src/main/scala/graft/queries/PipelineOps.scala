@@ -2184,12 +2184,12 @@ object PipelineOps {
   // --------------------------------------------------------------------
   def q146SpjJoin(s0: SparkSession, dir: String): DataFrame = {
     // ISOLATED session: this query (like every SPJ query) flips
-    // session-global confs (`v2.bucketing.enabled` off for its negative
-    // control) — under Verify's 4-way query concurrency that window
-    // would race a sibling SPJ query's planning on a SHARED session
-    // (observed: q148's join planned shuffled while q151's control had
-    // bucketing off). SQLConf is per-session, so a throwaway
-    // newSession() confines every toggle to this query.
+    // session-global confs (v2 bucketing, broadcast threshold) — under
+    // Verify's 4-way query concurrency that window would race a
+    // sibling query's planning on a SHARED session (observed in r9:
+    // q148's join planned shuffled while a sibling had bucketing off).
+    // SQLConf is per-session, so a throwaway newSession() confines
+    // every toggle to this query.
     val s = s0.newSession()
     val wh = s"${scratch("spj", dir)}/warehouse"
     graft.core.Fs.rmTree(new java.io.File(wh))
@@ -2225,9 +2225,10 @@ object PipelineOps {
       // key — that would mean Spark re-partitioned a scan side.
       // Checked with AdaptivePlans (plain `executedPlan.collect` is
       // VACUOUS under AQE: AdaptiveSparkPlanExec is a leaf to
-      // TreeNode.collect), and guarded by a NEGATIVE CONTROL: the
-      // identical join with v2 bucketing OFF must show ≥1 join-key
-      // exchange — proof the checker can see shuffles at all.
+      // TreeNode.collect). The NEGATIVE CONTROL — the identical join
+      // with v2 bucketing OFF must show ≥1 join-key exchange, proof
+      // the checker can see shuffles at all — runs in
+      // StoragePartitionedJoinSpec, outside the benched body.
       val joinShuffles = graft.plans.AdaptivePlans.shufflesOn(joined, "custkey")
       require(joinShuffles.isEmpty,
         s"the co-bucketed join must not exchange either scan side:\n" +
@@ -2235,18 +2236,6 @@ object PipelineOps {
       require(graft.plans.AdaptivePlans.broadcastCount(joined) == 0,
         s"zero-exchange must not be broadcast's doing:\n" +
           graft.plans.AdaptivePlans.finalPlan(joined))
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-      try {
-        // selective pushed filter keeps the control cheap — the
-        // join-key exchanges it must witness survive any row filter
-        val control = s.sql(
-          s"""SELECT count(*) AS n FROM $cat.d.ord o JOIN $cat.d.cust c
-              ON o.o_custkey = c.c_custkey
-              WHERE o.o_custkey < 500 AND c.c_custkey < 500""")
-        require(graft.plans.AdaptivePlans.shufflesOn(control, "custkey").nonEmpty,
-          "negative control: with v2 bucketing off the join must exchange " +
-            "on the join key — 0 means the shuffle checker is blind")
-      } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       joined
     } finally {
       prev.foreach {
@@ -2311,26 +2300,14 @@ object PipelineOps {
             FROM $cat.d.hdr h JOIN $cat.d.pri p
               ON h.o_orderkey = p.o_orderkey AND h.o_year = p.o_year
             GROUP BY p.o_orderpriority ORDER BY p.o_orderpriority""")
-      // sound (AQE-unwrapping) check + broadcast exclusion, then the
-      // negative control proving the checker sees exchanges when the
-      // composite co-partitioning is not in play
+      // sound (AQE-unwrapping) check + broadcast exclusion; negative
+      // control (bucketing off ⇒ composite join exchanges) lives in
+      // StoragePartitionedJoinSpec, outside the benched body
       require(graft.plans.AdaptivePlans.shufflesOn(joined, "orderkey").isEmpty,
         s"the composite co-partitioned join must not exchange a scan side:\n" +
           graft.plans.AdaptivePlans.finalPlan(joined))
       require(graft.plans.AdaptivePlans.broadcastCount(joined) == 0,
         "zero-exchange must not be broadcast's doing")
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-      try {
-        // selective pushed filter keeps the control cheap — the
-        // join-key exchanges it must witness survive any row filter
-        val control = s.sql(
-          s"""SELECT count(*) AS n FROM $cat.d.hdr h JOIN $cat.d.pri p
-              ON h.o_orderkey = p.o_orderkey AND h.o_year = p.o_year
-              WHERE h.o_orderkey < 5000 AND p.o_orderkey < 5000""")
-        require(graft.plans.AdaptivePlans.shufflesOn(control, "orderkey").nonEmpty,
-          "negative control: with v2 bucketing off the composite join must " +
-            "exchange on the join key — 0 means the shuffle checker is blind")
-      } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       joined
     } finally {
       prev.foreach {
@@ -2378,7 +2355,8 @@ object PipelineOps {
       // the presentation ORDER BY may range-partition; what must NOT
       // exist is a HASH exchange on the group key — the aggregate
       // itself runs on the scan's key grouping. Sound (AQE-unwrapping)
-      // count + negative control, as everywhere.
+      // count; negative control (bucketing off ⇒ the GROUP BY
+      // hash-exchanges) lives in StoragePartitionedJoinSpec.
       def hashOnKey(df: org.apache.spark.sql.DataFrame): Int =
         graft.plans.AdaptivePlans.shuffleExchanges(df).count { e =>
           val p = e.outputPartitioning.toString
@@ -2387,15 +2365,6 @@ object PipelineOps {
       require(hashOnKey(agg) == 0,
         s"the bucket-key aggregate must run on the scan grouping:\n" +
           graft.plans.AdaptivePlans.finalPlan(agg))
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-      try {
-        val control = s.sql(
-          s"""SELECT o_custkey, count(*) AS n FROM $cat.d.ord
-              WHERE o_custkey < 500 GROUP BY o_custkey""")
-        require(hashOnKey(control) >= 1,
-          "negative control: with v2 bucketing off the GROUP BY must " +
-            "hash-exchange on the key — 0 means the checker is blind")
-      } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       agg
     } finally {
       prev.foreach {
@@ -2461,16 +2430,8 @@ object PipelineOps {
       require(hashOnKey(best) == 0,
         s"the bucket-key window must rank on the scan grouping:\n" +
           graft.plans.AdaptivePlans.finalPlan(best))
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-      try {
-        val control = s.sql(
-          s"""SELECT o_custkey FROM (SELECT o_custkey, row_number() OVER
-                (PARTITION BY o_custkey ORDER BY o_orderkey) rn
-              FROM $cat.d.ord) WHERE rn = 1""")
-        require(hashOnKey(control) >= 1,
-          "negative control: with v2 bucketing off the window must " +
-            "hash-exchange on the key — 0 means the checker is blind")
-      } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // negative control (bucketing off ⇒ the window hash-exchanges)
+      // lives in StoragePartitionedJoinSpec, outside the benched body
       best
     } finally {
       prev.foreach {
@@ -2544,40 +2505,27 @@ object PipelineOps {
             WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice
             WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice)
               VALUES (src.o_orderkey, src.o_totalprice)"""
-      // EXPLAIN FORMATTED splits node and arguments across lines, so
-      // match the argument text itself: a hash partitioning whose key
-      // list names the merge key. (One match per exchange — the
-      // details section prints each node's arguments once.)
-      def keyExchanges(plan: String): Int =
-        "hashpartitioning\\([^)]*orderkey".r.findAllIn(plan).length
-      // local (non-presentation) sorts on the merge key: a SortExec
-      // argument list ends `NULLS FIRST], false` only when global=false
-      def keySorts(plan: String): Int =
-        "orderkey[^\\]\\n]*NULLS FIRST\\], false".r.findAllIn(plan).length
-      val planOn = s.sql(s"EXPLAIN FORMATTED $merge").head().getString(0)
-      require(keyExchanges(planOn) == 0,
+      // Execute the MERGE, then inspect the plan that ACTUALLY ran:
+      // spark.sql on DML is eager and returns a CommandResultExec leaf
+      // holding the executed command plan — AdaptivePlans.collectDeep
+      // descends through it (and AQE/stage/reuse wrappers), so these
+      // are node-based checks on the post-AQE physical plan, immune to
+      // EXPLAIN-format drift. Negative controls (bucketing off ⇒ the
+      // same checkers count ≥1 exchange / ≥2 join-input sorts) live in
+      // StoragePartitionedJoinSpec, outside the benched body.
+      val exec = s.sql(merge).queryExecution.executedPlan
+      require(graft.plans.AdaptivePlans.shufflesOn(exec, "orderkey")
+          .count(_.outputPartitioning.toString.contains("hashpartitioning")) == 0,
         "the co-bucketed MERGE must plan both its rewrite join and its " +
           "matching-groups subquery without a merge-key exchange")
       // ONE local key sort remains by design: the WRITE's own declared
       // ordering (RequiresDistributionAndOrdering) directly above
       // MergeRows — what keeps the REWRITTEN files stamped-sorted so
       // zero-sort joins survive the DML. Neither JOIN input sorts.
-      require(keySorts(planOn) == 1 &&
-          "SortMergeJoin[^\\n]*\\n\\s*:- Sort".r.findAllIn(planOn).isEmpty,
+      require(graft.plans.AdaptivePlans.localSortsOn(exec, "orderkey").size == 1 &&
+          graft.plans.AdaptivePlans.smjInputSorts(exec) == 0,
         "the write-ordered MERGE must consume the scans' reported order " +
           "— no JOIN-side key sorts, only the write's own ordering sort")
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-      try {
-        val planOff = s.sql(s"EXPLAIN FORMATTED $merge").head().getString(0)
-        require(keyExchanges(planOff) >= 1,
-          "negative control: with v2 bucketing off the MERGE rewrite " +
-            "join must hash-exchange on the key — 0 means the checker is blind")
-        require(keySorts(planOff) >= 2,
-          "negative control: with v2 bucketing off the MERGE rewrite " +
-            "join must locally sort its inputs beyond the write's own " +
-            "sort — the sort pattern is blind otherwise")
-      } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.sql(merge)
       s.sql(s"""SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
                 FROM $cat.d.t ORDER BY o_orderkey""")
     } finally {
@@ -2660,19 +2608,9 @@ object PipelineOps {
       require(graft.plans.AdaptivePlans.localSortsOn(q, "custkey").isEmpty,
         "the write-ordered join must plan zero LOCAL sorts on the key " +
           s"(scan-reported ordering):\n${graft.plans.AdaptivePlans.finalPlan(q)}")
-      // negative control, both checkers: bucketing off → the same query
-      // must hash-exchange AND locally sort the key
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-      try {
-        val c = build
-        require(graft.plans.AdaptivePlans.shufflesOn(c, "custkey").nonEmpty,
-          "negative control: with v2 bucketing off the join must " +
-            "exchange on the key — 0 means the shuffle checker is blind")
-        require(graft.plans.AdaptivePlans.localSortsOn(c, "custkey").nonEmpty,
-          "negative control: with v2 bucketing off the SMJ must sort " +
-            "its inputs — 0 means the sort checker is blind")
-      } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      // return the CHECKED instance: its executedPlan materialized (and
+      // negative controls for both checkers (bucketing off ⇒ exchange
+      // AND local key sorts) live in StoragePartitionedJoinSpec.
+      // Return the CHECKED instance: its executedPlan materialized (and
       // cached) inside the conf window, so later explains/collects show
       // the zero-exchange zero-sort plan the requires proved — a fresh
       // build would silently re-plan under restored session confs
@@ -2762,17 +2700,8 @@ object PipelineOps {
       require(graft.plans.AdaptivePlans.localSortsOn(q, "custkey").isEmpty,
         "the streamed+compacted join must plan zero local key sorts:\n" +
           graft.plans.AdaptivePlans.finalPlan(q))
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-      try {
-        val c = s.sql(s"""SELECT c.c_custkey, count(*) AS n
-                          FROM $cat.d.cust c JOIN $cat.d.ord o
-                            ON c.c_custkey = o.o_custkey
-                          GROUP BY c.c_custkey""")
-        require(graft.plans.AdaptivePlans.shufflesOn(c, "custkey").nonEmpty &&
-            graft.plans.AdaptivePlans.localSortsOn(c, "custkey").nonEmpty,
-          "negative control: with v2 bucketing off the join must " +
-            "exchange AND sort on the key — the checkers are blind otherwise")
-      } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // negative controls (bucketing off ⇒ exchange AND local key
+      // sorts) live in StoragePartitionedJoinSpec, not the benched body
       q
     } finally {
       prev.foreach {
@@ -2838,19 +2767,8 @@ object PipelineOps {
           graft.plans.AdaptivePlans.localSortsOn(q, "orderkey").isEmpty,
         "the (key, seq) write order must satisfy the window's full sort " +
           s"requirement:\n${graft.plans.AdaptivePlans.finalPlan(q)}")
-      // negative control for BOTH checkers
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-      try {
-        val c = s.sql(
-          s"""SELECT count(*) FROM (
-                SELECT row_number() OVER (PARTITION BY o_custkey
-                                          ORDER BY o_orderkey) AS rn
-                FROM $cat.d.ord) WHERE rn = 1""")
-        require(graft.plans.AdaptivePlans.shufflesOn(c, "custkey").nonEmpty &&
-            graft.plans.AdaptivePlans.localSortsOn(c, "orderkey").nonEmpty,
-          "negative control: with v2 bucketing off the window must " +
-            "exchange AND sort — the checkers are blind otherwise")
-      } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // negative controls for BOTH checkers (bucketing off ⇒ exchange
+      // AND sort) live in StoragePartitionedJoinSpec, not here
       q
     } finally {
       prev.foreach {
@@ -2869,6 +2787,106 @@ object PipelineOps {
                                        ORDER BY o_orderkey) AS rn
              FROM orders)
        WHERE rn = 1 ORDER BY o_custkey"""
+
+  // --------------------------------------------------------------------
+  // q155 — PERCEPTUAL IMAGE NEAR-DUP (dHash + Hamming-banded self-join),
+  // the multimodal sibling of q36/q38b: image payloads container-walk to
+  // their pixel plane (graft.multimodal.Media — real PNG chunk
+  // traversal, deterministic-fake inflate), 60-bit difference hash,
+  // 4×15-bit pigeonhole bands → candidates are an exact band EQUI-JOIN
+  // (any pair within Hamming 3 agrees on ≥ 1 band), each candidate
+  // verified Hamming ≤ 3 and counted once at its first agreeing band.
+  // 100 TB story: payload bytes never cross a shuffle — only 8-byte
+  // hashes band and join; candidates = band-key collisions, no
+  // all-pairs stage anywhere. Oracle recomputes the hash arithmetically
+  // from the text body (the synthesized PNG stores it verbatim in IDAT;
+  // the corpus is ASCII so DuckDB codepoints == payload bytes).
+  // --------------------------------------------------------------------
+  def q155ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    // FIXTURE near-dups, built in-query: every 7th document gains a
+    // copy with ONE substituted character (same length — the pixel-
+    // aligned perturbation a re-encoded image shows). The corpus's
+    // organic near-dups differ by an APPENDED suffix, which dHash over
+    // a length-normalized grid correctly keeps far (length change ≠
+    // same picture) — detection is proven on the aligned fixtures, and
+    // the oracle reproduces the same perturbation + hash arithmetic.
+    val base = lake(s, dir).documents.select(
+      col("doc_id"), col("text"), col("source"))
+    val perturbed = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(substring(col("text"), 1, 20), lit("Q"),
+          substring(col("text"), 22, Int.MaxValue)).as("text"),
+        col("source"))
+    q155ImageNearDupOn(base.unionByName(perturbed))
+  }
+
+  /** The operator over an arbitrary documents frame (specs drive it on
+    * fixture images). */
+  private[graft] def q155ImageNearDupOn(documents: DataFrame): DataFrame = {
+    implicit val spark: SparkSession = documents.sparkSession
+    val hashes = graft.core.CacheScope.cached(
+      Media.imageHashes(documents).toDF("doc_id", "h")
+        .repartition(Scale.par(spark), col("doc_id")))
+    def band(h: Column, j: Int): Column =
+      shiftright(h, 15 * j).bitwiseAND(lit(32767L))
+    val banded = hashes.select(col("doc_id"), col("h"),
+      posexplode(array((0 until 4).map(j => band(col("h"), j)): _*))
+        .as(Seq("band", "bval")))
+    val firstMatch = (0 until 4).foldLeft(lit(null).cast(IntegerType)) {
+      (acc, j) => coalesce(acc,
+        when(band(col("a.h"), j) === band(col("b.h"), j), lit(j)))
+    }
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.band") === firstMatch)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h")))
+          .cast(IntegerType).as("hamming_dist"))
+      .filter(col("hamming_dist") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q155Oracle =
+    """WITH corpus AS (
+         SELECT doc_id, text, source FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000,
+                concat(substr(text, 1, 20), 'Q', substr(text, 22)), source
+         FROM documents WHERE doc_id % 7 = 0),
+       img AS (
+         SELECT doc_id, text, strlen(text) AS L FROM corpus
+         WHERE CAST(substr(source, 4) AS INTEGER) % 3 = 0
+           AND strlen(text) >= 66),
+       grid AS (
+         SELECT doc_id,
+                list_transform(range(66), k ->
+                  list_sum(list_transform(
+                    range(k * L // 66, (k + 1) * L // 66),
+                    i -> unicode(substr(text, CAST(i AS INTEGER) + 1, 1))))
+                  // ((k + 1) * L // 66 - k * L // 66)) AS g
+         FROM img),
+       hsh AS (
+         SELECT doc_id,
+                CAST(list_sum(list_transform(range(60), b ->
+                  CASE WHEN g[CAST((b // 10) * 11 + (b % 10) AS INTEGER) + 2]
+                         > g[CAST((b // 10) * 11 + (b % 10) AS INTEGER) + 1]
+                       THEN 1::BIGINT << CAST(b AS INTEGER) ELSE 0 END))
+                  AS BIGINT) AS h
+         FROM grid),
+       bands AS (
+         SELECT doc_id, h, b.b AS band, (h >> CAST(15 * b.b AS INTEGER)) & 32767 AS bval
+         FROM hsh CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.h AS ha, y.h AS hb
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+       SELECT doc_a, doc_b,
+              CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming_dist
+       FROM cand
+       WHERE bit_count(xor(ha, hb)) <= 3
+       ORDER BY doc_a, doc_b"""
 
   private val q153Oracle =
     """SELECT c_custkey,
@@ -3024,6 +3042,7 @@ object PipelineOps {
     "q152_spj_sorted" -> (q152SpjSorted _),
     "q153_stream_sorted" -> (q153StreamSorted _),
     "q154_spj_window_sorted" -> (q154SpjWindowSorted _),
+    "q155_image_neardup" -> (q155ImageNearDup _),
     "q142_sql_mor_update" -> (q142SqlMorUpdate _),
     "q141_metadata_sum" -> (q141MetadataSum _),
     "q139_generated_columns" -> (q139GeneratedColumns _),
@@ -3074,6 +3093,7 @@ object PipelineOps {
     "q152_spj_sorted" -> q152Oracle,
     "q153_stream_sorted" -> q153Oracle,
     "q154_spj_window_sorted" -> q154Oracle,
+    "q155_image_neardup" -> q155Oracle,
     "q142_sql_mor_update" -> q142Oracle,
     "q141_metadata_sum" -> q141Oracle,
     "q139_generated_columns" -> q139Oracle,

@@ -71,7 +71,13 @@ final class GraftRowLevelOperation(
       GraftTableV2.VersionCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRowLevelScanBuilder(Some(this), tablePath, dataSchema, snapVersion)
+    // capture the PLANNING session (as GraftScanBuilder does): the
+    // scan's keyed report consults the v2.bucketing confs, and under
+    // multi-session concurrency SparkSession.active inside a later
+    // lazy val could be a DIFFERENT session than the one planning
+    // this DML
+    new GraftRowLevelScanBuilder(
+      SparkSession.active, Some(this), tablePath, dataSchema, snapVersion)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.schema().fieldNames.sameElements(dataSchema.fieldNames),
@@ -91,6 +97,7 @@ final class GraftRowLevelOperation(
 /** The candidate-group scan: pushed filters prune files, rows stay
   * whole (see [[GraftRowLevelOperation]] step 1). */
 private final class GraftRowLevelScanBuilder(
+    spark: SparkSession,
     op: Option[GraftRowLevelOperation], tablePath: String,
     schema: StructType, snapVersion: Long)
     extends ScanBuilder with SupportsPushDownFilters
@@ -109,10 +116,12 @@ private final class GraftRowLevelScanBuilder(
   override def pruneColumns(r: StructType): Unit = required = r
 
   override def build(): Scan =
-    new GraftRowLevelScan(op, tablePath, schema, required, filters, snapVersion)
+    new GraftRowLevelScan(
+      spark, op, tablePath, schema, required, filters, snapVersion)
 }
 
 private final class GraftRowLevelScan(
+    spark: SparkSession,
     op: Option[GraftRowLevelOperation], tablePath: String, schema: StructType,
     required: StructType, filters: Array[Filter], snapVersion: Long)
     extends Scan with SupportsRuntimeV2Filtering
@@ -161,7 +170,7 @@ private final class GraftRowLevelScan(
       s"${filters.mkString(", ")}]"
 
   private lazy val snap = table.prunedSnapshot(
-    filters.flatMap(GraftTableV2.bounds).toSeq, version = snapVersion)
+    spark, filters.flatMap(GraftTableV2.bounds).toSeq, version = snapVersion)
   private lazy val candidates = snap.files
     .map(a => a -> snap.addedIn.getOrElse(a.path, snap.version))
     .filter { case (a, v) =>
@@ -181,7 +190,9 @@ private final class GraftRowLevelScan(
   // scan stays unreported: its `_file`/`_pos` row ids need whole-file
   // positional partitions.
   private lazy val keyedReport = {
-    val spark = SparkSession.active
+    // `spark` is the session CAPTURED at scan-builder construction —
+    // the one that planned this DML; SparkSession.active here could be
+    // a concurrent sibling with different bucketing confs
     // pushPartValues is REQUIRED here, not just the bucketing master
     // switch: planInputPartitions regroups AFTER runtime group
     // filtering to a SUBSET of the reported partition values, and
@@ -243,7 +254,7 @@ private final class GraftRowLevelScan(
     // above). GraftBatch also serves the preserved `_commit_version`
     // metadata column from the provenance map when Spark asks for it.
     new GraftBatch(
-      SparkSession.active, table, schema, required,
+      spark, table, schema, required,
       dataFilters = Seq.empty, () => currentFiles(),
       keyed = () =>
         if (keyedReport.isEmpty) None
@@ -378,7 +389,9 @@ final class GraftDeltaRowLevelOperation(
     Array.empty
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRowLevelScanBuilder(None, tablePath, dataSchema, snapVersion)
+    // planning-session capture, same rationale as the group-based scan
+    new GraftRowLevelScanBuilder(
+      SparkSession.active, None, tablePath, dataSchema, snapVersion)
 
   override def newWriteBuilder(info: LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder = {

@@ -542,9 +542,11 @@ final class GraftScan(
 
   /** Compile-time pruning: log min/max from the pushed data-filter
     * bounds, then `_commit_version` predicates against each file's
-    * adding commit. */
+    * adding commit. Session-aware: past the checkpoint-size threshold
+    * the prune runs distributively so planning driver state stays
+    * O(survivors) on million-file tables. */
   private lazy val prunedSnap: TxLog.Snapshot = table.prunedSnapshot(
-    dataFilters.flatMap(GraftTableV2.bounds), version = snapVersion)
+    spark, dataFilters.flatMap(GraftTableV2.bounds), version = snapVersion)
 
   private lazy val pruned: Seq[(TxLog.AddFile, Long)] = {
     val snap = prunedSnap

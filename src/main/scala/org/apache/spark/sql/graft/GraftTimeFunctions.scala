@@ -13,8 +13,9 @@ import org.apache.spark.sql.types._
   *
   * The value is the WRITE side's exact tz-free integer arithmetic
   * ([[graft.medallion.PartitionSpec.column]]): `days` over TIMESTAMP is
-  * `floorDiv(epoch millis, 86_400_000)`, over DATE the raw epoch-day
-  * count; `hours` is `floorDiv(epoch millis, 3_600_000)`. (`months` is
+  * `floorDiv(epoch MICROS, 86_400_000_000)` (Spark timestamps carry
+  * micros internally), over DATE the raw epoch-day count; `hours` is
+  * `floorDiv(epoch micros, 3_600_000_000)`. (`months` is
   * deliberately NOT offered: its write-side `year()/month()` arithmetic
   * is session-timezone-dependent, which a timezone-blind V2 scalar
   * function cannot replay faithfully.) Join-side compatibility is by
@@ -50,7 +51,11 @@ private[graft] sealed abstract class GraftTimeFunction(
       argType match {
         case DateType => Int.box(input.getInt(0)) // already epoch days
         case _ => // TimestampType carries epoch MICROS
-          Int.box(Math.floorDiv(input.getLong(0), unitMicros).toInt)
+          // toIntExact, not toInt: the write side computes this value
+          // in the long domain, so a silent Int wrap here (epoch-hour
+          // > 2^31, year ~246k+) would group a scan tuple under the
+          // WRONG key — fail loudly instead of mis-joining
+          Int.box(Math.toIntExact(Math.floorDiv(input.getLong(0), unitMicros)))
       }
     }
   }

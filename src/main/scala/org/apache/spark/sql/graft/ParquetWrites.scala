@@ -52,17 +52,29 @@ object ParquetWrites {
     * joins silently degrade, and rows reach these writers in arbitrary
     * tuple order (streaming epochs, COW rewrite output), so rolling on
     * key CHANGE would explode the file count. Cost: one open parquet
-    * writer per live tuple per task — the same bounded-by-bucket-count
-    * memory trade Iceberg's fanout writer documents. */
+    * writer per live tuple per task — BOUNDED: past
+    * `graft.write.fanout.maxOpenWriters` (default 64) concurrent
+    * writers, the least-recently-written key closes and rolls; a later
+    * row for it opens a fresh attempt-unique file. Each file stays
+    * single-valued on the tuple (purity is per FILE, not per key), so
+    * the only cost of eviction is extra files — never straddling.
+    * Without the cap, a composite spec (days × bucket) under a
+    * many-day streaming epoch or MERGE rewrite opens days·buckets
+    * writers per task, each buffering up to a parquet row group —
+    * executor OOM at exactly the 100-TB scale the feature targets. */
   def factory(
       spark: SparkSession, schema: StructType, stageDir: String,
       splitKey: Option[InternalRow => String] = None): GraftParquetWriterFactory = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val options = new ParquetOptions(Map.empty[String, String], spark.sessionState.conf)
     val owf = ParquetUtils.prepareWrite(spark.sessionState.conf, job, schema, options)
+    val maxOpen = spark.conf
+      .get("graft.write.fanout.maxOpenWriters", "64").toInt
+    require(maxOpen >= 1,
+      s"graft.write.fanout.maxOpenWriters must be >= 1, got $maxOpen")
     new GraftParquetWriterFactory(
       owf, new SerializableConfiguration(job.getConfiguration), schema, stageDir,
-      splitKey)
+      splitKey, maxOpen)
   }
 }
 
@@ -73,7 +85,8 @@ object ParquetWrites {
 final class GraftParquetWriterFactory(
     owf: OutputWriterFactory, conf: SerializableConfiguration,
     schema: StructType, stageDir: String,
-    splitKey: Option[InternalRow => String] = None) extends DataWriterFactory
+    splitKey: Option[InternalRow => String] = None,
+    maxOpenWriters: Int = 64) extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(
@@ -82,46 +95,80 @@ final class GraftParquetWriterFactory(
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
+      // one live writer per tuple key; `tick` is per-row recency for
+      // the LRU eviction below (a mutable cell beats remove+reinsert
+      // LinkedHashMap churn on the per-row hot path)
+      final class Open(
+          val w: org.apache.spark.sql.execution.datasources.OutputWriter,
+          val path: Path) { var tick: Long = 0L }
       // fanout state: one open writer per transform-tuple key (a single
       // sentinel key when splitKey is absent — the plain one-file path)
-      private val open = mutable.LinkedHashMap.empty[
-        String, (org.apache.spark.sql.execution.datasources.OutputWriter, Path)]
+      private val open = mutable.LinkedHashMap.empty[String, Open]
+      // files already closed-and-rolled by the cap (or by commit):
+      // still part of this task's staged output
+      private val rolled = mutable.ArrayBuffer.empty[Path]
+      private var clock = 0L
       private val keyOf: InternalRow => String =
         splitKey.getOrElse((_: InternalRow) => "")
 
-      private def writerFor(key: String) =
-        open.getOrElseUpdate(key, {
-          val ctx = new TaskAttemptContextImpl(
-            conf.value,
-            new TaskAttemptID(new TaskID(new JobID(UUID.randomUUID().toString.take(8), 0),
-              TaskType.MAP, partitionId), 0))
-          val path = new Path(
-            stageDir,
-            s"part-$partitionId-$taskId-${UUID.randomUUID().toString.take(8)}" +
-              owf.getFileExtension(ctx))
-          (owf.newInstance(path.toString, schema, ctx), path)
-        })._1
+      private def newFile(): (org.apache.spark.sql.execution.datasources.OutputWriter, Path) = {
+        val ctx = new TaskAttemptContextImpl(
+          conf.value,
+          new TaskAttemptID(new TaskID(new JobID(UUID.randomUUID().toString.take(8), 0),
+            TaskType.MAP, partitionId), 0))
+        val path = new Path(
+          stageDir,
+          s"part-$partitionId-$taskId-${UUID.randomUUID().toString.take(8)}" +
+            owf.getFileExtension(ctx))
+        (owf.newInstance(path.toString, schema, ctx), path)
+      }
 
-      override def write(row: InternalRow): Unit =
-        writerFor(keyOf(row)).write(row)
+      private def writerFor(key: String): Open =
+        open.getOrElse(key, {
+          // cap the live-writer count: close-and-roll the least-
+          // recently-written key. The rolled file is complete and
+          // tuple-pure; if its key recurs, a FRESH file opens — extra
+          // files, never a straddle. O(cap) scan, only on new-key
+          // opens past the cap.
+          if (open.size >= maxOpenWriters) {
+            val (lruKey, lru) = open.minBy(_._2.tick)
+            lru.w.close()
+            rolled += lru.path
+            open.remove(lruKey)
+          }
+          val (w, p) = newFile()
+          val o = new Open(w, p)
+          open.put(key, o)
+          o
+        })
+
+      override def write(row: InternalRow): Unit = {
+        val o = writerFor(keyOf(row))
+        clock += 1; o.tick = clock
+        o.w.write(row)
+      }
 
       override def commit(): WriterCommitMessage = {
-        val paths = open.values.map(_._2.toString).toSeq
-        open.values.foreach(_._1.close()); open.clear()
+        val paths = (rolled ++ open.values.map(_.path)).map(_.toString).toSeq
+        open.values.foreach(_.w.close()); open.clear(); rolled.clear()
         ParquetWrites.StagedFiles(paths)
       }
 
       override def abort(): Unit = {
-        open.values.foreach { case (w, p) =>
-          w.close()
+        open.values.foreach { o =>
+          o.w.close()
+          val fs = o.path.getFileSystem(conf.value)
+          fs.delete(o.path, false); ()
+        }
+        rolled.foreach { p =>
           val fs = p.getFileSystem(conf.value)
           fs.delete(p, false); ()
         }
-        open.clear()
+        open.clear(); rolled.clear()
       }
 
       override def close(): Unit = {
-        open.values.foreach(_._1.close()); open.clear()
+        open.values.foreach(_.w.close()); open.clear()
       }
     }
 }

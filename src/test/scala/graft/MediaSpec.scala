@@ -227,4 +227,67 @@ class MediaSpec extends SparkSpec {
     val again = Media.ingestBinary(dir.getAbsolutePath, "*.png").collect()
     assert(again.head.doc_id === pngs.head.doc_id)
   }
+
+  // ---------------- perceptual near-dup (dHash) ----------------
+
+  test("extractPngBody walks the real chunk stream and concatenates IDAT") {
+    val body = (0 until 100).map(_.toByte).toArray
+    val png = MediaCodec.writePng(10, 10, body)
+    assert(MediaCodec.extractPngBody(png).get.toSeq === body.toSeq)
+    // rejects: bad signature, truncated (no IEND), hostile length
+    assert(MediaCodec.extractPngBody(body) === None)
+    assert(MediaCodec.extractPngBody(png.dropRight(13)) === None)
+    val hostile = png.clone()
+    hostile(33) = 0x7f.toByte // IDAT length field → absurdly large
+    assert(MediaCodec.extractPngBody(hostile) === None)
+  }
+
+  test("dHash60: stable, 60-bit, and Hamming-local under small edits") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 4)
+      .getBytes(StandardCharsets.UTF_8)
+    val h0 = MediaCodec.dHash60(base)
+    assert(h0 === MediaCodec.dHash60(base), "deterministic")
+    assert((h0 >>> 60) === 0L, "60-bit: clear of the BIGINT sign range")
+    // a single-byte edit perturbs at most 2 grid cells → ≤ 4 bits
+    val edited = base.clone(); edited(10) = 'Q'.toByte
+    val h1 = MediaCodec.dHash60(edited)
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 4,
+      s"near-identical planes must hash Hamming-close, got ${
+        java.lang.Long.bitCount(h0 ^ h1)}")
+    // an unrelated plane lands far away
+    val other = ("entirely different pixel content with other stats zz " * 4)
+      .getBytes(StandardCharsets.UTF_8)
+    assert(java.lang.Long.bitCount(h0 ^ MediaCodec.dHash60(other)) > 3)
+    // floor guard
+    intercept[IllegalArgumentException](MediaCodec.dHash60(new Array[Byte](65)))
+  }
+
+  test("image near-dup end-to-end: fixture pair found, distant pair not, no all-pairs join") {
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import ss.implicits._
+    val near1 = "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj kkkk llll " * 3
+    val near2 = near1.updated(5, 'B') // one-character edit
+    // the far texts are STRUCTURALLY different (irregular word lengths
+    // / mixed case / digits): uniformly periodic text hashes to the
+    // same up-down luma profile whatever its letters — verified
+    // pairwise Hamming here is 21–30
+    val far1 = "zz ayx mnopqr s tuv wwwwww k x yy zz ab c ddd ee ffff gg hhhh iii j " * 3
+    val far2 = "Zq9 KKKKK ab 0 mmmm D ww t 88888 e RRR iii L x 2 yyyyyy c AA 777 o pQ " * 3
+    // source suffix % 3 == 0 → image modality for all four
+    val docs = Seq(
+      (1L, near1, "src3"), (2L, near2, "src6"),
+      (3L, far1, "src9"), (4L, far2, "src12"))
+      .toDF("doc_id", "text", "source")
+    val q = graft.queries.PipelineOps.q155ImageNearDupOn(docs)
+    val rows = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.contains((1L, 2L)), "the one-edit pair must surface")
+    assert(!rows.exists(p => p._1 == 3L || p._2 == 3L || p._2 == 4L),
+      s"distant images must not pair: $rows")
+    // the candidate join is a band EQUI-join — no nested loop anywhere
+    val loops = graft.plans.AdaptivePlans.collectDeep(q) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(loops.isEmpty, s"all-pairs stage leaked into the plan: $loops")
+  }
 }

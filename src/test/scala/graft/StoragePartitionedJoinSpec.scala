@@ -465,6 +465,10 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       s.append(Seq((0L, 123.0)).toDF("id", "x"))
       t.setProperty(PartitionSpec.Prop, "bucket(8,id)")
       s.setProperty(PartitionSpec.Prop, "bucket(8,id)")
+      // write-ordered like q151: the compacted buckets report their
+      // file order, so the rewrite SMJ consumes it sort-free
+      t.setProperty("write.orderBy", "id")
+      s.setProperty("write.orderBy", "id")
       t.append((1L until 500L).map(i => (i, i * 1.0)).toDF("id", "x"))
       s.append((498L until 700L).map(i => (i, i * -1.0)).toDF("id", "x"))
       t.compact(spark, targetFileMB = 128)
@@ -475,28 +479,43 @@ class StoragePartitionedJoinSpec extends SparkSpec {
            ON tgt.id = src.id
            WHEN MATCHED THEN UPDATE SET x = src.x
            WHEN NOT MATCHED THEN INSERT (id, x) VALUES (src.id, src.x)"""
-      // EXPLAIN FORMATTED splits node and arguments across lines —
-      // match the hash-partitioning argument text naming the key
-      def keyExchanges(plan: String): Int =
-        "hashpartitioning\\(id#".r.findAllIn(plan).length
+      // node-based checker over the EXECUTED command plan (q151's
+      // checker): spark.sql on DML is eager; the result's executedPlan
+      // is a CommandResultExec leaf AdaptivePlans descends through
+      def keyExchanges(df: org.apache.spark.sql.DataFrame): Int =
+        AdaptivePlans.shufflesOn(df.queryExecution.executedPlan, "id")
+          .count(_.outputPartitioning.toString.contains("hashpartitioning"))
+      // NEGATIVE CONTROL first (the merge mutates): an identical pair
+      // with bucketing off must show the checker ≥1 key exchange and
+      // ≥2 SMJ input sorts — execute on clones so state is untouched
+      withSpjOff {
+        val t2 = new GraftTable(s"$wh/db/t2")
+        val s2 = new GraftTable(s"$wh/db/s2")
+        t2.append(Seq((0L, 0.0)).toDF("id", "x"))
+        s2.append(Seq((0L, 123.0)).toDF("id", "x"))
+        t2.setProperty(PartitionSpec.Prop, "bucket(8,id)")
+        s2.setProperty(PartitionSpec.Prop, "bucket(8,id)")
+        t2.append((1L until 500L).map(i => (i, i * 1.0)).toDF("id", "x"))
+        s2.append((498L until 700L).map(i => (i, i * -1.0)).toDF("id", "x"))
+        val ctl = spark.sql(merge.replace("spjmg.db.t", "spjmg.db.t2")
+          .replace("spjmg.db.s", "spjmg.db.s2"))
+        assert(keyExchanges(ctl) >= 1,
+          "negative control: bucketing off must exchange the rewrite join")
+        assert(AdaptivePlans.smjInputSorts(ctl.queryExecution.executedPlan) >= 2,
+          "negative control: bucketing off must sort both SMJ inputs")
+        assert(AdaptivePlans.localSortsOn(
+            ctl.queryExecution.executedPlan, "id").size >= 2,
+          "negative control: the command-plan local-sort counter must " +
+            "see the SMJ input sorts — 0/1 means q151's checker is blind")
+      }
       withSpj {
         // both the FullOuter rewrite join and the LeftSemi
         // matching-groups subquery ride the keyed scans
-        assert(keyExchanges(spark.sql(s"EXPLAIN FORMATTED $merge")
-          .head().getString(0)) === 0)
-      }
-      withSpjOff {
-        val plan = spark.sql(s"EXPLAIN FORMATTED $merge").head().getString(0)
-        assert(keyExchanges(plan) >= 1,
-          "negative control: bucketing off must exchange the rewrite join\n" +
-            Seq("spark.sql.sources.v2.bucketing.enabled",
-              "spark.sql.autoBroadcastJoinThreshold",
-              "spark.sql.adaptive.enabled")
-              .map(k => s"$k=${spark.conf.getOption(k)}").mkString(" ") +
-            "\n" + plan.take(3000))
-      }
-      withSpj {
-        spark.sql(merge)
+        val merged = spark.sql(merge)
+        assert(keyExchanges(merged) === 0,
+          "the co-bucketed MERGE must execute without a key exchange")
+        assert(AdaptivePlans.smjInputSorts(merged.queryExecution.executedPlan) === 0,
+          "the co-bucketed MERGE join must consume the scans' order")
         // exact post-merge state: 0 matched (123.0), 1..497 carried,
         // 498/499 matched (-i), 500..699 inserted (-i)
         val rows = spark.sql("SELECT id, x FROM spjmg.db.t ORDER BY id").collect()
