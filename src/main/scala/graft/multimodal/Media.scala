@@ -260,6 +260,28 @@ object Media {
       None // no IEND: truncated container
     }
 
+    /** The WAV payload's PCM sample bytes: the same untrusted-length
+      * RIFF chunk walk as [[parseWav]], to the `data` chunk. DECODE
+      * STUB: a real pipeline would decode samples and band-filter
+      * here; the raw data-chunk bytes stand in deterministically. */
+    def extractWavData(b: Array[Byte]): Option[Array[Byte]] = {
+      if (b.length < 12 ||
+        new String(b, 0, 4, StandardCharsets.US_ASCII) != "RIFF" ||
+        new String(b, 8, 4, StandardCharsets.US_ASCII) != "WAVE")
+        return None
+      var i = 12L
+      while (i + 8 <= b.length) {
+        val id = new String(b, i.toInt, 4, StandardCharsets.US_ASCII)
+        val size = le32(b, i.toInt + 4)
+        if (size < 0 || i + 8 + size > b.length) return None
+        if (id == "data")
+          return Some(java.util.Arrays.copyOfRange(
+            b, i.toInt + 8, i.toInt + 8 + size))
+        i += 8L + size + (size & 1)
+      }
+      None
+    }
+
     /** 60-bit difference hash (dHash, the perceptual-hash family of
       * Krawetz's pHash writeups) over a byte plane: box-downsample to a
       * 6×11 luma grid (integer mean of 66 equal byte ranges — each ≥ 1
@@ -303,12 +325,27 @@ object Media {
     * dHash'd — typed, narrow, scan-parallel (one task never holds more
     * than a batch of payloads). Planes shorter than the 66-byte grid
     * floor are skipped (no stable hash exists for them). */
-  def imageHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[(Long, Long)] = {
+  def imageHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[(Long, Long)] =
+    perceptualHashes(documents, "image", MediaCodec.extractPngBody)
+
+  /** The audio sibling: WAV payloads container-walk to their PCM
+    * sample plane (`data` chunk) and fingerprint with the same 60-bit
+    * difference hash — for PCM the grid means are per-window signal
+    * energy proxies and the bits are the energy-delta signs, the
+    * classic acoustic-fingerprint shape (Haitsma–Kalker) over the
+    * deterministic-fake decode. */
+  def audioHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[(Long, Long)] =
+    perceptualHashes(documents, "audio", MediaCodec.extractWavData)
+
+  private def perceptualHashes(
+      documents: DataFrame, modality: String,
+      plane: Array[Byte] => Option[Array[Byte]])(
+      implicit s: SparkSession): Dataset[(Long, Long)] = {
     import s.implicits._
     mediaRecords(documents)
-      .filter((r: MediaRecord) => r.fmt == "image")
+      .filter((r: MediaRecord) => r.fmt == modality)
       .mapPartitions(_.flatMap { r =>
-        MediaCodec.extractPngBody(r.payload)
+        plane(r.payload)
           .filter(_.length >= 66)
           .map(body => (r.doc_id, MediaCodec.dHash60(body)))
       })

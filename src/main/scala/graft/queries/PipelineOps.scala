@@ -2824,9 +2824,19 @@ object PipelineOps {
     * fixture images). */
   private[graft] def q155ImageNearDupOn(documents: DataFrame): DataFrame = {
     implicit val spark: SparkSession = documents.sparkSession
+    hammingBandedPairs(Media.imageHashes(documents).toDF("doc_id", "h"))
+  }
+
+  /** Hamming-banded near-dup pairs over 60-bit perceptual hashes
+    * (doc_id, h): 4×15-bit pigeonhole bands (any pair within Hamming 3
+    * agrees on ≥ 1 band) → exact band EQUI-join → verify Hamming ≤ 3,
+    * counting each pair once at its first agreeing band. Shared by the
+    * image (q155) and audio (q156) fingerprints — only 8-byte hashes
+    * ever cross the shuffle. */
+  private def hammingBandedPairs(hashes0: DataFrame): DataFrame = {
+    val spark = hashes0.sparkSession
     val hashes = graft.core.CacheScope.cached(
-      Media.imageHashes(documents).toDF("doc_id", "h")
-        .repartition(Scale.par(spark), col("doc_id")))
+      hashes0.repartition(Scale.par(spark), col("doc_id")))
     def band(h: Column, j: Int): Column =
       shiftright(h, 15 * j).bitwiseAND(lit(32767L))
     val banded = hashes.select(col("doc_id"), col("h"),
@@ -2867,6 +2877,69 @@ object PipelineOps {
                     i -> unicode(substr(text, CAST(i AS INTEGER) + 1, 1))))
                   // ((k + 1) * L // 66 - k * L // 66)) AS g
          FROM img),
+       hsh AS (
+         SELECT doc_id,
+                CAST(list_sum(list_transform(range(60), b ->
+                  CASE WHEN g[CAST((b // 10) * 11 + (b % 10) AS INTEGER) + 2]
+                         > g[CAST((b // 10) * 11 + (b % 10) AS INTEGER) + 1]
+                       THEN 1::BIGINT << CAST(b AS INTEGER) ELSE 0 END))
+                  AS BIGINT) AS h
+         FROM grid),
+       bands AS (
+         SELECT doc_id, h, b.b AS band, (h >> CAST(15 * b.b AS INTEGER)) & 32767 AS bval
+         FROM hsh CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.h AS ha, y.h AS hb
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+       SELECT doc_a, doc_b,
+              CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming_dist
+       FROM cand
+       WHERE bit_count(xor(ha, hb)) <= 3
+       ORDER BY doc_a, doc_b"""
+
+  // --------------------------------------------------------------------
+  // q156 — ACOUSTIC NEAR-DUP, the audio sibling of q155: WAV payloads
+  // container-walk to their PCM `data` chunk (real RIFF traversal,
+  // deterministic-fake decode), the same 60-bit difference hash (per-
+  // window energy-delta signs — the Haitsma–Kalker acoustic-fingerprint
+  // shape), the same 4×15-bit Hamming band join. Same fixtures: every
+  // 7th document gains a one-sample-substituted copy. The oracle is
+  // q155's arithmetic with the audio-modality filter (WAV stores the
+  // body verbatim in its data chunk).
+  // --------------------------------------------------------------------
+  def q156AudioNearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = lake(s, dir).documents.select(
+      col("doc_id"), col("text"), col("source"))
+    val perturbed = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(substring(col("text"), 1, 20), lit("Q"),
+          substring(col("text"), 22, Int.MaxValue)).as("text"),
+        col("source"))
+    implicit val spark: SparkSession = s
+    hammingBandedPairs(
+      Media.audioHashes(base.unionByName(perturbed)).toDF("doc_id", "h"))
+  }
+
+  private val q156Oracle =
+    """WITH corpus AS (
+         SELECT doc_id, text, source FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000,
+                concat(substr(text, 1, 20), 'Q', substr(text, 22)), source
+         FROM documents WHERE doc_id % 7 = 0),
+       aud AS (
+         SELECT doc_id, text, strlen(text) AS L FROM corpus
+         WHERE CAST(substr(source, 4) AS INTEGER) % 3 = 1
+           AND strlen(text) >= 66),
+       grid AS (
+         SELECT doc_id,
+                list_transform(range(66), k ->
+                  list_sum(list_transform(
+                    range(k * L // 66, (k + 1) * L // 66),
+                    i -> unicode(substr(text, CAST(i AS INTEGER) + 1, 1))))
+                  // ((k + 1) * L // 66 - k * L // 66)) AS g
+         FROM aud),
        hsh AS (
          SELECT doc_id,
                 CAST(list_sum(list_transform(range(60), b ->
@@ -3043,6 +3116,7 @@ object PipelineOps {
     "q153_stream_sorted" -> (q153StreamSorted _),
     "q154_spj_window_sorted" -> (q154SpjWindowSorted _),
     "q155_image_neardup" -> (q155ImageNearDup _),
+    "q156_audio_neardup" -> (q156AudioNearDup _),
     "q142_sql_mor_update" -> (q142SqlMorUpdate _),
     "q141_metadata_sum" -> (q141MetadataSum _),
     "q139_generated_columns" -> (q139GeneratedColumns _),
@@ -3094,6 +3168,7 @@ object PipelineOps {
     "q153_stream_sorted" -> q153Oracle,
     "q154_spj_window_sorted" -> q154Oracle,
     "q155_image_neardup" -> q155Oracle,
+    "q156_audio_neardup" -> q156Oracle,
     "q142_sql_mor_update" -> q142Oracle,
     "q141_metadata_sum" -> q141Oracle,
     "q139_generated_columns" -> q139Oracle,

@@ -94,6 +94,29 @@ class DistributedPruneSpec extends SparkSpec {
     }
   }
 
+  test("the DSv2 scan dispatches through the distributed prune on a real table") {
+    import spark.implicits._
+    val dir = new java.io.File(
+      s"target/tmp/distprune_ds_${java.util.UUID.randomUUID().toString.take(8)}")
+    val t = new GraftTable(dir.getAbsolutePath)
+    t.append((0L until 1000L).map(i => (i, i * 2.0)).toDF("id", "x")
+      .repartition(8))
+    t.checkpoint()
+    val prev = spark.conf.getOption(TxLog.DistributedPruneMinBytesConf)
+    spark.conf.set(TxLog.DistributedPruneMinBytesConf, "1")
+    try {
+      val df = spark.read.format("graft-table").load(dir.getAbsolutePath)
+        .filter($"id" >= 100L && $"id" <= 199L)
+      val rows = df.select("id", "x").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows === (100L to 199L).map(i => i -> i * 2.0).toMap,
+        "distributed-pruned DSv2 scan must return exactly the range rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(TxLog.DistributedPruneMinBytesConf, v)
+      case None => spark.conf.unset(TxLog.DistributedPruneMinBytesConf)
+    }
+  }
+
   test("suffix commits replay over the distributed checkpoint prune") {
     val t = synthTable(1000)
     val logDir = Paths.get(t.tablePath, "_graft_log")

@@ -242,6 +242,20 @@ class MediaSpec extends SparkSpec {
     assert(MediaCodec.extractPngBody(hostile) === None)
   }
 
+  test("extractWavData walks RIFF chunks to the PCM payload, hostile sizes refuse") {
+    val body = (0 until 100).map(_.toByte).toArray
+    val wav = MediaCodec.writeWav(44100, 2, body)
+    assert(MediaCodec.extractWavData(wav).get.toSeq === body.toSeq)
+    assert(MediaCodec.extractWavData(body) === None)
+    val hostile = wav.clone()
+    hostile(43) = 0x7f.toByte // data-chunk size (LE u32) → absurdly large
+    assert(MediaCodec.extractWavData(hostile) === None)
+    // one fingerprint function across modalities: the WAV data chunk
+    // hashes identically to the same bytes as an image plane
+    assert(MediaCodec.dHash60(MediaCodec.extractWavData(wav).get)
+      === MediaCodec.dHash60(body))
+  }
+
   test("dHash60: stable, 60-bit, and Hamming-local under small edits") {
     val base = ("the quick brown fox jumps over the lazy dog " * 4)
       .getBytes(StandardCharsets.UTF_8)

@@ -417,6 +417,104 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("streaming lifecycle: continuous epochs + MOR DML + autoCompact keep SPJ; a spec change degrades, compact restores") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjlc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjlc.warehouse", wh)
+    try {
+      // co-bucketed dim, batch-written + compacted
+      val d = new GraftTable(s"$wh/db/dim")
+      d.append(Seq((0L, "seed")).toDF("id", "nm").limit(0))
+      d.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+      d.append((0L until 300L).map(i => (i, s"n$i")).toDF("id", "nm"))
+      d.compact(spark, targetFileMB = 128)
+      // fact: CONTINUOUS ingest through the graft-table sink with
+      // auto-compaction on, MOR delete + MOR upsert interleaved
+      // BETWEEN epochs — the full maintenance lifecycle, no manual
+      // compact anywhere before the join assertion
+      val t = new GraftTable(s"$wh/db/fact")
+      t.append(Seq((0L, 0.0)).toDF("id", "v").limit(0))
+      t.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+      t.setProperty(TxLog.UpdateModeProp, "merge-on-read")
+      val ckpt = freshWarehouse() + "/ckpt"
+      val ms = MemoryStream[(Long, Double)]
+      val q = ms.toDF().toDF("id", "v").writeStream
+        .format("graft-table").option("path", s"$wh/db/fact")
+        .option("checkpointLocation", ckpt)
+        .option("autoCompact", "true")
+        .option("autoCompactMinFiles", "2")
+        .start()
+      ms.addData((1L until 100L).map(i => (i, i * 1.0)): _*)
+      q.processAllAvailable()
+      // merge-on-read delete (deletion vectors) mid-stream
+      t.deleteRows(spark, "id % 10 = 3")
+      // merge-on-read upsert mid-stream: re-price every 7th id (incl.
+      // re-inserting deleted 63 and brand-new 0), insert 100..119
+      t.upsert(
+        ((0L until 100L by 7).map(i => (i, -1.0, 1L, false)) ++
+          (100L until 120L).map(i => (i, i * 2.0, 1L, false)))
+          .toDF("id", "v", "_seq", "_deleted"), "id", "_seq")
+      ms.addData((120L until 200L).map(i => (i, i * 1.0)): _*)
+      q.processAllAvailable()
+      q.stop()
+      // the auto-compaction actually ran (sub-target merge commits)
+      assert(t.history().exists(_._2 == "compact"),
+        "autoCompact must have committed at least one small-file merge")
+      // ingest + DV deletes + MOR post-images + autoCompact alone left
+      // every live file tuple-pure — SPJ eligibility never needed a
+      // manual compact
+      for (f <- t.snapshot().files)
+        assert(PartitionSpec.tupleSignature(f).values.forall(_.isDefined),
+          s"lifecycle left a straddling file ${f.path}: ${f.stats}")
+      def join = spark.sql(
+        """SELECT f.id, f.v, d.nm FROM spjlc.db.fact f
+           JOIN spjlc.db.dim d ON f.id = d.id""")
+      val expect: Map[Long, Double] =
+        ((1L until 100L).filterNot(_ % 10 == 3).map(i => i -> i * 1.0).toMap) ++
+          (0L until 100L by 7).map(i => i -> -1.0).toMap ++
+          (100L until 120L).map(i => i -> i * 2.0).toMap ++
+          (120L until 200L).map(i => i -> i * 1.0).toMap
+      withSpj {
+        assert(shuffles(join) === 0,
+          "post-lifecycle the co-bucketed join must plan zero exchanges")
+        val rows = join.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(rows === expect, "row semantics must survive the lifecycle")
+      }
+      withSpjOff {
+        assert(AdaptivePlans.shufflesOn(join, "id").nonEmpty,
+          "negative control: bucketing off must exchange the join")
+      }
+      // DEGRADATION: a bucket-count change (4 → 8) re-reads the same
+      // files under a spec they carry no stats for — the keyed report
+      // soundly drops and planning falls back to exchanges...
+      t.setProperty(PartitionSpec.Prop, "bucket(8,id)")
+      d.setProperty(PartitionSpec.Prop, "bucket(8,id)")
+      withSpj {
+        assert(shuffles(join) > 0,
+          "a spec the files don't satisfy must degrade to shuffled " +
+            "planning — 0 means the eligibility gate is broken")
+        assert(join.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          === expect, "degraded planning must not change rows")
+      }
+      // ...and RESTORE: one compaction per table re-clusters under the
+      // new spec; the join is exchange-free again
+      t.compact(spark, targetFileMB = 128)
+      d.compact(spark, targetFileMB = 128)
+      withSpj {
+        assert(shuffles(join) === 0,
+          "after re-clustering compaction the bucket(8) join must be " +
+            "exchange-free again")
+        assert(join.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          === expect)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjlc")
+      spark.conf.unset("spark.sql.catalog.spjlc.warehouse")
+    }
+  }
+
   test("SQL COW UPDATE rewrites stay bucket-pure: SPJ holds straight through DML") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.spjw", classOf[GraftCatalog].getName)
