@@ -117,6 +117,42 @@ class DistributedPruneSpec extends SparkSpec {
     }
   }
 
+  test("distributed prune resolves LOGICAL names on a column-mapped table") {
+    import spark.implicits._
+    val dir = new java.io.File(
+      s"target/tmp/distprune_map_${java.util.UUID.randomUUID().toString.take(8)}")
+    val t = new GraftTable(dir.getAbsolutePath)
+    // range-clustered files: disjoint per-file id ranges so the bound
+    // genuinely prunes (round-robin would give every file [0,499])
+    t.append((0L until 500L).map(i => (i, i * 3.0)).toDF("id", "x")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("id")))
+    // rename makes the table column-mapped: logical `key`, physical `id`
+    // (stats keys in the checkpoint stay physical)
+    t.renameColumn("id", "key")
+    t.checkpoint()
+    val constraints = Seq[(String, Option[Any], Option[Any])](
+      ("key", Some(100L), Some(149L)))
+    val driver = t.prunedSnapshot(constraints, -1L)
+    assert(driver.files.size < t.snapshot().files.size,
+      "precondition: the bound must actually prune")
+    val cv = t.lastCheckpointVersion().get
+    val dist = t.prunedSnapshotDistributed(spark, cv, t.latestVersion(), constraints)
+    assert(fileSet(dist) === fileSet(driver))
+    // and through the DSv2 scan under a forced-low threshold
+    val prev = spark.conf.getOption(TxLog.DistributedPruneMinBytesConf)
+    spark.conf.set(TxLog.DistributedPruneMinBytesConf, "1")
+    try {
+      val rows = spark.read.format("graft-table").load(dir.getAbsolutePath)
+        .filter($"key" >= 100L && $"key" <= 149L)
+        .select("key", "x").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows === (100L to 149L).map(i => i -> i * 3.0).toMap)
+    } finally prev match {
+      case Some(v) => spark.conf.set(TxLog.DistributedPruneMinBytesConf, v)
+      case None => spark.conf.unset(TxLog.DistributedPruneMinBytesConf)
+    }
+  }
+
   test("suffix commits replay over the distributed checkpoint prune") {
     val t = synthTable(1000)
     val logDir = Paths.get(t.tablePath, "_graft_log")
