@@ -798,6 +798,48 @@ object TxLog {
       prp, cdc.result(), cdcFull.result(), mk)
   }
 
+  // ------------------------------------ parsed-checkpoint cache (JVM)
+
+  /** Content-addressed cache of PARSED checkpoints. Snapshot
+    * resolution re-parses the checkpoint JSON on every call — the
+    * dominant cost once tables carry 10⁴+ files (~10 µs/add measured),
+    * paid by EVERY plan and every commit's read phase. Checkpoint
+    * bytes are already read whole for parsing, so the key is the md5
+    * of those bytes: content-addressed, it can never serve a stale
+    * parse — not even when a test rebuilds a table at the same path
+    * with the same version number. Bounded two ways (≤ 8 entries AND
+    * ≤ 2·10⁶ cached adds total — a million-file Commit is the working
+    * set, not a leak), LRU on access. */
+  private val MaxCachedCheckpoints = 8
+  private val MaxCachedAdds = 2000000L
+  private[graft] val checkpointCacheHits = new java.util.concurrent.atomic.AtomicLong
+  private val checkpointCache =
+    new java.util.LinkedHashMap[String, Commit](16, 0.75f, true)
+
+  private[medallion] def parseCheckpointCached(bytes: Array[Byte]): Commit = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = java.util.Base64.getEncoder.encodeToString(md.digest(bytes))
+    checkpointCache.synchronized {
+      val hit = checkpointCache.get(key)
+      if (hit != null) { checkpointCacheHits.incrementAndGet(); return hit }
+    }
+    val parsed = parseCommit(new String(bytes, "UTF-8"))
+    checkpointCache.synchronized {
+      checkpointCache.put(key, parsed)
+      var totalAdds = 0L
+      val it = checkpointCache.values().iterator()
+      while (it.hasNext) totalAdds += it.next().adds.size
+      val eldest = checkpointCache.entrySet().iterator()
+      while ((checkpointCache.size() > MaxCachedCheckpoints ||
+          totalAdds > MaxCachedAdds) && checkpointCache.size() > 1 &&
+          eldest.hasNext) {
+        totalAdds -= eldest.next().getValue.adds.size
+        eldest.remove()
+      }
+    }
+    parsed
+  }
+
   // --------------------------- distributed checkpoint pruning (planning)
 
   /** Session conf bounding when the PLANNING path reads the checkpoint
@@ -968,7 +1010,10 @@ final class GraftTable(val tablePath: String) {
     var cons = Map.empty[String, String]
     var prps = Map.empty[String, String]
     cp.foreach { cv =>
-      val c = parseCommit(new String(Files.readAllBytes(checkpointFile(cv)), "UTF-8"))
+      // content-addressed parse cache: the same checkpoint bytes parse
+      // once per JVM — repeated resolution against an unchanged table
+      // costs one file read + hash instead of the JSON parse
+      val c = parseCheckpointCached(Files.readAllBytes(checkpointFile(cv)))
       c.schemaJson.foreach(schemaJson = _)
       c.adds.foreach { a =>
         live += (a.path -> a)
@@ -1022,14 +1067,15 @@ final class GraftTable(val tablePath: String) {
   def readRange(
       spark: SparkSession, column: String,
       lower: Option[Any], upper: Option[Any], version: Long = -1L): DataFrame = {
-    val snap = snapshot(version)
-    val lo = lower.map(statsLiteral)
-    val hi = upper.map(statsLiteral)
+    // the range/admits half goes through the session-aware prune, so a
+    // million-file checkpoint prunes on executors (driver state =
+    // survivors); pointAdmits (bloom probes) applies on the survivor
+    // set — file-count-bounded by then
+    val snap = prunedSnapshot(
+      spark, Seq((column, lower, upper)), version)
     val physCol = physicalOf(snap.schema, column)
     val pruned = snap.copy(files = snap.files.filter(a =>
-      a.stats.get(physCol).forall(_.overlaps(lo, hi)) &&
-        PartitionSpec.admits(snap.schema, a, physCol, lower, upper) &&
-        pointAdmits(snap.schema, a, physCol, column, lower, upper)))
+      pointAdmits(snap.schema, a, physCol, column, lower, upper)))
     readFiles(spark, pruned, { df =>
       val c = col(column)
       (lower, upper) match {

@@ -153,6 +153,38 @@ class DistributedPruneSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint parse cache: repeat resolution hits; rebuilt-same-path content is never served stale") {
+    val t = synthTable(50000)
+    t.snapshot() // first: parses and caches
+    val h0 = TxLog.checkpointCacheHits.get()
+    val again = t.snapshot()
+    assert(TxLog.checkpointCacheHits.get() >= h0 + 1,
+      "the second resolution of unchanged bytes must hit the cache")
+    assert(again.files.size === 50000)
+    // content-addressed soundness: rebuild a table at the SAME path
+    // with the SAME version number but different adds — the cache must
+    // not serve the old parse (it is keyed by content, not path)
+    val dir = new java.io.File(
+      s"target/tmp/distprune_cc_${java.util.UUID.randomUUID().toString.take(8)}")
+    def writeCp(addPath: String): Unit = {
+      graft.core.Fs.rmTree(dir)
+      val logDir = Paths.get(dir.getAbsolutePath, "_graft_log")
+      Files.createDirectories(logDir)
+      val add = TxLog.AddFile(addPath, 1L, 10L,
+        stats = Map("id" -> TxLog.ColStats("num", "0", "0", Some(0L))))
+      Files.write(logDir.resolve(f"${1L}%020d.checkpoint.json"),
+        TxLog.renderCommit("checkpoint", 1L, Some(schema.json), Seq(add), Nil)
+          .getBytes("UTF-8"))
+    }
+    writeCp("first.parquet")
+    assert(new GraftTable(dir.getAbsolutePath).snapshot()
+      .files.map(_.path) === Seq("first.parquet"))
+    writeCp("second.parquet")
+    assert(new GraftTable(dir.getAbsolutePath).snapshot()
+      .files.map(_.path) === Seq("second.parquet"),
+      "a rebuilt same-path same-version checkpoint must resolve to its NEW content")
+  }
+
   test("suffix commits replay over the distributed checkpoint prune") {
     val t = synthTable(1000)
     val logDir = Paths.get(t.tablePath, "_graft_log")
