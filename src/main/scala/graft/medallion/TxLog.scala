@@ -279,6 +279,17 @@ object TxLog {
     * running `CALL system.checkpoint`. */
   private[graft] val CheckpointIntervalProp = "checkpoint.interval"
   private[graft] val CheckpointIntervalDefault = 20
+  /** Table property: OPT-IN commit-log truncation (Delta's
+    * logRetentionDuration shape, version-counted like everything in
+    * this log). When ≥ 1, each auto-checkpoint also best-effort drops
+    * commit files a resolution inside the trailing window can never
+    * need ([[GraftTable.truncateLog]]); absent/0 keeps history forever
+    * (the prior behavior). Without truncation a streaming table's log
+    * directory grows one file per commit FOREVER — 10⁷ commits is 10⁷
+    * directory entries scanned by every `latestVersion()` listing, an
+    * object-store LIST wall unrelated to data size. Keep this ≥ the
+    * vacuum retention: vacuum resolves every snapshot in ITS window. */
+  private[graft] val LogRetentionProp = "log.retention.versions"
   /** Table property: comma-separated LOGICAL column names every staged
     * file's rows are locally sorted by (Iceberg's `WRITE ORDERED BY`
     * shape, ascending nulls-first). Batch staging ([[GraftTable]]'s
@@ -3015,6 +3026,15 @@ final class GraftTable(val tablePath: String) {
         require(n >= 0,
           s"txlog: $CheckpointIntervalProp must be >= 0, got $n")
       }
+      if (name == LogRetentionProp) {
+        val n = try value.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"txlog: $LogRetentionProp must be an integer version " +
+              s"count (0 disables truncation), got '$value'")
+        }
+        require(n >= 0,
+          s"txlog: $LogRetentionProp must be >= 0, got $n")
+      }
       if (name == SumColumnsProp) {
         val schema = snap.schema
         value.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
@@ -3991,9 +4011,48 @@ final class GraftTable(val tablePath: String) {
         val snap = snapshot(committed)
         val interval = snap.props.get(CheckpointIntervalProp)
           .map(_.trim.toInt).getOrElse(CheckpointIntervalDefault)
-        if (interval > 0 && committed - last >= interval) { checkpointAt(snap); () }
+        if (interval > 0 && committed - last >= interval) {
+          checkpointAt(snap)
+          // opt-in log retention rides the checkpoint cadence (the
+          // Delta shape): best-effort, a failure defers to the next
+          snap.props.get(LogRetentionProp).map(_.trim.toInt)
+            .filter(_ >= 1).foreach { keep => truncateLog(keep); () }
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Truncate commit HISTORY: delete the log files no resolution of a
+    * version in the trailing `retainVersions` window can need — commit
+    * `.json`s at or below the newest checkpoint ≤ (head −
+    * retainVersions + 1) (the checkpoint subsumes them) and checkpoints
+    * older than that one. Time travel / CDF / `appendsSince` past the
+    * truncation point stop working with the existing LOUD missing-file
+    * errors; `history()`/`TIMESTAMP AS OF` already skip gone versions.
+    * Nothing deletes without a qualifying checkpoint (a truncation that
+    * could orphan the head refuses by construction). Keep the window ≥
+    * vacuum's: vacuum resolves every snapshot in its own window.
+    * Returns deleted log file names. */
+  def truncateLog(retainVersions: Int): Seq[String] = {
+    require(retainVersions >= 1,
+      s"txlog: log retention must keep >= 1 version, got $retainVersions")
+    val head = latestVersion()
+    val floor = head - retainVersions // strictly-older-than-window mark
+    if (floor <= 0L) return Nil
+    val cpF = checkpointAtOrBefore(floor + 1).getOrElse(return Nil)
+    val it = Files.list(logDir)
+    val victims =
+      try it.iterator().asScala.map(_.getFileName.toString).filter { n =>
+        if (n.endsWith(".checkpoint.json"))
+          n.stripSuffix(".checkpoint.json").toLong < cpF
+        else if (n.endsWith(".json") && !n.startsWith("."))
+          n.stripSuffix(".json").forall(_.isDigit) &&
+            n.stripSuffix(".json").toLong <= cpF
+        else false
+      }.toList
+      finally it.close()
+    victims.foreach(n => Files.deleteIfExists(logDir.resolve(n)))
+    victims.sorted
+  }
 
   /** Delete data files no version in (head−retainVersions, head] can
     * reach — both files removed by old commits and never-committed

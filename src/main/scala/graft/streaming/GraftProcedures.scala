@@ -50,7 +50,7 @@ object GraftProcedures {
 
   private val names =
     Seq("optimize", "vacuum", "restore", "clone", "checkpoint", "analyze",
-      "sync_identity", "detail", "replace_range")
+      "sync_identity", "detail", "replace_range", "truncate_log")
 
   def load(ident: Identifier, dirOfTable: String => String): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -66,6 +66,7 @@ object GraftProcedures {
       case "sync_identity" => syncIdentity(dirOfTable)
       case "detail"     => detail(dirOfTable)
       case "replace_range" => replaceRange(dirOfTable)
+      case "truncate_log" => truncateLogProc(dirOfTable)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure system.$other — available: " +
           names.mkString(", "))
@@ -457,5 +458,21 @@ object GraftProcedures {
     bound("checkpoint", Seq(param("table", StringType)), checkpointOut) { in =>
       val t = tableDir(dirOf, in.getUTF8String(0))
       Seq(InternalRow(t.checkpoint()))
+    }
+
+  private val truncateLogOut = StructType(Seq(
+    StructField("log_files_deleted", IntegerType, nullable = false)))
+
+  /** `CALL system.truncate_log(table, retain_versions)` — drop commit
+    * history no resolution inside the trailing window can need (see
+    * [[graft.medallion.GraftTable.truncateLog]]); the auto path is the
+    * `log.retention.versions` table property riding the checkpoint
+    * cadence. */
+  private def truncateLogProc(dirOf: String => String): UnboundProcedure =
+    bound("truncate_log",
+      Seq(param("table", StringType), paramD("retain_versions", IntegerType, "100")),
+      truncateLogOut) { in =>
+      val t = tableDir(dirOf, in.getUTF8String(0))
+      Seq(InternalRow(t.truncateLog(in.getInt(1)).size))
     }
 }

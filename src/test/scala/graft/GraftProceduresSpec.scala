@@ -137,6 +137,27 @@ class GraftProceduresSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.truncate_log drops pre-checkpoint history, window intact") {
+    import spark.implicits._
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.lr (id BIGINT)")
+      val t = new GraftTable(s"$wh/db/lr")
+      (1 to 12).foreach(i => t.append(Seq(i.toLong).toDF("id")))
+      spark.sql(s"CALL $cat.system.checkpoint(table => 'db.lr')")
+      t.append(Seq(99L).toDF("id"))
+      val head = t.latestVersion()
+      val del = spark.sql(
+        s"CALL $cat.system.truncate_log(table => 'db.lr', retain_versions => 2)")
+        .head()
+      assert(del.getInt(0) >= 1, "pre-checkpoint commits must truncate")
+      // head + trailing window still read exactly
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.lr").head().getLong(0) === 13L)
+      assert(t.snapshot(head - 1).version === head - 1)
+      // far-behind resolution is loudly gone
+      intercept[Exception](t.snapshot(2L))
+    }
+  }
+
   test("CALL system.restore + vacuum + checkpoint round trip in SQL") {
     import spark.implicits._
     withCatalog { (cat, wh) =>

@@ -822,4 +822,44 @@ class TxLogSpec extends SparkSpec {
     assert(graft.medallion.TxLog.utf8Cmp(smile, "�") > 0)
     assert(smile.compareTo("�") < 0)
   }
+
+  test("log retention: auto-truncation drops history the window can never need, loudly gone below it") {
+    val t = freshTable("logret")
+    t.append(df(Seq((0L, "seed"))))
+    t.setProperty(TxLog.CheckpointIntervalProp, "5")
+    t.setProperty(TxLog.LogRetentionProp, "8")
+    (1 to 30).foreach(i => t.append(df(Seq((i.toLong, s"r$i")))))
+    val head = t.latestVersion()
+    val logDir = Paths.get(t.tablePath, TxLog.LogDir)
+    def logFiles(): Seq[String] = {
+      import scala.jdk.CollectionConverters.IteratorHasAsScala
+      val it = Files.list(logDir)
+      try it.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".json")).toList.sorted
+      finally it.close()
+    }
+    // truncation actually happened: fewer log files than commits, and
+    // version 2's commit file is gone
+    assert(logFiles().size < head,
+      s"expected truncation, log still holds ${logFiles().size} files")
+    assert(!Files.exists(logDir.resolve(f"${2L}%020d.json")))
+    // the whole trailing window still resolves exactly
+    ((head - 8 + 1) to head).foreach(v => assert(t.snapshot(v).version === v))
+    assert(t.snapshot().files.nonEmpty)
+    assert(t.read(spark).count() === 31L)
+    // far-behind resolution fails LOUDLY, never silently empty
+    val e = intercept[IllegalArgumentException](t.snapshot(2L))
+    assert(e.getMessage.contains("missing") || e.getMessage.contains("cannot resolve"))
+    // history degrades to the surviving versions without throwing
+    val hist = t.history()
+    assert(hist.nonEmpty && hist.map(_._1).min > 2L)
+    // with no qualifying checkpoint nothing deletes
+    val t2 = freshTable("logret2")
+    t2.append(df(Seq((1L, "a"))))
+    t2.append(df(Seq((2L, "b"))))
+    assert(t2.truncateLog(1) === Nil)
+    // property validation refuses garbage
+    intercept[IllegalArgumentException](
+      t.setProperty(TxLog.LogRetentionProp, "not-a-number"))
+  }
 }
