@@ -534,9 +534,24 @@ object TxLog {
     * metadata operation that FAILS if the target exists — unlike
     * `Files.move`, whose POSIX rename silently overwrites. Returns true
     * if this writer won the name. */
-  private[graft] def putIfAbsent(content: String, target: Path): Boolean = {
+  private[graft] def putIfAbsent(content: String, target: Path): Boolean =
+    putIfAbsentLines(Iterator.single(content), target)
+
+  /** Streaming [[putIfAbsent]]: lines write through a buffered writer
+    * (separator-joined, no trailing newline — byte-identical to the
+    * string path), then the atomic hard-link publish. A million-add
+    * checkpoint streams to disk without a monolithic driver string. */
+  private[graft] def putIfAbsentLines(
+      lines: Iterator[String], target: Path): Boolean = {
     val tmp = target.getParent.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, content.getBytes("UTF-8"))
+    val w = Files.newBufferedWriter(tmp, java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      var first = true
+      lines.foreach { l =>
+        if (!first) w.write("\n")
+        w.write(l); first = false
+      }
+    } finally w.close()
     try { Files.createLink(target, tmp); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
     finally { Files.deleteIfExists(tmp); () }
@@ -684,8 +699,32 @@ object TxLog {
       props: Option[Map[String, String]] = None,
       cdc: Seq[(String, Long)] = Nil,
       cdcFull: Seq[String] = Nil,
-      mergeKey: Option[String] = None): String = {
-    val lines =
+      mergeKey: Option[String] = None): String =
+    renderCommitLines(op, readVersion, schemaJson, adds, removes, txns,
+      addVersions, constraints, tsMillis, props, cdc, cdcFull, mergeKey)
+      .mkString("\n")
+
+  /** The commit document as an ITERATOR of rendered lines: meta
+    * actions (info/protocol/schema/constraints/props/txns — a handful)
+    * eagerly, add/remove/cdc lines LAZILY one at a time — so writing a
+    * million-add checkpoint streams to disk without materializing the
+    * whole document (JSON AST or string) on the driver. The protocol
+    * line derives from the REAL adds (an O(n) dv-existence scan, no
+    * JSON). [[renderCommit]] is exactly these lines joined — racing
+    * checkpointers must produce byte-identical content, so there is
+    * ONE rendering code path. */
+  private[graft] def renderCommitLines(
+      op: String, readVersion: Long, schemaJson: Option[String],
+      adds: Seq[AddFile], removes: Seq[String],
+      txns: Map[String, Long] = Map.empty,
+      addVersions: Map[String, Long] = Map.empty,
+      constraints: Option[Map[String, String]] = None,
+      tsMillis: Option[Long] = None,
+      props: Option[Map[String, String]] = None,
+      cdc: Seq[(String, Long)] = Nil,
+      cdcFull: Seq[String] = Nil,
+      mergeKey: Option[String] = None): Iterator[String] = {
+    val meta: List[JObject] =
       JObject(("a" -> JString("info")) :: ("op" -> JString(op)) ::
         ("readVersion" -> JLong(readVersion)) ::
         // wall-clock commit time, for TIMESTAMP AS OF resolution. An
@@ -719,23 +758,25 @@ object TxLog {
           case (n, v) => n -> (JString(v): JValue) }): JValue))) :::
       // sorted for deterministic checkpoint bytes (lost put race == same content)
       txns.toList.sortBy(_._1).map { case (app, b) =>
-        JObject("a" -> JString("txn"), "appId" -> JString(app), "batchId" -> JLong(b)) } :::
-      adds.toList.map(a => addToJson(a, addVersions.get(a.path))) :::
-      removes.toList.map(p => JObject("a" -> JString("remove"), "path" -> JString(p))) :::
+        JObject("a" -> JString("txn"), "appId" -> JString(app), "batchId" -> JLong(b)) }
+    def line(j: JObject): String = JsonMethods.compact(JsonMethods.render(j))
+    meta.iterator.map(line) ++
+      adds.iterator.map(a => line(addToJson(a, addVersions.get(a.path)))) ++
+      removes.iterator.map(p =>
+        line(JObject("a" -> JString("remove"), "path" -> JString(p)))) ++
       // change-data-feed files of this commit (NOT live data — snapshot
       // replay ignores them; readChangeFeed reads them). A new action,
       // so pre-CDF readers fail loudly on CDF-bearing commits only —
       // the same format-bump confinement as constraints/props/add-dv.
-      cdc.toList.map { case (p, n) => JObject("a" -> JString("cdc"),
-        "path" -> JString(p), "rows" -> JLong(n)) } :::
+      cdc.iterator.map { case (p, n) => line(JObject("a" -> JString("cdc"),
+        "path" -> JString(p), "rows" -> JLong(n))) } ++
       // a removed DATA file whose entire pre-state content (DV applied)
       // is deletes in this commit's feed — the change rows are served by
       // reading the file itself, so a metadata-only file drop stays
       // zero-write even with the feed on. Same format-bump confinement
       // as `cdc`.
-      cdcFull.toList.map(p => JObject("a" -> JString("cdcfull"),
-        "path" -> JString(p)))
-    lines.map(j => JsonMethods.compact(JsonMethods.render(j))).mkString("\n")
+      cdcFull.iterator.map(p => line(JObject("a" -> JString("cdcfull"),
+        "path" -> JString(p))))
   }
 
   private[medallion] final case class Commit(
@@ -3985,11 +4026,15 @@ final class GraftTable(val tablePath: String) {
     // and omitting it keeps constraint-free tables' checkpoints readable
     // by pre-constraint readers (the format bump is confined to tables
     // actually using the feature)
-    val content = renderCommit("checkpoint", snap.version, Some(snap.schemaJson),
-      snap.files, Nil, snap.txns, addVersions = snap.addedIn,
-      constraints = if (snap.constraints.nonEmpty) Some(snap.constraints) else None,
-      props = if (snap.props.nonEmpty) Some(snap.props) else None)
-    putIfAbsent(content, checkpointFile(snap.version)) // lost race == same content
+    // streamed: a million-add checkpoint writes line-at-a-time, never
+    // materializing the document on the driver (lost race == same
+    // content — renderCommitLines is the ONE rendering path)
+    putIfAbsentLines(
+      renderCommitLines("checkpoint", snap.version, Some(snap.schemaJson),
+        snap.files, Nil, snap.txns, addVersions = snap.addedIn,
+        constraints = if (snap.constraints.nonEmpty) Some(snap.constraints) else None,
+        props = if (snap.props.nonEmpty) Some(snap.props) else None),
+      checkpointFile(snap.version))
     val hint = JsonMethods.compact(JsonMethods.render(
       JObject("version" -> JLong(snap.version))))
     val tmp = logDir.resolve(s".hint-${UUID.randomUUID()}")
