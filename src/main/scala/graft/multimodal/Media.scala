@@ -282,6 +282,32 @@ object Media {
       None
     }
 
+    /** The JPEG payload's post-header bytes up to EOI — the entropy-
+      * coded segment a real decoder would Huffman-decode (DECODE STUB:
+      * raw bytes stand in deterministically). Walks the marker chain
+      * like [[parseJpeg]] to the first non-marker offset, then takes
+      * everything before the trailing EOI. For the frame-sample
+      * convention (video payloads carry one JPEG keyframe) this IS the
+      * keyframe's pixel plane. */
+    def extractJpegBody(b: Array[Byte]): Option[Array[Byte]] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      if ((b(b.length - 2) & 0xff) != 0xff || (b(b.length - 1) & 0xff) != 0xd9)
+        return None // no EOI: truncated
+      var i = 2
+      while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        if ((marker >= 0xd0 && marker <= 0xd9) || marker == 0x01) i += 2
+        else {
+          val len = be16(b, i + 2)
+          if (len < 2) return None
+          i += 2 + len
+        }
+      }
+      if (i >= b.length - 2) None
+      else Some(java.util.Arrays.copyOfRange(b, i, b.length - 2))
+    }
+
     /** 60-bit difference hash (dHash, the perceptual-hash family of
       * Krawetz's pHash writeups) over a byte plane: box-downsample to a
       * 6×11 luma grid (integer mean of 66 equal byte ranges — each ≥ 1
@@ -336,6 +362,13 @@ object Media {
     * deterministic-fake decode. */
   def audioHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[(Long, Long)] =
     perceptualHashes(documents, "audio", MediaCodec.extractWavData)
+
+  /** The video sibling, under the frame-sample convention (a video
+    * payload carries one JPEG keyframe): keyframe body → the same
+    * difference hash. A multi-frame pipeline would flatMap one hash
+    * per sampled frame through the identical plumbing. */
+  def videoKeyframeHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[(Long, Long)] =
+    perceptualHashes(documents, "video", MediaCodec.extractJpegBody)
 
   private def perceptualHashes(
       documents: DataFrame, modality: String,

@@ -2899,6 +2899,68 @@ object PipelineOps {
        ORDER BY doc_a, doc_b"""
 
   // --------------------------------------------------------------------
+  // q157 — VIDEO KEYFRAME NEAR-DUP, completing the modality triple:
+  // video payloads carry one JPEG keyframe (the q56 frame-sample
+  // convention); the marker-chain walk extracts the entropy-coded body
+  // (deterministic-fake decode), then the shared 60-bit dHash +
+  // Hamming band join. Same in-query fixtures, same arithmetic oracle
+  // shape with the video-modality filter (the synthesized JPEG stores
+  // the body verbatim between header and EOI).
+  // --------------------------------------------------------------------
+  def q157VideoNearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = lake(s, dir).documents.select(
+      col("doc_id"), col("text"), col("source"))
+    val perturbed = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(substring(col("text"), 1, 20), lit("Q"),
+          substring(col("text"), 22, Int.MaxValue)).as("text"),
+        col("source"))
+    implicit val spark: SparkSession = s
+    hammingBandedPairs(
+      Media.videoKeyframeHashes(base.unionByName(perturbed)).toDF("doc_id", "h"))
+  }
+
+  private val q157Oracle =
+    """WITH corpus AS (
+         SELECT doc_id, text, source FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000,
+                concat(substr(text, 1, 20), 'Q', substr(text, 22)), source
+         FROM documents WHERE doc_id % 7 = 0),
+       vid AS (
+         SELECT doc_id, text, strlen(text) AS L FROM corpus
+         WHERE CAST(substr(source, 4) AS INTEGER) % 3 = 2
+           AND strlen(text) >= 66),
+       grid AS (
+         SELECT doc_id,
+                list_transform(range(66), k ->
+                  list_sum(list_transform(
+                    range(k * L // 66, (k + 1) * L // 66),
+                    i -> unicode(substr(text, CAST(i AS INTEGER) + 1, 1))))
+                  // ((k + 1) * L // 66 - k * L // 66)) AS g
+         FROM vid),
+       hsh AS (
+         SELECT doc_id,
+                CAST(list_sum(list_transform(range(60), b ->
+                  CASE WHEN g[CAST((b // 10) * 11 + (b % 10) AS INTEGER) + 2]
+                         > g[CAST((b // 10) * 11 + (b % 10) AS INTEGER) + 1]
+                       THEN 1::BIGINT << CAST(b AS INTEGER) ELSE 0 END))
+                  AS BIGINT) AS h
+         FROM grid),
+       bands AS (
+         SELECT doc_id, h, b.b AS band, (h >> CAST(15 * b.b AS INTEGER)) & 32767 AS bval
+         FROM hsh CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.h AS ha, y.h AS hb
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+       SELECT doc_a, doc_b,
+              CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming_dist
+       FROM cand
+       WHERE bit_count(xor(ha, hb)) <= 3
+       ORDER BY doc_a, doc_b"""
+
+  // --------------------------------------------------------------------
   // q156 — ACOUSTIC NEAR-DUP, the audio sibling of q155: WAV payloads
   // container-walk to their PCM `data` chunk (real RIFF traversal,
   // deterministic-fake decode), the same 60-bit difference hash (per-
@@ -3117,6 +3179,7 @@ object PipelineOps {
     "q154_spj_window_sorted" -> (q154SpjWindowSorted _),
     "q155_image_neardup" -> (q155ImageNearDup _),
     "q156_audio_neardup" -> (q156AudioNearDup _),
+    "q157_video_neardup" -> (q157VideoNearDup _),
     "q142_sql_mor_update" -> (q142SqlMorUpdate _),
     "q141_metadata_sum" -> (q141MetadataSum _),
     "q139_generated_columns" -> (q139GeneratedColumns _),
@@ -3169,6 +3232,7 @@ object PipelineOps {
     "q154_spj_window_sorted" -> q154Oracle,
     "q155_image_neardup" -> q155Oracle,
     "q156_audio_neardup" -> q156Oracle,
+    "q157_video_neardup" -> q157Oracle,
     "q142_sql_mor_update" -> q142Oracle,
     "q141_metadata_sum" -> q141Oracle,
     "q139_generated_columns" -> q139Oracle,

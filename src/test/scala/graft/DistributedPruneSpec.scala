@@ -185,6 +185,36 @@ class DistributedPruneSpec extends SparkSpec {
       "a rebuilt same-path same-version checkpoint must resolve to its NEW content")
   }
 
+  test("DV-carrying adds (add-dv lines) survive the distributed prune intact") {
+    val dir = new java.io.File(
+      s"target/tmp/distprune_dv_${java.util.UUID.randomUUID().toString.take(8)}")
+    val logDir = Paths.get(dir.getAbsolutePath, "_graft_log")
+    Files.createDirectories(logDir)
+    val bm = new org.roaringbitmap.RoaringBitmap(); bm.add(3); bm.add(7)
+    val buf = java.nio.ByteBuffer.allocate(bm.serializedSizeInBytes())
+    bm.serialize(buf)
+    val dv64 = java.util.Base64.getEncoder.encodeToString(buf.array())
+    val adds = (0 until 100).map { i =>
+      TxLog.AddFile(f"part-dv-$i%04d.parquet", 100L, 4096L,
+        stats = Map("id" -> TxLog.ColStats("num",
+          (i * 10L).toString, (i * 10L + 9L).toString, Some(0L))),
+        dv = if (i % 2 == 0) Some(dv64) else None,
+        dvRows = if (i % 2 == 0) 2L else 0L)
+    }
+    Files.write(logDir.resolve(f"${1L}%020d.checkpoint.json"),
+      TxLog.renderCommit("checkpoint", 1L, Some(schema.json), adds, Nil)
+        .getBytes("UTF-8"))
+    val t = new GraftTable(dir.getAbsolutePath)
+    val constraints = Seq[(String, Option[Any], Option[Any])](
+      ("id", Some(100L), Some(139L))) // files 10..13: two DV'd, two plain
+    val dist = t.prunedSnapshotDistributed(spark, 1L, 1L, constraints)
+    assert(fileSet(dist) === fileSet(t.prunedSnapshot(constraints, -1L)))
+    val byPath = dist.files.map(a => a.path -> a).toMap
+    assert(byPath(f"part-dv-${10}%04d.parquet").dv === Some(dv64))
+    assert(byPath(f"part-dv-${10}%04d.parquet").effectiveRows === 98L)
+    assert(byPath(f"part-dv-${11}%04d.parquet").dv === None)
+  }
+
   test("suffix commits replay over the distributed checkpoint prune") {
     val t = synthTable(1000)
     val logDir = Paths.get(t.tablePath, "_graft_log")

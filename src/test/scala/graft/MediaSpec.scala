@@ -256,6 +256,20 @@ class MediaSpec extends SparkSpec {
       === MediaCodec.dHash60(body))
   }
 
+  test("extractJpegBody walks the marker chain to the entropy-coded segment") {
+    val body = "the keyframe pixel stand-in bytes of a sampled video frame!!"
+      .getBytes(StandardCharsets.US_ASCII)
+    val jpeg = MediaCodec.writeJpeg(320, 200, body)
+    assert(MediaCodec.extractJpegBody(jpeg).get.toSeq === body.toSeq)
+    assert(MediaCodec.extractJpegBody(body) === None) // no SOI
+    assert(MediaCodec.extractJpegBody(jpeg.dropRight(1)) === None) // no EOI
+    // cross-modality fingerprint identity, same as the WAV case
+    val plane = (0 until 100).map(_.toByte).toArray
+    assert(MediaCodec.dHash60(
+      MediaCodec.extractJpegBody(MediaCodec.writeJpeg(8, 8, plane)).get)
+      === MediaCodec.dHash60(plane))
+  }
+
   test("dHash60: stable, 60-bit, and Hamming-local under small edits") {
     val base = ("the quick brown fox jumps over the lazy dog " * 4)
       .getBytes(StandardCharsets.UTF_8)
