@@ -544,17 +544,21 @@ object TxLog {
   private[graft] def putIfAbsentLines(
       lines: Iterator[String], target: Path): Boolean = {
     val tmp = target.getParent.resolve(s".tmp-${UUID.randomUUID()}")
-    val w = Files.newBufferedWriter(tmp, java.nio.charset.StandardCharsets.UTF_8)
+    // one try/finally spans render+write+link: the lazily-rendered
+    // lines iterator can throw mid-write, and the partial tmp file
+    // must be reclaimed on EVERY exit path, not only after the link
     try {
-      var first = true
-      lines.foreach { l =>
-        if (!first) w.write("\n")
-        w.write(l); first = false
-      }
-    } finally w.close()
-    try { Files.createLink(target, tmp); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    finally { Files.deleteIfExists(tmp); () }
+      val w = Files.newBufferedWriter(tmp, java.nio.charset.StandardCharsets.UTF_8)
+      try {
+        var first = true
+        lines.foreach { l =>
+          if (!first) w.write("\n")
+          w.write(l); first = false
+        }
+      } finally w.close()
+      try { Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally { Files.deleteIfExists(tmp); () }
   }
 
   // ---------------------------------------------------------------- JSON
@@ -859,33 +863,47 @@ object TxLog {
     * bytes are already read whole for parsing, so the key is the md5
     * of those bytes: content-addressed, it can never serve a stale
     * parse — not even when a test rebuilds a table at the same path
-    * with the same version number. Bounded two ways (≤ 8 entries AND
-    * ≤ 2·10⁶ cached adds total — a million-file Commit is the working
-    * set, not a leak), LRU on access. */
+    * with the same version number. Bounded three ways: ≤ 8 entries,
+    * ≤ 2·10⁶ cached adds total (a million-file Commit is the working
+    * set, not a leak), LRU on access — and the values are
+    * SoftReferences, so a JVM under memory pressure reclaims the
+    * parsed adds instead of OOMing: a driver that relies on the
+    * distributed prune to AVOID million-add heap is never pinned by
+    * one stray snapshot() call that populated this cache. A cleared
+    * reference is a cache miss (re-parse), never an error. */
   private val MaxCachedCheckpoints = 8
   private val MaxCachedAdds = 2000000L
   private[graft] val checkpointCacheHits = new java.util.concurrent.atomic.AtomicLong
   private val checkpointCache =
-    new java.util.LinkedHashMap[String, Commit](16, 0.75f, true)
+    new java.util.LinkedHashMap[String, java.lang.ref.SoftReference[Commit]](
+      16, 0.75f, true)
 
   private[medallion] def parseCheckpointCached(bytes: Array[Byte]): Commit = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val key = java.util.Base64.getEncoder.encodeToString(md.digest(bytes))
     checkpointCache.synchronized {
-      val hit = checkpointCache.get(key)
+      val ref = checkpointCache.get(key)
+      val hit = if (ref == null) null else ref.get()
       if (hit != null) { checkpointCacheHits.incrementAndGet(); return hit }
+      if (ref != null) checkpointCache.remove(key) // GC-cleared: drop slot
     }
     val parsed = parseCommit(new String(bytes, "UTF-8"))
     checkpointCache.synchronized {
-      checkpointCache.put(key, parsed)
+      checkpointCache.put(key, new java.lang.ref.SoftReference(parsed))
+      // drop GC-cleared slots first, then LRU-evict by entry/add caps
+      checkpointCache.values().removeIf(r => r.get() == null)
       var totalAdds = 0L
       val it = checkpointCache.values().iterator()
-      while (it.hasNext) totalAdds += it.next().adds.size
+      while (it.hasNext) {
+        val c = it.next().get()
+        if (c != null) totalAdds += c.adds.size
+      }
       val eldest = checkpointCache.entrySet().iterator()
       while ((checkpointCache.size() > MaxCachedCheckpoints ||
           totalAdds > MaxCachedAdds) && checkpointCache.size() > 1 &&
           eldest.hasNext) {
-        totalAdds -= eldest.next().getValue.adds.size
+        val c = eldest.next().getValue.get()
+        if (c != null) totalAdds -= c.adds.size
         eldest.remove()
       }
     }
@@ -1193,6 +1211,8 @@ final class GraftTable(val tablePath: String) {
       version: Long): Snapshot = {
     val head = latestVersion()
     val target = if (version < 0) head else version
+    require(target <= head,
+      s"txlog: version $target does not exist (head=$head)")
     val usable = constraints.filter { case (_, lo, hi) =>
       (lo.nonEmpty || hi.nonEmpty) &&
         lo.forall(isFiniteStat) && hi.forall(isFiniteStat)
@@ -4080,16 +4100,26 @@ final class GraftTable(val tablePath: String) {
   def truncateLog(retainVersions: Int): Seq[String] = {
     require(retainVersions >= 1,
       s"txlog: log retention must keep >= 1 version, got $retainVersions")
+    // floor-clamp against the widest vacuum window this handle has run:
+    // vacuum resolves every snapshot in ITS window, so truncating the
+    // log tighter than that window would make every later vacuum fail
+    // loudly on missing commits (the documented invariant, now enforced
+    // instead of advisory where the two calls share a handle)
+    val effectiveRetain = math.max(retainVersions, lastVacuumRetain)
     val head = latestVersion()
-    val floor = head - retainVersions // strictly-older-than-window mark
+    val floor = head - effectiveRetain // strictly-older-than-window mark
     if (floor <= 0L) return Nil
     val cpF = checkpointAtOrBefore(floor + 1).getOrElse(return Nil)
     val it = Files.list(logDir)
     val victims =
       try it.iterator().asScala.map(_.getFileName.toString).filter { n =>
-        if (n.endsWith(".checkpoint.json"))
-          n.stripSuffix(".checkpoint.json").toLong < cpF
-        else if (n.endsWith(".json") && !n.startsWith("."))
+        if (n.endsWith(".checkpoint.json")) {
+          // same all-digits guard as the commit branch: a stray
+          // non-numeric *.checkpoint.json must be skipped, not throw
+          // NumberFormatException out of a manual truncate_log call
+          val v = n.stripSuffix(".checkpoint.json")
+          v.nonEmpty && v.forall(_.isDigit) && v.toLong < cpF
+        } else if (n.endsWith(".json") && !n.startsWith("."))
           n.stripSuffix(".json").forall(_.isDigit) &&
             n.stripSuffix(".json").toLong <= cpF
         else false
@@ -4133,7 +4163,14 @@ final class GraftTable(val tablePath: String) {
   /** `dryRun = true` reports what a vacuum WOULD delete — same
     * reachability walk, zero deletions (the Delta `VACUUM ... DRY RUN`
     * shape: operators audit the blast radius before retiring bytes). */
+  /** Widest non-dry vacuum window seen on this handle; [[truncateLog]]
+    * floor-clamps against it so log retention can never undercut the
+    * versions vacuum must resolve. */
+  @volatile private var lastVacuumRetain: Int = 0
+
   def vacuum(retainVersions: Int, dryRun: Boolean): Seq[String] = {
+    if (!dryRun && retainVersions > lastVacuumRetain)
+      lastVacuumRetain = retainVersions
     val head = latestVersion()
     val floor = math.max(0L, head - retainVersions)
     val reachable = ((floor.max(1L)) to head).flatMap(v =>
