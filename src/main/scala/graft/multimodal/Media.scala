@@ -22,15 +22,19 @@ import org.apache.spark.sql.functions._
   * signature), JPEG SOFn markers (walk the segment chain, read the frame
   * dimensions), and WAV `fmt ` chunks (sample rate / channels /
   * bits-per-sample, little-endian RIFF). The container is sniffed from
-  * magic bytes, never trusted from metadata. Since this environment ships
-  * no media fixtures, [[mediaRecords]] SYNTHESIZES container-valid
-  * payloads (correct signatures, header fields, CRCs; the document text
-  * as the opaque body) with dimensions derived from the md5 of the text —
-  * which is what lets the DuckDB oracle predict every parsed field
-  * arithmetically while the Spark side extracts them from real bytes.
-  * Pixel/sample payloads are opaque (this is a metadata extractor, not a
-  * raster decoder); a full decoder (JavaCV, TwelveMonkeys, ffmpeg) drops
-  * into the same `mapPartitions` slot.
+  * magic bytes, never trusted from metadata. PNG goes all the way to
+  * pixels: [[MediaCodec.writePngPixels]] emits true 8-bit gray/RGB
+  * images (per-scanline filters 0–4, zlib-wrapped IDAT) and
+  * [[MediaCodec.decodePngLuma]] decodes ANY conforming non-interlaced
+  * 8-bit PNG by the standard path — chunk walk, `java.util.zip.Inflater`,
+  * unfilter, integer luma. Since this environment ships no media
+  * fixtures, [[mediaRecords]] SYNTHESIZES payloads from the document
+  * text (for PNG the text bytes ARE the pixel plane, stored-block zlib
+  * so the container length stays arithmetic) — which is what lets the
+  * DuckDB oracle predict every parsed field while the Spark side
+  * round-trips real bytes. WAV/JPEG sample payloads remain opaque
+  * metadata-plus-plane containers (no audio/video codecs here); a full
+  * decoder (JavaCV, ffmpeg) drops into the same `mapPartitions` slot.
   */
 object Media {
 
@@ -189,16 +193,226 @@ object Media {
       bb.array()
     }
 
+    // --------- real PNG pixel encode/decode (zlib + scanline filters) ---
+
+    /** Scanline rows used for a plane of `len` pixels: the largest of
+      * {4, 3, 2, 1} dividing `len`, so the image is a true rectangle
+      * with no padding (the luma plane round-trips to the body bytes
+      * exactly — which is what lets the DuckDB oracle stay arithmetic).
+      * Multi-row whenever the length allows → the inter-row filters
+      * (Up/Average/Paeth) are genuinely exercised corpus-wide. */
+    def pngRows(len: Int): Int =
+      if (len % 4 == 0) 4 else if (len % 3 == 0) 3
+      else if (len % 2 == 0) 2 else 1
+
+    /** Spec-conformant zlib stream with STORED deflate blocks (RFC
+      * 1950/1951): 0x78 0x01 header, blocks of ≤ 65535 bytes
+      * (BFINAL/BTYPE=00, LEN, ~LEN little-endian), big-endian Adler-32
+      * trailer. Stored on purpose: byte-for-byte deterministic across
+      * JVMs/zlib builds (an arithmetic oracle can predict the container
+      * length), while remaining a stream ANY inflater — including
+      * [[decodePngLuma]]'s `java.util.zip.Inflater` — decodes by the
+      * standard path. Length = 6 + data.length + 5 * nBlocks. */
+    def zlibStored(data: Array[Byte]): Array[Byte] = {
+      val nBlocks = math.max(1, (data.length + 65534) / 65535)
+      val out = java.nio.ByteBuffer.allocate(6 + data.length + 5 * nBlocks)
+      out.put(0x78.toByte).put(0x01.toByte)
+      var off = 0
+      var b = 0
+      while (b < nBlocks) {
+        val len = math.min(65535, data.length - off)
+        val fin = if (b == nBlocks - 1) 1 else 0
+        out.put(fin.toByte)
+        out.put((len & 0xff).toByte).put(((len >> 8) & 0xff).toByte)
+        out.put((~len & 0xff).toByte).put(((~len >> 8) & 0xff).toByte)
+        out.put(data, off, len)
+        off += len; b += 1
+      }
+      val ad = new java.util.zip.Adler32
+      ad.update(data)
+      out.putInt(ad.getValue.toInt)
+      out.array()
+    }
+
+    /** Apply PNG filter `ft` (0 none / 1 sub / 2 up / 3 average /
+      * 4 paeth) to one scanline — the forward direction, used by the
+      * writer. `prior` is the RAW previous scanline (all zeros for the
+      * first row, per spec). */
+    private def filterRow(
+        ft: Int, cur: Array[Byte], prior: Array[Byte], bpp: Int): Array[Byte] = {
+      val n = cur.length
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        val x = cur(i) & 0xff
+        val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+        val b = prior(i) & 0xff
+        val c = if (i >= bpp) prior(i - bpp) & 0xff else 0
+        out(i) = (ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 => x - paeth(a, b, c)
+        }).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** The Paeth predictor (PNG spec §9, Paeth 1991): the neighbor
+      * closest to the linear estimate a + b − c, ties left → up →
+      * upper-left. */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** A REAL PNG: 8-bit grayscale (colorType 0) or truecolor RGB
+      * (colorType 2), scanlines filtered per row by `filterOf` and the
+      * filtered stream zlib-wrapped — stored blocks when
+      * `compress = false` (deterministic, oracle-predictable length),
+      * `java.util.zip.Deflater` otherwise (real dynamic-Huffman
+      * streams, used by the spec fixtures). Decoders — this file's and
+      * any standard viewer — read the pixel plane back exactly. */
+    def writePngPixels(
+        w: Int, h: Int, colorType: Int, pixels: Array[Byte],
+        filterOf: Int => Int = _ => 0, compress: Boolean = false): Array[Byte] = {
+      val bpp = colorType match {
+        case 0 => 1
+        case 2 => 3
+        case other => throw new IllegalArgumentException(
+          s"writePngPixels supports colorType 0/2, got $other")
+      }
+      require(w > 0 && h > 0 && pixels.length == w * h * bpp,
+        s"pixel plane ${pixels.length} != $w x $h x $bpp")
+      val rowBytes = w * bpp
+      val raw = new Array[Byte](h * (rowBytes + 1))
+      val zero = new Array[Byte](rowBytes)
+      var r = 0
+      while (r < h) {
+        val cur = java.util.Arrays.copyOfRange(pixels, r * rowBytes, (r + 1) * rowBytes)
+        val prior =
+          if (r == 0) zero
+          else java.util.Arrays.copyOfRange(pixels, (r - 1) * rowBytes, r * rowBytes)
+        val ft = filterOf(r) % 5
+        raw(r * (rowBytes + 1)) = ft.toByte
+        System.arraycopy(filterRow(ft, cur, prior, bpp), 0,
+          raw, r * (rowBytes + 1) + 1, rowBytes)
+        r += 1
+      }
+      val z =
+        if (!compress) zlibStored(raw)
+        else {
+          val d = new java.util.zip.Deflater()
+          d.setInput(raw); d.finish()
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+          d.end()
+          buf.toByteArray
+        }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", z) ++
+        pngChunk("IEND", Array.emptyByteArray)
+    }
+
+    /** REAL PNG decode to an 8-bit luma plane: IHDR validation (8-bit
+      * depth, colorType 0 gray / 2 RGB, deflate compression, filter
+      * method 0, non-interlaced — anything else refuses with None, the
+      * corrupt-member contract), concatenated-IDAT chunk walk, genuine
+      * zlib inflate (`java.util.zip.Inflater` — handles stored AND
+      * compressed streams), per-scanline unfilter of all five filter
+      * types against the RECONSTRUCTED prior row, then integer luma
+      * (gray: the sample; RGB: (299R + 587G + 114B) / 1000, the
+      * BT.601 weights). Output length is exactly width × height. */
+    def decodePngLuma(b: Array[Byte]): Option[Array[Byte]] = {
+      if (b.length < 33 || !b.take(8).sameElements(PngSig) ||
+        new String(b, 12, 4, StandardCharsets.US_ASCII) != "IHDR") return None
+      val w = be32(b, 16); val h = be32(b, 20)
+      val depth = b(24) & 0xff; val colorType = b(25) & 0xff
+      val compression = b(26) & 0xff; val filterMethod = b(27) & 0xff
+      val interlace = b(28) & 0xff
+      if (depth != 8 || (colorType != 0 && colorType != 2) ||
+        compression != 0 || filterMethod != 0 || interlace != 0) return None
+      val bpp = if (colorType == 0) 1 else 3
+      if (w <= 0 || h <= 0) return None
+      val rowBytes = w.toLong * bpp
+      val rawLen = h.toLong * (rowBytes + 1)
+      if (rawLen > (256L << 20)) return None // decode-bomb guard
+      extractPngBody(b).flatMap { idat =>
+        val raw = new Array[Byte](rawLen.toInt)
+        val inf = new java.util.zip.Inflater()
+        try {
+          inf.setInput(idat)
+          var got = 0
+          while (got < raw.length && !inf.finished()) {
+            val n = inf.inflate(raw, got, raw.length - got)
+            if (n == 0 && inf.needsInput()) return None // truncated stream
+            got += n
+          }
+          if (got != raw.length) return None
+        } catch {
+          case _: java.util.zip.DataFormatException => return None
+        } finally inf.end()
+        // unfilter in place against the reconstructed prior row
+        val rb = rowBytes.toInt
+        val recon = new Array[Byte](h * rb)
+        var r = 0
+        while (r < h) {
+          val ft = raw(r * (rb + 1)) & 0xff
+          if (ft > 4) return None
+          var i = 0
+          while (i < rb) {
+            val x = raw(r * (rb + 1) + 1 + i) & 0xff
+            val a = if (i >= bpp) recon(r * rb + i - bpp) & 0xff else 0
+            val up = if (r > 0) recon((r - 1) * rb + i) & 0xff else 0
+            val c = if (r > 0 && i >= bpp) recon((r - 1) * rb + i - bpp) & 0xff else 0
+            recon(r * rb + i) = (ft match {
+              case 0 => x
+              case 1 => x + a
+              case 2 => x + up
+              case 3 => x + (a + up) / 2
+              case 4 => x + paeth(a, up, c)
+            }).toByte
+            i += 1
+          }
+          r += 1
+        }
+        if (colorType == 0) Some(recon)
+        else {
+          val luma = new Array[Byte](w * h)
+          var k = 0
+          while (k < w * h) {
+            luma(k) = (((recon(3 * k) & 0xff) * 299 +
+              (recon(3 * k + 1) & 0xff) * 587 +
+              (recon(3 * k + 2) & 0xff) * 114) / 1000).toByte
+            k += 1
+          }
+          Some(luma)
+        }
+      }
+    }
+
     /** Payload for a declared modality: a real container whose header
-      * fields derive from the md5-hash of the body — image → PNG,
-      * audio → WAV, video → JPEG (frame-sample convention: the payload a
-      * video pipeline carries per sampled keyframe). */
+      * fields derive from the md5-hash of the body — image → a REAL
+      * grayscale PNG (the text bytes ARE the pixel plane, rectangle per
+      * [[pngRows]], per-row filter cycling from the hash, stored-block
+      * zlib), audio → WAV, video → JPEG (frame-sample convention: the
+      * payload a video pipeline carries per sampled keyframe). */
     def encodeFor(fmt: String, text: String, md: MessageDigest): Array[Byte] = {
       val body = text.getBytes(StandardCharsets.UTF_8)
       val h = hash60(body, md)
       val (w, ht) = ((64 + h % 1000).toInt, (64 + (h / 1000) % 1000).toInt)
       fmt match {
-        case "image" => writePng(w, ht, body)
+        case "image" =>
+          val px = if (body.isEmpty) Array[Byte](0) else body
+          val rows = pngRows(px.length)
+          writePngPixels(px.length / rows, rows, 0, px,
+            r => ((h + r) % 5).toInt)
         case "audio" =>
           writeWav(SampleRates((h % 5).toInt), (1 + h % 2).toInt, body)
         case "video" => writeJpeg(w, ht, body)
@@ -234,16 +448,11 @@ object Media {
 
     // --------------- perceptual hashing (image near-dup) ---------------
 
-    /** The PNG payload's pixel-plane bytes: a REAL chunk walk (length +
-      * type + data + CRC, concatenating every IDAT) — the same
-      * container traversal a real decoder performs. DECODE STUB: a real
-      * pipeline would inflate the IDAT stream and convert to luma here;
-      * this container ships no image libs, so the raw IDAT bytes stand
-      * in as the luma plane deterministically (the synthesized payloads
-      * store the body uncompressed, so this IS the payload body). All
-      * downstream plumbing — batch shape, hashing, banding, the
-      * self-join — is the real thing. Untrusted lengths guarded the
-      * same way [[parseWav]] guards chunk sizes. */
+    /** The PNG payload's compressed image-data stream: a REAL chunk
+      * walk (length + type + data + CRC, concatenating every IDAT) —
+      * the container traversal every decoder performs, feeding
+      * [[decodePngLuma]]'s inflate + unfilter. Untrusted lengths
+      * guarded the same way [[parseWav]] guards chunk sizes. */
     def extractPngBody(b: Array[Byte]): Option[Array[Byte]] = {
       if (b.length < 8 || !b.take(8).sameElements(PngSig)) return None
       val out = new java.io.ByteArrayOutputStream()
@@ -347,12 +556,13 @@ object Media {
   }
 
   /** Per-image perceptual hashes for the documents corpus: the image-
-    * modality payloads, container-walked to their pixel plane and
-    * dHash'd — typed, narrow, scan-parallel (one task never holds more
-    * than a batch of payloads). Planes shorter than the 66-byte grid
-    * floor are skipped (no stable hash exists for them). */
+    * modality payloads REALLY decoded — IDAT chunk walk, zlib inflate,
+    * per-scanline unfilter (all five PNG filter types), integer luma —
+    * then dHash'd. Typed, narrow, scan-parallel (one task never holds
+    * more than a batch of payloads). Planes shorter than the 66-byte
+    * grid floor are skipped (no stable hash exists for them). */
   def imageHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[(Long, Long)] =
-    perceptualHashes(documents, "image", MediaCodec.extractPngBody)
+    perceptualHashes(documents, "image", MediaCodec.decodePngLuma)
 
   /** The audio sibling: WAV payloads container-walk to their PCM
     * sample plane (`data` chunk) and fingerprint with the same 60-bit
@@ -382,6 +592,68 @@ object Media {
           .filter(_.length >= 66)
           .map(body => (r.doc_id, MediaCodec.dHash60(body)))
       })
+  }
+
+  /** The plane extractor for a modality — image payloads REALLY decode
+    * (inflate + unfilter + luma); audio/video walk to their sample/
+    * entropy plane (see the object doc). */
+  private[graft] def planeFor(fmt: String): Array[Byte] => Option[Array[Byte]] =
+    fmt match {
+      case "image" => MediaCodec.decodePngLuma
+      case "audio" => MediaCodec.extractWavData
+      case "video" => MediaCodec.extractJpegBody
+      case _ => (_: Array[Byte]) => None
+    }
+
+  /** ALL modalities fingerprinted in ONE scan pass: (doc_id, fmt, h).
+    * The composed media-dedup pipeline (q159) runs this after exact
+    * payload dedup so each distinct payload decodes exactly once —
+    * the reason exact-dedup comes FIRST in a 100 TB media pipeline. */
+  def perceptualHashesAll(documents: DataFrame)(
+      implicit s: SparkSession): Dataset[(Long, String, Long)] = {
+    import s.implicits._
+    mediaRecords(documents).mapPartitions(_.flatMap { r =>
+      planeFor(r.fmt)(r.payload)
+        .filter(_.length >= 66)
+        .map(body => (r.doc_id, r.fmt, MediaCodec.dHash60(body)))
+    })
+  }
+
+  /** Multi-keyframe video fingerprints: input rows are (doc_id,
+    * frame_idx, frame_text) — one SAMPLED KEYFRAME each (the q56
+    * frame-sample convention generalized past one frame). Every frame
+    * round-trips the real container machinery: written as a JPEG
+    * keyframe payload, marker-walked back to its body, dHash'd.
+    * Narrow and scan-parallel; one digest per partition. */
+  def videoFrameHashes(frames: DataFrame)(
+      implicit s: SparkSession): Dataset[(Long, Int, Long)] = {
+    import s.implicits._
+    frames.select(col("doc_id"), col("frame_idx"), col("frame_text"))
+      .as[(Long, Int, String)]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, k, text) =>
+          val payload = MediaCodec.encodeFor("video", text, md)
+          MediaCodec.extractJpegBody(payload)
+            .filter(_.length >= 66)
+            .map(b => (id, k, MediaCodec.dHash60(b)))
+        }
+      }
+  }
+
+  /** Exact payload identity key: md5 over the REAL container bytes
+    * (not the text) — the first stage of the composed media dedup.
+    * Returns (doc_id, fmt, pkey). */
+  def payloadKeys(documents: DataFrame)(
+      implicit s: SparkSession): Dataset[(Long, String, String)] = {
+    import s.implicits._
+    mediaRecords(documents).mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        md.reset()
+        (r.doc_id, r.fmt, md.digest(r.payload).map("%02x".format(_)).mkString)
+      }
+    }
   }
 
   /** documents → typed media records: modality assigned round-robin from

@@ -32,11 +32,15 @@ object PipelineOps {
   // from the md5 hash of the body) → typed Dataset → mapPartitions batch
   // decode parsing REAL magic bytes + headers (graft.multimodal.Media) →
   // flattened metadata. Narrow, scan-parallel, no shuffle. The oracle
-  // reproduces every parsed field arithmetically: byte_len = container
-  // overhead (PNG 57 / WAV 44 / JPEG 23) + body length, dims and
-  // sample-rate/channels from the same md5-derived formulas the writer
-  // embeds into the headers — so a hash match proves the write→sniff→
-  // parse round trip, not just the arithmetic.
+  // reproduces every parsed field arithmetically. PNG payloads are REAL
+  // images (round 12): the text bytes are the pixel plane, rectangle =
+  // largest of {4,3,2,1} dividing the length × the quotient, and the
+  // IDAT is a stored-block zlib stream — so width/height are the true
+  // raster dimensions and byte_len = 57 container + 6 zlib framing +
+  // (L + rows) filtered bytes + 5 per stored block, all predictable.
+  // WAV 44 / JPEG 23 + body length as before; sample-rate/channels from
+  // the md5-derived formulas the writer embeds — a hash match proves
+  // the write→sniff→parse round trip, not just the arithmetic.
   // --------------------------------------------------------------------
   def q42MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
@@ -45,22 +49,28 @@ object PipelineOps {
 
   private val q42Oracle =
     """SELECT doc_id,
-              CAST(CASE m WHEN 0 THEN 57 WHEN 1 THEN 44 ELSE 23 END
-                   + strlen(text) AS INTEGER) AS byte_len,
+              CAST(CASE m
+                   WHEN 0 THEN 63 + (L + hh) + 5 * ((L + hh + 65534) // 65535)
+                   WHEN 1 THEN 44 + L ELSE 23 + L END AS INTEGER) AS byte_len,
               CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS container,
-              CASE WHEN m IN (0, 2)
-                   THEN CAST(64 + (h % 1000) AS INTEGER) END AS width,
-              CASE WHEN m IN (0, 2)
-                   THEN CAST(64 + ((h // 1000) % 1000) AS INTEGER) END AS height,
+              CASE WHEN m = 0 THEN CAST(L // hh AS INTEGER)
+                   WHEN m = 2 THEN CAST(64 + (h % 1000) AS INTEGER) END AS width,
+              CASE WHEN m = 0 THEN CAST(hh AS INTEGER)
+                   WHEN m = 2 THEN CAST(64 + ((h // 1000) % 1000) AS INTEGER)
+                   END AS height,
               CASE WHEN m = 1
                    THEN CAST(list_value(8000, 16000, 22050, 44100, 48000)[
                           CAST(h % 5 AS INTEGER) + 1] AS INTEGER) END AS sample_rate,
               CASE WHEN m = 1 THEN CAST(1 + (h % 2) AS INTEGER) END AS channels,
               CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                    ELSE 'video' END AS fmt
-       FROM (SELECT *, CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h,
-                    CAST(substr(source, 4) AS INTEGER) % 3 AS m
-             FROM documents)
+       FROM (SELECT *,
+                    CASE WHEN L % 4 = 0 THEN 4 WHEN L % 3 = 0 THEN 3
+                         WHEN L % 2 = 0 THEN 2 ELSE 1 END AS hh
+             FROM (SELECT *, CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h,
+                          CAST(substr(source, 4) AS INTEGER) % 3 AS m,
+                          strlen(text) AS L
+                   FROM documents))
        ORDER BY doc_id"""
 
   // --------------------------------------------------------------------
@@ -2790,17 +2800,19 @@ object PipelineOps {
 
   // --------------------------------------------------------------------
   // q155 — PERCEPTUAL IMAGE NEAR-DUP (dHash + Hamming-banded self-join),
-  // the multimodal sibling of q36/q38b: image payloads container-walk to
-  // their pixel plane (graft.multimodal.Media — real PNG chunk
-  // traversal, deterministic-fake inflate), 60-bit difference hash,
+  // the multimodal sibling of q36/q38b: image payloads REALLY decode to
+  // their pixel plane (graft.multimodal.Media — PNG chunk traversal,
+  // zlib inflate, per-scanline unfilter, luma), 60-bit difference hash,
   // 4×15-bit pigeonhole bands → candidates are an exact band EQUI-JOIN
   // (any pair within Hamming 3 agrees on ≥ 1 band), each candidate
   // verified Hamming ≤ 3 and counted once at its first agreeing band.
   // 100 TB story: payload bytes never cross a shuffle — only 8-byte
   // hashes band and join; candidates = band-key collisions, no
   // all-pairs stage anywhere. Oracle recomputes the hash arithmetically
-  // from the text body (the synthesized PNG stores it verbatim in IDAT;
-  // the corpus is ASCII so DuckDB codepoints == payload bytes).
+  // from the text body: the synthesized PNG's pixel plane IS the text
+  // bytes (filter+deflate are exactly invertible, so the decoded luma
+  // round-trips to them; the corpus is ASCII so DuckDB codepoints ==
+  // payload bytes).
   // --------------------------------------------------------------------
   def q155ImageNearDup(s: SparkSession, dir: String): DataFrame = {
     // FIXTURE near-dups, built in-query: every 7th document gains a
@@ -2827,19 +2839,18 @@ object PipelineOps {
     hammingBandedPairs(Media.imageHashes(documents).toDF("doc_id", "h"))
   }
 
-  /** Hamming-banded near-dup pairs over 60-bit perceptual hashes
-    * (doc_id, h): 4×15-bit pigeonhole bands (any pair within Hamming 3
-    * agrees on ≥ 1 band) → exact band EQUI-join → verify Hamming ≤ 3,
-    * counting each pair once at its first agreeing band. Shared by the
-    * image (q155) and audio (q156) fingerprints — only 8-byte hashes
-    * ever cross the shuffle. */
-  private def hammingBandedPairs(hashes0: DataFrame): DataFrame = {
-    val spark = hashes0.sparkSession
-    val hashes = graft.core.CacheScope.cached(
-      hashes0.repartition(Scale.par(spark), col("doc_id")))
+  /** Near-dup candidate pairs over DISTINCT 60-bit hashes (one column
+    * `h`, pre-collapsed): 4×15-bit pigeonhole bands (any pair within
+    * Hamming 3 agrees on ≥ 1 band) → exact band EQUI-join → verify
+    * Hamming ≤ 3, counting each hash pair once at its first agreeing
+    * band. Output (ha, hb, hamming_dist) with ha < hb. Because the
+    * input is collapsed, a band-key group contributes one row per
+    * DISTINCT payload — a million exact copies of a meme cost the join
+    * exactly one row, not 10¹² candidate pairs. */
+  private[graft] def hammingBandedRepPairs(distinctHashes: DataFrame): DataFrame = {
     def band(h: Column, j: Int): Column =
       shiftright(h, 15 * j).bitwiseAND(lit(32767L))
-    val banded = hashes.select(col("doc_id"), col("h"),
+    val banded = distinctHashes.select(col("h"),
       posexplode(array((0 until 4).map(j => band(col("h"), j)): _*))
         .as(Seq("band", "bval")))
     val firstMatch = (0 until 4).foldLeft(lit(null).cast(IntegerType)) {
@@ -2849,13 +2860,72 @@ object PipelineOps {
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
-          && col("a.doc_id") < col("b.doc_id"))
+          && col("a.h") < col("b.h"))
       .filter(col("a.band") === firstMatch)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      .select(col("a.h").as("ha"), col("b.h").as("hb"),
         bit_count(col("a.h").bitwiseXOR(col("b.h")))
           .cast(IntegerType).as("hamming_dist"))
       .filter(col("hamming_dist") <= 3)
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Hamming-banded near-dup pairs over 60-bit perceptual hashes
+    * (doc_id, h), with the round-12 EXACT-HASH COLLAPSE: membership
+    * first groups to distinct hashes, only representatives enter the
+    * band join ([[hammingBandedRepPairs]]), then membership re-expands
+    * — cross-group pairs via two hash equi-joins, within-group
+    * (hamming 0) pairs via a membership self-join on the hash. Same
+    * output contract as the naive banded self-join (all doc pairs at
+    * Hamming ≤ 3, doc_a < doc_b), but the ENUMERATION is group-linear:
+    * a hot group of n exact copies contributes 1 row to the band join
+    * (was 4n banded rows → O(n²) in-group candidates). Only 8-byte
+    * hashes ever cross a shuffle. The expansion joins are plain
+    * fan-out — output size is the answer's size, never materialized
+    * driver-side. */
+  private def hammingBandedPairs(hashes0: DataFrame): DataFrame = {
+    val spark = hashes0.sparkSession
+    val members = graft.core.CacheScope.cached(
+      hashes0.repartition(Scale.par(spark), col("h")))
+    val distinctHashes = members.select("h").distinct()
+    // the collapse aggregate must actually be in the plan the band
+    // join consumes — require it, don't trust it (the q38b convention)
+    require(graft.plans.AdaptivePlans.collectDeep(
+      distinctHashes.queryExecution.executedPlan) {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.groupingExpressions.nonEmpty => a
+      }.nonEmpty,
+      "exact-hash collapse aggregate missing upstream of the band join")
+    val repPairs = hammingBandedRepPairs(distinctHashes)
+    val cross = repPairs
+      .join(members.as("ma"), col("ma.h") === col("ha"))
+      .join(members.as("mb"), col("mb.h") === col("hb"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("hamming_dist"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).cast(IntegerType).as("hamming_dist"))
+    cross.unionByName(within).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The COLLAPSED near-dup surface — what a 100 TB pipeline actually
+    * consumes (q159's composed dedup does): per-group membership
+    * (h → representative = min doc_id, count) plus rep-level near-dup
+    * edges between distinct hashes. Output size is O(groups + edges),
+    * NEVER quadratic in any group's population — the full-pair
+    * expansion above exists to honor the pairwise oracle contract, this
+    * is the scale path. */
+  private[graft] def hammingBandedGroups(
+      hashes0: DataFrame): (DataFrame, DataFrame) = {
+    val spark = hashes0.sparkSession
+    val members = graft.core.CacheScope.cached(
+      hashes0.repartition(Scale.par(spark), col("h")))
+    val groups = members.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
+    val edges = hammingBandedRepPairs(groups.select(col("h")))
+    (groups, edges)
   }
 
   private val q155Oracle =
@@ -3023,6 +3093,308 @@ object PipelineOps {
        WHERE bit_count(xor(ha, hb)) <= 3
        ORDER BY doc_a, doc_b"""
 
+  // --------------------------------------------------------------------
+  // q158 — MULTI-KEYFRAME VIDEO SEQUENCE NEAR-DUP, the generalization
+  // the q157 row's survey note names: a video is a SEQUENCE of sampled
+  // keyframes (4 per video, frame k = the text rotated left 5k chars —
+  // deterministic, length-preserving), each frame written as a real
+  // JPEG payload, walked back and dHash'd. Pairs are scored
+  // temporally-aligned: candidate frames band-join WITHIN a frame
+  // index, a pair reports n_match = #frames at Hamming ≤ 3 and
+  // surfaces at n_match ≥ 2 of 4 (majority-ish sequence evidence — a
+  // single matching frame is a still-image coincidence, not a shared
+  // video). Fixtures: every 7th video gains a copy with EXACTLY ONE
+  // REPLACED frame (index = doc_id % 4, content = the reversed text —
+  // structurally different, so its hash lands far) → the pair must
+  // report n_match = 3 of 4, proving per-frame granularity (a one-char
+  // edit would still match: dHash is robust to it by design — that
+  // robustness is q155/q157's fixture, this one needs a CUT scene).
+  // Scale shape: the
+  // exact-hash collapse runs per (frame, hash) — distinct frame
+  // payloads enter the band join once; only 8-byte hashes + frame
+  // indices shuffle; within/cross expansion is join fan-out.
+  // --------------------------------------------------------------------
+  def q158VideoSequenceNearDup(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val vids = lake(s, dir).documents
+      .filter((substring(col("source"), 4, 10).cast("int") % 3) === 2)
+      .select(col("doc_id"), col("text"))
+    val pert = reverse(col("text"))
+    def rot(t: Column, kCol: Column): Column =
+      (0 to 3).foldLeft(lit(null).cast(StringType)) { (acc, k) =>
+        coalesce(acc, when(kCol === k,
+          concat(substring(t, 5 * k + 1, Int.MaxValue), substring(t, 1, 5 * k))))
+      }
+    val ks = explode(array((0 to 3).map(lit(_)): _*)).as("frame_idx")
+    val baseFrames = vids.select(col("doc_id"), ks, col("text"))
+      .select(col("doc_id"), col("frame_idx"),
+        rot(col("text"), col("frame_idx")).as("frame_text"))
+    val pertFrames = vids.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), ks, col("text"))
+      .withColumn("ft",
+        rot(when(col("frame_idx") === col("doc_id") % 4, pert)
+          .otherwise(col("text")), col("frame_idx")))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("frame_idx"),
+        col("ft").as("frame_text"))
+    val members = graft.core.CacheScope.cached(
+      Media.videoFrameHashes(baseFrames.unionByName(pertFrames))
+        .toDF("doc_id", "k", "h")
+        .repartition(Scale.par(s), col("k"), col("h")))
+    val distinctKH = members.select("k", "h").distinct()
+    def band(h: Column, j: Int): Column =
+      shiftright(h, 15 * j).bitwiseAND(lit(32767L))
+    val banded = distinctKH.select(col("k"), col("h"),
+      posexplode(array((0 until 4).map(j => band(col("h"), j)): _*))
+        .as(Seq("band", "bval")))
+    val firstMatch = (0 until 4).foldLeft(lit(null).cast(IntegerType)) {
+      (acc, j) => coalesce(acc,
+        when(band(col("a.h"), j) === band(col("b.h"), j), lit(j)))
+    }
+    val frameEdges = banded.as("a")
+      .join(banded.as("b"),
+        col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
+          col("a.bval") === col("b.bval") && col("a.h") < col("b.h"))
+      .filter(col("a.band") === firstMatch)
+      .filter(bit_count(col("a.h").bitwiseXOR(col("b.h"))) <= 3)
+      .select(col("a.k").as("ek"), col("a.h").as("ha"), col("b.h").as("hb"))
+    val cross = frameEdges
+      .join(members.as("ma"),
+        col("ma.k") === col("ek") && col("ma.h") === col("ha"))
+      .join(members.as("mb"),
+        col("mb.k") === col("ek") && col("mb.h") === col("hb"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.k") === col("y.k") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    cross.unionByName(within)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= 2)
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        (col("n_match") / lit(4.0)).as("match_frac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q158Oracle =
+    """WITH vid AS (
+         SELECT doc_id, text FROM documents
+         WHERE CAST(substr(source, 4) AS INTEGER) % 3 = 2),
+       frames AS (
+         SELECT doc_id, k.k AS k,
+                concat(substr(text, CAST(5 * k.k + 1 AS INTEGER)),
+                       substr(text, 1, CAST(5 * k.k AS INTEGER))) AS ft
+         FROM vid CROSS JOIN (SELECT unnest(range(4)) AS k) k
+         UNION ALL
+         SELECT doc_id + 1000000, k.k,
+                CASE WHEN k.k = doc_id % 4
+                     THEN concat(substr(p, CAST(5 * k.k + 1 AS INTEGER)),
+                                 substr(p, 1, CAST(5 * k.k AS INTEGER)))
+                     ELSE concat(substr(text, CAST(5 * k.k + 1 AS INTEGER)),
+                                 substr(text, 1, CAST(5 * k.k AS INTEGER))) END
+         FROM (SELECT doc_id, text, reverse(text) AS p
+               FROM vid WHERE doc_id % 7 = 0)
+         CROSS JOIN (SELECT unnest(range(4)) AS k) k),
+       fr AS (SELECT doc_id, k, ft, strlen(ft) AS L
+              FROM frames WHERE strlen(ft) >= 66),
+       grid AS (
+         SELECT doc_id, k,
+                list_transform(range(66), c ->
+                  list_sum(list_transform(
+                    range(c * L // 66, (c + 1) * L // 66),
+                    i -> unicode(substr(ft, CAST(i AS INTEGER) + 1, 1))))
+                  // ((c + 1) * L // 66 - c * L // 66)) AS g
+         FROM fr),
+       hsh AS (
+         SELECT doc_id, k,
+                CAST(list_sum(list_transform(range(60), b ->
+                  CASE WHEN g[CAST((b // 10) * 11 + (b % 10) AS INTEGER) + 2]
+                         > g[CAST((b // 10) * 11 + (b % 10) AS INTEGER) + 1]
+                       THEN 1::BIGINT << CAST(b AS INTEGER) ELSE 0 END))
+                  AS BIGINT) AS h
+         FROM grid),
+       bands AS (
+         SELECT doc_id, k, h, b.b AS band,
+                (h >> CAST(15 * b.b AS INTEGER)) & 32767 AS bval
+         FROM hsh CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+       fm AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.k AS k
+         FROM bands x JOIN bands y
+           ON x.k = y.k AND x.band = y.band AND x.bval = y.bval
+          AND x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.h, y.h)) <= 3),
+       agg AS (SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_match
+               FROM fm GROUP BY doc_a, doc_b)
+       SELECT doc_a, doc_b, n_match, n_match / 4.0 AS match_frac
+       FROM agg WHERE n_match >= 2 ORDER BY doc_a, doc_b"""
+
+  // --------------------------------------------------------------------
+  // q159 — COMPOSED MEDIA DEDUP (the q63/q140 of media): the four
+  // stages of a production multimodal dedup, run TOGETHER and
+  // oracle-checked end-to-end.
+  //   1. exact payload dedup — md5 over the REAL container bytes,
+  //      group to (rep, count); a 100 TB corpus decodes each distinct
+  //      payload once, which is why this stage comes first;
+  //   2. perceptual fingerprint per DISTINCT payload, all three
+  //      modalities in one scan pass (image really decodes:
+  //      inflate + unfilter + luma);
+  //   3. hash-group collapse + Hamming band join (within modality) →
+  //      rep-level near-dup edges → transitive clustering
+  //      (ConnectedComponents — alternating-star capable, O(log n));
+  //   4. keep-best survivor per cluster (longest text, ties → lowest
+  //      doc_id) with cluster sizes.
+  // Fixtures: every 7th doc gains a one-char-substituted NEAR copy
+  // (+1e6), every 11th an EXACT copy (+2e6) — so every stage fires and
+  // the cluster {base, near, exact} must come out as ONE component
+  // with the base as survivor. Scale shape: stages 1–3 shuffle hashes
+  // and 16-byte keys only (payloads never leave their scan task);
+  // no stage enumerates within-group pairs — membership edges are
+  // group-linear (doc → rep stars), the closure is edge-linear.
+  // --------------------------------------------------------------------
+  def q159MediaDedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val base = lake(s, dir).documents
+      .select(col("doc_id"), col("text"), col("source"))
+    val nearCopy = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 20), lit("Q"),
+          substring(col("text"), 22, Int.MaxValue)).as("text"), col("source"))
+    val exactCopy = base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"), col("source"))
+    val corpus = graft.core.CacheScope.cached(
+      base.unionByName(nearCopy).unionByName(exactCopy)
+        .repartition(Scale.par(s), col("doc_id")))
+    // stage 1: exact payload dedup
+    val keyed = graft.core.CacheScope.cached(
+      Media.payloadKeys(corpus).toDF("doc_id", "fmt", "pkey")
+        .repartition(Scale.par(s), col("pkey")))
+    val exactGroups = graft.core.CacheScope.cached(
+      keyed.groupBy(col("fmt"), col("pkey"))
+        .agg(min(col("doc_id")).as("xrep")))
+    // stage 2: fingerprint once per distinct payload
+    val repDocs = corpus.join(exactGroups.select(col("xrep")),
+      corpus("doc_id") === col("xrep"), "left_semi")
+    val hashes = graft.core.CacheScope.cached(
+      Media.perceptualHashesAll(repDocs).toDF("doc_id", "fmt", "h")
+        .repartition(Scale.par(s), col("fmt"), col("h")))
+    // stage 3: collapse → banded rep edges (within modality) → closure
+    val hashGroups = graft.core.CacheScope.cached(
+      hashes.groupBy(col("fmt"), col("h")).agg(min(col("doc_id")).as("hrep")))
+    def band(h: Column, j: Int): Column =
+      shiftright(h, 15 * j).bitwiseAND(lit(32767L))
+    val banded = hashGroups.select(col("fmt"), col("h"),
+      posexplode(array((0 until 4).map(j => band(col("h"), j)): _*))
+        .as(Seq("band", "bval")))
+    val firstMatch = (0 until 4).foldLeft(lit(null).cast(IntegerType)) {
+      (acc, j) => coalesce(acc,
+        when(band(col("a.h"), j) === band(col("b.h"), j), lit(j)))
+    }
+    val hashEdges = banded.as("a")
+      .join(banded.as("b"),
+        col("a.fmt") === col("b.fmt") && col("a.band") === col("b.band") &&
+          col("a.bval") === col("b.bval") && col("a.h") < col("b.h"))
+      .filter(col("a.band") === firstMatch)
+      .filter(bit_count(col("a.h").bitwiseXOR(col("b.h"))) <= 3)
+      .select(col("a.fmt").as("efmt"), col("a.h").as("ha"), col("b.h").as("hb"))
+    val repEdges = hashEdges
+      .join(hashGroups.as("ga"),
+        col("ga.fmt") === col("efmt") && col("ga.h") === col("ha"))
+      .join(hashGroups.as("gb"),
+        col("gb.fmt") === col("efmt") && col("gb.h") === col("hb"))
+      .select(col("ga.hrep").as("a"), col("gb.hrep").as("b"))
+    val exactEdges = keyed.join(exactGroups, Seq("fmt", "pkey"))
+      .select(col("doc_id").as("a"), col("xrep").as("b"))
+    val hashMemberEdges = hashes.join(hashGroups, Seq("fmt", "h"))
+      .select(col("doc_id").as("a"), col("hrep").as("b"))
+    val cc = graft.operators.ConnectedComponents.run(
+      exactEdges.unionByName(hashMemberEdges).unionByName(repEdges), "a", "b")
+    // stage 4: label everyone (singletons keep their own id), keep-best
+    val labeled = corpus.select(col("doc_id"), col("text"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    val best = labeled.groupBy(col("cluster")).agg(
+      count(lit(1)).as("cluster_size"),
+      max(struct(length(col("text")).as("len"), (-col("doc_id")).as("nid")))
+        .as("b"))
+    labeled.join(best, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        (col("doc_id") === -col("b.nid")).as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q159Oracle =
+    """WITH RECURSIVE corpus AS (
+         SELECT doc_id, text, source FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000,
+                concat(substr(text, 1, 20), 'Q', substr(text, 22)), source
+         FROM documents WHERE doc_id % 7 = 0
+         UNION ALL
+         SELECT doc_id + 2000000, text, source
+         FROM documents WHERE doc_id % 11 = 0),
+       doc AS (SELECT doc_id, text,
+                      CAST(substr(source, 4) AS INTEGER) % 3 AS m,
+                      strlen(text) AS L
+               FROM corpus),
+       xg AS (SELECT m, text, min(doc_id) AS xrep FROM doc GROUP BY m, text),
+       xmem AS (SELECT d.doc_id, x.xrep
+                FROM doc d JOIN xg x ON d.m = x.m AND d.text = x.text),
+       hd AS (SELECT d.doc_id, d.m, d.text AS ft, d.L
+              FROM doc d JOIN xg x ON d.doc_id = x.xrep
+              WHERE d.L >= 66),
+       grid AS (
+         SELECT doc_id, m,
+                list_transform(range(66), c ->
+                  list_sum(list_transform(
+                    range(c * L // 66, (c + 1) * L // 66),
+                    i -> unicode(substr(ft, CAST(i AS INTEGER) + 1, 1))))
+                  // ((c + 1) * L // 66 - c * L // 66)) AS g
+         FROM hd),
+       hsh AS (
+         SELECT doc_id, m,
+                CAST(list_sum(list_transform(range(60), b ->
+                  CASE WHEN g[CAST((b // 10) * 11 + (b % 10) AS INTEGER) + 2]
+                         > g[CAST((b // 10) * 11 + (b % 10) AS INTEGER) + 1]
+                       THEN 1::BIGINT << CAST(b AS INTEGER) ELSE 0 END))
+                  AS BIGINT) AS h
+         FROM grid),
+       hg AS (SELECT m, h, min(doc_id) AS hrep FROM hsh GROUP BY m, h),
+       hmem AS (SELECT s.doc_id, g.hrep
+                FROM hsh s JOIN hg g ON s.m = g.m AND s.h = g.h),
+       bands AS (SELECT m, h, b.b AS band,
+                        (h >> CAST(15 * b.b AS INTEGER)) & 32767 AS bval
+                 FROM hg CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+       rede AS (SELECT DISTINCT x.m, x.h AS ha, y.h AS hb
+                FROM bands x JOIN bands y
+                  ON x.m = y.m AND x.band = y.band AND x.bval = y.bval
+                 AND x.h < y.h
+                WHERE bit_count(xor(x.h, y.h)) <= 3),
+       re AS (SELECT ga.hrep AS a, gb.hrep AS b
+              FROM rede JOIN hg ga ON rede.m = ga.m AND rede.ha = ga.h
+                        JOIN hg gb ON rede.m = gb.m AND rede.hb = gb.h),
+       alledges AS (SELECT doc_id AS a, xrep AS b FROM xmem
+                    UNION SELECT doc_id, hrep FROM hmem
+                    UNION SELECT a, b FROM re),
+       edges AS (SELECT a, b FROM alledges UNION SELECT b, a FROM alledges),
+       reach(a, b) AS (
+         SELECT doc_id, doc_id FROM doc
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       lab AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+       j AS (SELECT l.doc_id, l.cluster, d.L
+             FROM lab l JOIN doc d ON l.doc_id = d.doc_id),
+       rk AS (SELECT doc_id, cluster,
+                     CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+                       AS cluster_size,
+                     row_number() OVER (PARTITION BY cluster
+                                        ORDER BY L DESC, doc_id ASC) AS rn
+              FROM j)
+       SELECT doc_id, cluster, cluster_size, (rn = 1) AS is_survivor
+       FROM rk ORDER BY doc_id"""
+
   private val q153Oracle =
     """SELECT c_custkey,
               CAST(count(*) AS BIGINT) AS n_orders,
@@ -3180,6 +3552,8 @@ object PipelineOps {
     "q155_image_neardup" -> (q155ImageNearDup _),
     "q156_audio_neardup" -> (q156AudioNearDup _),
     "q157_video_neardup" -> (q157VideoNearDup _),
+    "q158_video_seq_neardup" -> (q158VideoSequenceNearDup _),
+    "q159_media_dedup" -> (q159MediaDedupPipeline _),
     "q142_sql_mor_update" -> (q142SqlMorUpdate _),
     "q141_metadata_sum" -> (q141MetadataSum _),
     "q139_generated_columns" -> (q139GeneratedColumns _),
@@ -3233,6 +3607,8 @@ object PipelineOps {
     "q155_image_neardup" -> q155Oracle,
     "q156_audio_neardup" -> q156Oracle,
     "q157_video_neardup" -> q157Oracle,
+    "q158_video_seq_neardup" -> q158Oracle,
+    "q159_media_dedup" -> q159Oracle,
     "q142_sql_mor_update" -> q142Oracle,
     "q141_metadata_sum" -> q141Oracle,
     "q139_generated_columns" -> q139Oracle,

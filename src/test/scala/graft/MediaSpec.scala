@@ -180,8 +180,13 @@ class MediaSpec extends SparkSpec {
 
     val Array(img, aud, vid) = metas
     assert(img.container === "png" && img.fmt === "image")
-    assert(img.width === Some((64 + h("the quick brown fox") % 1000).toInt))
-    assert(img.byte_len === 57 + "the quick brown fox".length)
+    // the PNG is now a REAL image: the 19 text bytes are the pixel
+    // plane, 19 is coprime to {2,3,4} → a 19×1 grayscale rectangle;
+    // byte_len = 57 container + 6 zlib framing + (19 px + 1 filter
+    // byte) + 5 stored-block header
+    assert(img.width === Some("the quick brown fox".length))
+    assert(img.height === Some(1))
+    assert(img.byte_len === 63 + "the quick brown fox".length + 1 + 5)
     assert(aud.container === "wav" && aud.fmt === "audio")
     assert(aud.sample_rate ===
       Some(MediaCodec.SampleRates((h("jumps over the dog") % 5).toInt)))
@@ -270,6 +275,81 @@ class MediaSpec extends SparkSpec {
       === MediaCodec.dHash60(plane))
   }
 
+  // ---------------- real PNG decode (inflate + unfilter + luma) -------
+
+  test("decodePngLuma round-trips every filter type, stored and Deflater-compressed") {
+    // 5 rows × 31 px: row r carries filter type r, so Sub/Up/Average/
+    // Paeth all run against a real prior row; pixel values sweep the
+    // byte range including wraparound-sensitive deltas
+    val w = 31; val h = 5
+    val px = Array.tabulate(w * h)(i => ((i * 37 + (i * i) % 251) % 256).toByte)
+    for (compress <- Seq(false, true)) {
+      val png = MediaCodec.writePngPixels(w, h, 0, px, r => r, compress)
+      assert(MediaCodec.decodePngLuma(png).get.toSeq === px.toSeq,
+        s"gray round trip failed (compress=$compress)")
+    }
+    // RGB: luma is the BT.601 integer combination of the decoded channels
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 53) % 256).toByte)
+    val pngRgb = MediaCodec.writePngPixels(w, h, 2, rgb, r => 4 - r, compress = true)
+    val luma = MediaCodec.decodePngLuma(pngRgb).get
+    assert(luma.length === w * h)
+    val expect0 = ((rgb(0) & 0xff) * 299 + (rgb(1) & 0xff) * 587 +
+      (rgb(2) & 0xff) * 114) / 1000
+    assert((luma(0) & 0xff) === expect0)
+  }
+
+  test("decodePngLuma refuses what it cannot decode, never throws") {
+    val px = Array.tabulate(64)(_.toByte)
+    val good = MediaCodec.writePngPixels(8, 8, 0, px, _ % 5)
+    assert(MediaCodec.decodePngLuma(good).isDefined)
+    def mut(at: Int, v: Int): Array[Byte] = {
+      val c = good.clone(); c(at) = v.toByte; c
+    }
+    assert(MediaCodec.decodePngLuma(mut(24, 16)) === None, "16-bit depth")
+    assert(MediaCodec.decodePngLuma(mut(25, 3)) === None, "palette colorType")
+    assert(MediaCodec.decodePngLuma(mut(28, 1)) === None, "Adam7 interlace")
+    assert(MediaCodec.decodePngLuma(good.dropRight(20)) === None, "truncated IDAT")
+    // corrupt zlib payload: DataFormatException is caught → None
+    val corrupt = good.clone(); corrupt(45) = 0xff.toByte; corrupt(46) = 0xff.toByte
+    assert(MediaCodec.decodePngLuma(corrupt) === None)
+    // a filter byte outside 0–4 refuses: IDAT data starts at 41
+    // (8 sig + 25 IHDR chunk + 8 IDAT len/type), then 2 zlib header +
+    // 5 stored-block header → the first scanline's filter byte is at 48
+    assert((good(48) & 0xff) <= 4, "fixture sanity: offset 48 is the filter byte")
+    assert(MediaCodec.decodePngLuma(mut(48, 9)) === None, "filter type 9")
+    assert(MediaCodec.decodePngLuma("not a png".getBytes) === None)
+  }
+
+  test("encodeFor emits a REAL grayscale PNG whose decoded luma is the text bytes") {
+    val md = MessageDigest.getInstance("MD5")
+    // length 72 → divisible by 4 → a 18×4 rectangle, filters cycle by row
+    val text = "a real png now: the pixel plane is this very sentence, 8-bit gray......!"
+    assert(text.length === 72)
+    val png = MediaCodec.encodeFor("image", text, md)
+    assert(MediaCodec.parsePng(png) === Some((18, 4)))
+    assert(MediaCodec.decodePngLuma(png).get.toSeq ===
+      text.getBytes(StandardCharsets.UTF_8).toSeq)
+    // the documented container-length arithmetic (q42's oracle)
+    assert(png.length === 63 + (72 + 4) + 5)
+    // pngRows picks the largest divisor in {4,3,2,1}
+    assert(MediaCodec.pngRows(72) === 4 && MediaCodec.pngRows(69) === 3 &&
+      MediaCodec.pngRows(46) === 2 && MediaCodec.pngRows(47) === 1)
+  }
+
+  test("zlibStored emits a standard stream Inflater accepts, incl. multi-block") {
+    val data = Array.tabulate(70000)(i => (i % 251).toByte) // > one 65535 block
+    val z = MediaCodec.zlibStored(data)
+    assert(z.length === 6 + data.length + 5 * 2)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(z)
+    val out = new Array[Byte](data.length)
+    var got = 0
+    while (got < out.length && !inf.finished())
+      got += inf.inflate(out, got, out.length - got)
+    inf.end()
+    assert(got === data.length && out.toSeq === data.toSeq)
+  }
+
   test("dHash60: stable, 60-bit, and Hamming-local under small edits") {
     val base = ("the quick brown fox jumps over the lazy dog " * 4)
       .getBytes(StandardCharsets.UTF_8)
@@ -288,6 +368,74 @@ class MediaSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h0 ^ MediaCodec.dHash60(other)) > 3)
     // floor guard
     intercept[IllegalArgumentException](MediaCodec.dHash60(new Array[Byte](65)))
+  }
+
+  test("exact-hash collapse: a 1000-copy hot group enumerates group-linear") {
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import ss.implicits._
+    // a meme: 1000 exact copies of one image payload, one near-dup
+    // (single-character edit), one structurally-different far image
+    val hot = "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj kkkk llll " * 3
+    val near = hot.updated(4, 'z') // verified: dHash Hamming 2 from hot
+    val far = "Zq9 KKKKK ab 0 mmmm D ww t 88888 e RRR iii L x 2 yyyyyy c AA 777 o pQ " * 3
+    val docs = ((1L to 1000L).map(i => (i, hot, "src3")) ++
+      Seq((2000L, near, "src3"), (3000L, far, "src3")))
+      .toDF("doc_id", "text", "source")
+    val hashes = graft.multimodal.Media.imageHashes(docs).toDF("doc_id", "h")
+    // collapsed surface (the 100 TB path): O(groups + edges) rows —
+    // 3 distinct payloads, ONE rep-level near-dup edge. The hot group's
+    // 1000 members never enter the band join.
+    val (groups, edges) = graft.queries.PipelineOps.hammingBandedGroups(hashes)
+    val g = groups.collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(g.size === 3, s"3 distinct payloads expected: $g")
+    assert(g(1L) === 1000L, "hot group collapses to rep=1 cnt=1000")
+    val e = edges.collect()
+    assert(e.length === 1 && e.head.getInt(2) <= 3,
+      s"exactly one rep-level edge (hot~near): ${e.toSeq}")
+    // band-join input is 4 banded rows per DISTINCT hash (12 total),
+    // linear in groups — not 4 x 1002 member rows
+    val repPairs = graft.queries.PipelineOps.hammingBandedRepPairs(
+      hashes.select("h").distinct())
+    assert(repPairs.count() === 1L)
+    // the expanded pairwise contract still holds exactly: C(1000,2)
+    // within-group pairs + 1000 cross pairs to the near-dup, none to far
+    val q = graft.queries.PipelineOps.q155ImageNearDupOn(docs)
+    val byDist = q.groupBy("hamming_dist").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(byDist(0) === 1000L * 999L / 2, s"within-group pairs: $byDist")
+    assert(byDist.filter(_._1 > 0).values.sum === 1000L, s"cross pairs: $byDist")
+  }
+
+  test("videoFrameHashes: per-frame JPEG round trip; payloadKeys/perceptualHashesAll one-pass") {
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import ss.implicits._
+    val t1 = "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj kkkk llll " * 2
+    val frames = Seq((1L, 0, t1), (1L, 1, t1.reverse), (2L, 0, t1))
+      .toDF("doc_id", "frame_idx", "frame_text")
+    val fh = graft.multimodal.Media.videoFrameHashes(frames).collect()
+      .map { case (id, k, h) => ((id, k), h) }.toMap
+    assert(fh.size === 3)
+    // same frame text → same hash across videos; reversed frame lands far
+    assert(fh((1L, 0)) === fh((2L, 0)))
+    assert(java.lang.Long.bitCount(fh((1L, 0)) ^ fh((1L, 1))) > 3)
+    // frame hash == the direct dHash of the frame bytes (the JPEG
+    // container write→walk round trip is lossless)
+    assert(fh((1L, 0)) === MediaCodec.dHash60(t1.getBytes(StandardCharsets.UTF_8)))
+
+    // payloadKeys: md5 over REAL container bytes — equal iff (fmt, text) equal
+    val docs = Seq((1L, t1, "src3"), (2L, t1, "src6"), (3L, t1, "src4"))
+      .toDF("doc_id", "text", "source") // 3,6 → image; 4 → audio
+    val keys = graft.multimodal.Media.payloadKeys(docs).collect()
+      .map { case (id, fmt, k) => id -> ((fmt, k)) }.toMap
+    assert(keys(1L)._2 === keys(2L)._2, "same modality+text → same payload md5")
+    assert(keys(1L)._2 !== keys(3L)._2, "different container → different md5")
+    // one-pass fingerprints agree with the per-modality entry points
+    val all = graft.multimodal.Media.perceptualHashesAll(docs).collect()
+      .map { case (id, fmt, h) => id -> ((fmt, h)) }.toMap
+    assert(all(1L)._1 === "image" && all(3L)._1 === "audio")
+    assert(all(1L)._2 === all(2L)._2)
+    assert(all(1L)._2 === MediaCodec.dHash60(t1.getBytes(StandardCharsets.UTF_8)),
+      "image luma really decodes back to the text bytes")
   }
 
   test("image near-dup end-to-end: fixture pair found, distant pair not, no all-pairs join") {
