@@ -290,6 +290,15 @@ object TxLog {
     * object-store LIST wall unrelated to data size. Keep this ≥ the
     * vacuum retention: vacuum resolves every snapshot in ITS window. */
   private[graft] val LogRetentionProp = "log.retention.versions"
+  /** Table property: checkpoint file format, `json` (default, line-
+    * oriented, text-splittable) or `parquet` (columnar — typed per-
+    * column stat bounds give the distributed planning prune row-group
+    * skipping + column projection; the driver path reads the same file
+    * through plain parquet-hadoop, no SparkSession). Delta's parquet-
+    * checkpoint shape. Gated by the `parquetCheckpoint` reader feature
+    * so a pre-feature reader fails by NAME on the property commit
+    * instead of silently missing checkpoints. */
+  private[graft] val CheckpointFormatProp = "checkpoint.format"
   /** Table property: comma-separated LOGICAL column names every staged
     * file's rows are locally sorted by (Iceberg's `WRITE ORDERED BY`
     * shape, ascending nulls-first). Batch staging ([[GraftTable]]'s
@@ -564,7 +573,7 @@ object TxLog {
   // ---------------------------------------------------------------- JSON
   // json4s (ships with Spark) — hand-navigated, no reflection extraction.
 
-  private def statsToJson(s: Map[String, ColStats]): JObject =
+  private[medallion] def statsToJson(s: Map[String, ColStats]): JObject =
     JObject(s.toList.map { case (c, cs) =>
       c -> (JObject(List("k" -> (JString(cs.kind): JValue),
         "min" -> JString(cs.min), "max" -> JString(cs.max)) ++
@@ -603,17 +612,21 @@ object TxLog {
     case other => throw new IllegalStateException(s"txlog: expected long, got $other")
   }
 
+  /** Inverse of [[statsToJson]] — shared by the JSON add parser and the
+    * parquet checkpoint's exact stats round trip. */
+  private[medallion] def parseStats(j: JValue): Map[String, ColStats] = j match {
+    case JObject(fields) => fields.map { case (c, v) =>
+      val sm = v.asInstanceOf[JObject].obj.toMap
+      c -> ColStats(str(sm("k")), str(sm("min")), str(sm("max")),
+        sm.get("nulls").map(lng), sm.get("b").map(str),
+        sm.get("h").map(str), sm.get("sm").map(str))
+    }.toMap
+    case _ => Map.empty[String, ColStats]
+  }
+
   private def parseAdd(o: JObject): (AddFile, Option[Long]) = {
     val m = o.obj.toMap
-    val stats = m.get("stats") match {
-      case Some(JObject(fields)) => fields.map { case (c, v) =>
-        val sm = v.asInstanceOf[JObject].obj.toMap
-        c -> ColStats(str(sm("k")), str(sm("min")), str(sm("max")),
-          sm.get("nulls").map(lng), sm.get("b").map(str),
-          sm.get("h").map(str), sm.get("sm").map(str))
-      }.toMap
-      case _ => Map.empty[String, ColStats]
-    }
+    val stats = m.get("stats").map(parseStats).getOrElse(Map.empty[String, ColStats])
     (AddFile(str(m("path")), lng(m("rows")), lng(m("bytes")), stats,
       m.get("dv").map(str), m.get("dvn").map(lng).getOrElse(0L)),
       m.get("v").map(lng))
@@ -665,17 +678,24 @@ object TxLog {
     * confinement, same policy as the feature actions themselves). */
   private[graft] val SupportedReaderFeatures: Set[String] = Set(
     "deletionVectors", "changeDataFeed", "checkConstraints",
-    "tableProperties", "columnMapping", "typeWidening")
+    "tableProperties", "columnMapping", "typeWidening",
+    "parquetCheckpoint")
 
   /** The reader features a commit's CONTENT requires — derived, not
     * declared, so the protocol line can never drift from the actions it
     * gates. Deterministic (sorted emission) for checkpoint bytes. */
   private[graft] def requiredFeatures(
-      op: String, schemaJson: Option[String], adds: Seq[AddFile],
+      op: String, schemaJson: Option[String], adds: Iterable[AddFile],
       constraints: Option[Map[String, String]],
       props: Option[Map[String, String]],
       cdc: Seq[(String, Long)], cdcFull: Seq[String]): Seq[String] =
     (Seq(
+      // a table whose checkpoints are parquet is unreadable to a
+      // json-only reader once truncation drops early commits — fail by
+      // feature name at the property commit, not by missing-file later
+      if (props.exists(_.get(CheckpointFormatProp).contains("parquet")))
+        Some("parquetCheckpoint")
+      else None,
       // the widen commit is the first point a reader MUST up-cast old
       // parquet bytes into the widened schema — gate it by name there
       // (the one op-derived feature: the widened schema json alone is
@@ -695,7 +715,7 @@ object TxLog {
     * add/remove lines. */
   private[graft] def renderCommit(
       op: String, readVersion: Long, schemaJson: Option[String],
-      adds: Seq[AddFile], removes: Seq[String],
+      adds: Iterable[AddFile], removes: Seq[String],
       txns: Map[String, Long] = Map.empty,
       addVersions: Map[String, Long] = Map.empty,
       constraints: Option[Map[String, String]] = None,
@@ -708,27 +728,29 @@ object TxLog {
       addVersions, constraints, tsMillis, props, cdc, cdcFull, mergeKey)
       .mkString("\n")
 
-  /** The commit document as an ITERATOR of rendered lines: meta
-    * actions (info/protocol/schema/constraints/props/txns — a handful)
-    * eagerly, add/remove/cdc lines LAZILY one at a time — so writing a
-    * million-add checkpoint streams to disk without materializing the
-    * whole document (JSON AST or string) on the driver. The protocol
-    * line derives from the REAL adds (an O(n) dv-existence scan, no
-    * JSON). [[renderCommit]] is exactly these lines joined — racing
-    * checkpointers must produce byte-identical content, so there is
-    * ONE rendering code path. */
-  private[graft] def renderCommitLines(
+  /** ONLY the meta lines (info/protocol/schema/constraints/props/txns)
+    * of a commit document — what the parquet checkpoint stores in its
+    * meta row, rendered by the same code that renders JSON commits so
+    * the two formats can never drift. */
+  private[graft] def renderMetaLines(
       op: String, readVersion: Long, schemaJson: Option[String],
-      adds: Seq[AddFile], removes: Seq[String],
-      txns: Map[String, Long] = Map.empty,
-      addVersions: Map[String, Long] = Map.empty,
-      constraints: Option[Map[String, String]] = None,
-      tsMillis: Option[Long] = None,
-      props: Option[Map[String, String]] = None,
-      cdc: Seq[(String, Long)] = Nil,
-      cdcFull: Seq[String] = Nil,
-      mergeKey: Option[String] = None): Iterator[String] = {
-    val meta: List[JObject] =
+      adds: Iterable[AddFile], txns: Map[String, Long],
+      constraints: Option[Map[String, String]],
+      props: Option[Map[String, String]]): List[String] =
+    metaJsons(op, readVersion, schemaJson, adds, txns, constraints,
+      tsMillis = None, props = props, cdc = Nil, cdcFull = Nil,
+      mergeKey = None)
+      .map(j => JsonMethods.compact(JsonMethods.render(j)))
+
+  private def metaJsons(
+      op: String, readVersion: Long, schemaJson: Option[String],
+      adds: Iterable[AddFile], txns: Map[String, Long],
+      constraints: Option[Map[String, String]],
+      tsMillis: Option[Long],
+      props: Option[Map[String, String]],
+      cdc: Seq[(String, Long)],
+      cdcFull: Seq[String],
+      mergeKey: Option[String]): List[JObject] =
       JObject(("a" -> JString("info")) :: ("op" -> JString(op)) ::
         ("readVersion" -> JLong(readVersion)) ::
         // wall-clock commit time, for TIMESTAMP AS OF resolution. An
@@ -763,6 +785,28 @@ object TxLog {
       // sorted for deterministic checkpoint bytes (lost put race == same content)
       txns.toList.sortBy(_._1).map { case (app, b) =>
         JObject("a" -> JString("txn"), "appId" -> JString(app), "batchId" -> JLong(b)) }
+
+  /** The commit document as an ITERATOR of rendered lines: meta
+    * actions ([[metaJsons]] — a handful) eagerly, add/remove/cdc lines
+    * LAZILY one at a time — so writing a million-add checkpoint streams
+    * to disk without materializing the whole document (JSON AST or
+    * string) on the driver. The protocol line derives from the REAL
+    * adds (an O(n) dv-existence scan, no JSON). [[renderCommit]] is
+    * exactly these lines joined — racing checkpointers must produce
+    * byte-identical content, so there is ONE rendering code path. */
+  private[graft] def renderCommitLines(
+      op: String, readVersion: Long, schemaJson: Option[String],
+      adds: Iterable[AddFile], removes: Seq[String],
+      txns: Map[String, Long] = Map.empty,
+      addVersions: Map[String, Long] = Map.empty,
+      constraints: Option[Map[String, String]] = None,
+      tsMillis: Option[Long] = None,
+      props: Option[Map[String, String]] = None,
+      cdc: Seq[(String, Long)] = Nil,
+      cdcFull: Seq[String] = Nil,
+      mergeKey: Option[String] = None): Iterator[String] = {
+    val meta: List[JObject] = metaJsons(op, readVersion, schemaJson, adds,
+      txns, constraints, tsMillis, props, cdc, cdcFull, mergeKey)
     def line(j: JObject): String = JsonMethods.compact(JsonMethods.render(j))
     meta.iterator.map(line) ++
       adds.iterator.map(a => line(addToJson(a, addVersions.get(a.path)))) ++
@@ -980,6 +1024,111 @@ object TxLog {
       .map(l => parseAddLine(l).getOrElse(throw new IllegalStateException(
         s"txlog: survivor line stopped parsing as an add: ${l.take(200)}")))
   }
+
+  /** The parquet sibling of [[distributedPruneSurvivors]]: a real
+    * parquet scan over the columnar checkpoint. Two layers, both
+    * executor-side:
+    *
+    *  1. COARSE — a pushable predicate over the typed per-column bound
+    *    columns (`nmin_i`/`nmax_i` doubles, `tmin_i`/`tmax_i` strings):
+    *    parquet row groups whose bound ranges cannot overlap the scan's
+    *    constraints are SKIPPED unread (min/max statistics), and only
+    *    the projected columns of surviving groups decode. Null bounds
+    *    (no stats for the column) conservatively survive, matching
+    *    `stats.get(phys).forall(...)`.
+    *  2. EXACT — the shared predicate ([[ColStats.overlaps]] +
+    *    [[PartitionSpec.admits]]) on the parsed stats JSON of every row
+    *    the coarse layer admits. Correctness never depends on layer 1.
+    *
+    * Only survivors collect, as (AddFile, provenance). */
+  private[medallion] def distributedPruneSurvivorsParquet(
+      spark: SparkSession, checkpointPath: String, schemaJson: String,
+      excluded: Set[String],
+      constraints: Seq[(String, Option[String], Option[String],
+        Option[Any], Option[Any])]): Seq[(AddFile, Option[Long])] = {
+    import spark.implicits._
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val idxOf: Map[String, Int] = schema.fields.zipWithIndex.map {
+      case (f, i) => physicalOf(schema, f.name) -> i
+    }.toMap
+    val coarse = constraints.foldLeft(lit(true)) {
+      case (acc, (phys, loS, hiS, _, _)) =>
+        idxOf.get(phys) match {
+          case None => acc
+          case Some(i) =>
+            if (statsKind(schema.fields(i).dataType) == "num") {
+              val inRange = Seq(
+                hiS.map(h => col(s"nmin_$i") <= ParquetCheckpoint.hiDouble(h)),
+                loS.map(l => col(s"nmax_$i") >= ParquetCheckpoint.loDouble(l)))
+                .flatten.reduceOption(_ && _).getOrElse(lit(true))
+              acc && (col(s"nmin_$i").isNull || inRange)
+            } else {
+              val inRange = Seq(
+                hiS.map(h => col(s"tmin_$i") <= h),
+                loS.map(l => col(s"tmax_$i") >= l))
+                .flatten.reduceOption(_ && _).getOrElse(lit(true))
+              acc && (col(s"tmin_$i").isNull || inRange)
+            }
+        }
+    }
+    spark.read.parquet(checkpointPath)
+      .filter(col("meta").isNull && coarse)
+      .select(col("path"), col("rows"), col("bytes"), col("stats"),
+        col("dv"), col("dvn"), col("v"))
+      .as[(String, Option[Long], Option[Long], String,
+        Option[String], Option[Long], Option[Long])]
+      .mapPartitions { it =>
+        val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        it.filter { case (p, r, b, statsJson, dv, dvn, _) =>
+          !excluded.contains(p) && {
+            val stats = parseStats(JsonMethods.parse(statsJson))
+            val a = AddFile(p, r.getOrElse(0L), b.getOrElse(0L), stats,
+              dv, dvn.getOrElse(0L))
+            constraints.forall { case (phys, loS, hiS, loR, hiR) =>
+              stats.get(phys).forall(_.overlaps(loS, hiS)) &&
+                PartitionSpec.admits(sch, a, phys, loR, hiR)
+            }
+          }
+        }
+      }
+      .collect().toSeq
+      .map { case (p, r, b, statsJson, dv, dvn, vOpt) =>
+        (AddFile(p, r.getOrElse(0L), b.getOrElse(0L),
+          parseStats(JsonMethods.parse(statsJson)), dv, dvn.getOrElse(0L)),
+          vOpt)
+      }
+  }
+
+  // -------------------------------- parquet-checkpoint commit cache
+
+  /** Parse cache for PARQUET checkpoints, keyed by (path, size, mtime)
+    * — cheaper than content addressing (no need to read the file twice)
+    * and safe for an immutable, atomically-linked artifact whose name
+    * encodes its version. SoftReference values like the JSON cache. */
+  private val parquetCommitCache =
+    new java.util.LinkedHashMap[(String, Long, Long),
+      java.lang.ref.SoftReference[Commit]](8, 0.75f, true)
+
+  private[medallion] def parquetCommitCached(path: Path): Commit = {
+    val key = (path.toString, Files.size(path),
+      Files.getLastModifiedTime(path).toMillis)
+    parquetCommitCache.synchronized {
+      val ref = parquetCommitCache.get(key)
+      val hit = if (ref == null) null else ref.get()
+      if (hit != null) { checkpointCacheHits.incrementAndGet(); return hit }
+      if (ref != null) parquetCommitCache.remove(key)
+    }
+    val parsed = ParquetCheckpoint.readCommit(path)
+    parquetCommitCache.synchronized {
+      parquetCommitCache.put(key, new java.lang.ref.SoftReference(parsed))
+      parquetCommitCache.values().removeIf(r => r.get() == null)
+      val eldest = parquetCommitCache.entrySet().iterator()
+      while (parquetCommitCache.size() > 4 && eldest.hasNext) {
+        eldest.next(); eldest.remove()
+      }
+    }
+    parsed
+  }
 }
 
 /** Handle on one log-structured table rooted at `tablePath`. Thread-safe
@@ -1006,6 +1155,22 @@ final class GraftTable(val tablePath: String) {
   private def versionFile(v: Long): Path = logDir.resolve(s"${("%020d").format(v)}.json")
   private def checkpointFile(v: Long): Path =
     logDir.resolve(s"${("%020d").format(v)}.checkpoint.json")
+  private def checkpointFileParquet(v: Long): Path =
+    logDir.resolve(s"${("%020d").format(v)}.checkpoint.parquet")
+  /** The checkpoint artifact at `v`, whichever format wrote it —
+    * parquet preferred when both exist (a format migration leaves the
+    * old json behind until truncation sweeps it). */
+  private def checkpointArtifact(v: Long): Path = {
+    val pq = checkpointFileParquet(v)
+    if (Files.exists(pq)) pq else checkpointFile(v)
+  }
+  /** Read the checkpoint at `cv` as a parsed Commit, format-dispatched,
+    * through the per-format parse caches. */
+  private def readCheckpointCommit(cv: Long): Commit = {
+    val pq = checkpointFileParquet(cv)
+    if (Files.exists(pq)) TxLog.parquetCommitCached(pq)
+    else parseCheckpointCached(Files.readAllBytes(checkpointFile(cv)))
+  }
 
   private def ensureDirs(): Unit = { Files.createDirectories(logDir); () }
 
@@ -1019,8 +1184,10 @@ final class GraftTable(val tablePath: String) {
     else {
       val it = Files.list(logDir)
       try it.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.endsWith(".json") && !n.startsWith("."))
-        .map(_.stripSuffix(".json").stripSuffix(".checkpoint"))
+        .filter(n => (n.endsWith(".json") || n.endsWith(".checkpoint.parquet"))
+          && !n.startsWith("."))
+        .map(_.stripSuffix(".json").stripSuffix(".checkpoint.parquet")
+          .stripSuffix(".checkpoint"))
         .filter(n => n.nonEmpty && n.forall(_.isDigit))
         .map(_.toLong).foldLeft(0L)(math.max)
       finally it.close()
@@ -1041,7 +1208,8 @@ final class GraftTable(val tablePath: String) {
           val v = m.get("version").map {
             case JLong(x) => x; case JInt(x) => x.toLong; case _ => 0L
           }.getOrElse(0L)
-          if (v <= atMost && Files.exists(checkpointFile(v))) Some(v) else None
+          if (v <= atMost && (Files.exists(checkpointFile(v)) ||
+            Files.exists(checkpointFileParquet(v)))) Some(v) else None
         } else None
       } catch { case scala.util.control.NonFatal(_) => None }
     hinted.orElse {
@@ -1050,9 +1218,12 @@ final class GraftTable(val tablePath: String) {
         val it = Files.list(logDir)
         val vs =
           try it.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.endsWith(".checkpoint.json"))
-            .map(_.stripSuffix(".checkpoint.json").toLong)
-            .filter(_ <= atMost).toSeq
+            .filter(n => n.endsWith(".checkpoint.json") ||
+              n.endsWith(".checkpoint.parquet"))
+            .map(_.stripSuffix(".checkpoint.json")
+              .stripSuffix(".checkpoint.parquet"))
+            .filter(n => n.nonEmpty && n.forall(_.isDigit))
+            .map(_.toLong).filter(_ <= atMost).toSeq
           finally it.close()
         if (vs.isEmpty) None else Some(vs.max)
       }
@@ -1080,10 +1251,10 @@ final class GraftTable(val tablePath: String) {
     var cons = Map.empty[String, String]
     var prps = Map.empty[String, String]
     cp.foreach { cv =>
-      // content-addressed parse cache: the same checkpoint bytes parse
-      // once per JVM — repeated resolution against an unchanged table
-      // costs one file read + hash instead of the JSON parse
-      val c = parseCheckpointCached(Files.readAllBytes(checkpointFile(cv)))
+      // parse caches: the same checkpoint parses once per JVM — repeated
+      // resolution against an unchanged table costs one read + cache hit
+      // instead of the full parse (format-dispatched: json or parquet)
+      val c = readCheckpointCommit(cv)
       c.schemaJson.foreach(schemaJson = _)
       c.adds.foreach { a =>
         live += (a.path -> a)
@@ -1224,7 +1395,7 @@ final class GraftTable(val tablePath: String) {
         DistributedPruneMinBytesDefault }
     checkpointAtOrBefore(target) match {
       case Some(cv) if usable.nonEmpty &&
-          Files.size(checkpointFile(cv)) >= minBytes =>
+          Files.size(checkpointArtifact(cv)) >= minBytes =>
         prunedSnapshotDistributed(spark, cv, target, usable)
       case _ => prunedSnapshot(constraints, version)
     }
@@ -1252,15 +1423,22 @@ final class GraftTable(val tablePath: String) {
   private[graft] def prunedSnapshotDistributed(
       spark: SparkSession, cv: Long, target: Long,
       usable: Seq[(String, Option[Any], Option[Any])]): Snapshot = {
-    // phase 1: checkpoint meta, streamed
-    val metaSb = new StringBuilder
-    val linesIt = Files.lines(checkpointFile(cv))
-    try linesIt.iterator().asScala.foreach { line =>
-      if (line.nonEmpty && !isAddLine(line)) {
-        metaSb.append(line).append('\n'); ()
+    // phase 1: checkpoint meta, streamed (json) or projected (parquet —
+    // two small columns, add rows never touch the driver)
+    val cpIsParquet = Files.exists(checkpointFileParquet(cv))
+    val metaCp =
+      if (cpIsParquet)
+        parseCommit(ParquetCheckpoint.readMetaDoc(checkpointFileParquet(cv)))
+      else {
+        val metaSb = new StringBuilder
+        val linesIt = Files.lines(checkpointFile(cv))
+        try linesIt.iterator().asScala.foreach { line =>
+          if (line.nonEmpty && !isAddLine(line)) {
+            metaSb.append(line).append('\n'); ()
+          }
+        } finally linesIt.close()
+        parseCommit(metaSb.toString)
       }
-    } finally linesIt.close()
-    val metaCp = parseCommit(metaSb.toString)
     var schemaJson: String = metaCp.schemaJson.orNull
     var txns = metaCp.txns
     var cons = metaCp.constraints.getOrElse(Map.empty[String, String])
@@ -1299,8 +1477,12 @@ final class GraftTable(val tablePath: String) {
     }
     // phase 3: executor-side prune of checkpoint adds; suffix-touched
     // paths are excluded there and re-resolved from the delta below
-    val survivors = distributedPruneSurvivors(
-      spark, checkpointFile(cv).toString, schemaJson, delta.keySet.toSet, ser)
+    val survivors =
+      if (cpIsParquet) distributedPruneSurvivorsParquet(
+        spark, checkpointFileParquet(cv).toString, schemaJson,
+        delta.keySet.toSet, ser)
+      else distributedPruneSurvivors(
+        spark, checkpointFile(cv).toString, schemaJson, delta.keySet.toSet, ser)
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     var addedIn = Map.empty[String, Long]
     survivors.foreach { case (a, vOpt) =>
@@ -3096,6 +3278,10 @@ final class GraftTable(val tablePath: String) {
         require(n >= 0,
           s"txlog: $LogRetentionProp must be >= 0, got $n")
       }
+      if (name == CheckpointFormatProp)
+        require(value == "json" || value == "parquet",
+          s"txlog: $CheckpointFormatProp must be 'json' or 'parquet', " +
+            s"got '$value'")
       if (name == SumColumnsProp) {
         val schema = snap.schema
         value.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
@@ -4046,15 +4232,26 @@ final class GraftTable(val tablePath: String) {
     // and omitting it keeps constraint-free tables' checkpoints readable
     // by pre-constraint readers (the format bump is confined to tables
     // actually using the feature)
-    // streamed: a million-add checkpoint writes line-at-a-time, never
-    // materializing the document on the driver (lost race == same
-    // content — renderCommitLines is the ONE rendering path)
-    putIfAbsentLines(
-      renderCommitLines("checkpoint", snap.version, Some(snap.schemaJson),
-        snap.files, Nil, snap.txns, addVersions = snap.addedIn,
-        constraints = if (snap.constraints.nonEmpty) Some(snap.constraints) else None,
-        props = if (snap.props.nonEmpty) Some(snap.props) else None),
-      checkpointFile(snap.version))
+    val cons = if (snap.constraints.nonEmpty) Some(snap.constraints) else None
+    val prps = if (snap.props.nonEmpty) Some(snap.props) else None
+    if (snap.props.get(TxLog.CheckpointFormatProp).contains("parquet"))
+      // columnar checkpoint: meta doc by the shared renderer, adds
+      // streamed row-at-a-time through the parquet writer
+      ParquetCheckpoint.write(
+        checkpointFileParquet(snap.version),
+        renderMetaLines("checkpoint", snap.version, Some(snap.schemaJson),
+          snap.files, snap.txns, cons, prps).mkString("\n"),
+        snap.schema,
+        snap.files.iterator.map(a => (a, snap.addedIn.get(a.path))))
+    else
+      // streamed: a million-add checkpoint writes line-at-a-time, never
+      // materializing the document on the driver (lost race == same
+      // content — renderCommitLines is the ONE rendering path)
+      putIfAbsentLines(
+        renderCommitLines("checkpoint", snap.version, Some(snap.schemaJson),
+          snap.files, Nil, snap.txns, addVersions = snap.addedIn,
+          constraints = cons, props = prps),
+        checkpointFile(snap.version))
     val hint = JsonMethods.compact(JsonMethods.render(
       JObject("version" -> JLong(snap.version))))
     val tmp = logDir.resolve(s".hint-${UUID.randomUUID()}")
@@ -4113,11 +4310,12 @@ final class GraftTable(val tablePath: String) {
     val it = Files.list(logDir)
     val victims =
       try it.iterator().asScala.map(_.getFileName.toString).filter { n =>
-        if (n.endsWith(".checkpoint.json")) {
+        if (n.endsWith(".checkpoint.json") || n.endsWith(".checkpoint.parquet")) {
           // same all-digits guard as the commit branch: a stray
-          // non-numeric *.checkpoint.json must be skipped, not throw
+          // non-numeric *.checkpoint.* must be skipped, not throw
           // NumberFormatException out of a manual truncate_log call
           val v = n.stripSuffix(".checkpoint.json")
+            .stripSuffix(".checkpoint.parquet")
           v.nonEmpty && v.forall(_.isDigit) && v.toLong < cpF
         } else if (n.endsWith(".json") && !n.startsWith("."))
           n.stripSuffix(".json").forall(_.isDigit) &&

@@ -1,0 +1,175 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.medallion.{GraftTable, ParquetCheckpoint, TxLog}
+import org.apache.spark.sql.types._
+
+/** Columnar (parquet) commit-log checkpoints: exact round trip of every
+  * action through the binary format, distributed-prune equivalence with
+  * the driver path (including row-group pushdown conservativeness), the
+  * `parquetCheckpoint` protocol gate, and log truncation sweeping up to
+  * a parquet artifact. */
+class ParquetCheckpointSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("x", DoubleType)))
+
+  private def freshDir(tag: String): java.io.File = {
+    val d = new java.io.File(
+      s"target/tmp/pqcp_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+    d.mkdirs(); d
+  }
+
+  /** Synthetic table whose v1 checkpoint is PARQUET with `n` adds:
+    * file i covers ids [i*100, i*100+99] (same fixture as
+    * DistributedPruneSpec), plus one statless file and one string-y
+    * payload to exercise every column family. */
+  private def synthParquetTable(n: Int): GraftTable = {
+    val dir = freshDir("synth")
+    val logDir = Paths.get(dir.getAbsolutePath, "_graft_log")
+    Files.createDirectories(logDir)
+    val sch = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val adds = (0 until n).iterator.map { i =>
+      (TxLog.AddFile(
+        path = f"part-synth-$i%07d.parquet", rows = 100L, bytes = 4096L,
+        stats = Map(
+          "id" -> TxLog.ColStats("num",
+            (i * 100L).toString, (i * 100L + 99L).toString, Some(0L)),
+          "s" -> TxLog.ColStats("str",
+            f"k$i%07d", f"k$i%07dzz", Some(0L)))),
+        Some(1L))
+    } ++ Iterator(
+      // a file with NO stats at all: every prune must keep it
+      (TxLog.AddFile("part-stateless.parquet", 7L, 128L,
+        Map.empty[String, TxLog.ColStats]), None))
+    val metaDoc = TxLog.renderMetaLines(
+      "checkpoint", 1L, Some(sch.json), Nil, Map.empty, None, None)
+      .mkString("\n")
+    ParquetCheckpoint.write(
+      logDir.resolve(f"${1L}%020d.checkpoint.parquet"), metaDoc, sch, adds)
+    new GraftTable(dir.getAbsolutePath)
+  }
+
+  test("end-to-end: property flips checkpoints to parquet; snapshot round-trips") {
+    val t = new GraftTable(freshDir("e2e").getAbsolutePath)
+    t.create(schema)                                             // v1
+    t.append(Seq((1L, 0.5), (2L, 1.5)).toDF("id", "x"))          // v2
+    t.setProperty(TxLog.CheckpointFormatProp, "parquet")         // v3
+    t.append(Seq((3L, 2.5)).toDF("id", "x"))                     // v4
+    val before = t.snapshot()
+    val cv = t.checkpoint()
+    assert(cv === before.version)
+    val logDir = Paths.get(t.tablePath, "_graft_log")
+    assert(Files.exists(logDir.resolve(f"$cv%020d.checkpoint.parquet")),
+      "parquet artifact must exist")
+    assert(!Files.exists(logDir.resolve(f"$cv%020d.checkpoint.json")),
+      "no json twin in parquet mode")
+    // resolution THROUGH the parquet checkpoint reproduces the state
+    val after = t.snapshot()
+    assert(after.version === before.version)
+    assert(after.schemaJson === before.schemaJson)
+    assert(after.files.map(a => (a.path, a.rows, a.bytes, a.stats)).toSet ===
+      before.files.map(a => (a.path, a.rows, a.bytes, a.stats)).toSet)
+    assert(after.addedIn === before.addedIn)
+    assert(after.props === before.props)
+    // the data still reads, and a post-checkpoint append stacks on top
+    assert(t.read(spark).count() === 3L)
+    t.append(Seq((4L, 3.5)).toDF("id", "x"))
+    assert(t.read(spark).count() === 4L)
+  }
+
+  test("synthetic 20k-add parquet checkpoint: distributed == driver prune") {
+    val t = synthParquetTable(20000)
+    val snap = t.snapshot()
+    assert(snap.files.size === 20001)
+    assert(snap.addedIn.get("part-synth-0000000.parquet") === Some(1L))
+    assert(snap.addedIn.get("part-stateless.parquet") === Some(1L),
+      "provenance defaults to the checkpoint version")
+    // numeric range: files 5000..5099 plus the statless survivor
+    val cons = Seq[(String, Option[Any], Option[Any])](
+      ("id", Some(500000L), Some(509999L)))
+    val driver = t.prunedSnapshot(cons, -1L)
+    assert(driver.files.size === 101)
+    val dist = t.prunedSnapshotDistributed(spark, 1L, 1L, cons)
+    assert(dist.files.map(_.path).toSet === driver.files.map(_.path).toSet)
+    assert(dist.files.map(a => a.path -> a.stats).toMap ===
+      driver.files.map(a => a.path -> a.stats).toMap,
+      "stats must round-trip exactly through the columnar format")
+    // boundary equality: a constraint exactly at a file's min/max keeps
+    // it (the one-ulp widened pushdown bounds must never exclude it)
+    val edge = Seq[(String, Option[Any], Option[Any])](
+      ("id", Some(123499L), Some(123500L))) // max of file 1234, min of 1235
+    val edgeDist = t.prunedSnapshotDistributed(spark, 1L, 1L, edge)
+    assert(edgeDist.files.map(_.path).toSet ===
+      t.prunedSnapshot(edge, -1L).files.map(_.path).toSet)
+    assert(edgeDist.files.exists(_.path.contains("1234")) &&
+      edgeDist.files.exists(_.path.contains("1235")))
+    // string-kind constraint exercises the tmin/tmax family
+    val sCons = Seq[(String, Option[Any], Option[Any])](
+      ("s", Some("k0005000"), Some("k0005009zz")))
+    val sDist = t.prunedSnapshotDistributed(spark, 1L, 1L, sCons)
+    assert(sDist.files.map(_.path).toSet ===
+      t.prunedSnapshot(sCons, -1L).files.map(_.path).toSet)
+    assert(sDist.files.size === 11) // 10 matching + statless
+    assert(sDist.files.exists(_.path == "part-stateless.parquet"),
+      "a file without stats must always survive pruning")
+  }
+
+  test("dv/bloom/hll/sum stats survive the binary round trip exactly") {
+    val dir = freshDir("fidelity")
+    val logDir = Paths.get(dir.getAbsolutePath, "_graft_log")
+    Files.createDirectories(logDir)
+    val rich = TxLog.AddFile("part-rich.parquet", 50L, 2048L,
+      stats = Map("id" -> TxLog.ColStats("num", "1", "9", Some(3L),
+        bloom = Some("QUJDRA=="), hll = Some("SEZMTA=="), sum = Some("45"))),
+      dv = Some("ZHZkdg=="), dvRows = 5L)
+    val metaDoc = TxLog.renderMetaLines("checkpoint", 1L, Some(schema.json),
+      Seq(rich), Map("app" -> 7L), Some(Map("c1" -> "id > 0")),
+      Some(Map("k" -> "v"))).mkString("\n")
+    ParquetCheckpoint.write(
+      logDir.resolve(f"${1L}%020d.checkpoint.parquet"), metaDoc, schema,
+      Iterator((rich, Some(1L))))
+    val t = new GraftTable(dir.getAbsolutePath)
+    val snap = t.snapshot()
+    assert(snap.files === Seq(rich), "AddFile (incl. dv + dvRows) is exact")
+    assert(snap.txns === Map("app" -> 7L))
+    assert(snap.constraints === Map("c1" -> "id > 0"))
+    assert(snap.props === Map("k" -> "v"))
+    // effectiveRows accounts the DV through the round trip
+    assert(snap.files.head.effectiveRows === 45L)
+  }
+
+  test("protocol gate: the property commit names parquetCheckpoint") {
+    val t = new GraftTable(freshDir("gate").getAbsolutePath)
+    t.create(schema)
+    val v = t.setProperty(TxLog.CheckpointFormatProp, "parquet")
+    val commitJson = new String(Files.readAllBytes(
+      Paths.get(t.tablePath, "_graft_log", f"$v%020d.json")), "UTF-8")
+    assert(commitJson.contains("\"protocol\"") &&
+      commitJson.contains("parquetCheckpoint"),
+      s"props commit must gate by feature name:\n$commitJson")
+    assert(TxLog.SupportedReaderFeatures.contains("parquetCheckpoint"))
+    // and validation rejects junk values
+    intercept[IllegalArgumentException](
+      t.setProperty(TxLog.CheckpointFormatProp, "orc"))
+  }
+
+  test("truncateLog sweeps commits subsumed by a parquet checkpoint") {
+    val t = new GraftTable(freshDir("trunc").getAbsolutePath)
+    t.create(schema)
+    t.setProperty(TxLog.CheckpointFormatProp, "parquet")
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, i * 0.5)).toDF("id", "x")))
+    val head = t.latestVersion()                                  // 7
+    t.checkpoint()
+    val dropped = t.truncateLog(retainVersions = 1)
+    assert(dropped.nonEmpty, "commits at/below the checkpoint must drop")
+    // the head still resolves purely from the parquet artifact
+    assert(t.latestVersion() === head)
+    assert(t.snapshot().files.size === 5)
+    assert(t.read(spark).count() === 5L)
+  }
+}
