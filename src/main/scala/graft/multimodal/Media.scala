@@ -32,9 +32,13 @@ import org.apache.spark.sql.functions._
   * text (for PNG the text bytes ARE the pixel plane, stored-block zlib
   * so the container length stays arithmetic) — which is what lets the
   * DuckDB oracle predict every parsed field while the Spark side
-  * round-trips real bytes. WAV/JPEG sample payloads remain opaque
-  * metadata-plus-plane containers (no audio/video codecs here); a full
-  * decoder (JavaCV, ffmpeg) drops into the same `mapPartitions` slot.
+  * round-trips real bytes. WAV is real too: synthesis emits correct,
+  * playable 8-bit mono PCM (the data bytes ARE the samples) and
+  * [[MediaCodec.decodeWavSamples]] decodes ANY 8/16-bit multi-channel
+  * PCM to a mono signal plane per the `fmt ` header. Only the JPEG
+  * entropy segment stays an opaque plane (no Huffman decoder here); a
+  * full video codec (JavaCV, ffmpeg) drops into the same
+  * `mapPartitions` slot.
   */
 object Media {
 
@@ -178,16 +182,23 @@ object Media {
     }
 
     /** Canonical 44-byte-header PCM WAV: RIFF/WAVE + 16-byte `fmt ` +
-      * `body` as the data chunk. Length = 44 + body.length. */
-    def writeWav(sampleRate: Int, channels: Int, body: Array[Byte]): Array[Byte] = {
+      * `body` as the data chunk. Length = 44 + body.length. With
+      * `bits = 8` (the synthesis default) the data bytes ARE the
+      * unsigned samples — the container is a genuinely correct,
+      * playable PCM file whose "decode" is the identity read every
+      * audio stack performs for u8 PCM. */
+    def writeWav(sampleRate: Int, channels: Int, body: Array[Byte],
+        bits: Int = 8): Array[Byte] = {
+      require(bits == 8 || bits == 16, s"PCM bits must be 8 or 16, got $bits")
+      val bytesPer = bits / 8
       val bb = java.nio.ByteBuffer.allocate(44 + body.length)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       bb.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + body.length)
       bb.put("WAVE".getBytes(StandardCharsets.US_ASCII))
       bb.put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
       bb.putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
-      bb.putInt(sampleRate * channels * 2) // byte rate (16-bit PCM)
-      bb.putShort((channels * 2).toShort).putShort(16.toShort)
+      bb.putInt(sampleRate * channels * bytesPer) // byte rate
+      bb.putShort((channels * bytesPer).toShort).putShort(bits.toShort)
       bb.put("data".getBytes(StandardCharsets.US_ASCII)).putInt(body.length)
       bb.put(body)
       bb.array()
@@ -414,7 +425,11 @@ object Media {
           writePngPixels(px.length / rows, rows, 0, px,
             r => ((h + r) % 5).toInt)
         case "audio" =>
-          writeWav(SampleRates((h % 5).toInt), (1 + h % 2).toInt, body)
+          // MONO 8-bit on purpose: the data bytes are then exactly the
+          // unsigned samples, so the decoded signal plane equals the
+          // body — the invariant the arithmetic oracle rides (stereo /
+          // 16-bit decode paths are spec- and ingest-exercised)
+          writeWav(SampleRates((h % 5).toInt), channels = 1, body)
         case "video" => writeJpeg(w, ht, body)
         case other => throw new IllegalArgumentException(s"unknown modality $other")
       }
@@ -469,10 +484,10 @@ object Media {
       None // no IEND: truncated container
     }
 
-    /** The WAV payload's PCM sample bytes: the same untrusted-length
-      * RIFF chunk walk as [[parseWav]], to the `data` chunk. DECODE
-      * STUB: a real pipeline would decode samples and band-filter
-      * here; the raw data-chunk bytes stand in deterministically. */
+    /** The WAV payload's raw `data` chunk bytes: the same untrusted-
+      * length RIFF chunk walk as [[parseWav]]. [[decodeWavSamples]]
+      * layers the REAL sample decode (bit depth + channel downmix) on
+      * top of this walk. */
     def extractWavData(b: Array[Byte]): Option[Array[Byte]] = {
       if (b.length < 12 ||
         new String(b, 0, 4, StandardCharsets.US_ASCII) != "RIFF" ||
@@ -490,6 +505,44 @@ object Media {
       }
       None
     }
+
+    /** REAL PCM sample decode to an unsigned-8-bit mono signal plane:
+      * `fmt ` gives bit depth + channel count; 8-bit data bytes ARE
+      * the unsigned samples, 16-bit little-endian signed samples map
+      * through the standard (s >> 8) + 128 reduction, and multi-
+      * channel frames downmix by integer mean (incomplete trailing
+      * frames drop, per the PCM framing contract). Unsupported depths
+      * and malformed containers refuse with None — the same corrupt-
+      * member contract as [[decodePngLuma]]. For the synthesized
+      * corpus (8-bit mono) this is the identity read a real audio
+      * stack performs, which is what keeps the DuckDB oracle
+      * arithmetic; 16-bit and stereo paths are exercised by spec
+      * fixtures and real [[ingestBinary]] files. */
+    def decodeWavSamples(b: Array[Byte]): Option[Array[Byte]] =
+      parseWav(b).flatMap { case (_, channels, bits) =>
+        if ((bits != 8 && bits != 16) || channels < 1) None
+        else extractWavData(b).map { data =>
+          val bytesPer = bits / 8
+          val frame = channels * bytesPer
+          val n = data.length / frame
+          val out = new Array[Byte](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0
+            var c = 0
+            while (c < channels) {
+              val off = i * frame + c * bytesPer
+              acc += (if (bits == 8) data(off) & 0xff
+              else ((((data(off) & 0xff) | (data(off + 1) << 8)).toShort >> 8)
+                + 128))
+              c += 1
+            }
+            out(i) = (acc / channels).toByte
+            i += 1
+          }
+          out
+        }
+      }
 
     /** The JPEG payload's post-header bytes up to EOI — the entropy-
       * coded segment a real decoder would Huffman-decode (DECODE STUB:
@@ -564,14 +617,14 @@ object Media {
   def imageHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[(Long, Long)] =
     perceptualHashes(documents, "image", MediaCodec.decodePngLuma)
 
-  /** The audio sibling: WAV payloads container-walk to their PCM
-    * sample plane (`data` chunk) and fingerprint with the same 60-bit
-    * difference hash — for PCM the grid means are per-window signal
-    * energy proxies and the bits are the energy-delta signs, the
-    * classic acoustic-fingerprint shape (Haitsma–Kalker) over the
-    * deterministic-fake decode. */
+  /** The audio sibling: WAV payloads REALLY decode to their unsigned-
+    * 8-bit mono signal plane ([[MediaCodec.decodeWavSamples]] — bit
+    * depth + channel downmix per the `fmt ` header) and fingerprint
+    * with the same 60-bit difference hash — the grid means are per-
+    * window signal energy proxies and the bits are the energy-delta
+    * signs, the classic acoustic-fingerprint shape (Haitsma–Kalker). */
   def audioHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[(Long, Long)] =
-    perceptualHashes(documents, "audio", MediaCodec.extractWavData)
+    perceptualHashes(documents, "audio", MediaCodec.decodeWavSamples)
 
   /** The video sibling, under the frame-sample convention (a video
     * payload carries one JPEG keyframe): keyframe body → the same
@@ -600,7 +653,7 @@ object Media {
   private[graft] def planeFor(fmt: String): Array[Byte] => Option[Array[Byte]] =
     fmt match {
       case "image" => MediaCodec.decodePngLuma
-      case "audio" => MediaCodec.extractWavData
+      case "audio" => MediaCodec.decodeWavSamples
       case "video" => MediaCodec.extractJpegBody
       case _ => (_: Array[Byte]) => None
     }

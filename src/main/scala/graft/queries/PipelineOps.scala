@@ -61,7 +61,7 @@ object PipelineOps {
               CASE WHEN m = 1
                    THEN CAST(list_value(8000, 16000, 22050, 44100, 48000)[
                           CAST(h % 5 AS INTEGER) + 1] AS INTEGER) END AS sample_rate,
-              CASE WHEN m = 1 THEN CAST(1 + (h % 2) AS INTEGER) END AS channels,
+              CASE WHEN m = 1 THEN CAST(1 AS INTEGER) END AS channels,
               CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                    ELSE 'video' END AS fmt
        FROM (SELECT *,

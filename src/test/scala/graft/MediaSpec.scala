@@ -127,7 +127,9 @@ class MediaSpec extends SparkSpec {
     assert(MediaCodec.parseJpeg(MediaCodec.writeJpeg(1024, 768, body)) ===
       Some((1024, 768)))
     assert(MediaCodec.parseWav(MediaCodec.writeWav(16000, 1, body)) ===
-      Some((16000, 1, 16)))
+      Some((16000, 1, 8))) // synthesis default: true 8-bit PCM
+    assert(MediaCodec.parseWav(MediaCodec.writeWav(16000, 2, body, bits = 16)) ===
+      Some((16000, 2, 16)))
     // documented length formulas (the oracle's byte_len arithmetic)
     assert(MediaCodec.writePng(1, 1, body).length === 57 + body.length)
     assert(MediaCodec.writeJpeg(1, 1, body).length === 23 + body.length)
@@ -190,7 +192,7 @@ class MediaSpec extends SparkSpec {
     assert(aud.container === "wav" && aud.fmt === "audio")
     assert(aud.sample_rate ===
       Some(MediaCodec.SampleRates((h("jumps over the dog") % 5).toInt)))
-    assert(aud.channels === Some((1 + h("jumps over the dog") % 2).toInt))
+    assert(aud.channels === Some(1)) // synthesis is true mono 8-bit PCM
     assert(vid.container === "jpeg" && vid.fmt === "video")
     assert(vid.height === Some((64 + (h("pack my box with jugs") / 1000) % 1000).toInt))
   }
@@ -259,6 +261,28 @@ class MediaSpec extends SparkSpec {
     // hashes identically to the same bytes as an image plane
     assert(MediaCodec.dHash60(MediaCodec.extractWavData(wav).get)
       === MediaCodec.dHash60(body))
+  }
+
+  test("decodeWavSamples: real PCM decode — bit depth + channel downmix") {
+    val body = (0 until 100).map(_.toByte).toArray
+    // 8-bit mono: the data bytes ARE the samples (identity decode)
+    assert(MediaCodec.decodeWavSamples(
+      MediaCodec.writeWav(8000, 1, body)).get.toSeq === body.toSeq)
+    // 8-bit stereo: frames downmix by integer mean; odd tail drops
+    val stereo = Array[Byte](10, 20, 30, 40, 50)
+    val mixed = MediaCodec.decodeWavSamples(
+      MediaCodec.writeWav(8000, 2, stereo)).get
+    assert(mixed.toSeq === Seq(15.toByte, 35.toByte))
+    // 16-bit mono LE: (s >> 8) + 128 — 0x7F00 → 0x7F+128=255, -32768 → 0
+    val s16 = Array[Byte](0x00, 0x7f, 0x00, 0x80.toByte, 0x34, 0x12)
+    val dec16 = MediaCodec.decodeWavSamples(
+      MediaCodec.writeWav(8000, 1, s16, bits = 16)).get
+    assert(dec16.toSeq === Seq(255.toByte, 0.toByte, (0x12 + 128).toByte))
+    // unsupported depth refuses (hand-patch the bits field at offset 34)
+    val odd = MediaCodec.writeWav(8000, 1, body)
+    odd(34) = 24
+    assert(MediaCodec.decodeWavSamples(odd) === None)
+    assert(MediaCodec.decodeWavSamples(body) === None)
   }
 
   test("extractJpegBody walks the marker chain to the entropy-coded segment") {
