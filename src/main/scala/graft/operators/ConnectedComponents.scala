@@ -60,13 +60,24 @@ object ConnectedComponents {
     // possibly a whole LSH pair pipeline) once per branch. No distinct():
     // duplicate edges cannot change a min aggregate, so the dedup
     // shuffle would buy nothing.
-    val sym = CacheScope.cached(
+    // flatten(f): rewrap a CACHED frame as a LogicalRDD. Round k's
+    // labels otherwise reference round k-1's plan TWICE (the join side
+    // and the neighbor side), so the Catalyst tree DOUBLES per round —
+    // and every later action re-analyzes the exponential tree. Measured
+    // on q159's rep graph: ~4 s of pure driver-side planning per
+    // downstream action, cache hits notwithstanding. The RDD handle
+    // keeps executor-side lineage (block loss recomputes through the
+    // round chain), so this cuts only the LOGICAL plan, unlike
+    // localCheckpoint which also forfeits fault tolerance.
+    def flatten(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    val sym = CacheScope.cached(flatten(
       edges.select(explode(array(
         call_function("named_struct",
           lit("a"), col(srcCol), lit("b"), col(dstCol)),
         call_function("named_struct",
           lit("a"), col(dstCol), lit("b"), col(srcCol)))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b")))
+        .select(col("e.a").as("a"), col("e.b").as("b"))))
     var labels = CacheScope.cached(
       sym.select(col("a").as("id")).distinct()
         .withColumn("component", col("id")))
@@ -109,7 +120,9 @@ object ConnectedComponents {
         labels = cp
         cachedLabels = cp // unpersist on a checkpointed frame is a no-op
       } else {
-        labels = next.drop("_changed")
+        // plan-flattened (see above): the cached `next` serves the RDD,
+        // the next round and every downstream consumer see a LogicalRDD
+        labels = flatten(next.drop("_changed"))
         cachedLabels = next
       }
     }

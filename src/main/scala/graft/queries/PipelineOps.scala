@@ -3241,8 +3241,9 @@ object PipelineOps {
   //      modalities in one scan pass (image really decodes:
   //      inflate + unfilter + luma);
   //   3. hash-group collapse + Hamming band join (within modality) →
-  //      rep-level near-dup edges → transitive clustering
-  //      (ConnectedComponents — alternating-star capable, O(log n));
+  //      rep-level near-dup edges → transitive clustering with
+  //      ConnectedComponents ON THE REP GRAPH ONLY (membership stars
+  //      are post-fixpoint joins, not propagation rounds);
   //   4. keep-best survivor per cluster (longest text, ties → lowest
   //      doc_id) with cluster sizes.
   // Fixtures: every 7th doc gains a one-char-substituted NEAR copy
@@ -3304,17 +3305,32 @@ object PipelineOps {
       .join(hashGroups.as("gb"),
         col("gb.fmt") === col("efmt") && col("gb.h") === col("hb"))
       .select(col("ga.hrep").as("a"), col("gb.hrep").as("b"))
-    val exactEdges = keyed.join(exactGroups, Seq("fmt", "pkey"))
-      .select(col("doc_id").as("a"), col("xrep").as("b"))
-    val hashMemberEdges = hashes.join(hashGroups, Seq("fmt", "h"))
-      .select(col("doc_id").as("a"), col("hrep").as("b"))
-    val cc = graft.operators.ConnectedComponents.run(
-      exactEdges.unionByName(hashMemberEdges).unionByName(repEdges), "a", "b")
+    // The iterative closure runs on the REP-LEVEL graph ONLY (one
+    // vertex per distinct (modality, hash), edges = near-dup rep
+    // pairs) — membership stars (doc → exact rep → hash rep) don't
+    // need label propagation, they are plain joins applied AFTER the
+    // fixpoint. This keeps CC's per-round join O(distinct payloads)
+    // and the diameter equal to the true near-dup chain length, not
+    // chain + 4 star hops. Label algebra: hrep = min doc id of its
+    // hash group (reps are min-of-mins), so the component minimum over
+    // hreps IS the cluster's minimum doc id; exact groups whose rep
+    // never fingerprinted (plane < 66 bytes) stay closed under their
+    // xrep — coalesce order below encodes exactly that.
+    val cc = graft.operators.ConnectedComponents.run(repEdges, "a", "b")
+    val hrepLabel = hashGroups
+      .join(cc.withColumnRenamed("id", "hrep"), Seq("hrep"), "left")
+      .select(col("fmt"), col("h"),
+        coalesce(col("component"), col("hrep")).as("hcomp"))
+    // xrep → cluster (via its hash membership, when it has one)
+    val xrepLabel = hashes.join(hrepLabel, Seq("fmt", "h"))
+      .select(col("doc_id").as("xrep"), col("hcomp"))
     // stage 4: label everyone (singletons keep their own id), keep-best
     val labeled = corpus.select(col("doc_id"), col("text"))
-      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(keyed.join(exactGroups, Seq("fmt", "pkey"))
+        .select(col("doc_id"), col("xrep")), Seq("doc_id"))
+      .join(xrepLabel, Seq("xrep"), "left")
       .select(col("doc_id"), col("text"),
-        coalesce(col("component"), col("doc_id")).as("cluster"))
+        coalesce(col("hcomp"), col("xrep")).as("cluster"))
     val best = labeled.groupBy(col("cluster")).agg(
       count(lit(1)).as("cluster_size"),
       max(struct(length(col("text")).as("len"), (-col("doc_id")).as("nid")))
