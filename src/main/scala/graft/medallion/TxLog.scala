@@ -1041,17 +1041,19 @@ object TxLog {
     *    the coarse layer admits. Correctness never depends on layer 1.
     *
     * Only survivors collect, as (AddFile, provenance). */
-  private[medallion] def distributedPruneSurvivorsParquet(
-      spark: SparkSession, checkpointPath: String, schemaJson: String,
-      excluded: Set[String],
+  /** The COARSE (pushable) predicate over the columnar checkpoint's
+    * typed bound columns — extracted so PlanChecks can assert the
+    * parquet scan actually receives it as PushedFilters (row-group
+    * skipping evidence), not just trust it. Null bounds survive
+    * conservatively. */
+  private[graft] def parquetCoarsePredicate(
+      schema: StructType,
       constraints: Seq[(String, Option[String], Option[String],
-        Option[Any], Option[Any])]): Seq[(AddFile, Option[Long])] = {
-    import spark.implicits._
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        Option[Any], Option[Any])]): Column = {
     val idxOf: Map[String, Int] = schema.fields.zipWithIndex.map {
       case (f, i) => physicalOf(schema, f.name) -> i
     }.toMap
-    val coarse = constraints.foldLeft(lit(true)) {
+    constraints.foldLeft(lit(true)) {
       case (acc, (phys, loS, hiS, _, _)) =>
         idxOf.get(phys) match {
           case None => acc
@@ -1071,6 +1073,16 @@ object TxLog {
             }
         }
     }
+  }
+
+  private[medallion] def distributedPruneSurvivorsParquet(
+      spark: SparkSession, checkpointPath: String, schemaJson: String,
+      excluded: Set[String],
+      constraints: Seq[(String, Option[String], Option[String],
+        Option[Any], Option[Any])]): Seq[(AddFile, Option[Long])] = {
+    import spark.implicits._
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val coarse = parquetCoarsePredicate(schema, constraints)
     spark.read.parquet(checkpointPath)
       .filter(col("meta").isNull && coarse)
       .select(col("path"), col("rows"), col("bytes"), col("stats"),

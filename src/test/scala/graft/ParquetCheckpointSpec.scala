@@ -119,6 +119,42 @@ class ParquetCheckpointSpec extends SparkSpec {
       "a file without stats must always survive pruning")
   }
 
+  test("the coarse prune predicate reaches the parquet scan as PushedFilters") {
+    val t = synthParquetTable(5000)
+    t.snapshot() // materialize once so the artifact exists
+    val sch = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val cpPath = Paths.get(t.tablePath, "_graft_log",
+      f"${1L}%020d.checkpoint.parquet").toString
+    val ser = Seq[(String, Option[String], Option[String], Option[Any], Option[Any])](
+      ("id", Some("500000"), Some("509999"), Some(500000L), Some(509999L)),
+      ("s", Some("k0001000"), Some("k0001009zz"), Some("k0001000"), Some("k0001009zz")))
+    val df = spark.read.parquet(cpPath)
+      .filter(org.apache.spark.sql.functions.col("meta").isNull &&
+        TxLog.parquetCoarsePredicate(sch, ser))
+    val scans = graft.plans.AdaptivePlans.collectDeep(
+      df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a parquet file scan")
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    // the typed bound columns must arrive as data filters the parquet
+    // reader evaluates against row-group statistics — both the numeric
+    // (double) and string families, both directions
+    assert(pushed.contains("nmin_0") && pushed.contains("nmax_0"),
+      s"numeric bounds not pushed: $pushed")
+    assert(pushed.contains("tmin_1") && pushed.contains("tmax_1"),
+      s"string bounds not pushed: $pushed")
+    assert(pushed.contains("LessThanOrEqual") &&
+      pushed.contains("GreaterThanOrEqual"), s"range shape missing: $pushed")
+    // and the coarse scan is still exact after the executor-side
+    // re-filter: the full prune equals the driver prune
+    val cons = Seq[(String, Option[Any], Option[Any])](
+      ("id", Some(500000L), Some(509999L)))
+    assert(t.prunedSnapshotDistributed(spark, 1L, 1L, cons).files.map(_.path).toSet
+      === t.prunedSnapshot(cons, -1L).files.map(_.path).toSet)
+  }
+
   test("dv/bloom/hll/sum stats survive the binary round trip exactly") {
     val dir = freshDir("fidelity")
     val logDir = Paths.get(dir.getAbsolutePath, "_graft_log")
