@@ -545,8 +545,12 @@ object Media {
       }
 
     /** The JPEG payload's post-header bytes up to EOI — the entropy-
-      * coded segment a real decoder would Huffman-decode (DECODE STUB:
-      * raw bytes stand in deterministically). Walks the marker chain
+      * coded segment. This is the ONE plane in this file that stays
+      * opaque: decoding it is a full image codec (Huffman tables + DCT
+      * + chroma upsampling), out of scope with no codec libraries in
+      * this container — the raw entropy bytes stand in
+      * deterministically, while PNG ([[decodePngLuma]]) and WAV
+      * ([[decodeWavSamples]]) decode for real. Walks the marker chain
       * like [[parseJpeg]] to the first non-marker offset, then takes
       * everything before the trailing EOI. For the frame-sample
       * convention (video payloads carry one JPEG keyframe) this IS the
