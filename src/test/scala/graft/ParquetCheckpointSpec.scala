@@ -194,6 +194,33 @@ class ParquetCheckpointSpec extends SparkSpec {
       t.setProperty(TxLog.CheckpointFormatProp, "orc"))
   }
 
+  test("format migration: json and parquet checkpoints coexist, dispatch per-version") {
+    val t = new GraftTable(freshDir("mix").getAbsolutePath)
+    t.create(schema)                                              // v1
+    t.append(Seq((1L, 0.5)).toDF("id", "x"))                     // v2
+    val jsonCv = t.checkpoint()                                   // json @ v2
+    assert(Files.exists(Paths.get(t.tablePath, "_graft_log",
+      f"$jsonCv%020d.checkpoint.json")))
+    t.setProperty(TxLog.CheckpointFormatProp, "parquet")          // v3
+    t.append(Seq((2L, 1.5)).toDF("id", "x"))                     // v4
+    val pqCv = t.checkpoint()                                     // parquet @ v4
+    assert(Files.exists(Paths.get(t.tablePath, "_graft_log",
+      f"$pqCv%020d.checkpoint.parquet")))
+    // head resolution starts at the NEWEST checkpoint (the parquet one)
+    assert(t.snapshot().files.size === 2)
+    assert(t.read(spark).count() === 2L)
+    // time travel to the json-checkpoint era replays from the json one
+    assert(t.snapshot(jsonCv).files.size === 1)
+    // flipping BACK to json reverts future checkpoints, old artifacts stay
+    t.setProperty(TxLog.CheckpointFormatProp, "json")             // v5
+    t.append(Seq((3L, 2.5)).toDF("id", "x"))                     // v6
+    val backCv = t.checkpoint()
+    assert(Files.exists(Paths.get(t.tablePath, "_graft_log",
+      f"$backCv%020d.checkpoint.json")))
+    assert(t.snapshot().files.size === 3)
+    assert(t.snapshot(pqCv).files.size === 2, "parquet-era travel still works")
+  }
+
   test("truncateLog sweeps commits subsumed by a parquet checkpoint") {
     val t = new GraftTable(freshDir("trunc").getAbsolutePath)
     t.create(schema)
