@@ -234,6 +234,30 @@ object Graft {
       graft.operators.ConnectedComponents.runAlternating(edges, srcCol, dstCol)
     else graft.operators.ConnectedComponents.run(edges, srcCol, dstCol)
 
+  /** COLLAPSED perceptual near-dup surface over 60-bit fingerprints
+    * (the `dHash60` / `simHashW` family): `(groups, edges)` where
+    * `groups` has one row per DISTINCT hash — (`h`, `rep` = minimum
+    * member id, `cnt` = member count) — and `edges` has the near-dup
+    * relations BETWEEN distinct hashes (`ha`, `hb`, `hamming_dist` ≤ 3,
+    * `ha` < `hb`, via the exact 4×15-bit pigeonhole band equi-join).
+    *
+    * This is the surface a 100 TB pipeline consumes (q159's composed
+    * media dedup does): output is O(groups + edges) — a million exact
+    * copies of one meme are ONE group row and at most a handful of
+    * edges, never a quadratic pair set. For transitive clustering, map
+    * `edges` through `groups` to rep-level id pairs, run
+    * [[connectedComponents]] on those, then join membership back as
+    * doc→rep stars. The fully-expanded pairwise form (every DOC pair
+    * at Hamming ≤ 3) exists in the query suite only to honor the
+    * q155–q157 oracle contract — it is intentionally not part of this
+    * facade. Input: one row per document, `idCol` + `hashCol` (a
+    * 60-bit long, e.g. from [[graft.multimodal.Media]]'s per-modality
+    * fingerprint entry points). */
+  def perceptualNearDupGroups(
+      hashes: DataFrame, idCol: String, hashCol: String): (DataFrame, DataFrame) =
+    graft.queries.PipelineOps.hammingBandedGroups(
+      hashes.select(col(idCol).as("doc_id"), col(hashCol).as("h")))
+
   // ---------------- curation ----------------
 
   /** Stratified sample with exact per-stratum quotas (adds an `rk`

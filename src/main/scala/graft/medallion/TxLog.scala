@@ -299,6 +299,17 @@ object TxLog {
     * so a pre-feature reader fails by NAME on the property commit
     * instead of silently missing checkpoints. */
   private[graft] val CheckpointFormatProp = "checkpoint.format"
+  /** Companion to `checkpoint.format = auto`: the live-file count past
+    * which auto checkpoints write parquet instead of JSON lines. The
+    * default mirrors the 64 MiB distributed-prune threshold (~330 B of
+    * rendered JSON per add ⇒ ~2·10⁵ adds): below it the driver JSON
+    * path is faster anyway; above it the linear parse starts to bind
+    * and the columnar format's row-group skipping pays. A table under
+    * the default JSON format that silently grows to 10⁶ adds keeps
+    * paying the linear parse until an operator notices — `auto` makes
+    * the flip transparent at the checkpoint cadence. */
+  private[graft] val CheckpointAutoMinAddsProp = "checkpoint.auto.minAdds"
+  private[graft] val CheckpointAutoMinAddsDefault = 200000
   /** Table property: comma-separated LOGICAL column names every staged
     * file's rows are locally sorted by (Iceberg's `WRITE ORDERED BY`
     * shape, ascending nulls-first). Batch staging ([[GraftTable]]'s
@@ -690,10 +701,12 @@ object TxLog {
       props: Option[Map[String, String]],
       cdc: Seq[(String, Long)], cdcFull: Seq[String]): Seq[String] =
     (Seq(
-      // a table whose checkpoints are parquet is unreadable to a
-      // json-only reader once truncation drops early commits — fail by
-      // feature name at the property commit, not by missing-file later
-      if (props.exists(_.get(CheckpointFormatProp).contains("parquet")))
+      // a table whose checkpoints are (or under `auto` MAY become)
+      // parquet is unreadable to a json-only reader once truncation
+      // drops early commits — fail by feature name at the property
+      // commit, not by missing-file later
+      if (props.exists(p => p.get(CheckpointFormatProp).contains("parquet") ||
+          p.get(CheckpointFormatProp).contains("auto")))
         Some("parquetCheckpoint")
       else None,
       // the widen commit is the first point a reader MUST up-cast old
@@ -1077,38 +1090,49 @@ object TxLog {
 
   private[medallion] def distributedPruneSurvivorsParquet(
       spark: SparkSession, checkpointPath: String, schemaJson: String,
+      cpSchemaJson: Option[String],
       excluded: Set[String],
       constraints: Seq[(String, Option[String], Option[String],
         Option[Any], Option[Any])]): Seq[(AddFile, Option[Long])] = {
     import spark.implicits._
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val coarse = parquetCoarsePredicate(schema, constraints)
+    // The COARSE predicate must resolve nmin_i/tmin_i indices against
+    // the schema the checkpoint was WRITTEN under — suffix commits may
+    // have dropped/added columns since, shifting field indices (a
+    // drop would make the coarse term read the WRONG column's bounds
+    // and silently exclude live files; an add would reference a
+    // nonexistent nmin_k and fail the scan). Constraint columns absent
+    // from the checkpoint schema get no coarse term — conservative,
+    // like the name-based JSON path. The EXACT layer below keeps the
+    // evolved schema: it is name-based (physical stats keys are stable
+    // across evolution) and must agree with the driver-side `passes`.
+    val coarse = cpSchemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .map(parquetCoarsePredicate(_, constraints))
+      .getOrElse(lit(true))
     spark.read.parquet(checkpointPath)
       .filter(col("meta").isNull && coarse)
       .select(col("path"), col("rows"), col("bytes"), col("stats"),
         col("dv"), col("dvn"), col("v"))
       .as[(String, Option[Long], Option[Long], String,
         Option[String], Option[Long], Option[Long])]
+      .rdd // survivors collect as constructed AddFiles: stats JSON
+      //      parses ONCE, executor-side, not again on the driver
       .mapPartitions { it =>
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-        it.filter { case (p, r, b, statsJson, dv, dvn, _) =>
-          !excluded.contains(p) && {
+        it.flatMap { case (p, r, b, statsJson, dv, dvn, vOpt) =>
+          if (excluded.contains(p)) None
+          else {
             val stats = parseStats(JsonMethods.parse(statsJson))
             val a = AddFile(p, r.getOrElse(0L), b.getOrElse(0L), stats,
               dv, dvn.getOrElse(0L))
-            constraints.forall { case (phys, loS, hiS, loR, hiR) =>
+            if (constraints.forall { case (phys, loS, hiS, loR, hiR) =>
               stats.get(phys).forall(_.overlaps(loS, hiS)) &&
                 PartitionSpec.admits(sch, a, phys, loR, hiR)
-            }
+            }) Some((a, vOpt)) else None
           }
         }
       }
       .collect().toSeq
-      .map { case (p, r, b, statsJson, dv, dvn, vOpt) =>
-        (AddFile(p, r.getOrElse(0L), b.getOrElse(0L),
-          parseStats(JsonMethods.parse(statsJson)), dv, dvn.getOrElse(0L)),
-          vOpt)
-      }
   }
 
   // -------------------------------- parquet-checkpoint commit cache
@@ -1492,7 +1516,7 @@ final class GraftTable(val tablePath: String) {
     val survivors =
       if (cpIsParquet) distributedPruneSurvivorsParquet(
         spark, checkpointFileParquet(cv).toString, schemaJson,
-        delta.keySet.toSet, ser)
+        metaCp.schemaJson, delta.keySet.toSet, ser)
       else distributedPruneSurvivors(
         spark, checkpointFile(cv).toString, schemaJson, delta.keySet.toSet, ser)
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
@@ -3291,9 +3315,18 @@ final class GraftTable(val tablePath: String) {
           s"txlog: $LogRetentionProp must be >= 0, got $n")
       }
       if (name == CheckpointFormatProp)
-        require(value == "json" || value == "parquet",
-          s"txlog: $CheckpointFormatProp must be 'json' or 'parquet', " +
-            s"got '$value'")
+        require(value == "json" || value == "parquet" || value == "auto",
+          s"txlog: $CheckpointFormatProp must be 'json', 'parquet' or " +
+            s"'auto', got '$value'")
+      if (name == CheckpointAutoMinAddsProp) {
+        val n = try value.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"txlog: $CheckpointAutoMinAddsProp must be an integer add " +
+              s"count, got '$value'")
+        }
+        require(n >= 0,
+          s"txlog: $CheckpointAutoMinAddsProp must be >= 0, got $n")
+      }
       if (name == SumColumnsProp) {
         val schema = snap.schema
         value.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
@@ -4246,7 +4279,11 @@ final class GraftTable(val tablePath: String) {
     // actually using the feature)
     val cons = if (snap.constraints.nonEmpty) Some(snap.constraints) else None
     val prps = if (snap.props.nonEmpty) Some(snap.props) else None
-    if (snap.props.get(TxLog.CheckpointFormatProp).contains("parquet"))
+    val fmtProp = snap.props.get(TxLog.CheckpointFormatProp)
+    val autoMin = snap.props.get(TxLog.CheckpointAutoMinAddsProp)
+      .map(_.trim.toInt).getOrElse(TxLog.CheckpointAutoMinAddsDefault)
+    if (fmtProp.contains("parquet") ||
+        (fmtProp.contains("auto") && snap.files.size >= autoMin))
       // columnar checkpoint: meta doc by the shared renderer, adds
       // streamed row-at-a-time through the parquet writer
       ParquetCheckpoint.write(
@@ -4305,8 +4342,19 @@ final class GraftTable(val tablePath: String) {
     * Nothing deletes without a qualifying checkpoint (a truncation that
     * could orphan the head refuses by construction). Keep the window ≥
     * vacuum's: vacuum resolves every snapshot in its own window.
-    * Returns deleted log file names. */
-  def truncateLog(retainVersions: Int): Seq[String] = {
+    * Returns deleted log file names. A request tighter than the widest
+    * non-dry vacuum window seen ON THIS HANDLE is clamped up to it —
+    * loudly (stderr warning; [[truncateLogDetailed]] returns the
+    * effective value). The clamp is per-handle only: coordinating
+    * vacuum-vs-truncate retention ACROSS handles/processes remains the
+    * operator's responsibility. */
+  def truncateLog(retainVersions: Int): Seq[String] =
+    truncateLogDetailed(retainVersions)._1
+
+  /** [[truncateLog]] plus the retention actually applied after the
+    * per-handle vacuum floor clamp — callers that asked for a tighter
+    * window can see (and report) what they really got. */
+  def truncateLogDetailed(retainVersions: Int): (Seq[String], Int) = {
     require(retainVersions >= 1,
       s"txlog: log retention must keep >= 1 version, got $retainVersions")
     // floor-clamp against the widest vacuum window this handle has run:
@@ -4315,10 +4363,17 @@ final class GraftTable(val tablePath: String) {
     // loudly on missing commits (the documented invariant, now enforced
     // instead of advisory where the two calls share a handle)
     val effectiveRetain = math.max(retainVersions, lastVacuumRetain)
+    if (effectiveRetain != retainVersions)
+      System.err.println(
+        s"[graft] truncateLog($tablePath): requested retention " +
+          s"$retainVersions clamped up to $effectiveRetain — the widest " +
+          "vacuum window this handle has run; a tighter log would break " +
+          "later vacuums (cross-handle coordination is NOT enforced)")
     val head = latestVersion()
     val floor = head - effectiveRetain // strictly-older-than-window mark
-    if (floor <= 0L) return Nil
-    val cpF = checkpointAtOrBefore(floor + 1).getOrElse(return Nil)
+    if (floor <= 0L) return (Nil, effectiveRetain)
+    val cpF = checkpointAtOrBefore(floor + 1)
+      .getOrElse(return (Nil, effectiveRetain))
     val it = Files.list(logDir)
     val victims =
       try it.iterator().asScala.map(_.getFileName.toString).filter { n =>
@@ -4336,7 +4391,7 @@ final class GraftTable(val tablePath: String) {
       }.toList
       finally it.close()
     victims.foreach(n => Files.deleteIfExists(logDir.resolve(n)))
-    victims.sorted
+    (victims.sorted, effectiveRetain)
   }
 
   /** Delete data files no version in (head−retainVersions, head] can

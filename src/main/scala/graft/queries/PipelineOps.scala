@@ -38,9 +38,14 @@ object PipelineOps {
   // IDAT is a stored-block zlib stream — so width/height are the true
   // raster dimensions and byte_len = 57 container + 6 zlib framing +
   // (L + rows) filtered bytes + 5 per stored block, all predictable.
-  // WAV 44 / JPEG 23 + body length as before; sample-rate/channels from
-  // the md5-derived formulas the writer embeds — a hash match proves
-  // the write→sniff→parse round trip, not just the arithmetic.
+  // WAV 44 + body as before. JPEG payloads are REAL baseline images
+  // (round 13): each text byte a constant 8×8 tile in the same
+  // rectangle as the PNG path, so width = 8·(L/rows), height = 8·rows
+  // from the true SOF0 header, and byte_len = 148 header/tables + 2
+  // entropy bytes per block (the tile Huffman profile packs every
+  // block into exactly 16 stuffing-free bits). Sample-rate/channels
+  // from the md5-derived formulas the writer embeds — a hash match
+  // proves the write→sniff→parse round trip, not just the arithmetic.
   // --------------------------------------------------------------------
   def q42MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
@@ -51,12 +56,12 @@ object PipelineOps {
     """SELECT doc_id,
               CAST(CASE m
                    WHEN 0 THEN 63 + (L + hh) + 5 * ((L + hh + 65534) // 65535)
-                   WHEN 1 THEN 44 + L ELSE 23 + L END AS INTEGER) AS byte_len,
+                   WHEN 1 THEN 44 + L ELSE 148 + 2 * L END AS INTEGER) AS byte_len,
               CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS container,
               CASE WHEN m = 0 THEN CAST(L // hh AS INTEGER)
-                   WHEN m = 2 THEN CAST(64 + (h % 1000) AS INTEGER) END AS width,
+                   WHEN m = 2 THEN CAST(8 * (L // hh) AS INTEGER) END AS width,
               CASE WHEN m = 0 THEN CAST(hh AS INTEGER)
-                   WHEN m = 2 THEN CAST(64 + ((h // 1000) % 1000) AS INTEGER)
+                   WHEN m = 2 THEN CAST(8 * hh AS INTEGER)
                    END AS height,
               CASE WHEN m = 1
                    THEN CAST(list_value(8000, 16000, 22050, 44100, 48000)[
@@ -2887,10 +2892,14 @@ object PipelineOps {
       hashes0.repartition(Scale.par(spark), col("h")))
     val distinctHashes = members.select("h").distinct()
     // the collapse aggregate must actually be in the plan the band
-    // join consumes — require it, don't trust it (the q38b convention)
+    // join consumes — require it, don't trust it (the q38b convention).
+    // Matched at the BaseAggregateExec parent: Spark may legitimately
+    // plan a distinct as ObjectHashAggregateExec or SortAggregateExec
+    // (fallback configs, low memory) and any grouping aggregate IS the
+    // collapse — only its physical strategy differs.
     require(graft.plans.AdaptivePlans.collectDeep(
       distinctHashes.queryExecution.executedPlan) {
-        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
           if a.groupingExpressions.nonEmpty => a
       }.nonEmpty,
       "exact-hash collapse aggregate missing upstream of the band join")
@@ -2970,12 +2979,16 @@ object PipelineOps {
 
   // --------------------------------------------------------------------
   // q157 — VIDEO KEYFRAME NEAR-DUP, completing the modality triple:
-  // video payloads carry one JPEG keyframe (the q56 frame-sample
-  // convention); the marker-chain walk extracts the entropy-coded body
-  // (deterministic-fake decode), then the shared 60-bit dHash +
-  // Hamming band join. Same in-query fixtures, same arithmetic oracle
-  // shape with the video-modality filter (the synthesized JPEG stores
-  // the body verbatim between header and EOI).
+  // video payloads carry one REAL baseline JPEG keyframe (the q56
+  // frame-sample convention); the keyframe genuinely DECODES — Huffman
+  // entropy decode, dequant, 8×8 IDCT — and the decoded luma reduces
+  // to per-block means (the perceptual hash's first downsample stage),
+  // then the shared 60-bit dHash + Hamming band join. Same in-query
+  // fixtures, same arithmetic oracle shape with the video-modality
+  // filter — valid because the constant-tile synthesis profile decodes
+  // EXACTLY back to the text bytes (DC-only blocks with DC quant 8 are
+  // the losslessly-invertible subset of JPEG, as filter+deflate were
+  // exactly invertible for the PNG oracle).
   // --------------------------------------------------------------------
   def q157VideoNearDup(s: SparkSession, dir: String): DataFrame = {
     val base = lake(s, dir).documents.select(
@@ -3098,7 +3111,8 @@ object PipelineOps {
   // the q157 row's survey note names: a video is a SEQUENCE of sampled
   // keyframes (4 per video, frame k = the text rotated left 5k chars —
   // deterministic, length-preserving), each frame written as a real
-  // JPEG payload, walked back and dHash'd. Pairs are scored
+  // baseline JPEG payload, REALLY decoded back (Huffman + dequant +
+  // IDCT → block means, round 13) and dHash'd. Pairs are scored
   // temporally-aligned: candidate frames band-join WITHIN a frame
   // index, a pair reports n_match = #frames at Hamming ≤ 3 and
   // surfaces at n_match ≥ 2 of 4 (majority-ish sequence evidence — a

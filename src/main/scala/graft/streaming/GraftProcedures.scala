@@ -461,18 +461,22 @@ object GraftProcedures {
     }
 
   private val truncateLogOut = StructType(Seq(
-    StructField("log_files_deleted", IntegerType, nullable = false)))
+    StructField("log_files_deleted", IntegerType, nullable = false),
+    StructField("effective_retain_versions", IntegerType, nullable = false)))
 
   /** `CALL system.truncate_log(table, retain_versions)` — drop commit
     * history no resolution inside the trailing window can need (see
     * [[graft.medallion.GraftTable.truncateLog]]); the auto path is the
     * `log.retention.versions` table property riding the checkpoint
-    * cadence. */
+    * cadence. `effective_retain_versions` reports the retention
+    * actually applied — larger than the request when the per-handle
+    * vacuum floor clamped it. */
   private def truncateLogProc(dirOf: String => String): UnboundProcedure =
     bound("truncate_log",
       Seq(param("table", StringType), paramD("retain_versions", IntegerType, "100")),
       truncateLogOut) { in =>
       val t = tableDir(dirOf, in.getUTF8String(0))
-      Seq(InternalRow(t.truncateLog(in.getInt(1)).size))
+      val (victims, eff) = t.truncateLogDetailed(in.getInt(1))
+      Seq(InternalRow(victims.size, eff))
     }
 }

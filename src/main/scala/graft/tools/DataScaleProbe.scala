@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** DATA-plane scaling probe (the metadata-plane sibling is
+  * [[ScaleProbe]]): measures the scaling EXPONENT of the heavy banded
+  * joins — MinHash-LSH (q36), prefix-filter exact Jaccard (q37b), the
+  * composed prep pipeline (q63), transitive clustering (q77), the
+  * perceptual image band join (q155) and the composed media dedup
+  * (q159) — by running each query at 1× and N× a synthesized corpus
+  * and reporting wall-time ratios as `log(tN/t1) / log(N)`.
+  *
+  * A banded/blocked join whose candidate generation is sound scales
+  * ~linearly in the corpus (exponent ≈ 1, plus sublinear fixed cost
+  * that pulls the measured exponent BELOW 1 at these sizes); an
+  * exponent drifting past ~1.3 means a quadratic candidate stage is
+  * hiding somewhere and must be chased.
+  *
+  * Corpus synthesis: replica k of the sf-dir documents table carries
+  * doc_id + k·10⁸ and a per-replica Caesar-shifted text
+  * (`translate` over the letter alphabet, shift = 7k). The shift is
+  * length-preserving and keeps WITHIN-replica structure exactly
+  * (organic near-dups, the every-7th fixture copies each query plants)
+  * while destroying CROSS-replica shingle/grid overlap — so output
+  * size grows linearly with the corpus, the shape organic growth has,
+  * not quadratically as raw duplication of near-identical rows would.
+  * Everything writes under target/tmp (TESTDATA stays read-only).
+  *
+  * Usage: `sbt "runMain graft.tools.DataScaleProbe [sfDir] [factor]
+  * [repeats]"` — defaults /root/testdata/sf0.1, 10×, 3 (per-point
+  * median of 3 after one untimed warm-up, the Bench convention).
+  */
+object DataScaleProbe {
+
+  private val Letters = "abcdefghijklmnopqrstuvwxyz"
+  private val ProbeQueries = Seq(
+    "q36_minhash_lsh", "q37b_jaccard_allpairs", "q63_prep_pipeline",
+    "q77_transitive_cluster", "q155_image_neardup", "q159_media_dedup")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val repeats = if (args.length > 2) args(2).toInt else 3
+    val spark = graft.core.SparkSessionFactory.local("graft-data-scale-probe")
+    spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
+      .groupBy("k").sum("v").count() // codegen/shuffle warmup
+    val root = new java.io.File(
+      s"target/tmp/datascale_${java.lang.Long.toHexString(System.nanoTime())}")
+    val dir1 = synth(spark, sfDir, 1, s"${root.getAbsolutePath}/x1")
+    val dirN = synth(spark, sfDir, factor, s"${root.getAbsolutePath}/x$factor")
+
+    def time(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      graft.core.CacheScope.scoped { fn(spark, dir).count(); () } // warm-up
+      val ts = Seq.fill(repeats) {
+        val t0 = System.nanoTime()
+        graft.core.CacheScope.scoped { fn(spark, dir).count(); () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
+
+    val rows = ProbeQueries.map { q =>
+      val t1 = time(q, dir1)
+      val tN = time(q, dirN)
+      val exp = math.log(tN / t1) / math.log(factor.toDouble)
+      System.err.println(f"[datascale] $q%-24s t1=$t1%7.2fs t$factor=$tN%8.2fs " +
+        f"ratio=${tN / t1}%6.2f exponent=$exp%5.2f")
+      s""""$q":{"t1":$t1,"tN":$tN,"ratio":${tN / t1},"exponent":$exp}"""
+    }
+    println(s"""{"metric":"data_scale_exponent","factor":$factor,""" +
+      s""""sf":"$sfDir","queries":${rows.mkString("{", ",", "}")}}""")
+    spark.stop()
+  }
+
+  /** Write a k×-replicated documents table under `out`; returns `out`.
+    * Replica 0 is the original text byte-for-byte. */
+  private def synth(
+      spark: SparkSession, sfDir: String, k: Int, out: String): String = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val replicas = (0 until k).map { r =>
+      val shifted = Letters.drop((7 * r) % 26) + Letters.take((7 * r) % 26)
+      docs.select(
+        (col("doc_id") + lit(r.toLong * 100000000L)).as("doc_id"),
+        translate(col("text"),
+          Letters + Letters.toUpperCase,
+          shifted + shifted.toUpperCase).as("text"),
+        col("source"))
+    }
+    replicas.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out
+  }
+}

@@ -194,4 +194,33 @@ class GraftApiSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.gapi.warehouse")
     }
   }
+
+  test("perceptualNearDupGroups: O(groups+edges) collapsed surface via the facade") {
+    import spark.implicits._
+    // 500 exact copies of one fingerprint, one near hash (Hamming 2),
+    // one far hash — the collapsed surface must be 3 group rows and
+    // exactly one rep-level edge, independent of the hot group's size
+    val hot = 0x0123456789abcdL & ((1L << 60) - 1)
+    val near = hot ^ 0x3L        // Hamming 2
+    val far = ~hot & ((1L << 60) - 1) // Hamming 60
+    val rows = (1L to 500L).map(i => (i, hot)) ++
+      Seq((900L, near), (901L, far))
+    val hashes = rows.toDF("id", "fp")
+    val (groups, edges) = Graft.perceptualNearDupGroups(hashes, "id", "fp")
+    val g = groups.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g.length === 3, s"3 distinct fingerprints: ${g.toSeq}")
+    assert(g.find(_._1 == hot).get === ((hot, 1L, 500L)),
+      "hot group: rep = min id, cnt = full membership")
+    val e = edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(e.toSeq === Seq((math.min(hot, near), math.max(hot, near), 2)),
+      s"exactly one rep-level edge at Hamming 2: ${e.toSeq}")
+    // composes with connectedComponents at the REP level: one cluster
+    // {hot, near}, far alone — via id-space rep edges
+    val repEdges = e.toSeq.map { case (ha, hb, _) =>
+      (g.find(_._1 == ha).get._2, g.find(_._1 == hb).get._2)
+    }.toDF("src", "dst")
+    val cc = Graft.connectedComponents(repEdges, "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc(900L) === 1L, "near-dup rep clusters with the hot rep")
+  }
 }

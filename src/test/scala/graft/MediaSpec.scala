@@ -194,7 +194,12 @@ class MediaSpec extends SparkSpec {
       Some(MediaCodec.SampleRates((h("jumps over the dog") % 5).toInt)))
     assert(aud.channels === Some(1)) // synthesis is true mono 8-bit PCM
     assert(vid.container === "jpeg" && vid.fmt === "video")
-    assert(vid.height === Some((64 + (h("pack my box with jugs") / 1000) % 1000).toInt))
+    // the JPEG is now a REAL baseline image (round 13): 21 text bytes,
+    // 21 % 3 == 0 → 3 block rows × 7 cols of constant 8×8 tiles →
+    // 56×24 true SOF0 dimensions; byte_len = 148 header/tables + 2
+    // entropy bytes per block (16-bit stuffing-free tile profile)
+    assert(vid.width === Some(8 * 7) && vid.height === Some(8 * 3))
+    assert(vid.byte_len === 148 + 2 * 21)
   }
 
   test("the decode plan is narrow: no shuffle exchange anywhere") {
@@ -342,6 +347,14 @@ class MediaSpec extends SparkSpec {
     assert((good(48) & 0xff) <= 4, "fixture sanity: offset 48 is the filter byte")
     assert(MediaCodec.decodePngLuma(mut(48, 9)) === None, "filter type 9")
     assert(MediaCodec.decodePngLuma("not a png".getBytes) === None)
+    // FDICT: zlib FLG byte 0x20 sets the preset-dictionary bit with a
+    // valid header check ((0x78·256 + 0x20) % 31 == 0). PNG forbids
+    // preset dictionaries; Inflater.inflate() returns 0 here with
+    // needsDictionary() — NOT needsInput() — so a needsInput-only bail
+    // would spin this executor forever. Must refuse, promptly.
+    assert((good(41) & 0xff) === 0x78, "fixture sanity: zlib CMF at 41")
+    assert(MediaCodec.decodePngLuma(mut(42, 0x20)) === None,
+      "FDICT stream must refuse with None, not loop")
   }
 
   test("encodeFor emits a REAL grayscale PNG whose decoded luma is the text bytes") {
@@ -372,6 +385,157 @@ class MediaSpec extends SparkSpec {
       got += inf.inflate(out, got, out.length - got)
     inf.end()
     assert(got === data.length && out.toSeq === data.toSeq)
+  }
+
+  // ---------------- real baseline JPEG codec (round 13) ----------------
+
+  test("writeJpegTiles → decodeJpegLuma: exact round trip through real Huffman + IDCT") {
+    // every byte value appears, including the category-8 extremes
+    val bytes = Array.tabulate(256)(i => i.toByte)
+    val jpeg = MediaCodec.writeJpegTiles(bytes, rows = 4) // 64 cols × 4 rows
+    // documented container arithmetic: 148 header/tables + 2 bytes/block
+    assert(jpeg.length === 148 + 2 * 256)
+    assert(MediaCodec.parseJpeg(jpeg) === Some((8 * 64, 8 * 4)))
+    // no stuffing byte anywhere in the 16-bit-per-block tile profile:
+    // entropy is exactly 2·blocks bytes (already implied by the length)
+    val plane = MediaCodec.decodeJpegLuma(jpeg).get
+    assert(plane.length === 512 * 32)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 512) {
+        assert((plane(y * 512 + x) & 0xff) === ((y / 8) * 64 + x / 8),
+          s"pixel ($x,$y) must equal its tile byte")
+        x += 1
+      }
+      y += 1
+    }
+    // block means ARE the payload bytes — the oracle invariant
+    assert(MediaCodec.decodeJpegBlockMeans(jpeg).get.toSeq === bytes.toSeq)
+  }
+
+  test("decodeJpegLuma is a GENERAL decoder: AC coefficients, quant, restarts") {
+    // general profile: multi-length-free but multi-category tables,
+    // real AC run/size coding, dequant by a non-trivial table, restart
+    // markers every 2 MCUs — decoded against an independent reference
+    // IDCT computed right here (T.81 allows ±1 LSB between conforming
+    // IDCTs; the tile profile above already pins the exact case)
+    val quant = Array.tabulate(64)(k => 1 + (k % 3)) // zigzag order
+    val blocks = Array.tabulate(6) { m =>
+      Array.tabulate(64) { k =>
+        if (k == 0) (m * 17) % 50 - 25
+        else if ((k + m) % 7 == 0) ((k * 31 + m * 13) % 81) - 40
+        else 0
+      }
+    }
+    val jpeg = MediaCodec.writeJpegGray(48, 8, quant, blocks,
+      MediaCodec.GenDcCounts, MediaCodec.GenDcSymbols,
+      MediaCodec.GenAcCounts, MediaCodec.GenAcSymbols, restartInterval = 2)
+    // restart markers really are in the stream (D0 then D1)
+    def hasMarker(m: Int) = jpeg.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(hasMarker(0xd0) && hasMarker(0xd1), "RST0/RST1 expected")
+    val plane = MediaCodec.decodeJpegLuma(jpeg).get
+    // independent naive IDCT over the dequantized blocks
+    val zz = MediaCodec.ZigZagNat
+    def c(u: Int) = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+    var m = 0
+    while (m < 6) {
+      val nat = new Array[Int](64)
+      (0 until 64).foreach(k => nat(zz(k)) = blocks(m)(k) * quant(k))
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          for (v <- 0 until 8; u <- 0 until 8)
+            s += c(u) * c(v) * nat(v * 8 + u) *
+              StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0) *
+              StrictMath.cos((2 * y + 1) * v * StrictMath.PI / 16.0) / 4.0
+          val want = math.max(0, math.min(255, Math.round(s).toInt + 128))
+          val got = plane(y * 48 + m * 8 + x) & 0xff
+          assert(math.abs(got - want) <= 1,
+            s"block $m pixel ($x,$y): decoded $got vs reference $want")
+          x += 1
+        }
+        y += 1
+      }
+      m += 1
+    }
+    // a corrupted restart sequence refuses instead of desyncing
+    val idx = jpeg.indices.find(i =>
+      (jpeg(i) & 0xff) == 0xff && i + 1 < jpeg.length &&
+        (jpeg(i + 1) & 0xff) == 0xd0).get
+    val badRst = jpeg.clone(); badRst(idx + 1) = 0xd5.toByte
+    assert(MediaCodec.decodeJpegLuma(badRst) === None, "RST out of sequence")
+  }
+
+  test("byte stuffing: entropy 0xFF is escaped on write and unstuffed on read") {
+    // DC-only two-tile images over the GENERAL tables (4-bit DC codes,
+    // value bits up to 8 ones in a row): sweep payloads until the
+    // entropy stream really contains a stuffed 0xFF 0x00 — every sweep
+    // member must still round-trip exactly (quant DC=8 tile semantics)
+    val quant = Array.fill(64)(1); quant(0) = 8
+    var stuffedSeen = false
+    var v1 = 0
+    while (v1 < 256) {
+      // v2 = 255 − v1 puts (0, 255) in the sweep: DC diff +255 = cat 8
+      // with value bits 11111111 landing byte-aligned after block 1's
+      // 20 bits — a guaranteed raw 0xFF the writer must stuff
+      val v2 = 255 - v1
+      val blocks = Array(v1, v2).map { v =>
+        val blk = new Array[Int](64); blk(0) = v - 128; blk
+      }
+      val jpeg = MediaCodec.writeJpegGray(16, 8, quant, blocks,
+        MediaCodec.GenDcCounts, MediaCodec.GenDcSymbols,
+        MediaCodec.GenAcCounts, MediaCodec.GenAcSymbols)
+      // entropy starts after the SOS segment and ends before EOI: any
+      // 0xFF there must be followed by 0x00
+      val sosAt = jpeg.indices.find(i =>
+        (jpeg(i) & 0xff) == 0xff && i + 1 < jpeg.length &&
+          (jpeg(i + 1) & 0xff) == 0xda).get
+      var i = sosAt + 2 + 8 // marker + the 8-byte SOS segment
+      while (i < jpeg.length - 2) {
+        if ((jpeg(i) & 0xff) == 0xff) {
+          assert((jpeg(i + 1) & 0xff) == 0x00, s"unstuffed 0xFF at $i (v1=$v1)")
+          stuffedSeen = true
+        }
+        i += 1
+      }
+      val means = MediaCodec.decodeJpegBlockMeans(jpeg).get
+      assert(means.toSeq === Seq(v1.toByte, v2.toByte),
+        s"round trip broke at v1=$v1 v2=$v2")
+      v1 += 1
+    }
+    assert(stuffedSeen, "the sweep must hit at least one stuffed byte")
+  }
+
+  test("decodeJpegLuma refuses every non-baseline profile, never throws") {
+    val bytes = Array.tabulate(96)(i => ((i * 37 + 5) % 256).toByte)
+    val good = MediaCodec.writeJpegTiles(bytes, rows = 4)
+    assert(MediaCodec.decodeJpegLuma(good).isDefined)
+    // fixed layout: SOI(2) + DQT(69) → SOF0 marker at offset 71
+    assert((good(71) & 0xff) === 0xff && (good(72) & 0xff) === 0xc0)
+    def mut(at: Int, v: Int): Array[Byte] = {
+      val c = good.clone(); c(at) = v.toByte; c
+    }
+    assert(MediaCodec.decodeJpegLuma(mut(72, 0xc2)) === None, "progressive SOF2")
+    assert(MediaCodec.decodeJpegLuma(mut(72, 0xc9)) === None, "arithmetic SOF9")
+    assert(MediaCodec.decodeJpegLuma(mut(72, 0xc1)) === None, "extended SOF1")
+    assert(MediaCodec.decodeJpegLuma(mut(72, 0xc3)) === None, "lossless SOF3")
+    assert(MediaCodec.decodeJpegLuma(mut(75, 12)) === None, "12-bit precision")
+    assert(MediaCodec.decodeJpegLuma(mut(80, 3)) === None, "3-component frame")
+    assert(MediaCodec.decodeJpegLuma(mut(82, 0x22)) === None, "2x2 sampling")
+    assert(MediaCodec.decodeJpegLuma(good.dropRight(10)) === None, "truncated entropy")
+    assert(MediaCodec.decodeJpegLuma(good.take(100)) === None, "no SOS")
+    assert(MediaCodec.decodeJpegLuma("not a jpeg".getBytes) === None)
+    // the opaque-body writer (no DQT/DHT/SOS at all) refuses cleanly
+    assert(MediaCodec.decodeJpegLuma(
+      MediaCodec.writeJpeg(32, 32, "opaque".getBytes)) === None)
+    // a raw 0xFF inside entropy (not stuffed, not a marker we expect)
+    // is malformed, not an infinite loop: patch the first entropy byte
+    val entAt = 146 // header is fixed-length for the tile profile
+    assert(MediaCodec.decodeJpegLuma(mut(entAt, 0xff)) === None)
   }
 
   test("dHash60: stable, 60-bit, and Hamming-local under small edits") {
@@ -442,8 +606,9 @@ class MediaSpec extends SparkSpec {
     // same frame text → same hash across videos; reversed frame lands far
     assert(fh((1L, 0)) === fh((2L, 0)))
     assert(java.lang.Long.bitCount(fh((1L, 0)) ^ fh((1L, 1))) > 3)
-    // frame hash == the direct dHash of the frame bytes (the JPEG
-    // container write→walk round trip is lossless)
+    // frame hash == the direct dHash of the frame bytes: the REAL
+    // encode→decode round trip (Huffman + dequant + IDCT → block
+    // means) is exactly lossless on the constant-tile profile
     assert(fh((1L, 0)) === MediaCodec.dHash60(t1.getBytes(StandardCharsets.UTF_8)))
 
     // payloadKeys: md5 over REAL container bytes — equal iff (fmt, text) equal

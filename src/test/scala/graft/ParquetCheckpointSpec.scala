@@ -221,6 +221,111 @@ class ParquetCheckpointSpec extends SparkSpec {
     assert(t.snapshot(pqCv).files.size === 2, "parquet-era travel still works")
   }
 
+  test("distributed prune is exact across schema evolution AFTER a parquet checkpoint") {
+    val t = new GraftTable(freshDir("evo").getAbsolutePath)
+    val sch3 = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType), StructField("c", LongType)))
+    t.create(sch3)
+    t.setProperty(TxLog.CheckpointFormatProp, "parquet")
+    // one file per append. b's range [1000, 1005] NEVER overlaps the
+    // c-constraint [20, 30] below: a coarse term that misreads b's
+    // checkpoint bounds as c's (the field-index shift a dropColumn
+    // causes when idxOf resolves against the suffix-EVOLVED schema)
+    // would silently exclude live files before the exact re-check.
+    (0 until 6).foreach { i =>
+      t.append(Seq((i.toLong, 1000L + i, i * 10L)).toDF("a", "b", "c")) }
+    val cv = t.checkpoint()
+    t.dropColumn("a") // c's field index shifts 2 -> 1 in the evolved schema
+    t.append(Seq((1006L, 60L)).toDF("b", "c"))
+    val target = t.latestVersion()
+    val cons = Seq[(String, Option[Any], Option[Any])](
+      ("c", Some(20L), Some(30L)))
+    val driver = t.prunedSnapshot(cons, target)
+    assert(driver.files.size === 2, "files with c in {20,30} survive")
+    val dist = t.prunedSnapshotDistributed(spark, cv, target, cons)
+    assert(dist.files.map(_.path).toSet === driver.files.map(_.path).toSet,
+      "post-drop index shift must not change the distributed survivor set")
+    // a constraint on a column ADDED after the checkpoint has no
+    // nmin_k/tmin_k in the artifact: the coarse term must skip it
+    // (conservative survive, like the name-based JSON path), not fail
+    // the scan with a missing-column AnalysisException
+    t.addColumns(Seq(StructField("d", LongType)))
+    val target2 = t.latestVersion()
+    val consD = Seq[(String, Option[Any], Option[Any])](
+      ("d", Some(1L), Some(2L)))
+    val distD = t.prunedSnapshotDistributed(spark, cv, target2, consD)
+    assert(distD.files.map(_.path).toSet ===
+      t.prunedSnapshot(consD, target2).files.map(_.path).toSet,
+      "constraint on a post-checkpoint column survives conservatively")
+    assert(distD.files.size >= 6, "pre-add files have no 'd' stats — all kept")
+  }
+
+  test("type widening x parquet checkpoint: coarse/exact layering stays sound") {
+    // Pin the invariant the writer's kinds(i)/cs.kind branching implies:
+    // a widen BEFORE the checkpoint re-types stats (kinds agree), a
+    // widen AFTER the checkpoint leaves the artifact's bound columns
+    // typed under the old (still num-kind) schema — either way the
+    // distributed prune must equal the driver prune exactly.
+    val t = new GraftTable(freshDir("widen").getAbsolutePath)
+    t.create(StructType(Seq(
+      StructField("id", IntegerType), StructField("pay", IntegerType))))
+    t.setProperty(TxLog.CheckpointFormatProp, "parquet")
+    t.setProperty(TxLog.TypeWideningProp, "true")
+    (0 until 4).foreach(i => t.append(Seq((i * 10, 7)).toDF("id", "pay")))
+    t.widenColumn("id", LongType) // BEFORE the checkpoint
+    (4 until 8).foreach(i => t.append(Seq((i * 10L, 7)).toDF("id", "pay")))
+    val cv = t.checkpoint()
+    t.widenColumn("pay", LongType) // AFTER the checkpoint
+    t.append(Seq((80L, 7L)).toDF("id", "pay"))
+    val target = t.latestVersion()
+    for (cons <- Seq(
+      Seq[(String, Option[Any], Option[Any])](("id", Some(20L), Some(50L))),
+      Seq[(String, Option[Any], Option[Any])](("pay", Some(7L), Some(7L))))) {
+      val driver = t.prunedSnapshot(cons, target)
+      val dist = t.prunedSnapshotDistributed(spark, cv, target, cons)
+      assert(dist.files.map(_.path).toSet === driver.files.map(_.path).toSet,
+        s"widen-straddling prune diverged for $cons")
+    }
+    // the mid-range id prune actually prunes (not vacuously equal)
+    assert(t.prunedSnapshot(
+      Seq(("id", Some(20L), Some(50L))), target).files.size === 4)
+  }
+
+  test("checkpoint.format=auto flips to parquet past the add-count threshold") {
+    val t = new GraftTable(freshDir("auto").getAbsolutePath)
+    t.create(schema)
+    t.setProperty(TxLog.CheckpointFormatProp, "auto")
+    t.setProperty(TxLog.CheckpointAutoMinAddsProp, "4")
+    // the auto property alone must gate the reader feature: a json-only
+    // reader has to fail by NAME before the flip ever happens
+    val propCommit = new String(Files.readAllBytes(Paths.get(t.tablePath,
+      "_graft_log", f"${2L}%020d.json")), "UTF-8")
+    assert(propCommit.contains("parquetCheckpoint"),
+      s"auto must gate the parquetCheckpoint feature upfront:\n$propCommit")
+    val logDir = Paths.get(t.tablePath, "_graft_log")
+    (1 to 2).foreach(i => t.append(Seq((i.toLong, i * 0.5)).toDF("id", "x")))
+    val cvSmall = t.checkpoint() // 2 live files < 4 → JSON
+    assert(Files.exists(logDir.resolve(f"$cvSmall%020d.checkpoint.json")),
+      "below the threshold auto writes JSON")
+    (3 to 6).foreach(i => t.append(Seq((i.toLong, i * 0.5)).toDF("id", "x")))
+    val cvBig = t.checkpoint() // 6 live files >= 4 → parquet, transparently
+    assert(Files.exists(logDir.resolve(f"$cvBig%020d.checkpoint.parquet")),
+      "past the threshold auto flips to parquet")
+    // both eras resolve; reads stack across the mixed formats
+    assert(t.snapshot().files.size === 6)
+    assert(t.snapshot(cvSmall).files.size === 2, "json-era travel intact")
+    assert(t.read(spark).count() === 6L)
+    // truncation sweeps across the format mix: the json checkpoint and
+    // its subsumed commits drop, the parquet head keeps resolving
+    val dropped = t.truncateLog(retainVersions = 1)
+    assert(dropped.contains(f"$cvSmall%020d.checkpoint.json"),
+      s"old json checkpoint must sweep: $dropped")
+    assert(t.snapshot().files.size === 6)
+    // property validation: junk threshold refuses
+    intercept[IllegalArgumentException](
+      t.setProperty(TxLog.CheckpointAutoMinAddsProp, "many"))
+  }
+
   test("truncateLog sweeps commits subsumed by a parquet checkpoint") {
     val t = new GraftTable(freshDir("trunc").getAbsolutePath)
     t.create(schema)

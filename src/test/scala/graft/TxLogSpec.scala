@@ -862,4 +862,25 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       t.setProperty(TxLog.LogRetentionProp, "not-a-number"))
   }
+
+  test("truncateLog surfaces the vacuum floor clamp instead of silently widening") {
+    val t = freshTable("clamp")
+    (1 to 10).foreach(i => t.append(df(Seq((i.toLong, s"c$i")))))
+    val cv = t.checkpoint()
+    (11 to 16).foreach(i => t.append(df(Seq((i.toLong, s"c$i")))))
+    val head = t.latestVersion()
+    // no vacuum yet: the request applies as-is
+    val (_, effFree) = t.truncateLogDetailed(head.toInt + 5)
+    assert(effFree === head.toInt + 5, "unclamped request reports itself")
+    // a 6-version vacuum floors every later truncate on THIS handle
+    t.vacuum(retainVersions = 6)
+    val (victims, eff) = t.truncateLogDetailed(2)
+    assert(eff === 6, "requested 2 must clamp up to the vacuum window")
+    // and the clamp is REAL: every version vacuum's window needs still
+    // resolves, even though retain=2 would have dropped its commits
+    ((head - 5) to head).foreach(v => assert(t.snapshot(v).version === v))
+    assert(victims.nonEmpty, "pre-checkpoint history still truncates")
+    assert(!victims.exists(_.startsWith(f"${cv + 1}%020d")),
+      s"nothing newer than the checkpoint may drop: $victims")
+  }
 }
