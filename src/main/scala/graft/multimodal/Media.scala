@@ -1115,6 +1115,18 @@ object Media {
         out
       }
 
+    /** Image plane by MAGIC-SNIFF dispatch: PNG signature → full luma
+      * decode; JPEG SOI → baseline decode reduced to block means; any
+      * other bytes → None. Real image corpora mix both containers
+      * under the one "image" modality ([[Media.ingestBinary]] maps
+      * .png/.jpg/.jpeg there), and the bytes — never the declared
+      * format — pick the decoder. */
+    def decodeImagePlane(b: Array[Byte]): Option[Array[Byte]] =
+      if (b.length >= 8 && b.take(8).sameElements(PngSig)) decodePngLuma(b)
+      else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+        decodeJpegBlockMeans(b)
+      else None
+
     def dHash60(plane: Array[Byte]): Long = {
       require(plane.length >= 66,
         s"dHash60 needs a plane of >= 66 bytes, got ${plane.length}")
@@ -1150,7 +1162,7 @@ object Media {
     * more than a batch of payloads). Planes shorter than the 66-byte
     * grid floor are skipped (no stable hash exists for them). */
   def imageHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[(Long, Long)] =
-    perceptualHashes(documents, "image", MediaCodec.decodePngLuma)
+    perceptualHashes(documents, "image", MediaCodec.decodeImagePlane)
 
   /** The audio sibling: WAV payloads REALLY decode to their unsigned-
     * 8-bit mono signal plane ([[MediaCodec.decodeWavSamples]] — bit
@@ -1189,10 +1201,15 @@ object Media {
   /** The plane extractor for a modality — every modality REALLY
     * decodes now: PNG inflate + unfilter + luma, WAV PCM sample
     * decode + downmix, JPEG Huffman + dequant + IDCT reduced to block
-    * means (the perceptual hash's own first downsample stage). */
+    * means (the perceptual hash's own first downsample stage). The
+    * image path dispatches on MAGIC BYTES, not the declared modality:
+    * a real-world image corpus (e.g. [[ingestBinary]] over .png AND
+    * .jpg files) mixes containers under one modality, and the first
+    * decoder to recognize the signature wins — declared metadata is
+    * never trusted over the bytes. */
   private[graft] def planeFor(fmt: String): Array[Byte] => Option[Array[Byte]] =
     fmt match {
-      case "image" => MediaCodec.decodePngLuma
+      case "image" => MediaCodec.decodeImagePlane
       case "audio" => MediaCodec.decodeWavSamples
       case "video" => MediaCodec.decodeJpegBlockMeans
       case _ => (_: Array[Byte]) => None

@@ -35,8 +35,8 @@ object DataScaleProbe {
 
   private val Letters = "abcdefghijklmnopqrstuvwxyz"
   private val ProbeQueries = Seq(
-    "q36_minhash_lsh", "q37b_jaccard_allpairs", "q63_prep_pipeline",
-    "q77_transitive_cluster", "q155_image_neardup", "q159_media_dedup")
+    "q36_minhash_lsh", "q37b_prefix_jaccard", "q63_prep_pipeline",
+    "q77_neardup_components", "q155_image_neardup", "q159_media_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -86,7 +86,7 @@ object DataScaleProbe {
         translate(col("text"),
           Letters + Letters.toUpperCase,
           shifted + shifted.toUpperCase).as("text"),
-        col("source"))
+        col("lang"), col("source"), col("n_chars"))
     }
     replicas.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")

@@ -240,6 +240,38 @@ class MediaSpec extends SparkSpec {
     assert(again.head.doc_id === pngs.head.doc_id)
   }
 
+  test("ingested .jpg files hash through the magic-sniff image dispatch") {
+    import graft.multimodal.Media
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import ss.implicits._
+    val dir = new java.io.File(
+      s"target/tmp/media_jpg_${java.util.UUID.randomUUID().toString.take(8)}")
+    dir.mkdirs()
+    def write(name: String, bytes: Array[Byte]): Unit = {
+      val f = new java.io.FileOutputStream(new java.io.File(dir, name))
+      try f.write(bytes) finally f.close()
+    }
+    // one modality ("image"), two CONTAINERS: the bytes, not the
+    // extension-derived fmt, must pick the decoder
+    val bytes = Array.tabulate(96)(i => ((i * 37 + 5) % 256).toByte)
+    write("tiles.jpg", MediaCodec.writeJpegTiles(bytes, rows = 4))
+    write("plane.png", MediaCodec.writePngPixels(48, 2, 0,
+      bytes, _ % 5, compress = true))
+    val records = Media.ingestBinary(dir.getAbsolutePath, "*.{jpg,png}")
+    val recs = records.collect()
+    assert(recs.length === 2 && recs.forall(_.fmt === "image"))
+    // both decode to the SAME plane through planeFor("image"):
+    // PNG → full luma (= bytes), JPEG → tile block means (= bytes)
+    val planes = recs.map(r =>
+      graft.multimodal.Media.planeFor(r.fmt)(r.payload).get.toSeq).toSet
+    assert(planes === Set(bytes.toSeq),
+      "png luma and jpg block means must both recover the source plane")
+    // and the whole fingerprint path agrees across containers
+    val hashes = recs.map(r => MediaCodec.dHash60(
+      graft.multimodal.Media.planeFor(r.fmt)(r.payload).get)).toSet
+    assert(hashes.size === 1, "same picture, either container, one hash")
+  }
+
   // ---------------- perceptual near-dup (dHash) ----------------
 
   test("extractPngBody walks the real chunk stream and concatenates IDAT") {
