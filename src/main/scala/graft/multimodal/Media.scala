@@ -37,15 +37,17 @@ import org.apache.spark.sql.functions._
   * [[MediaCodec.decodeWavSamples]] decodes ANY 8/16-bit multi-channel
   * PCM to a mono signal plane per the `fmt ` header. JPEG decodes for
   * real too (round 13): [[MediaCodec.decodeJpegLuma]] is a conforming
-  * baseline-sequential grayscale decoder — DQT/DHT/SOF0/DRI/SOS parse,
-  * canonical Huffman entropy decode with unstuffing and restart
-  * markers, zigzag + dequant, exact 2D IDCT — and
-  * [[MediaCodec.writeJpegGray]] emits real baseline JPEGs (synthesis
-  * uses the constant-tile profile whose decode is exactly invertible,
-  * the DCT sibling of stored-block zlib). Progressive/arithmetic/
-  * 12-bit/chroma profiles refuse by name; a full video container
-  * codec (JavaCV, ffmpeg) would drop into the same `mapPartitions`
-  * slot.
+  * baseline-sequential decoder — DQT/DHT/SOF0/DRI/SOS parse, canonical
+  * Huffman entropy decode with unstuffing and restart markers, zigzag
+  * + dequant, exact 2D IDCT — for GRAYSCALE and YCbCr COLOR frames
+  * (4:4:4/4:2:2/4:4:0/4:2:0 interleaved; the luma plane materializes,
+  * chroma blocks entropy-decode and skip the IDCT), and
+  * [[MediaCodec.writeJpegGray]] / [[MediaCodec.writeJpegYcc]] emit real
+  * baseline JPEGs (synthesis uses the constant-tile profile whose
+  * decode is exactly invertible, the DCT sibling of stored-block
+  * zlib). Progressive/arithmetic/12-bit/CMYK profiles refuse by name;
+  * a full video container codec (JavaCV, ffmpeg) would drop into the
+  * same `mapPartitions` slot.
   */
 object Media {
 
@@ -602,16 +604,21 @@ object Media {
     // --------- real baseline JPEG encode/decode (Huffman + DCT) ---------
     //
     // The last decode plane goes REAL (rounds 11-12 did PNG and WAV):
-    // a conforming baseline-sequential grayscale JPEG codec, pure JVM,
-    // zero dependencies. Decoder: marker walk, DQT (8/16-bit), DHT
-    // (canonical Huffman per T.81 C.2/F.2.2.3), SOF0, DRI, SOS, entropy
-    // decode with 0xFF00 unstuffing and RSTn handling, zigzag + dequant,
-    // exact separable 2D IDCT (StrictMath cosine tables — bit-identical
-    // across JVMs), level shift + clamp. Refuses the rest of the JPEG
-    // family by name: progressive (SOF2), arithmetic (SOF9-11/DAC),
-    // extended/lossless (SOF1/3/5-15), 12-bit precision, multi-component
-    // scans — the colorType-0-PNG precedent: minimal conforming profile,
-    // loud None for everything else.
+    // a conforming baseline-sequential JPEG codec, pure JVM, zero
+    // dependencies. Decoder: marker walk, DQT (8/16-bit), DHT
+    // (canonical Huffman per T.81 C.2/F.2.2.3), SOF0 — grayscale OR
+    // 3-component YCbCr with any 4:4:4/4:2:2/4:4:0/4:2:0 sampling —
+    // DRI, SOS (one interleaved scan), entropy decode with 0xFF00
+    // unstuffing and RSTn handling, zigzag + dequant, exact separable
+    // 2D IDCT (StrictMath cosine tables — bit-identical across JVMs),
+    // level shift + clamp. Only the LUMA plane materializes: chroma
+    // blocks entropy-decode (the bit stream must advance through them)
+    // but never IDCT — the perceptual hash is luma-only, and a color
+    // photo costs one IDCT plane, not three. Refuses the rest of the
+    // JPEG family by name: progressive (SOF2), arithmetic (SOF9-11/
+    // DAC), extended/lossless (SOF1/3/5-15), 12-bit precision, 4-comp
+    // CMYK, non-interleaved multi-scan — the colorType-0-PNG precedent:
+    // the conforming profile real corpora hold, loud None for the rest.
     //
     // Encoder: real segment emission + canonical-Huffman entropy coding
     // (DC prediction, AC run/size with ZRL/EOB, byte stuffing, restart
@@ -743,6 +750,63 @@ object Media {
     private def catOf(v: Int): Int =
       if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
 
+    /** Entropy-encode one quantized zigzag block (DC diff vs `dcPred`,
+      * AC run/size with ZRL/EOB) against the given tables; returns the
+      * block's DC — the next block's predictor for this component. */
+    private def encodeBlock(bw: BitWriter, blk: Array[Int], dcPred: Int,
+        dcEnc: Array[Array[Int]], acEnc: Array[Array[Int]]): Int = {
+      require(blk.length == 64, "coefficient blocks are 64 long")
+      val diff = blk(0) - dcPred
+      val t = catOf(diff)
+      val dc = dcEnc(t)
+      require(dc != null, s"DC table lacks category $t")
+      bw.put(dc(0), dc(1))
+      if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      var k = 1
+      var run = 0
+      while (k < 64) {
+        val v = blk(k)
+        if (v == 0) run += 1
+        else {
+          while (run > 15) {
+            val zrl = acEnc(0xf0)
+            require(zrl != null, "AC table lacks ZRL"); bw.put(zrl(0), zrl(1))
+            run -= 16
+          }
+          val s0 = catOf(v)
+          val ac = acEnc((run << 4) | s0)
+          require(ac != null, s"AC table lacks run/size ($run,$s0)")
+          bw.put(ac(0), ac(1))
+          bw.put(if (v >= 0) v else v + (1 << s0) - 1, s0)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) {
+        val eob = acEnc(0x00)
+        require(eob != null, "AC table lacks EOB"); bw.put(eob(0), eob(1))
+      }
+      blk(0)
+    }
+
+    /** One marker segment: 0xFF, marker, big-endian length (payload + 2),
+      * payload. */
+    private def jpegSeg(out: java.io.ByteArrayOutputStream, marker: Int,
+        payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+
+    /** DQT payload for 8-bit table 0, range-checked. */
+    private def quantPayload(quantZig: Array[Int]): Array[Byte] = {
+      require(quantZig.length == 64, "quant table must have 64 entries")
+      (0 +: quantZig.map(q => {
+        require(q >= 1 && q <= 255, s"8-bit quant value out of range: $q"); q
+      }).toSeq).map(_.toByte).toArray
+    }
+
     /** A REAL baseline-sequential grayscale JPEG from QUANTIZED
       * coefficient blocks (zigzag order, MCU scan order), with the
       * given quant table (zigzag order), Huffman tables and optional
@@ -757,28 +821,19 @@ object Media {
       val cols = (w + 7) / 8; val rows = (h + 7) / 8
       require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
         s"JPEG dimensions out of range: ${w}x$h")
-      require(quantZig.length == 64, "quant table must have 64 entries")
       require(blocksZig.length == cols * rows,
         s"expected ${cols * rows} blocks for ${w}x$h, got ${blocksZig.length}")
       val out = new java.io.ByteArrayOutputStream()
-      def seg(marker: Int, payload: Array[Byte]): Unit = {
-        out.write(0xff); out.write(marker)
-        val len = payload.length + 2
-        out.write((len >> 8) & 0xff); out.write(len & 0xff)
-        out.write(payload, 0, payload.length)
-      }
       out.write(0xff); out.write(0xd8) // SOI
-      seg(0xdb, (0 +: quantZig.map(q => { // DQT, 8-bit precision, table 0
-        require(q >= 1 && q <= 255, s"8-bit quant value out of range: $q"); q
-      }).toSeq).map(_.toByte).toArray)
-      seg(0xc0, Array[Int](8, (h >> 8) & 0xff, h & 0xff, // SOF0: 8-bit, 1 comp
+      jpegSeg(out, 0xdb, quantPayload(quantZig)) // DQT, 8-bit, table 0
+      jpegSeg(out, 0xc0, Array[Int](8, (h >> 8) & 0xff, h & 0xff, // SOF0: 8-bit, 1 comp
         (w >> 8) & 0xff, w & 0xff, 1, 1, 0x11, 0).map(_.toByte))
-      seg(0xc4, ((0x00 +: dcCounts.toSeq) ++ dcSymbols.toSeq).map(_.toByte).toArray)
-      seg(0xc4, ((0x10 +: acCounts.toSeq) ++ acSymbols.toSeq).map(_.toByte).toArray)
+      jpegSeg(out, 0xc4, ((0x00 +: dcCounts.toSeq) ++ dcSymbols.toSeq).map(_.toByte).toArray)
+      jpegSeg(out, 0xc4, ((0x10 +: acCounts.toSeq) ++ acSymbols.toSeq).map(_.toByte).toArray)
       if (restartInterval > 0)
-        seg(0xdd, Array[Int]((restartInterval >> 8) & 0xff,
+        jpegSeg(out, 0xdd, Array[Int]((restartInterval >> 8) & 0xff,
           restartInterval & 0xff).map(_.toByte))
-      seg(0xda, Array[Int](1, 1, 0x00, 0, 63, 0).map(_.toByte)) // SOS
+      jpegSeg(out, 0xda, Array[Int](1, 1, 0x00, 0, 63, 0).map(_.toByte)) // SOS
       val dcEnc = encTable(dcCounts, dcSymbols)
       val acEnc = encTable(acCounts, acSymbols)
       val bw = new BitWriter(out)
@@ -791,39 +846,82 @@ object Media {
           bw.marker(0xd0 + (rstSeq % 8)); rstSeq += 1
           dcPred = 0
         }
-        val blk = blocksZig(m)
-        require(blk.length == 64, "coefficient blocks are 64 long")
-        val diff = blk(0) - dcPred
-        dcPred = blk(0)
-        val t = catOf(diff)
-        val dc = dcEnc(t)
-        require(dc != null, s"DC table lacks category $t")
-        bw.put(dc(0), dc(1))
-        if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
-        var k = 1
-        var run = 0
-        while (k < 64) {
-          val v = blk(k)
-          if (v == 0) run += 1
-          else {
-            while (run > 15) {
-              val zrl = acEnc(0xf0)
-              require(zrl != null, "AC table lacks ZRL"); bw.put(zrl(0), zrl(1))
-              run -= 16
-            }
-            val s0 = catOf(v)
-            val ac = acEnc((run << 4) | s0)
-            require(ac != null, s"AC table lacks run/size ($run,$s0)")
-            bw.put(ac(0), ac(1))
-            bw.put(if (v >= 0) v else v + (1 << s0) - 1, s0)
-            run = 0
+        dcPred = encodeBlock(bw, blocksZig(m), dcPred, dcEnc, acEnc)
+        m += 1
+      }
+      bw.flush()
+      out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
+    }
+
+    /** A REAL baseline-sequential YCbCr JPEG: a 3-component interleaved
+      * scan with luma sampling (hSamp × vSamp) and 1×1 chroma —
+      * (1,1) = 4:4:4, (2,1) = 4:2:2, (1,2) = 4:4:0, (2,2) = 4:2:0, the
+      * four layouts real encoders emit. Luma blocks arrive in MCU scan
+      * order (raster WITHIN each MCU — T.81 A.2.3), chroma one block
+      * per MCU; every component shares quant table 0 and the one
+      * Huffman pair (selector reuse across components is legal). The
+      * spec-fixture writer proving [[decodeJpegFrame]] against genuinely
+      * interleaved, subsampled, restart-bearing COLOR streams — the
+      * container shape a real-world photo corpus holds. */
+    def writeJpegYcc(
+        w: Int, h: Int, quantZig: Array[Int],
+        yBlocksZig: Array[Array[Int]], cbBlocksZig: Array[Array[Int]],
+        crBlocksZig: Array[Array[Int]],
+        hSamp: Int = 2, vSamp: Int = 2,
+        dcCounts: Array[Int] = GenDcCounts, dcSymbols: Array[Int] = GenDcSymbols,
+        acCounts: Array[Int] = GenAcCounts, acSymbols: Array[Int] = GenAcSymbols,
+        restartInterval: Int = 0): Array[Byte] = {
+      require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+        s"JPEG dimensions out of range: ${w}x$h")
+      require(hSamp >= 1 && hSamp <= 2 && vSamp >= 1 && vSamp <= 2,
+        s"luma sampling must be 1 or 2 per axis, got ${hSamp}x$vSamp")
+      val mcusX = (w + 8 * hSamp - 1) / (8 * hSamp)
+      val mcusY = (h + 8 * vSamp - 1) / (8 * vSamp)
+      val mcus = mcusX * mcusY
+      require(yBlocksZig.length == mcus * hSamp * vSamp,
+        s"expected ${mcus * hSamp * vSamp} luma blocks, got ${yBlocksZig.length}")
+      require(cbBlocksZig.length == mcus && crBlocksZig.length == mcus,
+        s"expected $mcus blocks per chroma component")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xff); out.write(0xd8) // SOI
+      jpegSeg(out, 0xdb, quantPayload(quantZig))
+      jpegSeg(out, 0xc0, Array[Int](8, (h >> 8) & 0xff, h & 0xff,
+        (w >> 8) & 0xff, w & 0xff, 3,
+        1, (hSamp << 4) | vSamp, 0, // Y: the max sampling factors
+        2, 0x11, 0,                 // Cb
+        3, 0x11, 0).map(_.toByte))  // Cr
+      jpegSeg(out, 0xc4, ((0x00 +: dcCounts.toSeq) ++ dcSymbols.toSeq).map(_.toByte).toArray)
+      jpegSeg(out, 0xc4, ((0x10 +: acCounts.toSeq) ++ acSymbols.toSeq).map(_.toByte).toArray)
+      if (restartInterval > 0)
+        jpegSeg(out, 0xdd, Array[Int]((restartInterval >> 8) & 0xff,
+          restartInterval & 0xff).map(_.toByte))
+      jpegSeg(out, 0xda, Array[Int](3, 1, 0x00, 2, 0x00, 3, 0x00,
+        0, 63, 0).map(_.toByte)) // SOS: Y, Cb, Cr all on table pair 0
+      val dcEnc = encTable(dcCounts, dcSymbols)
+      val acEnc = encTable(acCounts, acSymbols)
+      val bw = new BitWriter(out)
+      val pred = new Array[Int](3)
+      var rstSeq = 0
+      var m = 0
+      while (m < mcus) {
+        if (restartInterval > 0 && m > 0 && m % restartInterval == 0) {
+          bw.flush()
+          bw.marker(0xd0 + (rstSeq % 8)); rstSeq += 1
+          java.util.Arrays.fill(pred, 0)
+        }
+        var vb = 0
+        while (vb < vSamp) {
+          var hb = 0
+          while (hb < hSamp) {
+            pred(0) = encodeBlock(bw,
+              yBlocksZig(m * hSamp * vSamp + vb * hSamp + hb), pred(0), dcEnc, acEnc)
+            hb += 1
           }
-          k += 1
+          vb += 1
         }
-        if (run > 0) {
-          val eob = acEnc(0x00)
-          require(eob != null, "AC table lacks EOB"); bw.put(eob(0), eob(1))
-        }
+        pred(1) = encodeBlock(bw, cbBlocksZig(m), pred(1), dcEnc, acEnc)
+        pred(2) = encodeBlock(bw, crBlocksZig(m), pred(2), dcEnc, acEnc)
         m += 1
       }
       bw.flush()
@@ -848,9 +946,37 @@ object Media {
       writeJpegGray(8 * (px.length / rows), 8 * rows, quant, blocks)
     }
 
-    /** Full baseline decode: (width, height, luma plane). None on
-      * anything outside the supported profile or any malformation —
-      * the corrupt-member contract of [[decodePngLuma]]. */
+    /** COLOR tile synthesis: the 4:4:4 sibling of [[writeJpegTiles]] —
+      * each payload byte one constant 8×8 LUMA block (DC quant 8 ⇒
+      * exact decode), chroma all-zero blocks (gray expressed in YCbCr;
+      * their cat-0 + EOB codings still advance the entropy stream and
+      * the per-component DC predictors exactly like a real photo's
+      * chroma), through a genuinely 3-component interleaved scan. The
+      * decoded luma plane — and so the block means — are the payload
+      * bytes verbatim, and every block is 16 stuffing-free bits, so
+      * container length = 158 + 6·bytes.length stays oracle-arithmetic
+      * (asserted in spec). */
+    def writeJpegYccTiles(bytes: Array[Byte], rows: Int): Array[Byte] = {
+      val px = if (bytes.isEmpty) Array[Byte](0) else bytes
+      require(px.length % rows == 0, s"rows $rows must divide ${px.length}")
+      val quant = Array.fill(64)(1); quant(0) = 8
+      val yBlocks = px.map { b =>
+        val blk = new Array[Int](64); blk(0) = (b & 0xff) - 128; blk
+      }
+      val zero = new Array[Int](64)
+      writeJpegYcc(8 * (px.length / rows), 8 * rows, quant, yBlocks,
+        Array.fill(px.length)(zero), Array.fill(px.length)(zero),
+        hSamp = 1, vSamp = 1,
+        dcCounts = TileDcCounts, dcSymbols = TileDcSymbols,
+        acCounts = TileAcCounts, acSymbols = TileAcSymbols)
+    }
+
+    /** Full baseline decode: (width, height, luma plane). Grayscale
+      * (1-component) and YCbCr (3-component interleaved, any standard
+      * subsampling) frames both decode; the plane is the FIRST
+      * component's full-resolution luma. None on anything outside the
+      * supported profile or any malformation — the corrupt-member
+      * contract of [[decodePngLuma]]. */
     private def decodeJpegFrame(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
       if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
         return None
@@ -858,7 +984,11 @@ object Media {
       val dcTabs = new Array[HuffDec](4)
       val acTabs = new Array[HuffDec](4)
       var w = 0; var h = 0; var sofSeen = false
-      var compQ = 0; var dcSel = 0; var acSel = 0
+      var nf = 0
+      val compId = new Array[Int](3)
+      val compHs = new Array[Int](3); val compVs = new Array[Int](3)
+      val compQ = new Array[Int](3)
+      val dcSel = new Array[Int](3); val acSel = new Array[Int](3)
       var ri = 0
       var p = 2
       var entropyAt = -1
@@ -885,11 +1015,45 @@ object Media {
                 if (dataLen < 6) return None
                 if ((b(dataAt) & 0xff) != 8) return None // 12-bit: refuse
                 h = be16(b, dataAt + 1); w = be16(b, dataAt + 3)
-                val nf = b(dataAt + 5) & 0xff
-                if (nf != 1 || dataLen < 6 + 3 * nf) return None // gray only
-                if ((b(dataAt + 7) & 0xff) != 0x11) return None  // 1x1 sampling
-                compQ = b(dataAt + 8) & 0xff
-                if (compQ > 3) return None
+                nf = b(dataAt + 5) & 0xff
+                // grayscale or YCbCr — the two baseline layouts the
+                // wild actually holds (4-comp Adobe CMYK: refuse by name)
+                if (nf != 1 && nf != 3) return None
+                if (dataLen < 6 + 3 * nf) return None
+                var i = 0; var sumHV = 0
+                while (i < nf) {
+                  compId(i) = b(dataAt + 6 + 3 * i) & 0xff
+                  val hv = b(dataAt + 7 + 3 * i) & 0xff
+                  compHs(i) = hv >> 4; compVs(i) = hv & 0x0f
+                  if (compHs(i) < 1 || compHs(i) > 4 ||
+                    compVs(i) < 1 || compVs(i) > 4) return None
+                  sumHV += compHs(i) * compVs(i)
+                  compQ(i) = b(dataAt + 8 + 3 * i) & 0xff
+                  if (compQ(i) > 3) return None
+                  i += 1
+                }
+                if (nf == 3) {
+                  // interleaved MCU bound (T.81 B.2.3): ≤ 10 data units
+                  if (sumHV > 10) return None
+                  if (compId(0) == compId(1) || compId(0) == compId(2) ||
+                    compId(1) == compId(2)) return None
+                  // the FIRST component is the luma whose plane this
+                  // decode returns: it must carry the max sampling
+                  // factors so that plane is full-resolution w×h (true
+                  // of 4:4:4/4:2:2/4:4:0/4:2:0 — every layout a YCbCr
+                  // encoder emits; a subsampled-Y frame would return a
+                  // sub-resolution plane, so refuse it by name)
+                  if (math.max(compHs(1), compHs(2)) > compHs(0) ||
+                    math.max(compVs(1), compVs(2)) > compVs(0)) return None
+                } else {
+                  // a scan holding ONE component is non-interleaved:
+                  // data units tile the component's own ceil(w/8) ×
+                  // ceil(h/8) grid and the declared sampling factors
+                  // play no part in it (T.81 A.2.4) — normalize them
+                  // away instead of refusing a legal grayscale frame
+                  // that declares 2×2
+                  compHs(0) = 1; compVs(0) = 1
+                }
                 sofSeen = true
               case mm if (mm >= 0xc1 && mm <= 0xcf) && mm != 0xc4 =>
                 return None // SOF1-3/5-7 (extended/progressive/lossless),
@@ -943,13 +1107,24 @@ object Media {
                 if (dataLen != 2) return None
                 ri = be16(b, dataAt)
               case 0xda => // SOS — entropy data follows
-                if (dataLen < 6) return None
-                if ((b(dataAt) & 0xff) != 1) return None // single-comp scan only
-                dcSel = (b(dataAt + 2) & 0xff) >> 4
-                acSel = b(dataAt + 2) & 0x0f
+                if (!sofSeen || dataLen < 6) return None
+                val ns = b(dataAt) & 0xff
+                // ONE interleaved scan covering every frame component;
+                // multi-scan (non-interleaved) baseline: refuse
+                if (ns != nf || dataLen < 1 + 2 * ns + 3) return None
+                var i = 0
+                while (i < ns) {
+                  // scan components follow frame order (T.81 B.2.3)
+                  if ((b(dataAt + 1 + 2 * i) & 0xff) != compId(i)) return None
+                  dcSel(i) = (b(dataAt + 2 + 2 * i) & 0xff) >> 4
+                  acSel(i) = b(dataAt + 2 + 2 * i) & 0x0f
+                  if (dcSel(i) > 3 || acSel(i) > 3) return None
+                  i += 1
+                }
+                val ss0 = dataAt + 1 + 2 * ns
                 // baseline sequential scan header: full band, no approx
-                if ((b(dataAt + 3) & 0xff) != 0 || (b(dataAt + 4) & 0xff) != 63 ||
-                  (b(dataAt + 5) & 0xff) != 0) return None
+                if ((b(ss0) & 0xff) != 0 || (b(ss0 + 1) & 0xff) != 63 ||
+                  (b(ss0 + 2) & 0xff) != 0) return None
                 entropyAt = p + len
               case _ => () // APPn / COM / DNL: skip
             }
@@ -958,9 +1133,11 @@ object Media {
       }
       if (!sofSeen || w <= 0 || h <= 0) return None
       if (w.toLong * h > (256L << 20)) return None // decode-bomb guard
-      val quant = quantTabs(compQ)
-      val dcT = dcTabs(dcSel); val acT = acTabs(acSel)
-      if (quant == null || dcT == null || acT == null) return None
+      val quantC = Array.tabulate(nf)(i => quantTabs(compQ(i)))
+      val dcC = Array.tabulate(nf)(i => dcTabs(dcSel(i)))
+      val acC = Array.tabulate(nf)(i => acTabs(acSel(i)))
+      if (quantC.contains(null) || dcC.contains(null) || acC.contains(null))
+        return None
 
       // ---- entropy decode ----
       var ep = entropyAt
@@ -1001,80 +1178,113 @@ object Media {
         }
         -1
       }
-      val cols = (w + 7) / 8; val bRows = (h + 7) / 8
+      // MCU geometry: the luma carries the max sampling factors
+      // (enforced at SOF), so the MCU grid is the luma's tiling and the
+      // returned plane is full-resolution w×h. For nf == 1 the factors
+      // were normalized to 1×1 — MCU = one block, the old grayscale walk.
+      val hMax = compHs(0); val vMax = compVs(0)
+      val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
       val plane = new Array[Byte](w * h)
       val coef = new Array[Int](64)
       val tmp = new Array[Double](64)
-      var dcPred = 0
+      val dcPred = new Array[Int](3)
       var rstSeq = 0
       var mcu = 0
-      val total = cols * bRows
+      val total = mcusX * mcusY
       while (mcu < total) {
         if (ri > 0 && mcu > 0 && mcu % ri == 0) {
-          // restart: byte-align, expect the cyclic RSTn, reset predictor
+          // restart: byte-align, expect the cyclic RSTn, reset EVERY
+          // component's predictor (T.81 F.2.1.3.1)
           nbits = 0
           if (ep + 1 >= b.length || (b(ep) & 0xff) != 0xff ||
             (b(ep + 1) & 0xff) != 0xd0 + (rstSeq % 8)) return None
-          ep += 2; rstSeq += 1; dcPred = 0
+          ep += 2; rstSeq += 1
+          java.util.Arrays.fill(dcPred, 0)
         }
-        java.util.Arrays.fill(coef, 0)
-        val t = decodeHuff(dcT)
-        if (t < 0 || t > 11) return None
-        val bits = if (t == 0) 0 else receive(t)
-        if (bits == Int.MinValue || dead) return None
-        dcPred += extend(bits, t)
-        coef(0) = dcPred * quant(0)
-        var k = 1
-        while (k < 64) {
-          val rs = decodeHuff(acT)
-          if (rs < 0) return None
-          val r = rs >> 4; val s0 = rs & 15
-          if (s0 == 0) {
-            if (r == 15) k += 16 // ZRL
-            else k = 64          // EOB
-          } else {
-            if (s0 > 10) return None
-            k += r
-            if (k > 63) return None
-            val vb = receive(s0)
-            if (vb == Int.MinValue || dead) return None
-            coef(ZigZagNat(k)) = extend(vb, s0) * quant(k)
-            k += 1
-          }
-        }
-        // separable IDCT: columns of tmp from coefficient rows, then rows
-        var rr = 0
-        while (rr < 8) { // rr = vertical frequency index
-          var x = 0
-          while (x < 8) {
-            var s = 0.0
-            var u = 0
-            while (u < 8) { s += IdctCos(u)(x) * coef(rr * 8 + u); u += 1 }
-            tmp(rr * 8 + x) = s
-            x += 1
-          }
-          rr += 1
-        }
-        val by = mcu / cols; val bx = mcu % cols
-        var y = 0
-        while (y < 8) {
-          val iy = by * 8 + y
-          if (iy < h) {
-            var x = 0
-            while (x < 8) {
-              val ix = bx * 8 + x
-              if (ix < w) {
-                var s = 0.0
-                var v = 0
-                while (v < 8) { s += IdctCos(v)(y) * tmp(v * 8 + x); v += 1 }
-                val pix = Math.round(s).toInt + 128
-                plane(iy * w + ix) =
-                  (if (pix < 0) 0 else if (pix > 255) 255 else pix).toByte
+        var ci = 0
+        while (ci < nf) {
+          val quant = quantC(ci); val dcT = dcC(ci); val acT = acC(ci)
+          // only the luma plane materializes: chroma blocks MUST still
+          // entropy-decode (the bit stream and their DC predictors
+          // advance through them) but skip dequant + IDCT — a 4:2:0
+          // photo costs one Y IDCT plane plus a Huffman walk, not three
+          val isLuma = ci == 0
+          var vb = 0
+          while (vb < compVs(ci)) {
+            var hb = 0
+            while (hb < compHs(ci)) {
+              if (isLuma) java.util.Arrays.fill(coef, 0)
+              val t = decodeHuff(dcT)
+              if (t < 0 || t > 11) return None
+              val bits = if (t == 0) 0 else receive(t)
+              if (bits == Int.MinValue || dead) return None
+              dcPred(ci) += extend(bits, t)
+              if (isLuma) coef(0) = dcPred(ci) * quant(0)
+              var k = 1
+              while (k < 64) {
+                val rs = decodeHuff(acT)
+                if (rs < 0) return None
+                val r = rs >> 4; val s0 = rs & 15
+                if (s0 == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else k = 64          // EOB
+                } else {
+                  if (s0 > 10) return None
+                  k += r
+                  if (k > 63) return None
+                  val vbits = receive(s0)
+                  if (vbits == Int.MinValue || dead) return None
+                  if (isLuma) coef(ZigZagNat(k)) = extend(vbits, s0) * quant(k)
+                  k += 1
+                }
               }
-              x += 1
+              if (isLuma) {
+                // separable IDCT: columns of tmp from coefficient rows,
+                // then rows
+                var rr = 0
+                while (rr < 8) { // rr = vertical frequency index
+                  var x = 0
+                  while (x < 8) {
+                    var s = 0.0
+                    var u = 0
+                    while (u < 8) { s += IdctCos(u)(x) * coef(rr * 8 + u); u += 1 }
+                    tmp(rr * 8 + x) = s
+                    x += 1
+                  }
+                  rr += 1
+                }
+                // luma block (bx, by) of the full-resolution Y grid;
+                // MCU-padding blocks beyond the image clip to nothing
+                // but still consumed entropy bits (as encoders emit them)
+                val by = (mcu / mcusX) * vMax + vb
+                val bx = (mcu % mcusX) * hMax + hb
+                var y = 0
+                while (y < 8) {
+                  val iy = by * 8 + y
+                  if (iy < h) {
+                    var x = 0
+                    while (x < 8) {
+                      val ix = bx * 8 + x
+                      if (ix < w) {
+                        var s = 0.0
+                        var v = 0
+                        while (v < 8) { s += IdctCos(v)(y) * tmp(v * 8 + x); v += 1 }
+                        val pix = Math.round(s).toInt + 128
+                        plane(iy * w + ix) =
+                          (if (pix < 0) 0 else if (pix > 255) 255 else pix).toByte
+                      }
+                      x += 1
+                    }
+                  }
+                  y += 1
+                }
+              }
+              hb += 1
             }
+            vb += 1
           }
-          y += 1
+          ci += 1
         }
         mcu += 1
       }
@@ -1082,7 +1292,9 @@ object Media {
     }
 
     /** REAL JPEG decode to the full 8-bit luma plane (width × height,
-      * row-major), baseline-sequential grayscale profile. */
+      * row-major), baseline-sequential profile — grayscale or YCbCr
+      * color (4:4:4/4:2:2/4:4:0/4:2:0); a color photo and its grayscale
+      * rendering share one plane, exactly what a perceptual hash wants. */
     def decodeJpegLuma(b: Array[Byte]): Option[Array[Byte]] =
       decodeJpegFrame(b).map(_._3)
 
@@ -1163,6 +1375,36 @@ object Media {
     * grid floor are skipped (no stable hash exists for them). */
   def imageHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[(Long, Long)] =
     perceptualHashes(documents, "image", MediaCodec.decodeImagePlane)
+
+  /** The COLOR image sibling of [[imageHashes]]: the same image-
+    * modality documents synthesized as 3-component YCbCr 4:4:4 JPEGs
+    * ([[MediaCodec.writeJpegYccTiles]] — gray expressed in color space:
+    * zero chroma blocks that still entropy-decode like any color
+    * photo's) and hashed through the SAME magic-sniff dispatch: the
+    * sniffer sees JPEG SOI, the baseline decoder walks a genuinely
+    * interleaved 3-component scan, and the decoded luma block means
+    * are the text bytes — so one picture hashes IDENTICALLY whether it
+    * arrives as a grayscale PNG, a grayscale JPEG, or a color JPEG
+    * (the container-robustness a perceptual near-dup needs: a
+    * re-encode to a different container must not hide a duplicate). */
+  def colorImageHashes(documents: DataFrame)(
+      implicit s: SparkSession): Dataset[(Long, Long)] = {
+    import s.implicits._
+    documents
+      .select(col("doc_id"), col("text"),
+        (substring(col("source"), 4, 10).cast("int") % 3).as("m"))
+      .filter(col("m") === 0)
+      .as[(Long, String, Int)]
+      .mapPartitions(_.flatMap { case (id, text, _) =>
+        val body = text.getBytes(StandardCharsets.UTF_8)
+        val px = if (body.isEmpty) Array[Byte](0) else body
+        val payload =
+          MediaCodec.writeJpegYccTiles(px, MediaCodec.pngRows(px.length))
+        MediaCodec.decodeImagePlane(payload)
+          .filter(_.length >= 66)
+          .map(b => (id, MediaCodec.dHash60(b)))
+      })
+  }
 
   /** The audio sibling: WAV payloads REALLY decode to their unsigned-
     * 8-bit mono signal plane ([[MediaCodec.decodeWavSamples]] — bit

@@ -2978,6 +2978,35 @@ object PipelineOps {
        ORDER BY doc_a, doc_b"""
 
   // --------------------------------------------------------------------
+  // q160 — COLOR (YCbCr) IMAGE NEAR-DUP: the same corpus and fixtures as
+  // q155, but the payloads are 3-COMPONENT 4:4:4 color JPEGs
+  // (MediaCodec.writeJpegYccTiles — gray expressed in YCbCr: zero
+  // chroma blocks that still entropy-decode like any photo's chroma)
+  // decoded by the interleaved multi-component path: per-MCU the
+  // decoder walks Y + Cb + Cr blocks with per-component DC predictors,
+  // materializes the luma IDCT only, and the block means round-trip to
+  // the text bytes. One picture must hash IDENTICALLY whether it
+  // arrives as grayscale PNG (q155) or color JPEG (this query) — the
+  // container-robustness a perceptual near-dup needs — so the oracle is
+  // q155's arithmetic verbatim, and the spec additionally pins
+  // hash-equality across the three containers. Same 100 TB shape: only
+  // 8-byte hashes cross a shuffle, band equi-join over collapsed
+  // representatives.
+  // --------------------------------------------------------------------
+  def q160ColorImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = lake(s, dir).documents.select(
+      col("doc_id"), col("text"), col("source"))
+    val perturbed = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(substring(col("text"), 1, 20), lit("Q"),
+          substring(col("text"), 22, Int.MaxValue)).as("text"),
+        col("source"))
+    implicit val spark: SparkSession = s
+    hammingBandedPairs(
+      Media.colorImageHashes(base.unionByName(perturbed)).toDF("doc_id", "h"))
+  }
+
+  // --------------------------------------------------------------------
   // q157 — VIDEO KEYFRAME NEAR-DUP, completing the modality triple:
   // video payloads carry one REAL baseline JPEG keyframe (the q56
   // frame-sample convention); the keyframe genuinely DECODES — Huffman
@@ -3584,6 +3613,7 @@ object PipelineOps {
     "q157_video_neardup" -> (q157VideoNearDup _),
     "q158_video_seq_neardup" -> (q158VideoSequenceNearDup _),
     "q159_media_dedup" -> (q159MediaDedupPipeline _),
+    "q160_color_image_neardup" -> (q160ColorImageNearDup _),
     "q142_sql_mor_update" -> (q142SqlMorUpdate _),
     "q141_metadata_sum" -> (q141MetadataSum _),
     "q139_generated_columns" -> (q139GeneratedColumns _),
@@ -3639,6 +3669,11 @@ object PipelineOps {
     "q157_video_neardup" -> q157Oracle,
     "q158_video_seq_neardup" -> q158Oracle,
     "q159_media_dedup" -> q159Oracle,
+    // q160 shares q155's oracle VERBATIM: the color JPEG's decoded
+    // block means equal the grayscale PNG's decoded plane (both are
+    // the text bytes), so the same arithmetic predicts both — that
+    // equality IS the point of the query.
+    "q160_color_image_neardup" -> q155Oracle,
     "q142_sql_mor_update" -> q142Oracle,
     "q141_metadata_sum" -> q141Oracle,
     "q139_generated_columns" -> q139Oracle,

@@ -542,6 +542,159 @@ class MediaSpec extends SparkSpec {
     assert(stuffedSeen, "the sweep must hit at least one stuffed byte")
   }
 
+  test("color YCbCr decode: 4:2:0 / 4:2:2 / 4:4:4, chroma skipped, restarts, edge clip") {
+    // tile-profile quant (DC 8, AC 1): a DC-only luma block of
+    // blk(0) = v − 128 decodes to the constant tile v EXACTLY, so every
+    // expectation below is exact integer arithmetic. Chroma blocks get
+    // DC + scattered AC coefficients — if the decoder mis-skipped a
+    // single chroma bit the stream would desync and the luma tiles
+    // would come back wrong, so "chroma advanced correctly" is proven
+    // by the luma values themselves.
+    val quant = Array.fill(64)(1); quant(0) = 8
+    def tile(v: Int): Array[Int] = {
+      val blk = new Array[Int](64); blk(0) = v - 128; blk
+    }
+    def chroma(seed: Int): Array[Int] = Array.tabulate(64) { k =>
+      if (k == 0) (seed * 29) % 200 - 100
+      else if ((k + seed) % 5 == 0) ((k * 7 + seed) % 21) - 10
+      else 0
+    }
+
+    // ---- 4:2:0 (luma 2x2): one 16x16 MCU, luma raster WITHIN the MCU
+    val y420 = Array(10, 200, 60, 140).map(tile)
+    val j420 = MediaCodec.writeJpegYcc(16, 16, quant, y420,
+      Array(chroma(1)), Array(chroma(2)), hSamp = 2, vSamp = 2)
+    assert(MediaCodec.parseJpeg(j420) === Some((16, 16)))
+    val p420 = MediaCodec.decodeJpegLuma(j420).get
+    assert(p420.length === 256)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert((p420(y * 16 + x) & 0xff) === Array(10, 200, 60, 140)((y / 8) * 2 + x / 8),
+        s"4:2:0 pixel ($x,$y)")
+    // the decoded luma equals the same blocks through the GRAY writer:
+    // one picture, two container layouts, one plane
+    val g = MediaCodec.writeJpegGray(16, 16, quant, y420,
+      MediaCodec.GenDcCounts, MediaCodec.GenDcSymbols,
+      MediaCodec.GenAcCounts, MediaCodec.GenAcSymbols)
+    assert(p420.toSeq === MediaCodec.decodeJpegLuma(g).get.toSeq)
+
+    // ---- 4:2:2 (luma 2x1): two MCUs with a restart between them —
+    // per-component DC predictors must all reset at the RST boundary
+    val y422 = Array(30, 90, 150, 210).map(tile)
+    val j422 = MediaCodec.writeJpegYcc(32, 8, quant, y422,
+      Array(chroma(3), chroma(4)), Array(chroma(5), chroma(6)),
+      hSamp = 2, vSamp = 1, restartInterval = 1)
+    def hasMarker(b: Array[Byte], m: Int) = b.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(hasMarker(j422, 0xd0), "RST0 between the two MCUs")
+    val p422 = MediaCodec.decodeJpegLuma(j422).get
+    for (y <- 0 until 8; x <- 0 until 32)
+      assert((p422(y * 32 + x) & 0xff) === Array(30, 90, 150, 210)(x / 8),
+        s"4:2:2 pixel ($x,$y)")
+
+    // ---- 4:4:4 (luma 1x1): three MCUs of one block per component
+    val y444 = Array(5, 128, 250).map(tile)
+    val j444 = MediaCodec.writeJpegYcc(24, 8, quant, y444,
+      Array(chroma(7), chroma(8), chroma(9)),
+      Array(chroma(10), chroma(11), chroma(12)), hSamp = 1, vSamp = 1)
+    val p444 = MediaCodec.decodeJpegLuma(j444).get
+    for (y <- 0 until 8; x <- 0 until 24)
+      assert((p444(y * 24 + x) & 0xff) === Array(5, 128, 250)(x / 8),
+        s"4:4:4 pixel ($x,$y)")
+
+    // ---- edge clipping: a 12x12 image inside one 16x16 4:2:0 MCU —
+    // the padding block regions decode (they consumed entropy bits)
+    // but clip at the w×h boundary
+    val jClip = MediaCodec.writeJpegYcc(12, 12, quant,
+      Array(1, 2, 3, 4).map(v => tile(v * 50)),
+      Array(chroma(13)), Array(chroma(14)), hSamp = 2, vSamp = 2)
+    val pClip = MediaCodec.decodeJpegLuma(jClip).get
+    assert(pClip.length === 144)
+    for (y <- 0 until 12; x <- 0 until 12)
+      assert((pClip(y * 12 + x) & 0xff) === ((y / 8) * 2 + x / 8 + 1) * 50,
+        s"clip pixel ($x,$y)")
+
+    // ---- magic-sniff integration: the color container flows through
+    // the image plane dispatch to block means (luma-only, exact here)
+    assert(MediaCodec.decodeImagePlane(j420).get.toSeq ===
+      Seq(10, 200, 60, 140).map(_.toByte))
+  }
+
+  test("writeJpegYccTiles: exact color round trip; one picture, three containers, one hash") {
+    val bytes = Array.tabulate(256)(i => i.toByte) // all byte values
+    val jpeg = MediaCodec.writeJpegYccTiles(bytes, rows = 4)
+    // documented container arithmetic: 158 header/tables + 6 bytes/MCU
+    assert(jpeg.length === 158 + 6 * 256)
+    assert(MediaCodec.parseJpeg(jpeg) === Some((8 * 64, 8 * 4)))
+    // the decoded luma is the byte tiles exactly — through a genuinely
+    // interleaved 3-component scan
+    val plane = MediaCodec.decodeJpegLuma(jpeg).get
+    assert(plane.length === 512 * 32)
+    for (y <- 0 until 32; x <- 0 until 512)
+      assert((plane(y * 512 + x) & 0xff) === ((y / 8) * 64 + x / 8),
+        s"pixel ($x,$y) must equal its tile byte")
+    // block means ARE the payload bytes — the q160 oracle invariant
+    assert(MediaCodec.decodeJpegBlockMeans(jpeg).get.toSeq === bytes.toSeq)
+    // container robustness: grayscale PNG, grayscale JPEG and color
+    // JPEG of the same picture hash to the SAME 60-bit fingerprint
+    val viaColor = MediaCodec.decodeImagePlane(jpeg).get
+    val viaGray = MediaCodec.decodeImagePlane(
+      MediaCodec.writeJpegTiles(bytes, rows = 4)).get
+    val viaPng = MediaCodec.decodeImagePlane(
+      MediaCodec.writePngPixels(256, 1, 0, bytes, _ => 0)).get
+    assert(MediaCodec.dHash60(viaColor) === MediaCodec.dHash60(viaGray))
+    assert(MediaCodec.dHash60(viaColor) === MediaCodec.dHash60(viaPng))
+  }
+
+  test("colorImageHashes agree with imageHashes doc-for-doc (PNG vs color JPEG)") {
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import ss.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog zz " * 3
+    val t2 = "pack my box with five dozen liquor jugs now yy " * 3
+    val docs = Seq((1L, t1, "src3"), (2L, t2, "src6"), (3L, t1, "src4"))
+      .toDF("doc_id", "text", "source") // 3,6 → image; 4 → audio (skipped)
+    val png = graft.multimodal.Media.imageHashes(docs).collect().toMap
+    val ycc = graft.multimodal.Media.colorImageHashes(docs).collect().toMap
+    assert(png.keySet === Set(1L, 2L) && ycc.keySet === Set(1L, 2L))
+    assert(png === ycc, "container change must not move a perceptual hash")
+  }
+
+  test("color YCbCr malformations refuse: subsampled luma, dup ids, MCU bound, scan mismatch") {
+    val quant = Array.fill(64)(1); quant(0) = 8
+    def tile(v: Int): Array[Int] = {
+      val blk = new Array[Int](64); blk(0) = v - 128; blk
+    }
+    val zero = new Array[Int](64)
+    // 4:2:0 fixture: SOF0 data starts at 75 (SOI 2 + DQT 69 + marker 2
+    // + len 2): nf@80, then (id,hv,tq) triplets @81..89
+    val j = MediaCodec.writeJpegYcc(16, 16, quant,
+      Array(10, 20, 30, 40).map(tile), Array(zero), Array(zero))
+    assert(MediaCodec.decodeJpegLuma(j).isDefined)
+    assert((j(71) & 0xff) === 0xff && (j(72) & 0xff) === 0xc0, "SOF0 at 71")
+    def mut(at: Int, v: Int): Array[Byte] = {
+      val c = j.clone(); c(at) = v.toByte; c
+    }
+    // chroma sampling above luma ⇒ the returned plane would be
+    // sub-resolution Y: refuse by name
+    assert(MediaCodec.decodeJpegLuma(mut(85, 0x41)) === None, "Cb H=4 > Y H=2")
+    assert(MediaCodec.decodeJpegLuma(mut(88, 0x14)) === None, "Cr V=4 > Y V=2")
+    // duplicate component ids are malformed
+    assert(MediaCodec.decodeJpegLuma(mut(84, 1)) === None, "Cb id duplicates Y")
+    // T.81 B.2.3: at most 10 data units per interleaved MCU (2x2 + 2x2
+    // + 2x2 = 12)
+    val bound = mut(85, 0x22); bound(88) = 0x22.toByte
+    assert(MediaCodec.decodeJpegLuma(bound) === None, "sum Hi*Vi > 10")
+    // scan header must cover all three components in frame order
+    val sosAt = j.indices.find(i =>
+      (j(i) & 0xff) == 0xff && i + 1 < j.length && (j(i + 1) & 0xff) == 0xda).get
+    assert(MediaCodec.decodeJpegLuma(mut(sosAt + 4, 1)) === None, "ns=1 != nf=3")
+    assert(MediaCodec.decodeJpegLuma(mut(sosAt + 5, 2)) === None,
+      "scan components out of frame order")
+    // sampling factor 0 is malformed
+    assert(MediaCodec.decodeJpegLuma(mut(82, 0x02)) === None, "Y H=0")
+    // truncating the color entropy stream refuses, never throws
+    assert(MediaCodec.decodeJpegLuma(j.dropRight(6)) === None, "truncated")
+  }
+
   test("decodeJpegLuma refuses every non-baseline profile, never throws") {
     val bytes = Array.tabulate(96)(i => ((i * 37 + 5) % 256).toByte)
     val good = MediaCodec.writeJpegTiles(bytes, rows = 4)
@@ -556,8 +709,16 @@ class MediaSpec extends SparkSpec {
     assert(MediaCodec.decodeJpegLuma(mut(72, 0xc1)) === None, "extended SOF1")
     assert(MediaCodec.decodeJpegLuma(mut(72, 0xc3)) === None, "lossless SOF3")
     assert(MediaCodec.decodeJpegLuma(mut(75, 12)) === None, "12-bit precision")
-    assert(MediaCodec.decodeJpegLuma(mut(80, 3)) === None, "3-component frame")
-    assert(MediaCodec.decodeJpegLuma(mut(82, 0x22)) === None, "2x2 sampling")
+    assert(MediaCodec.decodeJpegLuma(mut(80, 3)) === None,
+      "3-component count on a 1-component payload: length mismatch")
+    assert(MediaCodec.decodeJpegLuma(mut(80, 2)) === None, "2-component frame")
+    assert(MediaCodec.decodeJpegLuma(mut(80, 4)) === None, "4-component CMYK")
+    // declared 2x2 sampling on a SINGLE-component frame is LEGAL and
+    // ignored (T.81 A.2.4: a one-component scan is non-interleaved,
+    // data units tile the component's own grid) — decodes identically
+    assert(MediaCodec.decodeJpegLuma(mut(82, 0x22)).get.toSeq ===
+      MediaCodec.decodeJpegLuma(good).get.toSeq,
+      "sampling factors are ignored for single-component scans")
     assert(MediaCodec.decodeJpegLuma(good.dropRight(10)) === None, "truncated entropy")
     assert(MediaCodec.decodeJpegLuma(good.take(100)) === None, "no SOS")
     assert(MediaCodec.decodeJpegLuma("not a jpeg".getBytes) === None)
