@@ -37,17 +37,19 @@ import org.apache.spark.sql.functions._
   * [[MediaCodec.decodeWavSamples]] decodes ANY 8/16-bit multi-channel
   * PCM to a mono signal plane per the `fmt ` header. JPEG decodes for
   * real too (round 13): [[MediaCodec.decodeJpegLuma]] is a conforming
-  * baseline-sequential decoder — DQT/DHT/SOF0/DRI/SOS parse, canonical
-  * Huffman entropy decode with unstuffing and restart markers, zigzag
-  * + dequant, exact 2D IDCT — for GRAYSCALE and YCbCr COLOR frames
+  * decoder — DQT/DHT/SOF/DRI/SOS parse, canonical Huffman entropy
+  * decode with unstuffing and restart markers, zigzag + dequant, exact
+  * 2D IDCT — for GRAYSCALE and YCbCr COLOR frames
   * (4:4:4/4:2:2/4:4:0/4:2:0 interleaved; the luma plane materializes,
-  * chroma blocks entropy-decode and skip the IDCT), and
-  * [[MediaCodec.writeJpegGray]] / [[MediaCodec.writeJpegYcc]] emit real
-  * baseline JPEGs (synthesis uses the constant-tile profile whose
-  * decode is exactly invertible, the DCT sibling of stored-block
-  * zlib). Progressive/arithmetic/12-bit/CMYK profiles refuse by name;
-  * a full video container codec (JavaCV, ffmpeg) would drop into the
-  * same `mapPartitions` slot.
+  * chroma blocks entropy-decode and skip the IDCT), BASELINE (SOF0)
+  * and PROGRESSIVE (SOF2, spectral selection + successive
+  * approximation) alike; [[MediaCodec.writeJpegGray]] /
+  * [[MediaCodec.writeJpegYcc]] / [[MediaCodec.writeJpegProgressive]]
+  * emit real JPEGs of all three shapes (synthesis uses the
+  * constant-tile profile whose decode is exactly invertible, the DCT
+  * sibling of stored-block zlib). Arithmetic/12-bit/CMYK/hierarchical
+  * profiles refuse by name; a full video container codec (JavaCV,
+  * ffmpeg) would drop into the same `mapPartitions` slot.
   */
 object Media {
 
@@ -614,11 +616,15 @@ object Media {
     // level shift + clamp. Only the LUMA plane materializes: chroma
     // blocks entropy-decode (the bit stream must advance through them)
     // but never IDCT — the perceptual hash is luma-only, and a color
-    // photo costs one IDCT plane, not three. Refuses the rest of the
-    // JPEG family by name: progressive (SOF2), arithmetic (SOF9-11/
-    // DAC), extended/lossless (SOF1/3/5-15), 12-bit precision, 4-comp
-    // CMYK, non-interleaved multi-scan — the colorType-0-PNG precedent:
-    // the conforming profile real corpora hold, loud None for the rest.
+    // photo costs one IDCT plane, not three. PROGRESSIVE (SOF2) decodes
+    // too: spectral selection AND successive approximation (the
+    // libjpeg default scan script's shape) over a luma-only coefficient
+    // store, chroma AC scans skipped whole by marker scan, rendered
+    // once at EOI. Refuses the rest of the JPEG family by name:
+    // arithmetic (SOF9-11/DAC), extended/lossless (SOF1/3),
+    // hierarchical (SOF5-7), 12-bit precision, 4-comp CMYK — the
+    // colorType-0-PNG precedent: the conforming profile real corpora
+    // hold, loud None for the rest.
     //
     // Encoder: real segment emission + canonical-Huffman entropy coding
     // (DC prediction, AC run/size with ZRL/EOB, byte stuffing, restart
@@ -679,6 +685,18 @@ object Media {
     private[graft] val GenAcSymbols: Array[Int] =
       (0x00 +: 0xF0 +: (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).toArray
 
+    /** PROGRESSIVE-profile AC table: the EOBn run family (r << 4 for
+      * r = 0..14 — end-of-band runs of 2^r..2^(r+1)-1 blocks), ZRL, and
+      * every (run, size 1..10), all at length 8 (176 of 256 slots,
+      * Kraft-valid). EOBn is what makes spectral selection +
+      * successive approximation encodable; baseline tables carry only
+      * EOB0. */
+    private[graft] val ProgAcCounts: Array[Int] =
+      Array(0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
+    private[graft] val ProgAcSymbols: Array[Int] =
+      ((0 to 14).map(_ << 4) ++ Seq(0xF0) ++
+        (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).toArray
+
     /** Canonical code assignment (T.81 C.2): symbol → (code, length). */
     private def encTable(counts: Array[Int], symbols: Array[Int]): Array[Array[Int]] = {
       val out = Array.fill(256)(null: Array[Int])
@@ -720,6 +738,163 @@ object Media {
       }
       def symbol(code: Int, len: Int): Int =
         symbols(valPtr(len) + code - minCode(len))
+    }
+
+    /** Shared entropy-segment bit reader (T.81 F.2.2.5): 0xFF00
+      * unstuffing, loud-dead on any marker where bits were expected.
+      * One instance per entropy segment — baseline's single scan, each
+      * progressive scan. */
+    private final class BitReader(b: Array[Byte], var ep: Int) {
+      private var acc = 0
+      private var nbits = 0
+      var dead = false
+      private def fill(): Boolean = {
+        while (nbits == 0) {
+          if (ep >= b.length) { dead = true; return false }
+          val v = b(ep) & 0xff; ep += 1
+          if (v == 0xff) {
+            if (ep >= b.length) { dead = true; return false }
+            if ((b(ep) & 0xff) == 0x00) { ep += 1; acc = 0xff; nbits = 8 }
+            else { dead = true; return false } // marker where bits expected
+          } else { acc = v; nbits = 8 }
+        }
+        true
+      }
+      def readBit(): Int =
+        if (!fill()) -1 else { nbits -= 1; (acc >> nbits) & 1 }
+      def receive(n: Int): Int = {
+        var v = 0; var k = 0
+        while (k < n) {
+          val bit = readBit(); if (bit < 0) return Int.MinValue
+          v = (v << 1) | bit; k += 1
+        }
+        v
+      }
+      def decodeHuff(tab: HuffDec): Int = {
+        var code = 0; var l = 0
+        while (l < 16) {
+          val bit = readBit(); if (bit < 0) return -1
+          code = (code << 1) | bit; l += 1
+          if (tab.maxCode(l) >= 0 && code <= tab.maxCode(l))
+            return tab.symbol(code, l)
+        }
+        -1
+      }
+      /** Byte-align and consume the expected cyclic restart marker
+        * (T.81 F.2.1.3.1). */
+      def expectRst(seq: Int): Boolean = {
+        nbits = 0
+        if (ep + 1 >= b.length || (b(ep) & 0xff) != 0xff ||
+          (b(ep + 1) & 0xff) != 0xd0 + (seq % 8)) false
+        else { ep += 2; true }
+      }
+    }
+
+    /** T.81 F.2.2.1 EXTEND: map `t` received magnitude bits to the
+      * signed coefficient value. */
+    private def extendCat(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+    /** Dequantized natural-order block -> pixels at luma block
+      * (bx, by), clipped to w*h: the shared separable-IDCT back end of
+      * the baseline and progressive paths (StrictMath tables, so both
+      * render bit-identically).
+      *
+      * Sparsity shortcuts — the standard decoder optimization (libjpeg
+      * jidct*'s DC-only and zero-row tests) and EXACT here: skipping a
+      * zero coefficient skips adding ±0.0 to a double sum, which never
+      * changes it, so the fast paths are bit-identical to the full
+      * summation. A DC-only block (every constant-tile synthesis
+      * payload, and most blocks of any flat region) costs one multiply
+      * chain instead of 1024. */
+    private def idctToPlane(coef: Array[Int], tmp: Array[Double],
+        plane: Array[Byte], w: Int, h: Int, bx: Int, by: Int): Unit = {
+      var acZero = true
+      var z = 1
+      while (z < 64 && acZero) { if (coef(z) != 0) acZero = false; z += 1 }
+      if (acZero) {
+        // DC-only: s = IdctCos(0)(y) * (IdctCos(0)(x) * c00), and
+        // IdctCos(0)(·) is one constant — every pixel gets one value,
+        // computed by the exact operation order of the general path
+        val c0 = IdctCos(0)(0)
+        val pix0 = Math.round(c0 * (c0 * coef(0))).toInt + 128
+        val pixB = (if (pix0 < 0) 0 else if (pix0 > 255) 255 else pix0).toByte
+        var y = 0
+        while (y < 8) {
+          val iy = by * 8 + y
+          if (iy < h) {
+            var x = 0
+            while (x < 8) {
+              val ix = bx * 8 + x
+              if (ix < w) plane(iy * w + ix) = pixB
+              x += 1
+            }
+          }
+          y += 1
+        }
+        return
+      }
+      var rr = 0
+      while (rr < 8) { // rr = vertical frequency index
+        var rowZero = true
+        var u = 0
+        while (u < 8 && rowZero) { if (coef(rr * 8 + u) != 0) rowZero = false; u += 1 }
+        if (rowZero) {
+          var x = 0
+          while (x < 8) { tmp(rr * 8 + x) = 0.0; x += 1 }
+        } else {
+          var x = 0
+          while (x < 8) {
+            var s = 0.0
+            var u2 = 0
+            while (u2 < 8) {
+              val c = coef(rr * 8 + u2)
+              if (c != 0) s += IdctCos(u2)(x) * c
+              u2 += 1
+            }
+            tmp(rr * 8 + x) = s
+            x += 1
+          }
+        }
+        rr += 1
+      }
+      var y = 0
+      while (y < 8) {
+        val iy = by * 8 + y
+        if (iy < h) {
+          var x = 0
+          while (x < 8) {
+            val ix = bx * 8 + x
+            if (ix < w) {
+              var s = 0.0
+              var v = 0
+              while (v < 8) { s += IdctCos(v)(y) * tmp(v * 8 + x); v += 1 }
+              val pix = Math.round(s).toInt + 128
+              plane(iy * w + ix) =
+                (if (pix < 0) 0 else if (pix > 255) 255 else pix).toByte
+            }
+            x += 1
+          }
+        }
+        y += 1
+      }
+    }
+
+    /** First byte index of the next true marker at or after `from`:
+      * entropy data holds no bare 0xFF except stuffing (0xFF00) and
+      * restarts (RSTn), so the first other 0xFF pair IS a marker — how
+      * a progressive scan whose component never renders (chroma) is
+      * skipped whole without decoding it. */
+    private def nextMarker(b: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i + 1 < b.length) {
+        if ((b(i) & 0xff) == 0xff) {
+          val m = b(i + 1) & 0xff
+          if (m != 0x00 && !(m >= 0xd0 && m <= 0xd7)) return i
+        }
+        i += 1
+      }
+      b.length
     }
 
     /** Entropy bit writer with the mandatory 0xFF→0xFF00 stuffing and
@@ -971,12 +1146,300 @@ object Media {
         acCounts = TileAcCounts, acSymbols = TileAcSymbols)
     }
 
-    /** Full baseline decode: (width, height, luma plane). Grayscale
-      * (1-component) and YCbCr (3-component interleaved, any standard
-      * subsampling) frames both decode; the plane is the FIRST
-      * component's full-resolution luma. None on anything outside the
-      * supported profile or any malformation — the corrupt-member
-      * contract of [[decodePngLuma]]. */
+    /** A REAL PROGRESSIVE (SOF2) JPEG under the canonical scan script
+      * real encoders emit — DC first with successive approximation
+      * (point transform 1), spectral-selection AC bands at the same
+      * precision, then DC and AC refinement scans down to full
+      * precision — grayscale (empty chroma lists) or YCbCr with
+      * (hSamp × vSamp) luma sampling and 1×1 chroma. LUMA blocks arrive
+      * in COMPONENT RASTER order (the non-interleaved AC scan order);
+      * the interleaved DC scan maps them to MCU order itself, with
+      * MCU-padding blocks encoding zero. Chroma blocks: one per MCU,
+      * raster order. The fixture writer proving the progressive decode
+      * path: the spec asserts the decoded plane is IDENTICAL to the
+      * same blocks through the baseline writers (one image, two
+      * codings, one plane — both recover the exact quantized
+      * coefficients and share the IDCT). */
+    def writeJpegProgressive(
+        w: Int, h: Int, quantZig: Array[Int],
+        yBlocksZig: Array[Array[Int]],
+        cbBlocksZig: Array[Array[Int]] = Array.empty,
+        crBlocksZig: Array[Array[Int]] = Array.empty,
+        hSamp: Int = 1, vSamp: Int = 1,
+        restartInterval: Int = 0): Array[Byte] = {
+      val nf = if (cbBlocksZig.isEmpty && crBlocksZig.isEmpty) 1 else 3
+      require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+        s"JPEG dimensions out of range: ${w}x$h")
+      val hS = if (nf == 1) 1 else hSamp
+      val vS = if (nf == 1) 1 else vSamp
+      require(hS >= 1 && hS <= 2 && vS >= 1 && vS <= 2,
+        s"luma sampling must be 1 or 2 per axis, got ${hSamp}x$vSamp")
+      val cw = (w + 7) / 8; val ch = (h + 7) / 8
+      require(yBlocksZig.length == cw * ch,
+        s"expected ${cw * ch} luma blocks (raster order), got ${yBlocksZig.length}")
+      val mcusX = (w + 8 * hS - 1) / (8 * hS)
+      val mcusY = (h + 8 * vS - 1) / (8 * vS)
+      val mcus = mcusX * mcusY
+      if (nf == 3)
+        require(cbBlocksZig.length == mcus && crBlocksZig.length == mcus,
+          s"expected $mcus blocks per chroma component")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xff); out.write(0xd8) // SOI
+      jpegSeg(out, 0xdb, quantPayload(quantZig))
+      val sof =
+        if (nf == 1)
+          Array[Int](8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+            1, 1, 0x11, 0)
+        else
+          Array[Int](8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+            3, 1, (hS << 4) | vS, 0, 2, 0x11, 0, 3, 0x11, 0)
+      jpegSeg(out, 0xc2, sof.map(_.toByte)) // SOF2: progressive
+      jpegSeg(out, 0xc4,
+        ((0x00 +: GenDcCounts.toSeq) ++ GenDcSymbols.toSeq).map(_.toByte).toArray)
+      jpegSeg(out, 0xc4,
+        ((0x10 +: ProgAcCounts.toSeq) ++ ProgAcSymbols.toSeq).map(_.toByte).toArray)
+      if (restartInterval > 0)
+        jpegSeg(out, 0xdd, Array[Int]((restartInterval >> 8) & 0xff,
+          restartInterval & 0xff).map(_.toByte))
+      val dcEnc = encTable(GenDcCounts, GenDcSymbols)
+      val acEnc = encTable(ProgAcCounts, ProgAcSymbols)
+      val zeroBlk = new Array[Int](64)
+
+      def yBlk(bx: Int, by: Int): Array[Int] =
+        if (bx < cw && by < ch) yBlocksZig(by * cw + bx) else zeroBlk
+      def blockOf(ci: Int, mcu: Int, vb: Int, hb: Int): Array[Int] =
+        if (ci == 0) yBlk((mcu % mcusX) * hS + hb, (mcu / mcusX) * vS + vb)
+        else if (ci == 1) cbBlocksZig(mcu) else crBlocksZig(mcu)
+      def sosHeader(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit =
+        jpegSeg(out, 0xda,
+          (Seq(comps.length) ++ comps.flatMap(ci => Seq(ci + 1, 0x00)) ++
+            Seq(ss, se, (ah << 4) | al)).map(_.toByte).toArray)
+
+      // ---- DC scans (interleaved over every component) ----
+      def dcFirstScan(al: Int): Unit = {
+        sosHeader(0 until nf, 0, 0, 0, al)
+        val bw2 = new BitWriter(out)
+        val preds = new Array[Int](3)
+        var rstSeq = 0
+        var mcu = 0
+        while (mcu < mcus) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            bw2.flush(); bw2.marker(0xd0 + (rstSeq % 8)); rstSeq += 1
+            java.util.Arrays.fill(preds, 0)
+          }
+          var ci = 0
+          while (ci < nf) {
+            val hC = if (ci == 0) hS else 1
+            val vC = if (ci == 0) vS else 1
+            var vb = 0
+            while (vb < vC) {
+              var hb = 0
+              while (hb < hC) {
+                val v = blockOf(ci, mcu, vb, hb)(0) >> al // the stage value
+                val diff = v - preds(ci)
+                preds(ci) = v
+                val t = catOf(diff)
+                val dc = dcEnc(t)
+                require(dc != null, s"DC table lacks category $t")
+                bw2.put(dc(0), dc(1))
+                if (t > 0) bw2.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+                hb += 1
+              }
+              vb += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+        }
+        bw2.flush()
+      }
+
+      def dcRefineScan(al: Int): Unit = {
+        sosHeader(0 until nf, 0, 0, al + 1, al)
+        val bw2 = new BitWriter(out)
+        var rstSeq = 0
+        var mcu = 0
+        while (mcu < mcus) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            bw2.flush(); bw2.marker(0xd0 + (rstSeq % 8)); rstSeq += 1
+          }
+          var ci = 0
+          while (ci < nf) {
+            val hC = if (ci == 0) hS else 1
+            val vC = if (ci == 0) vS else 1
+            var vb = 0
+            while (vb < vC) {
+              var hb = 0
+              while (hb < hC) {
+                bw2.put((blockOf(ci, mcu, vb, hb)(0) >> al) & 1, 1)
+                hb += 1
+              }
+              vb += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+        }
+        bw2.flush()
+      }
+
+      // ---- AC scans (single component, T.81 G.1.2.2/G.1.2.3) ----
+      def acBlocksFor(ci: Int): Int => Array[Int] =
+        if (ci == 0) i => yBlocksZig(i)
+        else if (ci == 1) i => cbBlocksZig(i)
+        else i => crBlocksZig(i)
+
+      def acFirstScan(ci: Int, ss: Int, se: Int, al: Int): Unit = {
+        sosHeader(Seq(ci), ss, se, 0, al)
+        val bw2 = new BitWriter(out)
+        val blocks = acBlocksFor(ci)
+        val blkTotal = if (ci == 0) cw * ch else mcus
+        var eobrun = 0
+        var rstSeq = 0
+        def emitEobrun(): Unit = if (eobrun > 0) {
+          val nb = 31 - Integer.numberOfLeadingZeros(eobrun)
+          val sym = acEnc(nb << 4)
+          require(sym != null, s"AC table lacks EOB$nb")
+          bw2.put(sym(0), sym(1))
+          if (nb > 0) bw2.put(eobrun - (1 << nb), nb)
+          eobrun = 0
+        }
+        var blk = 0
+        while (blk < blkTotal) {
+          if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+            emitEobrun()
+            bw2.flush(); bw2.marker(0xd0 + (rstSeq % 8)); rstSeq += 1
+          }
+          val blkArr = blocks(blk)
+          var r = 0
+          var k = ss
+          while (k <= se) {
+            // AC point transform is a MAGNITUDE shift (T.81 G.1.2.2 —
+            // unlike DC's arithmetic shift): -1 at Al=1 is stage-zero,
+            // so it arrives as newly significant in the refinement
+            val v0 = blkArr(k)
+            val v = if (v0 < 0) -((-v0) >> al) else v0 >> al
+            if (v == 0) r += 1
+            else {
+              emitEobrun()
+              while (r > 15) {
+                val zrl = acEnc(0xf0); bw2.put(zrl(0), zrl(1)); r -= 16
+              }
+              val s0 = catOf(v)
+              require(s0 <= 10, s"AC magnitude category $s0 > 10")
+              val sym = acEnc((r << 4) | s0)
+              bw2.put(sym(0), sym(1))
+              bw2.put(if (v >= 0) v else v + (1 << s0) - 1, s0)
+              r = 0
+            }
+            k += 1
+          }
+          if (r > 0) { // band tail is zero: fold into the EOB run
+            eobrun += 1
+            if (eobrun == 32767) emitEobrun()
+          }
+          blk += 1
+        }
+        emitEobrun()
+        bw2.flush()
+      }
+
+      def acRefineScan(ci: Int, ss: Int, se: Int, al: Int): Unit = {
+        sosHeader(Seq(ci), ss, se, al + 1, al)
+        val bw2 = new BitWriter(out)
+        val blocks = acBlocksFor(ci)
+        val blkTotal = if (ci == 0) cw * ch else mcus
+        var eobrun = 0
+        val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var rstSeq = 0
+        def emitEobrun(): Unit = if (eobrun > 0) {
+          val nb = 31 - Integer.numberOfLeadingZeros(eobrun)
+          val sym = acEnc(nb << 4)
+          bw2.put(sym(0), sym(1))
+          if (nb > 0) bw2.put(eobrun - (1 << nb), nb)
+          pending.foreach(bit => bw2.put(bit, 1)) // the runs' correction bits
+          pending.clear()
+          eobrun = 0
+        }
+        var blk = 0
+        while (blk < blkTotal) {
+          if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+            emitEobrun()
+            bw2.flush(); bw2.marker(0xd0 + (rstSeq % 8)); rstSeq += 1
+          }
+          val blkArr = blocks(blk)
+          // last newly-significant index: runs beyond it fold into EOB
+          var eobIdx = ss - 1
+          var k = ss
+          while (k <= se) {
+            if (math.abs(blkArr(k)) >> al == 1) eobIdx = k
+            k += 1
+          }
+          var r = 0
+          val br = scala.collection.mutable.ArrayBuffer.empty[Int]
+          k = ss
+          while (k <= se) {
+            val t = math.abs(blkArr(k)) >> al
+            if (t == 0) r += 1
+            else {
+              // ZRLs fire at ANY nonzero-stage position once the run
+              // exceeds 15 — but never past the last newly-significant
+              // coefficient (those runs fold into the EOB run)
+              while (r > 15 && k <= eobIdx) {
+                emitEobrun()
+                val zrl = acEnc(0xf0); bw2.put(zrl(0), zrl(1)); r -= 16
+                br.foreach(bit => bw2.put(bit, 1)); br.clear()
+              }
+              if (t > 1) br += (t & 1) // already significant: correction bit
+              else { // newly significant: (run, 1) + sign
+                emitEobrun()
+                val sym = acEnc((r << 4) | 1)
+                bw2.put(sym(0), sym(1))
+                bw2.put(if (blkArr(k) >= 0) 1 else 0, 1)
+                br.foreach(bit => bw2.put(bit, 1)); br.clear()
+                r = 0
+              }
+            }
+            k += 1
+          }
+          if (r > 0 || br.nonEmpty) {
+            eobrun += 1
+            pending ++= br
+            if (eobrun == 32767) emitEobrun()
+          }
+          blk += 1
+        }
+        emitEobrun()
+        bw2.flush()
+      }
+
+      // the canonical script (libjpeg jpeg_simple_progression's shape):
+      // DC first at Al=1; spectral AC bands at Al=1; DC refinement;
+      // AC refinements band-for-band
+      dcFirstScan(1)
+      acFirstScan(0, 1, 5, 1)
+      acFirstScan(0, 6, 63, 1)
+      if (nf == 3) { acFirstScan(1, 1, 63, 1); acFirstScan(2, 1, 63, 1) }
+      dcRefineScan(0)
+      acRefineScan(0, 1, 5, 0)
+      acRefineScan(0, 6, 63, 0)
+      if (nf == 3) { acRefineScan(1, 1, 63, 0); acRefineScan(2, 1, 63, 0) }
+      out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
+    }
+
+    /** Full decode: (width, height, luma plane). BASELINE-sequential
+      * (SOF0) and PROGRESSIVE (SOF2 — spectral selection AND successive
+      * approximation, the shape of libjpeg's default scan script)
+      * frames both decode, grayscale or YCbCr interleaved color; the
+      * plane is the FIRST component's full-resolution luma. The
+      * progressive path keeps one Int per LUMA coefficient (the
+      * mandatory progressive state, luma only): chroma AC scans are
+      * skipped whole by marker scan, chroma DC decodes only where an
+      * interleaved scan forces it, and the plane renders once at EOI.
+      * None on anything outside the supported profile or any
+      * malformation — the corrupt-member contract of
+      * [[decodePngLuma]]. */
     private def decodeJpegFrame(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
       if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
         return None
@@ -984,6 +1447,7 @@ object Media {
       val dcTabs = new Array[HuffDec](4)
       val acTabs = new Array[HuffDec](4)
       var w = 0; var h = 0; var sofSeen = false
+      var progressive = false
       var nf = 0
       val compId = new Array[Int](3)
       val compHs = new Array[Int](3); val compVs = new Array[Int](3)
@@ -992,6 +1456,299 @@ object Media {
       var ri = 0
       var p = 2
       var entropyAt = -1
+
+      // ---- progressive state: LUMA coefficients only, zigzag index
+      // order, on the MCU-PADDED block grid (interleaved DC scans touch
+      // the padding blocks, which clip at render)
+      var coefY: Array[Int] = null
+      var cwB = 0; var chB = 0 // real luma block grid ceil(w/8) x ceil(h/8)
+      var bwB = 0; var bhB = 0 // MCU-padded grid
+      var mcusXp = 0; var mcusYp = 0
+      var anyScan = false
+
+      def allocProgressive(): Boolean = {
+        if (w <= 0 || h <= 0 || w.toLong * h > (256L << 20)) return false
+        val hMax = compHs(0); val vMax = compVs(0)
+        mcusXp = (w + 8 * hMax - 1) / (8 * hMax)
+        mcusYp = (h + 8 * vMax - 1) / (8 * vMax)
+        cwB = (w + 7) / 8; chB = (h + 7) / 8
+        bwB = mcusXp * hMax; bhB = mcusYp * vMax
+        coefY = new Array[Int](bwB * bhB * 64)
+        true
+      }
+
+      /** One progressive scan: decode (luma-bearing) or skip (chroma
+        * only). Returns the byte position just past the scan's entropy
+        * segment, or -1 on any malformation. */
+      def progressiveScan(dataAt: Int, dataLen: Int, entAt: Int): Int = {
+        if (dataLen < 6) return -1
+        val ns = b(dataAt) & 0xff
+        if (ns < 1 || ns > nf || dataLen < 1 + 2 * ns + 3) return -1
+        val scanComp = new Array[Int](3)
+        var i = 0
+        var prev = -1
+        while (i < ns) {
+          val cs = b(dataAt + 1 + 2 * i) & 0xff
+          var ci = -1
+          var j = 0
+          while (j < nf) { if (compId(j) == cs && ci < 0) ci = j; j += 1 }
+          // unknown id / out of frame order (also rejects duplicates)
+          if (ci < 0 || ci <= prev) return -1
+          prev = ci
+          scanComp(i) = ci
+          dcSel(ci) = (b(dataAt + 2 + 2 * i) & 0xff) >> 4
+          acSel(ci) = b(dataAt + 2 + 2 * i) & 0x0f
+          if (dcSel(ci) > 3 || acSel(ci) > 3) return -1
+          i += 1
+        }
+        val off = dataAt + 1 + 2 * ns
+        val ss = b(off) & 0xff
+        val se = b(off + 1) & 0xff
+        val ah = (b(off + 2) & 0xff) >> 4
+        val al = b(off + 2) & 0x0f
+        // successive approximation steps one bit at a time (G.1.1.1.2)
+        if (al > 13 || (ah != 0 && ah != al + 1)) return -1
+        if (ss == 0) {
+          if (se != 0) return -1 // DC and AC never share a progressive scan
+          // DC scans: interleaved over ALL components, or one component
+          // (the two shapes real encoders emit; other subsets refuse)
+          if (ns != nf && ns != 1) return -1
+        } else {
+          if (ns != 1 || se < ss || se > 63) return -1 // AC: one component
+        }
+        // a scan that never touches the luma is skipped whole: its
+        // values cannot reach the plane, and entropy segments are
+        // self-delimiting
+        var touchesLuma = false
+        i = 0
+        while (i < ns) { if (scanComp(i) == 0) touchesLuma = true; i += 1 }
+        if (!touchesLuma) return nextMarker(b, entAt)
+
+        val rd = new BitReader(b, entAt)
+        val preds = new Array[Int](3)
+        var eobrun = 0
+        var rstSeq = 0
+
+        // one DC block: first pass (Huffman diff, value << Al) or
+        // refinement (one raw bit ORed in at Al) — blkOff < 0 = chroma,
+        // decode-and-discard
+        def dcBlock(ci: Int, blkOff: Int): Boolean = {
+          if (ah == 0) {
+            val dcT = dcTabs(dcSel(ci))
+            if (dcT == null) return false
+            val t = rd.decodeHuff(dcT)
+            if (t < 0 || t > 11) return false
+            val bits = if (t == 0) 0 else rd.receive(t)
+            if (bits == Int.MinValue || rd.dead) return false
+            preds(ci) += extendCat(bits, t)
+            if (blkOff >= 0) coefY(blkOff) = preds(ci) << al
+          } else {
+            val bit = rd.readBit()
+            if (bit < 0) return false
+            if (blkOff >= 0 && bit == 1) coefY(blkOff) |= 1 << al
+          }
+          true
+        }
+
+        // first AC scan over one luma block: T.81 G.1.2.2 (EOBn runs,
+        // ZRL, ordinary run/size symbols at point transform Al)
+        def acFirstBlock(blkOff: Int, acT: HuffDec): Boolean = {
+          if (eobrun > 0) { eobrun -= 1; return true }
+          var k = ss
+          while (k <= se) {
+            val rs = rd.decodeHuff(acT)
+            if (rs < 0) return false
+            val r = rs >> 4; val s0 = rs & 15
+            if (s0 == 0) {
+              if (r == 15) k += 16 // ZRL
+              else {
+                eobrun = (1 << r) - 1 // this block consumed by the return
+                if (r > 0) {
+                  val x = rd.receive(r)
+                  if (x == Int.MinValue) return false
+                  eobrun += x
+                }
+                return true
+              }
+            } else {
+              if (s0 > 13) return false
+              k += r
+              if (k > se) return false
+              val bits = rd.receive(s0)
+              if (bits == Int.MinValue || rd.dead) return false
+              coefY(blkOff + k) = extendCat(bits, s0) << al
+              k += 1
+            }
+          }
+          true
+        }
+
+        // refinement AC scan over one luma block: T.81 G.1.2.3 — newly
+        // significant coefficients arrive as (run, 1) + a sign bit;
+        // every already-nonzero coefficient the walk crosses reads one
+        // correction bit; EOBn covers the band tail plus whole blocks,
+        // still reading correction bits throughout
+        def acRefineBlock(blkOff: Int, acT: HuffDec): Boolean = {
+          val p1 = 1 << al
+          def correct(k: Int): Boolean = {
+            val c = coefY(blkOff + k)
+            if (c != 0) {
+              val bit = rd.readBit()
+              if (bit < 0) return false
+              if (bit == 1 && (c & p1) == 0)
+                coefY(blkOff + k) = c + (if (c >= 0) p1 else -p1)
+            }
+            true
+          }
+          var k = ss
+          if (eobrun == 0) {
+            var brk = false
+            while (k <= se && !brk) {
+              val rs = rd.decodeHuff(acT)
+              if (rs < 0) return false
+              var r = rs >> 4; val s0 = rs & 15
+              var newval = 0
+              if (s0 != 0) {
+                if (s0 != 1) return false // refinement emits magnitude 1 only
+                val sign = rd.readBit()
+                if (sign < 0) return false
+                newval = if (sign == 1) p1 else -p1
+              } else if (r != 15) {
+                eobrun = 1 << r
+                if (r > 0) {
+                  val x = rd.receive(r)
+                  if (x == Int.MinValue) return false
+                  eobrun += x
+                }
+                brk = true
+              }
+              if (!brk) {
+                // walk: zero-history positions consume the run, nonzero
+                // ones read their correction bit in passing
+                var placed = false
+                while (k <= se && !placed) {
+                  val c = coefY(blkOff + k)
+                  if (c != 0) {
+                    if (!correct(k)) return false
+                    k += 1
+                  } else if (r == 0) {
+                    if (s0 != 0) coefY(blkOff + k) = newval
+                    placed = true
+                    k += 1
+                  } else { r -= 1; k += 1 }
+                }
+                if (!placed && s0 != 0) return false // run overflowed the band
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // the EOB run covers the REST of this block's band: only
+            // correction bits for already-nonzero coefficients remain
+            while (k <= se) { if (!correct(k)) return false; k += 1 }
+            eobrun -= 1
+          }
+          true
+        }
+
+        if (ss == 0) {
+          if (ns > 1) {
+            // interleaved DC over the frame MCU grid
+            var mcu = 0
+            val total = mcusXp * mcusYp
+            while (mcu < total) {
+              if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+                if (!rd.expectRst(rstSeq)) return -1
+                rstSeq += 1
+                java.util.Arrays.fill(preds, 0)
+              }
+              var si = 0
+              while (si < ns) {
+                val ci = scanComp(si)
+                val hC = compHs(ci); val vC = compVs(ci)
+                var vb = 0
+                while (vb < vC) {
+                  var hb = 0
+                  while (hb < hC) {
+                    val blkOff =
+                      if (ci == 0) {
+                        val by = (mcu / mcusXp) * vC + vb
+                        val bx = (mcu % mcusXp) * hC + hb
+                        (by * bwB + bx) * 64
+                      } else -1
+                    if (!dcBlock(ci, blkOff)) return -1
+                    hb += 1
+                  }
+                  vb += 1
+                }
+                si += 1
+              }
+              mcu += 1
+            }
+          } else {
+            // single-component (luma) DC scan: non-interleaved, the
+            // unpadded component grid (T.81 A.2.4)
+            val total = cwB * chB
+            var blk = 0
+            while (blk < total) {
+              if (ri > 0 && blk > 0 && blk % ri == 0) {
+                if (!rd.expectRst(rstSeq)) return -1
+                rstSeq += 1
+                java.util.Arrays.fill(preds, 0)
+              }
+              val by = blk / cwB; val bx = blk % cwB
+              if (!dcBlock(0, (by * bwB + bx) * 64)) return -1
+              blk += 1
+            }
+          }
+        } else {
+          // luma AC scan over the unpadded grid
+          val acT = acTabs(acSel(0))
+          if (acT == null) return -1
+          val total = cwB * chB
+          var blk = 0
+          while (blk < total) {
+            if (ri > 0 && blk > 0 && blk % ri == 0) {
+              if (!rd.expectRst(rstSeq)) return -1
+              rstSeq += 1
+              eobrun = 0
+            }
+            val by = blk / cwB; val bx = blk % cwB
+            val blkOff = (by * bwB + bx) * 64
+            val ok =
+              if (ah == 0) acFirstBlock(blkOff, acT)
+              else acRefineBlock(blkOff, acT)
+            if (!ok) return -1
+            blk += 1
+          }
+        }
+        rd.ep
+      }
+
+      def renderProgressive(): Option[(Int, Int, Array[Byte])] = {
+        val quant = quantTabs(compQ(0))
+        if (quant == null) return None
+        val plane = new Array[Byte](w * h)
+        val nat = new Array[Int](64)
+        val tmp = new Array[Double](64)
+        var by = 0
+        while (by < bhB) {
+          var bx = 0
+          while (bx < bwB) {
+            if (bx * 8 < w && by * 8 < h) { // padding blocks never render
+              val off = (by * bwB + bx) * 64
+              var k = 0
+              while (k < 64) { nat(ZigZagNat(k)) = coefY(off + k) * quant(k); k += 1 }
+              idctToPlane(nat, tmp, plane, w, h, bx, by)
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        Some((w, h, plane))
+      }
+
+      // ---- marker walk (baseline: until SOS; progressive: scans decode
+      // in place, DQT/DHT/DRI legally refresh between them, until EOI)
       while (entropyAt < 0) {
         if (p + 1 >= b.length || (b(p) & 0xff) != 0xff) return None
         var marker = b(p + 1) & 0xff
@@ -1003,21 +1760,26 @@ object Media {
         p += 2
         marker match {
           case 0x01 => () // TEM: standalone
-          case m if m >= 0xd0 && m <= 0xd9 => return None // stray RST / early EOI
+          case 0xd9 => // EOI: terminates a progressive frame
+            return if (progressive && anyScan) renderProgressive() else None
+          case m if m >= 0xd0 && m <= 0xd8 => return None // stray RST / SOI
           case m =>
             if (p + 1 >= b.length) return None
             val len = be16(b, p)
             if (len < 2 || p + len > b.length) return None
             val dataAt = p + 2
             val dataLen = len - 2
+            var jumpTo = -1
             m match {
-              case 0xc0 => // SOF0 — the ONLY accepted frame type
+              case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+                if (sofSeen) return None // one frame header per image
+                progressive = m == 0xc2
                 if (dataLen < 6) return None
                 if ((b(dataAt) & 0xff) != 8) return None // 12-bit: refuse
                 h = be16(b, dataAt + 1); w = be16(b, dataAt + 3)
                 nf = b(dataAt + 5) & 0xff
-                // grayscale or YCbCr — the two baseline layouts the
-                // wild actually holds (4-comp Adobe CMYK: refuse by name)
+                // grayscale or YCbCr — the two layouts the wild
+                // actually holds (4-comp Adobe CMYK: refuse by name)
                 if (nf != 1 && nf != 3) return None
                 if (dataLen < 6 + 3 * nf) return None
                 var i = 0; var sumHV = 0
@@ -1033,13 +1795,13 @@ object Media {
                   i += 1
                 }
                 if (nf == 3) {
-                  // interleaved MCU bound (T.81 B.2.3): ≤ 10 data units
+                  // interleaved MCU bound (T.81 B.2.3): <= 10 data units
                   if (sumHV > 10) return None
                   if (compId(0) == compId(1) || compId(0) == compId(2) ||
                     compId(1) == compId(2)) return None
                   // the FIRST component is the luma whose plane this
                   // decode returns: it must carry the max sampling
-                  // factors so that plane is full-resolution w×h (true
+                  // factors so that plane is full-resolution w*h (true
                   // of 4:4:4/4:2:2/4:4:0/4:2:0 — every layout a YCbCr
                   // encoder emits; a subsampled-Y frame would return a
                   // sub-resolution plane, so refuse it by name)
@@ -1047,17 +1809,18 @@ object Media {
                     math.max(compVs(1), compVs(2)) > compVs(0)) return None
                 } else {
                   // a scan holding ONE component is non-interleaved:
-                  // data units tile the component's own ceil(w/8) ×
+                  // data units tile the component's own ceil(w/8) x
                   // ceil(h/8) grid and the declared sampling factors
                   // play no part in it (T.81 A.2.4) — normalize them
                   // away instead of refusing a legal grayscale frame
-                  // that declares 2×2
+                  // that declares 2x2
                   compHs(0) = 1; compVs(0) = 1
                 }
                 sofSeen = true
               case mm if (mm >= 0xc1 && mm <= 0xcf) && mm != 0xc4 =>
-                return None // SOF1-3/5-7 (extended/progressive/lossless),
-                            // SOF9-15 (arithmetic family), DAC, reserved JPG
+                return None // SOF1/3 (extended/lossless), SOF5-7
+                            // (hierarchical), SOF9-15 (arithmetic
+                            // family), DAC, reserved JPG
               case 0xdb => // DQT: one or more tables in one segment
                 var q = dataAt
                 while (q < dataAt + dataLen) {
@@ -1103,32 +1866,41 @@ object Media {
                   if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
                   q += 17 + total
                 }
-              case 0xdd => // DRI: Lr = 4 ⇒ 2 payload bytes (the interval)
+              case 0xdd => // DRI: Lr = 4 => 2 payload bytes (the interval)
                 if (dataLen != 2) return None
                 ri = be16(b, dataAt)
-              case 0xda => // SOS — entropy data follows
+              case 0xda => // SOS
                 if (!sofSeen || dataLen < 6) return None
-                val ns = b(dataAt) & 0xff
-                // ONE interleaved scan covering every frame component;
-                // multi-scan (non-interleaved) baseline: refuse
-                if (ns != nf || dataLen < 1 + 2 * ns + 3) return None
-                var i = 0
-                while (i < ns) {
-                  // scan components follow frame order (T.81 B.2.3)
-                  if ((b(dataAt + 1 + 2 * i) & 0xff) != compId(i)) return None
-                  dcSel(i) = (b(dataAt + 2 + 2 * i) & 0xff) >> 4
-                  acSel(i) = b(dataAt + 2 + 2 * i) & 0x0f
-                  if (dcSel(i) > 3 || acSel(i) > 3) return None
-                  i += 1
+                if (progressive) {
+                  if (coefY == null && !allocProgressive()) return None
+                  val next = progressiveScan(dataAt, dataLen, p + len)
+                  if (next < 0) return None
+                  anyScan = true
+                  jumpTo = next
+                } else {
+                  val ns = b(dataAt) & 0xff
+                  // baseline: ONE interleaved scan covering every frame
+                  // component; multi-scan (non-interleaved) refuse
+                  if (ns != nf || dataLen < 1 + 2 * ns + 3) return None
+                  var i = 0
+                  while (i < ns) {
+                    // scan components follow frame order (T.81 B.2.3)
+                    if ((b(dataAt + 1 + 2 * i) & 0xff) != compId(i)) return None
+                    dcSel(i) = (b(dataAt + 2 + 2 * i) & 0xff) >> 4
+                    acSel(i) = b(dataAt + 2 + 2 * i) & 0x0f
+                    if (dcSel(i) > 3 || acSel(i) > 3) return None
+                    i += 1
+                  }
+                  val ss0 = dataAt + 1 + 2 * ns
+                  // baseline sequential scan header: full band, no approx
+                  if ((b(ss0) & 0xff) != 0 || (b(ss0 + 1) & 0xff) != 63 ||
+                    (b(ss0 + 2) & 0xff) != 0) return None
+                  entropyAt = p + len
                 }
-                val ss0 = dataAt + 1 + 2 * ns
-                // baseline sequential scan header: full band, no approx
-                if ((b(ss0) & 0xff) != 0 || (b(ss0 + 1) & 0xff) != 63 ||
-                  (b(ss0 + 2) & 0xff) != 0) return None
-                entropyAt = p + len
               case _ => () // APPn / COM / DNL: skip
             }
             p += len
+            if (jumpTo >= 0) p = jumpTo
         }
       }
       if (!sofSeen || w <= 0 || h <= 0) return None
@@ -1139,49 +1911,12 @@ object Media {
       if (quantC.contains(null) || dcC.contains(null) || acC.contains(null))
         return None
 
-      // ---- entropy decode ----
-      var ep = entropyAt
-      var acc = 0; var nbits = 0
-      var dead = false // malformed / truncated stream
-      def fill(): Boolean = {
-        while (nbits == 0) {
-          if (ep >= b.length) { dead = true; return false }
-          val v = b(ep) & 0xff; ep += 1
-          if (v == 0xff) {
-            if (ep >= b.length) { dead = true; return false }
-            val m2 = b(ep) & 0xff
-            if (m2 == 0x00) { ep += 1; acc = 0xff; nbits = 8 }
-            else { dead = true; return false } // marker where bits expected
-          } else { acc = v; nbits = 8 }
-        }
-        true
-      }
-      def readBit(): Int =
-        if (!fill()) -1 else { nbits -= 1; (acc >> nbits) & 1 }
-      def receive(n: Int): Int = {
-        var v = 0; var k = 0
-        while (k < n) {
-          val bit = readBit(); if (bit < 0) return Int.MinValue
-          v = (v << 1) | bit; k += 1
-        }
-        v
-      }
-      def extend(v: Int, t: Int): Int =
-        if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
-      def decodeHuff(tab: HuffDec): Int = {
-        var code = 0; var l = 0
-        while (l < 16) {
-          val bit = readBit(); if (bit < 0) return -1
-          code = (code << 1) | bit; l += 1
-          if (tab.maxCode(l) >= 0 && code <= tab.maxCode(l))
-            return tab.symbol(code, l)
-        }
-        -1
-      }
+      // ---- baseline entropy decode ----
       // MCU geometry: the luma carries the max sampling factors
       // (enforced at SOF), so the MCU grid is the luma's tiling and the
-      // returned plane is full-resolution w×h. For nf == 1 the factors
-      // were normalized to 1×1 — MCU = one block, the old grayscale walk.
+      // returned plane is full-resolution w*h. For nf == 1 the factors
+      // were normalized to 1x1 — MCU = one block, the grayscale walk.
+      val rd = new BitReader(b, entropyAt)
       val hMax = compHs(0); val vMax = compVs(0)
       val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
       val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
@@ -1196,10 +1931,8 @@ object Media {
         if (ri > 0 && mcu > 0 && mcu % ri == 0) {
           // restart: byte-align, expect the cyclic RSTn, reset EVERY
           // component's predictor (T.81 F.2.1.3.1)
-          nbits = 0
-          if (ep + 1 >= b.length || (b(ep) & 0xff) != 0xff ||
-            (b(ep + 1) & 0xff) != 0xd0 + (rstSeq % 8)) return None
-          ep += 2; rstSeq += 1
+          if (!rd.expectRst(rstSeq)) return None
+          rstSeq += 1
           java.util.Arrays.fill(dcPred, 0)
         }
         var ci = 0
@@ -1215,15 +1948,15 @@ object Media {
             var hb = 0
             while (hb < compHs(ci)) {
               if (isLuma) java.util.Arrays.fill(coef, 0)
-              val t = decodeHuff(dcT)
+              val t = rd.decodeHuff(dcT)
               if (t < 0 || t > 11) return None
-              val bits = if (t == 0) 0 else receive(t)
-              if (bits == Int.MinValue || dead) return None
-              dcPred(ci) += extend(bits, t)
+              val bits = if (t == 0) 0 else rd.receive(t)
+              if (bits == Int.MinValue || rd.dead) return None
+              dcPred(ci) += extendCat(bits, t)
               if (isLuma) coef(0) = dcPred(ci) * quant(0)
               var k = 1
               while (k < 64) {
-                val rs = decodeHuff(acT)
+                val rs = rd.decodeHuff(acT)
                 if (rs < 0) return None
                 val r = rs >> 4; val s0 = rs & 15
                 if (s0 == 0) {
@@ -1233,52 +1966,19 @@ object Media {
                   if (s0 > 10) return None
                   k += r
                   if (k > 63) return None
-                  val vbits = receive(s0)
-                  if (vbits == Int.MinValue || dead) return None
-                  if (isLuma) coef(ZigZagNat(k)) = extend(vbits, s0) * quant(k)
+                  val vbits = rd.receive(s0)
+                  if (vbits == Int.MinValue || rd.dead) return None
+                  if (isLuma) coef(ZigZagNat(k)) = extendCat(vbits, s0) * quant(k)
                   k += 1
                 }
               }
               if (isLuma) {
-                // separable IDCT: columns of tmp from coefficient rows,
-                // then rows
-                var rr = 0
-                while (rr < 8) { // rr = vertical frequency index
-                  var x = 0
-                  while (x < 8) {
-                    var s = 0.0
-                    var u = 0
-                    while (u < 8) { s += IdctCos(u)(x) * coef(rr * 8 + u); u += 1 }
-                    tmp(rr * 8 + x) = s
-                    x += 1
-                  }
-                  rr += 1
-                }
                 // luma block (bx, by) of the full-resolution Y grid;
                 // MCU-padding blocks beyond the image clip to nothing
                 // but still consumed entropy bits (as encoders emit them)
                 val by = (mcu / mcusX) * vMax + vb
                 val bx = (mcu % mcusX) * hMax + hb
-                var y = 0
-                while (y < 8) {
-                  val iy = by * 8 + y
-                  if (iy < h) {
-                    var x = 0
-                    while (x < 8) {
-                      val ix = bx * 8 + x
-                      if (ix < w) {
-                        var s = 0.0
-                        var v = 0
-                        while (v < 8) { s += IdctCos(v)(y) * tmp(v * 8 + x); v += 1 }
-                        val pix = Math.round(s).toInt + 128
-                        plane(iy * w + ix) =
-                          (if (pix < 0) 0 else if (pix > 255) 255 else pix).toByte
-                      }
-                      x += 1
-                    }
-                  }
-                  y += 1
-                }
+                idctToPlane(coef, tmp, plane, w, h, bx, by)
               }
               hb += 1
             }
@@ -1292,9 +1992,10 @@ object Media {
     }
 
     /** REAL JPEG decode to the full 8-bit luma plane (width × height,
-      * row-major), baseline-sequential profile — grayscale or YCbCr
-      * color (4:4:4/4:2:2/4:4:0/4:2:0); a color photo and its grayscale
-      * rendering share one plane, exactly what a perceptual hash wants. */
+      * row-major) — baseline-sequential AND progressive profiles,
+      * grayscale or YCbCr color (4:4:4/4:2:2/4:4:0/4:2:0); a color
+      * photo, its grayscale rendering, and its progressive re-encode
+      * all share one plane, exactly what a perceptual hash wants. */
     def decodeJpegLuma(b: Array[Byte]): Option[Array[Byte]] =
       decodeJpegFrame(b).map(_._3)
 

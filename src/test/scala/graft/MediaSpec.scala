@@ -704,7 +704,11 @@ class MediaSpec extends SparkSpec {
     def mut(at: Int, v: Int): Array[Byte] = {
       val c = good.clone(); c(at) = v.toByte; c
     }
-    assert(MediaCodec.decodeJpegLuma(mut(72, 0xc2)) === None, "progressive SOF2")
+    // SOF2 DECODES now (round 13) — but this mutant stays malformed: a
+    // progressive frame whose single scan spans the full band (DC and
+    // AC never share a progressive scan)
+    assert(MediaCodec.decodeJpegLuma(mut(72, 0xc2)) === None,
+      "progressive frame with a baseline full-band scan header")
     assert(MediaCodec.decodeJpegLuma(mut(72, 0xc9)) === None, "arithmetic SOF9")
     assert(MediaCodec.decodeJpegLuma(mut(72, 0xc1)) === None, "extended SOF1")
     assert(MediaCodec.decodeJpegLuma(mut(72, 0xc3)) === None, "lossless SOF3")
@@ -729,6 +733,95 @@ class MediaSpec extends SparkSpec {
     // is malformed, not an infinite loop: patch the first entropy byte
     val entAt = 146 // header is fixed-length for the tile profile
     assert(MediaCodec.decodeJpegLuma(mut(entAt, 0xff)) === None)
+  }
+
+  test("progressive JPEG: spectral selection + successive approximation, gray") {
+    // rich AC content through the full canonical scan script (DC first
+    // at Al=1, two spectral AC bands at Al=1, DC refinement, AC
+    // refinements) vs the SAME blocks through the baseline writer: one
+    // image, two codings, ONE plane — both recover the exact quantized
+    // coefficients and share the IDCT, so the planes are bit-identical
+    val quant = Array.tabulate(64)(k => 1 + (k % 4))
+    val blocks = Array.tabulate(6) { m =>
+      Array.tabulate(64) { k =>
+        if (k == 0) (m * 37) % 120 - 60
+        else if ((k + m) % 6 == 0) ((k * 13 + m * 7) % 41) - 20
+        else if ((k + 2 * m) % 17 == 0) ((k * 3 + m) % 15) - 7
+        else 0
+      }
+    }
+    val prog = MediaCodec.writeJpegProgressive(24, 16, quant, blocks)
+    def countMarker(jb: Array[Byte], m: Int) = jb.sliding(2).count(pr =>
+      (pr(0) & 0xff) == 0xff && (pr(1) & 0xff) == m)
+    assert(countMarker(prog, 0xc2) === 1, "SOF2 frame")
+    // dcFirst + two spectral AC bands + dcRefine + two AC refinements
+    assert(countMarker(prog, 0xda) === 6, "six scans for grayscale")
+    assert(MediaCodec.parseJpeg(prog) === Some((24, 16)))
+    val base = MediaCodec.writeJpegGray(24, 16, quant, blocks,
+      MediaCodec.GenDcCounts, MediaCodec.GenDcSymbols,
+      MediaCodec.GenAcCounts, MediaCodec.GenAcSymbols)
+    val plane = MediaCodec.decodeJpegLuma(prog)
+    assert(plane.isDefined, "progressive decode must succeed")
+    assert(plane.get.toSeq === MediaCodec.decodeJpegLuma(base).get.toSeq,
+      "progressive and baseline codings of one image must decode identically")
+    // magic-sniff integration: progressive flows through the image
+    // plane dispatch like any JPEG
+    assert(MediaCodec.decodeImagePlane(prog).get.toSeq ===
+      MediaCodec.decodeImagePlane(base).get.toSeq)
+  }
+
+  test("progressive color 4:2:0 with restarts: chroma scans skipped, plane matches baseline") {
+    val quant = Array.fill(64)(1); quant(0) = 4
+    // 32x16 at 2x2 sampling: 2 MCUs, luma grid 4x2 (8 raster blocks)
+    val y = Array.tabulate(8)(i => Array.tabulate(64) { k =>
+      if (k == 0) i * 23 - 80
+      else if (k % 9 == (i % 4)) ((k * 5 + i) % 19) - 9
+      else 0
+    })
+    val cb = Array.tabulate(2)(i => Array.tabulate(64) { k =>
+      if (k == 0) 31 - 17 * i else if (k % 11 == 3) 6 - k % 13 else 0
+    })
+    val cr = Array.tabulate(2)(i => Array.tabulate(64) { k =>
+      if (k == 0) -25 + 9 * i else if (k % 7 == 2) k % 9 - 4 else 0
+    })
+    // restartInterval 1: every scan restarts at every MCU/block — the
+    // hardest cadence (DC predictors, EOB runs and correction buffers
+    // all reset mid-scan on both sides)
+    val prog = MediaCodec.writeJpegProgressive(32, 16, quant, y, cb, cr,
+      hSamp = 2, vSamp = 2, restartInterval = 1)
+    // baseline takes luma in MCU scan order: MCU0 = raster 0,1,4,5
+    val yMcu = Array(0, 1, 4, 5, 2, 3, 6, 7).map(y)
+    val base = MediaCodec.writeJpegYcc(32, 16, quant, yMcu, cb, cr,
+      hSamp = 2, vSamp = 2)
+    val plane = MediaCodec.decodeJpegLuma(prog)
+    assert(plane.isDefined, "progressive color decode must succeed")
+    assert(plane.get.toSeq === MediaCodec.decodeJpegLuma(base).get.toSeq)
+  }
+
+  test("progressive malformations refuse: bad approximation step, truncation") {
+    val quant = Array.fill(64)(1); quant(0) = 8
+    val blocks = Array.tabulate(4) { m =>
+      val blk = new Array[Int](64); blk(0) = m * 31 - 60; blk(7) = 5 - m; blk
+    }
+    val prog = MediaCodec.writeJpegProgressive(16, 16, quant, blocks)
+    assert(MediaCodec.decodeJpegLuma(prog).isDefined)
+    // second SOS = the first AC scan; its Ss/Se/AhAl trail the header
+    val sosIdx = prog.indices.filter(i =>
+      (prog(i) & 0xff) == 0xff && i + 1 < prog.length &&
+        (prog(i + 1) & 0xff) == 0xda)
+    assert(sosIdx.length === 6)
+    val acSos = sosIdx(1)
+    // scan header: marker(2) + len(2) + ns(1) + comp(2) + Ss Se AhAl
+    val ahAlAt = acSos + 4 + 1 + 2 + 2
+    assert((prog(ahAlAt) & 0xff) === 0x01, "first AC scan is Ah=0, Al=1")
+    val badStep = prog.clone(); badStep(ahAlAt) = 0x31.toByte // Ah=3 != Al+1
+    assert(MediaCodec.decodeJpegLuma(badStep) === None,
+      "successive approximation must step one bit at a time")
+    val badBand = prog.clone(); badBand(ahAlAt - 1) = 0.toByte // Se=0 with Ss=1
+    assert(MediaCodec.decodeJpegLuma(badBand) === None, "inverted band")
+    assert(MediaCodec.decodeJpegLuma(prog.dropRight(8)) === None, "truncated")
+    assert(MediaCodec.decodeJpegLuma(prog.take(acSos)) === None,
+      "EOI missing: a progressive frame must terminate")
   }
 
   test("dHash60: stable, 60-bit, and Hamming-local under small edits") {
