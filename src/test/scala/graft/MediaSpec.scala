@@ -798,6 +798,28 @@ class MediaSpec extends SparkSpec {
     assert(plane.get.toSeq === MediaCodec.decodeJpegLuma(base).get.toSeq)
   }
 
+  test("APP0/COM segments pass through: a JFIF-wrapped progressive file decodes") {
+    // every real-world JPEG leads with APP0 (JFIF) or APP1 (EXIF) and
+    // often COM — splice them after SOI and the decode must not move
+    val quant = Array.fill(64)(1); quant(0) = 8
+    val blocks = Array.tabulate(4) { m =>
+      val blk = new Array[Int](64); blk(0) = m * 31 - 60; blk(5) = 4 - m; blk
+    }
+    val prog = MediaCodec.writeJpegProgressive(16, 16, quant, blocks)
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        (((payload.length + 2) >> 8) & 0xff).toByte,
+        ((payload.length + 2) & 0xff).toByte) ++ payload
+    val app0 = seg(0xe0, "JFIF      "
+      .getBytes(StandardCharsets.ISO_8859_1))
+    val com = seg(0xfe, "shot on a potato".getBytes(StandardCharsets.US_ASCII))
+    val wrapped = prog.take(2) ++ app0 ++ com ++ prog.drop(2)
+    assert(MediaCodec.decodeJpegLuma(wrapped).get.toSeq ===
+      MediaCodec.decodeJpegLuma(prog).get.toSeq,
+      "APPn/COM wrappers must not change the decoded plane")
+    assert(MediaCodec.parseJpeg(wrapped) === Some((16, 16)))
+  }
+
   test("progressive malformations refuse: bad approximation step, truncation") {
     val quant = Array.fill(64)(1); quant(0) = 8
     val blocks = Array.tabulate(4) { m =>
