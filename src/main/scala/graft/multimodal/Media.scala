@@ -620,7 +620,9 @@ object Media {
     // too: spectral selection AND successive approximation (the
     // libjpeg default scan script's shape) over a luma-only coefficient
     // store, chroma AC scans skipped whole by marker scan, rendered
-    // once at EOI. Refuses the rest of the JPEG family by name:
+    // once at EOI. NON-INTERLEAVED baseline (one full-band scan per
+    // component) decodes as well — every Huffman JPEG shape is
+    // covered. Refuses the rest of the JPEG family by name:
     // arithmetic (SOF9-11/DAC), extended/lossless (SOF1/3),
     // hierarchical (SOF5-7), 12-bit precision, 4-comp CMYK — the
     // colorType-0-PNG precedent: the conforming profile real corpora
@@ -1119,6 +1121,61 @@ object Media {
         val blk = new Array[Int](64); blk(0) = (b & 0xff) - 128; blk
       }
       writeJpegGray(8 * (px.length / rows), 8 * rows, quant, blocks)
+    }
+
+    /** A baseline YCbCr JPEG whose components arrive in SEPARATE
+      * non-interleaved full-band scans (T.81's other legal baseline
+      * layout — old scanners and TIFF-embedded JPEGs emit it): 4:4:4,
+      * all three components on the same cw×ch raster grid, one SOS +
+      * entropy segment each in Y, Cb, Cr order with per-scan DC
+      * prediction and restarts. Fixture writer proving the multi-scan
+      * baseline decode path. */
+    def writeJpegYccScans(
+        w: Int, h: Int, quantZig: Array[Int],
+        yBlocksZig: Array[Array[Int]], cbBlocksZig: Array[Array[Int]],
+        crBlocksZig: Array[Array[Int]],
+        dcCounts: Array[Int] = GenDcCounts, dcSymbols: Array[Int] = GenDcSymbols,
+        acCounts: Array[Int] = GenAcCounts, acSymbols: Array[Int] = GenAcSymbols,
+        restartInterval: Int = 0): Array[Byte] = {
+      require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+        s"JPEG dimensions out of range: ${w}x$h")
+      val cw = (w + 7) / 8; val ch = (h + 7) / 8
+      for ((blks, name) <- Seq((yBlocksZig, "luma"), (cbBlocksZig, "Cb"),
+        (crBlocksZig, "Cr")))
+        require(blks.length == cw * ch,
+          s"expected ${cw * ch} $name blocks (raster order), got ${blks.length}")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xff); out.write(0xd8) // SOI
+      jpegSeg(out, 0xdb, quantPayload(quantZig))
+      jpegSeg(out, 0xc0, Array[Int](8, (h >> 8) & 0xff, h & 0xff,
+        (w >> 8) & 0xff, w & 0xff, 3,
+        1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0).map(_.toByte))
+      jpegSeg(out, 0xc4, ((0x00 +: dcCounts.toSeq) ++ dcSymbols.toSeq).map(_.toByte).toArray)
+      jpegSeg(out, 0xc4, ((0x10 +: acCounts.toSeq) ++ acSymbols.toSeq).map(_.toByte).toArray)
+      if (restartInterval > 0)
+        jpegSeg(out, 0xdd, Array[Int]((restartInterval >> 8) & 0xff,
+          restartInterval & 0xff).map(_.toByte))
+      val dcEnc = encTable(dcCounts, dcSymbols)
+      val acEnc = encTable(acCounts, acSymbols)
+      for ((blks, id) <- Seq((yBlocksZig, 1), (cbBlocksZig, 2), (crBlocksZig, 3))) {
+        jpegSeg(out, 0xda, Array[Int](1, id, 0x00, 0, 63, 0).map(_.toByte))
+        val bw = new BitWriter(out)
+        var dcPred = 0
+        var rstSeq = 0
+        var m = 0
+        while (m < blks.length) {
+          if (restartInterval > 0 && m > 0 && m % restartInterval == 0) {
+            bw.flush()
+            bw.marker(0xd0 + (rstSeq % 8)); rstSeq += 1
+            dcPred = 0
+          }
+          dcPred = encodeBlock(bw, blks(m), dcPred, dcEnc, acEnc)
+          m += 1
+        }
+        bw.flush()
+      }
+      out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
     }
 
     /** COLOR tile synthesis: the 4:4:4 sibling of [[writeJpegTiles]] —
@@ -1724,6 +1781,79 @@ object Media {
         rd.ep
       }
 
+      // ---- non-interleaved BASELINE state: a SOF0 frame whose
+      // components arrive in SEPARATE full-band scans (T.81 allows it;
+      // old scanner/TIFF-embedded encoders emit it). The luma scan
+      // renders directly — every block arrives complete — and chroma
+      // scans skip whole by marker scan, like progressive chroma.
+      var basePlane: Array[Byte] = null
+      var baseLumaDone = false
+
+      /** One single-component baseline scan: decode (luma) or skip
+        * (chroma). Returns the position past the scan's entropy, or -1. */
+      def baselineSingleScan(dataAt: Int, dataLen: Int, entAt: Int): Int = {
+        val cs = b(dataAt + 1) & 0xff
+        var ci = -1
+        var j = 0
+        while (j < nf) { if (compId(j) == cs && ci < 0) ci = j; j += 1 }
+        if (ci < 0) return -1
+        val dSel = (b(dataAt + 2) & 0xff) >> 4
+        val aSel = b(dataAt + 2) & 0x0f
+        if (dSel > 3 || aSel > 3) return -1
+        // full-band sequential scan header
+        if ((b(dataAt + 3) & 0xff) != 0 || (b(dataAt + 4) & 0xff) != 63 ||
+          (b(dataAt + 5) & 0xff) != 0) return -1
+        if (ci != 0) return nextMarker(b, entAt) // chroma: skip whole
+        if (baseLumaDone) return -1 // a component appears in ONE scan
+        if (w <= 0 || h <= 0 || w.toLong * h > (256L << 20)) return -1
+        val quant = quantTabs(compQ(0))
+        val dcT = dcTabs(dSel); val acT = acTabs(aSel)
+        if (quant == null || dcT == null || acT == null) return -1
+        basePlane = new Array[Byte](w * h)
+        val rd = new BitReader(b, entAt)
+        val coef = new Array[Int](64)
+        val tmp = new Array[Double](64)
+        val cw = (w + 7) / 8; val ch = (h + 7) / 8
+        var dcPred = 0
+        var rstSeq = 0
+        var blk = 0
+        val total = cw * ch
+        while (blk < total) {
+          if (ri > 0 && blk > 0 && blk % ri == 0) {
+            if (!rd.expectRst(rstSeq)) return -1
+            rstSeq += 1; dcPred = 0
+          }
+          java.util.Arrays.fill(coef, 0)
+          val t = rd.decodeHuff(dcT)
+          if (t < 0 || t > 11) return -1
+          val bits = if (t == 0) 0 else rd.receive(t)
+          if (bits == Int.MinValue || rd.dead) return -1
+          dcPred += extendCat(bits, t)
+          coef(0) = dcPred * quant(0)
+          var k = 1
+          while (k < 64) {
+            val rs = rd.decodeHuff(acT)
+            if (rs < 0) return -1
+            val r = rs >> 4; val s0 = rs & 15
+            if (s0 == 0) {
+              if (r == 15) k += 16 else k = 64
+            } else {
+              if (s0 > 10) return -1
+              k += r
+              if (k > 63) return -1
+              val vbits = rd.receive(s0)
+              if (vbits == Int.MinValue || rd.dead) return -1
+              coef(ZigZagNat(k)) = extendCat(vbits, s0) * quant(k)
+              k += 1
+            }
+          }
+          idctToPlane(coef, tmp, basePlane, w, h, blk % cw, blk / cw)
+          blk += 1
+        }
+        baseLumaDone = true
+        rd.ep
+      }
+
       def renderProgressive(): Option[(Int, Int, Array[Byte])] = {
         val quant = quantTabs(compQ(0))
         if (quant == null) return None
@@ -1760,8 +1890,10 @@ object Media {
         p += 2
         marker match {
           case 0x01 => () // TEM: standalone
-          case 0xd9 => // EOI: terminates a progressive frame
-            return if (progressive && anyScan) renderProgressive() else None
+          case 0xd9 => // EOI: terminates a progressive or multi-scan frame
+            return if (progressive && anyScan) renderProgressive()
+              else if (!progressive && baseLumaDone) Some((w, h, basePlane))
+              else None
           case m if m >= 0xd0 && m <= 0xd8 => return None // stray RST / SOI
           case m =>
             if (p + 1 >= b.length) return None
@@ -1877,10 +2009,17 @@ object Media {
                   if (next < 0) return None
                   anyScan = true
                   jumpTo = next
+                } else if ((b(dataAt) & 0xff) == 1 && nf == 3) {
+                  // non-interleaved baseline: each component in its own
+                  // full-band scan (the luma one renders, chroma skip)
+                  if (dataLen < 6) return None
+                  val next = baselineSingleScan(dataAt, dataLen, p + len)
+                  if (next < 0) return None
+                  jumpTo = next
                 } else {
                   val ns = b(dataAt) & 0xff
                   // baseline: ONE interleaved scan covering every frame
-                  // component; multi-scan (non-interleaved) refuse
+                  // component; other component subsets refuse
                   if (ns != nf || dataLen < 1 + 2 * ns + 3) return None
                   var i = 0
                   while (i < ns) {

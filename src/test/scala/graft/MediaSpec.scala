@@ -798,6 +798,42 @@ class MediaSpec extends SparkSpec {
     assert(plane.get.toSeq === MediaCodec.decodeJpegLuma(base).get.toSeq)
   }
 
+  test("non-interleaved baseline: three separate full-band scans decode like one") {
+    // SOF0 with one scan per component (old scanners, TIFF-embedded
+    // JPEGs): the luma scan renders, the chroma scans skip whole by
+    // marker scan — and the plane equals the interleaved coding of the
+    // same blocks. Restart interval 1 exercises per-scan restart
+    // cadence inside skipped AND decoded scans.
+    val quant = Array.tabulate(64)(k => 1 + (k % 3))
+    def blocksFor(seed: Int) = Array.tabulate(6)(m => Array.tabulate(64) { k =>
+      if (k == 0) (m * 29 + seed * 13) % 100 - 50
+      else if ((k + m + seed) % 7 == 0) ((k * 11 + m) % 31) - 15
+      else 0
+    })
+    val y = blocksFor(0); val cb = blocksFor(1); val cr = blocksFor(2)
+    val scans = MediaCodec.writeJpegYccScans(24, 16, quant, y, cb, cr,
+      restartInterval = 1)
+    def countMarker(jb: Array[Byte], m: Int) = jb.sliding(2).count(pr =>
+      (pr(0) & 0xff) == 0xff && (pr(1) & 0xff) == m)
+    assert(countMarker(scans, 0xda) === 3, "one scan per component")
+    val inter = MediaCodec.writeJpegYcc(24, 16, quant, y, cb, cr,
+      hSamp = 1, vSamp = 1) // 4:4:4 1x1: MCU order == raster order
+    val plane = MediaCodec.decodeJpegLuma(scans)
+    assert(plane.isDefined, "multi-scan baseline decode must succeed")
+    assert(plane.get.toSeq === MediaCodec.decodeJpegLuma(inter).get.toSeq,
+      "non-interleaved and interleaved codings must decode identically")
+    // a truncated final scan refuses; a frame that never delivers the
+    // luma scan refuses at EOI
+    assert(MediaCodec.decodeJpegLuma(scans.dropRight(6)) === None)
+    val lumaSos = scans.indices.find(i =>
+      (scans(i) & 0xff) == 0xff && i + 1 < scans.length &&
+        (scans(i + 1) & 0xff) == 0xda).get
+    // repoint the luma scan at a chroma id: all three scans now skip
+    val noLuma = scans.clone(); noLuma(lumaSos + 5) = 2.toByte
+    assert(MediaCodec.decodeJpegLuma(noLuma) === None,
+      "no luma scan anywhere: nothing to render")
+  }
+
   test("APP0/COM segments pass through: a JFIF-wrapped progressive file decodes") {
     // every real-world JPEG leads with APP0 (JFIF) or APP1 (EXIF) and
     // often COM — splice them after SOI and the decode must not move
