@@ -291,22 +291,35 @@ object Media {
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
 
-    /** A REAL PNG: 8-bit grayscale (colorType 0) or truecolor RGB
-      * (colorType 2), scanlines filtered per row by `filterOf` and the
-      * filtered stream zlib-wrapped — stored blocks when
-      * `compress = false` (deterministic, oracle-predictable length),
-      * `java.util.zip.Deflater` otherwise (real dynamic-Huffman
+    /** Bytes per pixel of an 8-bit PNG color type: 0 gray, 2 RGB,
+      * 3 palette index, 4 gray+alpha, 6 RGBA. -1 = not a legal type. */
+    private def pngBpp(colorType: Int): Int = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 3 => 1
+      case 4 => 2
+      case 6 => 4
+      case _ => -1
+    }
+
+    /** A REAL PNG: 8-bit grayscale (colorType 0), truecolor RGB (2),
+      * palette-indexed (3 — pass `palette` as RGB triples, emitted as
+      * PLTE), gray+alpha (4) or RGBA (6), scanlines filtered per row by
+      * `filterOf` and the filtered stream zlib-wrapped — stored blocks
+      * when `compress = false` (deterministic, oracle-predictable
+      * length), `java.util.zip.Deflater` otherwise (real dynamic-Huffman
       * streams, used by the spec fixtures). Decoders — this file's and
       * any standard viewer — read the pixel plane back exactly. */
     def writePngPixels(
         w: Int, h: Int, colorType: Int, pixels: Array[Byte],
-        filterOf: Int => Int = _ => 0, compress: Boolean = false): Array[Byte] = {
-      val bpp = colorType match {
-        case 0 => 1
-        case 2 => 3
-        case other => throw new IllegalArgumentException(
-          s"writePngPixels supports colorType 0/2, got $other")
-      }
+        filterOf: Int => Int = _ => 0, compress: Boolean = false,
+        palette: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+      val bpp = pngBpp(colorType)
+      require(bpp > 0, s"writePngPixels supports colorType 0/2/3/4/6, got $colorType")
+      require((colorType == 3) == palette.nonEmpty,
+        "palette iff colorType 3")
+      require(palette.length % 3 == 0 && palette.length <= 768,
+        "palette holds up to 256 RGB triples")
       require(w > 0 && h > 0 && pixels.length == w * h * bpp,
         s"pixel plane ${pixels.length} != $w x $h x $bpp")
       val rowBytes = w * bpp
@@ -338,19 +351,42 @@ object Media {
       val ihdr = java.nio.ByteBuffer.allocate(13)
         .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
         .put(0.toByte).put(0.toByte).put(0.toByte).array()
-      PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", z) ++
+      val plte = if (colorType == 3) pngChunk("PLTE", palette)
+        else Array.emptyByteArray
+      PngSig ++ pngChunk("IHDR", ihdr) ++ plte ++ pngChunk("IDAT", z) ++
         pngChunk("IEND", Array.emptyByteArray)
     }
 
+    /** The PLTE chunk's RGB triples (chunk walk, untrusted lengths
+      * guarded like [[extractPngBody]]). */
+    private def extractPngPalette(b: Array[Byte]): Option[Array[Byte]] = {
+      var i = 8L
+      while (i + 8 <= b.length) {
+        val len = be32(b, i.toInt)
+        if (len < 0 || i + 12 + len > b.length) return None
+        val ty = new String(b, i.toInt + 4, 4, StandardCharsets.US_ASCII)
+        if (ty == "PLTE")
+          return if (len > 0 && len % 3 == 0 && len <= 768)
+            Some(java.util.Arrays.copyOfRange(b, i.toInt + 8, i.toInt + 8 + len))
+          else None
+        if (ty == "IDAT" || ty == "IEND") return None // PLTE precedes IDAT
+        i += 12L + len
+      }
+      None
+    }
+
     /** REAL PNG decode to an 8-bit luma plane: IHDR validation (8-bit
-      * depth, colorType 0 gray / 2 RGB, deflate compression, filter
-      * method 0, non-interlaced — anything else refuses with None, the
+      * depth, EVERY 8-bit color type — 0 gray, 2 RGB, 3 palette,
+      * 4 gray+alpha, 6 RGBA — deflate compression, filter method 0,
+      * non-interlaced; 16-bit depth and Adam7 refuse with None, the
       * corrupt-member contract), concatenated-IDAT chunk walk, genuine
       * zlib inflate (`java.util.zip.Inflater` — handles stored AND
       * compressed streams), per-scanline unfilter of all five filter
       * types against the RECONSTRUCTED prior row, then integer luma
-      * (gray: the sample; RGB: (299R + 587G + 114B) / 1000, the
-      * BT.601 weights). Output length is exactly width × height. */
+      * (gray/gray+alpha: the gray sample; RGB/RGBA/palette-RGB:
+      * (299R + 587G + 114B) / 1000, the BT.601 weights — alpha is
+      * composition state, not picture content, so a perceptual hash
+      * ignores it). Output length is exactly width × height. */
     def decodePngLuma(b: Array[Byte]): Option[Array[Byte]] = {
       if (b.length < 33 || !b.take(8).sameElements(PngSig) ||
         new String(b, 12, 4, StandardCharsets.US_ASCII) != "IHDR") return None
@@ -358,9 +394,14 @@ object Media {
       val depth = b(24) & 0xff; val colorType = b(25) & 0xff
       val compression = b(26) & 0xff; val filterMethod = b(27) & 0xff
       val interlace = b(28) & 0xff
-      if (depth != 8 || (colorType != 0 && colorType != 2) ||
+      val bpp = pngBpp(colorType)
+      if (depth != 8 || bpp < 0 ||
         compression != 0 || filterMethod != 0 || interlace != 0) return None
-      val bpp = if (colorType == 0) 1 else 3
+      val palette =
+        if (colorType == 3) extractPngPalette(b) match {
+          case Some(pal) => pal
+          case None => return None // paletted image without a valid PLTE
+        } else Array.emptyByteArray
       if (w <= 0 || h <= 0) return None
       val rowBytes = w.toLong * bpp
       val rawLen = h.toLong * (rowBytes + 1)
@@ -410,17 +451,36 @@ object Media {
           }
           r += 1
         }
-        if (colorType == 0) Some(recon)
-        else {
-          val luma = new Array[Byte](w * h)
-          var k = 0
-          while (k < w * h) {
-            luma(k) = (((recon(3 * k) & 0xff) * 299 +
-              (recon(3 * k + 1) & 0xff) * 587 +
-              (recon(3 * k + 2) & 0xff) * 114) / 1000).toByte
-            k += 1
-          }
-          Some(luma)
+        def bt601(rr: Int, g: Int, bb: Int): Byte =
+          ((rr * 299 + g * 587 + bb * 114) / 1000).toByte
+        colorType match {
+          case 0 => Some(recon)
+          case 4 => // gray + alpha: the gray sample IS the luma
+            val luma = new Array[Byte](w * h)
+            var k = 0
+            while (k < w * h) { luma(k) = recon(2 * k); k += 1 }
+            Some(luma)
+          case 3 => // palette index -> PLTE RGB -> luma
+            val n = palette.length / 3
+            val luma = new Array[Byte](w * h)
+            var k = 0
+            while (k < w * h) {
+              val idx = recon(k) & 0xff
+              if (idx >= n) return None // index past the palette: corrupt
+              luma(k) = bt601(palette(3 * idx) & 0xff,
+                palette(3 * idx + 1) & 0xff, palette(3 * idx + 2) & 0xff)
+              k += 1
+            }
+            Some(luma)
+          case _ => // 2 RGB / 6 RGBA: BT.601 over the color samples
+            val luma = new Array[Byte](w * h)
+            var k = 0
+            while (k < w * h) {
+              luma(k) = bt601(recon(bpp * k) & 0xff,
+                recon(bpp * k + 1) & 0xff, recon(bpp * k + 2) & 0xff)
+              k += 1
+            }
+            Some(luma)
         }
       }
     }

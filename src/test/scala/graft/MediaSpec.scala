@@ -359,6 +359,57 @@ class MediaSpec extends SparkSpec {
     assert((luma(0) & 0xff) === expect0)
   }
 
+  test("PNG colorTypes 3/4/6: palette, gray+alpha and RGBA decode to the same luma") {
+    // one 16x4 picture expressed four ways — truecolor RGB, RGBA with a
+    // varying alpha channel, gray+alpha, and palette-indexed — must
+    // produce consistent luma planes (alpha is composition state, not
+    // picture content; the web's transparent PNGs must near-dup match
+    // their flattened re-encodes)
+    val w = 16; val h = 4
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 41 + 7) % 256).toByte)
+    val viaRgb = MediaCodec.decodePngLuma(
+      MediaCodec.writePngPixels(w, h, 2, rgb, r => r % 5, compress = true)).get
+    // RGBA: same colors, alpha sweeping — luma must not move
+    val rgba = new Array[Byte](w * h * 4)
+    for (k <- 0 until w * h) {
+      rgba(4 * k) = rgb(3 * k); rgba(4 * k + 1) = rgb(3 * k + 1)
+      rgba(4 * k + 2) = rgb(3 * k + 2); rgba(4 * k + 3) = (k * 17 % 256).toByte
+    }
+    val viaRgba = MediaCodec.decodePngLuma(
+      MediaCodec.writePngPixels(w, h, 6, rgba, r => 4 - r, compress = true)).get
+    assert(viaRgba.toSeq === viaRgb.toSeq, "alpha must not change the luma")
+    // gray+alpha: gray samples = the RGB luma; alpha ignored
+    val ga = new Array[Byte](w * h * 2)
+    for (k <- 0 until w * h) {
+      ga(2 * k) = viaRgb(k); ga(2 * k + 1) = (255 - k % 256).toByte
+    }
+    val viaGa = MediaCodec.decodePngLuma(
+      MediaCodec.writePngPixels(w, h, 4, ga, _ % 5)).get
+    assert(viaGa.toSeq === viaRgb.toSeq, "gray+alpha luma is the gray sample")
+    // palette: indices into a 64-entry PLTE built from the same colors
+    val palette = new Array[Byte](64 * 3)
+    for (e <- 0 until 64) {
+      palette(3 * e) = rgb(3 * e); palette(3 * e + 1) = rgb(3 * e + 1)
+      palette(3 * e + 2) = rgb(3 * e + 2)
+    }
+    val indices = Array.tabulate(w * h)(k => (k % 64).toByte)
+    val pal = MediaCodec.writePngPixels(w, h, 3, indices, r => r % 5,
+      compress = false, palette = palette)
+    val viaPal = MediaCodec.decodePngLuma(pal).get
+    for (k <- 0 until w * h) {
+      val e = k % 64
+      val want = ((palette(3 * e) & 0xff) * 299 + (palette(3 * e + 1) & 0xff) * 587 +
+        (palette(3 * e + 2) & 0xff) * 114) / 1000
+      assert((viaPal(k) & 0xff) === want, s"palette pixel $k")
+    }
+    // an index past the palette is corrupt, not an exception
+    val overIdx = MediaCodec.writePngPixels(w, h, 3,
+      Array.tabulate(w * h)(k => if (k == 7) 99.toByte else 0.toByte),
+      _ => 0, compress = false, palette = palette.take(30)) // 10 entries
+    assert(MediaCodec.decodePngLuma(overIdx) === None,
+      "palette index past PLTE refuses")
+  }
+
   test("decodePngLuma refuses what it cannot decode, never throws") {
     val px = Array.tabulate(64)(_.toByte)
     val good = MediaCodec.writePngPixels(8, 8, 0, px, _ % 5)
@@ -367,7 +418,11 @@ class MediaSpec extends SparkSpec {
       val c = good.clone(); c(at) = v.toByte; c
     }
     assert(MediaCodec.decodePngLuma(mut(24, 16)) === None, "16-bit depth")
-    assert(MediaCodec.decodePngLuma(mut(25, 3)) === None, "palette colorType")
+    // colorType 3 DECODES now (round 13) — but only with a PLTE chunk,
+    // which this mutant lacks
+    assert(MediaCodec.decodePngLuma(mut(25, 3)) === None,
+      "paletted image without a PLTE chunk")
+    assert(MediaCodec.decodePngLuma(mut(25, 5)) === None, "colorType 5 illegal")
     assert(MediaCodec.decodePngLuma(mut(28, 1)) === None, "Adam7 interlace")
     assert(MediaCodec.decodePngLuma(good.dropRight(20)) === None, "truncated IDAT")
     // corrupt zlib payload: DataFormatException is caught → None
