@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import java.util.zip.CRC32
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
@@ -66,6 +66,14 @@ object Media {
       sample_rate: Option[Int], channels: Option[Int], fmt: String)
 
   object MediaCodec {
+
+    /** Count of full payload decodes (PNG luma / JPEG frame / WAV
+      * samples) in this JVM — observability for the distinct-payload
+      * decode collapse: the spec asserts an N-exact-copy corpus bumps
+      * this by 1, not N. local[*] runs executors in-process, so one
+      * JVM-wide counter sees every task; the increment is one atomic
+      * add against a ~30 µs decode. */
+    val decodeInvocations = new java.util.concurrent.atomic.AtomicLong(0L)
 
     /** 60-bit integer from the first 15 hex chars of md5 — the same value
       * as `TextFns.hash60` computes on the string column, byte-for-byte. */
@@ -388,6 +396,7 @@ object Media {
       * composition state, not picture content, so a perceptual hash
       * ignores it). Output length is exactly width × height. */
     def decodePngLuma(b: Array[Byte]): Option[Array[Byte]] = {
+      decodeInvocations.incrementAndGet()
       if (b.length < 33 || !b.take(8).sameElements(PngSig) ||
         new String(b, 12, 4, StandardCharsets.US_ASCII) != "IHDR") return None
       val w = be32(b, 16); val h = be32(b, 20)
@@ -517,6 +526,24 @@ object Media {
       }
     }
 
+    /** Whether a `len`-pixel body tiles as a legal JPEG under the
+      * [[pngRows]] rectangle rule: width 8·(len/rows) must fit the
+      * frame header's 16-bit field. */
+    def canTileJpeg(len: Int): Boolean =
+      len / pngRows(math.max(len, 1)) <= 8191
+
+    /** [[encodeFor]] with the synthesis-bound guards applied instead of
+      * thrown: a body too long for the JPEG tile rectangle (16-bit
+      * width field) returns None — mirroring the decoder-side 66-byte
+      * floor — rather than failing the whole Spark task on a `require`
+      * deep inside the writer. */
+    def encodeForOpt(
+        fmt: String, text: String, md: MessageDigest): Option[Array[Byte]] =
+      if (fmt == "video" &&
+          !canTileJpeg(math.max(text.getBytes(StandardCharsets.UTF_8).length, 1)))
+        None
+      else Some(encodeFor(fmt, text, md))
+
     /** Decode one record: sniff the container from magic bytes, parse its
       * header. Unrecognized bytes → container "unknown", null fields —
       * never an exception (a 100 TB corpus always has corrupt members). */
@@ -600,7 +627,8 @@ object Media {
       * stack performs, which is what keeps the DuckDB oracle
       * arithmetic; 16-bit and stereo paths are exercised by spec
       * fixtures and real [[ingestBinary]] files. */
-    def decodeWavSamples(b: Array[Byte]): Option[Array[Byte]] =
+    def decodeWavSamples(b: Array[Byte]): Option[Array[Byte]] = {
+      decodeInvocations.incrementAndGet()
       parseWav(b).flatMap { case (_, channels, bits) =>
         if ((bits != 8 && bits != 16) || channels < 1) None
         else extractWavData(b).map { data =>
@@ -625,6 +653,7 @@ object Media {
           out
         }
       }
+    }
 
     /** The JPEG payload's post-header bytes up to EOI — the raw
       * entropy-coded segment, UNdecoded. Since round 13 the pixel path
@@ -1558,6 +1587,7 @@ object Media {
       * malformation — the corrupt-member contract of
       * [[decodePngLuma]]. */
     private def decodeJpegFrame(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      decodeInvocations.incrementAndGet()
       if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
         return None
       val quantTabs = new Array[Array[Int]](4)
@@ -1582,6 +1612,7 @@ object Media {
       var bwB = 0; var bhB = 0 // MCU-padded grid
       var mcusXp = 0; var mcusYp = 0
       var anyScan = false
+      var lumaQuant: Array[Int] = null
 
       def allocProgressive(): Boolean = {
         if (w <= 0 || h <= 0 || w.toLong * h > (256L << 20)) return false
@@ -1590,7 +1621,14 @@ object Media {
         mcusYp = (h + 8 * vMax - 1) / (8 * vMax)
         cwB = (w + 7) / 8; chB = (h + 7) / 8
         bwB = mcusXp * hMax; bhB = mcusYp * vMax
-        coefY = new Array[Int](bwB * bhB * 64)
+        // The coefficient store is 4 bytes/coefficient — 4× the
+        // baseline's 1-byte plane — so the pixel cap alone lets a
+        // ~30-byte crafted SOF2 header demand >1 GB per task before a
+        // single entropy byte is validated. Bound by ALLOCATION (64M
+        // ints = 256 MB) and compute the bound in Long: the padded
+        // grid's block count can itself overflow Int.
+        if (bwB.toLong * bhB * 64L > (64L << 20)) return false
+        coefY = new Array[Int]((bwB * bhB * 64).toInt)
         true
       }
 
@@ -1640,6 +1678,16 @@ object Media {
         i = 0
         while (i < ns) { if (scanComp(i) == 0) touchesLuma = true; i += 1 }
         if (!touchesLuma) return nextMarker(b, entAt)
+        // Latch the luma quant table at the component's FIRST scan —
+        // libjpeg semantics: a (legal, rare) DQT that redefines the
+        // table between scans must not change how already-decoded
+        // coefficients dequantize at render. Absent table here is a
+        // T.81 B.2.4.1 violation → refuse.
+        if (lumaQuant == null) {
+          val q = quantTabs(compQ(0))
+          if (q == null) return -1
+          lumaQuant = q.clone()
+        }
 
         val rd = new BitReader(b, entAt)
         val preds = new Array[Int](3)
@@ -1915,7 +1963,10 @@ object Media {
       }
 
       def renderProgressive(): Option[(Int, Int, Array[Byte])] = {
-        val quant = quantTabs(compQ(0))
+        // the table latched at the first luma-bearing scan, NOT the
+        // DQT state at EOI (libjpeg latches per component at its first
+        // scan; a mid-stream DQT redefinition must not re-dequantize)
+        val quant = lumaQuant
         if (quant == null) return None
         val plane = new Array[Byte](w * h)
         val nat = new Array[Int](64)
@@ -2272,7 +2323,9 @@ object Media {
     * per-scanline unfilter (all five PNG filter types), integer luma —
     * then dHash'd. Typed, narrow, scan-parallel (one task never holds
     * more than a batch of payloads). Planes shorter than the 66-byte
-    * grid floor are skipped (no stable hash exists for them). */
+    * grid floor are skipped (no stable hash exists for them).
+    * Distinct-payload collapse (see [[perceptualHashes]]): each
+    * distinct payload synthesizes + decodes exactly once. */
   def imageHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[(Long, Long)] =
     perceptualHashes(documents, "image", MediaCodec.decodeImagePlane)
 
@@ -2288,23 +2341,20 @@ object Media {
     * (the container-robustness a perceptual near-dup needs: a
     * re-encode to a different container must not hide a duplicate). */
   def colorImageHashes(documents: DataFrame)(
-      implicit s: SparkSession): Dataset[(Long, Long)] = {
-    import s.implicits._
-    documents
-      .select(col("doc_id"), col("text"),
-        (substring(col("source"), 4, 10).cast("int") % 3).as("m"))
-      .filter(col("m") === 0)
-      .as[(Long, String, Int)]
-      .mapPartitions(_.flatMap { case (id, text, _) =>
+      implicit s: SparkSession): Dataset[(Long, Long)] =
+    collapsedHashes(documents, "image",
+      (text, _) => {
         val body = text.getBytes(StandardCharsets.UTF_8)
         val px = if (body.isEmpty) Array[Byte](0) else body
-        val payload =
-          MediaCodec.writeJpegYccTiles(px, MediaCodec.pngRows(px.length))
-        MediaCodec.decodeImagePlane(payload)
-          .filter(_.length >= 66)
-          .map(b => (id, MediaCodec.dHash60(b)))
-      })
-  }
+        // oversized payloads would overflow JPEG's 16-bit width field
+        // (w = 8·len/rows > 65535); skip them like the 66-byte floor —
+        // a document that long is not an image fixture, and a thrown
+        // require inside a task would fail the whole stage
+        if (MediaCodec.canTileJpeg(px.length)) Some(
+          MediaCodec.writeJpegYccTiles(px, MediaCodec.pngRows(px.length)))
+        else None
+      },
+      MediaCodec.decodeImagePlane)
 
   /** The audio sibling: WAV payloads REALLY decode to their unsigned-
     * 8-bit mono signal plane ([[MediaCodec.decodeWavSamples]] — bit
@@ -2326,18 +2376,63 @@ object Media {
   def videoKeyframeHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[(Long, Long)] =
     perceptualHashes(documents, "video", MediaCodec.decodeJpegBlockMeans)
 
+  /** Perceptual hashes for one modality with the DISTINCT-PAYLOAD
+    * DECODE COLLAPSE: the synthesized payload is a pure function of
+    * (modality, text), so `md5(text)` — a codegen'd built-in, no
+    * payload materialized — keys exact payload identity; one
+    * representative per key synthesizes + decodes + hashes, and the
+    * hash re-expands to every member by the key equi-join. A
+    * million-copy meme costs ONE decode, not a million (and the
+    * ingest-bytes analogue is [[payloadKeys]]' md5 over real container
+    * bytes — q159 stage 1). The explicit `repartition(par, pk)` does
+    * double duty: it is the collapse's grouping exchange (dropDuplicates
+    * reuses the partitioning, no second shuffle) AND it spreads the
+    * decode across the cluster — without it a single small scan
+    * partition would serialize every decode behind one task, which is
+    * exactly how a 100 TB decode stage dies. Only (16-byte key, hash)
+    * pairs cross the expansion join; payload bytes never leave the
+    * task that synthesized them. */
   private def perceptualHashes(
       documents: DataFrame, modality: String,
       plane: Array[Byte] => Option[Array[Byte]])(
+      implicit s: SparkSession): Dataset[(Long, Long)] =
+    collapsedHashes(documents, modality,
+      (text, md) => MediaCodec.encodeForOpt(modality, text, md), plane)
+
+  private val ModalityIdx = Map("image" -> 0, "audio" -> 1, "video" -> 2)
+
+  /** Modality index of the round-robin source convention — computed
+    * from `source` BEFORE any synthesis, so only the requested
+    * modality's documents ever encode a payload (the old path
+    * synthesized all three modalities and filtered after the opaque
+    * mapPartitions, 3× wasted encode work Catalyst could not see). */
+  private def modalityIdx: Column =
+    substring(col("source"), 4, 10).cast("int") % 3
+
+  private def collapsedHashes(
+      documents: DataFrame, modality: String,
+      encode: (String, MessageDigest) => Option[Array[Byte]],
+      plane: Array[Byte] => Option[Array[Byte]])(
       implicit s: SparkSession): Dataset[(Long, Long)] = {
     import s.implicits._
-    mediaRecords(documents)
-      .filter((r: MediaRecord) => r.fmt == modality)
-      .mapPartitions(_.flatMap { r =>
-        plane(r.payload)
+    val keyed = documents
+      .filter(modalityIdx === ModalityIdx(modality))
+      .select(col("doc_id"), col("text"),
+        md5(col("text").cast("binary")).as("pk"))
+    val reps = keyed.select(col("pk"), col("text"))
+      .repartition(graft.functions.Scale.par(s), col("pk"))
+      .dropDuplicates("pk")
+    val repHashes = reps.as[(String, String)].mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5")
+      rows.flatMap { case (pk, text) =>
+        encode(text, md).flatMap(plane)
           .filter(_.length >= 66)
-          .map(body => (r.doc_id, MediaCodec.dHash60(body)))
-      })
+          .map(b => (pk, MediaCodec.dHash60(b)))
+      }
+    }.toDF("pk", "h")
+    keyed.select(col("doc_id"), col("pk"))
+      .join(repHashes, "pk")
+      .select(col("doc_id"), col("h")).as[(Long, Long)]
   }
 
   /** The plane extractor for a modality — every modality REALLY
@@ -2380,17 +2475,29 @@ object Media {
   def videoFrameHashes(frames: DataFrame)(
       implicit s: SparkSession): Dataset[(Long, Int, Long)] = {
     import s.implicits._
-    frames.select(col("doc_id"), col("frame_idx"), col("frame_text"))
-      .as[(Long, Int, String)]
-      .mapPartitions { rows =>
-        val md = MessageDigest.getInstance("MD5")
-        rows.flatMap { case (id, k, text) =>
-          val payload = MediaCodec.encodeFor("video", text, md)
-          MediaCodec.decodeJpegBlockMeans(payload)
-            .filter(_.length >= 66)
-            .map(b => (id, k, MediaCodec.dHash60(b)))
-        }
+    // Same distinct-payload collapse as [[perceptualHashes]]: a frame
+    // payload is a pure function of its text, so md5(frame_text) keys
+    // payload identity; shared keyframes across near-identical videos
+    // (3 of 4 frames in the q158 fixture pairs) decode ONCE, and the
+    // collapse exchange spreads the decode cluster-wide.
+    val keyed = frames.select(col("doc_id"), col("frame_idx"),
+      col("frame_text"), md5(col("frame_text").cast("binary")).as("pk"))
+    val reps = keyed.select(col("pk"), col("frame_text"))
+      .repartition(graft.functions.Scale.par(s), col("pk"))
+      .dropDuplicates("pk")
+    val repHashes = reps.as[(String, String)].mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5")
+      rows.flatMap { case (pk, text) =>
+        MediaCodec.encodeForOpt("video", text, md)
+          .flatMap(MediaCodec.decodeJpegBlockMeans)
+          .filter(_.length >= 66)
+          .map(b => (pk, MediaCodec.dHash60(b)))
       }
+    }.toDF("pk", "h")
+    keyed.select(col("doc_id"), col("frame_idx"), col("pk"))
+      .join(repHashes, "pk")
+      .select(col("doc_id"), col("frame_idx"), col("h"))
+      .as[(Long, Int, Long)]
   }
 
   /** Exact payload identity key: md5 over the REAL container bytes

@@ -44,7 +44,18 @@ object AdaptivePlans {
     * on a MERGE/UPDATE/DELETE should inspect (not EXPLAIN text). */
   def collectDeep[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val kids: Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.finalPhysicalPlan)
+      // An adaptive root that already ran exposes its true final plan
+      // for free. One that has NOT run yet is inspected through its
+      // INITIAL plan (EnsureRequirements already applied, so every
+      // planned exchange is visible) — `finalPhysicalPlan` on an unrun
+      // query MATERIALIZES every stage, i.e. a plan assertion inside a
+      // query body silently EXECUTED the whole subtree once before the
+      // real action ran it again (measured: +40% wall on q157).
+      // In-query zero-exchange assertions stay sound on the initial
+      // plan: AQE re-plans only at exchange boundaries, so a plan with
+      // no exchange on the guarded key cannot grow one at runtime.
+      case a: AdaptiveSparkPlanExec =>
+        Seq(if (a.isFinalPlan) a.finalPhysicalPlan else a.initialPlan)
       case q: QueryStageExec => Seq(q.plan)
       case r: ReusedExchangeExec => Seq(r.child)
       case c: org.apache.spark.sql.execution.CommandResultExec =>

@@ -1026,6 +1026,102 @@ class MediaSpec extends SparkSpec {
       "image luma really decodes back to the text bytes")
   }
 
+  test("progressive DQT latch: a mid-stream table redefinition cannot re-dequantize") {
+    // libjpeg latches a component's quant table when its first scan
+    // starts; a (legal) DQT between scans must not change how already-
+    // decoded coefficients render. Splice a DQT redefining table 0
+    // before the SECOND scan and require the decode unchanged.
+    val quant = Array.tabulate(64)(k => 1 + (k % 7))
+    val blocks = Array.tabulate(6) { i =>
+      val blk = new Array[Int](64)
+      blk(0) = 17 * i - 40; blk(1) = 5 - i; blk(8) = i; blk
+    }
+    val prog = MediaCodec.writeJpegProgressive(24, 16, quant, blocks)
+    val base = MediaCodec.decodeJpegLuma(prog).get
+    // locate the second SOS and splice DQT (table 0, all 255s) before it
+    def sosAt(b: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i + 1 < b.length &&
+        !((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xda)) i += 1
+      i
+    }
+    val second = sosAt(prog, sosAt(prog, 2) + 2)
+    val dqt = Array[Int](0xff, 0xdb, 0x00, 0x43, 0x00).map(_.toByte) ++
+      Array.fill(64)(0xff.toByte)
+    val spliced = prog.take(second) ++ dqt ++ prog.drop(second)
+    val redecoded = MediaCodec.decodeJpegLuma(spliced)
+    assert(redecoded.isDefined, "the spliced stream must still decode")
+    assert(redecoded.get.sameElements(base),
+      "mid-stream DQT redefinition must not change the rendered plane")
+  }
+
+  test("progressive allocation bound: a crafted SOF2 header cannot demand a GB") {
+    // 16384x8192 = 128M pixels passes the 256M-pixel cap but would
+    // allocate 537 MB of Int coefficients; the byte-bound refuses it
+    // at SOS, before any entropy data.
+    val crafted =
+      bytes(0xff, 0xd8) ++
+        bytes(0xff, 0xdb, 0x00, 0x43, 0x00) ++ Array.fill(64)(1.toByte) ++
+        bytes(0xff, 0xc2, 0x00, 0x0b, 8, 0x20, 0x00, 0x40, 0x00,
+          1, 0x01, 0x11, 0x00) ++                     // h=8192 w=16384
+        bytes(0xff, 0xda, 0x00, 0x08, 1, 0x01, 0x00, 0, 0, 0) ++
+        bytes(0x00, 0x00) ++
+        bytes(0xff, 0xd9)
+    assert(MediaCodec.decodeJpegLuma(crafted) === None)
+    // a same-shape header within the bound still enters the scan path
+    // (it fails later on entropy, not at allocation) — the bound is a
+    // guard, not a profile cut: 1024x1024 = 1M pixels, 1M blocks' ints
+    val small = crafted.clone()
+    small(76) = 0x04; small(78) = 0x04 // h=1024 w=1024
+    assert(MediaCodec.decodeJpegLuma(small) === None) // truncated entropy, no throw
+  }
+
+  test("oversized payloads skip synthesis instead of failing the task") {
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import ss.implicits._
+    val ok = "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj kkkk llll " * 2
+    val huge = "x" * 40000 // 40000/4 = 10000 blocks/row > 8191 → w > 65535
+    assert(!MediaCodec.canTileJpeg(40000))
+    assert(MediaCodec.canTileJpeg(ok.length))
+    val docs = Seq((1L, ok, "src3"), (2L, huge, "src3"),
+      (3L, ok, "src2"), (4L, huge, "src2"))
+      .toDF("doc_id", "text", "source") // src3 → image, src2 → video
+    val color = Media.colorImageHashes(docs).collect()
+    assert(color.map(_._1).toSet === Set(1L),
+      "huge doc skips the YCC tile writer instead of tripping its require")
+    val video = Media.videoKeyframeHashes(docs).collect()
+    assert(video.map(_._1).toSet === Set(3L))
+    // the PNG path has no 16-bit dimension field — the huge doc still hashes
+    assert(Media.imageHashes(docs).collect().map(_._1).toSet === Set(1L, 2L))
+  }
+
+  test("distinct-payload collapse: a 1000-exact-copy corpus decodes each payload ONCE") {
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import ss.implicits._
+    val hot = "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj kkkk llll " * 3
+    val near = hot.updated(4, 'z')
+    // 1000 exact copies + 1 near-dup, all image modality
+    val docs = ((1L to 1000L).map(i => (i, hot, "src3")) ++
+      Seq((2000L, near, "src3"))).toDF("doc_id", "text", "source")
+    val before = MediaCodec.decodeInvocations.get()
+    val hashes = Media.imageHashes(docs).collect()
+    val decodes = MediaCodec.decodeInvocations.get() - before
+    assert(hashes.length === 1001, "every member still gets its hash back")
+    assert(hashes.count(_._2 == MediaCodec.dHash60(
+      hot.getBytes(StandardCharsets.UTF_8))) === 1000)
+    assert(decodes === 2L,
+      s"2 distinct payloads must mean exactly 2 decodes, saw $decodes")
+
+    // the video frame path collapses the same way: 1000 videos sharing
+    // one keyframe decode it once
+    val frames = (1L to 1000L).map(i => (i, 0, hot))
+      .toDF("doc_id", "frame_idx", "frame_text")
+    val b2 = MediaCodec.decodeInvocations.get()
+    assert(Media.videoFrameHashes(frames).collect().length === 1000)
+    assert(MediaCodec.decodeInvocations.get() - b2 === 1L,
+      "one shared keyframe payload, one JPEG decode")
+  }
+
   test("image near-dup end-to-end: fixture pair found, distant pair not, no all-pairs join") {
     implicit val ss: org.apache.spark.sql.SparkSession = spark
     import ss.implicits._
