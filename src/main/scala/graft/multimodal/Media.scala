@@ -321,30 +321,54 @@ object Media {
     def writePngPixels(
         w: Int, h: Int, colorType: Int, pixels: Array[Byte],
         filterOf: Int => Int = _ => 0, compress: Boolean = false,
-        palette: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+        palette: Array[Byte] = Array.emptyByteArray,
+        depth: Int = 8, interlace: Boolean = false): Array[Byte] = {
       val bpp = pngBpp(colorType)
       require(bpp > 0, s"writePngPixels supports colorType 0/2/3/4/6, got $colorType")
+      require(depth == 8 || depth == 16, s"depth 8 or 16, got $depth")
+      require(!(depth == 16 && colorType == 3), "no 16-bit palette (spec §11.2.2)")
       require((colorType == 3) == palette.nonEmpty,
         "palette iff colorType 3")
       require(palette.length % 3 == 0 && palette.length <= 768,
         "palette holds up to 256 RGB triples")
-      require(w > 0 && h > 0 && pixels.length == w * h * bpp,
-        s"pixel plane ${pixels.length} != $w x $h x $bpp")
-      val rowBytes = w * bpp
-      val raw = new Array[Byte](h * (rowBytes + 1))
-      val zero = new Array[Byte](rowBytes)
-      var r = 0
-      while (r < h) {
-        val cur = java.util.Arrays.copyOfRange(pixels, r * rowBytes, (r + 1) * rowBytes)
-        val prior =
-          if (r == 0) zero
-          else java.util.Arrays.copyOfRange(pixels, (r - 1) * rowBytes, r * rowBytes)
-        val ft = filterOf(r) % 5
-        raw(r * (rowBytes + 1)) = ft.toByte
-        System.arraycopy(filterRow(ft, cur, prior, bpp), 0,
-          raw, r * (rowBytes + 1) + 1, rowBytes)
-        r += 1
+      val pxB = bpp * depth / 8 // bytes per pixel (16-bit: big-endian samples)
+      require(w > 0 && h > 0 && pixels.length == w * h * pxB,
+        s"pixel plane ${pixels.length} != $w x $h x $pxB")
+      // pass decomposition: sequential = one full-frame pass; Adam7 =
+      // seven sub-images, empty passes emit nothing (not even a filter
+      // byte); every pass row filters against the pass's OWN prior row
+      val passes =
+        (if (!interlace) Array((0, 0, 1, 1))
+         else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)))
+          .map { case (x0, y0, dx, dy) =>
+            (x0, y0, dx, dy, (w - x0 + dx - 1) / dx, (h - y0 + dy - 1) / dy)
+          }
+          .filter { case (_, _, _, _, pw, ph) => pw > 0 && ph > 0 }
+      val out = new java.io.ByteArrayOutputStream()
+      var globalRow = 0
+      for ((x0, y0, dx, dy, pw, ph) <- passes) {
+        val rowBytes = pw * pxB
+        val zero = new Array[Byte](rowBytes)
+        var prior = zero
+        var r = 0
+        while (r < ph) {
+          val cur = new Array[Byte](rowBytes)
+          var i = 0
+          while (i < pw) {
+            System.arraycopy(pixels, ((y0 + r * dy) * w + (x0 + i * dx)) * pxB,
+              cur, i * pxB, pxB)
+            i += 1
+          }
+          val ft = filterOf(globalRow) % 5
+          out.write(ft)
+          out.write(filterRow(ft, cur, prior, pxB))
+          prior = cur
+          globalRow += 1
+          r += 1
+        }
       }
+      val raw = out.toByteArray
       val z =
         if (!compress) zlibStored(raw)
         else {
@@ -357,8 +381,9 @@ object Media {
           buf.toByteArray
         }
       val ihdr = java.nio.ByteBuffer.allocate(13)
-        .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
-        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+        .putInt(w).putInt(h).put(depth.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(if (interlace) 1.toByte else 0.toByte)
+        .array()
       val plte = if (colorType == 3) pngChunk("PLTE", palette)
         else Array.emptyByteArray
       PngSig ++ pngChunk("IHDR", ihdr) ++ plte ++ pngChunk("IDAT", z) ++
@@ -383,18 +408,28 @@ object Media {
       None
     }
 
+    /** The Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec §8.2. */
+    private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
     /** REAL PNG decode to an 8-bit luma plane: IHDR validation (8-bit
-      * depth, EVERY 8-bit color type — 0 gray, 2 RGB, 3 palette,
+      * AND 16-bit depth, EVERY color type — 0 gray, 2 RGB, 3 palette,
       * 4 gray+alpha, 6 RGBA — deflate compression, filter method 0,
-      * non-interlaced; 16-bit depth and Adam7 refuse with None, the
-      * corrupt-member contract), concatenated-IDAT chunk walk, genuine
-      * zlib inflate (`java.util.zip.Inflater` — handles stored AND
-      * compressed streams), per-scanline unfilter of all five filter
-      * types against the RECONSTRUCTED prior row, then integer luma
-      * (gray/gray+alpha: the gray sample; RGB/RGBA/palette-RGB:
-      * (299R + 587G + 114B) / 1000, the BT.601 weights — alpha is
-      * composition state, not picture content, so a perceptual hash
-      * ignores it). Output length is exactly width × height. */
+      * sequential AND Adam7-interlaced), concatenated-IDAT chunk walk,
+      * genuine zlib inflate (`java.util.zip.Inflater` — handles stored
+      * AND compressed streams), per-scanline unfilter of all five
+      * filter types against the RECONSTRUCTED prior row WITHIN each
+      * pass (interlaced passes are independent sub-images, spec §8.2:
+      * the filter distance is the pixel's full byte width and row 0 of
+      * every pass has no prior), pixels scattered to their (x0+i·dx,
+      * y0+j·dy) raster homes, then integer luma (gray/gray+alpha: the
+      * gray sample; RGB/RGBA/palette-RGB: (299R + 587G + 114B) / 1000,
+      * the BT.601 weights — alpha is composition state, not picture
+      * content, so a perceptual hash ignores it). 16-bit samples
+      * quantize to their HIGH byte (big-endian per spec — the integer
+      * downsample every 8-bit consumer of 16-bit PNGs performs).
+      * Output length is exactly width × height. */
     def decodePngLuma(b: Array[Byte]): Option[Array[Byte]] = {
       decodeInvocations.incrementAndGet()
       if (b.length < 33 || !b.take(8).sameElements(PngSig) ||
@@ -404,16 +439,29 @@ object Media {
       val compression = b(26) & 0xff; val filterMethod = b(27) & 0xff
       val interlace = b(28) & 0xff
       val bpp = pngBpp(colorType)
-      if (depth != 8 || bpp < 0 ||
-        compression != 0 || filterMethod != 0 || interlace != 0) return None
+      if ((depth != 8 && depth != 16) || bpp < 0 ||
+        compression != 0 || filterMethod != 0 ||
+        (interlace != 0 && interlace != 1)) return None
+      if (depth == 16 && colorType == 3) return None // illegal combo, spec §11.2.2
       val palette =
         if (colorType == 3) extractPngPalette(b) match {
           case Some(pal) => pal
           case None => return None // paletted image without a valid PLTE
         } else Array.emptyByteArray
       if (w <= 0 || h <= 0) return None
-      val rowBytes = w.toLong * bpp
-      val rawLen = h.toLong * (rowBytes + 1)
+      val sampB = depth / 8        // bytes per sample
+      val pxB = bpp * sampB        // bytes per pixel = the filter distance
+      // pass list: sequential = one full-frame pass; empty passes
+      // (pw or ph = 0) contribute NO bytes, not even filter bytes
+      val passes =
+        (if (interlace == 0) Array((0, 0, 1, 1)) else Adam7)
+          .map { case (x0, y0, dx, dy) =>
+            (x0, y0, dx, dy, (w - x0 + dx - 1) / dx, (h - y0 + dy - 1) / dy)
+          }
+          .filter { case (_, _, _, _, pw, ph) => pw > 0 && ph > 0 }
+      val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
+        ph.toLong * (pw.toLong * pxB + 1)
+      }.sum
       if (rawLen > (256L << 20)) return None // decode-bomb guard
       extractPngBody(b).flatMap { idat =>
         val raw = new Array[Byte](rawLen.toInt)
@@ -436,38 +484,61 @@ object Media {
         } catch {
           case _: java.util.zip.DataFormatException => return None
         } finally inf.end()
-        // unfilter in place against the reconstructed prior row
-        val rb = rowBytes.toInt
-        val recon = new Array[Byte](h * rb)
-        var r = 0
-        while (r < h) {
-          val ft = raw(r * (rb + 1)) & 0xff
-          if (ft > 4) return None
-          var i = 0
-          while (i < rb) {
-            val x = raw(r * (rb + 1) + 1 + i) & 0xff
-            val a = if (i >= bpp) recon(r * rb + i - bpp) & 0xff else 0
-            val up = if (r > 0) recon((r - 1) * rb + i) & 0xff else 0
-            val c = if (r > 0 && i >= bpp) recon((r - 1) * rb + i - bpp) & 0xff else 0
-            recon(r * rb + i) = (ft match {
-              case 0 => x
-              case 1 => x + a
-              case 2 => x + up
-              case 3 => x + (a + up) / 2
-              case 4 => x + paeth(a, up, c)
-            }).toByte
-            i += 1
+        // unfilter each pass as its own sub-image, scatter to raster
+        val recon = new Array[Byte](w * h * pxB)
+        var off = 0
+        var pi = 0
+        while (pi < passes.length) {
+          val (x0, y0, dx, dy, pw, ph) = passes(pi)
+          val rb = pw * pxB
+          val pr = new Array[Byte](ph * rb)
+          var r = 0
+          while (r < ph) {
+            val ft = raw(off) & 0xff
+            off += 1
+            if (ft > 4) return None
+            var i = 0
+            while (i < rb) {
+              val x = raw(off + i) & 0xff
+              val a = if (i >= pxB) pr(r * rb + i - pxB) & 0xff else 0
+              val up = if (r > 0) pr((r - 1) * rb + i) & 0xff else 0
+              val c = if (r > 0 && i >= pxB) pr((r - 1) * rb + i - pxB) & 0xff else 0
+              pr(r * rb + i) = (ft match {
+                case 0 => x
+                case 1 => x + a
+                case 2 => x + up
+                case 3 => x + (a + up) / 2
+                case 4 => x + paeth(a, up, c)
+              }).toByte
+              i += 1
+            }
+            off += rb
+            r += 1
           }
-          r += 1
+          // scatter: pass pixel (i, j) lives at raster (x0+i·dx, y0+j·dy)
+          var j = 0
+          while (j < ph) {
+            var i = 0
+            while (i < pw) {
+              System.arraycopy(pr, (j * pw + i) * pxB,
+                recon, ((y0 + j * dy) * w + (x0 + i * dx)) * pxB, pxB)
+              i += 1
+            }
+            j += 1
+          }
+          pi += 1
         }
         def bt601(rr: Int, g: Int, bb: Int): Byte =
           ((rr * 299 + g * 587 + bb * 114) / 1000).toByte
+        // sample accessor: the HIGH byte of sample s of pixel k (16-bit
+        // samples are big-endian, so the high byte leads)
+        @inline def samp(k: Int, s: Int): Int = recon(k * pxB + s * sampB) & 0xff
         colorType match {
-          case 0 => Some(recon)
-          case 4 => // gray + alpha: the gray sample IS the luma
+          case 0 if depth == 8 => Some(recon)
+          case 0 | 4 => // gray(16) / gray+alpha: the gray sample IS the luma
             val luma = new Array[Byte](w * h)
             var k = 0
-            while (k < w * h) { luma(k) = recon(2 * k); k += 1 }
+            while (k < w * h) { luma(k) = samp(k, 0).toByte; k += 1 }
             Some(luma)
           case 3 => // palette index -> PLTE RGB -> luma
             val n = palette.length / 3
@@ -485,8 +556,7 @@ object Media {
             val luma = new Array[Byte](w * h)
             var k = 0
             while (k < w * h) {
-              luma(k) = bt601(recon(bpp * k) & 0xff,
-                recon(bpp * k + 1) & 0xff, recon(bpp * k + 2) & 0xff)
+              luma(k) = bt601(samp(k, 0), samp(k, 1), samp(k, 2))
               k += 1
             }
             Some(luma)

@@ -417,13 +417,20 @@ class MediaSpec extends SparkSpec {
     def mut(at: Int, v: Int): Array[Byte] = {
       val c = good.clone(); c(at) = v.toByte; c
     }
-    assert(MediaCodec.decodePngLuma(mut(24, 16)) === None, "16-bit depth")
+    // depth 16 and Adam7 DECODE now (round 14); flipping only the IHDR
+    // byte leaves the stream sized for the 8-bit sequential layout, so
+    // both mutants still refuse — as length mismatches, not profile cuts
+    assert(MediaCodec.decodePngLuma(mut(24, 16)) === None,
+      "16-bit IHDR over an 8-bit-sized stream: length mismatch")
+    assert(MediaCodec.decodePngLuma(mut(24, 4)) === None, "depth 4 unsupported")
     // colorType 3 DECODES now (round 13) — but only with a PLTE chunk,
     // which this mutant lacks
     assert(MediaCodec.decodePngLuma(mut(25, 3)) === None,
       "paletted image without a PLTE chunk")
     assert(MediaCodec.decodePngLuma(mut(25, 5)) === None, "colorType 5 illegal")
-    assert(MediaCodec.decodePngLuma(mut(28, 1)) === None, "Adam7 interlace")
+    assert(MediaCodec.decodePngLuma(mut(28, 1)) === None,
+      "Adam7 IHDR over a sequential-layout stream: length mismatch")
+    assert(MediaCodec.decodePngLuma(mut(28, 2)) === None, "interlace 2 illegal")
     assert(MediaCodec.decodePngLuma(good.dropRight(20)) === None, "truncated IDAT")
     // corrupt zlib payload: DataFormatException is caught → None
     val corrupt = good.clone(); corrupt(45) = 0xff.toByte; corrupt(46) = 0xff.toByte
@@ -1024,6 +1031,88 @@ class MediaSpec extends SparkSpec {
     assert(all(1L)._2 === all(2L)._2)
     assert(all(1L)._2 === MediaCodec.dHash60(t1.getBytes(StandardCharsets.UTF_8)),
       "image luma really decodes back to the text bytes")
+  }
+
+  test("Adam7 interlaced PNG: seven passes deinterlace to the same luma plane") {
+    // odd dimensions exercise fractional passes; tiny sizes exercise
+    // EMPTY passes (pw or ph = 0 contributes no bytes, spec §8.2)
+    for ((w, h) <- Seq((13, 7), (8, 8), (1, 1), (2, 2), (3, 3), (5, 1),
+      (1, 5), (16, 9), (7, 11))) {
+      val px = Array.tabulate(w * h)(k => ((k * 37 + 11) % 251).toByte)
+      val seqPng = MediaCodec.writePngPixels(w, h, 0, px, _ % 5)
+      val lacePng = MediaCodec.writePngPixels(w, h, 0, px, r => (r + 2) % 5,
+        interlace = true)
+      assert(MediaCodec.decodePngLuma(seqPng).get.sameElements(px))
+      val lace = MediaCodec.decodePngLuma(lacePng)
+      assert(lace.isDefined, s"$w x $h interlaced must decode")
+      assert(lace.get.sameElements(px), s"$w x $h deinterlace mismatch")
+    }
+    // color (RGB) interlaced + Deflater-compressed: same luma either way
+    val w = 10; val h = 7
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 71 + 5) % 256).toByte)
+    val seqC = MediaCodec.writePngPixels(w, h, 2, rgb, _ % 5, compress = true)
+    val laceC = MediaCodec.writePngPixels(w, h, 2, rgb, r => (4 - r % 5),
+      compress = true, interlace = true)
+    assert(MediaCodec.decodePngLuma(laceC).get.sameElements(
+      MediaCodec.decodePngLuma(seqC).get))
+    // one picture, either coding, ONE perceptual hash — the q160
+    // container-robustness contract extended to interlacing
+    val big = Array.tabulate(12 * 12)(k => ((k * 97 + 3) % 256).toByte)
+    val hs = MediaCodec.dHash60(
+      MediaCodec.decodePngLuma(MediaCodec.writePngPixels(12, 12, 0, big)).get)
+    val hl = MediaCodec.dHash60(MediaCodec.decodePngLuma(
+      MediaCodec.writePngPixels(12, 12, 0, big, interlace = true)).get)
+    assert(hs === hl)
+  }
+
+  test("16-bit PNG decodes to high-byte luma: every color type, interlaced too") {
+    val w = 9; val h = 5
+    val hi = Array.tabulate(w * h)(k => (k * 53 + 7) % 256)
+    val lo = Array.tabulate(w * h)(k => (k * 91 + 31) % 256)
+    // gray 16-bit: big-endian (hi, lo) pairs → luma = hi bytes
+    val g16 = new Array[Byte](w * h * 2)
+    for (k <- 0 until w * h) { g16(2 * k) = hi(k).toByte; g16(2 * k + 1) = lo(k).toByte }
+    val gOut = MediaCodec.decodePngLuma(
+      MediaCodec.writePngPixels(w, h, 0, g16, _ % 5, depth = 16))
+    assert(gOut.get.sameElements(hi.map(_.toByte)))
+    // RGB 16-bit with distinct channels → BT.601 over the high bytes
+    val rgb16 = new Array[Byte](w * h * 6)
+    for (k <- 0 until w * h) {
+      val r = (k * 11) % 256; val g = (k * 29 + 100) % 256; val b = (k * 47 + 200) % 256
+      rgb16(6 * k) = r.toByte; rgb16(6 * k + 1) = lo(k).toByte
+      rgb16(6 * k + 2) = g.toByte; rgb16(6 * k + 3) = hi(k).toByte
+      rgb16(6 * k + 4) = b.toByte; rgb16(6 * k + 5) = 0x55
+    }
+    val expected = Array.tabulate(w * h) { k =>
+      val r = (k * 11) % 256; val g = (k * 29 + 100) % 256; val b = (k * 47 + 200) % 256
+      ((r * 299 + g * 587 + b * 114) / 1000).toByte
+    }
+    assert(MediaCodec.decodePngLuma(
+      MediaCodec.writePngPixels(w, h, 2, rgb16, _ % 5, depth = 16))
+      .get.sameElements(expected))
+    // gray+alpha 16-bit: gray high byte wins, alpha ignored
+    val ga16 = new Array[Byte](w * h * 4)
+    for (k <- 0 until w * h) {
+      ga16(4 * k) = hi(k).toByte; ga16(4 * k + 1) = lo(k).toByte
+      ga16(4 * k + 2) = 0x12; ga16(4 * k + 3) = 0x34
+    }
+    assert(MediaCodec.decodePngLuma(
+      MediaCodec.writePngPixels(w, h, 4, ga16, depth = 16))
+      .get.sameElements(hi.map(_.toByte)))
+    // RGBA 16-bit + Adam7 + Deflater together: the full gauntlet
+    val rgba16 = new Array[Byte](w * h * 8)
+    for (k <- 0 until w * h) {
+      rgba16(8 * k) = hi(k).toByte; rgba16(8 * k + 2) = hi(k).toByte
+      rgba16(8 * k + 4) = hi(k).toByte; rgba16(8 * k + 6) = 0x77
+    }
+    assert(MediaCodec.decodePngLuma(
+      MediaCodec.writePngPixels(w, h, 6, rgba16, r => (r + 1) % 5,
+        compress = true, depth = 16, interlace = true))
+      .get.sameElements(hi.map(_.toByte)),
+      "16-bit RGBA Adam7 Deflater: high-byte luma survives the gauntlet")
+    // a 16-bit image whose high bytes equal an 8-bit image: SAME plane
+    assert(gOut.get.sameElements(MediaCodec.decodePngLuma(
+      MediaCodec.writePngPixels(w, h, 0, hi.map(_.toByte))).get))
   }
 
   test("progressive DQT latch: a mid-stream table redefinition cannot re-dequantize") {
