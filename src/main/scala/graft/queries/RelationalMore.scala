@@ -642,9 +642,68 @@ object RelationalMore {
     "q65_argmax" -> (q65ArgMax _),
     "q66_filter_clause" -> (q66FilterClause _),
     "q67_window_pct" -> (q67WindowPct _),
-    "q68_grouping_id" -> (q68GroupingId _))
+    "q68_grouping_id" -> (q68GroupingId _),
+    "q161_window_partitioned" -> (q161WindowPartitioned _))
+
+  // --------------------------------------------------------------------
+  // q161 — SCALE-PARTITIONED ranking + lag windows: the W1/W2 shapes the
+  // reference computes UNPARTITIONED (silver_to_gold.py:122-124 and
+  // :139-156 — a single reducer sorts the whole gold table), re-expressed
+  // the way a 100 TB layer must run them: rank and delta WITHIN a
+  // partition key. The window exchange hash-partitions on p_brand, every
+  // brand ranks in parallel, and no stage ever sees more than one
+  // brand's rows sorted together. The unpartitioned originals stay as
+  // oracle-checked parity (q06/q07); this row proves the scale variant
+  // computes the SAME semantics where partitioning doesn't change them —
+  // a within-brand rank IS the global revenue order restricted to that
+  // brand (pinned rank-for-rank in WindowScaleSpec). Plan guard: zero
+  // SinglePartition exchanges anywhere (the exact hazard the reference's
+  // Window.orderBy plants); the final presentation sort is a RANGE
+  // exchange and stays legal.
+  // --------------------------------------------------------------------
+  def q161WindowPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val l = lake(s, dir)
+    val rev = l.lineitem
+      .join(l.part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(Det.dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    val q = rev
+      .withColumn("brand_rank", row_number().over(w))
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("revenue_gap",
+        when(col("prev_revenue").isNull, lit(null))
+          .otherwise(col("prev_revenue") - col("revenue")))
+      .select(col("p_brand"), col("p_partkey"), col("revenue"),
+        col("brand_rank"), col("revenue_gap"))
+      .orderBy(col("p_brand"), col("brand_rank"))
+    require(graft.plans.AdaptivePlans.collectDeep(q) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        if e.outputPartitioning ==
+          org.apache.spark.sql.catalyst.plans.physical.SinglePartition => e
+    }.isEmpty,
+      "the partitioned window must never funnel through one reducer")
+    q
+  }
+
+  private val q161Oracle =
+    """WITH rev AS (
+         SELECT p_brand, p_partkey,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand, p_partkey)
+       SELECT p_brand, p_partkey, revenue,
+              CAST(row_number() OVER w AS INTEGER) AS brand_rank,
+              lag(revenue) OVER w - revenue AS revenue_gap
+       FROM rev
+       WINDOW w AS (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey)
+       ORDER BY p_brand, brand_rank"""
 
   val oracle: Map[String, String] = Map(
+    "q161_window_partitioned" -> q161Oracle,
     "q120_setops_all" -> q120Oracle,
     "q116_quantile_profile" -> q116Oracle,
     "q117_grouping_sets" -> q117Oracle,
