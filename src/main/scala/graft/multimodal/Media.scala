@@ -1265,6 +1265,71 @@ object Media {
       out.toByteArray
     }
 
+    /** A baseline 4-COMPONENT Adobe JPEG — CMYK (transform 0) or YCCK
+      * (transform 2) — all components on the same 1×1 grid, one
+      * interleaved scan, an APP14 `Adobe` segment carrying the
+      * transform flag. Block lists are raster-order quantized
+      * coefficients, one per component per MCU. The fixture writer
+      * proving the 4-component decode + inverted-K composition path:
+      * Adobe convention stores 4-comp values INVERTED, so a constant
+      * 0xFF K plane (zero ink) leaves the base luma untouched. */
+    def writeJpegCmyk(
+        w: Int, h: Int, quantZig: Array[Int],
+        c1BlocksZig: Array[Array[Int]], c2BlocksZig: Array[Array[Int]],
+        c3BlocksZig: Array[Array[Int]], kBlocksZig: Array[Array[Int]],
+        transform: Int,
+        dcCounts: Array[Int] = GenDcCounts, dcSymbols: Array[Int] = GenDcSymbols,
+        acCounts: Array[Int] = GenAcCounts, acSymbols: Array[Int] = GenAcSymbols,
+        restartInterval: Int = 0): Array[Byte] = {
+      require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+        s"JPEG dimensions out of range: ${w}x$h")
+      require(transform == 0 || transform == 2,
+        s"APP14 transform 0 (CMYK) or 2 (YCCK), got $transform")
+      val cw = (w + 7) / 8; val ch = (h + 7) / 8
+      val comps = Array(c1BlocksZig, c2BlocksZig, c3BlocksZig, kBlocksZig)
+      comps.foreach(blks => require(blks.length == cw * ch,
+        s"expected ${cw * ch} blocks per component, got ${blks.length}"))
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xff); out.write(0xd8) // SOI
+      // APP14 Adobe: "Adobe", version 100, flags0/1 = 0, transform
+      jpegSeg(out, 0xee,
+        ("Adobe".getBytes(StandardCharsets.US_ASCII).map(_.toInt) ++
+          Array(0x00, 0x64, 0, 0, 0, 0, transform)).map(_.toByte))
+      jpegSeg(out, 0xdb, quantPayload(quantZig))
+      jpegSeg(out, 0xc0, (Array[Int](8, (h >> 8) & 0xff, h & 0xff,
+        (w >> 8) & 0xff, w & 0xff, 4) ++
+        (1 to 4).flatMap(id => Seq(id, 0x11, 0))).map(_.toByte))
+      jpegSeg(out, 0xc4, ((0x00 +: dcCounts.toSeq) ++ dcSymbols.toSeq).map(_.toByte).toArray)
+      jpegSeg(out, 0xc4, ((0x10 +: acCounts.toSeq) ++ acSymbols.toSeq).map(_.toByte).toArray)
+      if (restartInterval > 0)
+        jpegSeg(out, 0xdd, Array[Int]((restartInterval >> 8) & 0xff,
+          restartInterval & 0xff).map(_.toByte))
+      jpegSeg(out, 0xda, Array[Int](4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00,
+        0, 63, 0).map(_.toByte))
+      val dcEnc = encTable(dcCounts, dcSymbols)
+      val acEnc = encTable(acCounts, acSymbols)
+      val bw = new BitWriter(out)
+      val pred = new Array[Int](4)
+      var rstSeq = 0
+      var m = 0
+      while (m < cw * ch) {
+        if (restartInterval > 0 && m > 0 && m % restartInterval == 0) {
+          bw.flush()
+          bw.marker(0xd0 + (rstSeq % 8)); rstSeq += 1
+          java.util.Arrays.fill(pred, 0)
+        }
+        var ci = 0
+        while (ci < 4) {
+          pred(ci) = encodeBlock(bw, comps(ci)(m), pred(ci), dcEnc, acEnc)
+          ci += 1
+        }
+        m += 1
+      }
+      bw.flush()
+      out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
+    }
+
     /** TILE synthesis: each payload byte one constant 8×8 block, laid
       * out row-major as a (8·len/rows) × (8·rows) image. DC quant 8 ⇒
       * quantized DC = byte − 128 exactly ⇒ the decoded luma is the
@@ -1666,13 +1731,17 @@ object Media {
       var w = 0; var h = 0; var sofSeen = false
       var progressive = false
       var nf = 0
-      val compId = new Array[Int](3)
-      val compHs = new Array[Int](3); val compVs = new Array[Int](3)
-      val compQ = new Array[Int](3)
-      val dcSel = new Array[Int](3); val acSel = new Array[Int](3)
+      val compId = new Array[Int](4)
+      val compHs = new Array[Int](4); val compVs = new Array[Int](4)
+      val compQ = new Array[Int](4)
+      val dcSel = new Array[Int](4); val acSel = new Array[Int](4)
       var ri = 0
       var p = 2
       var entropyAt = -1
+      // Adobe APP14 color-transform flag: -1 = no APP14. For 4-comp
+      // frames it picks the composition — 2 = YCCK (luma = Y·K/255),
+      // 0/absent = inverted-CMYK (luma = BT.601(C,M,Y)·K/255).
+      var adobeTransform = -1
 
       // ---- progressive state: LUMA coefficients only, zigzag index
       // order, on the MCU-PADDED block grid (interleaved DC scans touch
@@ -2091,9 +2160,10 @@ object Media {
                 if ((b(dataAt) & 0xff) != 8) return None // 12-bit: refuse
                 h = be16(b, dataAt + 1); w = be16(b, dataAt + 3)
                 nf = b(dataAt + 5) & 0xff
-                // grayscale or YCbCr — the two layouts the wild
-                // actually holds (4-comp Adobe CMYK: refuse by name)
-                if (nf != 1 && nf != 3) return None
+                // grayscale, YCbCr, or (baseline only) 4-component
+                // Adobe CMYK/YCCK; progressive CMYK is vanishingly rare
+                // in the wild and refuses by name
+                if (nf != 1 && nf != 3 && !(nf == 4 && !progressive)) return None
                 if (dataLen < 6 + 3 * nf) return None
                 var i = 0; var sumHV = 0
                 while (i < nf) {
@@ -2107,19 +2177,38 @@ object Media {
                   if (compQ(i) > 3) return None
                   i += 1
                 }
-                if (nf == 3) {
+                if (nf >= 3) {
                   // interleaved MCU bound (T.81 B.2.3): <= 10 data units
                   if (sumHV > 10) return None
-                  if (compId(0) == compId(1) || compId(0) == compId(2) ||
-                    compId(1) == compId(2)) return None
+                  var a = 0
+                  while (a < nf) {
+                    var bb2 = a + 1
+                    while (bb2 < nf) {
+                      if (compId(a) == compId(bb2)) return None
+                      bb2 += 1
+                    }
+                    a += 1
+                  }
                   // the FIRST component is the luma whose plane this
                   // decode returns: it must carry the max sampling
                   // factors so that plane is full-resolution w*h (true
                   // of 4:4:4/4:2:2/4:4:0/4:2:0 — every layout a YCbCr
                   // encoder emits; a subsampled-Y frame would return a
                   // sub-resolution plane, so refuse it by name)
-                  if (math.max(compHs(1), compHs(2)) > compHs(0) ||
-                    math.max(compVs(1), compVs(2)) > compVs(0)) return None
+                  var j = 1
+                  while (j < nf) {
+                    if (compHs(j) > compHs(0) || compVs(j) > compVs(0)) return None
+                    j += 1
+                  }
+                  // 4-comp composition reads MORE than the first plane:
+                  // K always, and C/M/Y too unless APP14 says YCCK.
+                  // Every composed plane must share the luma's sampling
+                  // (no resampler here — mismatched layouts refuse by
+                  // name; Adobe emits K at luma resolution and plain
+                  // CMYK as 1:1:1:1, so the wild shapes pass)
+                  if (nf == 4 &&
+                    (compHs(3) != compHs(0) || compVs(3) != compVs(0)))
+                    return None
                 } else {
                   // a scan holding ONE component is non-interleaved:
                   // data units tile the component's own ceil(w/8) x
@@ -2217,6 +2306,10 @@ object Media {
                     (b(ss0 + 2) & 0xff) != 0) return None
                   entropyAt = p + len
                 }
+              case 0xee => // APP14: Adobe color-transform flag
+                if (dataLen >= 12 &&
+                  new String(b, dataAt, 5, StandardCharsets.US_ASCII) == "Adobe")
+                  adobeTransform = b(dataAt + 11) & 0xff
               case _ => () // APPn / COM / DNL: skip
             }
             p += len
@@ -2240,10 +2333,22 @@ object Media {
       val hMax = compHs(0); val vMax = compVs(0)
       val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
       val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
-      val plane = new Array[Byte](w * h)
+      // which components materialize a pixel plane: always the first;
+      // a 4-component frame also needs K (YCCK: luma = Y·K/255) and,
+      // without the Adobe YCCK flag, C/M/Y as well (inverted-CMYK:
+      // luma = BT.601(C,M,Y)·K/255 — Adobe stores CMYK inverted).
+      val yccK = nf == 4 && adobeTransform == 2
+      if (nf == 4 && !yccK &&
+        (compHs(1) != hMax || compVs(1) != vMax ||
+          compHs(2) != hMax || compVs(2) != vMax)) return None
+      val materialize = Array.tabulate(nf)(ci =>
+        ci == 0 || (nf == 4 && (ci == 3 || !yccK)))
+      val planes = Array.tabulate(nf)(ci =>
+        if (materialize(ci)) new Array[Byte](w * h) else null)
+      val plane = planes(0)
       val coef = new Array[Int](64)
       val tmp = new Array[Double](64)
-      val dcPred = new Array[Int](3)
+      val dcPred = new Array[Int](4)
       var rstSeq = 0
       var mcu = 0
       val total = mcusX * mcusY
@@ -2258,11 +2363,14 @@ object Media {
         var ci = 0
         while (ci < nf) {
           val quant = quantC(ci); val dcT = dcC(ci); val acT = acC(ci)
-          // only the luma plane materializes: chroma blocks MUST still
-          // entropy-decode (the bit stream and their DC predictors
-          // advance through them) but skip dequant + IDCT — a 4:2:0
-          // photo costs one Y IDCT plane plus a Huffman walk, not three
-          val isLuma = ci == 0
+          // only the COMPOSED planes materialize: other components'
+          // blocks MUST still entropy-decode (the bit stream and their
+          // DC predictors advance through them) but skip dequant +
+          // IDCT — a 4:2:0 photo costs one Y IDCT plane plus a Huffman
+          // walk, not three. Materialized non-first components share
+          // the luma's sampling (enforced above), so the same
+          // full-resolution block coordinates apply.
+          val isLuma = materialize(ci)
           var vb = 0
           while (vb < compVs(ci)) {
             var hb = 0
@@ -2293,12 +2401,12 @@ object Media {
                 }
               }
               if (isLuma) {
-                // luma block (bx, by) of the full-resolution Y grid;
+                // block (bx, by) of the full-resolution grid;
                 // MCU-padding blocks beyond the image clip to nothing
                 // but still consumed entropy bits (as encoders emit them)
                 val by = (mcu / mcusX) * vMax + vb
                 val bx = (mcu % mcusX) * hMax + hb
-                idctToPlane(coef, tmp, plane, w, h, bx, by)
+                idctToPlane(coef, tmp, planes(ci), w, h, bx, by)
               }
               hb += 1
             }
@@ -2307,6 +2415,25 @@ object Media {
           ci += 1
         }
         mcu += 1
+      }
+      if (nf == 4) {
+        // compose the CMYK/YCCK planes into the returned luma — the
+        // "inverted K composition": Adobe stores 4-comp values
+        // inverted, so ink coverage 0 decodes as 255 and the K plane
+        // scales the base luma multiplicatively.
+        val base: Int => Int =
+          if (yccK) k => planes(0)(k) & 0xff
+          else {
+            val c = planes(0); val m = planes(1); val y = planes(2)
+            k => ((c(k) & 0xff) * 299 + (m(k) & 0xff) * 587 +
+              (y(k) & 0xff) * 114) / 1000
+          }
+        val kPlane = planes(3)
+        var px = 0
+        while (px < plane.length) {
+          plane(px) = (base(px) * (kPlane(px) & 0xff) / 255).toByte
+          px += 1
+        }
       }
       Some((w, h, plane))
     }

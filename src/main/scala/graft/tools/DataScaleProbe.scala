@@ -42,6 +42,10 @@ object DataScaleProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
     val repeats = if (args.length > 2) args(2).toInt else 3
+    // optional 4th arg: comma-separated probe-query subset — the
+    // 30×/100× decade runs target the two worst exponents without
+    // paying for the whole battery
+    val only = if (args.length > 3) Some(args(3).split(",").toSet) else None
     val spark = graft.core.SparkSessionFactory.local("graft-data-scale-probe")
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").sum("v").count() // codegen/shuffle warmup
@@ -61,7 +65,7 @@ object DataScaleProbe {
       ts(ts.length / 2)
     }
 
-    val rows = ProbeQueries.map { q =>
+    val rows = ProbeQueries.filter(q => only.forall(_.contains(q))).map { q =>
       val t1 = time(q, dir1)
       val tN = time(q, dirN)
       val exp = math.log(tN / t1) / math.log(factor.toDouble)
@@ -78,14 +82,22 @@ object DataScaleProbe {
     * Replica 0 is the original text byte-for-byte. */
   private def synth(
       spark: SparkSession, sfDir: String, k: Int, out: String): String = {
+    require(k <= 52,
+      "the transform family has 52 distinct members (26 shifts × case)")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val replicas = (0 until k).map { r =>
       val shifted = Letters.drop((7 * r) % 26) + Letters.take((7 * r) % 26)
+      // 7k mod 26 repeats past 26 replicas; replicas 26-51 ALSO swap
+      // case, so every replica's transform stays distinct and
+      // cross-replica shingle overlap stays destroyed (the probe's
+      // linear-output-shape invariant) at 30×+
+      val target =
+        if (r < 26) shifted + shifted.toUpperCase
+        else shifted.toUpperCase + shifted
       docs.select(
         (col("doc_id") + lit(r.toLong * 100000000L)).as("doc_id"),
-        translate(col("text"),
-          Letters + Letters.toUpperCase,
-          shifted + shifted.toUpperCase).as("text"),
+        translate(col("text"), Letters + Letters.toUpperCase, target)
+          .as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     replicas.reduce(_ unionByName _)

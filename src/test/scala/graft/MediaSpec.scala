@@ -1115,6 +1115,64 @@ class MediaSpec extends SparkSpec {
       MediaCodec.writePngPixels(w, h, 0, hi.map(_.toByte))).get))
   }
 
+  test("CMYK and YCCK JPEG decode: inverted-K composition, container-robust hash") {
+    val px = Array.tabulate(128)(k => ((k * 67 + 13) % 256).toByte)
+    val rows = MediaCodec.pngRows(px.length)
+    val w = 8 * (px.length / rows); val h = 8 * rows
+    def tiles(v: Int => Int): Array[Array[Int]] = Array.tabulate(px.length) { i =>
+      val blk = new Array[Int](64); blk(0) = v(i) - 128; blk
+    }
+    val quant = Array.fill(64)(1); quant(0) = 8
+    val pxT = tiles(i => px(i) & 0xff)
+    val maxK = tiles(_ => 255) // zero ink: inverted K = 255 leaves luma alone
+    val zero = Array.fill(px.length)(new Array[Int](64))
+    // YCCK (transform 2): luma = Y·K/255; neutral chroma is skipped
+    val ycck = MediaCodec.writeJpegCmyk(w, h, quant, pxT, zero, zero, maxK, 2)
+    assert(MediaCodec.decodeJpegLuma(ycck).get.sameElements(
+      MediaCodec.decodeJpegLuma(MediaCodec.writeJpegTiles(px, rows)).get),
+      "YCCK with full K decodes to the same plane as the gray JPEG")
+    // CMYK (transform 0): C=M=Y=picture (inverted storage), K full
+    val cmyk = MediaCodec.writeJpegCmyk(w, h, quant, pxT, pxT, pxT, maxK, 0)
+    assert(MediaCodec.decodeJpegLuma(cmyk).get.sameElements(
+      MediaCodec.decodeJpegLuma(MediaCodec.writeJpegTiles(px, rows)).get),
+      "CMYK via BT.601 over equal inverted channels is the picture")
+    // one picture, FIVE containers, ONE perceptual hash
+    val hashes = Seq(
+      MediaCodec.writePngPixels(px.length / rows, rows, 0, px),
+      MediaCodec.writeJpegTiles(px, rows),
+      MediaCodec.writeJpegYccTiles(px, rows),
+      ycck, cmyk).map(c =>
+      MediaCodec.dHash60(MediaCodec.decodeImagePlane(c) match {
+        case Some(p) if p.length == px.length => p // block means (JPEG)
+        case Some(p) => p                          // full plane (PNG)
+        case None => fail("container refused")
+      }))
+    assert(hashes.distinct.length === 1,
+      s"PNG/gray/YCbCr/YCCK/CMYK must hash identically: $hashes")
+    // K really scales: half ink (K' = 128) halves the luma
+    val halfK = tiles(_ => 128)
+    val dark = MediaCodec.decodeJpegLuma(
+      MediaCodec.writeJpegCmyk(w, h, quant, pxT, zero, zero, halfK, 2)).get
+    val full = MediaCodec.decodeJpegLuma(ycck).get
+    assert(dark.zip(full).forall { case (d, f) =>
+      (d & 0xff) == (f & 0xff) * 128 / 255 },
+      "YCCK luma must be Y·K/255 pixel for pixel")
+    // refusals stay refusals: K sampling != luma sampling; progressive 4-comp
+    val badK = ycck.clone()
+    // SOF0 component 4's h/v byte: find SOF0 marker and offset to comp 4
+    val sof = {
+      var i = 2
+      while (!((badK(i) & 0xff) == 0xff && (badK(i + 1) & 0xff) == 0xc0)) i += 1
+      i
+    }
+    badK(sof + 2 + 2 + 6 + 3 * 3 + 1) = 0x22 // K at 2x2 vs luma 1x1
+    assert(MediaCodec.decodeJpegLuma(badK) === None,
+      "K sampled differently from luma must refuse, not mis-compose")
+    val prog4 = ycck.clone(); prog4(sof + 1) = 0xc2.toByte
+    assert(MediaCodec.decodeJpegLuma(prog4) === None,
+      "progressive 4-component refuses by name")
+  }
+
   test("progressive DQT latch: a mid-stream table redefinition cannot re-dequantize") {
     // libjpeg latches a component's quant table when its first scan
     // starts; a (legal) DQT between scans must not change how already-
