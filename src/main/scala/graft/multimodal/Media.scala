@@ -2456,20 +2456,27 @@ object Media {
     def decodeJpegBlockMeans(b: Array[Byte]): Option[Array[Byte]] =
       decodeJpegFrame(b).map { case (w, h, plane) =>
         val cols = (w + 7) / 8; val rows = (h + 7) / 8
+        // one linear pass over the plane (row-major, cache-friendly),
+        // accumulating into per-block sums — not a per-block gather
+        // that strides across rows 64 times per cache line
+        val sums = new Array[Int](cols * rows)
+        var y = 0
+        while (y < h) {
+          val rowBase = (y >> 3) * cols
+          val rowOff = y * w
+          var x = 0
+          while (x < w) {
+            sums(rowBase + (x >> 3)) += plane(rowOff + x) & 0xff
+            x += 1
+          }
+          y += 1
+        }
         val out = new Array[Byte](cols * rows)
         var bi = 0
         while (bi < out.length) {
-          val by = bi / cols; val bx = bi % cols
-          var s = 0L; var n = 0
-          var y = by * 8
-          val yEnd = math.min(by * 8 + 8, h)
-          while (y < yEnd) {
-            var x = bx * 8
-            val xEnd = math.min(bx * 8 + 8, w)
-            while (x < xEnd) { s += plane(y * w + x) & 0xff; n += 1; x += 1 }
-            y += 1
-          }
-          out(bi) = (s / n).toByte
+          val bw = math.min(8, w - (bi % cols) * 8)
+          val bh = math.min(8, h - (bi / cols) * 8)
+          out(bi) = (sums(bi) / (bw * bh)).toByte
           bi += 1
         }
         out
