@@ -2343,6 +2343,12 @@ object Media {
           compHs(2) != hMax || compVs(2) != vMax)) return None
       val materialize = Array.tabulate(nf)(ci =>
         ci == 0 || (nf == 4 && (ci == 3 || !yccK)))
+      // 4-comp frames materialize up to 4 planes — bound total
+      // ALLOCATION, not pixels, so a crafted header can't multiply the
+      // decode-bomb guard by the plane count (the progressive-path
+      // lesson applied here)
+      if (w.toLong * h * materialize.count(identity) > (256L << 20))
+        return None
       val planes = Array.tabulate(nf)(ci =>
         if (materialize(ci)) new Array[Byte](w * h) else null)
       val plane = planes(0)
@@ -2582,20 +2588,23 @@ object Media {
 
   /** Perceptual hashes for one modality with the DISTINCT-PAYLOAD
     * DECODE COLLAPSE: the synthesized payload is a pure function of
-    * (modality, text), so `md5(text)` — a codegen'd built-in, no
-    * payload materialized — keys exact payload identity; one
-    * representative per key synthesizes + decodes + hashes, and the
-    * hash re-expands to every member by the key equi-join. A
-    * million-copy meme costs ONE decode, not a million (and the
-    * ingest-bytes analogue is [[payloadKeys]]' md5 over real container
-    * bytes — q159 stage 1). The explicit `repartition(par, pk)` does
-    * double duty: it is the collapse's grouping exchange (dropDuplicates
-    * reuses the partitioning, no second shuffle) AND it spreads the
-    * decode across the cluster — without it a single small scan
-    * partition would serialize every decode behind one task, which is
-    * exactly how a 100 TB decode stage dies. Only (16-byte key, hash)
-    * pairs cross the expansion join; payload bytes never leave the
-    * task that synthesized them. */
+    * (modality, text), so repartitioning on the text co-locates every
+    * copy of a payload and a per-task md5 memo decodes each distinct
+    * payload EXACTLY ONCE globally — a million-copy meme costs one
+    * decode, not a million (`MediaCodec.decodeInvocations` + spec pin
+    * it; the ingest-bytes analogue is [[payloadKeys]]' md5 over real
+    * container bytes — q159 stage 1). The ONE exchange does double
+    * duty: it is the collapse's grouping AND it spreads the decode
+    * across the cluster — without it a single small scan partition
+    * would serialize every decode behind one task, which is exactly
+    * how a 100 TB decode stage dies. No aggregate, no re-expansion
+    * join: every row streams through carrying its id, the memo holds
+    * 24-byte (digest, hash) entries — never payloads or planes — so a
+    * hot key costs its reducer O(copies) memo hits, the same O(n) its
+    * scan already paid (the agg-based collapse that pre-combines
+    * map-side remains in q159's composed pipeline, the extreme-skew
+    * composition). Payload bytes never leave the task that
+    * synthesized them. */
   private def perceptualHashes(
       documents: DataFrame, modality: String,
       plane: Array[Byte] => Option[Array[Byte]])(
@@ -2619,24 +2628,41 @@ object Media {
       plane: Array[Byte] => Option[Array[Byte]])(
       implicit s: SparkSession): Dataset[(Long, Long)] = {
     import s.implicits._
-    val keyed = documents
+    documents
       .filter(modalityIdx === ModalityIdx(modality))
-      .select(col("doc_id"), col("text"),
-        md5(col("text").cast("binary")).as("pk"))
-    val reps = keyed.select(col("pk"), col("text"))
-      .repartition(graft.functions.Scale.par(s), col("pk"))
-      .dropDuplicates("pk")
-    val repHashes = reps.as[(String, String)].mapPartitions { rows =>
-      val md = MessageDigest.getInstance("MD5")
-      rows.flatMap { case (pk, text) =>
-        encode(text, md).flatMap(plane)
-          .filter(_.length >= 66)
-          .map(b => (pk, MediaCodec.dHash60(b)))
-      }
-    }.toDF("pk", "h")
-    keyed.select(col("doc_id"), col("pk"))
-      .join(repHashes, "pk")
-      .select(col("doc_id"), col("h")).as[(Long, Long)]
+      .select(col("doc_id"), col("text"))
+      .repartition(graft.functions.Scale.par(s), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(memoHashRows(_, (text, md) => encode(text, md).flatMap(plane)))
+  }
+
+  /** The memo body of the collapse: every row flows through (carrying
+    * its id), the FIRST row of each distinct payload decodes, later
+    * copies are md5-memo hits. Globally decode-once because the
+    * partitioner above co-located equal texts; the memo stores 24-byte
+    * (digest, hash) entries, never payloads or planes. */
+  private def memoHashRows[K](
+      rows: Iterator[(K, String)],
+      decodeHash: (String, MessageDigest) => Option[Array[Byte]])
+      : Iterator[(K, Long)] = {
+    val md = MessageDigest.getInstance("MD5")
+    val memo = new java.util.HashMap[String, java.lang.Long]()
+    rows.flatMap { case (id, text) =>
+      md.reset()
+      val pk = java.util.Base64.getEncoder.encodeToString(
+        md.digest(text.getBytes(StandardCharsets.UTF_8)))
+      val h =
+        if (memo.containsKey(pk)) memo.get(pk)
+        else {
+          val computed = decodeHash(text, md)
+            .filter(_.length >= 66)
+            .map(b => java.lang.Long.valueOf(MediaCodec.dHash60(b)))
+            .orNull
+          memo.put(pk, computed)
+          computed
+        }
+      if (h == null) None else Some((id, h.longValue))
+    }
   }
 
   /** The plane extractor for a modality — every modality REALLY
@@ -2680,28 +2706,21 @@ object Media {
       implicit s: SparkSession): Dataset[(Long, Int, Long)] = {
     import s.implicits._
     // Same distinct-payload collapse as [[perceptualHashes]]: a frame
-    // payload is a pure function of its text, so md5(frame_text) keys
-    // payload identity; shared keyframes across near-identical videos
-    // (3 of 4 frames in the q158 fixture pairs) decode ONCE, and the
-    // collapse exchange spreads the decode cluster-wide.
-    val keyed = frames.select(col("doc_id"), col("frame_idx"),
-      col("frame_text"), md5(col("frame_text").cast("binary")).as("pk"))
-    val reps = keyed.select(col("pk"), col("frame_text"))
-      .repartition(graft.functions.Scale.par(s), col("pk"))
-      .dropDuplicates("pk")
-    val repHashes = reps.as[(String, String)].mapPartitions { rows =>
-      val md = MessageDigest.getInstance("MD5")
-      rows.flatMap { case (pk, text) =>
-        MediaCodec.encodeForOpt("video", text, md)
-          .flatMap(MediaCodec.decodeJpegBlockMeans)
-          .filter(_.length >= 66)
-          .map(b => (pk, MediaCodec.dHash60(b)))
+    // payload is a pure function of its text, so shared keyframes
+    // across near-identical videos (3 of 4 frames in the q158 fixture
+    // pairs) decode ONCE — equal frame texts co-locate on the
+    // repartition and the per-task memo decodes each distinct payload
+    // exactly once.
+    frames
+      .select(col("doc_id"), col("frame_idx"), col("frame_text"))
+      .repartition(graft.functions.Scale.par(s), col("frame_text"))
+      .as[(Long, Int, String)]
+      .mapPartitions { rows =>
+        memoHashRows(rows.map { case (id, k, t) => ((id, k), t) },
+          (text, md) => MediaCodec.encodeForOpt("video", text, md)
+            .flatMap(MediaCodec.decodeJpegBlockMeans))
+          .map { case ((id, k), h) => (id, k, h) }
       }
-    }.toDF("pk", "h")
-    keyed.select(col("doc_id"), col("frame_idx"), col("pk"))
-      .join(repHashes, "pk")
-      .select(col("doc_id"), col("frame_idx"), col("h"))
-      .as[(Long, Int, Long)]
   }
 
   /** Exact payload identity key: md5 over the REAL container bytes

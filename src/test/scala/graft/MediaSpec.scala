@@ -1202,6 +1202,26 @@ class MediaSpec extends SparkSpec {
       "mid-stream DQT redefinition must not change the rendered plane")
   }
 
+  test("4-component allocation bound: CMYK planes count against the decode-bomb guard") {
+    // 16384x8192 = 128M pixels slips the single-plane 256MB guard, but
+    // a 4-comp frame materializes FOUR planes = 512MB — must refuse at
+    // the materialization bound, before any entropy data
+    val quant = Array.fill(64)(1)
+    def seg(m: Int, payload: Array[Byte]): Array[Byte] =
+      bytes(0xff, m, (payload.length + 2) >> 8, (payload.length + 2) & 0xff) ++ payload
+    val crafted =
+      bytes(0xff, 0xd8) ++
+        seg(0xdb, bytes(0x00) ++ quant.map(_.toByte)) ++
+        seg(0xc0, bytes(8, 0x20, 0x00, 0x40, 0x00, 4,
+          1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0)) ++
+        seg(0xc4, bytes(0x00, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)) ++
+        seg(0xc4, bytes(0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)) ++
+        seg(0xda, bytes(4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00, 0, 63, 0)) ++
+        bytes(0x00, 0x00) ++
+        bytes(0xff, 0xd9)
+    assert(MediaCodec.decodeJpegLuma(crafted) === None)
+  }
+
   test("progressive allocation bound: a crafted SOF2 header cannot demand a GB") {
     // 16384x8192 = 128M pixels passes the 256M-pixel cap but would
     // allocate 537 MB of Int coefficients; the byte-bound refuses it
