@@ -166,6 +166,27 @@ object Media {
       None
     }
 
+    /** The `fmt ` chunk's audio-format code (1 = integer PCM, 3 = IEEE
+      * float) — the same guarded chunk walk as [[parseWav]]. */
+    def parseWavFormatCode(b: Array[Byte]): Option[Int] = {
+      if (b.length < 12 ||
+        new String(b, 0, 4, StandardCharsets.US_ASCII) != "RIFF" ||
+        new String(b, 8, 4, StandardCharsets.US_ASCII) != "WAVE")
+        return None
+      var i = 12L
+      while (i + 8 <= b.length) {
+        val id = new String(b, i.toInt, 4, StandardCharsets.US_ASCII)
+        val size = le32(b, i.toInt + 4)
+        if (size < 0) return None
+        if (id == "fmt ") {
+          if (size < 16 || i + 8 + 16 > b.length) return None
+          return Some(le16(b, i.toInt + 8))
+        }
+        i += 8L + size + (size & 1)
+      }
+      None
+    }
+
     // ---------------- writers (deterministic container synthesis) ------
 
     private def pngChunk(chunkType: String, data: Array[Byte]): Array[Byte] = {
@@ -207,20 +228,32 @@ object Media {
       * playable PCM file whose "decode" is the identity read every
       * audio stack performs for u8 PCM. */
     def writeWav(sampleRate: Int, channels: Int, body: Array[Byte],
-        bits: Int = 8): Array[Byte] = {
-      require(bits == 8 || bits == 16, s"PCM bits must be 8 or 16, got $bits")
+        bits: Int = 8, formatCode: Int = 1): Array[Byte] = {
+      require((formatCode == 1 && (bits == 8 || bits == 16 || bits == 24)) ||
+        (formatCode == 3 && bits == 32),
+        s"PCM bits must be 8/16/24, or IEEE-float 32; got fmt=$formatCode bits=$bits")
       val bytesPer = bits / 8
       val bb = java.nio.ByteBuffer.allocate(44 + body.length)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       bb.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + body.length)
       bb.put("WAVE".getBytes(StandardCharsets.US_ASCII))
       bb.put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
-      bb.putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+      bb.putShort(formatCode.toShort).putShort(channels.toShort).putInt(sampleRate)
       bb.putInt(sampleRate * channels * bytesPer) // byte rate
       bb.putShort((channels * bytesPer).toShort).putShort(bits.toShort)
       bb.put("data".getBytes(StandardCharsets.US_ASCII)).putInt(body.length)
       bb.put(body)
       bb.array()
+    }
+
+    /** An IEEE-float (format 3) WAV from [-1, 1] samples, interleaved
+      * by channel — the shape DAWs and scientific tooling export. */
+    def writeWavFloat(
+        sampleRate: Int, channels: Int, samples: Array[Float]): Array[Byte] = {
+      val body = new Array[Byte](samples.length * 4)
+      val bb = java.nio.ByteBuffer.wrap(body).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(bb.putFloat)
+      writeWav(sampleRate, channels, body, bits = 32, formatCode = 3)
     }
 
     // --------- real PNG pixel encode/decode (zlib + scanline filters) ---
@@ -700,7 +733,12 @@ object Media {
     def decodeWavSamples(b: Array[Byte]): Option[Array[Byte]] = {
       decodeInvocations.incrementAndGet()
       parseWav(b).flatMap { case (_, channels, bits) =>
-        if ((bits != 8 && bits != 16) || channels < 1) None
+        val fmtCode = parseWavFormatCode(b).getOrElse(-1)
+        // integer PCM at 8/16/24 bits, or IEEE-float 32 (format 3) —
+        // the four layouts real corpora hold; anything else refuses
+        val pcm = fmtCode == 1 && (bits == 8 || bits == 16 || bits == 24)
+        val flt = fmtCode == 3 && bits == 32
+        if ((!pcm && !flt) || channels < 1) None
         else extractWavData(b).map { data =>
           val bytesPer = bits / 8
           val frame = channels * bytesPer
@@ -712,9 +750,18 @@ object Media {
             var c = 0
             while (c < channels) {
               val off = i * frame + c * bytesPer
-              acc += (if (bits == 8) data(off) & 0xff
-              else ((((data(off) & 0xff) | (data(off + 1) << 8)).toShort >> 8)
-                + 128))
+              acc += (bits match {
+                case 8 => data(off) & 0xff
+                case 16 => ((((data(off) & 0xff) | (data(off + 1) << 8))
+                  .toShort >> 8) + 128)
+                case 24 => data(off + 2) + 128 // signed high byte, LE
+                case _ => // 32-bit float in [-1, 1] → unsigned 8-bit
+                  val bits32 = (data(off) & 0xff) | ((data(off + 1) & 0xff) << 8) |
+                    ((data(off + 2) & 0xff) << 16) | (data(off + 3) << 24)
+                  val v = java.lang.Float.intBitsToFloat(bits32)
+                  val clamped = math.max(-1f, math.min(1f, v))
+                  math.round((clamped + 1f) * 127.5f)
+              })
               c += 1
             }
             out(i) = (acc / channels).toByte

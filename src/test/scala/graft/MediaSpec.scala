@@ -315,9 +315,10 @@ class MediaSpec extends SparkSpec {
     val dec16 = MediaCodec.decodeWavSamples(
       MediaCodec.writeWav(8000, 1, s16, bits = 16)).get
     assert(dec16.toSeq === Seq(255.toByte, 0.toByte, (0x12 + 128).toByte))
-    // unsupported depth refuses (hand-patch the bits field at offset 34)
+    // unsupported depth refuses (hand-patch the bits field at offset 34;
+    // 24-bit PCM DECODES since round 14 — 12-bit does not exist in PCM)
     val odd = MediaCodec.writeWav(8000, 1, body)
-    odd(34) = 24
+    odd(34) = 12
     assert(MediaCodec.decodeWavSamples(odd) === None)
     assert(MediaCodec.decodeWavSamples(body) === None)
   }
@@ -1113,6 +1114,32 @@ class MediaSpec extends SparkSpec {
     // a 16-bit image whose high bytes equal an 8-bit image: SAME plane
     assert(gOut.get.sameElements(MediaCodec.decodePngLuma(
       MediaCodec.writePngPixels(w, h, 0, hi.map(_.toByte))).get))
+  }
+
+  test("24-bit PCM and 32-bit float WAV decode: high byte / [-1,1] mapping") {
+    // 24-bit signed LE → unsigned high byte (+128)
+    val vals = Seq(0x000000, 0x7fffff, -0x800000, 0x123456, -0x345678)
+    val body24 = vals.flatMap(v =>
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte))
+      .toArray
+    val wav24 = MediaCodec.writeWav(16000, 1, body24, bits = 24)
+    val out24 = MediaCodec.decodeWavSamples(wav24).get
+    assert(out24.toSeq === vals.map(v => ((v >> 16) + 128).toByte))
+    // 32-bit float in [-1, 1] → linear 0..255, out-of-range clamps
+    val fs = Array(-1f, 0f, 1f, 0.5f, -2f, 2f)
+    val wavF = MediaCodec.writeWavFloat(22050, 1, fs)
+    val outF = MediaCodec.decodeWavSamples(wavF).get
+    assert(outF.toSeq === Seq[Byte](0, 128.toByte, 255.toByte, 191.toByte,
+      0, 255.toByte))
+    // stereo 24-bit downmix averages channels
+    val st = MediaCodec.writeWav(8000, 2, body24.take(12), bits = 24)
+    val outSt = MediaCodec.decodeWavSamples(st).get
+    assert(outSt.length === 2)
+    assert(outSt(0) === (((vals(0) >> 16) + 128 + (vals(1) >> 16) + 128) / 2).toByte)
+    // unknown format codes refuse (e.g. 2 = ADPCM), as do float-16 hybrids
+    val adpcm = MediaCodec.writeWav(8000, 1, body24.take(3), bits = 24)
+    adpcm(20) = 2 // format code byte (LE) inside `fmt `
+    assert(MediaCodec.decodeWavSamples(adpcm) === None)
   }
 
   test("CMYK and YCCK JPEG decode: inverted-K composition, container-robust hash") {
