@@ -358,15 +358,26 @@ object Media {
         depth: Int = 8, interlace: Boolean = false): Array[Byte] = {
       val bpp = pngBpp(colorType)
       require(bpp > 0, s"writePngPixels supports colorType 0/2/3/4/6, got $colorType")
-      require(depth == 8 || depth == 16, s"depth 8 or 16, got $depth")
-      require(!(depth == 16 && colorType == 3), "no 16-bit palette (spec §11.2.2)")
+      val depthOk = colorType match {
+        case 0 => Set(1, 2, 4, 8, 16)(depth)
+        case 3 => Set(1, 2, 4, 8)(depth)
+        case _ => depth == 8 || depth == 16
+      }
+      require(depthOk, s"depth $depth illegal for colorType $colorType (spec §11.2.2)")
       require((colorType == 3) == palette.nonEmpty,
         "palette iff colorType 3")
       require(palette.length % 3 == 0 && palette.length <= 768,
         "palette holds up to 256 RGB triples")
-      val pxB = bpp * depth / 8 // bytes per pixel (16-bit: big-endian samples)
+      // input plane: one byte per SAMPLE (sub-byte samples hold 0..max),
+      // two for 16-bit (big-endian); the writer packs sub-byte rows
+      val pxB = bpp * math.max(1, depth / 8)
       require(w > 0 && h > 0 && pixels.length == w * h * pxB,
         s"pixel plane ${pixels.length} != $w x $h x $pxB")
+      if (depth < 8) {
+        val max = (1 << depth) - 1
+        require(pixels.forall(p => (p & 0xff) <= max),
+          s"sub-byte samples must fit $depth bits")
+      }
       // pass decomposition: sequential = one full-frame pass; Adam7 =
       // seven sub-images, empty passes emit nothing (not even a filter
       // byte); every pass row filters against the pass's OWN prior row
@@ -379,9 +390,10 @@ object Media {
           }
           .filter { case (_, _, _, _, pw, ph) => pw > 0 && ph > 0 }
       val out = new java.io.ByteArrayOutputStream()
+      val fbpp = math.max(1, bpp * depth / 8) // filter distance, packed domain
       var globalRow = 0
       for ((x0, y0, dx, dy, pw, ph) <- passes) {
-        val rowBytes = pw * pxB
+        val rowBytes = (pw * bpp * depth + 7) / 8
         val zero = new Array[Byte](rowBytes)
         var prior = zero
         var r = 0
@@ -389,13 +401,21 @@ object Media {
           val cur = new Array[Byte](rowBytes)
           var i = 0
           while (i < pw) {
-            System.arraycopy(pixels, ((y0 + r * dy) * w + (x0 + i * dx)) * pxB,
-              cur, i * pxB, pxB)
+            if (depth >= 8)
+              System.arraycopy(pixels, ((y0 + r * dy) * w + (x0 + i * dx)) * pxB,
+                cur, i * pxB, pxB)
+            else {
+              // pack MSB-first (spec §7.2)
+              val v = pixels(((y0 + r * dy) * w + (x0 + i * dx))) & 0xff
+              val bitpos = i * depth
+              cur(bitpos >> 3) =
+                (cur(bitpos >> 3) | (v << (8 - depth - (bitpos & 7)))).toByte
+            }
             i += 1
           }
           val ft = filterOf(globalRow) % 5
           out.write(ft)
-          out.write(filterRow(ft, cur, prior, pxB))
+          out.write(filterRow(ft, cur, prior, fbpp))
           prior = cur
           globalRow += 1
           r += 1
@@ -446,10 +466,11 @@ object Media {
       (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
       (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    /** REAL PNG decode to an 8-bit luma plane: IHDR validation (8-bit
-      * AND 16-bit depth, EVERY color type — 0 gray, 2 RGB, 3 palette,
-      * 4 gray+alpha, 6 RGBA — deflate compression, filter method 0,
-      * sequential AND Adam7-interlaced), concatenated-IDAT chunk walk,
+    /** REAL PNG decode to an 8-bit luma plane: IHDR validation (EVERY
+      * legal depth/color-type combination — gray at 1/2/4/8/16 bits,
+      * palette at 1/2/4/8, RGB / gray+alpha / RGBA at 8/16 — deflate
+      * compression, filter method 0, sequential AND Adam7-interlaced;
+      * illegal combinations refuse), concatenated-IDAT chunk walk,
       * genuine zlib inflate (`java.util.zip.Inflater` — handles stored
       * AND compressed streams), per-scanline unfilter of all five
       * filter types against the RECONSTRUCTED prior row WITHIN each
@@ -472,18 +493,30 @@ object Media {
       val compression = b(26) & 0xff; val filterMethod = b(27) & 0xff
       val interlace = b(28) & 0xff
       val bpp = pngBpp(colorType)
-      if ((depth != 8 && depth != 16) || bpp < 0 ||
+      // legal depth/color matrix (spec §11.2.2): gray 1/2/4/8/16,
+      // palette 1/2/4/8, RGB / gray+alpha / RGBA 8/16 — with this,
+      // EVERY legal combination decodes
+      val depthOk = colorType match {
+        case 0 => Set(1, 2, 4, 8, 16)(depth)
+        case 3 => Set(1, 2, 4, 8)(depth)
+        case _ => depth == 8 || depth == 16
+      }
+      if (!depthOk || bpp < 0 ||
         compression != 0 || filterMethod != 0 ||
         (interlace != 0 && interlace != 1)) return None
-      if (depth == 16 && colorType == 3) return None // illegal combo, spec §11.2.2
       val palette =
         if (colorType == 3) extractPngPalette(b) match {
           case Some(pal) => pal
           case None => return None // paletted image without a valid PLTE
         } else Array.emptyByteArray
       if (w <= 0 || h <= 0) return None
-      val sampB = depth / 8        // bytes per sample
-      val pxB = bpp * sampB        // bytes per pixel = the filter distance
+      val sampB = math.max(1, depth / 8) // recon bytes per sample
+      val pxB = bpp * sampB              // recon bytes per pixel
+      // the FILTER operates on the packed byte stream: its distance is
+      // the pixel's byte width, floored at one byte for sub-byte depths
+      // (spec §9.2)
+      val fbpp = math.max(1, bpp * depth / 8)
+      def packedRowBytes(pw: Int): Int = (pw * bpp * depth + 7) / 8
       // pass list: sequential = one full-frame pass; empty passes
       // (pw or ph = 0) contribute NO bytes, not even filter bytes
       val passes =
@@ -493,7 +526,7 @@ object Media {
           }
           .filter { case (_, _, _, _, pw, ph) => pw > 0 && ph > 0 }
       val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
-        ph.toLong * (pw.toLong * pxB + 1)
+        ph.toLong * (packedRowBytes(pw).toLong + 1)
       }.sum
       if (rawLen > (256L << 20)) return None // decode-bomb guard
       extractPngBody(b).flatMap { idat =>
@@ -517,13 +550,15 @@ object Media {
         } catch {
           case _: java.util.zip.DataFormatException => return None
         } finally inf.end()
-        // unfilter each pass as its own sub-image, scatter to raster
+        // unfilter each pass as its own sub-image (over PACKED bytes —
+        // sub-byte depths pack several pixels per byte), then scatter
+        // unpacked samples to their raster homes
         val recon = new Array[Byte](w * h * pxB)
         var off = 0
         var pi = 0
         while (pi < passes.length) {
           val (x0, y0, dx, dy, pw, ph) = passes(pi)
-          val rb = pw * pxB
+          val rb = packedRowBytes(pw)
           val pr = new Array[Byte](ph * rb)
           var r = 0
           while (r < ph) {
@@ -533,9 +568,9 @@ object Media {
             var i = 0
             while (i < rb) {
               val x = raw(off + i) & 0xff
-              val a = if (i >= pxB) pr(r * rb + i - pxB) & 0xff else 0
+              val a = if (i >= fbpp) pr(r * rb + i - fbpp) & 0xff else 0
               val up = if (r > 0) pr((r - 1) * rb + i) & 0xff else 0
-              val c = if (r > 0 && i >= pxB) pr((r - 1) * rb + i - pxB) & 0xff else 0
+              val c = if (r > 0 && i >= fbpp) pr((r - 1) * rb + i - fbpp) & 0xff else 0
               pr(r * rb + i) = (ft match {
                 case 0 => x
                 case 1 => x + a
@@ -548,13 +583,21 @@ object Media {
             off += rb
             r += 1
           }
-          // scatter: pass pixel (i, j) lives at raster (x0+i·dx, y0+j·dy)
+          // scatter: pass pixel (i, j) lives at raster (x0+i·dx, y0+j·dy);
+          // sub-byte samples unpack MSB-first (spec §7.2)
+          val mask = (1 << depth) - 1
           var j = 0
           while (j < ph) {
             var i = 0
             while (i < pw) {
-              System.arraycopy(pr, (j * pw + i) * pxB,
-                recon, ((y0 + j * dy) * w + (x0 + i * dx)) * pxB, pxB)
+              val dst = ((y0 + j * dy) * w + (x0 + i * dx)) * pxB
+              if (depth >= 8)
+                System.arraycopy(pr, j * rb + i * pxB, recon, dst, pxB)
+              else {
+                val bitpos = i * depth
+                recon(dst) = (((pr(j * rb + (bitpos >> 3)) & 0xff)
+                  >> (8 - depth - (bitpos & 7))) & mask).toByte
+              }
               i += 1
             }
             j += 1
@@ -568,6 +611,15 @@ object Media {
         @inline def samp(k: Int, s: Int): Int = recon(k * pxB + s * sampB) & 0xff
         colorType match {
           case 0 if depth == 8 => Some(recon)
+          case 0 if depth < 8 => // sub-byte gray: left-bit replication
+            // (v·255/max — the spec's exact sample scaling, §12.5)
+            val max = (1 << depth) - 1
+            val luma = new Array[Byte](w * h)
+            var k = 0
+            while (k < w * h) {
+              luma(k) = ((recon(k) & 0xff) * 255 / max).toByte; k += 1
+            }
+            Some(luma)
           case 0 | 4 => // gray(16) / gray+alpha: the gray sample IS the luma
             val luma = new Array[Byte](w * h)
             var k = 0

@@ -1116,6 +1116,42 @@ class MediaSpec extends SparkSpec {
       MediaCodec.writePngPixels(w, h, 0, hi.map(_.toByte))).get))
   }
 
+  test("sub-8-bit PNG: 1/2/4-bit gray and palette decode, packed rows, Adam7 too") {
+    // gray: sample scaling is left-bit replication (v*255/max)
+    for (depth <- Seq(1, 2, 4); (w, h) <- Seq((13, 5), (8, 8), (3, 3), (1, 7))) {
+      val max = (1 << depth) - 1
+      val px = Array.tabulate(w * h)(k => ((k * 7 + 3) % (max + 1)).toByte)
+      val expect = px.map(v => ((v & 0xff) * 255 / max).toByte)
+      for (lace <- Seq(false, true); comp <- Seq(false, true)) {
+        val png = MediaCodec.writePngPixels(w, h, 0, px, _ % 5,
+          compress = comp, depth = depth, interlace = lace)
+        val got = MediaCodec.decodePngLuma(png)
+        assert(got.isDefined, s"d=$depth ${w}x$h lace=$lace comp=$comp")
+        assert(got.get.sameElements(expect),
+          s"d=$depth ${w}x$h lace=$lace comp=$comp mismatch")
+      }
+    }
+    // palette at 2 bits: indices resolve through PLTE to BT.601 luma
+    val pal = Array[Byte](
+      10, 20, 30, 200.toByte, 100, 50, 0, 0, 0, 255.toByte, 255.toByte, 255.toByte)
+    val idx = Array.tabulate(21)(k => (k % 4).toByte)
+    val png3 = MediaCodec.writePngPixels(7, 3, 3, idx, r => (r + 1) % 5,
+      palette = pal, depth = 2, interlace = true)
+    val want = idx.map { i =>
+      val r = pal(3 * i) & 0xff; val g = pal(3 * i + 1) & 0xff; val b = pal(3 * i + 2) & 0xff
+      ((r * 299 + g * 587 + b * 114) / 1000).toByte
+    }
+    assert(MediaCodec.decodePngLuma(png3).get.sameElements(want))
+    // a 1-bit index past the palette refuses (palette of ONE entry, index 1)
+    val tiny = MediaCodec.writePngPixels(8, 1, 3,
+      Array[Byte](0, 1, 0, 1, 0, 1, 0, 1), palette = Array[Byte](5, 5, 5), depth = 1)
+    assert(MediaCodec.decodePngLuma(tiny) === None)
+    // illegal combos refuse: 2-bit RGB, 16-bit palette
+    val g8 = MediaCodec.writePngPixels(8, 8, 0, Array.tabulate(64)(_.toByte))
+    val mut2 = g8.clone(); mut2(24) = 2; mut2(25) = 2
+    assert(MediaCodec.decodePngLuma(mut2) === None, "2-bit RGB illegal")
+  }
+
   test("24-bit PCM and 32-bit float WAV decode: high byte / [-1,1] mapping") {
     // 24-bit signed LE → unsigned high byte (+128)
     val vals = Seq(0x000000, 0x7fffff, -0x800000, 0x123456, -0x345678)
