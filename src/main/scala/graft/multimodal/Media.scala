@@ -143,15 +143,17 @@ object Media {
       * size) to `fmt `, read channels (u16 LE @+2), sample rate
       * (u32 LE @+4), bits per sample (u16 LE @+14). Chunks are
       * word-aligned: odd sizes are followed by a pad byte. */
-    def parseWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    /** Offset of the `fmt ` chunk's payload, by the ONE guarded RIFF
+      * walk every header reader shares. Long cursor + negative-size
+      * guard: chunk sizes are UNTRUSTED bytes — a negative/huge u32
+      * must mean "corrupt, give up", never a non-advancing loop or an
+      * index overflow (decode()'s contract is null fields on corrupt
+      * members, not a hung executor task). */
+    private def findWavFmt(b: Array[Byte]): Option[Int] = {
       if (b.length < 12 ||
         new String(b, 0, 4, StandardCharsets.US_ASCII) != "RIFF" ||
         new String(b, 8, 4, StandardCharsets.US_ASCII) != "WAVE")
         return None
-      // long cursor + negative-size guard: chunk sizes are UNTRUSTED
-      // bytes — a negative/huge u32 must mean "corrupt, give up", never
-      // a non-advancing loop or an index overflow (decode()'s contract
-      // is null fields on corrupt members, not a hung executor task)
       var i = 12L
       while (i + 8 <= b.length) {
         val id = new String(b, i.toInt, 4, StandardCharsets.US_ASCII)
@@ -159,33 +161,20 @@ object Media {
         if (size < 0) return None
         if (id == "fmt ") {
           if (size < 16 || i + 8 + 16 > b.length) return None
-          return Some((le32(b, i.toInt + 12), le16(b, i.toInt + 10), le16(b, i.toInt + 22)))
+          return Some(i.toInt + 8)
         }
         i += 8L + size + (size & 1) // chunks pad to even byte boundaries
       }
       None
     }
 
+    def parseWav(b: Array[Byte]): Option[(Int, Int, Int)] =
+      findWavFmt(b).map(at => (le32(b, at + 4), le16(b, at + 2), le16(b, at + 14)))
+
     /** The `fmt ` chunk's audio-format code (1 = integer PCM, 3 = IEEE
-      * float) — the same guarded chunk walk as [[parseWav]]. */
-    def parseWavFormatCode(b: Array[Byte]): Option[Int] = {
-      if (b.length < 12 ||
-        new String(b, 0, 4, StandardCharsets.US_ASCII) != "RIFF" ||
-        new String(b, 8, 4, StandardCharsets.US_ASCII) != "WAVE")
-        return None
-      var i = 12L
-      while (i + 8 <= b.length) {
-        val id = new String(b, i.toInt, 4, StandardCharsets.US_ASCII)
-        val size = le32(b, i.toInt + 4)
-        if (size < 0) return None
-        if (id == "fmt ") {
-          if (size < 16 || i + 8 + 16 > b.length) return None
-          return Some(le16(b, i.toInt + 8))
-        }
-        i += 8L + size + (size & 1)
-      }
-      None
-    }
+      * float). */
+    def parseWavFormatCode(b: Array[Byte]): Option[Int] =
+      findWavFmt(b).map(at => le16(b, at))
 
     // ---------------- writers (deterministic container synthesis) ------
 
@@ -512,11 +501,20 @@ object Media {
       if (w <= 0 || h <= 0) return None
       val sampB = math.max(1, depth / 8) // recon bytes per sample
       val pxB = bpp * sampB              // recon bytes per pixel
+      // decode-bomb guard on the OUTPUT allocation (sample plane), in
+      // Long and BEFORE any row math that could overflow Int: a crafted
+      // header with a 2^28 width must refuse with None, never throw
+      // (corrupt-member contract) — and sub-byte depths expand up to 8×
+      // from packed stream to sample plane, so bounding the packed
+      // stream alone would let a 1-bit bomb allocate 8× the guard
+      if (w.toLong * h * pxB > (256L << 20)) return None
       // the FILTER operates on the packed byte stream: its distance is
       // the pixel's byte width, floored at one byte for sub-byte depths
       // (spec §9.2)
       val fbpp = math.max(1, bpp * depth / 8)
-      def packedRowBytes(pw: Int): Int = (pw * bpp * depth + 7) / 8
+      // Long math internally: pw·bpp·depth can exceed Int at the guard
+      // boundary; the result after /8 always fits once the guard passed
+      def packedRowBytes(pw: Int): Int = ((pw.toLong * bpp * depth + 7) / 8).toInt
       // pass list: sequential = one full-frame pass; empty passes
       // (pw or ph = 0) contribute NO bytes, not even filter bytes
       val passes =
@@ -552,14 +550,19 @@ object Media {
         } finally inf.end()
         // unfilter each pass as its own sub-image (over PACKED bytes —
         // sub-byte depths pack several pixels per byte), then scatter
-        // unpacked samples to their raster homes
+        // unpacked samples to their raster homes. The HOT path — a
+        // sequential ≥8-bit PNG, i.e. one full-frame pass whose packed
+        // layout IS the sample plane — unfilters straight into recon
+        // and skips the scatter: no second full-image buffer, no
+        // per-pixel copy, on the path a 100 TB scan hits per payload.
         val recon = new Array[Byte](w * h * pxB)
         var off = 0
         var pi = 0
         while (pi < passes.length) {
           val (x0, y0, dx, dy, pw, ph) = passes(pi)
           val rb = packedRowBytes(pw)
-          val pr = new Array[Byte](ph * rb)
+          val inPlace = interlace == 0 && depth >= 8
+          val pr = if (inPlace) recon else new Array[Byte](ph * rb)
           var r = 0
           while (r < ph) {
             val ft = raw(off) & 0xff
@@ -584,23 +587,26 @@ object Media {
             r += 1
           }
           // scatter: pass pixel (i, j) lives at raster (x0+i·dx, y0+j·dy);
-          // sub-byte samples unpack MSB-first (spec §7.2)
-          val mask = (1 << depth) - 1
-          var j = 0
-          while (j < ph) {
-            var i = 0
-            while (i < pw) {
-              val dst = ((y0 + j * dy) * w + (x0 + i * dx)) * pxB
-              if (depth >= 8)
-                System.arraycopy(pr, j * rb + i * pxB, recon, dst, pxB)
-              else {
-                val bitpos = i * depth
-                recon(dst) = (((pr(j * rb + (bitpos >> 3)) & 0xff)
-                  >> (8 - depth - (bitpos & 7))) & mask).toByte
+          // sub-byte samples unpack MSB-first (spec §7.2). The in-place
+          // sequential path already wrote recon's final layout.
+          if (!inPlace) {
+            val mask = (1 << depth) - 1
+            var j = 0
+            while (j < ph) {
+              var i = 0
+              while (i < pw) {
+                val dst = ((y0 + j * dy) * w + (x0 + i * dx)) * pxB
+                if (depth >= 8)
+                  System.arraycopy(pr, j * rb + i * pxB, recon, dst, pxB)
+                else {
+                  val bitpos = i * depth
+                  recon(dst) = (((pr(j * rb + (bitpos >> 3)) & 0xff)
+                    >> (8 - depth - (bitpos & 7))) & mask).toByte
+                }
+                i += 1
               }
-              i += 1
+              j += 1
             }
-            j += 1
           }
           pi += 1
         }
@@ -2523,20 +2529,29 @@ object Media {
       }
       if (nf == 4) {
         // compose the CMYK/YCCK planes into the returned luma — the
-        // "inverted K composition": Adobe stores 4-comp values
-        // inverted, so ink coverage 0 decodes as 255 and the K plane
-        // scales the base luma multiplicatively.
+        // "inverted K composition". The inversion is an ADOBE
+        // convention signalled by the APP14 marker (Adobe stores 4-comp
+        // values inverted, so ink coverage 0 decodes as 255); a 4-comp
+        // file WITHOUT APP14 carries plain ink coverage and must invert
+        // here instead — treating it as Adobe-inverted would negate the
+        // picture and silently hide every cross-container near-dup.
+        val adobe = adobeTransform >= 0
         val base: Int => Int =
           if (yccK) k => planes(0)(k) & 0xff
           else {
             val c = planes(0); val m = planes(1); val y = planes(2)
-            k => ((c(k) & 0xff) * 299 + (m(k) & 0xff) * 587 +
-              (y(k) & 0xff) * 114) / 1000
+            if (adobe)
+              k => ((c(k) & 0xff) * 299 + (m(k) & 0xff) * 587 +
+                (y(k) & 0xff) * 114) / 1000
+            else
+              k => ((255 - (c(k) & 0xff)) * 299 + (255 - (m(k) & 0xff)) * 587 +
+                (255 - (y(k) & 0xff)) * 114) / 1000
           }
         val kPlane = planes(3)
         var px = 0
         while (px < plane.length) {
-          plane(px) = (base(px) * (kPlane(px) & 0xff) / 255).toByte
+          val kv = if (adobe) kPlane(px) & 0xff else 255 - (kPlane(px) & 0xff)
+          plane(px) = (base(px) * kv / 255).toByte
           px += 1
         }
       }

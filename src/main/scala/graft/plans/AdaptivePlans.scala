@@ -26,11 +26,15 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExc
   */
 object AdaptivePlans {
 
-  /** The FINAL adaptive plan (materializes remaining stages if the
-    * query has not run yet; idempotent after a collect). Non-adaptive
-    * plans pass through. */
+  /** The truest available adaptive plan WITHOUT side effects: the
+    * final plan when the query has run, the initial (EnsureRequirements-
+    * applied) plan when it has not — calling `finalPhysicalPlan` on an
+    * unrun query EXECUTES it, the same trap [[collectDeep]] documents.
+    * Specs that need the true runtime plan must run an action first.
+    * Non-adaptive plans pass through. */
   def finalPlan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan match {
-    case a: AdaptiveSparkPlanExec => a.finalPhysicalPlan
+    case a: AdaptiveSparkPlanExec =>
+      if (a.isFinalPlan) a.finalPhysicalPlan else a.initialPlan
     case p => p
   }
 

@@ -83,21 +83,25 @@ object DataScaleProbe {
   private def synth(
       spark: SparkSession, sfDir: String, k: Int, out: String): String = {
     require(k <= 52,
-      "the transform family has 52 distinct members (26 shifts × case)")
+      "the transform family has 52 distinct members (26 shifts × reversal)")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val replicas = (0 until k).map { r =>
       val shifted = Letters.drop((7 * r) % 26) + Letters.take((7 * r) % 26)
-      // 7k mod 26 repeats past 26 replicas; replicas 26-51 ALSO swap
-      // case, so every replica's transform stays distinct and
-      // cross-replica shingle overlap stays destroyed (the probe's
-      // linear-output-shape invariant) at 30×+
-      val target =
-        if (r < 26) shifted + shifted.toUpperCase
-        else shifted.toUpperCase + shifted
+      // 7k mod 26 repeats past 26 replicas; replicas 26-51 are ALSO
+      // REVERSED, so every replica's transform stays distinct and
+      // cross-replica shingle/grid overlap stays destroyed at 30×+.
+      // Reversal (not case-swap) on purpose: it is length-preserving,
+      // preserves within-replica near-dup structure (equal texts stay
+      // equal, a one-char edit stays a one-char edit), and — unlike a
+      // case-swap — survives the case-NORMALIZING probe queries (q63
+      // canonicalizes on md5(lower(trim(text))), under which a
+      // case-swapped replica collapses into exact dups of its partner
+      // and the corpus stops growing linearly).
+      val caesar = translate(col("text"),
+        Letters + Letters.toUpperCase, shifted + shifted.toUpperCase)
       docs.select(
         (col("doc_id") + lit(r.toLong * 100000000L)).as("doc_id"),
-        translate(col("text"), Letters + Letters.toUpperCase, target)
-          .as("text"),
+        (if (r < 26) caesar else reverse(caesar)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     replicas.reduce(_ unionByName _)

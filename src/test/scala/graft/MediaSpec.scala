@@ -1116,6 +1116,52 @@ class MediaSpec extends SparkSpec {
       MediaCodec.writePngPixels(w, h, 0, hi.map(_.toByte))).get))
   }
 
+  test("PNG decode-bomb guards: huge widths refuse with None, never throw") {
+    // IHDR with w = 2^28: the old Int row math overflowed negative and
+    // threw from the allocator; must refuse cleanly
+    def hdr(w: Int, h: Int, depth: Int, ct: Int): Array[Byte] =
+      bytes(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++
+        bytes(0, 0, 0, 13) ++ "IHDR".getBytes(StandardCharsets.US_ASCII) ++
+        bytes((w >> 24) & 0xff, (w >> 16) & 0xff, (w >> 8) & 0xff, w & 0xff) ++
+        bytes((h >> 24) & 0xff, (h >> 16) & 0xff, (h >> 8) & 0xff, h & 0xff) ++
+        bytes(depth, ct, 0, 0, 0) ++ bytes(0, 0, 0, 0) ++
+        bytes(0, 0, 0, 2) ++ "IDAT".getBytes(StandardCharsets.US_ASCII) ++
+        bytes(0x78, 0x01) ++ bytes(0, 0, 0, 0) ++
+        bytes(0, 0, 0, 0) ++ "IEND".getBytes(StandardCharsets.US_ASCII) ++
+        bytes(0, 0, 0, 0)
+    assert(MediaCodec.decodePngLuma(hdr(0x10000000, 1, 8, 0)) === None)
+    assert(MediaCodec.decodePngLuma(hdr(0x7fffffff, 2, 8, 2)) === None)
+    // a 1-bit plane within the PACKED-stream budget but 8x over it
+    // unpacked (2^27 x 15 = 1.9GB sample plane) refuses at the
+    // allocation guard, not after a giant malloc
+    assert(MediaCodec.decodePngLuma(hdr(0x08000000, 15, 1, 0)) === None)
+  }
+
+  test("4-component JPEG without APP14 carries plain ink: non-inverted composition") {
+    val px = Array.tabulate(96)(k => ((k * 31 + 5) % 256).toByte)
+    val rows = MediaCodec.pngRows(px.length)
+    val w = 8 * (px.length / rows); val h = 8 * rows
+    val quant = Array.fill(64)(1); quant(0) = 8
+    def tiles(v: Int => Int): Array[Array[Int]] = Array.tabulate(px.length) { i =>
+      val blk = new Array[Int](64); blk(0) = v(i) - 128; blk
+    }
+    // plain (non-Adobe) CMYK: stored C=M=Y = 255 - picture, K = 0 ink
+    val inv = tiles(i => 255 - (px(i) & 0xff))
+    val zeroInk = tiles(_ => 0)
+    val withApp14 = MediaCodec.writeJpegCmyk(w, h, quant, inv, inv, inv, zeroInk, 0)
+    // strip the APP14 segment (16 bytes at offset 2: ff ee 00 0e + 12)
+    assert((withApp14(2) & 0xff) == 0xff && (withApp14(3) & 0xff) == 0xee)
+    val noApp14 = withApp14.take(2) ++ withApp14.drop(18)
+    val out = MediaCodec.decodeJpegLuma(noApp14)
+    assert(out.isDefined, "4-comp without APP14 must still decode")
+    assert(out.get.sameElements(
+      MediaCodec.decodeJpegLuma(MediaCodec.writeJpegTiles(px, rows)).get),
+      "non-Adobe CMYK inverts at composition: the picture comes out upright")
+    // the SAME samples under the Adobe marker decode differently
+    // (inverted convention) — proof the APP14 flag is actually read
+    assert(!MediaCodec.decodeJpegLuma(withApp14).get.sameElements(out.get))
+  }
+
   test("sub-8-bit PNG: 1/2/4-bit gray and palette decode, packed rows, Adam7 too") {
     // gray: sample scaling is left-bit replication (v*255/max)
     for (depth <- Seq(1, 2, 4); (w, h) <- Seq((13, 5), (8, 8), (3, 3), (1, 7))) {

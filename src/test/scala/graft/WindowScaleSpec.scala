@@ -39,6 +39,20 @@ class WindowScaleSpec extends SparkSpec {
     }
   }
 
+  test("the q161 plan guard does not EXECUTE the query at build time") {
+    // finalPhysicalPlan on an unrun adaptive plan materializes every
+    // stage; the guard must inspect without running (the round-14
+    // AdaptivePlans contract) — after building the DataFrame (guard
+    // included), the adaptive root must still be un-finalized
+    val q = graft.queries.RelationalMore.q161WindowPartitioned(spark, sfDir)
+    q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        assert(!a.isFinalPlan,
+          "building q161 must not execute it — the plan guard ran the query")
+      case _ => // non-adaptive plan: nothing to materialize, also fine
+    }
+  }
+
   test("negative control: the unpartitioned reference window DOES single-funnel") {
     val l = graft.core.Lake(spark, sfDir)
     val rev = l.lineitem.groupBy(col("l_partkey"))
