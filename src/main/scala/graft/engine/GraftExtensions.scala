@@ -274,6 +274,13 @@ object GraftFunctions {
           s"nfc_normalize requires exactly 1 argument, got ${es.length}")
         org.apache.spark.sql.graft.NfcNormalize(es.head)
       }),
+    ("ln_fp",
+      "ln_fp(n) - fixed-point ln of a positive integer, scaled by 1e15",
+      (es: Seq[Expression]) => {
+        if (es.length != 1) throw new IllegalArgumentException(
+          s"ln_fp requires exactly 1 argument, got ${es.length}")
+        org.apache.spark.sql.graft.LnFp(es.head)
+      }),
     ("hilbert_index",
       "hilbert_index(bits, c0, c1, ...) - Hilbert-curve index of scaled coordinates",
       (es: Seq[Expression]) => {

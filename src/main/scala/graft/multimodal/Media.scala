@@ -2746,36 +2746,37 @@ object Media {
       .filter(modalityIdx === ModalityIdx(modality))
       .select(col("doc_id"), col("text"))
       .repartition(graft.functions.Scale.par(s), col("text"))
+      .sortWithinPartitions(col("text"))
       .as[(Long, String)]
       .mapPartitions(memoHashRows(_, (text, md) => encode(text, md).flatMap(plane)))
   }
 
-  /** The memo body of the collapse: every row flows through (carrying
-    * its id), the FIRST row of each distinct payload decodes, later
-    * copies are md5-memo hits. Globally decode-once because the
-    * partitioner above co-located equal texts; the memo stores 24-byte
-    * (digest, hash) entries, never payloads or planes. */
+  /** The collapse body: rows arrive co-partitioned AND sorted on the
+    * text column (callers repartition + sortWithinPartitions), so equal
+    * payloads are ADJACENT — the "memo" is just the previous row's
+    * (text, hash), O(1) memory per task no matter how many distinct
+    * payloads a partition holds (the earlier HashMap memo grew linearly
+    * with partition size on a mostly-distinct corpus — exactly the
+    * 100 TB shape the collapse exists for). The first row of each equal
+    * run decodes; the rest reuse the cached hash. Unsorted input stays
+    * CORRECT, only slower: each run of equal texts still decodes once,
+    * cross-run reuse is all that is lost. */
   private def memoHashRows[K](
       rows: Iterator[(K, String)],
       decodeHash: (String, MessageDigest) => Option[Array[Byte]])
       : Iterator[(K, Long)] = {
     val md = MessageDigest.getInstance("MD5")
-    val memo = new java.util.HashMap[String, java.lang.Long]()
+    var prevText: String = null
+    var prevHash: java.lang.Long = null
     rows.flatMap { case (id, text) =>
-      md.reset()
-      val pk = java.util.Base64.getEncoder.encodeToString(
-        md.digest(text.getBytes(StandardCharsets.UTF_8)))
-      val h =
-        if (memo.containsKey(pk)) memo.get(pk)
-        else {
-          val computed = decodeHash(text, md)
-            .filter(_.length >= 66)
-            .map(b => java.lang.Long.valueOf(MediaCodec.dHash60(b)))
-            .orNull
-          memo.put(pk, computed)
-          computed
-        }
-      if (h == null) None else Some((id, h.longValue))
+      if (prevText == null || text != prevText) {
+        prevText = text
+        prevHash = decodeHash(text, md)
+          .filter(_.length >= 66)
+          .map(b => java.lang.Long.valueOf(MediaCodec.dHash60(b)))
+          .orNull
+      }
+      if (prevHash == null) None else Some((id, prevHash.longValue))
     }
   }
 
@@ -2828,6 +2829,7 @@ object Media {
     frames
       .select(col("doc_id"), col("frame_idx"), col("frame_text"))
       .repartition(graft.functions.Scale.par(s), col("frame_text"))
+      .sortWithinPartitions(col("frame_text"))
       .as[(Long, Int, String)]
       .mapPartitions { rows =>
         memoHashRows(rows.map { case (id, k, t) => ((id, k), t) },
@@ -2855,7 +2857,14 @@ object Media {
   /** documents → typed media records: modality assigned round-robin from
     * the numeric source suffix, payload a synthesized container-valid
     * binary (see [[MediaCodec.encodeFor]]). One MessageDigest per
-    * partition — narrow, scan-parallel. */
+    * partition — narrow, scan-parallel. Synthesis-bound guard applied
+    * (encodeForOpt, same as the hash pipelines): a body too long to
+    * tile as a legal JPEG keyframe (~32 KB, 16-bit width field) yields
+    * the RAW body bytes as the payload instead of failing the task —
+    * no container magic matches them (0x89/0xFF cannot start UTF-8
+    * text), so downstream decode classifies the record as container
+    * "unknown", the contract for corrupt corpus members, while
+    * payloadKeys still sees a distinct payload per distinct body. */
   def mediaRecords(documents: DataFrame)(implicit s: SparkSession): Dataset[MediaRecord] = {
     import s.implicits._
     documents
@@ -2869,7 +2878,9 @@ object Media {
       .mapPartitions { rows =>
         val md = MessageDigest.getInstance("MD5")
         rows.map { case (id, text, fmt) =>
-          MediaRecord(id, MediaCodec.encodeFor(fmt, text, md), fmt)
+          val payload = MediaCodec.encodeForOpt(fmt, text, md)
+            .getOrElse(text.getBytes(StandardCharsets.UTF_8))
+          MediaRecord(id, payload, fmt)
         }
       }
   }

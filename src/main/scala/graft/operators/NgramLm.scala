@@ -72,4 +72,44 @@ object NgramLm {
         (sum(col("lp").cast(DecimalType(38, 18))).cast(DoubleType)
           / count(lit(1))).as("avg_logprob"))
   }
+
+  /** FIXED-POINT scoring twin of [[score]] — same model, same joins,
+    * but every log is `ln_fp` (the pinned 10^15-scaled integer atanh
+    * series, [[org.apache.spark.sql.graft.LnFixedPoint]]) so the score
+    * is an int64 a DuckDB oracle reproduces BIT-FOR-BIT — the
+    * hash-comparable form of a log-domain score (`Math.log` doubles
+    * are engine-identical but SQL engines' `ln()` is not).
+    *
+    * Output: `(idCol, n_bigrams, avg_nll_fp)` where avg_nll_fp =
+    * floor(Σ (lnFp(c(a)+V) − lnFp(c(a,b)+1)) / n) — the mean NEGATIVE
+    * log-likelihood, kept positive so every division in the pipeline
+    * is floor-on-nonnegative (identical to truncation, the one
+    * integer-division semantic every engine agrees on). Scale shape:
+    * `ln_fp` runs over the count TABLES (model-sized, broadcast), so
+    * the per-bigram stream does a long subtraction; the per-doc sum
+    * accumulates in DECIMAL(38,0) (a 2000-term document would overflow
+    * an int64 sum of 10^16-scale terms). */
+  def scoreFp(docs: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
+    import org.apache.spark.sql.functions.call_function
+    val v = model.vocabSize
+    // ln over the MODEL tables: O(vocab) evaluations, broadcast after
+    val lnNum = model.bigrams.select(col("a"), col("b"),
+      call_function("ln_fp", col("c_bi") + 1).as("ln_num"))
+    val lnDen = model.unigrams.select(col("tok").as("a"),
+      call_function("ln_fp", col("c_uni") + v).as("ln_den"))
+    // a scored bigram absent from the model: num = lnFp(0+1) = 0,
+    // den = lnFp(0+V) — driver-side constants, not per-row recompute
+    val lnDenMiss = org.apache.spark.sql.graft.LnFixedPoint.lnFp(v)
+    docBigrams(docs, Seq(idCol), textCol)
+      .join(broadcast(lnNum), Seq("a", "b"), "left")
+      .join(broadcast(lnDen), Seq("a"), "left")
+      .select(col(idCol),
+        (coalesce(col("ln_den"), lit(lnDenMiss))
+          - coalesce(col("ln_num"), lit(0L))).as("nll"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        expr("CAST(sum(CAST(nll AS DECIMAL(38,0))) DIV count(1) AS BIGINT)")
+          .as("avg_nll_fp"))
+  }
 }

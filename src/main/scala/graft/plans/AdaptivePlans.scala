@@ -109,6 +109,31 @@ object AdaptivePlans {
           unwrap(c).isInstanceOf[org.apache.spark.sql.execution.SortExec])
     }.sum
 
+  /** STRICT sibling of [[finalPlan]]: the plan AQE actually executed,
+    * REQUIRING that an action already ran — throws on an unrun
+    * adaptive query instead of silently handing back the weaker
+    * initial plan. Absence-of-exchange guards are sound on the initial
+    * plan (AQE only re-plans at exchange boundaries, so it cannot GROW
+    * one); presence/count-style assertions — exchange reuse, broadcast
+    * demotion, AQE coalesce — are NOT: they must opt into this variant
+    * so a forgotten action fails loudly rather than checking a plan
+    * AQE may still rewrite. */
+  def finalizedPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec =>
+        require(a.isFinalPlan,
+          "finalizedPlan: adaptive query has not run — execute an action " +
+            "first (count/collect), or use finalPlan for absence-only guards")
+        a.finalPhysicalPlan
+      case p => p
+    }
+
+  /** [[collectDeep]] over [[finalizedPlan]] — for count/shape
+    * assertions that need the true post-AQE runtime plan. */
+  def collectDeepFinalized[T](df: DataFrame)(
+      pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    collectDeep(finalizedPlan(df))(pf)
+
   /** [[collectDeep]] over a DataFrame's final plan. */
   def collectDeep[T](df: DataFrame)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
     collectDeep(finalPlan(df))(pf)

@@ -281,6 +281,75 @@ object PipelineOps {
        GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""
 
   // --------------------------------------------------------------------
+  // q162 — watermarked STREAM-STREAM interval join, oracle-checked: the
+  // impression→click attribution shape (EventStreams.joinWithin) driven
+  // by a deterministic bounded replay (Trigger.AvailableNow), leftOuter.
+  // Inner rows are every (view, click) pair with click_ts inside
+  // [view_ts, view_ts + 30 min] on the same user; outer rows are the
+  // impressions the final watermark PROVES unconverted — Spark emits a
+  // null-click row only once the watermark passes the impression's match
+  // window, so an impression near the end of the feed (still inside
+  // horizon when the replay ends) is deliberately ABSENT. That horizon
+  // is deterministic: watermark = min over both sides of
+  // (max event-time seen, floored to ms) - 10 min delay, and the oracle
+  // reproduces it arithmetically (epoch_ms flooring included — Spark
+  // tracks event-time stats at millisecond precision). State at scale is
+  // bounded by the interval condition on BOTH sides: one hash exchange
+  // per side on user_id, each side discards buffered rows once the
+  // watermark proves no partner can arrive — O(in-window rows/key),
+  // never O(stream).
+  // --------------------------------------------------------------------
+  def q162StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val sink = s"q162_attrib_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    // two independent streaming scans (not one filtered twice): a
+    // self-joined lineage would need column disambiguation through the
+    // shared source; separate readers keep each side's watermark column
+    // unambiguous
+    val imps = EventStreams.readEvents(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("imp_id"),
+        col("ts").as("imp_ts"))
+    val clicks = EventStreams.readEvents(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val joined = EventStreams.joinWithin(imps, clicks, "user_id",
+      "imp_ts", "click_ts", within = "30 minutes",
+      watermarkDelay = "10 minutes", joinType = "leftOuter")
+    EventStreams.runToMemorySink(joined, sink,
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .select(col("user_id"), col("imp_id"),
+        date_format(col("imp_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("imp_ts"),
+        col("click_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+      .orderBy(col("user_id"), col("imp_id"), col("click_id"))
+  }
+
+  private val q162Oracle =
+    """WITH imp AS (
+         SELECT user_id, event_id AS imp_id, ts AS imp_ts
+         FROM events WHERE event_type = 'view'),
+       clk AS (
+         SELECT user_id, event_id AS click_id, ts AS click_ts
+         FROM events WHERE event_type = 'click'),
+       wm AS (
+         SELECT to_timestamp(
+                  least((SELECT epoch_ms(max(imp_ts)) FROM imp),
+                        (SELECT epoch_ms(max(click_ts)) FROM clk))
+                  / 1000.0) - INTERVAL 10 MINUTE AS w)
+       SELECT i.user_id, i.imp_id,
+              strftime(i.imp_ts, '%Y-%m-%d %H:%M:%S.%f') AS imp_ts,
+              c.click_id,
+              strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+       FROM imp i LEFT JOIN clk c
+         ON i.user_id = c.user_id
+        AND c.click_ts >= i.imp_ts
+        AND c.click_ts <= i.imp_ts + INTERVAL 30 MINUTE
+       WHERE c.click_id IS NOT NULL
+          OR i.imp_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+       ORDER BY i.user_id, i.imp_id, c.click_id"""
+
+  // --------------------------------------------------------------------
   // q78 — ordered funnel analysis (signup → view → purchase, STRICT
   // temporal order with a 24 h per-step conversion window — a view
   // before the signup, or a purchase three days after the qualifying
@@ -3631,6 +3700,7 @@ object PipelineOps {
     "q43_sessionize" -> (q43Sessionize _),
     "q44_medallion_e2e" -> (q44MedallionE2e _),
     "q45_streaming_hourly" -> (q45StreamingHourly _),
+    "q162_stream_stream_join" -> (q162StreamStreamJoin _),
     "q59_session_window" -> (q59SessionWindow _),
     "q64_stream_static_join" -> (q64StreamStaticJoin _),
     "q78_funnel" -> (q78Funnel _),
@@ -3691,6 +3761,7 @@ object PipelineOps {
     "q43_sessionize" -> q43Oracle,
     "q44_medallion_e2e" -> q44Oracle,
     "q45_streaming_hourly" -> q45Oracle,
+    "q162_stream_stream_join" -> q162Oracle,
     "q59_session_window" -> q59Oracle,
     "q64_stream_static_join" -> q64Oracle,
     "q78_funnel" -> q78Oracle,

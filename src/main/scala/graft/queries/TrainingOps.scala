@@ -748,6 +748,7 @@ object TrainingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_prep_v2" -> (q140PrepV2 _),
     "q137_dsir" -> (q137Dsir _),
+    "q163_bigram_lm_fp" -> (q163BigramLmFp _),
     "q144_dsir_resample" -> (q144DsirResample _),
     "q138_quality_classifier" -> (q138QualityClassifier _),
     "q70_stratified_sample" -> (q70StratifiedSample _),
@@ -838,6 +839,86 @@ object TrainingOps {
            (ORDER BY score DESC, doc_id) AS INT) AS rnk FROM scored)
        SELECT doc_id, lang, source, n_tok, score, rnk
        FROM ranked WHERE rnk <= 20 ORDER BY rnk"""
+  }
+
+  // --------------------------------------------------------------------
+  // q163 — bigram-LM quality scores, HASH-CHECKABLE: the CCNet/KenLM
+  // perplexity stage (NgramLm — add-one-smoothed P(b|a), trained on the
+  // corpus, self-scored) with every log computed by the PINNED
+  // fixed-point integer algorithm `ln_fp` (10^15-scaled atanh series,
+  // org.apache.spark.sql.graft.LnFixedPoint) instead of `ln()` — the
+  // double `ln()` is last-ulp engine-dependent, which is why the
+  // Math.log-based NgramLm.score stayed spec-gated; this twin's score
+  // is an int64 DuckDB reproduces bit-for-bit in HUGEINT arithmetic.
+  // Scale shape unchanged from NgramLm: two vocab-sized count
+  // aggregates (map-side partial), ln over the MODEL tables only
+  // (O(vocab) evaluations), two broadcast joins, one doc-keyed partial
+  // aggregate. Output avg_nll_fp = floor(mean −ln P)·10^15 — positive
+  // by construction (c(a,b) ≤ c(a), 1 ≤ V ⇒ every term ≥ 0) so every
+  // division both engines run is floor-on-nonnegative.
+  // --------------------------------------------------------------------
+  def q163BigramLmFp(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.NgramLm
+    val docs = lake(s, dir).documents.select(col("doc_id"), col("text"))
+    val model = NgramLm.fit(docs, "text")
+    NgramLm.scoreFp(docs, "doc_id", "text", model)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DuckDB mirror of [[org.apache.spark.sql.graft.LnFixedPoint]]:
+    * a lateral-alias chain over HUGEINT, applied to a column `x` of
+    * positive integers. Kept as a builder so the pinned constants exist
+    * ONCE in this file. */
+  private def lnFpSql(src: String, keep: String): String = {
+    val S = "1000000000000000"
+    s"""SELECT $keep,
+  length(bin(CAST(x AS BIGINT))) - 1 AS e,
+  (CAST(x AS HUGEINT) * $S) // (CAST(1 AS HUGEINT) << e) AS m,
+  ((m - $S) * $S) // (m + $S) AS z,
+  (z*z) // $S AS z2,
+  z AS p1, (p1*z2)//$S AS p3, (p3*z2)//$S AS p5, (p5*z2)//$S AS p7,
+  (p7*z2)//$S AS p9, (p9*z2)//$S AS p11, (p11*z2)//$S AS p13,
+  (p13*z2)//$S AS p15, (p15*z2)//$S AS p17, (p17*z2)//$S AS p19,
+  (p19*z2)//$S AS p21, (p21*z2)//$S AS p23, (p23*z2)//$S AS p25,
+  (p25*z2)//$S AS p27, (p27*z2)//$S AS p29, (p29*z2)//$S AS p31,
+  CAST(e AS HUGEINT)*693147180559945
+    + 2*(p1//1+p3//3+p5//5+p7//7+p9//9+p11//11+p13//13+p15//15+p17//17
+         +p19//19+p21//21+p23//23+p25//25+p27//27+p29//29+p31//31) AS lnv
+  FROM $src"""
+  }
+
+  private val q163Oracle = {
+    // left joins + coalesce mirror NgramLm.scoreFp's miss semantics
+    // (num → lnFp(1) = 0, den → lnFp(V)) even though self-scoring can
+    // only miss on empty tokens, which this corpus has none of
+    s"""WITH toks AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       uni AS (
+         SELECT tok, count(*) AS c_uni
+         FROM (SELECT unnest(t) AS tok FROM toks)
+         WHERE length(tok) > 0 GROUP BY 1),
+       vc AS (SELECT count(*) AS v FROM uni),
+       big AS (
+         SELECT doc_id, t[i] AS a, t[i+1] AS b
+         FROM toks, unnest(generate_series(1, len(t)-1)) AS s(i)
+         WHERE len(t) >= 2),
+       bic AS (SELECT a, b, count(*) AS c_bi FROM big GROUP BY 1, 2),
+       numx AS (SELECT DISTINCT c_bi, c_bi + 1 AS x FROM bic),
+       denx AS (SELECT DISTINCT c_uni, c_uni + (SELECT v FROM vc) AS x FROM uni
+                UNION SELECT 0 AS c_uni, (SELECT v FROM vc) AS x),
+       ln_num AS (SELECT c_bi, lnv AS ln_num FROM (${lnFpSql("numx", "c_bi")})),
+       ln_den AS (SELECT c_uni, lnv AS ln_den FROM (${lnFpSql("denx", "c_uni")})),
+       terms AS (
+         SELECT g.doc_id,
+                d.ln_den - COALESCE(n.ln_num, 0) AS nll
+         FROM big g
+         LEFT JOIN bic ON g.a = bic.a AND g.b = bic.b
+         LEFT JOIN ln_num n ON n.c_bi = bic.c_bi
+         LEFT JOIN uni ON g.a = uni.tok
+         JOIN ln_den d ON d.c_uni = COALESCE(uni.c_uni, 0))
+       SELECT doc_id, count(*) AS n_bigrams,
+              CAST(sum(CAST(nll AS HUGEINT)) // count(*) AS BIGINT) AS avg_nll_fp
+       FROM terms GROUP BY doc_id ORDER BY doc_id"""
   }
 
   // --------------------------------------------------------------------
@@ -1096,6 +1177,7 @@ object TrainingOps {
   val oracle: Map[String, String] = Map(
     "q140_prep_v2" -> q140Oracle,
     "q137_dsir" -> q137Oracle,
+    "q163_bigram_lm_fp" -> q163Oracle,
     "q144_dsir_resample" -> q144Oracle,
     "q138_quality_classifier" -> q138Oracle,
     "q70_stratified_sample" -> q70Oracle,

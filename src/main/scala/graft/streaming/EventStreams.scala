@@ -78,14 +78,15 @@ object EventStreams {
     * leave the table empty) which is DELETED after termination — without
     * cleanup, every Verify/Bench/spec invocation leaks a listing+state
     * directory under target/tmp forever. */
-  def runToMemorySink(df: DataFrame, sink: String): DataFrame = {
+  def runToMemorySink(df: DataFrame, sink: String,
+      mode: OutputMode = OutputMode.Complete): DataFrame = {
     val spark = df.sparkSession
     val ckpt = new java.io.File(
       s"target/tmp/ckpt_${sink}_${java.util.UUID.randomUUID()}")
     val q = df.writeStream
       .format("memory")
       .queryName(sink)
-      .outputMode(OutputMode.Complete)
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt.getAbsolutePath)
       .start()

@@ -43,8 +43,11 @@ object DataScaleProbe {
     val factor = if (args.length > 1) args(1).toInt else 10
     val repeats = if (args.length > 2) args(2).toInt else 3
     // optional 4th arg: comma-separated probe-query subset — the
-    // 30×/100× decade runs target the two worst exponents without
-    // paying for the whole battery
+    // 30×/52× decade runs target the two worst exponents without
+    // paying for the whole battery (52× is the transform-family
+    // ceiling: 26 Caesar shifts × optional reversal — synth() rejects
+    // a larger factor rather than silently reusing a transform and
+    // collapsing cross-replica distinctness)
     val only = if (args.length > 3) Some(args(3).split(",").toSet) else None
     val spark = graft.core.SparkSessionFactory.local("graft-data-scale-probe")
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
