@@ -245,6 +245,149 @@ object Media {
       writeWav(sampleRate, channels, body, bits = 32, formatCode = 3)
     }
 
+    // --------- MJPEG-in-AVI (a REAL multi-frame video container) -------
+    //
+    // The RIFF grammar is the same one WAV uses (id + LE u32 size +
+    // data, chunks padded to even offsets) — AVI just nests it: the
+    // top level holds LIST chunks whose first 4 data bytes type them
+    // ('hdrl' headers, 'movi' frame data), and each MJPEG frame is a
+    // complete baseline JPEG inside an '00dc' chunk. Until round 15
+    // "video" was a convention (one JPEG keyframe per row); this makes
+    // a video document ONE real container whose frames a plain RIFF
+    // walk recovers — the ingest path a crawl of .avi files needs.
+
+    private def ascii4(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, StandardCharsets.US_ASCII)
+
+    /** Walk an AVI's top-level chunks for the first LIST of `listType`;
+      * returns (dataStart AFTER the 4-byte list type, dataEnd). The
+      * cursor is a Long and every declared size is bounds-checked —
+      * the same hostile-length discipline as [[findWavFmt]] (a negative
+      * or overlong size must refuse, never hang or throw). */
+    private def findAviList(
+        b: Array[Byte], listType: String): Option[(Int, Int)] = {
+      if (b.length < 12 || ascii4(b, 0) != "RIFF" || ascii4(b, 8) != "AVI ")
+        return None
+      var i = 12L
+      while (i + 8 <= b.length) {
+        val id = ascii4(b, i.toInt)
+        val size = le32(b, i.toInt + 4)
+        if (size < 0 || i + 8 + size > b.length) return None
+        if (id == "LIST" && size >= 4 && ascii4(b, i.toInt + 8) == listType)
+          return Some(((i + 12).toInt, (i + 8 + size).toInt))
+        i += 8L + size + (size & 1)
+      }
+      None
+    }
+
+    /** AVI main header: (width, height, totalFrames, usecPerFrame)
+      * from the 'avih' chunk inside LIST hdrl. */
+    def parseAvi(b: Array[Byte]): Option[(Int, Int, Int, Int)] =
+      findAviList(b, "hdrl").flatMap { case (start, end) =>
+        var i = start.toLong
+        while (i + 8 <= end) {
+          val id = ascii4(b, i.toInt)
+          val size = le32(b, i.toInt + 4)
+          if (size < 0 || i + 8 + size > end) return None
+          if (id == "avih") {
+            if (size < 56) return None
+            val at = i.toInt + 8
+            return Some((le32(b, at + 32), le32(b, at + 36),
+              le32(b, at + 16), le32(b, at)))
+          }
+          i += 8L + size + (size & 1)
+        }
+        None
+      }
+
+    /** The movi payloads in stream order: one byte array per '00dc'/
+      * '00db' chunk (MJPEG keyframes — possibly empty for a frame the
+      * writer could not encode; index position is still held). Hostile
+      * sizes refuse with None, exactly like the header walk. */
+    def aviFrames(b: Array[Byte]): Option[Array[Array[Byte]]] =
+      findAviList(b, "movi").flatMap { case (start, end) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var i = start.toLong
+        while (i + 8 <= end) {
+          val id = ascii4(b, i.toInt)
+          val size = le32(b, i.toInt + 4)
+          if (size < 0 || i + 8 + size > end) return None
+          if (id == "00dc" || id == "00db")
+            out += java.util.Arrays.copyOfRange(b, i.toInt + 8, i.toInt + 8 + size)
+          i += 8L + size + (size & 1)
+        }
+        Some(out.toArray)
+      }
+
+    /** A complete MJPEG-in-AVI container from per-frame JPEG payloads:
+      * RIFF('AVI ') { LIST hdrl { avih, LIST strl { strh 'vids'/'MJPG',
+      * strf BITMAPINFOHEADER } }, LIST movi { '00dc' × n }, idx1 } —
+      * every size field real, every chunk even-padded, the idx1 index
+      * flagged AVIIF_KEYFRAME (each MJPEG frame decodes standalone).
+      * Frame dims come from the first parseable frame's JPEG header;
+      * an empty frame element writes a zero-length '00dc' chunk (the
+      * position-preserving convention [[aviFrames]] documents). */
+    def writeAvi(frames: Seq[Array[Byte]],
+        usecPerFrame: Int = 250000): Array[Byte] = {
+      require(frames.nonEmpty, "an AVI needs at least one frame chunk")
+      val (w, h) = frames.iterator.flatMap(parseJpeg(_)).nextOption()
+        .getOrElse((0, 0))
+      val maxFrame = frames.map(_.length).max
+      val n = frames.length
+      val le = java.nio.ByteOrder.LITTLE_ENDIAN
+      def fcc(bb: java.nio.ByteBuffer, s: String): Unit =
+        bb.put(s.getBytes(StandardCharsets.US_ASCII))
+
+      val strh = java.nio.ByteBuffer.allocate(56).order(le)
+      fcc(strh, "vids"); fcc(strh, "MJPG")
+      strh.putInt(0).putShort(0).putShort(0).putInt(0)
+      strh.putInt(usecPerFrame).putInt(1000000) // scale/rate = frame period
+      strh.putInt(0).putInt(n).putInt(maxFrame).putInt(-1).putInt(0)
+      strh.putShort(0).putShort(0) // rcFrame left, top
+      strh.putShort(w.toShort).putShort(h.toShort)
+
+      val strf = java.nio.ByteBuffer.allocate(40).order(le)
+      strf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      fcc(strf, "MJPG")
+      strf.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+
+      val avih = java.nio.ByteBuffer.allocate(56).order(le)
+      avih.putInt(usecPerFrame).putInt(0).putInt(0)
+      avih.putInt(0x10) // AVIF_HASINDEX
+      avih.putInt(n).putInt(0).putInt(1).putInt(maxFrame)
+      avih.putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+
+      val strlData = 4 + 8 + 56 + 8 + 40
+      val hdrlData = 4 + 8 + 56 + 8 + strlData
+      val moviData = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+      val idxData = 16 * n
+      val fileLen = 12 + (8 + hdrlData) + (8 + moviData) + (8 + idxData)
+
+      val bb = java.nio.ByteBuffer.allocate(fileLen).order(le)
+      fcc(bb, "RIFF"); bb.putInt(fileLen - 8); fcc(bb, "AVI ")
+      fcc(bb, "LIST"); bb.putInt(hdrlData); fcc(bb, "hdrl")
+      fcc(bb, "avih"); bb.putInt(56); bb.put(avih.array())
+      fcc(bb, "LIST"); bb.putInt(strlData); fcc(bb, "strl")
+      fcc(bb, "strh"); bb.putInt(56); bb.put(strh.array())
+      fcc(bb, "strf"); bb.putInt(40); bb.put(strf.array())
+      fcc(bb, "LIST"); bb.putInt(moviData); fcc(bb, "movi")
+      val offsets = new Array[Int](n)
+      var off = 4 // idx1 offsets are relative to the 'movi' fourcc
+      frames.zipWithIndex.foreach { case (f, k) =>
+        offsets(k) = off
+        fcc(bb, "00dc"); bb.putInt(f.length); bb.put(f)
+        if ((f.length & 1) == 1) bb.put(0.toByte)
+        off += 8 + f.length + (f.length & 1)
+      }
+      fcc(bb, "idx1"); bb.putInt(idxData)
+      frames.zipWithIndex.foreach { case (f, k) =>
+        fcc(bb, "00dc")
+        bb.putInt(0x10) // AVIIF_KEYFRAME
+        bb.putInt(offsets(k)).putInt(f.length)
+      }
+      bb.array()
+    }
+
     // --------- real PNG pixel encode/decode (zlib + scanline filters) ---
 
     /** Scanline rows used for a plane of `len` pixels: the largest of
@@ -719,8 +862,15 @@ object Media {
           case None => parseWav(b) match {
             case Some((rate, ch, _)) =>
               MediaMeta(r.doc_id, b.length, "wav", None, None, Some(rate), Some(ch), r.fmt)
-            case None =>
-              MediaMeta(r.doc_id, b.length, "unknown", None, None, None, None, r.fmt)
+            case None => parseAvi(b) match {
+              case Some((w, h, nFrames, usec)) =>
+                // channels ≡ frame count, sample_rate ≡ fps — the two
+                // stream-shape slots a video fills in this flat meta row
+                MediaMeta(r.doc_id, b.length, "avi", Some(w), Some(h),
+                  Some(if (usec > 0) 1000000 / usec else 0), Some(nFrames), r.fmt)
+              case None =>
+                MediaMeta(r.doc_id, b.length, "unknown", None, None, None, None, r.fmt)
+            }
           }
         }
       }
@@ -2839,6 +2989,54 @@ object Media {
       }
   }
 
+  /** One REAL MJPEG-in-AVI container per video from its keyframe texts:
+    * each text encodes to a standalone baseline JPEG (the exact bytes
+    * [[videoFrameHashes]] hashes), assembled by [[MediaCodec.writeAvi]]
+    * into a single RIFF container. A text too long to tile (the
+    * encodeForOpt guard) holds its frame POSITION as a zero-length
+    * chunk. Narrow — each video's container derives from one input
+    * row, no shuffle. */
+  def aviFromFrameTexts(texts: Seq[String], md: MessageDigest): Array[Byte] =
+    MediaCodec.writeAvi(texts.map(t =>
+      MediaCodec.encodeForOpt("video", t, md).getOrElse(Array.emptyByteArray)))
+
+  /** Per-keyframe perceptual hashes from REAL AVI containers: the RIFF
+    * walk recovers each '00dc' JPEG, which REALLY decodes (Huffman +
+    * dequant + IDCT → block means) and dHashes — (doc_id, frame_idx,
+    * h). The frame index is the movi stream position, so temporal
+    * alignment survives the container round trip. Same distinct-
+    * payload collapse as [[videoFrameHashes]], keyed on the frame
+    * BYTES: equal frames co-locate (hash-partition on the binary
+    * column) and sort adjacent, so each distinct keyframe decodes
+    * once per task with O(1) memo state. */
+  def aviFrameHashes(avis: Dataset[(Long, Array[Byte])])(
+      implicit s: SparkSession): Dataset[(Long, Int, Long)] = {
+    import s.implicits._
+    avis
+      .flatMap { case (id, b) =>
+        MediaCodec.aviFrames(b).iterator.flatMap(_.iterator.zipWithIndex)
+          .map { case (f, k) => (id, k, f) }
+      }
+      .toDF("doc_id", "frame_idx", "frame")
+      .repartition(graft.functions.Scale.par(s), col("frame"))
+      .sortWithinPartitions(col("frame"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        var prev: Array[Byte] = null
+        var prevHash: java.lang.Long = null
+        rows.flatMap { case (id, k, bytes) =>
+          if (prev == null || !java.util.Arrays.equals(bytes, prev)) {
+            prev = bytes
+            prevHash = MediaCodec.decodeJpegBlockMeans(bytes)
+              .filter(_.length >= 66)
+              .map(p => java.lang.Long.valueOf(MediaCodec.dHash60(p)))
+              .orNull
+          }
+          if (prevHash == null) None else Some((id, k, prevHash.longValue))
+        }
+      }
+  }
+
   /** Exact payload identity key: md5 over the REAL container bytes
     * (not the text) — the first stage of the composed media dedup.
     * Returns (doc_id, fmt, pkey). */
@@ -2920,6 +3118,7 @@ object Media {
             case "png" => "image"
             case "jpg" | "jpeg" => "image"
             case "wav" => "audio"
+            case "avi" => "video"
             case other => other
           }
           MediaRecord(MediaCodec.hash60(

@@ -3210,7 +3210,11 @@ object PipelineOps {
   // keyframes (4 per video, frame k = the text rotated left 5k chars —
   // deterministic, length-preserving), each frame written as a real
   // baseline JPEG payload, REALLY decoded back (Huffman + dequant +
-  // IDCT → block means, round 13) and dHash'd. Pairs are scored
+  // IDCT → block means, round 13) and dHash'd. ROUND 15: the frames
+  // live inside ONE REAL MJPEG-in-AVI container per video
+  // (MediaCodec.writeAvi — RIFF hdrl/movi/idx1 with true sizes) and
+  // are recovered by the hostile-length-guarded RIFF walk before
+  // decode, so the whole pipeline runs container-in, not convention-in. Pairs are scored
   // temporally-aligned: candidate frames band-join WITHIN a frame
   // index, a pair reports n_match = #frames at Hamming ≤ 3 and
   // surfaces at n_match ≥ 2 of 4 (majority-ish sequence evidence — a
@@ -3228,28 +3232,37 @@ object PipelineOps {
   // --------------------------------------------------------------------
   def q158VideoSequenceNearDup(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
+    import s.implicits._
     val vids = lake(s, dir).documents
       .filter((substring(col("source"), 4, 10).cast("int") % 3) === 2)
-      .select(col("doc_id"), col("text"))
-    val pert = reverse(col("text"))
-    def rot(t: Column, kCol: Column): Column =
-      (0 to 3).foldLeft(lit(null).cast(StringType)) { (acc, k) =>
-        coalesce(acc, when(kCol === k,
-          concat(substring(t, 5 * k + 1, Int.MaxValue), substring(t, 1, 5 * k))))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // SQL-substr rotation semantics (the oracle's concat/substr pair):
+    // an offset at/past the length leaves the text unrotated
+    def rot(t: String, k: Int): String = {
+      val off = 5 * k
+      if (off >= t.length) t else t.substring(off) + t.substring(0, off)
+    }
+    // ROUND 15: each video is ONE REAL MJPEG-in-AVI container — the 4
+    // keyframe JPEGs assembled by a genuine RIFF writer, then recovered
+    // by the RIFF walk (Media.aviFrameHashes) before decode. Narrow:
+    // every container derives from its one document row, so synthesis
+    // adds no shuffle; the fixture copies keep the round-13 shape
+    // (every 7th video, frame doc_id%4 replaced by the reversed text).
+    val avis = vids.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { case (id, text) =>
+        val base = (id,
+          Media.aviFromFrameTexts((0 to 3).map(k => rot(text, k)), md))
+        if (id % 7 == 0) {
+          val p = text.reverse
+          val pert = (id + 1000000L, Media.aviFromFrameTexts(
+            (0 to 3).map(k => rot(if (k == (id % 4).toInt) p else text, k)), md))
+          Iterator(base, pert)
+        } else Iterator.single(base)
       }
-    val ks = explode(array((0 to 3).map(lit(_)): _*)).as("frame_idx")
-    val baseFrames = vids.select(col("doc_id"), ks, col("text"))
-      .select(col("doc_id"), col("frame_idx"),
-        rot(col("text"), col("frame_idx")).as("frame_text"))
-    val pertFrames = vids.filter(col("doc_id") % 7 === 0)
-      .select(col("doc_id"), ks, col("text"))
-      .withColumn("ft",
-        rot(when(col("frame_idx") === col("doc_id") % 4, pert)
-          .otherwise(col("text")), col("frame_idx")))
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("frame_idx"),
-        col("ft").as("frame_text"))
+    }
     val members = graft.core.CacheScope.cached(
-      Media.videoFrameHashes(baseFrames.unionByName(pertFrames))
+      Media.aviFrameHashes(avis)
         .toDF("doc_id", "k", "h")
         .repartition(Scale.par(s), col("k"), col("h")))
     val distinctKH = members.select("k", "h").distinct()
