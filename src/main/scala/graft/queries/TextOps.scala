@@ -1058,6 +1058,45 @@ object TextOps {
        GROUP BY doc_id ORDER BY doc_id"""
 
   // --------------------------------------------------------------------
+  // q164 — EXACT shared-span dedup (graft.operators.ExactSpans), the
+  // step past q112's windowed approximation: every MAXIMAL cross-doc
+  // shared span of ≥ 40 chars, with exact 1-based positions and
+  // lengths — what Lee et al.'s suffix-array pass computes, here as
+  // winnowing candidate generation (guaranteed detection at the 40 =
+  // w + k − 1 threshold) + an exact per-candidate-pair diagonal-island
+  // scan. The oracle enumerates ALL 40-gram equality matches and
+  // merges them per (pair, diagonal) — brute force, no candidates —
+  // so a winnowing recall bug cannot hide. No pairwise corpus stage:
+  // fingerprint equi-join + O(matches) per surviving pair.
+  // --------------------------------------------------------------------
+  def q164ExactSpans(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    graft.operators.ExactSpans.sharedSpans(
+      lake(s, dir).documents, "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+  }
+
+  private val q164Oracle =
+    """WITH g AS (
+         SELECT doc_id, i, substr(text, CAST(i AS INT), 40) AS gram
+         FROM documents, unnest(generate_series(1, strlen(text) - 39)) AS s(i)
+         WHERE strlen(text) >= 40),
+       m AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ai, b.i AS bi,
+                a.i - b.i AS diag
+         FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       isl AS (
+         SELECT doc_a, doc_b, diag, ai, bi,
+                ai - row_number() OVER (
+                  PARTITION BY doc_a, doc_b, diag ORDER BY ai) AS grp
+         FROM m)
+       SELECT doc_a, doc_b, CAST(min(ai) AS BIGINT) AS a_start,
+              CAST(min(bi) AS BIGINT) AS b_start,
+              CAST(max(ai) - min(ai) + 40 AS BIGINT) AS span_len
+       FROM isl GROUP BY doc_a, doc_b, diag, grp
+       ORDER BY doc_a, doc_b, a_start, b_start"""
+
+  // --------------------------------------------------------------------
   // q115 — inverted-index build (graft.operators.InvertedIndex): term →
   // df / corpus tf / first-8 posting list. Two uniform-key shuffles;
   // posting arrays capped per term BEFORE collection (rank filter →
@@ -1302,7 +1341,8 @@ object TextOps {
     "q77_neardup_components" -> (q77NearDupComponents _),
     "q83_index_neardup" -> (q83IndexNearDup _),
     "q87_redact" -> (q87Redact _),
-    "q112_shared_spans" -> (q112SharedSpans _))
+    "q112_shared_spans" -> (q112SharedSpans _),
+    "q164_exact_spans" -> (q164ExactSpans _))
 
   val oracle: Map[String, String] = Map(
     "q135_source_cap" -> q135Oracle,
@@ -1329,5 +1369,6 @@ object TextOps {
     "q77_neardup_components" -> q77Oracle,
     "q83_index_neardup" -> q83Oracle,
     "q87_redact" -> q87Oracle,
-    "q112_shared_spans" -> q112Oracle)
+    "q112_shared_spans" -> q112Oracle,
+    "q164_exact_spans" -> q164Oracle)
 }
