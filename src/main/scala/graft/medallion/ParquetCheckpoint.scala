@@ -78,6 +78,8 @@ private[graft] object ParquetCheckpoint {
     b.optional(BINARY).as(string).named("dv")
     b.optional(INT64).named("dvn")
     b.optional(INT64).named("v")
+    b.optional(INT64).named("rid")
+    b.optional(org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BOOLEAN).named("ridm")
     schema.fields.indices.foreach { i =>
       b.optional(DOUBLE).named(s"nmin_$i")
       b.optional(DOUBLE).named(s"nmax_$i")
@@ -136,6 +138,8 @@ private[graft] object ParquetCheckpoint {
           a.dv.foreach(g.append("dv", _))
           if (a.dv.isDefined) g.append("dvn", a.dvRows)
           vOpt.foreach(g.append("v", _))
+          a.baseRowId.foreach(g.append("rid", _))
+          if (a.ridMaterialized) g.append("ridm", true)
           var i = 0
           while (i < physOf.length) {
             a.stats.get(physOf(i)).foreach { cs =>
@@ -180,7 +184,13 @@ private[graft] object ParquetCheckpoint {
           val stats = TxLog.parseStats(JsonMethods.parse(g.getString("stats", 0)))
           val a = TxLog.AddFile(p,
             lng(g, "rows").getOrElse(0L), lng(g, "bytes").getOrElse(0L),
-            stats, str(g, "dv"), lng(g, "dvn").getOrElse(0L))
+            stats, str(g, "dv"), lng(g, "dvn").getOrElse(0L),
+            // pre-tracking checkpoints lack the columns entirely —
+            // getFieldRepetitionCount throws on an unknown field name
+            if (g.getType.containsField("rid")) lng(g, "rid") else None,
+            g.getType.containsField("ridm") &&
+              g.getFieldRepetitionCount("ridm") > 0 &&
+              g.getBoolean("ridm", 0))
           adds += a
           lng(g, "v").foreach(addVersions += p -> _)
         }

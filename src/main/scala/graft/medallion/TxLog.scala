@@ -115,7 +115,15 @@ object TxLog {
     * instead — DVs stay metadata-sized by construction. */
   final case class AddFile(
       path: String, rows: Long, bytes: Long, stats: Map[String, ColStats],
-      dv: Option[String] = None, dvRows: Long = 0L) {
+      dv: Option[String] = None, dvRows: Long = 0L,
+      /** Row-tracking: first row id of this file's VIRTUAL assignment
+        * (row id = baseRowId + physical row index); None on files from
+        * untracked tables or written before tracking was enabled. */
+      baseRowId: Option[Long] = None,
+      /** Row-tracking: the file carries a materialized
+        * [[TxLog.RowIdPhysCol]] column (written by a rewrite); readers
+        * prefer it, falling back to baseRowId + index where null. */
+      ridMaterialized: Boolean = false) {
     /** Rows a reader actually sees: physical rows minus DV'd rows. */
     def effectiveRows: Long = rows - dvRows
   }
@@ -142,7 +150,11 @@ object TxLog {
       /** Free-form table properties (e.g. [[TxLog.BloomColumnsProp]]);
         * full-replacement action like constraints, absent on tables
         * that never set one (no format bump). */
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      /** Row-tracking high watermark: the first row id a future
+        * assignment may use (monotone max over replayed commits' `hwm`
+        * info fields; 0 on tables that never assigned one). */
+      rowIdWatermark: Long = 0L) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -382,6 +394,58 @@ object TxLog {
     * `delta.enableChangeDataFeed`). */
   private[graft] val CdfEnabledProp = "cdf.enabled"
   private[graft] val ChangeDir = "_change"
+
+  // -------------------------------------------------------- row tracking
+  // Delta-style ROW TRACKING (opt-in via the `rowTracking` table
+  // property): every row carries a STABLE 64-bit id that survives
+  // compaction, z-order, and copy-on-write rewrites.
+  //
+  //   - Appends assign ids VIRTUALLY: each new AddFile records a
+  //     `baseRowId`, and row id = base + physical row index — zero data
+  //     bytes, the Delta "fresh row id" shape. The table-level high
+  //     watermark rides each assigning commit's info line (`hwm`) and
+  //     resolves as the max over replayed commits, so ranges are never
+  //     reused even after the assigning files are compacted away.
+  //   - Row-preserving rewrites (compact / z-order / DV purge) read the
+  //     sources WITH their ids and MATERIALIZE them into the rewritten
+  //     files as a physical `_graft_row_id` column (outside the table
+  //     schema — explicit-schema readers never see it). Such rewrites
+  //     allocate nothing, so the rebase-over-concurrent-appends path
+  //     stays sound.
+  //   - Copy-on-write row-level DML (SQL UPDATE) carries each row's id
+  //     through Spark's rewrite plan as a preserved metadata column and
+  //     materializes it into the replacement files; replacement adds
+  //     ALSO get a fresh baseRowId, so rows whose materialized id is
+  //     null (e.g. MERGE-inserted) fall back to base + index — fresh
+  //     unique ids, the coalesce convention the scan implements.
+  //   - Readers serve `_row_id` = coalesce(materialized column,
+  //     baseRowId + row index, null). Files with neither (written
+  //     before tracking was enabled, or by a path that does not yet
+  //     preserve — e.g. the keyed upsert rewrite) read as null rather
+  //     than failing: honest degradation, never wrong ids.
+  //
+  // MOR deletes need no handling at all: the file's bytes are immutable
+  // and DV'd rows still advance the row index, so surviving ids never
+  // shift.
+  private[graft] val RowTrackingProp = "rowTracking"
+  /** The materialized row-id column's PHYSICAL name in data files. */
+  private[graft] val RowIdPhysCol = "_graft_row_id"
+
+  private[graft] def rowTrackingEnabled(snap: Snapshot): Boolean =
+    snap.props.get(RowTrackingProp).contains("true")
+
+  /** Assign base row ids to fresh adds from the watermark; returns the
+    * assigned adds and the new watermark (= the commit's `hwm`). */
+  private[graft] def assignBaseRowIds(
+      adds: Seq[AddFile], watermark: Long): (Seq[AddFile], Long) = {
+    var next = watermark
+    val assigned = adds.map { a =>
+      val withBase = a.copy(baseRowId = Some(next))
+      next += a.rows
+      withBase
+    }
+    (assigned, next)
+  }
   // ---------------------------------------------------- generated columns
   // Delta-style GENERATED ALWAYS AS: the table property
   // `generated.<col> = <sql expr>` declares <col> computed from the
@@ -607,6 +671,11 @@ object TxLog {
       "stats" -> statsToJson(a.stats)) ++
       a.dv.map(b => "dv" -> (JString(b): JValue)).toList ++
       (if (a.dv.isDefined) List("dvn" -> (JLong(a.dvRows): JValue)) else Nil) ++
+      // row tracking: extra FIELDS on the add action, not a new action
+      // — readers that ignore them simply serve no _row_id, never
+      // wrong rows (the same confinement as the info line's ts)
+      a.baseRowId.map(b => "rid" -> (JLong(b): JValue)).toList ++
+      (if (a.ridMaterialized) List("ridm" -> (JBool(true): JValue)) else Nil) ++
       // provenance: which commit originally added the file. Always in
       // checkpoints; in LIVE commits only when the commit re-adds a path
       // it did not originate (a DV update must not re-attribute the
@@ -639,7 +708,9 @@ object TxLog {
     val m = o.obj.toMap
     val stats = m.get("stats").map(parseStats).getOrElse(Map.empty[String, ColStats])
     (AddFile(str(m("path")), lng(m("rows")), lng(m("bytes")), stats,
-      m.get("dv").map(str), m.get("dvn").map(lng).getOrElse(0L)),
+      m.get("dv").map(str), m.get("dvn").map(lng).getOrElse(0L),
+      m.get("rid").map(lng),
+      m.get("ridm").exists { case JBool(b) => b; case _ => false }),
       m.get("v").map(lng))
   }
 
@@ -736,9 +807,11 @@ object TxLog {
       props: Option[Map[String, String]] = None,
       cdc: Seq[(String, Long)] = Nil,
       cdcFull: Seq[String] = Nil,
-      mergeKey: Option[String] = None): String =
+      mergeKey: Option[String] = None,
+      rowIdWatermark: Option[Long] = None): String =
     renderCommitLines(op, readVersion, schemaJson, adds, removes, txns,
-      addVersions, constraints, tsMillis, props, cdc, cdcFull, mergeKey)
+      addVersions, constraints, tsMillis, props, cdc, cdcFull, mergeKey,
+      rowIdWatermark)
       .mkString("\n")
 
   /** ONLY the meta lines (info/protocol/schema/constraints/props/txns)
@@ -749,10 +822,11 @@ object TxLog {
       op: String, readVersion: Long, schemaJson: Option[String],
       adds: Iterable[AddFile], txns: Map[String, Long],
       constraints: Option[Map[String, String]],
-      props: Option[Map[String, String]]): List[String] =
+      props: Option[Map[String, String]],
+      rowIdWatermark: Option[Long] = None): List[String] =
     metaJsons(op, readVersion, schemaJson, adds, txns, constraints,
       tsMillis = None, props = props, cdc = Nil, cdcFull = Nil,
-      mergeKey = None)
+      mergeKey = None, rowIdWatermark = rowIdWatermark)
       .map(j => JsonMethods.compact(JsonMethods.render(j)))
 
   private def metaJsons(
@@ -763,7 +837,8 @@ object TxLog {
       props: Option[Map[String, String]],
       cdc: Seq[(String, Long)],
       cdcFull: Seq[String],
-      mergeKey: Option[String]): List[JObject] =
+      mergeKey: Option[String],
+      rowIdWatermark: Option[Long] = None): List[JObject] =
       JObject(("a" -> JString("info")) :: ("op" -> JString(op)) ::
         ("readVersion" -> JLong(readVersion)) ::
         // wall-clock commit time, for TIMESTAMP AS OF resolution. An
@@ -777,7 +852,11 @@ object TxLog {
           // extra-info-field confinement as ts. Lets the change feed
           // re-pair a commit's delete+insert rows into
           // update_preimage/update_postimage on request.
-          mergeKey.toList.map(k => "key" -> (JString(k): JValue)))) ::
+          mergeKey.toList.map(k => "key" -> (JString(k): JValue)) ++
+          // row-id high watermark after this commit's assignments —
+          // same extra-info-field confinement; checkpoints carry the
+          // snapshot's watermark so truncation never loses it
+          rowIdWatermark.toList.map(w => "hwm" -> (JLong(w): JValue)))) ::
       // protocol line FIRST among actions: a reader missing a feature
       // fails on the NAME before tripping over the gated action itself
       { val req = requiredFeatures(op, schemaJson, adds, constraints, props,
@@ -817,9 +896,11 @@ object TxLog {
       props: Option[Map[String, String]] = None,
       cdc: Seq[(String, Long)] = Nil,
       cdcFull: Seq[String] = Nil,
-      mergeKey: Option[String] = None): Iterator[String] = {
+      mergeKey: Option[String] = None,
+      rowIdWatermark: Option[Long] = None): Iterator[String] = {
     val meta: List[JObject] = metaJsons(op, readVersion, schemaJson, adds,
-      txns, constraints, tsMillis, props, cdc, cdcFull, mergeKey)
+      txns, constraints, tsMillis, props, cdc, cdcFull, mergeKey,
+      rowIdWatermark)
     def line(j: JObject): String = JsonMethods.compact(JsonMethods.render(j))
     meta.iterator.map(line) ++
       adds.iterator.map(a => line(addToJson(a, addVersions.get(a.path)))) ++
@@ -857,7 +938,10 @@ object TxLog {
         * commit's deletes (metadata-only drops under cdf.enabled) */
       cdcFull: Seq[String] = Nil,
       /** the upsert's merge-key column (logical name at commit time) */
-      mergeKey: Option[String] = None)
+      mergeKey: Option[String] = None,
+      /** row-id high watermark AFTER this commit's assignments (info
+        * line `hwm`); absent on commits that allocate no row ids */
+      rowIdWatermark: Option[Long] = None)
 
   private[medallion] def parseCommit(content: String): Commit = {
     var op = "unknown"; var schema: Option[String] = None
@@ -870,6 +954,7 @@ object TxLog {
     val cdc = Seq.newBuilder[(String, Long)]
     val cdcFull = Seq.newBuilder[String]
     var mk: Option[String] = None
+    var hwm: Option[Long] = None
     content.linesIterator.filter(_.nonEmpty).foreach { line =>
       val o = JsonMethods.parse(line).asInstanceOf[JObject]
       val m = o.obj.toMap
@@ -878,6 +963,7 @@ object TxLog {
           op = str(m("op"))
           ts = m.get("ts").map(lng)
           mk = m.get("key").map(str)
+          hwm = m.get("hwm").map(lng)
         case "schema" => schema = Some(str(m("json")))
         case "add" | "add-dv" =>
           val (a, v) = parseAdd(o)
@@ -908,7 +994,7 @@ object TxLog {
       }
     }
     Commit(op, schema, adds.result(), removes.result(), txns, addVs, cons, ts,
-      prp, cdc.result(), cdcFull.result(), mk)
+      prp, cdc.result(), cdcFull.result(), mk, hwm)
   }
 
   // ------------------------------------ parsed-checkpoint cache (JVM)
@@ -1109,22 +1195,30 @@ object TxLog {
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .map(parquetCoarsePredicate(_, constraints))
       .getOrElse(lit(true))
-    spark.read.parquet(checkpointPath)
+    val cpDf = spark.read.parquet(checkpointPath)
+    // row-tracking columns: absent on pre-tracking checkpoints — select
+    // typed nulls/false so one decode shape serves both generations
+    val ridCol = if (cpDf.columns.contains("rid")) col("rid")
+      else lit(null).cast("long").as("rid")
+    val ridmCol = if (cpDf.columns.contains("ridm"))
+      coalesce(col("ridm"), lit(false))
+      else lit(false).as("ridm")
+    cpDf
       .filter(col("meta").isNull && coarse)
       .select(col("path"), col("rows"), col("bytes"), col("stats"),
-        col("dv"), col("dvn"), col("v"))
+        col("dv"), col("dvn"), col("v"), ridCol, ridmCol)
       .as[(String, Option[Long], Option[Long], String,
-        Option[String], Option[Long], Option[Long])]
+        Option[String], Option[Long], Option[Long], Option[Long], Boolean)]
       .rdd // survivors collect as constructed AddFiles: stats JSON
       //      parses ONCE, executor-side, not again on the driver
       .mapPartitions { it =>
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-        it.flatMap { case (p, r, b, statsJson, dv, dvn, vOpt) =>
+        it.flatMap { case (p, r, b, statsJson, dv, dvn, vOpt, rid, ridm) =>
           if (excluded.contains(p)) None
           else {
             val stats = parseStats(JsonMethods.parse(statsJson))
             val a = AddFile(p, r.getOrElse(0L), b.getOrElse(0L), stats,
-              dv, dvn.getOrElse(0L))
+              dv, dvn.getOrElse(0L), rid, ridm)
             if (constraints.forall { case (phys, loS, hiS, loR, hiR) =>
               stats.get(phys).forall(_.overlaps(loS, hiS)) &&
                 PartitionSpec.admits(sch, a, phys, loR, hiR)
@@ -1286,6 +1380,7 @@ final class GraftTable(val tablePath: String) {
     var addedIn = Map.empty[String, Long]
     var cons = Map.empty[String, String]
     var prps = Map.empty[String, String]
+    var hwm = 0L
     cp.foreach { cv =>
       // parse caches: the same checkpoint parses once per JVM — repeated
       // resolution against an unchanged table costs one read + cache hit
@@ -1301,6 +1396,7 @@ final class GraftTable(val tablePath: String) {
       txns ++= c.txns
       c.constraints.foreach(cons = _)
       c.props.foreach(prps = _)
+      c.rowIdWatermark.foreach(w => hwm = math.max(hwm, w))
     }
     var v = cp.getOrElse(0L) + 1
     while (v <= target) {
@@ -1323,12 +1419,13 @@ final class GraftTable(val tablePath: String) {
         if (txns.get(app).forall(_ < b)) txns += (app -> b) }
       c.constraints.foreach(cons = _)
       c.props.foreach(prps = _)
+      c.rowIdWatermark.foreach(w => hwm = math.max(hwm, w))
       v += 1
     }
     require(schemaJson != null || live.isEmpty,
       s"txlog: no schema action found resolving version $target")
     Snapshot(target, Option(schemaJson).getOrElse(new StructType().json),
-      live.values.toSeq, txns, addedIn, cons, prps)
+      live.values.toSeq, txns, addedIn, cons, prps, hwm)
   }
 
   /** Read the table at `version` (default head). The scan is a plain
@@ -1479,6 +1576,7 @@ final class GraftTable(val tablePath: String) {
     var txns = metaCp.txns
     var cons = metaCp.constraints.getOrElse(Map.empty[String, String])
     var prps = metaCp.props.getOrElse(Map.empty[String, String])
+    var hwm = metaCp.rowIdWatermark.getOrElse(0L)
     // phase 2: suffix replay — per-path LAST action wins
     // (LinkedHashMap: insertion-ordered, O(1) update — see snapshot())
     val delta = scala.collection.mutable.LinkedHashMap
@@ -1498,6 +1596,7 @@ final class GraftTable(val tablePath: String) {
         if (txns.get(app).forall(_ < b)) txns += (app -> b) }
       c.constraints.foreach(cons = _)
       c.props.foreach(prps = _)
+      c.rowIdWatermark.foreach(w => hwm = math.max(hwm, w))
       v += 1
     }
     require(schemaJson != null,
@@ -1540,7 +1639,8 @@ final class GraftTable(val tablePath: String) {
         live += (p -> a); addedIn += (p -> av)
       }
     }
-    Snapshot(target, schemaJson, live.values.toSeq, txns, addedIn, cons, prps)
+    Snapshot(target, schemaJson, live.values.toSeq, txns, addedIn, cons, prps,
+      hwm)
   }
 
   /** Absolute path of a live file (add paths are table-root-relative). */
@@ -1690,6 +1790,43 @@ final class GraftTable(val tablePath: String) {
       .join(pos, Seq("__dv_file", "__dv_idx"), "left_anti")
       .select(cols: _*)
     if (clean.isEmpty) surviving else plain(clean).unionAll(surviving)
+  }
+
+  /** [[readPhysicalFiles]] with each row's STABLE row id attached as a
+    * trailing [[TxLog.RowIdPhysCol]] long column: the file's
+    * materialized id column when present (the parquet read null-fills
+    * files lacking it), else baseRowId + physical row index, else null
+    * (pre-tracking file — honest degradation). DV'd rows drop AFTER
+    * their positions counted, so surviving ids never shift. One scan +
+    * one broadcast name-join against the metadata-sized base map. */
+  private[graft] def readPhysicalFilesWithRowIds(
+      spark: SparkSession, physSchema: StructType,
+      files: Seq[AddFile]): DataFrame = {
+    import spark.implicits._
+    require(!physSchema.fieldNames.contains(RowIdPhysCol),
+      s"txlog: physical schema already claims $RowIdPhysCol")
+    val readSchema = StructType(physSchema.fields :+
+      StructField(RowIdPhysCol, LongType, nullable = true))
+    val raw = spark.read.schema(readSchema)
+      .parquet(files.map(a => root.resolve(a.path).toString): _*)
+      .withColumn("__rt_file",
+        substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("__rt_idx", col("_metadata.row_index"))
+    val bases = files.map(a => (a.path, a.baseRowId))
+      .toDF("__rt_file", "__rt_base")
+    val withId = raw.join(broadcast(bases), Seq("__rt_file"), "left")
+      .withColumn(RowIdPhysCol,
+        coalesce(col(s"`$RowIdPhysCol`"), col("__rt_base") + col("__rt_idx")))
+    val dvd = files.filter(_.dv.isDefined)
+    val survived =
+      if (dvd.isEmpty) withId
+      else withId.join(
+        positionsDf(spark, dvd.map(a =>
+          a.path -> java.util.Base64.getDecoder.decode(a.dv.get)))
+          .toDF("__rt_file", "__rt_idx"),
+        Seq("__rt_file", "__rt_idx"), "left_anti")
+    survived.select(physSchema.fields.toIndexedSeq.map(f =>
+      col(s"`${f.name}`")) :+ col(s"`$RowIdPhysCol`"): _*)
   }
 
   // ------------------------------------------------- change data feed
@@ -1983,10 +2120,12 @@ final class GraftTable(val tablePath: String) {
 
   /** Columns that get min/max stats: primitive orderable types only. */
   private def statsColumns(schema: StructType): Seq[StructField] =
-    schema.fields.toSeq.filter(f => f.dataType match {
-      case _: NumericType | StringType | DateType | TimestampType => true
-      case _ => false
-    })
+    schema.fields.toSeq
+      .filter(_.name != RowIdPhysCol) // internal physical column: no stats
+      .filter(f => f.dataType match {
+        case _: NumericType | StringType | DateType | TimestampType => true
+        case _ => false
+      })
 
   /** Stage `df` as immutable uniquely-named parquet files in the table
     * root and return their add-actions. One extra Spark job computes
@@ -2256,7 +2395,17 @@ final class GraftTable(val tablePath: String) {
       }
       cdcDiff(spark, snap, removedEntries, adds)
     } else Nil
-    commitRewrite(snap, "replace", None, adds, removePaths, cdc = cdc)
+    // row tracking: the COW writer materialized each carried row's id
+    // (tracking on); replacement adds ALSO take a fresh baseRowId so
+    // rows with a null materialized id (MERGE inserts) coalesce to
+    // base + index — fresh unique ids. `replace` is never rebased, so
+    // the allocation cannot collide with a concurrent assigner.
+    val tracked = rowTrackingEnabled(snap)
+    val (ridAdds, newHwm) = assignBaseRowIds(
+      if (tracked) adds.map(_.copy(ridMaterialized = true)) else adds,
+      snap.rowIdWatermark)
+    commitRewrite(snap, "replace", None, ridAdds, removePaths, cdc = cdc,
+      rowIdWatermark = Some(newHwm))
   }
 
   /** Attempt to commit at exactly `version`; true if won. */
@@ -2269,7 +2418,8 @@ final class GraftTable(val tablePath: String) {
       addVersions: Map[String, Long] = Map.empty,
       cdc: Seq[(String, Long)] = Nil,
       cdcFull: Seq[String] = Nil,
-      mergeKey: Option[String] = None): Boolean = {
+      mergeKey: Option[String] = None,
+      rowIdWatermark: Option[Long] = None): Boolean = {
     ensureDirs()
     val won = putIfAbsent(
       renderCommit(op, readVersion, schemaJson, adds, removes, txns,
@@ -2280,7 +2430,8 @@ final class GraftTable(val tablePath: String) {
         // deterministic-bytes
         tsMillis = Some(System.currentTimeMillis()),
         props = props,
-        cdc = cdc, cdcFull = cdcFull, mergeKey = mergeKey),
+        cdc = cdc, cdcFull = cdcFull, mergeKey = mergeKey,
+        rowIdWatermark = rowIdWatermark),
       versionFile(version))
     if (won) autoCheckpointIfDue(version)
     won
@@ -2535,9 +2686,16 @@ final class GraftTable(val tablePath: String) {
           (IdentityPrefix + c) ->
             (if (mx.isEmpty) next else math.max(next, mx.max + 1L)).toString
         })
+      // row tracking: every append assigns VIRTUAL row ids from the
+      // head's watermark — log metadata only, re-derived per attempt
+      // (a lost race means a concurrent assigner moved the watermark)
+      val hwmBase = if (head == 0L) 0L else snapshot(head).rowIdWatermark
+      val (ridAdds, newHwm) =
+        assignBaseRowIds(narrowAdjusted(commitSchema(schemaJson)), hwmBase)
       if (tryCommit(head + 1, "append", head, Some(schemaJson),
-          narrowAdjusted(commitSchema(schemaJson)), Nil,
-          props = commitProps))
+          ridAdds, Nil,
+          props = commitProps,
+          rowIdWatermark = Some(newHwm)))
         return head + 1
       attempt += 1
     }
@@ -2675,9 +2833,14 @@ final class GraftTable(val tablePath: String) {
         validated = head.constraints ++ generatedChecks(head.props)
         enforceOnStaged(spark, schema, adds, validated)
       }
-      if (tryCommit(head.version + 1, "streamingUpdate", head.version,
-          Some(schemaJson), adds, Nil,
-          Map(appId -> batchId))) return head.version + 1
+      {
+        // row tracking: streaming epochs assign like batch appends
+        val (ridAdds, newHwm) = assignBaseRowIds(adds, head.rowIdWatermark)
+        if (tryCommit(head.version + 1, "streamingUpdate", head.version,
+            Some(schemaJson), ridAdds, Nil,
+            Map(appId -> batchId),
+            rowIdWatermark = Some(newHwm))) return head.version + 1
+      }
       attempt += 1
     }
     adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
@@ -2742,9 +2905,13 @@ final class GraftTable(val tablePath: String) {
         validated = head.constraints ++ generatedChecks(head.props)
         enforceOnStaged(df.sparkSession, df.schema, adds, validated)
       }
-      if (tryCommit(v, "streamingUpdate", head.version,
-          Some(schemaJson), adds, Nil,
-          Map(appId -> batchId))) return v
+      {
+        val (ridAdds, newHwm) = assignBaseRowIds(adds, head.rowIdWatermark)
+        if (tryCommit(v, "streamingUpdate", head.version,
+            Some(schemaJson), ridAdds, Nil,
+            Map(appId -> batchId),
+            rowIdWatermark = Some(newHwm))) return v
+      }
       attempt += 1
     }
     adds.foreach(a => Files.deleteIfExists(root.resolve(a.path)))
@@ -2809,7 +2976,11 @@ final class GraftTable(val tablePath: String) {
     // `snap` aborts the commit itself
     enforceOnStaged(df.sparkSession, df.schema, adds,
       snap.constraints ++ generatedChecks(snap.props))
-    commitRewrite(snap, "overwrite", Some(df.schema.json), adds, snap.files.map(_.path))
+    // row tracking: an overwrite's rows are all new — fresh virtual
+    // ids continuing the table's watermark (never reusing a range)
+    val (ridAdds, newHwm) = assignBaseRowIds(adds, snap.rowIdWatermark)
+    commitRewrite(snap, "overwrite", Some(df.schema.json), ridAdds,
+      snap.files.map(_.path), rowIdWatermark = Some(newHwm))
   }
 
   /** File-granular copy-on-write MERGE ([[Medallion.applyCdc]] semantics:
@@ -3296,6 +3467,9 @@ final class GraftTable(val tablePath: String) {
           s"txlog: $BloomBitsProp must be a multiple of 8 in [64, 2^28], got $bits")
       }
       if (name == PartitionSpec.Prop) PartitionSpec.validate(value, snap.schema)
+      if (name == RowTrackingProp)
+        require(value == "true" || value == "false",
+          s"txlog: $RowTrackingProp must be true or false, got '$value'")
       if (name == CheckpointIntervalProp) {
         val n = try value.trim.toInt catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
@@ -4065,7 +4239,14 @@ final class GraftTable(val tablePath: String) {
     val bytes = snap.files.map(_.bytes).sum
     val outParts = math.max(1,
       math.ceil(bytes.toDouble / (targetFileMB * 1024.0 * 1024.0)).toInt)
-    val raw = readPhysicalFiles(spark, physicalSchema(snap.schema), snap.files)
+    // row tracking: read the sources WITH their ids and MATERIALIZE
+    // them into the rewritten files — the rewrite allocates nothing,
+    // so the rebase-over-concurrent-appends path stays sound
+    val tracked = rowTrackingEnabled(snap)
+    val raw =
+      if (tracked) readPhysicalFilesWithRowIds(
+        spark, physicalSchema(snap.schema), snap.files)
+      else readPhysicalFiles(spark, physicalSchema(snap.schema), snap.files)
     // under a partition.spec, re-cluster by the transform tuple instead
     // of a round-robin repartition (which would scatter every tuple
     // across every output file and erase partition pruning)
@@ -4074,7 +4255,8 @@ final class GraftTable(val tablePath: String) {
     val df =
       if (spec.isEmpty) raw.repartition(outParts)
       else PartitionSpec.cluster(raw, spec)
-    val adds = stageData(df, Some(snap))
+    val adds0 = stageData(df, Some(snap))
+    val adds = if (tracked) adds0.map(_.copy(ridMaterialized = true)) else adds0
     val v = commitRewrite(snap, "compact", None, adds, snap.files.map(_.path))
     (snap.files.size, adds.size, v)
   }
@@ -4104,9 +4286,14 @@ final class GraftTable(val tablePath: String) {
     if (targets.size < 2) return (0, 0, snap.version) // nothing worth merging
     val outParts = math.max(1,
       math.ceil(targets.map(_.bytes).sum.toDouble / threshold).toInt)
-    val df = readPhysicalFiles(spark, physicalSchema(snap.schema), targets)
-      .repartition(outParts)
-    val adds = stageData(df, Some(snap))
+    val tracked = rowTrackingEnabled(snap)
+    val df =
+      (if (tracked) readPhysicalFilesWithRowIds(
+        spark, physicalSchema(snap.schema), targets)
+      else readPhysicalFiles(spark, physicalSchema(snap.schema), targets))
+        .repartition(outParts)
+    val adds0 = stageData(df, Some(snap))
+    val adds = if (tracked) adds0.map(_.copy(ridMaterialized = true)) else adds0
     val v = commitRewrite(snap, "compact", None, adds, targets.map(_.path))
     (targets.size, adds.size, v)
   }
@@ -4136,11 +4323,16 @@ final class GraftTable(val tablePath: String) {
       .sortBy(g => g.map(_.path).min)
     if (groups.isEmpty) return (0, 0, snap.version)
     val targets = groups.flatten
+    val tracked = rowTrackingEnabled(snap)
     val adds = groups.flatMap { g =>
       val outParts = math.max(1,
         math.ceil(g.map(_.bytes).sum.toDouble / threshold).toInt)
-      stageData(readPhysicalFiles(spark, physicalSchema(snap.schema), g)
-        .repartition(outParts), Some(snap))
+      val src =
+        if (tracked) readPhysicalFilesWithRowIds(
+          spark, physicalSchema(snap.schema), g)
+        else readPhysicalFiles(spark, physicalSchema(snap.schema), g)
+      val staged = stageData(src.repartition(outParts), Some(snap))
+      if (tracked) staged.map(_.copy(ridMaterialized = true)) else staged
     }
     val v = commitRewrite(snap, "compact", None, adds, targets.map(_.path))
     (targets.size, adds.size, v)
@@ -4172,7 +4364,11 @@ final class GraftTable(val tablePath: String) {
       s"txlog: unknown layout '$layout' — zorder | hilbert")
     val snap = snapshot()
     if (snap.files.isEmpty) return (0, 0, snap.version)
-    val df = readPhysicalFiles(spark, physicalSchema(snap.schema), snap.files)
+    val tracked = rowTrackingEnabled(snap)
+    val df =
+      if (tracked) readPhysicalFilesWithRowIds(
+        spark, physicalSchema(snap.schema), snap.files)
+      else readPhysicalFiles(spark, physicalSchema(snap.schema), snap.files)
     // under a partition.spec, the transform tuple LEADS the layout
     // (partition-major, z-within) — a global z-curve would interleave
     // every partition into every file and erase partition pruning
@@ -4185,7 +4381,8 @@ final class GraftTable(val tablePath: String) {
       if (layout == "hilbert")
         Layout.hilbertBy(df, physCols, targetFiles, prefix = prefix)
       else Layout.zorderBy(df, physCols, targetFiles, prefix = prefix)
-    val adds = stageData(clustered, Some(snap))
+    val adds0 = stageData(clustered, Some(snap))
+    val adds = if (tracked) adds0.map(_.copy(ridMaterialized = true)) else adds0
     val v = commitRewrite(snap, "zorder", None, adds, snap.files.map(_.path))
     (snap.files.size, adds.size, v)
   }
@@ -4227,7 +4424,8 @@ final class GraftTable(val tablePath: String) {
       addVersions: Map[String, Long] = Map.empty,
       cdc: Seq[(String, Long)] = Nil,
       cdcFull: Seq[String] = Nil,
-      mergeKey: Option[String] = None): Long = {
+      mergeKey: Option[String] = None,
+      rowIdWatermark: Option[Long] = None): Long = {
     var expected = readSnap.version
     var attempt = 0
     while (attempt < 20) {
@@ -4235,7 +4433,7 @@ final class GraftTable(val tablePath: String) {
       if (latestVersion() == expected &&
           tryCommit(v, op, readSnap.version, schemaJson, adds, removes,
             addVersions = addVersions, cdc = cdc, cdcFull = cdcFull,
-            mergeKey = mergeKey)) return v
+            mergeKey = mergeKey, rowIdWatermark = rowIdWatermark)) return v
       val head = latestVersion()
       val rebasable = RowPreservingOps.contains(op) &&
         cdc.isEmpty && cdcFull.isEmpty && schemaJson.isEmpty &&
@@ -4289,7 +4487,10 @@ final class GraftTable(val tablePath: String) {
       ParquetCheckpoint.write(
         checkpointFileParquet(snap.version),
         renderMetaLines("checkpoint", snap.version, Some(snap.schemaJson),
-          snap.files, snap.txns, cons, prps).mkString("\n"),
+          snap.files, snap.txns, cons, prps,
+          rowIdWatermark =
+            if (snap.rowIdWatermark > 0L) Some(snap.rowIdWatermark) else None)
+          .mkString("\n"),
         snap.schema,
         snap.files.iterator.map(a => (a, snap.addedIn.get(a.path))))
     else
@@ -4299,7 +4500,9 @@ final class GraftTable(val tablePath: String) {
       putIfAbsentLines(
         renderCommitLines("checkpoint", snap.version, Some(snap.schemaJson),
           snap.files, Nil, snap.txns, addVersions = snap.addedIn,
-          constraints = cons, props = prps),
+          constraints = cons, props = prps,
+          rowIdWatermark =
+            if (snap.rowIdWatermark > 0L) Some(snap.rowIdWatermark) else None),
         checkpointFile(snap.version))
     val hint = JsonMethods.compact(JsonMethods.render(
       JObject("version" -> JLong(snap.version))))

@@ -281,6 +281,63 @@ object PipelineOps {
        GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""
 
   // --------------------------------------------------------------------
+  // q165 — ROW TRACKING (the Delta row-id shape), oracle-checked end to
+  // end: a rowTracking table takes two DETERMINISTIC appends (each a
+  // sorted single file, so virtual id = watermark base + sort position
+  // is arithmetically predictable), then survives the full rewrite
+  // gauntlet — compact() (ids MATERIALIZE into the rewritten file), a
+  // SQL copy-on-write UPDATE (each row's id rides Spark's rewrite plan
+  // as preserved metadata into the replacement files), and an
+  // optimizeZorder relayout — and the DSv2 scan serves `_row_id` =
+  // coalesce(materialized, base + index) unchanged through all three.
+  // The oracle recomputes every id from row_number() arithmetic, so a
+  // single shifted/reassigned id anywhere hash-fails the row. At scale:
+  // appends assign ids as log METADATA (zero data bytes); only rewrites
+  // pay one long column; the scan's id path is the same whole-file
+  // positional machinery the deletion vectors already use.
+  // --------------------------------------------------------------------
+  def q165RowTracking(s: SparkSession, dir: String): DataFrame = {
+    val wh = s"${scratch("rowtrack", dir)}/warehouse"
+    graft.core.Fs.rmTree(new java.io.File(wh))
+    val cat = s"gq165_${math.abs(wh.hashCode).toString.take(8)}"
+    graft.api.Graft.registerCatalog(s, cat, wh)
+    try {
+      s.sql(s"CREATE TABLE $cat.rt.orders_rt " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('rowTracking' = 'true')")
+      val t = new graft.medallion.GraftTable(s"$wh/rt/orders_rt")
+      val src = lake(s, dir).orders
+        .select(col("o_orderkey"), col("o_totalprice"))
+      t.append(src.filter(col("o_orderkey") % 3 === 0)
+        .orderBy(col("o_orderkey")).coalesce(1))
+      t.append(src.filter(col("o_orderkey") % 3 === 1)
+        .orderBy(col("o_orderkey")).coalesce(1))
+      t.compact(s)
+      s.sql(s"UPDATE $cat.rt.orders_rt " +
+        "SET o_totalprice = o_totalprice + 1000 WHERE o_orderkey % 5 = 0")
+      t.optimizeZorder(s, Seq("o_orderkey"), targetFiles = 4)
+      s.sql(s"""SELECT o_orderkey, _row_id AS row_id, o_totalprice
+               FROM $cat.rt.orders_rt ORDER BY o_orderkey""")
+    } finally s.conf.unset(s"spark.sql.catalog.$cat")
+  }
+
+  private val q165Oracle =
+    """WITH g0 AS (
+         SELECT o_orderkey, o_totalprice,
+                row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+         FROM orders WHERE o_orderkey % 3 = 0),
+       g1 AS (
+         SELECT o_orderkey, o_totalprice,
+                (SELECT count(*) FROM g0)
+                  + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+         FROM orders WHERE o_orderkey % 3 = 1),
+       u AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1)
+       SELECT o_orderkey, CAST(rid AS BIGINT) AS row_id,
+              CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000
+                   ELSE o_totalprice END AS o_totalprice
+       FROM u ORDER BY o_orderkey"""
+
+  // --------------------------------------------------------------------
   // q162 — watermarked STREAM-STREAM interval join, oracle-checked: the
   // impression→click attribution shape (EventStreams.joinWithin) driven
   // by a deterministic bounded replay (Trigger.AvailableNow), leftOuter.
@@ -3714,6 +3771,7 @@ object PipelineOps {
     "q44_medallion_e2e" -> (q44MedallionE2e _),
     "q45_streaming_hourly" -> (q45StreamingHourly _),
     "q162_stream_stream_join" -> (q162StreamStreamJoin _),
+    "q165_row_tracking" -> (q165RowTracking _),
     "q59_session_window" -> (q59SessionWindow _),
     "q64_stream_static_join" -> (q64StreamStaticJoin _),
     "q78_funnel" -> (q78Funnel _),
@@ -3775,6 +3833,7 @@ object PipelineOps {
     "q44_medallion_e2e" -> q44Oracle,
     "q45_streaming_hourly" -> q45Oracle,
     "q162_stream_stream_join" -> q162Oracle,
+    "q165_row_tracking" -> q165Oracle,
     "q59_session_window" -> q59Oracle,
     "q64_stream_static_join" -> q64Oracle,
     "q78_funnel" -> q78Oracle,

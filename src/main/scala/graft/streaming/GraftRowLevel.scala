@@ -65,10 +65,26 @@ final class GraftRowLevelOperation(
     * exactly the data columns. The metadata half reaches
     * `DataWriter.writeWithMetadata`, whose default discards it: replaced
     * rows mint a fresh commit version from the log, as they must. */
+  /** Whether this operation's table tracks rows — resolved once from
+    * the pinned snapshot's properties. */
+  private[streaming] lazy val rowTracked: Boolean =
+    snapVersion > 0L && TxLog.rowTrackingEnabled(
+      new GraftTable(tablePath).snapshot(snapVersion))
+
   override def requiredMetadataAttributes():
-      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
-      GraftTableV2.VersionCol))
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val base = Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column(
+        GraftTableV2.VersionCol))
+    // row tracking: each candidate row's stable id rides the rewrite
+    // plan as preserved metadata; the write materializes it into the
+    // replacement files (see GraftReplaceWrite). Only requested on
+    // tracked tables — untracked DML plans stay byte-identical.
+    if (rowTracked)
+      base :+ org.apache.spark.sql.connector.expressions.Expressions.column(
+        GraftTableV2.RowIdCol)
+    else base
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // capture the PLANNING session (as GraftScanBuilder does): the
@@ -87,9 +103,24 @@ final class GraftRowLevelOperation(
       // the staged bytes carry PHYSICAL names on column-mapped tables
       // (same field order — info.schema() was just validated against
       // dataSchema, and DSv2 rows are positional)
-      override def build(): Write =
+      override def build(): Write = {
+        // row tracking: locate _row_id in the metadata row Spark hands
+        // to writeWithMetadata — the writer appends it as the trailing
+        // materialized column
+        val ridMetaIdx: Option[Int] =
+          if (!rowTracked) None
+          else {
+            val ms = info.metadataSchema()
+            if (ms.isPresent)
+              ms.get.fieldNames.indexOf(GraftTableV2.RowIdCol) match {
+                case -1 => None
+                case i => Some(i)
+              }
+            else None
+          }
         new GraftReplaceWrite(GraftRowLevelOperation.this, tablePath,
-          TxLog.physicalSchema(dataSchema))
+          TxLog.physicalSchema(dataSchema), ridMetaIdx)
+      }
     }
   }
 }
@@ -288,7 +319,8 @@ private[streaming] object GraftRowLevel {
 /** The group-replace write: executors stage parquet, the driver commits
   * staged-for-scanned in one `replace` commit. */
 private final class GraftReplaceWrite(
-    op: GraftRowLevelOperation, tablePath: String, writeSchema: StructType)
+    op: GraftRowLevelOperation, tablePath: String, writeSchema: StructType,
+    ridMetaIdx: Option[Int] = None)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -315,8 +347,14 @@ private final class GraftReplaceWrite(
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
       org.apache.spark.sql.graft.ParquetWrites.factory(
-        SparkSession.active, writeSchema, stageDir,
-        GraftTableV2.stageSplitKey(tablePath, writeSchema))
+        SparkSession.active,
+        // row tracking: the staged files carry the materialized id as a
+        // trailing physical column, filled from the metadata row
+        ridMetaIdx.fold(writeSchema)(_ => writeSchema.add(
+          TxLog.RowIdPhysCol, org.apache.spark.sql.types.LongType)),
+        stageDir,
+        GraftTableV2.stageSplitKey(tablePath, writeSchema),
+        ridMetaIdx = ridMetaIdx)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val staged = messages.toSeq.flatMap {

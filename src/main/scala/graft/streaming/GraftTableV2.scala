@@ -674,7 +674,8 @@ final class GraftScan(
         !spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
           .equalsIgnoreCase("true") ||
         required.fieldNames.contains(GraftTableV2.FileCol) ||
-        required.fieldNames.contains(GraftTableV2.PosCol)) None
+        required.fieldNames.contains(GraftTableV2.PosCol) ||
+        required.fieldNames.contains(GraftTableV2.RowIdCol)) None
     else
       // the pruned snapshot is already resolved for file listing —
       // reporting partitioning costs no extra log IO. A required
@@ -778,11 +779,15 @@ final class GraftBatch(
   private val needPos =
     required.fieldNames.contains(GraftTableV2.PosCol) &&
       synthetic(GraftTableV2.PosCol)
-  private val positional = needFile || needPos
+  private val needRowId =
+    required.fieldNames.contains(GraftTableV2.RowIdCol) &&
+      synthetic(GraftTableV2.RowIdCol)
+  private val positional = needFile || needPos || needRowId
   private val innerRequired = StructType(required.fields.filterNot(f =>
     (syntheticVersion && f.name == VersionCol) ||
       (needFile && f.name == GraftTableV2.FileCol) ||
-      (needPos && f.name == GraftTableV2.PosCol)))
+      (needPos && f.name == GraftTableV2.PosCol) ||
+      (needRowId && f.name == GraftTableV2.RowIdCol)))
 
   // the delegated parquet reader sees PHYSICAL names on column-mapped
   // tables (files carry them); rows come back positionally, so the
@@ -801,6 +806,14 @@ final class GraftBatch(
   private lazy val dvFactory: PartitionReaderFactory =
     org.apache.spark.sql.graft.ParquetScans.readerFactoryFor(
       spark, physDataSchema, physRequired, Nil)
+  // row-id partitions read the materialized rid column as a TRAILING
+  // inner field (files lacking it null-fill — the coalesce fallback's
+  // read half); filter-free like every positional delegate
+  private lazy val ridFactory: PartitionReaderFactory =
+    org.apache.spark.sql.graft.ParquetScans.readerFactoryFor(
+      spark,
+      physDataSchema.add(graft.medallion.TxLog.RowIdPhysCol, LongType),
+      physRequired.add(graft.medallion.TxLog.RowIdPhysCol, LongType), Nil)
 
   override def planInputPartitions(): Array[InputPartition] = {
     // storage-partitioned-join mode: one keyed partition PER FILE —
@@ -849,7 +862,9 @@ final class GraftBatch(
         GraftPosPartition(
           org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
             spark, table.absoluteDataPath(a)),
-          1, if (needVersion) Some(v) else None, a.dv, a.path)
+          if (needRowId) 2 else 1,
+          if (needVersion) Some(v) else None, a.dv, a.path,
+          a.baseRowId)
           : InputPartition
       }.toArray
     // files with a deletion vector leave the vectorized fast path: each
@@ -883,7 +898,7 @@ final class GraftBatch(
   // plan-time/factory-time race over which partition kinds exist
   override def createReaderFactory(): PartitionReaderFactory =
     GraftVersionedReaderFactory(
-      Array(innerFactory, dvFactory), required, innerRequired)
+      Array(innerFactory, dvFactory, ridFactory), required, innerRequired)
 }
 
 /** An inner parquet partition tagged with its commit version and the
@@ -908,7 +923,8 @@ final case class GraftDvPartition(
   * group skipped underneath). */
 final case class GraftPosPartition(
     inner: InputPartition, delegate: Int, version: Option[Long],
-    dv: Option[String], file: String)
+    dv: Option[String], file: String,
+    baseRowId: Option[Long] = None)
     extends InputPartition
 
 /** A plain inner partition FORCED onto the row path: Spark refuses to
@@ -1032,16 +1048,23 @@ final case class GraftVersionedReaderFactory(
       case pp: GraftPosPartition =>
         val inner = delegates(pp.delegate).createReader(pp.inner)
         val bm = pp.dv.map(graft.medallion.TxLog.dvDeserialize)
-        // required-ordinal mapping: -1 version, -2 file, -3 pos
+        // required-ordinal mapping: -1 version, -2 file, -3 pos,
+        // -4 row id (materialized trailing inner column, else
+        // baseRowId + position, else null)
         val mapping: Array[Int] = required.fields.map { f =>
           if (f.name == GraftTableV2.VersionCol && pp.version.isDefined) -1
           else if (f.name == GraftTableV2.FileCol &&
             !innerRequired.fieldNames.contains(GraftTableV2.FileCol)) -2
           else if (f.name == GraftTableV2.PosCol &&
             !innerRequired.fieldNames.contains(GraftTableV2.PosCol)) -3
+          else if (f.name == GraftTableV2.RowIdCol && pp.delegate == 2 &&
+            !innerRequired.fieldNames.contains(GraftTableV2.RowIdCol)) -4
           else innerRequired.fieldIndex(f.name)
         }
         val types: Array[DataType] = innerRequired.fields.map(_.dataType)
+        // the rid delegate appends the materialized column AFTER
+        // innerRequired's fields — its inner ordinal is fixed
+        val ridOrd = innerRequired.length
         val fileConst =
           org.apache.spark.unsafe.types.UTF8String.fromString(pp.file)
         val version = pp.version.getOrElse(0L)
@@ -1066,6 +1089,10 @@ final case class GraftVersionedReaderFactory(
                 if (m == -1) version
                 else if (m == -2) fileConst
                 else if (m == -3) pos
+                else if (m == -4) {
+                  if (!in.isNullAt(ridOrd)) in.getLong(ridOrd)
+                  else pp.baseRowId.map(b => java.lang.Long.valueOf(b + pos)).orNull
+                }
                 else if (in.isNullAt(m)) null
                 else in.get(m, types(m))
               i += 1
@@ -1517,7 +1544,10 @@ final class GraftCatalogTable(
       (if (dataSchema.fieldNames.contains(GraftTableV2.FileCol) ||
            dataSchema.fieldNames.contains(GraftTableV2.PosCol)) Array.empty[MetadataColumn]
        else Array[MetadataColumn](
-         GraftCatalogTable.FileColumn, GraftCatalogTable.PosColumn))
+         GraftCatalogTable.FileColumn, GraftCatalogTable.PosColumn)) ++
+      (if (dataSchema.fieldNames.contains(GraftTableV2.RowIdCol))
+         Array.empty[MetadataColumn]
+       else Array[MetadataColumn](GraftCatalogTable.RowIdColumn))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(timeTravelTo.isEmpty,
@@ -1746,6 +1776,20 @@ object GraftCatalogTable {
     override def comment(): String =
       "physical row index of each row within its source file"
   }
+
+  /** Row-tracking id (see [[GraftTableV2.RowIdCol]]): nullable — files
+    * written before tracking (or by a not-yet-preserving path) read as
+    * null, never as a wrong id. PRESERVED through row-level operations
+    * (the default): Spark reads it alongside the data and hands it to
+    * the writer's writeWithMetadata, which materializes it into the
+    * replacement files when the table tracks rows. */
+  private[streaming] object RowIdColumn extends MetadataColumn {
+    override def name(): String = GraftTableV2.RowIdCol
+    override def dataType: DataType = LongType
+    override def isNullable: Boolean = true
+    override def comment(): String =
+      "stable row id (row tracking): survives compaction and rewrites"
+  }
 }
 
 object GraftTableV2 {
@@ -1867,6 +1911,14 @@ object GraftTableV2 {
     * exact), so they cost nothing unless actually selected. */
   val FileCol = "_file"
   val PosCol = "_pos"
+
+  /** Row-tracking metadata column: each row's STABLE 64-bit id —
+    * materialized [[graft.medallion.TxLog.RowIdPhysCol]] column when
+    * the file carries one (rewrites under the `rowTracking` property),
+    * else the file's baseRowId + physical row index, else null
+    * (pre-tracking file). Serving it rides the positional whole-file
+    * machinery, so it costs nothing unless selected. */
+  val RowIdCol = "_row_id"
 
   /** The read schema: committed columns + `_commit_version`, resolved
     * at `versionAsOf` when time-traveling (the THEN-current schema).

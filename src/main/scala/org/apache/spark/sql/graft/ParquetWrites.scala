@@ -62,9 +62,17 @@ object ParquetWrites {
     * many-day streaming epoch or MERGE rewrite opens days·buckets
     * writers per task, each buffering up to a parquet row group —
     * executor OOM at exactly the 100-TB scale the feature targets. */
+  /** `ridMetaIdx`: row-tracking mode — `schema`'s TRAILING field is the
+    * materialized row-id column, filled per row from ordinal
+    * `ridMetaIdx` of the metadata row Spark hands to
+    * `writeWithMetadata` (null for rows without one, e.g. MERGE
+    * inserts); plain `write` calls append null. The split key and every
+    * caller-visible ordinal keep speaking the original (un-extended)
+    * row layout. */
   def factory(
       spark: SparkSession, schema: StructType, stageDir: String,
-      splitKey: Option[InternalRow => String] = None): GraftParquetWriterFactory = {
+      splitKey: Option[InternalRow => String] = None,
+      ridMetaIdx: Option[Int] = None): GraftParquetWriterFactory = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val options = new ParquetOptions(Map.empty[String, String], spark.sessionState.conf)
     val owf = ParquetUtils.prepareWrite(spark.sessionState.conf, job, schema, options)
@@ -74,7 +82,7 @@ object ParquetWrites {
       s"graft.write.fanout.maxOpenWriters must be >= 1, got $maxOpen")
     new GraftParquetWriterFactory(
       owf, new SerializableConfiguration(job.getConfiguration), schema, stageDir,
-      splitKey, maxOpen)
+      splitKey, maxOpen, ridMetaIdx)
   }
 }
 
@@ -86,7 +94,8 @@ final class GraftParquetWriterFactory(
     owf: OutputWriterFactory, conf: SerializableConfiguration,
     schema: StructType, stageDir: String,
     splitKey: Option[InternalRow => String] = None,
-    maxOpenWriters: Int = 64) extends DataWriterFactory
+    maxOpenWriters: Int = 64,
+    ridMetaIdx: Option[Int] = None) extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(
@@ -142,11 +151,39 @@ final class GraftParquetWriterFactory(
           o
         })
 
-      override def write(row: InternalRow): Unit = {
-        val o = writerFor(keyOf(row))
+      // row-tracking append state (single-threaded writer — reused
+      // per row, the standard InternalRow-wrapper pattern)
+      private val ridJoin =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      private val ridCell =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+
+      private def put(key: String, out: InternalRow): Unit = {
+        val o = writerFor(key)
         clock += 1; o.tick = clock
-        o.w.write(row)
+        o.w.write(out)
       }
+
+      override def write(row: InternalRow): Unit =
+        ridMetaIdx match {
+          case None => put(keyOf(row), row)
+          case Some(_) =>
+            ridCell.update(0, null)
+            put(keyOf(row), ridJoin(row, ridCell))
+        }
+
+      // the DSv2 preserved-metadata write: Spark's
+      // DataAndMetadataWritingSparkTask calls write(metadataProj,
+      // dataProj) for rows flagged WRITE_WITH_METADATA_OPERATION
+      override def write(
+          meta: InternalRow, row: InternalRow): Unit =
+        ridMetaIdx match {
+          case None => write(row)
+          case Some(idx) =>
+            if (meta == null || meta.isNullAt(idx)) ridCell.update(0, null)
+            else ridCell.setLong(0, meta.getLong(idx))
+            put(keyOf(row), ridJoin(row, ridCell))
+        }
 
       override def commit(): WriterCommitMessage = {
         val paths = (rolled ++ open.values.map(_.path)).map(_.toString).toSeq

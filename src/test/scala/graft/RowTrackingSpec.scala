@@ -1,0 +1,183 @@
+package graft
+
+import graft.medallion.{GraftTable, TxLog}
+import graft.streaming.GraftCatalog
+import org.apache.spark.sql.functions._
+
+/** Row tracking (Delta row-id shape): appends assign stable virtual
+  * ids from a persisted watermark; compaction / z-order / COW UPDATE
+  * rewrites preserve them by materializing a physical id column; the
+  * DSv2 scan serves `_row_id` = coalesce(materialized, base + index).
+  */
+class RowTrackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(tag: String): (String, String, String) = {
+    val wh = new java.io.File(
+      s"target/tmp/rowtrack_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+      .getAbsolutePath
+    val cat = s"rt${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh, s"$wh/db/t")
+  }
+
+  private def dropCat(cat: String): Unit = {
+    spark.conf.unset(s"spark.sql.catalog.$cat")
+    spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+  }
+
+  private def ids(cat: String): Map[Long, Long] =
+    spark.sql(s"SELECT k, _row_id FROM $cat.db.t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("appends assign contiguous virtual ids from a persisted watermark") {
+    val (cat, _, path) = freshTable("append")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING)")
+      val t = new GraftTable(path)
+      t.append((0L until 10L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      t.append((10L until 15L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      val got = ids(cat)
+      assert(got === (0L until 15L).map(i => i -> i).toMap)
+      assert(t.snapshot().rowIdWatermark === 15L)
+      // the log carries per-file bases
+      assert(t.snapshot().files.flatMap(_.baseRowId).sorted === Seq(0L, 10L))
+    } finally dropCat(cat)
+  }
+
+  test("ids survive compact() and optimizeZorder when tracking is on") {
+    val (cat, _, path) = freshTable("compact")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('rowTracking' = 'true')")
+      val t = new GraftTable(path)
+      (0 until 4).foreach { b =>
+        t.append((0L until 50L).filter(_ % 4 == b)
+          .map(i => (i, s"v$i")).toDF("k", "v").orderBy("k").coalesce(1))
+      }
+      val before = ids(cat)
+      assert(before.size === 50 && before.values.toSeq.distinct.size === 50)
+
+      val (nIn, _, _) = t.compact(spark)
+      assert(nIn === 4)
+      assert(ids(cat) === before, "compact must preserve row ids")
+      // the rewrite materialized: rewritten files carry the marker
+      assert(t.snapshot().files.forall(_.ridMaterialized))
+      assert(t.snapshot().rowIdWatermark === 50L,
+        "a row-preserving rewrite allocates nothing")
+
+      t.optimizeZorder(spark, Seq("k"), targetFiles = 3)
+      assert(ids(cat) === before, "zorder must preserve row ids")
+
+      // another append continues the watermark, never reusing a range
+      t.append(Seq((100L, "x")).toDF("k", "v"))
+      val after = ids(cat)
+      assert(after(100L) === 50L)
+      assert((before.values.toSet intersect Set(after(100L))).isEmpty)
+    } finally dropCat(cat)
+  }
+
+  test("ids survive a COW UPDATE; untouched and updated rows keep theirs") {
+    val (cat, _, path) = freshTable("update")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('rowTracking' = 'true')")
+      val t = new GraftTable(path)
+      t.append((0L until 30L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      val before = ids(cat)
+      spark.sql(s"UPDATE $cat.db.t SET v = concat(v, '!') WHERE k % 5 = 0")
+      val rows = spark.sql(s"SELECT k, v, _row_id FROM $cat.db.t").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.length === 30)
+      rows.foreach { case (k, v, rid) =>
+        assert(rid === before(k), s"row id of k=$k changed across UPDATE")
+        assert(v === (if (k % 5 == 0) s"v$k!" else s"v$k"))
+      }
+    } finally dropCat(cat)
+  }
+
+  test("ids survive compact + zorder + UPDATE chained, end to end") {
+    val (cat, _, path) = freshTable("chain")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('rowTracking' = 'true')")
+      val t = new GraftTable(path)
+      t.append((0L until 20L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      t.append((20L until 40L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      val before = ids(cat)
+      t.compact(spark)
+      spark.sql(s"UPDATE $cat.db.t SET v = 'u' WHERE k >= 30")
+      t.optimizeZorder(spark, Seq("k"), targetFiles = 2)
+      assert(ids(cat) === before)
+    } finally dropCat(cat)
+  }
+
+  test("MOR delete keeps surviving ids (positions advance over DV'd rows)") {
+    val (cat, _, path) = freshTable("mor")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('rowTracking' = 'true')")
+      val t = new GraftTable(path)
+      t.append((0L until 20L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      val before = ids(cat)
+      t.deleteRows(spark, "k % 3 = 0")
+      val after = ids(cat)
+      assert(after.keySet === (0L until 20L).filter(_ % 3 != 0).toSet)
+      after.foreach { case (k, rid) => assert(rid === before(k)) }
+      // and a compact over the DV'd file still preserves the survivors
+      t.append(Seq((99L, "y")).toDF("k", "v"))
+      t.compact(spark)
+      val compacted = ids(cat)
+      after.foreach { case (k, rid) => assert(compacted(k) === rid) }
+    } finally dropCat(cat)
+  }
+
+  test("untracked tables: appends still read ids; compact reassigns (documented)") {
+    val (cat, _, path) = freshTable("untracked")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING)")
+      val t = new GraftTable(path)
+      t.append((0L until 10L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      assert(ids(cat) === (0L until 10L).map(i => i -> i).toMap)
+      t.compact(spark)
+      // no materialization without the property: the rewritten file has
+      // neither a rid column nor (post-compact) the original bases —
+      // ids read as NULL, never as wrong values
+      val post = spark.sql(s"SELECT k, _row_id FROM $cat.db.t").collect()
+      assert(post.length === 10)
+      assert(post.forall(_.isNullAt(1)))
+    } finally dropCat(cat)
+  }
+
+  test("log round trip: rid fields and the watermark survive a checkpoint") {
+    val (cat, _, path) = freshTable("ckpt")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('rowTracking' = 'true')")
+      val t = new GraftTable(path)
+      t.append((0L until 10L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      t.compact(spark)
+      t.checkpoint()
+      val snap = t.snapshot()
+      assert(snap.rowIdWatermark === 10L)
+      assert(snap.files.forall(_.ridMaterialized))
+      // parquet checkpoint format too
+      t.setProperty(TxLog.CheckpointFormatProp, "parquet")
+      t.append(Seq((10L, "z")).toDF("k", "v"))
+      t.checkpoint()
+      val snap2 = t.snapshot()
+      assert(snap2.rowIdWatermark === 11L)
+      assert(snap2.files.exists(_.baseRowId.contains(10L)))
+      assert(ids(cat)(10L) === 10L)
+    } finally dropCat(cat)
+  }
+}
