@@ -749,6 +749,7 @@ object TrainingOps {
     "q140_prep_v2" -> (q140PrepV2 _),
     "q137_dsir" -> (q137Dsir _),
     "q163_bigram_lm_fp" -> (q163BigramLmFp _),
+    "q166_dsir_log_fp" -> (q166DsirLogFp _),
     "q144_dsir_resample" -> (q144DsirResample _),
     "q138_quality_classifier" -> (q138QualityClassifier _),
     "q70_stratified_sample" -> (q70StratifiedSample _),
@@ -919,6 +920,62 @@ object TrainingOps {
        SELECT doc_id, count(*) AS n_bigrams,
               CAST(sum(CAST(nll AS HUGEINT)) // count(*) AS BIGINT) AS avg_nll_fp
        FROM terms GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  // --------------------------------------------------------------------
+  // q166 — DSIR's LOG-domain importance weight, HASH-CHECKABLE: the
+  // paper's Σ log(w_bucket) score (q137 oracle-checks the linear-domain
+  // mean; logScore stayed spec-gated on engine-dependent ln) with every
+  // per-bucket log computed by the pinned fixed-point `ln_fp` of the
+  // smoothed ratio's EXACT integer numerator/denominator — the same
+  // q163 machinery, so the score is an int64 DuckDB reproduces
+  // bit-for-bit. Model-sized ln work (2·4096 driver-side evaluations,
+  // broadcast as a literal); scoring is one stateless codegen'd pass,
+  // zero shuffles past the token-hash repartition.
+  // --------------------------------------------------------------------
+  def q166DsirLogFp(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TokenClassifier
+    val docs = lake(s, dir).documents
+      .select(col("doc_id"), col("text"), col("lang"))
+      .repartition(Scale.par(s), col("doc_id")) // md5-heavy token pass
+    val feats = TokenClassifier.unigramBuckets(col("text"))
+    val w = TokenClassifier.fitRatioLogFp(
+      docs.select((col("lang") === "en").as("t"), feats.as("f")), "f", "t")
+    docs.filter(col("lang") =!= "en")
+      .select(col("doc_id"), col("lang"),
+        size(feats).cast("long").as("n_tok"),
+        TokenClassifier.logScoreFp(feats, w).as("logw_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q166Oracle = {
+    val toks = "string_split(trim(text), ' ')"
+    val bkt = s"CAST(${dHash("t")} % 4096 AS INT)"
+    s"""WITH tb AS (
+         SELECT lang, $bkt AS bucket
+         FROM (SELECT lang, unnest($toks) AS t FROM documents)),
+       tc AS (SELECT bucket, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+       rc AS (SELECT bucket, count(*) AS cr FROM tb WHERE lang <> 'en' GROUP BY 1),
+       tot AS (SELECT
+         (SELECT count(*) FROM tb WHERE lang = 'en') AS t_tot,
+         (SELECT count(*) FROM tb WHERE lang <> 'en') AS r_tot),
+       dense AS (SELECT b.bucket, COALESCE(tc.ct, 0) AS ct,
+                        COALESCE(rc.cr, 0) AS cr
+                 FROM (SELECT unnest(range(4096)) AS bucket) b
+                 LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)),
+       numx AS (SELECT bucket, CAST((ct + 1) * (r_tot + 4096) AS BIGINT) AS x
+                FROM dense, tot),
+       denx AS (SELECT bucket, CAST((cr + 1) * (t_tot + 4096) AS BIGINT) AS x
+                FROM dense, tot),
+       ln_num AS (SELECT bucket, lnv AS ln_num FROM (${lnFpSql("numx", "bucket")})),
+       ln_den AS (SELECT bucket, lnv AS ln_den FROM (${lnFpSql("denx", "bucket")})),
+       wtab AS (SELECT bucket, CAST(n.ln_num - d.ln_den AS BIGINT) AS w
+                FROM ln_num n JOIN ln_den d USING (bucket)),
+       warr AS (SELECT list(w ORDER BY bucket) AS wl FROM wtab)
+       SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tok,
+              CAST(list_sum(list_transform($toks,
+                t -> CAST(wl[$bkt + 1] AS HUGEINT))) AS BIGINT) AS logw_fp
+       FROM documents, warr WHERE lang <> 'en' ORDER BY doc_id"""
   }
 
   // --------------------------------------------------------------------
@@ -1178,6 +1235,7 @@ object TrainingOps {
     "q140_prep_v2" -> q140Oracle,
     "q137_dsir" -> q137Oracle,
     "q163_bigram_lm_fp" -> q163Oracle,
+    "q166_dsir_log_fp" -> q166Oracle,
     "q144_dsir_resample" -> q144Oracle,
     "q138_quality_classifier" -> q138Oracle,
     "q70_stratified_sample" -> q70Oracle,
