@@ -1876,7 +1876,8 @@ final class GraftTable(val tablePath: String) {
     * and only on `cdf.enabled` tables. */
   private def cdcDiff(
       spark: SparkSession, snap: Snapshot,
-      preFiles: Seq[AddFile], postFiles: Seq[AddFile]): Seq[(String, Long)] = {
+      preFiles: Seq[AddFile], postFiles: Seq[AddFile],
+      ridAware: Boolean = false): Seq[(String, Long)] = {
     require(!snap.schema.fieldNames.contains(ChangeTypeCol),
       s"txlog: cdf.enabled tables must not have a '$ChangeTypeCol' column")
     val phys = physicalSchema(snap.schema)
@@ -1885,15 +1886,43 @@ final class GraftTable(val tablePath: String) {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], phys)
       else readPhysicalFiles(spark, phys, fs)
-    val pre = readOr(preFiles)
-    val post = readOr(postFiles)
+    // ROW-TRACKING-aware diff (replaceFiles under rowTracking, when
+    // every pre file carries rid info and the COW writer materialized
+    // ids into the post files): the diff keys by (content, row id), so
+    // each change row carries its stable id as a trailing `__cdc_rid`
+    // column — what lets updateImages pair an UPDATE's pre/post rows
+    // WITHOUT a recorded merge key. Carried rows still cancel (same
+    // content, same id); an UPDATE x=x cancels too. Default feed
+    // consumers never see the column (the feed read's explicit schema
+    // selects by name).
+    val (pre, post) =
+      if (!ridAware) (readOr(preFiles), readOr(postFiles))
+      else {
+        val ridSchema = StructType(phys.fields :+
+          StructField("__cdc_rid", LongType, nullable = true))
+        def emptyR = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ridSchema)
+        val p =
+          if (preFiles.isEmpty) emptyR
+          else readPhysicalFilesWithRowIds(spark, phys, preFiles)
+            .withColumnRenamed(RowIdPhysCol, "__cdc_rid")
+        val q =
+          if (postFiles.isEmpty) emptyR
+          else spark.read
+            .schema(StructType(phys.fields :+
+              StructField(RowIdPhysCol, LongType, nullable = true)))
+            .parquet(postFiles.map(a => root.resolve(a.path).toString): _*)
+            .withColumnRenamed(RowIdPhysCol, "__cdc_rid")
+        (p, q)
+      }
     // ONE signed-count aggregate computes the whole symmetric multiset
     // difference (pre rows weigh +1, post rows -1; surviving copies
     // cancel to 0) — where a two-sided exceptAll would shuffle the
     // touched bytes twice and scan each state twice. Rows re-inflate to
     // their multiplicity with a bounded sequence-explode. groupBy's
     // null-safe grouping matches exceptAll's row-equality exactly.
-    val cols = phys.fields.toIndexedSeq.map(f => col(s"`${f.name}`"))
+    val cols = phys.fields.toIndexedSeq.map(f => col(s"`${f.name}`")) ++
+      (if (ridAware) Seq(col("`__cdc_rid`")) else Nil)
     // double-underscore names: reserved, cannot collide with a data
     // column (same convention as the __file/__idx tags elsewhere)
     require(!phys.fieldNames.exists(_.startsWith("__cdc_")),
@@ -1967,10 +1996,18 @@ final class GraftTable(val tablePath: String) {
     val until = if (untilVersion < 0) head else math.min(untilVersion, head)
     val schema = snapshot(until).schema
     val phys = physicalSchema(schema)
+    // updateImages: the feed is built with an INTERNAL `__cdc_rid`
+    // column (the stable row id a rid-aware cdcDiff staged; null for
+    // every other slice kind and for pre-rid change files, which the
+    // explicit read schema null-fills) — the pairing key for commits
+    // WITHOUT a recorded merge key; dropped before the feed returns,
+    // so the consumer schema never changes
+    val withRid = updateImages
     def logical(df: DataFrame): DataFrame =
       df.select(schema.fields.toIndexedSeq.map(f =>
-        col(s"`${physicalName(f)}`").as(f.name, f.metadata)) :+
-        col(ChangeTypeCol): _*)
+        col(s"`${physicalName(f)}`").as(f.name, f.metadata)) ++
+        (col(ChangeTypeCol) +:
+          (if (withRid) Seq(col("`__cdc_rid`")) else Nil)): _*)
     // pre-state entries (with their DVs as of v-1) read as deletes,
     // post-state entries as inserts — both through the DV-aware reader
     def tagged(fs: Seq[AddFile], v: Long, kind: String): Option[DataFrame] =
@@ -1980,21 +2017,29 @@ final class GraftTable(val tablePath: String) {
           s"txlog: data file ${a.path} of commit $v was vacuumed — " +
             "readChangeFeed is behind the retention window; re-seed from " +
             "a snapshot read"))
-        Some(logical(readPhysicalFiles(spark, phys, fs)
-          .withColumn(ChangeTypeCol, lit(kind))))
+        val base = readPhysicalFiles(spark, phys, fs)
+          .withColumn(ChangeTypeCol, lit(kind))
+        Some(logical(if (withRid)
+          base.withColumn("__cdc_rid", lit(null).cast(LongType)) else base))
       }
-    val empty0 = spark.createDataFrame(
+    val empty0a = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .withColumn(ChangeTypeCol, lit("")).limit(0)
-      .withColumn("_commit_version", lit(0L)).limit(0)
+    val empty0b = if (!withRid) empty0a
+      else empty0a.withColumn("__cdc_rid", lit(null).cast(LongType)).limit(0)
+    val empty0 = empty0b.withColumn("_commit_version", lit(0L)).limit(0)
     val empty = if (!commitTimestamps) empty0
       else empty0.withColumn("_commit_ts",
         lit(null).cast(TimestampType)).limit(0)
     val slices = ((sinceVersion + 1) to until).map(v => v -> changeFeedSlice(v))
     val feed = slices.foldLeft(empty) { case (acc, (v, slice)) =>
+      val stagedSchema =
+        if (withRid) phys.add(ChangeTypeCol, StringType)
+          .add("__cdc_rid", LongType)
+        else phys.add(ChangeTypeCol, StringType)
       val staged = if (slice.cdc.isEmpty) None else
         Some(logical(spark.read
-          .schema(phys.add(ChangeTypeCol, StringType))
+          .schema(stagedSchema)
           .parquet(slice.cdc.map(_.toString): _*)))
       val parts: Seq[DataFrame] =
         staged.toSeq ++ tagged(slice.deletes, v, "delete").toSeq ++
@@ -2012,11 +2057,15 @@ final class GraftTable(val tablePath: String) {
     if (!updateImages) return feed
     // versions whose recorded merge key still exists under the
     // until-schema's logical names (a since-renamed key cannot pair —
-    // those commits keep net tags rather than mis-joining)
+    // those commits keep net tags rather than mis-joining). Versions
+    // WITHOUT a usable key fall back to the stable ROW ID the rid-aware
+    // cdcDiff staged (`__cdc_rid` — non-null exactly when the commit
+    // was a row-tracked COW rewrite): the row-tracking payoff — UPDATE
+    // images pair with NO merge key recorded at all. Null keys (plain
+    // appends, untracked rewrites, pre-rid change files) stay untouched.
     val keyed = slices.flatMap { case (v, s) => s.mergeKey.map(v -> _) }
       .filter { case (_, k) => schema.fieldNames.contains(k) }
-    if (keyed.isEmpty) return feed
-    val keyExpr = keyed.foldLeft(lit(null).cast(StringType)) {
+    val keyExpr = keyed.foldLeft(col("`__cdc_rid`").cast(StringType)) {
       case (acc, (v, k)) =>
         when(col("_commit_version") === lit(v), col(s"`$k`").cast(StringType))
           .otherwise(acc)
@@ -2030,6 +2079,7 @@ final class GraftTable(val tablePath: String) {
         when(col(ChangeTypeCol) === "delete", lit("update_preimage"))
           .otherwise(lit("update_postimage")))
         .otherwise(col(ChangeTypeCol)))
+      .drop("__cdc_rid")
   }
 
   /** Feed slice of ONE commit: staged change files (rows already carry
@@ -2388,19 +2438,24 @@ final class GraftTable(val tablePath: String) {
     if (adds.isEmpty && removePaths.isEmpty) return snap.version
     // cdf.enabled: diff the replaced group against its replacement —
     // O(touched groups), the same bytes the row-level rewrite moved
-    val cdc = if (cdfEnabled(snap)) {
-      val removedEntries = {
-        val want = removePaths.toSet
-        snap.files.filter(a => want.contains(a.path))
-      }
-      cdcDiff(spark, snap, removedEntries, adds)
-    } else Nil
     // row tracking: the COW writer materialized each carried row's id
     // (tracking on); replacement adds ALSO take a fresh baseRowId so
     // rows with a null materialized id (MERGE inserts) coalesce to
     // base + index — fresh unique ids. `replace` is never rebased, so
     // the allocation cannot collide with a concurrent assigner.
     val tracked = rowTrackingEnabled(snap)
+    val cdc = if (cdfEnabled(snap)) {
+      val removedEntries = {
+        val want = removePaths.toSet
+        snap.files.filter(a => want.contains(a.path))
+      }
+      // rid-aware diff only when EVERY pre file carries id info — a
+      // rid-less pre copy against a materialized post copy would fail
+      // to cancel and surface phantom change rows
+      cdcDiff(spark, snap, removedEntries, adds,
+        ridAware = tracked && removedEntries.forall(a =>
+          a.ridMaterialized || a.baseRowId.isDefined))
+    } else Nil
     val (ridAdds, newHwm) = assignBaseRowIds(
       if (tracked) adds.map(_.copy(ridMaterialized = true)) else adds,
       snap.rowIdWatermark)

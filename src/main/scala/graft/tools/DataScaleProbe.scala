@@ -36,7 +36,11 @@ object DataScaleProbe {
   private val Letters = "abcdefghijklmnopqrstuvwxyz"
   private val ProbeQueries = Seq(
     "q36_minhash_lsh", "q37b_prefix_jaccard", "q63_prep_pipeline",
-    "q77_neardup_components", "q155_image_neardup", "q159_media_dedup")
+    "q77_neardup_components", "q155_image_neardup", "q159_media_dedup",
+    // round 15: the exact-span winnowing join — the Caesar transform
+    // destroys cross-replica 40-char spans, so spans (and candidate
+    // pairs) grow linearly with the corpus, the organic shape
+    "q164_exact_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

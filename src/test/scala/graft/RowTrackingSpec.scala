@@ -157,6 +157,69 @@ class RowTrackingSpec extends SparkSpec {
     } finally dropCat(cat)
   }
 
+  test("CDF update images pair by ROW ID — no merge key recorded at all") {
+    val (cat, _, path) = freshTable("cdfrid")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('rowTracking' = 'true', 'cdf.enabled' = 'true')")
+      val t = new GraftTable(path)
+      t.append((0L until 20L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      val v1 = t.latestVersion()
+      // SQL COW UPDATE: a `replace` commit — NO merge key is recorded
+      // (only upserts record one); pre-rid this commit could never pair
+      spark.sql(s"UPDATE $cat.db.t SET v = concat(v, '!') WHERE k % 4 = 0")
+      val feed = t.readChangeFeed(spark, v1, updateImages = true)
+        .select("k", "v", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val byType = feed.groupBy(_._3).view.mapValues(_.toSet).toMap
+      val updatedKeys = (0L until 20L).filter(_ % 4 == 0).toSet
+      assert(byType.keySet === Set("update_preimage", "update_postimage"),
+        s"unpaired rows leaked: $byType")
+      assert(byType("update_preimage") ===
+        updatedKeys.map(k => (k, s"v$k", "update_preimage")))
+      assert(byType("update_postimage") ===
+        updatedKeys.map(k => (k, s"v$k!", "update_postimage")))
+      // the internal pairing column never reaches the consumer schema
+      val cols = t.readChangeFeed(spark, v1, updateImages = true).columns
+      assert(!cols.contains("__cdc_rid"), cols.mkString(","))
+      assert(t.readChangeFeed(spark, v1).columns.toSet ===
+        cols.toSet) // default feed schema identical
+      // and the plain feed (updateImages = false) keeps net tags
+      val net = t.readChangeFeed(spark, v1)
+        .select("_change_type").distinct().collect().map(_.getString(0)).toSet
+      assert(net === Set("delete", "insert"))
+    } finally dropCat(cat)
+  }
+
+  test("CDF rid pairing: mixed commit — updates pair, deletes and inserts stay net") {
+    val (cat, _, path) = freshTable("cdfmix")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('rowTracking' = 'true', 'cdf.enabled' = 'true')")
+      val t = new GraftTable(path)
+      t.append((0L until 12L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      val v1 = t.latestVersion()
+      // one MERGE: updates k%3==0, deletes k in (1,7), inserts 100/101
+      spark.sql(s"""MERGE INTO $cat.db.t g USING (
+          SELECT * FROM VALUES (0L,'u'),(3L,'u'),(6L,'u'),(9L,'u'),
+            (1L,NULL),(7L,NULL),(100L,'n'),(101L,'n') AS s(k, nv)) s
+        ON g.k = s.k
+        WHEN MATCHED AND s.nv IS NULL THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.nv
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""")
+      val feed = t.readChangeFeed(spark, v1, updateImages = true)
+        .select("k", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val tags = feed.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      Seq(0L, 3L, 6L, 9L).foreach(k =>
+        assert(tags(k) === Seq("update_postimage", "update_preimage"), s"k=$k: ${tags(k)}"))
+      Seq(1L, 7L).foreach(k => assert(tags(k) === Seq("delete"), s"k=$k"))
+      Seq(100L, 101L).foreach(k => assert(tags(k) === Seq("insert"), s"k=$k"))
+    } finally dropCat(cat)
+  }
+
   test("log round trip: rid fields and the watermark survive a checkpoint") {
     val (cat, _, path) = freshTable("ckpt")
     try {
