@@ -3074,23 +3074,47 @@ final class GraftTable(val tablePath: String) {
         toLogical(
           readPhysicalFiles(spark, physicalSchema(snap.schema), touched),
           snap.schema)
-    val merged = Medallion.applyCdc(base, changes, key, seqCol)
-    val adds = stageData(toPhysical(merged, snap.schema), Some(snap))
+    val merged0 = Medallion.applyCdc(base, changes, key, seqCol)
+    // row tracking: an UPDATED key keeps its base row's id, joined back
+    // by key after the merge (the upsert contract treats `key` as a
+    // primary key; a duplicate-keyed base degrades to min-id per key
+    // rather than fanning rows out); new keys stage a null id and take
+    // fresh base + index through the coalesce convention. Requires
+    // every touched file to carry id info.
+    val tracked = rowTrackingEnabled(snap) && snap.schema.fields.nonEmpty &&
+      touched.nonEmpty &&
+      touched.forall(a => a.ridMaterialized || a.baseRowId.isDefined)
+    val merged =
+      if (!tracked) merged0
+      else {
+        val keyed = readPhysicalFilesWithRowIds(
+          spark, physicalSchema(snap.schema), touched)
+          .select(col(s"`${physicalOf(snap.schema, key)}`").as(key),
+            col(s"`$RowIdPhysCol`"))
+          .groupBy(col(s"`$key`"))
+          .agg(min(col(s"`$RowIdPhysCol`")).as(RowIdPhysCol))
+        merged0.join(keyed, Seq(key), "left")
+      }
+    val adds0 = stageData(toPhysical(merged, snap.schema), Some(snap))
+    val adds = if (tracked) adds0.map(_.copy(ridMaterialized = true)) else adds0
     // constraints check the WRITTEN rows (the merged file content), read
     // back from the staged parquet — no second CDC-merge computation; a
     // violation drops the staged files and nothing commits
     enforceOnStaged(spark,
-      if (snap.schema.isEmpty) merged.schema else snap.schema,
+      if (snap.schema.isEmpty) merged0.schema else snap.schema,
       adds, snap.constraints ++ generatedChecks(snap.props))
     // first commit on a schema-less table MUST write the schema action —
     // committing only adds would leave every later snapshot() unable to
     // resolve ("no schema action found"), bricking the table
-    val schemaJson = if (snap.schema.isEmpty) Some(merged.schema.json) else None
+    val schemaJson = if (snap.schema.isEmpty) Some(merged0.schema.json) else None
     // cdf.enabled: the feed batch is the pre-vs-post diff of the TOUCHED
     // files only — O(rewrite), never O(table)
-    val cdc = if (cdfEnabled(snap)) cdcDiff(spark, snap, touched, adds) else Nil
-    val v = commitRewrite(snap, "upsert", schemaJson, adds, touched.map(_.path),
-      cdc = cdc, mergeKey = Some(key))
+    val cdc = if (cdfEnabled(snap))
+      cdcDiff(spark, snap, touched, adds, ridAware = tracked) else Nil
+    val (ridAdds, newHwm) = assignBaseRowIds(adds, snap.rowIdWatermark)
+    val v = commitRewrite(snap, "upsert", schemaJson, ridAdds,
+      touched.map(_.path), cdc = cdc, mergeKey = Some(key),
+      rowIdWatermark = Some(newHwm))
     // untouched files are never staged or referenced by the commit —
     // no post-commit existence sweep (O(#files) stat() calls, and a
     // concurrent vacuum hiccup would blame this committed upsert)
@@ -3748,7 +3772,12 @@ final class GraftTable(val tablePath: String) {
       snap.files, Nil,
       constraints = if (snap.constraints.nonEmpty) Some(snap.constraints)
                     else None,
-      props = if (snap.props.nonEmpty) Some(snap.props) else None)
+      props = if (snap.props.nonEmpty) Some(snap.props) else None,
+      // row tracking: the clone carries the source's id WATERMARK with
+      // its files — a fresh-watermark clone would hand its first append
+      // the cloned rows' own id range (silent duplicates)
+      rowIdWatermark =
+        if (snap.rowIdWatermark > 0L) Some(snap.rowIdWatermark) else None)
     if (!won) throw new ConcurrentWriteException(
       s"txlog: clone destination $destPath raced another creator")
     dest
@@ -3912,9 +3941,19 @@ final class GraftTable(val tablePath: String) {
       case (None, Some(u)) => c <= lit(u)
       case (None, None) => c.isNotNull
     }
-    val survivorAdds = if (touched.isEmpty) Seq.empty else
-      stageData(readPhysicalFiles(spark, physicalSchema(snap.schema), touched)
-        .filter(!coalesce(matched, lit(false))), Some(snap))
+    // row tracking: straddler survivors carry their ids into the
+    // rewrite (materialized), replacement content takes fresh bases
+    val tracked = rowTrackingEnabled(snap) &&
+      touched.forall(a => a.ridMaterialized || a.baseRowId.isDefined)
+    val survivorAdds = if (touched.isEmpty) Seq.empty else {
+      val src =
+        if (tracked) readPhysicalFilesWithRowIds(
+          spark, physicalSchema(snap.schema), touched)
+        else readPhysicalFiles(spark, physicalSchema(snap.schema), touched)
+      val staged = stageData(
+        src.filter(!coalesce(matched, lit(false))), Some(snap))
+      if (tracked) staged.map(_.copy(ridMaterialized = true)) else staged
+    }
     // the replacement content, staged then RANGE-VALIDATED on its own
     // bytes — out-of-window or null-keyed rows refuse atomically
     val newAdds = stageData(toPhysical(df, snap.schema), Some(snap))
@@ -3946,8 +3985,11 @@ final class GraftTable(val tablePath: String) {
     val cdc = if (cdfEnabled(snap) && (touched.nonEmpty || newAdds.nonEmpty))
       cdcDiff(spark, snap, touched, survivorAdds ++ newAdds) else Nil
     val cdcFull = if (cdfEnabled(snap)) dropped.map(_.path) else Nil
-    val v = commitRewrite(snap, "replace", None, survivorAdds ++ newAdds,
-      (dropped ++ touched).map(_.path), cdc = cdc, cdcFull = cdcFull)
+    val (ridAdds, newHwm) = assignBaseRowIds(
+      survivorAdds ++ newAdds, snap.rowIdWatermark)
+    val v = commitRewrite(snap, "replace", None, ridAdds,
+      (dropped ++ touched).map(_.path), cdc = cdc, cdcFull = cdcFull,
+      rowIdWatermark = Some(newHwm))
     (dropped.size, touched.size, v)
   }
 
@@ -4240,13 +4282,19 @@ final class GraftTable(val tablePath: String) {
       a.path -> snap.addedIn.getOrElse(a.path, snap.version)).toMap
     val removes = merged.map(_._1)
     val v = snap.version + 1
+    // row tracking: the new files (post-images + the over-threshold
+    // rewrite leg) take fresh virtual bases; DV'd originals keep their
+    // rid info through the AddFile copy, so surviving ids never move
+    val (ridNew, newHwm) =
+      assignBaseRowIds(stagedAdds ++ insertAdds, snap.rowIdWatermark)
     // manual CAS (not commitRewrite): its abort path deletes `adds`
     // files, and dvAdds reference LIVE data files that must never be
     // touched — same discipline as deleteRows
     val won = latestVersion() == snap.version &&
       tryCommit(v, op, snap.version, None,
-        dvAdds ++ stagedAdds ++ insertAdds, removes,
-        addVersions = addVersions, cdc = cdc, mergeKey = mergeKey)
+        dvAdds ++ ridNew, removes,
+        addVersions = addVersions, cdc = cdc, mergeKey = mergeKey,
+        rowIdWatermark = Some(newHwm))
     if (!won) {
       (stagedAdds ++ insertAdds).foreach(a =>
         Files.deleteIfExists(root.resolve(a.path)))

@@ -237,7 +237,10 @@ private final class GraftRowLevelScan(
           "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false")
           .equalsIgnoreCase("true") ||
         required.fieldNames.contains(GraftTableV2.FileCol) ||
-        required.fieldNames.contains(GraftTableV2.PosCol)) None
+        required.fieldNames.contains(GraftTableV2.PosCol) ||
+        // row tracking: a _row_id-requiring scan needs whole-file
+        // positional partitions — keyed partitions cannot serve it
+        required.fieldNames.contains(GraftTableV2.RowIdCol)) None
     else GraftTableV2.keyedGroupsFor(snap, candidates)
   }
 

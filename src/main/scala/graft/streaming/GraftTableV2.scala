@@ -816,6 +816,19 @@ final class GraftBatch(
       physRequired.add(graft.medallion.TxLog.RowIdPhysCol, LongType), Nil)
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // row tracking: _row_id forces the positional path uncondition-
+    // ally — keyed partitions have no rid slot, and a scan that
+    // reported keyed grouping while requiring _row_id would fail on
+    // fieldIndex at read time (the scan-side gates exclude RowIdCol
+    // from keyed reports; this is the batch-side belt to that brace)
+    if (needRowId)
+      return files().map { case (a, v) =>
+        GraftPosPartition(
+          org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
+            spark, table.absoluteDataPath(a)),
+          2, if (needVersion) Some(v) else None, a.dv, a.path,
+          a.baseRowId): InputPartition
+      }.toArray
     // storage-partitioned-join mode: one keyed partition PER FILE —
     // Spark's DataSourceV2ScanExecBase.groupedPartitions groups them
     // by key itself (the Iceberg shape), which is what lets

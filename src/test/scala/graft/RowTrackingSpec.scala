@@ -157,6 +157,37 @@ class RowTrackingSpec extends SparkSpec {
     } finally dropCat(cat)
   }
 
+  test("COW UPDATE preserves ids under SPJ bucketing confs (keyed scan yields to positional)") {
+    val (cat, _, path) = freshTable("spj")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+        "PARTITIONED BY (bucket(4, k)) " +
+        "TBLPROPERTIES ('rowTracking' = 'true')")
+      val t = new GraftTable(path)
+      t.append((0L until 24L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      val before = ids(cat)
+      assert(before.size === 24)
+      // the row-level scan requires _row_id metadata on tracked tables;
+      // with bucketing confs on it would otherwise report a keyed
+      // grouping whose partitions have no rid slot
+      spark.sql(s"UPDATE $cat.db.t SET v = concat(v, '!') WHERE k % 6 = 0")
+      val after = spark.sql(s"SELECT k, v, _row_id FROM $cat.db.t").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(after.length === 24)
+      after.foreach { case (k, v, rid) =>
+        assert(rid === before(k), s"id of k=$k changed")
+        assert(v === (if (k % 6 == 0) s"v$k!" else s"v$k"))
+      }
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      dropCat(cat)
+    }
+  }
+
   test("CDF update images pair by ROW ID — no merge key recorded at all") {
     val (cat, _, path) = freshTable("cdfrid")
     try {
@@ -217,6 +248,77 @@ class RowTrackingSpec extends SparkSpec {
         assert(tags(k) === Seq("update_postimage", "update_preimage"), s"k=$k: ${tags(k)}"))
       Seq(1L, 7L).foreach(k => assert(tags(k) === Seq("delete"), s"k=$k"))
       Seq(100L, 101L).foreach(k => assert(tags(k) === Seq("insert"), s"k=$k"))
+    } finally dropCat(cat)
+  }
+
+  test("keyed COW upsert: updated keys keep their ids, inserts take fresh ones") {
+    val (cat, _, path) = freshTable("upsert")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('rowTracking' = 'true')")
+      val t = new GraftTable(path)
+      t.append((0L until 20L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      val before = ids(cat)
+      val changes = Seq(
+        (3L, "U3", false, 1L), (7L, "U7", false, 1L), // updates
+        (5L, "gone", true, 1L), // delete
+        (100L, "NEW", false, 1L)) // insert
+        .toDF("k", "v", "_deleted", "_seq")
+      t.upsert(changes, "k", "_seq")
+      val after = spark.sql(s"SELECT k, v, _row_id FROM $cat.db.t").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      val byKey = after.map(x => x._1 -> x).toMap
+      assert(!byKey.contains(5L))
+      assert(byKey(3L) === ((3L, "U3", before(3L))),
+        "an updated key must keep its row id")
+      assert(byKey(7L) === ((7L, "U7", before(7L))))
+      (0L until 20L).filterNot(Set(3L, 5L, 7L)).foreach(k =>
+        assert(byKey(k)._3 === before(k), s"carried key $k moved"))
+      // the insert's id is FRESH — outside every previously-assigned range
+      assert(byKey(100L)._3 >= 20L, s"insert id ${byKey(100L)._3} reused a range")
+      assert(after.map(_._3).distinct.size === after.size, "ids must stay unique")
+    } finally dropCat(cat)
+  }
+
+  test("replaceWhere: straddler survivors keep ids, replacement rows take fresh ones") {
+    val (cat, _, path) = freshTable("rw")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('rowTracking' = 'true')")
+      val t = new GraftTable(path)
+      t.append((0L until 30L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      val before = ids(cat)
+      // replace the [10, 19] window with 5 fresh rows
+      t.overwriteRange(spark,
+        (10L until 15L).map(i => (i, s"R$i")).toDF("k", "v"),
+        "k", Some(10L), Some(19L))
+      val after = ids(cat)
+      (0L until 10L).foreach(k => assert(after(k) === before(k), s"k=$k"))
+      (20L until 30L).foreach(k => assert(after(k) === before(k), s"k=$k"))
+      (10L until 15L).foreach(k =>
+        assert(after(k) >= 30L, s"replacement k=$k reused id ${after(k)}"))
+      assert(after.values.toSeq.distinct.size === after.size)
+    } finally dropCat(cat)
+  }
+
+  test("clone carries the watermark: a clone's first append never reuses an id range") {
+    val (cat, wh, path) = freshTable("clone")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('rowTracking' = 'true')")
+      val t = new GraftTable(path)
+      t.append((0L until 10L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      val clone = t.cloneTo(s"$wh/db/t2")
+      assert(clone.snapshot().rowIdWatermark === 10L)
+      clone.append(Seq((100L, "x")).toDF("k", "v"))
+      val got = spark.read.format("graft-table").option("path", s"$wh/db/t2")
+        .load().select(col("k")).collect()
+      assert(got.length === 11)
+      // the clone's own snapshot must show the append's fresh base at 10
+      assert(clone.snapshot().files.flatMap(_.baseRowId).sorted === Seq(0L, 10L))
     } finally dropCat(cat)
   }
 
