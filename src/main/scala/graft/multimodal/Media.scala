@@ -2896,37 +2896,49 @@ object Media {
       .filter(modalityIdx === ModalityIdx(modality))
       .select(col("doc_id"), col("text"))
       .repartition(graft.functions.Scale.par(s), col("text"))
-      .sortWithinPartitions(col("text"))
       .as[(Long, String)]
       .mapPartitions(memoHashRows(_, (text, md) => encode(text, md).flatMap(plane)))
   }
 
-  /** The collapse body: rows arrive co-partitioned AND sorted on the
-    * text column (callers repartition + sortWithinPartitions), so equal
-    * payloads are ADJACENT — the "memo" is just the previous row's
-    * (text, hash), O(1) memory per task no matter how many distinct
-    * payloads a partition holds (the earlier HashMap memo grew linearly
-    * with partition size on a mostly-distinct corpus — exactly the
-    * 100 TB shape the collapse exists for). The first row of each equal
-    * run decodes; the rest reuse the cached hash. Unsorted input stays
-    * CORRECT, only slower: each run of equal texts still decodes once,
-    * cross-run reuse is all that is lost. */
+  /** A 16-byte md5 digest packed into two primitive longs — the memo
+    * key (32-byte case-class entries instead of Base64 Strings; a
+    * collision means md5 collided on the text, the same assumption the
+    * exact-dedup queries already make). */
+  private final case class Digest128(hi: Long, lo: Long)
+
+  /** The memo body of the collapse: every row flows through (carrying
+    * its id), the FIRST row of each distinct payload decodes, later
+    * copies are digest-memo hits — co-location (callers repartition on
+    * the text) makes the hit global. BOUNDED memory: the memo is
+    * capped at 2^16 entries (~4 MB worst case) and epoch-resets when
+    * full, so a partition of mostly-distinct texts costs constant heap
+    * — a reset only forfeits cross-epoch reuse, never correctness (the
+    * round-14 sorted-adjacency variant held O(1) state but its
+    * per-partition SORT cost ~0.1 s per media query on the cold
+    * single-shot protocol; this form needs no sort). */
   private def memoHashRows[K](
       rows: Iterator[(K, String)],
       decodeHash: (String, MessageDigest) => Option[Array[Byte]])
       : Iterator[(K, Long)] = {
     val md = MessageDigest.getInstance("MD5")
-    var prevText: String = null
-    var prevHash: java.lang.Long = null
+    val memo = new java.util.HashMap[Digest128, java.lang.Long]()
     rows.flatMap { case (id, text) =>
-      if (prevText == null || text != prevText) {
-        prevText = text
-        prevHash = decodeHash(text, md)
-          .filter(_.length >= 66)
-          .map(b => java.lang.Long.valueOf(MediaCodec.dHash60(b)))
-          .orNull
-      }
-      if (prevHash == null) None else Some((id, prevHash.longValue))
+      md.reset()
+      val d = md.digest(text.getBytes(StandardCharsets.UTF_8))
+      val bb = java.nio.ByteBuffer.wrap(d)
+      val key = Digest128(bb.getLong, bb.getLong)
+      val h =
+        if (memo.containsKey(key)) memo.get(key)
+        else {
+          val computed = decodeHash(text, md)
+            .filter(_.length >= 66)
+            .map(b => java.lang.Long.valueOf(MediaCodec.dHash60(b)))
+            .orNull
+          if (memo.size >= 65536) memo.clear()
+          memo.put(key, computed)
+          computed
+        }
+      if (h == null) None else Some((id, h.longValue))
     }
   }
 
@@ -2979,7 +2991,6 @@ object Media {
     frames
       .select(col("doc_id"), col("frame_idx"), col("frame_text"))
       .repartition(graft.functions.Scale.par(s), col("frame_text"))
-      .sortWithinPartitions(col("frame_text"))
       .as[(Long, Int, String)]
       .mapPartitions { rows =>
         memoHashRows(rows.map { case (id, k, t) => ((id, k), t) },
@@ -3006,9 +3017,9 @@ object Media {
     * h). The frame index is the movi stream position, so temporal
     * alignment survives the container round trip. Same distinct-
     * payload collapse as [[videoFrameHashes]], keyed on the frame
-    * BYTES: equal frames co-locate (hash-partition on the binary
-    * column) and sort adjacent, so each distinct keyframe decodes
-    * once per task with O(1) memo state. */
+    * BYTES' digest: equal frames co-locate (hash-partition on the
+    * binary column), so each distinct keyframe decodes once per task
+    * under the bounded digest memo. */
   def aviFrameHashes(avis: Dataset[(Long, Array[Byte])])(
       implicit s: SparkSession): Dataset[(Long, Int, Long)] = {
     import s.implicits._
@@ -3019,20 +3030,27 @@ object Media {
       }
       .toDF("doc_id", "frame_idx", "frame")
       .repartition(graft.functions.Scale.par(s), col("frame"))
-      .sortWithinPartitions(col("frame"))
       .as[(Long, Int, Array[Byte])]
       .mapPartitions { rows =>
-        var prev: Array[Byte] = null
-        var prevHash: java.lang.Long = null
+        val md = MessageDigest.getInstance("MD5")
+        val memo = new java.util.HashMap[Digest128, java.lang.Long]()
         rows.flatMap { case (id, k, bytes) =>
-          if (prev == null || !java.util.Arrays.equals(bytes, prev)) {
-            prev = bytes
-            prevHash = MediaCodec.decodeJpegBlockMeans(bytes)
-              .filter(_.length >= 66)
-              .map(p => java.lang.Long.valueOf(MediaCodec.dHash60(p)))
-              .orNull
-          }
-          if (prevHash == null) None else Some((id, k, prevHash.longValue))
+          md.reset()
+          val d = md.digest(bytes)
+          val bb = java.nio.ByteBuffer.wrap(d)
+          val key = Digest128(bb.getLong, bb.getLong)
+          val h =
+            if (memo.containsKey(key)) memo.get(key)
+            else {
+              val computed = MediaCodec.decodeJpegBlockMeans(bytes)
+                .filter(_.length >= 66)
+                .map(p => java.lang.Long.valueOf(MediaCodec.dHash60(p)))
+                .orNull
+              if (memo.size >= 65536) memo.clear()
+              memo.put(key, computed)
+              computed
+            }
+          if (h == null) None else Some((id, k, h.longValue))
         }
       }
   }
