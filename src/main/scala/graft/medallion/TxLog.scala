@@ -418,11 +418,18 @@ object TxLog {
   //     ALSO get a fresh baseRowId, so rows whose materialized id is
   //     null (e.g. MERGE-inserted) fall back to base + index — fresh
   //     unique ids, the coalesce convention the scan implements.
+  //   - Merge-on-read row-level DML preserves ids on the post-image
+  //     plane too: the keyed upsert joins each updated key's base id
+  //     into its post-image (min-id per key on duplicate-keyed bases),
+  //     and SQL MOR UPDATE/MERGE threads `_row_id` through the delta
+  //     plan as preserved metadata into update(meta, id, row) — so an
+  //     id-keyed consumer sees an update as an UPDATE on both DML
+  //     planes (Delta's row-tracking contract). NOT-MATCHED inserts
+  //     stage a null id and coalesce to fresh base + index.
   //   - Readers serve `_row_id` = coalesce(materialized column,
   //     baseRowId + row index, null). Files with neither (written
-  //     before tracking was enabled, or by a path that does not yet
-  //     preserve — e.g. the keyed upsert rewrite) read as null rather
-  //     than failing: honest degradation, never wrong ids.
+  //     before tracking was enabled) read as null rather than
+  //     failing: honest degradation, never wrong ids.
   //
   // MOR deletes need no handling at all: the file's bytes are immutable
   // and DV'd rows still advance the row index, so surviving ids never
@@ -761,7 +768,7 @@ object TxLog {
   private[graft] val SupportedReaderFeatures: Set[String] = Set(
     "deletionVectors", "changeDataFeed", "checkConstraints",
     "tableProperties", "columnMapping", "typeWidening",
-    "parquetCheckpoint")
+    "parquetCheckpoint", "rowTracking")
 
   /** The reader features a commit's CONTENT requires — derived, not
     * declared, so the protocol line can never drift from the actions it
@@ -792,6 +799,21 @@ object TxLog {
       if (constraints.isDefined) Some("checkConstraints") else None,
       if (props.isDefined) Some("tableProperties") else None,
       if (schemaJson.exists(_.contains(PhysicalKey))) Some("columnMapping")
+      else None,
+      // row-id bases/materialization flags and the hwm watermark are
+      // SILENTLY droppable by a pre-tracking writer's checkpoint (they
+      // are extra fields on known actions, not new actions) — which
+      // would discard the watermark and every materialization flag,
+      // corrupting rid-based CDF pairing downstream. Gate by name on
+      // the property-enable commit (Delta gates rowTracking as a table
+      // feature for the same reason): every replay serving `_row_id`
+      // must cross either that commit or a checkpoint carrying the
+      // property, so pre-tracking code fails loudly there. Content
+      // (rid/hwm) canNOT be the trigger — appends assign virtual ids
+      // on every table, and gating on them would grow a protocol line
+      // on tables that never opted into any feature.
+      if (props.exists(_.get(RowTrackingProp).contains("true")))
+        Some("rowTracking")
       else None).flatten).sorted
 
   /** One commit file = JSON lines: an `info` line (op + readVersion, for
@@ -2065,13 +2087,29 @@ final class GraftTable(val tablePath: String) {
     // appends, untracked rewrites, pre-rid change files) stay untouched.
     val keyed = slices.flatMap { case (v, s) => s.mergeKey.map(v -> _) }
       .filter { case (_, k) => schema.fieldNames.contains(k) }
+    // a non-null __cdc_rid can only come from a commit's STAGED change
+    // files (the tagged pre/post slices literal-null it) — so a window
+    // with no keyed commit and no staged cdc anywhere provably retags
+    // nothing: skip the shuffle entirely
+    if (keyed.isEmpty && slices.forall(_._2.cdc.isEmpty))
+      return feed.drop("__cdc_rid")
     val keyExpr = keyed.foldLeft(col("`__cdc_rid`").cast(StringType)) {
       case (acc, (v, k)) =>
         when(col("_commit_version") === lit(v), col(s"`$k`").cast(StringType))
           .otherwise(acc)
     }
+    // null-key rows (plain appends/deletes, pre-rid change files) are
+    // never retagged — but partitioning them all into ONE null group
+    // per commit would funnel a large keyless feed through a single
+    // skewed task. Spread exactly those rows by a deterministic row
+    // hash in a THIRD partition column (constant 0 for real-keyed
+    // rows, so their pairing groups are untouched).
+    val spread = when(keyExpr.isNull,
+        xxhash64(schema.fieldNames.toIndexedSeq.map(n => col(s"`$n`")) :+
+          col(ChangeTypeCol): _*))
+      .otherwise(lit(0L))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_commit_version"), keyExpr)
+      .partitionBy(col("_commit_version"), keyExpr, spread)
     val hasDel = max(when(col(ChangeTypeCol) === "delete", 1).otherwise(0)).over(w)
     val hasIns = max(when(col(ChangeTypeCol) === "insert", 1).otherwise(0)).over(w)
     feed.withColumn(ChangeTypeCol,
@@ -2420,7 +2458,14 @@ final class GraftTable(val tablePath: String) {
     * concurrent writer's commit would silently drop its rows. */
   private[graft] def replaceFiles(
       spark: SparkSession, readVersion: Long, removePaths: Seq[String],
-      staged: Seq[java.nio.file.Path]): Long = {
+      staged: Seq[java.nio.file.Path],
+      /** the COW writer's own materialization bit (its ridMetaIdx was
+        * defined, so the staged bytes really carry the trailing id
+        * column); None = legacy callers, fall back to the pinned
+        * snapshot's property. Threaded from GraftReplaceWrite so the
+        * flag can never claim a column the bytes don't carry (e.g.
+        * when Spark's metadataSchema omitted `_row_id`). */
+      writerRid: Option[Boolean] = None): Long = {
     val snap = snapshot(readVersion)
     // staged bytes carry PHYSICAL names (the row-level writer factory is
     // built over physicalSchema); constraints validate logically. The
@@ -2443,7 +2488,7 @@ final class GraftTable(val tablePath: String) {
     // rows with a null materialized id (MERGE inserts) coalesce to
     // base + index — fresh unique ids. `replace` is never rebased, so
     // the allocation cannot collide with a concurrent assigner.
-    val tracked = rowTrackingEnabled(snap)
+    val tracked = writerRid.getOrElse(rowTrackingEnabled(snap))
     val cdc = if (cdfEnabled(snap)) {
       val removedEntries = {
         val want = removePaths.toSet
@@ -3166,14 +3211,35 @@ final class GraftTable(val tablePath: String) {
     // brand-new keys alike (changes carry full rows — the applyCdc
     // contract); base rows of untouched keys never move
     val emptyBase = changes.drop("_deleted", "_op", seqCol).limit(0)
-    val inserts = Medallion.applyCdc(emptyBase, changes, key, seqCol)
+    val inserts0 = Medallion.applyCdc(emptyBase, changes, key, seqCol)
+    // row tracking: an UPDATED key's post-image keeps its base row's id
+    // (Delta's row-tracking contract holds on BOTH DML planes — a
+    // MOR update is an update, not delete+insert, to an id-keyed
+    // consumer). Same keyed join-back as the COW leg: min-id per key
+    // on duplicate-keyed bases, null for brand-new keys (they coalesce
+    // to fresh base + index). Requires every touched file to carry id
+    // info.
+    val tracked = rowTrackingEnabled(snap) &&
+      touched.forall(a => a.ridMaterialized || a.baseRowId.isDefined)
+    val inserts =
+      if (!tracked) inserts0
+      else {
+        val keyed = readPhysicalFilesWithRowIds(spark, phys, touched)
+          .select(col(s"`$physKey`").as(key), col(s"`$RowIdPhysCol`"))
+          .groupBy(col(s"`$key`"))
+          .agg(min(col(s"`$RowIdPhysCol`")).as(RowIdPhysCol))
+        inserts0.join(keyed, Seq(key), "left")
+      }
     // spec-cluster the image files like any append — post-images keep
     // tight transform ranges (day pruning, bucket single-valuedness for
     // storage-partitioned joins) instead of straddling every tuple
     val physInserts = toPhysical(inserts, snap.schema)
-    val insertAdds = stageData(PartitionSpec.cluster(physInserts,
+    val insertAdds0 = stageData(PartitionSpec.cluster(physInserts,
       PartitionSpec.resolved(snap.props, snap.schema, physInserts.schema)),
       Some(snap))
+    val insertAdds =
+      if (tracked) insertAdds0.map(_.copy(ridMaterialized = true))
+      else insertAdds0
     commitDeltaRowLevelAdds(spark, snap, bitmaps, insertAdds,
       op = "upsert", mergeKey = Some(key))
   }
@@ -4181,16 +4247,23 @@ final class GraftTable(val tablePath: String) {
   private[graft] def commitDeltaRowLevel(
       spark: SparkSession, readVersion: Long,
       newDeletes: Seq[(String, Array[Byte])],
-      insertStaged: Seq[java.nio.file.Path]): Long = {
+      insertStaged: Seq[java.nio.file.Path],
+      ridMaterialized: Boolean = false): Long = {
     val snap = snapshot(readVersion)
     if (newDeletes.isEmpty && insertStaged.isEmpty) return snap.version
     // insert files carry the GraftDeltaWrite-declared ordering (same
     // writeOrderDeclared resolution over the same snapshot) — stamp
     // them; DV'd originals keep their own stats, marker included
     // (positions skip in place)
+    val adopted = adoptStaged(spark, physicalSchema(snap.schema), insertStaged,
+      sortedBy = writeOrderDeclaredPhys(snap, physicalSchema(snap.schema)))
+    // row tracking: `ridMaterialized` is the WRITER's own bit (its
+    // ridMetaIdx was defined and it appended the trailing id column) —
+    // never re-derived from a snapshot, so the flag can't claim a
+    // column the bytes don't carry
     commitDeltaRowLevelAdds(spark, snap, newDeletes,
-      adoptStaged(spark, physicalSchema(snap.schema), insertStaged,
-        sortedBy = writeOrderDeclaredPhys(snap, physicalSchema(snap.schema))),
+      if (ridMaterialized) adopted.map(_.copy(ridMaterialized = true))
+      else adopted,
       op = "replace", mergeKey = None)
   }
 
@@ -4251,14 +4324,43 @@ final class GraftTable(val tablePath: String) {
       buf.array()
     }
     // copy-on-write leg: survivors = file minus MERGED bitmap (anti-
-    // join against executor-expanded positions — never driver longs)
-    val stagedAdds = if (over.isEmpty) Nil else
-      stageData(
-        tagged(over.map { case (p, _) => byName(p) })
-          .join(positionsDf(spark,
+    // join against executor-expanded positions — never driver longs).
+    // Row tracking: survivors of an over-threshold file are rows the
+    // table already held — they carry their ids into the rewrite
+    // (materialized), exactly like compact; only the post-images are
+    // new rows. The merged bitmap already ORs any pre-existing DV, so
+    // one anti-join covers both.
+    val overFiles = over.map { case (p, _) => byName(p) }
+    val overTracked = rowTrackingEnabled(snap) && overFiles.nonEmpty &&
+      overFiles.forall(a => a.ridMaterialized || a.baseRowId.isDefined)
+    val stagedAdds = if (over.isEmpty) Nil else {
+      val src =
+        if (!overTracked) tagged(overFiles)
+        else {
+          import spark.implicits._
+          val readSchema = StructType(phys.fields :+
+            StructField(RowIdPhysCol, LongType, nullable = true))
+          val bases = overFiles.map(a => (a.path, a.baseRowId))
+            .toDF("__f", "__rt_base")
+          spark.read.schema(readSchema)
+            .parquet(overFiles.map(a => root.resolve(a.path).toString): _*)
+            .withColumn("__f",
+              substring_index(col("_metadata.file_path"), "/", -1))
+            .withColumn("__i", col("_metadata.row_index"))
+            .join(broadcast(bases), Seq("__f"), "left")
+            .withColumn(RowIdPhysCol, coalesce(
+              col(s"`$RowIdPhysCol`"), col("__rt_base") + col("__i")))
+        }
+      val outCols =
+        if (overTracked) cols :+ col(s"`$RowIdPhysCol`") else cols
+      val staged0 = stageData(
+        src.join(positionsDf(spark,
             over.map { case (p, bm) => p -> serialized(bm) }),
             Seq("__f", "__i"), "left_anti")
-          .select(cols: _*), Some(snap))
+          .select(outCols: _*), Some(snap))
+      if (overTracked) staged0.map(_.copy(ridMaterialized = true))
+      else staged0
+    }
     // cdf.enabled: newly-deleted positions' pre-images + insert rows
     val cdc = if (!cdfEnabled(snap)) Nil else {
       require(!snap.schema.fieldNames.contains(ChangeTypeCol),

@@ -369,7 +369,8 @@ private final class GraftReplaceWrite(
         "graft-table replace: the write committed before its scan planned " +
           "— the rewrite plan must read the table through the operation scan"))
       new GraftTable(tablePath).replaceFiles(
-        SparkSession.active, op.snapVersion, removed, staged.map(Paths.get(_)))
+        SparkSession.active, op.snapVersion, removed, staged.map(Paths.get(_)),
+        writerRid = Some(ridMetaIdx.isDefined))
       cleanupStage()
     }
 
@@ -425,9 +426,25 @@ final class GraftDeltaRowLevelOperation(
     * delete+insert split doubling the plan's row traffic. */
   override def representUpdateAsDeleteAndInsert(): Boolean = false
 
+  /** Whether this operation's table tracks rows — resolved once from
+    * the pinned snapshot's properties (same as the COW op). */
+  private[streaming] lazy val rowTracked: Boolean =
+    snapVersion > 0L && TxLog.rowTrackingEnabled(
+      new GraftTable(tablePath).snapshot(snapVersion))
+
   override def requiredMetadataAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array.empty
+    // row tracking: an UPDATEd row's stable id rides the delta plan as
+    // preserved metadata and is materialized into the post-image files
+    // — Delta's contract keeps the id stable across updates on the MOR
+    // plane too, not just copy-on-write. The delta scan already serves
+    // whole-file positional partitions for _file/_pos, so requesting
+    // _row_id costs no extra plan degradation. Untracked tables stay
+    // byte-identical.
+    if (rowTracked)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+        GraftTableV2.RowIdCol))
+    else Array.empty
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // planning-session capture, same rationale as the group-based scan
@@ -446,11 +463,26 @@ final class GraftDeltaRowLevelOperation(
         s"graft-table $cmd: delta write planned without a row-id schema"))
     val fileOrd = idSchema.fieldIndex(GraftTableV2.FileCol)
     val posOrd = idSchema.fieldIndex(GraftTableV2.PosCol)
+    // row tracking: locate _row_id in the metadata row Spark hands to
+    // update(meta, id, row) — the writer appends it as the trailing
+    // materialized column (same resolution as the COW builder)
+    val ridMetaIdx: Option[Int] =
+      if (!rowTracked) None
+      else {
+        val ms = info.metadataSchema()
+        if (ms.isPresent)
+          ms.get.fieldNames.indexOf(GraftTableV2.RowIdCol) match {
+            case -1 => None
+            case i => Some(i)
+          }
+        else None
+      }
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
         new GraftDeltaWrite(tablePath, snapVersion,
           TxLog.physicalSchema(dataSchema), fileOrd, posOrd,
-          dataColsPresent = info.schema().fields.nonEmpty)
+          dataColsPresent = info.schema().fields.nonEmpty,
+          ridMetaIdx = ridMetaIdx)
     }
   }
 }
@@ -463,7 +495,8 @@ final class GraftDeltaRowLevelOperation(
   * stays bounded no matter how many rows a task deleted. */
 private final class GraftDeltaWrite(
     tablePath: String, snapVersion: Long, writeSchema: StructType,
-    fileOrd: Int, posOrd: Int, dataColsPresent: Boolean)
+    fileOrd: Int, posOrd: Int, dataColsPresent: Boolean,
+    ridMetaIdx: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.DeltaWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -491,8 +524,14 @@ private final class GraftDeltaWrite(
           : org.apache.spark.sql.connector.write.DeltaWriterFactory =
         new GraftDeltaWriterFactory(
           org.apache.spark.sql.graft.ParquetWrites.factory(
-            SparkSession.active, writeSchema, stageDir,
-            GraftTableV2.stageSplitKey(tablePath, writeSchema)),
+            SparkSession.active,
+            // row tracking: post-images carry the materialized id as a
+            // trailing physical column, filled from the metadata row
+            ridMetaIdx.fold(writeSchema)(_ => writeSchema.add(
+              TxLog.RowIdPhysCol, org.apache.spark.sql.types.LongType)),
+            stageDir,
+            GraftTableV2.stageSplitKey(tablePath, writeSchema),
+            ridMetaIdx = ridMetaIdx),
           stageDir, fileOrd, posOrd)
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -525,7 +564,8 @@ private final class GraftDeltaWrite(
         }
         new GraftTable(tablePath).commitDeltaRowLevel(
           SparkSession.active, snapVersion, deletes,
-          msgs.flatMap(_.files).map(Paths.get(_)))
+          msgs.flatMap(_.files).map(Paths.get(_)),
+          ridMaterialized = ridMetaIdx.isDefined)
         cleanupStage()
       }
 
@@ -614,7 +654,10 @@ private final class GraftDeltaWriterFactory(
           id: org.apache.spark.sql.catalyst.InternalRow,
           row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
         record(id)
-        rows.write(row)
+        // preserved-metadata write: on row-tracked tables the inner
+        // writer fills the trailing materialized id from `meta`
+        // (ridMetaIdx); untracked factories fall through to write(row)
+        rows.write(meta, row)
       }
 
       override def insert(

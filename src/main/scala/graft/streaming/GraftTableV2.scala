@@ -820,7 +820,15 @@ final class GraftBatch(
     // ally — keyed partitions have no rid slot, and a scan that
     // reported keyed grouping while requiring _row_id would fail on
     // fieldIndex at read time (the scan-side gates exclude RowIdCol
-    // from keyed reports; this is the batch-side belt to that brace)
+    // from keyed reports; this is the batch-side belt to that brace).
+    // COST NOTE: whole-file row-at-a-time partitions (delegate 2) for
+    // EVERY file, DV'd or not — a _row_id-selecting scan of a large
+    // table gives up vectorized columnar reads and intra-file splits.
+    // Acceptable while _row_id is a metadata column pulled for DML/
+    // CDF plumbing (file-count parallelism, O(selected columns) IO);
+    // the scale path, if rid-heavy analytics ever appear, is serving
+    // materialized/base+index coalesce per ROW GROUP so vectorization
+    // and splits return.
     if (needRowId)
       return files().map { case (a, v) =>
         GraftPosPartition(

@@ -345,4 +345,147 @@ class RowTrackingSpec extends SparkSpec {
       assert(ids(cat)(10L) === 10L)
     } finally dropCat(cat)
   }
+
+  test("keyed MOR upsert: updated keys keep their ids (post-images carry them)") {
+    val (cat, _, path) = freshTable("morupsert")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('rowTracking' = 'true')")
+      val t = new GraftTable(path)
+      t.append((0L until 20L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      t.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
+      val before = ids(cat)
+      val changes = Seq(
+        (3L, "U3", false, 1L), (7L, "U7", false, 1L), // updates
+        (5L, "gone", true, 1L), // delete
+        (100L, "NEW", false, 1L)) // insert
+        .toDF("k", "v", "_deleted", "_seq")
+      val preFiles = t.snapshot().files.map(_.path).toSet
+      t.upsert(changes, "k", "_seq")
+      // genuinely merge-on-read: every pre file still live, one DV'd
+      val snap = t.snapshot()
+      assert(preFiles.forall(p => snap.files.exists(_.path == p)),
+        "MOR upsert must keep every pre-existing file live")
+      val after = spark.sql(s"SELECT k, v, _row_id FROM $cat.db.t").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      val byKey = after.map(x => x._1 -> x).toMap
+      assert(!byKey.contains(5L))
+      assert(byKey(3L) === ((3L, "U3", before(3L))),
+        "a MOR-updated key must keep its row id (Delta contract: an " +
+          "update is an update, not delete+insert, on BOTH DML planes)")
+      assert(byKey(7L) === ((7L, "U7", before(7L))))
+      (0L until 20L).filterNot(Set(3L, 5L, 7L)).foreach(k =>
+        assert(byKey(k)._3 === before(k), s"carried key $k moved"))
+      assert(byKey(100L)._3 >= 20L, s"insert id ${byKey(100L)._3} reused a range")
+      assert(after.map(_._3).distinct.size === after.size, "ids must stay unique")
+      // a compact then MATERIALIZES the same ids — nothing shifts
+      t.compact(spark)
+      val afterCompact = ids(cat)
+      after.foreach { case (k, _, rid) =>
+        assert(afterCompact(k) === rid, s"compact moved id of key $k") }
+    } finally dropCat(cat)
+  }
+
+  test("SQL MOR UPDATE / MERGE: post-images keep ids via preserved metadata") {
+    val (cat, _, path) = freshTable("mordml")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('rowTracking' = 'true')")
+      val t = new GraftTable(path)
+      t.append((0L until 20L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      t.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
+      t.setProperty(TxLog.MergeModeProp, TxLog.DeleteModeMor)
+      val before = ids(cat)
+      val preFiles = t.snapshot().files.map(_.path).toSet
+      spark.sql(s"UPDATE $cat.db.t SET v = upper(v) WHERE k % 5 = 0")
+      assert(preFiles.forall(p => t.snapshot().files.exists(_.path == p)),
+        "MOR UPDATE must keep every pre-existing file live")
+      val afterU = ids(cat)
+      (0L until 20L).foreach(k =>
+        assert(afterU(k) === before(k),
+          s"SQL MOR UPDATE moved id of key $k (updated=${k % 5 == 0})"))
+      // MERGE: matched post-image keeps its id, NOT MATCHED takes fresh
+      Seq((4L, "m4"), (50L, "m50")).toDF("mk", "mv")
+        .createOrReplaceTempView("rt_mor_src")
+      try spark.sql(
+        s"""MERGE INTO $cat.db.t AS tgt USING rt_mor_src AS src
+            ON tgt.k = src.mk
+            WHEN MATCHED THEN UPDATE SET v = src.mv
+            WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.mk, src.mv)""")
+      finally spark.catalog.dropTempView("rt_mor_src")
+      val afterM = ids(cat)
+      (0L until 20L).foreach(k =>
+        assert(afterM(k) === before(k), s"MERGE moved id of key $k"))
+      assert(afterM(50L) >= 20L, s"MERGE insert id ${afterM(50L)} reused a range")
+      assert(afterM.values.toSeq.distinct.size === afterM.size)
+      // materialization sanity after the whole MOR gauntlet
+      t.compact(spark)
+      assert(ids(cat) === afterM, "compact after MOR DML moved ids")
+    } finally dropCat(cat)
+  }
+
+  test("MOR over-threshold rewrite leg: survivors keep ids through the COW fallback") {
+    val (cat, _, path) = freshTable("morover")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('rowTracking' = 'true')")
+      val t = new GraftTable(path)
+      t.append((0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      t.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
+      val before = ids(cat)
+      // update 90% of the single file — far over dv.maxFraction, so the
+      // commit core routes it through the copy-on-write rewrite leg:
+      // survivors (the untouched 10%) must carry their ids into the
+      // rewritten file, post-images keep theirs via the keyed join
+      val changes = (0L until 90L).map(i => (i, s"U$i", false, 1L))
+        .toDF("k", "v", "_deleted", "_seq")
+      t.upsert(changes, "k", "_seq")
+      val after = ids(cat)
+      (0L until 100L).foreach(k =>
+        assert(after(k) === before(k),
+          s"over-threshold MOR upsert moved id of key $k " +
+            s"(${if (k < 90) "post-image" else "rewrite-leg survivor"})"))
+      assert(after.values.toSeq.distinct.size === after.size)
+    } finally dropCat(cat)
+  }
+
+  test("protocol: the enable commit gates by the 'rowTracking' reader feature; plain tables stay protocol-free") {
+    val (cat, _, path) = freshTable("protocol")
+    try {
+      // a plain table's appends carry rid/hwm info fields but NO
+      // protocol line — format-bump confinement (virtual ids are
+      // assigned on every table; only the property makes them served)
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING)")
+      val t = new GraftTable(path)
+      t.append(Seq((1L, "a")).toDF("k", "v"))
+      val logDir = new java.io.File(path, "_graft_log")
+      def commitText(v: Long): String = {
+        val f = new java.io.File(logDir, "%020d.json".format(v))
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      }
+      assert(!commitText(2L).contains("protocol"),
+        "an append on an untracked table must not grow a protocol line")
+      // enabling rowTracking emits the feature by NAME — a pre-tracking
+      // reader fails loudly there instead of silently dropping the
+      // watermark in a checkpoint and corrupting rid-based CDF pairing
+      t.setProperty(TxLog.RowTrackingProp, "true")
+      val enable = commitText(t.latestVersion())
+      assert(enable.contains("\"rowTracking\"") &&
+        enable.contains("readerFeatures"),
+        s"the enable commit must gate by feature name, got: $enable")
+      // a checkpoint's meta carries the property too, so truncated logs
+      // stay gated
+      t.append(Seq((2L, "b")).toDF("k", "v"))
+      t.checkpoint()
+      val cp = logDir.listFiles()
+        .filter(_.getName.endsWith(".checkpoint.json")).maxBy(_.getName)
+      val cpText = new String(
+        java.nio.file.Files.readAllBytes(cp.toPath), "UTF-8")
+      assert(cpText.contains("\"rowTracking\""),
+        "checkpoint meta must carry the rowTracking gate")
+    } finally dropCat(cat)
+  }
 }
