@@ -319,16 +319,31 @@ object Media {
         Some(out.toArray)
       }
 
-    /** A complete MJPEG-in-AVI container from per-frame JPEG payloads:
+    /** A PCM audio track for [[writeAvi]] — the '01wb' stream's shape:
+      * format code 1 (integer PCM) or 3 (IEEE float), the same codes
+      * the WAV `fmt ` chunk carries, because AVI's 'auds' strf IS a
+      * WAVEFORMAT — RIFF reuses one grammar across both containers. */
+    final case class AviAudio(
+        sampleRate: Int, channels: Int, body: Array[Byte],
+        bits: Int = 8, formatCode: Int = 1)
+
+    /** A complete MJPEG-in-AVI container from per-frame JPEG payloads,
+      * optionally carrying an interleaved PCM AUDIO stream:
       * RIFF('AVI ') { LIST hdrl { avih, LIST strl { strh 'vids'/'MJPG',
-      * strf BITMAPINFOHEADER } }, LIST movi { '00dc' × n }, idx1 } —
+      * strf BITMAPINFOHEADER } [, LIST strl { strh 'auds', strf
+      * WAVEFORMAT }] }, LIST movi { ('00dc' ['01wb'])* }, idx1 } —
       * every size field real, every chunk even-padded, the idx1 index
       * flagged AVIIF_KEYFRAME (each MJPEG frame decodes standalone).
-      * Frame dims come from the first parseable frame's JPEG header;
-      * an empty frame element writes a zero-length '00dc' chunk (the
-      * position-preserving convention [[aviFrames]] documents). */
+      * Audio interleaves the way real muxers do: the PCM body splits
+      * into one block-aligned '01wb' chunk per video frame (remainder
+      * on the last), so a player streaming the movi list gets each
+      * frame's sound next to its picture. Frame dims come from the
+      * first parseable frame's JPEG header; an empty frame element
+      * writes a zero-length '00dc' chunk (the position-preserving
+      * convention [[aviFrames]] documents). */
     def writeAvi(frames: Seq[Array[Byte]],
-        usecPerFrame: Int = 250000): Array[Byte] = {
+        usecPerFrame: Int = 250000,
+        audio: Option[AviAudio] = None): Array[Byte] = {
       require(frames.nonEmpty, "an AVI needs at least one frame chunk")
       val (w, h) = frames.iterator.flatMap(parseJpeg(_)).nextOption()
         .getOrElse((0, 0))
@@ -351,16 +366,54 @@ object Media {
       fcc(strf, "MJPG")
       strf.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
 
+      // audio stream headers + the interleaved '01wb' split
+      val audioChunks: Seq[Array[Byte]] = audio.fold(Seq.empty[Array[Byte]]) { a =>
+        val blockAlign = math.max(1, a.channels * (a.bits / 8))
+        val per = {
+          val raw = a.body.length / n
+          math.max(blockAlign, raw - raw % blockAlign)
+        }
+        (0 until n).map { k =>
+          val from = math.min(per * k, a.body.length)
+          val until = if (k == n - 1) a.body.length
+            else math.min(per * (k + 1), a.body.length)
+          java.util.Arrays.copyOfRange(a.body, from, until)
+        }
+      }
+      val audioHdr: Option[(Array[Byte], Array[Byte])] = audio.map { a =>
+        val blockAlign = math.max(1, a.channels * (a.bits / 8))
+        val sh = java.nio.ByteBuffer.allocate(56).order(le)
+        fcc(sh, "auds"); sh.putInt(0) // fccHandler 0 = raw PCM
+        sh.putInt(0).putShort(0).putShort(0).putInt(0)
+        sh.putInt(blockAlign) // dwScale = block align (PCM convention)
+        sh.putInt(a.sampleRate * blockAlign) // dwRate = avg bytes/sec
+        sh.putInt(0).putInt(a.body.length / blockAlign) // length in blocks
+        sh.putInt(math.max(1, audioChunks.map(_.length).max))
+        sh.putInt(-1).putInt(blockAlign)
+        sh.putShort(0).putShort(0).putShort(0).putShort(0)
+        val sf = java.nio.ByteBuffer.allocate(16).order(le)
+        sf.putShort(a.formatCode.toShort).putShort(a.channels.toShort)
+        sf.putInt(a.sampleRate).putInt(a.sampleRate * blockAlign)
+        sf.putShort(blockAlign.toShort).putShort(a.bits.toShort)
+        (sh.array(), sf.array())
+      }
+
       val avih = java.nio.ByteBuffer.allocate(56).order(le)
       avih.putInt(usecPerFrame).putInt(0).putInt(0)
       avih.putInt(0x10) // AVIF_HASINDEX
-      avih.putInt(n).putInt(0).putInt(1).putInt(maxFrame)
+      avih.putInt(n).putInt(0).putInt(if (audio.isDefined) 2 else 1)
+      avih.putInt(maxFrame)
       avih.putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
 
       val strlData = 4 + 8 + 56 + 8 + 40
-      val hdrlData = 4 + 8 + 56 + 8 + strlData
-      val moviData = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
-      val idxData = 16 * n
+      val strlAudData = audioHdr.fold(0)(hs => 4 + 8 + hs._1.length + 8 + hs._2.length)
+      val hdrlData = 4 + 8 + 56 + 8 + strlData +
+        (if (strlAudData > 0) 8 + strlAudData else 0)
+      def even(x: Int): Int = x + (x & 1)
+      val moviData = 4 + frames.map(f => 8 + even(f.length)).sum +
+        audioChunks.map(a => 8 + even(a.length)).sum
+      val idxEntries = n + audioChunks.length
+      val idxData = 16 * idxEntries
       val fileLen = 12 + (8 + hdrlData) + (8 + moviData) + (8 + idxData)
 
       val bb = java.nio.ByteBuffer.allocate(fileLen).order(le)
@@ -370,22 +423,94 @@ object Media {
       fcc(bb, "LIST"); bb.putInt(strlData); fcc(bb, "strl")
       fcc(bb, "strh"); bb.putInt(56); bb.put(strh.array())
       fcc(bb, "strf"); bb.putInt(40); bb.put(strf.array())
+      audioHdr.foreach { case (sh, sf) =>
+        fcc(bb, "LIST"); bb.putInt(strlAudData); fcc(bb, "strl")
+        fcc(bb, "strh"); bb.putInt(sh.length); bb.put(sh)
+        fcc(bb, "strf"); bb.putInt(sf.length); bb.put(sf)
+      }
       fcc(bb, "LIST"); bb.putInt(moviData); fcc(bb, "movi")
-      val offsets = new Array[Int](n)
+      val offsets = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
       var off = 4 // idx1 offsets are relative to the 'movi' fourcc
+      def chunk(id: String, payload: Array[Byte]): Unit = {
+        offsets += ((id, off, payload.length))
+        fcc(bb, id); bb.putInt(payload.length); bb.put(payload)
+        if ((payload.length & 1) == 1) bb.put(0.toByte)
+        off += 8 + even(payload.length)
+      }
       frames.zipWithIndex.foreach { case (f, k) =>
-        offsets(k) = off
-        fcc(bb, "00dc"); bb.putInt(f.length); bb.put(f)
-        if ((f.length & 1) == 1) bb.put(0.toByte)
-        off += 8 + f.length + (f.length & 1)
+        chunk("00dc", f)
+        if (audioChunks.nonEmpty) chunk("01wb", audioChunks(k))
       }
       fcc(bb, "idx1"); bb.putInt(idxData)
-      frames.zipWithIndex.foreach { case (f, k) =>
-        fcc(bb, "00dc")
-        bb.putInt(0x10) // AVIIF_KEYFRAME
-        bb.putInt(offsets(k)).putInt(f.length)
+      offsets.foreach { case (id, o, len) =>
+        fcc(bb, id)
+        bb.putInt(if (id == "00dc") 0x10 else 0) // AVIIF_KEYFRAME on video
+        bb.putInt(o).putInt(len)
       }
       bb.array()
+    }
+
+    /** The AVI's PCM audio track re-wrapped as a canonical standalone
+      * WAV (or None when the container carries no 'auds' stream): the
+      * hdrl walk recovers the WAVEFORMAT strf of the 'auds' strl, the
+      * movi walk concatenates the '01wb' chunks in stream order, and
+      * [[writeWav]] re-containers them — so the EXISTING WAV decode
+      * plane ([[decodeWavSamples]], resampling, perceptual hashing)
+      * consumes a video's soundtrack unchanged. Hostile sizes refuse
+      * with None like every other walk here. */
+    def aviAudioWav(b: Array[Byte]): Option[Array[Byte]] = {
+      val fmt = findAviList(b, "hdrl").flatMap { case (start, end) =>
+        var i = start.toLong
+        var found: Option[(Int, Int, Int, Int)] = None
+        while (i + 8 <= end && found.isEmpty) {
+          val id = ascii4(b, i.toInt)
+          val size = le32(b, i.toInt + 4)
+          if (size < 0 || i + 8 + size > end) return None
+          if (id == "LIST" && size >= 4 &&
+              ascii4(b, i.toInt + 8) == "strl") {
+            // inside one stream's header list: strh tells the type,
+            // strf is the WAVEFORMAT when the type is 'auds'
+            var j = i + 12L
+            val subEnd = i + 8 + size
+            var isAuds = false
+            while (j + 8 <= subEnd && found.isEmpty) {
+              val sid = ascii4(b, j.toInt)
+              val ssize = le32(b, j.toInt + 4)
+              if (ssize < 0 || j + 8 + ssize > subEnd) return None
+              if (sid == "strh" && ssize >= 4)
+                isAuds = ascii4(b, j.toInt + 8) == "auds"
+              if (sid == "strf" && isAuds) {
+                if (ssize < 16) return None
+                val at = j.toInt + 8
+                found = Some((le16(b, at), le16(b, at + 2),
+                  le32(b, at + 4), le16(b, at + 14)))
+              }
+              j += 8L + ssize + (ssize & 1)
+            }
+          }
+          i += 8L + size + (size & 1)
+        }
+        found
+      }
+      fmt.flatMap { case (formatCode, channels, sampleRate, bits) =>
+        if (channels < 1 || sampleRate < 1 ||
+            !((formatCode == 1 && (bits == 8 || bits == 16 || bits == 24)) ||
+              (formatCode == 3 && bits == 32))) None
+        else findAviList(b, "movi").flatMap { case (start, end) =>
+          val out = new java.io.ByteArrayOutputStream()
+          var i = start.toLong
+          while (i + 8 <= end) {
+            val id = ascii4(b, i.toInt)
+            val size = le32(b, i.toInt + 4)
+            if (size < 0 || i + 8 + size > end) return None
+            if (id == "01wb") out.write(b, i.toInt + 8, size)
+            i += 8L + size + (size & 1)
+          }
+          if (out.size() == 0) None
+          else Some(writeWav(sampleRate, channels, out.toByteArray,
+            bits = bits, formatCode = formatCode))
+        }
+      }
     }
 
     // --------- real PNG pixel encode/decode (zlib + scanline filters) ---
@@ -2906,22 +3031,38 @@ object Media {
     * exact-dedup queries already make). */
   private final case class Digest128(hi: Long, lo: Long)
 
+  /** Bounded ACCESS-ORDER LRU digest memo (capacity `cap` entries,
+    * O(1) eldest eviction via LinkedHashMap's removeEldestEntry).
+    * Evicting one-at-a-time from the cold end keeps hot entries alive
+    * across the boundary — an epoch-clearing reset (the round-15 form)
+    * forfeited ALL cross-epoch reuse the moment a partition crossed
+    * `cap` distinct payloads. Null VALUES are legal (a memoized decode
+    * failure), so hit detection is containsKey + get — the get is what
+    * records the access for recency. */
+  private def lruMemo(cap: Int): java.util.LinkedHashMap[Digest128, java.lang.Long] =
+    new java.util.LinkedHashMap[Digest128, java.lang.Long](
+        cap * 4 / 3 + 1, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Digest128, java.lang.Long]): Boolean =
+        size > cap
+    }
+
   /** The memo body of the collapse: every row flows through (carrying
     * its id), the FIRST row of each distinct payload decodes, later
     * copies are digest-memo hits — co-location (callers repartition on
-    * the text) makes the hit global. BOUNDED memory: the memo is
-    * capped at 2^16 entries (~4 MB worst case) and epoch-resets when
-    * full, so a partition of mostly-distinct texts costs constant heap
-    * — a reset only forfeits cross-epoch reuse, never correctness (the
-    * round-14 sorted-adjacency variant held O(1) state but its
-    * per-partition SORT cost ~0.1 s per media query on the cold
-    * single-shot protocol; this form needs no sort). */
+    * the text) makes the hit global. BOUNDED memory: the memo is an
+    * LRU capped at 2^16 entries (~4 MB worst case), so a partition of
+    * mostly-distinct texts costs constant heap — cold-end eviction
+    * only forfeits reuse of the least-recently-seen payloads, never
+    * correctness (the round-14 sorted-adjacency variant held O(1)
+    * state but its per-partition SORT cost ~0.1 s per media query on
+    * the cold single-shot protocol; this form needs no sort). */
   private def memoHashRows[K](
       rows: Iterator[(K, String)],
       decodeHash: (String, MessageDigest) => Option[Array[Byte]])
       : Iterator[(K, Long)] = {
     val md = MessageDigest.getInstance("MD5")
-    val memo = new java.util.HashMap[Digest128, java.lang.Long]()
+    val memo = lruMemo(65536)
     rows.flatMap { case (id, text) =>
       md.reset()
       val d = md.digest(text.getBytes(StandardCharsets.UTF_8))
@@ -2934,7 +3075,6 @@ object Media {
             .filter(_.length >= 66)
             .map(b => java.lang.Long.valueOf(MediaCodec.dHash60(b)))
             .orNull
-          if (memo.size >= 65536) memo.clear()
           memo.put(key, computed)
           computed
         }
@@ -3011,6 +3151,44 @@ object Media {
     MediaCodec.writeAvi(texts.map(t =>
       MediaCodec.encodeForOpt("video", t, md).getOrElse(Array.emptyByteArray)))
 
+  /** [[aviFromFrameTexts]] over a MEMOIZED encoder — for synthesis
+    * loops that assemble many containers in one partition where frame
+    * texts repeat across containers (e.g. a fixture copy sharing 3 of
+    * 4 keyframes with its base): each distinct text ENCODES once per
+    * task, the repeat is a digest-memo hit. The decode side has had
+    * this collapse since round 14; round 15's container move silently
+    * dropped it on the encode side — this restores it. */
+  def aviFromFrameTexts(
+      texts: Seq[String], enc: String => Array[Byte]): Array[Byte] =
+    MediaCodec.writeAvi(texts.map(enc))
+
+  /** A per-partition memoized JPEG-frame encoder (packed md5-digest
+    * key like [[memoHashRows]]; values are the ENCODED payload bytes,
+    * so the LRU cap is tighter — 4096 entries bounds the task heap at
+    * ~4 MB for KB-scale frames). Share ONE instance per task. */
+  def memoFrameEncoder(md: MessageDigest): String => Array[Byte] = {
+    val memo = new java.util.LinkedHashMap[Digest128, Array[Byte]](
+        4096 * 4 / 3 + 1, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Digest128, Array[Byte]]): Boolean =
+        size > 4096
+    }
+    (text: String) => {
+      md.reset()
+      val d = md.digest(text.getBytes(StandardCharsets.UTF_8))
+      val bb = java.nio.ByteBuffer.wrap(d)
+      val key = Digest128(bb.getLong, bb.getLong)
+      val hit = memo.get(key)
+      if (hit != null) hit
+      else {
+        val computed = MediaCodec.encodeForOpt("video", text, md)
+          .getOrElse(Array.emptyByteArray)
+        memo.put(key, computed)
+        computed
+      }
+    }
+  }
+
   /** Per-keyframe perceptual hashes from REAL AVI containers: the RIFF
     * walk recovers each '00dc' JPEG, which REALLY decodes (Huffman +
     * dequant + IDCT → block means) and dHashes — (doc_id, frame_idx,
@@ -3033,7 +3211,7 @@ object Media {
       .as[(Long, Int, Array[Byte])]
       .mapPartitions { rows =>
         val md = MessageDigest.getInstance("MD5")
-        val memo = new java.util.HashMap[Digest128, java.lang.Long]()
+        val memo = lruMemo(65536)
         rows.flatMap { case (id, k, bytes) =>
           md.reset()
           val d = md.digest(bytes)
@@ -3046,7 +3224,6 @@ object Media {
                 .filter(_.length >= 66)
                 .map(p => java.lang.Long.valueOf(MediaCodec.dHash60(p)))
                 .orNull
-              if (memo.size >= 65536) memo.clear()
               memo.put(key, computed)
               computed
             }
@@ -3151,5 +3328,41 @@ object Media {
   def decodeIngested(records: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     import records.sparkSession.implicits._
     records.mapPartitions(MediaCodec.decodeBatch _)
+  }
+
+  /** DEMUX an ingested record stream: every AVI row fans out into its
+    * per-modality tracks — one "image" row per '00dc' keyframe JPEG
+    * and one "audio" row carrying the '01wb' PCM track re-wrapped as a
+    * canonical WAV ([[MediaCodec.aviAudioWav]]) — while the original
+    * rows pass through untouched. One `ingestBinary` of a `.avi` crawl
+    * therefore feeds BOTH the image and the audio dedup planes with no
+    * new decoder: the frames go through the JPEG plane, the soundtrack
+    * through the existing WAV plane. Derived doc ids are the portable
+    * 60-bit hash of (parent id, track, index) — stable across
+    * re-ingests, collision-free against path-hashed parents. Narrow
+    * (per-row fan-out, no shuffle); non-AVI and track-less rows cost
+    * one magic-byte sniff. */
+  def demuxAvi(records: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5")
+      def childId(parent: Long, track: String, k: Int): Long =
+        MediaCodec.hash60(
+          s"$parent#$track#$k".getBytes(StandardCharsets.UTF_8), md)
+      rows.flatMap { r =>
+        val tracks =
+          if (MediaCodec.parseAvi(r.payload).isEmpty) Iterator.empty
+          else {
+            val frames = MediaCodec.aviFrames(r.payload)
+              .getOrElse(Array.empty[Array[Byte]]).iterator.zipWithIndex
+              .collect { case (f, k) if f.nonEmpty =>
+                MediaRecord(childId(r.doc_id, "frame", k), f, "image") }
+            val au = MediaCodec.aviAudioWav(r.payload).iterator
+              .map(w => MediaRecord(childId(r.doc_id, "audio", 0), w, "audio"))
+            frames ++ au
+          }
+        Iterator.single(r) ++ tracks
+      }
+    }
   }
 }

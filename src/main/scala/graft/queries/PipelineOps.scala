@@ -316,6 +316,26 @@ object PipelineOps {
       s.sql(s"UPDATE $cat.rt.orders_rt " +
         "SET o_totalprice = o_totalprice + 1000 WHERE o_orderkey % 5 = 0")
       t.optimizeZorder(s, Seq("o_orderkey"), targetFiles = 4)
+      // ROUND 16 — the MERGE-ON-READ leg of the gauntlet: Delta's
+      // row-tracking contract keeps a row's id stable across updates on
+      // BOTH DML planes, so the same ids must survive (a) a SQL MOR
+      // UPDATE (matched rows become DV entries, post-images append
+      // carrying the preserved `_row_id` metadata) and (b) a keyed MOR
+      // upsert (post-images join back their base row's id by key) — and
+      // then a final compact that MATERIALIZES everything. The oracle
+      // recomputes every id arithmetically, so a MOR path that minted
+      // fresh ids (the pre-round-16 behavior: update == delete+insert
+      // to an id-keyed consumer) hash-fails the row.
+      t.setProperty(graft.medallion.TxLog.UpdateModeProp,
+        graft.medallion.TxLog.DeleteModeMor)
+      s.sql(s"UPDATE $cat.rt.orders_rt " +
+        "SET o_totalprice = o_totalprice + 7 WHERE o_orderkey % 7 = 0")
+      val changes = s.sql(
+        s"""SELECT o_orderkey, o_totalprice + 11 AS o_totalprice,
+                   CAST(false AS BOOLEAN) AS _deleted, CAST(1 AS BIGINT) AS _seq
+            FROM $cat.rt.orders_rt WHERE o_orderkey % 11 = 0""")
+      t.upsert(changes, "o_orderkey", "_seq")
+      t.compact(s)
       s.sql(s"""SELECT o_orderkey, _row_id AS row_id, o_totalprice
                FROM $cat.rt.orders_rt ORDER BY o_orderkey""")
     } finally s.conf.unset(s"spark.sql.catalog.$cat")
@@ -333,8 +353,11 @@ object PipelineOps {
          FROM orders WHERE o_orderkey % 3 = 1),
        u AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1)
        SELECT o_orderkey, CAST(rid AS BIGINT) AS row_id,
-              CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000
-                   ELSE o_totalprice END AS o_totalprice
+              o_totalprice
+                + CASE WHEN o_orderkey % 5 = 0 THEN 1000 ELSE 0 END
+                + CASE WHEN o_orderkey % 7 = 0 THEN 7 ELSE 0 END
+                + CASE WHEN o_orderkey % 11 = 0 THEN 11 ELSE 0 END
+              AS o_totalprice
        FROM u ORDER BY o_orderkey"""
 
   // --------------------------------------------------------------------
@@ -3307,13 +3330,18 @@ object PipelineOps {
     // (every 7th video, frame doc_id%4 replaced by the reversed text).
     val avis = vids.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      // memoized per-task frame encoder: a fixture copy shares 3 of 4
+      // keyframe texts with its base — those re-encodes are digest-memo
+      // hits, restoring the encode-side distinct-payload collapse the
+      // round-15 container move dropped (decode kept its memo all along)
+      val enc = Media.memoFrameEncoder(md)
       rows.flatMap { case (id, text) =>
         val base = (id,
-          Media.aviFromFrameTexts((0 to 3).map(k => rot(text, k)), md))
+          Media.aviFromFrameTexts((0 to 3).map(k => rot(text, k)), enc))
         if (id % 7 == 0) {
           val p = text.reverse
           val pert = (id + 1000000L, Media.aviFromFrameTexts(
-            (0 to 3).map(k => rot(if (k == (id % 4).toInt) p else text, k)), md))
+            (0 to 3).map(k => rot(if (k == (id % 4).toInt) p else text, k)), enc))
           Iterator(base, pert)
         } else Iterator.single(base)
       }
@@ -3411,6 +3439,97 @@ object PipelineOps {
                FROM fm GROUP BY doc_a, doc_b)
        SELECT doc_a, doc_b, n_match, n_match / 4.0 AS match_frac
        FROM agg WHERE n_match >= 2 ORDER BY doc_a, doc_b"""
+
+  // --------------------------------------------------------------------
+  // q169 — SOUNDTRACK NEAR-DUP FROM THE A/V CONTAINER (round 16): one
+  // REAL MJPEG-in-AVI container per video now carries TWO modalities —
+  // an interleaved '01wb' PCM audio stream next to the '00dc'
+  // keyframes (writeAvi's auds strl + block-aligned chunk split). The
+  // query runs the full container-in audio path: RIFF hdrl walk →
+  // WAVEFORMAT strf → '01wb' concatenation → canonical WAV rewrap
+  // (aviAudioWav) → the EXISTING WAV decode plane (decodeWavSamples)
+  // → acoustic dHash → the q156 Hamming band join. Fixtures: q156's —
+  // every 7th video gains a one-sample-substituted soundtrack copy.
+  // The oracle is q156's arithmetic on the VIDEO modality (PCM body =
+  // text bytes, u8 mono decode = identity, and the container walk is
+  // byte-exact — which is exactly what the row proves). Scale shape:
+  // synthesis + demux + decode are narrow per-row work; only 8-byte
+  // hashes shuffle into the band join.
+  // --------------------------------------------------------------------
+  def q169AviSoundtrackNearDup(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val base = lake(s, dir).documents
+      .filter((substring(col("source"), 4, 10).cast("int") % 3) === 2)
+      .select(col("doc_id"), col("text"))
+    val perturbed = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(substring(col("text"), 1, 20), lit("Q"),
+          substring(col("text"), 22, Int.MaxValue)).as("text"))
+    val hashes = base.unionByName(perturbed)
+      .repartition(Scale.par(s), col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, text) =>
+          // a genuinely interleaved container: two keyframes + the
+          // soundtrack (u8 mono PCM = the text bytes, the audio-
+          // modality payload convention)
+          val frames = Seq(text, text.reverse).map(t =>
+            Media.MediaCodec.encodeForOpt("video", t, md)
+              .getOrElse(Array.emptyByteArray))
+          val avi = Media.MediaCodec.writeAvi(frames,
+            audio = Some(Media.MediaCodec.AviAudio(8000, 1,
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+          Media.MediaCodec.aviAudioWav(avi)
+            .flatMap(Media.MediaCodec.decodeWavSamples)
+            .filter(_.length >= 66)
+            .map(p => (id, Media.MediaCodec.dHash60(p)))
+        }
+      }
+      .toDF("doc_id", "h")
+    hammingBandedPairs(hashes)
+  }
+
+  private val q169Oracle =
+    """WITH corpus AS (
+         SELECT doc_id, text, source FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000,
+                concat(substr(text, 1, 20), 'Q', substr(text, 22)), source
+         FROM documents WHERE doc_id % 7 = 0),
+       aud AS (
+         SELECT doc_id, text, strlen(text) AS L FROM corpus
+         WHERE CAST(substr(source, 4) AS INTEGER) % 3 = 2
+           AND strlen(text) >= 66),
+       grid AS (
+         SELECT doc_id,
+                list_transform(range(66), k ->
+                  list_sum(list_transform(
+                    range(k * L // 66, (k + 1) * L // 66),
+                    i -> unicode(substr(text, CAST(i AS INTEGER) + 1, 1))))
+                  // ((k + 1) * L // 66 - k * L // 66)) AS g
+         FROM aud),
+       hsh AS (
+         SELECT doc_id,
+                CAST(list_sum(list_transform(range(60), b ->
+                  CASE WHEN g[CAST((b // 10) * 11 + (b % 10) AS INTEGER) + 2]
+                         > g[CAST((b // 10) * 11 + (b % 10) AS INTEGER) + 1]
+                       THEN 1::BIGINT << CAST(b AS INTEGER) ELSE 0 END))
+                  AS BIGINT) AS h
+         FROM grid),
+       bands AS (
+         SELECT doc_id, h, b.b AS band, (h >> CAST(15 * b.b AS INTEGER)) & 32767 AS bval
+         FROM hsh CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.h AS ha, y.h AS hb
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+       SELECT doc_a, doc_b,
+              CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming_dist
+       FROM cand
+       WHERE bit_count(xor(ha, hb)) <= 3
+       ORDER BY doc_a, doc_b"""
 
   // --------------------------------------------------------------------
   // q159 — COMPOSED MEDIA DEDUP (the q63/q140 of media): the four
@@ -3751,6 +3870,7 @@ object PipelineOps {
     "q156_audio_neardup" -> (q156AudioNearDup _),
     "q157_video_neardup" -> (q157VideoNearDup _),
     "q158_video_seq_neardup" -> (q158VideoSequenceNearDup _),
+    "q169_avi_soundtrack_neardup" -> (q169AviSoundtrackNearDup _),
     "q159_media_dedup" -> (q159MediaDedupPipeline _),
     "q160_color_image_neardup" -> (q160ColorImageNearDup _),
     "q142_sql_mor_update" -> (q142SqlMorUpdate _),
@@ -3809,6 +3929,7 @@ object PipelineOps {
     "q156_audio_neardup" -> q156Oracle,
     "q157_video_neardup" -> q157Oracle,
     "q158_video_seq_neardup" -> q158Oracle,
+    "q169_avi_soundtrack_neardup" -> q169Oracle,
     "q159_media_dedup" -> q159Oracle,
     // q160 shares q155's oracle VERBATIM: the color JPEG's decoded
     // block means equal the grayscale PNG's decoded plane (both are

@@ -113,6 +113,102 @@ class AviSpec extends SparkSpec {
     assert(MediaCodec.parseAvi(wav) === None)
   }
 
+  test("interleaved a/v: audio round-trips byte-exact through the '01wb' split + WAV rewrap") {
+    val frames = texts.map(jpeg)
+    // 16-bit stereo (blockAlign 4) with a length that does NOT divide
+    // evenly by the frame count — the remainder rides the last chunk
+    val pcm = Array.tabulate(4 * 997)(i => ((i * 31) % 251).toByte)
+    val avi = MediaCodec.writeAvi(frames,
+      audio = Some(MediaCodec.AviAudio(8000, 2, pcm, bits = 16)))
+    // video plane untouched by the interleave
+    val back = MediaCodec.aviFrames(avi).get
+    assert(back.length === 4)
+    frames.zip(back).foreach { case (w, r) => assert(w.sameElements(r)) }
+    assert(MediaCodec.parseAvi(avi).map(_._3) === Some(4))
+    // audio plane: the rewrapped WAV is canonical and byte-exact
+    val wav = MediaCodec.aviAudioWav(avi).get
+    assert(MediaCodec.parseWav(wav) === Some((8000, 2, 16)))
+    assert(java.util.Arrays.copyOfRange(wav, 44, wav.length).sameElements(pcm))
+    // the EXISTING wav decode plane consumes the soundtrack unchanged
+    assert(MediaCodec.decodeWavSamples(wav).isDefined)
+    // odd-length mono u8 body: per-chunk padding must not leak into data
+    val odd = Array.tabulate(777)(i => (i % 200).toByte)
+    val avi2 = MediaCodec.writeAvi(frames,
+      audio = Some(MediaCodec.AviAudio(11025, 1, odd)))
+    val wav2 = MediaCodec.aviAudioWav(avi2).get
+    assert(java.util.Arrays.copyOfRange(wav2, 44, wav2.length).sameElements(odd))
+    // a video-only container has no audio track
+    assert(MediaCodec.aviAudioWav(MediaCodec.writeAvi(frames)) === None)
+  }
+
+  test("interleaved a/v survives the hostile-length fuzz discipline") {
+    val pcm = Array.tabulate(4000)(i => (i % 97).toByte)
+    val avi = MediaCodec.writeAvi(texts.map(jpeg),
+      audio = Some(MediaCodec.AviAudio(8000, 1, pcm)))
+    // header-region truncations refuse everywhere
+    Seq(0, 4, 12, 40, 80).foreach { n =>
+      val t = java.util.Arrays.copyOf(avi, n)
+      assert(MediaCodec.aviAudioWav(t) === None)
+      assert(MediaCodec.aviFrames(t) === None)
+    }
+    // a hostile strf size inside the auds strl refuses, never throws
+    var i = 12
+    var strfAt = -1
+    var seenAuds = false
+    while (strfAt < 0 && i + 8 <= avi.length) {
+      val id = new String(avi, i, 4, StandardCharsets.US_ASCII)
+      if (id == "auds") seenAuds = true
+      if (seenAuds && id == "strf") strfAt = i
+      i += 1
+    }
+    assert(strfAt > 0)
+    val h = avi.clone(); h(strfAt + 7) = 0x7f.toByte
+    assert(MediaCodec.aviAudioWav(h) === None)
+    // a hostile '01wb' chunk size fails the movi walk
+    var wbAt = -1; i = 12
+    while (wbAt < 0 && i + 8 <= avi.length) {
+      if (new String(avi, i, 4, StandardCharsets.US_ASCII) == "01wb") wbAt = i
+      i += 1
+    }
+    assert(wbAt > 0)
+    val h2 = avi.clone(); h2(wbAt + 7) = 0x7f.toByte
+    assert(MediaCodec.aviAudioWav(h2) === None)
+    // tail truncation: header readable, both track walks refuse
+    val half = java.util.Arrays.copyOf(avi, avi.length / 2)
+    assert(MediaCodec.parseAvi(half).isDefined)
+    assert(MediaCodec.aviAudioWav(half) === None)
+  }
+
+  test("demuxAvi fans one ingested AVI into image + audio rows, originals untouched") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val frames = texts.map(jpeg)
+    val pcm = Array.tabulate(2048)(i => ((i * 7) % 256 - 128).toByte)
+    val avi = MediaCodec.writeAvi(frames,
+      audio = Some(MediaCodec.AviAudio(16000, 1, pcm)))
+    val plainWav = MediaCodec.writeWav(8000, 1,
+      "other doc".getBytes(StandardCharsets.UTF_8))
+    val in = Seq(
+      MediaRecord(1L, avi, "video"),
+      MediaRecord(2L, plainWav, "audio")).toDS()
+    val out = Media.demuxAvi(in).collect()
+    // originals pass through
+    assert(out.count(r => r.doc_id == 1L && r.fmt == "video") === 1)
+    assert(out.count(r => r.doc_id == 2L && r.fmt == "audio") === 1)
+    // one image row per keyframe, decodable by the JPEG plane
+    val images = out.filter(r => r.fmt == "image" && r.doc_id != 2L)
+    assert(images.length === 4)
+    images.foreach(r => assert(MediaCodec.parseJpeg(r.payload).isDefined))
+    // exactly one derived audio row, byte-exact PCM, WAV-plane decodable
+    val derived = out.filter(r => r.fmt == "audio" && r.doc_id != 2L)
+    assert(derived.length === 1)
+    val w = derived.head.payload
+    assert(MediaCodec.parseWav(w) === Some((16000, 1, 8)))
+    assert(java.util.Arrays.copyOfRange(w, 44, w.length).sameElements(pcm))
+    // derived ids are distinct from parents and from each other
+    assert(out.map(_.doc_id).distinct.length === out.length)
+  }
+
   test("aviFrameHashes ≡ videoFrameHashes frame-for-frame (container round trip is lossless)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
