@@ -281,6 +281,13 @@ object GraftFunctions {
           s"ln_fp requires exactly 1 argument, got ${es.length}")
         org.apache.spark.sql.graft.LnFp(es.head)
       }),
+    ("exp_fp",
+      "exp_fp(x) - fixed-point exp of a 1e15-scaled argument, scaled by 1e15",
+      (es: Seq[Expression]) => {
+        if (es.length != 1) throw new IllegalArgumentException(
+          s"exp_fp requires exactly 1 argument, got ${es.length}")
+        org.apache.spark.sql.graft.ExpFp(es.head)
+      }),
     ("hilbert_index",
       "hilbert_index(bits, c0, c1, ...) - Hilbert-curve index of scaled coordinates",
       (es: Seq[Expression]) => {

@@ -180,4 +180,28 @@ object TokenClassifier {
       TextFns.hash60(col(idCol).cast("string")).cast(DoubleType) /
         lit(Math.pow(2.0, 60)) <
         least(lit(1.0), lit(scale) * col(scoreCol)))
+
+  /** The PAPER-FAITHFUL exp-domain resampling, HASH-CHECKABLE: keep a
+    * row iff its id-hash point falls under `min(1, exp(logScore))`,
+    * with every step a pinned integer — `p_fp = S` when the fixed-
+    * point log score is ≥ 0, else the native `exp_fp` of it
+    * ([[org.apache.spark.sql.graft.ExpFixedPoint]]); the Bernoulli
+    * test is the EXACT integer compare `hash60 · S < p_fp · 2^60` in
+    * DECIMAL(38,0) (both products < 1.2·10^33), which a DuckDB HUGEINT
+    * mirror replays bit-for-bit. [[resample]] (double `exp`) stays the
+    * engine-local form; [[resampleLinear]] the linear-domain one. This
+    * closes the family: DSIR's §3 Bernoulli on `exp(Σ log w)` is now
+    * an oracle-checkable operator. Stateless codegen'd filter — zero
+    * shuffles, zero state, survivors a pure function of
+    * (corpus, model). */
+  def resampleFp(docs: DataFrame, idCol: String, logScoreFpCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.call_function
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val s = org.apache.spark.sql.graft.ExpFixedPoint.Scale
+    val pFp = when(col(logScoreFpCol) >= 0L, lit(s))
+      .otherwise(call_function("exp_fp", col(logScoreFpCol)))
+    docs.filter(
+      TextFns.hash60(col(idCol).cast("string")).cast(dec) * lit(s).cast(dec) <
+        pFp.cast(dec) * lit(1L << 60).cast(dec))
+  }
 }

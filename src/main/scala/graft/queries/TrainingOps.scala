@@ -750,6 +750,8 @@ object TrainingOps {
     "q137_dsir" -> (q137Dsir _),
     "q163_bigram_lm_fp" -> (q163BigramLmFp _),
     "q166_dsir_log_fp" -> (q166DsirLogFp _),
+    "q167_perplexity_fp" -> (q167PerplexityFp _),
+    "q168_dsir_resample_fp" -> (q168DsirResampleFp _),
     "q144_dsir_resample" -> (q144DsirResample _),
     "q138_quality_classifier" -> (q138QualityClassifier _),
     "q70_stratified_sample" -> (q70StratifiedSample _),
@@ -888,7 +890,10 @@ object TrainingOps {
   FROM $src"""
   }
 
-  private val q163Oracle = {
+  /** The q163 model CTE chain (toks → counts → pinned ln tables →
+    * per-bigram nll `terms`) — shared with q167, which carries the
+    * per-doc aggregate one exp_fp step further. */
+  private lazy val q163Cte = {
     // left joins + coalesce mirror NgramLm.scoreFp's miss semantics
     // (num → lnFp(1) = 0, den → lnFp(V)) even though self-scoring can
     // only miss on empty tokens, which this corpus has none of
@@ -916,11 +921,14 @@ object TrainingOps {
          LEFT JOIN bic ON g.a = bic.a AND g.b = bic.b
          LEFT JOIN ln_num n ON n.c_bi = bic.c_bi
          LEFT JOIN uni ON g.a = uni.tok
-         JOIN ln_den d ON d.c_uni = COALESCE(uni.c_uni, 0))
+         JOIN ln_den d ON d.c_uni = COALESCE(uni.c_uni, 0))"""
+  }
+
+  private lazy val q163Oracle =
+    s"""$q163Cte
        SELECT doc_id, count(*) AS n_bigrams,
               CAST(sum(CAST(nll AS HUGEINT)) // count(*) AS BIGINT) AS avg_nll_fp
        FROM terms GROUP BY doc_id ORDER BY doc_id"""
-  }
 
   // --------------------------------------------------------------------
   // q166 — DSIR's LOG-domain importance weight, HASH-CHECKABLE: the
@@ -976,6 +984,152 @@ object TrainingOps {
               CAST(list_sum(list_transform($toks,
                 t -> CAST(wl[$bkt + 1] AS HUGEINT))) AS BIGINT) AS logw_fp
        FROM documents, warr WHERE lang <> 'en' ORDER BY doc_id"""
+  }
+
+  /** The DuckDB mirror of [[org.apache.spark.sql.graft.ExpFixedPoint]]
+    * — the inverse of [[lnFpSql]], same lateral-alias chain over
+    * HUGEINT, applied to a column `x` (any sign, 10^15-scaled). DuckDB
+    * `//`/`%` truncate toward zero, so the range reduction uses the
+    * mod-normalized floor form the Scala side pins. */
+  private def expFpSql(src: String, keep: String): String = {
+    val S = "1000000000000000"
+    val L = "693147180559945"
+    s"""SELECT $keep, x,
+  ((CAST(x AS HUGEINT) % $L) + $L) % $L AS r,
+  (CAST(x AS HUGEINT) - r) // $L AS q,
+  CAST($S AS HUGEINT) AS t0,
+  (t0*r)//($S*1) AS t1, (t1*r)//($S*2) AS t2, (t2*r)//($S*3) AS t3,
+  (t3*r)//($S*4) AS t4, (t4*r)//($S*5) AS t5, (t5*r)//($S*6) AS t6,
+  (t6*r)//($S*7) AS t7, (t7*r)//($S*8) AS t8, (t8*r)//($S*9) AS t9,
+  (t9*r)//($S*10) AS t10, (t10*r)//($S*11) AS t11, (t11*r)//($S*12) AS t12,
+  (t12*r)//($S*13) AS t13, (t13*r)//($S*14) AS t14, (t14*r)//($S*15) AS t15,
+  (t15*r)//($S*16) AS t16, (t16*r)//($S*17) AS t17, (t17*r)//($S*18) AS t18,
+  (t18*r)//($S*19) AS t19, (t19*r)//($S*20) AS t20, (t20*r)//($S*21) AS t21,
+  t0+t1+t2+t3+t4+t5+t6+t7+t8+t9+t10+t11
+    +t12+t13+t14+t15+t16+t17+t18+t19+t20+t21 AS er,
+  CASE WHEN x IS NULL OR CAST(x AS HUGEINT) > 9129000000000000 THEN NULL
+       WHEN q < -63 THEN 0
+       WHEN q >= 0 THEN er * (CAST(1 AS HUGEINT) << CAST(q AS INTEGER))
+       ELSE er // (CAST(1 AS HUGEINT) << CAST(-q AS INTEGER)) END AS ev
+  FROM $src"""
+  }
+
+  /** floor(ln(10^6) · 10^15) — the output-rescale constant q167
+    * subtracts before exp so perplexity lands at 10^9 scale (headroom
+    * to perplexity ~9.2·10^9 inside int64). */
+  private val LnMillionFp = 13815510557964274L
+
+  // --------------------------------------------------------------------
+  // q167 — PERPLEXITY in fixed point, HASH-CHECKABLE: the CCNet/KenLM
+  // quality gate's published form is perplexity = exp(mean NLL), and
+  // q163 stopped one step short of it because `exp` is engine-
+  // dependent. The native `exp_fp` (pinned integer Taylor over the
+  // mod-normalized range reduction, ExpFixedPoint — the ln_fp family's
+  // inverse) closes that: ppl_e9_fp = exp_fp(avg_nll_fp − ln(10^6)_fp)
+  // is the document's perplexity scaled 10^9 as an int64 DuckDB
+  // reproduces bit-for-bit in HUGEINT. Scale shape = q163 + one more
+  // codegen'd scalar per DOC row (never per token).
+  // --------------------------------------------------------------------
+  def q167PerplexityFp(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.NgramLm
+    import org.apache.spark.sql.functions.call_function
+    val docs = lake(s, dir).documents.select(col("doc_id"), col("text"))
+    val model = NgramLm.fit(docs, "text")
+    NgramLm.scoreFp(docs, "doc_id", "text", model)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll_fp"),
+        call_function("exp_fp", col("avg_nll_fp") - lit(LnMillionFp))
+          .as("ppl_e9_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q167Oracle =
+    s"""$q163Cte,
+       per AS (
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(CAST(nll AS HUGEINT)) // count(*) AS BIGINT)
+                  AS avg_nll_fp
+         FROM terms GROUP BY doc_id),
+       px AS (SELECT doc_id, n_bigrams, avg_nll_fp,
+                     avg_nll_fp - $LnMillionFp AS x FROM per)
+       SELECT doc_id, n_bigrams, avg_nll_fp, CAST(ev AS BIGINT) AS ppl_e9_fp
+       FROM (${expFpSql("px", "doc_id, n_bigrams, avg_nll_fp")})
+       ORDER BY doc_id"""
+
+  // --------------------------------------------------------------------
+  // q168 — DSIR resampling in the PAPER's exp domain, HASH-CHECKABLE:
+  // Xie et al. §3 keeps a document with probability min(1, exp(log w));
+  // q144 oracle-checked a linear-domain stand-in because exp was
+  // engine-dependent. With exp_fp the faithful form becomes exact: the
+  // per-token mean log-weight (logw_fp DIV n_tok — truncating integral
+  // division, identical in Spark and DuckDB) feeds exp_fp, and the
+  // Bernoulli test is the EXACT integer compare hash60·10^15 <
+  // p_fp·2^60 (TokenClassifier.resampleFp). Output = per-source
+  // survivor count + integer id checksum, q144's convention. Scale
+  // shape: q166's model machinery + a stateless codegen'd filter —
+  // zero extra shuffles; survivors are a pure function of
+  // (corpus, model).
+  // --------------------------------------------------------------------
+  def q168DsirResampleFp(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TokenClassifier
+    val docs = lake(s, dir).documents
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .repartition(Scale.par(s), col("doc_id")) // md5-heavy token pass
+    val feats = TokenClassifier.unigramBuckets(col("text"))
+    val w = TokenClassifier.fitRatioLogFp(
+      docs.select((col("lang") === "en").as("t"), feats.as("f")), "f", "t")
+    val scored = docs.filter(col("lang") =!= "en")
+      .select(col("doc_id"), col("source"),
+        size(feats).cast("long").as("n_tok"),
+        TokenClassifier.logScoreFp(feats, w).as("logw_fp"))
+      .filter(col("n_tok") > 0)
+      .withColumn("x", expr("logw_fp DIV n_tok"))
+    TokenClassifier.resampleFp(scored, "doc_id", "x")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"))
+  }
+
+  private val q168Oracle = {
+    val toks = "string_split(trim(text), ' ')"
+    val bkt = s"CAST(${dHash("t")} % 4096 AS INT)"
+    s"""WITH tb AS (
+         SELECT lang, $bkt AS bucket
+         FROM (SELECT lang, unnest($toks) AS t FROM documents)),
+       tc AS (SELECT bucket, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+       rc AS (SELECT bucket, count(*) AS cr FROM tb WHERE lang <> 'en' GROUP BY 1),
+       tot AS (SELECT
+         (SELECT count(*) FROM tb WHERE lang = 'en') AS t_tot,
+         (SELECT count(*) FROM tb WHERE lang <> 'en') AS r_tot),
+       dense AS (SELECT b.bucket, COALESCE(tc.ct, 0) AS ct,
+                        COALESCE(rc.cr, 0) AS cr
+                 FROM (SELECT unnest(range(4096)) AS bucket) b
+                 LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)),
+       numx AS (SELECT bucket, CAST((ct + 1) * (r_tot + 4096) AS BIGINT) AS x
+                FROM dense, tot),
+       denx AS (SELECT bucket, CAST((cr + 1) * (t_tot + 4096) AS BIGINT) AS x
+                FROM dense, tot),
+       ln_num AS (SELECT bucket, lnv AS ln_num FROM (${lnFpSql("numx", "bucket")})),
+       ln_den AS (SELECT bucket, lnv AS ln_den FROM (${lnFpSql("denx", "bucket")})),
+       wtab AS (SELECT bucket, CAST(n.ln_num - d.ln_den AS BIGINT) AS w
+                FROM ln_num n JOIN ln_den d USING (bucket)),
+       warr AS (SELECT list(w ORDER BY bucket) AS wl FROM wtab),
+       scored AS (SELECT doc_id, source,
+           CAST(len($toks) AS HUGEINT) AS n_tok,
+           CAST(list_sum(list_transform($toks,
+             t -> CAST(wl[$bkt + 1] AS HUGEINT))) AS HUGEINT) AS logw
+         FROM documents, warr WHERE lang <> 'en'),
+       px AS (SELECT doc_id, source, CAST(logw // n_tok AS BIGINT) AS x
+              FROM scored WHERE n_tok > 0),
+       pe AS (${expFpSql("px", "doc_id, source")}),
+       kept AS (SELECT doc_id, source FROM pe
+         WHERE CAST(${dHash("CAST(doc_id AS VARCHAR)")} AS HUGEINT)
+                 * 1000000000000000
+               < (CASE WHEN x >= 0 THEN CAST(1000000000000000 AS HUGEINT)
+                       ELSE ev END)
+                 * CAST(1152921504606846976 AS HUGEINT))
+       SELECT source, count(*) AS n_kept,
+              CAST(sum(doc_id) AS BIGINT) AS id_sum
+       FROM kept GROUP BY 1 ORDER BY source"""
   }
 
   // --------------------------------------------------------------------
@@ -1236,6 +1390,8 @@ object TrainingOps {
     "q137_dsir" -> q137Oracle,
     "q163_bigram_lm_fp" -> q163Oracle,
     "q166_dsir_log_fp" -> q166Oracle,
+    "q167_perplexity_fp" -> q167Oracle,
+    "q168_dsir_resample_fp" -> q168Oracle,
     "q144_dsir_resample" -> q144Oracle,
     "q138_quality_classifier" -> q138Oracle,
     "q70_stratified_sample" -> q70Oracle,
