@@ -40,7 +40,20 @@ object DataScaleProbe {
     // round 15: the exact-span winnowing join — the Caesar transform
     // destroys cross-replica 40-char spans, so spans (and candidate
     // pairs) grow linearly with the corpus, the organic shape
-    "q164_exact_spans")
+    "q164_exact_spans",
+    // round 16: the star-collapsed occurrence-grouped form under a
+    // WORST-CASE corpus-wide boilerplate — every 10th doc gains an
+    // IDENTICAL 120-char tail that survives the Caesar transform
+    // (appended after synthesis), so the hot span's df grows with the
+    // corpus; group-linear candidate work keeps the exponent ~1 where
+    // the pairwise form would go quadratic in df
+    "spanGroups_boilerplate")
+
+  /** The injected corpus-wide boilerplate (fixed: df must be a pure
+    * function of corpus size). 120 chars ≥ 3·T. */
+  private val Boiler =
+    "this work is licensed under the creative commons attribution " +
+      "share alike license terms reproduced verbatim in every copy"
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -62,7 +75,17 @@ object DataScaleProbe {
     val dirN = synth(spark, sfDir, factor, s"${root.getAbsolutePath}/x$factor")
 
     def time(name: String, dir: String): Double = {
-      val fn = graft.SparkEntry.queries(name)
+      val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+        if (name == "spanGroups_boilerplate") { (sp, d) =>
+          implicit val is: SparkSession = sp
+          graft.operators.ExactSpans.spanOccurrences(
+            sp.read.parquet(s"$d/documents.parquet")
+              .withColumn("text",
+                when(col("doc_id") % 10 === 0, concat(col("text"), lit(Boiler)))
+                  .otherwise(col("text"))),
+            "doc_id", "text")
+        }
+        else graft.SparkEntry.queries(name)
       graft.core.CacheScope.scoped { fn(spark, dir).count(); () } // warm-up
       val ts = Seq.fill(repeats) {
         val t0 = System.nanoTime()
