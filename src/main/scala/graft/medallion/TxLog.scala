@@ -4361,18 +4361,53 @@ final class GraftTable(val tablePath: String) {
       if (overTracked) staged0.map(_.copy(ridMaterialized = true))
       else staged0
     }
-    // cdf.enabled: newly-deleted positions' pre-images + insert rows
+    // cdf.enabled: newly-deleted positions' pre-images + insert rows.
+    // ROW-TRACKING-aware staging (the replaceFiles/cdcDiff parity on
+    // the MOR plane): when every touched file carries id info and the
+    // post-images were writer-materialized, each image row carries its
+    // stable id as a trailing `__cdc_rid` — so updateImages pairs a
+    // SQL MOR UPDATE's pre/post rows WITHOUT a recorded merge key
+    // (a NOT-MATCHED insert's id is null → stays `insert`; a MOR
+    // DELETE stages pre rows only → stays `delete`). Default feed
+    // consumers never see the column (explicit-schema read by name).
     val cdc = if (!cdfEnabled(snap)) Nil else {
       require(!snap.schema.fieldNames.contains(ChangeTypeCol),
         s"txlog: cdf.enabled tables must not have a '$ChangeTypeCol' column")
+      val ridAware = rowTrackingEnabled(snap) &&
+        merged.forall { case (p, _) =>
+          val a = byName(p); a.ridMaterialized || a.baseRowId.isDefined } &&
+        (insertAdds.isEmpty || insertAdds.forall(_.ridMaterialized))
+      val ridSchema = StructType(phys.fields :+
+        StructField(RowIdPhysCol, LongType, nullable = true))
+      def taggedRid(fs: Seq[AddFile]): DataFrame = {
+        import spark.implicits._
+        val bases = fs.map(a => (a.path, a.baseRowId))
+          .toDF("__f", "__rt_base")
+        spark.read.schema(ridSchema)
+          .parquet(fs.map(a => root.resolve(a.path).toString): _*)
+          .withColumn("__f",
+            substring_index(col("_metadata.file_path"), "/", -1))
+          .withColumn("__i", col("_metadata.row_index"))
+          .join(broadcast(bases), Seq("__f"), "left")
+          .withColumn("__cdc_rid", coalesce(
+            col(s"`$RowIdPhysCol`"), col("__rt_base") + col("__i")))
+      }
+      val imgCols = if (ridAware) cols :+ col("`__cdc_rid`") else cols
       val pre = if (newDeletes.isEmpty) None else Some(
-        tagged(merged.map { case (p, _) => byName(p) })
+        (if (ridAware) taggedRid(merged.map { case (p, _) => byName(p) })
+         else tagged(merged.map { case (p, _) => byName(p) }))
           .join(positionsDf(spark, newDeletes), Seq("__f", "__i"), "left_semi")
-          .select(cols: _*)
+          .select(imgCols: _*)
           .withColumn(ChangeTypeCol, lit("delete")))
-      val post = if (insertAdds.isEmpty) None else Some(
-        readPhysicalFiles(spark, phys, insertAdds)
-          .withColumn(ChangeTypeCol, lit("insert")))
+      val post = if (insertAdds.isEmpty) None else Some({
+        val base =
+          if (!ridAware) readPhysicalFiles(spark, phys, insertAdds)
+          else spark.read.schema(ridSchema)
+            .parquet(insertAdds.map(a => root.resolve(a.path).toString): _*)
+            .withColumnRenamed(RowIdPhysCol, "__cdc_rid")
+            .select(imgCols: _*)
+        base.withColumn(ChangeTypeCol, lit("insert"))
+      })
       (pre, post) match {
         case (Some(a), Some(b)) => stageChanges(a.unionAll(b))
         case (a, b) => a.orElse(b).map(stageChanges).getOrElse(Nil)

@@ -346,6 +346,57 @@ class RowTrackingSpec extends SparkSpec {
     } finally dropCat(cat)
   }
 
+  test("CDF rid pairing on the MOR plane: SQL MOR UPDATE/MERGE images pair with no merge key") {
+    val (cat, _, path) = freshTable("cdfmorrid")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('rowTracking' = 'true', 'cdf.enabled' = 'true')")
+      val t = new GraftTable(path)
+      t.append((0L until 20L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      t.setProperty(TxLog.UpdateModeProp, TxLog.DeleteModeMor)
+      t.setProperty(TxLog.MergeModeProp, TxLog.DeleteModeMor)
+      val v1 = t.latestVersion()
+      // SQL MOR UPDATE: a delta `replace` commit — matched rows become
+      // DV entries, post-images append; NO merge key recorded. The
+      // rid-aware image staging is what lets these pair.
+      spark.sql(s"UPDATE $cat.db.t SET v = concat(v, '!') WHERE k % 4 = 0")
+      val feed = t.readChangeFeed(spark, v1, updateImages = true)
+        .select("k", "v", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val byType = feed.groupBy(_._3).view.mapValues(_.toSet).toMap
+      val updatedKeys = (0L until 20L).filter(_ % 4 == 0).toSet
+      assert(byType.keySet === Set("update_preimage", "update_postimage"),
+        s"unpaired MOR rows leaked: $byType")
+      assert(byType("update_preimage") ===
+        updatedKeys.map(k => (k, s"v$k", "update_preimage")))
+      assert(byType("update_postimage") ===
+        updatedKeys.map(k => (k, s"v$k!", "update_postimage")))
+      // mixed MOR MERGE: updates pair, delete and NOT-MATCHED insert
+      // (null rid) keep net tags
+      val v2 = t.latestVersion()
+      spark.sql(s"""MERGE INTO $cat.db.t g USING (
+          SELECT * FROM VALUES (2L,'u'),(3L,NULL),(100L,'n') AS s(k, nv)) s
+        ON g.k = s.k
+        WHEN MATCHED AND s.nv IS NULL THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.nv
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""")
+      val tags = t.readChangeFeed(spark, v2, updateImages = true)
+        .select("k", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(tags(2L) === Seq("update_postimage", "update_preimage"))
+      assert(tags(3L) === Seq("delete"))
+      assert(tags(100L) === Seq("insert"))
+      // consumer schema unchanged; plain feed keeps net tags
+      assert(!t.readChangeFeed(spark, v1, updateImages = true)
+        .columns.contains("__cdc_rid"))
+      assert(t.readChangeFeed(spark, v1).select("_change_type")
+        .distinct().collect().map(_.getString(0)).toSet ===
+        Set("delete", "insert"))
+    } finally dropCat(cat)
+  }
+
   test("keyed MOR upsert: updated keys keep their ids (post-images carry them)") {
     val (cat, _, path) = freshTable("morupsert")
     try {
