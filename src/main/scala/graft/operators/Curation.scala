@@ -530,4 +530,77 @@ object Curation {
         coalesce(col("n_parts"), lit(0L)).as("n_parts"))
   }
 
+  /** SUBSTRING-level dedup with KEEP-FIRST REMOVAL — the actual
+    * product of Lee et al. ACL '22's suffix-array pass (q112 counts
+    * shared windows, q164 locates exact spans; this one emits the
+    * CLEANED corpus): every `window`-char span at `stride` is
+    * content-hashed; a hash with ≥ 2 occurrences corpus-wide keeps its
+    * canonical FIRST occurrence (min (doc_id, pos)) and every other
+    * occurrence's interval is cut from its document. Within-doc
+    * repeats count as duplicates too (the memorization guard does not
+    * care who repeated the text). Output: one row per input document —
+    * (doc_id, orig_len, n_removed_chars, cleaned) — docs with nothing
+    * to cut pass through, cleaned = "".
+    *
+    * Determinism contract: hashes are the portable md5-60 family, the
+    * keep-first key is integer arithmetic, interval masking is exact —
+    * a DuckDB oracle reproduces the cleaned text byte-for-byte (q170).
+    * A 60-bit collision could cut a non-duplicated span; both engines
+    * cut identically, and at 2⁻⁶⁰ the risk is the md5-dedup family's.
+    *
+    * Scale shape: the shuffle carries (doc_id, pos, hash) longs —
+    * never window text; the hash groupBy and the join back share one
+    * partitioning; removal positions collect per DOC (bounded by
+    * len/stride) and the cut is a narrow per-row pass. No pairwise
+    * stage — a span duplicated n times costs n rows, the q112 shape.
+    * The kept-first span of a hot boilerplate group is one row of one
+    * group — no skew beyond the groupBy's own. */
+  def removeDuplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 40, stride: Int = 10): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val txt = df.select(col(idCol).cast(LongType).as("doc_id"),
+      col(textCol).as("text"))
+    val occ = txt.filter(length(col("text")) >= window)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, length(text) - ${window - 1}, $stride)"))
+          .as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        hash60(expr(s"substring(text, pos, $window)")).as("h"))
+    // keep-first key packs (doc_id, pos) into one long — positions are
+    // < 10^9 by the explode bound, ids < 2^33 at any real sf
+    val key = col("doc_id") * lit(1000000000L) + col("pos")
+    val grp = occ.groupBy(col("h"))
+      .agg(min(key).as("firstKey"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val removals = occ.join(grp, "h")
+      .filter(key =!= col("firstKey"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    txt.join(removals, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("ps"), array().cast("array<long>")).as("ps"))
+      .as[(Long, String, Seq[Long])]
+      .map { case (id, text, ps) =>
+        val n = text.length
+        val removed = new Array[Boolean](n)
+        ps.foreach { p =>
+          var c = p.toInt - 1
+          val end = math.min(n, c + window)
+          while (c < end) { removed(c) = true; c += 1 }
+        }
+        val sb = new java.lang.StringBuilder(n)
+        var i = 0
+        var nRem = 0
+        while (i < n) {
+          if (removed(i)) nRem += 1 else sb.append(text.charAt(i))
+          i += 1
+        }
+        (id, n.toLong, nRem.toLong, sb.toString)
+      }
+      .toDF("doc_id", "orig_len", "n_removed_chars", "cleaned")
+  }
+
 }

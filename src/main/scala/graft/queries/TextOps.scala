@@ -1058,6 +1058,56 @@ object TextOps {
        GROUP BY doc_id ORDER BY doc_id"""
 
   // --------------------------------------------------------------------
+  // q170 — SUBSTRING-level dedup with KEEP-FIRST REMOVAL (round 16):
+  // the actual PRODUCT of Lee et al.'s suffix-array pass — a cleaned
+  // corpus. q112 counts shared windows and q164 locates exact spans;
+  // this emits, per document, the text with every non-first occurrence
+  // of a corpus-duplicated 40-char window (stride 10) CUT out —
+  // within-doc repeats included (memorization does not care who
+  // repeated the text). Keep-first is the min (doc_id, pos) occurrence
+  // per content hash. The oracle rebuilds every cleaned text char by
+  // char from the same interval mask and hashes it — one shifted
+  // boundary anywhere hash-fails the row. Scale shape: (doc_id, pos,
+  // hash) longs shuffle (never window text), removal positions
+  // collect per doc (≤ len/stride), the cut is a narrow per-row pass;
+  // no pairwise stage at any point.
+  // --------------------------------------------------------------------
+  def q170SpanRemoval(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.Curation.removeDuplicatedSpans(
+      lake(s, dir).documents, "doc_id", "text")
+      .select(col("doc_id"), col("orig_len"), col("n_removed_chars"),
+        length(col("cleaned")).cast("long").as("cleaned_len"),
+        hash60(col("cleaned")).as("cleaned_h"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q170Oracle =
+    s"""WITH occ AS (
+         SELECT doc_id, i AS pos, ${dHash("substr(text, CAST(i AS INT), 40)")} AS h
+         FROM documents,
+              unnest(range(1, greatest(length(text) - 39, 0) + 1, 10)) s(i)
+         WHERE length(text) >= 40),
+       grp AS (SELECT h, min(CAST(doc_id AS BIGINT) * 1000000000 + pos) AS firstKey
+               FROM occ GROUP BY h HAVING count(*) >= 2),
+       rem AS (SELECT o.doc_id, list(o.pos ORDER BY o.pos) AS ps
+               FROM occ o JOIN grp g USING (h)
+               WHERE CAST(o.doc_id AS BIGINT) * 1000000000 + o.pos <> g.firstKey
+               GROUP BY o.doc_id),
+       clean AS (
+         SELECT d.doc_id, length(d.text) AS orig_len,
+                array_to_string(list_transform(
+                  list_filter(range(1, length(d.text) + 1),
+                    c -> len(list_filter(COALESCE(r.ps, []),
+                           p -> p <= c AND c <= p + 39)) = 0),
+                  c -> substr(d.text, CAST(c AS INT), 1)), '') AS cleaned
+         FROM documents d LEFT JOIN rem r USING (doc_id))
+       SELECT doc_id, CAST(orig_len AS BIGINT) AS orig_len,
+              CAST(orig_len - length(cleaned) AS BIGINT) AS n_removed_chars,
+              CAST(length(cleaned) AS BIGINT) AS cleaned_len,
+              ${dHash("cleaned")} AS cleaned_h
+       FROM clean ORDER BY doc_id"""
+
+  // --------------------------------------------------------------------
   // q164 — EXACT shared-span dedup (graft.operators.ExactSpans), the
   // step past q112's windowed approximation: every MAXIMAL cross-doc
   // shared span of ≥ 40 chars, with exact 1-based positions and
@@ -1342,6 +1392,7 @@ object TextOps {
     "q83_index_neardup" -> (q83IndexNearDup _),
     "q87_redact" -> (q87Redact _),
     "q112_shared_spans" -> (q112SharedSpans _),
+    "q170_span_removal" -> (q170SpanRemoval _),
     "q164_exact_spans" -> (q164ExactSpans _))
 
   val oracle: Map[String, String] = Map(
@@ -1370,5 +1421,6 @@ object TextOps {
     "q83_index_neardup" -> q83Oracle,
     "q87_redact" -> q87Oracle,
     "q112_shared_spans" -> q112Oracle,
+    "q170_span_removal" -> q170Oracle,
     "q164_exact_spans" -> q164Oracle)
 }

@@ -197,4 +197,61 @@ class CurationOpsSpec extends SparkSpec {
     val out = Curation.dedupParagraphs(docs, "doc_id", "text").collect().head
     assert(out.getString(1) == "x\ny\nz" && out.getLong(2) == 3L && out.getLong(3) == 5L)
   }
+
+  test("removeDuplicatedSpans: keep-first cuts later occurrences, short docs untouched") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def rand(n: Int) = Iterator.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val span = rand(60)
+    // doc 1 holds the first occurrence; docs 2/3 plant the SAME span at
+    // stride-ALIGNED offsets (windowed approximation: alignment mod
+    // stride is what makes window contents coincide — the q112 caveat)
+    val d1 = span + rand(40)
+    val d2 = rand(20) + span + rand(20)
+    val d3 = rand(40) + span
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3),
+      (4L, "tiny"), (5L, rand(100)),
+      (6L, rand(10) * 12)) // within-doc repeat: 120 chars, period 10
+    val out = Curation.removeDuplicatedSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // every doc surfaces with its true original length
+    docs.foreach { case (id, t) => assert(out(id)._1 === t.length.toLong) }
+    // doc 1 is the canonical first occurrence everywhere: untouched
+    assert(out(1L) === ((100L, 0L, d1)))
+    // docs 2/3 lose every fully-covering aligned window of the span;
+    // the cleaned text must contain NO 40-char window of the span at
+    // any aligned position and must keep the padding
+    Seq(2L, 3L).foreach { id =>
+      val (_, nRem, cleaned) = out(id)
+      assert(nRem >= 40L, s"doc $id removed only $nRem")
+      assert(!cleaned.contains(span.substring(10, 50)),
+        s"doc $id kept an interior span window")
+    }
+    assert(out(2L)._3.startsWith(d2.substring(0, 20).take(10)) ||
+      out(2L)._2 > 0L) // padding before an unaligned boundary survives
+    // short and unique docs pass through byte-identical
+    assert(out(4L) === ((4L, 0L, "tiny")))
+    assert(out(5L) === ((100L, 0L, docs(4)._2)))
+    // within-doc repetition: the periodic doc keeps its head, loses the
+    // self-repeated tail windows
+    assert(out(6L)._2 >= 40L)
+    assert(out(6L)._3.startsWith(docs(5)._2.take(10)))
+    // conservation: orig_len = cleaned + removed, always
+    out.values.foreach { case (o, n, c) => assert(o === n + c.length) }
+  }
+
+  test("removeDuplicatedSpans is partitioning-invariant (keep-first is a global min, not task order)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def rand(n: Int) = Iterator.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val span = rand(50)
+    val docs = (1L to 30L).map(i =>
+      (i, rand(10 * (i % 3).toInt) + span + rand(30))).toDF("doc_id", "text")
+    def run(parts: Int) =
+      Curation.removeDuplicatedSpans(docs.repartition(parts), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(run(1) === run(13))
+  }
 }
