@@ -1095,11 +1095,13 @@ object TextOps {
                GROUP BY o.doc_id),
        clean AS (
          SELECT d.doc_id, length(d.text) AS orig_len,
-                array_to_string(list_transform(
+                -- COALESCE: DuckDB's array_to_string of an EMPTY list
+                -- is NULL, and a fully-removed doc's kept set is empty
+                COALESCE(array_to_string(list_transform(
                   list_filter(range(1, length(d.text) + 1),
                     c -> len(list_filter(COALESCE(r.ps, []),
                            p -> p <= c AND c <= p + 39)) = 0),
-                  c -> substr(d.text, CAST(c AS INT), 1)), '') AS cleaned
+                  c -> substr(d.text, CAST(c AS INT), 1)), ''), '') AS cleaned
          FROM documents d LEFT JOIN rem r USING (doc_id))
        SELECT doc_id, CAST(orig_len AS BIGINT) AS orig_len,
               CAST(orig_len - length(cleaned) AS BIGINT) AS n_removed_chars,
