@@ -47,7 +47,11 @@ object DataScaleProbe {
     // (appended after synthesis), so the hot span's df grows with the
     // corpus; group-linear candidate work keeps the exponent ~1 where
     // the pairwise form would go quadratic in df
-    "spanGroups_boilerplate")
+    "spanGroups_boilerplate",
+    // round 16: keep-first span REMOVAL — window-hash groupBy + per-doc
+    // position collect + narrow cut; linear by construction, probed to
+    // keep it honest
+    "q170_span_removal")
 
   /** The injected corpus-wide boilerplate (fixed: df must be a pure
     * function of corpus size). 120 chars ≥ 3·T. */
