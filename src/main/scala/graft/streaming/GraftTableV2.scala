@@ -821,22 +821,33 @@ final class GraftBatch(
     // reported keyed grouping while requiring _row_id would fail on
     // fieldIndex at read time (the scan-side gates exclude RowIdCol
     // from keyed reports; this is the batch-side belt to that brace).
-    // COST NOTE: whole-file row-at-a-time partitions (delegate 2) for
-    // EVERY file, DV'd or not — a _row_id-selecting scan of a large
-    // table gives up vectorized columnar reads and intra-file splits.
-    // Acceptable while _row_id is a metadata column pulled for DML/
-    // CDF plumbing (file-count parallelism, O(selected columns) IO);
-    // the scale path, if rid-heavy analytics ever appear, is serving
-    // materialized/base+index coalesce per ROW GROUP so vectorization
-    // and splits return.
-    if (needRowId)
-      return files().map { case (a, v) =>
-        GraftPosPartition(
-          org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
-            spark, table.absoluteDataPath(a)),
-          2, if (needVersion) Some(v) else None, a.dv, a.path,
-          a.baseRowId): InputPartition
+    // Whole-file partitions (the running row index must be exact, so
+    // no splits and no pushed filters) — but the COMMON analytic case
+    // (no DV anywhere, no other synthetic column required) stays
+    // COLUMNAR via GraftRidColumnarPartition: vectorized parquet
+    // decode + one computed rid vector per batch. Only a DV'd file, a
+    // _file/_pos/_commit_version requirement, or a schema the parquet
+    // reader declines to vectorize degrades the scan to row-at-a-time
+    // positional reads. Intra-file split parallelism is still traded
+    // away on this path — acceptable at ~128 MB target file sizes.
+    if (needRowId) {
+      val all = files()
+      val columnarOk = !needFile && !needPos && !needVersion &&
+        all.forall(_._1.dv.isEmpty)
+      return all.map { case (a, v) =>
+        if (columnarOk)
+          GraftRidColumnarPartition(
+            org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
+              spark, table.absoluteDataPath(a)),
+            a.baseRowId): InputPartition
+        else
+          GraftPosPartition(
+            org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
+              spark, table.absoluteDataPath(a)),
+            2, if (needVersion) Some(v) else None, a.dv, a.path,
+            a.baseRowId): InputPartition
       }.toArray
+    }
     // storage-partitioned-join mode: one keyed partition PER FILE —
     // Spark's DataSourceV2ScanExecBase.groupedPartitions groups them
     // by key itself (the Iceberg shape), which is what lets
@@ -955,6 +966,20 @@ final case class GraftPosPartition(
 final case class GraftRowPartition(inner: InputPartition, delegate: Int)
     extends InputPartition
 
+/** A DV-free file of a `_row_id`-requiring scan that needs NO other
+  * synthetic column (`_file`/`_pos`/`_commit_version` absent): served
+  * COLUMNAR — the rid delegate's vectorized batches pass through with
+  * one computed long vector, rid[i] = coalesce(materialized[i],
+  * baseRowId + running row index). Whole-file and filter-free like
+  * every positional partition (the running index must be exact), so
+  * split parallelism is still traded away — but the common analytic
+  * rid scan keeps vectorized parquet decode and whole-stage codegen
+  * instead of degrading to row-at-a-time reads (the round-15 cost
+  * note). Falls back to the row path when the delegate declines
+  * columnar for the schema. */
+final case class GraftRidColumnarPartition(
+    inner: InputPartition, baseRowId: Option[Long]) extends InputPartition
+
 /** ONE FILE as a keyed partition — the storage-partitioned-join unit:
   * `partitionKey` is the transform tuple (sole bucket value, or e.g.
   * (day, bucket) under a composite spec) the catalog's V2 functions
@@ -1003,6 +1028,11 @@ final case class GraftVersionedReaderFactory(
     case kp: GraftKeyedPartition =>
       delegates(kp.delegate).supportColumnarReads(kp.inner)
     case _: GraftKeyedRowPartition => false
+    // the rid delegate (index 2) decides per the projected schema —
+    // identical for every partition of the scan, so the answer stays
+    // uniform across the batch (Spark refuses mixed kinds)
+    case rc: GraftRidColumnarPartition =>
+      delegates(2).supportColumnarReads(rc.inner)
     case other => delegates(0).supportColumnarReads(other)
   }
 
@@ -1011,8 +1041,70 @@ final case class GraftVersionedReaderFactory(
     p match {
       case kp: GraftKeyedPartition =>
         delegates(kp.delegate).createColumnarReader(kp.inner)
+      case rc: GraftRidColumnarPartition => ridColumnar(rc)
       case other => delegates(0).createColumnarReader(other)
     }
+
+  /** Columnar `_row_id` serving: the rid delegate's batches pass
+    * through with the data vectors re-ordered to `required` and ONE
+    * computed long vector in the `_row_id` slot —
+    * coalesce(materialized[i], baseRowId + running row index), null
+    * when the file carries neither (pre-tracking history). The inner
+    * read is filter-free and whole-file, so the running index is
+    * exact. One O(batch) long fill per batch; the data vectors are the
+    * delegate's own (zero copies). */
+  private def ridColumnar(rc: GraftRidColumnarPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val inner = delegates(2).createColumnarReader(rc.inner)
+    // required-ordinal → inner-ordinal; -4 = the computed rid slot
+    // (the rid delegate appends the materialized column AFTER
+    // innerRequired's fields)
+    val mapping: Array[Int] = required.fields.map { f =>
+      if (f.name == GraftTableV2.RowIdCol) -4
+      else innerRequired.fieldIndex(f.name)
+    }
+    val matOrd = innerRequired.length
+    val base = rc.baseRowId
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var pos = 0L
+      private var ridVec: org.apache.spark.sql.execution.vectorized.OnHeapColumnVector = null
+      private var ridCap = 0
+      override def next(): Boolean = inner.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val in = inner.get()
+        val n = in.numRows()
+        if (ridVec == null || ridCap < n) {
+          if (ridVec != null) ridVec.close()
+          ridCap = math.max(n, 4096)
+          ridVec = new org.apache.spark.sql.execution.vectorized
+            .OnHeapColumnVector(ridCap, LongType)
+        }
+        ridVec.reset()
+        val mat = in.column(matOrd)
+        var i = 0
+        while (i < n) {
+          if (!mat.isNullAt(i)) ridVec.putLong(i, mat.getLong(i))
+          else base match {
+            case Some(b) => ridVec.putLong(i, b + pos + i)
+            case None => ridVec.putNull(i)
+          }
+          i += 1
+        }
+        pos += n
+        val vecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](mapping.length)
+        var j = 0
+        while (j < mapping.length) {
+          vecs(j) = if (mapping(j) == -4) ridVec else in.column(mapping(j))
+          j += 1
+        }
+        new org.apache.spark.sql.vectorized.ColumnarBatch(vecs, n)
+      }
+      override def close(): Unit = {
+        if (ridVec != null) ridVec.close()
+        inner.close()
+      }
+    }
+  }
 
   // required-ordinal -> inner-ordinal (-1 = the version slot)
   private def versionMapping: Array[Int] = required.fields.map(f =>
@@ -1066,6 +1158,12 @@ final case class GraftVersionedReaderFactory(
           override def close(): Unit = inner.close()
         }
         dp.version.fold(skipping)(v => tagged(skipping, v))
+      // row-path fallback when the delegate declined columnar for the
+      // projected schema: identical semantics through the positional
+      // reader (no DV, no version, no _file/_pos by construction)
+      case rc: GraftRidColumnarPartition =>
+        createReader(GraftPosPartition(rc.inner, 2, None, None, "",
+          rc.baseRowId))
       case pp: GraftPosPartition =>
         val inner = delegates(pp.delegate).createReader(pp.inner)
         val bm = pp.dv.map(graft.medallion.TxLog.dvDeserialize)

@@ -346,6 +346,40 @@ class RowTrackingSpec extends SparkSpec {
     } finally dropCat(cat)
   }
 
+  test("_row_id scans go COLUMNAR on DV-free tables; a DV degrades to the row path — same rows") {
+    val (cat, _, path) = freshTable("ridcol")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('rowTracking' = 'true')")
+      val t = new GraftTable(path)
+      t.append((0L until 30L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1))
+      t.compact(spark) // materialized ids
+      t.append((30L until 40L).map(i => (i, s"v$i")).toDF("k", "v")
+        .orderBy("k").coalesce(1)) // virtual ids (base + index)
+      def scan() = spark.sql(s"SELECT k, _row_id FROM $cat.db.t")
+      def columnar(df: org.apache.spark.sql.DataFrame): Boolean = {
+        df.collect() // settle AQE before reading the executed plan
+        graft.plans.AdaptivePlans.collectDeep(df) {
+          case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
+        }.nonEmpty
+      }
+      // DV-free: vectorized batches + the computed rid vector — and the
+      // ids are exactly the materialized/virtual mix
+      assert(columnar(scan()),
+        "a DV-free _row_id scan must keep vectorized columnar reads")
+      assert(ids(cat) === (0L until 40L).map(i => i -> i).toMap)
+      // a deletion vector forces the positional row path — ids of the
+      // survivors never move
+      t.deleteRows(spark, "k = 5")
+      assert(!columnar(scan()),
+        "a DV'd file must serve _row_id through the positional row path")
+      val after = ids(cat)
+      assert(!after.contains(5L))
+      (0L until 40L).filter(_ != 5L).foreach(k => assert(after(k) === k))
+    } finally dropCat(cat)
+  }
+
   test("CDF rid pairing on the MOR plane: SQL MOR UPDATE/MERGE images pair with no merge key") {
     val (cat, _, path) = freshTable("cdfmorrid")
     try {
