@@ -832,14 +832,15 @@ final class GraftBatch(
     // away on this path — acceptable at ~128 MB target file sizes.
     if (needRowId) {
       val all = files()
-      val columnarOk = !needFile && !needPos && !needVersion &&
+      val columnarOk = !needFile && !needPos &&
         all.forall(_._1.dv.isEmpty)
       return all.map { case (a, v) =>
         if (columnarOk)
           GraftRidColumnarPartition(
             org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
               spark, table.absoluteDataPath(a)),
-            a.baseRowId): InputPartition
+            a.baseRowId,
+            if (needVersion) Some(v) else None): InputPartition
         else
           GraftPosPartition(
             org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
@@ -925,8 +926,9 @@ final class GraftBatch(
   }
 
   // always the wrapping factory: it DELEGATES columnar reads for plain
-  // parquet partitions (vectorized batches pass through untouched) and
-  // row-wraps only the version-tagged / DV partitions — so no
+  // parquet partitions (vectorized batches pass through untouched),
+  // serves version tags and row ids COLUMNAR via constant/computed
+  // vectors, and row-wraps only the DV / declined cases — so no
   // plan-time/factory-time race over which partition kinds exist
   override def createReaderFactory(): PartitionReaderFactory =
     GraftVersionedReaderFactory(
@@ -934,9 +936,14 @@ final class GraftBatch(
 }
 
 /** An inner parquet partition tagged with its commit version and the
-  * index of the delegate factory that can read it. */
+  * index of the delegate factory that can read it. Served COLUMNAR
+  * when the delegate vectorizes (the version is a per-partition
+  * CONSTANT vector — zero per-row work), unless `rowOnly` forces the
+  * row path (set by [[GraftTableV2.uniformRows]] when DV partitions
+  * coexist in the scan: Spark refuses mixed columnar/row kinds). */
 final case class GraftVersionedPartition(
-    inner: InputPartition, delegate: Int, version: Long) extends InputPartition
+    inner: InputPartition, delegate: Int, version: Long,
+    rowOnly: Boolean = false) extends InputPartition
 
 /** One whole unsplit file whose reader must skip the deletion vector's
   * row indexes (`dv`: serialized bitmap). `version` is present when the
@@ -976,9 +983,13 @@ final case class GraftRowPartition(inner: InputPartition, delegate: Int)
   * rid scan keeps vectorized parquet decode and whole-stage codegen
   * instead of degrading to row-at-a-time reads (the round-15 cost
   * note). Falls back to the row path when the delegate declines
-  * columnar for the schema. */
+  * columnar for the schema. `version` carries the per-file
+  * `_commit_version` tag as a constant vector when the scan also
+  * requires provenance — the tracked-table COW rewrite scan's shape,
+  * which therefore stays vectorized too. */
 final case class GraftRidColumnarPartition(
-    inner: InputPartition, baseRowId: Option[Long]) extends InputPartition
+    inner: InputPartition, baseRowId: Option[Long],
+    version: Option[Long] = None) extends InputPartition
 
 /** ONE FILE as a keyed partition — the storage-partitioned-join unit:
   * `partitionKey` is the transform tuple (sole bucket value, or e.g.
@@ -1023,7 +1034,9 @@ final case class GraftVersionedReaderFactory(
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
-    case _: GraftVersionedPartition | _: GraftDvPartition |
+    case vp: GraftVersionedPartition =>
+      !vp.rowOnly && delegates(vp.delegate).supportColumnarReads(vp.inner)
+    case _: GraftDvPartition |
          _: GraftRowPartition | _: GraftPosPartition => false
     case kp: GraftKeyedPartition =>
       delegates(kp.delegate).supportColumnarReads(kp.inner)
@@ -1042,8 +1055,39 @@ final case class GraftVersionedReaderFactory(
       case kp: GraftKeyedPartition =>
         delegates(kp.delegate).createColumnarReader(kp.inner)
       case rc: GraftRidColumnarPartition => ridColumnar(rc)
+      case vp: GraftVersionedPartition => versionedColumnar(vp)
       case other => delegates(0).createColumnarReader(other)
     }
+
+  /** Columnar `_commit_version` tagging: the delegate's vectorized
+    * batches pass through with the data vectors re-ordered to
+    * `required` and a per-partition CONSTANT long vector in the
+    * version slot — the tag costs nothing per row, so the COW
+    * MERGE/UPDATE rewrite scan (which always needs provenance) keeps
+    * vectorized parquet decode. */
+  private def versionedColumnar(vp: GraftVersionedPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val inner = delegates(vp.delegate).createColumnarReader(vp.inner)
+    val mapping = versionMapping
+    val vvec = new org.apache.spark.sql.execution.vectorized
+      .ConstantColumnVector(1 << 16, LongType)
+    vvec.setLong(vp.version)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = inner.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val in = inner.get()
+        val vecs =
+          new Array[org.apache.spark.sql.vectorized.ColumnVector](mapping.length)
+        var j = 0
+        while (j < mapping.length) {
+          vecs(j) = if (mapping(j) < 0) vvec else in.column(mapping(j))
+          j += 1
+        }
+        new org.apache.spark.sql.vectorized.ColumnarBatch(vecs, in.numRows())
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
 
   /** Columnar `_row_id` serving: the rid delegate's batches pass
     * through with the data vectors re-ordered to `required` and ONE
@@ -1058,10 +1102,17 @@ final case class GraftVersionedReaderFactory(
     val inner = delegates(2).createColumnarReader(rc.inner)
     // required-ordinal → inner-ordinal; -4 = the computed rid slot
     // (the rid delegate appends the materialized column AFTER
-    // innerRequired's fields)
+    // innerRequired's fields), -1 = the constant version slot
     val mapping: Array[Int] = required.fields.map { f =>
       if (f.name == GraftTableV2.RowIdCol) -4
+      else if (f.name == GraftTableV2.VersionCol && rc.version.isDefined) -1
       else innerRequired.fieldIndex(f.name)
+    }
+    val vvec = rc.version.map { v =>
+      val c = new org.apache.spark.sql.execution.vectorized
+        .ConstantColumnVector(1 << 16, LongType)
+      c.setLong(v)
+      c
     }
     val matOrd = innerRequired.length
     val base = rc.baseRowId
@@ -1094,7 +1145,10 @@ final case class GraftVersionedReaderFactory(
         val vecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](mapping.length)
         var j = 0
         while (j < mapping.length) {
-          vecs(j) = if (mapping(j) == -4) ridVec else in.column(mapping(j))
+          vecs(j) =
+            if (mapping(j) == -4) ridVec
+            else if (mapping(j) == -1) vvec.get
+            else in.column(mapping(j))
           j += 1
         }
         new org.apache.spark.sql.vectorized.ColumnarBatch(vecs, n)
@@ -1162,7 +1216,7 @@ final case class GraftVersionedReaderFactory(
       // projected schema: identical semantics through the positional
       // reader (no DV, no version, no _file/_pos by construction)
       case rc: GraftRidColumnarPartition =>
-        createReader(GraftPosPartition(rc.inner, 2, None, None, "",
+        createReader(GraftPosPartition(rc.inner, 2, rc.version, None, "",
           rc.baseRowId))
       case pp: GraftPosPartition =>
         val inner = delegates(pp.delegate).createReader(pp.inner)
@@ -2367,7 +2421,7 @@ object GraftTableV2 {
       parts: Seq[InputPartition]): Array[InputPartition] =
     if (!parts.exists(_.isInstanceOf[GraftDvPartition])) parts.toArray
     else parts.map {
-      case w: GraftVersionedPartition => w: InputPartition
+      case w: GraftVersionedPartition => w.copy(rowOnly = true): InputPartition
       case d: GraftDvPartition => d: InputPartition
       case raw => GraftRowPartition(raw, 0): InputPartition
     }.toArray

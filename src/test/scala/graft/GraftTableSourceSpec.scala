@@ -187,6 +187,35 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(q.collect().map(_.getLong(0)).toSet === (100L to 200L).toSet)
   }
 
+  test("_commit_version scans stay COLUMNAR (constant vector); a DV degrades to rows — same tags") {
+    val root = freshRoot()
+    val path = new java.io.File(root, "tbl").getAbsolutePath
+    val t = new GraftTable(path)
+    import spark.implicits._
+    t.append((1L to 100L).map(i => (i, s"p$i")).toDF("id", "payload").coalesce(1))
+    t.append((101L to 200L).map(i => (i, s"p$i")).toDF("id", "payload").coalesce(1))
+    def q() = spark.read.format("graft-table").option("path", path).load()
+      .select(col("id"), col("_commit_version"))
+    def supportsColumnar(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head.supportsColumnar
+    // provenance used to force the row path; the constant version
+    // vector keeps vectorized parquet decode (the COW rewrite scan's
+    // projection shape)
+    assert(supportsColumnar(q()),
+      "a DV-free _commit_version scan must stay columnar")
+    val tags = q().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 100L).foreach(i => assert(tags(i) === 1L))
+    (101L to 200L).foreach(i => assert(tags(i) === 2L))
+    // a deletion vector forces uniform row partitions; tags unchanged
+    t.deleteRows(spark, "id = 50")
+    assert(!supportsColumnar(q()),
+      "a DV'd scan must degrade every partition to the row path")
+    val after = q().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!after.contains(50L) && after(51L) === 1L && after(150L) === 2L)
+  }
+
   test("count(*) over the DSv2 read uses the log's exact statistics") {
     val root = freshRoot()
     val path = new java.io.File(root, "tbl").getAbsolutePath
