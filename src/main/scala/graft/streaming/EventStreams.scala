@@ -55,13 +55,42 @@ object EventStreams {
           c == "PATH_NOT_FOUND" || c.startsWith("PATH_NOT_FOUND."))
       case _ => e.isInstanceOf[java.io.FileNotFoundException]
     }
+    // schema-probe target: the canonical single file, or — for a
+    // replayed/sliced feed (DataScaleProbe writes events_000.parquet,
+    // events_001.parquet, … so the file source can pace micro-batches
+    // with maxFilesPerTrigger) — the lexicographically first slice. A
+    // driver-side name listing, not a glob batch read: a batch read of
+    // the parent dir would trip partition discovery on sibling table
+    // subdirectories (documents.parquet/ etc.).
+    val probePath = {
+      val canonical = new java.io.File(dir, "events.parquet")
+      if (canonical.exists) canonical.getPath
+      else Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.startsWith("events_") &&
+          f.getName.endsWith(".parquet"))
+        .sortBy(_.getName).headOption.map(_.getPath)
+        .getOrElse(canonical.getPath)
+    }
     val tsType =
-      try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      try spark.read.parquet(probePath).schema("ts").dataType
       catch { case e: Exception if isMissingPath(e) => TimestampNTZType }
-    val df = spark.readStream
+    val reader = spark.readStream
       .schema(rawSchema(tsType))
-      // the file source needs a directory; glob-filter to the events file
-      .option("pathGlobFilter", "events.parquet")
+      // the file source needs a directory; glob-filter to the events
+      // file(s) — `events*.parquet` admits both the canonical single
+      // file and the sliced replay form above
+      .option("pathGlobFilter", "events*.parquet")
+    // Replay pacing knob (session conf, unset by default): bounds the
+    // files each micro-batch consumes, the same contract as the file
+    // source's own maxFilesPerTrigger option. AvailableNow replays the
+    // whole feed either way; this only controls HOW MANY micro-batches
+    // it takes — the DataScaleProbe sets it to 1 so batch count grows
+    // with the sliced corpus and the per-batch replay machinery is what
+    // the exponent measures. Oldest-first (latestFirst defaults false),
+    // so time-ordered slices replay in event-time order and watermarks
+    // advance exactly as a live feed's would.
+    val df = spark.conf.getOption("graft.streaming.maxFilesPerTrigger")
+      .foldLeft(reader)((r, n) => r.option("maxFilesPerTrigger", n))
       .parquet(dir)
     tsType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

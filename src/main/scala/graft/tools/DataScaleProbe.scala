@@ -51,7 +51,18 @@ object DataScaleProbe {
     // round 16: keep-first span REMOVAL — window-hash groupBy + per-doc
     // position collect + narrow cut; linear by construction, probed to
     // keep it honest
-    "q170_span_removal")
+    "q170_span_removal",
+    // round 16: the watermarked stream-stream interval join — BATCH-COUNT
+    // scaling, not just data scaling: the synthesized corpus is sliced
+    // into 3k time-ordered single-file batches (see synth) and
+    // `graft.streaming.maxFilesPerTrigger=1` makes AvailableNow replay
+    // one slice per micro-batch, so a k× corpus pays k× the micro-batch
+    // machinery (offset log, state-store commit, watermark advance) at
+    // CONSTANT rows/batch. Replicas carry disjoint user_id ranges, so
+    // join state, matches, and outer emissions all grow linearly — a
+    // super-linear exponent would mean per-batch overhead grows with
+    // history (state not evicted at the watermark) and must be chased
+    "q162_stream_stream_join")
 
   /** The injected corpus-wide boilerplate (fixed: df must be a pure
     * function of corpus size). 120 chars ≥ 3·T. */
@@ -73,10 +84,17 @@ object DataScaleProbe {
     val spark = graft.core.SparkSessionFactory.local("graft-data-scale-probe")
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").sum("v").count() // codegen/shuffle warmup
+    val selected = ProbeQueries.filter(q => only.forall(_.contains(q)))
+    val withEvents = selected.contains("q162_stream_stream_join")
+    if (withEvents)
+      // one slice per micro-batch (readEvents' replay-pacing knob);
+      // only the stream-stream probe reads the event feed here
+      spark.conf.set("graft.streaming.maxFilesPerTrigger", "1")
     val root = new java.io.File(
       s"target/tmp/datascale_${java.lang.Long.toHexString(System.nanoTime())}")
-    val dir1 = synth(spark, sfDir, 1, s"${root.getAbsolutePath}/x1")
-    val dirN = synth(spark, sfDir, factor, s"${root.getAbsolutePath}/x$factor")
+    val dir1 = synth(spark, sfDir, 1, s"${root.getAbsolutePath}/x1", withEvents)
+    val dirN = synth(spark, sfDir, factor, s"${root.getAbsolutePath}/x$factor",
+      withEvents)
 
     def time(name: String, dir: String): Double = {
       val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
@@ -99,7 +117,7 @@ object DataScaleProbe {
       ts(ts.length / 2)
     }
 
-    val rows = ProbeQueries.filter(q => only.forall(_.contains(q))).map { q =>
+    val rows = selected.map { q =>
       val t1 = time(q, dir1)
       val tN = time(q, dirN)
       val exp = math.log(tN / t1) / math.log(factor.toDouble)
@@ -115,7 +133,9 @@ object DataScaleProbe {
   /** Write a k×-replicated documents table under `out`; returns `out`.
     * Replica 0 is the original text byte-for-byte. */
   private def synth(
-      spark: SparkSession, sfDir: String, k: Int, out: String): String = {
+      spark: SparkSession, sfDir: String, k: Int, out: String,
+      withEvents: Boolean = false): String = {
+    if (withEvents) synthEvents(spark, sfDir, k, out)
     require(k <= 52,
       "the transform family has 52 distinct members (26 shifts × reversal)")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -141,5 +161,59 @@ object DataScaleProbe {
     replicas.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     out
+  }
+
+  /** Write a k×-replicated event feed under `out` as `3k` TIME-ORDERED
+    * single-file slices (`events_000.parquet`, `events_001.parquet`, …)
+    * so the file source — oldest-first, paced to one file per trigger by
+    * the `graft.streaming.maxFilesPerTrigger` knob — replays it in `3k`
+    * micro-batches of CONSTANT size, the shape a live feed's bounded
+    * replay has. Replica r shifts user_id and event_id by r·10⁸
+    * (disjoint join keys: state, matches, and outer emissions grow
+    * linearly) but keeps every timestamp, so slicing the union on ts
+    * quantiles interleaves all replicas into each slice and watermarks
+    * advance across batches exactly as they would on one k×-rate feed.
+    * Explicit ascending mtimes (1 s apart, ending now) pin the source's
+    * (timestamp, path) processing order to the slice order. */
+  private[graft] def synthEvents(
+      spark: SparkSession, sfDir: String, k: Int, out: String): Unit = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val replicas = (0 until k).map { r =>
+      ev.select(
+        (col("event_id") + lit(r.toLong * 100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(r.toLong * 100000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    val all = replicas.reduce(_ unionByName _)
+    // order column for quantile slicing: nanos-generation feeds carry a
+    // raw long, timestamp generations cast monotonically under the
+    // factory's pinned UTC session
+    val ord = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts").cast("double")
+      case _ => unix_micros(col("ts").cast("timestamp")).cast("double")
+    }
+    val keyed = all.withColumn("__ord", ord)
+    val slices = 3 * k
+    val cuts = keyed.stat.approxQuantile(
+      "__ord", (1 until slices).map(_.toDouble / slices).toArray, 0.001)
+    val bounds = (Double.NegativeInfinity +: cuts.toSeq) :+
+      Double.PositiveInfinity
+    val outDir = new java.io.File(out); outDir.mkdirs()
+    val base = System.currentTimeMillis() - slices * 1000L
+    for (i <- 0 until slices) {
+      val slice = keyed
+        .filter(col("__ord") >= bounds(i) && col("__ord") < bounds(i + 1))
+        .drop("__ord")
+      val tmp = new java.io.File(outDir, "_evtmp")
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val dst = new java.io.File(outDir, f"events_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(base + i * 1000L)
+      graft.core.Fs.rmTree(tmp)
+    }
   }
 }
