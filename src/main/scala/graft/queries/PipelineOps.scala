@@ -1713,6 +1713,73 @@ object PipelineOps {
        ORDER BY o_orderkey"""
 
   // --------------------------------------------------------------------
+  // q171 — COLUMNAR deletion-vector scan (round 16): lineitem lands in
+  // two files, a predicate delete DVs rows of the FIRST only, and the
+  // aggregate over the survivors is require'd to plan a fully COLUMNAR
+  // BatchScan — the DV'd file serves its vectorized batches through the
+  // zero-copy SelectedColumnVector index remap (deleted rows drop out,
+  // untouched batches pass through on one rangeCardinality probe) while
+  // the clean sibling keeps its pushed-filter fast path, instead of one
+  // deleted row row-forcing the whole table (the pre-round-16 shape,
+  // which fails this guard). The grouped sums then hash-match the
+  // oracle's plain anti-predicate — deleted rows excluded, surviving
+  // values bit-exact through the remap. Scale: at 100 TB this is the
+  // difference between a GDPR delete costing a table-wide
+  // InternalRow-materialization tax on every subsequent scan and
+  // costing one bitmap probe per 4096-row batch.
+  // --------------------------------------------------------------------
+  def q171DvColumnarScan(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("dvcolscan", dir)
+    graft.core.Fs.rmTree(new java.io.File(root))
+    val t = new graft.medallion.GraftTable(s"$root/lineitem")
+    val base = lake(s, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"))
+    t.append(base.filter(col("l_orderkey") % 2 === 0).repartition(1))
+    t.append(base.filter(col("l_orderkey") % 2 === 1).repartition(1))
+    val (dvFiles, rewrites, deleted, _) =
+      t.deleteRows(s, "l_orderkey % 2 = 0 AND l_partkey % 5 = 2")
+    require(rewrites == 0 && dvFiles == 1 && deleted > 0,
+      s"the sparse delete must land as ONE file's bitmap " +
+        s"(dv=$dvFiles rewrites=$rewrites deleted=$deleted)")
+    val snap = t.snapshot()
+    require(snap.files.size == 2 && snap.files.count(_.dv.isDefined) == 1,
+      "exactly one of the two files must carry a deletion vector")
+    // the DSv2 connector read — the path whose partition planning
+    // serves DVs columnar (the Scala-API t.read() uses the v1
+    // row-index anti-join instead and was never row-forced)
+    val out = s.read.format("graft-table").option("path", t.tablePath).load()
+      .groupBy((col("l_partkey") % 11).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("l_quantity")).as("qty"),
+        Det.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("bucket"))
+    // in-query guard (initial plan — never executes the query): BOTH
+    // files must plan columnar, the DV'd one via GraftDvColumnarPartition;
+    // the pre-round-16 row-forced shape fails here
+    val scans = graft.plans.AdaptivePlans.collectDeep(out) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    require(scans.nonEmpty && scans.forall(_.supportsColumnar),
+      "the DV'd scan must keep vectorized columnar reads (selection remap)")
+    require(scans.exists(_.inputPartitions.exists(
+      _.isInstanceOf[graft.streaming.GraftDvColumnarPartition])),
+      "the DV'd file must plan as a columnar DV partition")
+    out
+  }
+
+  private val q171Oracle =
+    """WITH live AS (
+         SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+         WHERE NOT (l_orderkey % 2 = 0 AND l_partkey % 5 = 2))
+       SELECT l_partkey % 11 AS bucket,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS revenue
+       FROM live GROUP BY 1 ORDER BY 1"""
+
+  // --------------------------------------------------------------------
   // q129 — SQL DELETE routed merge-on-read: a catalog table opts in via
   // `delete.mode = merge-on-read` TBLPROPERTIES, and a DELETE whose
   // predicate is NOT a metadata range (strict inequality OR'd with an
@@ -3883,6 +3950,7 @@ object PipelineOps {
     "q131_cdf_mv" -> (q131CdfMv _),
     "q128_deletion_vectors" -> (q128DeletionVectors _),
     "q129_sql_mor_delete" -> (q129SqlMorDelete _),
+    "q171_dv_columnar_scan" -> (q171DvColumnarScan _),
     "q118_incremental_mv" -> (q118IncrementalMv _),
     "q119_constraints_restore" -> (q119ConstraintsRestore _),
     "q122_clone_fork" -> (q122CloneFork _),
@@ -3946,6 +4014,7 @@ object PipelineOps {
     "q131_cdf_mv" -> q131Oracle,
     "q128_deletion_vectors" -> q128Oracle,
     "q129_sql_mor_delete" -> q129Oracle,
+    "q171_dv_columnar_scan" -> q171Oracle,
     "q118_incremental_mv" -> q118Oracle,
     "q119_constraints_restore" -> q119Oracle,
     "q122_clone_fork" -> q122Oracle,

@@ -832,15 +832,20 @@ final class GraftBatch(
     // away on this path — acceptable at ~128 MB target file sizes.
     if (needRowId) {
       val all = files()
-      val columnarOk = !needFile && !needPos &&
-        all.forall(_._1.dv.isEmpty)
+      // DV'd files stay columnar too: the reader drops deleted rows
+      // via a SelectedColumnVector remap (see ridColumnar) instead of
+      // degrading to row-at-a-time reads — only a _file/_pos
+      // requirement (the MOR rewrite scan) or a schema the parquet
+      // reader declines to vectorize leaves the columnar path now
+      val columnarOk = !needFile && !needPos
       return all.map { case (a, v) =>
         if (columnarOk)
           GraftRidColumnarPartition(
             org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
               spark, table.absoluteDataPath(a)),
             a.baseRowId,
-            if (needVersion) Some(v) else None): InputPartition
+            if (needVersion) Some(v) else None,
+            a.dv): InputPartition
         else
           GraftPosPartition(
             org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
@@ -859,13 +864,15 @@ final class GraftBatch(
     // report. The group set was frozen at compile-time pruning (see
     // GraftScan); columnar reads delegate untouched.
     keyed().foreach { groups =>
-      // any deletion vector — or a required `_commit_version` tag —
-      // forces the WHOLE scan onto row partitions (mixed columnar/row
-      // kinds are refused by Spark; the version must be spliced into
-      // each row); DV-free untagged scans keep full vectorization
-      // through the delegation. The version is per-file-constant, so
-      // tagging never perturbs the tuple grouping — this is what keeps
-      // the COW MERGE rewrite scan (which always needs provenance)
+      // a deletion vector — or a required `_commit_version` tag —
+      // keeps the keyed scan COLUMNAR too (round 16): the DV'd or
+      // tagged file plans whole and filter-free (positions must be
+      // exact under a bitmap) and its vectorized batches serve through
+      // the SelectedColumnVector remap / constant version vector,
+      // while DV-free untagged scans keep the pushed-filter delegated
+      // fast path. The version is per-file-constant, so tagging never
+      // perturbs the tuple grouping — this is what keeps the COW MERGE
+      // rewrite scan (which always needs provenance)
       // storage-partitioned.
       val anyDv = groups.exists(_._2.exists(_._1.dv.isDefined))
       return groups.flatMap { case (k, fs) =>
@@ -876,11 +883,10 @@ final class GraftBatch(
                 spark, Seq(table.absoluteDataPath(a))),
               0, k): InputPartition
           else
-            GraftKeyedRowPartition(
-              Seq((org.apache.spark.sql.graft.ParquetScans
-                .wholeFilePartition(spark, table.absoluteDataPath(a)), a.dv,
-                if (needVersion) Some(v) else None)),
-              1, k): InputPartition
+            GraftKeyedDvColumnarPartition(
+              org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
+                spark, table.absoluteDataPath(a)),
+              a.dv, if (needVersion) Some(v) else None, k): InputPartition
         }
       }.toArray
     }
@@ -900,15 +906,21 @@ final class GraftBatch(
           a.baseRowId)
           : InputPartition
       }.toArray
-    // files with a deletion vector leave the vectorized fast path: each
-    // plans as ONE whole unsplit partition whose reader skips the DV'd
-    // row indexes (see GraftVersionedReaderFactory)
+    // files with a deletion vector stay COLUMNAR: each plans as ONE
+    // whole unsplit partition (positions must be exact, so no splits
+    // and no pushed filters underneath) whose reader serves the
+    // delegate's vectorized batches through a SelectedColumnVector
+    // remap of the surviving row indexes — batches with no deleted row
+    // (the overwhelming majority under sparse DVs) pass through
+    // untouched, and clean sibling files keep their pushed-filter
+    // split-parallel fast path instead of being row-forced alongside
+    // (the pre-round-16 uniformRows degradation)
     val (dvd, fs) = all.partition(_._1.dv.isDefined)
     val dvParts: Seq[InputPartition] = dvd.map { case (a, v) =>
-      GraftDvPartition(
+      GraftDvColumnarPartition(
         org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
           spark, table.absoluteDataPath(a)),
-        1, if (needVersion) Some(v) else None, a.dv.get)
+        a.dv.get, if (needVersion) Some(v) else None)
     }
     val cleanParts: Seq[InputPartition] =
       if (fs.isEmpty) Seq.empty
@@ -922,7 +934,10 @@ final class GraftBatch(
           physRequired, physFilters).toBatch.planInputPartitions()
           .map(p => GraftVersionedPartition(p, 0, v))
       }
-    GraftTableV2.uniformRows(cleanParts ++ dvParts)
+    // no uniformRows here: DV partitions are columnar now, so the one-
+    // BatchScan kind invariant holds without row-forcing the clean
+    // siblings (it still guards the streaming CDF path's mixed plans)
+    (cleanParts ++ dvParts).toArray
   }
 
   // always the wrapping factory: it DELEGATES columnar reads for plain
@@ -954,6 +969,19 @@ final case class GraftDvPartition(
     inner: InputPartition, delegate: Int, version: Option[Long], dv: String)
     extends InputPartition
 
+/** One whole unsplit deletion-vectored file served COLUMNAR: the
+  * filter-free delegate's vectorized batches pass through with deleted
+  * rows dropped by a [[SelectedColumnVector]] index remap — zero-copy,
+  * and a batch whose position range holds no deleted bit (checked via
+  * one `rangeCardinality` per batch) is served as-is. `version`
+  * carries the per-file `_commit_version` tag as a constant vector
+  * when the scan also requires provenance. Falls back to the
+  * [[GraftDvPartition]] row reader when the delegate declines columnar
+  * for the projected schema. */
+final case class GraftDvColumnarPartition(
+    inner: InputPartition, dv: String, version: Option[Long])
+    extends InputPartition
+
 /** One whole unsplit file served POSITIONALLY: every row carries its
   * source file name (`_file`) and exact physical row index (`_pos`) —
   * the merge-on-read row-level scan's row id. Rows in the existing
@@ -973,23 +1001,27 @@ final case class GraftPosPartition(
 final case class GraftRowPartition(inner: InputPartition, delegate: Int)
     extends InputPartition
 
-/** A DV-free file of a `_row_id`-requiring scan that needs NO other
-  * synthetic column (`_file`/`_pos`/`_commit_version` absent): served
-  * COLUMNAR — the rid delegate's vectorized batches pass through with
-  * one computed long vector, rid[i] = coalesce(materialized[i],
-  * baseRowId + running row index). Whole-file and filter-free like
-  * every positional partition (the running index must be exact), so
-  * split parallelism is still traded away — but the common analytic
-  * rid scan keeps vectorized parquet decode and whole-stage codegen
-  * instead of degrading to row-at-a-time reads (the round-15 cost
-  * note). Falls back to the row path when the delegate declines
-  * columnar for the schema. `version` carries the per-file
-  * `_commit_version` tag as a constant vector when the scan also
-  * requires provenance — the tracked-table COW rewrite scan's shape,
-  * which therefore stays vectorized too. */
+/** A file of a `_row_id`-requiring scan that needs NO `_file`/`_pos`:
+  * served COLUMNAR — the rid delegate's vectorized batches pass
+  * through with one computed long vector, rid[out i] =
+  * coalesce(materialized[phys], baseRowId + physical row index).
+  * Whole-file and filter-free like every positional partition (the
+  * physical index must be exact), so split parallelism is still traded
+  * away — but the common analytic rid scan keeps vectorized parquet
+  * decode and whole-stage codegen instead of degrading to row-at-a-
+  * time reads (the round-15 cost note). `dv` (round 16): a deletion
+  * vector no longer forces the row path — deleted rows are dropped by
+  * a [[SelectedColumnVector]] remap and the rid vector is computed
+  * from PHYSICAL indexes, so survivor ids stay stable across MOR
+  * deletes exactly as on the row path. Falls back to the row path when
+  * the delegate declines columnar for the schema. `version` carries
+  * the per-file `_commit_version` tag as a constant vector when the
+  * scan also requires provenance — the tracked-table COW rewrite
+  * scan's shape, which therefore stays vectorized too. */
 final case class GraftRidColumnarPartition(
     inner: InputPartition, baseRowId: Option[Long],
-    version: Option[Long] = None) extends InputPartition
+    version: Option[Long] = None,
+    dv: Option[String] = None) extends InputPartition
 
 /** ONE FILE as a keyed partition — the storage-partitioned-join unit:
   * `partitionKey` is the transform tuple (sole bucket value, or e.g.
@@ -1022,6 +1054,24 @@ final case class GraftKeyedRowPartition(
     new GenericInternalRow(key.map(Int.box).toArray[Any])
 }
 
+/** One DV'd or version-tagged FILE as a COLUMNAR keyed partition
+  * (round 16): the storage-partitioned MERGE/UPDATE rewrite scan and
+  * keyed reads of merge-on-read tables no longer pay the row path —
+  * batches serve through the same [[SelectedColumnVector]] remap /
+  * constant-version machinery as [[GraftDvColumnarPartition]], with
+  * the transform tuple preserved so Spark still groups and zips scans
+  * without an exchange. Whole-file and filter-free (bitmap positions
+  * must be exact). Row fallback: the [[GraftKeyedRowPartition]]
+  * reader, same key. */
+final case class GraftKeyedDvColumnarPartition(
+    inner: InputPartition, dv: Option[String], version: Option[Long],
+    key: Seq[Int])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(key.map(Int.box).toArray[Any])
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
 /** Wraps the delegated parquet readers: version-tagged partitions emit
   * rows in `required` order with the commit version in the
   * `_commit_version` slot; DV partitions count row positions and skip
@@ -1041,11 +1091,16 @@ final case class GraftVersionedReaderFactory(
     case kp: GraftKeyedPartition =>
       delegates(kp.delegate).supportColumnarReads(kp.inner)
     case _: GraftKeyedRowPartition => false
-    // the rid delegate (index 2) decides per the projected schema —
-    // identical for every partition of the scan, so the answer stays
-    // uniform across the batch (Spark refuses mixed kinds)
+    // the rid/dv delegates decide per the projected schema — identical
+    // for every partition of the scan (all three factories share the
+    // projection and conf), so the answer stays uniform across the
+    // batch (Spark refuses mixed kinds)
     case rc: GraftRidColumnarPartition =>
       delegates(2).supportColumnarReads(rc.inner)
+    case dc: GraftDvColumnarPartition =>
+      delegates(1).supportColumnarReads(dc.inner)
+    case kc: GraftKeyedDvColumnarPartition =>
+      delegates(1).supportColumnarReads(kc.inner)
     case other => delegates(0).supportColumnarReads(other)
   }
 
@@ -1055,9 +1110,88 @@ final case class GraftVersionedReaderFactory(
       case kp: GraftKeyedPartition =>
         delegates(kp.delegate).createColumnarReader(kp.inner)
       case rc: GraftRidColumnarPartition => ridColumnar(rc)
+      case dc: GraftDvColumnarPartition =>
+        dvColumnar(dc.inner, Some(dc.dv), dc.version)
+      case kc: GraftKeyedDvColumnarPartition =>
+        dvColumnar(kc.inner, kc.dv, kc.version)
       case vp: GraftVersionedPartition => versionedColumnar(vp)
       case other => delegates(0).createColumnarReader(other)
     }
+
+  /** Columnar deletion-vector serving: the filter-free delegate's
+    * vectorized batches pass through with the DV'd row indexes
+    * DROPPED — one `rangeCardinality` probe per batch; a batch with no
+    * deleted bit in its position range (the common case under sparse
+    * DVs) is served untouched, otherwise the surviving in-batch
+    * offsets are collected once and every data vector is wrapped in a
+    * zero-copy [[SelectedColumnVector]] remap. The optional
+    * `_commit_version` tag rides as a constant vector, so the DV'd
+    * provenance scan stays vectorized too. */
+  private def dvColumnar(
+      innerPart: InputPartition, dv: Option[String], version: Option[Long])
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val inner = delegates(1).createColumnarReader(innerPart)
+    val bmOpt = dv.map(graft.medallion.TxLog.dvDeserialize)
+    val mapping = versionMapping
+    val identity = version.isEmpty // mapping is then 0,1,2,… by construction
+    val vvec = version.map { v =>
+      val c = new org.apache.spark.sql.execution.vectorized
+        .ConstantColumnVector(1 << 16, LongType)
+      c.setLong(v)
+      c
+    }
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var pos = 0L
+      override def next(): Boolean = inner.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val in = inner.get()
+        val n = in.numRows()
+        val start = pos
+        pos += n
+        // indexes past Int.MaxValue can never be in a DV (the build
+        // guard refuses them), so the probe range clamps there
+        val deleted = bmOpt match {
+          case Some(b) if start <= Int.MaxValue.toLong =>
+            b.rangeCardinality(
+              start, math.min(start + n, Int.MaxValue.toLong + 1L))
+          case _ => 0L
+        }
+        if (deleted == 0L) {
+          if (identity) return in
+          return rewrap(in, null, n)
+        }
+        val bm = bmOpt.get
+        val sel = new Array[Int](n - deleted.toInt)
+        var i = 0
+        var k = 0
+        while (i < n) {
+          val p = start + i
+          if (p > Int.MaxValue.toLong || !bm.contains(p.toInt)) {
+            sel(k) = i; k += 1
+          }
+          i += 1
+        }
+        rewrap(in, sel, k)
+      }
+      private def rewrap(
+          in: org.apache.spark.sql.vectorized.ColumnarBatch,
+          sel: Array[Int], m: Int)
+          : org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val vecs =
+          new Array[org.apache.spark.sql.vectorized.ColumnVector](mapping.length)
+        var j = 0
+        while (j < mapping.length) {
+          vecs(j) =
+            if (mapping(j) < 0) vvec.get
+            else if (sel == null) in.column(mapping(j))
+            else new SelectedColumnVector(in.column(mapping(j)), sel)
+          j += 1
+        }
+        new org.apache.spark.sql.vectorized.ColumnarBatch(vecs, m)
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
 
   /** Columnar `_commit_version` tagging: the delegate's vectorized
     * batches pass through with the data vectors re-ordered to
@@ -1116,6 +1250,7 @@ final case class GraftVersionedReaderFactory(
     }
     val matOrd = innerRequired.length
     val base = rc.baseRowId
+    val bm = rc.dv.map(graft.medallion.TxLog.dvDeserialize)
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var pos = 0L
       private var ridVec: org.apache.spark.sql.execution.vectorized.OnHeapColumnVector = null
@@ -1124,34 +1259,60 @@ final case class GraftVersionedReaderFactory(
       override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
         val in = inner.get()
         val n = in.numRows()
-        if (ridVec == null || ridCap < n) {
+        val start = pos
+        pos += n
+        // deletion vector: collect the batch's surviving in-batch
+        // offsets (null sel = all survive — one rangeCardinality probe;
+        // indexes past Int.MaxValue can never be in a DV)
+        val sel: Array[Int] = bm match {
+          case Some(b) if start <= Int.MaxValue.toLong &&
+              b.rangeCardinality(start,
+                math.min(start + n, Int.MaxValue.toLong + 1L)) > 0L =>
+            val out = new Array[Int](n)
+            var i = 0
+            var k = 0
+            while (i < n) {
+              val p = start + i
+              if (p > Int.MaxValue.toLong || !b.contains(p.toInt)) {
+                out(k) = i; k += 1
+              }
+              i += 1
+            }
+            java.util.Arrays.copyOf(out, k)
+          case _ => null
+        }
+        val m = if (sel == null) n else sel.length
+        if (ridVec == null || ridCap < m) {
           if (ridVec != null) ridVec.close()
-          ridCap = math.max(n, 4096)
+          ridCap = math.max(m, 4096)
           ridVec = new org.apache.spark.sql.execution.vectorized
             .OnHeapColumnVector(ridCap, LongType)
         }
         ridVec.reset()
         val mat = in.column(matOrd)
         var i = 0
-        while (i < n) {
-          if (!mat.isNullAt(i)) ridVec.putLong(i, mat.getLong(i))
+        while (i < m) {
+          // rid is a function of the PHYSICAL index, so survivor ids
+          // stay stable across MOR deletes (same contract as row path)
+          val phys = if (sel == null) i else sel(i)
+          if (!mat.isNullAt(phys)) ridVec.putLong(i, mat.getLong(phys))
           else base match {
-            case Some(b) => ridVec.putLong(i, b + pos + i)
+            case Some(b) => ridVec.putLong(i, b + start + phys)
             case None => ridVec.putNull(i)
           }
           i += 1
         }
-        pos += n
         val vecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](mapping.length)
         var j = 0
         while (j < mapping.length) {
           vecs(j) =
             if (mapping(j) == -4) ridVec
             else if (mapping(j) == -1) vvec.get
-            else in.column(mapping(j))
+            else if (sel == null) in.column(mapping(j))
+            else new SelectedColumnVector(in.column(mapping(j)), sel)
           j += 1
         }
-        new org.apache.spark.sql.vectorized.ColumnarBatch(vecs, n)
+        new org.apache.spark.sql.vectorized.ColumnarBatch(vecs, m)
       }
       override def close(): Unit = {
         if (ridVec != null) ridVec.close()
@@ -1212,12 +1373,17 @@ final case class GraftVersionedReaderFactory(
           override def close(): Unit = inner.close()
         }
         dp.version.fold(skipping)(v => tagged(skipping, v))
-      // row-path fallback when the delegate declined columnar for the
-      // projected schema: identical semantics through the positional
-      // reader (no DV, no version, no _file/_pos by construction)
+      // row-path fallbacks when the delegate declined columnar for the
+      // projected schema: identical semantics through the positional /
+      // DV-skipping readers
       case rc: GraftRidColumnarPartition =>
-        createReader(GraftPosPartition(rc.inner, 2, rc.version, None, "",
+        createReader(GraftPosPartition(rc.inner, 2, rc.version, rc.dv, "",
           rc.baseRowId))
+      case dc: GraftDvColumnarPartition =>
+        createReader(GraftDvPartition(dc.inner, 1, dc.version, dc.dv))
+      case kc: GraftKeyedDvColumnarPartition =>
+        createReader(GraftKeyedRowPartition(
+          Seq((kc.inner, kc.dv, kc.version)), 1, kc.key))
       case pp: GraftPosPartition =>
         val inner = delegates(pp.delegate).createReader(pp.inner)
         val bm = pp.dv.map(graft.medallion.TxLog.dvDeserialize)

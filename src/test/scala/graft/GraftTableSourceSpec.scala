@@ -187,7 +187,7 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(q.collect().map(_.getLong(0)).toSet === (100L to 200L).toSet)
   }
 
-  test("_commit_version scans stay COLUMNAR (constant vector); a DV degrades to rows — same tags") {
+  test("_commit_version scans stay COLUMNAR (constant vector); a DV stays columnar too — same tags") {
     val root = freshRoot()
     val path = new java.io.File(root, "tbl").getAbsolutePath
     val t = new GraftTable(path)
@@ -208,10 +208,13 @@ class GraftTableSourceSpec extends SparkSpec {
     val tags = q().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (1L to 100L).foreach(i => assert(tags(i) === 1L))
     (101L to 200L).foreach(i => assert(tags(i) === 2L))
-    // a deletion vector forces uniform row partitions; tags unchanged
+    // round 16: a deletion vector no longer forces uniform row
+    // partitions — the DV'd file serves columnar through the
+    // SelectedColumnVector remap and the clean sibling keeps its
+    // vectorized fast path; tags unchanged
     t.deleteRows(spark, "id = 50")
-    assert(!supportsColumnar(q()),
-      "a DV'd scan must degrade every partition to the row path")
+    assert(supportsColumnar(q()),
+      "a DV'd provenance scan must stay columnar (remap + constant tag)")
     val after = q().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(!after.contains(50L) && after(51L) === 1L && after(150L) === 2L)
   }

@@ -346,7 +346,7 @@ class RowTrackingSpec extends SparkSpec {
     } finally dropCat(cat)
   }
 
-  test("_row_id scans go COLUMNAR on DV-free tables; a DV degrades to the row path — same rows") {
+  test("_row_id scans go COLUMNAR on DV-free tables AND across MOR deletes — same rows") {
     val (cat, _, path) = freshTable("ridcol")
     try {
       spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
@@ -369,11 +369,13 @@ class RowTrackingSpec extends SparkSpec {
       assert(columnar(scan()),
         "a DV-free _row_id scan must keep vectorized columnar reads")
       assert(ids(cat) === (0L until 40L).map(i => i -> i).toMap)
-      // a deletion vector forces the positional row path — ids of the
-      // survivors never move
+      // round 16: a deletion vector KEEPS the columnar path — deleted
+      // rows drop out via the SelectedColumnVector remap, and survivor
+      // ids never move because the rid vector is computed from
+      // PHYSICAL indexes
       t.deleteRows(spark, "k = 5")
-      assert(!columnar(scan()),
-        "a DV'd file must serve _row_id through the positional row path")
+      assert(columnar(scan()),
+        "a DV'd _row_id scan must stay columnar (selection remap)")
       val after = ids(cat)
       assert(!after.contains(5L))
       (0L until 40L).filter(_ != 5L).foreach(k => assert(after(k) === k))

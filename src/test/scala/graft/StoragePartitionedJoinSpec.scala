@@ -1255,4 +1255,56 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.spjmix.warehouse")
     }
   }
+
+  test("a DV'd co-bucketed join stays SPJ AND columnar (round 16)") {
+    // merge-on-read deletes on a bucketed table used to row-force the
+    // keyed scan (GraftKeyedRowPartition); the keyed DV partitions now
+    // serve vectorized batches through the SelectedColumnVector remap,
+    // so the join keeps BOTH properties at once: zero exchanges
+    // (storage-partitioned) and columnar parquet decode
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjdv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjdv.warehouse", wh)
+    try {
+      def mk(name: String, rows: Seq[(Long, Double)]): GraftTable = {
+        val t = new GraftTable(s"$wh/db/$name")
+        t.append(Seq((0L, 0.0)).toDF("id", "v").limit(0))
+        t.setProperty(PartitionSpec.Prop, "bucket(4,id)")
+        t.append(rows.toDF("id", "v"))
+        t.compact(spark, targetFileMB = 128)
+        t
+      }
+      val f = mk("fact", (0L until 500L).map(i => (i, i * 1.0)))
+      mk("dim", (0L until 500L).map(i => (i, i * 10.0)))
+      f.deleteRows(spark, "id % 9 = 4") // deletion vectors, no rewrite
+      assert(f.snapshot().files.exists(_.dv.isDefined),
+        "precondition: the delete must have committed DVs")
+      def join = spark.sql(
+        """SELECT f.id, f.v, d.v AS dv FROM spjdv.db.fact f
+           JOIN spjdv.db.dim d ON f.id = d.id""")
+      withSpj {
+        assert(shuffles(join) === 0,
+          "the DV'd co-bucketed join must still plan zero exchanges")
+        // finalized plan: the columnar transition nodes are inserted
+        // per-stage at AQE materialization, so the initial plan can't
+        // show them — assert on the materialized one
+        val j = join
+        j.collect()
+        val scans = AdaptivePlans.collectDeepFinalized(j) {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }
+        assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+          "the DV'd keyed scan must stay columnar (remap)")
+        assert(scans.exists(_.inputPartitions.exists(
+          _.isInstanceOf[graft.streaming.GraftKeyedDvColumnarPartition])),
+          "the fact side must plan keyed DV-columnar partitions")
+        val rows = join.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(rows === (0L until 500L).filterNot(_ % 9 == 4)
+          .map(i => i -> i * 1.0).toMap)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjdv")
+      spark.conf.unset("spark.sql.catalog.spjdv.warehouse")
+    }
+  }
 }
