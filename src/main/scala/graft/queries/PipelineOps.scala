@@ -1755,16 +1755,16 @@ object PipelineOps {
         Det.dsum(col("l_extendedprice")).as("revenue"))
       .orderBy(col("bucket"))
     // in-query guard (initial plan — never executes the query): BOTH
-    // files must plan columnar, the DV'd one via GraftDvColumnarPartition;
-    // the pre-round-16 row-forced shape fails here
+    // files must plan columnar, the DV'd one via the positional idx
+    // partitions; the pre-round-16 row-forced shape fails here
     val scans = graft.plans.AdaptivePlans.collectDeep(out) {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }
     require(scans.nonEmpty && scans.forall(_.supportsColumnar),
       "the DV'd scan must keep vectorized columnar reads (selection remap)")
     require(scans.exists(_.inputPartitions.exists(
-      _.isInstanceOf[graft.streaming.GraftDvColumnarPartition])),
-      "the DV'd file must plan as a columnar DV partition")
+      _.isInstanceOf[graft.streaming.GraftIdxPartition])),
+      "the DV'd file must plan as a positional idx partition")
     out
   }
 

@@ -800,59 +800,71 @@ final class GraftBatch(
   private lazy val innerFactory: PartitionReaderFactory =
     org.apache.spark.sql.graft.ParquetScans.readerFactoryFor(
       spark, physDataSchema, physRequired, physFilters)
-  // filter-free factory for deletion-vector partitions: row positions
-  // must be exact, so row-group skipping stays OFF underneath them
-  // (the residual Filter above the scan still owns row semantics)
+  // filter-free factory for the keyed deletion-vector partitions: their
+  // reader counts raw row positions, so row-group skipping stays OFF
+  // underneath (the residual Filter above the scan still owns row
+  // semantics)
   private lazy val dvFactory: PartitionReaderFactory =
     org.apache.spark.sql.graft.ParquetScans.readerFactoryFor(
       spark, physDataSchema, physRequired, Nil)
-  // row-id partitions read the materialized rid column as a TRAILING
-  // inner field (files lacking it null-fill — the coalesce fallback's
-  // read half); filter-free like every positional delegate
-  private lazy val ridFactory: PartitionReaderFactory =
+  // POSITIONAL factory (round 16): every synthetic-position need — DV
+  // application, `_row_id`, `_pos` — reads through one delegate whose
+  // required schema appends (a) the materialized rid column when the
+  // scan serves `_row_id` (files lacking it null-fill) and (b) the
+  // reader-GENERATED row-index column, which stays true-to-file under
+  // byte-range splits, pushed filters, and row-group/page skipping.
+  // Positions therefore no longer cost split parallelism or pushdown:
+  // the pre-round-16 whole-file filter-free contract survives only in
+  // the keyed (SPJ) plane, where one-partition-per-file is the point.
+  private val idxMat = needRowId
+  private val idxInner: StructType = {
+    val base =
+      if (idxMat) physRequired.add(graft.medallion.TxLog.RowIdPhysCol, LongType)
+      else physRequired
+    base.add(org.apache.spark.sql.graft.ParquetScans.RowIndexCol, LongType)
+  }
+  private lazy val idxFactory: PartitionReaderFactory =
     org.apache.spark.sql.graft.ParquetScans.readerFactoryFor(
       spark,
-      physDataSchema.add(graft.medallion.TxLog.RowIdPhysCol, LongType),
-      physRequired.add(graft.medallion.TxLog.RowIdPhysCol, LongType), Nil)
+      if (idxMat)
+        physDataSchema.add(graft.medallion.TxLog.RowIdPhysCol, LongType)
+      else physDataSchema,
+      idxInner, physFilters)
+
+  /** Plan ONE file's positional partitions through the stock parquet
+    * scan — splits and pushed filters included — and tag each with the
+    * file's DV / base row id / (relative) path / commit version. Every
+    * partition holds splits of a SINGLE file, so per-file constants
+    * stay per-partition constants. */
+  private def idxParts(a: TxLog.AddFile, v: Long): Seq[InputPartition] =
+    org.apache.spark.sql.graft.ParquetScans.scanFor(
+      spark,
+      if (idxMat)
+        physDataSchema.add(graft.medallion.TxLog.RowIdPhysCol, LongType)
+      else physDataSchema,
+      Seq(table.absoluteDataPath(a)), idxInner, physFilters)
+      .toBatch.planInputPartitions().toSeq.map(p =>
+        GraftIdxPartition(p, a.dv,
+          if (needVersion) Some(v) else None,
+          if (needFile) Some(a.path) else None,
+          a.baseRowId): InputPartition)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // row tracking: _row_id forces the positional path uncondition-
-    // ally — keyed partitions have no rid slot, and a scan that
-    // reported keyed grouping while requiring _row_id would fail on
-    // fieldIndex at read time (the scan-side gates exclude RowIdCol
-    // from keyed reports; this is the batch-side belt to that brace).
-    // Whole-file partitions (the running row index must be exact, so
-    // no splits and no pushed filters) — but the COMMON analytic case
-    // (no DV anywhere, no other synthetic column required) stays
-    // COLUMNAR via GraftRidColumnarPartition: vectorized parquet
-    // decode + one computed rid vector per batch. Only a DV'd file, a
-    // _file/_pos/_commit_version requirement, or a schema the parquet
-    // reader declines to vectorize degrades the scan to row-at-a-time
-    // positional reads. Intra-file split parallelism is still traded
-    // away on this path — acceptable at ~128 MB target file sizes.
-    if (needRowId) {
+    // POSITIONAL mode — any of _row_id / _file / _pos required (row
+    // tracking, the merge-on-read delta scan) — plans every file
+    // through the idx delegate: the reader-generated row-index column
+    // keeps positions exact while SPLITS and PUSHED FILTERS stay on
+    // (round 16; previously whole unsplit filter-free files), and the
+    // synthetic columns serve COLUMNAR — rid as a computed vector
+    // (coalesce(materialized, base + index)), _pos as the index vector
+    // itself, _file/_commit_version as constants, deletion vectors as
+    // a SelectedColumnVector remap of the surviving offsets. _row_id
+    // still never rides keyed partitions (the scan-side gates exclude
+    // RowIdCol from keyed reports; this ordering is the batch-side
+    // belt to that brace).
+    if (positional) {
       val all = files()
-      // DV'd files stay columnar too: the reader drops deleted rows
-      // via a SelectedColumnVector remap (see ridColumnar) instead of
-      // degrading to row-at-a-time reads — only a _file/_pos
-      // requirement (the MOR rewrite scan) or a schema the parquet
-      // reader declines to vectorize leaves the columnar path now
-      val columnarOk = !needFile && !needPos
-      return all.map { case (a, v) =>
-        if (columnarOk)
-          GraftRidColumnarPartition(
-            org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
-              spark, table.absoluteDataPath(a)),
-            a.baseRowId,
-            if (needVersion) Some(v) else None,
-            a.dv): InputPartition
-        else
-          GraftPosPartition(
-            org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
-              spark, table.absoluteDataPath(a)),
-            2, if (needVersion) Some(v) else None, a.dv, a.path,
-            a.baseRowId): InputPartition
-      }.toArray
+      return all.flatMap { case (a, v) => idxParts(a, v) }.toArray
     }
     // storage-partitioned-join mode: one keyed partition PER FILE —
     // Spark's DataSourceV2ScanExecBase.groupedPartitions groups them
@@ -891,37 +903,18 @@ final class GraftBatch(
       }.toArray
     }
     val all = files()
-    // positional mode (_file/_pos required — the merge-on-read delta
-    // scan): EVERY file plans whole and unsplit through the filter-free
-    // factory so physical row indexes are exact; rows already deleted
-    // by an existing DV are skipped but still advance the position
-    // counter, keeping the served _pos aligned with the bitmaps
-    if (positional)
-      return all.map { case (a, v) =>
-        GraftPosPartition(
-          org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
-            spark, table.absoluteDataPath(a)),
-          if (needRowId) 2 else 1,
-          if (needVersion) Some(v) else None, a.dv, a.path,
-          a.baseRowId)
-          : InputPartition
-      }.toArray
-    // files with a deletion vector stay COLUMNAR: each plans as ONE
-    // whole unsplit partition (positions must be exact, so no splits
-    // and no pushed filters underneath) whose reader serves the
-    // delegate's vectorized batches through a SelectedColumnVector
-    // remap of the surviving row indexes — batches with no deleted row
-    // (the overwhelming majority under sparse DVs) pass through
-    // untouched, and clean sibling files keep their pushed-filter
-    // split-parallel fast path instead of being row-forced alongside
-    // (the pre-round-16 uniformRows degradation)
+    // files with a deletion vector stay COLUMNAR with splits and
+    // pushed filters (round 16): each plans through the idx delegate,
+    // whose generated row-index column stays true under skipping, and
+    // the reader drops DV'd indexes via the SelectedColumnVector
+    // remap — batches whose index range holds no deleted bit (the
+    // overwhelming majority under sparse DVs) pass through untouched,
+    // and clean sibling files keep their own fast path instead of
+    // being row-forced alongside (the pre-round-16 uniformRows
+    // degradation)
     val (dvd, fs) = all.partition(_._1.dv.isDefined)
-    val dvParts: Seq[InputPartition] = dvd.map { case (a, v) =>
-      GraftDvColumnarPartition(
-        org.apache.spark.sql.graft.ParquetScans.wholeFilePartition(
-          spark, table.absoluteDataPath(a)),
-        a.dv.get, if (needVersion) Some(v) else None)
-    }
+    val dvParts: Seq[InputPartition] =
+      dvd.flatMap { case (a, v) => idxParts(a, v) }
     val cleanParts: Seq[InputPartition] =
       if (fs.isEmpty) Seq.empty
       else if (!needVersion)
@@ -947,7 +940,7 @@ final class GraftBatch(
   // plan-time/factory-time race over which partition kinds exist
   override def createReaderFactory(): PartitionReaderFactory =
     GraftVersionedReaderFactory(
-      Array(innerFactory, dvFactory, ridFactory), required, innerRequired)
+      Array(innerFactory, dvFactory, idxFactory), required, innerRequired)
 }
 
 /** An inner parquet partition tagged with its commit version and the
@@ -969,29 +962,29 @@ final case class GraftDvPartition(
     inner: InputPartition, delegate: Int, version: Option[Long], dv: String)
     extends InputPartition
 
-/** One whole unsplit deletion-vectored file served COLUMNAR: the
-  * filter-free delegate's vectorized batches pass through with deleted
-  * rows dropped by a [[SelectedColumnVector]] index remap — zero-copy,
-  * and a batch whose position range holds no deleted bit (checked via
-  * one `rangeCardinality` per batch) is served as-is. `version`
-  * carries the per-file `_commit_version` tag as a constant vector
-  * when the scan also requires provenance. Falls back to the
-  * [[GraftDvPartition]] row reader when the delegate declines columnar
-  * for the projected schema. */
-final case class GraftDvColumnarPartition(
-    inner: InputPartition, dv: String, version: Option[Long])
-    extends InputPartition
-
-/** One whole unsplit file served POSITIONALLY: every row carries its
-  * source file name (`_file`) and exact physical row index (`_pos`) —
-  * the merge-on-read row-level scan's row id. Rows in the existing
-  * deletion vector are skipped but still advance the index. The
-  * delegate must be filter-free (positions are only exact with no row
-  * group skipped underneath). */
-final case class GraftPosPartition(
-    inner: InputPartition, delegate: Int, version: Option[Long],
-    dv: Option[String], file: String,
-    baseRowId: Option[Long] = None)
+/** A POSITIONAL partition (round 16) — splits of ONE file planned
+  * through the idx delegate, whose required schema ends with the
+  * reader-GENERATED row-index column (and, on `_row_id` scans, the
+  * materialized rid column just before it). Because the generated
+  * index is true-to-file under byte-range splits, pushed filters, and
+  * row-group/page skipping, every synthetic-position need serves
+  * COLUMNAR without the old whole-file filter-free contract:
+  *   - deletion vector `dv`: deleted indexes drop out via a zero-copy
+  *     [[SelectedColumnVector]] remap (one `rangeCardinality` probe
+  *     per batch; untouched batches pass through as-is),
+  *   - `_row_id`: one computed long vector, rid[i] =
+  *     coalesce(materialized[phys], baseRowId + index[phys]) — a
+  *     function of the PHYSICAL index, so survivor ids stay stable
+  *     across MOR deletes,
+  *   - `_pos`: the index vector itself (remapped under a DV),
+  *   - `_file` / `_commit_version`: per-partition constant vectors
+  *     (splits never mix files — [[idxParts]] plans per file).
+  * Falls back to an equivalent row-at-a-time reader (the row delegate
+  * also generates indexes) when the parquet reader declines columnar
+  * for the schema. */
+final case class GraftIdxPartition(
+    inner: InputPartition, dv: Option[String], version: Option[Long],
+    file: Option[String], baseRowId: Option[Long])
     extends InputPartition
 
 /** A plain inner partition FORCED onto the row path: Spark refuses to
@@ -1000,28 +993,6 @@ final case class GraftPosPartition(
   * delegating wrapper instead of the columnar fast path. */
 final case class GraftRowPartition(inner: InputPartition, delegate: Int)
     extends InputPartition
-
-/** A file of a `_row_id`-requiring scan that needs NO `_file`/`_pos`:
-  * served COLUMNAR — the rid delegate's vectorized batches pass
-  * through with one computed long vector, rid[out i] =
-  * coalesce(materialized[phys], baseRowId + physical row index).
-  * Whole-file and filter-free like every positional partition (the
-  * physical index must be exact), so split parallelism is still traded
-  * away — but the common analytic rid scan keeps vectorized parquet
-  * decode and whole-stage codegen instead of degrading to row-at-a-
-  * time reads (the round-15 cost note). `dv` (round 16): a deletion
-  * vector no longer forces the row path — deleted rows are dropped by
-  * a [[SelectedColumnVector]] remap and the rid vector is computed
-  * from PHYSICAL indexes, so survivor ids stay stable across MOR
-  * deletes exactly as on the row path. Falls back to the row path when
-  * the delegate declines columnar for the schema. `version` carries
-  * the per-file `_commit_version` tag as a constant vector when the
-  * scan also requires provenance — the tracked-table COW rewrite
-  * scan's shape, which therefore stays vectorized too. */
-final case class GraftRidColumnarPartition(
-    inner: InputPartition, baseRowId: Option[Long],
-    version: Option[Long] = None,
-    dv: Option[String] = None) extends InputPartition
 
 /** ONE FILE as a keyed partition — the storage-partitioned-join unit:
   * `partitionKey` is the transform tuple (sole bucket value, or e.g.
@@ -1058,7 +1029,7 @@ final case class GraftKeyedRowPartition(
   * (round 16): the storage-partitioned MERGE/UPDATE rewrite scan and
   * keyed reads of merge-on-read tables no longer pay the row path —
   * batches serve through the same [[SelectedColumnVector]] remap /
-  * constant-version machinery as [[GraftDvColumnarPartition]], with
+  * constant-version machinery as the plain DV serving, with
   * the transform tuple preserved so Spark still groups and zips scans
   * without an exchange. Whole-file and filter-free (bitmap positions
   * must be exact). Row fallback: the [[GraftKeyedRowPartition]]
@@ -1086,19 +1057,16 @@ final case class GraftVersionedReaderFactory(
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case vp: GraftVersionedPartition =>
       !vp.rowOnly && delegates(vp.delegate).supportColumnarReads(vp.inner)
-    case _: GraftDvPartition |
-         _: GraftRowPartition | _: GraftPosPartition => false
+    case _: GraftDvPartition | _: GraftRowPartition => false
     case kp: GraftKeyedPartition =>
       delegates(kp.delegate).supportColumnarReads(kp.inner)
     case _: GraftKeyedRowPartition => false
-    // the rid/dv delegates decide per the projected schema — identical
-    // for every partition of the scan (all three factories share the
+    // the idx/dv delegates decide per the projected schema — identical
+    // for every partition of the scan (the factories share the
     // projection and conf), so the answer stays uniform across the
     // batch (Spark refuses mixed kinds)
-    case rc: GraftRidColumnarPartition =>
-      delegates(2).supportColumnarReads(rc.inner)
-    case dc: GraftDvColumnarPartition =>
-      delegates(1).supportColumnarReads(dc.inner)
+    case ip: GraftIdxPartition =>
+      delegates(2).supportColumnarReads(ip.inner)
     case kc: GraftKeyedDvColumnarPartition =>
       delegates(1).supportColumnarReads(kc.inner)
     case other => delegates(0).supportColumnarReads(other)
@@ -1109,14 +1077,179 @@ final case class GraftVersionedReaderFactory(
     p match {
       case kp: GraftKeyedPartition =>
         delegates(kp.delegate).createColumnarReader(kp.inner)
-      case rc: GraftRidColumnarPartition => ridColumnar(rc)
-      case dc: GraftDvColumnarPartition =>
-        dvColumnar(dc.inner, Some(dc.dv), dc.version)
+      case ip: GraftIdxPartition => idxColumnar(ip)
       case kc: GraftKeyedDvColumnarPartition =>
         dvColumnar(kc.inner, kc.dv, kc.version)
       case vp: GraftVersionedPartition => versionedColumnar(vp)
       case other => delegates(0).createColumnarReader(other)
     }
+
+  // required-ordinal → inner-ordinal for idx partitions; negative =
+  // synthetic slot (-1 version, -2 file, -3 pos, -4 rid)
+  private def idxMapping: Array[Int] = required.fields.map { f =>
+    if (f.name == GraftTableV2.VersionCol &&
+      !innerRequired.fieldNames.contains(GraftTableV2.VersionCol)) -1
+    else if (f.name == GraftTableV2.FileCol &&
+      !innerRequired.fieldNames.contains(GraftTableV2.FileCol)) -2
+    else if (f.name == GraftTableV2.PosCol &&
+      !innerRequired.fieldNames.contains(GraftTableV2.PosCol)) -3
+    else if (f.name == GraftTableV2.RowIdCol &&
+      !innerRequired.fieldNames.contains(GraftTableV2.RowIdCol)) -4
+    else innerRequired.fieldIndex(f.name)
+  }
+
+  /** COLUMNAR positional serving (round 16, see [[GraftIdxPartition]]):
+    * the idx delegate's vectorized batches arrive with the generated
+    * row-index vector last (and the materialized rid vector just
+    * before it on `_row_id` scans); deleted indexes drop out via the
+    * [[SelectedColumnVector]] remap, rid fills one computed long
+    * vector, `_pos` serves the index vector itself, and `_file` /
+    * `_commit_version` ride as constants. */
+  private def idxColumnar(ip: GraftIdxPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val inner = delegates(2).createColumnarReader(ip.inner)
+    val bm = ip.dv.map(graft.medallion.TxLog.dvDeserialize)
+    val mapping = idxMapping
+    val hasRid = mapping.contains(-4)
+    val matOrd = innerRequired.length
+    val idxOrd = innerRequired.length + (if (hasRid) 1 else 0)
+    val base = ip.baseRowId
+    val vvec = ip.version.map { v =>
+      val c = new org.apache.spark.sql.execution.vectorized
+        .ConstantColumnVector(1 << 16, LongType)
+      c.setLong(v)
+      c
+    }
+    val fvec = ip.file.map { f =>
+      val c = new org.apache.spark.sql.execution.vectorized
+        .ConstantColumnVector(1 << 16, StringType)
+      c.setUtf8String(org.apache.spark.unsafe.types.UTF8String.fromString(f))
+      c
+    }
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var ridVec: org.apache.spark.sql.execution.vectorized.OnHeapColumnVector = null
+      private var ridCap = 0
+      override def next(): Boolean = inner.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val in = inner.get()
+        val n = in.numRows()
+        val idxVec = in.column(idxOrd)
+        // surviving in-batch offsets under the DV (null = all survive);
+        // generated indexes ascend within a batch, so one range probe
+        // clears the common no-deletion case. Indexes past Int.MaxValue
+        // can never be in a DV (the build guard refuses them).
+        val sel: Array[Int] = bm match {
+          case Some(b) if n > 0 && idxVec.getLong(0) <= Int.MaxValue.toLong &&
+              b.rangeCardinality(idxVec.getLong(0),
+                math.min(idxVec.getLong(n - 1) + 1L,
+                  Int.MaxValue.toLong + 1L)) > 0L =>
+            val out = new Array[Int](n)
+            var i = 0
+            var k = 0
+            while (i < n) {
+              val p = idxVec.getLong(i)
+              if (p > Int.MaxValue.toLong || !b.contains(p.toInt)) {
+                out(k) = i; k += 1
+              }
+              i += 1
+            }
+            java.util.Arrays.copyOf(out, k)
+          case _ => null
+        }
+        val m = if (sel == null) n else sel.length
+        if (hasRid) {
+          if (ridVec == null || ridCap < m) {
+            if (ridVec != null) ridVec.close()
+            ridCap = math.max(m, 4096)
+            ridVec = new org.apache.spark.sql.execution.vectorized
+              .OnHeapColumnVector(ridCap, LongType)
+          }
+          ridVec.reset()
+          val mat = in.column(matOrd)
+          var i = 0
+          while (i < m) {
+            // rid is a function of the PHYSICAL index, so survivor ids
+            // stay stable across MOR deletes
+            val phys = if (sel == null) i else sel(i)
+            if (!mat.isNullAt(phys)) ridVec.putLong(i, mat.getLong(phys))
+            else base match {
+              case Some(b) => ridVec.putLong(i, b + idxVec.getLong(phys))
+              case None => ridVec.putNull(i)
+            }
+            i += 1
+          }
+        }
+        val vecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](mapping.length)
+        var j = 0
+        while (j < mapping.length) {
+          vecs(j) = mapping(j) match {
+            case -1 => vvec.get
+            case -2 => fvec.get
+            case -3 =>
+              if (sel == null) idxVec else new SelectedColumnVector(idxVec, sel)
+            case -4 => ridVec
+            case ord =>
+              if (sel == null) in.column(ord)
+              else new SelectedColumnVector(in.column(ord), sel)
+          }
+          j += 1
+        }
+        new org.apache.spark.sql.vectorized.ColumnarBatch(vecs, m)
+      }
+      override def close(): Unit = {
+        if (ridVec != null) ridVec.close()
+        inner.close()
+      }
+    }
+  }
+
+  /** Row-at-a-time fallback for idx partitions (the delegate declined
+    * columnar for the schema): same semantics through the row reader,
+    * which also generates the trailing row-index column. */
+  private def idxRow(ip: GraftIdxPartition): PartitionReader[InternalRow] = {
+    val inner = delegates(2).createReader(ip.inner)
+    val bm = ip.dv.map(graft.medallion.TxLog.dvDeserialize)
+    val mapping = idxMapping
+    val hasRid = mapping.contains(-4)
+    val matOrd = innerRequired.length
+    val idxOrd = innerRequired.length + (if (hasRid) 1 else 0)
+    val types: Array[DataType] = innerRequired.fields.map(_.dataType)
+    val fileConst = ip.file
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull
+    val version = ip.version.getOrElse(0L)
+    new PartitionReader[InternalRow] {
+      private var idx = 0L
+      override def next(): Boolean = {
+        while (inner.next()) {
+          idx = inner.get().getLong(idxOrd)
+          if (bm.forall(b =>
+              idx > Int.MaxValue.toLong || !b.contains(idx.toInt)))
+            return true
+        }
+        false
+      }
+      override def get(): InternalRow = {
+        val in = inner.get()
+        val out = new Array[Any](mapping.length)
+        var i = 0
+        while (i < mapping.length) {
+          out(i) = mapping(i) match {
+            case -1 => version
+            case -2 => fileConst
+            case -3 => idx
+            case -4 =>
+              if (!in.isNullAt(matOrd)) in.getLong(matOrd)
+              else ip.baseRowId
+                .map(b => java.lang.Long.valueOf(b + idx)).orNull
+            case ord => if (in.isNullAt(ord)) null else in.get(ord, types(ord))
+          }
+          i += 1
+        }
+        new GenericInternalRow(out)
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
 
   /** Columnar deletion-vector serving: the filter-free delegate's
     * vectorized batches pass through with the DV'd row indexes
@@ -1223,104 +1356,6 @@ final case class GraftVersionedReaderFactory(
     }
   }
 
-  /** Columnar `_row_id` serving: the rid delegate's batches pass
-    * through with the data vectors re-ordered to `required` and ONE
-    * computed long vector in the `_row_id` slot —
-    * coalesce(materialized[i], baseRowId + running row index), null
-    * when the file carries neither (pre-tracking history). The inner
-    * read is filter-free and whole-file, so the running index is
-    * exact. One O(batch) long fill per batch; the data vectors are the
-    * delegate's own (zero copies). */
-  private def ridColumnar(rc: GraftRidColumnarPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val inner = delegates(2).createColumnarReader(rc.inner)
-    // required-ordinal → inner-ordinal; -4 = the computed rid slot
-    // (the rid delegate appends the materialized column AFTER
-    // innerRequired's fields), -1 = the constant version slot
-    val mapping: Array[Int] = required.fields.map { f =>
-      if (f.name == GraftTableV2.RowIdCol) -4
-      else if (f.name == GraftTableV2.VersionCol && rc.version.isDefined) -1
-      else innerRequired.fieldIndex(f.name)
-    }
-    val vvec = rc.version.map { v =>
-      val c = new org.apache.spark.sql.execution.vectorized
-        .ConstantColumnVector(1 << 16, LongType)
-      c.setLong(v)
-      c
-    }
-    val matOrd = innerRequired.length
-    val base = rc.baseRowId
-    val bm = rc.dv.map(graft.medallion.TxLog.dvDeserialize)
-    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-      private var pos = 0L
-      private var ridVec: org.apache.spark.sql.execution.vectorized.OnHeapColumnVector = null
-      private var ridCap = 0
-      override def next(): Boolean = inner.next()
-      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
-        val in = inner.get()
-        val n = in.numRows()
-        val start = pos
-        pos += n
-        // deletion vector: collect the batch's surviving in-batch
-        // offsets (null sel = all survive — one rangeCardinality probe;
-        // indexes past Int.MaxValue can never be in a DV)
-        val sel: Array[Int] = bm match {
-          case Some(b) if start <= Int.MaxValue.toLong &&
-              b.rangeCardinality(start,
-                math.min(start + n, Int.MaxValue.toLong + 1L)) > 0L =>
-            val out = new Array[Int](n)
-            var i = 0
-            var k = 0
-            while (i < n) {
-              val p = start + i
-              if (p > Int.MaxValue.toLong || !b.contains(p.toInt)) {
-                out(k) = i; k += 1
-              }
-              i += 1
-            }
-            java.util.Arrays.copyOf(out, k)
-          case _ => null
-        }
-        val m = if (sel == null) n else sel.length
-        if (ridVec == null || ridCap < m) {
-          if (ridVec != null) ridVec.close()
-          ridCap = math.max(m, 4096)
-          ridVec = new org.apache.spark.sql.execution.vectorized
-            .OnHeapColumnVector(ridCap, LongType)
-        }
-        ridVec.reset()
-        val mat = in.column(matOrd)
-        var i = 0
-        while (i < m) {
-          // rid is a function of the PHYSICAL index, so survivor ids
-          // stay stable across MOR deletes (same contract as row path)
-          val phys = if (sel == null) i else sel(i)
-          if (!mat.isNullAt(phys)) ridVec.putLong(i, mat.getLong(phys))
-          else base match {
-            case Some(b) => ridVec.putLong(i, b + start + phys)
-            case None => ridVec.putNull(i)
-          }
-          i += 1
-        }
-        val vecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](mapping.length)
-        var j = 0
-        while (j < mapping.length) {
-          vecs(j) =
-            if (mapping(j) == -4) ridVec
-            else if (mapping(j) == -1) vvec.get
-            else if (sel == null) in.column(mapping(j))
-            else new SelectedColumnVector(in.column(mapping(j)), sel)
-          j += 1
-        }
-        new org.apache.spark.sql.vectorized.ColumnarBatch(vecs, m)
-      }
-      override def close(): Unit = {
-        if (ridVec != null) ridVec.close()
-        inner.close()
-      }
-    }
-  }
-
   // required-ordinal -> inner-ordinal (-1 = the version slot)
   private def versionMapping: Array[Int] = required.fields.map(f =>
     if (f.name == GraftTableV2.VersionCol) -1
@@ -1374,72 +1409,12 @@ final case class GraftVersionedReaderFactory(
         }
         dp.version.fold(skipping)(v => tagged(skipping, v))
       // row-path fallbacks when the delegate declined columnar for the
-      // projected schema: identical semantics through the positional /
-      // DV-skipping readers
-      case rc: GraftRidColumnarPartition =>
-        createReader(GraftPosPartition(rc.inner, 2, rc.version, rc.dv, "",
-          rc.baseRowId))
-      case dc: GraftDvColumnarPartition =>
-        createReader(GraftDvPartition(dc.inner, 1, dc.version, dc.dv))
+      // projected schema: identical semantics through the row readers
+      // (the idx row reader also generates the row-index column)
+      case ip: GraftIdxPartition => idxRow(ip)
       case kc: GraftKeyedDvColumnarPartition =>
         createReader(GraftKeyedRowPartition(
           Seq((kc.inner, kc.dv, kc.version)), 1, kc.key))
-      case pp: GraftPosPartition =>
-        val inner = delegates(pp.delegate).createReader(pp.inner)
-        val bm = pp.dv.map(graft.medallion.TxLog.dvDeserialize)
-        // required-ordinal mapping: -1 version, -2 file, -3 pos,
-        // -4 row id (materialized trailing inner column, else
-        // baseRowId + position, else null)
-        val mapping: Array[Int] = required.fields.map { f =>
-          if (f.name == GraftTableV2.VersionCol && pp.version.isDefined) -1
-          else if (f.name == GraftTableV2.FileCol &&
-            !innerRequired.fieldNames.contains(GraftTableV2.FileCol)) -2
-          else if (f.name == GraftTableV2.PosCol &&
-            !innerRequired.fieldNames.contains(GraftTableV2.PosCol)) -3
-          else if (f.name == GraftTableV2.RowIdCol && pp.delegate == 2 &&
-            !innerRequired.fieldNames.contains(GraftTableV2.RowIdCol)) -4
-          else innerRequired.fieldIndex(f.name)
-        }
-        val types: Array[DataType] = innerRequired.fields.map(_.dataType)
-        // the rid delegate appends the materialized column AFTER
-        // innerRequired's fields — its inner ordinal is fixed
-        val ridOrd = innerRequired.length
-        val fileConst =
-          org.apache.spark.unsafe.types.UTF8String.fromString(pp.file)
-        val version = pp.version.getOrElse(0L)
-        new PartitionReader[InternalRow] {
-          private var pos = -1L
-          override def next(): Boolean = {
-            while (inner.next()) {
-              pos += 1
-              if (bm.forall(b =>
-                  pos > Int.MaxValue.toLong || !b.contains(pos.toInt)))
-                return true
-            }
-            false
-          }
-          override def get(): InternalRow = {
-            val in = inner.get()
-            val out = new Array[Any](mapping.length)
-            var i = 0
-            while (i < mapping.length) {
-              val m = mapping(i)
-              out(i) =
-                if (m == -1) version
-                else if (m == -2) fileConst
-                else if (m == -3) pos
-                else if (m == -4) {
-                  if (!in.isNullAt(ridOrd)) in.getLong(ridOrd)
-                  else pp.baseRowId.map(b => java.lang.Long.valueOf(b + pos)).orNull
-                }
-                else if (in.isNullAt(m)) null
-                else in.get(m, types(m))
-              i += 1
-            }
-            new GenericInternalRow(out)
-          }
-          override def close(): Unit = inner.close()
-        }
       case rp: GraftRowPartition =>
         delegates(rp.delegate).createReader(rp.inner)
       case kp: GraftKeyedPartition =>

@@ -26,6 +26,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 object ParquetScans {
 
+  /** The reader-GENERATED per-file row index column: appending a
+    * LongType field of this name to a required schema makes Spark's
+    * parquet readers (vectorized and row) populate each row's exact
+    * physical index within its file — correct under byte-range splits,
+    * pushed filters, and row-group/page skipping, because the
+    * generator reads the true row ranges off the PageReadStore
+    * (`ParquetRowIndexUtil`). This is what lets positional serving
+    * (deletion vectors, `_row_id`, `_pos`) keep splits AND pushdown
+    * instead of planning whole unsplit filter-free files. */
+  val RowIndexCol: String =
+    org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .ROW_INDEX_TEMPORARY_COLUMN_NAME
+
   /** A vectorized parquet [[Scan]] over exactly `files`.
     *
     * @param schema         full table schema (column order authority)
@@ -41,9 +54,21 @@ object ParquetScans {
       spark, files.map(new Path(_)), Map.empty[String, String], Some(schema))
     val builder = ParquetScanBuilder(
       spark, index, schema, schema, CaseInsensitiveStringMap.empty())
-    builder.pushDataFilters(filters.toArray)
+    // pushDataFilters is the builder's TRANSLATION hook, not a store —
+    // only its caller pushFilters(Seq[Expression]) records the result,
+    // and that entry point wants resolved catalyst expressions. Calling
+    // the hook alone (the pre-round-16 shape) built every delegated
+    // scan with pushedFilters = [] — correct rows (Spark's residual
+    // filter owns semantics) but ZERO in-file row-group/page/dictionary
+    // skipping. Thread the convertible subset into the built scan
+    // directly instead.
+    val convertible = builder.pushDataFilters(filters.toArray)
     builder.pruneColumns(requiredSchema)
-    builder.build()
+    builder.build() match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.copy(pushedFilters = convertible)
+      case other => other
+    }
   }
 
   /** A partition-agnostic parquet [[PartitionReaderFactory]] for the

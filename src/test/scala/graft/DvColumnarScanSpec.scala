@@ -37,7 +37,7 @@ class DvColumnarScanSpec extends SparkSpec {
     graft.plans.AdaptivePlans.collectDeep(df) {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }.map(_.inputPartitions.count(
-      _.isInstanceOf[graft.streaming.GraftDvColumnarPartition])).sum
+      _.isInstanceOf[graft.streaming.GraftIdxPartition])).sum
 
   test("batch-boundary deletions: edges of every 4096-row vectorized batch survive the remap") {
     val root = freshRoot()
@@ -118,6 +118,42 @@ class DvColumnarScanSpec extends SparkSpec {
     // residual filter above the scan owns row selection
     assert(q.collect().map(_.getLong(0)).toSet ===
       (400L until 1600L).filterNot(_ == 500L).toSet)
+  }
+
+  test("pushed filter + DV + _row_id compose through idx partitions: exact survivors, stable ids") {
+    // the late-round-16 positional re-base: the generated row-index
+    // column keeps positions exact under pushed filters, so a filtered
+    // rid scan over a DV'd file must return exactly the in-range
+    // survivors with their ORIGINAL ids
+    // _row_id is a metadata column of the CATALOG plane (path reads
+    // expose provenance via the appended _commit_version data column
+    // instead), so this test goes through a GraftCatalog table
+    val wh = new java.io.File(
+      s"target/tmp/dvcolrid_${java.util.UUID.randomUUID().toString.take(8)}")
+      .getAbsolutePath
+    val cat = s"dvc${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.streaming.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, payload STRING) " +
+      "TBLPROPERTIES ('rowTracking' = 'true')")
+    val t = new GraftTable(s"$wh/db/t")
+    t.append((0L until 20000L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .orderBy("id").coalesce(1))
+    t.compact(spark) // materialize ids
+    t.deleteRows(spark, "id % 7 = 3")
+    val q = spark.sql(s"SELECT id, _row_id FROM $cat.db.t " +
+      "WHERE id >= 5000 AND id < 15000")
+    assert(columnar(q) && dvPartitions(q) === 1)
+    val got = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (5000L until 15000L).filterNot(_ % 7 == 3)
+    assert(got.keySet === expect.toSet)
+    // ids were materialized by the compact in file order == id order
+    expect.foreach(i => assert(got(i) === i,
+      s"survivor $i must keep its original row id, got ${got(i)}"))
+    spark.conf.unset(s"spark.sql.catalog.$cat")
+    spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
   }
 
   test("SelectedColumnVector unit: remap over a struct-of-array vector incl. nulls") {
