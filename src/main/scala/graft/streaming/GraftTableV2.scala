@@ -831,19 +831,16 @@ final class GraftBatch(
       else physDataSchema,
       idxInner, physFilters)
 
-  /** Plan ONE file's positional partitions through the stock parquet
-    * scan — splits and pushed filters included — and tag each with the
-    * file's DV / base row id / (relative) path / commit version. Every
-    * partition holds splits of a SINGLE file, so per-file constants
-    * stay per-partition constants. */
+  /** Plan ONE file's positional partitions — byte-range splits
+    * computed directly from the file length (no per-file scan builder:
+    * planning a 100k-file table costs one getFileStatus per file) —
+    * and tag each with the file's DV / base row id / (relative) path /
+    * commit version. Pushed filters ride in the idx READER FACTORY.
+    * Every partition holds a range of a SINGLE file, so per-file
+    * constants stay per-partition constants. */
   private def idxParts(a: TxLog.AddFile, v: Long): Seq[InputPartition] =
-    org.apache.spark.sql.graft.ParquetScans.scanFor(
-      spark,
-      if (idxMat)
-        physDataSchema.add(graft.medallion.TxLog.RowIdPhysCol, LongType)
-      else physDataSchema,
-      Seq(table.absoluteDataPath(a)), idxInner, physFilters)
-      .toBatch.planInputPartitions().toSeq.map(p =>
+    org.apache.spark.sql.graft.ParquetScans.splitFilePartitions(
+      spark, table.absoluteDataPath(a)).map(p =>
         GraftIdxPartition(p, a.dv,
           if (needVersion) Some(v) else None,
           if (needFile) Some(a.path) else None,

@@ -102,6 +102,44 @@ object ParquetScans {
       0L, st.getLen, Array.empty, st.getModificationTime, st.getLen)))
   }
 
+  /** Byte-range SPLIT partitions of one file — the positional-scan
+    * unit (round 16): each split becomes its own [[FilePartition]], so
+    * per-file constants (deletion vector, base row id, path, commit
+    * version) stay per-partition constants while a large file still
+    * fans out across tasks. Unlike [[scanFor]], this computes the
+    * ranges directly from the file length — no per-file
+    * `InMemoryFileIndex` + builder, so planning a 100k-file table
+    * costs one `getFileStatus` per file and nothing else (the pushed
+    * filters live in the READER FACTORY, not the partition). Spark's
+    * parquet reader assigns each row group to the split containing its
+    * midpoint, so ranges partition rows exactly. Files under ~1.2×
+    * `maxPartitionBytes` stay whole (split overhead would exceed the
+    * parallelism gain on a boundary-straddling tail). */
+  def splitFilePartitions(spark: SparkSession, file: String)
+      : Seq[org.apache.spark.sql.connector.read.InputPartition] = {
+    import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+    val p = new Path(file)
+    val st = p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p)
+    val len = st.getLen
+    val target = spark.sessionState.conf.filesMaxPartitionBytes
+    if (len <= (target * 1.2).toLong)
+      return Seq(FilePartition(0, Array(PartitionedFile(
+        org.apache.spark.sql.catalyst.InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPath(p),
+        0L, len, Array.empty, st.getModificationTime, len))))
+    val n = math.max(1L, (len + target - 1) / target)
+    val step = (len + n - 1) / n
+    (0L until n).map { i =>
+      val start = i * step
+      val length = math.min(step, len - start)
+      FilePartition(i.toInt, Array(PartitionedFile(
+        org.apache.spark.sql.catalyst.InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPath(p),
+        start, length, Array.empty, st.getModificationTime, len)))
+        : org.apache.spark.sql.connector.read.InputPartition
+    }
+  }
+
   /** One partition covering several whole files — the storage-
     * partitioned-join unit: all files of one bucket read by one task
     * (splits would tear the key grouping). */

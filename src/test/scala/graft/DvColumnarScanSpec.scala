@@ -156,6 +156,45 @@ class DvColumnarScanSpec extends SparkSpec {
     spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
   }
 
+  test("a positional file SPLITS across partitions; generated indexes stay file-absolute") {
+    // force multi-split planning on a small file and prove the
+    // generated row indexes (hence _row_id and DV application) are
+    // file-absolute, not split-relative
+    val wh = new java.io.File(
+      s"target/tmp/dvcolsplit_${java.util.UUID.randomUUID().toString.take(8)}")
+      .getAbsolutePath
+    val cat = s"dvs${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.streaming.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, payload STRING) " +
+      "TBLPROPERTIES ('rowTracking' = 'true')")
+    val t = new GraftTable(s"$wh/db/t")
+    t.append((0L until 50000L).map(i => (i, s"payload-$i-" + "x" * 40))
+      .toDF("id", "payload").orderBy("id").coalesce(1))
+    t.deleteRows(spark, "id % 11 = 5")
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      val q = spark.sql(s"SELECT id, _row_id FROM $cat.db.t")
+      assert(dvPartitions(q) > 1,
+        "a file several times maxPartitionBytes must plan multiple splits")
+      assert(columnar(q))
+      val got = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = (0L until 50000L).filterNot(_ % 11 == 5)
+      assert(got.keySet === expect.toSet)
+      // virtual ids = base(0) + file-absolute index = id (sorted file):
+      // a split-relative index would shift every id after split 1
+      expect.foreach(i => assert(got(i) === i,
+        s"row $i id must be file-absolute, got ${got(i)}"))
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
   test("SelectedColumnVector unit: remap over a struct-of-array vector incl. nulls") {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
     import org.apache.spark.sql.types._
