@@ -258,7 +258,16 @@ object Medallion {
           Files.move(f.toPath, live, StandardCopyOption.ATOMIC_MOVE)
       }
     })
-    touchedRaw.foreach { raw =>
+    // independent partitions overlap (guide §2.6): each rewrite is a
+    // small job whose tail would otherwise leave the cluster idle, and
+    // the partitions are disjoint by construction (directory-scoped
+    // rename protocol, per-partition filters). 2–3 jobs in flight fill
+    // the tail without fighting for executors; failures propagate.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(3, math.max(1, touchedRaw.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val work = touchedRaw.map { raw => scala.concurrent.Future {
       val pv = raw.toString
       // Spark escapes special characters in partition directory names
       // (space, ':', '/', …); probe and write the SAME escaped path or a
@@ -303,7 +312,12 @@ object Medallion {
           throw e
       }
       if (exists) graft.core.Fs.rmTree(new java.io.File(old))
-    }
+    } }
+    try {
+      import scala.concurrent.duration.Duration
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(work), Duration.Inf)
+    } finally pool.shutdown()
     touchedRaw.map(_.toString)
   }
 }

@@ -9,7 +9,7 @@ import scala.jdk.CollectionConverters.IteratorHasAsScala
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1872,17 +1872,20 @@ final class GraftTable(val tablePath: String) {
       try it.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toList
       finally it.close()
-    val counted =
-      if (parts.isEmpty) Nil
-      else spark.read.parquet(parts.map(_.toString): _*)
-        .groupBy(col("_metadata.file_path").as("_f")).count()
-        .collect().toSeq.sortBy(_.getString(0))
+    // per-file row counts straight from the footers — exact with no
+    // type caveats, so no Spark count job per CDC staging (guide §1.2);
+    // a 0-row file (empty change frame's schema-only part) is dropped
+    // exactly as the old groupBy-count (which emitted no group) did
+    val conf = spark.sessionState.newHadoopConf()
+    val counted = parts
+      .map(p => (p, FooterStats.rowCount(conf, p)))
+      .filter(_._2 > 0L)
+      .sortBy(_._1.toString)
     val batch = UUID.randomUUID().toString.take(8)
-    val refs = counted.zipWithIndex.map { case (row, i) =>
-      val src = Paths.get(java.net.URI.create(row.getString(0)).getPath)
+    val refs = counted.zipWithIndex.map { case ((src, rows), i) =>
       val name = s"cdf-$batch-$i.parquet"
       Files.move(src, changeRoot.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-      (s"$ChangeDir/$name", row.getLong(1))
+      (s"$ChangeDir/$name", rows)
     }
     graft.core.Fs.rmTree(stage.toFile)
     refs
@@ -2250,16 +2253,17 @@ final class GraftTable(val tablePath: String) {
     // that), not exactness, and skipping the split avoids per-value
     // file fanout on higher-cardinality transforms.
     val headSnap: Option[Snapshot] = at.filter(_.version > 0L)
-    val splitTuple: Seq[Column] = {
+    val splitTransforms: Seq[PartitionSpec.Transform] = {
       val transforms = headSnap.map(h =>
         PartitionSpec.resolved(h.props, h.schema, df.schema))
         .getOrElse(Seq.empty[PartitionSpec.Transform])
       if (!transforms.exists(_.kind == "bucket")) Seq.empty
-      else transforms.flatMap { t =>
-        df.schema.fields.find(_.name == t.source).map(f =>
-          coalesce(PartitionSpec.column(t, f.dataType).cast(StringType),
-            lit("\u0001null")))
-      }
+      else transforms.filter(t => df.schema.fields.exists(_.name == t.source))
+    }
+    val splitTuple: Seq[Column] = splitTransforms.map { t =>
+      val f = df.schema.fields.find(_.name == t.source).get
+      coalesce(PartitionSpec.column(t, f.dataType).cast(StringType),
+        lit("\u0001null"))
     }
     // write.orderBy: the longest physical sort prefix this staged
     // schema can honor — stop at the first ABSENT column (a sort by
@@ -2288,87 +2292,160 @@ final class GraftTable(val tablePath: String) {
       try it.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toList
       finally it.close()
-    val adds = adoptStaged(spark, df.schema, parts, sortedBy = orderPhys)
+    val adds = adoptStaged(spark, df.schema, parts, sortedBy = orderPhys,
+      tupleSplit = splitTransforms)
     graft.core.Fs.rmTree(stage.toFile)
     adds
   }
 
-  /** Stats + adopt: one Spark aggregate computes per-file row counts and
-    * min/max/null stats over exactly `staged` parquet files, then each
-    * moves INTO the root under a fresh unique name (data files are
-    * invisible until committed, so the moves need no atomicity). The
-    * stats job is the only read — O(staged bytes) at full parallelism,
-    * one collected row per FILE. */
+  /** Inverse of Spark's dynamic-partition dirname escaping (%XX hex
+    * pairs); malformed escapes pass through verbatim. */
+  private def unescapePath(s: String): String = {
+    if (!s.contains('%')) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          val code = Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          out.append(code.toChar); i += 3
+        } catch { case _: NumberFormatException => out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Stats + adopt: per-file row counts and min/max/null stats come from
+    * the staged files' PARQUET FOOTERS ([[FooterStats]] — O(KB) driver
+    * reads, guide §1.2/§6: no second full pass over bytes just written);
+    * a Spark aggregate runs ONLY over what footers cannot decide exactly
+    * (size-dropped string stats, INT96 timestamps) and over the opt-in
+    * sketch/sum/partition-transform aggregates. Each file then moves
+    * INTO the root under a fresh unique name (data files are invisible
+    * until committed, so the moves need no atomicity).
+    * `spark.graft.footerStats=false` restores the full stats job (the
+    * differential oracle for FooterStatsSpec). */
   private[graft] def adoptStaged(
       spark: SparkSession, schema: StructType,
       staged: Seq[java.nio.file.Path],
-      sortedBy: Seq[String] = Nil): Seq[AddFile] = {
+      sortedBy: Seq[String] = Nil,
+      /** the transforms whose tuple the staging SPLIT files by (the
+        * `partitionBy(StageSplitCol)` layout, in component order) —
+        * lets partition-transform stats parse from the split dirname
+        * instead of running the aggregate; Nil for unsplit stagings. */
+      tupleSplit: Seq[PartitionSpec.Transform] = Nil): Seq[AddFile] = {
     if (staged.isEmpty) return Nil
     ensureDirs()
     val batch = UUID.randomUUID().toString.take(8)
     val sCols = statsColumns(schema)
+    // ONE head resolution for every property lookup below (the previous
+    // shape re-resolved the snapshot per property — pure driver waste)
+    val head: Option[Snapshot] =
+      if (latestVersion() == 0L) None else Some(snapshot())
+    def headCols(prop: String, types: DataType => Boolean): Seq[String] =
+      head.toSeq.flatMap { h =>
+        h.props.get(prop).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          .map(c => physicalOf(h.schema, c))
+          .filter(p => schema.fields.exists(f => f.name == p && types(f.dataType)))
+      }
     // opt-in per-file Bloom filters: the head's bloom.columns property
     // (LOGICAL names) resolved to the physical columns this staged
     // schema actually carries — one extra mergeable bitset aggregate
     // per (file × column), hashes computed codegen'd in the projection
-    val bloomPhys: Seq[String] =
-      if (latestVersion() == 0L) Seq.empty
-      else {
-        val head = snapshot()
-        head.props.get(BloomColumnsProp).toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-          .map(c => physicalOf(head.schema, c))
-          .filter(p => schema.fields.exists(f => f.name == p &&
-            (f.dataType == IntegerType || f.dataType == LongType ||
-              f.dataType == StringType)))
-      }
+    val bloomPhys: Seq[String] = headCols(BloomColumnsProp,
+      dt => dt == IntegerType || dt == LongType || dt == StringType)
     val bloomBits =
       if (bloomPhys.isEmpty) BloomBits
-      else snapshot().props.get(BloomBitsProp).map(_.toInt).getOrElse(BloomBits)
+      else head.flatMap(_.props.get(BloomBitsProp)).map(_.toInt).getOrElse(BloomBits)
     val bloomFn = org.apache.spark.sql.functions.udaf(
       new graft.functions.BloomAgg(bloomBits, BloomK))
     // opt-in per-file HLL NDV sketches: same resolution, same
     // hash-replayable type set, same one-aggregate ride-along as blooms
-    val ndvPhys: Seq[String] =
-      if (latestVersion() == 0L) Seq.empty
-      else {
-        val head = snapshot()
-        head.props.get(NdvColumnsProp).toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-          .map(c => physicalOf(head.schema, c))
-          .filter(p => schema.fields.exists(f => f.name == p &&
-            (f.dataType == IntegerType || f.dataType == LongType ||
-              f.dataType == StringType)))
-      }
+    val ndvPhys: Seq[String] = headCols(NdvColumnsProp,
+      dt => dt == IntegerType || dt == LongType || dt == StringType)
     val hllFn = org.apache.spark.sql.functions.udaf(
       new graft.functions.HllAgg(HllP))
     // opt-in exact per-file sums (integral columns; decimal-exact)
-    val sumPhys: Seq[String] =
-      if (latestVersion() == 0L) Seq.empty
-      else {
-        val head = snapshot()
-        head.props.get(SumColumnsProp).toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-          .map(c => physicalOf(head.schema, c))
-          .filter(p => schema.fields.exists(f => f.name == p &&
-            (f.dataType == ByteType || f.dataType == ShortType ||
-              f.dataType == IntegerType || f.dataType == LongType)))
-      }
+    val sumPhys: Seq[String] = headCols(SumColumnsProp,
+      dt => dt == ByteType || dt == ShortType ||
+        dt == IntegerType || dt == LongType)
     // hidden partitioning: the head's partition.spec resolved to the
     // transforms applicable to this staged (physical) schema — min/max
     // of the TRANSFORMED value ride the same per-file aggregate as
     // ordinary stats (see [[PartitionSpec]]; one extra codegen'd
     // projection column per transform, zero extra passes)
     val pTransforms: Seq[PartitionSpec.Transform] =
-      if (latestVersion() == 0L) Seq.empty
-      else {
-        val head = snapshot()
-        PartitionSpec.resolved(head.props, head.schema, schema)
-      }
+      head.toSeq.flatMap(h => PartitionSpec.resolved(h.props, h.schema, schema))
     def pDt(t: PartitionSpec.Transform): DataType =
       schema.fields.find(_.name == t.source).get.dataType
+    val useFooter =
+      spark.conf.getOption("spark.graft.footerStats").forall(_.toBoolean)
+    val footers: Map[String, FooterStats.FileFooter] =
+      if (!useFooter) Map.empty
+      else {
+        val conf = spark.sessionState.newHadoopConf()
+        staged.map(p => p.toString -> FooterStats.read(conf, p, sCols)).toMap
+      }
+    // a column any staged file could not decide from its footer runs
+    // through the aggregate for ALL files (one uniform job shape)
+    val residualCols: Seq[StructField] =
+      if (!useFooter) sCols
+      else sCols.filter(f => footers.values.exists(_.residual.contains(f.name)))
+    // tuple-split stagings (bucket specs) wrote each file SINGLE-VALUED
+    // on the transform tuple, and the dynamic-partition dirname IS the
+    // tuple — so per-transform min==max==component parses straight from
+    // the path when every component renders from an INTEGRAL transform
+    // column (then components can never contain the \u0001 separator
+    // and cast-to-string rendering equals statsLiteral's digits). Any
+    // string-domain transform (trunc/id on strings) or a split/spec
+    // mismatch falls back to the aggregate.
+    val tupleDerivable = useFooter && tupleSplit.nonEmpty &&
+      tupleSplit.map(_.render) == pTransforms.map(_.render) &&
+      pTransforms.forall { t =>
+        t.kind match {
+          case "bucket" | "days" | "hours" | "months" => true
+          case "trunc" => pDt(t) != StringType
+          case "id" => pDt(t) == ByteType || pDt(t) == ShortType ||
+            pDt(t) == IntegerType || pDt(t) == LongType
+          case _ => false
+        }
+      }
+    def parseTupleDir(p: java.nio.file.Path): Option[Seq[Option[String]]] = {
+      val dir = p.getParent.getFileName.toString
+      if (!dir.startsWith(StageSplitCol + "=")) return None
+      val raw = unescapePath(dir.substring(StageSplitCol.length + 1))
+      // reassemble components: integral values are plain digit runs; the
+      // null sentinel "\u0001null" splits to ["", "null"]
+      val toks = raw.split("\u0001", -1)
+      val comps = Seq.newBuilder[Option[String]]
+      var i = 0
+      while (i < toks.length) {
+        if (toks(i).isEmpty && i + 1 < toks.length && toks(i + 1) == "null") {
+          comps += None; i += 2
+        } else { comps += Some(toks(i)); i += 1 }
+      }
+      val out = comps.result()
+      if (out.length == pTransforms.length) Some(out) else None
+    }
+    val dirTupleStats: Option[Map[String, Map[String, ColStats]]] =
+      if (!tupleDerivable) None
+      else {
+        val parsed = staged.map(p => p.toString -> parseTupleDir(p))
+        if (parsed.exists(_._2.isEmpty)) None
+        else Some(parsed.map { case (k, comps) =>
+          k -> pTransforms.zip(comps.get).flatMap { case (t, c) =>
+            c.map(v => t.statKey -> ColStats(
+              PartitionSpec.statsKind(t, pDt(t)), v, v, Some(0L)))
+          }.toMap
+        }.toMap)
+      }
+    val pTransformsJob = if (dirTupleStats.isDefined) Nil else pTransforms
+    val needJob = residualCols.nonEmpty || bloomPhys.nonEmpty ||
+      ndvPhys.nonEmpty || sumPhys.nonEmpty || pTransformsJob.nonEmpty || !useFooter
     val aggs = ((count(lit(1)).as("_rows") +:
-      sCols.flatMap(f => Seq(
+      residualCols.flatMap(f => Seq(
         min(col(f.name)).as(s"_min_${f.name}"), max(col(f.name)).as(s"_max_${f.name}"),
         count(col(f.name)).as(s"_cnt_${f.name}")))) ++ // non-null count (NaN IS non-null)
       bloomPhys.map(p => bloomFn(xxhash64(col(p))).as(s"_bloom_$p")) ++
@@ -2377,21 +2454,43 @@ final class GraftTable(val tablePath: String) {
       ndvPhys.map(p =>
         hllFn(when(col(p).isNotNull, xxhash64(col(p)))).as(s"_hll_$p")) ++
       sumPhys.map(p => sum(col(p).cast(DecimalType(38, 0))).as(s"_sum_$p"))) ++
-      pTransforms.flatMap(t => Seq(
+      pTransformsJob.flatMap(t => Seq(
         min(PartitionSpec.column(t, pDt(t))).as(s"_pmin_${t.render}"),
         max(PartitionSpec.column(t, pDt(t))).as(s"_pmax_${t.render}"),
         count(PartitionSpec.column(t, pDt(t))).as(s"_pcnt_${t.render}")))
-    val perFile = spark.read.schema(schema).parquet(staged.map(_.toString): _*)
-      .groupBy(col("_metadata.file_path").as("_file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect() // one row per staged FILE — bounded by write parallelism
+    // job rows keyed by DECODED filesystem path (the URI renderings of
+    // Hadoop's file_path and nio's toUri need not agree byte-for-byte)
+    val perFile: Map[String, Row] =
+      if (!needJob) Map.empty
+      else spark.read.schema(schema).parquet(staged.map(_.toString): _*)
+        .groupBy(col("_metadata.file_path").as("_file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // one row per staged FILE — bounded by write parallelism
+        .map(r => (Paths.get(java.net.URI.create(r.getString(0)).getPath).toString, r))
+        .toMap
+    // emission order: sorted URI strings in the legacy branch (the
+    // historical order — rid assignment depends on it), sorted
+    // filesystem paths in the footer branch (identical for flat
+    // stagings; split-dir stagings stay order-deterministic per branch)
+    val ordered: Seq[(String, Option[Row])] =
+      if (!useFooter)
+        perFile.toSeq.sortBy(_._2.getString(0)).map { case (k, r) => (k, Some(r)) }
+      else staged.map(_.toString).sorted
+        .filter(u => footers(u).rows > 0L) // an empty staged file is never adopted
+        .map(u => (u, perFile.get(u)))
 
-    perFile.toSeq.sortBy(_.getString(0)).zipWithIndex.map { case (row, i) =>
-      val src = Paths.get(java.net.URI.create(row.getString(0)).getPath)
+    ordered.zipWithIndex.map { case ((fsPath, rowOpt), i) =>
+      val src = Paths.get(fsPath)
       val name = s"part-$batch-$i.parquet"
       Files.move(src, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-      val fileRows = row.getLong(row.fieldIndex("_rows"))
-      val stats = sCols.flatMap { f =>
+      def row: Row = rowOpt.getOrElse(throw new IllegalStateException(
+        s"txlog: stats aggregate produced no row for staged file $fsPath"))
+      val fileRows =
+        if (useFooter) footers(fsPath).rows
+        else row.getLong(row.fieldIndex("_rows"))
+      val footerServed: Map[String, ColStats] =
+        if (useFooter) footers(fsPath).entries else Map.empty
+      val stats = footerServed ++ residualCols.flatMap { f =>
         val mn = row.get(row.fieldIndex(s"_min_${f.name}"))
         val mx = row.get(row.fieldIndex(s"_max_${f.name}"))
         val nulls = fileRows - row.getLong(row.fieldIndex(s"_cnt_${f.name}"))
@@ -2428,15 +2527,18 @@ final class GraftTable(val tablePath: String) {
         }
       }
       // derived partition stats under reserved __p$ keys (all-null
-      // source → no entry → the file never partition-prunes: conservative)
-      val pStats = pTransforms.flatMap { t =>
-        val mn = row.get(row.fieldIndex(s"_pmin_${t.render}"))
-        val mx = row.get(row.fieldIndex(s"_pmax_${t.render}"))
-        if (mn == null || mx == null) None
-        else Some(t.statKey -> ColStats(
-          PartitionSpec.statsKind(t, pDt(t)), statsLiteral(mn), statsLiteral(mx),
-          Some(fileRows - row.getLong(row.fieldIndex(s"_pcnt_${t.render}")))))
-      }.toMap
+      // source → no entry → the file never partition-prunes:
+      // conservative); tuple-split stagings parse them from the split
+      // dirname (each file single-valued by the fanout writer)
+      val pStats = dirTupleStats.map(_(fsPath)).getOrElse(
+        pTransformsJob.flatMap { t =>
+          val mn = row.get(row.fieldIndex(s"_pmin_${t.render}"))
+          val mx = row.get(row.fieldIndex(s"_pmax_${t.render}"))
+          if (mn == null || mx == null) None
+          else Some(t.statKey -> ColStats(
+            PartitionSpec.statsKind(t, pDt(t)), statsLiteral(mn), statsLiteral(mx),
+            Some(fileRows - row.getLong(row.fieldIndex(s"_pcnt_${t.render}")))))
+        }.toMap)
       // locally-sorted marker: min == max == the physical sort list;
       // read-side ordering reports require EVERY scanned file to carry
       // an identical one (fanout-written files never do — honest)
@@ -4117,31 +4219,32 @@ final class GraftTable(val tablePath: String) {
       .filter(coalesce(expr(condition), lit(false)))
       .select("__file", "__idx")
 
-    // phase 1: per-file match counts only (no index materialization) —
-    // the triage decides which files may collect indexes at all
-    val counts: Map[String, Long] = matchedPairs()
-      .groupBy("__file").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ONE pass computes per-file match counts AND deletion bitmaps
+    // together (round 16 — guide §1.2: the old two-phase shape re-read
+    // every matched row a second time just to materialize indexes the
+    // first pass had already seen). The bitmap aggregate is
+    // maxBytes-bounded IN-AGGREGATE (finish → null), so building one
+    // for a file the fraction triage then routes to rewrite wastes at
+    // most one ≤maxBytes buffer — the driver still receives one
+    // metadata-sized row per file, never row indexes, at any scale.
+    val dvFn = org.apache.spark.sql.functions.udaf(
+      new graft.functions.DvAgg(maxBytes))
+    val phase: Seq[(String, Long, Option[Array[Byte]])] = matchedPairs()
+      .groupBy("__file")
+      .agg(count(lit(1)).as("__n"), dvFn(col("__idx")).as("__dv"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getAs[Array[Byte]]("__dv"))))
+    val counts: Map[String, Long] = phase.map(t => t._1 -> t._2).toMap
     if (counts.isEmpty) return (0, 0, 0L, snap.version)
     val overFraction = counts.keySet.filter { p =>
       val a = byName(p)
       (a.dvRows + counts(p)).toDouble / a.rows > maxFraction
     }
-    // phase 2: deletion bitmaps for the DV-eligible files, built
-    // EXECUTOR-SIDE by the mergeable DvAgg aggregator — the over-
-    // maxBytes check runs in-aggregate (finish → null), so the driver
-    // receives one ≤maxBytes row per file, never the row indexes. A
-    // scattered 100 TB-scale delete thus stays metadata-sized on the
-    // driver regardless of total matched-row count.
-    val dvCandidates = (counts.keySet -- overFraction).toSeq.sorted
     val built: Seq[(String, Option[org.roaringbitmap.RoaringBitmap])] =
-      if (dvCandidates.isEmpty) Nil
-      else dvAggregate(
-        matchedPairs().filter(col("__file").isin(dvCandidates: _*)), maxBytes)
-        .collect().toSeq
-        .map { r =>
-          val p = r.getString(0)
-          p -> Option(r.getAs[Array[Byte]](1)).map { bytes =>
+      phase.filterNot(t => overFraction.contains(t._1)).sortBy(_._1)
+        .map { case (p, _, bytesOpt) =>
+          p -> bytesOpt.map { bytes =>
             val bm = new org.roaringbitmap.RoaringBitmap()
             bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
             // existing DVs are log metadata (≤maxBytes each, disjoint

@@ -640,7 +640,10 @@ object PipelineOps {
     val touched = col("yr").isin(1996, 1999)
     def tagged(df: DataFrame, deleted: Boolean, seq: Long): DataFrame =
       df.withColumn("_deleted", lit(deleted)).withColumn("_seq", lit(seq))
-    val changes =
+    // cached: applyCdcPartitioned replays this 4-way union once per
+    // touched partition (distinct + 3 per-partition folds) — uncached,
+    // each fold re-scans orders four times (round 16, guide §5)
+    val changes = graft.core.CacheScope.cached(
       tagged(base.filter(touched && m === 1)
         .withColumn("o_orderstatus", lit("U1"))
         .withColumn("o_totalprice", col("o_totalprice") + 50.0), deleted = false, 1L)
@@ -651,7 +654,7 @@ object PipelineOps {
       .unionByName(tagged(base.filter(touched && m === 3)
         .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
         .withColumn("o_orderstatus", lit("NEW"))
-        .withColumn("yr", lit(2099)), deleted = false, 1L))
+        .withColumn("yr", lit(2099)), deleted = false, 1L)))
     Medallion.applyCdcPartitioned(s, table, changes, "o_orderkey", "_seq", "yr")
     s.read.parquet(table)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -2080,12 +2083,17 @@ object PipelineOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start().awaitTermination()
     val cols = Seq("o_orderkey", "o_custkey", "o_totalprice").map(col)
-    // cache both sides: each feeds BOTH exceptAll legs (and the replica
-    // additionally the output sort) — uncached, the two-sided proof
-    // re-runs every table read up to three times
+    // equality proof as ONE signed-count aggregate (the cdcDiff trick:
+    // replica rows weigh +1, source rows -1, equal multisets cancel to
+    // 0 everywhere; groupBy's null-safe equality matches exceptAll's) —
+    // round 16: replaces the two-sided exceptAll + two cached
+    // materializations (5 jobs) with a single job over both scans
     val replica = graft.core.CacheScope.cached(silver.read(s).select(cols: _*))
-    val source = graft.core.CacheScope.cached(bronze.read(s).select(cols: _*))
-    require(replica.exceptAll(source).isEmpty && source.exceptAll(replica).isEmpty,
+    val mismatch = replica.withColumn("__w", lit(1L))
+      .unionAll(bronze.read(s).select(cols: _*).withColumn("__w", lit(-1L)))
+      .groupBy(cols: _*).agg(sum(col("__w")).as("__d"))
+      .filter(col("__d") =!= 0L)
+    require(mismatch.isEmpty,
       "the feed-maintained replica must equal the source exactly")
     replica.orderBy(col("o_orderkey"))
   }
