@@ -306,8 +306,8 @@ object PipelineOps {
         "(o_orderkey BIGINT, o_totalprice DOUBLE) " +
         "TBLPROPERTIES ('rowTracking' = 'true')")
       val t = new graft.medallion.GraftTable(s"$wh/rt/orders_rt")
-      val src = lake(s, dir).orders
-        .select(col("o_orderkey"), col("o_totalprice"))
+      val src = graft.core.CacheScope.cached(lake(s, dir).orders
+        .select(col("o_orderkey"), col("o_totalprice"))) // one source scan (r16 opt)
       t.append(src.filter(col("o_orderkey") % 3 === 0)
         .orderBy(col("o_orderkey")).coalesce(1))
       t.append(src.filter(col("o_orderkey") % 3 === 1)
@@ -553,6 +553,10 @@ object PipelineOps {
   // engines — bit-exact.
   // --------------------------------------------------------------------
   def q82CdcUpsert(s: SparkSession, dir: String): DataFrame = {
+    // NOT cached: unlike the lifecycle queries, q82 consumes `base` in
+    // ONE action — the union's six scans pipeline inside a single job,
+    // which beats a serialized cache materialization (measured r16:
+    // caching tripled the job count 6→17 at equal wall)
     val base = lake(s, dir).customer.select(
       col("c_custkey"), col("c_name"), col("c_nationkey"),
       col("c_acctbal"), col("c_mktsegment"))
@@ -630,6 +634,7 @@ object PipelineOps {
     val base = lake(s, dir).orders.select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_totalprice"), year(col("o_orderdate")).as("yr"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     // partition-dir-aligned shuffle: each task owns whole year dirs, so
     // the table lands as one file per partition — a key-spread
     // repartition here would write (tasks × years) tiny files, the
@@ -720,6 +725,7 @@ object PipelineOps {
     val base = lake(s, dir).orders.select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_totalprice"), year(col("o_orderdate")).as("yr"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     t.append(base.filter(col("yr") <= 1995))
     t.append(base.filter(col("yr") >= 1996))
     val m = col("o_orderkey") % 10
@@ -803,6 +809,7 @@ object PipelineOps {
     val bronze = new graft.medallion.GraftTable(bronzePath)
     val base = lake(s, dir).orders.select(
       col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     bronze.append(base.filter(col("o_orderkey") % 2 === 0)) // v1
     def run(): Unit = graft.streaming.TableSink.start(
       s.readStream.format("graft-table").option("path", bronzePath).load()
@@ -847,6 +854,7 @@ object PipelineOps {
     graft.core.Fs.rmTree(new java.io.File(root)) // fresh table per run: reruns deterministic
     val t = new graft.medallion.GraftTable(root)
     val base = lake(s, dir).orders
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     t.append(base.filter(col("o_orderkey") % 3 === 0)
       .select(col("o_orderkey"), col("o_totalprice")))                    // v1
     t.append(base.filter(col("o_orderkey") % 3 === 1)
@@ -886,6 +894,7 @@ object PipelineOps {
     val t = new graft.medallion.GraftTable(root)
     val base = lake(s, dir).lineitem.select(
       col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     (0 to 3).foreach(m => t.append(
       base.filter(col("l_orderkey") % 4 === m).repartition(2)))           // v1..v4
     val (before, after, _) = t.optimizeZorder(
@@ -928,6 +937,7 @@ object PipelineOps {
     val t = new graft.medallion.GraftTable(root)
     val base = lake(s, dir).lineitem.select(
       col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     (0 to 3).foreach(m => t.append(
       base.filter(col("l_orderkey") % 4 === m).repartition(2)))           // v1..v4
     val (before, after, _) = t.optimizeZorder(
@@ -978,6 +988,7 @@ object PipelineOps {
     val ckpt = s"$root/ckpt"
     val bronze = new graft.medallion.GraftTable(bronzePath)
     val base = lake(s, dir).orders.select(col("o_orderkey"), col("o_totalprice"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     bronze.append(base.filter(col("o_orderkey") % 2 === 0))               // v1
     def run(): Unit = graft.streaming.TableSink.start(
       s.readStream.format("graft-table").option("path", bronzePath).load(),
@@ -1018,6 +1029,7 @@ object PipelineOps {
     graft.core.Fs.rmTree(new java.io.File(root)) // fresh table per run: reruns deterministic
     val t = new graft.medallion.GraftTable(root)
     val base = lake(s, dir).orders.select(col("o_orderkey"), col("o_totalprice"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     t.append(base.filter(col("o_orderkey") % 5 === 0))                    // v1
     t.append(base.filter(col("o_orderkey") % 5 === 1))                    // v2
     t.upsert(base.filter(col("o_orderkey") % 10 === 0)
@@ -1059,6 +1071,7 @@ object PipelineOps {
     val t = new graft.medallion.GraftTable(root)
     val base = lake(s, dir).orders.select(
       col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     t.append(base.filter(col("o_orderkey") % 2 === 0))                    // v1
     t.append(base.filter(col("o_orderkey") % 2 === 1))                    // v2
     val agg = s.read.format("graft-table").option("path", root).load()
@@ -1103,6 +1116,7 @@ object PipelineOps {
     val base = lake(s, dir).orders
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .withColumn("maybe_key", when(col("o_orderkey") % 3 === 0, col("o_orderkey")))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     // group-count-sized collect (3 statuses): drives the one-commit-per-
     // partition-value ingest this scenario simulates
     val statuses = base.select("o_orderstatus").distinct()
@@ -1150,6 +1164,7 @@ object PipelineOps {
     val t = new graft.medallion.GraftTable(root)
     val base = lake(s, dir).orders
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     val q = base.agg(max(col("o_orderkey"))).head().getLong(0) / 4
     val k = col("o_orderkey")
     t.append(base.filter(k <= q).repartition(1))                       // v1
@@ -1198,9 +1213,9 @@ object PipelineOps {
     val cat = s"gq113_${math.abs(wh.hashCode).toString.take(8)}"
     graft.api.Graft.registerCatalog(s, cat, wh)
     try {
-      lake(s, dir).orders
-        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-        .createOrReplaceTempView("q113_src")
+      graft.core.CacheScope.cached(lake(s, dir).orders
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+        .createOrReplaceTempView("q113_src") // 4 INSERT/CTAS scans serve from one read (r16 opt)
       s.sql(s"CREATE TABLE $cat.dml.orders_sql (o_orderkey BIGINT, o_totalprice DOUBLE)") // v1
       s.sql(s"""INSERT INTO $cat.dml.orders_sql
                SELECT o_orderkey, o_totalprice FROM q113_src
@@ -1277,16 +1292,17 @@ object PipelineOps {
     val cat = s"gq114_${math.abs(wh.hashCode).toString.take(8)}"
     graft.api.Graft.registerCatalog(s, cat, wh)
     try {
-      lake(s, dir).orders
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        .createOrReplaceTempView("q114_src")
+      // one orders read serves the max-key probe, the 4 range appends,
+      // and both MERGE source branches (r16 opt, guide §1.2/§5)
+      val src114 = graft.core.CacheScope.cached(lake(s, dir).orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+      src114.createOrReplaceTempView("q114_src")
       val t = new graft.medallion.GraftTable(s"$wh/dml/orders_rl")
       // four files with disjoint key ranges, so candidate pruning bites
-      val maxKey = lake(s, dir).orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val maxKey = src114.agg(max(col("o_orderkey"))).head().getLong(0)
       val q = maxKey / 4
       (0 to 3).foreach { b =>
-        t.append(lake(s, dir).orders
-          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        t.append(src114
           .filter((if (b == 0) lit(true) else col("o_orderkey") > b * q) &&
             (if (b == 3) lit(true) else col("o_orderkey") <= (b + 1) * q))
           .repartition(1))
@@ -1355,6 +1371,7 @@ object PipelineOps {
     val dec = DecimalType(28, 2)
     val base = lake(s, dir).lineitem.select(
       col("l_orderkey"), col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     var seen = 0L
     (0 to 2).foreach { m =>
       src.append(base.filter(col("l_orderkey") % 3 === m))
@@ -1428,6 +1445,7 @@ object PipelineOps {
     graft.core.Fs.rmTree(new java.io.File(root)) // fresh table per run
     val t = new graft.medallion.GraftTable(root)
     val base = lake(s, dir).orders.select(col("o_orderkey"), col("o_totalprice"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     t.append(base.filter(col("o_orderkey") % 2 === 0))           // v1
     t.addConstraint(s, "price_nonneg", "o_totalprice >= 0")      // v2
     t.append(base.filter(col("o_orderkey") % 2 === 1))           // v3
@@ -1467,6 +1485,7 @@ object PipelineOps {
     graft.core.Fs.rmTree(new java.io.File(root)) // fresh tables per run
     val src = new graft.medallion.GraftTable(s"$root/src")
     val base = lake(s, dir).part.select(col("p_partkey"), col("p_retailprice"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     src.append(base.filter(col("p_partkey") % 2 === 0))      // src v1
     val fork = src.cloneTo(s"$root/fork")                    // fork v1 (links)
     fork.append(base.filter(col("p_partkey") % 2 === 1))     // fork diverges
@@ -1506,9 +1525,9 @@ object PipelineOps {
     val cat = s"gq124_${math.abs(wh.hashCode).toString.take(8)}"
     graft.api.Graft.registerCatalog(s, cat, wh)
     try {
-      lake(s, dir).supplier
-        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
-        .createOrReplaceTempView("q124_src")
+      graft.core.CacheScope.cached(lake(s, dir).supplier
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal")))
+        .createOrReplaceTempView("q124_src") // 5 INSERT scans serve from one read (r16 opt)
       s.sql(s"CREATE TABLE $cat.m.sup (s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE)")
       (0 to 3).foreach(i => s.sql(
         s"""INSERT INTO $cat.m.sup
@@ -1630,6 +1649,7 @@ object PipelineOps {
     val base = lake(s, dir).orders
       .filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     t.append(base.limit(0))                          // v1: schema only
     t.setProperty(graft.medallion.TxLog.BloomColumnsProp, "o_orderkey")
     // 64 Kib per file: ~10 bits per expected key at the largest test
@@ -1686,6 +1706,7 @@ object PipelineOps {
     val t = new graft.medallion.GraftTable(s"$root/orders")
     val base = lake(s, dir).orders
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     (0 until 4).foreach(f =>
       t.append(base.filter(col("o_orderkey") % 4 === f).repartition(1)))
     val filesBefore = t.snapshot().files.map(_.path).toSet
@@ -1738,6 +1759,7 @@ object PipelineOps {
     val base = lake(s, dir).lineitem
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
         col("l_extendedprice"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     t.append(base.filter(col("l_orderkey") % 2 === 0).repartition(1))
     t.append(base.filter(col("l_orderkey") % 2 === 1).repartition(1))
     val (dvFiles, rewrites, deleted, _) =
@@ -1802,9 +1824,9 @@ object PipelineOps {
     val cat = s"gq129_${math.abs(wh.hashCode).toString.take(8)}"
     graft.api.Graft.registerCatalog(s, cat, wh)
     try {
-      lake(s, dir).customer
-        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
-        .createOrReplaceTempView("q129_src")
+      graft.core.CacheScope.cached(lake(s, dir).customer
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")))
+        .createOrReplaceTempView("q129_src") // 3 INSERT scans serve from one read (r16 opt)
       s.sql(s"CREATE TABLE $cat.d.cust (c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING)")
       (0 to 2).foreach(i => s.sql(
         s"""INSERT INTO $cat.d.cust
@@ -1868,6 +1890,7 @@ object PipelineOps {
     val t = new graft.medallion.GraftTable(s"$root/orders")
     val base = lake(s, dir).orders
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     (0 until 4).foreach(f =>
       t.append(base.filter(col("o_orderkey") % 4 === f).repartition(1)))
     t.setProperty(graft.medallion.TxLog.CdfEnabledProp, "true")
@@ -1939,6 +1962,7 @@ object PipelineOps {
     val base = lake(s, dir).orders.select(
       col("o_orderkey"), col("o_custkey"),
       round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     src.create(org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("o_orderkey", LongType),
       org.apache.spark.sql.types.StructField("o_custkey", LongType),
@@ -2039,6 +2063,7 @@ object PipelineOps {
     val silver = new graft.medallion.GraftTable(s"$root/silver")
     val base = lake(s, dir).orders
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     bronze.append(base.filter(col("o_orderkey") % 2 === 0))            // v1
     bronze.setProperty(graft.medallion.TxLog.CdfEnabledProp, "true")   // v2
     bronze.append(base.filter(col("o_orderkey") % 2 === 1))            // v3
@@ -2128,6 +2153,7 @@ object PipelineOps {
     val t = new graft.medallion.GraftTable(s"$root/orders")
     val base = lake(s, dir).orders
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     (0 until 4).foreach(f =>
       t.append(base.filter(col("o_orderkey") % 4 === f).repartition(1)))
     t.setProperty(graft.medallion.TxLog.CdfEnabledProp, "true")
@@ -2194,6 +2220,7 @@ object PipelineOps {
     graft.core.Fs.rmTree(new java.io.File(root))
     val base = lake(s, dir).events
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     // one table per transform: range clustering orders by the spec's
     // leading transform, so a composite spec prunes its leader best —
     // a time-queried table partitions by time, a key-probed one buckets
@@ -2285,6 +2312,7 @@ object PipelineOps {
     val t = new graft.medallion.GraftTable(s"$root/orders")
     val base = lake(s, dir).orders
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     t.append(base.limit(0).withColumn("day", lit(0L))) // v1: schema only
     // tz-free day derivation (o_orderdate is TIMESTAMP_NTZ — wall-clock
     // date part, no session-zone dependence; §8.3 determinism policy)
@@ -2330,6 +2358,7 @@ object PipelineOps {
     graft.core.Fs.rmTree(new java.io.File(root))
     val t = new graft.medallion.GraftTable(root)
     val base = lake(s, dir).orders.select(col("o_orderkey"), col("o_custkey"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     t.append(base.limit(0)) // v1: schema only
     t.setProperty(graft.medallion.TxLog.SumColumnsProp, "o_orderkey,o_custkey")
     t.append(base.filter(col("o_orderkey") % 2 === 0))
@@ -2366,6 +2395,7 @@ object PipelineOps {
         .select(col("o_orderkey"),
           col("o_orderdate").cast("date").as("o_orderdate"),
           col("o_totalprice"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
       val t = new graft.medallion.GraftTable(s"$wh/d/ord")
       t.append(base.filter(year(col("o_orderdate")) < 1995).coalesce(1))
       t.append(base.filter(year(col("o_orderdate")) === 1995).coalesce(1))
@@ -2718,6 +2748,7 @@ object PipelineOps {
       val src = new graft.medallion.GraftTable(s"$wh/d/s")
       val base = lake(s, dir).orders
         .select(col("o_orderkey"), col("o_totalprice"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
       tgt.append(base.limit(0))
       src.append(base.limit(0))
       tgt.setProperty(graft.medallion.PartitionSpec.Prop, "bucket(8,o_orderkey)")
@@ -3832,6 +3863,7 @@ object PipelineOps {
     val base = lake(s, dir).orders.select(
       col("o_orderkey").cast("int").as("o_key"),
       col("o_totalprice").cast("float").as("o_price"))
+      .transform(graft.core.CacheScope.cached) // one source scan per query (r16 opt, guide §1.2/§5)
     t.append(base.filter(col("o_key") % 2 === 0))
     t.append(base.filter(col("o_key") % 2 === 1))
     t.setProperty(graft.medallion.TxLog.TypeWideningProp, "true")
@@ -3871,9 +3903,9 @@ object PipelineOps {
     val cat = s"gq142_${math.abs(wh.hashCode).toString.take(8)}"
     graft.api.Graft.registerCatalog(s, cat, wh)
     try {
-      lake(s, dir).orders
-        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-        .createOrReplaceTempView("q142_src")
+      graft.core.CacheScope.cached(lake(s, dir).orders
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+        .createOrReplaceTempView("q142_src") // 4 INSERT scans serve from one read (r16 opt)
       s.sql(s"CREATE TABLE $cat.d.ord (o_orderkey BIGINT, " +
         "o_totalprice DOUBLE, o_orderstatus STRING)")
       (0 to 3).foreach(i => s.sql(
